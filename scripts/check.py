@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Local correctness harness mimicking the driver's DuckDB-oracle compare.
+
+Usage: python3 scripts/check.py <sfDir> <outDir>
+Reads outDir/<name>/ parquet (written by graft.Verify) and outDir/oracle_sql.json,
+runs each oracle SQL in DuckDB with views over sfDir tables, and compares
+row counts, column names, and values (rows sorted, NaN-safe).
+
+Dev-only tool; NOT part of the shipped library.
+"""
+import json
+import sys
+import glob
+import math
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    return v
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            spark_files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+            if not spark_files:
+                print(f"FAIL {name}: no spark output")
+                n_fail += 1
+                continue
+            sdf = con.execute(
+                "SELECT * FROM read_parquet(?)", [spark_files]).fetchall()
+            scols = [d[0] for d in con.execute(
+                "SELECT * FROM read_parquet(?) LIMIT 0", [spark_files]).description]
+            odf = con.execute(sql).fetchall()
+            ocols = [d[0] for d in con.execute(
+                f"SELECT * FROM ({sql}) LIMIT 0").description]
+            if sorted(scols) != sorted(ocols):
+                print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+                n_fail += 1
+                continue
+            # reorder spark columns to oracle order by name
+            sidx = [scols.index(c) for c in ocols]
+            srows = sorted(tuple(canon(r[i]) for i in sidx) for r in sdf)
+            orows = sorted(tuple(canon(v) for v in r) for r in odf)
+            if len(srows) != len(orows):
+                print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
+                n_fail += 1
+                continue
+            if srows != orows:
+                bad = next(i for i, (a, b) in enumerate(zip(srows, orows)) if a != b)
+                print(f"FAIL {name}: value mismatch at row {bad}:")
+                print(f"   spark:  {srows[bad]}")
+                print(f"   oracle: {orows[bad]}")
+                n_fail += 1
+                continue
+            print(f"PASS {name} ({len(srows)} rows)")
+            n_pass += 1
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,13 +1,270 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.operators._
+import graft.functions.{TextFunctions => TF}
+
+/** Driver contract — SURVEY.md §2 inventory. Every entry in [[queries]] is
+  * expressed through the graft operator library (not ad-hoc DataFrame code)
+  * and has a DuckDB-equivalent oracle in [[oracleSql]].
+  *
+  * Cross-engine determinism conventions (see SURVEY.md §4):
+  *  - double aggregates go through DECIMAL sums (order-independent, exact);
+  *  - every query ends in a total ORDER BY (nulls-first to match Spark);
+  *  - hashes are md5-derived (identical in Spark/DuckDB).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.read(s, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Pricing-summary-style aggregate through the Aggregate operator.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_map")(spark, "/root/testdata/sf0.001")
+
+  // ==========================================================================
+  // Stateless transforms (SURVEY §2.2)
+  // ==========================================================================
+
+  private def qFilter(s: SparkSession, dir: String): DataFrame = {
+    val cond = And(Seq(FieldEquals("l_returnflag", "R"), FieldGt("l_quantity", 30)))
+    Filter(cond)(t(s, dir, "lineitem"))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity"),
+        col("l_returnflag")
+      )
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private def qFilterComplex(s: SparkSession, dir: String): DataFrame = {
+    val cond = And(
+      Seq(
+        Or(
+          Seq(
+            FieldMatches("o_orderpriority", "^[12]"),
+            FieldEquals("o_orderstatus", "F")
+          )
+        ),
+        Not(FieldLt("o_totalprice", 50000)),
+        FieldExists("o_custkey")
+      )
+    )
+    Filter(cond)(t(s, dir, "orders"))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private def qProject(s: SparkSession, dir: String): DataFrame =
+    Project(Seq("o_orderkey", "o_custkey", "o_totalprice"))(t(s, dir, "orders"))
+      .orderBy(col("o_orderkey"))
+
+  private def qRename(s: SparkSession, dir: String): DataFrame =
+    Rename(Map("c_name" -> "customer_name", "c_acctbal" -> "balance"))(t(s, dir, "customer"))
+      .select(col("c_custkey"), col("customer_name"), col("balance"))
+      .orderBy(col("c_custkey"))
+
+  private def qCast(s: SparkSession, dir: String): DataFrame =
+    Cast(
+      Map(
+        "l_quantity" -> "int64",
+        "l_shipdate" -> "date",
+        "l_linenumber" -> "string"
+      )
+    )(t(s, dir, "lineitem"))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity"),
+        col("l_shipdate")
+      )
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def qMap(s: SparkSession, dir: String): DataFrame =
+    MapFields(
+      Seq(
+        FieldMapping("l_orderkey", source = Some("l_orderkey")),
+        FieldMapping("l_linenumber", source = Some("l_linenumber")),
+        FieldMapping(
+          "revenue",
+          expression = Some(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+        ),
+        FieldMapping("src", literal = Some("lineitem")),
+        FieldMapping("qty", source = Some("l_quantity"), default = Some(0.0))
+      )
+    )(t(s, dir, "lineitem"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def qMask(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer").select(
+      col("c_custkey"),
+      col("c_name").as("name_partial"),
+      col("c_name").as("name_hash"),
+      col("c_mktsegment").as("segment_redacted"),
+      col("c_mktsegment").as("segment_null"),
+      col("c_name").as("name_token")
+    )
+    Mask(
+      Seq(
+        MaskField("name_partial", MaskStrategy.Partial(2)),
+        MaskField("name_hash", MaskStrategy.Hash),
+        MaskField("segment_redacted", MaskStrategy.Redact, preserveLength = true),
+        MaskField("segment_null", MaskStrategy.Nullify),
+        MaskField("name_token", MaskStrategy.Tokenize)
+      )
+    )(base).orderBy(col("c_custkey"))
+  }
+
+  private def qFlatmap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    FlatMap("toks", "token")(docs)
+      .select(col("doc_id"), col("token"))
+      .orderBy(col("doc_id"), col("token"))
+  }
+
+  private def qSplit(s: SparkSession, dir: String): DataFrame = {
+    val split = Split(
+      Seq(
+        SplitRoute(FieldEquals("event_type", "purchase"), "high"),
+        SplitRoute(FieldGt("value", 50), "mid")
+      ),
+      defaultOutput = Some("default")
+    )
+    split
+      .tagged(t(s, dir, "events"))
+      .select(col("event_id"), col("event_type"), col("_route").as("route"))
+      .orderBy(col("event_id"))
+  }
+
+  private def orderValidation = Validate(
+    Seq(
+      ValidationRule("NEGATIVE_PRICE", RawCondition(col("o_totalprice") > 0)),
+      ValidationRule(
+        "BAD_STATUS",
+        RawCondition(col("o_orderstatus").isin("O", "F", "P"))
+      ),
+      ValidationRule("NULL_CUSTOMER", FieldExists("o_custkey"))
+    )
+  )
+
+  private def qValidate(s: SparkSession, dir: String): DataFrame =
+    orderValidation
+      .tagged(t(s, dir, "orders"))
+      .select(
+        col("o_orderkey"),
+        col("_valid").as("is_valid"),
+        col("_error_code").as("error_code")
+      )
+      .orderBy(col("o_orderkey"))
+
+  private def eventValidation = Validate(
+    Seq(
+      ValidationRule("NEGATIVE_VALUE", RawCondition(col("value") >= 0)),
+      ValidationRule("UNKNOWN_TYPE", RawCondition(
+        col("event_type").isin("view", "click", "purchase", "signup", "error")))
+    )
+  )
+
+  private def qDlq(s: SparkSession, dir: String): DataFrame =
+    Dlq
+      .fromInvalid(eventValidation.tagged(t(s, dir, "events")), stage = "validate-events")
+      .select(
+        col("event_id"),
+        col("event_type"),
+        col("dlq_stage"),
+        col("dlq_error_code"),
+        col("dlq_retry_count")
+      )
+      .orderBy(col("event_id"))
+
+  // ==========================================================================
+  // Registry
+  // ==========================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter" -> (qFilter _),
+    "q_filter_complex" -> (qFilterComplex _),
+    "q_project" -> (qProject _),
+    "q_rename" -> (qRename _),
+    "q_cast" -> (qCast _),
+    "q_map" -> (qMap _),
+    "q_mask" -> (qMask _),
+    "q_flatmap" -> (qFlatmap _),
+    "q_split" -> (qSplit _),
+    "q_validate" -> (qValidate _),
+    "q_dlq" -> (qDlq _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_filter_complex" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |FROM orders
+        |WHERE (regexp_matches(o_orderpriority, '^[12]') OR o_orderstatus = 'F')
+        |  AND NOT (o_totalprice < 50000) AND o_custkey IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_project" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey",
+    "q_rename" ->
+      """SELECT c_custkey, c_name AS customer_name, c_acctbal AS balance
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_cast" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS VARCHAR) AS l_linenumber,
+        |  CAST(floor(l_quantity) AS BIGINT) AS l_quantity,
+        |  CAST(l_shipdate AS DATE) AS l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, CAST(l_linenumber AS VARCHAR)""".stripMargin,
+    "q_map" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1.0 - l_discount), 4) AS revenue,
+        |  'lineitem' AS src,
+        |  coalesce(l_quantity, 0.0) AS qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_mask" ->
+      """SELECT c_custkey,
+        |  concat(substr(c_name, 1, 2), repeat('*', greatest(length(c_name) - 2, 0))) AS name_partial,
+        |  md5(c_name) AS name_hash,
+        |  repeat('*', length(c_mktsegment)) AS segment_redacted,
+        |  CAST(NULL AS VARCHAR) AS segment_null,
+        |  concat('tok_', substr(md5(c_name), 1, 12)) AS name_token
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_flatmap" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id, token""".stripMargin,
+    "q_split" ->
+      """SELECT event_id, event_type,
+        |  CASE WHEN event_type = 'purchase' THEN 'high'
+        |       WHEN value > 50 THEN 'mid'
+        |       ELSE 'default' END AS route
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_validate" ->
+      """SELECT o_orderkey,
+        |  (o_totalprice > 0 AND o_orderstatus IN ('O','F','P') AND o_custkey IS NOT NULL) AS is_valid,
+        |  CASE WHEN NOT (o_totalprice > 0) THEN 'NEGATIVE_PRICE'
+        |       WHEN NOT (o_orderstatus IN ('O','F','P')) THEN 'BAD_STATUS'
+        |       WHEN o_custkey IS NULL THEN 'NULL_CUSTOMER'
+        |       ELSE NULL END AS error_code
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_dlq" ->
+      """SELECT event_id, event_type,
+        |  'validate-events' AS dlq_stage,
+        |  CASE WHEN NOT (value >= 0) THEN 'NEGATIVE_VALUE'
+        |       WHEN NOT (event_type IN ('view','click','purchase','signup','error')) THEN 'UNKNOWN_TYPE'
+        |       ELSE NULL END AS dlq_error_code,
+        |  0 AS dlq_retry_count
+        |FROM events
+        |WHERE NOT (value >= 0 AND event_type IN ('view','click','purchase','signup','error'))
+        |ORDER BY event_id""".stripMargin
+  )
 }

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable deterministic hashing. Everything here is built on md5 because
+  * md5 produces identical bytes in every engine (Spark, DuckDB, Python...),
+  * which makes signature-based operators (MinHash, SimHash, LSH) exactly
+  * reproducible and oracle-checkable cross-engine. Spark's native
+  * xxhash64/murmur are faster but engine-specific; swap [[hash32]] for
+  * `xxhash64` in production if cross-engine reproducibility is not needed.
+  */
+object HashFunctions {
+
+  /** First 8 hex digits of md5 as an unsigned 32-bit value in a long.
+    * Spark: conv(hex,16,10); DuckDB equivalent: CAST('0x'||substr(md5(x),1,8) AS BIGINT).
+    */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Seeded variant: hash32 of (value, '#', seed). */
+  def hash32(c: Column, seed: Int): Column =
+    hash32(concat(c, lit("#" + seed)))
+
+  /** 60-bit positive hash (15 hex digits — stays positive in a signed i64
+    * in every engine; 16 digits could overflow DuckDB's BIGINT cast).
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signature: for each of `k` seeded hash functions, the minimum
+    * hash over the element array. NULL-safe: empty arrays give max-long
+    * sentinel (no shingle). One pass over the array per seed, all codegen'd.
+    */
+  def minhashSignature(elems: Column, k: Int): Column = {
+    val comps = (0 until k).map { seed =>
+      coalesce(
+        array_min(transform(elems, e => hash32(e, seed))),
+        lit(Long.MaxValue)
+      )
+    }
+    array(comps: _*)
+  }
+
+  /** LSH band keys for a MinHash signature: split the k components into
+    * `bands` groups of k/bands rows and hash each group. Two documents
+    * collide on a band iff that slice of their signatures is identical —
+    * the classic AND-OR amplification. Returned as array<string> of
+    * "bandIndex:md5(slice)" keys, ready to explode + shuffle on.
+    */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column = {
+    val keys = (0 until bands).map { b =>
+      concat(
+        lit(b + ":"),
+        md5(concat_ws(",", slice(signature, b * rowsPerBand + 1, rowsPerBand)))
+      )
+    }
+    array(keys: _*)
+  }
+
+  /** SimHash over a token array: 60-bit signature where bit b is set iff the
+    * sum over tokens of (bit b of hash60(token) ? +1 : -1) is positive.
+    * Pure aggregate arithmetic; near-dup iff hamming distance small.
+    */
+  def simhash(tokens: Column, bits: Int = 60): Column = {
+    val hashed = transform(tokens, t => HashFunctions.hash60(t))
+    val bitCols = (0 until bits).map { b =>
+      val votes = aggregate(
+        hashed,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+      )
+      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two simhash signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Chunk keys for simhash blocking: split the `bits`-bit signature into
+    * `chunks` equal pieces. By pigeonhole, any pair with hamming distance
+    * < `chunks` shares at least one identical chunk — so joining on chunk
+    * keys finds ALL pairs within distance chunks-1 without a cross join.
+    */
+  def simhashChunkKeys(sig: Column, bits: Int, chunks: Int): Column = {
+    val width = bits / chunks
+    val mask = (1L << width) - 1
+    val keys = (0 until chunks).map { i =>
+      concat(lit(i + ":"), shiftright(sig, i * width).bitwiseAND(mask).cast("string"))
+    }
+    array(keys: _*)
+  }
+}

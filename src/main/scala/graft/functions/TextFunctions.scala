@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines. All pure
+  * Catalyst expressions (no UDFs) so they stay codegen'd and run at scan
+  * speed over 100 TB of documents.
+  */
+object TextFunctions {
+
+  /** Lowercased, punctuation-stripped, whitespace-collapsed text — the
+    * canonical form used by fingerprinting and dedup.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Whitespace tokens of already-normalized text. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Whitespace token count (empty string → 0). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish subword-boundary token count: runs of letters, runs of digits,
+    * or single non-space symbols — a cheap proxy for tokenizer cost used to
+    * budget documents before real tokenization.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  /** Word n-gram shingles over normalized text (n consecutive tokens joined
+    * by a space). Documents with fewer than n tokens yield an empty array.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = size(toks)
+    when(count < n, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0), count - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")
+      )
+    )
+  }
+
+  /** Deterministic document fingerprint: md5 of the normalized text.
+    * Identical across engines (md5 is md5 everywhere) — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Stopword lists used for language ID + quality scoring. Tiny on purpose:
+    * the point is the *shape* of an n-gram language heuristic, swappable for
+    * real profiles.
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "una", "para", "por")
+  )
+
+  /** Count of marker-word hits for one language. */
+  def markerHits(text: Column, lang: String): Column = {
+    val pattern = "\\b(" + markers(lang).mkString("|") + ")\\b"
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0))).cast("long")
+  }
+
+  /** Predicted language: arg-max of marker hits, ties broken by the fixed
+    * language order; "und" (undetermined) when no marker hits at all.
+    */
+  def langPredict(text: Column): Column = {
+    val langs = Seq("en", "de", "fr", "es")
+    val hits = langs.map(l => l -> markerHits(text, l))
+    val maxHits = greatest(hits.map(_._2): _*)
+    val pick = hits.reverse.foldLeft(lit("und")) { case (acc, (l, h)) =>
+      when(h === maxHits && maxHits > 0, lit(l)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Ratio helpers (0 when the document is empty). */
+  private def ratio(num: Column, den: Column): Column =
+    when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+
+  def punctRatio(text: Column): Column =
+    ratio(size(regexp_extract_all(text, lit("[\\.,;:!?]"), lit(0))), length(text))
+
+  def upperRatio(text: Column): Column =
+    ratio(size(regexp_extract_all(text, lit("[A-Z]"), lit(0))), length(text))
+
+  def stopwordRatio(text: Column): Column =
+    ratio(markerHits(text, "en"), tokenCount(text))
+
+  def meanWordLen(text: Column): Column =
+    ratio(length(regexp_replace(normalize(text), " ", "")), size(tokens(text)))
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with healthy
+    * stopword density and low punctuation noise. Weights are illustrative;
+    * the value is the *pipeline shape* (pure column math, filterable,
+    * pushdown-friendly).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 10.0, lit(1.0))
+    round(lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2, 6)
+  }
+}

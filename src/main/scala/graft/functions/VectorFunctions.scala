@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column math over `array<float>` embedding columns, built on
+  * higher-order functions (`zip_with`/`aggregate`) which Catalyst codegens —
+  * no UDF boxing per element. Accumulation is sequential left-to-right in
+  * double precision, so results are deterministic for a given vector pair.
+  */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, rounded to `scale` decimals. Rounding absorbs the
+    * ~1e-15 cross-engine FP accumulation differences while keeping full
+    * ranking fidelity; boundary collisions are ~1e-9 probability.
+    */
+  def cosine(a: Column, b: Column, scale: Int = 6): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), scale)
+
+  /** Deterministic hyperplane weight: first 8 md5 hex digits of "p_d" as an
+    * unsigned 32-bit int, centered to [-2^31, 2^31). Computable identically
+    * in any engine (md5 is md5 everywhere) — used both here (precomputed
+    * driver-side) and in oracle SQL (computed in SQL).
+    */
+  def planeWeight(plane: Int, dim: Int): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val hex = digest
+      .digest(s"${plane}_$dim".getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) - 2147483648L
+  }
+
+  /** Random-hyperplane LSH bucket id: `planes` sign bits over md5-derived
+    * weights. Vectors in the same bucket are cosine-close with high
+    * probability — the candidate-generation path for ANN at scale (shuffle
+    * by bucket, local top-k per bucket, merge). Weights are folded into the
+    * expression as literals, so the per-row work is `planes` dot products of
+    * constant vectors — fully codegen'd.
+    */
+  def hyperplaneBucket(vec: Column, planes: Int, dim: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = (0 until dim)
+        .map { d =>
+          element_at(vec, d + 1).cast("double") * lit(planeWeight(p, d).toDouble)
+        }
+        .reduce(_ + _)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.model
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Condition algebra over records, re-expressed as Catalyst `Column`
+  * predicates so filters stay inside whole-stage codegen and push down to
+  * the parquet scan.
+  *
+  * Mirrors the reference matcher semantics
+  * (conveyor-etl-routing/src/matcher.rs:7-82): equality, existence, regex
+  * match, numeric comparisons (with string→double coercion), and the
+  * and/or/not/always/never combinators. The reference evaluates these
+  * per-record in Rust; here they compile once into the logical plan and
+  * Catalyst handles pushdown/pruning.
+  */
+sealed trait Condition {
+  def toColumn: Column
+  def &&(other: Condition): Condition = And(Seq(this, other))
+  def ||(other: Condition): Condition = Or(Seq(this, other))
+  def unary_! : Condition = Not(this)
+}
+
+/** matcher.rs:26-28 `RecordType` — equality on the record-type field. */
+final case class RecordType(value: String) extends Condition {
+  def toColumn: Column = col("record_type") === lit(value)
+}
+
+/** matcher.rs:43-45 `MetadataEquals`, generalized to any column. */
+final case class FieldEquals(field: String, value: Any) extends Condition {
+  def toColumn: Column = col(field) === lit(value)
+}
+
+/** matcher.rs:40-42 `MetadataExists` — non-null presence check. */
+final case class FieldExists(field: String) extends Condition {
+  def toColumn: Column = col(field).isNotNull
+}
+
+/** matcher.rs:29-39 `MetadataMatch` — regex match (Java regex here). */
+final case class FieldMatches(field: String, pattern: String) extends Condition {
+  def toColumn: Column = col(field).rlike(pattern)
+}
+
+/** matcher.rs:46-51 numeric comparisons; the reference parses the metadata
+  * string as f64 and fails closed on non-numeric — `cast` to double does the
+  * same (NULL comparison → false).
+  */
+final case class FieldGt(field: String, value: Double) extends Condition {
+  def toColumn: Column = col(field).cast("double") > lit(value)
+}
+final case class FieldLt(field: String, value: Double) extends Condition {
+  def toColumn: Column = col(field).cast("double") < lit(value)
+}
+final case class FieldGte(field: String, value: Double) extends Condition {
+  def toColumn: Column = col(field).cast("double") >= lit(value)
+}
+final case class FieldLte(field: String, value: Double) extends Condition {
+  def toColumn: Column = col(field).cast("double") <= lit(value)
+}
+
+/** matcher.rs:70-81 combinators. */
+final case class And(conditions: Seq[Condition]) extends Condition {
+  def toColumn: Column =
+    conditions.map(_.toColumn).reduceOption(_ && _).getOrElse(lit(true))
+}
+final case class Or(conditions: Seq[Condition]) extends Condition {
+  def toColumn: Column =
+    conditions.map(_.toColumn).reduceOption(_ || _).getOrElse(lit(false))
+}
+final case class Not(condition: Condition) extends Condition {
+  def toColumn: Column = !condition.toColumn
+}
+case object Always extends Condition { def toColumn: Column = lit(true) }
+case object Never extends Condition { def toColumn: Column = lit(false) }
+
+/** Escape hatch: an arbitrary Column predicate (no reference analog; used
+  * by the compiler for expression-valued conditions).
+  */
+final case class RawCondition(column: Column) extends Condition {
+  def toColumn: Column = column
+}

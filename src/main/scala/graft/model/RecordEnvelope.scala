@@ -1,0 +1,26 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Typed analog of the reference's wire-level record
+  * (conveyor-etl-proto/proto/common.proto:15-23) for pipelines whose payload
+  * schema is dynamic. Structured pipelines should prefer real columns — this
+  * envelope exists for generic streaming ETL parity (payload as raw bytes,
+  * metadata as a string map).
+  *
+  * `sourceId`/`partition`/`sequenceNumber`/`idempotencyKey` mirror RecordId
+  * (common.proto:8-13); exactly-once ingest dedupes on
+  * (sourceId, idempotencyKey).
+  */
+final case class RecordEnvelope(
+    sourceId: String,
+    partition: Int,
+    sequenceNumber: Long,
+    idempotencyKey: String,
+    recordType: String,
+    key: Array[Byte],
+    payload: Array[Byte],
+    metadata: Map[String, String],
+    eventTime: Timestamp,
+    ingestionTime: Timestamp
+)

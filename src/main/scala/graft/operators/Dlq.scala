@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dead-letter queue semantics (conveyor-etl-dlq/src/{policy.rs,record.rs}).
+  *
+  * In the reference, failed records are buffered with full error context and
+  * retried with exponential backoff. In a batch/streaming Spark pipeline the
+  * DLQ is a *branch of the plan*: rows failing validation are projected with
+  * error context columns and written to the DLQ sink, while clean rows
+  * continue. Replay = reading the DLQ sink back through the pipeline.
+  */
+object Dlq {
+  /** Wrap validation failures with DLQ context (record.rs ErrorCode +
+    * stage/attempt metadata). `taggedDf` must carry `_error_code` from
+    * [[Validate.tagged]].
+    */
+  def fromInvalid(taggedDf: DataFrame, stage: String): DataFrame =
+    taggedDf
+      .filter(!col("_valid"))
+      .withColumn("dlq_stage", lit(stage))
+      .withColumn("dlq_error_code", col("_error_code"))
+      .withColumn("dlq_retry_count", lit(0))
+      .drop("_valid", "_error_code")
+}
+
+/** Retry/backoff policy (conveyor-etl-dlq/src/policy.rs:4-49): exponential
+  * backoff with cap. Pure arithmetic — used by sink writers that retry
+  * transient failures, and unit-tested against the reference's documented
+  * behavior (100ms, 200ms, 400ms, ... capped).
+  */
+final case class RetryPolicy(
+    maxRetries: Int = 3,
+    initialBackoffMs: Long = 100,
+    maxBackoffMs: Long = 30000,
+    backoffMultiplier: Double = 2.0
+) {
+  def backoffDurationMs(retryCount: Int): Long =
+    if (retryCount == 0) initialBackoffMs
+    else {
+      val backoff = initialBackoffMs * math.pow(backoffMultiplier, retryCount)
+      math.min(backoff, maxBackoffMs.toDouble).toLong
+    }
+  def shouldRetry(retryCount: Int): Boolean = retryCount < maxRetries
+}
+
+object RetryPolicy {
+  def noRetry: RetryPolicy = RetryPolicy(maxRetries = 0)
+  /** policy.rs:72-86 */
+  def aggressive: RetryPolicy = RetryPolicy(5, 50, 60000, 2.0)
+  /** policy.rs:88-101 */
+  def conservative: RetryPolicy = RetryPolicy(1, 1000, 5000, 1.5)
+}

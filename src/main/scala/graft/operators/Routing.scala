@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.Condition
+
+/** Lookup enrichment (conveyor-etl-routing/src/engine.rs:151-217, dag.rs:41-69).
+  *
+  * The reference calls an external LookupService per batch; Spark-first this
+  * is a broadcast hash join against the lookup table — the dimension ships
+  * to every executor once, the fact side never shuffles. Merge strategies:
+  *  - Merge: lookup columns appended (optionally prefixed)   (engine.rs:160-170)
+  *  - Nest: lookup row folded into one JSON column           (engine.rs:171-184)
+  *  - Replace: payload replaced by the lookup row            (engine.rs:185-193)
+  * Miss strategies: PassThrough (left join), Drop (inner join), Error
+  * (left join + runtime assert) — engine.rs:196-204.
+  */
+object LookupMerge extends Enumeration { val Merge, Nest, Replace = Value }
+object LookupOnMiss extends Enumeration { val PassThrough, Drop, Error = Value }
+
+final case class Lookup(
+    lookupTable: DataFrame,
+    keyMap: Seq[(String, String)], // (record_field, lookup_key)
+    outputPrefix: Option[String] = None,
+    merge: LookupMerge.Value = LookupMerge.Merge,
+    onMiss: LookupOnMiss.Value = LookupOnMiss.PassThrough
+) extends Transform {
+  def apply(df: DataFrame): DataFrame = {
+    val lookupKeys = keyMap.map(_._2)
+    val valueCols = lookupTable.columns.filterNot(lookupKeys.contains).toSeq
+    // Rename lookup columns up front so nothing collides with record fields.
+    val renamed = lookupTable.withColumnsRenamed(
+      lookupTable.columns.map(c => c -> s"_lk_$c").toMap
+    )
+    val joinCond = keyMap
+      .map { case (rf, lk) => df(rf) === renamed(s"_lk_$lk") }
+      .reduce(_ && _)
+    val joinType = if (onMiss == LookupOnMiss.Drop) "inner" else "left"
+    val joined = df.join(broadcast(renamed), joinCond, joinType)
+
+    val hit: Column = keyMap
+      .map { case (_, lk) => renamed(s"_lk_$lk").isNotNull }
+      .reduce(_ && _)
+
+    val prefixed = (c: String) => outputPrefix.getOrElse("") + c
+    val result = merge match {
+      case LookupMerge.Merge =>
+        valueCols
+          .foldLeft(joined) { (d, c) => d.withColumn(prefixed(c), col(s"_lk_$c")) }
+      case LookupMerge.Nest =>
+        val nestCol = outputPrefix.getOrElse("lookup")
+        joined.withColumn(
+          nestCol,
+          when(hit, to_json(struct(valueCols.map(c => col(s"_lk_$c").as(c)): _*)))
+        )
+      case LookupMerge.Replace =>
+        val keep = keyMap.map(_._1)
+        joined.select(
+          keep.map(col) ++ valueCols.map(c => col(s"_lk_$c").as(c)): _*
+        )
+    }
+    val cleaned = result.drop(renamed.columns.toIndexedSeq: _*)
+    onMiss match {
+      case LookupOnMiss.Error =>
+        // Runtime assert per row: any miss fails the job (engine.rs:200-203).
+        val missFlag = when(hit, lit(1)).otherwise(
+          raise_error(lit("Lookup miss: no matching record found"))
+        )
+        cleaned.withColumn("_lk_assert", missFlag).drop("_lk_assert")
+      case _ => cleaned
+    }
+  }
+}
+
+/** Conditional-edge routing (engine.rs:55-104): a record is multicast to
+  * EVERY outgoing edge whose condition matches (unconditional edge = always).
+  * Spark analog: tag once, one filtered view per edge over a shared (cached)
+  * input — the scan happens once, like the reference's single pass.
+  */
+final case class RoutedEdge(target: String, condition: Option[Condition])
+
+final case class EdgeRouter(edges: Seq[RoutedEdge]) {
+  def route(df: DataFrame): Map[String, DataFrame] =
+    edges.map { e =>
+      val cond = e.condition.map(_.toColumn).getOrElse(lit(true))
+      e.target -> df.filter(cond)
+    }.toMap
+
+  /** All routing decisions as one frame (record may appear once per matching
+    * edge) — the shape route_batch returns, useful for auditing.
+    */
+  def decisions(df: DataFrame): DataFrame =
+    edges
+      .map { e =>
+        val cond = e.condition.map(_.toColumn).getOrElse(lit(true))
+        df.filter(cond).withColumn("_target_stage", lit(e.target))
+      }
+      .reduce(_.unionByName(_))
+}
+
+/** Fan-in (engine.rs:219-229, dag.rs:71-95): N sources mapped onto a common
+  * schema then unioned. Per-source field mappings (with casts/defaults)
+  * normalize heterogeneous inputs; watermark semantics for the streaming
+  * variant live in graft.streaming.
+  */
+final case class FanInSource(name: String, df: DataFrame, mappings: Seq[FieldMapping])
+
+object FanIn {
+  def apply(sources: Seq[FanInSource], tagSourceCol: Option[String] = None): DataFrame =
+    sources
+      .map { s =>
+        val mapped = MapFields(s.mappings)(s.df)
+        tagSourceCol.fold(mapped)(c => mapped.withColumn(c, lit(s.name)))
+      }
+      .reduce(_.unionByName(_))
+}
+
+/** Fan-out (engine.rs:324-352): one input multicast to N sinks, each with
+  * its own field mappings. The input should be cached by the caller when the
+  * sinks are actually materialized separately — one scan, N projections,
+  * the exact analog of the reference's shared-stage optimization.
+  */
+final case class FanOutSink(name: String, mappings: Seq[FieldMapping])
+
+object FanOut {
+  def apply(df: DataFrame, sinks: Seq[FanOutSink]): Map[String, DataFrame] =
+    sinks.map(s => s.name -> MapFields(s.mappings)(df)).toMap
+}
+
+/** Batch analog of the multi-source watermark tracker
+  * (conveyor-etl-routing/src/watermark.rs:43-156).
+  *
+  * Per source: watermark = max(event_time) (monotone by construction in
+  * batch). Combined = MIN over sources (watermark.rs:100-107). A record is
+  * late iff event_time < combined - allowed_lateness (watermark.rs:120-128).
+  * All computed relationally — the per-source maxima are a tiny aggregate
+  * broadcast back to the fact rows.
+  */
+final case class WatermarkLateness(
+    sourceCol: String,
+    eventTimeCol: String,
+    allowedLatenessSeconds: Long
+) {
+  def tagLate(df: DataFrame): DataFrame = {
+    val combined = df
+      .groupBy(col(sourceCol))
+      .agg(max(col(eventTimeCol)).as("_src_wm"))
+      .agg(min(col("_src_wm")).as("_combined_wm"))
+    df.crossJoin(broadcast(combined))
+      .withColumn(
+        "is_late",
+        unix_timestamp(col(eventTimeCol)) <
+          (unix_timestamp(col("_combined_wm")) - allowedLatenessSeconds)
+      )
+      .drop("_combined_wm")
+  }
+}

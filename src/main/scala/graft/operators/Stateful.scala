@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stateful transforms (conveyor-etl-dsl/src/types.rs:540-697) re-expressed
+  * as Spark window functions and windowed aggregations.
+  *
+  * Determinism note: the reference processes an ordered stream, so
+  * "first"/"last" are arrival-order-defined. In a distributed batch engine
+  * arrival order does not exist; we define order as (eventTime, tiebreak
+  * columns) and implement keep-first/last with `row_number`, which is
+  * deterministic — never `dropDuplicates`, whose pick depends on partition
+  * scheduling.
+  */
+object windows {
+  /** Tumbling window start aligned to the epoch, as a timestamp column.
+    * Same alignment as Spark's `window(ts, size)` and the reference's
+    * tumbling WindowConfig (types.rs:559-566).
+    */
+  def tumblingStart(ts: Column, sizeSeconds: Long): Column =
+    timestamp_seconds(floor(unix_timestamp(ts) / sizeSeconds) * sizeSeconds)
+}
+
+/** types.rs:543-548 Dedupe — keyed, windowed, keep first|last.
+  * One shuffle on (keys, window); at 100 TB the window bound keeps state
+  * finite and the shuffle is the theoretical minimum for exact dedup.
+  */
+final case class Dedupe(
+    keys: Seq[String],
+    orderBy: Seq[Column],
+    keepLast: Boolean = false,
+    windowSizeSeconds: Option[Long] = None,
+    eventTimeCol: String = "ts"
+) extends Transform {
+  def apply(df: DataFrame): DataFrame = {
+    val partCols: Seq[Column] =
+      keys.map(col) ++ windowSizeSeconds
+        .map(s => windows.tumblingStart(col(eventTimeCol), s))
+        .toSeq
+    val ord = if (keepLast) orderBy.map(_.desc) else orderBy
+    val w = Window.partitionBy(partCols: _*).orderBy(ord: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+}
+
+/** types.rs:585-601 RateLimit — at most `maxRate` records per key per
+  * window; excess rows dropped (Drop) or kept with a `_rate_limited` tag
+  * (Tag). Order within the window is (orderBy) — deterministic.
+  */
+final case class RateLimit(
+    keyField: Option[String],
+    maxRate: Long,
+    windowSizeSeconds: Long,
+    orderBy: Seq[Column],
+    eventTimeCol: String = "ts",
+    tagInsteadOfDrop: Boolean = false
+) extends Transform {
+  def apply(df: DataFrame): DataFrame = {
+    val winStart = windows.tumblingStart(col(eventTimeCol), windowSizeSeconds)
+    val partCols = keyField.map(col).toSeq :+ winStart
+    val w = Window.partitionBy(partCols: _*).orderBy(orderBy: _*)
+    val tagged = df.withColumn("_rn", row_number().over(w))
+    if (tagInsteadOfDrop)
+      tagged.withColumn("_rate_limited", col("_rn") > maxRate).drop("_rn")
+    else tagged.filter(col("_rn") <= maxRate).drop("_rn")
+  }
+}
+
+/** Aggregation function vocabulary (types.rs:620-632). `first`/`last` take
+  * explicit ordering (min_by/max_by over an order key) so results are
+  * deterministic; `collect` is emitted sorted for the same reason.
+  */
+object AggFns {
+  def count_(): Column = count(lit(1))
+  /** Exact sum of a double column, order-independent: sum in DECIMAL then
+    * back to double. FP addition is not associative; at 100 TB partial
+    * aggregation order is nondeterministic, so decimal is the only way to
+    * get a stable answer.
+    */
+  def sumExact(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+  def avgExact(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double") / count(c)
+  def firstBy(value: Column, order: Column): Column = min_by(value, order)
+  def lastBy(value: Column, order: Column): Column = max_by(value, order)
+  def collectSorted(c: Column): Column = sort_array(collect_list(c))
+  def collectSetSorted(c: Column): Column = sort_array(collect_set(c))
+}
+
+/** types.rs:604-641 Aggregate — groupBy keys (+ optional event-time window)
+  * with named aggregations. Spark performs partial (map-side) aggregation
+  * automatically, so the shuffle carries pre-combined state, not raw rows.
+  */
+final case class Aggregate(
+    groupBy: Seq[String],
+    aggregations: Seq[(String, Column)],
+    windowSizeSeconds: Option[Long] = None,
+    slideSeconds: Option[Long] = None,
+    eventTimeCol: String = "ts"
+) extends Transform {
+  def apply(df: DataFrame): DataFrame = {
+    val base = (windowSizeSeconds, slideSeconds) match {
+      case (Some(size), Some(slide)) =>
+        // Sliding window: each row belongs to size/slide windows
+        // (types.rs:578-582). Expand via an explicit sequence — identical
+        // semantics to window(ts, size, slide) but with a plain timestamp
+        // column for easy downstream use.
+        val epoch = unix_timestamp(col(eventTimeCol))
+        val nWins = (size / slide).toInt
+        val starts = sequence(lit(0), lit(nWins - 1))
+        df.withColumn("_w_i", explode(starts))
+          .withColumn(
+            "window_start",
+            timestamp_seconds(floor(epoch / slide) * slide - col("_w_i") * slide)
+          )
+          .filter(epoch < unix_timestamp(col("window_start")) + size)
+          .drop("_w_i")
+      case (Some(size), None) =>
+        df.withColumn("window_start", windows.tumblingStart(col(eventTimeCol), size))
+      case _ => df
+    }
+    val keys = (if (windowSizeSeconds.isDefined) Seq("window_start") else Nil) ++ groupBy
+    val aggs = aggregations.map { case (name, c) => c.as(name) }
+    base.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}
+
+/** types.rs:644-678 Join — inner/left/right/full equi-join with optional
+  * left/right output prefixes. Small right side should be wrapped with
+  * `broadcast()` by the caller (or left to AQE) — at 100 TB a broadcast of
+  * the dimension side removes the shuffle entirely.
+  */
+final case class EquiJoin(
+    right: DataFrame,
+    leftKey: String,
+    rightKey: String,
+    joinType: String = "inner",
+    leftPrefix: Option[String] = None,
+    rightPrefix: Option[String] = None,
+    broadcastRight: Boolean = false
+) extends Transform {
+  def apply(left: DataFrame): DataFrame = {
+    val l = leftPrefix.fold(left)(p => left.withColumnsRenamed(left.columns.map(c => c -> s"$p$c").toMap))
+    val r0 = rightPrefix.fold(right)(p => right.withColumnsRenamed(right.columns.map(c => c -> s"$p$c").toMap))
+    val r = if (broadcastRight) broadcast(r0) else r0
+    val lk = leftPrefix.getOrElse("") + leftKey
+    val rk = rightPrefix.getOrElse("") + rightKey
+    l.join(r, l(lk) === r(rk), joinType)
+  }
+}
+
+/** types.rs:681-697 Sessionize — gap-based sessions per key, batch variant.
+  * Classic islands construction: a row starts a new session when the gap to
+  * the previous row (same key, event-time order) exceeds `gapSeconds`; the
+  * running sum of starts is the session index. Two window passes over one
+  * shuffle on the key. The streaming variant lives in
+  * graft.streaming.SessionizeStream.
+  */
+final case class Sessionize(
+    keyField: String,
+    gapSeconds: Long,
+    orderBy: Seq[Column],
+    eventTimeCol: String = "ts"
+) {
+  /** Rows tagged with `session_id` (1-based per key). */
+  def tagged(df: DataFrame): DataFrame = {
+    val byKey = Window.partitionBy(col(keyField)).orderBy(orderBy: _*)
+    val prevTs = lag(col(eventTimeCol), 1).over(byKey)
+    val isNew = when(
+      prevTs.isNull ||
+        (unix_timestamp(col(eventTimeCol)) - unix_timestamp(prevTs)) > gapSeconds,
+      1
+    ).otherwise(0)
+    df.withColumn("_new_session", isNew)
+      .withColumn(
+        "session_id",
+        sum(col("_new_session")).over(byKey.rowsBetween(Window.unboundedPreceding, 0))
+      )
+      .drop("_new_session")
+  }
+
+  /** Per-session stats (start/end/count + extra aggregations). */
+  def sessions(df: DataFrame, extraAggs: Seq[(String, Column)] = Nil): DataFrame = {
+    val aggs = Seq(
+      min(col(eventTimeCol)).as("session_start"),
+      max(col(eventTimeCol)).as("session_end"),
+      count(lit(1)).as("n_events")
+    ) ++ extraAggs.map { case (n, c) => c.as(n) }
+    tagged(df).groupBy(col(keyField), col("session_id")).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Condition
+
+/** Stateless transforms from the reference DSL
+  * (conveyor-etl-dsl/src/types.rs:389-538), each a `DataFrame => DataFrame`
+  * combinator built from codegen'd column expressions — no UDFs, so every
+  * one of these stays inside WholeStageCodegen and predicates/projections
+  * push down to the scan.
+  */
+trait Transform {
+  def apply(df: DataFrame): DataFrame
+}
+
+/** types.rs:412-417 Filter — keep rows matching the condition (negate flips). */
+final case class Filter(condition: Condition, negate: Boolean = false) extends Transform {
+  def apply(df: DataFrame): DataFrame = {
+    val c = condition.toColumn
+    df.filter(if (negate) !c else c)
+  }
+}
+
+/** One output field of a Map transform (types.rs:427-435): value comes from
+  * an expression, a source column, or a literal; `default` backstops nulls.
+  */
+final case class FieldMapping(
+    target: String,
+    source: Option[String] = None,
+    expression: Option[Column] = None,
+    literal: Option[Any] = None,
+    default: Option[Any] = None
+) {
+  def toColumn: Column = {
+    val base: Column = literal
+      .map(lit(_))
+      .orElse(expression)
+      .orElse(source.map(col))
+      .getOrElse(col(target))
+    default.fold(base)(d => coalesce(base, lit(d))).as(target)
+  }
+}
+
+/** types.rs:420-424 Map — reshape rows via field mappings.
+  * `dropUnmapped=false` keeps pass-through columns (reference keeps only
+  * mapped fields when drop_unmapped, engine.rs:289-322 keeps mapped only —
+  * both modes supported).
+  */
+final case class MapFields(mappings: Seq[FieldMapping], dropUnmapped: Boolean = true)
+    extends Transform {
+  def apply(df: DataFrame): DataFrame = {
+    if (dropUnmapped) df.select(mappings.map(_.toColumn): _*)
+    else {
+      val mapped = mappings.map(_.target).toSet
+      val passthrough = df.columns.filterNot(mapped).map(col(_))
+      df.select(passthrough ++ mappings.map(_.toColumn): _*)
+    }
+  }
+}
+
+/** types.rs:438-442 Project — column pruning; Catalyst pushes this into
+  * the scan's ReadSchema, so at 100 TB only the named columns are read.
+  */
+final case class Project(fields: Seq[String], exclude: Boolean = false) extends Transform {
+  def apply(df: DataFrame): DataFrame =
+    if (exclude) df.drop(fields: _*)
+    else df.select(fields.map(col): _*)
+}
+
+/** types.rs:445-447 Rename. */
+final case class Rename(renames: Map[String, String]) extends Transform {
+  def apply(df: DataFrame): DataFrame = df.withColumnsRenamed(renames)
+}
+
+/** types.rs:454-467 field type vocabulary. */
+object FieldTypes {
+  val mapping: Map[String, DataType] = Map(
+    "string" -> StringType,
+    "int" -> IntegerType,
+    "int64" -> LongType,
+    "float" -> FloatType,
+    "float64" -> DoubleType,
+    "bool" -> BooleanType,
+    "timestamp" -> TimestampType,
+    "date" -> DateType,
+    "json" -> StringType,
+    "bytes" -> BinaryType
+  )
+}
+
+/** types.rs:450-452 Cast — per-field type casts. Fractional→integral uses an
+  * explicit floor so semantics are well-defined (truncation toward -inf)
+  * rather than engine-dependent rounding.
+  */
+final case class Cast(casts: Map[String, String]) extends Transform {
+  def apply(df: DataFrame): DataFrame = {
+    val exprs = df.columns.map { c =>
+      casts.get(c) match {
+        case Some(t) =>
+          val target = FieldTypes.mapping.getOrElse(t, DataTypes.StringType)
+          val src = df.schema(c).dataType
+          val isFractional = src == DoubleType || src == FloatType ||
+            src.isInstanceOf[DecimalType]
+          val isIntegral = target == IntegerType || target == LongType
+          val casted =
+            if (isFractional && isIntegral) floor(col(c)).cast(target)
+            else col(c).cast(target)
+          casted.as(c)
+        case None => col(c)
+      }
+    }
+    df.select(exprs.toIndexedSeq: _*)
+  }
+}
+
+/** types.rs:485-494 mask strategies. */
+sealed trait MaskStrategy
+object MaskStrategy {
+  /** Replace the whole value (optionally preserving length). */
+  case object Redact extends MaskStrategy
+  /** One-way hash (md5 hex, stable across engines). */
+  case object Hash extends MaskStrategy
+  /** Keep a prefix, star the rest. */
+  final case class Partial(keepPrefix: Int) extends MaskStrategy
+  /** Null out. */
+  case object Nullify extends MaskStrategy
+  /** Deterministic token: prefix + short hash (reversible only via vault in
+    * the reference; here the vault is out of scope, token is one-way).
+    */
+  case object Tokenize extends MaskStrategy
+}
+
+final case class MaskField(
+    field: String,
+    strategy: MaskStrategy,
+    replacement: String = "***",
+    preserveLength: Boolean = false
+)
+
+/** types.rs:470-494 Mask — PII masking as pure string expressions. */
+final case class Mask(fields: Seq[MaskField]) extends Transform {
+  import MaskStrategy._
+  def apply(df: DataFrame): DataFrame = {
+    fields.foldLeft(df) { (d, f) =>
+      val c = col(f.field)
+      val masked: Column = f.strategy match {
+        case Redact =>
+          if (f.preserveLength) repeat(lit("*"), length(c).cast("int"))
+          else lit(f.replacement)
+        case Hash => md5(c.cast("string"))
+        case Partial(keep) =>
+          concat(
+            substring(c, 1, keep),
+            repeat(lit("*"), greatest(length(c) - keep, lit(0)).cast("int"))
+          )
+        case Nullify => lit(null).cast("string")
+        case Tokenize => concat(lit("tok_"), substring(md5(c.cast("string")), 1, 12))
+      }
+      d.withColumn(f.field, when(c.isNull, lit(null).cast("string")).otherwise(masked))
+    }
+  }
+}
+
+/** One validation rule: named predicate + error code for the DLQ path. */
+final case class ValidationRule(code: String, predicate: Condition)
+
+/** types.rs:497-516 Validate with on_invalid ∈ {drop, error, tag, route}.
+  * `validate` returns the tagged frame (all rows, `_valid` / `_error_code`
+  * columns); `drop`/`route` are projections of it, so one scan serves both
+  * the clean and DLQ branches.
+  */
+final case class Validate(rules: Seq[ValidationRule]) {
+  def tagged(df: DataFrame): DataFrame = {
+    val firstError = rules.reverse.foldLeft(lit(null).cast("string")) { (acc, r) =>
+      when(!r.predicate.toColumn, lit(r.code)).otherwise(acc)
+    }
+    df.withColumn("_error_code", firstError)
+      .withColumn("_valid", col("_error_code").isNull)
+  }
+  def valid(df: DataFrame): DataFrame =
+    tagged(df).filter(col("_valid")).drop("_valid", "_error_code")
+  def invalid(df: DataFrame): DataFrame = tagged(df).filter(!col("_valid"))
+}
+
+/** types.rs:519-525 FlatMap — explode an array-typed field into one row per
+  * element; `keepParent` keeps the original array column alongside.
+  */
+final case class FlatMap(field: String, targetField: String, keepParent: Boolean = false)
+    extends Transform {
+  def apply(df: DataFrame): DataFrame = {
+    val exploded = df.withColumn(targetField, explode(col(field)))
+    if (keepParent) exploded else exploded.drop(field)
+  }
+}
+
+/** types.rs:528-538 Split — route rows to named outputs by first matching
+  * condition (plus default). Returns all outputs from ONE pass: the input is
+  * tagged with its route label, then each output is a filter over the tagged
+  * frame. Caller may cache the tagged frame — that is the Spark analog of the
+  * reference's single-pass record routing.
+  */
+final case class SplitRoute(condition: Condition, output: String)
+
+final case class Split(routes: Seq[SplitRoute], defaultOutput: Option[String] = None) {
+  /** Tag each row with its route (first matching route wins, like the
+    * reference's ordered route list).
+    */
+  def tagged(df: DataFrame): DataFrame = {
+    val route = routes.reverse.foldLeft(
+      defaultOutput.map(lit(_)).getOrElse(lit(null)).cast("string")
+    ) { (acc, r) => when(r.condition.toColumn, lit(r.output)).otherwise(acc) }
+    df.withColumn("_route", route)
+  }
+
+  def outputs(df: DataFrame): Map[String, DataFrame] = {
+    val t = tagged(df)
+    val names = routes.map(_.output) ++ defaultOutput.toSeq
+    names.distinct.map(n => n -> t.filter(col("_route") === n).drop("_route")).toMap
+  }
+}

@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+
+/** Deduplication suite for training-data pipelines. Every variant is
+  * designed for the 100 TB shape: candidate generation is always a
+  * key-shuffle (fingerprint, LSH band, simhash chunk), never a cross join;
+  * pairwise verification only runs on candidate pairs, whose count is a tiny
+  * fraction of n².
+  */
+object Dedup {
+
+  /** Exact dedup: hash-groupBy on the normalized-text fingerprint.
+    * One shuffle on the 128-bit fingerprint; each group keeps the canonical
+    * (minimum) id. Returns (fingerprint, canonical_id, n_dups) per group.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), T.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  /** Exact dedup keep-one: drops all but the canonical doc per fingerprint. */
+  def exactDedupe(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val groups = exactGroups(docs, idCol, textCol).select(col("canonical_id").as(idCol))
+    docs.join(groups, Seq(idCol), "left_semi")
+  }
+
+  /** Candidate pairs sharing at least one word-n-gram shingle, with exact
+    * Jaccard similarity over distinct shingles. Shingle join with a
+    * document-frequency cap: shingles appearing in more than `maxShingleDf`
+    * docs are dropped from candidate generation (they generate quadratic
+    * pairs but only link near-identical docs that rarer shingles already
+    * link). Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minJaccard: Double,
+      maxShingleDf: Int = 100
+  ): DataFrame = {
+    val shingled = docs
+      .select(
+        col(idCol).as("doc"),
+        explode(array_distinct(T.wordShingles(col(textCol), n))).as("shingle")
+      )
+    val sizes = shingled.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val filtered = shingled
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+    val pairs = filtered
+      .as("a")
+      .join(filtered.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.doc"))
+      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.doc"))
+      .withColumn(
+        "jaccard",
+        round(col("inter").cast("double") /
+          (col("sa.n_sh") + col("sb.n_sh") - col("inter")).cast("double"), 6)
+      )
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures per document: k seeded min-hashes over distinct
+    * word-n-gram shingles. Deterministic md5-based hashing (portable).
+    */
+  def minhashSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int
+  ): DataFrame =
+    docs.select(
+      col(idCol).as("doc"),
+      H.minhashSignature(array_distinct(T.wordShingles(col(textCol), n)), k).as("sig")
+    )
+
+  /** MinHash + LSH near-dup pairs: band-bucket join for candidates, then
+    * signature agreement (fraction of equal minhash components — an unbiased
+    * Jaccard estimate) as the similarity. The band join shuffles on band
+    * keys only; no cross join anywhere. Returns (id_a, id_b, sig_sim).
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      bands: Int,
+      minSim: Double
+  ): DataFrame = {
+    val rows = k / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k).cache()
+    val banded = sigs.select(
+      col("doc"),
+      explode(H.lshBandKeys(col("sig"), bands, rows)).as("band")
+    )
+    val candidates = banded
+      .as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    candidates
+      .join(sigs.as("sa"), col("id_a") === col("sa.doc"))
+      .join(sigs.as("sb"), col("id_b") === col("sb.doc"))
+      .withColumn(
+        "sig_sim",
+        round(
+          aggregate(
+            zip_with(col("sa.sig"), col("sb.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0),
+            (acc, v) => acc + v
+          ).cast("double") / k, 6)
+      )
+      .filter(col("sig_sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("sig_sim"))
+  }
+
+  /** SimHash near-dup pairs within `maxHamming`. Blocking via signature
+    * chunks: split the 60-bit signature into maxHamming+1 chunks — by
+    * pigeonhole every pair within the distance budget shares a chunk, so the
+    * chunk-key join finds EXACTLY the brute-force result without n² work.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int
+  ): DataFrame = {
+    val bits = 60
+    val chunks = maxHamming + 1
+    val sigs = docs
+      .select(col(idCol).as("doc"), H.simhash(T.tokens(col(textCol)), bits).as("sig"))
+      .cache()
+    val chunked = sigs.select(
+      col("doc"),
+      col("sig"),
+      explode(H.simhashChunkKeys(col("sig"), bits, chunks)).as("chunk")
+    )
+    chunked
+      .as("a")
+      .join(chunked.as("b"), col("a.chunk") === col("b.chunk") && col("a.doc") < col("b.doc"))
+      .select(
+        col("a.doc").as("id_a"),
+        col("b.doc").as("id_b"),
+        H.hamming(col("a.sig"), col("b.sig")).as("hamming")
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads travel as opaque
+  * `binary` columns with a typed metadata struct alongside. The Spark-side
+  * machinery (schema, batching, partition sizing) is real; the actual
+  * decode/feature kernels are STUBBED deterministically because codec
+  * libraries are not in this container — swap [[StubCodecs]] for real
+  * decoders (e.g. javax.imageio / ffmpeg bindings) in production.
+  */
+object Multimodal {
+
+  /** Metadata schema carried next to every blob. */
+  val metaSchema: StructType = StructType(
+    Seq(
+      StructField("kind", StringType),
+      StructField("n_bytes", LongType),
+      StructField("content_hash", StringType)
+    )
+  )
+
+  /** Wrap a binary column with typed metadata (pure column expressions). */
+  def withBlobMeta(df: DataFrame, blobCol: String, kind: String): DataFrame =
+    df.withColumn(
+      s"${blobCol}_meta",
+      struct(
+        lit(kind).as("kind"),
+        length(col(blobCol)).cast("long").as("n_bytes"),
+        md5(col(blobCol)).as("content_hash")
+      )
+    )
+
+  /** STUB decode kernels. Each is deterministic on the blob bytes so tests
+    * are reproducible; replace with real codecs in production. Marked
+    * clearly as fakes — the *shape* (per-partition batched processing over
+    * binary columns) is the deliverable.
+    */
+  object StubCodecs {
+    /** Fake "image dimensions" derived from the blob hash. */
+    def imageDims(blob: Array[Byte]): (Int, Int) = {
+      val h = java.util.Arrays.hashCode(blob)
+      (math.abs(h % 1920) + 1, math.abs((h / 1920) % 1080) + 1)
+    }
+    /** Fake frame sample: first `n` bytes per "frame". */
+    def frameSample(blob: Array[Byte], n: Int): Array[Array[Byte]] =
+      blob.grouped(math.max(blob.length / math.max(n, 1), 1)).take(n).toArray
+    /** Fake feature vector: 8 floats from rolling byte sums. */
+    def features(blob: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](8)
+      var i = 0
+      while (i < blob.length) { out(i % 8) += (blob(i) & 0xff) / 255.0f; i += 1 }
+      out
+    }
+  }
+
+  /** Per-partition batched "decode": the Scala analog of mapInPandas — rows
+    * are processed partition-at-a-time with a single iterator pass, no
+    * per-row task overhead, partition sizes bounded upstream by
+    * `spark.sql.files.maxPartitionBytes`. Output: id, width, height,
+    * features. This is where a real codec would run.
+    */
+  def decodeImages(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      Seq(
+        StructField("id", LongType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("features", ArrayType(FloatType))
+      )
+    )
+    val input: Dataset[Row] = df.select(col(idCol).cast("long"), col(blobCol))
+    val rows = input.rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val blob = r.getAs[Array[Byte]](1)
+        val (w, h) = StubCodecs.imageDims(blob)
+        Row(id, w, h, StubCodecs.features(blob).toSeq)
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+}

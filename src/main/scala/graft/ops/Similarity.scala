@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => V}
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k against a *broadcast* query set — the
+  * corpus never shuffles, each executor scores its partition locally; correct
+  * at any corpus size as long as the query set is broadcastable.
+  *
+  * Scale path: random-hyperplane LSH bucketing — one shuffle on bucket id,
+  * local top-k per bucket, so neither side is ever cross-joined.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector. `queries` must be
+    * small (it is broadcast). Ties broken by neighbor id — deterministic.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val scored = corpus
+      .as("c")
+      .join(broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))))
+      .filter(col(s"c.$idCol") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        col(s"c.$idCol").as("n_id"),
+        V.cosine(col("q_vec"), col(s"c.$vecCol")).as("cosine")
+      )
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+  }
+
+  /** Bucket assignment for the LSH scale path. */
+  def withBuckets(df: DataFrame, vecCol: String, planes: Int, dim: Int): DataFrame =
+    df.withColumn("bucket", V.hyperplaneBucket(col(vecCol), planes, dim))
+
+  /** Approximate top-k: candidates restricted to the query's hyperplane
+    * bucket (shuffle on bucket id, local ranking within). Recall < 1 by
+    * design; multi-probe = union over neighboring buckets if needed.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int,
+      dim: Int
+  ): DataFrame = {
+    val c = withBuckets(corpus, vecCol, planes, dim)
+      .select(col("bucket"), col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = withBuckets(queries, vecCol, planes, dim)
+      .select(col("bucket"), col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val scored = c
+      .join(q, Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        col("n_id"),
+        V.cosine(col("q_vec"), col("n_vec")).as("cosine")
+      )
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ threshold among candidates blocked
+    * by a coarse key (label, LSH bucket, ...). Blocking keeps the pair count
+    * linear-ish; pass a constant column to force all-pairs (test scale only).
+    */
+  def nearDupPairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      minCosine: Double
+  ): DataFrame = {
+    val v = vectors.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("vec"))
+    v.as("a")
+      .join(v.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        V.cosine(col("a.vec"), col("b.vec")).as("cosine")
+      )
+      .filter(col("cosine") >= minCosine)
+  }
+}

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source readers (reference: conveyor-etl-dsl/src/types.rs:143-383 source
+  * configs). The reference's sources are gRPC connector processes; the
+  * Spark-native mapping is format readers — the scheduling/retry machinery
+  * those connectors implement is what Spark's DataSource V2 + task retry
+  * already provide.
+  */
+object Readers {
+
+  /** `spark.sql.legacy.parquet.nanosAsLong`: Spark (through 4.x) has no
+    * nanosecond timestamp type and by default refuses parquet
+    * TIMESTAMP(NANOS) columns. With the legacy conf the column arrives as
+    * LongType nanos-since-epoch.
+    */
+  private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Read parquet that may contain TIMESTAMP(NANOS) columns; each column in
+    * `nanosCols` is converted to a regular (microsecond) timestamp via
+    * integer division — exact for any value with ≤ micro precision, truncating
+    * (like DuckDB's ns→us cast) otherwise.
+    */
+  def parquetWithNanos(s: SparkSession, path: String, nanosCols: Seq[String]): DataFrame = {
+    val prev = s.conf.getOption(NanosConf)
+    s.conf.set(NanosConf, "true")
+    val df =
+      try s.read.parquet(path)
+      finally prev match {
+        case Some(v) => s.conf.set(NanosConf, v)
+        case None    => s.conf.unset(NanosConf)
+      }
+    nanosCols.foldLeft(df) { (d, c) =>
+      if (d.schema.fieldNames.contains(c))
+        d.withColumn(c, timestamp_micros((col(c) / 1000L).cast("long")))
+      else d
+    }
+  }
+
+  def csv(s: SparkSession, path: String, header: Boolean = true,
+          inferSchema: Boolean = true, delimiter: String = ","): DataFrame =
+    s.read
+      .option("header", header.toString)
+      .option("inferSchema", inferSchema.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  def json(s: SparkSession, path: String): DataFrame = s.read.json(path)
+
+  /** types.rs "lines" source — one string row per line. */
+  def lines(s: SparkSession, path: String): DataFrame = s.read.text(path)
+}
+
+/** Test-table loader for the driver's synthetic TPC-H-ish data. `events.ts`
+  * is written as parquet TIMESTAMP(NANOS) (pandas default), which needs the
+  * nanos path.
+  */
+object Tables {
+  def read(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events")
+      Readers.parquetWithNanos(s, s"$dir/events.parquet", Seq("ts"))
+    else s.read.parquet(s"$dir/$name.parquet")
+}
