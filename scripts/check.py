@@ -64,8 +64,11 @@ def main():
                 continue
             # reorder spark columns to oracle order by name
             sidx = [scols.index(c) for c in ocols]
-            srows = sorted(tuple(canon(r[i]) for i in sidx) for r in sdf)
-            orows = sorted(tuple(canon(v) for v in r) for r in odf)
+            # Sort by a string key: tuples mixing None with ints would
+            # TypeError under plain tuple comparison.
+            skey = lambda row: [(v is None, str(v)) for v in row]
+            srows = sorted((tuple(canon(r[i]) for i in sidx) for r in sdf), key=skey)
+            orows = sorted((tuple(canon(v) for v in r) for r in odf), key=skey)
             if len(srows) != len(orows):
                 print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
                 n_fail += 1

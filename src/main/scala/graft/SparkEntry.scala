@@ -168,6 +168,9 @@ object SparkEntry {
   private def eventValidation = Validate(
     Seq(
       ValidationRule("NEGATIVE_VALUE", RawCondition(col("value") >= 0)),
+      // Threshold chosen so the DLQ branch actually carries rows on the
+      // synthetic data — a 0-row DLQ would be a vacuous check.
+      ValidationRule("VALUE_OUT_OF_RANGE", RawCondition(col("value") <= 95)),
       ValidationRule("UNKNOWN_TYPE", RawCondition(
         col("event_type").isin("view", "click", "purchase", "signup", "error")))
     )
@@ -186,6 +189,337 @@ object SparkEntry {
       .orderBy(col("event_id"))
 
   // ==========================================================================
+  // Stateful transforms (SURVEY §2.3)
+  // ==========================================================================
+
+  private def qDedupeFirst(s: SparkSession, dir: String): DataFrame =
+    Dedupe(Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))(t(s, dir, "events"))
+      .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .orderBy(col("event_id"))
+
+  private def qDedupeLast(s: SparkSession, dir: String): DataFrame =
+    Dedupe(Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")), keepLast = true)(
+      t(s, dir, "events")
+    )
+      .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .orderBy(col("event_id"))
+
+  private def qRateLimit(s: SparkSession, dir: String): DataFrame =
+    RateLimit(Some("user_id"), maxRate = 3, windowSizeSeconds = 3600,
+      orderBy = Seq(col("ts"), col("event_id")))(t(s, dir, "events"))
+      .select(col("event_id"), col("user_id"))
+      .orderBy(col("event_id"))
+
+  private def qAggTumbling(s: SparkSession, dir: String): DataFrame =
+    Aggregate(
+      groupBy = Seq("event_type"),
+      aggregations = Seq(
+        "n" -> AggFns.count_(),
+        "sum_value" -> AggFns.sumExact(col("value"))
+      ),
+      windowSizeSeconds = Some(3600)
+    )(t(s, dir, "events"))
+      .select(unix_timestamp(col("window_start")).as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  private def qAggFuncs(s: SparkSession, dir: String): DataFrame =
+    Aggregate(
+      groupBy = Seq("event_type"),
+      aggregations = Seq(
+        "n_events" -> AggFns.count_(),
+        "n_users" -> countDistinct(col("user_id")),
+        "first_value" -> AggFns.firstBy(col("value"), col("event_id")),
+        "last_value" -> AggFns.lastBy(col("value"), col("event_id"))
+      )
+    )(t(s, dir, "events"))
+      .orderBy(col("event_type"))
+
+  private def qAggCollect(s: SparkSession, dir: String): DataFrame = {
+    val limited = Filter(FieldLt("user_id", 200))(t(s, dir, "events"))
+    Aggregate(
+      groupBy = Seq("event_type"),
+      aggregations = Seq(
+        "users" -> AggFns.collectSetSorted(col("user_id")),
+        "values" -> AggFns.collectSorted(col("value"))
+      )
+    )(limited).orderBy(col("event_type"))
+  }
+
+  private def qAggSliding(s: SparkSession, dir: String): DataFrame =
+    Aggregate(
+      groupBy = Seq("event_type"),
+      aggregations = Seq("n" -> AggFns.count_()),
+      windowSizeSeconds = Some(7200),
+      slideSeconds = Some(3600)
+    )(t(s, dir, "events"))
+      .select(unix_timestamp(col("window_start")).as("ws"), col("event_type"), col("n"))
+      .orderBy(col("ws"), col("event_type"))
+
+  private def sessionizer =
+    Sessionize("user_id", gapSeconds = 1800, orderBy = Seq(col("ts"), col("event_id")))
+
+  private def qAggSession(s: SparkSession, dir: String): DataFrame =
+    sessionizer
+      .sessions(t(s, dir, "events"), extraAggs = Seq("sum_value" -> AggFns.sumExact(col("value"))))
+      .select(
+        col("user_id"),
+        col("session_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"),
+        col("sum_value")
+      )
+      .orderBy(col("user_id"), col("session_id"))
+
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizer
+      .tagged(t(s, dir, "events"))
+      .select(col("event_id"), col("user_id"), col("session_id"))
+      .orderBy(col("event_id"))
+
+  private def qJoinInner(s: SparkSession, dir: String): DataFrame =
+    EquiJoin(
+      right = t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
+      leftKey = "o_custkey",
+      rightKey = "c_custkey",
+      joinType = "inner",
+      broadcastRight = true
+    )(t(s, dir, "orders"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_mktsegment"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  private def qJoinLeft(s: SparkSession, dir: String): DataFrame =
+    EquiJoin(
+      right = t(s, dir, "part").filter(col("p_partkey") < 100).select(col("p_partkey"), col("p_name")),
+      leftKey = "l_partkey",
+      rightKey = "p_partkey",
+      joinType = "left",
+      broadcastRight = true
+    )(t(s, dir, "lineitem"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("p_name"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def qJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val custSub = t(s, dir, "customer").filter(col("c_custkey") <= 750)
+      .select(col("c_custkey"), col("c_name"))
+    val ordAgg = t(s, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    EquiJoin(ordAgg, leftKey = "c_custkey", rightKey = "o_custkey", joinType = "full")(custSub)
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"),
+        col("n_orders")
+      )
+      .orderBy(col("custkey"))
+  }
+
+  // ==========================================================================
+  // Routing / watermark / reliability (SURVEY §2.4-2.6)
+  // ==========================================================================
+
+  private def qRouteEdges(s: SparkSession, dir: String): DataFrame =
+    EdgeRouter(
+      Seq(
+        RoutedEdge("billing", Some(FieldEquals("event_type", "purchase"))),
+        RoutedEdge("alerts", Some(FieldGt("value", 90))),
+        RoutedEdge("archive", None)
+      )
+    ).decisions(t(s, dir, "events"))
+      .select(col("event_id"), col("event_type"), col("value"), col("_target_stage").as("target"))
+      .orderBy(col("event_id"), col("target"))
+
+  private def custLookupTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .filter(col("c_custkey") <= 750)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  private def qLookupMerge(s: SparkSession, dir: String): DataFrame =
+    Lookup(
+      custLookupTable(s, dir),
+      keyMap = Seq("o_custkey" -> "c_custkey"),
+      outputPrefix = Some("cust_")
+    )(t(s, dir, "orders"))
+      .select(col("o_orderkey"), col("o_custkey"), col("cust_c_name"), col("cust_c_mktsegment"))
+      .orderBy(col("o_orderkey"))
+
+  private def qLookupNest(s: SparkSession, dir: String): DataFrame =
+    Lookup(
+      custLookupTable(s, dir),
+      keyMap = Seq("o_custkey" -> "c_custkey"),
+      outputPrefix = Some("cust"),
+      merge = LookupMerge.Nest
+    )(t(s, dir, "orders"))
+      .select(col("o_orderkey"), col("o_custkey"), col("cust"))
+      .orderBy(col("o_orderkey"))
+
+  private def qLookupDrop(s: SparkSession, dir: String): DataFrame =
+    Lookup(
+      custLookupTable(s, dir),
+      keyMap = Seq("o_custkey" -> "c_custkey"),
+      outputPrefix = Some("cust_"),
+      onMiss = LookupOnMiss.Drop
+    )(t(s, dir, "orders"))
+      .select(col("o_orderkey"), col("o_custkey"), col("cust_c_name"))
+      .orderBy(col("o_orderkey"))
+
+  private def qFanin(s: SparkSession, dir: String): DataFrame =
+    FanIn(
+      Seq(
+        FanInSource(
+          "customers",
+          t(s, dir, "customer"),
+          Seq(
+            FieldMapping("id", source = Some("c_custkey")),
+            FieldMapping("name", source = Some("c_name"))
+          )
+        ),
+        FanInSource(
+          "suppliers",
+          t(s, dir, "supplier"),
+          Seq(
+            FieldMapping("id", source = Some("s_suppkey")),
+            FieldMapping("name", source = Some("s_name"))
+          )
+        )
+      ),
+      tagSourceCol = Some("src")
+    ).orderBy(col("src"), col("id"))
+
+  private def qFanout(s: SparkSession, dir: String): DataFrame =
+    FanOut(
+      t(s, dir, "events"),
+      Seq(
+        FanOutSink(
+          "audit",
+          Seq(
+            FieldMapping("event_id", source = Some("event_id")),
+            FieldMapping("etype", source = Some("event_type")),
+            FieldMapping("value_int", expression = Some(floor(col("value")).cast("long")))
+          )
+        ),
+        FanOutSink("raw", Seq(FieldMapping("event_id", source = Some("event_id"))))
+      )
+    )("audit").orderBy(col("event_id"))
+
+  private def qWatermarkLate(s: SparkSession, dir: String): DataFrame =
+    WatermarkLateness("event_type", "ts", allowedLatenessSeconds = 3600)
+      .tagLate(t(s, dir, "events"))
+      .select(col("event_id"), col("is_late"))
+      .orderBy(col("event_id"))
+
+  private def qIdempotency(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "events")
+      .withColumn("_ikey", md5(concat_ws("|", col("user_id"), col("event_type"))))
+    Dedupe(Seq("_ikey"), Seq(col("event_id")))(keyed)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  // ==========================================================================
+  // LLM-training-data operators (SURVEY §2.8)
+  // ==========================================================================
+
+  private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.exactGroups(docs(s, dir), "doc_id", "text")
+      .orderBy(col("fingerprint"))
+
+  private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text",
+      n = 3, k = 16, bands = 4, minSim = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def qNeardupCosine(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", "label", minCosine = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def qAnnTopk(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.bruteForceTopK(
+      emb(s, dir), emb(s, dir).filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rank"))
+
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.lshTopK(
+      emb(s, dir), emb(s, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, planes = 8, dim = 64)
+      .orderBy(col("q_id"), col("rank"))
+
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TF.langPredict(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  private def qQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TF.qualityScore(col("text")).as("q_score"))
+      .orderBy(col("doc_id"))
+
+  private def qTokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_ws"),
+        TF.bpeishTokenCount(col("text")).as("n_bpe")
+      )
+      .orderBy(col("doc_id"))
+
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TF.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** Blob metadata plumbing (oracle-checked half of the multimodal path). */
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val blobs = docs(s, dir).withColumn("blob", col("text").cast("binary"))
+    graft.ops.Multimodal.withBlobMeta(blobs, "blob", kind = "image")
+      .select(
+        col("doc_id"),
+        col("blob_meta.kind").as("kind"),
+        col("blob_meta.n_bytes").as("n_bytes"),
+        col("blob_meta.content_hash").as("content_hash")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distributed stub-decode over binary blobs (mapPartitions path; stub
+    * kernels are JVM-only, so driver records the weaker rows-only check).
+    */
+  private def qMultimodal(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.decodeImages(
+      docs(s, dir).withColumn("blob", col("text").cast("binary")), "doc_id", "blob")
+      .orderBy(col("id"))
+
+  // ==========================================================================
+  // Source readers (SURVEY §2.7): round-trip through non-parquet formats
+  // ==========================================================================
+
+  private def qSourceCsv(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_src_csv"
+    t(s, dir, "nation").write.mode("overwrite").option("header", "true").csv(path)
+    graft.sources.Readers.csv(s, path)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  private def qSourceJson(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_src_json"
+    t(s, dir, "region").write.mode("overwrite").json(path)
+    graft.sources.Readers.json(s, path)
+      .select(col("r_regionkey"), col("r_name"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  // ==========================================================================
   // Registry
   // ==========================================================================
 
@@ -200,7 +534,42 @@ object SparkEntry {
     "q_flatmap" -> (qFlatmap _),
     "q_split" -> (qSplit _),
     "q_validate" -> (qValidate _),
-    "q_dlq" -> (qDlq _)
+    "q_dlq" -> (qDlq _),
+    "q_dedupe_first" -> (qDedupeFirst _),
+    "q_dedupe_last" -> (qDedupeLast _),
+    "q_rate_limit" -> (qRateLimit _),
+    "q_agg_tumbling" -> (qAggTumbling _),
+    "q_agg_funcs" -> (qAggFuncs _),
+    "q_agg_collect" -> (qAggCollect _),
+    "q_agg_sliding" -> (qAggSliding _),
+    "q_agg_session" -> (qAggSession _),
+    "q_sessionize" -> (qSessionize _),
+    "q_join_inner" -> (qJoinInner _),
+    "q_join_left" -> (qJoinLeft _),
+    "q_join_full" -> (qJoinFull _),
+    "q_route_edges" -> (qRouteEdges _),
+    "q_lookup_merge" -> (qLookupMerge _),
+    "q_lookup_nest" -> (qLookupNest _),
+    "q_lookup_drop" -> (qLookupDrop _),
+    "q_fanin" -> (qFanin _),
+    "q_fanout" -> (qFanout _),
+    "q_watermark_late" -> (qWatermarkLate _),
+    "q_idempotency" -> (qIdempotency _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_ngram" -> (qDedupNgram _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_neardup_cosine" -> (qNeardupCosine _),
+    "q_ann_topk" -> (qAnnTopk _),
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_lang_id" -> (qLangId _),
+    "q_quality" -> (qQuality _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal" -> (qMultimodal _),
+    "q_source_csv" -> (qSourceCsv _),
+    "q_source_json" -> (qSourceJson _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -260,11 +629,345 @@ object SparkEntry {
       """SELECT event_id, event_type,
         |  'validate-events' AS dlq_stage,
         |  CASE WHEN NOT (value >= 0) THEN 'NEGATIVE_VALUE'
+        |       WHEN NOT (value <= 95) THEN 'VALUE_OUT_OF_RANGE'
         |       WHEN NOT (event_type IN ('view','click','purchase','signup','error')) THEN 'UNKNOWN_TYPE'
         |       ELSE NULL END AS dlq_error_code,
         |  0 AS dlq_retry_count
         |FROM events
-        |WHERE NOT (value >= 0 AND event_type IN ('view','click','purchase','signup','error'))
-        |ORDER BY event_id""".stripMargin
+        |WHERE NOT (value >= 0 AND value <= 95
+        |  AND event_type IN ('view','click','purchase','signup','error'))
+        |ORDER BY event_id""".stripMargin,
+    "q_dedupe_first" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+        |ORDER BY event_id""".stripMargin,
+    "q_dedupe_last" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY event_id""".stripMargin,
+    "q_rate_limit" ->
+      """SELECT event_id, user_id
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id, epoch_us(ts) // 3600000000
+        |  ORDER BY ts, event_id) <= 3
+        |ORDER BY event_id""".stripMargin,
+    "q_agg_tumbling" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600 AS ws, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "q_agg_funcs" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  min_by(value, event_id) AS first_value,
+        |  max_by(value, event_id) AS last_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT event_type,
+        |  list_sort(list(DISTINCT user_id)) AS users,
+        |  list_sort(list(value)) AS "values"
+        |FROM events WHERE user_id < 200
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_agg_sliding" ->
+      """SELECT ws, event_type, count(*) AS n FROM (
+        |  SELECT ((epoch_us(ts) // 3600000000) - k) * 3600 AS ws,
+        |         epoch_us(ts) AS eus, event_type
+        |  FROM events CROSS JOIN generate_series(0, 1) t(k)
+        |) WHERE eus < (ws + 7200) * 1000000
+        |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "q_agg_session" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM tagged
+        |)
+        |SELECT user_id, session_id,
+        |  epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts)) AS session_end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH tagged AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT event_id, user_id,
+        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |FROM tagged ORDER BY event_id""".stripMargin,
+    "q_join_inner" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, p_name
+        |FROM lineitem LEFT JOIN (
+        |  SELECT p_partkey, p_name FROM part WHERE p_partkey < 100
+        |) p ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_join_full" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name, o.n_orders
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 750) c
+        |FULL JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_route_edges" ->
+      """SELECT event_id, event_type, value, target FROM (
+        |  SELECT event_id, event_type, value, 'billing' AS target
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT event_id, event_type, value, 'alerts' FROM events WHERE value > 90
+        |  UNION ALL
+        |  SELECT event_id, event_type, value, 'archive' FROM events
+        |) ORDER BY event_id, target""".stripMargin,
+    "q_lookup_merge" ->
+      """SELECT o_orderkey, o_custkey, c.c_name AS cust_c_name,
+        |  c.c_mktsegment AS cust_c_mktsegment
+        |FROM orders LEFT JOIN (
+        |  SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey <= 750
+        |) c ON o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_lookup_nest" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN c.c_custkey IS NOT NULL THEN
+        |    to_json(struct_pack(c_name := c.c_name, c_mktsegment := c.c_mktsegment))
+        |  END AS cust
+        |FROM orders LEFT JOIN (
+        |  SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey <= 750
+        |) c ON o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_lookup_drop" ->
+      """SELECT o_orderkey, o_custkey, c.c_name AS cust_c_name
+        |FROM orders JOIN (
+        |  SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey <= 750
+        |) c ON o_custkey = c.c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_fanin" ->
+      """SELECT id, name, src FROM (
+        |  SELECT c_custkey AS id, c_name AS name, 'customers' AS src FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, 'suppliers' FROM supplier
+        |) ORDER BY src, id""".stripMargin,
+    "q_fanout" ->
+      """SELECT event_id, event_type AS etype, CAST(floor(value) AS BIGINT) AS value_int
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_watermark_late" ->
+      """SELECT e.event_id, (epoch_us(e.ts) < w.cw - 3600000000) AS is_late
+        |FROM events e CROSS JOIN (
+        |  SELECT min(mx) AS cw FROM (
+        |    SELECT max(epoch_us(ts)) AS mx FROM events GROUP BY event_type
+        |  ) s
+        |) w ORDER BY e.event_id""".stripMargin,
+    "q_idempotency" ->
+      """SELECT event_id, user_id, event_type
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY md5(concat(CAST(user_id AS VARCHAR), '|', event_type))
+        |  ORDER BY event_id) = 1
+        |ORDER BY event_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint,
+        |  min(doc_id) AS canonical_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM nrm)
+        |),sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), filt AS (
+        |  SELECT doc_id, shingle FROM sh
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 100
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+        |  FROM pairs
+        |  JOIN sizes sa ON id_a = sa.doc_id
+        |  JOIN sizes sb ON id_b = sb.doc_id
+        |) WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_minhash" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM nrm)
+        |),mh AS (
+        |  SELECT d.doc_id, g.seed,
+        |    coalesce(min(CAST(concat('0x', substr(md5(concat(sh.shingle, '#', g.seed)), 1, 8)) AS BIGINT)),
+        |             9223372036854775807) AS h
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d
+        |  CROSS JOIN generate_series(0, 15) g(seed)
+        |  LEFT JOIN sh ON sh.doc_id = d.doc_id
+        |  GROUP BY 1, 2
+        |), sigs AS (
+        |  SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, concat(b, ':', md5(array_to_string(sig[4*b+1:4*b+4], ','))) AS band
+        |  FROM sigs CROSS JOIN generate_series(0, 3) t(b)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+        |), scored AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(sum(CASE WHEN sa.sig[g.i+1] = sb.sig[g.i+1] THEN 1 ELSE 0 END) / 16.0, 6) AS sig_sim
+        |  FROM cand c
+        |  JOIN sigs sa ON c.id_a = sa.doc_id
+        |  JOIN sigs sb ON c.id_b = sb.doc_id
+        |  CROSS JOIN generate_series(0, 15) g(i)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, sig_sim FROM scored WHERE sig_sim >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS tok FROM nrm
+        |), hashed AS (
+        |  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM tok
+        |), bits AS (
+        |  SELECT doc_id, g.b,
+        |    CASE WHEN sum(CASE WHEN ((h >> g.b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+        |         THEN (CAST(1 AS BIGINT) << g.b) ELSE 0 END AS bitval
+        |  FROM hashed CROSS JOIN generate_series(0, 59) g(b)
+        |  GROUP BY doc_id, g.b
+        |), sigs AS (
+        |  SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS sig FROM bits GROUP BY doc_id
+        |), chunked AS (
+        |  SELECT doc_id, sig, concat(i, ':', CAST(((sig >> (i*15)) & 32767) AS VARCHAR)) AS chunk
+        |  FROM sigs CROSS JOIN generate_series(0, 3) t(i)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    bit_count(xor(a.sig, b.sig)) AS hamming
+        |  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_neardup_cosine" ->
+      """SELECT id_a, id_b, cosine FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |) WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_topk" ->
+      """SELECT q_id, rank, n_id, cosine FROM (
+        |  SELECT q_id, n_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+        |  FROM (
+        |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |      round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |        (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |         sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
+        |    FROM embeddings c
+        |    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+        |    WHERE c.vec_id <> q.vec_id
+        |  )
+        |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_lsh" ->
+      """WITH w AS (
+        |  SELECT p.p, d.d,
+        |    CAST(CAST(concat('0x', substr(md5(concat(p.p, '_', d.d)), 1, 8)) AS BIGINT) - 2147483648 AS DOUBLE) AS wt
+        |  FROM generate_series(0, 7) p(p) CROSS JOIN generate_series(0, 63) d(d)
+        |), proj AS (
+        |  SELECT e.vec_id, w.p, sum(CAST(e.embedding[w.d+1] AS DOUBLE) * w.wt) AS pr
+        |  FROM embeddings e CROSS JOIN w
+        |  GROUP BY 1, 2
+        |), buckets AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id
+        |), scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
+        |  FROM embeddings c
+        |  JOIN buckets bc ON c.vec_id = bc.vec_id
+        |  JOIN buckets bq ON bc.bucket = bq.bucket
+        |  JOIN embeddings q ON q.vec_id = bq.vec_id AND q.vec_id < 10
+        |  WHERE c.vec_id <> q.vec_id
+        |)
+        |SELECT q_id, rank, n_id, cosine FROM (
+        |  SELECT q_id, n_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+        |  FROM scored
+        |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_lang_id" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS h_en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein)\b')) AS h_de,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans)\b')) AS h_fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para|por)\b')) AS h_es
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+        |       WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+        |       WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+        |       WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS lc,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tc,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS mh,
+        |    len(regexp_extract_all(text, '[\.,;:!?]')) AS np
+        |  FROM documents
+        |)
+        |SELECT doc_id, round(
+        |  least(lc / 500.0, 1.0) * 0.4 +
+        |  least((CASE WHEN tc = 0 THEN 0.0 ELSE CAST(mh AS DOUBLE) / CAST(tc AS DOUBLE) END) * 5.0, 1.0) * 0.4 +
+        |  (1.0 - least((CASE WHEN lc = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / CAST(lc AS DOUBLE) END) * 10.0, 1.0)) * 0.2,
+        |  6) AS q_score
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, 'image' AS kind,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_source_csv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_source_json" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
   )
 }

@@ -150,8 +150,8 @@ final case class WatermarkLateness(
     df.crossJoin(broadcast(combined))
       .withColumn(
         "is_late",
-        unix_timestamp(col(eventTimeCol)) <
-          (unix_timestamp(col("_combined_wm")) - allowedLatenessSeconds)
+        unix_micros(col(eventTimeCol)) <
+          (unix_micros(col("_combined_wm")) - allowedLatenessSeconds * 1000000L)
       )
       .drop("_combined_wm")
   }

@@ -170,9 +170,10 @@ final case class Sessionize(
   def tagged(df: DataFrame): DataFrame = {
     val byKey = Window.partitionBy(col(keyField)).orderBy(orderBy: _*)
     val prevTs = lag(col(eventTimeCol), 1).over(byKey)
+    // Exact micros arithmetic (unix_timestamp would truncate sub-second gaps).
     val isNew = when(
       prevTs.isNull ||
-        (unix_timestamp(col(eventTimeCol)) - unix_timestamp(prevTs)) > gapSeconds,
+        (unix_micros(col(eventTimeCol)) - unix_micros(prevTs)) > gapSeconds * 1000000L,
       1
     ).otherwise(0)
     df.withColumn("_new_session", isNew)

@@ -34,7 +34,9 @@ object Readers {
       }
     nanosCols.foldLeft(df) { (d, c) =>
       if (d.schema.fieldNames.contains(c))
-        d.withColumn(c, timestamp_micros((col(c) / 1000L).cast("long")))
+        // `div` = integer division; `/` would go through double and round
+        // the last microsecond digit for epochs beyond 2^53 nanos.
+        d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
       else d
     }
   }
