@@ -21,6 +21,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.sources.Tables.read(s, dir, name)
 
+  /** MinHash affine coefficients as SQL VALUES rows — the oracle must use
+    * the exact constants the Spark expressions fold in.
+    */
+  private def minhashCoeffRows: String =
+    graft.functions.HashFunctions.minhashCoeffs(16).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }
+      .mkString(", ")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Pricing-summary-style aggregate through the Aggregate operator.
     */
@@ -809,19 +817,23 @@ object SparkEntry {
         |  JOIN sizes sb ON id_b = sb.doc_id
         |) WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_minhash" ->
-      """WITH nrm AS (
+      s"""WITH nrm AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
         |  FROM documents
         |), sh AS (
         |  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
         |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM nrm)
-        |),mh AS (
-        |  SELECT d.doc_id, g.seed,
-        |    coalesce(min(CAST(concat('0x', substr(md5(concat(sh.shingle, '#', g.seed)), 1, 8)) AS BIGINT)),
+        |), hs AS (
+        |  SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h FROM sh
+        |), coeffs(seed, a, b) AS (
+        |  VALUES $minhashCoeffRows
+        |), mh AS (
+        |  SELECT d.doc_id, c.seed,
+        |    coalesce(min((hs.h % 2147483647 * c.a + c.b) % 2147483647),
         |             9223372036854775807) AS h
         |  FROM (SELECT DISTINCT doc_id FROM documents) d
-        |  CROSS JOIN generate_series(0, 15) g(seed)
-        |  LEFT JOIN sh ON sh.doc_id = d.doc_id
+        |  CROSS JOIN coeffs c
+        |  LEFT JOIN hs ON hs.doc_id = d.doc_id
         |  GROUP BY 1, 2
         |), sigs AS (
         |  SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id

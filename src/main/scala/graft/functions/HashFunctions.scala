@@ -42,6 +42,40 @@ object HashFunctions {
     array(comps: _*)
   }
 
+  /** Mersenne prime 2^31-1: products a*h stay under 2^62, so the affine
+    * rehash below is exact in signed 64-bit arithmetic in any engine.
+    */
+  val MinhashPrime: Long = 2147483647L
+
+  /** Deterministic affine coefficients for the k MinHash functions, derived
+    * from md5 so any engine can reproduce them. (a in [1, p), b in [0, p)).
+    */
+  def minhashCoeffs(k: Int): Seq[(Long, Long)] = {
+    def md5Mod(s: String, m: Long): Long = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      val hex = digest.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % m
+    }
+    (0 until k).map(i => (md5Mod(s"mh_a_$i", MinhashPrime - 1) + 1, md5Mod(s"mh_b_$i", MinhashPrime)))
+  }
+
+  /** MinHash signature from PRE-COMPUTED base hashes: component i is
+    * min over elements of ((h mod p) * a_i + b_i) mod p — the classic
+    * universal-hash family. One md5 per element total (the base hash),
+    * k cheap integer folds after. Callers MUST put the base-hash array
+    * behind its own projection so it is computed once, not k times.
+    */
+  def minhashFromHashes(baseHashes: Column, k: Int): Column = {
+    val p = MinhashPrime
+    val comps = minhashCoeffs(k).map { case (a, b) =>
+      coalesce(
+        array_min(transform(baseHashes, h => (h % p * a + b) % p)),
+        lit(Long.MaxValue)
+      )
+    }
+    array(comps: _*)
+  }
+
   /** LSH band keys for a MinHash signature: split the k components into
     * `bands` groups of k/bands rows and hash each group. Two documents
     * collide on a band iff that slice of their signatures is identical —
@@ -62,8 +96,14 @@ object HashFunctions {
     * sum over tokens of (bit b of hash60(token) ? +1 : -1) is positive.
     * Pure aggregate arithmetic; near-dup iff hamming distance small.
     */
-  def simhash(tokens: Column, bits: Int = 60): Column = {
-    val hashed = transform(tokens, t => HashFunctions.hash60(t))
+  def simhash(tokens: Column, bits: Int = 60): Column =
+    simhashFromHashes(transform(tokens, t => HashFunctions.hash60(t)), bits)
+
+  /** SimHash from PRE-COMPUTED hash60 values. Callers should put the hash
+    * array behind its own projection — each of the `bits` folds references
+    * it, and Catalyst would otherwise recompute the md5 pass per bit.
+    */
+  def simhashFromHashes(hashed: Column, bits: Int = 60): Column = {
     val bitCols = (0 until bits).map { b =>
       val votes = aggregate(
         hashed,

@@ -49,11 +49,16 @@ object VectorFunctions {
     */
   def hyperplaneBucket(vec: Column, planes: Int, dim: Int): Column = {
     val bits = (0 until planes).map { p =>
-      val proj = (0 until dim)
-        .map { d =>
-          element_at(vec, d + 1).cast("double") * lit(planeWeight(p, d).toDouble)
-        }
-        .reduce(_ + _)
+      // One zip_with fold per plane over a literal weight array: the plan
+      // stays O(planes) nodes. The naive per-dimension expansion
+      // (planes × dim element_at terms) made Catalyst analysis+codegen the
+      // bottleneck (~40s for 8×64 before any row was processed).
+      val weights = typedLit((0 until dim).map(d => planeWeight(p, d).toDouble))
+      val proj = aggregate(
+        zip_with(vec, weights, (x, w) => x.cast("double") * w),
+        lit(0.0),
+        (acc, v) => acc + v
+      )
       when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))

@@ -44,11 +44,14 @@ object Dedup {
       minJaccard: Double,
       maxShingleDf: Int = 100
   ): DataFrame = {
+    // Cached: referenced by both the size aggregate and the pair join —
+    // without it the shingling pass runs twice.
     val shingled = docs
       .select(
         col(idCol).as("doc"),
         explode(array_distinct(T.wordShingles(col(textCol), n))).as("shingle")
       )
+      .cache()
     val sizes = shingled.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val filtered = shingled
       .withColumn("df", count(lit(1)).over(
@@ -72,8 +75,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signatures per document: k seeded min-hashes over distinct
-    * word-n-gram shingles. Deterministic md5-based hashing (portable).
+  /** MinHash signatures per document: k affine min-hashes over ONE md5 base
+    * hash per distinct word-n-gram shingle. The three selects are deliberate
+    * projection boundaries: shingling and the md5 pass each materialize once;
+    * inlining them would make Catalyst recompute the expensive array k times
+    * (measured 16× slowdown).
     */
   def minhashSignatures(
       docs: DataFrame,
@@ -82,10 +88,10 @@ object Dedup {
       n: Int,
       k: Int
   ): DataFrame =
-    docs.select(
-      col(idCol).as("doc"),
-      H.minhashSignature(array_distinct(T.wordShingles(col(textCol), n)), k).as("sig")
-    )
+    docs
+      .select(col(idCol).as("doc"), array_distinct(T.wordShingles(col(textCol), n)).as("sh"))
+      .select(col("doc"), transform(col("sh"), s => H.hash32(s)).as("hs"))
+      .select(col("doc"), H.minhashFromHashes(col("hs"), k).as("sig"))
 
   /** MinHash + LSH near-dup pairs: band-bucket join for candidates, then
     * signature agreement (fraction of equal minhash components — an unbiased
@@ -142,7 +148,10 @@ object Dedup {
     val bits = 60
     val chunks = maxHamming + 1
     val sigs = docs
-      .select(col(idCol).as("doc"), H.simhash(T.tokens(col(textCol)), bits).as("sig"))
+      // Projection boundary: one md5 pass over the tokens, then 60 cheap
+      // integer folds — inlined, Catalyst would re-hash per bit.
+      .select(col(idCol).as("doc"), transform(T.tokens(col(textCol)), t => H.hash60(t)).as("th"))
+      .select(col("doc"), H.simhashFromHashes(col("th"), bits).as("sig"))
       .cache()
     val chunked = sigs.select(
       col("doc"),
