@@ -42,20 +42,24 @@ final case class FieldMatches(field: String, pattern: String) extends Condition 
 }
 
 /** matcher.rs:46-51 numeric comparisons; the reference parses the metadata
-  * string as f64 and fails closed on non-numeric — `cast` to double does the
-  * same (NULL comparison → false).
+  * string as f64 and fails closed on non-numeric — `try_cast` to double does
+  * the same (NULL comparison → false). Plain `cast` would throw under
+  * Spark 4's default ANSI mode.
   */
+private object NumericCoerce {
+  def apply(field: String): Column = col(field).try_cast(org.apache.spark.sql.types.DoubleType)
+}
 final case class FieldGt(field: String, value: Double) extends Condition {
-  def toColumn: Column = col(field).cast("double") > lit(value)
+  def toColumn: Column = NumericCoerce(field) > lit(value)
 }
 final case class FieldLt(field: String, value: Double) extends Condition {
-  def toColumn: Column = col(field).cast("double") < lit(value)
+  def toColumn: Column = NumericCoerce(field) < lit(value)
 }
 final case class FieldGte(field: String, value: Double) extends Condition {
-  def toColumn: Column = col(field).cast("double") >= lit(value)
+  def toColumn: Column = NumericCoerce(field) >= lit(value)
 }
 final case class FieldLte(field: String, value: Double) extends Condition {
-  def toColumn: Column = col(field).cast("double") <= lit(value)
+  def toColumn: Column = NumericCoerce(field) <= lit(value)
 }
 
 /** matcher.rs:70-81 combinators. */

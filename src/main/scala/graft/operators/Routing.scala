@@ -43,33 +43,33 @@ final case class Lookup(
       .map { case (_, lk) => renamed(s"_lk_$lk").isNotNull }
       .reduce(_ && _)
 
+    // Error mode: the runtime assert (engine.rs:200-203) is folded into the
+    // merged value expressions themselves. A separate assert column that gets
+    // dropped afterwards would be pruned away by the optimizer — the check
+    // must live in an expression that survives into the output.
+    val guard: Column => Column =
+      if (onMiss == LookupOnMiss.Error)
+        v => when(hit, v).otherwise(raise_error(lit("Lookup miss: no matching record found")))
+      else identity
+
     val prefixed = (c: String) => outputPrefix.getOrElse("") + c
     val result = merge match {
       case LookupMerge.Merge =>
         valueCols
-          .foldLeft(joined) { (d, c) => d.withColumn(prefixed(c), col(s"_lk_$c")) }
+          .foldLeft(joined) { (d, c) => d.withColumn(prefixed(c), guard(col(s"_lk_$c"))) }
       case LookupMerge.Nest =>
         val nestCol = outputPrefix.getOrElse("lookup")
         joined.withColumn(
           nestCol,
-          when(hit, to_json(struct(valueCols.map(c => col(s"_lk_$c").as(c)): _*)))
+          guard(when(hit, to_json(struct(valueCols.map(c => col(s"_lk_$c").as(c)): _*))))
         )
       case LookupMerge.Replace =>
         val keep = keyMap.map(_._1)
         joined.select(
-          keep.map(col) ++ valueCols.map(c => col(s"_lk_$c").as(c)): _*
+          keep.map(col) ++ valueCols.map(c => guard(col(s"_lk_$c")).as(c)): _*
         )
     }
-    val cleaned = result.drop(renamed.columns.toIndexedSeq: _*)
-    onMiss match {
-      case LookupOnMiss.Error =>
-        // Runtime assert per row: any miss fails the job (engine.rs:200-203).
-        val missFlag = when(hit, lit(1)).otherwise(
-          raise_error(lit("Lookup miss: no matching record found"))
-        )
-        cleaned.withColumn("_lk_assert", missFlag).drop("_lk_assert")
-      case _ => cleaned
-    }
+    result.drop(renamed.columns.toIndexedSeq: _*)
   }
 }
 

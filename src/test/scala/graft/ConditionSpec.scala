@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.operators.Filter
+
+class ConditionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, "click", "us", "10.5"),
+    (2L, "purchase", "de", "99.0"),
+    (3L, "click", null, "oops"),
+    (4L, "view", "fr", "50.0")
+  ).toDF("id", "event_type", "country", "amount")
+
+  private def ids(c: Condition): Seq[Long] =
+    Filter(c)(df).select("id").as[Long].collect().toSeq.sorted
+
+  test("equality and existence") {
+    assert(ids(FieldEquals("event_type", "click")) == Seq(1L, 3L))
+    assert(ids(FieldExists("country")) == Seq(1L, 2L, 4L))
+  }
+
+  test("regex match") {
+    assert(ids(FieldMatches("event_type", "^(click|view)$")) == Seq(1L, 3L, 4L))
+  }
+
+  test("numeric comparisons coerce strings and fail closed on non-numeric") {
+    // amount '"oops"' casts to NULL -> comparison false (matcher.rs parses f64,
+    // non-numeric never matches)
+    assert(ids(FieldGt("amount", 40)) == Seq(2L, 4L))
+    assert(ids(FieldLte("amount", 50)) == Seq(1L, 4L))
+  }
+
+  test("combinators") {
+    val c = And(Seq(
+      Or(Seq(FieldEquals("event_type", "click"), FieldEquals("event_type", "view"))),
+      Not(FieldEquals("country", "us"))
+    ))
+    assert(ids(c) == Seq(4L)) // id 3 has NULL country: NOT(NULL=us) is NULL -> dropped
+    assert(ids(Always) == Seq(1L, 2L, 3L, 4L))
+    assert(ids(Never) == Seq())
+    assert(ids(And(Seq.empty)) == Seq(1L, 2L, 3L, 4L))
+    assert(ids(Or(Seq.empty)) == Seq())
+  }
+
+  test("negated filter") {
+    assert(Filter(FieldEquals("event_type", "click"), negate = true)(df)
+      .select("id").as[Long].collect().toSeq.sorted == Seq(2L, 4L))
+  }
+}

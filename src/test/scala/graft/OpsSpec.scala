@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions => H, TextFunctions => T, VectorFunctions => V}
+import graft.ops._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text functions: normalize, tokens, counts") {
+    val df = Seq(("  Hello, World!  it's me  ", 1)).toDF("text", "id")
+    val r = df.select(
+      T.normalize(col("text")),
+      T.tokenCount(col("text")),
+      T.bpeishTokenCount(col("text"))
+    ).head()
+    assert(r.getString(0) == "hello world its me")
+    assert(r.getLong(1) == 4L)
+    // Hello , World ! it ' s me -> 8 bpe-ish tokens
+    assert(r.getLong(2) == 8L)
+  }
+
+  test("wordShingles: n consecutive tokens; short docs yield empty") {
+    val df = Seq(("a b c d", 1), ("a b", 2)).toDF("text", "id")
+    val m = df.select(col("id"), T.wordShingles(col("text"), 3).as("sh"))
+      .as[(Int, Seq[String])].collect().toMap
+    assert(m(1) == Seq("a b c", "b c d"))
+    assert(m(2) == Seq.empty)
+  }
+
+  test("fingerprint is md5 of normalized text") {
+    val df = Seq(("Hello  WORLD", 1), ("hello world", 2)).toDF("text", "id")
+    val fps = df.select(T.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("exactDedupe keeps exactly one doc per normalized text") {
+    val docs = Seq((1L, "same text"), (2L, "SAME  text!"), (3L, "other")).toDF("doc_id", "text")
+    val kept = Dedup.exactDedupe(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 3L))
+  }
+
+  test("simhash blocking finds all pairs within the hamming budget (pigeonhole)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy cat again and again"),
+      (3L, "completely different content about spark query engines at scale")
+    ).toDF("doc_id", "text")
+    val blocked = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute-force ground truth over the same signatures
+    val sigs = docs
+      .select(col("doc_id"), transform(T.tokens(col("text")), t => H.hash60(t)).as("th"))
+      .select(col("doc_id"), H.simhashFromHashes(col("th")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 12
+    } yield (a, b)).toSet
+    assert(blocked == brute)
+    assert(blocked.contains((1L, 2L)))
+  }
+
+  test("minhash signature approximates jaccard for identical docs") {
+    val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.9)
+    val r = pairs.select("id_a", "id_b", "sig_sim").as[(Long, Long, Double)].collect()
+    assert(r.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash coefficients are deterministic and in range") {
+    val c1 = H.minhashCoeffs(16)
+    val c2 = H.minhashCoeffs(16)
+    assert(c1 == c2)
+    assert(c1.forall { case (a, b) =>
+      a >= 1 && a < H.MinhashPrime && b >= 0 && b < H.MinhashPrime })
+    assert(c1.distinct.size == 16)
+  }
+
+  test("cosine and bruteForceTopK on hand-checked vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cos = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") === 1 && col("b.vec_id") === 3)
+      .select(V.cosine(col("a.embedding"), col("b.embedding")))
+      .as[Double].head()
+    assert(math.abs(cos - 0.707107) < 1e-6)
+    val topk = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1),
+      "vec_id", "embedding", 2)
+      .select("rank", "n_id").as[(Int, Long)].collect().toMap
+    assert(topk == Map(1 -> 3L, 2 -> 2L)) // cos: v3=0.707, v2=0, v4=-1
+  }
+
+  test("planeWeight matches its md5 definition") {
+    // md5("0_0") = bd... first 8 hex digits determine the weight
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("0_0".getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 8)
+    assert(V.planeWeight(0, 0) == java.lang.Long.parseLong(hex, 16) - 2147483648L)
+  }
+
+  test("multimodal stub decode is deterministic with stable schema") {
+    val df = Seq((1L, "payload-bytes"), (2L, "")).toDF("id", "s")
+      .withColumn("blob", col("s").cast("binary"))
+    val out = Multimodal.decodeImages(df, "id", "blob")
+    assert(out.columns.toSeq == Seq("id", "width", "height", "features"))
+    val r1 = rows(out.orderBy("id"))
+    val r2 = rows(Multimodal.decodeImages(df, "id", "blob").orderBy("id"))
+    assert(r1 == r2)
+  }
+
+  test("withBlobMeta carries kind, byte length, content hash") {
+    val df = Seq((1L, "abc")).toDF("id", "s").withColumn("blob", col("s").cast("binary"))
+    val r = Multimodal.withBlobMeta(df, "blob", "audio")
+      .select("blob_meta.kind", "blob_meta.n_bytes", "blob_meta.content_hash").head()
+    assert(r.getString(0) == "audio")
+    assert(r.getLong(1) == 3L)
+    assert(r.getString(2) == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.SparkException
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.operators._
+
+class RoutingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val records = Seq(
+    (1L, 100L, "purchase"), (2L, 200L, "click"), (3L, 999L, "view")
+  ).toDF("id", "cust", "etype")
+
+  private lazy val lookup = Seq(
+    (100L, "alice", "gold"), (200L, "bob", "silver")
+  ).toDF("k", "name", "tier")
+
+  test("Lookup merge with prefix; pass_through keeps misses") {
+    val out = Lookup(lookup, Seq("cust" -> "k"), outputPrefix = Some("u_"))(records)
+    assert(out.columns.toSet == Set("id", "cust", "etype", "u_name", "u_tier"))
+    val m = out.select("id", "u_name").as[(Long, Option[String])].collect().toMap
+    assert(m == Map(1L -> Some("alice"), 2L -> Some("bob"), 3L -> None))
+  }
+
+  test("Lookup nest folds the row into one JSON column") {
+    val out = Lookup(lookup, Seq("cust" -> "k"), outputPrefix = Some("usr"),
+      merge = LookupMerge.Nest)(records)
+    val m = out.select("id", "usr").as[(Long, Option[String])].collect().toMap
+    assert(m(1L).contains("""{"name":"alice","tier":"gold"}"""))
+    assert(m(3L).isEmpty)
+  }
+
+  test("Lookup replace keeps join keys plus lookup values") {
+    val out = Lookup(lookup, Seq("cust" -> "k"), merge = LookupMerge.Replace,
+      onMiss = LookupOnMiss.Drop)(records)
+    assert(out.columns.toSeq == Seq("cust", "name", "tier"))
+    assert(out.count() == 2)
+  }
+
+  test("Lookup on_miss=drop drops, on_miss=error raises") {
+    val dropped = Lookup(lookup, Seq("cust" -> "k"), onMiss = LookupOnMiss.Drop)(records)
+    assert(dropped.count() == 2)
+    val err = Lookup(lookup, Seq("cust" -> "k"), onMiss = LookupOnMiss.Error)(records)
+    val e = intercept[Exception](err.collect())
+    assert(e.getMessage.contains("Lookup miss") ||
+      Option(e.getCause).exists(_.getMessage.contains("Lookup miss")))
+  }
+
+  test("EdgeRouter multicasts to every matching edge") {
+    val router = EdgeRouter(Seq(
+      RoutedEdge("a", Some(FieldEquals("etype", "purchase"))),
+      RoutedEdge("b", None)
+    ))
+    val outs = router.route(records)
+    assert(outs("a").count() == 1 && outs("b").count() == 3)
+    assert(router.decisions(records).count() == 4)
+  }
+
+  test("FanIn normalizes heterogeneous sources and tags origin") {
+    val s1 = Seq((1L, "x")).toDF("a_id", "a_name")
+    val s2 = Seq((2L, "y")).toDF("b_id", "b_name")
+    val out = FanIn(Seq(
+      FanInSource("s1", s1, Seq(FieldMapping("id", source = Some("a_id")),
+        FieldMapping("name", source = Some("a_name")))),
+      FanInSource("s2", s2, Seq(FieldMapping("id", source = Some("b_id")),
+        FieldMapping("name", source = Some("b_name"))))
+    ), tagSourceCol = Some("src"))
+    assert(out.columns.toSeq == Seq("id", "name", "src"))
+    assert(out.count() == 2)
+  }
+
+  test("FanOut produces an independently-shaped frame per sink") {
+    val outs = FanOut(records, Seq(
+      FanOutSink("x", Seq(FieldMapping("id", source = Some("id")))),
+      FanOutSink("y", Seq(FieldMapping("etype", source = Some("etype")),
+        FieldMapping("tag", literal = Some(1))))
+    ))
+    assert(outs("x").columns.toSeq == Seq("id"))
+    assert(outs("y").columns.toSeq == Seq("etype", "tag"))
+  }
+
+  test("WatermarkLateness flags records behind the min-combined watermark") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      ("s1", ts("2024-01-01 05:00:00"), 1L),
+      ("s1", ts("2024-01-01 01:00:00"), 2L), // 3h behind combined wm (03:00) - 1h lateness
+      ("s2", ts("2024-01-01 03:00:00"), 3L)  // defines combined wm = min(05:00, 03:00)
+    ).toDF("src", "ts", "id")
+    val out = WatermarkLateness("src", "ts", 3600).tagLate(df)
+    val m = out.select("id", "is_late").as[(Long, Boolean)].collect().toMap
+    assert(m == Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
+  test("RetryPolicy backoff doubles and caps") {
+    val p = RetryPolicy(maxRetries = 3, initialBackoffMs = 100, maxBackoffMs = 500)
+    assert(p.backoffDurationMs(0) == 100)
+    assert(p.backoffDurationMs(1) == 200)
+    assert(p.backoffDurationMs(2) == 400)
+    assert(p.backoffDurationMs(3) == 500)
+    assert(p.shouldRetry(2) && !p.shouldRetry(3))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class StatefulSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val events = Seq(
+    (1L, 10L, "click", ts("2024-01-01 00:00:00"), 1.0),
+    (2L, 10L, "click", ts("2024-01-01 00:10:00"), 2.0),
+    (3L, 10L, "click", ts("2024-01-01 01:10:00"), 3.0),
+    (4L, 20L, "view", ts("2024-01-01 00:05:00"), 4.0),
+    (5L, 10L, "view", ts("2024-01-01 00:20:00"), 5.0)
+  ).toDF("event_id", "user_id", "event_type", "ts", "value")
+
+  test("Dedupe keeps deterministic first/last per key") {
+    val first = Dedupe(Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))(events)
+    assert(first.select("event_id").as[Long].collect().toSeq.sorted == Seq(1L, 4L, 5L))
+    val last = Dedupe(Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")), keepLast = true)(events)
+    assert(last.select("event_id").as[Long].collect().toSeq.sorted == Seq(3L, 4L, 5L))
+  }
+
+  test("Dedupe windowed: same key in different windows both survive") {
+    val d = Dedupe(Seq("user_id", "event_type"), Seq(col("ts")), windowSizeSeconds = Some(3600))(events)
+    // clicks at 00:00 and 00:10 are one window (keep first), 01:10 is another
+    assert(d.filter(col("event_type") === "click").select("event_id").as[Long].collect().toSeq.sorted
+      == Seq(1L, 3L))
+  }
+
+  test("RateLimit tag mode marks excess rows instead of dropping") {
+    val rl = RateLimit(Some("user_id"), maxRate = 1, windowSizeSeconds = 3600,
+      orderBy = Seq(col("ts"), col("event_id")), tagInsteadOfDrop = true)(events)
+    val tagged = rl.filter(col("_rate_limited")).select("event_id").as[Long].collect().toSeq.sorted
+    assert(tagged == Seq(2L, 5L)) // user 10 window 0: events 1,2,5 -> 2 and 5 over limit
+    assert(rl.count() == events.count())
+  }
+
+  test("Sliding window: each row lands in size/slide windows") {
+    val agg = Aggregate(Seq.empty, Seq("n" -> AggFns.count_()),
+      windowSizeSeconds = Some(7200), slideSeconds = Some(3600))(events)
+    // every event belongs to exactly 2 sliding windows
+    assert(agg.agg(sum("n")).as[Long].head() == events.count() * 2)
+  }
+
+  test("Sessionize: gap strictly greater than threshold starts a new session") {
+    val base = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 1L, ts("2024-01-01 00:30:00")), // exactly gap -> same session
+      (3L, 1L, ts("2024-01-01 01:00:01"))  // gap + 1s -> new session
+    ).toDF("event_id", "user_id", "ts")
+    val tagged = Sessionize("user_id", 1800, Seq(col("ts"), col("event_id"))).tagged(base)
+    val m = tagged.select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 2L)
+  }
+
+  test("EquiJoin applies output prefixes") {
+    val l = Seq((1L, "a")).toDF("k", "lv")
+    val r = Seq((1L, "b")).toDF("k", "rv")
+    val out = EquiJoin(r, "k", "k", rightPrefix = Some("r_"), broadcastRight = true)(l)
+    assert(out.columns.toSet == Set("k", "lv", "r_k", "r_rv"))
+  }
+
+  test("AggFns.sumExact is order-independent for doubles") {
+    val vals = (1 to 1000).map(i => 0.1 * i)
+    val a = vals.toDF("v").repartition(7)
+    val b = vals.reverse.toDF("v").repartition(3)
+    val sa = a.agg(AggFns.sumExact(col("v"))).as[Double].head()
+    val sb = b.agg(AggFns.sumExact(col("v"))).as[Double].head()
+    assert(sa == sb)
+  }
+}

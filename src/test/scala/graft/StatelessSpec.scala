@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.operators._
+
+class StatelessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MapFields: source, expression, literal, default") {
+    val df = Seq((1L, Some(2.0)), (2L, None)).toDF("id", "v")
+    val out = MapFields(Seq(
+      FieldMapping("id", source = Some("id")),
+      FieldMapping("doubled", expression = Some(col("v") * 2)),
+      FieldMapping("tag", literal = Some("x")),
+      FieldMapping("v_filled", source = Some("v"), default = Some(-1.0))
+    ))(df)
+    assert(out.columns.toSeq == Seq("id", "doubled", "tag", "v_filled"))
+    assert(sortedRows(out) == Seq(Seq(1L, 4.0, "x", 2.0), Seq(2L, null, "x", -1.0)))
+  }
+
+  test("MapFields keeps pass-through columns when dropUnmapped=false") {
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val out = MapFields(Seq(FieldMapping("tag", literal = Some("t"))), dropUnmapped = false)(df)
+    assert(out.columns.toSet == Set("id", "s", "tag"))
+  }
+
+  test("Cast: fractional to integral floors; vocabulary types") {
+    val df = Seq((1.9, "2024-03-05", 7)).toDF("d", "ds", "i")
+    val out = Cast(Map("d" -> "int64", "ds" -> "date", "i" -> "string"))(df)
+    val r = rows(out).head
+    assert(r(0) == 1L)
+    assert(r(1).toString == "2024-03-05")
+    assert(r(2) == "7")
+  }
+
+  test("Mask strategies") {
+    val df = Seq(("secret", "abcd"), (null, null)).toDF("a", "b")
+    val out = Mask(Seq(
+      MaskField("a", MaskStrategy.Partial(2)),
+      MaskField("b", MaskStrategy.Redact, preserveLength = true)
+    ))(df)
+    assert(rows(out).toSet == Set(Seq("se****", "****"), Seq(null, null)))
+  }
+
+  test("Validate tags first failing rule in order; valid/invalid split") {
+    val df = Seq((1L, -5.0, "ok"), (2L, 3.0, "bad"), (3L, 1.0, "ok")).toDF("id", "v", "s")
+    val v = Validate(Seq(
+      ValidationRule("NEG", RawCondition(col("v") >= 0)),
+      ValidationRule("BAD_S", RawCondition(col("s") === "ok"))
+    ))
+    val tagged = v.tagged(df).select("id", "_valid", "_error_code")
+    assert(sortedRows(tagged) == Seq(
+      Seq(1L, false, "NEG"), Seq(2L, false, "BAD_S"), Seq(3L, true, null)))
+    assert(v.valid(df).columns.toSeq == Seq("id", "v", "s"))
+    assert(v.valid(df).count() == 1)
+    assert(v.invalid(df).count() == 2)
+  }
+
+  test("Split: first matching route wins; outputs partition the input") {
+    val df = Seq((1L, 10.0), (2L, 60.0), (3L, 200.0)).toDF("id", "v")
+    val sp = Split(Seq(
+      SplitRoute(FieldGt("v", 100), "big"),
+      SplitRoute(FieldGt("v", 50), "mid")
+    ), defaultOutput = Some("rest"))
+    val outs = sp.outputs(df)
+    assert(outs("big").select("id").as[Long].collect().toSeq == Seq(3L))
+    assert(outs("mid").select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(outs("rest").select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("FlatMap explodes with optional parent retention") {
+    val df = Seq((1L, Seq("a", "b"))).toDF("id", "xs")
+    assert(FlatMap("xs", "x")(df).columns.toSeq == Seq("id", "x"))
+    assert(FlatMap("xs", "x", keepParent = true)(df).columns.toSeq == Seq("id", "xs", "x"))
+    assert(FlatMap("xs", "x")(df).count() == 2)
+  }
+}
