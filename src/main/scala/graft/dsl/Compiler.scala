@@ -1,0 +1,273 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model._
+import graft.operators._
+
+/** Compile parsed manifests into DataFrame plans.
+  *
+  * Spark-first re-expression of the reference's optimizer + router
+  * (conveyor-etl-dsl/src/optimizer.rs, conveyor-etl-routing/src/engine.rs):
+  * pipelines are grouped by source, the longest shared transform prefix is
+  * compiled ONCE and `.cache()`d when more than one pipeline consumes it
+  * (the reference runs the shared stage once and multicasts; the Spark
+  * analog is plan + block reuse), and each pipeline's remaining steps chain
+  * off the shared frame.
+  */
+object Compiler {
+
+  final case class CompiledPipeline(
+      name: String,
+      frame: DataFrame,
+      sink: SinkManifest,
+      sharedPrefix: Seq[String]
+  )
+
+  /** Compile every enabled pipeline. `tables` resolves format=table sources
+    * (and lookup transform table refs) to already-loaded DataFrames —
+    * dependency injection for tests and for composing with the rest of the
+    * library.
+    */
+  def compile(
+      spark: SparkSession,
+      reg: Registry,
+      tables: Map[String, DataFrame] = Map.empty
+  ): Map[String, CompiledPipeline] = {
+    val enabled = reg.pipelines.values.filter(_.enabled).toSeq.sortBy(_.name)
+
+    val bySource = enabled.groupBy(_.source)
+    bySource.flatMap { case (sourceName, pipes) =>
+      val src = reg.sources.getOrElse(sourceName, sys.error(s"unknown source: $sourceName"))
+      val sourceDf = readSource(spark, src, tables)
+
+      // optimizer.rs:find_shared_prefix — longest common leading step run.
+      val prefix = sharedPrefix(pipes.map(_.steps))
+      val prefixDf = prefix.foldLeft(sourceDf) { (df, step) =>
+        applyTransform(df, transformOf(reg, step), tables)
+      }
+      val sharedDf =
+        if (pipes.size > 1 && prefix.nonEmpty) prefixDf.cache() else prefixDf
+
+      pipes.map { p =>
+        val frame = p.steps.drop(prefix.length).foldLeft(sharedDf) { (df, step) =>
+          applyTransform(df, transformOf(reg, step), tables)
+        }
+        val sink = reg.sinks.getOrElse(p.sink, sys.error(s"unknown sink: ${p.sink}"))
+        p.name -> CompiledPipeline(p.name, frame, sink, prefix)
+      }
+    }
+  }
+
+  /** Longest step prefix common to every pipeline in the group. */
+  def sharedPrefix(stepLists: Seq[Seq[String]]): Seq[String] =
+    if (stepLists.size < 2) Seq.empty
+    else stepLists.reduce { (a, b) =>
+      a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1)
+    }
+
+  private def transformOf(reg: Registry, name: String): TransformManifest =
+    reg.transforms.getOrElse(name, sys.error(s"unknown transform: $name"))
+
+  private def readSource(
+      spark: SparkSession,
+      src: SourceManifest,
+      tables: Map[String, DataFrame]
+  ): DataFrame = src.format match {
+    case "table" =>
+      tables.getOrElse(src.path, sys.error(s"table not provided: ${src.path}"))
+    case "parquet" => spark.read.options(src.options).parquet(src.path)
+    case "csv" =>
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .options(src.options).csv(src.path)
+    case "json"  => spark.read.options(src.options).json(src.path)
+    case "lines" => spark.read.options(src.options).text(src.path)
+    case other   => sys.error(s"unknown source format: $other")
+  }
+
+  /** Write one compiled pipeline to its sink manifest. */
+  def write(p: CompiledPipeline): Unit = {
+    val w = p.frame.write.mode(p.sink.mode)
+    val pw = if (p.sink.partitionBy.nonEmpty) w.partitionBy(p.sink.partitionBy: _*) else w
+    p.sink.format match {
+      case "parquet" => pw.parquet(p.sink.path)
+      case "csv"     => pw.option("header", "true").csv(p.sink.path)
+      case "json"    => pw.json(p.sink.path)
+      case "noop"    => pw.format("noop").save()
+      case other     => sys.error(s"unknown sink format: $other")
+    }
+  }
+
+  // ===========================================================================
+  // Transform config → operator instantiation
+  // ===========================================================================
+
+  private def cfgSeq(v: Any): Seq[Map[String, Any]] =
+    v.asInstanceOf[Seq[Any]].map(_.asInstanceOf[Map[String, Any]])
+
+  def applyTransform(
+      df: DataFrame,
+      t: TransformManifest,
+      tables: Map[String, DataFrame]
+  ): DataFrame = {
+    val c = t.config
+    t.transformType match {
+      case "filter" =>
+        Filter(
+          parseCondition(c("condition")),
+          negate = c.get("negate").exists(_.toString.toBoolean)
+        )(df)
+      case "project" =>
+        Project(
+          c("fields").asInstanceOf[Seq[Any]].map(_.toString),
+          exclude = c.get("exclude").exists(_.toString.toBoolean)
+        )(df)
+      case "rename" =>
+        Rename(c("mapping").asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString })(df)
+      case "cast" =>
+        Cast(c("types").asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString })(df)
+      case "map" =>
+        MapFields(
+          cfgSeq(c("fields")).map(parseFieldMapping),
+          dropUnmapped = c.get("dropUnmapped").forall(_.toString.toBoolean)
+        )(df)
+      case "mask" =>
+        Mask(cfgSeq(c("fields")).map { f =>
+          val strategy = f.getOrElse("strategy", "redact").toString match {
+            case "redact"   => MaskStrategy.Redact
+            case "hash"     => MaskStrategy.Hash
+            case "nullify"  => MaskStrategy.Nullify
+            case "tokenize" => MaskStrategy.Tokenize
+            case "partial"  => MaskStrategy.Partial(f.get("keepPrefix").fold(2)(_.toString.toInt))
+            case other      => sys.error(s"unknown mask strategy: $other")
+          }
+          MaskField(
+            f("field").toString,
+            strategy,
+            preserveLength = f.get("preserveLength").exists(_.toString.toBoolean)
+          )
+        })(df)
+      case "validate" =>
+        val v = Validate(cfgSeq(c("rules")).map(r =>
+          ValidationRule(r("code").toString, parseCondition(r("condition")))))
+        c.getOrElse("onInvalid", "drop").toString match {
+          case "drop" => v.valid(df)
+          case "tag"  => v.tagged(df)
+          case other  => sys.error(s"unsupported onInvalid: $other")
+        }
+      case "flatmap" =>
+        FlatMap(
+          c("field").toString,
+          c("target").toString,
+          keepParent = c.get("keepParent").exists(_.toString.toBoolean)
+        )(df)
+      case "dedupe" =>
+        Dedupe(
+          c("keys").asInstanceOf[Seq[Any]].map(_.toString),
+          c("orderBy").asInstanceOf[Seq[Any]].map(s => col(s.toString)),
+          keepLast = c.get("keep").exists(_.toString == "last"),
+          windowSizeSeconds = c.get("windowSeconds").map(_.toString.toLong),
+          eventTimeCol = c.getOrElse("eventTimeField", "ts").toString
+        )(df)
+      case "rate_limit" =>
+        RateLimit(
+          c.get("keyField").map(_.toString),
+          c("maxRate").toString.toLong,
+          c("windowSeconds").toString.toLong,
+          c("orderBy").asInstanceOf[Seq[Any]].map(s => col(s.toString)),
+          eventTimeCol = c.getOrElse("eventTimeField", "ts").toString,
+          tagInsteadOfDrop = c.get("onExceed").exists(_.toString == "tag")
+        )(df)
+      case "sessionize" =>
+        Sessionize(
+          c("keyField").toString,
+          c("gapSeconds").toString.toLong,
+          c("orderBy").asInstanceOf[Seq[Any]].map(s => col(s.toString)),
+          eventTimeCol = c.getOrElse("eventTimeField", "ts").toString
+        ).tagged(df)
+      case "aggregate" =>
+        val aggs = cfgSeq(c("aggregations")).map { a =>
+          val fn = a("fn").toString
+          val fieldCol = a.get("field").map(f => col(f.toString))
+          val target = a.getOrElse("as", fn).toString
+          val expr = fn match {
+            case "count"          => AggFns.count_()
+            case "sum"            => AggFns.sumExact(fieldCol.get)
+            case "avg"            => AggFns.avgExact(fieldCol.get)
+            case "min"            => min(fieldCol.get)
+            case "max"            => max(fieldCol.get)
+            case "count_distinct" => countDistinct(fieldCol.get)
+            case "collect"        => AggFns.collectSorted(fieldCol.get)
+            case other            => sys.error(s"unknown aggregation: $other")
+          }
+          target -> expr
+        }
+        Aggregate(
+          c.get("groupBy").map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty),
+          aggs,
+          windowSizeSeconds = c.get("windowSeconds").map(_.toString.toLong),
+          slideSeconds = c.get("slideSeconds").map(_.toString.toLong),
+          eventTimeCol = c.getOrElse("eventTimeField", "ts").toString
+        )(df)
+      case "lookup" =>
+        Lookup(
+          tables.getOrElse(c("table").toString, sys.error(s"lookup table not provided: ${c("table")}")),
+          cfgSeq(c("keys")).map(k => k("recordField").toString -> k("lookupKey").toString),
+          outputPrefix = c.get("outputPrefix").map(_.toString),
+          merge = c.getOrElse("mergeStrategy", "merge").toString match {
+            case "merge"   => LookupMerge.Merge
+            case "nest"    => LookupMerge.Nest
+            case "replace" => LookupMerge.Replace
+            case other     => sys.error(s"unknown merge strategy: $other")
+          },
+          onMiss = c.getOrElse("onMiss", "pass_through").toString match {
+            case "pass_through" => LookupOnMiss.PassThrough
+            case "drop"         => LookupOnMiss.Drop
+            case "error"        => LookupOnMiss.Error
+            case other          => sys.error(s"unknown on_miss: $other")
+          }
+        )(df)
+      case other => sys.error(s"unknown transform type: $other")
+    }
+  }
+
+  private def parseFieldMapping(f: Map[String, Any]): FieldMapping =
+    FieldMapping(
+      f("target").toString,
+      source = f.get("source").map(_.toString),
+      expression = f.get("expr").map(e => expr(e.toString)),
+      literal = f.get("literal"),
+      default = f.get("default")
+    )
+
+  /** Condition YAML (matcher.rs algebra):
+    * {all: [...]}, {any: [...]}, {not: {...}}, {always: true}, {never: true},
+    * {equals: {field, value}}, {exists: field}, {matches: {field, pattern}},
+    * {gt|lt|gte|lte: {field, value}}, {recordType: value}.
+    */
+  def parseCondition(raw: Any): Condition = {
+    val m = raw.asInstanceOf[Map[String, Any]]
+    require(m.size == 1, s"condition must have exactly one key, got: ${m.keys}")
+    val (key, v) = m.head
+    def kv = v.asInstanceOf[Map[String, Any]]
+    def field = kv("field").toString
+    def num = kv("value").toString.toDouble
+    key match {
+      case "all"        => And(v.asInstanceOf[Seq[Any]].map(parseCondition))
+      case "any"        => Or(v.asInstanceOf[Seq[Any]].map(parseCondition))
+      case "not"        => Not(parseCondition(v))
+      case "always"     => Always
+      case "never"      => Never
+      case "equals"     => FieldEquals(field, kv("value"))
+      case "exists"     => FieldExists(v.toString)
+      case "matches"    => FieldMatches(field, kv("pattern").toString)
+      case "gt"         => FieldGt(field, num)
+      case "lt"         => FieldLt(field, num)
+      case "gte"        => FieldGte(field, num)
+      case "lte"        => FieldLte(field, num)
+      case "recordType" => RecordType(v.toString)
+      case other        => sys.error(s"unknown condition key: $other")
+    }
+  }
+}

@@ -1,0 +1,203 @@
+package graft.dsl
+
+import graft.model._
+
+/** Typed pipeline manifests — the Spark-native re-expression of the
+  * reference's k8s-style YAML kinds (Source / Transform / Sink / Pipeline,
+  * see conveyor-etl-operator/deploy/examples/pipeline.yaml and
+  * conveyor-etl-dsl/src/manifest.rs). The reference's spec payload points at
+  * gRPC connector services; here the payload is the Spark-side config
+  * (format/path for sources and sinks, operator config for transforms).
+  */
+final case class SourceManifest(
+    name: String,
+    format: String,                  // parquet | csv | json | lines | table
+    path: String,                    // file path, or table name for format=table
+    options: Map[String, String] = Map.empty
+)
+
+final case class TransformManifest(
+    name: String,
+    transformType: String,
+    config: Map[String, Any]
+)
+
+final case class SinkManifest(
+    name: String,
+    format: String,
+    path: String,
+    mode: String = "overwrite",
+    partitionBy: Seq[String] = Seq.empty
+)
+
+final case class DlqSpec(sink: String, maxRetries: Int, retryBackoffMs: Long, maxRetryBackoffMs: Long)
+
+final case class PipelineManifest(
+    name: String,
+    source: String,
+    steps: Seq[String],
+    sink: String,
+    enabled: Boolean = true,
+    dlq: Option[DlqSpec] = None
+)
+
+/** All manifests of one namespace, indexed by kind+name (the reference's
+  * Registry, conveyor-etl-registry).
+  */
+final case class Registry(
+    sources: Map[String, SourceManifest] = Map.empty,
+    transforms: Map[String, TransformManifest] = Map.empty,
+    sinks: Map[String, SinkManifest] = Map.empty,
+    pipelines: Map[String, PipelineManifest] = Map.empty
+) {
+  def ++(other: Registry): Registry = Registry(
+    sources ++ other.sources,
+    transforms ++ other.transforms,
+    sinks ++ other.sinks,
+    pipelines ++ other.pipelines
+  )
+}
+
+// =============================================================================
+// Graph form (dag.rs Pipeline): stages + conditional edges, for validation
+// and DOT export.
+// =============================================================================
+
+object StageType extends Enumeration {
+  val Source, Transform, Lookup, FanIn, FanOut, Sink = Value
+}
+
+final case class Stage(id: String, stageType: StageType.Value)
+
+final case class Edge(from: String, to: String, condition: Option[Condition] = None)
+
+sealed trait ValidationError { def stageId: String }
+object ValidationError {
+  final case class CycleDetected(path: Seq[String]) extends ValidationError {
+    def stageId: String = path.mkString("->")
+  }
+  final case class DisconnectedStage(stageId: String) extends ValidationError
+  final case class UnreachableFromSource(stageId: String) extends ValidationError
+  final case class CannotReachSink(stageId: String) extends ValidationError
+  final case class MissingStage(stageId: String) extends ValidationError
+  case object NoSourceStages extends ValidationError { def stageId = "" }
+  case object NoSinkStages extends ValidationError { def stageId = "" }
+}
+
+/** DAG of one or more compiled pipelines (dag.rs Pipeline). */
+final case class PipelineGraph(
+    id: String,
+    stages: Map[String, Stage],
+    edges: Seq[Edge]
+) {
+  import ValidationError._
+
+  def sourceStages: Seq[Stage] =
+    stages.values.filter(_.stageType == StageType.Source).toSeq
+  def sinkStages: Seq[Stage] =
+    stages.values.filter(_.stageType == StageType.Sink).toSeq
+
+  private def adjacency: Map[String, Seq[String]] =
+    edges.groupBy(_.from).view.mapValues(_.map(_.to)).toMap
+
+  private def reverseAdjacency: Map[String, Seq[String]] =
+    edges.groupBy(_.to).view.mapValues(_.map(_.from)).toMap
+
+  private def reach(start: Iterable[String], adj: Map[String, Seq[String]]): Set[String] = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    val stack = scala.collection.mutable.Stack.empty[String]
+    start.foreach(stack.push)
+    while (stack.nonEmpty) {
+      val s = stack.pop()
+      if (seen.add(s)) adj.getOrElse(s, Nil).foreach(stack.push)
+    }
+    seen.toSet
+  }
+
+  /** DFS cycle detection, returning one offending path (dag.rs:detect_cycle). */
+  def detectCycle: Option[Seq[String]] = {
+    val adj = adjacency
+    val color = scala.collection.mutable.Map.empty[String, Int] // 0 white 1 grey 2 black
+    def dfs(node: String, path: List[String]): Option[Seq[String]] =
+      color.getOrElse(node, 0) match {
+        case 1 => Some((node :: path).reverse.dropWhile(_ != node))
+        case 2 => None
+        case _ =>
+          color(node) = 1
+          val hit = adj.getOrElse(node, Nil).iterator
+            .map(n => dfs(n, node :: path)).collectFirst { case Some(p) => p }
+          color(node) = 2
+          hit
+      }
+    stages.keys.toSeq.sorted.iterator.map(s => dfs(s, Nil)).collectFirst { case Some(p) => p }
+  }
+
+  /** Full validation, mirroring dag.rs:validate — all errors, not fail-fast. */
+  def validate: Seq[ValidationError] = {
+    val errs = scala.collection.mutable.ArrayBuffer.empty[ValidationError]
+    for (e <- edges) {
+      if (!stages.contains(e.from)) errs += MissingStage(e.from)
+      if (!stages.contains(e.to)) errs += MissingStage(e.to)
+    }
+    detectCycle.foreach(p => errs += CycleDetected(p))
+    if (sourceStages.isEmpty) errs += NoSourceStages
+    if (sinkStages.isEmpty) errs += NoSinkStages
+
+    val fromSources = reach(sourceStages.map(_.id), adjacency)
+    val toSinks = reach(sinkStages.map(_.id), reverseAdjacency)
+    for ((id, st) <- stages.toSeq.sortBy(_._1)) {
+      if (!fromSources.contains(id) && st.stageType != StageType.Source)
+        errs += UnreachableFromSource(id)
+      if (!toSinks.contains(id) && st.stageType != StageType.Sink)
+        errs += CannotReachSink(id)
+      val hasIn = edges.exists(_.to == id)
+      val hasOut = edges.exists(_.from == id)
+      val disconnected = st.stageType match {
+        case StageType.Source => !hasOut
+        case StageType.Sink   => !hasIn
+        case _                => !hasIn && !hasOut
+      }
+      if (disconnected) errs += DisconnectedStage(id)
+    }
+    errs.toSeq
+  }
+
+  /** Graphviz export (reference: cli graph --format dot). */
+  def toDot: String = {
+    val sb = new StringBuilder(s"digraph \"$id\" {\n")
+    for ((sid, st) <- stages.toSeq.sortBy(_._1)) {
+      val shape = st.stageType match {
+        case StageType.Source => "invhouse"
+        case StageType.Sink   => "house"
+        case _                => "box"
+      }
+      sb.append(s"""  "$sid" [shape=$shape,label="$sid\\n(${st.stageType})"];""").append('\n')
+    }
+    for (e <- edges) {
+      val lbl = e.condition.map(c => s""" [label="cond"]""").getOrElse("")
+      sb.append(s"""  "${e.from}" -> "${e.to}"$lbl;""").append('\n')
+    }
+    sb.append("}\n").toString
+  }
+}
+
+object PipelineGraph {
+  /** Build the validation graph for a set of linear pipeline manifests. */
+  def fromRegistry(id: String, reg: Registry): PipelineGraph = {
+    val stages = scala.collection.mutable.Map.empty[String, Stage]
+    val edges = scala.collection.mutable.ArrayBuffer.empty[Edge]
+    for (p <- reg.pipelines.values if p.enabled) {
+      stages(p.source) = Stage(p.source, StageType.Source)
+      stages(p.sink) = Stage(p.sink, StageType.Sink)
+      val lookupNames = p.steps.filter(s =>
+        reg.transforms.get(s).exists(_.transformType == "lookup"))
+      p.steps.foreach { s =>
+        val t = if (lookupNames.contains(s)) StageType.Lookup else StageType.Transform
+        stages.getOrElseUpdate(s, Stage(s, t))
+      }
+      val chain = p.source +: p.steps :+ p.sink
+      chain.sliding(2).foreach { case Seq(a, b) => edges += Edge(a, b); case _ => }
+    }
+    PipelineGraph(id, stages.toMap, edges.distinct.toSeq)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.dsl
+
+import scala.jdk.CollectionConverters._
+import org.yaml.snakeyaml.Yaml
+
+/** Multi-document YAML manifest parser (kinds: Source / Transform / Sink /
+  * Pipeline — the reference operator's CRD shapes, with Spark-native spec
+  * payloads). snakeyaml ships on the Spark classpath.
+  */
+object YamlLoader {
+
+  def load(yamlText: String): Registry = {
+    val yaml = new Yaml()
+    val docs = yaml.loadAll(yamlText).asScala.toSeq
+      .collect { case m: java.util.Map[_, _] => toScala(m).asInstanceOf[Map[String, Any]] }
+    docs.foldLeft(Registry()) { (reg, doc) => reg ++ parseDoc(doc) }
+  }
+
+  def loadFile(path: String): Registry =
+    load(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+
+  /** Recursively convert snakeyaml's java collections to Scala. */
+  private def toScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, vv) => k.toString -> toScala(vv) }.toMap
+    case l: java.util.List[_] => l.asScala.map(toScala).toSeq
+    case other                => other
+  }
+
+  private def parseDoc(doc: Map[String, Any]): Registry = {
+    val kind = doc.getOrElse("kind", "").toString
+    val meta = doc.getOrElse("metadata", Map.empty).asInstanceOf[Map[String, Any]]
+    val name = meta.getOrElse("name", sys.error("manifest missing metadata.name")).toString
+    val spec = doc.getOrElse("spec", Map.empty).asInstanceOf[Map[String, Any]]
+
+    def str(k: String, default: String = ""): String = spec.get(k).fold(default)(_.toString)
+
+    kind match {
+      case "Source" =>
+        val opts = spec.get("options")
+          .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString })
+          .getOrElse(Map.empty[String, String])
+        Registry(sources = Map(name ->
+          SourceManifest(name, str("format", "parquet"), str("path"), opts)))
+      case "Transform" =>
+        Registry(transforms = Map(name ->
+          TransformManifest(name, str("type"), spec - "type")))
+      case "Sink" =>
+        val partitions = spec.get("partitionBy")
+          .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
+        Registry(sinks = Map(name ->
+          SinkManifest(name, str("format", "parquet"), str("path"), str("mode", "overwrite"), partitions)))
+      case "Pipeline" =>
+        val steps = spec.get("steps").map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
+        val dlq = spec.get("dlq").map { d0 =>
+          val d = d0.asInstanceOf[Map[String, Any]]
+          DlqSpec(
+            d.getOrElse("sink", "").toString,
+            d.get("maxRetries").fold(3)(_.toString.toInt),
+            d.get("retryBackoffMs").fold(100L)(_.toString.toLong),
+            d.get("maxRetryBackoffMs").fold(30000L)(_.toString.toLong)
+          )
+        }
+        Registry(pipelines = Map(name -> PipelineManifest(
+          name,
+          str("source"),
+          steps,
+          str("sink"),
+          spec.get("enabled").forall(_.toString.toBoolean),
+          dlq
+        )))
+      case other => sys.error(s"unknown manifest kind: $other")
+    }
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dsl._
+
+class DslSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val manifestYaml =
+    """apiVersion: graft/v1
+      |kind: Source
+      |metadata: {name: events-src}
+      |spec: {format: table, path: events}
+      |---
+      |kind: Transform
+      |metadata: {name: filter-purchases}
+      |spec:
+      |  type: filter
+      |  condition:
+      |    all:
+      |      - equals: {field: event_type, value: purchase}
+      |      - gt: {field: value, value: 10}
+      |---
+      |kind: Transform
+      |metadata: {name: enrich-user}
+      |spec:
+      |  type: lookup
+      |  table: users
+      |  keys:
+      |    - {recordField: user_id, lookupKey: uid}
+      |  outputPrefix: "u_"
+      |---
+      |kind: Transform
+      |metadata: {name: shape}
+      |spec:
+      |  type: map
+      |  fields:
+      |    - {target: event_id, source: event_id}
+      |    - {target: spend, expr: "round(value * 2, 2)"}
+      |    - {target: src, literal: dsl}
+      |---
+      |kind: Sink
+      |metadata: {name: out-a}
+      |spec: {format: noop, path: ""}
+      |---
+      |kind: Sink
+      |metadata: {name: out-b}
+      |spec: {format: noop, path: ""}
+      |---
+      |kind: Pipeline
+      |metadata: {name: p1}
+      |spec:
+      |  source: events-src
+      |  steps: [filter-purchases, enrich-user, shape]
+      |  sink: out-a
+      |---
+      |kind: Pipeline
+      |metadata: {name: p2}
+      |spec:
+      |  source: events-src
+      |  steps: [filter-purchases, enrich-user]
+      |  sink: out-b
+      |""".stripMargin
+
+  private lazy val events = Seq(
+    (1L, 100L, "purchase", 50.0),
+    (2L, 200L, "purchase", 5.0),
+    (3L, 100L, "click", 99.0)
+  ).toDF("event_id", "user_id", "event_type", "value")
+
+  private lazy val users = Seq((100L, "alice")).toDF("uid", "name")
+
+  test("YAML loads all four kinds") {
+    val reg = YamlLoader.load(manifestYaml)
+    assert(reg.sources.keySet == Set("events-src"))
+    assert(reg.transforms.keySet == Set("filter-purchases", "enrich-user", "shape"))
+    assert(reg.sinks.keySet == Set("out-a", "out-b"))
+    assert(reg.pipelines.keySet == Set("p1", "p2"))
+    assert(reg.pipelines("p1").steps == Seq("filter-purchases", "enrich-user", "shape"))
+  }
+
+  test("graph validation passes for a well-formed registry") {
+    val reg = YamlLoader.load(manifestYaml)
+    val g = PipelineGraph.fromRegistry("test", reg)
+    assert(g.validate.isEmpty)
+    assert(g.stages("enrich-user").stageType == StageType.Lookup)
+  }
+
+  test("validation reports cycles, unreachable and disconnected stages") {
+    import ValidationError._
+    val g = PipelineGraph(
+      "bad",
+      Map(
+        "src" -> Stage("src", StageType.Source),
+        "a" -> Stage("a", StageType.Transform),
+        "b" -> Stage("b", StageType.Transform),
+        "orphan" -> Stage("orphan", StageType.Transform),
+        "sink" -> Stage("sink", StageType.Sink)
+      ),
+      Seq(Edge("src", "a"), Edge("a", "b"), Edge("b", "a"), Edge("a", "sink"),
+        Edge("a", "ghost"))
+    )
+    val errs = g.validate
+    assert(errs.exists { case CycleDetected(p) => p.contains("a"); case _ => false })
+    assert(errs.contains(MissingStage("ghost")))
+    assert(errs.contains(DisconnectedStage("orphan")))
+    assert(errs.contains(UnreachableFromSource("orphan")))
+    assert(errs.contains(CannotReachSink("orphan")))
+    assert(PipelineGraph("empty", Map.empty, Seq.empty).validate
+      .exists(_ == NoSourceStages))
+  }
+
+  test("shared prefix detection") {
+    assert(Compiler.sharedPrefix(Seq(Seq("a", "b", "c"), Seq("a", "b", "d"))) == Seq("a", "b"))
+    assert(Compiler.sharedPrefix(Seq(Seq("a"), Seq("b"))) == Seq.empty)
+    assert(Compiler.sharedPrefix(Seq(Seq("a", "b"))) == Seq.empty) // single pipeline: nothing shared
+  }
+
+  test("compile end-to-end: shared prefix cached once, per-pipeline tails applied") {
+    val reg = YamlLoader.load(manifestYaml)
+    val compiled = Compiler.compile(spark, reg,
+      tables = Map("events" -> events, "users" -> users))
+    assert(compiled.keySet == Set("p1", "p2"))
+    assert(compiled("p1").sharedPrefix == Seq("filter-purchases", "enrich-user"))
+
+    val p1 = compiled("p1").frame
+    assert(p1.columns.toSeq == Seq("event_id", "spend", "src"))
+    assert(rows(p1) == Seq(Seq(1L, 100.0, "dsl")))
+
+    val p2 = compiled("p2").frame
+    val r = p2.select("event_id", "u_name").as[(Long, Option[String])].collect().toSeq
+    assert(r == Seq((1L, Some("alice"))))
+  }
+
+  test("DOT export names all stages and edges") {
+    val reg = YamlLoader.load(manifestYaml)
+    val dot = PipelineGraph.fromRegistry("t", reg).toDot
+    assert(dot.contains("digraph"))
+    assert(dot.contains("\"events-src\" -> \"filter-purchases\""))
+    assert(dot.contains("shape=house"))
+  }
+
+  test("condition parser covers the full matcher algebra") {
+    import graft.model._
+    val c = Compiler.parseCondition(Map("all" -> Seq(
+      Map("any" -> Seq(
+        Map("equals" -> Map("field" -> "a", "value" -> "x")),
+        Map("matches" -> Map("field" -> "a", "pattern" -> "^y"))
+      )),
+      Map("not" -> Map("lte" -> Map("field" -> "n", "value" -> 5))),
+      Map("exists" -> "b")
+    )))
+    assert(c == And(Seq(
+      Or(Seq(FieldEquals("a", "x"), FieldMatches("a", "^y"))),
+      Not(FieldLte("n", 5.0)),
+      FieldExists("b")
+    )))
+  }
+}
