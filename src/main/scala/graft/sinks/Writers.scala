@@ -1,0 +1,74 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.RetryPolicy
+
+/** Sink writers with delivery-mode semantics (types.rs:703-759 sink configs,
+  * source.proto ack/idempotency contract).
+  *
+  * Delivery modes, Spark-first:
+  *  - AtLeastOnce: plain append; a retried job may duplicate rows —
+  *    downstream dedupes on an idempotency key (D3).
+  *  - ExactlyOnce: idempotent re-run via partition overwrite — the writer
+  *    replaces exactly the partitions it produces (dynamic partition
+  *    overwrite), so re-running after a failure converges instead of
+  *    duplicating. This is the batch analog of the reference's
+  *    ACK_STATUS_DUPLICATE-based dedupe: idempotency lives in the layout.
+  */
+object DeliveryMode extends Enumeration { val AtLeastOnce, ExactlyOnce = Value }
+
+final case class SinkConfig(
+    format: String,                  // parquet | csv | json | noop
+    path: String,
+    partitionBy: Seq[String] = Seq.empty,
+    mode: DeliveryMode.Value = DeliveryMode.ExactlyOnce,
+    options: Map[String, String] = Map.empty,
+    retry: RetryPolicy = RetryPolicy()
+)
+
+object Writers {
+
+  /** Write with delivery semantics + retry/backoff (policy.rs). Transient
+    * write failures retry with exponential backoff; at-least-once appends,
+    * exactly-once overwrites only the partitions present in this batch.
+    */
+  def write(df: DataFrame, sink: SinkConfig): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    if (sink.mode == DeliveryMode.ExactlyOnce && sink.partitionBy.nonEmpty)
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      var attempt = 0
+      var done = false
+      while (!done) {
+        try { doWrite(df, sink); done = true }
+        catch {
+          case e: Throwable if sink.retry.shouldRetry(attempt) =>
+            Thread.sleep(sink.retry.backoffDurationMs(attempt))
+            attempt += 1
+          case e: Throwable => throw e
+        }
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  private def doWrite(df: DataFrame, sink: SinkConfig): Unit = {
+    val saveMode = sink.mode match {
+      case DeliveryMode.AtLeastOnce => "append"
+      case DeliveryMode.ExactlyOnce => "overwrite"
+    }
+    val w0 = df.write.mode(saveMode).options(sink.options)
+    val w = if (sink.partitionBy.nonEmpty) w0.partitionBy(sink.partitionBy: _*) else w0
+    sink.format match {
+      case "parquet" => w.parquet(sink.path)
+      case "csv"     => w.option("header", "true").csv(sink.path)
+      case "json"    => w.json(sink.path)
+      case "noop"    => w.format("noop").save()
+      case other     => sys.error(s"unknown sink format: $other")
+    }
+  }
+}

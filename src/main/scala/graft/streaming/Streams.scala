@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.Row
+
+/** Structured-Streaming variants of the stateful operators — the streaming
+  * half of types.rs:540-697 plus the fan-in watermark semantics of
+  * watermark.rs, expressed through Spark's native event-time machinery:
+  *
+  *  - `withWatermark` per input; on a union Spark advances the query
+  *    watermark as the MIN across inputs — exactly the reference's
+  *    min-combine rule (watermark.rs:101-107)
+  *  - allowed lateness maps to the watermark delay itself: records older
+  *    than (max event time - delay) are dropped by stateful operators
+  *  - idle-source advance maps to
+  *    spark.sql.streaming.multipleWatermarkPolicy / source idleness configs;
+  *    for driver-coordinated pipelines use [[WatermarkTracker]]
+  */
+object Streams {
+
+  /** Event-time watermark wrapper (delay doubles as allowed lateness). */
+  def withLateness(df: DataFrame, eventTimeCol: String, delay: String): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+
+  /** Streaming dedupe by key within the watermark horizon — the streaming
+    * analog of Dedupe keep=first: the first record per key wins, duplicates
+    * arriving within the lateness window are dropped, state is purged as the
+    * watermark passes (types.rs:543-548 with bounded state).
+    */
+  def dedupe(df: DataFrame, keys: Seq[String], eventTimeCol: String, delay: String): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming tumbling/sliding windowed aggregation (types.rs:604-641). */
+  def windowedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      eventTimeCol: String,
+      delay: String,
+      windowDuration: String,
+      slideDuration: Option[String],
+      aggs: Seq[(String, Column)]
+  ): DataFrame = {
+    val w = slideDuration match {
+      case Some(s) => window(col(eventTimeCol), windowDuration, s)
+      case None    => window(col(eventTimeCol), windowDuration)
+    }
+    val named = aggs.map { case (n, c) => c.as(n) }
+    df.withWatermark(eventTimeCol, delay)
+      .groupBy(w +: keys.map(col): _*)
+      .agg(named.head, named.tail: _*)
+  }
+
+  /** Streaming session windows (types.rs:681-697): native session_window —
+    * gap-merged per key, closed once the watermark passes the gap.
+    */
+  def sessionAgg(
+      df: DataFrame,
+      keyCol: String,
+      eventTimeCol: String,
+      delay: String,
+      gap: String,
+      aggs: Seq[(String, Column)]
+  ): DataFrame = {
+    val named = aggs.map { case (n, c) => c.as(n) }
+    df.withWatermark(eventTimeCol, delay)
+      .groupBy(session_window(col(eventTimeCol), gap), col(keyCol))
+      .agg(named.head, named.tail: _*)
+  }
+
+  /** Streaming fan-in (engine.rs:219-229 + watermark.rs): per-source field
+    * mappings normalize schemas, each input carries its own watermark, and
+    * Spark's union semantics min-combine them.
+    */
+  def fanIn(
+      sources: Seq[(DataFrame, Seq[Column])],
+      eventTimeCol: String,
+      delay: String
+  ): DataFrame =
+    sources
+      .map { case (df, projection) =>
+        df.select(projection: _*).withWatermark(eventTimeCol, delay)
+      }
+      .reduce(_.unionByName(_))
+
+  /** File-backed streaming source — the test double for the reference's
+    * network connectors (types.rs:143-383): same reader interface, files
+    * appearing in a directory play the role of arriving batches.
+    */
+  def fileSource(
+      spark: org.apache.spark.sql.SparkSession,
+      format: String,
+      path: String,
+      schemaDDL: String,
+      options: Map[String, String] = Map.empty
+  ): DataFrame =
+    spark.readStream.format(format).schema(schemaDDL).options(options).load(path)
+
+  /** Checkpointed streaming sink (source.proto backup/restore analog:
+    * offsets + operator state live in the checkpoint, restart resumes
+    * exactly where the previous run stopped).
+    */
+  def checkpointedSink(
+      df: DataFrame,
+      format: String,
+      path: String,
+      checkpointDir: String,
+      outputMode: OutputMode = OutputMode.Append()
+  ): DataStreamWriter[Row] =
+    df.writeStream
+      .format(format)
+      .outputMode(outputMode)
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+}

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+/** Multi-source watermark tracker — behavioral re-expression of
+  * conveyor-etl-routing/src/watermark.rs:40-150 for pipeline drivers that
+  * coordinate several input streams outside of Spark's own watermarking.
+  *
+  * Semantics (same observable behavior as the reference):
+  *  - per-source watermark advances monotonically (stale updates ignored)
+  *  - combined watermark = MIN over all sources
+  *  - a record is late iff event_time < combined - allowed_lateness, and
+  *    never late while any source is still at its initial MIN watermark
+  *  - idle sources (no update within their idle timeout) are advanced to
+  *    processing time so one silent input cannot stall the pipeline
+  *
+  * The reference maintains a lazily-cleaned min-heap for O(log n) updates;
+  * with Spark-scale source counts (tens, not millions) a plain min over the
+  * state map is just as fast and simpler — the data-plane work lives in
+  * Spark, not here. Clock is injectable for determinism.
+  */
+final class WatermarkTracker(
+    sourceIds: Seq[String],
+    allowedLatenessMs: Long,
+    nowMs: () => Long = () => System.currentTimeMillis()
+) {
+  private final case class State(
+      var watermark: Long,
+      var lastUpdate: Long,
+      var idleTimeoutMs: Option[Long]
+  )
+
+  private val state: mutable.Map[String, State] = mutable.Map(
+    sourceIds.map(id => id -> State(Long.MinValue, nowMs(), None)): _*
+  )
+
+  def setIdleTimeout(sourceId: String, timeoutMs: Long): Unit =
+    state.get(sourceId).foreach(_.idleTimeoutMs = Some(timeoutMs))
+
+  /** Advance one source; non-monotone updates are ignored (watermark.rs:85-99). */
+  def update(sourceId: String, timestamp: Long): Unit =
+    state.get(sourceId).foreach { s =>
+      if (timestamp > s.watermark) {
+        s.watermark = timestamp
+        s.lastUpdate = nowMs()
+      }
+    }
+
+  /** MIN over per-source watermarks (watermark.rs:101-107). */
+  def combinedWatermark: Long =
+    if (state.isEmpty) Long.MinValue else state.values.map(_.watermark).min
+
+  def sourceWatermark(sourceId: String): Option[Long] =
+    state.get(sourceId).map(_.watermark)
+
+  /** watermark.rs:120-128: never late before every source has reported. */
+  def isLate(eventTime: Long): Boolean = {
+    val combined = combinedWatermark
+    combined != Long.MinValue && eventTime < combined - allowedLatenessMs
+  }
+
+  /** watermark.rs:130-150: push idle sources forward to processing time. */
+  def advanceIdleSources(processingTime: Long): Unit = {
+    val now = nowMs()
+    for ((id, s) <- state)
+      s.idleTimeoutMs.foreach { t =>
+        if (now - s.lastUpdate >= t && processingTime > s.watermark)
+          update(id, processingTime)
+      }
+  }
+
+  def sourceCount: Int = state.size
+}

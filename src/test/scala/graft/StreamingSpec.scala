@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("WatermarkTracker: monotone per-source, min-combine, lateness") {
+    var clock = 0L
+    val t = new WatermarkTracker(Seq("a", "b"), allowedLatenessMs = 1000, nowMs = () => clock)
+    assert(t.combinedWatermark == Long.MinValue)
+    assert(!t.isLate(0)) // never late before all sources report
+    t.update("a", 10000)
+    assert(t.combinedWatermark == Long.MinValue) // b still at MIN
+    t.update("b", 5000)
+    assert(t.combinedWatermark == 5000)
+    t.update("b", 4000) // stale: ignored
+    assert(t.sourceWatermark("b").contains(5000))
+    assert(t.isLate(3999))   // < 5000 - 1000
+    assert(!t.isLate(4000))
+  }
+
+  test("WatermarkTracker: idle sources advance to processing time") {
+    var clock = 0L
+    val t = new WatermarkTracker(Seq("a", "b"), 0, nowMs = () => clock)
+    t.update("a", 100); t.update("b", 200)
+    t.setIdleTimeout("b", 1000)
+    clock = 500
+    t.update("a", 300)
+    clock = 2000 // b idle for 2000ms > 1000ms timeout
+    t.advanceIdleSources(processingTime = 5000)
+    assert(t.sourceWatermark("b").contains(5000))
+    assert(t.sourceWatermark("a").contains(300)) // no idle timeout set
+    assert(t.combinedWatermark == 300)
+  }
+
+  test("streaming dedupe keeps first per key within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val deduped = Streams.dedupe(
+      input.toDF().toDF("id", "v", "ts"), Seq("id"), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "first", ts("2024-01-01 00:00:00")),
+        (1L, "dup", ts("2024-01-01 00:01:00")),
+        (2L, "only", ts("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").select("id", "v").as[(Long, String)].collect().toSet
+      assert(out == Set((1L, "first"), (2L, "only")))
+    } finally q.stop()
+  }
+
+  test("streaming fan-in min-combines watermarks and unions schemas") {
+    implicit val sqlCtx = spark.sqlContext
+    val s1 = MemoryStream[(Long, Timestamp)]
+    val s2 = MemoryStream[(Long, Timestamp)]
+    val unioned = Streams.fanIn(
+      Seq(
+        (s1.toDF().toDF("id", "ts"), Seq(col("id"), col("ts"))),
+        (s2.toDF().toDF("id", "ts"), Seq(col("id"), col("ts")))
+      ), "ts", "5 minutes")
+    val counted = unioned
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+    val q = counted.writeStream.format("memory").queryName("fanin_out")
+      .outputMode("complete").start()
+    try {
+      s1.addData((1L, ts("2024-01-01 00:10:00")))
+      s2.addData((2L, ts("2024-01-01 00:20:00")))
+      q.processAllAvailable()
+      val n = spark.table("fanin_out").agg(sum("n")).as[Long].head()
+      assert(n == 2L)
+    } finally q.stop()
+  }
+
+  test("streaming session window merges events within gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val sess = Streams.sessionAgg(
+      input.toDF().toDF("user_id", "ts"), "user_id", "ts", "10 minutes", "30 minutes",
+      Seq("n" -> count(lit(1))))
+    val q = sess.writeStream.format("memory").queryName("sess_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00")),
+        (1L, ts("2024-01-01 00:10:00")), // same session
+        (1L, ts("2024-01-01 02:00:00"))) // new session
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").select("n").as[Long].collect().toSeq.sorted
+      assert(sessions == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("checkpointed file sink writes and resumes") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.checkpointedSink(
+      input.toDF().toDF("id", "v"), "parquet", s"$dir/data", s"$dir/chk").start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(s"$dir/data").count() == 2)
+    assert(new java.io.File(s"$dir/chk/offsets").exists())
+  }
+}
