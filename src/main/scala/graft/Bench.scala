@@ -23,6 +23,8 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
+      finally spark.catalog.clearCache() // queries are independent; retained
+      // working-set caches would steal memory from later queries
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -1,0 +1,190 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass shingling kernel shared by the codegen expressions below.
+  *
+  * Reproduces EXACTLY the composable-function semantics of
+  * `TextFunctions.normalize` + `split(" ")` + sliding n-gram join:
+  *   1. lowercase (UTF8String.toLowerCase — same as Spark's `lower`)
+  *   2. drop every byte not in [a-z0-9 ] (multi-byte UTF-8 sequences are all
+  *      >= 0x80, so they are dropped just as the regex removes the chars)
+  *   3. collapse space runs, trim
+  *   4. empty text yields ONE empty token (String.split behavior), so
+  *      n == 1 on empty text yields [""] like the HOF formulation
+  *   5. shingle i = tokens[i..i+n-1] joined with single spaces; fewer than n
+  *      tokens -> empty array
+  */
+object ShingleKernel {
+
+  private def tokenBounds(s: UTF8String): (Array[Byte], Array[Int]) = {
+    val lower = s.toLowerCase.getBytes
+    val out = new Array[Byte](lower.length)
+    var w = 0
+    var lastSpace = true // leading spaces trimmed
+    var i = 0
+    while (i < lower.length) {
+      val b = lower(i)
+      if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) {
+        out(w) = b; w += 1; lastSpace = false
+      } else if (b == ' ' && !lastSpace) {
+        out(w) = ' '; w += 1; lastSpace = true
+      }
+      i += 1
+    }
+    if (w > 0 && out(w - 1) == ' ') w -= 1 // trailing space
+    // token start offsets into out[0, w)
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    var j = 0
+    while (j < w) { if (out(j) == ' ') starts += j + 1; j += 1 }
+    starts += w + 1 // sentinel: start of "one past last token" (w+1 skips virtual space)
+    (out, starts.toArray)
+  }
+
+  /** Shingle i spans bytes [starts(i), starts(i+n) - 2] (drop the separator). */
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val (bytes, starts) = tokenBounds(s)
+    val nTokens = starts.length - 1
+    if (nTokens < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nTokens - n + 1)
+    var i = 0
+    while (i < out.length) {
+      val from = starts(i)
+      val until = starts(i + n) - 1
+      out(i) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, from, until))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def hashShingles(s: UTF8String, n: Int)(pack: Array[Byte] => Long): ArrayData = {
+    val (bytes, starts) = tokenBounds(s)
+    val nTokens = starts.length - 1
+    if (nTokens < n) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](nTokens - n + 1)
+    var i = 0
+    while (i < out.length) {
+      md.reset()
+      md.update(bytes, starts(i), starts(i + n) - 1 - starts(i))
+      out(i) = pack(md.digest())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** hash32 (first 8 md5 hex digits as unsigned int) of each shingle —
+    * identical to `conv(substring(md5(shingle),1,8),16,10)` — without
+    * materializing the shingle string array.
+    */
+  def shingleHashes(s: UTF8String, n: Int): ArrayData =
+    hashShingles(s, n) { d =>
+      // first 4 digest bytes == first 8 hex digits, as an unsigned 32-bit int
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+
+  /** hash60 (first 15 md5 hex digits) of each shingle — identical to
+    * `conv(substring(md5(x),1,15),16,10)`: 7 full digest bytes plus the high
+    * nibble of the 8th.
+    */
+  def shingleHashes60(s: UTF8String, n: Int): ArrayData =
+    hashShingles(s, n) { d =>
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      (v << 4) | ((d(7) & 0xf0L) >> 4)
+    }
+}
+
+sealed abstract class ShingleExpressionBase extends UnaryExpression {
+  def n: Int
+  protected def kernelCall: String // static method name on ShingleKernel
+
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expects STRING, got ${child.dataType}")
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleKernel.$kernelCall($c, $n)")
+}
+
+/** Codegen'd word n-gram shingles: array<string>. */
+case class WordShingles(child: Expression, n: Int) extends ShingleExpressionBase {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def kernelCall: String = "shingles"
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.shingles(input.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** Codegen'd per-shingle hash32 values: array<long> (MinHash base hashes). */
+case class WordShingleHash32(child: Expression, n: Int) extends ShingleExpressionBase {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def kernelCall: String = "shingleHashes"
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.shingleHashes(input.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHash32 =
+    copy(child = newChild)
+}
+
+/** Codegen'd per-shingle hash60 values: array<long> (SimHash token hashes). */
+case class WordShingleHash60(child: Expression, n: Int) extends ShingleExpressionBase {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def kernelCall: String = "shingleHashes60"
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernel.shingleHashes60(input.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHash60 =
+    copy(child = newChild)
+}
+
+object SimHashKernel {
+  /** Same result as the per-bit fold formulation
+    * (HashFunctions.simhashFromHashes): bit b of the signature is set iff
+    * the sum over hashes of (bit b set ? +1 : -1) is positive. One pass
+    * over the hash array instead of `bits` interpreted folds.
+    */
+  def simhash(hashes: ArrayData, bits: Int): Long = {
+    val votes = new Array[Int](bits)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var b = 0
+      while (b < bits) {
+        votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+}
+
+/** Codegen'd whole-signature SimHash over an array<long> of token hashes. */
+case class SimHashSignature(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"expects ARRAY<BIGINT>, got $t")
+  }
+  override def nullSafeEval(input: Any): Any =
+    SimHashKernel.simhash(input.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashKernel.simhash($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashSignature =
+    copy(child = newChild)
+}

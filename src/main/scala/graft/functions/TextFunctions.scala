@@ -9,14 +9,19 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
   /** Lowercased, punctuation-stripped, whitespace-collapsed text — the
     * canonical form used by fingerprinting and dedup.
     */
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
 
-  /** Whitespace tokens of already-normalized text. */
-  def tokens(text: Column): Column = split(normalize(text), " ")
+  /** Whitespace tokens of normalized text — codegen'd kernel (tokens are
+    * exactly 1-gram shingles). Same result as `split(normalize(text), " ")`.
+    */
+  def tokens(text: Column): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), 1))
 
   /** Whitespace token count (empty string → 0). */
   def tokenCount(text: Column): Column =
@@ -33,9 +38,31 @@ object TextFunctions {
 
   /** Word n-gram shingles over normalized text (n consecutive tokens joined
     * by a space). Documents with fewer than n tokens yield an empty array.
+    * Codegen'd one-pass kernel ([[ShingleKernel]]); [[wordShinglesHof]] is
+    * the composable-function formulation it is tested against.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def wordShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** Per-shingle hash32 base hashes (MinHash input) without materializing
+    * shingle strings.
+    */
+  def wordShingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingleHash32(ColumnBridge.expression(text), n))
+
+  /** Per-token hash60 values (SimHash input): tokens are 1-gram shingles. */
+  def tokenHashes60(text: Column): Column =
+    ColumnBridge.column(WordShingleHash60(ColumnBridge.expression(text), 1))
+
+  /** One-pass SimHash signature over an array<long> of token hashes. */
+  def simhashSignature(hashes: Column, bits: Int = 60): Column =
+    ColumnBridge.column(SimHashSignature(ColumnBridge.expression(hashes), bits))
+
+  /** Reference HOF formulation of [[wordShingles]] — kept for the
+    * equivalence spec and as documentation of the exact semantics.
+    */
+  private[graft] def wordShinglesHof(text: Column, n: Int): Column = {
+    val toks = split(normalize(text), " ")
     val count = size(toks)
     when(count < n, array().cast("array<string>")).otherwise(
       transform(

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native codegen'd dot product over two numeric array columns.
+  *
+  * Semantics match the portable HOF formulation
+  * `aggregate(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double)), 0.0, _+_)`
+  * exactly — elements widened to double, accumulated left-to-right, null
+  * element or length mismatch yields NULL — but runs as a tight generated
+  * Java loop instead of per-element interpreted lambda dispatch (~10× on
+  * 64-dim float embeddings). This is the hot kernel of every cosine-based
+  * operator (near-dup pairs, ANN top-k), worth the custom-Expression tier
+  * of the extension ladder.
+  */
+case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType | IntegerType | LongType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vector_dot needs numeric array inputs, got ${left.dataType} and ${right.dataType}")
+
+  private def get(a: ArrayData, t: DataType, i: Int): Double = t match {
+    case FloatType   => a.getFloat(i).toDouble
+    case DoubleType  => a.getDouble(i)
+    case IntegerType => a.getInt(i).toDouble
+    case LongType    => a.getLong(i).toDouble
+    case _           => throw new IllegalStateException(s"unsupported element type $t")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val (ta, tb) = (elemType(left).get, elemType(right).get)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += get(a, ta, i) * get(b, tb, i)
+      i += 1
+    }
+    acc
+  }
+
+  private def javaGetter(t: DataType, arr: String, i: String): String = t match {
+    case FloatType   => s"(double) $arr.getFloat($i)"
+    case DoubleType  => s"$arr.getDouble($i)"
+    case IntegerType => s"(double) $arr.getInt($i)"
+    case LongType    => s"(double) $arr.getLong($i)"
+    case _           => throw new IllegalStateException(s"unsupported element type $t")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      val getA = javaGetter(elemType(left).get, a, i)
+      val getB = javaGetter(elemType(right).get, b, i)
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $acc += ($getA) * ($getB);
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}

@@ -88,9 +88,10 @@ object Dedup {
       n: Int,
       k: Int
   ): DataFrame =
+    // Distinctness is irrelevant under min, so the codegen'd kernel emits
+    // the hash multiset directly — no shingle strings, no dedup pass.
     docs
-      .select(col(idCol).as("doc"), array_distinct(T.wordShingles(col(textCol), n)).as("sh"))
-      .select(col("doc"), transform(col("sh"), s => H.hash32(s)).as("hs"))
+      .select(col(idCol).as("doc"), T.wordShingleHashes(col(textCol), n).as("hs"))
       .select(col("doc"), H.minhashFromHashes(col("hs"), k).as("sig"))
 
   /** MinHash + LSH near-dup pairs: band-bucket join for candidates, then
@@ -148,10 +149,10 @@ object Dedup {
     val bits = 60
     val chunks = maxHamming + 1
     val sigs = docs
-      // Projection boundary: one md5 pass over the tokens, then 60 cheap
-      // integer folds — inlined, Catalyst would re-hash per bit.
-      .select(col(idCol).as("doc"), transform(T.tokens(col(textCol)), t => H.hash60(t)).as("th"))
-      .select(col("doc"), H.simhashFromHashes(col("th"), bits).as("sig"))
+      // Two codegen'd kernels: md5 pass over tokens, then the one-pass
+      // signature fold (the 60 per-bit HOF folds were the hot spot).
+      .select(col(idCol).as("doc"), T.tokenHashes60(col(textCol)).as("th"))
+      .select(col("doc"), T.simhashSignature(col("th"), bits).as("sig"))
       .cache()
     val chunked = sigs.select(
       col("doc"),

@@ -28,6 +28,46 @@ class OpsSpec extends SparkSpec {
     assert(m(2) == Seq.empty)
   }
 
+  test("codegen shingle kernel matches the HOF formulation on tricky inputs") {
+    val tricky = Seq(
+      "plain words here",
+      "Punct,uation! splits?no: it-doesnt",
+      "  MiXeD   Case \t tabs\nnewlines  ",
+      "", "   ", "one", "two words",
+      "unicode Ünïcödé dropped größe 漢字 ok",
+      "digits 123 mix3d t0kens 42"
+    ).zipWithIndex.toDF("text", "id")
+    for (n <- Seq(1, 2, 3)) {
+      val fast = tricky.select(col("id"), T.wordShingles(col("text"), n).as("s"))
+        .as[(Int, Seq[String])].collect().toMap
+      val hof = tricky.select(col("id"), T.wordShinglesHof(col("text"), n).as("s"))
+        .as[(Int, Seq[String])].collect().toMap
+      assert(fast == hof, s"n=$n")
+    }
+    // hash kernel == md5-conv of the shingle strings
+    val hk = tricky.select(col("id"), T.wordShingleHashes(col("text"), 2).as("h"))
+      .as[(Int, Seq[Long])].collect().toMap
+    val hv = tricky.select(col("id"),
+      transform(T.wordShingles(col("text"), 2), s => H.hash32(s)).as("h"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(hk == hv)
+    // hash60 kernel == md5-conv of the token strings
+    val h60k = tricky.select(col("id"), T.tokenHashes60(col("text")).as("h"))
+      .as[(Int, Seq[Long])].collect().toMap
+    val h60v = tricky.select(col("id"),
+      transform(T.tokens(col("text")), t => H.hash60(t)).as("h"))
+      .as[(Int, Seq[Long])].collect().toMap
+    assert(h60k == h60v)
+    // one-pass simhash kernel == per-bit fold formulation
+    val sk = tricky.select(col("id"), T.simhashSignature(T.tokenHashes60(col("text"))).as("s"))
+      .as[(Int, Long)].collect().toMap
+    val sv = tricky
+      .select(col("id"), T.tokenHashes60(col("text")).as("th"))
+      .select(col("id"), H.simhashFromHashes(col("th")).as("s"))
+      .as[(Int, Long)].collect().toMap
+    assert(sk == sv)
+  }
+
   test("fingerprint is md5 of normalized text") {
     val df = Seq(("Hello  WORLD", 1), ("hello world", 2)).toDF("text", "id")
     val fps = df.select(T.fingerprint(col("text"))).as[String].collect()
