@@ -462,6 +462,12 @@ object SparkEntry {
       k = 5, planes = 8, dim = 64)
       .orderBy(col("q_id"), col("rank"))
 
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.ivfTopK(
+      emb(s, dir), emb(s, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nCells = 16, nProbe = 4)
+      .orderBy(col("q_id"), col("rank"))
+
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), TF.langPredict(col("text")).as("pred_lang"))
@@ -570,6 +576,7 @@ object SparkEntry {
     "q_neardup_cosine" -> (qNeardupCosine _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _),
     "q_lang_id" -> (qLangId _),
     "q_quality" -> (qQuality _),
     "q_token_count" -> (qTokenCount _),
@@ -925,6 +932,51 @@ object SparkEntry {
         |  JOIN buckets bq ON bc.bucket = bq.bucket
         |  JOIN embeddings q ON q.vec_id = bq.vec_id AND q.vec_id < 10
         |  WHERE c.vec_id <> q.vec_id
+        |)
+        |SELECT q_id, rank, n_id, cosine FROM (
+        |  SELECT q_id, n_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+        |  FROM scored
+        |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_vec FROM (
+        |    SELECT vec_id, embedding,
+        |      row_number() OVER (ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id) AS r
+        |    FROM embeddings
+        |  ) WHERE r <= 16
+        |), corpus_cells AS (
+        |  SELECT _aid, cent_id FROM (
+        |    SELECT _aid, cent_id, row_number() OVER (PARTITION BY _aid ORDER BY csim DESC, cent_id) AS cr
+        |    FROM (
+        |      SELECT e.vec_id AS _aid, c.cent_id,
+        |        round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])) /
+        |          (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |           sqrt(list_dot_product(CAST(c.cent_vec AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])))), 6) AS csim
+        |      FROM embeddings e CROSS JOIN cents c
+        |    )
+        |  ) WHERE cr = 1
+        |), query_cells AS (
+        |  SELECT _aid, cent_id FROM (
+        |    SELECT _aid, cent_id, row_number() OVER (PARTITION BY _aid ORDER BY csim DESC, cent_id) AS cr
+        |    FROM (
+        |      SELECT q.vec_id AS _aid, c.cent_id,
+        |        round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])) /
+        |          (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |           sqrt(list_dot_product(CAST(c.cent_vec AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])))), 6) AS csim
+        |      FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10
+        |    )
+        |  ) WHERE cr <= 4
+        |), scored AS (
+        |  SELECT DISTINCT qc._aid AS q_id, cc._aid AS n_id,
+        |    round(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(ne.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(ne.embedding AS DOUBLE[]), CAST(ne.embedding AS DOUBLE[])))), 6) AS cosine
+        |  FROM query_cells qc
+        |  JOIN corpus_cells cc ON qc.cent_id = cc.cent_id
+        |  JOIN embeddings qe ON qe.vec_id = qc._aid
+        |  JOIN embeddings ne ON ne.vec_id = cc._aid
+        |  WHERE cc._aid <> qc._aid
         |)
         |SELECT q_id, rank, n_id, cosine FROM (
         |  SELECT q_id, n_id, cosine,

@@ -79,6 +79,66 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
   }
 
+  /** IVF-flat approximate top-k — the second scale path besides LSH.
+    *
+    * Coarse quantizer: `nCells` corpus vectors chosen DETERMINISTICALLY
+    * (smallest md5-hash32 of the id — a reproducible pseudo-random sample,
+    * so results are exactly oracle-checkable, unlike k-means centroids).
+    * Every vector is assigned to its nearest centroid by cosine; a query
+    * probes its `nProbe` nearest cells and ranks only those cells' vectors.
+    *
+    * At 100 TB: the centroid table is tiny and broadcast; assignment is one
+    * scan; the candidate join shuffles on cell id only — no cross join.
+    * Recall tunes with nProbe (nProbe == nCells degenerates to brute force).
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int,
+      nProbe: Int
+  ): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    val cents = corpus
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
+        H.hash32(col(idCol).cast("string")).as("_h"))
+      .withColumn("_r", row_number().over(Window.orderBy(col("_h"), col("cent_id"))))
+      .filter(col("_r") <= nCells)
+      .select(col("cent_id"), col("cent_vec"))
+
+    def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {
+      val scored = df
+        .select(col(id).as("_aid"), col(vec).as("_avec"))
+        .join(broadcast(cents))
+        .select(
+          col("_aid"), col("_avec"), col("cent_id"),
+          V.cosine(col("_avec"), col("cent_vec")).as("_csim")
+        )
+      val w = Window.partitionBy("_aid").orderBy(col("_csim").desc, col("cent_id"))
+      scored.withColumn("_cr", row_number().over(w))
+        .filter(col("_cr") <= probes)
+        .select(col("_aid"), col("_avec"), col("cent_id"))
+    }
+
+    val corpusCells = assign(corpus, idCol, vecCol, probes = 1)
+      .select(col("_aid").as("n_id"), col("_avec").as("n_vec"), col("cent_id"))
+    val queryCells = assign(queries, idCol, vecCol, probes = nProbe)
+      .select(col("_aid").as("q_id"), col("_avec").as("q_vec"), col("cent_id"))
+
+    val scored = corpusCells
+      .join(queryCells, Seq("cent_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), V.cosine(col("q_vec"), col("n_vec")).as("cosine"))
+      .distinct() // a (q,n) pair can meet in several probed cells
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold among candidates blocked
     * by a coarse key (label, LSH bucket, ...). Blocking keeps the pair count
     * linear-ish; pass a constant column to force all-pairs (test scale only).

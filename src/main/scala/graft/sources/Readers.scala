@@ -53,6 +53,51 @@ object Readers {
 
   /** types.rs "lines" source — one string row per line. */
   def lines(s: SparkSession, path: String): DataFrame = s.read.text(path)
+
+  /** Avro source (types.rs avro config). The spark-avro module is not
+    * bundled in this image's /opt/spark/jars; the wrapper keeps the
+    * interface and fails with an actionable message instead of a
+    * ClassNotFoundException deep inside the DataSource registry.
+    */
+  def avro(s: SparkSession, path: String): DataFrame =
+    try s.read.format("avro").load(path)
+    catch {
+      case e: ClassNotFoundException =>
+        throw new UnsupportedOperationException(
+          "avro source requires the org.apache.spark:spark-avro module on the classpath", e)
+      case e: org.apache.spark.sql.AnalysisException if e.getMessage.contains("avro") =>
+        throw new UnsupportedOperationException(
+          "avro source requires the org.apache.spark:spark-avro module on the classpath", e)
+    }
+
+  /** JDBC source (types.rs postgres/mysql configs). Standard partitioned
+    * read: `partitionColumn` + bounds split the table into `numPartitions`
+    * parallel range scans. Driver jars are deployment-provided.
+    */
+  def jdbc(
+      s: SparkSession,
+      url: String,
+      table: String,
+      partitionColumn: Option[String] = None,
+      lowerBound: Long = 0L,
+      upperBound: Long = 0L,
+      numPartitions: Int = 1,
+      options: Map[String, String] = Map.empty
+  ): DataFrame = {
+    val base = s.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(options)
+    partitionColumn match {
+      case Some(c) =>
+        base.option("partitionColumn", c)
+          .option("lowerBound", lowerBound)
+          .option("upperBound", upperBound)
+          .option("numPartitions", numPartitions)
+          .load()
+      case None => base.load()
+    }
+  }
 }
 
 /** Test-table loader for the driver's synthetic TPC-H-ish data. `events.ts`

@@ -136,6 +136,23 @@ class OpsSpec extends SparkSpec {
     assert(topk == Map(1 -> 3L, 2 -> 2L)) // cos: v3=0.707, v2=0, v4=-1
   }
 
+  test("ivfTopK with full probing equals brute force") {
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 7.3 + d * 1.7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") <= 3)
+    val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", 4)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    val ivfFull = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+      k = 4, nCells = 6, nProbe = 6) // probe every cell -> exact
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivfFull == brute)
+    // partial probing returns at most k per query and only valid neighbors
+    val ivf = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+      k = 4, nCells = 6, nProbe = 2)
+    assert(ivf.groupBy("q_id").count().select("count").as[Long].collect().forall(_ <= 4))
+  }
+
   test("planeWeight matches its md5 definition") {
     // md5("0_0") = bd... first 8 hex digits determine the weight
     val hex = java.security.MessageDigest.getInstance("MD5")
