@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skew that AQE's skew-join split cannot fix alone
+  * (e.g. one key holding >50% of a 100 TB fact table, joined to a
+  * non-broadcastable right side).
+  *
+  * Standard construction: the skewed left side gets a per-row salt in
+  * [0, buckets); the right side is replicated once per salt value; the join
+  * key becomes (key, salt), splitting each hot key's rows across `buckets`
+  * reducers. Result is IDENTICAL to the unsalted join (each left row meets
+  * each matching right row exactly once — on its own salt replica).
+  *
+  * Prefer, in order: broadcast (dimension side small), AQE skew-join
+  * (moderate skew), salting (extreme skew, both sides large). Right-side
+  * replication multiplies its shuffle volume by `buckets` — keep buckets
+  * minimal and consider pre-filtering the hot keys into a separate salted
+  * join while the long tail joins unsalted.
+  */
+final case class SaltedEquiJoin(
+    right: DataFrame,
+    leftKey: String,
+    rightKey: String,
+    buckets: Int,
+    joinType: String = "inner"
+) extends Transform {
+  require(buckets > 1, "salting needs at least 2 buckets")
+  require(
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti").contains(joinType.toLowerCase.replace(" ", "")),
+    "salting replicates the right side; right/full joins would duplicate " +
+      "unmatched right rows — use the unsalted join for those")
+
+  def apply(left: DataFrame): DataFrame = {
+    // rand() is seeded per task attempt; the salt value never affects the
+    // join RESULT, only row placement, so retries stay correct.
+    val salted = left.withColumn("_salt", (rand(seed = 42) * buckets).cast("int"))
+    val replicated = right.withColumn("_salt", explode(sequence(lit(0), lit(buckets - 1))))
+    salted
+      .join(replicated,
+        salted(leftKey) === replicated(rightKey) && salted("_salt") === replicated("_salt"),
+        joinType)
+      .drop("_salt")
+  }
+}

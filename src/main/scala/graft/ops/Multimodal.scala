@@ -54,6 +54,11 @@ object Multimodal {
       while (i < blob.length) { out(i % 8) += (blob(i) & 0xff) / 255.0f; i += 1 }
       out
     }
+    /** Fake resize: deterministic w*h/64-byte downsample of the blob. */
+    def resize(blob: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val n = math.max(w * h / 64, 1)
+      Array.tabulate(n)(i => if (blob.isEmpty) 0.toByte else blob(i % blob.length))
+    }
   }
 
   /** Per-partition batched "decode": the Scala analog of mapInPandas — rows
@@ -87,4 +92,71 @@ object Multimodal {
     }
     spark.createDataFrame(rows, outSchema)
   }
+
+  /** Video-style frame sampling: one input blob row → up to `nFrames` rows
+    * (id, frame_idx, frame bytes, frame hash). Same batched per-partition
+    * shape; output row count is bounded by nFrames per input, so the
+    * explode cannot blow a partition past memory at any input size.
+    */
+  def sampleFrames(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      nFrames: Int
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      Seq(
+        StructField("id", LongType),
+        StructField("frame_idx", IntegerType),
+        StructField("frame", BinaryType),
+        StructField("frame_hash", StringType)
+      )
+    )
+    val input: Dataset[Row] = df.select(col(idCol).cast("long"), col(blobCol))
+    val rows = input.rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val blob = r.getAs[Array[Byte]](1)
+        StubCodecs.frameSample(blob, nFrames).zipWithIndex.map { case (frame, i) =>
+          Row(id, i, frame, md5Hex(frame))
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Image resize stub: deterministic on (blob, w, h) — a real codec slots
+    * into [[StubCodecs.resize]] without touching the plumbing. Output keeps
+    * the input id plus resized bytes and the new dimensions.
+    */
+  def resizeImages(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      width: Int,
+      height: Int
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(
+      Seq(
+        StructField("id", LongType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("image", BinaryType)
+      )
+    )
+    val input: Dataset[Row] = df.select(col(idCol).cast("long"), col(blobCol))
+    val rows = input.rdd.mapPartitions { it =>
+      it.map { r =>
+        Row(r.getLong(0), width, height,
+          StubCodecs.resize(r.getAs[Array[Byte]](1), width, height))
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
 }

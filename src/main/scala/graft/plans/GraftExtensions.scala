@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftbridge.FunctionBridge
+
+import graft.functions._
+
+/** SQL surface for graft's codegen kernels.
+  *
+  * Two registration paths:
+  *  - new sessions: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (or `.withExtensions(new GraftExtensions)`)
+  *  - existing sessions: `GraftExtensions.register(spark)`
+  *
+  * After registration `spark.sql(...)` can call:
+  *   vector_dot(arr, arr), word_shingles(text, n),
+  *   word_shingle_hash32(text, n), word_shingle_hash60(text, n),
+  *   simhash_signature(hash_array[, bits])
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        (exprs: Seq[Expression]) => builder(exprs)
+      ))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _)   => v
+    case Literal(v: Long, _)  => v.toInt
+    case Literal(v: Short, _) => v.toInt
+    case Literal(v: Byte, _)  => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got: $other")
+  }
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vector_dot" -> (es => VectorDot(es(0), es(1))),
+    "word_shingles" -> (es => WordShingles(es(0), intArg(es(1), "n"))),
+    "word_shingle_hash32" -> (es => WordShingleHash32(es(0), intArg(es(1), "n"))),
+    "word_shingle_hash60" -> (es => WordShingleHash60(es(0), intArg(es(1), "n"))),
+    "simhash_signature" -> (es =>
+      SimHashSignature(es(0), if (es.size > 1) intArg(es(1), "bits") else 60))
+  )
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      FunctionBridge.registerTemp(spark, name, builder)
+    }
+}

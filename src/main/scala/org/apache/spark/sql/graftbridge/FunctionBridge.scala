@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` session function registry, so graft's
+  * custom Expressions can be exposed as SQL-callable functions on an
+  * already-built session (the extensions path covers new sessions).
+  */
+object FunctionBridge {
+  def registerTemp(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression
+  ): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+}

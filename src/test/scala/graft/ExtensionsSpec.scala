@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.GraftExtensions
+import graft.operators._
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kernels callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot,
+        |  word_shingles('A b; c', 2) AS sh,
+        |  word_shingle_hash32('a b', 1) AS h32,
+        |  simhash_signature(word_shingle_hash60('hello world', 1)) AS sig
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getSeq[String](1) == Seq("a b", "b c"))
+    // md5('a') first 8 hex as unsigned int
+    val expectA = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("a".getBytes).map("%02x".format(_)).mkString.substring(0, 8), 16)
+    assert(r.getSeq[Long](2).head == expectA)
+    assert(r.getLong(3) != 0L)
+  }
+
+  test("non-literal n argument is rejected with a clear error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      Seq(("ab", 2)).toDF("t", "n").selectExpr("word_shingles(t, n)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
+  test("SaltedEquiJoin matches the unsalted join exactly") {
+    // skewed left: 900 rows of key 1, tail of 100 distinct keys
+    val left = ((1 to 900).map(_ => 1L) ++ (2L to 101L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "row_id")
+    val right = (1L to 50L).map(k => (k, s"dim_$k")).toDF("rk", "v")
+
+    val plain = left.join(right, left("k") === right("rk"), "inner")
+      .select("row_id", "v").as[(Long, String)].collect().toSet
+    val salted = SaltedEquiJoin(right, "k", "rk", buckets = 8)(left)
+      .select("row_id", "v").as[(Long, String)].collect().toSet
+    assert(salted == plain)
+
+    val plainLeft = left.join(right, left("k") === right("rk"), "left")
+      .select("row_id", "v").as[(Long, Option[String])].collect().toSet
+    val saltedLeft = SaltedEquiJoin(right, "k", "rk", buckets = 8, joinType = "left")(left)
+      .select("row_id", "v").as[(Long, Option[String])].collect().toSet
+    assert(saltedLeft == plainLeft)
+
+    intercept[IllegalArgumentException](SaltedEquiJoin(right, "k", "rk", 8, "full"))
+  }
+
+  test("multimodal frame sampling and resize keep bounded deterministic output") {
+    val df = Seq((1L, "0123456789abcdef"), (2L, "xy")).toDF("id", "s")
+      .withColumn("blob", col("s").cast("binary"))
+    val frames = graft.ops.Multimodal.sampleFrames(df, "id", "blob", nFrames = 4)
+    assert(frames.columns.toSeq == Seq("id", "frame_idx", "frame", "frame_hash"))
+    assert(frames.filter(col("id") === 1).count() == 4)
+    val again = graft.ops.Multimodal.sampleFrames(df, "id", "blob", 4)
+    def hashes(f: org.apache.spark.sql.DataFrame) =
+      f.orderBy("id", "frame_idx").select("id", "frame_idx", "frame_hash")
+        .as[(Long, Int, String)].collect().toSeq
+    assert(hashes(frames) == hashes(again))
+
+    val resized = graft.ops.Multimodal.resizeImages(df, "id", "blob", 16, 16)
+    assert(resized.columns.toSeq == Seq("id", "width", "height", "image"))
+    assert(resized.select("width").as[Int].collect().forall(_ == 16))
+  }
+}

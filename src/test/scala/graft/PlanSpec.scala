@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FormattedMode
+import graft.model._
+import graft.operators._
+
+/** Guards the scale-critical plan shapes: predicate pushdown, column
+  * pruning, broadcast joins. A regression here is invisible at test scale
+  * and catastrophic at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val parquetDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan").toString
+    (1 to 100).map(i => (i.toLong, s"name_$i", i * 1.5, if (i % 2 == 0) "A" else "B"))
+      .toDF("id", "name", "amount", "grp")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  test("Condition filters push down to the parquet scan") {
+    val df = spark.read.parquet(parquetDir)
+    val plan = formatted(
+      Filter(And(Seq(FieldEquals("grp", "A"), FieldGt("amount", 30))))(df))
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("EqualTo(grp,A)"), plan)
+    // try_cast(amount as double) > 30 on a double column still pushes down
+    assert(plan.contains("GreaterThan(amount,30.0)"), plan)
+  }
+
+  test("Project prunes the scan schema") {
+    val df = spark.read.parquet(parquetDir)
+    val plan = formatted(Project(Seq("id", "grp"))(df))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("id") && readSchema.contains("grp"))
+    assert(!readSchema.contains("amount") && !readSchema.contains("name"))
+  }
+
+  test("Lookup compiles to a broadcast hash join") {
+    val facts = spark.read.parquet(parquetDir)
+    val dim = Seq((1L, "x")).toDF("k", "v")
+    val plan = formatted(Lookup(dim, Seq("id" -> "k"))(facts))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("Aggregate does map-side partial aggregation") {
+    val df = spark.read.parquet(parquetDir)
+    val plan = formatted(
+      Aggregate(Seq("grp"), Seq("n" -> AggFns.count_(), "s" -> AggFns.sumExact(col("amount"))))(df))
+    // partial + final HashAggregate pair around one exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("custom kernels stay inside WholeStageCodegen") {
+    // parquet-backed input: a local relation would be constant-folded into
+    // a LocalTableScan with no codegen stage at all
+    val df = spark.read.parquet(parquetDir)
+    val plan = formatted(df.select(
+      graft.functions.TextFunctions.wordShingles(col("name"), 2).as("sh"),
+      graft.functions.TextFunctions.tokenHashes60(col("name")).as("th")))
+    // formatted mode marks whole-stage-codegen members with [codegen id : N]
+    val projectLine = plan.linesIterator.find(_.matches("\\(\\d+\\) Project.*")).get
+    assert(projectLine.contains("codegen id"), plan)
+    assert(!plan.toLowerCase.contains("fallback"), plan)
+  }
+}
