@@ -238,7 +238,8 @@ object Compiler {
       source = f.get("source").map(_.toString),
       expression = f.get("expr").map(e => expr(e.toString)),
       literal = f.get("literal"),
-      default = f.get("default")
+      default = f.get("default"),
+      castType = f.get("cast").map(_.toString)
     )
 
   /** Condition YAML (matcher.rs algebra):

@@ -154,20 +154,37 @@ final case class EquiJoin(
 }
 
 /** types.rs:681-697 Sessionize — gap-based sessions per key, batch variant.
-  * Classic islands construction: a row starts a new session when the gap to
-  * the previous row (same key, event-time order) exceeds `gapSeconds`; the
-  * running sum of starts is the session index. Two window passes over one
-  * shuffle on the key. The streaming variant lives in
-  * graft.streaming.SessionizeStream.
+  *
+  * Without `maxDurationSeconds`: classic islands construction — a row starts
+  * a new session when the gap to the previous row (same key, event-time
+  * order) exceeds `gapSeconds`; the running sum of starts is the session
+  * index. Two window passes over one shuffle on the key.
+  *
+  * With `maxDurationSeconds`: a session ALSO closes when the next event
+  * would stretch it past the cap measured from the session's first event.
+  * That rule is sequentially dependent (each boundary depends on where the
+  * previous one landed), which window functions cannot express — so this
+  * path uses the same single shuffle (repartition by key + sort within
+  * partitions) with a streaming per-partition scan. No per-key
+  * materialization; memory is O(1) per partition.
+  *
+  * The reference's emit modes map to the two methods: on_event = [[tagged]],
+  * on_close = [[sessions]], both = use both.
   */
 final case class Sessionize(
     keyField: String,
     gapSeconds: Long,
     orderBy: Seq[Column],
-    eventTimeCol: String = "ts"
+    eventTimeCol: String = "ts",
+    maxDurationSeconds: Option[Long] = None
 ) {
   /** Rows tagged with `session_id` (1-based per key). */
-  def tagged(df: DataFrame): DataFrame = {
+  def tagged(df: DataFrame): DataFrame = maxDurationSeconds match {
+    case None          => taggedByWindow(df)
+    case Some(maxDur)  => taggedWithMaxDuration(df, maxDur)
+  }
+
+  private def taggedByWindow(df: DataFrame): DataFrame = {
     val byKey = Window.partitionBy(col(keyField)).orderBy(orderBy: _*)
     val prevTs = lag(col(eventTimeCol), 1).over(byKey)
     // Exact micros arithmetic (unix_timestamp would truncate sub-second gaps).
@@ -182,6 +199,41 @@ final case class Sessionize(
         sum(col("_new_session")).over(byKey.rowsBetween(Window.unboundedPreceding, 0))
       )
       .drop("_new_session")
+  }
+
+  private def taggedWithMaxDuration(df: DataFrame, maxDur: Long): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val outSchema = StructType(df.schema.fields :+ StructField("session_id", LongType))
+    val keyIdx = df.schema.fieldIndex(keyField)
+    val tsIdx = df.schema.fieldIndex(eventTimeCol)
+    val gapUs = gapSeconds * 1000000L
+    val maxUs = maxDur * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val sorted = df
+      .repartition(col(keyField))
+      .sortWithinPartitions(col(keyField) +: orderBy: _*)
+    sorted.mapPartitions { it =>
+      // rows arrive key-clustered and ordered; detect key changes inline
+      var curKey: Any = null
+      var haveKey = false
+      var sessionId = 0L
+      var prevTs = 0L
+      var sessionStart = 0L
+      it.map { row =>
+        val k = row.get(keyIdx)
+        val tsUs = micros(row.getAs[java.sql.Timestamp](tsIdx))
+        val newKey = !haveKey || k != curKey
+        if (newKey) { curKey = k; haveKey = true; sessionId = 0L }
+        if (newKey || tsUs - prevTs > gapUs || tsUs - sessionStart > maxUs) {
+          sessionId += 1
+          sessionStart = tsUs
+        }
+        prevTs = tsUs
+        Row.fromSeq(row.toSeq :+ sessionId)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Per-session stats (start/end/count + extra aggregations). */

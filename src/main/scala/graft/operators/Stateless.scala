@@ -24,15 +24,18 @@ final case class Filter(condition: Condition, negate: Boolean = false) extends T
   }
 }
 
-/** One output field of a Map transform (types.rs:427-435): value comes from
-  * an expression, a source column, or a literal; `default` backstops nulls.
+/** One output field of a Map transform (types.rs:427-435, FieldMappingDsl
+  * types.rs:847-857): value comes from an expression, a source column, or a
+  * literal; `default` backstops nulls; `castType` (FieldTypes vocabulary)
+  * casts the final value.
   */
 final case class FieldMapping(
     target: String,
     source: Option[String] = None,
     expression: Option[Column] = None,
     literal: Option[Any] = None,
-    default: Option[Any] = None
+    default: Option[Any] = None,
+    castType: Option[String] = None
 ) {
   def toColumn: Column = {
     val base: Column = literal
@@ -40,7 +43,11 @@ final case class FieldMapping(
       .orElse(expression)
       .orElse(source.map(col))
       .getOrElse(col(target))
-    default.fold(base)(d => coalesce(base, lit(d))).as(target)
+    val defaulted = default.fold(base)(d => coalesce(base, lit(d)))
+    val casted = castType.fold(defaulted) { t =>
+      defaulted.cast(FieldTypes.mapping.getOrElse(t, DataTypes.StringType))
+    }
+    casted.as(target)
   }
 }
 

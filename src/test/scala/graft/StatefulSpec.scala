@@ -57,6 +57,40 @@ class StatefulSpec extends SparkSpec {
     assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 2L)
   }
 
+  test("Sessionize max_duration splits long sessions; matches windowed path otherwise") {
+    val base = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 1L, ts("2024-01-01 00:20:00")),
+      (3L, 1L, ts("2024-01-01 00:40:00")), // 40min from start: > 30min cap -> split here
+      (4L, 1L, ts("2024-01-01 00:55:00")),
+      (5L, 2L, ts("2024-01-01 00:00:00")),
+      (6L, 2L, ts("2024-01-01 02:00:00"))  // gap split
+    ).toDF("event_id", "user_id", "ts")
+    val capped = Sessionize("user_id", 1800, Seq(col("ts"), col("event_id")),
+      maxDurationSeconds = Some(1800)).tagged(base)
+    val m = capped.select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L, 6L -> 2L))
+    assert(capped.columns.last == "session_id")
+
+    // without a cap, the mapPartitions path and the window path agree
+    val viaMap = Sessionize("user_id", 1800, Seq(col("ts"), col("event_id")),
+      maxDurationSeconds = Some(Long.MaxValue / 2000000)).tagged(base)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    val viaWindow = Sessionize("user_id", 1800, Seq(col("ts"), col("event_id")))
+      .tagged(base).select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(viaMap == viaWindow)
+  }
+
+  test("FieldMapping castType casts the mapped value") {
+    val df = Seq((1.9, "x")).toDF("v", "s")
+    val out = MapFields(Seq(
+      FieldMapping("vi", source = Some("v"), castType = Some("string")),
+      FieldMapping("tagged", literal = Some(7), castType = Some("int64"))
+    ))(df)
+    val r = rows(out).head
+    assert(r == Seq("1.9", 7L))
+  }
+
   test("EquiJoin applies output prefixes") {
     val l = Seq((1L, "a")).toDF("k", "lv")
     val r = Seq((1L, "b")).toDF("k", "rv")
