@@ -210,6 +210,26 @@ object Compiler {
           slideSeconds = c.get("slideSeconds").map(_.toString.toLong),
           eventTimeCol = c.getOrElse("eventTimeField", "ts").toString
         )(df)
+      case "split" =>
+        // Linear-pipeline form: tag each row with its route (first match
+        // wins); a downstream filter step or the DAG's conditional edges
+        // select per-route outputs (types.rs:528-538).
+        Split(
+          cfgSeq(c("routes")).map(r =>
+            SplitRoute(parseCondition(r("condition")), r("output").toString)),
+          defaultOutput = c.get("default").map(_.toString)
+        ).tagged(df)
+      case "join" =>
+        EquiJoin(
+          right = tables.getOrElse(c("rightStream").toString,
+            sys.error(s"join right stream not provided: ${c("rightStream")}")),
+          leftKey = c("leftKey").toString,
+          rightKey = c("rightKey").toString,
+          joinType = c.getOrElse("joinType", "inner").toString,
+          leftPrefix = c.get("leftPrefix").map(_.toString),
+          rightPrefix = c.get("rightPrefix").map(_.toString),
+          broadcastRight = c.get("broadcastRight").exists(_.toString.toBoolean)
+        )(df)
       case "lookup" =>
         Lookup(
           tables.getOrElse(c("table").toString, sys.error(s"lookup table not provided: ${c("table")}")),

@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Streaming source configs — the Spark mapping of the reference's 16
+  * connector types (types.rs:145-162). The reference runs each connector as
+  * a gRPC sidecar process; in Spark a connector is a streaming DataSource:
+  *
+  *  - Kafka → the native `kafka` format (spark-sql-kafka module)
+  *  - Kinesis / Pulsar / RabbitMQ / SQS / Redis / NATS / MongoDB → their
+  *    respective Spark connectors, addressed uniformly via [[Generic]]
+  *  - File / S3 / GCS → the file stream source (path = s3a://, gs:// — the
+  *    same reader, different filesystem scheme)
+  *  - HTTP / WebSocket / gRPC push → no pull-based Spark source exists;
+  *    land payloads to files/Kafka first (the reference's own DLQ replay
+  *    path does the same)
+  *
+  * In this zero-egress container only [[FileStream]] and [[Rate]] can run —
+  * they are the test doubles; the others construct real readers that fail
+  * actionably when the connector jar is absent.
+  */
+sealed trait StreamSourceConfig
+
+/** Kafka-like log (types.rs:165-180). */
+final case class Kafka(
+    brokers: Seq[String],
+    topic: String,
+    startingOffsets: String = "latest",
+    options: Map[String, String] = Map.empty
+) extends StreamSourceConfig
+
+/** Directory-watching file stream (types.rs FileSourceConfig) — also the
+  * in-container stand-in for any network source.
+  */
+final case class FileStream(
+    format: String,
+    path: String,
+    schemaDDL: String,
+    options: Map[String, String] = Map.empty
+) extends StreamSourceConfig
+
+/** Synthetic rows-per-second source (testing/backpressure experiments). */
+final case class Rate(rowsPerSecond: Long) extends StreamSourceConfig
+
+/** Any other connector by its DataSource short name + options. */
+final case class Generic(
+    format: String,
+    options: Map[String, String],
+    schemaDDL: Option[String] = None
+) extends StreamSourceConfig
+
+object StreamSources {
+
+  def read(spark: SparkSession, cfg: StreamSourceConfig): DataFrame = cfg match {
+    case Kafka(brokers, topic, starting, opts) =>
+      attempt("kafka", "org.apache.spark:spark-sql-kafka-0-10") {
+        spark.readStream.format("kafka")
+          .option("kafka.bootstrap.servers", brokers.mkString(","))
+          .option("subscribe", topic)
+          .option("startingOffsets", starting)
+          .options(opts)
+          .load()
+      }
+    case FileStream(format, path, ddl, opts) =>
+      spark.readStream.format(format).schema(ddl).options(opts).load(path)
+    case Rate(rps) =>
+      spark.readStream.format("rate").option("rowsPerSecond", rps).load()
+    case Generic(format, opts, ddl) =>
+      attempt(format, s"the $format connector") {
+        val r = spark.readStream.format(format).options(opts)
+        ddl.fold(r)(r.schema).load()
+      }
+  }
+
+  private def attempt(format: String, artifact: String)(f: => DataFrame): DataFrame =
+    try f
+    catch {
+      // SparkClassNotFoundException (DATA_SOURCE_NOT_FOUND) is private to
+      // org.apache.spark — match on the class-not-found family by name.
+      case e: Exception
+          if e.isInstanceOf[ClassNotFoundException] ||
+            e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+            e.getClass.getSimpleName.contains("ClassNotFound") =>
+        throw new UnsupportedOperationException(
+          s"streaming source '$format' needs $artifact on the classpath", e)
+    }
+}

@@ -140,6 +140,56 @@ class DslSpec extends SparkSpec {
     assert(dot.contains("shape=house"))
   }
 
+  test("split and join transforms compile from YAML config") {
+    val yaml =
+      """kind: Source
+        |metadata: {name: ev}
+        |spec: {format: table, path: events}
+        |---
+        |kind: Transform
+        |metadata: {name: route}
+        |spec:
+        |  type: split
+        |  routes:
+        |    - {condition: {equals: {field: event_type, value: purchase}}, output: buy}
+        |  default: rest
+        |---
+        |kind: Transform
+        |metadata: {name: join-users}
+        |spec:
+        |  type: join
+        |  rightStream: users
+        |  leftKey: user_id
+        |  rightKey: uid
+        |  joinType: left
+        |  broadcastRight: true
+        |---
+        |kind: Sink
+        |metadata: {name: out}
+        |spec: {format: noop, path: ""}
+        |---
+        |kind: Pipeline
+        |metadata: {name: p}
+        |spec: {source: ev, steps: [route, join-users], sink: out}
+        |""".stripMargin
+    val compiled = Compiler.compile(spark, YamlLoader.load(yaml),
+      tables = Map("events" -> events, "users" -> users))
+    val out = compiled("p").frame
+    val m = out.select("event_id", "_route", "name")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(m == Set((1L, "buy", Some("alice")), (2L, "buy", None), (3L, "rest", Some("alice"))))
+  }
+
+  test("streaming source configs: file/rate run, kafka fails actionably") {
+    import graft.sources._
+    val rate = StreamSources.read(spark, Rate(5))
+    assert(rate.isStreaming)
+    val e = intercept[UnsupportedOperationException] {
+      StreamSources.read(spark, Kafka(Seq("broker:9092"), "topic"))
+    }
+    assert(e.getMessage.contains("spark-sql-kafka"))
+  }
+
   test("condition parser covers the full matcher algebra") {
     import graft.model._
     val c = Compiler.parseCondition(Map("all" -> Seq(
