@@ -29,11 +29,24 @@ object SparkEntry {
       .map { case ((a, b), i) => s"($i, $a, $b)" }
       .mkString(", ")
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Pricing-summary-style aggregate through the Aggregate operator.
+  /** Flagship pipeline on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. Exercises the core operator chain end-to-end: condition
+    * filter → broadcast lookup enrich → sessionize → per-session exact
+    * aggregation.
     */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q_map")(spark, "/root/testdata/sf0.001")
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val events = t(spark, dir, "events")
+    val users = t(spark, dir, "customer")
+      .select(col("c_custkey").as("uid"), col("c_mktsegment").as("segment"))
+    val filtered = Filter(Not(FieldEquals("event_type", "error")))(events)
+    val enriched = Lookup(users, Seq("user_id" -> "uid"), outputPrefix = Some("u_"))(filtered)
+    Sessionize("user_id", gapSeconds = 1800, orderBy = Seq(col("ts"), col("event_id")))
+      .sessions(enriched, extraAggs = Seq(
+        "sum_value" -> AggFns.sumExact(col("value")),
+        "segment" -> AggFns.firstBy(col("u_segment"), col("event_id"))
+      ))
+  }
 
   // ==========================================================================
   // Stateless transforms (SURVEY §2.2)

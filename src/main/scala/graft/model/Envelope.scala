@@ -1,0 +1,43 @@
+package graft.model
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Typed operations over `Dataset[RecordEnvelope]` — the generic-pipeline
+  * surface (payload schema unknown at compile time). Structured pipelines
+  * should use real columns; these helpers exist for wire-level parity with
+  * the reference's ingest path.
+  */
+object Envelope {
+
+  /** Exactly-once ingest dedupe on (sourceId, idempotencyKey) — the batch
+    * analog of ACK_STATUS_DUPLICATE (source.proto): the first record per
+    * idempotency key (by sequenceNumber) is accepted, the rest are
+    * duplicates. Returns the accepted records.
+    */
+  def dedupeByIdempotencyKey(records: Dataset[RecordEnvelope]): Dataset[RecordEnvelope] = {
+    import records.sparkSession.implicits._
+    val w = Window
+      .partitionBy(col("sourceId"), col("idempotencyKey"))
+      .orderBy(col("sequenceNumber"), col("partition"))
+    records
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+      .as[RecordEnvelope]
+  }
+
+  /** The duplicate records (what would be ACKed DUPLICATE). */
+  def duplicates(records: Dataset[RecordEnvelope]): Dataset[RecordEnvelope] = {
+    import records.sparkSession.implicits._
+    val w = Window
+      .partitionBy(col("sourceId"), col("idempotencyKey"))
+      .orderBy(col("sequenceNumber"), col("partition"))
+    records
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1)
+      .drop("_rn")
+      .as[RecordEnvelope]
+  }
+}

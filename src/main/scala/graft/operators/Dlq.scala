@@ -23,6 +23,21 @@ object Dlq {
       .withColumn("dlq_error_code", col("_error_code"))
       .withColumn("dlq_retry_count", lit(0))
       .drop("_valid", "_error_code")
+
+  /** Replay: strip DLQ context and hand records back to the pipeline with
+    * the retry budget decremented against `policy` (dlq-replay in the
+    * reference: records whose retry count exceeds the policy stay dead).
+    * Returns (replayable rows without dlq_* columns but with the
+    * incremented `dlq_retry_count`, permanently-dead rows).
+    */
+  def replay(dlqDf: DataFrame, policy: RetryPolicy): (DataFrame, DataFrame) = {
+    val replayable = dlqDf
+      .filter(col("dlq_retry_count") < policy.maxRetries)
+      .withColumn("dlq_retry_count", col("dlq_retry_count") + 1)
+      .drop("dlq_stage", "dlq_error_code")
+    val dead = dlqDf.filter(col("dlq_retry_count") >= policy.maxRetries)
+    (replayable, dead)
+  }
 }
 
 /** Retry/backoff policy (conveyor-etl-dlq/src/policy.rs:4-49): exponential

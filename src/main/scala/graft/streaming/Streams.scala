@@ -85,6 +85,33 @@ object Streams {
       }
       .reduce(_.unionByName(_))
 
+  /** Stream-stream windowed equi-join (types.rs:644-678 JoinTransformConfig:
+    * join_type, right_stream, on, window). Both sides carry watermarks; the
+    * time-bound predicate (|left.ts - right.ts| <= window) lets Spark purge
+    * join state once the watermark passes — unbounded state otherwise.
+    */
+  def windowedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      delay: String,
+      windowSeconds: Long,
+      joinType: String = "inner"
+  ): DataFrame = {
+    val l = left.withWatermark(leftTimeCol, delay)
+    val r = right.withWatermark(rightTimeCol, delay)
+    l.join(
+      r,
+      l(leftKey) === r(rightKey) &&
+        r(rightTimeCol) >= l(leftTimeCol) - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        r(rightTimeCol) <= l(leftTimeCol) + expr(s"INTERVAL $windowSeconds SECONDS"),
+      joinType
+    )
+  }
+
   /** File-backed streaming source — the test double for the reference's
     * network connectors (types.rs:143-383): same reader interface, files
     * appearing in a directory play the role of arriving batches.

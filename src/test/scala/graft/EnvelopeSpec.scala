@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.operators._
+
+class EnvelopeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def env(src: String, key: String, seq: Long): RecordEnvelope =
+    RecordEnvelope(src, 0, seq, key, "evt", Array[Byte](1), Array[Byte](2),
+      Map("k" -> "v"), Timestamp.valueOf("2024-01-01 00:00:00"),
+      Timestamp.valueOf("2024-01-01 00:00:01"))
+
+  test("idempotency-key ingest dedupe accepts first, flags duplicates") {
+    val ds = Seq(
+      env("s1", "a", 1), env("s1", "a", 2), env("s1", "b", 3),
+      env("s2", "a", 9) // same key, different source: independent
+    ).toDS()
+    val accepted = Envelope.dedupeByIdempotencyKey(ds)
+    assert(accepted.count() == 3)
+    assert(accepted.filter(r => r.sourceId == "s1" && r.idempotencyKey == "a")
+      .head().sequenceNumber == 1L)
+    val dups = Envelope.duplicates(ds)
+    assert(dups.count() == 1)
+    assert(dups.head().sequenceNumber == 2L)
+  }
+
+  test("DLQ replay increments retry count and separates dead records") {
+    val v = Validate(Seq(ValidationRule("NEG", RawCondition(col("v") >= 0))))
+    val df = Seq((1L, -1.0), (2L, 5.0)).toDF("id", "v")
+    val dlq = Dlq.fromInvalid(v.tagged(df), "stage-x")
+    val policy = RetryPolicy(maxRetries = 2)
+    val (replay1, dead1) = Dlq.replay(dlq, policy)
+    assert(replay1.count() == 1 && dead1.count() == 0)
+    assert(replay1.select("dlq_retry_count").as[Int].head() == 1)
+    assert(!replay1.columns.contains("dlq_stage"))
+    // after exhausting the budget the record is dead
+    val exhausted = dlq.withColumn("dlq_retry_count", lit(2))
+    val (replay2, dead2) = Dlq.replay(exhausted, policy)
+    assert(replay2.count() == 0 && dead2.count() == 1)
+  }
+
+  test("streaming windowed join bounds state with a time predicate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val l = MemoryStream[(Long, Timestamp)]
+    val r = MemoryStream[(Long, Timestamp)]
+    val joined = graft.streaming.Streams.windowedJoin(
+      l.toDF().toDF("k", "lts"), r.toDF().toDF("rk", "rts"),
+      "k", "rk", "lts", "rts", delay = "1 minute", windowSeconds = 600)
+    val q = joined.writeStream.format("memory").queryName("wjoin_out")
+      .outputMode("append").start()
+    try {
+      l.addData((1L, ts("2024-01-01 00:05:00")), (2L, ts("2024-01-01 00:05:00")))
+      r.addData(
+        (1L, ts("2024-01-01 00:10:00")), // within 10 min -> joins
+        (2L, ts("2024-01-01 02:00:00"))) // outside window -> no join
+      q.processAllAvailable()
+      val out = spark.table("wjoin_out").select("k").as[Long].collect().toSeq
+      assert(out == Seq(1L))
+    } finally q.stop()
+  }
+
+  test("flagship entry produces sessionized enriched rows") {
+    val out = SparkEntry.entry(spark)
+    assert(out.columns.toSet == Set(
+      "user_id", "session_id", "session_start", "session_end",
+      "n_events", "sum_value", "segment"))
+    assert(out.count() > 0)
+  }
+}
