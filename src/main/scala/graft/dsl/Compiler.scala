@@ -60,6 +60,52 @@ object Compiler {
     }
   }
 
+  /** Compile a full DAG (stages + conditional edges — engine.rs routing
+    * semantics) rather than a linear pipeline:
+    *
+    *  - a record flows over EVERY outgoing edge whose condition matches
+    *    (conditional multicast, engine.rs:55-104) → per-edge filter
+    *  - multiple incoming edges fan in → `unionByName`
+    *  - a stage feeding several consumers (fan-out) is compiled once and
+    *    `.cache()`d — the plan-reuse analog of the reference's shared stage
+    *  - transform/lookup configs are resolved from the registry by stage id
+    *
+    * Returns the DataFrame arriving at each sink stage. Fails fast if the
+    * graph does not validate.
+    */
+  def compileGraph(
+      graph: PipelineGraph,
+      reg: Registry,
+      sources: Map[String, DataFrame],
+      tables: Map[String, DataFrame] = Map.empty
+  ): Map[String, DataFrame] = {
+    val errs = graph.validate
+    require(errs.isEmpty, s"invalid pipeline graph: $errs")
+
+    val outDegree: Map[String, Int] =
+      graph.edges.groupBy(_.from).view.mapValues(_.size).toMap
+    val memo = scala.collection.mutable.Map.empty[String, DataFrame]
+
+    def frameOf(stageId: String): DataFrame = memo.getOrElseUpdate(stageId, {
+      val stage = graph.stages(stageId)
+      val computed = stage.stageType match {
+        case StageType.Source =>
+          sources.getOrElse(stageId, sys.error(s"source not provided: $stageId"))
+        case _ =>
+          val inputs = graph.edges.filter(_.to == stageId).map { e =>
+            val up = frameOf(e.from)
+            e.condition.fold(up)(c => up.filter(c.toColumn))
+          }
+          val fannedIn = inputs.reduce(_.unionByName(_))
+          if (stage.stageType == StageType.Sink) fannedIn
+          else applyTransform(fannedIn, transformOf(reg, stageId), tables)
+      }
+      if (outDegree.getOrElse(stageId, 0) > 1) computed.cache() else computed
+    })
+
+    graph.sinkStages.map(s => s.id -> frameOf(s.id)).toMap
+  }
+
   /** Longest step prefix common to every pipeline in the group. */
   def sharedPrefix(stepLists: Seq[Seq[String]]): Seq[String] =
     if (stepLists.size < 2) Seq.empty

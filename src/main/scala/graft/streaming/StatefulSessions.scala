@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Closed session emitted once the watermark passes its gap horizon. */
+final case class ClosedSession(
+    key: String,
+    session_start: Timestamp,
+    session_end: Timestamp,
+    n_events: Long
+)
+
+/** Custom-state streaming sessionization via `flatMapGroupsWithState` —
+  * the explicit-state half of the streaming story (Spark's native
+  * `session_window` covers the aggregation form; this variant shows the
+  * KeyValueGroupedDataset state machinery the reference's stateful stages
+  * correspond to, and emits each session exactly once ON CLOSE, the
+  * reference's `emit: on_close` mode).
+  *
+  * State per key: the set of open sessions as gap-merged [start, end, count]
+  * intervals — correct under out-of-order arrival within the watermark
+  * delay, exactly like the reference's late-tolerant session tracking.
+  * An event-time timeout fires when the watermark passes (oldest open
+  * end + gap); sessions whose horizon has passed are emitted and dropped.
+  */
+object StatefulSessions {
+
+  // (startMs, endMs, count) intervals, kept sorted by start
+  type OpenSessions = List[(Long, Long, Long)]
+
+  private[graft] def mergeEvent(open: OpenSessions, tsMs: Long, gapMs: Long): OpenSessions = {
+    val (overlapping, rest) = open.partition { case (s, e, _) =>
+      tsMs >= s - gapMs && tsMs <= e + gapMs
+    }
+    val merged = overlapping.foldLeft((tsMs, tsMs, 1L)) {
+      case ((s1, e1, c1), (s2, e2, c2)) => (math.min(s1, s2), math.max(e1, e2), c1 + c2)
+    }
+    (merged :: rest).sortBy(_._1)
+  }
+
+  def sessionize(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      delay: String,
+      gapSeconds: Long
+  ): Dataset[ClosedSession] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    val typed = df
+      .withWatermark(tsCol, delay)
+      .select(col(keyCol).cast("string"), col(tsCol))
+      .as[(String, Timestamp)]
+
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSessions, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, events: Iterator[(String, Timestamp)], state: GroupState[OpenSessions]) =>
+          val open0 = state.getOption.getOrElse(Nil)
+          val open1 = events.foldLeft(open0) { case (acc, (_, ts)) =>
+            mergeEvent(acc, ts.getTime, gapMs)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, stillOpen) = open1.partition { case (_, e, _) => e + gapMs <= wm }
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update(stillOpen)
+            // wake up when the watermark can close the oldest open session
+            state.setTimeoutTimestamp(stillOpen.map(_._2).min + gapMs)
+          }
+          closed.iterator.map { case (s, e, c) =>
+            ClosedSession(key, new Timestamp(s), new Timestamp(e), c)
+          }
+      }
+  }
+}

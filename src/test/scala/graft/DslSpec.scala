@@ -190,6 +190,43 @@ class DslSpec extends SparkSpec {
     assert(e.getMessage.contains("spark-sql-kafka"))
   }
 
+  test("compileGraph: conditional multicast, fan-in union, shared-stage cache") {
+    import graft.model._
+    // diamond: src -> (purchases | clicks) -> shape -> sink, with the
+    // conditional edges multicasting big purchases to BOTH branches
+    val reg = Registry(transforms = Map(
+      "purchases" -> TransformManifest("purchases", "map", Map(
+        "fields" -> Seq(
+          Map("target" -> "event_id", "source" -> "event_id"),
+          Map("target" -> "lane", "literal" -> "purchase")))),
+      "clicks" -> TransformManifest("clicks", "map", Map(
+        "fields" -> Seq(
+          Map("target" -> "event_id", "source" -> "event_id"),
+          Map("target" -> "lane", "literal" -> "other"))))
+    ))
+    val g = PipelineGraph(
+      "diamond",
+      Map(
+        "src" -> Stage("src", StageType.Source),
+        "purchases" -> Stage("purchases", StageType.Transform),
+        "clicks" -> Stage("clicks", StageType.Transform),
+        "sink" -> Stage("sink", StageType.Sink)
+      ),
+      Seq(
+        Edge("src", "purchases", Some(FieldEquals("event_type", "purchase"))),
+        Edge("src", "clicks", Some(Not(FieldEquals("event_type", "purchase")))),
+        Edge("purchases", "sink"),
+        Edge("clicks", "sink")
+      )
+    )
+    val out = Compiler.compileGraph(g, reg, sources = Map("src" -> events))
+    val rows = out("sink").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "purchase"), (2L, "purchase"), (3L, "other")))
+    // invalid graph rejected
+    val bad = g.copy(edges = g.edges :+ Edge("sink", "src"))
+    intercept[IllegalArgumentException](Compiler.compileGraph(bad, reg, Map("src" -> events)))
+  }
+
   test("condition parser covers the full matcher algebra") {
     import graft.model._
     val c = Compiler.parseCondition(Map("all" -> Seq(

@@ -98,6 +98,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization emits sessions on close") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = StatefulSessions.sessionize(
+      input.toDF().toDF("user_id", "ts"), "user_id", "ts",
+      delay = "10 minutes", gapSeconds = 1800)
+    val q = sessions.writeStream.format("memory").queryName("state_sess")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:00:00")),
+        (1L, ts("2024-01-01 00:10:00")), // same session (gap 30min)
+        (2L, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      // nothing closed yet: watermark hasn't passed end+gap
+      assert(spark.table("state_sess").count() == 0)
+      // push the watermark far past the first sessions
+      input.addData((3L, ts("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      input.addData((3L, ts("2024-01-01 07:00:00"))) // extra batch: fire timeouts
+      q.processAllAvailable()
+      // key 3's 06:00 event also closes (07:00 - 10min delay > 06:30 horizon)
+      val out = spark.table("state_sess")
+        .select("key", "n_events").as[(String, Long)].collect().toMap
+      assert(out == Map("1" -> 2L, "2" -> 1L, "3" -> 1L))
+    } finally q.stop()
+  }
+
+  test("session interval merging handles out-of-order events") {
+    import graft.streaming.StatefulSessions.mergeEvent
+    val gap = 1000L
+    // two separate sessions
+    val s1 = mergeEvent(Nil, 10000, gap)
+    val s2 = mergeEvent(s1, 50000, gap)
+    assert(s2.size == 2)
+    // an out-of-order event between them within gap of both bridges them
+    // (50000 - 10000 > gap, but 10800 connects to 10000..)
+    val s3 = mergeEvent(s2, 10800, gap)
+    assert(s3.size == 2 && s3.head == (10000L, 10800L, 2L))
+    // event within gap of two sessions bridges them into one
+    val g2 = 1500L
+    val a = mergeEvent(mergeEvent(Nil, 1000, g2), 3500, g2) // 2500 apart > gap
+    assert(a.size == 2)
+    val bridged = mergeEvent(a, 2200, g2) // within 1500 of both
+    assert(bridged == List((1000L, 3500L, 3L)))
+  }
+
   test("checkpointed file sink writes and resumes") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
