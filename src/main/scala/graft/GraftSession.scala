@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Opinionated session builder: the configs this library is designed
+  * around, applied in one place. Local settings mirror what the pipeline
+  * needs at cluster scale — AQE re-planning (coalescing + skew-join
+  * splitting), bounded scan partitions, and shuffle parallelism matched to
+  * the available cores rather than the 200-partition default.
+  */
+object GraftSession {
+
+  def builder(
+      appName: String = "graft",
+      master: Option[String] = None,
+      shufflePartitions: Option[Int] = None,
+      registerSqlFunctions: Boolean = true
+  ): SparkSession = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.getOrElse(cores).toString)
+      .config("spark.sql.files.maxPartitionBytes", "134217728") // 128 MiB scan splits
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.plans.GraftExtensions)
+    val spark = master.fold(b)(m => b.master(m)).getOrCreate()
+    // getOrCreate may have returned a pre-existing session whose extensions
+    // were fixed at creation; registering directly covers that path.
+    if (registerSqlFunctions) graft.plans.GraftExtensions.register(spark)
+    spark
+  }
+}

@@ -1,0 +1,66 @@
+package graft.observe
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Pipeline observability — the data-plane subset of the reference's
+  * metrics surface (conveyor-etl-metrics/src/lib.rs: records received /
+  * routed / delivered, routing latency). The Raft/buffer/service gauges are
+  * control-plane concerns Spark's own scheduler metrics already cover.
+  *
+  * One listener per session; each completed query (a sink write, a
+  * collect, …) produces a [[QueryMetric]] with rows written, bytes, and
+  * wall-clock latency. Export to your metrics system by draining
+  * [[snapshot]] — kept backend-agnostic on purpose (the reference pins
+  * Prometheus; a Spark deployment usually already has a sink).
+  */
+final case class QueryMetric(
+    name: String,            // appName:queryLabel or the action's funcName
+    durationMs: Long,
+    rowsWritten: Long,
+    bytesWritten: Long,
+    success: Boolean,
+    error: Option[String]
+)
+
+final class MetricsListener extends QueryExecutionListener {
+  private val metrics = new ConcurrentLinkedQueue[QueryMetric]()
+
+  private def outputMetrics(qe: QueryExecution): (Long, Long) = {
+    val w = qe.executedPlan.metrics
+    (
+      w.get("numOutputRows").map(_.value).getOrElse(-1L),
+      w.get("writtenBytes").map(_.value).getOrElse(-1L)
+    )
+  }
+
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+    val (rows, bytes) = outputMetrics(qe)
+    metrics.add(QueryMetric(funcName, durationNs / 1000000L, rows, bytes, success = true, None))
+  }
+
+  override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+    metrics.add(QueryMetric(funcName, -1L, -1L, -1L, success = false,
+      Some(exception.getMessage)))
+
+  /** All metrics recorded so far (oldest first). */
+  def snapshot: Seq[QueryMetric] = metrics.iterator().asScala.toSeq
+
+  def clear(): Unit = metrics.clear()
+}
+
+object Metrics {
+  /** Attach a fresh listener to the session and return it. */
+  def attach(spark: SparkSession): MetricsListener = {
+    val l = new MetricsListener
+    spark.listenerManager.register(l)
+    l
+  }
+
+  def detach(spark: SparkSession, l: MetricsListener): Unit =
+    spark.listenerManager.unregister(l)
+}

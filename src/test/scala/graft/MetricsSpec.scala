@@ -1,0 +1,21 @@
+package graft
+
+import graft.observe.Metrics
+
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("listener records completed actions with latency and row counts") {
+    val l = Metrics.attach(spark)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_metrics").toString
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("overwrite").parquet(dir)
+      // listener callbacks run async on the listener bus
+      var tries = 0
+      while (l.snapshot.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      val writes = l.snapshot.filter(m => m.success && m.rowsWritten == 2L)
+      assert(writes.nonEmpty, s"metrics seen: ${l.snapshot}")
+      assert(writes.last.durationMs >= 0)
+    } finally Metrics.detach(spark, l)
+  }
+}
