@@ -24,20 +24,22 @@ final case class Lookup(
     keyMap: Seq[(String, String)], // (record_field, lookup_key)
     outputPrefix: Option[String] = None,
     merge: LookupMerge.Value = LookupMerge.Merge,
-    onMiss: LookupOnMiss.Value = LookupOnMiss.PassThrough
+    onMiss: LookupOnMiss.Value = LookupOnMiss.PassThrough,
+    broadcastLookup: Boolean = true // false: shuffle join for huge lookup tables
 ) extends Transform {
   def apply(df: DataFrame): DataFrame = {
     val lookupKeys = keyMap.map(_._2)
     val valueCols = lookupTable.columns.filterNot(lookupKeys.contains).toSeq
     // Rename lookup columns up front so nothing collides with record fields.
-    val renamed = lookupTable.withColumnsRenamed(
+    val renamed0 = lookupTable.withColumnsRenamed(
       lookupTable.columns.map(c => c -> s"_lk_$c").toMap
     )
+    val renamed = if (broadcastLookup) broadcast(renamed0) else renamed0
     val joinCond = keyMap
       .map { case (rf, lk) => df(rf) === renamed(s"_lk_$lk") }
       .reduce(_ && _)
     val joinType = if (onMiss == LookupOnMiss.Drop) "inner" else "left"
-    val joined = df.join(broadcast(renamed), joinCond, joinType)
+    val joined = df.join(renamed, joinCond, joinType)
 
     val hit: Column = keyMap
       .map { case (_, lk) => renamed(s"_lk_$lk").isNotNull }
@@ -89,14 +91,19 @@ final case class EdgeRouter(edges: Seq[RoutedEdge]) {
 
   /** All routing decisions as one frame (record may appear once per matching
     * edge) — the shape route_batch returns, useful for auditing.
+    *
+    * Single pass: per row, build the array of matching edge targets and
+    * explode it — one scan regardless of edge count (a per-edge
+    * filter-and-union would scan the 100 TB input once per edge). Rows
+    * matching no edge produce an empty array, which explode drops.
     */
-  def decisions(df: DataFrame): DataFrame =
-    edges
-      .map { e =>
-        val cond = e.condition.map(_.toColumn).getOrElse(lit(true))
-        df.filter(cond).withColumn("_target_stage", lit(e.target))
-      }
-      .reduce(_.unionByName(_))
+  def decisions(df: DataFrame): DataFrame = {
+    val targets = edges.map { e =>
+      val cond = e.condition.map(_.toColumn).getOrElse(lit(true))
+      when(cond, lit(e.target))
+    }
+    df.withColumn("_target_stage", explode(array_compact(array(targets: _*))))
+  }
 }
 
 /** Fan-in (engine.rs:219-229, dag.rs:71-95): N sources mapped onto a common
