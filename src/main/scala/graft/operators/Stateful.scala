@@ -89,6 +89,22 @@ object AggFns {
   def lastBy(value: Column, order: Column): Column = max_by(value, order)
   def collectSorted(c: Column): Column = sort_array(collect_list(c))
   def collectSetSorted(c: Column): Column = sort_array(collect_set(c))
+  /** Output-bounded collect: state still accumulates the full group (Spark
+    * has no native bounded collect); at 100 TB prefer rate-limiting the
+    * rows into the group (RateLimit) before collecting.
+    */
+  def collectSortedBounded(c: Column, maxItems: Int): Column =
+    slice(sort_array(collect_list(c)), 1, maxItems)
+  /** HLL++ cardinality — constant state per group; the 100 TB substitute
+    * for exact count_distinct when a few-percent error is acceptable.
+    */
+  def approxCountDistinct(c: Column, rsd: Double = 0.05): Column =
+    approx_count_distinct(c, rsd)
+  /** Approximate percentile with bounded state (the exact form needs the
+    * whole group sorted).
+    */
+  def approxPercentile(c: Column, percentage: Double, accuracy: Int = 10000): Column =
+    percentile_approx(c, lit(percentage), lit(accuracy))
 }
 
 /** types.rs:604-641 Aggregate — groupBy keys (+ optional event-time window)

@@ -98,6 +98,28 @@ class StatefulSpec extends SparkSpec {
     assert(out.columns.toSet == Set("k", "lv", "r_k", "r_rv"))
   }
 
+  test("approx aggregations and bounded collect") {
+    val df = (1 to 1000).map(i => (i % 7, i.toDouble)).toDF("g", "v")
+    val out = Aggregate(Seq("g"), Seq(
+      "nd" -> AggFns.approxCountDistinct(col("v"), rsd = 0.02),
+      "p50" -> AggFns.approxPercentile(col("v"), 0.5),
+      "top3" -> AggFns.collectSortedBounded(col("v"), 3)
+    ))(df)
+    val r = out.filter(col("g") === 0).head()
+    assert(math.abs(r.getLong(1) - 142) <= 10) // ~142 distinct values, 2% rsd
+    assert(r.getDouble(2) > 400 && r.getDouble(2) < 600)
+    assert(r.getSeq[Double](3).size == 3)
+  }
+
+  test("exactGroupsFast groups identically to the md5 path") {
+    val docs = Seq((1L, "same text"), (2L, "SAME  text!"), (3L, "other")).toDF("doc_id", "text")
+    val fast = graft.ops.Dedup.exactGroupsFast(docs, "doc_id", "text")
+      .select("canonical_id", "n_docs").as[(Long, Long)].collect().toSet
+    val exact = graft.ops.Dedup.exactGroups(docs, "doc_id", "text")
+      .select("canonical_id", "n_docs").as[(Long, Long)].collect().toSet
+    assert(fast == exact)
+  }
+
   test("AggFns.sumExact is order-independent for doubles") {
     val vals = (1 to 1000).map(i => 0.1 * i)
     val a = vals.toDF("v").repartition(7)
