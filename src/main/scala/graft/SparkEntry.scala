@@ -460,6 +460,11 @@ object SparkEntry {
     graft.ops.Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.connectedComponents(
+      graft.ops.Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5))
+      .orderBy(col("id"))
+
   private def qNeardupCosine(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", "label", minCosine = 0.4)
       .orderBy(col("id_a"), col("id_b"))
@@ -586,6 +591,7 @@ object SparkEntry {
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_neardup_cosine" -> (qNeardupCosine _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -900,6 +906,40 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM nrm)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), filt AS (
+        |  SELECT doc_id, shingle FROM sh
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 100
+        |), prs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), plist AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+        |    FROM prs
+        |    JOIN sizes sa ON id_a = sa.doc_id
+        |    JOIN sizes sb ON id_b = sb.doc_id
+        |  ) WHERE jaccard >= 0.5
+        |), bidir AS (
+        |  SELECT id_a AS src, id_b AS dst FROM plist
+        |  UNION ALL SELECT id_b, id_a FROM plist
+        |), reach(src, dst) AS (
+        |  SELECT src, dst FROM bidir
+        |  UNION
+        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+        |)
+        |SELECT src AS id, least(min(dst), src) AS component
+        |FROM reach GROUP BY src ORDER BY id""".stripMargin,
     "q_neardup_cosine" ->
       """SELECT id_a, id_b, cosine FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -147,6 +147,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("sig_sim"))
   }
 
+  /** Connected components over a near-dup pair list ((id_a, id_b) rows) —
+    * the step between candidate pairs and actual dedup: duplicates are
+    * transitive, so keep-one must act on CLUSTERS, not pairs.
+    *
+    * Iterative min-label propagation: every node's label becomes the min of
+    * its own and its neighbors' labels; converges in O(diameter) rounds
+    * (duplicate clusters are near-cliques → 2-3 rounds). Each round is one
+    * shuffle join; lineage is truncated via localCheckpoint so 20 rounds at
+    * 100 TB do not accumulate a 20-deep plan. Returns (id, component) with
+    * component = min id in the cluster.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("component")).as("nbMin"))
+      val next = labels
+        .join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("nbMin"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep-one near-dedupe: drop every doc that is in some pair's cluster
+    * and is not that cluster's canonical (minimum) id. Docs in no pair are
+    * kept untouched.
+    */
+  def dedupeByPairs(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val dropIds = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs within `maxHamming`. Blocking via signature
     * chunks: split the 60-bit signature into maxHamming+1 chunks — by
     * pigeonhole every pair within the distance budget shares a chunk, so the

@@ -102,6 +102,17 @@ class OpsSpec extends SparkSpec {
     assert(blocked.contains((1L, 2L)))
   }
 
+  test("connected components cluster transitively; dedupeByPairs keeps canonical") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 3L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 1L, 5L -> 5L, 6L -> 5L))
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L, 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val kept = Dedup.dedupeByPairs(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 4L, 5L)) // canonical of each cluster + untouched 4
+  }
+
   test("minhash signature approximates jaccard for identical docs") {
     val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h")).toDF("doc_id", "text")
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.9)
