@@ -486,6 +486,25 @@ object SparkEntry {
       k = 5, nCells = 16, nProbe = 4)
       .orderBy(col("q_id"), col("rank"))
 
+  private def qPiiScrub(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        TF.scrubPii(concat(
+          lit("contact me at user"), col("doc_id"), lit("@example.com or "),
+          lit("https://site.example/"), col("doc_id"), lit(" tel 555 123 45"), col("doc_id"),
+          lit(" :: "), col("text")
+        )).as("scrubbed")
+      )
+      .orderBy(col("doc_id"))
+
+  private def qSampleHash(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.withSplit(
+      graft.ops.Sampling.byHash(docs(s, dir), "doc_id", fractionBp = 5000),
+      "doc_id", Seq("train" -> 4000, "val" -> 500, "test" -> 500))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), TF.langPredict(col("text")).as("pred_lang"))
@@ -597,6 +616,8 @@ object SparkEntry {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_lang_id" -> (qLangId _),
+    "q_pii_scrub" -> (qPiiScrub _),
+    "q_sample_hash" -> (qSampleHash _),
     "q_quality" -> (qQuality _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
@@ -1052,6 +1073,28 @@ object SparkEntry {
         |       WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
         |       ELSE 'es' END AS pred_lang
         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        concat('contact me at user', CAST(doc_id AS VARCHAR),
+        |               '@example.com or https://site.example/', CAST(doc_id AS VARCHAR),
+        |               ' tel 555 123 45', CAST(doc_id AS VARCHAR), ' :: ', text),
+        |        'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 4000 THEN 'train'
+        |       WHEN b < 4500 THEN 'val'
+        |       WHEN b < 5000 THEN 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+        |  FROM documents
+        |) WHERE b < 5000 ORDER BY doc_id""".stripMargin,
     "q_quality" ->
       """WITH c AS (
         |  SELECT doc_id, length(text) AS lc,

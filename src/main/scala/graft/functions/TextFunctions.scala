@@ -123,6 +123,18 @@ object TextFunctions {
   def meanWordLen(text: Column): Column =
     ratio(length(regexp_replace(normalize(text), " ", "")), size(tokens(text)))
 
+  /** PII scrubbing for training text: emails, URLs, and long digit runs
+    * (phone/account numbers) replaced with stable placeholder tokens.
+    * Pure regexp_replace chain — codegen'd, scan-speed. Order matters:
+    * URLs first (they may contain '@' and digits), then emails, then digit
+    * runs.
+    */
+  def scrubPii(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://[^\\s]+", "<URL>")
+    val noEmail = regexp_replace(noUrl, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "[0-9][0-9 ()+.-]{6,}[0-9]", "<NUMBER>")
+  }
+
   /** Composite quality score in [0,1]: rewards mid-length docs with healthy
     * stopword density and low punctuation noise. Weights are illustrative;
     * the value is the *pipeline shape* (pure column math, filterable,

@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions => H}
+
+/** Deterministic hash-based sampling and dataset splits.
+  *
+  * Training pipelines need sampling that is (a) reproducible across runs
+  * and engines, (b) stable under repartitioning, and (c) consistent per
+  * document — `df.sample()` is none of these (seeded per partition). Here
+  * membership is a pure function of the id: hash32(id) mod 10000 against a
+  * basis-point threshold. Filters push to the scan; re-running on 100 TB
+  * selects the identical subset.
+  */
+object Sampling {
+
+  private def bucket(idCol: Column): Column =
+    H.hash32(idCol.cast("string")) % 10000
+
+  /** Keep ~`fractionBp`/10000 of rows, deterministically by id. */
+  def byHash(df: DataFrame, idCol: String, fractionBp: Int): DataFrame =
+    df.filter(bucket(col(idCol)) < fractionBp)
+
+  /** Disjoint named splits, e.g. Seq(("train", 9800), ("val", 100),
+    * ("test", 100)) — basis points must sum to <= 10000. Returns the split
+    * name per row; rows beyond the summed range get NULL (excluded).
+    */
+  def splitColumn(idCol: Column, splits: Seq[(String, Int)]): Column = {
+    require(splits.map(_._2).sum <= 10000, "split basis points exceed 10000")
+    val b = bucket(idCol)
+    val (expr, _) = splits.foldLeft((lit(null).cast("string"), 0)) {
+      case ((acc, offset), (name, bp)) =>
+        (when(b >= offset && b < offset + bp, lit(name)).otherwise(acc), offset + bp)
+    }
+    expr
+  }
+
+  def withSplit(df: DataFrame, idCol: String, splits: Seq[(String, Int)],
+      splitCol: String = "split"): DataFrame =
+    df.withColumn(splitCol, splitColumn(col(idCol), splits))
+}
