@@ -203,8 +203,9 @@ object SparkEntry {
       .select(
         col("event_id"),
         col("event_type"),
+        col("dlq_code"),
+        col("dlq_message"),
         col("dlq_stage"),
-        col("dlq_error_code"),
         col("dlq_retry_count")
       )
       .orderBy(col("event_id"))
@@ -682,11 +683,12 @@ object SparkEntry {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_dlq" ->
       """SELECT event_id, event_type,
-        |  'validate-events' AS dlq_stage,
+        |  'VALIDATION_FAILED' AS dlq_code,
         |  CASE WHEN NOT (value >= 0) THEN 'NEGATIVE_VALUE'
         |       WHEN NOT (value <= 95) THEN 'VALUE_OUT_OF_RANGE'
         |       WHEN NOT (event_type IN ('view','click','purchase','signup','error')) THEN 'UNKNOWN_TYPE'
-        |       ELSE NULL END AS dlq_error_code,
+        |       ELSE NULL END AS dlq_message,
+        |  'validate-events' AS dlq_stage,
         |  0 AS dlq_retry_count
         |FROM events
         |WHERE NOT (value >= 0 AND value <= 95

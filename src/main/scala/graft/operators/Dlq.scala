@@ -11,30 +11,60 @@ import org.apache.spark.sql.functions._
   * error context columns and written to the DLQ sink, while clean rows
   * continue. Replay = reading the DLQ sink back through the pipeline.
   */
+/** record.rs:8-20 ErrorCode vocabulary. */
+object ErrorCode {
+  val Unknown = "UNKNOWN"
+  val TransformFailed = "TRANSFORM_FAILED"
+  val SinkFailed = "SINK_FAILED"
+  val ValidationFailed = "VALIDATION_FAILED"
+  val Timeout = "TIMEOUT"
+  val RateLimited = "RATE_LIMITED"
+  val ServiceUnavailable = "SERVICE_UNAVAILABLE"
+  val MaxRetriesExceeded = "MAX_RETRIES_EXCEEDED"
+  val RecordTooLarge = "RECORD_TOO_LARGE"
+  val MalformedRecord = "MALFORMED_RECORD"
+}
+
 object Dlq {
-  /** Wrap validation failures with DLQ context (record.rs ErrorCode +
-    * stage/attempt metadata). `taggedDf` must carry `_error_code` from
-    * [[Validate.tagged]].
+  private val ContextCols =
+    Seq("dlq_code", "dlq_message", "dlq_stage", "dlq_stage_type",
+      "dlq_first_failure_time", "dlq_last_failure_time")
+
+  /** Wrap validation failures with the full DLQ error context
+    * (record.rs:39-87 ErrorContext: code, message, failed stage id/type,
+    * retry count, first/last failure time). `taggedDf` must carry
+    * `_error_code` from [[Validate.tagged]] — it becomes the message (the
+    * specific rule); `code` is the coarse ErrorCode class.
     */
-  def fromInvalid(taggedDf: DataFrame, stage: String): DataFrame =
+  def fromInvalid(
+      taggedDf: DataFrame,
+      stage: String,
+      stageType: String = "validate",
+      code: String = ErrorCode.ValidationFailed
+  ): DataFrame =
     taggedDf
       .filter(!col("_valid"))
+      .withColumn("dlq_code", lit(code))
+      .withColumn("dlq_message", col("_error_code"))
       .withColumn("dlq_stage", lit(stage))
-      .withColumn("dlq_error_code", col("_error_code"))
+      .withColumn("dlq_stage_type", lit(stageType))
       .withColumn("dlq_retry_count", lit(0))
+      .withColumn("dlq_first_failure_time", current_timestamp())
+      .withColumn("dlq_last_failure_time", current_timestamp())
       .drop("_valid", "_error_code")
 
   /** Replay: strip DLQ context and hand records back to the pipeline with
-    * the retry budget decremented against `policy` (dlq-replay in the
-    * reference: records whose retry count exceeds the policy stay dead).
-    * Returns (replayable rows without dlq_* columns but with the
-    * incremented `dlq_retry_count`, permanently-dead rows).
+    * the retry budget decremented against `policy` (dlq manager replay:
+    * records whose retry count exceeds the policy stay dead). Returns
+    * (replayable rows without dlq context but with the incremented
+    * `dlq_retry_count`, permanently-dead rows).
     */
   def replay(dlqDf: DataFrame, policy: RetryPolicy): (DataFrame, DataFrame) = {
+    val present = ContextCols.filter(dlqDf.columns.contains)
     val replayable = dlqDf
       .filter(col("dlq_retry_count") < policy.maxRetries)
       .withColumn("dlq_retry_count", col("dlq_retry_count") + 1)
-      .drop("dlq_stage", "dlq_error_code")
+      .drop(present: _*)
     val dead = dlqDf.filter(col("dlq_retry_count") >= policy.maxRetries)
     (replayable, dead)
   }
