@@ -22,7 +22,13 @@ object Compiler {
       name: String,
       frame: DataFrame,
       sink: SinkManifest,
-      sharedPrefix: Seq[String]
+      sharedPrefix: Seq[String],
+      /** Union of validate(onInvalid: route) branches, bound for the
+        * pipeline's dlq sink (manifest `spec.dlq`). None when the pipeline
+        * has no routing validates.
+        */
+      dlq: Option[DataFrame] = None,
+      dlqSink: Option[SinkManifest] = None
   )
 
   /** Compile every enabled pipeline. `tables` resolves format=table sources
@@ -44,21 +50,46 @@ object Compiler {
 
       // optimizer.rs:find_shared_prefix — longest common leading step run.
       val prefix = sharedPrefix(pipes.map(_.steps))
-      val prefixDf = prefix.foldLeft(sourceDf) { (df, step) =>
-        applyTransform(df, transformOf(reg, step), tables)
+      val (prefixDf, prefixDlq) = prefix.foldLeft((sourceDf, Seq.empty[DataFrame])) {
+        case ((df, dlqs), step) =>
+          val (out, dlq) = applyTransformRouted(df, transformOf(reg, step), tables)
+          (out, dlqs ++ dlq)
       }
       val sharedDf =
         if (pipes.size > 1 && prefix.nonEmpty) prefixDf.cache() else prefixDf
 
       pipes.map { p =>
-        val frame = p.steps.drop(prefix.length).foldLeft(sharedDf) { (df, step) =>
-          applyTransform(df, transformOf(reg, step), tables)
-        }
+        val (frame, tailDlq) = p.steps.drop(prefix.length)
+          .foldLeft((sharedDf, Seq.empty[DataFrame])) { case ((df, dlqs), step) =>
+            val (out, dlq) = applyTransformRouted(df, transformOf(reg, step), tables)
+            (out, dlqs ++ dlq)
+          }
         val sink = reg.sinks.getOrElse(p.sink, sys.error(s"unknown sink: ${p.sink}"))
-        p.name -> CompiledPipeline(p.name, frame, sink, prefix)
+        val allDlq = prefixDlq ++ tailDlq
+        val dlqFrame = allDlq.reduceOption(_.unionByName(_))
+        val dlqSink = p.dlq.flatMap(d => reg.sinks.get(d.sink))
+        p.name -> CompiledPipeline(p.name, frame, sink, prefix, dlqFrame, dlqSink)
       }
     }
   }
+
+  /** Like [[applyTransform]], but validate(onInvalid: route) splits: clean
+    * rows continue down the pipeline, invalid rows come back as a DLQ
+    * branch with full error context (one tagged scan serves both).
+    */
+  def applyTransformRouted(
+      df: DataFrame,
+      t: TransformManifest,
+      tables: Map[String, DataFrame]
+  ): (DataFrame, Option[DataFrame]) =
+    if (t.transformType == "validate" &&
+        t.config.get("onInvalid").exists(_.toString == "route")) {
+      val v = Validate(cfgSeq(t.config("rules")).map(r =>
+        ValidationRule(r("code").toString, parseCondition(r("condition")))))
+      val tagged = v.tagged(df)
+      val clean = tagged.filter(col("_valid")).drop("_valid", "_error_code")
+      (clean, Some(Dlq.fromInvalid(tagged, stage = t.name)))
+    } else (applyTransform(df, t, tables), None)
 
   /** Compile a full DAG (stages + conditional edges — engine.rs routing
     * semantics) rather than a linear pipeline:

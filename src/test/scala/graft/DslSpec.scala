@@ -140,6 +140,47 @@ class DslSpec extends SparkSpec {
     assert(dot.contains("shape=house"))
   }
 
+  test("validate onInvalid=route compiles a DLQ branch to the pipeline's dlq sink") {
+    val yaml =
+      """kind: Source
+        |metadata: {name: ev}
+        |spec: {format: table, path: events}
+        |---
+        |kind: Transform
+        |metadata: {name: check}
+        |spec:
+        |  type: validate
+        |  onInvalid: route
+        |  rules:
+        |    - {code: LOW_VALUE, condition: {gt: {field: value, value: 20}}}
+        |---
+        |kind: Sink
+        |metadata: {name: out}
+        |spec: {format: noop, path: ""}
+        |---
+        |kind: Sink
+        |metadata: {name: dead}
+        |spec: {format: noop, path: ""}
+        |---
+        |kind: Pipeline
+        |metadata: {name: p}
+        |spec:
+        |  source: ev
+        |  steps: [check]
+        |  sink: out
+        |  dlq: {sink: dead, maxRetries: 2}
+        |""".stripMargin
+    val compiled = Compiler.compile(spark, YamlLoader.load(yaml),
+      tables = Map("events" -> events))
+    val p = compiled("p")
+    assert(p.frame.select("event_id").as[Long].collect().toSet == Set(1L, 3L)) // value > 20
+    val dlq = p.dlq.get
+    assert(dlq.select("event_id").as[Long].collect().toSeq == Seq(2L))
+    assert(dlq.columns.contains("dlq_message"))
+    assert(p.dlqSink.exists(_.name == "dead"))
+    assert(p.frame.columns.toSet == events.columns.toSet) // tag columns stripped
+  }
+
   test("split and join transforms compile from YAML config") {
     val yaml =
       """kind: Source
