@@ -163,9 +163,13 @@ object Dedup {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+    // Seed = one propagation step for free: component(id) = min(id, direct
+    // neighbors). Near-clique duplicate clusters converge immediately, so
+    // the loop usually runs exactly one (no-change) round.
+    var labels = edges
+      .groupBy(col("src").as("id"))
+      .agg(least(col("id"), min(col("dst"))).as("component"))
+      .cache()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -173,20 +177,25 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("component")).as("nbMin"))
+      // One cached round carries both the new label and the change flag, so
+      // convergence detection reuses the round's blocks instead of a second
+      // join. Plan depth stays constant: each round builds on the previous
+      // round's InMemoryRelation.
       val next = labels
         .join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("nbMin"), col("component"))).as("component"))
-        .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .limit(1).count()
+        .select(
+          col("id"),
+          least(col("component"), coalesce(col("nbMin"), col("component"))).as("component"),
+          (coalesce(col("nbMin"), col("component")) < col("component")).as("_changed")
+        )
+        .cache()
+      converged = next.filter(col("_changed")).limit(1).count() == 0
+      labels.unpersist()
       labels = next
-      converged = changed == 0
       iter += 1
     }
     edges.unpersist()
-    labels
+    labels.select(col("id"), col("component"))
   }
 
   /** Keep-one near-dedupe: drop every doc that is in some pair's cluster
