@@ -437,6 +437,38 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  private def qJoinSalted(s: SparkSession, dir: String): DataFrame =
+    // salting changes row placement, never the result — the oracle is the
+    // plain join
+    SaltedEquiJoin(
+      right = t(s, dir, "customer").select(col("c_custkey"), col("c_name")),
+      leftKey = "o_custkey",
+      rightKey = "c_custkey",
+      buckets = 8
+    )(t(s, dir, "orders"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+      .orderBy(col("o_orderkey"))
+
+  private def qSourcePartitioned(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_src_part"
+    t(s, dir, "orders")
+      .withColumn("status", col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("status").parquet(path)
+    // partition-pruned read back: only the status=F directory is scanned
+    s.read.parquet(path)
+      .filter(col("status") === "F")
+      .select(col("o_orderkey"), col("o_custkey"), col("status"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private def qDlqReplay(s: SparkSession, dir: String): DataFrame = {
+    val dlq = Dlq.fromInvalid(eventValidation.tagged(t(s, dir, "events")), "validate-events")
+    val (replayable, _) = Dlq.replay(dlq, RetryPolicy(maxRetries = 3))
+    replayable
+      .select(col("event_id"), col("event_type"), col("dlq_retry_count"))
+      .orderBy(col("event_id"))
+  }
+
   // ==========================================================================
   // LLM-training-data operators (SURVEY §2.8)
   // ==========================================================================
@@ -551,6 +583,15 @@ object SparkEntry {
       docs(s, dir).withColumn("blob", col("text").cast("binary")), "doc_id", "blob")
       .orderBy(col("id"))
 
+  /** Frame sampling over blobs — the mapPartitions batch path, oracle-checked
+    * via the deterministic stub's slice arithmetic.
+    */
+  private def qFrames(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.sampleFrames(
+      docs(s, dir).withColumn("blob", col("text").cast("binary")), "doc_id", "blob", nFrames = 4)
+      .select(col("id"), col("frame_idx"), col("frame_hash"))
+      .orderBy(col("id"), col("frame_idx"))
+
   // ==========================================================================
   // Source readers (SURVEY §2.7): round-trip through non-parquet formats
   // ==========================================================================
@@ -624,6 +665,10 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal" -> (qMultimodal _),
+    "q_frames" -> (qFrames _),
+    "q_join_salted" -> (qJoinSalted _),
+    "q_source_partitioned" -> (qSourcePartitioned _),
+    "q_dlq_replay" -> (qDlqReplay _),
     "q_source_csv" -> (qSourceCsv _),
     "q_source_json" -> (qSourceJson _)
   )
@@ -1127,6 +1172,29 @@ object SparkEntry {
         |  CAST(length(text) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_frames" ->
+      """SELECT doc_id AS id, i AS frame_idx,
+        |  md5(substring(text, CAST(i * step + 1 AS INT), CAST(step AS INT))) AS frame_hash
+        |FROM (
+        |  SELECT doc_id, text, greatest(length(text) // 4, 1) AS step,
+        |    unnest(range(0, least(4, (length(text) + greatest(length(text) // 4, 1) - 1)
+        |                            // greatest(length(text) // 4, 1)))) AS i
+        |  FROM documents
+        |) ORDER BY id, frame_idx""".stripMargin,
+    "q_join_salted" ->
+      """SELECT o_orderkey, o_custkey, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_source_partitioned" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus AS status
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_dlq_replay" ->
+      """SELECT event_id, event_type, 1 AS dlq_retry_count
+        |FROM events
+        |WHERE NOT (value >= 0 AND value <= 95
+        |  AND event_type IN ('view','click','purchase','signup','error'))
+        |ORDER BY event_id""".stripMargin,
     "q_source_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q_source_json" ->
