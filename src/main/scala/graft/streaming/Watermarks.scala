@@ -24,14 +24,16 @@ final class WatermarkTracker(
     allowedLatenessMs: Long,
     nowMs: () => Long = () => System.currentTimeMillis()
 ) {
-  private final case class State(
+  // top-level-style private class (a nested case class would emit an
+  // outer-reference pattern-match warning)
+  private final class State(
       var watermark: Long,
       var lastUpdate: Long,
       var idleTimeoutMs: Option[Long]
   )
 
   private val state: mutable.Map[String, State] = mutable.Map(
-    sourceIds.map(id => id -> State(Long.MinValue, nowMs(), None)): _*
+    sourceIds.map(id => id -> new State(Long.MinValue, nowMs(), None)): _*
   )
 
   def setIdleTimeout(sourceId: String, timeoutMs: Long): Unit =

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+import graft.ops.Sampling
+
+/** Property-based checks: the codegen kernels must agree with the
+  * composable-function formulations on ARBITRARY input, not just the
+  * hand-picked cases in OpsSpec. Fixed seeds keep runs reproducible.
+  */
+class KernelPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val textGen: Gen[String] = Gen.frequency(
+    5 -> Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumStr.map(_.take(8)),
+      2 -> Gen.oneOf(" ", "  ", "\t", "\n"),
+      1 -> Gen.oneOf("!", ",", "Ü", "漢", "é", "@", "-", "_")
+    )).map(_.mkString(" ")),
+    1 -> Gen.const(""),
+    1 -> Gen.const("   ")
+  )
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("shingle kernel equals HOF formulation on random text (n in 1..4)") {
+    for (seed <- 1L to 8L) {
+      val texts = sample(Gen.listOfN(30, textGen), seed)
+      val n = (seed % 4 + 1).toInt
+      val df = texts.zipWithIndex.toDF("text", "id")
+      val fast = df.select(col("id"), T.wordShingles(col("text"), n))
+        .as[(Int, Seq[String])].collect().toMap
+      val hof = df.select(col("id"), T.wordShinglesHof(col("text"), n))
+        .as[(Int, Seq[String])].collect().toMap
+      assert(fast == hof, s"seed=$seed n=$n")
+    }
+  }
+
+  test("hash kernels equal md5-conv formulations on random text") {
+    for (seed <- 100L to 104L) {
+      val texts = sample(Gen.listOfN(20, textGen), seed)
+      val df = texts.zipWithIndex.toDF("text", "id")
+      val k32 = df.select(col("id"), T.wordShingleHashes(col("text"), 2))
+        .as[(Int, Seq[Long])].collect().toMap
+      val v32 = df.select(col("id"),
+        transform(T.wordShingles(col("text"), 2), s => H.hash32(s)))
+        .as[(Int, Seq[Long])].collect().toMap
+      assert(k32 == v32, s"seed=$seed")
+      val k60 = df.select(col("id"), T.tokenHashes60(col("text")))
+        .as[(Int, Seq[Long])].collect().toMap
+      val v60 = df.select(col("id"), transform(T.tokens(col("text")), t => H.hash60(t)))
+        .as[(Int, Seq[Long])].collect().toMap
+      assert(k60 == v60, s"seed=$seed")
+    }
+  }
+
+  test("sampling splits are disjoint, exhaustive over the kept fraction, deterministic") {
+    val ids = (1L to 2000L).toDF("id")
+    val splits = Seq("train" -> 7000, "val" -> 1500, "test" -> 1500)
+    val out = Sampling.withSplit(ids, "id", splits).cache()
+    // every row gets exactly one split (basis points sum to 10000)
+    assert(out.filter(col("split").isNull).count() == 0)
+    // deterministic across evaluations and partitionings
+    val a = out.orderBy("id").as[(Long, String)].collect().toSeq
+    val b = Sampling.withSplit(ids.repartition(13), "id", splits)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(a == b)
+    // fractions are roughly honored (hash uniformity)
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(math.abs(counts("train") - 1400L) < 150)
+    assert(splits.map(_._1).toSet == counts.keySet)
+  }
+}
