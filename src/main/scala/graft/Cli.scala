@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.dsl._
+
+/** Pipeline CLI — the data-plane commands of the reference's cli
+  * (validate / graph --format dot / run):
+  *
+  * {{{
+  *   graft.Cli validate <manifest.yaml>   # DAG validation, exit 1 on errors
+  *   graft.Cli graph <manifest.yaml>      # graphviz DOT on stdout
+  *   graft.Cli run <manifest.yaml>        # compile + write every sink
+  * }}}
+  *
+  * `run` requires file-backed sources/sinks (format=table needs the
+  * library API, where DataFrames are injected).
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = sys.exit(run(args.toSeq))
+
+  def run(args: Seq[String], sparkOpt: Option[SparkSession] = None): Int = args match {
+    case Seq("validate", path) =>
+      val errs = graphOf(path).validate
+      if (errs.isEmpty) { println("OK: pipeline graph is valid"); 0 }
+      else { errs.foreach(e => println(s"ERROR: $e")); 1 }
+
+    case Seq("graph", path) =>
+      print(graphOf(path).toDot)
+      0
+
+    case Seq("run", path) =>
+      val reg = YamlLoader.loadFile(path)
+      val errs = PipelineGraph.fromRegistry(path, reg).validate
+      if (errs.nonEmpty) { errs.foreach(e => println(s"ERROR: $e")); return 1 }
+      val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
+      val compiled = Compiler.compile(spark, reg)
+      compiled.values.toSeq.sortBy(_.name).foreach { p =>
+        Compiler.write(p)
+        println(s"pipeline ${p.name}: wrote ${p.sink.format} sink '${p.sink.name}'" +
+          (if (p.sharedPrefix.nonEmpty) s" (shared prefix: ${p.sharedPrefix.mkString("->")})" else ""))
+        for (dlq <- p.dlq; sink <- p.dlqSink) {
+          Compiler.write(Compiler.CompiledPipeline(s"${p.name}-dlq", dlq, sink, Nil))
+          println(s"pipeline ${p.name}: wrote DLQ sink '${sink.name}'")
+        }
+      }
+      0
+
+    case _ =>
+      println("usage: graft.Cli (validate|graph|run) <manifest.yaml>")
+      2
+  }
+
+  private def graphOf(path: String): PipelineGraph =
+    PipelineGraph.fromRegistry(path, YamlLoader.loadFile(path))
+}

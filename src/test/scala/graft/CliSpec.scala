@@ -1,0 +1,61 @@
+package graft
+
+class CliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeManifest(dir: String): String = {
+    val src = s"$dir/in"
+    Seq((1L, "purchase", 50.0), (2L, "click", 5.0))
+      .toDF("event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(src)
+    val yaml =
+      s"""kind: Source
+         |metadata: {name: ev}
+         |spec: {format: parquet, path: $src}
+         |---
+         |kind: Transform
+         |metadata: {name: only-purchases}
+         |spec:
+         |  type: filter
+         |  condition: {equals: {field: event_type, value: purchase}}
+         |---
+         |kind: Sink
+         |metadata: {name: out}
+         |spec: {format: parquet, path: $dir/out}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: ev, steps: [only-purchases], sink: out}
+         |""".stripMargin
+    val f = java.nio.file.Paths.get(dir, "pipeline.yaml")
+    java.nio.file.Files.writeString(f, yaml)
+    f.toString
+  }
+
+  test("validate, graph, and run a manifest end-to-end") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli").toString
+    val manifest = writeManifest(dir)
+    assert(Cli.run(Seq("validate", manifest)) == 0)
+    // graph prints DOT; just check the exit code path
+    assert(Cli.run(Seq("graph", manifest)) == 0)
+    assert(Cli.run(Seq("run", manifest), sparkOpt = Some(spark)) == 0)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.select("event_id").as[Long].collect().toSeq == Seq(1L))
+    assert(Cli.run(Seq("bogus")) == 2)
+  }
+
+  test("validate reports a broken manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_bad").toString
+    val yaml =
+      """kind: Pipeline
+        |metadata: {name: p}
+        |spec: {source: ghost, steps: [], sink: nowhere}
+        |""".stripMargin
+    val f = java.nio.file.Paths.get(dir, "bad.yaml")
+    java.nio.file.Files.writeString(f, yaml)
+    assert(Cli.run(Seq("validate", f.toString)) == 0) // graph-structurally valid (src->sink)
+    // running it fails loudly: the referenced source manifest does not exist
+    val e = intercept[RuntimeException](Cli.run(Seq("run", f.toString), Some(spark)))
+    assert(e.getMessage.contains("unknown source"))
+  }
+}
