@@ -24,8 +24,13 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
-      finally spark.catalog.clearCache() // queries are independent; retained
-      // working-set caches would steal memory from later queries
+      finally {
+        // queries are independent; retained working-set caches would steal
+        // memory from later queries, and deferred GC debt would land inside
+        // some later query's timing
+        spark.catalog.clearCache()
+        System.gc()
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
