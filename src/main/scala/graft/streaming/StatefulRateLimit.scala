@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** An event that passed the rate limiter (payload travels as JSON so the
+  * operator stays schema-generic; unpack with from_json downstream).
+  */
+final case class AllowedEvent(key: String, ts: Timestamp, payload: String)
+
+/** Streaming per-key per-window rate limiting with explicit state — the
+  * streaming-native form of types.rs:585-601 RateLimit (the batch analog
+  * lives in graft.operators.RateLimit).
+  *
+  * State per key: (tumbling window start → admitted count), pruned by an
+  * event-time timeout once the watermark passes a window (late events for
+  * pruned windows are admitted against fresh state — the same trade the
+  * reference makes when a window's counters expire). At most `maxRate`
+  * events per key per window are emitted; order within a batch is event
+  * time (batch is sorted per group before counting).
+  */
+object StatefulRateLimit {
+
+  type WindowCounts = Map[Long, Long]
+
+  def rateLimit(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      delay: String,
+      maxRate: Int,
+      windowSeconds: Long
+  ): Dataset[AllowedEvent] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val windowMs = windowSeconds * 1000L
+
+    val others = df.columns.filterNot(c => c == keyCol || c == tsCol)
+    val typed = df
+      .withWatermark(tsCol, delay)
+      .select(
+        col(keyCol).cast("string"),
+        col(tsCol),
+        to_json(struct(others.map(col): _*))
+      )
+      .as[(String, Timestamp, String)]
+
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[WindowCounts, AllowedEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, events: Iterator[(String, Timestamp, String)],
+         state: GroupState[WindowCounts]) =>
+          var counts = state.getOption.getOrElse(Map.empty)
+          val wm = state.getCurrentWatermarkMs()
+          // prune windows fully behind the watermark
+          counts = counts.filter { case (w, _) => w + windowMs > wm }
+          val out = events.toSeq.sortBy(e => (e._2.getTime, e._3)).flatMap {
+            case (_, ts, payload) =>
+              val w = Math.floorDiv(ts.getTime, windowMs) * windowMs
+              val n = counts.getOrElse(w, 0L)
+              if (n < maxRate) {
+                counts = counts.updated(w, n + 1)
+                Some(AllowedEvent(key, ts, payload))
+              } else None
+          }
+          if (counts.isEmpty) state.remove()
+          else {
+            state.update(counts)
+            state.setTimeoutTimestamp(counts.keys.max + windowMs)
+          }
+          out.iterator
+      }
+  }
+}

@@ -126,6 +126,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful streaming rate limit admits at most maxRate per key per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val limited = StatefulRateLimit.rateLimit(
+      input.toDF().toDF("user_id", "ts", "value"), "user_id", "ts",
+      delay = "10 minutes", maxRate = 2, windowSeconds = 3600)
+    val q = limited.writeStream.format("memory").queryName("rl_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:01:00"), 1.0),
+        (1L, ts("2024-01-01 00:02:00"), 2.0),
+        (1L, ts("2024-01-01 00:03:00"), 3.0), // third in window -> dropped
+        (1L, ts("2024-01-01 01:05:00"), 4.0), // new window -> admitted
+        (2L, ts("2024-01-01 00:04:00"), 5.0))
+      q.processAllAvailable()
+      val out = spark.table("rl_out").select("key", "payload")
+        .as[(String, String)].collect().toSeq
+      assert(out.count(_._1 == "1") == 3) // 2 in window 0 + 1 in window 1
+      assert(out.count(_._2.contains("3.0")) == 0)
+      assert(out.count(_._1 == "2") == 1)
+      // state persists across batches within the same window
+      input.addData((1L, ts("2024-01-01 01:10:00"), 6.0),
+                    (1L, ts("2024-01-01 01:15:00"), 7.0)) // second admit + one over
+      q.processAllAvailable()
+      val n1 = spark.table("rl_out").filter(col("key") === "1").count()
+      assert(n1 == 4) // 2 + 1 + only one of the two new events
+    } finally q.stop()
+  }
+
   test("session interval merging handles out-of-order events") {
     import graft.streaming.StatefulSessions.mergeEvent
     val gap = 1000L
