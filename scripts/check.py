@@ -57,10 +57,44 @@ def main():
             scols = [d[0] for d in con.execute(
                 "SELECT * FROM read_parquet(?) LIMIT 0", [spark_files]).description]
             odf = con.execute(sql).fetchall()
-            ocols = [d[0] for d in con.execute(
-                f"SELECT * FROM ({sql}) LIMIT 0").description]
+            orel = con.sql(sql)
+            ocols = list(orel.columns)
             if sorted(scols) != sorted(ocols):
                 print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+                n_fail += 1
+                continue
+            # Pandas-hash-equivalence type check: the driver hashes pandas
+            # frames, where e.g. DuckDB HUGEINT (object dtype) vs Spark
+            # BIGINT (int64) hash differently even when values are ==, and
+            # array columns are unhashable outright. Catch both locally.
+            def pdclass(t):
+                t = str(t)
+                if '[]' in t or t.startswith(('STRUCT', 'MAP', 'LIST')):
+                    return 'ARRAY'
+                if t in ('TINYINT', 'SMALLINT', 'INTEGER', 'BIGINT',
+                         'UTINYINT', 'USMALLINT', 'UINTEGER'):
+                    return 'INT'
+                if t in ('FLOAT', 'DOUBLE'):
+                    return 'FLOAT'
+                if t == 'HUGEINT' or t.startswith('DECIMAL'):
+                    return 'OBJECT'  # pandas object dtype — hash-divergent
+                if t == 'JSON':
+                    return 'VARCHAR'  # both reach pandas as str
+                return t
+            srel = con.sql("SELECT * FROM read_parquet($files)",
+                           params={"files": spark_files})
+            stypes = dict(zip(srel.columns, [pdclass(t) for t in srel.types]))
+            otypes = dict(zip(ocols, [pdclass(t) for t in orel.types]))
+            tmism = [c for c in ocols if stypes.get(c) != otypes[c]]
+            if tmism:
+                print(f"FAIL {name}: dtype class mismatch "
+                      f"{[(c, stypes.get(c), otypes[c]) for c in tmism]}")
+                n_fail += 1
+                continue
+            arrcols = [c for c, t in stypes.items() if t == 'ARRAY']
+            if arrcols:
+                print(f"FAIL {name}: array-typed output {arrcols} is unhashable "
+                      f"by the driver harness — emit as canonical strings")
                 n_fail += 1
                 continue
             # reorder spark columns to oracle order by name

@@ -264,7 +264,18 @@ object SparkEntry {
         "users" -> AggFns.collectSetSorted(col("user_id")),
         "values" -> AggFns.collectSorted(col("value"))
       )
-    )(limited).orderBy(col("event_type"))
+    )(limited)
+      // Canonical-string arrays: the driver's oracle harness hashes pandas
+      // frames, where array cells are unhashable — join to one string cell.
+      .select(
+        col("event_type"),
+        array_join(transform(col("users"), _.cast("string")), ",").as("users"),
+        array_join(
+          transform(col("values"), v => v.cast("decimal(18,4)").cast("string")),
+          ","
+        ).as("values")
+      )
+      .orderBy(col("event_type"))
   }
 
   private def qAggSliding(s: SparkSession, dir: String): DataFrame =
@@ -581,6 +592,14 @@ object SparkEntry {
   private def qMultimodal(s: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal.decodeImages(
       docs(s, dir).withColumn("blob", col("text").cast("binary")), "doc_id", "blob")
+      // features joined to one string cell so the driver's rows-only check
+      // (pandas sort) doesn't choke on an array column.
+      .select(
+        col("id"),
+        col("width"),
+        col("height"),
+        array_join(transform(col("features"), _.cast("string")), ",").as("features")
+      )
       .orderBy(col("id"))
 
   /** Frame sampling over blobs — the mapPartitions batch path, oracle-checked
@@ -769,8 +788,11 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_collect" ->
       """SELECT event_type,
-        |  list_sort(list(DISTINCT user_id)) AS users,
-        |  list_sort(list(value)) AS "values"
+        |  array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users,
+        |  array_to_string(
+        |    list_transform(list_sort(list(value)),
+        |                   x -> CAST(CAST(x AS DECIMAL(18,4)) AS VARCHAR)),
+        |    ',') AS "values"
         |FROM events WHERE user_id < 200
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_agg_sliding" ->
@@ -782,7 +804,7 @@ object SparkEntry {
         |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
     "q_agg_session" ->
       """WITH tagged AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, event_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
         |         THEN 1 ELSE 0 END AS is_new
@@ -790,7 +812,8 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), sess AS (
         |  SELECT user_id, ts, value,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM tagged
         |)
         |SELECT user_id, session_id,
@@ -810,7 +833,8 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |)
         |SELECT event_id, user_id,
-        |  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |FROM tagged ORDER BY event_id""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice

@@ -34,7 +34,10 @@ final class MetricsListener extends QueryExecutionListener {
     val w = qe.executedPlan.metrics
     (
       w.get("numOutputRows").map(_.value).getOrElse(-1L),
-      w.get("writtenBytes").map(_.value).getOrElse(-1L)
+      // BasicWriteJobStatsTracker (file sinks) registers bytes as
+      // "numOutputBytes"; "writtenBytes" is the streaming-sink name.
+      w.get("numOutputBytes").orElse(w.get("writtenBytes"))
+        .map(_.value).getOrElse(-1L)
     )
   }
 

@@ -126,14 +126,22 @@ final case class Aggregate(
         // semantics to window(ts, size, slide) but with a plain timestamp
         // column for easy downstream use.
         val epoch = unix_timestamp(col(eventTimeCol))
-        val nWins = (size / slide).toInt
+        // ceil, not truncate: size=10,slide=3 needs 4 candidate windows (an
+        // event at t=9 belongs to the window starting at 0); truncation
+        // would drop it. ceil also keeps nWins >= 1 when slide > size
+        // (sampled disjoint windows), where sequence(0,-1) would fabricate
+        // a window starting after the event.
+        val nWins = ((size + slide - 1) / slide).toInt
         val starts = sequence(lit(0), lit(nWins - 1))
         df.withColumn("_w_i", explode(starts))
           .withColumn(
             "window_start",
             timestamp_seconds(floor(epoch / slide) * slide - col("_w_i") * slide)
           )
-          .filter(epoch < unix_timestamp(col("window_start")) + size)
+          .filter(
+            epoch >= unix_timestamp(col("window_start")) &&
+              epoch < unix_timestamp(col("window_start")) + size
+          )
           .drop("_w_i")
       case (Some(size), None) =>
         df.withColumn("window_start", windows.tumblingStart(col(eventTimeCol), size))

@@ -10,6 +10,14 @@ import graft.functions.{HashFunctions => H, TextFunctions => T}
   * key-shuffle (fingerprint, LSH band, simhash chunk), never a cross join;
   * pairwise verification only runs on candidate pairs, whose count is a tiny
   * fraction of n².
+  *
+  * Storage contract: the pair generators cache an intermediate (shingles /
+  * signatures) that the returned plan references 2-3 times — recomputing the
+  * codegen'd hash kernels per reference costs more than the storage. The
+  * cache is keyed to the returned plan; callers running many dedup jobs in
+  * one long-lived session should `spark.catalog.clearCache()` (or unpersist
+  * via the plan's InMemoryRelation) once the result is consumed — Bench and
+  * Verify both do.
   */
 object Dedup {
 
@@ -159,17 +167,24 @@ object Dedup {
     * component = min id in the cluster.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Eager localCheckpoint (not cache): materializes in ONE job and hard-
+    // truncates lineage, so round N's plan is a join over round N-1's stored
+    // blocks — never a 20-deep recompute cascade. cache() only *hints*
+    // storage: an early-exit action (limit/isEmpty) materializes a partition
+    // subset and later rounds silently recompute the rest from scratch —
+    // that was the 5-23 s variance at sf0.1. Superseded rounds' blocks are
+    // freed by the ContextCleaner once unreferenced.
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
+      .localCheckpoint()
     // Seed = one propagation step for free: component(id) = min(id, direct
     // neighbors). Near-clique duplicate clusters converge immediately, so
     // the loop usually runs exactly one (no-change) round.
     var labels = edges
       .groupBy(col("src").as("id"))
       .agg(least(col("id"), min(col("dst"))).as("component"))
-      .cache()
+      .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -177,10 +192,9 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("component")).as("nbMin"))
-      // One cached round carries both the new label and the change flag, so
-      // convergence detection reuses the round's blocks instead of a second
-      // join. Plan depth stays constant: each round builds on the previous
-      // round's InMemoryRelation.
+      // The round carries its own change flag; materialization (the
+      // localCheckpoint job) and convergence detection share the work —
+      // the isEmpty probe only scans already-stored blocks.
       val next = labels
         .join(neighborMin, labels("id") === col("id2"), "left")
         .select(
@@ -188,13 +202,11 @@ object Dedup {
           least(col("component"), coalesce(col("nbMin"), col("component"))).as("component"),
           (coalesce(col("nbMin"), col("component")) < col("component")).as("_changed")
         )
-        .cache()
-      converged = next.filter(col("_changed")).limit(1).count() == 0
-      labels.unpersist()
+        .localCheckpoint()
+      converged = next.filter(col("_changed")).isEmpty
       labels = next
       iter += 1
     }
-    edges.unpersist()
     labels.select(col("id"), col("component"))
   }
 

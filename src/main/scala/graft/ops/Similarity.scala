@@ -117,11 +117,15 @@ object Similarity {
       nProbe: Int
   ): DataFrame = {
     import graft.functions.{HashFunctions => H}
+    // Deterministic nCells sample as a distributed top-N: orderBy + limit
+    // plans as TakeOrderedAndProject (per-partition heap + driver merge of
+    // nCells rows), NOT a global sort — an unpartitioned row_number window
+    // here would pull the whole corpus through one task at 100 TB.
     val cents = corpus
       .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
         H.hash32(col(idCol).cast("string")).as("_h"))
-      .withColumn("_r", row_number().over(Window.orderBy(col("_h"), col("cent_id"))))
-      .filter(col("_r") <= nCells)
+      .orderBy(col("_h"), col("cent_id"))
+      .limit(nCells)
       .select(col("cent_id"), col("cent_vec"), V.norm(col("cent_vec")).as("cent_norm"))
 
     def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {

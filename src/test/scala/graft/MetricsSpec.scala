@@ -16,6 +16,7 @@ class MetricsSpec extends SparkSpec {
       val writes = l.snapshot.filter(m => m.success && m.rowsWritten == 2L)
       assert(writes.nonEmpty, s"metrics seen: ${l.snapshot}")
       assert(writes.last.durationMs >= 0)
+      assert(writes.last.bytesWritten > 0, s"bytesWritten: ${writes.last}")
     } finally Metrics.detach(spark, l)
   }
 }

@@ -57,6 +57,32 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("IVF centroid selection plans as TakeOrderedAndProject, not a global sort") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val df = graft.ops.Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+      k = 5, nCells = 16, nProbe = 4)
+    val plan = formatted(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("no registered query plans an unpartitioned Window (100 TB scale guard)") {
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    for ((name, fn) <- graft.SparkEntry.queries) {
+      val df = fn(spark, dir)
+      val bad = df.queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty           => w
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name plans an unpartitioned Window (single-task global sort at scale):\n${bad.mkString("\n")}")
+    }
+  }
+
   test("custom kernels stay inside WholeStageCodegen") {
     // parquet-backed input: a local relation would be constant-folded into
     // a LocalTableScan with no codegen stage at all

@@ -46,6 +46,25 @@ class StatefulSpec extends SparkSpec {
     assert(agg.agg(sum("n")).as[Long].head() == events.count() * 2)
   }
 
+  test("Sliding window: non-divisible size/slide expands ceil(size/slide) windows") {
+    val base = Seq((1L, ts("2024-01-01 00:00:09"))).toDF("event_id", "ts")
+    val agg = Aggregate(Seq.empty, Seq("n" -> AggFns.count_()),
+      windowSizeSeconds = Some(10), slideSeconds = Some(3))(base)
+    // t=9 is inside windows starting at 0,3,6,9 — truncated size/slide (=3)
+    // would miss the window starting at 0
+    assert(agg.count() == 4)
+  }
+
+  test("Sliding window: slide > size samples (events may fall in no window)") {
+    val base = Seq(
+      (1L, ts("2024-01-01 00:00:06")), // in [5,7)
+      (2L, ts("2024-01-01 00:00:09"))  // between windows [5,7) and [10,12)
+    ).toDF("event_id", "ts")
+    val agg = Aggregate(Seq.empty, Seq("n" -> AggFns.count_()),
+      windowSizeSeconds = Some(2), slideSeconds = Some(5))(base)
+    assert(agg.select(sum("n")).as[Long].head() == 1L)
+  }
+
   test("Sessionize: gap strictly greater than threshold starts a new session") {
     val base = Seq(
       (1L, 1L, ts("2024-01-01 00:00:00")),
