@@ -174,9 +174,13 @@ object Dedup {
     // subset and later rounds silently recompute the rest from scratch —
     // that was the 5-23 s variance at sf0.1. Superseded rounds' blocks are
     // freed by the ContextCleaner once unreferenced.
-    val edges = pairs
+    // Materialize the (possibly expensive) upstream pair plan ONCE before
+    // the symmetrize union — a plain self-union would run it twice.
+    val p0 = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    val edges = p0
+      .union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
     // Seed = one propagation step for free: component(id) = min(id, direct
     // neighbors). Near-clique duplicate clusters converge immediately, so
