@@ -186,6 +186,20 @@ object SparkEntry {
       )
       .orderBy(col("o_orderkey"))
 
+  /** Schema-based validation (types.rs:497-506): declared record schema
+    * enforced on ingest — enum, range, and regex-pattern checks over the
+    * events table, first violation wins.
+    */
+  private def qValidateSchema(s: SparkSession, dir: String): DataFrame =
+    SchemaValidate(Seq(
+      SchemaField("event_id", "int64"),
+      SchemaField("event_type", enumValues = Some(Seq("view", "click", "purchase", "signup"))),
+      SchemaField("value", "float64", minValue = Some(0.0), maxValue = Some(95.0)),
+      SchemaField("props", pattern = Some("^\\{.*\\}$"))
+    )).tagged(t(s, dir, "events"))
+      .select(col("event_id"), col("_valid"), col("_error_code"))
+      .orderBy(col("event_id"))
+
   private def eventValidation = Validate(
     Seq(
       ValidationRule("NEGATIVE_VALUE", RawCondition(col("value") >= 0)),
@@ -646,6 +660,7 @@ object SparkEntry {
     "q_flatmap" -> (qFlatmap _),
     "q_split" -> (qSplit _),
     "q_validate" -> (qValidate _),
+    "q_validate_schema" -> (qValidateSchema _),
     "q_dlq" -> (qDlq _),
     "q_dedupe_first" -> (qDedupeFirst _),
     "q_dedupe_last" -> (qDedupeLast _),
@@ -745,6 +760,22 @@ object SparkEntry {
         |       WHEN o_custkey IS NULL THEN 'NULL_CUSTOMER'
         |       ELSE NULL END AS error_code
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_validate_schema" ->
+      """SELECT event_id, _error_code IS NULL AS _valid,
+        |  _error_code
+        |FROM (
+        |  SELECT event_id,
+        |    CASE WHEN event_id IS NULL THEN 'null:event_id'
+        |         WHEN event_type IS NULL THEN 'null:event_type'
+        |         WHEN NOT (event_type IN ('view','click','purchase','signup')) THEN 'enum:event_type'
+        |         WHEN value IS NULL THEN 'null:value'
+        |         WHEN NOT (value >= 0.0) THEN 'min:value'
+        |         WHEN NOT (value <= 95.0) THEN 'max:value'
+        |         WHEN props IS NULL THEN 'null:props'
+        |         WHEN NOT regexp_matches(props, '^\{.*\}$') THEN 'pattern:props'
+        |         ELSE NULL END AS _error_code
+        |  FROM events
+        |) ORDER BY event_id""".stripMargin,
     "q_dlq" ->
       """SELECT event_id, event_type,
         |  'VALIDATION_FAILED' AS dlq_code,

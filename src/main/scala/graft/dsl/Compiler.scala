@@ -84,12 +84,41 @@ object Compiler {
   ): (DataFrame, Option[DataFrame]) =
     if (t.transformType == "validate" &&
         t.config.get("onInvalid").exists(_.toString == "route")) {
-      val v = Validate(cfgSeq(t.config("rules")).map(r =>
-        ValidationRule(r("code").toString, parseCondition(r("condition")))))
-      val tagged = v.tagged(df)
+      val tagged = taggedValidation(df, t.config)
       val clean = tagged.filter(col("_valid")).drop("_valid", "_error_code")
       (clean, Some(Dlq.fromInvalid(tagged, stage = t.name)))
     } else (applyTransform(df, t, tables), None)
+
+  /** Tag rows using whichever validate form the config carries: `schema`
+    * (types.rs:497-506 JSON-schema enforcement) or `rules` (predicate list).
+    * `schema_registry_url`/`subject` (types.rs:501-503) are deployment
+    * wiring for fetching the same schema value remotely — out of scope in a
+    * zero-egress build; the inline `schema` covers the semantics.
+    */
+  private def taggedValidation(df: DataFrame, c: Map[String, Any]): DataFrame =
+    if (c.contains("schema")) parseSchemaValidate(c).tagged(df)
+    else
+      Validate(cfgSeq(c("rules")).map(r =>
+        ValidationRule(r("code").toString, parseCondition(r("condition"))))).tagged(df)
+
+  private def parseSchemaValidate(c: Map[String, Any]): SchemaValidate = {
+    val sc = c("schema").asInstanceOf[Map[String, Any]]
+    val fields = cfgSeq(sc("fields")).map { f =>
+      SchemaField(
+        f("name").toString,
+        typ = f.getOrElse("type", "string").toString,
+        required = f.get("required").forall(_.toString.toBoolean),
+        nullable = f.get("nullable").exists(_.toString.toBoolean),
+        pattern = f.get("pattern").map(_.toString),
+        enumValues = f.get("enum").map(_.asInstanceOf[Seq[Any]]),
+        minValue = f.get("min").map(_.toString.toDouble),
+        maxValue = f.get("max").map(_.toString.toDouble)
+      )
+    }
+    SchemaValidate(
+      fields,
+      additionalFields = sc.get("additionalFields").forall(_.toString.toBoolean))
+  }
 
   /** Compile a full DAG (stages + conditional edges — engine.rs routing
     * semantics) rather than a linear pipeline:
@@ -226,12 +255,18 @@ object Compiler {
           )
         })(df)
       case "validate" =>
-        val v = Validate(cfgSeq(c("rules")).map(r =>
-          ValidationRule(r("code").toString, parseCondition(r("condition")))))
+        // route is only meaningful with a DLQ branch -> applyTransformRouted
+        val tagged = taggedValidation(df, c)
         c.getOrElse("onInvalid", "drop").toString match {
-          case "drop" => v.valid(df)
-          case "tag"  => v.tagged(df)
-          case other  => sys.error(s"unsupported onInvalid: $other")
+          case "drop" => tagged.filter(col("_valid")).drop("_valid", "_error_code")
+          case "tag"  => tagged
+          case "error" =>
+            tagged
+              .filter(
+                when(col("_valid"), lit(true))
+                  .otherwise(raise_error(concat(lit("validation failed: "), col("_error_code")))))
+              .drop("_valid", "_error_code")
+          case other => sys.error(s"unsupported onInvalid: $other")
         }
       case "flatmap" =>
         FlatMap(

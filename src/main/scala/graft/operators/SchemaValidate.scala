@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.{Never, RawCondition}
+
+/** One declared field of a record schema — the columnar re-expression of the
+  * reference's JSON-schema `schema` value on Validate
+  * (conveyor-etl-dsl/src/types.rs:497-506). The JSON-schema subset that maps
+  * onto columns: type, required (presence), nullability, regex pattern,
+  * enum, numeric min/max.
+  */
+final case class SchemaField(
+    name: String,
+    typ: String = "string", // FieldTypes vocabulary
+    required: Boolean = true,
+    nullable: Boolean = false,
+    pattern: Option[String] = None,
+    enumValues: Option[Seq[Any]] = None,
+    minValue: Option[Double] = None,
+    maxValue: Option[Double] = None
+)
+
+/** Schema-based Validate (types.rs:497-506): enforce a declared record
+  * schema on ingest. Two plan-time facts (field presence, static column
+  * type) compile to constant rules; everything else is a codegen'd column
+  * predicate per rule, evaluated in ONE scan via [[Validate]] — same
+  * tagged/valid/invalid/orError surface as rule-based validation, so every
+  * ValidationAction (drop/error/tag/route, types.rs:508-516) works for both.
+  *
+  * Rule order (= first-error priority): declared field order, within a field
+  * null → type → pattern → enum → min → max; `additionalFields=false`
+  * violations (JSON-schema `additionalProperties: false`) come last.
+  * Value rules are null-tolerant — a null is reported by the null rule (or
+  * permitted when `nullable`), not by every downstream rule at once.
+  */
+final case class SchemaValidate(fields: Seq[SchemaField], additionalFields: Boolean = true) {
+
+  /** Rules bound against a concrete frame (presence/static-type checks need
+    * the input schema).
+    */
+  def rules(df: DataFrame): Seq[ValidationRule] = {
+    val present = df.columns.toSet
+    val fieldRules = fields.flatMap { f =>
+      if (!present.contains(f.name)) {
+        if (f.required) Seq(ValidationRule(s"missing:${f.name}", Never)) else Seq.empty
+      } else {
+        val c = col(f.name)
+        val target = FieldTypes.mapping.getOrElse(f.typ, StringType)
+        val sameType = df.schema(f.name).dataType == target
+        // try_cast = fail-closed coercion: uncastable value -> NULL -> rule
+        // fires. Skipped when the column already has the declared type.
+        val casted: Column = if (sameType) c else c.try_cast(target)
+        val asNum: Column = casted.try_cast(DoubleType)
+        Seq(
+          if (f.nullable) None
+          else Some(ValidationRule(s"null:${f.name}", RawCondition(c.isNotNull))),
+          if (sameType) None
+          else Some(ValidationRule(s"type:${f.name}", RawCondition(c.isNull || casted.isNotNull))),
+          f.pattern.map(p =>
+            ValidationRule(s"pattern:${f.name}", RawCondition(c.isNull || c.cast("string").rlike(p)))),
+          f.enumValues.map(vs =>
+            ValidationRule(s"enum:${f.name}",
+              RawCondition(c.isNull || c.cast("string").isin(vs.map(_.toString): _*)))),
+          f.minValue.map(m =>
+            ValidationRule(s"min:${f.name}", RawCondition(c.isNull || asNum >= lit(m)))),
+          f.maxValue.map(m =>
+            ValidationRule(s"max:${f.name}", RawCondition(c.isNull || asNum <= lit(m))))
+        ).flatten
+      }
+    }
+    val extraRules =
+      if (additionalFields) Seq.empty
+      else {
+        val declared = fields.map(_.name).toSet
+        (present -- declared).toSeq.sorted
+          .map(c => ValidationRule(s"additional:$c", Never))
+      }
+    fieldRules ++ extraRules
+  }
+
+  def toValidate(df: DataFrame): Validate = Validate(rules(df))
+
+  def tagged(df: DataFrame): DataFrame = toValidate(df).tagged(df)
+  def valid(df: DataFrame): DataFrame = toValidate(df).valid(df)
+  def invalid(df: DataFrame): DataFrame = toValidate(df).invalid(df)
+  def orError(df: DataFrame): DataFrame = toValidate(df).orError(df)
+
+  /** Ingest enforcement for a JSON payload column: `from_json` with the
+    * declared struct (PERMISSIVE — malformed JSON or a field that does not
+    * convert parses to NULL, which the null/type rules then report), parsed
+    * fields hoisted next to the original columns, then schema validation.
+    */
+  def parseAndTag(df: DataFrame, jsonCol: String): DataFrame = {
+    val struct = StructType(fields.map(f =>
+      StructField(f.name, FieldTypes.mapping.getOrElse(f.typ, StringType), nullable = true)))
+    val parsed = df.withColumn("_parsed", from_json(col(jsonCol), struct))
+    val hoisted = fields.foldLeft(parsed) { (d, f) =>
+      d.withColumn(f.name, col(s"_parsed.${f.name}"))
+    }.drop("_parsed")
+    tagged(hoisted)
+  }
+}

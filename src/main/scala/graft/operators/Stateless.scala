@@ -190,6 +190,17 @@ final case class Validate(rules: Seq[ValidationRule]) {
   def valid(df: DataFrame): DataFrame =
     tagged(df).filter(col("_valid")).drop("_valid", "_error_code")
   def invalid(df: DataFrame): DataFrame = tagged(df).filter(!col("_valid"))
+
+  /** types.rs:510-519 ValidationAction::Error — the first invalid row aborts
+    * the job (fail-fast ingest). The raise_error branch never evaluates for
+    * valid rows, so the happy path stays codegen'd.
+    */
+  def orError(df: DataFrame): DataFrame =
+    tagged(df)
+      .filter(
+        when(col("_valid"), lit(true))
+          .otherwise(raise_error(concat(lit("validation failed: "), col("_error_code")))))
+      .drop("_valid", "_error_code")
 }
 
 /** types.rs:519-525 FlatMap — explode an array-typed field into one row per

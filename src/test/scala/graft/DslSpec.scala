@@ -181,6 +181,53 @@ class DslSpec extends SparkSpec {
     assert(p.frame.columns.toSet == events.columns.toSet) // tag columns stripped
   }
 
+  test("schema-based validate compiles from YAML with all four actions") {
+    def yaml(action: String) =
+      s"""kind: Source
+         |metadata: {name: ev}
+         |spec: {format: table, path: events}
+         |---
+         |kind: Transform
+         |metadata: {name: schema-check}
+         |spec:
+         |  type: validate
+         |  onInvalid: $action
+         |  schema:
+         |    fields:
+         |      - {name: event_id, type: int64}
+         |      - {name: event_type, enum: [purchase, click]}
+         |      - {name: value, type: float64, min: 6}
+         |---
+         |kind: Sink
+         |metadata: {name: out}
+         |spec: {format: noop, path: ""}
+         |---
+         |kind: Sink
+         |metadata: {name: dead}
+         |spec: {format: noop, path: ""}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec:
+         |  source: ev
+         |  steps: [schema-check]
+         |  sink: out
+         |  dlq: {sink: dead, maxRetries: 1}
+         |""".stripMargin
+    def compiled(a: String) =
+      Compiler.compile(spark, YamlLoader.load(yaml(a)), tables = Map("events" -> events))("p")
+    // events: id 2 has value 5.0 -> min:value; ids 1 and 3 are clean
+    assert(compiled("drop").frame.select("event_id").as[Long].collect().toSet == Set(1L, 3L))
+    val tagged = compiled("tag").frame
+    assert(tagged.filter(!col("_valid")).select("event_id", "_error_code")
+      .as[(Long, String)].collect().toSeq == Seq((2L, "min:value")))
+    val routed = compiled("route")
+    assert(routed.frame.select("event_id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(routed.dlq.get.select("event_id").as[Long].collect().toSeq == Seq(2L))
+    val err = intercept[Exception](compiled("error").frame.collect())
+    assert(err.getMessage.contains("validation failed"), err.getMessage)
+  }
+
   test("split and join transforms compile from YAML config") {
     val yaml =
       """kind: Source

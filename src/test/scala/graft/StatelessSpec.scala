@@ -57,6 +57,52 @@ class StatelessSpec extends SparkSpec {
     assert(v.invalid(df).count() == 2)
   }
 
+  test("Validate.orError aborts the job on the first invalid row") {
+    val df = Seq((1L, 5.0), (2L, -1.0)).toDF("id", "v")
+    val v = Validate(Seq(ValidationRule("NEG", RawCondition(col("v") >= 0))))
+    assert(v.orError(df.filter(col("v") >= 0)).count() == 1) // clean frame passes through
+    val e = intercept[Exception](v.orError(df).collect())
+    assert(e.getMessage.contains("validation failed"), e.getMessage)
+    assert(e.getMessage.contains("NEG"), e.getMessage)
+  }
+
+  test("SchemaValidate: missing field, type coercion, pattern — first violation wins") {
+    val df = Seq(("1", "abc"), ("x", "{j}")).toDF("id", "payload")
+    val sv = SchemaValidate(Seq(
+      SchemaField("id", "int64"),                           // "x" is uncastable
+      SchemaField("payload", pattern = Some("^\\{.*\\}$")), // "abc" fails
+      SchemaField("device")                                 // required, absent
+    ))
+    val out = sv.tagged(df).select("id", "_error_code")
+    assert(sortedRows(out) == Seq(
+      Seq("1", "pattern:payload"), // id castable, pattern fires before missing:device
+      Seq("x", "type:id")))
+    assert(sv.valid(df).count() == 0) // missing:device invalidates every row
+    // optional field: absence is fine
+    val lax = SchemaValidate(Seq(SchemaField("device", required = false)))
+    assert(lax.valid(df).count() == 2)
+    // additionalProperties=false: undeclared columns invalidate
+    val strict = SchemaValidate(
+      Seq(SchemaField("id"), SchemaField("payload")), additionalFields = false)
+    assert(strict.valid(df.withColumn("extra", lit(1))).count() == 0)
+    assert(strict.tagged(df.withColumn("extra", lit(1)))
+      .select("_error_code").distinct().collect().head.getString(0) == "additional:extra")
+  }
+
+  test("SchemaValidate.parseAndTag hoists JSON payload fields and flags bad payloads") {
+    val df = Seq(
+      (1L, """{"a": 5}"""),
+      (2L, """{"a": "not-a-number"}"""),
+      (3L, "not json at all")
+    ).toDF("k", "js")
+    val sv = SchemaValidate(Seq(SchemaField("a", "int64")))
+    val out = sv.parseAndTag(df, "js").select("k", "a", "_valid", "_error_code")
+    assert(sortedRows(out) == Seq(
+      Seq(1L, 5L, true, null),
+      Seq(2L, null, false, "null:a"),
+      Seq(3L, null, false, "null:a")))
+  }
+
   test("Split: first matching route wins; outputs partition the input") {
     val df = Seq((1L, 10.0), (2L, 60.0), (3L, 200.0)).toDF("id", "v")
     val sp = Split(Seq(
