@@ -324,6 +324,18 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("session_id"))
       .orderBy(col("event_id"))
 
+  /** Max-duration sessionize: the sequentially-dependent batch path (one
+    * shuffle + per-partition streaming scan, Stateful.taggedWithMaxDuration)
+    * — oracle-checked against a DuckDB recursive CTE that replays the same
+    * per-key sequential rule.
+    */
+  private def qSessionizeMaxdur(s: SparkSession, dir: String): DataFrame =
+    Sessionize("user_id", gapSeconds = 1800, orderBy = Seq(col("ts"), col("event_id")),
+      maxDurationSeconds = Some(3600))
+      .tagged(t(s, dir, "events"))
+      .select(col("event_id"), col("user_id"), col("session_id"))
+      .orderBy(col("event_id"))
+
   private def qJoinInner(s: SparkSession, dir: String): DataFrame =
     EquiJoin(
       right = t(s, dir, "customer").select(col("c_custkey"), col("c_name"), col("c_mktsegment")),
@@ -671,6 +683,7 @@ object SparkEntry {
     "q_agg_sliding" -> (qAggSliding _),
     "q_agg_session" -> (qAggSession _),
     "q_sessionize" -> (qSessionize _),
+    "q_sessionize_maxdur" -> (qSessionizeMaxdur _),
     "q_join_inner" -> (qJoinInner _),
     "q_join_left" -> (qJoinLeft _),
     "q_join_full" -> (qJoinFull _),
@@ -867,6 +880,24 @@ object SparkEntry {
         |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |FROM tagged ORDER BY event_id""".stripMargin,
+    "q_sessionize_maxdur" ->
+      """WITH RECURSIVE ordered AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), rec AS (
+        |  SELECT user_id, event_id, rn, tus,
+        |    CAST(1 AS BIGINT) AS session_id, tus AS session_start
+        |  FROM ordered WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.user_id, o.event_id, o.rn, o.tus,
+        |    CASE WHEN o.tus - r.tus > 1800000000 OR o.tus - r.session_start > 3600000000
+        |         THEN r.session_id + 1 ELSE r.session_id END,
+        |    CASE WHEN o.tus - r.tus > 1800000000 OR o.tus - r.session_start > 3600000000
+        |         THEN o.tus ELSE r.session_start END
+        |  FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+        |)
+        |SELECT event_id, user_id, session_id FROM rec ORDER BY event_id""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

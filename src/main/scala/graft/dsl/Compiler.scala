@@ -292,12 +292,21 @@ object Compiler {
           tagInsteadOfDrop = c.get("onExceed").exists(_.toString == "tag")
         )(df)
       case "sessionize" =>
-        Sessionize(
+        // types.rs:681-697 SessionizeTransformConfig: gap + max_duration +
+        // emit (on_close is the reference default).
+        val sz = Sessionize(
           c("keyField").toString,
           c("gapSeconds").toString.toLong,
           c("orderBy").asInstanceOf[Seq[Any]].map(s => col(s.toString)),
-          eventTimeCol = c.getOrElse("eventTimeField", "ts").toString
-        ).tagged(df)
+          eventTimeCol = c.getOrElse("eventTimeField", "ts").toString,
+          maxDurationSeconds = c.get("maxDurationSeconds").map(_.toString.toLong)
+        )
+        c.getOrElse("emit", "on_close").toString match {
+          case "on_close" => sz.sessions(df)
+          case "on_event" => sz.tagged(df)
+          case "both"     => sz.withStats(df)
+          case other      => sys.error(s"unknown emit mode: $other")
+        }
       case "aggregate" =>
         val aggs = cfgSeq(c("aggregations")).map { a =>
           val fn = a("fn").toString
@@ -340,7 +349,11 @@ object Compiler {
           joinType = c.getOrElse("joinType", "inner").toString,
           leftPrefix = c.get("leftPrefix").map(_.toString),
           rightPrefix = c.get("rightPrefix").map(_.toString),
-          broadcastRight = c.get("broadcastRight").exists(_.toString.toBoolean)
+          broadcastRight = c.get("broadcastRight").exists(_.toString.toBoolean),
+          // JoinOutputFields.include/exclude (types.rs:668-678), post-prefix names
+          includeFields = c.get("includeFields").map(_.asInstanceOf[Seq[Any]].map(_.toString)),
+          excludeFields = c.get("excludeFields")
+            .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
         )(df)
       case "lookup" =>
         Lookup(

@@ -154,9 +154,12 @@ final case class Aggregate(
 }
 
 /** types.rs:644-678 Join — inner/left/right/full equi-join with optional
-  * left/right output prefixes. Small right side should be wrapped with
-  * `broadcast()` by the caller (or left to AQE) — at 100 TB a broadcast of
-  * the dimension side removes the shuffle entirely.
+  * left/right output prefixes and output field selection
+  * (JoinOutputFields.include/exclude, types.rs:668-678; names are
+  * post-prefix). Small right side should be wrapped with `broadcast()` by
+  * the caller (or left to AQE) — at 100 TB a broadcast of the dimension
+  * side removes the shuffle entirely. `include` doubles as column pruning:
+  * Catalyst pushes the projection below the join into both scans.
   */
 final case class EquiJoin(
     right: DataFrame,
@@ -165,7 +168,9 @@ final case class EquiJoin(
     joinType: String = "inner",
     leftPrefix: Option[String] = None,
     rightPrefix: Option[String] = None,
-    broadcastRight: Boolean = false
+    broadcastRight: Boolean = false,
+    includeFields: Option[Seq[String]] = None,
+    excludeFields: Seq[String] = Seq.empty
 ) extends Transform {
   def apply(left: DataFrame): DataFrame = {
     val l = leftPrefix.fold(left)(p => left.withColumnsRenamed(left.columns.map(c => c -> s"$p$c").toMap))
@@ -173,7 +178,9 @@ final case class EquiJoin(
     val r = if (broadcastRight) broadcast(r0) else r0
     val lk = leftPrefix.getOrElse("") + leftKey
     val rk = rightPrefix.getOrElse("") + rightKey
-    l.join(r, l(lk) === r(rk), joinType)
+    val joined = l.join(r, l(lk) === r(rk), joinType)
+    val included = includeFields.fold(joined)(fs => joined.select(fs.map(col): _*))
+    if (excludeFields.nonEmpty) included.drop(excludeFields: _*) else included
   }
 }
 
@@ -261,12 +268,26 @@ final case class Sessionize(
   }
 
   /** Per-session stats (start/end/count + extra aggregations). */
-  def sessions(df: DataFrame, extraAggs: Seq[(String, Column)] = Nil): DataFrame = {
+  def sessions(df: DataFrame, extraAggs: Seq[(String, Column)] = Nil): DataFrame =
+    stats(tagged(df), extraAggs)
+
+  /** SessionEmit::Both (types.rs:692-697): every event row enriched with its
+    * session's close-time stats — the batch analog of emitting both the
+    * per-event and the session-close record. The self-join keys on
+    * (key, session_id), the same partitioning the tagging shuffle already
+    * produced, so no extra full-data exchange is needed.
+    */
+  def withStats(df: DataFrame, extraAggs: Seq[(String, Column)] = Nil): DataFrame = {
+    val tg = tagged(df)
+    tg.join(stats(tg, extraAggs), Seq(keyField, "session_id"))
+  }
+
+  private def stats(tg: DataFrame, extraAggs: Seq[(String, Column)]): DataFrame = {
     val aggs = Seq(
       min(col(eventTimeCol)).as("session_start"),
       max(col(eventTimeCol)).as("session_end"),
       count(lit(1)).as("n_events")
     ) ++ extraAggs.map { case (n, c) => c.as(n) }
-    tagged(df).groupBy(col(keyField), col("session_id")).agg(aggs.head, aggs.tail: _*)
+    tg.groupBy(col(keyField), col("session_id")).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -268,6 +268,38 @@ class DslSpec extends SparkSpec {
     assert(m == Set((1L, "buy", Some("alice")), (2L, "buy", None), (3L, "rest", Some("alice"))))
   }
 
+  test("sessionize transform config: emit modes and maxDuration wire through") {
+    import graft.dsl.TransformManifest
+    val ev = Seq(
+      (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:20:00")),
+      (3L, 1L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    def cfg(extra: (String, Any)*) = TransformManifest("s", "sessionize",
+      Map[String, Any]("keyField" -> "user_id", "gapSeconds" -> 1800,
+        "orderBy" -> Seq("ts", "event_id")) ++ extra.toMap)
+    val closed = Compiler.applyTransform(ev, cfg(), Map.empty) // reference default: on_close
+    assert(closed.columns.contains("session_start") && closed.count() == 2)
+    val tagged = Compiler.applyTransform(ev, cfg("emit" -> "on_event"), Map.empty)
+    assert(tagged.count() == 3 && tagged.columns.contains("session_id"))
+    val both = Compiler.applyTransform(ev, cfg("emit" -> "both"), Map.empty)
+    assert(both.count() == 3 && both.columns.contains("n_events"))
+    // 20 min gap is under gapSeconds but over the 15 min duration cap -> split
+    val capped = Compiler.applyTransform(ev,
+      cfg("emit" -> "on_event", "maxDurationSeconds" -> 900), Map.empty)
+    assert(capped.filter(col("session_id") === 1).count() == 1)
+  }
+
+  test("join transform config: includeFields/excludeFields select output columns") {
+    import graft.dsl.TransformManifest
+    val t = TransformManifest("j", "join", Map[String, Any](
+      "rightStream" -> "users", "leftKey" -> "user_id", "rightKey" -> "uid",
+      "joinType" -> "inner", "broadcastRight" -> true,
+      "includeFields" -> Seq("event_id", "name")))
+    val out = Compiler.applyTransform(events, t, Map("users" -> users))
+    assert(out.columns.toSeq == Seq("event_id", "name"))
+  }
+
   test("streaming source configs: file/rate run, kafka fails actionably") {
     import graft.sources._
     val rate = StreamSources.read(spark, Rate(5))

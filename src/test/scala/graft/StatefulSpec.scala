@@ -65,6 +65,29 @@ class StatefulSpec extends SparkSpec {
     assert(agg.select(sum("n")).as[Long].head() == 1L)
   }
 
+  test("EquiJoin output field selection: include/exclude on post-prefix names") {
+    val left = Seq((1L, "a", 10.0)).toDF("id", "name", "v")
+    val right = Seq((1L, "x")).toDF("rid", "tag")
+    val inc = EquiJoin(right, "id", "rid", includeFields = Some(Seq("id", "tag")))(left)
+    assert(inc.columns.toSeq == Seq("id", "tag"))
+    assert(rows(inc) == Seq(Seq(1L, "x")))
+    val exc = EquiJoin(right, "id", "rid", rightPrefix = Some("r_"),
+      excludeFields = Seq("r_rid", "v"))(left)
+    assert(exc.columns.toSeq == Seq("id", "name", "r_tag"))
+  }
+
+  test("Sessionize emit=both enriches every event with its session stats") {
+    val base = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (2L, 1L, ts("2024-01-01 00:10:00")),
+      (3L, 1L, ts("2024-01-01 02:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val both = Sessionize("user_id", 1800, Seq(col("ts"), col("event_id"))).withStats(base)
+    assert(both.count() == 3)
+    val m = both.select("event_id", "n_events").as[(Long, Long)].collect().toMap
+    assert(m == Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+  }
+
   test("Sessionize: gap strictly greater than threshold starts a new session") {
     val base = Seq(
       (1L, 1L, ts("2024-01-01 00:00:00")),
