@@ -637,6 +637,103 @@ object SparkEntry {
       .select(col("id"), col("frame_idx"), col("frame_hash"))
       .orderBy(col("id"), col("frame_idx"))
 
+  /** End-to-end DSL compile (R8/R9): a YAML registry with two pipelines
+    * sharing a two-step prefix (validate onInvalid=route → broadcast lookup)
+    * goes through YamlLoader + Compiler.compile; the result unions the main
+    * branch with the DLQ branch so the routed rows are oracle-checked too.
+    * The second pipeline exists to force the shared-prefix cache path
+    * (optimizer.rs:1-120 find_shared_prefix).
+    */
+  private def qDslPipeline(s: SparkSession, dir: String): DataFrame = {
+    val yaml =
+      """kind: Source
+        |metadata: {name: ev}
+        |spec: {format: table, path: events}
+        |---
+        |kind: Transform
+        |metadata: {name: check}
+        |spec:
+        |  type: validate
+        |  onInvalid: route
+        |  rules:
+        |    - {code: NEG_VALUE, condition: {gte: {field: value, value: 0}}}
+        |    - {code: VALUE_RANGE, condition: {lte: {field: value, value: 95}}}
+        |---
+        |kind: Transform
+        |metadata: {name: enrich}
+        |spec:
+        |  type: lookup
+        |  table: customers
+        |  keys:
+        |    - {recordField: user_id, lookupKey: c_custkey}
+        |---
+        |kind: Transform
+        |metadata: {name: only-purchases}
+        |spec:
+        |  type: filter
+        |  condition: {equals: {field: event_type, value: purchase}}
+        |---
+        |kind: Transform
+        |metadata: {name: shape}
+        |spec:
+        |  type: map
+        |  fields:
+        |    - {target: event_id, source: event_id}
+        |    - {target: event_type, source: event_type}
+        |    - {target: name, source: c_name}
+        |    - {target: spend, expr: "value * 2"}
+        |---
+        |kind: Transform
+        |metadata: {name: counts}
+        |spec:
+        |  type: aggregate
+        |  groupBy: [event_type]
+        |  aggregations:
+        |    - {fn: count, as: n}
+        |---
+        |kind: Sink
+        |metadata: {name: out}
+        |spec: {format: noop, path: ""}
+        |---
+        |kind: Sink
+        |metadata: {name: out2}
+        |spec: {format: noop, path: ""}
+        |---
+        |kind: Sink
+        |metadata: {name: dead}
+        |spec: {format: noop, path: ""}
+        |---
+        |kind: Pipeline
+        |metadata: {name: main}
+        |spec:
+        |  source: ev
+        |  steps: [check, enrich, only-purchases, shape]
+        |  sink: out
+        |  dlq: {sink: dead, maxRetries: 2}
+        |---
+        |kind: Pipeline
+        |metadata: {name: counts-pipe}
+        |spec:
+        |  source: ev
+        |  steps: [check, enrich, counts]
+        |  sink: out2
+        |""".stripMargin
+    val reg = graft.dsl.YamlLoader.load(yaml)
+    val compiled = graft.dsl.Compiler.compile(s, reg, tables = Map(
+      "events" -> t(s, dir, "events"),
+      "customers" -> t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    ))
+    val main = compiled("main")
+    val mainOut = main.frame.select(
+      lit("main").as("branch"), col("event_id"), col("event_type"),
+      col("name"), col("spend"), lit(null).cast("string").as("error_code"))
+    val dlqOut = main.dlq.get.select(
+      lit("dlq").as("branch"), col("event_id"), col("event_type"),
+      lit(null).cast("string").as("name"), lit(null).cast("double").as("spend"),
+      col("dlq_message").as("error_code"))
+    mainOut.unionByName(dlqOut).orderBy(col("branch"), col("event_id"))
+  }
+
   // ==========================================================================
   // Source readers (SURVEY §2.7): round-trip through non-parquet formats
   // ==========================================================================
@@ -717,7 +814,8 @@ object SparkEntry {
     "q_source_partitioned" -> (qSourcePartitioned _),
     "q_dlq_replay" -> (qDlqReplay _),
     "q_source_csv" -> (qSourceCsv _),
-    "q_source_json" -> (qSourceJson _)
+    "q_source_json" -> (qSourceJson _),
+    "q_dsl_pipeline" -> (qDslPipeline _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1284,6 +1382,21 @@ object SparkEntry {
     "q_source_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q_source_json" ->
-      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_dsl_pipeline" ->
+      """WITH tagged AS (
+        |  SELECT *, CASE WHEN NOT (value >= 0) THEN 'NEG_VALUE'
+        |                 WHEN NOT (value <= 95) THEN 'VALUE_RANGE'
+        |                 ELSE NULL END AS err
+        |  FROM events
+        |)
+        |SELECT 'main' AS branch, e.event_id, e.event_type, c.c_name AS name,
+        |  e.value * 2 AS spend, CAST(NULL AS VARCHAR) AS error_code
+        |FROM tagged e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.err IS NULL AND e.event_type = 'purchase'
+        |UNION ALL
+        |SELECT 'dlq', event_id, event_type, NULL, NULL, err
+        |FROM tagged WHERE err IS NOT NULL
+        |ORDER BY branch, event_id""".stripMargin
   )
 }
