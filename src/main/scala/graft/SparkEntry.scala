@@ -324,6 +324,26 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("session_id"))
       .orderBy(col("event_id"))
 
+  /** Stream-stream windowed join (S8b) driven through the batch engine:
+    * Streams.windowedJoin is mode-agnostic (withWatermark is a no-op on a
+    * batch frame), so the equi-join + time-bound predicate semantics are
+    * directly DuckDB-checkable here; StreamingSpec covers the incremental
+    * execution of the same operator.
+    */
+  private def qJoinWindowed(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("l_event_id"), col("user_id").as("l_user_id"), col("ts").as("l_ts"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("r_event_id"), col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+    graft.streaming.Streams.windowedJoin(l, r,
+      leftKey = "l_user_id", rightKey = "r_user_id",
+      leftTimeCol = "l_ts", rightTimeCol = "r_ts",
+      delay = "1 hour", windowSeconds = 1800)
+      .select(col("l_event_id"), col("r_event_id"), col("l_user_id").as("user_id"))
+      .orderBy(col("l_event_id"), col("r_event_id"))
+  }
+
   /** Max-duration sessionize: the sequentially-dependent batch path (one
     * shuffle + per-partition streaming scan, Stateful.taggedWithMaxDuration)
     * — oracle-checked against a DuckDB recursive CTE that replays the same
@@ -784,6 +804,7 @@ object SparkEntry {
     "q_join_inner" -> (qJoinInner _),
     "q_join_left" -> (qJoinLeft _),
     "q_join_full" -> (qJoinFull _),
+    "q_join_windowed" -> (qJoinWindowed _),
     "q_route_edges" -> (qRouteEdges _),
     "q_lookup_merge" -> (qLookupMerge _),
     "q_lookup_nest" -> (qLookupNest _),
@@ -978,6 +999,15 @@ object SparkEntry {
         |  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |FROM tagged ORDER BY event_id""".stripMargin,
+    "q_join_windowed" ->
+      """SELECT l.event_id AS l_event_id, r.event_id AS r_event_id,
+        |  l.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id
+        | AND epoch_us(r.ts) >= epoch_us(l.ts) - 1800000000
+        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 1800000000
+        |ORDER BY l_event_id, r_event_id""".stripMargin,
     "q_sessionize_maxdur" ->
       """WITH RECURSIVE ordered AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS tus,

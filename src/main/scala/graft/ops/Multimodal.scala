@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -66,13 +66,16 @@ object Multimodal {
     * per-row task overhead, partition sizes bounded upstream by
     * `spark.sql.files.maxPartitionBytes`. Output: id, width, height,
     * features. This is where a real codec would run.
+    *
+    * Dataset.mapPartitions (not .rdd): the kernel stays a node INSIDE the
+    * query plan — upstream filters/pruning still reach the scan, no
+    * RDD↔DataFrame boundary serde, and AQE keeps sizing the exchange.
     */
   def decodeImages(
       df: DataFrame,
       idCol: String,
       blobCol: String
   ): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(
       Seq(
         StructField("id", LongType),
@@ -82,15 +85,14 @@ object Multimodal {
       )
     )
     val input: Dataset[Row] = df.select(col(idCol).cast("long"), col(blobCol))
-    val rows = input.rdd.mapPartitions { it =>
+    input.mapPartitions { it =>
       it.map { r =>
         val id = r.getLong(0)
         val blob = r.getAs[Array[Byte]](1)
         val (w, h) = StubCodecs.imageDims(blob)
         Row(id, w, h, StubCodecs.features(blob).toSeq)
       }
-    }
-    spark.createDataFrame(rows, outSchema)
+    }(Encoders.row(outSchema))
   }
 
   /** Video-style frame sampling: one input blob row → up to `nFrames` rows
@@ -104,7 +106,6 @@ object Multimodal {
       blobCol: String,
       nFrames: Int
   ): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(
       Seq(
         StructField("id", LongType),
@@ -114,7 +115,7 @@ object Multimodal {
       )
     )
     val input: Dataset[Row] = df.select(col(idCol).cast("long"), col(blobCol))
-    val rows = input.rdd.mapPartitions { it =>
+    input.mapPartitions { it =>
       it.flatMap { r =>
         val id = r.getLong(0)
         val blob = r.getAs[Array[Byte]](1)
@@ -122,8 +123,7 @@ object Multimodal {
           Row(id, i, frame, md5Hex(frame))
         }
       }
-    }
-    spark.createDataFrame(rows, outSchema)
+    }(Encoders.row(outSchema))
   }
 
   /** Image resize stub: deterministic on (blob, w, h) — a real codec slots
@@ -137,7 +137,6 @@ object Multimodal {
       width: Int,
       height: Int
   ): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(
       Seq(
         StructField("id", LongType),
@@ -147,13 +146,12 @@ object Multimodal {
       )
     )
     val input: Dataset[Row] = df.select(col(idCol).cast("long"), col(blobCol))
-    val rows = input.rdd.mapPartitions { it =>
+    input.mapPartitions { it =>
       it.map { r =>
         Row(r.getLong(0), width, height,
           StubCodecs.resize(r.getAs[Array[Byte]](1), width, height))
       }
-    }
-    spark.createDataFrame(rows, outSchema)
+    }(Encoders.row(outSchema))
   }
 
   private def md5Hex(bytes: Array[Byte]): String =
