@@ -2,47 +2,170 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Streaming source configs — the Spark mapping of the reference's 16
-  * connector types (types.rs:145-162). The reference runs each connector as
-  * a gRPC sidecar process; in Spark a connector is a streaming DataSource:
+/** Streaming source configs — typed Spark mappings for ALL 16 of the
+  * reference's connector types (conveyor-etl-dsl/src/types.rs:145-383,
+  * SourceConfigDsl). The reference runs each connector as a gRPC sidecar
+  * process; in Spark a connector is a streaming DataSource, so each config
+  * carries the reference's fields and compiles them to the corresponding
+  * reader's options:
   *
-  *  - Kafka → the native `kafka` format (spark-sql-kafka module)
-  *  - Kinesis / Pulsar / RabbitMQ / SQS / Redis / NATS / MongoDB → their
-  *    respective Spark connectors, addressed uniformly via [[Generic]]
-  *  - File / S3 / GCS → the file stream source (path = s3a://, gs:// — the
-  *    same reader, different filesystem scheme)
-  *  - HTTP / WebSocket / gRPC push → no pull-based Spark source exists;
-  *    land payloads to files/Kafka first (the reference's own DLQ replay
-  *    path does the same)
+  *  - Kafka / Pulsar / Kinesis / Redis / MongoDB → their Spark connector
+  *    formats (jar-provided; absent jars fail actionably, not with a raw
+  *    ClassNotFoundException)
+  *  - File / S3 / GCS → the file stream source (same reader, different
+  *    filesystem scheme: s3a://, gs:// — object-store jars + credentials
+  *    are cluster config, mirroring the reference's credential blocks)
+  *  - SQS / RabbitMQ / NATS → no first-party Spark source exists; the
+  *    config types the surface and `read` fails with the documented landing
+  *    pattern (bridge to Kafka or files — the reference's own DLQ replay
+  *    path uses the same trick)
+  *  - HTTP / WebSocket / gRPC → PUSH listeners, structurally absent from
+  *    Spark's pull model; same actionable-landing failure
+  *  - Postgres / MySQL CDC → land the WAL/binlog through Debezium→Kafka,
+  *    or use the batch JDBC reader ([[Readers.jdbc]]) for snapshots
   *
   * In this zero-egress container only [[FileStream]] and [[Rate]] can run —
-  * they are the test doubles; the others construct real readers that fail
-  * actionably when the connector jar is absent.
+  * they are the test doubles; everything else either constructs a real
+  * reader (failing actionably when the jar is absent) or names its landing
+  * pattern in the error.
   */
 sealed trait StreamSourceConfig
 
-/** Kafka-like log (types.rs:165-180). */
+/** types.rs:166-189 Kafka (+ KafkaSecurityConfig). `saslPasswordEnv` is the
+  * reference's env-var indirection — resolved at session level, never
+  * inlined into options.
+  */
 final case class Kafka(
     brokers: Seq[String],
     topic: String,
     startingOffsets: String = "latest",
+    consumerGroup: Option[String] = None,
+    securityProtocol: Option[String] = None,
+    saslMechanism: Option[String] = None,
     options: Map[String, String] = Map.empty
 ) extends StreamSourceConfig
 
-/** Directory-watching file stream (types.rs FileSourceConfig) — also the
-  * in-container stand-in for any network source.
+/** types.rs:192-201 Kinesis (+ AwsCredentialsConfig via cluster config). */
+final case class Kinesis(
+    streamName: String,
+    region: Option[String] = None,
+    shardIteratorType: Option[String] = None,
+    options: Map[String, String] = Map.empty
+) extends StreamSourceConfig
+
+/** types.rs:216-224 Pulsar. */
+final case class Pulsar(
+    serviceUrl: String,
+    topic: String,
+    subscription: Option[String] = None,
+    subscriptionType: Option[String] = None,
+    options: Map[String, String] = Map.empty
+) extends StreamSourceConfig
+
+/** types.rs:227-235 RabbitMQ — no first-party Spark source. */
+final case class Rabbitmq(
+    url: String,
+    queue: String,
+    prefetchCount: Option[Int] = None,
+    autoAck: Option[Boolean] = None
+) extends StreamSourceConfig
+
+/** types.rs:238-249 SQS — no first-party Spark source. */
+final case class Sqs(
+    queueUrl: String,
+    region: Option[String] = None,
+    maxMessages: Option[Int] = None,
+    waitTimeSeconds: Option[Int] = None
+) extends StreamSourceConfig
+
+/** types.rs:252-261 Redis streams (spark-redis connector). */
+final case class Redis(
+    url: String,
+    stream: Option[String] = None,
+    channel: Option[String] = None,
+    consumerGroup: Option[String] = None,
+    options: Map[String, String] = Map.empty
+) extends StreamSourceConfig
+
+/** types.rs:264-274 NATS — no first-party Spark source. */
+final case class Nats(
+    url: String,
+    subject: String,
+    queueGroup: Option[String] = None,
+    jetstream: Option[Boolean] = None,
+    durable: Option[String] = None
+) extends StreamSourceConfig
+
+/** types.rs:277-285 File (watch dir) — also the in-container stand-in for
+  * any network source. `pattern` maps to pathGlobFilter.
   */
 final case class FileStream(
     format: String,
     path: String,
     schemaDDL: String,
+    pattern: Option[String] = None,
     options: Map[String, String] = Map.empty
 ) extends StreamSourceConfig
+
+/** types.rs:298-310 S3 — the file stream reader over s3a://. Credentials
+  * (AwsCredentialsConfig) are Hadoop conf (fs.s3a.*), set at session level.
+  */
+final case class S3Stream(
+    bucket: String,
+    prefix: Option[String] = None,
+    format: String = "json",
+    schemaDDL: String = "",
+    options: Map[String, String] = Map.empty
+) extends StreamSourceConfig
+
+/** types.rs:313-323 GCS — the file stream reader over gs://. */
+final case class GcsStream(
+    bucket: String,
+    prefix: Option[String] = None,
+    format: String = "json",
+    schemaDDL: String = "",
+    options: Map[String, String] = Map.empty
+) extends StreamSourceConfig
+
+/** types.rs:326-334 HTTP listener — push; no Spark pull source. */
+final case class Http(listenAddr: String, path: Option[String] = None)
+    extends StreamSourceConfig
+
+/** types.rs:345-351 WebSocket listener — push; no Spark pull source. */
+final case class Websocket(listenAddr: String, path: Option[String] = None)
+    extends StreamSourceConfig
+
+/** types.rs:354-362 Postgres logical-replication CDC. */
+final case class PostgresCdc(
+    connectionString: String,
+    publication: Option[String] = None,
+    slotName: Option[String] = None,
+    tables: Seq[String] = Seq.empty
+) extends StreamSourceConfig
+
+/** types.rs:365-371 MySQL binlog CDC. */
+final case class MysqlCdc(
+    connectionString: String,
+    serverId: Option[Int] = None,
+    tables: Seq[String] = Seq.empty
+) extends StreamSourceConfig
+
+/** types.rs:374-381 MongoDB change streams (mongodb Spark connector). */
+final case class Mongodb(
+    connectionString: String,
+    database: String,
+    collection: Option[String] = None,
+    options: Map[String, String] = Map.empty
+) extends StreamSourceConfig
+
+/** types.rs:384-390 gRPC push listener — no Spark pull source. */
+final case class Grpc(listenAddr: String, maxMessageSize: Option[Int] = None)
+    extends StreamSourceConfig
 
 /** Synthetic rows-per-second source (testing/backpressure experiments). */
 final case class Rate(rowsPerSecond: Long) extends StreamSourceConfig
 
-/** Any other connector by its DataSource short name + options. */
+/** Escape hatch: any other connector by DataSource short name + options. */
 final case class Generic(
     format: String,
     options: Map[String, String],
@@ -52,36 +175,141 @@ final case class Generic(
 object StreamSources {
 
   def read(spark: SparkSession, cfg: StreamSourceConfig): DataFrame = cfg match {
-    case Kafka(brokers, topic, starting, opts) =>
+    case Kafka(brokers, topic, starting, group, protocol, sasl, opts) =>
       attempt("kafka", "org.apache.spark:spark-sql-kafka-0-10") {
-        spark.readStream.format("kafka")
+        val base = spark.readStream.format("kafka")
           .option("kafka.bootstrap.servers", brokers.mkString(","))
           .option("subscribe", topic)
           .option("startingOffsets", starting)
-          .options(opts)
-          .load()
+        val withGroup = group.fold(base)(g => base.option("kafka.group.id", g))
+        val withSec = protocol.fold(withGroup)(p => withGroup.option("kafka.security.protocol", p))
+        val withSasl = sasl.fold(withSec)(m => withSec.option("kafka.sasl.mechanism", m))
+        withSasl.options(opts).load()
       }
-    case FileStream(format, path, ddl, opts) =>
-      spark.readStream.format(format).schema(ddl).options(opts).load(path)
+
+    case Kinesis(stream, region, iterType, opts) =>
+      attempt("aws-kinesis", "the spark-sql-kinesis connector") {
+        val base = spark.readStream.format("aws-kinesis")
+          .option("streamName", stream)
+        val withRegion = region.fold(base)(r => base.option("region", r))
+        val withPos = iterType.fold(withRegion)(t =>
+          withRegion.option("startingposition", t)) // TRIM_HORIZON | LATEST
+        withPos.options(opts).load()
+      }
+
+    case Pulsar(url, topic, sub, subType, opts) =>
+      attempt("pulsar", "the StreamNative pulsar-spark connector") {
+        val base = spark.readStream.format("pulsar")
+          .option("service.url", url)
+          .option("topic", topic)
+        val withSub = sub.fold(base)(s => base.option("predefinedSubscription", s))
+        val withType = subType.fold(withSub)(t => withSub.option("subscriptionType", t))
+        withType.options(opts).load()
+      }
+
+    case Redis(url, stream, channel, group, opts) =>
+      attempt("redis", "the spark-redis connector") {
+        val key = stream.orElse(channel).getOrElse(
+          throw new IllegalArgumentException("redis source needs stream or channel"))
+        val base = spark.readStream.format("redis")
+          .option("stream.keys", key)
+        val withGroup = group.fold(base)(g => base.option("stream.group.name", g))
+        withGroup.option("url", url).options(opts).load()
+      }
+
+    case Mongodb(conn, db, coll, opts) =>
+      attempt("mongodb", "the mongo-spark connector") {
+        val base = spark.readStream.format("mongodb")
+          .option("connection.uri", conn)
+          .option("database", db)
+        coll.fold(base)(c => base.option("collection", c)).options(opts).load()
+      }
+
+    case FileStream(format, path, ddl, pattern, opts) =>
+      val base = spark.readStream.format(format).schema(ddl)
+      pattern.fold(base)(p => base.option("pathGlobFilter", p))
+        .options(opts).load(path)
+
+    case S3Stream(bucket, prefix, format, ddl, opts) =>
+      attempt("s3a file stream", "hadoop-aws + credentials (fs.s3a.*) in cluster conf") {
+        objectStoreStream(spark, s"s3a://$bucket/${prefix.getOrElse("")}", format, ddl, opts)
+      }
+
+    case GcsStream(bucket, prefix, format, ddl, opts) =>
+      attempt("gs file stream", "gcs-connector + credentials in cluster conf") {
+        objectStoreStream(spark, s"gs://$bucket/${prefix.getOrElse("")}", format, ddl, opts)
+      }
+
     case Rate(rps) =>
       spark.readStream.format("rate").option("rowsPerSecond", rps).load()
+
     case Generic(format, opts, ddl) =>
       attempt(format, s"the $format connector") {
         val r = spark.readStream.format(format).options(opts)
         ddl.fold(r)(r.schema).load()
       }
+
+    // Push listeners and broker types with no Spark pull source: name the
+    // landing pattern instead of dying in the DataSource registry.
+    case Rabbitmq(url, queue, _, _) =>
+      unsupportedLanding("rabbitmq", s"queue $queue at $url")
+    case Sqs(queueUrl, _, _, _) =>
+      unsupportedLanding("sqs", s"queue $queueUrl")
+    case Nats(url, subject, _, _, _) =>
+      unsupportedLanding("nats", s"subject $subject at $url")
+    case Http(addr, _)      => unsupportedLanding("http listener", addr)
+    case Websocket(addr, _) => unsupportedLanding("websocket listener", addr)
+    case Grpc(addr, _)      => unsupportedLanding("grpc listener", addr)
+    case PostgresCdc(conn, _, _, _) =>
+      throw new UnsupportedOperationException(
+        s"postgres CDC ($conn): land the WAL through Debezium->Kafka and read the " +
+          "Kafka source, or use graft.sources.Readers.jdbc for batch snapshots")
+    case MysqlCdc(conn, _, _) =>
+      throw new UnsupportedOperationException(
+        s"mysql CDC ($conn): land the binlog through Debezium->Kafka and read the " +
+          "Kafka source, or use graft.sources.Readers.jdbc for batch snapshots")
   }
+
+  private def objectStoreStream(
+      spark: SparkSession,
+      path: String,
+      format: String,
+      ddl: String,
+      opts: Map[String, String]
+  ): DataFrame = {
+    val r = spark.readStream.format(format)
+    (if (ddl.nonEmpty) r.schema(ddl) else r).options(opts).load(path)
+  }
+
+  private def unsupportedLanding(kind: String, target: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"$kind ($target) is a push/broker source with no Spark pull connector: " +
+        "land payloads to files, Kafka, or an object store and read that source " +
+        "instead (the reference's DLQ replay path uses the same landing pattern)")
 
   private def attempt(format: String, artifact: String)(f: => DataFrame): DataFrame =
     try f
     catch {
-      // SparkClassNotFoundException (DATA_SOURCE_NOT_FOUND) is private to
-      // org.apache.spark — match on the class-not-found family by name.
-      case e: Exception
-          if e.isInstanceOf[ClassNotFoundException] ||
-            e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
-            e.getClass.getSimpleName.contains("ClassNotFound") =>
+      // Missing-connector failures surface in several shapes: Spark's
+      // SparkClassNotFoundException (DATA_SOURCE_NOT_FOUND, private class),
+      // AnalysisException ("Failed to find data source"), Hadoop's plain
+      // RuntimeException wrapping a ClassNotFoundException (object-store
+      // FileSystem impls), and "No FileSystem for scheme" IOExceptions.
+      // Walk the cause chain and match the family.
+      case e: Exception if isMissingConnector(e) =>
         throw new UnsupportedOperationException(
           s"streaming source '$format' needs $artifact on the classpath", e)
     }
+
+  private def isMissingConnector(root: Throwable): Boolean = {
+    Iterator.iterate(root)(_.getCause).takeWhile(_ != null).take(8).exists { e =>
+      e.isInstanceOf[ClassNotFoundException] ||
+      e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
+      e.getClass.getSimpleName.contains("ClassNotFound") ||
+      Option(e.getMessage).exists(m =>
+        m.contains("No FileSystem for scheme") ||
+          m.contains("ClassNotFoundException") ||
+          m.contains("Failed to find data source"))
+    }
+  }
 }

@@ -54,6 +54,46 @@ class SourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("all 16 typed connector configs resolve: runnable, jar-gated, or landing-pattern") {
+    // runnable in-container
+    val dir = java.nio.file.Files.createTempDirectory("graft_conn").toString
+    Seq((1L, "a")).toDF("id", "v").write.mode("overwrite").json(s"$dir/in")
+    assert(StreamSources.read(spark,
+      FileStream("json", s"$dir/in", "id LONG, v STRING", pattern = Some("*.json"))).isStreaming)
+    assert(StreamSources.read(spark, Rate(1)).isStreaming)
+
+    // connector-jar-gated: fail actionably, naming the artifact
+    def needsJar(cfg: StreamSourceConfig, artifactHint: String): Unit = {
+      val e = intercept[UnsupportedOperationException](StreamSources.read(spark, cfg))
+      assert(e.getMessage.contains(artifactHint), s"$cfg -> ${e.getMessage}")
+    }
+    needsJar(Kafka(Seq("b:9092"), "t", consumerGroup = Some("g"),
+      securityProtocol = Some("SASL_SSL"), saslMechanism = Some("PLAIN")), "kafka")
+    needsJar(Kinesis("events", region = Some("us-east-1"),
+      shardIteratorType = Some("TRIM_HORIZON")), "kinesis")
+    needsJar(Pulsar("pulsar://h:6650", "t", subscription = Some("s")), "pulsar")
+    needsJar(Redis("redis://h:6379", stream = Some("st"),
+      consumerGroup = Some("g")), "redis")
+    needsJar(Mongodb("mongodb://h", "db", Some("coll")), "mongo")
+    needsJar(S3Stream("bucket", Some("prefix/"), "json", "id LONG"), "hadoop-aws")
+    needsJar(GcsStream("bucket", Some("prefix/"), "json", "id LONG"), "gcs-connector")
+    needsJar(Generic("kinesis-v2", Map("a" -> "b")), "kinesis-v2")
+
+    // push/broker sources with no Spark pull connector: landing pattern named
+    def needsLanding(cfg: StreamSourceConfig): Unit = {
+      val e = intercept[UnsupportedOperationException](StreamSources.read(spark, cfg))
+      assert(e.getMessage.contains("land"), s"$cfg -> ${e.getMessage}")
+    }
+    needsLanding(Rabbitmq("amqp://h", "q"))
+    needsLanding(Sqs("https://sqs/q"))
+    needsLanding(Nats("nats://h", "subj"))
+    needsLanding(Http("0.0.0.0:8080"))
+    needsLanding(Websocket("0.0.0.0:8081"))
+    needsLanding(Grpc("0.0.0.0:50051"))
+    needsLanding(PostgresCdc("postgres://h/db", publication = Some("pub")))
+    needsLanding(MysqlCdc("mysql://h/db"))
+  }
+
   test("avro reader fails with an actionable message without the module") {
     val e = intercept[UnsupportedOperationException](
       Readers.avro(spark, "/tmp/nonexistent.avro"))
