@@ -1,0 +1,363 @@
+package graft.dsl
+
+import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.SparkSession
+import org.yaml.snakeyaml.Yaml
+
+/** Backup / restore manifests — the Spark mapping of the reference's
+  * BackupManifest / RestoreManifest CRDs (conveyor-etl-dsl/src/types.rs:
+  * 868-1018) and their validation rules (validation.rs:15-133).
+  *
+  * In the reference, a backup snapshots the pipeline's durable runtime
+  * state (source offsets, operator state, configuration) to an object
+  * store on a cron schedule with retention. Spark keeps exactly that
+  * state in the Structured Streaming checkpoint directory:
+  *
+  *   - offsets    → `<ckpt>/offsets/` + `<ckpt>/commits/` + `<ckpt>/sources/`
+  *   - state      → `<ckpt>/state/` (stateful-operator stores)
+  *   - checkpoints→ `<ckpt>/metadata` (query id) — the query identity
+  *   - configuration → the pipeline's YAML manifest text
+  *
+  * So backup = copy the selected subtrees to the destination filesystem
+  * (file://, s3a://, gs:// — the Hadoop FileSystem API makes them
+  * uniform), restore = copy them back into a (possibly new) checkpoint
+  * location; the restarted query resumes from the restored offsets.
+  * Scheduling (cron) is validated here and executed by whatever runs the
+  * pipeline (Airflow/cron/K8s — the reference's operator plays that role);
+  * retention is enforced on every `run`.
+  */
+sealed trait BackupComponent
+object BackupComponent {
+  case object Checkpoints extends BackupComponent
+  case object Offsets extends BackupComponent
+  case object Configuration extends BackupComponent
+  case object State extends BackupComponent
+
+  val all: Seq[BackupComponent] = Seq(Checkpoints, Offsets, Configuration, State)
+
+  def parse(s: String): BackupComponent = s.toLowerCase match {
+    case "checkpoints"   => Checkpoints
+    case "offsets"       => Offsets
+    case "configuration" => Configuration
+    case "state"         => State
+    case other           => sys.error(s"unknown backup component: $other")
+  }
+
+  def name(c: BackupComponent): String = c match {
+    case Checkpoints   => "checkpoints"
+    case Offsets       => "offsets"
+    case Configuration => "configuration"
+    case State         => "state"
+  }
+
+  /** Checkpoint subtrees a component covers (relative to the ckpt root). */
+  def subtrees(c: BackupComponent): Seq[String] = c match {
+    case Checkpoints   => Seq("metadata")
+    case Offsets       => Seq("offsets", "commits", "sources")
+    case State         => Seq("state")
+    case Configuration => Seq.empty // not checkpoint-resident; see pipeline.yaml
+  }
+}
+
+/** types.rs:906-935 — destination ADT; `uri` is the Hadoop-FS address. */
+sealed trait BackupDestination { def uri: String }
+final case class S3Destination(bucket: String, prefix: Option[String] = None,
+    region: Option[String] = None) extends BackupDestination {
+  def uri: String = s"s3a://$bucket/${prefix.getOrElse("")}"
+}
+final case class GcsDestination(bucket: String, prefix: Option[String] = None)
+    extends BackupDestination {
+  def uri: String = s"gs://$bucket/${prefix.getOrElse("")}"
+}
+final case class FileDestination(path: String) extends BackupDestination {
+  def uri: String = path
+}
+
+final case class BackupRetention(count: Option[Int] = None, days: Option[Int] = None)
+final case class BackupSchedule(cron: String, retention: Option[BackupRetention] = None)
+
+/** types.rs:868-886 — kind: Backup. */
+final case class BackupManifest(
+    name: String,
+    pipeline: String,
+    include: Seq[BackupComponent],
+    destination: BackupDestination,
+    schedule: Option[BackupSchedule] = None
+)
+
+/** types.rs:998-1007 — exactly one of backup / snapshot / latest. */
+final case class RestoreSource(
+    backup: Option[String] = None,
+    snapshot: Option[String] = None,
+    latest: Boolean = false
+)
+
+/** types.rs:979-996 — kind: Restore. Empty `include` = everything backed up. */
+final case class RestoreManifest(
+    name: String,
+    from: RestoreSource,
+    target: Option[String] = None,
+    include: Seq[BackupComponent] = Seq.empty
+)
+
+/** validation.rs:15-133 rules, verbatim semantics. */
+object BackupValidation {
+
+  def validateBackup(m: BackupManifest): Either[String, Unit] =
+    for {
+      _ <- cond(m.name.nonEmpty, "Backup name cannot be empty")
+      _ <- cond(m.include.nonEmpty,
+        "Backup must include at least one component (checkpoints, offsets, configuration, or state)")
+      _ <- cond(m.pipeline.nonEmpty, "Backup must specify a pipeline name")
+      _ <- m.schedule.fold(ok) { s =>
+        for {
+          _ <- validateCron(s.cron)
+          _ <- s.retention.fold(ok)(r =>
+            cond(r.count.isDefined || r.days.isDefined,
+              "Retention must specify either count or days"))
+        } yield ()
+      }
+      _ <- validateDestination(m.destination)
+    } yield ()
+
+  def validateRestore(m: RestoreManifest): Either[String, Unit] = {
+    val picked = Seq(m.from.backup.isDefined, m.from.snapshot.isDefined, m.from.latest)
+      .count(identity)
+    for {
+      _ <- cond(m.name.nonEmpty, "Restore name cannot be empty")
+      _ <- cond(picked >= 1, "Restore must specify one of: backup, snapshot, or latest")
+      _ <- cond(picked <= 1, "Restore must specify only one of: backup, snapshot, or latest")
+      _ <- cond(m.target.forall(_.nonEmpty), "Target pipeline name cannot be empty")
+    } yield ()
+  }
+
+  def validateDestination(d: BackupDestination): Either[String, Unit] = d match {
+    case S3Destination(bucket, _, _) =>
+      cond(bucket.nonEmpty, "S3 destination must specify a bucket")
+    case GcsDestination(bucket, _) =>
+      cond(bucket.nonEmpty, "GCS destination must specify a bucket")
+    case FileDestination(path) =>
+      cond(path.nonEmpty, "File destination must specify a path")
+  }
+
+  /** validation.rs:117-133 — 5 whitespace-separated fields. */
+  def validateCron(cron: String): Either[String, Unit] =
+    for {
+      _ <- cond(cron.nonEmpty, "Cron expression cannot be empty")
+      _ <- cond(cron.trim.split("\\s+").length == 5,
+        s"Invalid cron expression '$cron': expected 5 fields (minute hour day month weekday)")
+    } yield ()
+
+  private val ok: Either[String, Unit] = Right(())
+  private def cond(p: Boolean, err: => String): Either[String, Unit] =
+    if (p) Right(()) else Left(err)
+}
+
+/** Executes backups and restores over Hadoop filesystems. Backup ids are
+  * sequential (`backup-000001`, ...) so runs are deterministic and `latest`
+  * is well-defined without wall clocks; retention-by-days uses filesystem
+  * modification times.
+  */
+object BackupRunner {
+
+  /** Snapshot the selected components of `checkpointDir` into
+    * `<destination>/<backup name>/backup-NNNNNN/`. `configYaml`, when given,
+    * is stored as `pipeline.yaml` for the Configuration component. Returns
+    * the backup id. Fails on validation errors, mirroring validate_backup.
+    */
+  def backup(
+      spark: SparkSession,
+      m: BackupManifest,
+      checkpointDir: String,
+      configYaml: Option[String] = None
+  ): String = {
+    BackupValidation.validateBackup(m).left.foreach(e => sys.error(e))
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(m.destination.uri, m.name)
+    val fs = root.getFileSystem(conf)
+    val id = f"backup-${nextSeq(fs, root)}%06d"
+    val dest = new Path(root, id)
+    fs.mkdirs(dest)
+
+    val ckptRoot = new Path(checkpointDir)
+    val srcFs = ckptRoot.getFileSystem(conf)
+    val copied = m.include.flatMap { c =>
+      BackupComponent.subtrees(c).flatMap { rel =>
+        val src = new Path(ckptRoot, rel)
+        if (srcFs.exists(src)) {
+          FileUtil.copy(srcFs, src, fs, new Path(dest, rel), false, conf)
+          Some(rel)
+        } else None
+      }
+    }
+    if (m.include.contains(BackupComponent.Configuration)) configYaml.foreach { y =>
+      writeText(fs, new Path(dest, "pipeline.yaml"), y)
+    }
+    writeText(fs, new Path(dest, "MANIFEST.json"), manifestJson(m, id, copied))
+    m.schedule.flatMap(_.retention).foreach(applyRetention(fs, root, _))
+    id
+  }
+
+  /** Restore a backup into `targetCheckpointDir` (wiping any existing
+    * subtrees being restored, so stale offsets can't mix with restored
+    * ones). Source resolution follows RestoreSource: an explicit backup id,
+    * a snapshot id (same namespace — Spark checkpoints ARE the snapshots),
+    * or `latest` = highest sequential id. Returns the restored backup id.
+    */
+  def restore(
+      spark: SparkSession,
+      m: RestoreManifest,
+      backupName: String,
+      destination: BackupDestination,
+      targetCheckpointDir: String
+  ): String = {
+    BackupValidation.validateRestore(m).left.foreach(e => sys.error(e))
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(destination.uri, backupName)
+    val fs = root.getFileSystem(conf)
+
+    val id = m.from.backup.orElse(m.from.snapshot).getOrElse {
+      val ids = listBackups(fs, root)
+      if (ids.isEmpty) sys.error(s"no backups under $root") else ids.max
+    }
+    val src = new Path(root, id)
+    if (!fs.exists(src)) sys.error(s"backup $id not found under $root")
+
+    val components = if (m.include.nonEmpty) m.include else BackupComponent.all
+    val ckptRoot = new Path(targetCheckpointDir)
+    val dstFs = ckptRoot.getFileSystem(conf)
+    dstFs.mkdirs(ckptRoot)
+    components.foreach { c =>
+      BackupComponent.subtrees(c).foreach { rel =>
+        val from = new Path(src, rel)
+        if (fs.exists(from)) {
+          val to = new Path(ckptRoot, rel)
+          if (dstFs.exists(to)) dstFs.delete(to, true)
+          FileUtil.copy(fs, from, dstFs, to, false, conf)
+        }
+      }
+    }
+    id
+  }
+
+  def listBackups(fs: FileSystem, root: Path): Seq[String] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("backup-"))
+      .map(_.getPath.getName)
+      .sorted
+
+  private def nextSeq(fs: FileSystem, root: Path): Int =
+    listBackups(fs, root)
+      .map(_.stripPrefix("backup-").toInt)
+      .maxOption.getOrElse(0) + 1
+
+  /** Keep the newest `count` backups and/or drop those older than `days`
+    * (by FS modification time of the backup dir).
+    */
+  private def applyRetention(fs: FileSystem, root: Path, r: BackupRetention): Unit = {
+    val ids = listBackups(fs, root)
+    val byCount = r.count.fold(Set.empty[String])(n => ids.dropRight(n).toSet)
+    val byAge = r.days.fold(Set.empty[String]) { d =>
+      val cutoff = System.currentTimeMillis() - d.toLong * 86400000L
+      ids.filter(id => fs.getFileStatus(new Path(root, id)).getModificationTime < cutoff).toSet
+    }
+    (byCount ++ byAge).foreach(id => fs.delete(new Path(root, id), true))
+  }
+
+  private def writeText(fs: FileSystem, p: Path, text: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(text.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def manifestJson(m: BackupManifest, id: String, copied: Seq[String]): String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val comps = m.include.map(c => q(BackupComponent.name(c))).mkString("[", ",", "]")
+    val trees = copied.map(q).mkString("[", ",", "]")
+    s"""{"id":${q(id)},"backup":${q(m.name)},"pipeline":${q(m.pipeline)},""" +
+      s""""components":$comps,"subtrees":$trees}"""
+  }
+}
+
+/** YAML parsing for kind: Backup / Restore documents — the same camelCase
+  * field names the reference serde derives (types.rs:868-1018).
+  */
+object BackupYaml {
+
+  def loadBackup(yamlText: String): BackupManifest = {
+    val doc = parse(yamlText, "Backup")
+    val meta = sub(doc, "metadata")
+    val spec = sub(doc, "spec")
+    val dest = sub(spec, "destination")
+    BackupManifest(
+      name = meta.getOrElse("name", "").toString,
+      pipeline = sub(spec, "pipeline").getOrElse("name", "").toString,
+      include = seqOf(spec, "include").map(s => BackupComponent.parse(s.toString)),
+      destination = parseDestination(dest),
+      schedule = spec.get("schedule").map { s0 =>
+        val s = s0.asInstanceOf[Map[String, Any]]
+        BackupSchedule(
+          s.getOrElse("cron", "").toString,
+          s.get("retention").map { r0 =>
+            val r = r0.asInstanceOf[Map[String, Any]]
+            BackupRetention(
+              r.get("count").map(_.toString.toInt),
+              r.get("days").map(_.toString.toInt))
+          })
+      }
+    )
+  }
+
+  def loadRestore(yamlText: String): RestoreManifest = {
+    val doc = parse(yamlText, "Restore")
+    val meta = sub(doc, "metadata")
+    val spec = sub(doc, "spec")
+    val from = sub(spec, "from")
+    RestoreManifest(
+      name = meta.getOrElse("name", "").toString,
+      from = RestoreSource(
+        backup = from.get("backup").map(_.toString),
+        snapshot = from.get("snapshot").map(_.toString),
+        latest = from.get("latest").exists(_.toString.toBoolean)),
+      target = spec.get("target")
+        .map(_.asInstanceOf[Map[String, Any]].getOrElse("name", "").toString),
+      include = seqOf(spec, "include").map(s => BackupComponent.parse(s.toString))
+    )
+  }
+
+  private def parseDestination(d: Map[String, Any]): BackupDestination =
+    d.getOrElse("type", "file").toString.toLowerCase match {
+      case "s3" => S3Destination(
+        d.getOrElse("bucket", "").toString,
+        d.get("prefix").map(_.toString),
+        d.get("region").map(_.toString))
+      case "gcs" => GcsDestination(
+        d.getOrElse("bucket", "").toString,
+        d.get("prefix").map(_.toString))
+      case "file" => FileDestination(d.getOrElse("path", "").toString)
+      case other  => sys.error(s"unknown backup destination type: $other")
+    }
+
+  private def parse(yamlText: String, expectKind: String): Map[String, Any] = {
+    val doc = toScala(new Yaml().load[Any](yamlText)).asInstanceOf[Map[String, Any]]
+    val kind = doc.getOrElse("kind", "").toString
+    if (kind != expectKind) sys.error(s"expected kind: $expectKind, got: $kind")
+    doc
+  }
+
+  private def sub(m: Map[String, Any], k: String): Map[String, Any] =
+    m.get(k).map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty)
+
+  private def seqOf(m: Map[String, Any], k: String): Seq[Any] =
+    m.get(k).map(_.asInstanceOf[Seq[Any]]).getOrElse(Seq.empty)
+
+  private def toScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, vv) => k.toString -> toScala(vv) }.toMap
+    case l: java.util.List[_] => l.asScala.map(toScala).toSeq
+    case other                => other
+  }
+}
