@@ -526,6 +526,40 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** SQL function registration (R11): the same codegen kernels the Column
+    * API uses, reached through `spark.sql` after GraftExtensions.register —
+    * proving the SQL surface is the identical Catalyst expression, not a
+    * parallel implementation.
+    */
+  private def qSqlFunctions(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    emb(s, dir).createOrReplaceTempView("graft_emb")
+    s.sql(
+      """SELECT vec_id, round(vector_dot(embedding, embedding), 6) AS norm_sq
+        |FROM graft_emb ORDER BY vec_id""".stripMargin)
+  }
+
+  /** Sink writers end-to-end (F6 + D4): ExactlyOnce partitioned write runs
+    * TWICE — a retried delivery must converge (dynamic partition overwrite
+    * replaces, never duplicates) — then the sink is read back through the
+    * partitioned layout. The oracle is the plain input: any duplication or
+    * loss in the writer breaks the row-count/hash compare.
+    */
+  private def qSinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{DeliveryMode, SinkConfig, Writers}
+    val path = "/tmp/graft_sink_roundtrip"
+    val out = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus").as("status"))
+    val sink = SinkConfig("parquet", path, partitionBy = Seq("status"),
+      mode = DeliveryMode.ExactlyOnce)
+    Writers.write(out, sink)
+    Writers.write(out, sink) // simulated redelivery: must converge, not append
+    s.read.parquet(path)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("status"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ==========================================================================
   // LLM-training-data operators (SURVEY §2.8)
   // ==========================================================================
@@ -836,7 +870,9 @@ object SparkEntry {
     "q_dlq_replay" -> (qDlqReplay _),
     "q_source_csv" -> (qSourceCsv _),
     "q_source_json" -> (qSourceJson _),
-    "q_dsl_pipeline" -> (qDslPipeline _)
+    "q_dsl_pipeline" -> (qDslPipeline _),
+    "q_sql_functions" -> (qSqlFunctions _),
+    "q_sink_roundtrip" -> (qSinkRoundtrip _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1427,6 +1463,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'dlq', event_id, event_type, NULL, NULL, err
         |FROM tagged WHERE err IS NOT NULL
-        |ORDER BY branch, event_id""".stripMargin
+        |ORDER BY branch, event_id""".stripMargin,
+    "q_sql_functions" ->
+      """SELECT vec_id,
+        |  round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), 6) AS norm_sq
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_sink_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus AS status
+        |FROM orders ORDER BY o_orderkey""".stripMargin
   )
 }
