@@ -11,13 +11,14 @@ import graft.functions.{HashFunctions => H, TextFunctions => T}
   * pairwise verification only runs on candidate pairs, whose count is a tiny
   * fraction of n².
   *
-  * Storage contract: the pair generators cache an intermediate (shingles /
-  * signatures) that the returned plan references 2-3 times — recomputing the
-  * codegen'd hash kernels per reference costs more than the storage. The
-  * cache is keyed to the returned plan; callers running many dedup jobs in
-  * one long-lived session should `spark.catalog.clearCache()` (or unpersist
-  * via the plan's InMemoryRelation) once the result is consumed — Bench and
-  * Verify both do.
+  * Storage contract: the pair generators materialize an intermediate
+  * (shingles / signatures) that the returned plan references 2-3 times —
+  * recomputing the codegen'd hash kernels per reference costs more than the
+  * storage. The intermediates are lazy `localCheckpoint`s, not `cache()`s:
+  * same block store, but the ContextCleaner frees the blocks as soon as the
+  * returned plan is garbage-collected, so long-lived sessions running many
+  * dedup jobs don't accumulate storage (no clearCache() contract on the
+  * caller).
   */
 object Dedup {
 
@@ -64,14 +65,14 @@ object Dedup {
       minJaccard: Double,
       maxShingleDf: Int = 100
   ): DataFrame = {
-    // Cached: referenced by both the size aggregate and the pair join —
-    // without it the shingling pass runs twice.
+    // Materialized once (lazy localCheckpoint): referenced by both the size
+    // aggregate and the pair join — without it the shingling pass runs twice.
     val shingled = docs
       .select(
         col(idCol).as("doc"),
         explode(array_distinct(T.wordShingles(col(textCol), n))).as("shingle")
       )
-      .cache()
+      .localCheckpoint(false)
     val sizes = shingled.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val filtered = shingled
       .withColumn("df", count(lit(1)).over(
@@ -129,7 +130,7 @@ object Dedup {
       minSim: Double
   ): DataFrame = {
     val rows = k / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, n, k).cache()
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k).localCheckpoint(false)
     val banded = sigs.select(
       col("doc"),
       explode(H.lshBandKeys(col("sig"), bands, rows)).as("band")
@@ -243,7 +244,7 @@ object Dedup {
       // signature fold (the 60 per-bit HOF folds were the hot spot).
       .select(col(idCol).as("doc"), T.tokenHashes60(col(textCol)).as("th"))
       .select(col("doc"), T.simhashSignature(col("th"), bits).as("sig"))
-      .cache()
+      .localCheckpoint(false)
     val chunked = sigs.select(
       col("doc"),
       col("sig"),
