@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed (co-located) table layout — the shuffle-elimination path for
+  * repeated large-fact joins and aggregations at 100 TB.
+  *
+  * The reference co-locates by routing records for the same key through the
+  * same sidecar partition (routing/src/engine.rs partition assignment); the
+  * Spark-native equivalent is hash-bucketed storage: both join sides are
+  * written `bucketBy(n, keys)` once, and every subsequent equi-join or
+  * groupBy on those keys reads the buckets back WITHOUT an Exchange — the
+  * scan itself carries the hash partitioning. For a fact table joined every
+  * hour against another bucketed table, this converts the dominant per-query
+  * shuffle (the whole table over the wire) into a one-time write cost.
+  *
+  * Rules Spark applies (and [[assertCoLocated]] verifies):
+  *  - both sides bucketed by the JOIN keys with the SAME bucket count
+  *    (or a divisor — Spark 3.1+ coalesces bucket counts that divide);
+  *  - bucket columns must be the full join key prefix;
+  *  - `sortBy` the same keys additionally removes the per-task Sort for
+  *    sort-merge joins.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed managed table (parquet). Bucketed layouts
+    * must go through the catalog — a plain `.parquet(path)` write cannot
+    * record bucket metadata.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketKeys: Seq[String],
+      nBuckets: Int,
+      sorted: Boolean = true,
+      mode: SaveMode = SaveMode.Overwrite
+  ): Unit = {
+    val w = df.write
+      .mode(mode)
+      .format("parquet")
+      .bucketBy(nBuckets, bucketKeys.head, bucketKeys.tail: _*)
+    (if (sorted) w.sortBy(bucketKeys.head, bucketKeys.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** Co-located equi-join of two bucketed tables on their bucket keys. The
+    * plan must contain no ShuffleExchange on either scan side — verified by
+    * [[assertCoLocated]] in tests; at scale this is THE difference between
+    * an hourly full-table shuffle and a local merge.
+    */
+  def coLocatedJoin(
+      spark: SparkSession,
+      leftTable: String,
+      rightTable: String,
+      keys: Seq[String],
+      joinType: String = "inner"
+  ): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), keys, joinType)
+
+  /** True iff the physical plan reads both sides bucket-aligned: no shuffle
+    * exchange anywhere (broadcast exchanges are fine — a broadcast side
+    * doesn't move the big table). Walks the adaptive plan structurally —
+    * ShuffleExchangeExec prints as just "Exchange", so string matching is
+    * fragile.
+    */
+  def isCoLocated(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def hasShuffle(p: SparkPlan): Boolean = p match {
+      // inputPlan is pre-EnsureRequirements (exchanges not inserted yet);
+      // the adaptive node's current physical plan has them
+      case a: AdaptiveSparkPlanExec => hasShuffle(a.executedPlan)
+      case _: ShuffleExchangeLike   => true
+      case other                    => other.children.exists(hasShuffle)
+    }
+    !hasShuffle(df.queryExecution.executedPlan)
+  }
+
+  def assertCoLocated(df: DataFrame): Unit =
+    require(isCoLocated(df),
+      "expected a co-located (shuffle-free) plan but found a ShuffleExchange:\n" +
+        df.queryExecution.executedPlan.toString)
+}

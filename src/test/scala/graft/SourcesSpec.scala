@@ -99,4 +99,32 @@ class SourcesSpec extends SparkSpec {
       Readers.avro(spark, "/tmp/nonexistent.avro"))
     assert(e.getMessage.contains("spark-avro"))
   }
+
+  test("bucketed tables join and aggregate without a shuffle exchange") {
+    val left = (1L to 1000L).map(i => (i, s"n$i")).toDF("k", "name")
+    val right = (1L to 3000L).map(i => ((i - 1) % 500 + 1, i * 10)).toDF("k", "amount")
+    Bucketing.writeBucketed(left, "graft_bkt_left", Seq("k"), nBuckets = 4)
+    Bucketing.writeBucketed(right, "graft_bkt_right", Seq("k"), nBuckets = 4)
+    try {
+      // the join side must be big enough that Spark doesn't broadcast it —
+      // force SMJ so the bucket co-location is what kills the exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.coLocatedJoin(spark, "graft_bkt_left", "graft_bkt_right", Seq("k"))
+      Bucketing.assertCoLocated(joined)
+      assert(joined.count() == 3000)
+
+      // groupBy on the bucket key also rides the stored partitioning
+      val agg = spark.table("graft_bkt_right").groupBy("k").count()
+      Bucketing.assertCoLocated(agg)
+      assert(agg.count() == 500)
+
+      // control: the same join over non-bucketed inputs DOES shuffle
+      val plain = left.join(right, Seq("k"))
+      assert(!Bucketing.isCoLocated(plain))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_left")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_right")
+    }
+  }
 }
