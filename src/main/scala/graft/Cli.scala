@@ -5,16 +5,22 @@ import org.apache.spark.sql.SparkSession
 import graft.dsl._
 
 /** Pipeline CLI — the data-plane commands of the reference's cli
-  * (validate / graph --format dot / run):
+  * (validate / graph --format dot / run / backup subcommands,
+  * conveyor-etl-cli/src/main.rs:23-32, commands/backup.rs:36-44):
   *
   * {{{
   *   graft.Cli validate <manifest.yaml>   # DAG validation, exit 1 on errors
   *   graft.Cli graph <manifest.yaml>      # graphviz DOT on stdout
   *   graft.Cli run <manifest.yaml>        # compile + write every sink
+  *   graft.Cli backup create <backup.yaml> <checkpointDir>
+  *   graft.Cli backup list <backup.yaml>
+  *   graft.Cli backup restore <restore.yaml> <backup.yaml> <targetCheckpointDir>
   * }}}
   *
   * `run` requires file-backed sources/sinks (format=table needs the
-  * library API, where DataFrames are injected).
+  * library API, where DataFrames are injected). `backup restore` takes the
+  * backup manifest too because that's where the destination + backup name
+  * live (the reference's `--dest` flag plays that role).
   */
 object Cli {
 
@@ -47,10 +53,46 @@ object Cli {
       }
       0
 
+    case Seq("backup", "create", manifestPath, ckptDir) =>
+      val yamlText = readFile(manifestPath)
+      val m = BackupYaml.loadBackup(yamlText)
+      BackupValidation.validateBackup(m) match {
+        case Left(err) => println(s"ERROR: $err"); 1
+        case Right(()) =>
+          val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
+          val id = BackupRunner.backup(spark, m, ckptDir, configYaml = Some(yamlText))
+          println(s"created $id under ${m.destination.uri}/${m.name}")
+          0
+      }
+
+    case Seq("backup", "list", manifestPath) =>
+      val m = BackupYaml.loadBackup(readFile(manifestPath))
+      val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
+      val root = new org.apache.hadoop.fs.Path(m.destination.uri, m.name)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      BackupRunner.listBackups(fs, root).foreach(println)
+      0
+
+    case Seq("backup", "restore", restorePath, backupPath, targetCkpt) =>
+      val r = BackupYaml.loadRestore(readFile(restorePath))
+      val b = BackupYaml.loadBackup(readFile(backupPath))
+      BackupValidation.validateRestore(r) match {
+        case Left(err) => println(s"ERROR: $err"); 1
+        case Right(()) =>
+          val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
+          val id = BackupRunner.restore(spark, r, b.name, b.destination, targetCkpt)
+          println(s"restored $id into $targetCkpt")
+          0
+      }
+
     case _ =>
-      println("usage: graft.Cli (validate|graph|run) <manifest.yaml>")
+      println("usage: graft.Cli (validate|graph|run) <manifest.yaml> | " +
+        "backup (create|list|restore) ...")
       2
   }
+
+  private def readFile(path: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
 
   private def graphOf(path: String): PipelineGraph =
     PipelineGraph.fromRegistry(path, YamlLoader.loadFile(path))

@@ -58,4 +58,41 @@ class CliSpec extends SparkSpec {
     val e = intercept[RuntimeException](Cli.run(Seq("run", f.toString), Some(spark)))
     assert(e.getMessage.contains("unknown source"))
   }
+
+  test("backup create / list / restore subcommands round-trip a checkpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_bak").toString
+    new java.io.File(s"$dir/chk/offsets").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/chk/offsets/0"), "{}")
+
+    val backupYaml =
+      s"""kind: Backup
+         |metadata: {name: nightly}
+         |spec:
+         |  pipeline: {name: p1}
+         |  include: [offsets, configuration]
+         |  destination: {type: file, path: $dir/bak}
+         |""".stripMargin
+    val restoreYaml =
+      """kind: Restore
+        |metadata: {name: rollback}
+        |spec:
+        |  from: {latest: true}
+        |""".stripMargin
+    val bf = java.nio.file.Paths.get(dir, "backup.yaml")
+    val rf = java.nio.file.Paths.get(dir, "restore.yaml")
+    java.nio.file.Files.writeString(bf, backupYaml)
+    java.nio.file.Files.writeString(rf, restoreYaml)
+
+    assert(Cli.run(Seq("backup", "create", bf.toString, s"$dir/chk"), Some(spark)) == 0)
+    assert(Cli.run(Seq("backup", "list", bf.toString), Some(spark)) == 0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/chk"))
+    assert(Cli.run(
+      Seq("backup", "restore", rf.toString, bf.toString, s"$dir/chk"), Some(spark)) == 0)
+    assert(new java.io.File(s"$dir/chk/offsets/0").exists())
+
+    // validation errors surface as exit 1
+    val badYaml = backupYaml.replace("include: [offsets, configuration]", "include: []")
+    java.nio.file.Files.writeString(bf, badYaml)
+    assert(Cli.run(Seq("backup", "create", bf.toString, s"$dir/chk"), Some(spark)) == 1)
+  }
 }
