@@ -653,6 +653,50 @@ object SparkEntry {
       .select(col("doc_id"), TF.fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** In-document repetition signals (Gopher-style quality filters). The
+    * shingle array is computed in its OWN select — dup/top fractions
+    * reference it 3× each, and a projection boundary keeps the kernel from
+    * being recomputed per reference.
+    */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("_sh"))
+      .select(
+        col("doc_id"),
+        TF.dupShingleFraction(col("_sh")).as("dup_frac"),
+        TF.topShingleFraction(col("_sh")).as("top_frac"))
+      .orderBy(col("doc_id"))
+
+  /** Benchmark decontamination: every 20th doc plays the benchmark set;
+    * overlap = fraction of a doc's distinct 3-grams present in it.
+    */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0).select(col("text"))
+    graft.ops.Contamination.overlap(d, "doc_id", "text", bench, "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-corpus line dedup. The corpus has no newlines, so "lines" are
+    * the 8-token chunks of the normalized text (built deterministically in
+    * the query); near-dup documents share chunks, which maxDf=1 removes
+    * from every document.
+    */
+  private def qDedupLines(s: SparkSession, dir: String): DataFrame = {
+    val chunked = docs(s, dir)
+      .select(col("doc_id"), split(TF.normalize(col("text")), " ").as("_toks"))
+      .select(
+        col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0), floor((size(col("_toks")) - 1) / 8).cast("int")),
+            i => array_join(slice(col("_toks"), i * 8 + 1, lit(8)), " ")),
+          "\n").as("text"))
+    graft.ops.Dedup.dedupeLines(chunked, "doc_id", "text", maxDf = 1)
+      .withColumnRenamed("text", "cleaned")
+      .orderBy(col("doc_id"))
+  }
+
   /** Blob metadata plumbing (oracle-checked half of the multimodal path). */
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val blobs = docs(s, dir).withColumn("blob", col("text").cast("binary"))
@@ -872,7 +916,10 @@ object SparkEntry {
     "q_source_json" -> (qSourceJson _),
     "q_dsl_pipeline" -> (qDslPipeline _),
     "q_sql_functions" -> (qSqlFunctions _),
-    "q_sink_roundtrip" -> (qSinkRoundtrip _)
+    "q_sink_roundtrip" -> (qSinkRoundtrip _),
+    "q_repetition" -> (qRepetition _),
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_dedup_lines" -> (qDedupLines _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1470,6 +1517,57 @@ object SparkEntry {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_sink_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus AS status
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_repetition" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i FROM nrm)
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS tot, count(DISTINCT shingle) AS dis, max(cnt) AS mx
+        |  FROM (SELECT doc_id, shingle, count(*) OVER (PARTITION BY doc_id, shingle) AS cnt FROM sh)
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  round(CASE WHEN a.tot IS NULL THEN 0.0 ELSE CAST(a.tot - a.dis AS DOUBLE) / a.tot END, 6) AS dup_frac,
+        |  round(CASE WHEN a.tot IS NULL THEN 0.0 ELSE CAST(a.mx AS DOUBLE) / a.tot END, 6) AS top_frac
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM nrm)
+        |), bsh AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+        |), agg AS (
+        |  SELECT s.doc_id, count(*) AS n_sh,
+        |         sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        |  FROM sh s LEFT JOIN bsh b USING (shingle) GROUP BY s.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_sh, 0) AS BIGINT) AS n_sh,
+        |  CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
+        |  round(CASE WHEN a.n_sh IS NULL THEN 0.0 ELSE CAST(a.n_hit AS DOUBLE) / a.n_sh END, 6) AS overlap
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_lines" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id, i AS pos, array_to_string(toks[i*8+1:i*8+8], ' ') AS line
+        |  FROM (SELECT doc_id, toks, unnest(range(0, (len(toks) - 1) // 8 + 1)) AS i FROM nrm)
+        |), hot AS (
+        |  SELECT line FROM (SELECT line, count(*) AS df FROM l GROUP BY 1) WHERE df > 1
+        |), k AS (
+        |  SELECT l.doc_id, l.pos, l.line FROM l LEFT JOIN hot USING (line)
+        |  WHERE hot.line IS NULL
+        |)
+        |SELECT d.doc_id, coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS cleaned
+        |FROM nrm d LEFT JOIN k USING (doc_id)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   )
 }

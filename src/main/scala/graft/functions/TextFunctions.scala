@@ -77,6 +77,29 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** In-document repetition (Gopher-style filters): fraction of n-gram
+    * occurrences that repeat an earlier n-gram in the SAME document. Takes
+    * the precomputed shingle array — callers compute `wordShingles` in its
+    * own select so the expensive kernel sits behind a projection boundary
+    * (referenced 3× here; inlined it would run 3×).
+    */
+  def dupShingleFraction(shingles: Column): Column =
+    when(size(shingles) === 0, lit(0.0)).otherwise(
+      round((size(shingles) - size(array_distinct(shingles))).cast("double") /
+        size(shingles).cast("double"), 6))
+
+  /** Fraction of all n-gram occurrences taken by the single most frequent
+    * n-gram (top-n-gram fraction, the other Gopher repetition signal).
+    * O(distinct × total) per row via HOFs — fine for documents; for
+    * book-length texts use an explode + groupBy formulation instead.
+    */
+  def topShingleFraction(shingles: Column): Column =
+    when(size(shingles) === 0, lit(0.0)).otherwise(
+      round(
+        array_max(transform(array_distinct(shingles),
+          x => size(filter(shingles, y => y === x)))).cast("double") /
+          size(shingles).cast("double"), 6))
+
   /** Stopword lists used for language ID + quality scoring. Tiny on purpose:
     * the point is the *shape* of an n-gram language heuristic, swappable for
     * real profiles.

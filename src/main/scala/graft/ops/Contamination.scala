@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Benchmark decontamination — the training-data step that removes (or
+  * flags) documents overlapping an evaluation set, so the model is not
+  * graded on memorized test data.
+  *
+  * Method: word-n-gram overlap. A document's contamination score is the
+  * fraction of its DISTINCT n-grams that appear anywhere in the benchmark
+  * corpus. The benchmark side is tiny relative to 100 TB of training data
+  * (benchmarks are at most millions of n-grams), so the membership join
+  * broadcasts — the big side never shuffles for the probe; the only wide
+  * exchange is the per-document count aggregation, which combines
+  * map-side.
+  */
+object Contamination {
+
+  /** Per-document overlap against `bench`. Returns every input id with
+    * (n_sh, n_hit, overlap); documents too short to produce an n-gram get
+    * overlap 0.0. One pass: explode distinct shingles, broadcast-probe the
+    * benchmark set, aggregate counts per document.
+    */
+  def overlap(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int
+  ): DataFrame = {
+    val dsh = docs.select(
+      col(idCol),
+      explode(array_distinct(T.wordShingles(col(textCol), n))).as("_sh"))
+    val bsh = bench
+      .select(explode(array_distinct(T.wordShingles(col(benchTextCol), n))).as("_sh"))
+      .distinct()
+      .withColumn("_b", lit(1L))
+    val agg = dsh
+      .join(broadcast(bsh), Seq("_sh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_sh"),
+        sum(coalesce(col("_b"), lit(0L))).as("n_hit"))
+    docs
+      .select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(
+          when(coalesce(col("n_sh"), lit(0L)) === 0, lit(0.0))
+            .otherwise(col("n_hit").cast("double") / col("n_sh").cast("double")),
+          6).as("overlap"))
+  }
+
+  /** Drop documents whose overlap meets `minOverlap` (keep the rest with
+    * all their original columns).
+    */
+  def decontaminate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int,
+      minOverlap: Double
+  ): DataFrame = {
+    val contaminated = overlap(docs, idCol, textCol, bench, benchTextCol, n)
+      .filter(col("overlap") >= minOverlap)
+      .select(col(idCol))
+    docs.join(contaminated, Seq(idCol), "left_anti")
+  }
+}

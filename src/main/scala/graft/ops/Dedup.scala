@@ -261,4 +261,47 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Cross-corpus line-level dedup (the RefinedWeb/CCNet boilerplate
+    * filter): a line occurring in more than `maxDf` places across the whole
+    * corpus (nav bars, cookie banners, license headers) is removed from
+    * EVERY document; surviving lines are reassembled in order. Returns all
+    * input ids with the cleaned text ("" if nothing survived).
+    *
+    * Shape for 100 TB: the over-represented lines are found with a
+    * map-side-combining groupBy (never a per-line window — boilerplate
+    * lines are exactly the keys that skew), and removed with an anti-join
+    * Spark broadcasts when the hot set is small; AQE splits the skewed
+    * probe partitions otherwise.
+    */
+  def dedupeLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDf: Int,
+      delim: String = "\n"
+  ): DataFrame = {
+    val lines = docs.select(
+      col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("_pos", "_line")))
+    val hot = lines
+      .groupBy(col("_line"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxDf)
+      .select(col("_line"))
+    val kept = lines
+      .join(hot, Seq("_line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_pos"), col("_line")))),
+            s => s.getField("_line")),
+          delim).as("_clean"))
+    docs
+      .select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("_clean"), lit("")).as(textCol))
+  }
 }

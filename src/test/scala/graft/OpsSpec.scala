@@ -189,4 +189,57 @@ class OpsSpec extends SparkSpec {
     assert(r.getLong(1) == 3L)
     assert(r.getString(2) == "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
   }
+
+  test("decontaminate drops only documents overlapping the benchmark") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words entirely here now people"),
+      (3L, "the quick brown fox sat still")
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("a quick brown fox appears")).toDF("text")
+    val scored = Contamination.overlap(docs, "doc_id", "text", bench, "text", n = 3)
+      .orderBy("doc_id").collect()
+    // docs 1 and 3 share the 3-gram "quick brown fox" with the benchmark
+    assert(scored.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(scored(0).getAs[Double]("overlap") > 0.0)
+    assert(scored(1).getAs[Double]("overlap") == 0.0)
+    assert(scored(2).getAs[Double]("overlap") > 0.0)
+
+    val kept = Contamination.decontaminate(
+      docs, "doc_id", "text", bench, "text", n = 3, minOverlap = 0.1)
+    assert(kept.select("doc_id").as[Long].collect().toSeq.sorted == Seq(2L))
+  }
+
+  test("dedupeLines removes corpus-wide repeated lines, keeps order, preserves ids") {
+    val docs = Seq(
+      (1L, "unique one\ncookie banner\nunique two"),
+      (2L, "cookie banner\nother content"),
+      (3L, "cookie banner")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupeLines(docs, "doc_id", "text", maxDf = 1)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq(
+      (1L, "unique one\nunique two"), // repeated line cut, order kept
+      (2L, "other content"),
+      (3L, "") // everything was boilerplate; id still present
+    ))
+  }
+
+  test("repetition fractions on hand-checked shingle arrays") {
+    import graft.functions.{TextFunctions => TF}
+    val df = Seq(
+      (1L, "a b a b a"), // 2-grams: ab ba ab ba -> 4 total, 2 distinct
+      (2L, "x"),         // too short: no shingles
+      (3L, "p q r s")    // 3 bigrams, all distinct
+    ).toDF("doc_id", "text")
+    val r = df
+      .select(col("doc_id"), TF.wordShingles(col("text"), 2).as("sh"))
+      .select(col("doc_id"),
+        TF.dupShingleFraction(col("sh")).as("dup"),
+        TF.topShingleFraction(col("sh")).as("top"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getDouble(1) == 0.5 && r(0).getDouble(2) == 0.5)
+    assert(r(1).getDouble(1) == 0.0 && r(1).getDouble(2) == 0.0)
+    assert(r(2).getDouble(1) == 0.0 && r(2).getDouble(2) == 0.333333)
+  }
 }
