@@ -629,6 +629,25 @@ object SparkEntry {
       .select(col("doc_id"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Stratified sampling: keep all purchases, 10% of views, 30% default. */
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.byHashStratified(
+      t(s, dir, "events"), "event_id", "event_type",
+      rates = Map("purchase" -> 10000, "view" -> 1000), defaultBp = 3000)
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  /** Leak-proof splits: assignment by exact-dup fingerprint, so identical
+    * documents can never straddle train and validation.
+    */
+  private def qSplitLeakproof(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.withGroupSplit(
+      docs(s, dir).select(col("doc_id"), TF.fingerprint(col("text")).as("fp")),
+      col("fp"),
+      Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+      .select(col("doc_id"), col("fp"), col("split"))
+      .orderBy(col("doc_id"))
+
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), TF.langPredict(col("text")).as("pred_lang"))
@@ -919,7 +938,9 @@ object SparkEntry {
     "q_sink_roundtrip" -> (qSinkRoundtrip _),
     "q_repetition" -> (qRepetition _),
     "q_decontaminate" -> (qDecontaminate _),
-    "q_dedup_lines" -> (qDedupLines _)
+    "q_dedup_lines" -> (qDedupLines _),
+    "q_sample_stratified" -> (qSampleStratified _),
+    "q_split_leakproof" -> (qSplitLeakproof _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1568,6 +1589,27 @@ object SparkEntry {
         |)
         |SELECT d.doc_id, coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS cleaned
         |FROM nrm d LEFT JOIN k USING (doc_id)
-        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT event_id, event_type FROM (
+        |  SELECT event_id, event_type,
+        |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b,
+        |    CASE event_type WHEN 'purchase' THEN 10000 WHEN 'view' THEN 1000 ELSE 3000 END AS r
+        |  FROM events
+        |) WHERE b < r ORDER BY event_id""".stripMargin,
+    "q_split_leakproof" ->
+      """SELECT doc_id, fp,
+        |  CASE WHEN b < 8000 THEN 'train'
+        |       WHEN b < 9000 THEN 'val'
+        |       WHEN b < 10000 THEN 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, fp,
+        |    CAST(concat('0x', substr(md5(fp), 1, 8)) AS BIGINT) % 10000 AS b
+        |  FROM (
+        |    SELECT doc_id,
+        |      md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |    FROM documents
+        |  )
+        |) ORDER BY doc_id""".stripMargin
   )
 }

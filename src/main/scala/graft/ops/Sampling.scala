@@ -40,4 +40,40 @@ object Sampling {
   def withSplit(df: DataFrame, idCol: String, splits: Seq[(String, Int)],
       splitCol: String = "split"): DataFrame =
     df.withColumn(splitCol, splitColumn(col(idCol), splits))
+
+  /** Per-stratum sampling rates (basis points), deterministic by id — the
+    * training-mix knob: keep 100% of a rare class, 5% of the dominant one.
+    * Strata absent from `rates` use `defaultBp`. Still a pure row-local
+    * filter: no shuffle, pushes to the scan.
+    */
+  def byHashStratified(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Map[String, Int],
+      defaultBp: Int
+  ): DataFrame = {
+    require((rates.values ++ Seq(defaultBp)).forall(bp => bp >= 0 && bp <= 10000),
+      "rates must be within [0, 10000] basis points")
+    // Sorted fold so the generated when-chain (and thus the plan) is
+    // deterministic regardless of map iteration order.
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultBp)) {
+      case (acc, (k, bp)) => when(col(stratumCol) === k, lit(bp)).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol)) < rate)
+  }
+
+  /** Leakage-proof splits: assign by a GROUP key — near-dup cluster id,
+    * exact-dup fingerprint, source domain — so every member of a group
+    * lands in the SAME split. Splitting near-identical documents by their
+    * own ids puts one copy in train and its twin in validation; the eval
+    * then scores memorization.
+    */
+  def withGroupSplit(
+      df: DataFrame,
+      groupCol: Column,
+      splits: Seq[(String, Int)],
+      splitCol: String = "split"
+  ): DataFrame =
+    df.withColumn(splitCol, splitColumn(groupCol, splits))
 }

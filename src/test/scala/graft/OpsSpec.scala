@@ -225,6 +225,22 @@ class OpsSpec extends SparkSpec {
     ))
   }
 
+  test("group splits never straddle: all members of a group share one split") {
+    val docs = (1L to 200L).map(i => (i, s"text ${i % 40}")).toDF("doc_id", "text")
+    val fp = graft.functions.TextFunctions.fingerprint(col("text"))
+    val out = Sampling.withGroupSplit(
+      docs.withColumn("fp", fp), col("fp"),
+      Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+    val perGroup = out.groupBy("fp").agg(countDistinct("split").as("n"))
+    assert(perGroup.filter(col("n") =!= 1).isEmpty)
+    // stratified rates: 100% stratum keeps everything, 0% drops everything
+    val strat = Sampling.byHashStratified(
+      docs.withColumn("parity", col("doc_id") % 2), "doc_id", "parity",
+      rates = Map("0" -> 10000, "1" -> 0), defaultBp = 5000)
+    assert(strat.filter(col("parity") === 1).isEmpty)
+    assert(strat.filter(col("parity") === 0).count() == 100)
+  }
+
   test("repetition fractions on hand-checked shingle arrays") {
     import graft.functions.{TextFunctions => TF}
     val df = Seq(
