@@ -71,4 +71,23 @@ object Writers {
       case other     => sys.error(s"unknown sink format: $other")
     }
   }
+
+  /** Streaming exactly-once via foreachBatch + batch-id layout: each
+    * micro-batch writes (overwrite) into its own `_batch_id=N` partition
+    * directory. After a failure, Structured Streaming replays the LAST
+    * batch with the SAME batch id — the overwrite replaces the partial
+    * partition instead of appending next to it, so re-delivery converges.
+    * This is the streaming counterpart of the batch dynamic-partition
+    * overwrite above, and the Spark mapping of the reference's
+    * ACK_STATUS_DUPLICATE dedupe (source.proto): idempotency lives in the
+    * layout, keyed by Spark's transactional batch id.
+    *
+    * Readers see the data under `path` as ordinary partitioned parquet
+    * (`_batch_id` is a partition column — prune or drop it).
+    */
+  def exactlyOnceEachBatch(path: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      batch.write
+        .mode("overwrite")
+        .parquet(s"$path/_batch_id=$batchId")
 }

@@ -40,4 +40,32 @@ class SinksSpec extends SparkSpec {
     val e = intercept[RuntimeException](Writers.write(Seq((1, 2)).toDF("a", "b"), sink))
     assert(e.getMessage.contains("unknown sink format"))
   }
+
+  test("streaming exactlyOnceEachBatch converges when a batch is replayed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_eob").toString
+    val sinkFn = Writers.exactlyOnceEachBatch(s"$dir/out")
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "v").writeStream
+      .foreachBatch(sinkFn)
+      .option("checkpointLocation", s"$dir/chk")
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // simulate the post-failure replay of the last batch: same batch id,
+    // same data, delivered again -> overwrite converges, nothing duplicates
+    sinkFn(Seq((3L, "c")).toDF("id", "v"), 1L)
+
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // batch-id partitions are visible for pruning
+    assert(out.columns.contains("_batch_id"))
+  }
 }
