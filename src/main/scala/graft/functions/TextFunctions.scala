@@ -90,15 +90,24 @@ object TextFunctions {
 
   /** Fraction of all n-gram occurrences taken by the single most frequent
     * n-gram (top-n-gram fraction, the other Gopher repetition signal).
-    * O(distinct × total) per row via HOFs — fine for documents; for
-    * book-length texts use an explode + groupBy formulation instead.
+    * Longest equal run over the SORTED array — O(n log n) per row instead
+    * of the naive O(distinct × total) count-per-distinct, so book-length
+    * texts are fine too.
     */
-  def topShingleFraction(shingles: Column): Column =
+  def topShingleFraction(shingles: Column): Column = {
+    val best = aggregate(
+      array_sort(shingles),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     when(size(shingles) === 0, lit(0.0)).otherwise(
-      round(
-        array_max(transform(array_distinct(shingles),
-          x => size(filter(shingles, y => y === x)))).cast("double") /
-          size(shingles).cast("double"), 6))
+      round(best.cast("double") / size(shingles).cast("double"), 6))
+  }
 
   /** Stopword lists used for language ID + quality scoring. Tiny on purpose:
     * the point is the *shape* of an n-gram language heuristic, swappable for
