@@ -74,6 +74,14 @@ object Dedup {
       )
       .localCheckpoint(false)
     val sizes = shingled.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    // df cap via a per-shingle window, deliberately: the window's exchange
+    // hash-partitions by shingle — exactly the partitioning the pair
+    // self-join below needs — so Spark reuses it and the whole cap+join
+    // runs on ONE shuffle. A groupBy+anti-join cap measures ~2x slower
+    // here because the probe output is unpartitioned and the self-join
+    // re-shuffles both sides. Skew exposure on hot shingles is shared
+    // with the unavoidable shingle-keyed self-join (AQE skew-join splits
+    // those partitions; the cap bounds the pair blowup itself).
     val filtered = shingled
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
@@ -175,13 +183,14 @@ object Dedup {
     // subset and later rounds silently recompute the rest from scratch —
     // that was the 5-23 s variance at sf0.1. Superseded rounds' blocks are
     // freed by the ContextCleaner once unreferenced.
-    // Materialize the (possibly expensive) upstream pair plan ONCE before
-    // the symmetrize union — a plain self-union would run it twice.
-    val p0 = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .localCheckpoint()
-    val edges = p0
-      .union(p0.select(col("dst").as("src"), col("src").as("dst")))
+    // Symmetrize with an inline explode — the (possibly expensive) upstream
+    // pair plan runs ONCE in the single checkpoint job; a self-union would
+    // either run it twice or need a second checkpoint for the first read.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     // Seed = one propagation step for free: component(id) = min(id, direct
     // neighbors). Near-clique duplicate clusters converge immediately, so
