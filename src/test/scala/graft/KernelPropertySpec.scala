@@ -74,4 +74,30 @@ class KernelPropertySpec extends SparkSpec {
     assert(math.abs(counts("train") - 1400L) < 150)
     assert(splits.map(_._1).toSet == counts.keySet)
   }
+
+  test("repetition fractions equal Scala reference on random text") {
+    def refDup(sh: Seq[String]): Double =
+      if (sh.isEmpty) 0.0
+      else BigDecimal((sh.size - sh.distinct.size).toDouble / sh.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def refTop(sh: Seq[String]): Double =
+      if (sh.isEmpty) 0.0
+      else BigDecimal(sh.groupBy(identity).values.map(_.size).max.toDouble / sh.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (seed <- 200L to 205L) {
+      val texts = sample(Gen.listOfN(30, textGen), seed)
+      val n = (seed % 3 + 1).toInt
+      val df = texts.zipWithIndex.toDF("text", "id")
+      val got = df
+        .select(col("id"), T.wordShingles(col("text"), n).as("sh"))
+        .select(col("id"), col("sh"),
+          T.dupShingleFraction(col("sh")).as("dup"),
+          T.topShingleFraction(col("sh")).as("top"))
+        .as[(Int, Seq[String], Double, Double)].collect()
+      for ((id, sh, dup, top) <- got) {
+        assert(dup == refDup(sh), s"seed=$seed n=$n id=$id dup sh=$sh")
+        assert(top == refTop(sh), s"seed=$seed n=$n id=$id top sh=$sh")
+      }
+    }
+  }
 }
