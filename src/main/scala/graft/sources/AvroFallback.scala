@@ -1,0 +1,128 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.{AvroInputFormat, AvroWrapper, FsInput}
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.NullWritable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Avro reader over the avro-mapred jars Spark itself bundles — no
+  * spark-avro module required. Schema comes from the first file's header;
+  * records decode per-partition (the Hadoop input format splits on Avro
+  * sync markers, so large files parallelize like any container format).
+  *
+  * Type mapping covers the Avro generic model: primitives, bytes/fixed,
+  * enum → string, array → Spark array, map → Spark map (string keys,
+  * per Avro spec), nested records → structs, and `[null, T]` unions →
+  * nullable T. Multi-branch non-null unions are rejected — Spark has no
+  * union type, and guessing a branch silently corrupts data.
+  */
+private[sources] object AvroFallback {
+
+  def read(s: SparkSession, path: String): DataFrame = {
+    val schema = readHeaderSchema(s, path)
+    val schemaJson = schema.toString
+    val struct = toStruct(schema)
+    val rows = s.sparkContext
+      .hadoopFile(
+        path,
+        classOf[AvroInputFormat[GenericRecord]],
+        classOf[AvroWrapper[GenericRecord]],
+        classOf[NullWritable])
+      .mapPartitions { it =>
+        // parse per partition: avro Schema java-serialization across Spark
+        // versions is less stable than its canonical JSON
+        val sch = new Schema.Parser().parse(schemaJson)
+        // the input format reuses the wrapper object — convert immediately
+        it.map { case (w, _) => toRow(w.datum(), sch) }
+      }
+    s.createDataFrame(rows, struct)
+  }
+
+  private def readHeaderSchema(s: SparkSession, path: String): Schema = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".avro")).sortBy(_.getName).headOption
+          .getOrElse(sys.error(s"no .avro files under $path"))
+      else p
+    val in = new FsInput(file, fs.getConf)
+    val reader = org.apache.avro.file.DataFileReader.openReader(
+      in, new GenericDatumReader[GenericRecord]())
+    try reader.getSchema
+    finally reader.close()
+  }
+
+  private[sources] def toStruct(schema: Schema): StructType = {
+    require(schema.getType == Schema.Type.RECORD,
+      s"top-level avro schema must be a record, got ${schema.getType}")
+    StructType(schema.getFields.asScala.toSeq.map { f =>
+      val (dt, nullable) = toDataType(f.schema())
+      StructField(f.name(), dt, nullable)
+    })
+  }
+
+  /** (Spark type, nullable). */
+  private def toDataType(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.STRING  => (StringType, false)
+    case Schema.Type.INT     => (IntegerType, false)
+    case Schema.Type.LONG    => (LongType, false)
+    case Schema.Type.FLOAT   => (FloatType, false)
+    case Schema.Type.DOUBLE  => (DoubleType, false)
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.BYTES   => (BinaryType, false)
+    case Schema.Type.FIXED   => (BinaryType, false)
+    case Schema.Type.ENUM    => (StringType, false)
+    case Schema.Type.NULL    => (NullType, true)
+    case Schema.Type.ARRAY =>
+      val (et, en) = toDataType(s.getElementType)
+      (ArrayType(et, containsNull = en), false)
+    case Schema.Type.MAP =>
+      val (vt, vn) = toDataType(s.getValueType)
+      (MapType(StringType, vt, valueContainsNull = vn), false)
+    case Schema.Type.RECORD => (toStruct(s), false)
+    case Schema.Type.UNION =>
+      val branches = s.getTypes.asScala.toSeq
+      val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+      require(nonNull.size == 1,
+        s"unsupported multi-branch avro union: $s (Spark has no union type)")
+      val (dt, _) = toDataType(nonNull.head)
+      (dt, branches.size > nonNull.size)
+  }
+
+  private def toRow(rec: GenericRecord, schema: Schema): Row =
+    Row.fromSeq(schema.getFields.asScala.toSeq.map { f =>
+      convert(rec.get(f.pos()), f.schema())
+    })
+
+  private def convert(v: Any, s: Schema): Any = {
+    if (v == null) return null
+    s.getType match {
+      case Schema.Type.UNION =>
+        val branch = s.getTypes.asScala.find(_.getType != Schema.Type.NULL)
+          .getOrElse(s.getTypes.get(0))
+        convert(v, branch)
+      case Schema.Type.STRING | Schema.Type.ENUM => v.toString
+      case Schema.Type.BYTES =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer]
+        val out = new Array[Byte](bb.remaining()); bb.duplicate().get(out); out
+      case Schema.Type.FIXED =>
+        v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes().clone()
+      case Schema.Type.ARRAY =>
+        v.asInstanceOf[java.util.Collection[Any]].asScala.toSeq
+          .map(convert(_, s.getElementType))
+      case Schema.Type.MAP =>
+        v.asInstanceOf[java.util.Map[Any, Any]].asScala.map { case (k, vv) =>
+          k.toString -> convert(vv, s.getValueType)
+        }.toMap
+      case Schema.Type.RECORD => toRow(v.asInstanceOf[GenericRecord], s)
+      case _                  => v // int/long/float/double/boolean
+    }
+  }
+}

@@ -94,10 +94,40 @@ class SourcesSpec extends SparkSpec {
     needsLanding(MysqlCdc("mysql://h/db"))
   }
 
-  test("avro reader fails with an actionable message without the module") {
-    val e = intercept[UnsupportedOperationException](
-      Readers.avro(spark, "/tmp/nonexistent.avro"))
-    assert(e.getMessage.contains("spark-avro"))
+  test("avro reads through the avro-mapred fallback without spark-avro") {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = SchemaBuilder.record("Ev").fields()
+      .requiredLong("id")
+      .requiredString("name")
+      .optionalDouble("score")
+      .name("tags").`type`().array().items().stringType().noDefault()
+      .endRecord()
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(dir.toFile, "part-0.avro"))
+    for (i <- 1 to 5) {
+      val r = new GenericData.Record(schema)
+      r.put("id", i.toLong)
+      r.put("name", s"n$i")
+      r.put("score", if (i % 2 == 0) null else i * 1.5)
+      r.put("tags", java.util.Arrays.asList(s"t$i", "x"))
+      w.append(r)
+    }
+    w.close()
+
+    val df = Readers.avro(spark, dir.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "name", "score", "tags"))
+    assert(df.schema("score").nullable && !df.schema("id").nullable)
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 5)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "n1"
+      && rows(0).getDouble(2) == 1.5)
+    assert(rows(1).isNullAt(2)) // optional branch of the [null, double] union
+    assert(rows(0).getSeq[String](3) == Seq("t1", "x"))
+    // DataFrame ops compose over the fallback like any source
+    assert(df.filter(col("score").isNotNull).count() == 3)
   }
 
   test("bucketed tables join and aggregate without a shuffle exchange") {
