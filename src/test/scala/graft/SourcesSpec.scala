@@ -94,6 +94,32 @@ class SourcesSpec extends SparkSpec {
     needsLanding(MysqlCdc("mysql://h/db"))
   }
 
+  test("jdbc reads from embedded Derby, including partitioned range scans") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby").toString + "/db"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE ev (id BIGINT, name VARCHAR(20), score DOUBLE)")
+      val ps = conn.prepareStatement("INSERT INTO ev VALUES (?, ?, ?)")
+      for (i <- 1 to 100) {
+        ps.setLong(1, i); ps.setString(2, s"n$i"); ps.setDouble(3, i * 0.5)
+        ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally conn.close()
+
+    val df = Readers.jdbc(spark, url, "ev")
+    assert(df.count() == 100)
+    // partitioned read: 4 parallel range scans over the id bounds
+    val part = Readers.jdbc(spark, url, "ev",
+      partitionColumn = Some("id"), lowerBound = 1, upperBound = 101, numPartitions = 4)
+    assert(part.rdd.getNumPartitions == 4)
+    assert(part.agg(sum("id")).head().getLong(0) == 5050L)
+    // filters push into the database query
+    assert(df.filter(col("id") <= 10).count() == 10)
+  }
+
   test("avro reads through the avro-mapred fallback without spark-avro") {
     import org.apache.avro.SchemaBuilder
     import org.apache.avro.file.DataFileWriter
