@@ -55,8 +55,11 @@ object Compiler {
           val (out, dlq) = applyTransformRouted(df, transformOf(reg, step), tables)
           (out, dlqs ++ dlq)
       }
+      // streaming frames can't cache; each consumer re-reads the source,
+      // which the file-stream source dedupes via its seen-files log
       val sharedDf =
-        if (pipes.size > 1 && prefix.nonEmpty) prefixDf.cache() else prefixDf
+        if (pipes.size > 1 && prefix.nonEmpty && !prefixDf.isStreaming) prefixDf.cache()
+        else prefixDf
 
       pipes.map { p =>
         val (frame, tailDlq) = p.steps.drop(prefix.length)
@@ -180,29 +183,76 @@ object Compiler {
       spark: SparkSession,
       src: SourceManifest,
       tables: Map[String, DataFrame]
+  ): DataFrame =
+    if (src.streaming) readStreamingSource(spark, src, tables)
+    else src.format match {
+      case "table" =>
+        tables.getOrElse(src.path, sys.error(s"table not provided: ${src.path}"))
+      case "parquet" => spark.read.options(src.options).parquet(src.path)
+      case "csv" =>
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .options(src.options).csv(src.path)
+      case "json"  => spark.read.options(src.options).json(src.path)
+      case "lines" => spark.read.options(src.options).text(src.path)
+      case other   => sys.error(s"unknown source format: $other")
+    }
+
+  /** `streaming: true` sources: the same manifest, read as a file stream
+    * (the reference's pipelines are streaming-first; every stateless
+    * transform chain compiles unchanged over a streaming frame). File
+    * streams need an explicit `schema:` — inference would race arriving
+    * files. `table` resolves from `tables` like the batch path, so tests
+    * can inject MemoryStream frames.
+    */
+  private def readStreamingSource(
+      spark: SparkSession,
+      src: SourceManifest,
+      tables: Map[String, DataFrame]
   ): DataFrame = src.format match {
     case "table" =>
       tables.getOrElse(src.path, sys.error(s"table not provided: ${src.path}"))
-    case "parquet" => spark.read.options(src.options).parquet(src.path)
-    case "csv" =>
-      spark.read.option("header", "true").option("inferSchema", "true")
-        .options(src.options).csv(src.path)
-    case "json"  => spark.read.options(src.options).json(src.path)
-    case "lines" => spark.read.options(src.options).text(src.path)
-    case other   => sys.error(s"unknown source format: $other")
+    case "parquet" | "csv" | "json" | "lines" =>
+      require(src.schemaDDL.nonEmpty,
+        s"streaming source '${src.name}' needs an explicit schema")
+      val fmt = if (src.format == "lines") "text" else src.format
+      val base = spark.readStream.format(fmt).schema(src.schemaDDL)
+      val withHeader = if (src.format == "csv") base.option("header", "true") else base
+      withHeader.options(src.options).load(src.path)
+    case other => sys.error(s"unknown streaming source format: $other")
   }
 
-  /** Write one compiled pipeline to its sink manifest. */
-  def write(p: CompiledPipeline): Unit = {
-    val w = p.frame.write.mode(p.sink.mode)
-    val pw = if (p.sink.partitionBy.nonEmpty) w.partitionBy(p.sink.partitionBy: _*) else w
-    p.sink.format match {
-      case "parquet" => pw.parquet(p.sink.path)
-      case "csv"     => pw.option("header", "true").csv(p.sink.path)
-      case "json"    => pw.json(p.sink.path)
-      case "noop"    => pw.format("noop").save()
-      case other     => sys.error(s"unknown sink format: $other")
+  /** Write one compiled pipeline to its sink manifest. Batch frames write
+    * directly; streaming frames run a checkpointed Trigger.AvailableNow
+    * query — process everything currently available, then stop, resuming
+    * from the checkpoint on the next invocation (the CLI's run-to-drain
+    * semantics; a resident deployment would use `start()` without the
+    * trigger).
+    */
+  def write(p: CompiledPipeline): Unit =
+    if (p.frame.isStreaming) writeStreaming(p).awaitTermination()
+    else {
+      val w = p.frame.write.mode(p.sink.mode)
+      val pw = if (p.sink.partitionBy.nonEmpty) w.partitionBy(p.sink.partitionBy: _*) else w
+      p.sink.format match {
+        case "parquet" => pw.parquet(p.sink.path)
+        case "csv"     => pw.option("header", "true").csv(p.sink.path)
+        case "json"    => pw.json(p.sink.path)
+        case "noop"    => pw.format("noop").save()
+        case other     => sys.error(s"unknown sink format: $other")
+      }
     }
+
+  /** Start the streaming query for a streaming-compiled pipeline. */
+  def writeStreaming(p: CompiledPipeline): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ckpt =
+      if (p.sink.checkpoint.nonEmpty) p.sink.checkpoint
+      else s"${p.sink.path}/_checkpoint"
+    val w = p.frame.writeStream
+      .format(p.sink.format)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val pw = if (p.sink.partitionBy.nonEmpty) w.partitionBy(p.sink.partitionBy: _*) else w
+    (if (p.sink.format == "noop") pw else pw.option("path", p.sink.path)).start()
   }
 
   // ===========================================================================

@@ -13,7 +13,9 @@ final case class SourceManifest(
     name: String,
     format: String,                  // parquet | csv | json | lines | table
     path: String,                    // file path, or table name for format=table
-    options: Map[String, String] = Map.empty
+    options: Map[String, String] = Map.empty,
+    streaming: Boolean = false,      // readStream instead of read
+    schemaDDL: String = ""           // required for streaming file sources
 )
 
 final case class TransformManifest(
@@ -27,7 +29,8 @@ final case class SinkManifest(
     format: String,
     path: String,
     mode: String = "overwrite",
-    partitionBy: Seq[String] = Seq.empty
+    partitionBy: Seq[String] = Seq.empty,
+    checkpoint: String = ""          // streaming sinks: checkpoint location
 )
 
 final case class DlqSpec(sink: String, maxRetries: Int, retryBackoffMs: Long, maxRetryBackoffMs: Long)

@@ -41,7 +41,9 @@ object YamlLoader {
           .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString })
           .getOrElse(Map.empty[String, String])
         Registry(sources = Map(name ->
-          SourceManifest(name, str("format", "parquet"), str("path"), opts)))
+          SourceManifest(name, str("format", "parquet"), str("path"), opts,
+            streaming = spec.get("streaming").exists(_.toString.toBoolean),
+            schemaDDL = str("schema"))))
       case "Transform" =>
         Registry(transforms = Map(name ->
           TransformManifest(name, str("type"), spec - "type")))
@@ -49,7 +51,8 @@ object YamlLoader {
         val partitions = spec.get("partitionBy")
           .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
         Registry(sinks = Map(name ->
-          SinkManifest(name, str("format", "parquet"), str("path"), str("mode", "overwrite"), partitions)))
+          SinkManifest(name, str("format", "parquet"), str("path"), str("mode", "overwrite"),
+            partitions, checkpoint = str("checkpoint"))))
       case "Pipeline" =>
         val steps = spec.get("steps").map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
         val dlq = spec.get("dlq").map { d0 =>
