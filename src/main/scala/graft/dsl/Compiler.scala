@@ -217,7 +217,12 @@ object Compiler {
       val fmt = if (src.format == "lines") "text" else src.format
       val base = spark.readStream.format(fmt).schema(src.schemaDDL)
       val withHeader = if (src.format == "csv") base.option("header", "true") else base
-      withHeader.options(src.options).load(src.path)
+      val df = withHeader.options(src.options).load(src.path)
+      // per-source watermark (watermark.rs W1): the delay doubles as
+      // allowed lateness for every stateful operator downstream
+      if (src.watermarkField.nonEmpty && src.watermarkDelay.nonEmpty)
+        df.withWatermark(src.watermarkField, src.watermarkDelay)
+      else df
     case other => sys.error(s"unknown streaming source format: $other")
   }
 
@@ -374,13 +379,33 @@ object Compiler {
           }
           target -> expr
         }
-        Aggregate(
-          c.get("groupBy").map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty),
-          aggs,
-          windowSizeSeconds = c.get("windowSeconds").map(_.toString.toLong),
-          slideSeconds = c.get("slideSeconds").map(_.toString.toLong),
-          eventTimeCol = c.getOrElse("eventTimeField", "ts").toString
-        )(df)
+        val groupKeys =
+          c.get("groupBy").map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
+        val winSecs = c.get("windowSeconds").map(_.toString.toLong)
+        val evtCol = c.getOrElse("eventTimeField", "ts").toString
+        if (df.isStreaming && winSecs.isDefined) {
+          // streaming: the native windowed agg (incremental state, closed
+          // by the source watermark); emit the batch operator's shape
+          // (window_start + keys + aggs) so sinks see one schema
+          val size = s"${winSecs.get} seconds"
+          val w = c.get("slideSeconds") match {
+            case Some(sl) => window(col(evtCol), size, s"${sl.toString.toLong} seconds")
+            case None     => window(col(evtCol), size)
+          }
+          val named = aggs.map { case (n, e) => e.as(n) }
+          df.groupBy(w +: groupKeys.map(col): _*)
+            .agg(named.head, named.tail: _*)
+            .select(
+              (col("window.start").as("window_start") +: groupKeys.map(col)) ++
+                aggs.map { case (n, _) => col(n) }: _*)
+        } else
+          Aggregate(
+            groupKeys,
+            aggs,
+            windowSizeSeconds = winSecs,
+            slideSeconds = c.get("slideSeconds").map(_.toString.toLong),
+            eventTimeCol = evtCol
+          )(df)
       case "split" =>
         // Linear-pipeline form: tag each row with its route (first match
         // wins); a downstream filter step or the DAG's conditional edges

@@ -15,7 +15,9 @@ final case class SourceManifest(
     path: String,                    // file path, or table name for format=table
     options: Map[String, String] = Map.empty,
     streaming: Boolean = false,      // readStream instead of read
-    schemaDDL: String = ""           // required for streaming file sources
+    schemaDDL: String = "",          // required for streaming file sources
+    watermarkField: String = "",     // event-time column (streaming)
+    watermarkDelay: String = ""      // e.g. "30 minutes" (streaming)
 )
 
 final case class TransformManifest(

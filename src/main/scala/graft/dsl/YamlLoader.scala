@@ -40,10 +40,13 @@ object YamlLoader {
         val opts = spec.get("options")
           .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString })
           .getOrElse(Map.empty[String, String])
+        val wm = spec.get("watermark").map(_.asInstanceOf[Map[String, Any]])
         Registry(sources = Map(name ->
           SourceManifest(name, str("format", "parquet"), str("path"), opts,
             streaming = spec.get("streaming").exists(_.toString.toBoolean),
-            schemaDDL = str("schema"))))
+            schemaDDL = str("schema"),
+            watermarkField = wm.flatMap(_.get("field")).fold("")(_.toString),
+            watermarkDelay = wm.flatMap(_.get("delay")).fold("")(_.toString))))
       case "Transform" =>
         Registry(transforms = Map(name ->
           TransformManifest(name, str("type"), spec - "type")))

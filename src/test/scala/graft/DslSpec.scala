@@ -414,4 +414,64 @@ class DslSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").select("id").as[Long].collect().sorted
       .toSeq == Seq(1L, 3L, 4L))
   }
+
+  test("streaming windowed aggregate compiles from YAML with a source watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsl_sagg").toString
+    val yaml =
+      s"""kind: Source
+         |metadata: {name: ev}
+         |spec:
+         |  format: json
+         |  path: $dir/in
+         |  streaming: true
+         |  schema: "id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP"
+         |  watermark: {field: ts, delay: "10 minutes"}
+         |---
+         |kind: Transform
+         |metadata: {name: minutely}
+         |spec:
+         |  type: aggregate
+         |  groupBy: [event_type]
+         |  windowSeconds: 60
+         |  eventTimeField: ts
+         |  aggregations:
+         |    - {fn: count, as: n}
+         |    - {fn: sum, field: value, as: total}
+         |---
+         |kind: Sink
+         |metadata: {name: out}
+         |spec:
+         |  format: parquet
+         |  path: $dir/out
+         |  checkpoint: $dir/chk
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: ev, steps: [minutely], sink: out}
+         |""".stripMargin
+    val reg = YamlLoader.load(yaml)
+
+    Seq(
+      (1L, "view", 2.0, "2024-01-01 00:00:10"),
+      (2L, "view", 3.0, "2024-01-01 00:00:40"),
+      (3L, "click", 1.0, "2024-01-01 00:00:50"),
+      (4L, "view", 5.0, "2024-01-01 00:01:10"),
+      // late watermark-advancing event so the earlier windows close
+      (5L, "view", 1.0, "2024-01-01 01:00:00")
+    ).toDF("id", "event_type", "value", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1).write.mode("append").json(s"$dir/in")
+
+    val p = Compiler.compile(spark, reg)("p")
+    assert(p.frame.isStreaming)
+    Compiler.write(p)
+
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.columns.toSeq == Seq("window_start", "event_type", "n", "total"))
+    val byKey = out.collect().map(r =>
+      (r.getTimestamp(0).toString, r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(byKey(("2024-01-01 00:00:00.0", "view")) == ((2L, 5.0)))
+    assert(byKey(("2024-01-01 00:00:00.0", "click")) == ((1L, 1.0)))
+    assert(byKey(("2024-01-01 00:01:00.0", "view")) == ((1L, 5.0)))
+  }
 }
