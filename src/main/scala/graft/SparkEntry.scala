@@ -508,11 +508,11 @@ object SparkEntry {
 
   private def qSourcePartitioned(s: SparkSession, dir: String): DataFrame = {
     val path = "/tmp/graft_src_part"
-    t(s, dir, "orders")
-      .withColumn("status", col("o_orderstatus"))
-      .write.mode("overwrite").partitionBy("status").parquet(path)
-    // partition-pruned read back: only the status=F directory is scanned
-    s.read.parquet(path)
+    val src = t(s, dir, "orders").withColumn("status", col("o_orderstatus"))
+    src.write.mode("overwrite").partitionBy("status").parquet(path)
+    // partition-pruned read back: only the status=F directory is scanned.
+    // Explicit schema so a fully-empty write (no partition dirs) still reads.
+    s.read.schema(src.schema).parquet(path)
       .filter(col("status") === "F")
       .select(col("o_orderkey"), col("o_custkey"), col("status"))
       .orderBy(col("o_orderkey"))
@@ -865,8 +865,10 @@ object SparkEntry {
 
   private def qSourceJson(s: SparkSession, dir: String): DataFrame = {
     val path = "/tmp/graft_src_json"
-    t(s, dir, "region").write.mode("overwrite").json(path)
-    graft.sources.Readers.json(s, path)
+    val src = t(s, dir, "region")
+    src.write.mode("overwrite").json(path)
+    // explicit schema: no inference pass, and an empty input stays readable
+    graft.sources.Readers.json(s, path, schemaDDL = src.schema.toDDL)
       .select(col("r_regionkey"), col("r_name"))
       .orderBy(col("r_regionkey"))
   }

@@ -33,7 +33,11 @@ object Readers {
         case None    => s.conf.unset(NanosConf)
       }
     nanosCols.foldLeft(df) { (d, c) =>
-      if (d.schema.fieldNames.contains(c))
+      // only convert when the column actually arrived as nanos-long — the
+      // same table name re-materialized by Spark (checkpoints, test
+      // fixtures) carries a real TIMESTAMP and needs no conversion
+      if (d.schema.fieldNames.contains(c) &&
+        d.schema(c).dataType == org.apache.spark.sql.types.LongType)
         // `div` = integer division; `/` would go through double and round
         // the last microsecond digit for epochs beyond 2^53 nanos.
         d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
@@ -49,7 +53,13 @@ object Readers {
       .option("delimiter", delimiter)
       .csv(path)
 
-  def json(s: SparkSession, path: String): DataFrame = s.read.json(path)
+  /** Schema inference on JSON needs at least one record — pass `schemaDDL`
+    * when the input may be empty (and in production generally: inference
+    * is a full extra pass over the data).
+    */
+  def json(s: SparkSession, path: String, schemaDDL: String = ""): DataFrame =
+    if (schemaDDL.nonEmpty) s.read.schema(schemaDDL).json(path)
+    else s.read.json(path)
 
   /** types.rs "lines" source — one string row per line. */
   def lines(s: SparkSession, path: String): DataFrame = s.read.text(path)
