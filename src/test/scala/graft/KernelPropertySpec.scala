@@ -75,6 +75,30 @@ class KernelPropertySpec extends SparkSpec {
     assert(splits.map(_._1).toSet == counts.keySet)
   }
 
+  test("kernels are null-safe: null text propagates, never throws") {
+    import graft.functions.{HashFunctions => H}
+    val df = Seq((1L, Option.empty[String]), (2L, Some("hello world")))
+      .toDF("id", "text")
+    val r = df.orderBy("id").select(
+      T.wordShingles(col("text"), 2).as("sh"),
+      T.fingerprint(col("text")).as("fp"),
+      T.tokenHashes60(col("text")).as("th"),
+      T.wordShingleHashes(col("text"), 2).as("wh"),
+      H.hash32(col("text")).as("h32"),
+      T.scrubPii(col("text")).as("pii"),
+      T.tokenCount(col("text")).as("tc")
+    ).collect()
+    assert((0 until 7).forall(r(0).isNullAt), r(0).toString) // null in -> null out
+    assert((0 until 7).forall(i => !r(1).isNullAt(i)), r(1).toString)
+    // null arrays through the repetition aggregates
+    val arrs = Seq((1L, null.asInstanceOf[Seq[String]]), (2L, Seq("a", "a", "b")))
+      .toDF("id", "sh").orderBy("id")
+      .select(T.dupShingleFraction(col("sh")), T.topShingleFraction(col("sh")))
+      .collect()
+    assert(arrs(0).isNullAt(0) && arrs(0).isNullAt(1))
+    assert(arrs(1).getDouble(0) == 0.333333 && arrs(1).getDouble(1) == 0.666667)
+  }
+
   test("repetition fractions equal Scala reference on random text") {
     def refDup(sh: Seq[String]): Double =
       if (sh.isEmpty) 0.0
