@@ -163,7 +163,8 @@ object Compiler {
           if (stage.stageType == StageType.Sink) fannedIn
           else applyTransform(fannedIn, transformOf(reg, stageId), tables)
       }
-      if (outDegree.getOrElse(stageId, 0) > 1) computed.cache() else computed
+      if (outDegree.getOrElse(stageId, 0) > 1 && !computed.isStreaming) computed.cache()
+      else computed
     })
 
     graph.sinkStages.map(s => s.id -> frameOf(s.id)).toMap
