@@ -648,6 +648,13 @@ object SparkEntry {
       .select(col("doc_id"), col("fp"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Corpus profiling: top bigrams + power-of-two length histogram. */
+  private def qProfileNgrams(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.topNgrams(docs(s, dir), "text", n = 2, k = 20)
+
+  private def qProfileLengths(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.lengthHistogram(docs(s, dir), "text")
+
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), TF.langPredict(col("text")).as("pred_lang"))
@@ -942,7 +949,9 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_dedup_lines" -> (qDedupLines _),
     "q_sample_stratified" -> (qSampleStratified _),
-    "q_split_leakproof" -> (qSplitLeakproof _)
+    "q_split_leakproof" -> (qSplitLeakproof _),
+    "q_profile_ngrams" -> (qProfileNgrams _),
+    "q_profile_lengths" -> (qProfileLengths _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1612,6 +1621,35 @@ object SparkEntry {
         |      md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
         |    FROM documents
         |  )
-        |) ORDER BY doc_id""".stripMargin
+        |) ORDER BY doc_id""".stripMargin,
+    "q_profile_ngrams" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS shingle
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i FROM nrm)
+        |), occ AS (
+        |  SELECT shingle, count(*) AS n_occurrences FROM sh GROUP BY 1
+        |), dc AS (
+        |  SELECT shingle, count(*) AS n_docs
+        |  FROM (SELECT DISTINCT doc_id, shingle FROM sh) GROUP BY 1
+        |)
+        |SELECT o.shingle, CAST(d.n_docs AS BIGINT) AS n_docs,
+        |  CAST(o.n_occurrences AS BIGINT) AS n_occurrences
+        |FROM occ o JOIN dc d USING (shingle)
+        |ORDER BY o.n_occurrences DESC, o.shingle LIMIT 20""".stripMargin,
+    "q_profile_lengths" ->
+      """WITH tc AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN n = 0 THEN -1 ELSE CAST(length(bin(CAST(n AS BIGINT))) - 1 AS INTEGER) END AS bucket,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(min(n) AS BIGINT) AS min_tokens,
+        |  CAST(max(n) AS BIGINT) AS max_tokens
+        |FROM tc GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Corpus profiling — the descriptive-statistics pass a training-data run
+  * starts with: what does the corpus look like before filtering, and what
+  * did the filters change?
+  *
+  * Both profiles are single-aggregation shapes that scale: the n-gram
+  * ranking is a map-side-combined count + distributed top-k
+  * (TakeOrderedAndProject — per-partition heads, driver merges k rows, no
+  * global sort); the histogram is a groupBy over O(60) bucket keys.
+  */
+object Profiling {
+
+  /** Top-k most frequent word n-grams corpus-wide, ties broken by shingle
+    * text for determinism. Returns (shingle, n_docs, n_occurrences) —
+    * n_docs counts documents containing the shingle at least once.
+    */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    docs
+      .select(explode(T.wordShingles(col(textCol), n)).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .join(
+        docs.select(explode(array_distinct(T.wordShingles(col(textCol), n))).as("shingle"))
+          .groupBy(col("shingle"))
+          .agg(count(lit(1)).as("n_docs")),
+        Seq("shingle"))
+      .select(col("shingle"), col("n_docs"), col("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("shingle"))
+      .limit(k)
+
+  /** Power-of-two token-count histogram: bucket b holds documents with
+    * token count in [2^b, 2^(b+1)); empty documents land in bucket -1.
+    * ~60 buckets cover anything, so the aggregate state is constant.
+    * floor(log2) is computed as length(bin(x)) - 1 — pure integer/string
+    * arithmetic, so no float-boundary drift across engines.
+    */
+  def lengthHistogram(docs: DataFrame, textCol: String): DataFrame = {
+    val tc = T.tokenCount(col(textCol))
+    docs
+      .select(
+        when(tc === 0, lit(-1))
+          .otherwise((length(bin(tc.cast("long"))) - 1).cast("int"))
+          .as("bucket"),
+        tc.cast("long").as("_tc"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_tc")).as("n_tokens"),
+        min(col("_tc")).as("min_tokens"),
+        max(col("_tc")).as("max_tokens"))
+      .orderBy(col("bucket"))
+  }
+}
