@@ -650,7 +650,7 @@ object SparkEntry {
 
   /** Corpus profiling: top bigrams + power-of-two length histogram. */
   private def qProfileNgrams(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Profiling.topNgrams(docs(s, dir), "text", n = 2, k = 20)
+    graft.ops.Profiling.topNgrams(docs(s, dir), "doc_id", "text", n = 2, k = 20)
 
   private def qProfileLengths(s: SparkSession, dir: String): DataFrame =
     graft.ops.Profiling.lengthHistogram(docs(s, dir), "text")

@@ -18,19 +18,17 @@ object Profiling {
 
   /** Top-k most frequent word n-grams corpus-wide, ties broken by shingle
     * text for determinism. Returns (shingle, n_docs, n_occurrences) —
-    * n_docs counts documents containing the shingle at least once.
+    * n_docs counts documents containing the shingle at least once. One
+    * shingle-keyed aggregation (count + distinct-doc count in the same
+    * pass), then a distributed top-k.
     */
-  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+  def topNgrams(docs: DataFrame, idCol: String, textCol: String, n: Int, k: Int): DataFrame =
     docs
-      .select(explode(T.wordShingles(col(textCol), n)).as("shingle"))
+      .select(col(idCol).as("_doc"), explode(T.wordShingles(col(textCol), n)).as("shingle"))
       .groupBy(col("shingle"))
-      .agg(count(lit(1)).as("n_occurrences"))
-      .join(
-        docs.select(explode(array_distinct(T.wordShingles(col(textCol), n))).as("shingle"))
-          .groupBy(col("shingle"))
-          .agg(count(lit(1)).as("n_docs")),
-        Seq("shingle"))
-      .select(col("shingle"), col("n_docs"), col("n_occurrences"))
+      .agg(
+        countDistinct(col("_doc")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("shingle"))
       .limit(k)
 
