@@ -347,6 +347,23 @@ object Compiler {
           eventTimeCol = c.getOrElse("eventTimeField", "ts").toString,
           tagInsteadOfDrop = c.get("onExceed").exists(_.toString == "tag")
         )(df)
+      case "sessionize" if df.isStreaming =>
+        // streaming: native session_window (incremental gap-merge, closed
+        // by the source watermark). Emits the batch `sessions` shape minus
+        // the per-key ordinal session_id — session_start is the stable
+        // identifier a streaming consumer can key on. start/end are
+        // event-bounded (min/max ts), matching batch semantics rather than
+        // session_window's end-extends-by-gap convention.
+        val evtCol = c.getOrElse("eventTimeField", "ts").toString
+        val keyField = c("keyField").toString
+        df.groupBy(
+            session_window(col(evtCol), s"${c("gapSeconds")} seconds"),
+            col(keyField))
+          .agg(
+            min(col(evtCol)).as("session_start"),
+            max(col(evtCol)).as("session_end"),
+            count(lit(1)).as("n_events"))
+          .select(col(keyField), col("session_start"), col("session_end"), col("n_events"))
       case "sessionize" =>
         // types.rs:681-697 SessionizeTransformConfig: gap + max_duration +
         // emit (on_close is the reference default).
@@ -417,9 +434,23 @@ object Compiler {
           defaultOutput = c.get("default").map(_.toString)
         ).tagged(df)
       case "join" =>
-        EquiJoin(
-          right = tables.getOrElse(c("rightStream").toString,
-            sys.error(s"join right stream not provided: ${c("rightStream")}")),
+        val rightFrame = tables.getOrElse(c("rightStream").toString,
+          sys.error(s"join right stream not provided: ${c("rightStream")}"))
+        val joinWinSecs = c.get("windowSeconds").map(_.toString.toLong)
+        if (df.isStreaming && rightFrame.isStreaming && joinWinSecs.isDefined)
+          // stream-stream join (types.rs:644-678): the window bound lets
+          // Spark purge join state as the watermark passes
+          graft.streaming.Streams.windowedJoin(
+            df, rightFrame,
+            leftKey = c("leftKey").toString,
+            rightKey = c("rightKey").toString,
+            leftTimeCol = c.getOrElse("eventTimeField", "ts").toString,
+            rightTimeCol = c.getOrElse("rightEventTimeField", "ts").toString,
+            delay = c.getOrElse("watermarkDelay", "10 minutes").toString,
+            windowSeconds = joinWinSecs.get,
+            joinType = c.getOrElse("joinType", "inner").toString)
+        else EquiJoin(
+          right = rightFrame,
           leftKey = c("leftKey").toString,
           rightKey = c("rightKey").toString,
           joinType = c.getOrElse("joinType", "inner").toString,

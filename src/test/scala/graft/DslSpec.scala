@@ -474,4 +474,117 @@ class DslSpec extends SparkSpec {
     assert(byKey(("2024-01-01 00:00:00.0", "click")) == ((1L, 1.0)))
     assert(byKey(("2024-01-01 00:01:00.0", "view")) == ((1L, 5.0)))
   }
+
+  test("streaming sessionize compiles to native session windows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsl_sess").toString
+    val yaml =
+      s"""kind: Source
+         |metadata: {name: ev}
+         |spec:
+         |  format: json
+         |  path: $dir/in
+         |  streaming: true
+         |  schema: "id LONG, user STRING, ts TIMESTAMP"
+         |  watermark: {field: ts, delay: "5 minutes"}
+         |---
+         |kind: Transform
+         |metadata: {name: sess}
+         |spec:
+         |  type: sessionize
+         |  keyField: user
+         |  gapSeconds: 60
+         |  eventTimeField: ts
+         |  orderBy: [ts]
+         |---
+         |kind: Sink
+         |metadata: {name: out}
+         |spec: {format: parquet, path: $dir/out, checkpoint: $dir/chk}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: ev, steps: [sess], sink: out}
+         |""".stripMargin
+    val reg = YamlLoader.load(yaml)
+
+    Seq(
+      (1L, "u1", "2024-01-01 00:00:00"), // session A: 00:00:00-00:00:30
+      (2L, "u1", "2024-01-01 00:00:30"),
+      (3L, "u1", "2024-01-01 00:05:00"), // session B (gap > 60s)
+      (4L, "u2", "2024-01-01 00:00:10"), // u2's only session
+      (5L, "u1", "2024-01-01 02:00:00")  // watermark push: closes A and B
+    ).toDF("id", "user", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1).write.mode("append").json(s"$dir/in")
+
+    val p = Compiler.compile(spark, reg)("p")
+    assert(p.frame.isStreaming)
+    Compiler.write(p)
+
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.columns.toSeq == Seq("user", "session_start", "session_end", "n_events"))
+    val sessions = out.collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(3))).toSet
+    assert(sessions.contains(("u1", "2024-01-01 00:00:00.0", 2L)))
+    assert(sessions.contains(("u1", "2024-01-01 00:05:00.0", 1L)))
+    assert(sessions.contains(("u2", "2024-01-01 00:00:10.0", 1L)))
+  }
+
+  test("streaming join compiles to a watermarked windowed stream-stream join") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsl_sjoin").toString
+    val yaml =
+      s"""kind: Source
+         |metadata: {name: clicks}
+         |spec:
+         |  format: json
+         |  path: $dir/in
+         |  streaming: true
+         |  schema: "click_id LONG, cuser STRING, ts TIMESTAMP"
+         |---
+         |kind: Transform
+         |metadata: {name: attach}
+         |spec:
+         |  type: join
+         |  rightStream: imps
+         |  leftKey: cuser
+         |  rightKey: iuser
+         |  windowSeconds: 3600
+         |  eventTimeField: ts
+         |  rightEventTimeField: its
+         |  watermarkDelay: "10 minutes"
+         |---
+         |kind: Sink
+         |metadata: {name: out}
+         |spec: {format: parquet, path: $dir/out, checkpoint: $dir/chk}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: clicks, steps: [attach], sink: out}
+         |""".stripMargin
+    val reg = YamlLoader.load(yaml)
+
+    Seq(
+      (1L, "u1", "2024-01-01 00:10:00"),
+      (2L, "u2", "2024-01-01 00:20:00"),
+      (3L, "u1", "2024-01-01 09:00:00") // out of the 1h window of u1's imp
+    ).toDF("click_id", "cuser", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .coalesce(1).write.mode("append").json(s"$dir/in")
+
+    val imps = MemoryStream[(Long, String, java.sql.Timestamp)]
+    imps.addData(
+      (100L, "u1", java.sql.Timestamp.valueOf("2024-01-01 00:05:00")),
+      (101L, "u3", java.sql.Timestamp.valueOf("2024-01-01 00:05:00")))
+    val impsDf = imps.toDF().toDF("imp_id", "iuser", "its")
+
+    val p = Compiler.compile(spark, reg, tables = Map("imps" -> impsDf))("p")
+    assert(p.frame.isStreaming)
+    Compiler.write(p)
+
+    val out = spark.read.parquet(s"$dir/out")
+    val joined = out.select("click_id", "imp_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(joined == Set((1L, 100L))) // u2/u3 unmatched; click 3 outside window
+  }
 }
