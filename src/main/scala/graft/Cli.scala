@@ -53,6 +53,32 @@ object Cli {
       }
       0
 
+    case Seq("get", path) =>
+      // reference: etlctl get (commands/get.rs) — one row per resource
+      val reg = YamlLoader.loadFile(path)
+      reg.sources.values.toSeq.sortBy(_.name).foreach(s =>
+        println(f"source    ${s.name}%-24s ${s.format}${if (s.streaming) " (streaming)" else ""}"))
+      reg.transforms.values.toSeq.sortBy(_.name).foreach(t =>
+        println(f"transform ${t.name}%-24s ${t.transformType}"))
+      reg.sinks.values.toSeq.sortBy(_.name).foreach(k =>
+        println(f"sink      ${k.name}%-24s ${k.format}"))
+      reg.pipelines.values.toSeq.sortBy(_.name).foreach(p =>
+        println(f"pipeline  ${p.name}%-24s ${p.source} -> ${p.steps.mkString(" -> ")} -> ${p.sink}"))
+      0
+
+    case Seq("describe", path, name) =>
+      // reference: etlctl describe — full spec of one resource
+      val reg = YamlLoader.loadFile(path)
+      val found: Option[String] =
+        reg.sources.get(name).map(_.toString)
+          .orElse(reg.transforms.get(name).map(_.toString))
+          .orElse(reg.sinks.get(name).map(_.toString))
+          .orElse(reg.pipelines.get(name).map(_.toString))
+      found match {
+        case Some(d) => println(d); 0
+        case None    => println(s"ERROR: no resource named '$name' in $path"); 1
+      }
+
     case Seq("backup", "create", manifestPath, ckptDir) =>
       val yamlText = readFile(manifestPath)
       val m = BackupYaml.loadBackup(yamlText)
@@ -86,8 +112,8 @@ object Cli {
       }
 
     case _ =>
-      println("usage: graft.Cli (validate|graph|run) <manifest.yaml> | " +
-        "backup (create|list|restore) ...")
+      println("usage: graft.Cli (validate|graph|run|get) <manifest.yaml> | " +
+        "describe <manifest.yaml> <name> | backup (create|list|restore) ...")
       2
   }
 

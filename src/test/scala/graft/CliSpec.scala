@@ -59,6 +59,34 @@ class CliSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown source"))
   }
 
+  test("get and describe list and detail registry resources") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_get").toString
+    val yaml =
+      """kind: Source
+        |metadata: {name: ev}
+        |spec: {format: parquet, path: /tmp/x}
+        |---
+        |kind: Transform
+        |metadata: {name: f}
+        |spec:
+        |  type: filter
+        |  condition: {equals: {field: a, value: b}}
+        |---
+        |kind: Sink
+        |metadata: {name: out}
+        |spec: {format: parquet, path: /tmp/y}
+        |---
+        |kind: Pipeline
+        |metadata: {name: p}
+        |spec: {source: ev, steps: [f], sink: out}
+        |""".stripMargin
+    val f = java.nio.file.Paths.get(dir, "m.yaml")
+    java.nio.file.Files.writeString(f, yaml)
+    assert(Cli.run(Seq("get", f.toString)) == 0)
+    assert(Cli.run(Seq("describe", f.toString, "p")) == 0)
+    assert(Cli.run(Seq("describe", f.toString, "nope")) == 1)
+  }
+
   test("backup create / list / restore subcommands round-trip a checkpoint") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cli_bak").toString
     new java.io.File(s"$dir/chk/offsets").mkdirs()
