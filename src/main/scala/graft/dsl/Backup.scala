@@ -238,14 +238,24 @@ object BackupRunner {
           FileUtil.copy(fs, from, dstFs, to, false, conf)
         }
       }
+      // Configuration is not checkpoint-resident: restore the stored
+      // pipeline.yaml next to the checkpoint for the operator to re-apply
+      if (c == BackupComponent.Configuration) {
+        val from = new Path(src, "pipeline.yaml")
+        if (fs.exists(from))
+          FileUtil.copy(fs, from, dstFs, new Path(ckptRoot, "pipeline.yaml"), false, conf)
+      }
     }
     id
   }
 
+  /** Only the managed `backup-NNNNNN` directories — a stray manually-named
+    * sibling (backup-000002-old) must not break id sequencing or `latest`.
+    */
   def listBackups(fs: FileSystem, root: Path): Seq[String] =
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("backup-"))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("backup-\\d{6}"))
       .map(_.getPath.getName)
       .sorted
 

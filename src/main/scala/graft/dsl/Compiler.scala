@@ -209,22 +209,26 @@ object Compiler {
       spark: SparkSession,
       src: SourceManifest,
       tables: Map[String, DataFrame]
-  ): DataFrame = src.format match {
-    case "table" =>
-      tables.getOrElse(src.path, sys.error(s"table not provided: ${src.path}"))
-    case "parquet" | "csv" | "json" | "lines" =>
-      require(src.schemaDDL.nonEmpty,
-        s"streaming source '${src.name}' needs an explicit schema")
-      val fmt = if (src.format == "lines") "text" else src.format
-      val base = spark.readStream.format(fmt).schema(src.schemaDDL)
-      val withHeader = if (src.format == "csv") base.option("header", "true") else base
-      val df = withHeader.options(src.options).load(src.path)
-      // per-source watermark (watermark.rs W1): the delay doubles as
-      // allowed lateness for every stateful operator downstream
-      if (src.watermarkField.nonEmpty && src.watermarkDelay.nonEmpty)
-        df.withWatermark(src.watermarkField, src.watermarkDelay)
-      else df
-    case other => sys.error(s"unknown streaming source format: $other")
+  ): DataFrame = {
+    val df = src.format match {
+      case "table" =>
+        tables.getOrElse(src.path, sys.error(s"table not provided: ${src.path}"))
+      case "parquet" | "csv" | "json" | "lines" =>
+        require(src.schemaDDL.nonEmpty,
+          s"streaming source '${src.name}' needs an explicit schema")
+        val fmt = if (src.format == "lines") "text" else src.format
+        val base = spark.readStream.format(fmt).schema(src.schemaDDL)
+        val withHeader = if (src.format == "csv") base.option("header", "true") else base
+        withHeader.options(src.options).load(src.path)
+      case other => sys.error(s"unknown streaming source format: $other")
+    }
+    // per-source watermark (watermark.rs W1): the delay doubles as allowed
+    // lateness for every stateful operator downstream. Applied to injected
+    // `table` frames too — the manifest declares it, the frame's origin
+    // doesn't change that.
+    if (src.watermarkField.nonEmpty && src.watermarkDelay.nonEmpty)
+      df.withWatermark(src.watermarkField, src.watermarkDelay)
+    else df
   }
 
   /** Write one compiled pipeline to its sink manifest. Batch frames write
@@ -250,6 +254,9 @@ object Compiler {
 
   /** Start the streaming query for a streaming-compiled pipeline. */
   def writeStreaming(p: CompiledPipeline): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(p.sink.checkpoint.nonEmpty || p.sink.path.nonEmpty,
+      s"streaming sink '${p.sink.name}' needs a checkpoint: location " +
+        "(or a path to derive one from)")
     val ckpt =
       if (p.sink.checkpoint.nonEmpty) p.sink.checkpoint
       else s"${p.sink.path}/_checkpoint"
@@ -257,7 +264,10 @@ object Compiler {
       .format(p.sink.format)
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    val pw = if (p.sink.partitionBy.nonEmpty) w.partitionBy(p.sink.partitionBy: _*) else w
+    val withHeader = if (p.sink.format == "csv") w.option("header", "true") else w
+    val pw =
+      if (p.sink.partitionBy.nonEmpty) withHeader.partitionBy(p.sink.partitionBy: _*)
+      else withHeader
     (if (p.sink.format == "noop") pw else pw.option("path", p.sink.path)).start()
   }
 
@@ -354,6 +364,16 @@ object Compiler {
         // identifier a streaming consumer can key on. start/end are
         // event-bounded (min/max ts), matching batch semantics rather than
         // session_window's end-extends-by-gap convention.
+        // Fail fast on config this path cannot honor — silently diverging
+        // from the batch compilation of the same manifest is worse.
+        val emitMode = c.getOrElse("emit", "on_close").toString
+        require(emitMode == "on_close",
+          s"streaming sessionize supports emit: on_close only (got '$emitMode'); " +
+            "per-event emission needs graft.streaming.StatefulSessions")
+        require(!c.contains("maxDurationSeconds"),
+          "streaming sessionize does not support maxDurationSeconds; " +
+            "session_window merges on gap only — cap sessions downstream or " +
+            "use graft.streaming.StatefulSessions")
         val evtCol = c.getOrElse("eventTimeField", "ts").toString
         val keyField = c("keyField").toString
         df.groupBy(
@@ -437,19 +457,41 @@ object Compiler {
         val rightFrame = tables.getOrElse(c("rightStream").toString,
           sys.error(s"join right stream not provided: ${c("rightStream")}"))
         val joinWinSecs = c.get("windowSeconds").map(_.toString.toLong)
-        if (df.isStreaming && rightFrame.isStreaming && joinWinSecs.isDefined)
+        if (df.isStreaming && rightFrame.isStreaming && joinWinSecs.isDefined) {
           // stream-stream join (types.rs:644-678): the window bound lets
-          // Spark purge join state as the watermark passes
-          graft.streaming.Streams.windowedJoin(
-            df, rightFrame,
-            leftKey = c("leftKey").toString,
-            rightKey = c("rightKey").toString,
-            leftTimeCol = c.getOrElse("eventTimeField", "ts").toString,
-            rightTimeCol = c.getOrElse("rightEventTimeField", "ts").toString,
+          // Spark purge join state as the watermark passes. Output-field
+          // handling (prefixes + include/exclude) must match the batch
+          // EquiJoin path — the same manifest gets the same columns either
+          // way, and colliding names (e.g. 'ts' on both streams) are
+          // disambiguated by prefixing BEFORE the join.
+          def prefixed(frame: DataFrame, prefix: Option[String],
+              renames: String*): (DataFrame, Map[String, String]) =
+            prefix match {
+              case None => (frame, renames.map(n => n -> n).toMap)
+              case Some(p) =>
+                val mapping = frame.columns.map(n => n -> s"$p$n").toMap
+                (frame.withColumnsRenamed(mapping), renames.map(n => n -> s"$p$n").toMap)
+            }
+          val (l, lNames) = prefixed(df, c.get("leftPrefix").map(_.toString),
+            c("leftKey").toString, c.getOrElse("eventTimeField", "ts").toString)
+          val (r, rNames) = prefixed(rightFrame, c.get("rightPrefix").map(_.toString),
+            c("rightKey").toString, c.getOrElse("rightEventTimeField", "ts").toString)
+          val joined = graft.streaming.Streams.windowedJoin(
+            l, r,
+            leftKey = lNames(c("leftKey").toString),
+            rightKey = rNames(c("rightKey").toString),
+            leftTimeCol = lNames(c.getOrElse("eventTimeField", "ts").toString),
+            rightTimeCol = rNames(c.getOrElse("rightEventTimeField", "ts").toString),
             delay = c.getOrElse("watermarkDelay", "10 minutes").toString,
             windowSeconds = joinWinSecs.get,
             joinType = c.getOrElse("joinType", "inner").toString)
-        else EquiJoin(
+          val included = c.get("includeFields")
+            .map(_.asInstanceOf[Seq[Any]].map(_.toString))
+            .fold(joined)(fs => joined.select(fs.map(col): _*))
+          c.get("excludeFields").map(_.asInstanceOf[Seq[Any]].map(_.toString))
+            .getOrElse(Seq.empty)
+            .foldLeft(included)(_.drop(_))
+        } else EquiJoin(
           right = rightFrame,
           leftKey = c("leftKey").toString,
           rightKey = c("rightKey").toString,

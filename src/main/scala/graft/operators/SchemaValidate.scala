@@ -64,10 +64,15 @@ final case class SchemaValidate(fields: Seq[SchemaField], additionalFields: Bool
           f.enumValues.map(vs =>
             ValidationRule(s"enum:${f.name}",
               RawCondition(c.isNull || c.cast("string").isin(vs.map(_.toString): _*)))),
+          // asNum.isNotNull keeps the bound fail-closed: an uncastable
+          // value makes `asNum >= m` NULL, and a NULL predicate is skipped
+          // by Validate.tagged — the row would pass the bound it violates
           f.minValue.map(m =>
-            ValidationRule(s"min:${f.name}", RawCondition(c.isNull || asNum >= lit(m)))),
+            ValidationRule(s"min:${f.name}",
+              RawCondition(c.isNull || (asNum.isNotNull && asNum >= lit(m))))),
           f.maxValue.map(m =>
-            ValidationRule(s"max:${f.name}", RawCondition(c.isNull || asNum <= lit(m))))
+            ValidationRule(s"max:${f.name}",
+              RawCondition(c.isNull || (asNum.isNotNull && asNum <= lit(m)))))
         ).flatten
       }
     }

@@ -302,9 +302,12 @@ object StreamSources {
     }
 
   private def isMissingConnector(root: Throwable): Boolean = {
+    // NOT every AnalysisException: a present connector with bad options
+    // (missing path, malformed schema) also raises one, and "fix your
+    // classpath" would be the wrong diagnosis. Only the class-not-found
+    // family and the specific failed-to-find-data-source message qualify.
     Iterator.iterate(root)(_.getCause).takeWhile(_ != null).take(8).exists { e =>
       e.isInstanceOf[ClassNotFoundException] ||
-      e.isInstanceOf[org.apache.spark.sql.AnalysisException] ||
       e.getClass.getSimpleName.contains("ClassNotFound") ||
       Option(e.getMessage).exists(m =>
         m.contains("No FileSystem for scheme") ||

@@ -529,6 +529,42 @@ class DslSpec extends SparkSpec {
     assert(sessions.contains(("u2", "2024-01-01 00:00:10.0", 1L)))
   }
 
+  test("streaming sessionize fails fast on emit/maxDuration it cannot honor") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)].toDF()
+      .toDF("id", "user", "ts")
+    def compileWith(extra: String): Unit = {
+      val reg = YamlLoader.load(
+        s"""kind: Source
+           |metadata: {name: ev}
+           |spec: {format: table, path: evt, streaming: true}
+           |---
+           |kind: Transform
+           |metadata: {name: sess}
+           |spec:
+           |  type: sessionize
+           |  keyField: user
+           |  gapSeconds: 60
+           |  orderBy: [ts]
+           |$extra
+           |---
+           |kind: Sink
+           |metadata: {name: out}
+           |spec: {format: noop, path: "", checkpoint: /tmp/x}
+           |---
+           |kind: Pipeline
+           |metadata: {name: p}
+           |spec: {source: ev, steps: [sess], sink: out}
+           |""".stripMargin)
+      Compiler.compile(spark, reg, tables = Map("evt" -> stream))
+    }
+    assert(intercept[IllegalArgumentException](compileWith("  emit: on_event"))
+      .getMessage.contains("on_close"))
+    assert(intercept[IllegalArgumentException](compileWith("  maxDurationSeconds: 900"))
+      .getMessage.contains("maxDurationSeconds"))
+  }
+
   test("streaming join compiles to a watermarked windowed stream-stream join") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

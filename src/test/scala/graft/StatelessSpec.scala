@@ -89,6 +89,18 @@ class StatelessSpec extends SparkSpec {
       .select("_error_code").distinct().collect().head.getString(0) == "additional:extra")
   }
 
+  test("SchemaValidate min/max stay fail-closed on uncastable values") {
+    // string column, numeric bound: "abc" can't cast to double — the rule
+    // must FIRE (a NULL predicate would silently pass the row)
+    val df = Seq(("a", "5"), ("b", "abc"), ("c", "0")).toDF("k", "qty")
+    val sv = SchemaValidate(Seq(SchemaField("qty", minValue = Some(1))))
+    val out = sv.tagged(df).select("k", "_error_code")
+    assert(sortedRows(out) == Seq(
+      Seq("a", null),
+      Seq("b", "min:qty"), // uncastable -> violates the bound, not a free pass
+      Seq("c", "min:qty")))
+  }
+
   test("SchemaValidate.parseAndTag hoists JSON payload fields and flags bad payloads") {
     val df = Seq(
       (1L, """{"a": 5}"""),
