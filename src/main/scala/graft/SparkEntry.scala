@@ -655,6 +655,12 @@ object SparkEntry {
   private def qProfileLengths(s: SparkSession, dir: String): DataFrame =
     graft.ops.Profiling.lengthHistogram(docs(s, dir), "text")
 
+  /** Context-window sharding: 40-token chunks, 10 shared overlap tokens. */
+  private def qChunk(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.chunkByTokens(docs(s, dir), "doc_id", "text",
+      chunkTokens = 40, overlapTokens = 10)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), TF.langPredict(col("text")).as("pred_lang"))
@@ -951,7 +957,8 @@ object SparkEntry {
     "q_sample_stratified" -> (qSampleStratified _),
     "q_split_leakproof" -> (qSplitLeakproof _),
     "q_profile_ngrams" -> (qProfileNgrams _),
-    "q_profile_lengths" -> (qProfileLengths _)
+    "q_profile_lengths" -> (qProfileLengths _),
+    "q_chunk" -> (qChunk _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1650,6 +1657,18 @@ object SparkEntry {
         |  CAST(sum(n) AS BIGINT) AS n_tokens,
         |  CAST(min(n) AS BIGINT) AS min_tokens,
         |  CAST(max(n) AS BIGINT) AS max_tokens
-        |FROM tc GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM tc GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_chunk" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  array_to_string(toks[i*30+1:i*30+40], ' ') AS chunk_text,
+        |  CAST(least(len(toks) - i*30, 40) AS BIGINT) AS n_tokens
+        |FROM (SELECT doc_id, toks,
+        |        unnest(range(0, greatest((len(toks) - 10 - 1) // 30, 0) + 1)) AS i
+        |      FROM nrm)
+        |ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

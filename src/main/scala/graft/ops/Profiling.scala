@@ -32,6 +32,47 @@ object Profiling {
       .orderBy(col("n_occurrences").desc, col("shingle"))
       .limit(k)
 
+  /** Shard documents into training-context chunks: `chunkTokens`-token
+    * windows advancing by `chunkTokens - overlapTokens`, so consecutive
+    * chunks share `overlapTokens` of context. Pure row-local explode — no
+    * shuffle, parallel over whatever partitioning the scan produced; the
+    * per-doc output is bounded by ceil(tokens/stride) rows. Returns
+    * (idCol, chunk_idx, chunk_text, n_tokens). Documents shorter than one
+    * stride yield exactly one chunk (possibly short); empty docs yield one
+    * empty chunk so no document silently disappears.
+    */
+  def chunkByTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlapTokens: Int = 0
+  ): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      "need 0 <= overlapTokens < chunkTokens")
+    val stride = chunkTokens - overlapTokens
+    docs
+      .select(col(idCol), split(T.normalize(col(textCol)), " ").as("_toks"))
+      .select(
+        col(idCol),
+        col("_toks"),
+        // chunk i starts at i*stride; stop once a further chunk would add
+        // no tokens beyond the shared overlap (no fully-redundant tails)
+        explode(sequence(lit(0),
+          greatest(
+            floor((size(col("_toks")) - overlapTokens - 1) / stride),
+            lit(0)).cast("int"))).as("chunk_idx"))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        array_join(
+          slice(col("_toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)),
+          " ").as("chunk_text"),
+        least(
+          size(col("_toks")) - col("chunk_idx") * stride,
+          lit(chunkTokens)).cast("long").as("n_tokens"))
+  }
+
   /** Power-of-two token-count histogram: bucket b holds documents with
     * token count in [2^b, 2^(b+1)); empty documents land in bucket -1.
     * ~60 buckets cover anything, so the aggregate state is constant.

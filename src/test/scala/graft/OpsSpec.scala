@@ -241,6 +241,26 @@ class OpsSpec extends SparkSpec {
     assert(strat.filter(col("parity") === 0).count() == 100)
   }
 
+  test("chunkByTokens: overlap, tails, short and empty docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y"),                 // shorter than one chunk
+      (3L, "")                     // empty
+    ).toDF("doc_id", "text")
+    val out = Profiling.chunkByTokens(docs, "doc_id", "text",
+      chunkTokens = 4, overlapTokens = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val doc1 = out.filter(_._1 == 1L).toSeq
+    // stride 2: windows [0,4) [2,6) [4,8) [6,10) — each shares 2 tokens
+    assert(doc1 == Seq(
+      (1L, 0, "a b c d", 4L), (1L, 1, "c d e f", 4L),
+      (1L, 2, "e f g h", 4L), (1L, 3, "g h i j", 4L)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "x y", 2L)))
+    // empty doc: one empty chunk, the document does not vanish
+    assert(out.filter(_._1 == 3L).map(t => (t._2, t._3)).toSeq == Seq((0, "")))
+  }
+
   test("repetition fractions on hand-checked shingle arrays") {
     import graft.functions.{TextFunctions => TF}
     val df = Seq(
