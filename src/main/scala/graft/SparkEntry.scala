@@ -1660,15 +1660,20 @@ object SparkEntry {
         |FROM tc GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_chunk" ->
       """WITH nrm AS (
-        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
         |  FROM documents
+        |), cnt AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0 ELSE len(toks) END AS n
+        |  FROM nrm
         |)
         |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
         |  array_to_string(toks[i*30+1:i*30+40], ' ') AS chunk_text,
-        |  CAST(least(len(toks) - i*30, 40) AS BIGINT) AS n_tokens
-        |FROM (SELECT doc_id, toks,
-        |        unnest(range(0, greatest((len(toks) - 10 - 1) // 30, 0) + 1)) AS i
-        |      FROM nrm)
+        |  CAST(least(n - i*30, 40) AS BIGINT) AS n_tokens
+        |FROM (SELECT doc_id, toks, n,
+        |        unnest(range(0, greatest((n - 10 - 1) // 30, 0) + 1)) AS i
+        |      FROM cnt)
         |ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

@@ -52,15 +52,22 @@ object Profiling {
       "need 0 <= overlapTokens < chunkTokens")
     val stride = chunkTokens - overlapTokens
     docs
-      .select(col(idCol), split(T.normalize(col(textCol)), " ").as("_toks"))
+      // the codegen'd tokens kernel; null text degrades to the empty doc.
+      // _n = real token count: tokens("") is [""], one element, zero tokens
+      // (same zero lengthHistogram/tokenCount report for empty docs).
+      .select(col(idCol), T.tokens(coalesce(col(textCol), lit(""))).as("_toks"))
+      .withColumn("_n",
+        when(size(col("_toks")) === 1 && element_at(col("_toks"), 1) === "", 0)
+          .otherwise(size(col("_toks"))))
       .select(
         col(idCol),
         col("_toks"),
+        col("_n"),
         // chunk i starts at i*stride; stop once a further chunk would add
         // no tokens beyond the shared overlap (no fully-redundant tails)
         explode(sequence(lit(0),
           greatest(
-            floor((size(col("_toks")) - overlapTokens - 1) / stride),
+            floor((col("_n") - overlapTokens - 1) / stride),
             lit(0)).cast("int"))).as("chunk_idx"))
       .select(
         col(idCol),
@@ -69,7 +76,7 @@ object Profiling {
           slice(col("_toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)),
           " ").as("chunk_text"),
         least(
-          size(col("_toks")) - col("chunk_idx") * stride,
+          col("_n") - col("chunk_idx") * stride,
           lit(chunkTokens)).cast("long").as("n_tokens"))
   }
 

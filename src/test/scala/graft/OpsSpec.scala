@@ -245,7 +245,8 @@ class OpsSpec extends SparkSpec {
     val docs = Seq(
       (1L, "a b c d e f g h i j"), // 10 tokens
       (2L, "x y"),                 // shorter than one chunk
-      (3L, "")                     // empty
+      (3L, ""),                    // empty
+      (4L, null.asInstanceOf[String]) // null degrades to empty
     ).toDF("doc_id", "text")
     val out = Profiling.chunkByTokens(docs, "doc_id", "text",
       chunkTokens = 4, overlapTokens = 2)
@@ -257,8 +258,10 @@ class OpsSpec extends SparkSpec {
       (1L, 0, "a b c d", 4L), (1L, 1, "c d e f", 4L),
       (1L, 2, "e f g h", 4L), (1L, 3, "g h i j", 4L)))
     assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "x y", 2L)))
-    // empty doc: one empty chunk, the document does not vanish
-    assert(out.filter(_._1 == 3L).map(t => (t._2, t._3)).toSeq == Seq((0, "")))
+    // empty/null docs: one empty ZERO-token chunk — the document does not
+    // vanish, and summing n_tokens agrees with tokenCount/lengthHistogram
+    assert(out.filter(_._1 == 3L).toSeq == Seq((3L, 0, "", 0L)))
+    assert(out.filter(_._1 == 4L).toSeq == Seq((4L, 0, "", 0L)))
   }
 
   test("repetition fractions on hand-checked shingle arrays") {
