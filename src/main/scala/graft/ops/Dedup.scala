@@ -208,7 +208,10 @@ object Dedup {
         .agg(min(col("component")).as("nbMin"))
       // The round carries its own change flag; materialization (the
       // localCheckpoint job) and convergence detection share the work —
-      // the isEmpty probe only scans already-stored blocks.
+      // the probe only scans already-stored blocks. count(), not isEmpty:
+      // isEmpty cancels in-flight tasks on first hit, and the canceled
+      // tasks' accumulator updates then land after cleanup as spurious
+      // "Failed to update accumulator" driver errors.
       val next = labels
         .join(neighborMin, labels("id") === col("id2"), "left")
         .select(
@@ -217,7 +220,7 @@ object Dedup {
           (coalesce(col("nbMin"), col("component")) < col("component")).as("_changed")
         )
         .localCheckpoint()
-      converged = next.filter(col("_changed")).isEmpty
+      converged = next.filter(col("_changed")).count() == 0
       labels = next
       iter += 1
     }
