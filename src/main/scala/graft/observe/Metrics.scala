@@ -66,4 +66,40 @@ object Metrics {
 
   def detach(spark: SparkSession, l: MetricsListener): Unit =
     spark.listenerManager.unregister(l)
+
+  /** Prometheus text exposition of the collected metrics — the
+    * data-plane counters of conveyor-etl-metrics/src/lib.rs:7-32
+    * (records delivered, latency) rendered like prometheus.rs::render.
+    * Labels escape per the exposition format; scrape-ready as-is.
+    */
+  def renderPrometheus(l: MetricsListener): String = {
+    def esc(s: String) =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+    val snap = l.snapshot
+    val byName = snap.groupBy(_.name).toSeq.sortBy(_._1)
+    val sb = new StringBuilder
+    sb.append("# TYPE graft_records_delivered_total counter\n")
+    for ((name, ms) <- byName) {
+      val rows = ms.filter(m => m.success && m.rowsWritten >= 0).map(_.rowsWritten).sum
+      sb.append(s"""graft_records_delivered_total{sink_id="${esc(name)}"} $rows""").append('\n')
+    }
+    sb.append("# TYPE graft_bytes_delivered_total counter\n")
+    for ((name, ms) <- byName) {
+      val bytes = ms.filter(m => m.success && m.bytesWritten >= 0).map(_.bytesWritten).sum
+      sb.append(s"""graft_bytes_delivered_total{sink_id="${esc(name)}"} $bytes""").append('\n')
+    }
+    sb.append("# TYPE graft_queries_total counter\n")
+    for ((name, ms) <- byName; (ok, n) <- ms.groupBy(_.success).view.mapValues(_.size)) {
+      sb.append(s"""graft_queries_total{sink_id="${esc(name)}",success="$ok"} $n""").append('\n')
+    }
+    sb.append("# TYPE graft_query_latency_ms summary\n")
+    for ((name, ms) <- byName) {
+      val durs = ms.filter(m => m.success && m.durationMs >= 0).map(_.durationMs)
+      if (durs.nonEmpty) {
+        sb.append(s"""graft_query_latency_ms_sum{sink_id="${esc(name)}"} ${durs.sum}""").append('\n')
+        sb.append(s"""graft_query_latency_ms_count{sink_id="${esc(name)}"} ${durs.size}""").append('\n')
+      }
+    }
+    sb.result()
+  }
 }

@@ -17,6 +17,15 @@ class MetricsSpec extends SparkSpec {
       assert(writes.nonEmpty, s"metrics seen: ${l.snapshot}")
       assert(writes.last.durationMs >= 0)
       assert(writes.last.bytesWritten > 0, s"bytesWritten: ${writes.last}")
+
+      // prometheus exposition renders the collected counters, scrape-ready
+      val prom = Metrics.renderPrometheus(l)
+      assert(prom.contains("# TYPE graft_records_delivered_total counter"), prom)
+      assert(prom.linesIterator.exists(ln =>
+        ln.startsWith("graft_records_delivered_total{sink_id=") && ln.endsWith(" 2")), prom)
+      assert(prom.contains("graft_query_latency_ms_count"), prom)
+      assert(prom.linesIterator.exists(_.matches(
+        """graft_queries_total\{sink_id=".+",success="true"\} \d+""")), prom)
     } finally Metrics.detach(spark, l)
   }
 }
