@@ -344,6 +344,48 @@ object SparkEntry {
       .orderBy(col("l_event_id"), col("r_event_id"))
   }
 
+  /** As-of join: each purchase picks up the latest prior click of the same
+    * user (AsofJoin — one key-partitioned shuffle+sort, no range
+    * cross-product). The right side is pre-aggregated to unique
+    * (user_id, ts) so the match rule is engine-independent; the oracle is
+    * DuckDB's native ASOF LEFT JOIN — a fully independent implementation
+    * of the same semantics.
+    */
+  private def qJoinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.operators.AsofJoin(
+      purchases, clicks,
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      rightPayload = Seq("click_id"), rightPrefix = "click_")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("click_ts"), col("click_click_id").as("click_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range join: purchases matched to the one-hour attribution window after
+    * each signup of the same user (RangeJoin.pointInInterval — bucketized
+    * equi-join on (user, hour-bucket), never a nested-loop range scan).
+    * Oracle: the plain BETWEEN join DuckDB plans natively (IEJoin).
+    */
+  private def qJoinRange(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val windows = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("lo"), (col("ts") + expr("INTERVAL 1 HOUR")).as("hi"))
+    graft.operators.RangeJoin.pointInInterval(
+      purchases, windows, point = "ts", lo = "lo", hi = "hi",
+      keys = Seq("user_id"), bucketWidth = 3600L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("ts"), col("r_signup_id").as("signup_id"))
+      .orderBy(col("event_id"), col("signup_id"))
+  }
+
   /** Max-duration sessionize: the sequentially-dependent batch path (one
     * shuffle + per-partition streaming scan, Stateful.taggedWithMaxDuration)
     * — oracle-checked against a DuckDB recursive CTE that replays the same
@@ -748,13 +790,14 @@ object SparkEntry {
   private def qMultimodal(s: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal.decodeImages(
       docs(s, dir).withColumn("blob", col("text").cast("binary")), "doc_id", "blob")
-      // features joined to one string cell so the driver's rows-only check
-      // (pandas sort) doesn't choke on an array column.
+      // features joined to one string cell so the driver can hash it; the
+      // stub emits integer-valued floats, so cast to int for a canonical
+      // rendering both engines agree on.
       .select(
         col("id"),
         col("width"),
         col("height"),
-        array_join(transform(col("features"), _.cast("string")), ",").as("features")
+        array_join(transform(col("features"), _.cast("int").cast("string")), ",").as("features")
       )
       .orderBy(col("id"))
 
@@ -914,6 +957,8 @@ object SparkEntry {
     "q_sessionize" -> (qSessionize _),
     "q_sessionize_maxdur" -> (qSessionizeMaxdur _),
     "q_join_inner" -> (qJoinInner _),
+    "q_join_asof" -> (qJoinAsof _),
+    "q_join_range" -> (qJoinRange _),
     "q_join_left" -> (qJoinLeft _),
     "q_join_full" -> (qJoinFull _),
     "q_join_windowed" -> (qJoinWindowed _),
@@ -1152,6 +1197,24 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    "q_join_asof" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts, r.click_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_id
+        |                FROM events WHERE event_type = 'click'
+        |                GROUP BY user_id, ts) r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "q_join_range" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.signup_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') l
+        |JOIN (SELECT event_id AS signup_id, user_id, ts AS lo,
+        |             ts + INTERVAL 1 HOUR AS hi
+        |      FROM events WHERE event_type = 'signup') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.lo AND l.ts <= r.hi
+        |ORDER BY l.event_id, r.signup_id""".stripMargin,
     "q_join_left" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, p_name
         |FROM lineitem LEFT JOIN (
@@ -1508,6 +1571,14 @@ object SparkEntry {
         |  CAST(length(text) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal" ->
+      """SELECT doc_id AS id,
+        |  CAST((('0x'||substr(md5(text),1,8))::BIGINT % 1920) + 1 AS INT) AS width,
+        |  CAST(((('0x'||substr(md5(text),1,8))::BIGINT // 1920) % 1080) + 1 AS INT) AS height,
+        |  array_to_string(list_transform(range(0,8), k ->
+        |    coalesce(list_sum(list_transform(range(1+k, length(text)+1, 8),
+        |                                     i -> ord(substr(text,i,1)))), 0)), ',') AS features
+        |FROM documents ORDER BY id""".stripMargin,
     "q_frames" ->
       """SELECT doc_id AS id, i AS frame_idx,
         |  md5(substring(text, CAST(i * step + 1 AS INT), CAST(step AS INT))) AS frame_hash

@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Temporal joins Spark has no native operator for: as-of (nearest-prior
+  * match) and range/interval joins. The reference's enrichment joins are
+  * key-equality only (conveyor-etl-dsl/src/types.rs:644-678); these two are
+  * the standard extensions a time-series / training-data pipeline needs on
+  * top, built on the two scale-safe shapes Spark does have — a single
+  * key-partitioned sort (as-of) and a bucketized equi-join (range).
+  */
+object AsofJoin {
+
+  /** As-of join: for each left row, attach the right row with the same key
+    * and the greatest `rightTs` <= `leftTs` (direction=backward; ties on
+    * the timestamp include it) or the least `rightTs` >= `leftTs`
+    * (direction=forward).
+    *
+    * Plan shape: both sides are union-tagged into one frame, shuffled ONCE
+    * on the key, and sorted within partitions by (ts, side); a running
+    * `last(right_payload, ignoreNulls)` window then carries each right row
+    * forward to the left rows it matches. Cost is identical to one
+    * sort-merge join — no range cross-product, no per-key driver loop —
+    * so the 1000-executor behavior is the ordinary Exchange+Sort pair.
+    *
+    * Determinism: if several right rows share (key, ts), the one with the
+    * lexicographically greatest payload struct wins under `backward`
+    * (least under `forward`). Pre-aggregate the right side to unique
+    * (key, ts) when a specific rule is required.
+    *
+    * @param rightPayload right columns to carry (besides `rightTs`)
+    * @param toleranceMs  max allowed |leftTs - rightTs| in milliseconds;
+    *                     matches farther away are nulled (left) / dropped
+    *                     (inner). Requires timestamp ts columns.
+    * @param joinType     "left" keeps unmatched left rows with null right
+    *                     columns; "inner" drops them.
+    */
+  def apply(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightPayload: Seq[String],
+      direction: String = "backward",
+      toleranceMs: Option[Long] = None,
+      rightPrefix: String = "r_",
+      joinType: String = "left"
+  ): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got '$direction'")
+    require(joinType == "left" || joinType == "inner",
+      s"joinType must be left|inner, got '$joinType'")
+    require(keys.nonEmpty, "as-of join needs at least one equality key")
+
+    val payload = (rightTs +: rightPayload).distinct
+    val rStruct = struct(col(rightTs).as("__ts") +: rightPayload.map(col): _*)
+    val rType = right.select(rStruct.as("__r")).schema("__r").dataType
+
+    val lSide = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__t"),
+        lit(1).as("__side"),
+        struct(left.columns.map(col): _*).as("__l"),
+        lit(null).cast(rType).as("__r")): _*)
+    val rSide = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__t"),
+        lit(0).as("__side"),
+        lit(null).cast(lSide.schema("__l").dataType).as("__l"),
+        rStruct.as("__r")): _*)
+
+    // Right rows sort before left rows at equal ts (side 0 < 1), so a left
+    // row at exactly rightTs sees that right row — the >= / <= inclusive
+    // asof semantics. The frame is UNBOUNDED PRECEDING..CURRENT ROW, which
+    // Spark evaluates as a running aggregate (O(n) per partition).
+    val ordering =
+      if (direction == "backward") Seq(col("__t").asc, col("__side").asc, col("__r").asc)
+      else Seq(col("__t").desc, col("__side").asc, col("__r").desc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
+    val matched = toleranceMs match {
+      case None => matchedRaw
+      case Some(tol) =>
+        val gap =
+          if (direction == "backward")
+            unix_micros(col("__t")) - unix_micros(matchedRaw.getField("__ts"))
+          else
+            unix_micros(matchedRaw.getField("__ts")) - unix_micros(col("__t"))
+        when(gap <= tol * 1000L, matchedRaw)
+    }
+
+    val joined = lSide.unionByName(rSide)
+      .withColumn("__m", matched)
+      .filter(col("__side") === 1)
+    val kept = if (joinType == "inner") joined.filter(col("__m").isNotNull) else joined
+
+    val leftCols = left.columns.map(c => col(s"__l.`$c`").as(c))
+    val rightCols =
+      col("__m.__ts").as(s"$rightPrefix$rightTs") +:
+        rightPayload.map(c => col(s"__m.`$c`").as(s"$rightPrefix$c"))
+    kept.select(leftCols ++ rightCols: _*)
+  }
+}
+
+/** Range joins via bucketization. Spark plans a bare range predicate as a
+  * broadcast-nested-loop (or worse, a cartesian product) — fine for a tiny
+  * side, lethal at scale. Quantizing the range dimension into fixed-width
+  * buckets turns it into an ordinary shuffle equi-join on
+  * (keys..., bucket) + residual filter: each side shuffles once, candidate
+  * pairs are bounded by bucket co-residency, and AQE handles skewed
+  * buckets like any other hot key.
+  *
+  * Pick `bucketWidth` near the typical interval length: intervals explode
+  * into (hi-lo)/width + 1 bucket rows, points into exactly one.
+  */
+object RangeJoin {
+
+  /** Numeric value of a point/bound column: timestamps become epoch
+    * micros, so interval widths are expressed in micros for ts columns.
+    */
+  private def axis(df: DataFrame, c: String): Column =
+    if (df.schema(c).dataType == TimestampType) unix_micros(col(c))
+    else col(c).cast("long")
+
+  /** Inner join of left points to right intervals: rows where
+    * `lo <= point <= hi` (and the optional equality keys match). A point
+    * lands in exactly one bucket, so each matching pair is emitted exactly
+    * once — no dedup pass. Right columns are prefixed to avoid collisions.
+    */
+  def pointInInterval(
+      left: DataFrame,
+      right: DataFrame,
+      point: String,
+      lo: String,
+      hi: String,
+      keys: Seq[String] = Nil,
+      bucketWidth: Long,
+      rightPrefix: String = "r_"
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val l = left.withColumn("__lb", floor(axis(left, point) / bucketWidth))
+    val r = right
+      .filter(col(lo) <= col(hi))
+      .withColumn("__rb",
+        explode(sequence(floor(axis(right, lo) / bucketWidth), floor(axis(right, hi) / bucketWidth))))
+      .withColumnsRenamed(right.columns.map(c => c -> s"$rightPrefix$c").toMap)
+    val keyCond = keys.map(k => l(k) === r(s"$rightPrefix$k"))
+    val rangeCond =
+      l(point) >= r(s"$rightPrefix$lo") && l(point) <= r(s"$rightPrefix$hi")
+    val cond = (keyCond :+ (l("__lb") === r("__rb")) :+ rangeCond).reduce(_ && _)
+    l.join(r, cond, "inner").drop("__lb", "__rb")
+  }
+
+  /** Left rows with NO containing interval (the complement of
+    * [[pointInInterval]]) — same bucket equi-join, as a left-anti.
+    */
+  def unmatchedPoints(
+      left: DataFrame,
+      right: DataFrame,
+      point: String,
+      lo: String,
+      hi: String,
+      keys: Seq[String] = Nil,
+      bucketWidth: Long
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val l = left.withColumn("__lb", floor(axis(left, point) / bucketWidth))
+    val r = right
+      .filter(col(lo) <= col(hi))
+      .withColumn("__rb",
+        explode(sequence(floor(axis(right, lo) / bucketWidth), floor(axis(right, hi) / bucketWidth))))
+      .select((keys.map(k => col(k).as(s"__k_$k")) :+ col("__rb") :+
+        col(lo).as("__lo") :+ col(hi).as("__hi")): _*)
+    val keyCond = keys.map(k => l(k) === r(s"__k_$k"))
+    val cond = (keyCond :+ (l("__lb") === r("__rb")) :+
+      (l(point) >= r("__lo") && l(point) <= r("__hi"))).reduce(_ && _)
+    l.join(r, cond, "left_anti").drop("__lb")
+  }
+
+  /** Inner join of overlapping intervals: pairs where
+    * `l.lo <= r.hi && r.lo <= l.hi` (and keys match). Both sides explode
+    * into covered buckets; a pair co-resides in every shared bucket, so
+    * duplicates are suppressed by keeping only the canonical bucket —
+    * the bucket of the later interval start (greatest lower bound).
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      leftLo: String,
+      leftHi: String,
+      rightLo: String,
+      rightHi: String,
+      keys: Seq[String] = Nil,
+      bucketWidth: Long,
+      rightPrefix: String = "r_"
+  ): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val l = left.filter(col(leftLo) <= col(leftHi))
+      .withColumn("__lstart", floor(axis(left, leftLo) / bucketWidth))
+      .withColumn("__lb",
+        explode(sequence(col("__lstart"), floor(axis(left, leftHi) / bucketWidth))))
+    val r = right.filter(col(rightLo) <= col(rightHi))
+      .withColumn("__rstart", floor(axis(right, rightLo) / bucketWidth))
+      .withColumn("__rb",
+        explode(sequence(col("__rstart"), floor(axis(right, rightHi) / bucketWidth))))
+      .withColumnsRenamed(right.columns.map(c => c -> s"$rightPrefix$c").toMap)
+    val keyCond = keys.map(k => l(k) === r(s"$rightPrefix$k"))
+    val overlap = l(leftLo) <= r(s"$rightPrefix$rightHi") &&
+      r(s"$rightPrefix$rightLo") <= l(leftHi)
+    // emit once: only in the bucket where the later-starting interval begins
+    val canonical = l("__lb") === greatest(l("__lstart"), r("__rstart"))
+    val cond = (keyCond :+ (l("__lb") === r("__rb")) :+ overlap :+ canonical).reduce(_ && _)
+    l.join(r, cond, "inner").drop("__lstart", "__lb", "__rstart", "__rb")
+  }
+}

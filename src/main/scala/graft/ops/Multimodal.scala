@@ -39,20 +39,29 @@ object Multimodal {
     * binary columns) is the deliverable.
     */
   object StubCodecs {
-    /** Fake "image dimensions" derived from the blob hash. */
+    /** Fake "image dimensions" from the first 32 bits of the blob's md5 —
+      * hash-derived (like the old Arrays.hashCode variant) but expressible
+      * in portable SQL (`('0x'||substr(md5(text),1,8))::BIGINT`), so the
+      * decode path is oracle-checkable end-to-end, not just rows-only.
+      */
     def imageDims(blob: Array[Byte]): (Int, Int) = {
-      val h = java.util.Arrays.hashCode(blob)
-      (math.abs(h % 1920) + 1, math.abs((h / 1920) % 1080) + 1)
+      val d = java.security.MessageDigest.getInstance("MD5").digest(blob)
+      // first 4 digest bytes as an unsigned 32-bit value
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      ((h % 1920 + 1).toInt, (h / 1920 % 1080 + 1).toInt)
     }
     /** Fake frame sample: first `n` bytes per "frame". */
     def frameSample(blob: Array[Byte], n: Int): Array[Array[Byte]] =
       blob.grouped(math.max(blob.length / math.max(n, 1), 1)).take(n).toArray
-    /** Fake feature vector: 8 floats from rolling byte sums. */
+    /** Fake feature vector: 8 rolling byte-bucket sums. Integer-valued
+      * floats (exact to 2^24) so the oracle compare never sees float
+      * formatting or accumulation-order drift.
+      */
     def features(blob: Array[Byte]): Array[Float] = {
-      val out = new Array[Float](8)
+      val sums = new Array[Int](8)
       var i = 0
-      while (i < blob.length) { out(i % 8) += (blob(i) & 0xff) / 255.0f; i += 1 }
-      out
+      while (i < blob.length) { sums(i % 8) += (blob(i) & 0xff); i += 1 }
+      sums.map(_.toFloat)
     }
     /** Fake resize: deterministic w*h/64-byte downsample of the blob. */
     def resize(blob: Array[Byte], w: Int, h: Int): Array[Byte] = {

@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{AsofJoin, RangeJoin}
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val trades = Seq(
+    (1L, "A", ts("2024-01-01 00:00:10")),
+    (2L, "A", ts("2024-01-01 00:01:00")),
+    (3L, "B", ts("2024-01-01 00:00:30")),
+    (4L, "C", ts("2024-01-01 00:00:30")) // no quotes for C
+  ).toDF("trade_id", "sym", "ts")
+
+  private lazy val quotes = Seq(
+    ("A", ts("2024-01-01 00:00:00"), 1.0),
+    ("A", ts("2024-01-01 00:00:10"), 2.0), // exactly at trade 1's ts
+    ("A", ts("2024-01-01 00:00:50"), 3.0),
+    ("B", ts("2024-01-01 00:01:00"), 4.0) // after B's trade
+  ).toDF("sym", "ts", "px")
+
+  test("asof backward matches latest quote at-or-before, left keeps unmatched") {
+    val out = AsofJoin(trades, quotes, keys = Seq("sym"),
+      leftTs = "ts", rightTs = "ts", rightPayload = Seq("px"))
+      .orderBy("trade_id")
+    val rows = out.select("trade_id", "r_px").as[(Long, Option[Double])].collect()
+    // trade 1 at :10 sees the :10 quote (inclusive), not the :00 one
+    assert(rows.toSeq == Seq((1L, Some(2.0)), (2L, Some(3.0)), (3L, None), (4L, None)))
+  }
+
+  test("asof forward matches earliest quote at-or-after; inner drops unmatched") {
+    val out = AsofJoin(trades, quotes, keys = Seq("sym"),
+      leftTs = "ts", rightTs = "ts", rightPayload = Seq("px"),
+      direction = "forward", joinType = "inner")
+      .orderBy("trade_id")
+    val rows = out.select("trade_id", "r_px").as[(Long, Double)].collect()
+    // trade 2 at 01:00 has no A quote at-or-after it — dropped by inner
+    assert(rows.toSeq == Seq((1L, 2.0), (3L, 4.0)))
+  }
+
+  test("asof tolerance nulls matches farther than the bound") {
+    val out = AsofJoin(trades, quotes, keys = Seq("sym"),
+      leftTs = "ts", rightTs = "ts", rightPayload = Seq("px"),
+      toleranceMs = Some(5000L))
+      .orderBy("trade_id")
+    val rows = out.select("trade_id", "r_px").as[(Long, Option[Double])].collect()
+    // trade 2 at 01:00 is 10s past the :50 quote — outside the 5s tolerance
+    assert(rows.toSeq == Seq((1L, Some(2.0)), (2L, None), (3L, None), (4L, None)))
+  }
+
+  test("asof right-tie rule: greatest payload struct wins backward") {
+    val dupQuotes = Seq(
+      ("A", ts("2024-01-01 00:00:00"), 1.0),
+      ("A", ts("2024-01-01 00:00:00"), 9.0)
+    ).toDF("sym", "ts", "px")
+    val out = AsofJoin(trades.filter($"trade_id" === 1), dupQuotes,
+      keys = Seq("sym"), leftTs = "ts", rightTs = "ts", rightPayload = Seq("px"))
+    assert(out.select("r_px").as[Double].collect().toSeq == Seq(9.0))
+  }
+
+  test("pointInInterval emits each containing interval exactly once") {
+    val points = Seq((1L, 5L), (2L, 25L), (3L, 95L)).toDF("pid", "x")
+    // interval spanning many buckets (width 10): [0, 60]; plus [20, 30]
+    val ivals = Seq((100L, 0L, 60L), (200L, 20L, 30L)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points, ivals, "x", "lo", "hi",
+      bucketWidth = 10L)
+      .select("pid", "r_iid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 100L), (2L, 100L), (2L, 200L)))
+  }
+
+  test("unmatchedPoints is the exact complement") {
+    val points = Seq((1L, 5L), (2L, 25L), (3L, 95L)).toDF("pid", "x")
+    val ivals = Seq((100L, 0L, 60L), (200L, 20L, 30L)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.unmatchedPoints(points, ivals, "x", "lo", "hi",
+      bucketWidth = 10L)
+    assert(out.select("pid").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("intervalOverlap dedupes pairs sharing many buckets and honors keys") {
+    val l = Seq(("k1", 1L, 0L, 100L), ("k1", 2L, 200L, 210L), ("k2", 3L, 0L, 100L))
+      .toDF("k", "lid", "lo", "hi")
+    val r = Seq(("k1", 10L, 50L, 150L), ("k1", 20L, 190L, 205L), ("k2", 30L, 500L, 600L))
+      .toDF("k", "rid", "lo", "hi")
+    val out = RangeJoin.intervalOverlap(l, r, "lo", "hi", "lo", "hi",
+      keys = Seq("k"), bucketWidth = 10L)
+      .select("lid", "r_rid").as[(Long, Long)].collect().toSeq
+    // (1,10) share buckets 5..10 — must appear once; k2 ranges don't overlap
+    assert(out.sorted == Seq((1L, 10L), (2L, 20L)))
+  }
+
+  test("asof join plans one exchange on the key, no cartesian") {
+    val out = AsofJoin(trades, quotes, keys = Seq("sym"),
+      leftTs = "ts", rightTs = "ts", rightPayload = Seq("px"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("range join plans an equi-join, no nested loop") {
+    val points = Seq((1L, 5L)).toDF("pid", "x")
+    val ivals = Seq((100L, 0L, 60L)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(points, ivals, "x", "lo", "hi", bucketWidth = 10L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+}
