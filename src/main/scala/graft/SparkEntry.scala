@@ -907,6 +907,70 @@ object SparkEntry {
     mainOut.unionByName(dlqOut).orderBy(col("branch"), col("event_id"))
   }
 
+  /** End-to-end STREAMING pipeline with a full oracle (F7/W4/R9-streaming):
+    * events.parquet read as a file stream (epoch-nanos `ts` arrives as
+    * BIGINT, a map step derives the event-time column), watermarked hourly
+    * aggregation, checkpointed run-to-drain parquet sink. Append mode only
+    * emits windows the final watermark (max event time − delay) has closed
+    * — the oracle mirrors that emission rule in SQL, so the watermark
+    * semantics themselves are oracle-checked, not just the arithmetic.
+    */
+  private def qStreamAgg(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qstream").toString
+    val nanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(nanosConf)
+    s.conf.set(nanosConf, "true")
+    try {
+      val yaml =
+        s"""kind: Source
+           |metadata: {name: ev}
+           |spec:
+           |  format: parquet
+           |  path: $dir/events*.parquet
+           |  streaming: true
+           |  schema: "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+           |---
+           |kind: Transform
+           |metadata: {name: to-ts}
+           |spec:
+           |  type: map
+           |  fields:
+           |    - {target: event_type, source: event_type}
+           |    - {target: value, source: value}
+           |    - {target: ets, expr: "timestamp_micros(ts div 1000)"}
+           |---
+           |kind: Transform
+           |metadata: {name: hourly}
+           |spec:
+           |  type: aggregate
+           |  groupBy: [event_type]
+           |  windowSeconds: 3600
+           |  eventTimeField: ets
+           |  watermark: {field: ets, delay: "30 minutes"}
+           |  aggregations:
+           |    - {fn: count, as: n}
+           |    - {fn: sum, field: value, as: sum_value}
+           |---
+           |kind: Sink
+           |metadata: {name: out}
+           |spec: {format: parquet, path: $tmp/out, checkpoint: $tmp/chk}
+           |---
+           |kind: Pipeline
+           |metadata: {name: p}
+           |spec: {source: ev, steps: [to-ts, hourly], sink: out}
+           |""".stripMargin
+      val p = graft.dsl.Compiler.compile(s, graft.dsl.YamlLoader.load(yaml))("p")
+      graft.dsl.Compiler.write(p)
+      s.read.parquet(s"$tmp/out")
+        .select(unix_seconds(col("window_start")).as("ws"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("ws"), col("event_type"))
+    } finally prev match {
+      case Some(v) => s.conf.set(nanosConf, v)
+      case None    => s.conf.unset(nanosConf)
+    }
+  }
+
   // ==========================================================================
   // Source readers (SURVEY §2.7): round-trip through non-parquet formats
   // ==========================================================================
@@ -994,6 +1058,7 @@ object SparkEntry {
     "q_source_csv" -> (qSourceCsv _),
     "q_source_json" -> (qSourceJson _),
     "q_dsl_pipeline" -> (qDslPipeline _),
+    "q_stream_agg" -> (qStreamAgg _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_sink_roundtrip" -> (qSinkRoundtrip _),
     "q_repetition" -> (qRepetition _),
@@ -1606,6 +1671,14 @@ object SparkEntry {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q_source_json" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q_stream_agg" ->
+      """WITH src AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |     wm AS (SELECT (max(us) // 1000) - 1800000 AS wm_ms FROM src)
+        |SELECT (us // 3600000000) * 3600 AS ws, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        |FROM src GROUP BY 1, 2
+        |HAVING (ws + 3600) * 1000 <= (SELECT wm_ms FROM wm)
+        |ORDER BY ws, event_type""".stripMargin,
     "q_dsl_pipeline" ->
       """WITH tagged AS (
         |  SELECT *, CASE WHEN NOT (value >= 0) THEN 'NEG_VALUE'

@@ -421,6 +421,15 @@ object Compiler {
           c.get("groupBy").map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
         val winSecs = c.get("windowSeconds").map(_.toString.toLong)
         val evtCol = c.getOrElse("eventTimeField", "ts").toString
+        // Transform-level watermark: for event-time columns DERIVED by an
+        // upstream map step (epoch-long ingest, parsed strings), where the
+        // source manifest can't declare one. Applied only on streaming
+        // frames; append-mode emission needs it ahead of the groupBy.
+        val df0 = c.get("watermark").map(_.asInstanceOf[Map[String, Any]]) match {
+          case Some(w) if df.isStreaming =>
+            df.withWatermark(w("field").toString, w("delay").toString)
+          case _ => df
+        }
         if (df.isStreaming && winSecs.isDefined) {
           // streaming: the native windowed agg (incremental state, closed
           // by the source watermark); emit the batch operator's shape
@@ -431,7 +440,7 @@ object Compiler {
             case None     => window(col(evtCol), size)
           }
           val named = aggs.map { case (n, e) => e.as(n) }
-          df.groupBy(w +: groupKeys.map(col): _*)
+          df0.groupBy(w +: groupKeys.map(col): _*)
             .agg(named.head, named.tail: _*)
             .select(
               (col("window.start").as("window_start") +: groupKeys.map(col)) ++
@@ -443,7 +452,7 @@ object Compiler {
             windowSizeSeconds = winSecs,
             slideSeconds = c.get("slideSeconds").map(_.toString.toLong),
             eventTimeCol = evtCol
-          )(df)
+          )(df0)
       case "split" =>
         // Linear-pipeline form: tag each row with its route (first match
         // wins); a downstream filter step or the DAG's conditional edges
@@ -504,6 +513,32 @@ object Compiler {
           excludeFields = c.get("excludeFields")
             .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
         )(df)
+      case "asof_join" =>
+        // nearest-prior (or next) match on a time axis — graft.operators.AsofJoin
+        val rightFrame = tables.getOrElse(c("rightStream").toString,
+          sys.error(s"asof_join right stream not provided: ${c("rightStream")}"))
+        graft.operators.AsofJoin(
+          df, rightFrame,
+          keys = c("keys").asInstanceOf[Seq[Any]].map(_.toString),
+          leftTs = c.getOrElse("leftTimeField", "ts").toString,
+          rightTs = c.getOrElse("rightTimeField", "ts").toString,
+          rightPayload = c("rightFields").asInstanceOf[Seq[Any]].map(_.toString),
+          direction = c.getOrElse("direction", "backward").toString,
+          toleranceMs = c.get("toleranceMs").map(_.toString.toLong),
+          rightPrefix = c.getOrElse("rightPrefix", "r_").toString,
+          joinType = c.getOrElse("joinType", "left").toString)
+      case "range_join" =>
+        // point-in-interval via bucketized equi-join — graft.operators.RangeJoin
+        val rightFrame = tables.getOrElse(c("rightStream").toString,
+          sys.error(s"range_join right stream not provided: ${c("rightStream")}"))
+        graft.operators.RangeJoin.pointInInterval(
+          df, rightFrame,
+          point = c.getOrElse("pointField", "ts").toString,
+          lo = c("loField").toString,
+          hi = c("hiField").toString,
+          keys = c.get("keys").map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Nil),
+          bucketWidth = c("bucketWidth").toString.toLong,
+          rightPrefix = c.getOrElse("rightPrefix", "r_").toString)
       case "lookup" =>
         Lookup(
           tables.getOrElse(c("table").toString, sys.error(s"lookup table not provided: ${c("table")}")),

@@ -300,6 +300,33 @@ class DslSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("event_id", "name"))
   }
 
+  test("asof_join and range_join transforms compile from config") {
+    import graft.dsl.TransformManifest
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val trades = Seq((1L, 10L, ts("2024-01-01 00:10:00")))
+      .toDF("trade_id", "uid", "ts")
+    val quotes = Seq(
+      (10L, ts("2024-01-01 00:05:00"), 1.5),
+      (10L, ts("2024-01-01 00:20:00"), 9.9)
+    ).toDF("uid", "ts", "px")
+    val asof = Compiler.applyTransform(trades,
+      TransformManifest("a", "asof_join", Map[String, Any](
+        "rightStream" -> "quotes", "keys" -> Seq("uid"),
+        "rightFields" -> Seq("px"))),
+      Map("quotes" -> quotes))
+    assert(asof.select("r_px").as[Double].collect().toSeq == Seq(1.5))
+
+    val ivals = Seq((10L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:15:00"), "w1"))
+      .toDF("uid", "lo", "hi", "tag")
+    val ranged = Compiler.applyTransform(trades,
+      TransformManifest("r", "range_join", Map[String, Any](
+        "rightStream" -> "ivals", "keys" -> Seq("uid"),
+        "pointField" -> "ts", "loField" -> "lo", "hiField" -> "hi",
+        "bucketWidth" -> 900000000L)),
+      Map("ivals" -> ivals))
+    assert(ranged.select("r_tag").as[String].collect().toSeq == Seq("w1"))
+  }
+
   test("streaming source configs: file/rate run, kafka fails actionably") {
     import graft.sources._
     val rate = StreamSources.read(spark, Rate(5))
