@@ -631,6 +631,23 @@ object SparkEntry {
       graft.ops.Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5))
       .orderBy(col("id"))
 
+  /** Per-domain cap (C4/RefinedWeb-style): at most 15 docs per source,
+    * keeping the lowest doc_ids — WindowGroupLimit plan, no full sort.
+    */
+  private def qDomainCap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.capPerGroup(docs(s, dir), "source", Seq(col("doc_id")), maxRows = 15)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** Int8 symmetric embedding quantization — row-local, zero-shuffle; the
+    * quantized array is rendered canonically for the hash compare.
+    */
+  private def qEmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.quantizeInt8(emb(s, dir), "embedding")
+      .select(col("vec_id"), col("qscale"),
+        array_join(transform(col("qvec"), _.cast("string")), ",").as("qvec"))
+      .orderBy(col("vec_id"))
+
   private def qNeardupCosine(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", "label", minCosine = 0.4)
       .orderBy(col("id_a"), col("id_b"))
@@ -1046,6 +1063,8 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_sample_hash" -> (qSampleHash _),
+    "q_domain_cap" -> (qDomainCap _),
+    "q_embed_quantize" -> (qEmbedQuantize _),
     "q_quality" -> (qQuality _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
@@ -1596,6 +1615,19 @@ object SparkEntry {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_domain_cap" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15
+        |ORDER BY doc_id""".stripMargin,
+    "q_embed_quantize" ->
+      """SELECT vec_id,
+        |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS qscale,
+        |  CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) > 0
+        |    THEN array_to_string(list_transform(embedding, x ->
+        |      CAST(floor(x::DOUBLE * 127.0 /
+        |        list_max(list_transform(embedding, y -> abs(y::DOUBLE))) + 0.5) AS INT)), ',')
+        |    ELSE array_to_string(list_transform(embedding, x -> 0), ',') END AS qvec
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id,
         |  CASE WHEN b < 4000 THEN 'train'

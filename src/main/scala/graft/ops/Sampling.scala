@@ -76,4 +76,25 @@ object Sampling {
       splitCol: String = "split"
   ): DataFrame =
     df.withColumn(splitCol, splitColumn(groupCol, splits))
+
+  /** Per-group document cap — the per-domain limits web-corpus recipes
+    * apply so one hot domain can't dominate the training mix. Keeps the
+    * first `maxRows` rows per group in `orderBy` order (deterministic:
+    * order on a unique column). `row_number <= k` plans as
+    * WindowGroupLimit — a bounded per-group heap after one shuffle on the
+    * group key, never a full per-group sort, so a domain with 10^9 pages
+    * costs O(k) memory like any other.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      orderBy: Seq[Column],
+      maxRows: Int
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderBy: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxRows)
+      .drop("_rn")
+  }
 }

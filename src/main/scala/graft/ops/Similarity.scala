@@ -184,4 +184,23 @@ object Similarity {
       )
       .filter(col("cosine") >= minCosine)
   }
+
+  /** Symmetric int8 quantization per vector: q_i = round_half_up(x_i * 127
+    * / max|x|), the storage layout ANN indexes ship at scale (4× smaller
+    * exchanges and index blocks than float32; dot products stay int
+    * arithmetic). Pure column expressions — row-local, no shuffle, whole-
+    * stage codegen'd; a zero vector quantizes to zeros. round-half-up is
+    * spelled floor(x + 0.5) so every engine computes the identical IEEE
+    * sequence (round() tie rules differ across engines).
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String, outCol: String = "qvec",
+      scaleCol: String = "qscale"): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    df.withColumn(scaleCol, maxAbs / 127.0)
+      .withColumn(outCol,
+        when(col(scaleCol) > 0.0,
+          transform(col(vecCol),
+            x => floor(x.cast("double") * 127.0 / maxAbs + 0.5).cast("int")))
+          .otherwise(transform(col(vecCol), _ => lit(0))))
+  }
 }

@@ -281,4 +281,27 @@ class OpsSpec extends SparkSpec {
     assert(r(1).getDouble(1) == 0.0 && r(1).getDouble(2) == 0.0)
     assert(r(2).getDouble(1) == 0.0 && r(2).getDouble(2) == 0.333333)
   }
+
+  test("capPerGroup keeps the first k per group and plans as WindowGroupLimit") {
+    val df = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b")
+    ).toDF("doc_id", "source")
+    val capped = Sampling.capPerGroup(df, "source", Seq(col("doc_id")), maxRows = 2)
+    assert(capped.select("doc_id").as[Long].collect().toSeq.sorted == Seq(1L, 2L, 4L, 5L))
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("quantizeInt8: max maps to ±127, zero vector to zeros, scale carried") {
+    val df = Seq(
+      (1L, Seq(0.5f, -1.0f, 0.25f)),
+      (2L, Seq(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "embedding").orderBy("vec_id")
+      .select("vec_id", "qvec", "qscale")
+      .as[(Long, Seq[Int], Double)].collect()
+    assert(q(0)._2 == Seq(64, -127, 32)) // 0.5*127=63.5 rounds half-up to 64
+    assert(q(0)._3 == 1.0 / 127.0)
+    assert(q(1)._2 == Seq(0, 0) && q(1)._3 == 0.0)
+  }
 }
