@@ -386,6 +386,27 @@ object SparkEntry {
       .orderBy(col("event_id"), col("signup_id"))
   }
 
+  /** Interval-overlap join: per-user signup windows [ts, ts+1h] against
+    * error windows [ts, ts+30m] (RangeJoin.intervalOverlap). Exercises the
+    * canonical-bucket dedup rule — a pair co-resides in up to 4 shared
+    * buckets but must be emitted exactly once; the oracle's plain overlap
+    * join has no bucket machinery at all.
+    */
+  private def qJoinOverlap(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("lo"), (col("ts") + expr("INTERVAL 1 HOUR")).as("hi"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("lo"), (col("ts") + expr("INTERVAL 30 MINUTES")).as("hi"))
+    graft.operators.RangeJoin.intervalOverlap(
+      signups, errors, leftLo = "lo", leftHi = "hi", rightLo = "lo", rightHi = "hi",
+      keys = Seq("user_id"), bucketWidth = 1800L * 1000000L)
+      .select(col("signup_id"), col("user_id"), col("r_error_id").as("error_id"))
+      .orderBy(col("signup_id"), col("error_id"))
+  }
+
   /** Max-duration sessionize: the sequentially-dependent batch path (one
     * shuffle + per-partition streaming scan, Stateful.taggedWithMaxDuration)
     * — oracle-checked against a DuckDB recursive CTE that replays the same
@@ -937,6 +958,13 @@ object SparkEntry {
     val nanosConf = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(nanosConf)
     s.conf.set(nanosConf, "true")
+    // Streaming state partitions are fixed at query start from
+    // shuffle.partitions; size them to the STATE volume (#windows x #keys
+    // ~ a few thousand groups), not the core count — every state partition
+    // pays per-micro-batch store/commit overhead regardless of data.
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufConf)
+    s.conf.set(shufConf, "8")
     try {
       val yaml =
         s"""kind: Source
@@ -982,9 +1010,12 @@ object SparkEntry {
         .select(unix_seconds(col("window_start")).as("ws"), col("event_type"),
           col("n"), col("sum_value"))
         .orderBy(col("ws"), col("event_type"))
-    } finally prev match {
-      case Some(v) => s.conf.set(nanosConf, v)
-      case None    => s.conf.unset(nanosConf)
+    } finally {
+      s.conf.set(shufConf, prevShuf)
+      prev match {
+        case Some(v) => s.conf.set(nanosConf, v)
+        case None    => s.conf.unset(nanosConf)
+      }
     }
   }
 
@@ -1040,6 +1071,7 @@ object SparkEntry {
     "q_join_inner" -> (qJoinInner _),
     "q_join_asof" -> (qJoinAsof _),
     "q_join_range" -> (qJoinRange _),
+    "q_join_overlap" -> (qJoinOverlap _),
     "q_join_left" -> (qJoinLeft _),
     "q_join_full" -> (qJoinFull _),
     "q_join_windowed" -> (qJoinWindowed _),
@@ -1299,6 +1331,16 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'signup') r
         |  ON l.user_id = r.user_id AND l.ts >= r.lo AND l.ts <= r.hi
         |ORDER BY l.event_id, r.signup_id""".stripMargin,
+    "q_join_overlap" ->
+      """SELECT l.signup_id, l.user_id, r.error_id
+        |FROM (SELECT event_id AS signup_id, user_id, ts AS lo,
+        |             ts + INTERVAL 1 HOUR AS hi
+        |      FROM events WHERE event_type = 'signup') l
+        |JOIN (SELECT event_id AS error_id, user_id, ts AS lo,
+        |             ts + INTERVAL 30 MINUTE AS hi
+        |      FROM events WHERE event_type = 'error') r
+        |  ON l.user_id = r.user_id AND l.lo <= r.hi AND r.lo <= l.hi
+        |ORDER BY l.signup_id, r.error_id""".stripMargin,
     "q_join_left" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, p_name
         |FROM lineitem LEFT JOIN (
