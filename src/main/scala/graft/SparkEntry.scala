@@ -822,8 +822,12 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
-  /** Distributed stub-decode over binary blobs (mapPartitions path; stub
-    * kernels are JVM-only, so driver records the weaker rows-only check).
+  /** Distributed stub-decode over binary blobs (mapPartitions path). The
+    * md5/byte-sum stub kernels are SQL-expressible, so this is a FULL
+    * oracle row. The oracle iterates characters (`ord(substr(text,i,1))`)
+    * while the kernel iterates UTF-8 bytes — equivalent only for ASCII
+    * corpora (the fixtures are; verified), as q_frames' slice oracle
+    * already assumes.
     */
   private def qMultimodal(s: SparkSession, dir: String): DataFrame =
     graft.ops.Multimodal.decodeImages(
@@ -955,6 +959,15 @@ object SparkEntry {
     */
   private def qStreamAgg(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_qstream").toString
+    // The returned frame reads lazily from tmp/out, so the sink+checkpoint
+    // can only be reclaimed at JVM exit — without this hook every bench/
+    // verify invocation would leak a checkpoint tree in /tmp.
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try
+        java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case _: Throwable => () }))
     val nanosConf = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(nanosConf)
     s.conf.set(nanosConf, "true")

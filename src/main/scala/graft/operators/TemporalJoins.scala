@@ -56,7 +56,6 @@ object AsofJoin {
       s"joinType must be left|inner, got '$joinType'")
     require(keys.nonEmpty, "as-of join needs at least one equality key")
 
-    val payload = (rightTs +: rightPayload).distinct
     val rStruct = struct(col(rightTs).as("__ts") +: rightPayload.map(col): _*)
     val rType = right.select(rStruct.as("__r")).schema("__r").dataType
 
@@ -66,7 +65,11 @@ object AsofJoin {
         lit(1).as("__side"),
         struct(left.columns.map(col): _*).as("__l"),
         lit(null).cast(rType).as("__r")): _*)
-    val rSide = right.select(
+    // NULL-ts rows can never satisfy the asof inequality: a null-ts right
+    // row is dropped (it would otherwise sort to an end of the partition
+    // and be carried to left rows by last(ignoreNulls)); a null-ts left
+    // row gets no match (guard below).
+    val rSide = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__t"),
         lit(0).as("__side"),
@@ -85,7 +88,7 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matchedRaw = last(col("__r"), ignoreNulls = true).over(w)
-    val matched = toleranceMs match {
+    val withTolerance = toleranceMs match {
       case None => matchedRaw
       case Some(tol) =>
         val gap =
@@ -95,6 +98,7 @@ object AsofJoin {
             unix_micros(matchedRaw.getField("__ts")) - unix_micros(col("__t"))
         when(gap <= tol * 1000L, matchedRaw)
     }
+    val matched = when(col("__t").isNotNull, withTolerance)
 
     val joined = lSide.unionByName(rSide)
       .withColumn("__m", matched)

@@ -93,8 +93,8 @@ object Sampling {
   ): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(orderBy: _*)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= maxRows)
-      .drop("_rn")
+    df.withColumn("__cap_rn", row_number().over(w))
+      .filter(col("__cap_rn") <= maxRows)
+      .drop("__cap_rn")
   }
 }

@@ -195,12 +195,18 @@ object Similarity {
     */
   def quantizeInt8(df: DataFrame, vecCol: String, outCol: String = "qvec",
       scaleCol: String = "qscale"): DataFrame = {
-    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
-    df.withColumn(scaleCol, maxAbs / 127.0)
+    // maxAbs goes behind its own projection: referenced from inside the
+    // transform lambda it would be RE-EVALUATED PER ELEMENT (HOF lambda
+    // bodies get no loop-invariant hoisting) — O(d^2) per row.
+    val withMax = df.withColumn("__maxabs",
+      array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+    withMax
+      .withColumn(scaleCol, col("__maxabs") / 127.0)
       .withColumn(outCol,
-        when(col(scaleCol) > 0.0,
+        when(col("__maxabs") > 0.0,
           transform(col(vecCol),
-            x => floor(x.cast("double") * 127.0 / maxAbs + 0.5).cast("int")))
+            x => floor(x.cast("double") * 127.0 / col("__maxabs") + 0.5).cast("int")))
           .otherwise(transform(col(vecCol), _ => lit(0))))
+      .drop("__maxabs")
   }
 }

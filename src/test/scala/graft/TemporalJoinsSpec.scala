@@ -92,6 +92,25 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.sorted == Seq((1L, 10L), (2L, 20L)))
   }
 
+  test("asof ignores null timestamps on both sides") {
+    val nullQuotes = Seq(
+      ("A", Option.empty[Timestamp], 7.7), // can never satisfy the inequality
+      ("A", Some(ts("2024-01-01 00:00:00")), 1.0)
+    ).toDF("sym", "ts", "px")
+    val out = AsofJoin(trades, nullQuotes, keys = Seq("sym"),
+      leftTs = "ts", rightTs = "ts", rightPayload = Seq("px"))
+      .orderBy("trade_id")
+    val rows = out.select("trade_id", "r_px").as[(Long, Option[Double])].collect()
+    assert(rows.toSeq == Seq((1L, Some(1.0)), (2L, Some(1.0)), (3L, None), (4L, None)))
+
+    val nullTrades = Seq((9L, "A", Option.empty[Timestamp]))
+      .toDF("trade_id", "sym", "ts")
+    val out2 = AsofJoin(nullTrades, quotes, keys = Seq("sym"),
+      leftTs = "ts", rightTs = "ts", rightPayload = Seq("px"),
+      direction = "forward")
+    assert(out2.select("r_px").as[Option[Double]].collect().toSeq == Seq(None))
+  }
+
   test("asof join plans one exchange on the key, no cartesian") {
     val out = AsofJoin(trades, quotes, keys = Seq("sym"),
       leftTs = "ts", rightTs = "ts", rightPayload = Seq("px"))
