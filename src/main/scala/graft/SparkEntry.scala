@@ -652,6 +652,17 @@ object SparkEntry {
       graft.ops.Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5))
       .orderBy(col("id"))
 
+  /** Concat-and-chunk sequence packing: global token offsets via the
+    * two-pass distributed prefix sum (driver state O(#partitions)), pack
+    * assignment by integer arithmetic. Oracle = a single SQL window
+    * cumsum — same numbers, no distribution machinery.
+    */
+  private def qPack(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.packSequences(docs(s, dir), "doc_id", "text", capacity = 2048L)
+      .select(col("doc_id"), col("n_tokens"), col("offset").as("tok_offset"),
+        col("pack_id"), col("pos_in_pack"))
+      .orderBy(col("doc_id"))
+
   /** Per-domain cap (C4/RefinedWeb-style): at most 15 docs per source,
     * keeping the lowest doc_ids — WindowGroupLimit plan, no full sort.
     */
@@ -1109,6 +1120,7 @@ object SparkEntry {
     "q_pii_scrub" -> (qPiiScrub _),
     "q_sample_hash" -> (qSampleHash _),
     "q_domain_cap" -> (qDomainCap _),
+    "q_pack" -> (qPack _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_quality" -> (qQuality _),
     "q_token_count" -> (qTokenCount _),
@@ -1670,6 +1682,19 @@ object SparkEntry {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pack" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM d)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cum AS BIGINT) AS tok_offset,
+        |  CAST(cum // 2048 AS BIGINT) AS pack_id,
+        |  CAST(cum % 2048 AS BIGINT) AS pos_in_pack
+        |FROM o ORDER BY doc_id""".stripMargin,
     "q_domain_cap" ->
       """SELECT doc_id, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining: concatenate documents in a
+  * deterministic order and cut the stream at fixed token boundaries
+  * (the standard concat-and-chunk packing). The core primitive is a
+  * DISTRIBUTED PREFIX SUM — each doc's global token offset in the
+  * concatenated stream — computed in two passes:
+  *
+  *   1. range-partition by the order column and materialize ONCE
+  *      (`localCheckpoint` — the sampled range boundaries must be
+  *      identical for both passes);
+  *   2. per-partition totals (one tiny row per partition) come back to
+  *      the driver, exclusive partition offsets go back out as a
+  *      broadcast join; a per-partition running window adds the
+  *      in-partition prefix.
+  *
+  * Driver state is O(#partitions) — a few KB at any corpus size — and
+  * the result is a pure function of (orderCol, weightCol): independent
+  * of the incoming partitioning, so re-running on 100 TB reproduces the
+  * identical packing. No global single-partition window anywhere.
+  */
+object Packing {
+
+  /** Adds `outCol` = exclusive prefix sum of `weightCol` over the total
+    * order given by `orderCol` (strictly: the sum of weights of all rows
+    * with a smaller `orderCol`; ties would make the prefix sum
+    * order-dependent, so order on a unique column).
+    */
+  def withGlobalOffset(
+      df: DataFrame,
+      orderCol: String,
+      weightCol: String,
+      outCol: String = "offset"
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    // Materialize the range partitioning: RangePartitioner samples with a
+    // seed derived from the RDD id, so re-evaluating the plan in pass 2
+    // could draw DIFFERENT partition boundaries than pass 1 saw.
+    val ranged = df
+      .repartitionByRange(nPart, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+
+    val totals = ranged
+      .groupBy(col("__pid"))
+      .agg(sum(col(weightCol).cast("long")).as("__psum"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val pids = totals.keys.toSeq.sorted
+    // (pid, sum of every earlier partition's total) — the exclusive offset
+    val exclusive = pids.zip(pids.scanLeft(0L)((acc, pid) => acc + totals(pid)).init)
+    val offsetsDf = spark.createDataFrame(exclusive).toDF("__pid", "__poff")
+
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(offsetsDf), "__pid")
+      .withColumn(outCol,
+        coalesce(sum(col(weightCol).cast("long")).over(w), lit(0L)) + col("__poff"))
+      .drop("__pid", "__poff")
+  }
+
+  /** Concat-and-chunk packing plan over documents: token counts, global
+    * token offsets, and the pack each document STARTS in (`pack_id` =
+    * offset div capacity) with its position there. A downstream writer
+    * that concatenates docs in `idCol` order and cuts every `capacity`
+    * tokens reproduces exactly this assignment.
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      capacity: Long
+  ): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val counted = docs.withColumn("n_tokens",
+      graft.functions.TextFunctions.tokenCount(col(textCol)))
+    withGlobalOffset(counted, idCol, "n_tokens", outCol = "offset")
+      // `div`, not floor(/): the latter routes a long through double
+      .withColumn("pack_id", expr(s"offset div ${capacity}L"))
+      .withColumn("pos_in_pack", col("offset") % capacity)
+  }
+}

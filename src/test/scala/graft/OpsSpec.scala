@@ -282,6 +282,34 @@ class OpsSpec extends SparkSpec {
     assert(r(2).getDouble(1) == 0.0 && r(2).getDouble(2) == 0.333333)
   }
 
+  test("withGlobalOffset is an exact prefix sum, invariant to input partitioning") {
+    val docs = (1L to 100L).map(i => (i, i % 7 + 1)).toDF("id", "w")
+    val expected = {
+      var acc = 0L
+      (1L to 100L).map { i => val o = acc; acc += i % 7 + 1; (i, o) }.toMap
+    }
+    for (parts <- Seq(1, 5, 64)) {
+      val out = Packing.withGlobalOffset(docs.repartition(parts), "id", "w")
+        .select("id", "offset").as[(Long, Long)].collect().toMap
+      assert(out == expected, s"mismatch at input partitions=$parts")
+    }
+  }
+
+  test("packSequences: packs cut exactly at the capacity boundary") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Packing.packSequences(docs, "doc_id", "text", capacity = 4L)
+      .select("doc_id", "n_tokens", "offset", "pack_id", "pos_in_pack")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, 0L, 0L),   // tokens 0-2 in pack 0
+      (2L, 2L, 3L, 0L, 3L),   // starts at 3, spans into pack 1
+      (3L, 4L, 5L, 1L, 1L),
+      (4L, 0L, 9L, 2L, 1L)    // empty doc: zero tokens, offset carried
+    ))
+  }
+
   test("capPerGroup keeps the first k per group and plans as WindowGroupLimit") {
     val df = Seq(
       (1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b")
