@@ -29,6 +29,40 @@ object SparkEntry {
       .map { case ((a, b), i) => s"($i, $a, $b)" }
       .mkString(", ")
 
+  /** Shared DuckDB CTE chain reproducing the portable minhash-LSH
+    * candidate machinery (nrm -> shingles -> hashes -> signatures ->
+    * bands -> distinct same-band pairs `cand`) — used by the minhash and
+    * edit-distance dedup oracles so both verify the identical band join.
+    */
+  private def lshCandCte: String =
+    s"""WITH nrm AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+      |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM nrm)
+      |), hs AS (
+      |  SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h FROM sh
+      |), coeffs(seed, a, b) AS (
+      |  VALUES $minhashCoeffRows
+      |), mh AS (
+      |  SELECT d.doc_id, c.seed,
+      |    coalesce(min((hs.h % 2147483647 * c.a + c.b) % 2147483647),
+      |             9223372036854775807) AS h
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d
+      |  CROSS JOIN coeffs c
+      |  LEFT JOIN hs ON hs.doc_id = d.doc_id
+      |  GROUP BY 1, 2
+      |), sigs AS (
+      |  SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+      |), banded AS (
+      |  SELECT doc_id, concat(b, ':', md5(array_to_string(sig[4*b+1:4*b+4], ','))) AS band
+      |  FROM sigs CROSS JOIN generate_series(0, 3) t(b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
   /** Flagship pipeline on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. Exercises the core operator chain end-to-end: condition
     * filter → broadcast lookup enrich → sessionize → per-session exact
@@ -647,6 +681,16 @@ object SparkEntry {
     graft.ops.Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Edit-distance near-dup over LSH candidates: same band machinery as
+    * q_dedup_minhash (oracle replays it in SQL), scored with exact
+    * Levenshtein — thresholded on the Spark side (banded DP early-exit),
+    * unbounded in DuckDB (same value when <= maxDist by definition).
+    */
+  private def qDedupEdit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.editDistancePairs(docs(s, dir), "doc_id", "text",
+      n = 3, k = 16, bands = 4, maxDist = 10)
+      .orderBy(col("id_a"), col("id_b"))
+
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.connectedComponents(
       graft.ops.Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5))
@@ -662,6 +706,13 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), col("offset").as("tok_offset"),
         col("pack_id"), col("pos_in_pack"))
       .orderBy(col("doc_id"))
+
+  /** One-pass per-column stats (ingest QA): count/nulls/exact-distinct/
+    * min/max for three numeric columns of events in a single scan.
+    */
+  private def qProfileStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.columnStats(t(s, dir, "events"), Seq("event_id", "user_id", "value"))
+      .orderBy(col("col_name"))
 
   /** Per-domain cap (C4/RefinedWeb-style): at most 15 docs per source,
     * keeping the lowest doc_ids — WindowGroupLimit plan, no full sort.
@@ -1110,6 +1161,7 @@ object SparkEntry {
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_ngram" -> (qDedupNgram _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_edit" -> (qDedupEdit _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_neardup_cosine" -> (qNeardupCosine _),
@@ -1144,6 +1196,7 @@ object SparkEntry {
     "q_split_leakproof" -> (qSplitLeakproof _),
     "q_profile_ngrams" -> (qProfileNgrams _),
     "q_profile_lengths" -> (qProfileLengths _),
+    "q_profile_stats" -> (qProfileStats _),
     "q_chunk" -> (qChunk _)
   )
 
@@ -1460,34 +1513,18 @@ object SparkEntry {
         |  JOIN sizes sa ON id_a = sa.doc_id
         |  JOIN sizes sb ON id_b = sb.doc_id
         |) WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_edit" ->
+      s"""$lshCandCte, scored AS (
+        |  SELECT c.id_a, c.id_b, levenshtein(ta.text, tb.text) AS edit_dist
+        |  FROM cand c
+        |  JOIN documents ta ON c.id_a = ta.doc_id
+        |  JOIN documents tb ON c.id_b = tb.doc_id
+        |)
+        |SELECT id_a, id_b, CAST(edit_dist AS BIGINT) AS edit_dist
+        |FROM scored WHERE edit_dist <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_minhash" ->
-      s"""WITH nrm AS (
-        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
-        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM nrm)
-        |), hs AS (
-        |  SELECT doc_id, CAST(concat('0x', substr(md5(shingle), 1, 8)) AS BIGINT) AS h FROM sh
-        |), coeffs(seed, a, b) AS (
-        |  VALUES $minhashCoeffRows
-        |), mh AS (
-        |  SELECT d.doc_id, c.seed,
-        |    coalesce(min((hs.h % 2147483647 * c.a + c.b) % 2147483647),
-        |             9223372036854775807) AS h
-        |  FROM (SELECT DISTINCT doc_id FROM documents) d
-        |  CROSS JOIN coeffs c
-        |  LEFT JOIN hs ON hs.doc_id = d.doc_id
-        |  GROUP BY 1, 2
-        |), sigs AS (
-        |  SELECT doc_id, list(h ORDER BY seed) AS sig FROM mh GROUP BY doc_id
-        |), banded AS (
-        |  SELECT doc_id, concat(b, ':', md5(array_to_string(sig[4*b+1:4*b+4], ','))) AS band
-        |  FROM sigs CROSS JOIN generate_series(0, 3) t(b)
-        |), cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
-        |), scored AS (
+      s"""$lshCandCte, scored AS (
         |  SELECT c.id_a, c.id_b,
         |    round(sum(CASE WHEN sa.sig[g.i+1] = sb.sig[g.i+1] THEN 1 ELSE 0 END) / 16.0, 6) AS sig_sim
         |  FROM cand c
@@ -1902,6 +1939,26 @@ object SparkEntry {
         |  CAST(o.n_occurrences AS BIGINT) AS n_occurrences
         |FROM occ o JOIN dc d USING (shingle)
         |ORDER BY o.n_occurrences DESC, o.shingle LIMIT 20""".stripMargin,
+    "q_profile_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'event_id' AS col_name, count(event_id) AS n,
+        |    sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |    count(DISTINCT event_id) AS n_distinct,
+        |    CAST(min(event_id) AS DOUBLE) AS min_v, CAST(max(event_id) AS DOUBLE) AS max_v
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'user_id', count(user_id),
+        |    sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT user_id),
+        |    CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'value', count(value),
+        |    sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |    count(DISTINCT value),
+        |    CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+        |  FROM events
+        |) ORDER BY col_name""".stripMargin,
     "q_profile_lengths" ->
       """WITH tc AS (
         |  SELECT CASE WHEN length(trim(text)) = 0 THEN 0

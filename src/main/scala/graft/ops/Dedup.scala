@@ -123,6 +123,32 @@ object Dedup {
       .select(col(idCol).as("doc"), T.wordShingleHashes(col(textCol), n).as("hs"))
       .select(col("doc"), H.minhashFromHashes(col("hs"), k).as("sig"))
 
+  /** LSH candidate generation shared by the minhash and edit-distance
+    * near-dup paths: signatures (checkpointed — referenced by banding and
+    * rescoring) plus distinct same-band id pairs.
+    */
+  private def lshCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      bands: Int
+  ): (DataFrame, DataFrame) = {
+    val rows = k / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k).localCheckpoint(false)
+    val banded = sigs.select(
+      col("doc"),
+      explode(H.lshBandKeys(col("sig"), bands, rows)).as("band")
+    )
+    val candidates = banded
+      .as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+    (sigs, candidates)
+  }
+
   /** MinHash + LSH near-dup pairs: band-bucket join for candidates, then
     * signature agreement (fraction of equal minhash components — an unbiased
     * Jaccard estimate) as the similarity. The band join shuffles on band
@@ -137,17 +163,7 @@ object Dedup {
       bands: Int,
       minSim: Double
   ): DataFrame = {
-    val rows = k / bands
-    val sigs = minhashSignatures(docs, idCol, textCol, n, k).localCheckpoint(false)
-    val banded = sigs.select(
-      col("doc"),
-      explode(H.lshBandKeys(col("sig"), bands, rows)).as("band")
-    )
-    val candidates = banded
-      .as("a")
-      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .distinct()
+    val (sigs, candidates) = lshCandidates(docs, idCol, textCol, n, k, bands)
     candidates
       .join(sigs.as("sa"), col("id_a") === col("sa.doc"))
       .join(sigs.as("sb"), col("id_b") === col("sb.doc"))
@@ -175,6 +191,35 @@ object Dedup {
     * 100 TB do not accumulate a 20-deep plan. Returns (id, component) with
     * component = min id in the cluster.
     */
+  /** Edit-distance near-dup pairs: LSH band candidates (never all-pairs),
+    * then exact Levenshtein — with two bounds so the O(len·maxDist) kernel
+    * only runs where it can match: a length-difference prefilter
+    * (|len_a − len_b| is a true lower bound on edit distance, pure column
+    * arithmetic) and Spark's THRESHOLDED levenshtein, which early-exits
+    * at maxDist (banded DP, O(len·maxDist)) instead of filling the full
+    * O(len²) matrix. Returns (id_a, id_b, edit_dist), id_a < id_b.
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      bands: Int,
+      maxDist: Int
+  ): DataFrame = {
+    val (_, candidates) = lshCandidates(docs, idCol, textCol, n, k, bands)
+    val texts = docs.select(col(idCol).as("doc"), col(textCol).as("txt"))
+    candidates
+      .join(texts.as("ta"), col("id_a") === col("ta.doc"))
+      .join(texts.as("tb"), col("id_b") === col("tb.doc"))
+      .filter(abs(length(col("ta.txt")) - length(col("tb.txt"))) <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("ta.txt"), col("tb.txt"), maxDist).cast("long"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // Eager localCheckpoint (not cache): materializes in ONE job and hard-
     // truncates lineage, so round N's plan is a join over round N-1's stored

@@ -102,4 +102,31 @@ object Profiling {
         max(col("_tc")).as("max_tokens"))
       .orderBy(col("bucket"))
   }
+
+  /** Per-column dataset statistics (ingest QA / drift checks): non-null
+    * count, null count, exact distinct count, min, max for each requested
+    * NUMERIC column — ONE pass over the data, one row out per column.
+    * Multiple exact countDistincts compile to a single Expand-based
+    * aggregate (input rows × #cols in the map stage, still one scan and
+    * one shuffle of pre-aggregated state). min/max are emitted as double
+    * (exact for integers < 2^53); swap countDistinct for
+    * approx_count_distinct at extreme cardinalities.
+    */
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnStats needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', `${c}__n`, coalesce(`${c}__nulls`, 0L), `${c}__nd`, `${c}__min`, `${c}__max`")
+      .mkString(", ")
+    one.select(expr(
+      s"stack(${cols.size}, $stacked) AS (col_name, n, n_null, n_distinct, min_v, max_v)"))
+  }
 }

@@ -120,6 +120,31 @@ class OpsSpec extends SparkSpec {
     assert(r.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("editDistancePairs finds LSH-candidate pairs within maxDist only") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy cat today"), // dist 3 from 1
+      (3L, "the quick brown fox jumps over the lazy dog today and tomorrow and next week entirely"),
+      (4L, "completely unrelated text with no shared shingles at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text",
+      n = 3, k = 16, bands = 4, maxDist = 5)
+      .select("id_a", "id_b", "edit_dist").as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 3L))) // 3 is a candidate but beyond maxDist
+  }
+
+  test("columnStats: one row per column with exact counts and bounds") {
+    val df = Seq(
+      (Some(1L), Some(2.0)), (Some(1L), None), (Some(3L), Some(-1.5))
+    ).toDF("k", "v")
+    val out = Profiling.columnStats(df, Seq("k", "v"))
+      .as[(String, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("k", 3L, 0L, 2L, Some(1.0), Some(3.0)),
+      ("v", 2L, 1L, 2L, Some(-1.5), Some(2.0))))
+  }
+
   test("minhash coefficients are deterministic and in range") {
     val c1 = H.minhashCoeffs(16)
     val c2 = H.minhashCoeffs(16)
