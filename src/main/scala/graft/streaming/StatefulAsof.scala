@@ -1,0 +1,117 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One as-of match, emitted exactly once when the watermark passes the
+  * left event's timestamp (no earlier match can still arrive).
+  */
+final case class AsofMatched(
+    key: String,
+    left_ts: Timestamp,
+    left_payload: String,
+    right_ts: Option[Timestamp],
+    right_payload: Option[String]
+)
+
+/** Streaming as-of join (backward: latest right at-or-before each left
+  * event) via `flatMapGroupsWithState` — the real-time form of
+  * `graft.operators.AsofJoin`. Spark's stream-stream joins need a
+  * two-sided time-bound predicate and re-emit on every in-window match;
+  * as-of wants exactly ONE result per left event, decided when the
+  * watermark guarantees no earlier-timestamped right can still arrive.
+  *
+  * State per key is bounded by the out-of-order horizon: left events wait
+  * only until the watermark passes their timestamp; right events at or
+  * below the watermark collapse to the single floor candidate (the
+  * latest of them — the only one any future left can still match).
+  *
+  * Payloads travel as strings — pack structured columns with
+  * `to_json(struct(...))` on the way in and `from_json` on the way out.
+  */
+object StatefulAsof {
+
+  // (rights sorted by ts asc, pending lefts) — all ts in epoch millis
+  final case class AsofState(
+      rights: List[(Long, String)],
+      lefts: List[(Long, String)]
+  )
+
+  /** Match + prune one key's state against watermark `wm`; pure, unit-testable.
+    * Returns (emitted matches, next state).
+    */
+  private[graft] def advance(
+      st: AsofState,
+      wm: Long
+  ): (List[(Long, String, Option[(Long, String)])], AsofState) = {
+    val rightsSorted = st.rights.sortBy(r => (r._1, r._2))
+    val (ripeLefts, pendingLefts) = st.lefts.partition(_._1 <= wm)
+    val emitted = ripeLefts.sortBy(l => (l._1, l._2)).map { case (lts, lp) =>
+      val m = rightsSorted.takeWhile(_._1 <= lts).lastOption
+      (lts, lp, m)
+    }
+    // rights at/below the watermark collapse to the floor candidate
+    val (below, above) = rightsSorted.partition(_._1 <= wm)
+    val keptRights = below.lastOption.toList ::: above
+    (emitted, AsofState(keptRights, pendingLefts))
+  }
+
+  /** @param left  streaming frame: (keyCol, tsCol, payloadCol)
+    * @param right streaming frame with the same three column names
+    * @param delay watermark delay for BOTH sides (e.g. "10 minutes")
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      payloadCol: String,
+      delay: String
+  ): Dataset[AsofMatched] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.select(
+        col(keyCol).cast("string").as("k"),
+        col(tsCol).as("ts"),
+        lit(tag).as("side"),
+        col(payloadCol).cast("string").as("payload"))
+
+    // One union + one watermark: both sides share the event-time column, so
+    // a single combined watermark governs emission (the min-combine W1
+    // semantics fall out of Spark's multi-source watermark tracking).
+    val tagged = side(left, 1).unionByName(side(right, 0))
+      .withWatermark("ts", delay)
+      .as[(String, Timestamp, Int, String)]
+
+    tagged
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofMatched](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, events: Iterator[(String, Timestamp, Int, String)],
+         state: GroupState[AsofState]) =>
+          val st0 = state.getOption.getOrElse(AsofState(Nil, Nil))
+          val st1 = events.foldLeft(st0) { case (st, (_, ts, side, payload)) =>
+            if (side == 0) st.copy(rights = (ts.getTime, payload) :: st.rights)
+            else st.copy(lefts = (ts.getTime, payload) :: st.lefts)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (emitted, st2) = advance(st1, wm)
+          if (st2.lefts.isEmpty && st2.rights.isEmpty) state.remove()
+          else {
+            state.update(st2)
+            // wake when the watermark can release the oldest pending left
+            st2.lefts.map(_._1).minOption.foreach { t =>
+              if (t > wm) state.setTimeoutTimestamp(t)
+            }
+          }
+          emitted.iterator.map { case (lts, lp, m) =>
+            AsofMatched(key, new Timestamp(lts), lp,
+              m.map(r => new Timestamp(r._1)), m.map(_._2))
+          }
+      }
+  }
+}

@@ -57,6 +57,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming asof matches latest prior right, exactly once, on watermark pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val lefts = MemoryStream[(String, Timestamp, String)]
+    val rights = MemoryStream[(String, Timestamp, String)]
+    val joined = graft.streaming.StatefulAsof.asofJoin(
+      lefts.toDF().toDF("k", "ts", "p"), rights.toDF().toDF("k", "ts", "p"),
+      keyCol = "k", tsCol = "ts", payloadCol = "p", delay = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      // out-of-order: the right at 00:02 arrives AFTER the left at 00:03
+      rights.addData(("a", ts("2024-01-01 00:00:00"), "r0"))
+      lefts.addData(("a", ts("2024-01-01 00:03:00"), "l1"))
+      q.processAllAvailable()
+      rights.addData(("a", ts("2024-01-01 00:02:00"), "r2"))
+      q.processAllAvailable()
+      assert(spark.table("asof_out").isEmpty) // watermark hasn't passed 00:03 yet
+      // the GLOBAL watermark min-combines both sources — advance both past
+      // 00:08 so l1 releases, matched to r2 (not the later r30)
+      rights.addData(("a", ts("2024-01-01 00:30:00"), "r30"))
+      lefts.addData(("a", ts("2024-01-01 00:30:00"), "lsent"))
+      q.processAllAvailable()
+      q.processAllAvailable() // extra batch so the timeout fires post-watermark
+      val out = spark.table("asof_out")
+        .select("key", "left_payload", "right_payload")
+        .as[(String, String, Option[String])].collect().toSet
+      assert(out == Set(("a", "l1", Some("r2"))))
+      // unmatched key: left with no rights, above the current watermark
+      // (00:25) — a sub-watermark event would be DROPPED as late data by
+      // FlatMapGroupsWithStateExec before reaching the state function
+      lefts.addData(("b", ts("2024-01-01 00:40:00"), "lb"))
+      q.processAllAvailable()
+      // advance both sources to 01:00 (wm 00:55): releases lsent (00:30)
+      // -> r30, and lb (00:40) -> None (no rights for key b)
+      rights.addData(("a", ts("2024-01-01 01:00:00"), "r60"))
+      lefts.addData(("a", ts("2024-01-01 01:00:00"), "l60")) // stays pending
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val out2 = spark.table("asof_out")
+        .select("key", "left_payload", "right_payload")
+        .as[(String, String, Option[String])].collect().toSet
+      assert(out2 == Set(
+        ("a", "l1", Some("r2")),
+        ("a", "lsent", Some("r30")),
+        ("b", "lb", None)))
+    } finally q.stop()
+  }
+
+  test("advance prunes rights below the watermark to the floor candidate") {
+    import graft.streaming.StatefulAsof
+    val st = StatefulAsof.AsofState(
+      rights = List((100L, "r1"), (200L, "r2"), (300L, "r3")),
+      lefts = List((250L, "l1"), (500L, "l2")))
+    val (emitted, next) = StatefulAsof.advance(st, wm = 400L)
+    assert(emitted == List((250L, "l1", Some((200L, "r2")))))
+    // r1 pruned; r3 kept (above floor r2..wait r3=300 <= 400 so floor is r3)
+    assert(next.rights == List((300L, "r3")))
+    assert(next.lefts == List((500L, "l2")))
+  }
+
   test("streaming fan-in min-combines watermarks and unions schemas") {
     implicit val sqlCtx = spark.sqlContext
     val s1 = MemoryStream[(Long, Timestamp)]
