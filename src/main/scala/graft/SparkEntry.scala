@@ -779,6 +779,23 @@ object SparkEntry {
       .select(col("event_id"), col("event_type"))
       .orderBy(col("event_id"))
 
+  /** Deterministic global shuffle: reproducible training order via the
+    * distributed prefix sum (no global-window row_number).
+    */
+  private def qShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.deterministicShuffle(docs(s, dir), "doc_id", salt = "42")
+      .select(col("doc_id"), col("pos"))
+      .orderBy(col("doc_id"))
+
+  /** Temperature mixture (alpha=0.5) over event types: rare types kept at
+    * a higher rate, dominant ones flattened, targeting ~2000 rows.
+    */
+  private def qMixture(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.byTemperature(
+      t(s, dir, "events"), "event_id", "event_type", targetRows = 2000)
+      .select(col("event_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
   /** Leak-proof splits: assignment by exact-dup fingerprint, so identical
     * documents can never straddle train and validation.
     */
@@ -1193,6 +1210,8 @@ object SparkEntry {
     "q_decontaminate" -> (qDecontaminate _),
     "q_dedup_lines" -> (qDedupLines _),
     "q_sample_stratified" -> (qSampleStratified _),
+    "q_shuffle" -> (qShuffle _),
+    "q_mixture" -> (qMixture _),
     "q_split_leakproof" -> (qSplitLeakproof _),
     "q_profile_ngrams" -> (qProfileNgrams _),
     "q_profile_lengths" -> (qProfileLengths _),
@@ -1908,6 +1927,21 @@ object SparkEntry {
         |    CASE event_type WHEN 'purchase' THEN 10000 WHEN 'view' THEN 1000 ELSE 3000 END AS r
         |  FROM events
         |) WHERE b < r ORDER BY event_id""".stripMargin,
+    "q_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5('42' || CAST(doc_id AS VARCHAR))) - 1 AS BIGINT) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mixture" ->
+      """WITH c AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+        |s AS (SELECT event_type, cnt, CAST(sqrt(CAST(cnt AS DOUBLE)) AS DECIMAL(28,12)) AS sd FROM c),
+        |d AS (SELECT CAST(sum(sd) AS DOUBLE) AS denom FROM s),
+        |r AS (SELECT event_type, least(1.0, (2000.0 * (CAST(sd AS DOUBLE) / denom)) / CAST(cnt AS DOUBLE)) AS rate
+        |      FROM s CROSS JOIN d)
+        |SELECT e.event_id, e.event_type
+        |FROM events e JOIN r USING (event_type)
+        |WHERE CAST(CAST(concat('0x', substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS DOUBLE)
+        |      < r.rate * 10000.0
+        |ORDER BY e.event_id""".stripMargin,
     "q_split_leakproof" ->
       """SELECT doc_id, fp,
         |  CASE WHEN b < 8000 THEN 'train'

@@ -97,4 +97,67 @@ object Sampling {
       .filter(col("__cap_rn") <= maxRows)
       .drop("__cap_rn")
   }
+
+  /** Deterministic global shuffle — the reproducible training order.
+    * Every row gets a dense position 0..n-1 in the order of
+    * md5(salt || id): re-running on the same corpus (any partitioning,
+    * any cluster size) yields the identical permutation, and changing
+    * `salt` draws a fresh one. The 128-bit hex key is collision-free in
+    * practice, so the order is total without a tiebreak.
+    *
+    * Positions come from [[Packing.withGlobalOffset]]'s distributed
+    * prefix sum (range partition + per-partition counts + broadcast
+    * offsets) — NOT a row_number over a global window, which would pull
+    * the whole corpus through one task.
+    */
+  def deterministicShuffle(
+      df: DataFrame,
+      idCol: String,
+      salt: String,
+      posCol: String = "pos"
+  ): DataFrame =
+    Packing.withGlobalOffset(
+      df.withColumn("__shuffle_key",
+        md5(concat(lit(salt), col(idCol).cast("string"))))
+        .withColumn("__one", lit(1L)),
+      orderCol = "__shuffle_key", weightCol = "__one", outCol = posCol)
+      .drop("__shuffle_key", "__one")
+
+  /** Temperature-scaled mixture sampling (alpha = 0.5): domain d is kept
+    * at rate min(1, T·w_d/cnt_d) where w_d = sqrt(cnt_d)/Σ_e sqrt(cnt_e)
+    * — the multinomial temperature trick that up-weights rare domains and
+    * flattens dominant ones, targeting ~T total rows. Membership is the
+    * same hash-bucket predicate as [[byHash]]: a pure function of the id,
+    * reproducible at any scale.
+    *
+    * Exactness: sqrt is IEEE-exact, and the cross-domain denominator is
+    * summed in DECIMAL(28,12) so it is independent of aggregation order —
+    * the whole rate expression is then bit-identical to an engine that
+    * spells the same tree (the oracle does). Plan shape: one tiny
+    * groupBy(stratum) count, rates broadcast-joined back, then a
+    * row-local filter — no wide shuffle of the data itself.
+    */
+  def byTemperature(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      targetRows: Long
+  ): DataFrame = {
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__sd",
+        sqrt(col("__cnt").cast("double")).cast("decimal(28,12)"))
+    val denom = counts
+      .agg(sum(col("__sd")).cast("double").as("__denom"))
+    val rates = counts
+      .crossJoin(broadcast(denom))
+      .withColumn("__rate",
+        least(lit(1.0),
+          (lit(targetRows.toDouble) * (col("__sd").cast("double") / col("__denom"))) /
+            col("__cnt").cast("double")))
+      .select(col(stratumCol), col("__rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(bucket(col(idCol)).cast("double") < col("__rate") * 10000.0)
+      .drop("__rate")
+  }
 }

@@ -345,6 +345,33 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
 
+  test("deterministicShuffle: a dense permutation, stable across partitionings and salts") {
+    val docs = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = Sampling.deterministicShuffle(docs, "doc_id", salt = "s1")
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(a.values.toSeq.sorted == (0L until 200L)) // dense 0..n-1
+    val b = Sampling.deterministicShuffle(docs.repartition(13), "doc_id", salt = "s1")
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(a == b) // invariant to input partitioning
+    val c = Sampling.deterministicShuffle(docs, "doc_id", salt = "s2")
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(a != c) // a different salt draws a different permutation
+  }
+
+  test("byTemperature: flattens the mix toward rare strata, deterministic, rate<=1") {
+    // 900 'big' vs 100 'small': alpha=0.5 weights sqrt(900):sqrt(100)=3:1,
+    // so target 400 gives rates big=min(1,300/900)=1/3, small=min(1,100/100)=1
+    val df = (1L to 1000L).map(i => (i, if (i <= 900) "big" else "small"))
+      .toDF("id", "stratum")
+    val kept = Sampling.byTemperature(df, "id", "stratum", targetRows = 400)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 100L)                     // rare stratum kept whole
+    assert(kept("big") > 200L && kept("big") < 400L)  // ~300 expected, hash noise
+    val again = Sampling.byTemperature(df, "id", "stratum", targetRows = 400)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(kept == again)
+  }
+
   test("quantizeInt8: max maps to ±127, zero vector to zeros, scale carried") {
     val df = Seq(
       (1L, Seq(0.5f, -1.0f, 0.25f)),
