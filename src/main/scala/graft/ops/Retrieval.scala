@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Lexical retrieval over the corpus — BM25 top-k, the standard tool for
+  * benchmark decontamination, eval-set mining and hard-negative mining in
+  * training-data pipelines (the lexical complement of the embedding ANN
+  * family in [[Similarity]]).
+  *
+  * Shape at scale: a classic inverted index expressed relationally. The
+  * corpus is tokenized once into a posting table (doc, term, tf) — one
+  * explode + one groupBy — and retrieval is an equi-join on `term`
+  * between query terms and postings, never a doc×doc comparison. A
+  * document-frequency cap drops stopword-grade terms before the join
+  * (same hot-key defense as Dedup.maxShingleDf), so no term's posting
+  * list can dominate a shuffle partition. Corpus scalars (N, avgdl) ride
+  * a broadcast; the final top-k per query plans as WindowGroupLimit.
+  *
+  * Exactness for the oracle: per-(doc,term) BM25 contributions are
+  * computed in double with a literal-for-literal expression tree, then
+  * cast to DECIMAL(28,12) BEFORE the per-(query,doc) sum — the decimal
+  * sum is independent of aggregation order, and the 12-decimal rounding
+  * swallows any last-ulp `ln` divergence between engines.
+  */
+object Retrieval {
+
+  /** BM25 scores of the top `k` corpus documents per query.
+    *
+    * @param docs    corpus frame
+    * @param queries query frame; a query's terms are its DISTINCT tokens
+    * @param maxDf   terms in more than this many documents are ignored
+    *                (stopword pruning; also bounds join skew)
+    * @return (query_id, doc_id, rank, score) — score rounded to 6 d.p.,
+    *         rank 1..k by (score desc, doc_id); self-hits where
+    *         query_id == doc_id are excluded
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      docIdCol: String,
+      docTextCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxDf: Long = 1000000L
+  ): DataFrame = {
+    // Tokens behind their own projection: `__toks` is referenced by both
+    // size() and explode(); inlining the (non-cheap) tokenizer would
+    // re-run it per reference (Catalyst recompute trap).
+    val toks = docs.select(
+      col(docIdCol).cast("long").as("__did"),
+      T.tokens(col(docTextCol)).as("__toks"))
+    val dls = toks.select(col("__did"), size(col("__toks")).cast("long").as("__dl"))
+    val postings = toks
+      .select(col("__did"), explode(col("__toks")).as("__term"))
+      .groupBy(col("__did"), col("__term"))
+      .agg(count(lit(1)).as("__tf"))
+
+    // Corpus scalars: N over ALL docs (empty ones included) and the mean
+    // doc length — exact (long sum / long count) then one double divide.
+    val stats = dls.agg(
+      count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast("double") / count(lit(1)).cast("double")).as("__avgdl"))
+
+    val termDf = postings
+      .groupBy(col("__term"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+
+    // Per-(doc, term) BM25 contribution; spelled so an oracle writing the
+    // same literals folds to bit-identical doubles, then decimal-rounded.
+    val idf = log(
+      ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5)) + lit(1.0))
+    val sat = (col("__tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("__tf").cast("double") +
+        lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("__dl").cast("double") / col("__avgdl"))))
+    val contrib = postings
+      .join(termDf, "__term")
+      .join(dls, "__did")
+      .crossJoin(broadcast(stats))
+      .select(col("__did"), col("__term"), (idf * sat).cast("decimal(28,12)").as("__c"))
+
+    val queryTerms = queries
+      .select(col(queryIdCol).cast("long").as("__qid"),
+        explode(T.tokens(col(queryTextCol))).as("__term"))
+      .distinct()
+
+    val scores = queryTerms
+      .join(contrib, "__term")
+      .filter(col("__did") =!= col("__qid"))
+      .groupBy(col("__qid"), col("__did"))
+      .agg(sum(col("__c")).as("__score"))
+
+    val w = Window.partitionBy(col("__qid")).orderBy(col("__score").desc, col("__did"))
+    scores
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("__qid").as("query_id"),
+        col("__did").as("doc_id"),
+        col("rank"),
+        round(col("__score").cast("double"), 6).as("score"))
+  }
+}
