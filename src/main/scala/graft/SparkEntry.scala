@@ -820,6 +820,20 @@ object SparkEntry {
       chunkTokens = 40, overlapTokens = 10)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** BM25 lexical retrieval: every 25th doc plays the query set, top-5
+    * corpus docs per query, stopword-grade terms (df > 100) pruned before
+    * the posting join. The oracle replays the posting join and the
+    * DECIMAL(28,12)-summed contributions term for term.
+    */
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ops.Retrieval.bm25TopK(
+      d, "doc_id", "text",
+      d.filter(pmod(col("doc_id"), lit(25)) === 0), "doc_id", "text",
+      k = 5, maxDf = 100L)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), TF.langPredict(col("text")).as("pred_lang"))
@@ -1216,7 +1230,8 @@ object SparkEntry {
     "q_profile_ngrams" -> (qProfileNgrams _),
     "q_profile_lengths" -> (qProfileLengths _),
     "q_profile_stats" -> (qProfileStats _),
-    "q_chunk" -> (qChunk _)
+    "q_chunk" -> (qChunk _),
+    "q_bm25" -> (qBm25 _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2021,6 +2036,45 @@ object SparkEntry {
         |FROM (SELECT doc_id, toks, n,
         |        unnest(range(0, greatest((n - 10 - 1) // 30, 0) + 1)) AS i
         |      FROM cnt)
-        |ORDER BY doc_id, chunk_idx""".stripMargin
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_bm25" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), dls AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0 ELSE len(toks) END AS BIGINT) AS dl
+        |  FROM nrm
+        |), post AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM nrm)
+        |  WHERE term <> '' GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dls
+        |), tdf AS (
+        |  SELECT term, count(*) AS df FROM post GROUP BY 1 HAVING count(*) <= 100
+        |), contrib AS (
+        |  SELECT p.doc_id, p.term,
+        |    CAST(
+        |      ln((CAST(s.n - t.df AS DOUBLE) + 0.5) / (CAST(t.df AS DOUBLE) + 0.5) + 1.0) *
+        |      ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |       (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
+        |    AS DECIMAL(28,12)) AS c
+        |  FROM post p JOIN tdf t USING (term) JOIN dls d ON d.doc_id = p.doc_id CROSS JOIN stats s
+        |), qt AS (
+        |  SELECT DISTINCT doc_id AS qid, term
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM nrm WHERE doc_id % 25 = 0)
+        |  WHERE term <> ''
+        |), sc AS (
+        |  SELECT q.qid, c.doc_id AS did, sum(c.c) AS score
+        |  FROM qt q JOIN contrib c USING (term)
+        |  WHERE c.doc_id <> q.qid GROUP BY 1, 2
+        |)
+        |SELECT qid AS query_id, did AS doc_id, rank, round(CAST(score AS DOUBLE), 6) AS score
+        |FROM (
+        |  SELECT qid, did, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
+        |  FROM sc
+        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -384,4 +384,46 @@ class OpsSpec extends SparkSpec {
     assert(q(0)._3 == 1.0 / 127.0)
     assert(q(1)._2 == Seq(0, 0) && q(1)._3 == 0.0)
   }
+
+  test("bm25TopK: hand-checked scores, ranking, self-hit exclusion, df cap") {
+    val corpus = Seq(
+      (1L, "apple banana apple"),            // dl=3
+      (2L, "apple cherry"),                  // dl=2
+      (3L, "banana banana banana cherry"),   // dl=4
+      (4L, "durian")                         // dl=1
+    ).toDF("doc_id", "text")
+    // N=4, avgdl=2.5; df: apple=2, banana=2, cherry=2, durian=1
+    val queries = Seq((100L, "apple cherry")).toDF("doc_id", "text")
+    val r = Retrieval.bm25TopK(corpus, "doc_id", "text", queries, "doc_id", "text", k = 3)
+      .orderBy("rank").collect()
+
+    // Closed-form BM25 written out independently of the implementation:
+    // matched terms as (tf, df) pairs against doc length dl.
+    def bm25(terms: Seq[(Long, Long)], dl: Long): Double = {
+      val n = 4.0; val avgdl = 2.5; val k1 = 1.2; val b = 0.75
+      terms.map { case (tf, df) =>
+        val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        idf * (tf * (k1 + 1.0)) / (tf + k1 * ((1 - b) + b * (dl / avgdl)))
+      }.sum
+    }
+    val expected = Seq(
+      2L -> bm25(Seq((1L, 2L), (1L, 2L)), 2), // apple + cherry, shortest doc
+      1L -> bm25(Seq((2L, 2L)), 3),           // apple tf=2
+      3L -> bm25(Seq((1L, 2L)), 4))           // cherry, longest doc
+    assert(r.map(_.getLong(1)).toSeq == expected.map(_._1))
+    assert(r.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
+    r.zip(expected).foreach { case (row, (_, s)) =>
+      assert(math.abs(row.getDouble(3) - s) < 2e-6, s"doc ${row.getLong(1)}")
+    }
+    // self-hit: a query whose id matches a doc never retrieves that doc
+    val self = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq((2L, "apple cherry")).toDF("doc_id", "text"), "doc_id", "text", k = 3)
+      .collect()
+    assert(self.nonEmpty && !self.exists(_.getLong(1) == 2L))
+    // df cap: maxDf=1 prunes every df=2 term; only 'durian' survives
+    val capped = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq((100L, "apple cherry durian")).toDF("doc_id", "text"), "doc_id", "text",
+      k = 3, maxDf = 1L).collect()
+    assert(capped.map(_.getLong(1)).toSeq == Seq(4L))
+  }
 }
