@@ -27,8 +27,13 @@ object Bench {
       finally {
         // queries are independent; retained working-set caches would steal
         // memory from later queries, and deferred GC debt would land inside
-        // some later query's timing
+        // some later query's timing. clearCache() only drops Dataset caches —
+        // localCheckpoint blocks (iterative/multi-consumer intermediates)
+        // live as persistent RDDs and must be freed explicitly, else one
+        // query's checkpoint debt inflates the next query's measurement
+        // (measured: q_dedup_edit's blocks added ~0.5-3 s to q_dedup_exact).
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
         System.gc()
       }
       (System.nanoTime() - t0) / 1e9
@@ -38,7 +43,9 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     materialize("q_filter")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> materialize(n))
+    // Optional args: benchmark only the named queries (isolation runs).
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

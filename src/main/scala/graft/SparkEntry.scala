@@ -1050,17 +1050,28 @@ object SparkEntry {
     * — the oracle mirrors that emission rule in SQL, so the watermark
     * semantics themselves are oracle-checked, not just the arithmetic.
     */
+  /** Temp trees reclaimed at JVM exit. ONE hook for the whole session —
+    * qStreamAgg can run many times in a long-lived session, and a hook per
+    * invocation would accumulate in the JVM's hook registry.
+    */
+  private object TempReaper {
+    private val paths = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      paths.forEach { tmp =>
+        try
+          java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        catch { case _: Throwable => () }
+      }))
+    def register(path: String): Unit = paths.add(path)
+  }
+
   private def qStreamAgg(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_qstream").toString
     // The returned frame reads lazily from tmp/out, so the sink+checkpoint
-    // can only be reclaimed at JVM exit — without this hook every bench/
-    // verify invocation would leak a checkpoint tree in /tmp.
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try
-        java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      catch { case _: Throwable => () }))
+    // can only be reclaimed at JVM exit.
+    TempReaper.register(tmp)
     val nanosConf = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = s.conf.getOption(nanosConf)
     s.conf.set(nanosConf, "true")

@@ -28,7 +28,17 @@ object Compiler {
         * has no routing validates.
         */
       dlq: Option[DataFrame] = None,
-      dlqSink: Option[SinkManifest] = None
+      dlqSink: Option[SinkManifest] = None,
+      /** Streaming output mode, from the aggregate step's `emit` config
+        * (types.rs:634-641 AggregateEmit): on_window_close → "append"
+        * (default), on_update / periodic → "update".
+        */
+      outputMode: String = "append",
+      /** Processing-time trigger interval for `emit: periodic` (the
+        * reference leaves the period to deployment config; here it is the
+        * aggregate step's `emitInterval`, default "10 seconds").
+        */
+      emitInterval: Option[String] = None
   )
 
   /** Compile every enabled pipeline. `tables` resolves format=table sources
@@ -71,7 +81,24 @@ object Compiler {
         val allDlq = prefixDlq ++ tailDlq
         val dlqFrame = allDlq.reduceOption(_.unionByName(_))
         val dlqSink = p.dlq.flatMap(d => reg.sinks.get(d.sink))
-        p.name -> CompiledPipeline(p.name, frame, sink, prefix, dlqFrame, dlqSink)
+        // AggregateEmit (types.rs:634-641): the LAST aggregate step's emit
+        // mode decides the sink's output mode + trigger.
+        val emit = p.steps.map(transformOf(reg, _))
+          .filter(_.transformType == "aggregate")
+          .flatMap(_.config.get("emit").map(_.toString))
+          .lastOption.getOrElse("on_window_close")
+        val (outMode, interval) = emit match {
+          case "on_window_close" => ("append", None)
+          case "on_update"       => ("update", None)
+          case "periodic" =>
+            ("update", Some(p.steps.map(transformOf(reg, _))
+              .filter(_.transformType == "aggregate")
+              .flatMap(_.config.get("emitInterval").map(_.toString))
+              .lastOption.getOrElse("10 seconds")))
+          case other => sys.error(s"unknown aggregate emit mode: $other")
+        }
+        p.name -> CompiledPipeline(p.name, frame, sink, prefix, dlqFrame, dlqSink,
+          outputMode = outMode, emitInterval = interval)
       }
     }
   }
@@ -239,8 +266,15 @@ object Compiler {
     * trigger).
     */
   def write(p: CompiledPipeline): Unit =
-    if (p.frame.isStreaming) writeStreaming(p).awaitTermination()
-    else {
+    if (p.frame.isStreaming) {
+      // A periodic-emit pipeline is resident (its timer trigger never
+      // drains) — it must be driven via writeStreaming + lifecycle
+      // management, not the CLI's run-to-drain.
+      require(p.emitInterval.isEmpty,
+        s"pipeline '${p.name}' has emit: periodic — start it with " +
+          "writeStreaming() and manage its lifecycle; write() is run-to-drain")
+      writeStreaming(p).awaitTermination()
+    } else {
       val w = p.frame.write.mode(p.sink.mode)
       val pw = if (p.sink.partitionBy.nonEmpty) w.partitionBy(p.sink.partitionBy: _*) else w
       p.sink.format match {
@@ -252,23 +286,43 @@ object Compiler {
       }
     }
 
-  /** Start the streaming query for a streaming-compiled pipeline. */
+  /** Start the streaming query for a streaming-compiled pipeline.
+    *
+    * Output mode and trigger come from the pipeline's aggregate `emit`
+    * config: append + run-to-drain by default; `on_update` switches to
+    * OutputMode.Update (updated windows/keys re-emitted every batch);
+    * `periodic` additionally runs a processing-time trigger. Update-mode
+    * output needs an upsert-capable sink — file formats are append-only,
+    * so dashboards use `memory` (in-container double for the reference's
+    * push/Redis-style sinks) or a foreachBatch writer.
+    */
   def writeStreaming(p: CompiledPipeline): org.apache.spark.sql.streaming.StreamingQuery = {
-    require(p.sink.checkpoint.nonEmpty || p.sink.path.nonEmpty,
+    import org.apache.spark.sql.streaming.Trigger
+    require(p.sink.format == "memory" || p.sink.checkpoint.nonEmpty || p.sink.path.nonEmpty,
       s"streaming sink '${p.sink.name}' needs a checkpoint: location " +
         "(or a path to derive one from)")
     val ckpt =
-      if (p.sink.checkpoint.nonEmpty) p.sink.checkpoint
-      else s"${p.sink.path}/_checkpoint"
-    val w = p.frame.writeStream
-      .format(p.sink.format)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      if (p.sink.checkpoint.nonEmpty) Some(p.sink.checkpoint)
+      else if (p.sink.path.nonEmpty) Some(s"${p.sink.path}/_checkpoint")
+      else None
+    val trigger = p.emitInterval match {
+      case Some(interval) => Trigger.ProcessingTime(interval)
+      case None           => Trigger.AvailableNow()
+    }
+    val w = ckpt.foldLeft(
+      p.frame.writeStream
+        .format(p.sink.format)
+        .outputMode(p.outputMode)
+        .trigger(trigger)) { (b, c) => b.option("checkpointLocation", c) }
     val withHeader = if (p.sink.format == "csv") w.option("header", "true") else w
     val pw =
       if (p.sink.partitionBy.nonEmpty) withHeader.partitionBy(p.sink.partitionBy: _*)
       else withHeader
-    (if (p.sink.format == "noop") pw else pw.option("path", p.sink.path)).start()
+    p.sink.format match {
+      case "noop"   => pw.start()
+      case "memory" => pw.queryName(p.sink.name).start()
+      case _        => pw.option("path", p.sink.path).start()
+    }
   }
 
   // ===========================================================================

@@ -48,7 +48,9 @@ object Packing {
 
     val totals = ranged
       .groupBy(col("__pid"))
-      .agg(sum(col(weightCol).cast("long")).as("__psum"))
+      // coalesce: a partition whose weights are ALL NULL sums to NULL
+      // (sum skips nulls) — treat it as contributing 0 to the stream
+      .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("__psum"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .toMap

@@ -650,4 +650,94 @@ class DslSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(joined == Set((1L, 100L))) // u2/u3 unmatched; click 3 outside window
   }
+
+  test("aggregate emit modes: on_update/periodic map to OutputMode.Update + trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def compileWith(emitLines: String): Compiler.CompiledPipeline = {
+      val ev = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val reg = YamlLoader.load(
+        s"""kind: Source
+           |metadata: {name: ev}
+           |spec: {format: table, path: evt, streaming: true}
+           |---
+           |kind: Transform
+           |metadata: {name: agg}
+           |spec:
+           |  type: aggregate
+           |  groupBy: [user]
+           |  aggregations: [{fn: count, as: n}]
+           |$emitLines
+           |---
+           |kind: Sink
+           |metadata: {name: upd_out}
+           |spec: {format: memory, path: "", checkpoint: ""}
+           |---
+           |kind: Pipeline
+           |metadata: {name: p}
+           |spec: {source: ev, steps: [agg], sink: upd_out}
+           |""".stripMargin)
+      Compiler.compile(spark, reg,
+        tables = Map("evt" -> ev.toDF().toDF("id", "user", "ts")))("p")
+    }
+    // wiring: on_window_close (default) -> append; on_update -> update;
+    // periodic -> update + processing-time interval
+    assert(compileWith("").outputMode == "append")
+    val upd = compileWith("  emit: on_update")
+    assert(upd.outputMode == "update" && upd.emitInterval.isEmpty)
+    val per = compileWith("  emit: periodic\n  emitInterval: 250 milliseconds")
+    assert(per.outputMode == "update" && per.emitInterval.contains("250 milliseconds"))
+    assert(intercept[RuntimeException](compileWith("  emit: sometimes"))
+      .getMessage.contains("emit"))
+    // run-to-drain refuses a resident periodic pipeline
+    assert(intercept[IllegalArgumentException](Compiler.write(per))
+      .getMessage.contains("run-to-drain"))
+  }
+
+  test("aggregate emit: periodic re-emits updated keys every trigger") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val reg = YamlLoader.load(
+      s"""kind: Source
+         |metadata: {name: ev}
+         |spec: {format: table, path: evt, streaming: true}
+         |---
+         |kind: Transform
+         |metadata: {name: agg}
+         |spec:
+         |  type: aggregate
+         |  groupBy: [user]
+         |  aggregations: [{fn: count, as: n}]
+         |  emit: periodic
+         |  emitInterval: 100 milliseconds
+         |---
+         |kind: Sink
+         |metadata: {name: emit_mem}
+         |spec: {format: memory, path: "", checkpoint: ""}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: ev, steps: [agg], sink: emit_mem}
+         |""".stripMargin)
+    val p = Compiler.compile(spark, reg,
+      tables = Map("evt" -> ev.toDF().toDF("id", "user", "ts")))("p")
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    ev.addData((1L, "u1", t("2024-01-01 00:00:00")), (2L, "u2", t("2024-01-01 00:00:05")))
+    val q = Compiler.writeStreaming(p)
+    try {
+      q.processAllAvailable()
+      ev.addData((3L, "u1", t("2024-01-01 00:01:00")), (4L, "u1", t("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("emit_mem").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // u1's running count was re-emitted with its updated value after wave 2;
+    // u2 was untouched by wave 2 and must NOT be re-emitted (update, not
+    // complete, mode)
+    assert(rows.contains(("u1", 1L)) && rows.contains(("u1", 3L)), rows.toString)
+    assert(rows.count(_._1 == "u2") == 1, rows.toString)
+  }
 }

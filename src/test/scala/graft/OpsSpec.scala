@@ -320,6 +320,17 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("withGlobalOffset: null weights count as zero (incl. all-null partitions)") {
+    // Few rows + many partitions forces partitions whose weights are all
+    // NULL (and empty ones) — the per-partition sum must not NPE.
+    val docs = Seq(
+      (1L, Some(3L)), (2L, None), (3L, None), (4L, Some(2L)), (5L, None)
+    ).toDF("id", "w")
+    val out = Packing.withGlobalOffset(docs.repartition(16), "id", "w")
+      .select("id", "offset").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 0L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+  }
+
   test("packSequences: packs cut exactly at the capacity boundary") {
     val docs = Seq(
       (1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "")
