@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN recall harness: recall@k of the approximate similarity paths
+  * (hyperplane LSH, IVF-flat) against [[ops.Similarity.bruteForceTopK]]
+  * ground truth on the embeddings fixture — the number that lets the
+  * approximate paths be TUNED instead of trusted at 100 TB (correctness
+  * oracles prove the buckets are computed as specified; they say nothing
+  * about how much of the true neighborhood a bucketing keeps).
+  *
+  * recall@k = |approx top-k ∩ exact top-k| / |exact top-k|, micro-averaged
+  * over the query set (per-pair match on (q_id, n_id)).
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Recall"
+  * Prints one JSON line per setting + a summary line; results recorded in
+  * RECALL.md.
+  */
+object Recall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = graft.sources.Tables.read(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 100)
+    val k = 10
+    val corpusN = emb.count()
+
+    val truth = ops.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k)
+      .select("q_id", "n_id").cache()
+    val truthN = truth.count()
+
+    def measure(name: String, approx: => DataFrame): (String, Double, Double) = {
+      val t0 = System.nanoTime()
+      val hits = approx.select("q_id", "n_id")
+        .join(truth, Seq("q_id", "n_id"), "left_semi").count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      (name, hits.toDouble / truthN, secs)
+    }
+
+    val settings: Seq[(String, () => DataFrame)] = Seq(
+      "lsh_planes4" -> (() =>
+        ops.Similarity.lshTopK(emb, queries, "vec_id", "embedding", k, planes = 4, dim = 64)),
+      "lsh_planes6" -> (() =>
+        ops.Similarity.lshTopK(emb, queries, "vec_id", "embedding", k, planes = 6, dim = 64)),
+      "lsh_planes8" -> (() =>
+        ops.Similarity.lshTopK(emb, queries, "vec_id", "embedding", k, planes = 8, dim = 64)),
+      "lsh_planes6_tables4" -> (() =>
+        ops.Similarity.lshTopK(emb, queries, "vec_id", "embedding", k, planes = 6, dim = 64,
+          tables = 4)),
+      "lsh_planes6_tables8" -> (() =>
+        ops.Similarity.lshTopK(emb, queries, "vec_id", "embedding", k, planes = 6, dim = 64,
+          tables = 8)),
+      "lsh_planes8_tables8" -> (() =>
+        ops.Similarity.lshTopK(emb, queries, "vec_id", "embedding", k, planes = 8, dim = 64,
+          tables = 8)),
+      "ivf_c64_probe4" -> (() =>
+        ops.Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k, nCells = 64, nProbe = 4)),
+      "ivf_c64_probe8" -> (() =>
+        ops.Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k, nCells = 64, nProbe = 8)),
+      "ivf_c64_probe16" -> (() =>
+        ops.Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k, nCells = 64, nProbe = 16))
+    )
+    val rows = settings.map { case (name, f) => measure(name, f()) }
+    val body = rows.map { case (n, r, s) =>
+      s""""$n":{"recall":${math.round(r * 10000) / 10000.0},"sec":${math.round(s * 100) / 100.0}}"""
+    }.mkString(",")
+    println(s"""{"metric":"recall@$k","corpus":$corpusN,"n_queries":${truthN / k},"settings":{$body},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

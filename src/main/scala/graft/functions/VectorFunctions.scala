@@ -49,8 +49,17 @@ object VectorFunctions {
     * expression as literals, so the per-row work is `planes` dot products of
     * constant vectors — fully codegen'd.
     */
-  def hyperplaneBucket(vec: Column, planes: Int, dim: Int): Column = {
-    val bits = (0 until planes).map { p =>
+  def hyperplaneBucket(vec: Column, planes: Int, dim: Int): Column =
+    hyperplaneBucket(vec, planes, dim, planeOffset = 0)
+
+  /** As above with a plane-index offset — table `t` of a multi-table LSH
+    * index uses planes [t*planes, (t+1)*planes), so every table draws an
+    * independent set of md5-derived hyperplanes. Offset 0 is the
+    * single-table bucket (oracle-replayable as before).
+    */
+  def hyperplaneBucket(vec: Column, planes: Int, dim: Int, planeOffset: Int): Column = {
+    val bits = (0 until planes).map { p0 =>
+      val p = planeOffset + p0
       // One zip_with fold per plane over a literal weight array: the plan
       // stays O(planes) nodes. The naive per-dimension expansion
       // (planes × dim element_at terms) made Catalyst analysis+codegen the
@@ -61,7 +70,9 @@ object VectorFunctions {
         lit(0.0),
         (acc, v) => acc + v
       )
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      // bit position is table-local (p0): every table's bucket id lives in
+      // [0, 2^planes) regardless of its plane offset
+      when(proj >= 0, shiftleft(lit(1L), p0)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }

@@ -63,7 +63,16 @@ object Similarity {
 
   /** Approximate top-k: candidates restricted to the query's hyperplane
     * bucket (shuffle on bucket id, local ranking within). Recall < 1 by
-    * design; multi-probe = union over neighboring buckets if needed.
+    * design and tunes with `tables`: each extra table hashes with an
+    * INDEPENDENT set of hyperplanes and the candidate set is the union
+    * over tables (the standard L-tables LSH design) — a near neighbor is
+    * missed only if it lands in a different bucket in EVERY table, so
+    * recall ≈ 1-(1-r)^L for single-table recall r. Measured on the
+    * embeddings fixture (see RECALL.md / graft.Recall): planes=6
+    * recall@10 0.06 with 1 table → 0.37 with 8 tables. Cost is linear in
+    * `tables` (candidate rows, one shuffle) and each table's buckets stay
+    * balanced — unlike lowering `planes`, which doubles every bucket's
+    * size per plane removed and recalls only 0.14 at planes=4.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -72,15 +81,27 @@ object Similarity {
       vecCol: String,
       k: Int,
       planes: Int,
-      dim: Int
+      dim: Int,
+      tables: Int = 1
   ): DataFrame = {
-    val c = withBuckets(corpus, vecCol, planes, dim)
+    require(tables >= 1 && planes + math.ceil(math.log(tables) / math.log(2)) <= 62,
+      "table tag + bucket bits must fit in a long")
+    // Table t's bucket ids are tagged into a disjoint key space
+    // (t*2^planes + bits), so one explode + one equi-join serves all
+    // tables; tables == 1 keeps the original single-bucket plan (and its
+    // oracle) exactly.
+    def withAllBuckets(df: DataFrame): DataFrame =
+      if (tables == 1) withBuckets(df, vecCol, planes, dim)
+      else df.withColumn("bucket", explode(array((0 until tables).map(t =>
+        V.hyperplaneBucket(col(vecCol), planes, dim, planeOffset = t * planes) +
+          lit(t.toLong << planes)): _*)))
+    val c = withAllBuckets(corpus)
       .select(col("bucket"), col(idCol).as("n_id"), col(vecCol).as("n_vec"),
         V.norm(col(vecCol)).as("n_norm"))
-    val q = withBuckets(queries, vecCol, planes, dim)
+    val q = withAllBuckets(queries)
       .select(col("bucket"), col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         V.norm(col(vecCol)).as("q_norm"))
-    val scored = c
+    val scoredAll = c
       .join(q, Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
       .select(
@@ -88,6 +109,8 @@ object Similarity {
         col("n_id"),
         cosineFromNorms(col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")).as("cosine")
       )
+    // a pair that collides in several tables must rank once
+    val scored = if (tables == 1) scoredAll else scoredAll.distinct()
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     scored
       .withColumn("rank", row_number().over(w))

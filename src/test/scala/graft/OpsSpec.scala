@@ -396,6 +396,37 @@ class OpsSpec extends SparkSpec {
     assert(q(1)._2 == Seq(0, 0) && q(1)._3 == 0.0)
   }
 
+  test("multi-table LSH: valid top-k, no duplicate pairs, recall >= single-table") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(vecs, qs, "vec_id", "embedding", k = 5)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+
+    def pairs(tables: Int): Set[(Long, Long)] =
+      Similarity.lshTopK(vecs, qs, "vec_id", "embedding", k = 5,
+        planes = 6, dim = 16, tables = tables)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+
+    val t1 = pairs(1); val t4 = pairs(4)
+    assert((t1 intersect truth).size <= (t4 intersect truth).size,
+      s"union of 4 tables recalled fewer true neighbors than 1 table")
+    // ranked output has no duplicate (q, n) pairs despite multi-table collisions
+    val ranked = Similarity.lshTopK(vecs, qs, "vec_id", "embedding", k = 5,
+      planes = 6, dim = 16, tables = 4)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(ranked.length == ranked.distinct.length)
+    // per-query at most k rows, ranks contiguous from 1
+    val byQ = Similarity.lshTopK(vecs, qs, "vec_id", "embedding", k = 5,
+      planes = 6, dim = 16, tables = 4)
+      .select("q_id", "rank").as[(Long, Int)].collect().groupBy(_._1)
+    byQ.values.foreach { rs =>
+      val ranks = rs.map(_._2).sorted.toSeq
+      assert(ranks == (1 to ranks.length), ranks.toString)
+    }
+  }
+
   test("bm25TopK: hand-checked scores, ranking, self-hit exclusion, df cap") {
     val corpus = Seq(
       (1L, "apple banana apple"),            // dl=3
