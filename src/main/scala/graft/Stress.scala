@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 20× stress harness: replicates the sf0.1 fixtures in-plan (id-remapped,
+  * text-perturbed copies — near-dups, not exact dups) and times each named
+  * operator end-to-end through the noop sink, so linear-growth claims in
+  * SURVEY §10/§11 are re-runnable rather than asserted.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.Stress"
+  * (optionally pass op names; STRESS_MULT overrides the 20× factor).
+  * Prints one JSON line: {"op":sec,...} plus row counts.
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val mult = sys.env.getOrElse("STRESS_MULT", "20").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val copies = explode(array((0 until mult).map(lit): _*)).as("__copy")
+
+    def docsN: DataFrame = graft.sources.Tables.read(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"), copies)
+      .select(
+        (col("doc_id") + col("__copy").cast("long") * 10000000L).as("doc_id"),
+        concat(col("text"), lit(" copy "), col("__copy")).as("text"),
+        col("source"))
+
+    def eventsN: DataFrame = graft.sources.Tables.read(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("ts"), copies)
+      .select(
+        (col("event_id") + col("__copy").cast("long") * 1000000000L).as("event_id"),
+        col("user_id"), col("event_type"), col("value"), col("ts"))
+
+    val opList: Seq[(String, () => DataFrame)] = Seq(
+      "pack" -> (() => ops.Packing.packSequences(docsN, "doc_id", "text", capacity = 2048L)),
+      "shuffle" -> (() => ops.Sampling.deterministicShuffle(docsN, "doc_id", salt = "42")),
+      "mixture" -> (() => ops.Sampling.byTemperature(eventsN, "event_id", "event_type",
+        targetRows = 40000L)),
+      "profile_stats" -> (() => ops.Profiling.columnStats(eventsN,
+        Seq("event_id", "user_id", "value"))),
+      "bm25" -> (() => ops.Retrieval.bm25TopK(
+        docsN, "doc_id", "text",
+        docsN.filter(pmod(col("doc_id"), lit(997)) === 0), "doc_id", "text",
+        k = 10, maxDf = 100L * mult))
+    )
+    val selected = if (args.nonEmpty) opList.filter(o => args.contains(o._1)) else opList
+
+    val results = selected.map { case (name, f) =>
+      val t0 = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+      name -> secs
+    }
+    val body = results.map { case (n, s) => s""""$n":${math.round(s * 100) / 100.0}""" }.mkString(",")
+    println(s"""{"metric":"stress","mult":$mult,"docs":${docsN.count()},"events":${eventsN.count()},"ops":{$body},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
