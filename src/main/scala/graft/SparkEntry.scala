@@ -821,18 +821,34 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   /** BM25 lexical retrieval: every 25th doc plays the query set, top-5
-    * corpus docs per query, stopword-grade terms (df > 100) pruned before
-    * the posting join. The oracle replays the posting join and the
-    * DECIMAL(28,12)-summed contributions term for term.
+    * corpus docs per query, terms in more than 80% of documents pruned
+    * before the posting join (the corpus-relative cap — the fixture
+    * vocabulary is tiny and shared, so an absolute cap prunes everything
+    * at one SF and nothing at another). The oracle replays the posting
+    * join and the DECIMAL(28,12)-summed contributions term for term.
     */
   private def qBm25(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     graft.ops.Retrieval.bm25TopK(
       d, "doc_id", "text",
       d.filter(pmod(col("doc_id"), lit(25)) === 0), "doc_id", "text",
-      k = 5, maxDf = 100L)
+      k = 5, maxDfFraction = 0.8)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Top-5 TF-IDF keywords per document (relative df cap, WindowGroupLimit). */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.tfidfKeywords(docs(s, dir), "doc_id", "text",
+      k = 5, maxDfFraction = 0.8)
+      .orderBy(col("doc_id"), col("rank"))
+
+  /** SemDeDup-style semantic dedup: nearest-of-16-cells assignment, drop
+    * on a smaller-id same-cell neighbor with cosine >= 0.15.
+    */
+  private def qDedupSemantic(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.semanticDedupe(emb(s, dir), "vec_id", "embedding",
+      nCells = 16, minCosine = 0.15)
+      .orderBy(col("vec_id"))
 
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -1242,7 +1258,9 @@ object SparkEntry {
     "q_profile_lengths" -> (qProfileLengths _),
     "q_profile_stats" -> (qProfileStats _),
     "q_chunk" -> (qChunk _),
-    "q_bm25" -> (qBm25 _)
+    "q_bm25" -> (qBm25 _),
+    "q_tfidf" -> (qTfidf _),
+    "q_dedup_semantic" -> (qDedupSemantic _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2063,7 +2081,8 @@ object SparkEntry {
         |), stats AS (
         |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dls
         |), tdf AS (
-        |  SELECT term, count(*) AS df FROM post GROUP BY 1 HAVING count(*) <= 100
+        |  SELECT term, df FROM (SELECT term, count(*) AS df FROM post GROUP BY 1) t
+        |  CROSS JOIN stats s WHERE CAST(t.df AS DOUBLE) <= 0.8 * CAST(s.n AS DOUBLE)
         |), contrib AS (
         |  SELECT p.doc_id, p.term,
         |    CAST(
@@ -2086,6 +2105,59 @@ object SparkEntry {
         |  SELECT qid, did, score,
         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
         |  FROM sc
-        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_tfidf" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), post AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM nrm)
+        |  WHERE term <> '' GROUP BY 1, 2
+        |), nn AS (
+        |  SELECT count(*) AS n FROM nrm
+        |), tdf AS (
+        |  SELECT term, df FROM (SELECT term, count(*) AS df FROM post GROUP BY 1) t
+        |  CROSS JOIN nn WHERE CAST(t.df AS DOUBLE) <= 0.8 * CAST(nn.n AS DOUBLE)
+        |), scored AS (
+        |  SELECT p.doc_id, p.term,
+        |    round(CAST(p.tf AS DOUBLE) * ln(CAST(nn.n AS DOUBLE) / CAST(t.df AS DOUBLE)), 6) AS score
+        |  FROM post p JOIN tdf t USING (term) CROSS JOIN nn
+        |)
+        |SELECT doc_id, rank, term, score FROM (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM scored
+        |) WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    "q_dedup_semantic" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_vec FROM (
+        |    SELECT vec_id, embedding,
+        |      row_number() OVER (ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id) AS r
+        |    FROM embeddings
+        |  ) WHERE r <= 16
+        |), cells AS (
+        |  SELECT _aid, cent_id FROM (
+        |    SELECT _aid, cent_id, row_number() OVER (PARTITION BY _aid ORDER BY csim DESC, cent_id) AS cr
+        |    FROM (
+        |      SELECT e.vec_id AS _aid, c.cent_id,
+        |        round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])) /
+        |          (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |           sqrt(list_dot_product(CAST(c.cent_vec AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])))), 6) AS csim
+        |      FROM embeddings e CROSS JOIN cents c
+        |    )
+        |  ) WHERE cr = 1
+        |), dropped AS (
+        |  SELECT DISTINCT x._aid AS id
+        |  FROM cells x JOIN cells y ON x.cent_id = y.cent_id AND y._aid < x._aid
+        |  JOIN embeddings xe ON xe.vec_id = x._aid
+        |  JOIN embeddings ye ON ye.vec_id = y._aid
+        |  WHERE round(list_dot_product(CAST(xe.embedding AS DOUBLE[]), CAST(ye.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(xe.embedding AS DOUBLE[]), CAST(xe.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(ye.embedding AS DOUBLE[]), CAST(ye.embedding AS DOUBLE[])))), 6) >= 0.15
+        |)
+        |SELECT c._aid AS vec_id, c.cent_id AS cell_id, (d.id IS NULL) AS kept
+        |FROM cells c LEFT JOIN dropped d ON d.id = c._aid
+        |ORDER BY vec_id""".stripMargin
   )
 }

@@ -34,6 +34,11 @@ object Retrieval {
     * @param queries query frame; a query's terms are its DISTINCT tokens
     * @param maxDf   terms in more than this many documents are ignored
     *                (stopword pruning; also bounds join skew)
+    * @param maxDfFraction corpus-relative form of the same cap: terms in
+    *                more than this fraction of ALL documents are ignored.
+    *                The scale-free knob — an absolute cap tuned at one
+    *                corpus size silently prunes everything (or nothing)
+    *                at another
     * @return (query_id, doc_id, rank, score) — score rounded to 6 d.p.,
     *         rank 1..k by (score desc, doc_id); self-hits where
     *         query_id == doc_id are excluded
@@ -48,7 +53,8 @@ object Retrieval {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75,
-      maxDf: Long = 1000000L
+      maxDf: Long = 1000000L,
+      maxDfFraction: Double = 1.0
   ): DataFrame = {
     // Tokens behind their own projection: `__toks` is referenced by both
     // size() and explode(); inlining the (non-cheap) tokenizer would
@@ -68,10 +74,16 @@ object Retrieval {
       count(lit(1)).as("__n"),
       (sum(col("__dl")).cast("double") / count(lit(1)).cast("double")).as("__avgdl"))
 
+    // The fraction cap rides the same broadcast stats row the contribution
+    // join uses — identical BroadcastExchange subtree, so ReuseExchange
+    // computes the corpus scalars once, not twice.
     val termDf = postings
       .groupBy(col("__term"))
       .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf)
+      .crossJoin(broadcast(stats))
+      .filter(col("__df") <= maxDf &&
+        col("__df").cast("double") <= lit(maxDfFraction) * col("__n").cast("double"))
+      .select(col("__term"), col("__df"))
 
     // Per-(doc, term) BM25 contribution; spelled so an oracle writing the
     // same literals folds to bit-identical doubles, then decimal-rounded.
@@ -107,5 +119,60 @@ object Retrieval {
         col("__did").as("doc_id"),
         col("rank"),
         round(col("__score").cast("double"), 6).as("score"))
+  }
+
+  /** Top-`k` TF-IDF keywords per document — topic labels / quality
+    * signals / cluster names for a corpus, from the same posting-table
+    * shape as [[bm25TopK]] (tokenize once, df per term, df-cap pruning).
+    *
+    * score(term, doc) = tf · ln(N / df): a per-(doc,term) product of two
+    * doubles — no float aggregation at all, so the value is engine-exact
+    * when the expression is spelled identically (rounded to 6 d.p. for
+    * canonical output). One explode + two key shuffles (term df, per-doc
+    * rank); the rank plans as WindowGroupLimit.
+    *
+    * @param maxDf terms in more than this many documents are pruned —
+    *              stopword-grade terms are never keywords, and the cap
+    *              bounds the df join's skew
+    * @return (doc_id, rank, term, score), rank 1..k by (score desc, term)
+    */
+  def tfidfKeywords(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxDf: Long = 1000000L,
+      maxDfFraction: Double = 1.0
+  ): DataFrame = {
+    val toks = docs.select(
+      col(idCol).cast("long").as("__did"),
+      T.tokens(col(textCol)).as("__toks"))
+    val postings = toks
+      .select(col("__did"), explode(col("__toks")).as("term"))
+      .groupBy(col("__did"), col("term"))
+      .agg(count(lit(1)).as("__tf"))
+    // count(lit(1)) never references __toks, so column pruning removes the
+    // tokenizer from this branch — it is a plain row count of docs
+    val n = toks.agg(count(lit(1)).as("__n"))
+    val termDf = postings
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(n))
+      .filter(col("__df") <= maxDf &&
+        col("__df").cast("double") <= lit(maxDfFraction) * col("__n").cast("double"))
+      .select(col("term"), col("__df"))
+
+    val scored = postings
+      .join(termDf, "term")
+      .crossJoin(broadcast(n))
+      .select(col("__did"), col("term"),
+        round(col("__tf").cast("double") *
+          log(col("__n").cast("double") / col("__df").cast("double")), 6).as("score"))
+
+    val w = Window.partitionBy(col("__did")).orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__did").as("doc_id"), col("rank"), col("term"), col("score"))
   }
 }

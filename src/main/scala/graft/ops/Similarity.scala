@@ -130,6 +130,42 @@ object Similarity {
     * scan; the candidate join shuffles on cell id only — no cross join.
     * Recall tunes with nProbe (nProbe == nCells degenerates to brute force).
     */
+  /** Deterministic coarse quantizer shared by [[ivfTopK]] and
+    * [[semanticDedupe]]: `nCells` corpus vectors with the smallest
+    * md5-hash32 of their id, as a distributed top-N — orderBy + limit
+    * plans as TakeOrderedAndProject (per-partition heap + driver merge of
+    * nCells rows), NOT a global sort; an unpartitioned row_number window
+    * here would pull the whole corpus through one task at 100 TB.
+    */
+  private def centroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    corpus
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
+        H.hash32(col(idCol).cast("string")).as("_h"))
+      .orderBy(col("_h"), col("cent_id"))
+      .limit(nCells)
+      .select(col("cent_id"), col("cent_vec"), V.norm(col("cent_vec")).as("cent_norm"))
+  }
+
+  /** Nearest-`probes` centroid cells per vector (broadcast centroid join +
+    * WindowGroupLimit rank). Returns (_aid, _avec, _anorm, cent_id).
+    */
+  private def assignCells(df: DataFrame, id: String, vec: String,
+      cents: DataFrame, probes: Int): DataFrame = {
+    val scored = df
+      .select(col(id).as("_aid"), col(vec).as("_avec"), V.norm(col(vec)).as("_anorm"))
+      .join(broadcast(cents))
+      .select(
+        col("_aid"), col("_avec"), col("_anorm"), col("cent_id"),
+        cosineFromNorms(col("_avec"), col("cent_vec"), col("_anorm"), col("cent_norm")).as("_csim")
+      )
+    val w = Window.partitionBy("_aid").orderBy(col("_csim").desc, col("cent_id"))
+    scored.withColumn("_cr", row_number().over(w))
+      .filter(col("_cr") <= probes)
+      .select(col("_aid"), col("_avec"), col("_anorm"), col("cent_id"))
+  }
+
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -139,31 +175,9 @@ object Similarity {
       nCells: Int,
       nProbe: Int
   ): DataFrame = {
-    import graft.functions.{HashFunctions => H}
-    // Deterministic nCells sample as a distributed top-N: orderBy + limit
-    // plans as TakeOrderedAndProject (per-partition heap + driver merge of
-    // nCells rows), NOT a global sort — an unpartitioned row_number window
-    // here would pull the whole corpus through one task at 100 TB.
-    val cents = corpus
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"),
-        H.hash32(col(idCol).cast("string")).as("_h"))
-      .orderBy(col("_h"), col("cent_id"))
-      .limit(nCells)
-      .select(col("cent_id"), col("cent_vec"), V.norm(col("cent_vec")).as("cent_norm"))
-
-    def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame = {
-      val scored = df
-        .select(col(id).as("_aid"), col(vec).as("_avec"), V.norm(col(vec)).as("_anorm"))
-        .join(broadcast(cents))
-        .select(
-          col("_aid"), col("_avec"), col("_anorm"), col("cent_id"),
-          cosineFromNorms(col("_avec"), col("cent_vec"), col("_anorm"), col("cent_norm")).as("_csim")
-        )
-      val w = Window.partitionBy("_aid").orderBy(col("_csim").desc, col("cent_id"))
-      scored.withColumn("_cr", row_number().over(w))
-        .filter(col("_cr") <= probes)
-        .select(col("_aid"), col("_avec"), col("_anorm"), col("cent_id"))
-    }
+    val cents = centroids(corpus, idCol, vecCol, nCells)
+    def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame =
+      assignCells(df, id, vec, cents, probes)
 
     val corpusCells = assign(corpus, idCol, vecCol, probes = 1)
       .select(col("_aid").as("n_id"), col("_avec").as("n_vec"),
@@ -206,6 +220,48 @@ object Similarity {
         cosineFromNorms(col("a.vec"), col("b.vec"), col("a.nrm"), col("b.nrm")).as("cosine")
       )
       .filter(col("cosine") >= minCosine)
+  }
+
+  /** SemDeDup-style semantic deduplication over embeddings: every vector
+    * is assigned to its nearest cell of the deterministic coarse quantizer
+    * (same centroids as [[ivfTopK]]), and a vector is DROPPED when a
+    * smaller-id vector in the SAME cell has cosine ≥ `minCosine` with it
+    * (greedy keep-lowest-id per dense neighborhood — the standard
+    * SemDeDup decision rule; no transitive closure, so a borderline chain
+    * cannot link distant items the way connected components would).
+    *
+    * Shape at 100 TB: centroid table broadcast, assignment one scan, the
+    * pair join shuffles on cell id only — candidate pairs are
+    * within-cell, never corpus×corpus. Cell population is corpus/nCells
+    * in expectation; size nCells so cells stay comfortably in-task, and
+    * raise nCells (finer cells) rather than lowering minCosine when a
+    * cell grows hot.
+    *
+    * Returns (id, cell_id, kept) for every input vector.
+    */
+  def semanticDedupe(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      minCosine: Double
+  ): DataFrame = {
+    val cents = centroids(vectors, idCol, vecCol, nCells)
+    val cells = assignCells(vectors, idCol, vecCol, cents, probes = 1)
+    val dropped = cells.as("x")
+      .join(cells.as("y"),
+        col("x.cent_id") === col("y.cent_id") && col("y._aid") < col("x._aid"))
+      .filter(
+        cosineFromNorms(col("x._avec"), col("y._avec"),
+          col("x._anorm"), col("y._anorm")) >= minCosine)
+      .select(col("x._aid").as("_did"))
+      .distinct()
+    cells
+      .join(dropped, cells("_aid") === dropped("_did"), "left")
+      .select(
+        col("_aid").as(idCol),
+        col("cent_id").as("cell_id"),
+        col("_did").isNull.as("kept"))
   }
 
   /** Symmetric int8 quantization per vector: q_i = round_half_up(x_i * 127

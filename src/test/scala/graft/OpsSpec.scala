@@ -396,6 +396,43 @@ class OpsSpec extends SparkSpec {
     assert(q(1)._2 == Seq(0, 0) && q(1)._3 == 0.0)
   }
 
+  test("tfidfKeywords: hand-checked scores and df-cap pruning") {
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana cherry"),
+      (4L, "durian")
+    ).toDF("doc_id", "text")
+    // N=4; df: apple=2, banana=2, cherry=2, durian=1; score = tf*ln(N/df)
+    val kw = Retrieval.tfidfKeywords(corpus, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getDouble(3))).toMap
+    val ln2 = math.log(2.0)
+    assert(kw((1L, 1)) == (("apple", math.round(2 * ln2 * 1e6) / 1e6.toDouble)))
+    assert(kw((1L, 2)) == (("banana", math.round(ln2 * 1e6) / 1e6.toDouble)))
+    assert(kw((4L, 1)) == (("durian", math.round(math.log(4.0) * 1e6) / 1e6.toDouble)))
+    // equal scores tie-break alphabetically (d2: apple and cherry both 1*ln2)
+    assert(kw((2L, 1))._1 == "apple" && kw((2L, 2))._1 == "cherry")
+    // df cap prunes every df=2 term: only d4 keeps a keyword
+    val capped = Retrieval.tfidfKeywords(corpus, "doc_id", "text", k = 2, maxDf = 1L)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(capped.toSeq == Seq((4L, "durian")))
+  }
+
+  test("semanticDedupe: greedy keep-lowest-id within a cell") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.01f)),  // ~v1: dropped
+      (3L, Seq(0.0f, 1.0f)),
+      (4L, Seq(0.01f, 1.0f)),  // ~v3: dropped
+      (5L, Seq(-1.0f, 1.0f))   // cos <= 0.71 to everything: kept
+    ).toDF("vec_id", "embedding")
+    // nCells=1 puts everything in one cell, isolating the decision rule
+    val out = Similarity.semanticDedupe(vecs, "vec_id", "embedding",
+      nCells = 1, minCosine = 0.9)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true))
+  }
+
   test("multi-table LSH: valid top-k, no duplicate pairs, recall >= single-table") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 300L).map(i => (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1)))
