@@ -850,6 +850,16 @@ object SparkEntry {
       nCells = 16, minCosine = 0.15)
       .orderBy(col("vec_id"))
 
+  /** K-means over the embeddings: k=8 hash-chosen seeds, 2 Lloyd rounds,
+    * final nearest-centroid assignment. The oracle replays both rounds —
+    * decimal-summed mean updates and 6-d.p.-rounded distances make every
+    * round engine-exact.
+    */
+  private def qKmeans(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Clustering.kmeansAssign(emb(s, dir), "vec_id", "embedding",
+      k = 8, iters = 2)
+      .orderBy(col("vec_id"))
+
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), TF.langPredict(col("text")).as("pred_lang"))
@@ -1260,7 +1270,8 @@ object SparkEntry {
     "q_chunk" -> (qChunk _),
     "q_bm25" -> (qBm25 _),
     "q_tfidf" -> (qTfidf _),
-    "q_dedup_semantic" -> (qDedupSemantic _)
+    "q_dedup_semantic" -> (qDedupSemantic _),
+    "q_kmeans" -> (qKmeans _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2158,6 +2169,66 @@ object SparkEntry {
         |)
         |SELECT c._aid AS vec_id, c.cent_id AS cell_id, (d.id IS NULL) AS kept
         |FROM cells c LEFT JOIN dropped d ON d.id = c._aid
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+    "q_kmeans" ->
+      """WITH seeds AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS cluster, CAST(embedding AS DOUBLE[]) AS cent
+        |  FROM embeddings
+        |  ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id
+        |  LIMIT 8
+        |), a1 AS (
+        |  SELECT _vid, cluster FROM (
+        |    SELECT _vid, cluster,
+        |      row_number() OVER (PARTITION BY _vid ORDER BY dist2, cluster) AS r
+        |    FROM (
+        |      SELECT e.vec_id AS _vid, c.cluster,
+        |        round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        |          - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cent)
+        |          + list_dot_product(c.cent, c.cent), 6) AS dist2
+        |      FROM embeddings e CROSS JOIN seeds c
+        |    )
+        |  ) WHERE r = 1
+        |), c1 AS (
+        |  SELECT cluster, list(m ORDER BY p) AS cent FROM (
+        |    SELECT a.cluster, p.p AS p,
+        |      CAST(sum(CAST(CAST(e.embedding[p.p] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE) AS m
+        |    FROM a1 a JOIN embeddings e ON e.vec_id = a._vid
+        |    CROSS JOIN generate_series(1, 64) p(p)
+        |    GROUP BY 1, 2
+        |  ) GROUP BY cluster
+        |), a2 AS (
+        |  SELECT _vid, cluster FROM (
+        |    SELECT _vid, cluster,
+        |      row_number() OVER (PARTITION BY _vid ORDER BY dist2, cluster) AS r
+        |    FROM (
+        |      SELECT e.vec_id AS _vid, c.cluster,
+        |        round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        |          - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cent)
+        |          + list_dot_product(c.cent, c.cent), 6) AS dist2
+        |      FROM embeddings e CROSS JOIN c1 c
+        |    )
+        |  ) WHERE r = 1
+        |), c2 AS (
+        |  SELECT cluster, list(m ORDER BY p) AS cent FROM (
+        |    SELECT a.cluster, p.p AS p,
+        |      CAST(sum(CAST(CAST(e.embedding[p.p] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE) AS m
+        |    FROM a2 a JOIN embeddings e ON e.vec_id = a._vid
+        |    CROSS JOIN generate_series(1, 64) p(p)
+        |    GROUP BY 1, 2
+        |  ) GROUP BY cluster
+        |)
+        |SELECT _vid AS vec_id, cluster, dist2 FROM (
+        |  SELECT _vid, cluster, dist2,
+        |    row_number() OVER (PARTITION BY _vid ORDER BY dist2, cluster) AS r
+        |  FROM (
+        |    SELECT e.vec_id AS _vid, c.cluster,
+        |      round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+        |        - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cent)
+        |        + list_dot_product(c.cent, c.cent), 6) AS dist2
+        |    FROM embeddings e CROSS JOIN c2 c
+        |  )
+        |) WHERE r = 1 ORDER BY vec_id""".stripMargin
   )
 }

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions => H, VectorFunctions => V}
+
+/** Distributed k-means over embedding columns (Lloyd's algorithm) — the
+  * clustering leg of the training-data suite: topic bucketing, semantic
+  * sharding, and a trained coarse quantizer to feed [[Similarity.ivfTopK]]
+  * (whose default centroids are a hash sample, not learned).
+  *
+  * Shape at 100 TB: the centroid table is k rows and rides a broadcast, so
+  * each Lloyd round is (1) one corpus scan for assignment — broadcast join
+  * + per-row argmin, no shuffle of the corpus — and (2) one key shuffle of
+  * (cluster, pos, component) rows for the mean update, where Spark's
+  * partial aggregation collapses map-side to at most
+  * partitions × k × dim rows on the wire. Nothing is ever collected to the
+  * driver; each round's k×dim centroid frame is locally checkpointed so
+  * lineage stays flat however many rounds run.
+  *
+  * Exactness for the oracle: seeds are the k corpus vectors with the
+  * smallest md5-hash32 of their id (reproducible in any engine, same rule
+  * as [[Similarity.ivfTopK]]); distances are spelled
+  * `dot(v,v) - 2*dot(v,c) + dot(c,c)` rounded to 6 d.p. before the argmin;
+  * mean components are decimal(28,12)-summed (aggregation-order
+  * independent) then one double divide — so DuckDB replays every round
+  * bit-for-bit.
+  *
+  * Cluster labels are the SEED ids (stable across rounds); a cluster whose
+  * population empties disappears from later rounds — both engines agree,
+  * and callers wanting fixed k should raise `k` slightly rather than
+  * re-seed.
+  */
+object Clustering {
+
+  /** Squared L2 distance via three dots, rounded to 6 d.p. — the literal
+    * expression tree an oracle can replay (`a - 2.0*b + c` left-assoc).
+    */
+  private def dist2(v: Column, c: Column): Column =
+    round(V.dot(v, v) - lit(2.0) * V.dot(v, c) + V.dot(c, c), 6)
+
+  /** Seed centroids: k corpus vectors with the smallest (hash32(id), id),
+    * as TakeOrderedAndProject — never a global sort (see
+    * [[Similarity.ivfTopK]]'s centroid note). Components widened to double
+    * so every round's centroid column has one type.
+    */
+  private def seedCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame =
+    vectors
+      .select(col(idCol).cast("long").as("cluster"),
+        transform(col(vecCol), x => x.cast("double")).as("cent"),
+        H.hash32(col(idCol).cast("string")).as("_h"))
+      .orderBy(col("_h"), col("cluster"))
+      .limit(k)
+      .select(col("cluster"), col("cent"))
+
+  /** Nearest centroid per vector: broadcast join + WindowGroupLimit argmin,
+    * ties broken by cluster id. Returns (_vid, _v, cluster, dist2).
+    */
+  private def assign(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    val scored = vectors
+      .select(col(idCol).cast("long").as("_vid"), col(vecCol).as("_v"))
+      .join(broadcast(cents))
+      .select(col("_vid"), col("_v"), col("cluster"),
+        dist2(col("_v"), col("cent")).as("dist2"))
+    val w = Window.partitionBy("_vid").orderBy(col("dist2"), col("cluster"))
+    scored
+      .withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .drop("_r")
+  }
+
+  /** Mean update: posexplode to (cluster, pos, x), decimal-sum per
+    * component (order-independent), divide once in double, reassemble the
+    * array ordered by position.
+    */
+  private def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("_v")).as(Seq("_p", "_x")))
+      .groupBy(col("cluster"), col("_p"))
+      .agg((sum(col("_x").cast("double").cast("decimal(28,12)")).cast("double") /
+        count(lit(1)).cast("double")).as("_m"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("_p"), col("_m")))),
+        s => s.getField("_m")).as("cent"))
+
+  /** Final centroids after `iters` Lloyd rounds: (cluster, cent) with
+    * cluster = seed id and cent an array<double> mean. Each round's k-row
+    * result is eagerly local-checkpointed: k-means re-scans the corpus per
+    * round by construction, but the centroid lineage must not nest
+    * `iters` plans deep.
+    */
+  def kmeansCentroids(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int
+  ): DataFrame = {
+    require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
+    var cents = seedCentroids(vectors, idCol, vecCol, k)
+    for (_ <- 1 to iters)
+      cents = update(assign(vectors, idCol, vecCol, cents)).localCheckpoint()
+    cents
+  }
+
+  /** Assignment of every vector to its nearest final centroid:
+    * (idCol, cluster, dist2), dist2 rounded to 6 d.p.
+    */
+  def kmeansAssign(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int
+  ): DataFrame =
+    assign(vectors, idCol, vecCol, kmeansCentroids(vectors, idCol, vecCol, k, iters))
+      .select(col("_vid").as(idCol), col("cluster"), col("dist2"))
+}

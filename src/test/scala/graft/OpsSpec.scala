@@ -505,4 +505,32 @@ class OpsSpec extends SparkSpec {
       k = 3, maxDf = 1L).collect()
     assert(capped.map(_.getLong(1)).toSeq == Seq(4L))
   }
+
+  test("kmeans: 1-D fixture converges to the obvious clusters from ANY seed pair") {
+    // Values {0,1,2} and {100,101,102}: hand-enumeration over every possible
+    // hash-chosen seed pair shows 2 Lloyd rounds always end at centroids
+    // {1.0, 101.0}, so the assertions are seed-independent.
+    val values = Map(1L -> 0f, 2L -> 1f, 3L -> 2f, 4L -> 100f, 5L -> 101f, 6L -> 102f)
+    val vecs = values.toSeq.sortBy(_._1).map { case (id, v) => (id, Seq(v)) }
+      .toDF("vec_id", "embedding")
+
+    val cents = Clustering.kmeansCentroids(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Long, Seq[Double])].collect()
+    assert(cents.map(_._2.head).toSet == Set(1.0, 101.0))
+
+    val out = Clustering.kmeansAssign(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Long, Long, Double)].collect()
+    val byCluster = out.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(byCluster == Set(Set(1L, 2L, 3L), Set(4L, 5L, 6L)))
+    // dist2 against the converged centroid is exact: (v - mean)^2
+    assert(out.map(r => r._1 -> r._3).toMap ==
+      Map(1L -> 1.0, 2L -> 0.0, 3L -> 1.0, 4L -> 1.0, 5L -> 0.0, 6L -> 1.0))
+
+    // iters = 0 returns the seeds themselves: cluster id = seed's vec_id,
+    // centroid = that vector, widened to double
+    val seeds = Clustering.kmeansCentroids(vecs, "vec_id", "embedding", k = 2, iters = 0)
+      .as[(Long, Seq[Double])].collect()
+    assert(seeds.length == 2)
+    seeds.foreach { case (id, c) => assert(c == Seq(values(id).toDouble)) }
+  }
 }
