@@ -394,6 +394,33 @@ object Compiler {
           c("target").toString,
           keepParent = c.get("keepParent").exists(_.toString.toBoolean)
         )(df)
+      case "dedupe" if df.isStreaming =>
+        // streaming: first arrival per key wins within the watermark
+        // horizon (dropDuplicatesWithinWatermark — state purged as the
+        // watermark passes, types.rs:543-548 with bounded state). keep:
+        // last would need ordered replay and is refused; orderBy is
+        // ignored because arrival order IS the stream's order — exactly
+        // the reference's stream semantics, where batch (eventTime,
+        // tiebreak) ordering is the distributed re-expression.
+        require(!c.get("keep").exists(_.toString == "last"),
+          "streaming dedupe supports keep: first only (first arrival wins)")
+        val keys = c("keys").asInstanceOf[Seq[Any]].map(_.toString)
+        val evtCol = c.getOrElse("eventTimeField", "ts").toString
+        // transform-level watermark, same shape as aggregate's: for
+        // event-time columns derived upstream of this step
+        val df0 = c.get("watermark").map(_.asInstanceOf[Map[String, Any]]) match {
+          case Some(w) => df.withWatermark(w("field").toString, w("delay").toString)
+          case None    => df
+        }
+        // windowSeconds keeps batch parity — first per key PER TUMBLING
+        // WINDOW — by folding the window start into the dedup key
+        c.get("windowSeconds").map(_.toString.toLong) match {
+          case Some(ws) =>
+            df0.withColumn("_w", windows.tumblingStart(col(evtCol), ws))
+              .dropDuplicatesWithinWatermark(keys :+ "_w")
+              .drop("_w")
+          case None => df0.dropDuplicatesWithinWatermark(keys)
+        }
       case "dedupe" =>
         Dedupe(
           c("keys").asInstanceOf[Seq[Any]].map(_.toString),

@@ -694,6 +694,66 @@ class DslSpec extends SparkSpec {
       .getMessage.contains("run-to-drain"))
   }
 
+  test("streaming dedupe: first arrival wins, per-window parity, keep:last refused") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def pipelineWith(cfg: String, sinkName: String): (MemoryStream[(Long, String, java.sql.Timestamp)], Compiler.CompiledPipeline) = {
+      val ev = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val reg = YamlLoader.load(
+        s"""kind: Source
+           |metadata: {name: ev}
+           |spec: {format: table, path: evt, streaming: true}
+           |---
+           |kind: Transform
+           |metadata: {name: dd}
+           |spec:
+           |  type: dedupe
+           |  keys: [user]
+           |  orderBy: [id]
+           |  watermark: {field: ts, delay: 10 seconds}
+           |$cfg
+           |---
+           |kind: Sink
+           |metadata: {name: $sinkName}
+           |spec: {format: memory, path: "", checkpoint: ""}
+           |---
+           |kind: Pipeline
+           |metadata: {name: p}
+           |spec: {source: ev, steps: [dd], sink: $sinkName}
+           |""".stripMargin)
+      (ev, Compiler.compile(spark, reg,
+        tables = Map("evt" -> ev.toDF().toDF("id", "user", "ts")))("p"))
+    }
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    // keyed: first arrival per user wins, also across micro-batches
+    val (ev, p) = pipelineWith("", "dd_mem")
+    ev.addData((1L, "u1", t("2024-01-01 00:00:00")), (2L, "u1", t("2024-01-01 00:00:01")),
+      (3L, "u2", t("2024-01-01 00:00:02")))
+    val q = Compiler.writeStreaming(p)
+    try {
+      q.processAllAvailable()
+      ev.addData((4L, "u1", t("2024-01-01 00:00:03"))) // dup within the horizon
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dd_mem").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+
+    // windowSeconds keeps batch parity: first per user per tumbling window
+    val (evW, pW) = pipelineWith("  windowSeconds: 60", "ddw_mem")
+    evW.addData((1L, "u1", t("2024-01-01 00:00:00")), (2L, "u1", t("2024-01-01 00:00:30")),
+      (3L, "u1", t("2024-01-01 00:01:10")))
+    val qW = Compiler.writeStreaming(pW)
+    try qW.processAllAvailable() finally qW.stop()
+    val w = spark.table("ddw_mem").collect()
+    assert(w.map(_.getLong(0)).toSet == Set(1L, 3L))
+    // the internal window-bucket key does not leak into the output schema
+    assert(w.head.schema.fieldNames.toSeq == Seq("id", "user", "ts"))
+
+    // keep: last cannot be honored on a stream — fail fast, like sessionize
+    assert(intercept[IllegalArgumentException](pipelineWith("  keep: last", "ddl_mem"))
+      .getMessage.contains("keep: first"))
+  }
+
   test("aggregate emit: periodic re-emits updated keys every trigger") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
