@@ -860,6 +860,16 @@ object SparkEntry {
       k = 8, iters = 2)
       .orderBy(col("vec_id"))
 
+  /** Length-outlier trim: keep documents inside the exact [p5, p95]
+    * n_chars band (nearest-rank percentiles over the distinct-value
+    * histogram — integer-exact, so the oracle replays the thresholds).
+    */
+  private def qTrimOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.trimByPercentile(docs(s, dir), "n_chars",
+      lowBp = 500, highBp = 9500)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), TF.langPredict(col("text")).as("pred_lang"))
@@ -1271,7 +1281,8 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_tfidf" -> (qTfidf _),
     "q_dedup_semantic" -> (qDedupSemantic _),
-    "q_kmeans" -> (qKmeans _)
+    "q_kmeans" -> (qKmeans _),
+    "q_trim_outliers" -> (qTrimOutliers _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2229,6 +2240,23 @@ object SparkEntry {
         |        + list_dot_product(c.cent, c.cent), 6) AS dist2
         |    FROM embeddings e CROSS JOIN c2 c
         |  )
-        |) WHERE r = 1 ORDER BY vec_id""".stripMargin
+        |) WHERE r = 1 ORDER BY vec_id""".stripMargin,
+    "q_trim_outliers" ->
+      """WITH hist AS (
+        |  SELECT n_chars AS v, count(*) AS c FROM documents
+        |  WHERE n_chars IS NOT NULL GROUP BY 1
+        |), cum AS (
+        |  SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hist
+        |), nn AS (
+        |  SELECT sum(c) AS n FROM hist
+        |), th AS (
+        |  SELECT
+        |    min(CASE WHEN cum >= (500 * n + 9999) // 10000 THEN v END) AS lo,
+        |    min(CASE WHEN cum >= (9500 * n + 9999) // 10000 THEN v END) AS hi
+        |  FROM cum CROSS JOIN nn
+        |)
+        |SELECT d.doc_id, d.n_chars FROM documents d CROSS JOIN th
+        |WHERE d.n_chars >= th.lo AND d.n_chars <= th.hi
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

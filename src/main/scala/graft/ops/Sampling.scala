@@ -160,4 +160,43 @@ object Sampling {
       .filter(bucket(col(idCol)).cast("double") < col("__rate") * 10000.0)
       .drop("__rate")
   }
+
+  /** Keep rows whose `valueCol` lies within the corpus's exact
+    * [lowBp, highBp] basis-point percentile band (nearest-rank: the p-th
+    * percentile is the smallest value whose cumulative count reaches
+    * ceil(p·N) — pure integer arithmetic, engine-exact). The standard
+    * length/score outlier trim before training.
+    *
+    * Scale shape: the cumulative count runs over the DISTINCT-value
+    * histogram (one groupBy), ordered by [[Packing.withGlobalOffset]]'s
+    * distributed prefix sum — no single-partition window, no driver-side
+    * percentile sketch, and the thresholds come back as a broadcast
+    * 1-row frame feeding a plain filter. NULL values are always trimmed
+    * (they have no rank).
+    */
+  def trimByPercentile(
+      df: DataFrame,
+      valueCol: String,
+      lowBp: Int,
+      highBp: Int
+  ): DataFrame = {
+    require(0 <= lowBp && lowBp <= highBp && highBp <= 10000,
+      "basis points must satisfy 0 <= lowBp <= highBp <= 10000")
+    val hist = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val cum = Packing.withGlobalOffset(hist, "_v", "_c", outCol = "_excl")
+      .withColumn("_cum", col("_excl") + col("_c"))
+    val n = hist.agg(sum(col("_c")).as("_n"))
+    // ceil(bp*N/10000) in integer arithmetic: (bp*N + 9999) div 10000
+    val thresholds = cum
+      .crossJoin(broadcast(n))
+      .agg(
+        min(when(col("_cum") >= expr(s"($lowBp * _n + 9999) div 10000"), col("_v"))).as("_lo"),
+        min(when(col("_cum") >= expr(s"($highBp * _n + 9999) div 10000"), col("_v"))).as("_hi"))
+    df.crossJoin(broadcast(thresholds))
+      .filter(col(valueCol) >= col("_lo") && col(valueCol) <= col("_hi"))
+      .drop("_lo", "_hi")
+  }
 }

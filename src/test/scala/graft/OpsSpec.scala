@@ -506,6 +506,23 @@ class OpsSpec extends SparkSpec {
     assert(capped.map(_.getLong(1)).toSeq == Seq(4L))
   }
 
+  test("trimByPercentile: exact nearest-rank band, skew, nulls trimmed") {
+    val uniform = (1 to 100).map(i => (i.toLong, Some(i.toLong))) :+ (999L, None)
+    val df = uniform.toDF("id", "v")
+    // N=100: kLow=ceil(5)=5 -> lo=5, kHigh=ceil(95)=95 -> hi=95
+    val kept = Sampling.trimByPercentile(df, "v", 500, 9500)
+      .select("v").as[Long].collect().sorted
+    assert(kept.toSeq == (5L to 95L))
+    // full band keeps every non-null row
+    assert(Sampling.trimByPercentile(df, "v", 0, 10000).count() == 100)
+    // heavy mass on one value: both thresholds land on it
+    val skewed = ((1 to 98).map(i => (i.toLong, 10L)) ++ Seq((99L, 1L), (100L, 1000L)))
+      .toDF("id", "v")
+    val sk = Sampling.trimByPercentile(skewed, "v", 500, 9500)
+      .select("v").as[Long].collect()
+    assert(sk.length == 98 && sk.forall(_ == 10L))
+  }
+
   test("kmeans: 1-D fixture converges to the obvious clusters from ANY seed pair") {
     // Values {0,1,2} and {100,101,102}: hand-enumeration over every possible
     // hash-chosen seed pair shows 2 Lloyd rounds always end at centroids
