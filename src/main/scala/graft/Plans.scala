@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-audit tool: prints the formatted physical plan of named registry
+  * queries (all of them with no args) — the source for PLANS.md. Plans are
+  * printed pre-execution, so AQE leaf nodes show the static shape; what to
+  * look for is listed at the top of PLANS.md.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt "runMain graft.Plans q_kmeans"
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
+      println(s"===== $n =====")
+      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(FormattedMode))
+    }
+    spark.stop()
+  }
+}

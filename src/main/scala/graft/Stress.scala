@@ -41,6 +41,12 @@ object Stress {
         (col("event_id") + col("__copy").cast("long") * 1000000000L).as("event_id"),
         col("user_id"), col("event_type"), col("value"), col("ts"))
 
+    def embN: DataFrame = graft.sources.Tables.read(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), copies)
+      .select(
+        (col("vec_id") + col("__copy").cast("long") * 10000000L).as("vec_id"),
+        col("embedding"))
+
     val opList: Seq[(String, () => DataFrame)] = Seq(
       "pack" -> (() => ops.Packing.packSequences(docsN, "doc_id", "text", capacity = 2048L)),
       "shuffle" -> (() => ops.Sampling.deterministicShuffle(docsN, "doc_id", salt = "42")),
@@ -51,7 +57,17 @@ object Stress {
       "bm25" -> (() => ops.Retrieval.bm25TopK(
         docsN, "doc_id", "text",
         docsN.filter(pmod(col("doc_id"), lit(997)) === 0), "doc_id", "text",
-        k = 10, maxDf = 100L * mult))
+        k = 10, maxDf = 100L * mult)),
+      "tfidf" -> (() => ops.Retrieval.tfidfKeywords(docsN, "doc_id", "text",
+        k = 5, maxDfFraction = 0.8)),
+      "trim" -> (() => ops.Sampling.trimByPercentile(
+        docsN.withColumn("n_chars", length(col("text"))), "n_chars", 500, 9500)),
+      // cell/cluster counts scale with the corpus (fixed cells would grow
+      // quadratic within-cell work as the input multiplies)
+      "kmeans" -> (() => ops.Clustering.kmeansAssign(embN, "vec_id", "embedding",
+        k = 64, iters = 2)),
+      "semdedup" -> (() => ops.Similarity.semanticDedupe(embN, "vec_id", "embedding",
+        nCells = 128, minCosine = 0.15))
     )
     val selected = if (args.nonEmpty) opList.filter(o => args.contains(o._1)) else opList
 
