@@ -69,7 +69,15 @@ object Recall {
         ops.Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k, nCells = 64, nProbe = 8)),
       "ivf_c64_probe16" -> (() =>
         ops.Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k, nCells = 64, nProbe = 16))
-    )
+    ) ++ {
+      // k-means-trained quantizer vs the hash-sampled default, same probes
+      lazy val trained = ops.Clustering
+        .kmeansCentroids(emb, "vec_id", "embedding", k = 64, iters = 2)
+        .select(col("cluster").as("cent_id"), col("cent").as("cent_vec"))
+      Seq(4, 8, 16).map(p => s"ivf_kmeans_c64_probe$p" -> (() =>
+        ops.Similarity.ivfTopKWithCentroids(emb, queries, "vec_id", "embedding", k,
+          trained, nProbe = p)))
+    }
     val rows = settings.map { case (name, f) => measure(name, f()) }
     val body = rows.map { case (n, r, s) =>
       s""""$n":{"recall":${math.round(r * 10000) / 10000.0},"sec":${math.round(s * 100) / 100.0}}"""

@@ -174,8 +174,27 @@ object Similarity {
       k: Int,
       nCells: Int,
       nProbe: Int
+  ): DataFrame =
+    ivfTopKWithCentroids(corpus, queries, idCol, vecCol, k,
+      centroids(corpus, idCol, vecCol, nCells).select("cent_id", "cent_vec"), nProbe)
+
+  /** IVF-flat with a CALLER-SUPPLIED coarse quantizer — (cent_id,
+    * cent_vec) rows, e.g. [[Clustering.kmeansCentroids]] output (trained
+    * cells track the data distribution, so the same nProbe recalls more
+    * than the hash-sampled default; measured in RECALL.md). The quantizer
+    * must be small: it rides a broadcast.
+    */
+  def ivfTopKWithCentroids(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      quantizer: DataFrame,
+      nProbe: Int
   ): DataFrame = {
-    val cents = centroids(corpus, idCol, vecCol, nCells)
+    val cents = quantizer.select(col("cent_id"), col("cent_vec"),
+      V.norm(col("cent_vec")).as("cent_norm"))
     def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame =
       assignCells(df, id, vec, cents, probes)
 

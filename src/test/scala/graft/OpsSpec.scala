@@ -187,6 +187,14 @@ class OpsSpec extends SparkSpec {
     val ivf = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
       k = 4, nCells = 6, nProbe = 2)
     assert(ivf.groupBy("q_id").count().select("count").as[Long].collect().forall(_ <= 4))
+    // a caller-supplied (k-means-trained) quantizer, fully probed, is exact too
+    val trained = Clustering.kmeansCentroids(vecs, "vec_id", "embedding", k = 6, iters = 2)
+      .select(col("cluster").as("cent_id"), col("cent").as("cent_vec"))
+    val nTrained = trained.count().toInt // empty cells may drop out
+    val ivfTrained = Similarity.ivfTopKWithCentroids(vecs, queries, "vec_id", "embedding",
+      k = 4, trained, nProbe = nTrained)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivfTrained == brute)
   }
 
   test("planeWeight matches its md5 definition") {
