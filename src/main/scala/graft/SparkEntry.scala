@@ -30,11 +30,10 @@ object SparkEntry {
       .mkString(", ")
 
   /** Shared DuckDB CTE chain reproducing the portable minhash-LSH
-    * candidate machinery (nrm -> shingles -> hashes -> signatures ->
-    * bands -> distinct same-band pairs `cand`) — used by the minhash and
-    * edit-distance dedup oracles so both verify the identical band join.
+    * signature machinery (nrm -> shingles -> hashes -> signatures ->
+    * bands) — the prefix of the dedup oracles up to `banded`.
     */
-  private def lshCandCte: String =
+  private def lshSigCte: String =
     s"""WITH nrm AS (
       |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
       |  FROM documents
@@ -58,7 +57,14 @@ object SparkEntry {
       |), banded AS (
       |  SELECT doc_id, concat(b, ':', md5(array_to_string(sig[4*b+1:4*b+4], ','))) AS band
       |  FROM sigs CROSS JOIN generate_series(0, 3) t(b)
-      |), cand AS (
+      |)""".stripMargin
+
+  /** [[lshSigCte]] plus the within-corpus distinct same-band pair set
+    * `cand` — used by the minhash and edit-distance dedup oracles so both
+    * verify the identical band join.
+    */
+  private def lshCandCte: String =
+    s"""$lshSigCte, cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id
       |)""".stripMargin
@@ -860,6 +866,28 @@ object SparkEntry {
       k = 8, iters = 2)
       .orderBy(col("vec_id"))
 
+  /** Incremental dedup: every 5th doc plays the new batch, the rest the
+    * existing corpus. Exact-vs-corpus, exact-within-batch and LSH
+    * near-dup-vs-corpus in one pass; precedence exact_corpus >
+    * exact_batch > near_corpus.
+    */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ops.Dedup.incrementalDedupe(
+      d.filter(pmod(col("doc_id"), lit(5)) === 0),
+      d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      "doc_id", "text", n = 3, k = 16, bands = 4, minSim = 0.5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact per-column quantiles over events (p25/p50/p75/p95) — the
+    * nearest-rank rule makes them engine-exact, unlike percentile sketches.
+    */
+  private def qProfileQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.columnQuantiles(t(s, dir, "events"),
+      Seq("event_id", "user_id", "value"), bps = Seq(2500, 5000, 7500, 9500))
+      .orderBy(col("col_name"))
+
   /** Length-outlier trim: keep documents inside the exact [p5, p95]
     * n_chars band (nearest-rank percentiles over the distinct-value
     * histogram — integer-exact, so the oracle replays the thresholds).
@@ -1282,7 +1310,9 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_kmeans" -> (qKmeans _),
-    "q_trim_outliers" -> (qTrimOutliers _)
+    "q_trim_outliers" -> (qTrimOutliers _),
+    "q_profile_quantiles" -> (qProfileQuantiles _),
+    "q_dedup_incremental" -> (qDedupIncremental _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2257,6 +2287,63 @@ object SparkEntry {
         |)
         |SELECT d.doc_id, d.n_chars FROM documents d CROSS JOIN th
         |WHERE d.n_chars >= th.lo AND d.n_chars <= th.hi
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_profile_quantiles" ->
+      """WITH long AS (
+        |  SELECT 'event_id' AS col_name, CAST(event_id AS DOUBLE) AS v FROM events WHERE event_id IS NOT NULL
+        |  UNION ALL SELECT 'user_id', CAST(user_id AS DOUBLE) FROM events WHERE user_id IS NOT NULL
+        |  UNION ALL SELECT 'value', CAST(value AS DOUBLE) FROM events WHERE value IS NOT NULL
+        |), hist AS (
+        |  SELECT col_name, v, count(*) AS c FROM long GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT col_name, v, sum(c) OVER (PARTITION BY col_name ORDER BY v) AS cum FROM hist
+        |), nn AS (
+        |  SELECT col_name, sum(c) AS n FROM hist GROUP BY 1
+        |)
+        |SELECT col_name,
+        |  min(CASE WHEN cum >= (2500 * n + 9999) // 10000 THEN v END) AS p2500,
+        |  min(CASE WHEN cum >= (5000 * n + 9999) // 10000 THEN v END) AS p5000,
+        |  min(CASE WHEN cum >= (7500 * n + 9999) // 10000 THEN v END) AS p7500,
+        |  min(CASE WHEN cum >= (9500 * n + 9999) // 10000 THEN v END) AS p9500
+        |FROM cum JOIN nn USING (col_name)
+        |GROUP BY col_name ORDER BY col_name""".stripMargin,
+    "q_dedup_incremental" ->
+      s"""$lshSigCte, bfp AS (
+        |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), cfp AS (
+        |  SELECT DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |), ec AS (
+        |  SELECT doc_id FROM bfp WHERE fp IN (SELECT fp FROM cfp)
+        |), eb AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS m FROM bfp
+        |  ) WHERE doc_id > m
+        |), xcand AS (
+        |  SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+        |  FROM banded a JOIN banded b ON a.band = b.band
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |), nc AS (
+        |  SELECT DISTINCT bid AS doc_id FROM (
+        |    SELECT c.bid, c.cid,
+        |      round(sum(CASE WHEN sa.sig[g.i+1] = sb.sig[g.i+1] THEN 1 ELSE 0 END) / 16.0, 6) AS sim
+        |    FROM xcand c
+        |    JOIN sigs sa ON c.bid = sa.doc_id
+        |    JOIN sigs sb ON c.cid = sb.doc_id
+        |    CROSS JOIN generate_series(0, 15) g(i)
+        |    GROUP BY 1, 2
+        |  ) WHERE sim >= 0.5
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN ec.doc_id IS NOT NULL THEN 'exact_corpus'
+        |       WHEN eb.doc_id IS NOT NULL THEN 'exact_batch'
+        |       WHEN nc.doc_id IS NOT NULL THEN 'near_corpus' END AS drop_reason
+        |FROM documents d
+        |LEFT JOIN ec ON d.doc_id = ec.doc_id
+        |LEFT JOIN eb ON d.doc_id = eb.doc_id
+        |LEFT JOIN nc ON d.doc_id = nc.doc_id
+        |WHERE d.doc_id % 5 = 0
         |ORDER BY d.doc_id""".stripMargin
   )
 }

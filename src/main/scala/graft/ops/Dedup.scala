@@ -361,4 +361,88 @@ object Dedup {
       .join(kept, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("_clean"), lit("")).as(textCol))
   }
+
+  /** Incremental dedup: a NEW batch (today's crawl) against an EXISTING
+    * corpus that is already deduplicated — the production boundary case,
+    * where re-running full-corpus dedup per batch would rescan 100 TB
+    * daily. Checks, in precedence order:
+    *
+    *   1. `exact_corpus` — the batch doc's normalized fingerprint exists
+    *      in the corpus (fingerprint semi-join);
+    *   2. `exact_batch` — an identical doc with a smaller id is in the
+    *      SAME batch (keep-lowest-id within the batch);
+    *   3. `near_corpus` — minhash-LSH band collision with a corpus doc
+    *      and signature agreement ≥ `minSim` (the cross-frame variant of
+    *      [[minhashLshPairs]] — bands shuffle batch×corpus only on band
+    *      keys, never batch×corpus rows).
+    *
+    * Within-batch NEAR dups are deliberately out of scope — that is the
+    * full-corpus job ([[minhashLshPairs]] + [[connectedComponents]]); the
+    * batch is small relative to the corpus, and the incremental contract
+    * is "nothing new may duplicate what we already have".
+    *
+    * Scale shape: every join is keyed (fingerprint / band / id); corpus
+    * signatures can be precomputed once and reused across batches.
+    * Returns one row per batch doc: (idCol, drop_reason), drop_reason
+    * NULL for docs to keep.
+    */
+  def incrementalDedupe(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 4,
+      minSim: Double = 0.5
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // batch fingerprints feed both exact checks; corpus fingerprints are
+    // distinct'd so the semi-join probe side is minimal
+    val bFp = batch
+      .select(col(idCol).as("_bid"), T.fingerprint(col(textCol)).as("_fp"))
+      .localCheckpoint(false)
+    val cFp = corpus.select(T.fingerprint(col(textCol)).as("_fp")).distinct()
+    val exactCorpus = bFp.join(cFp, Seq("_fp"), "left_semi")
+      .select(col("_bid").as("_id"), lit(true).as("_r_ec"))
+    val exactBatch = bFp
+      .withColumn("_min", min(col("_bid")).over(Window.partitionBy(col("_fp"))))
+      .filter(col("_bid") > col("_min"))
+      .select(col("_bid").as("_id"), lit(true).as("_r_eb"))
+
+    val rows = k / bands
+    val bSig = minhashSignatures(batch, idCol, textCol, n, k).localCheckpoint(false)
+    val cSig = minhashSignatures(corpus, idCol, textCol, n, k).localCheckpoint(false)
+    def banded(sig: DataFrame): DataFrame = sig.select(
+      col("doc"), explode(H.lshBandKeys(col("sig"), bands, rows)).as("band"))
+    val cand = banded(bSig).as("a")
+      .join(banded(cSig).as("b"), col("a.band") === col("b.band"))
+      .select(col("a.doc").as("_b2"), col("b.doc").as("_c2"))
+      .distinct()
+    val nearCorpus = cand
+      .join(bSig.as("sa"), col("_b2") === col("sa.doc"))
+      .join(cSig.as("sb"), col("_c2") === col("sb.doc"))
+      .withColumn("_sim",
+        round(
+          aggregate(
+            zip_with(col("sa.sig"), col("sb.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0),
+            (acc, v) => acc + v
+          ).cast("double") / k, 6))
+      .filter(col("_sim") >= minSim)
+      .select(col("_b2").as("_id"))
+      .distinct()
+      .withColumn("_r_nc", lit(true))
+
+    batch.select(col(idCol))
+      .join(exactCorpus, col(idCol) === exactCorpus("_id"), "left").drop("_id")
+      .join(exactBatch, col(idCol) === exactBatch("_id"), "left").drop("_id")
+      .join(nearCorpus, col(idCol) === nearCorpus("_id"), "left").drop("_id")
+      .select(
+        col(idCol),
+        when(col("_r_ec"), "exact_corpus")
+          .when(col("_r_eb"), "exact_batch")
+          .when(col("_r_nc"), "near_corpus")
+          .as("drop_reason"))
+  }
 }

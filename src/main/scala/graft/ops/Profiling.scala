@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => T}
@@ -128,5 +129,36 @@ object Profiling {
       .mkString(", ")
     one.select(expr(
       s"stack(${cols.size}, $stacked) AS (col_name, n, n_null, n_distinct, min_v, max_v)"))
+  }
+
+  /** Exact per-column quantiles (nearest-rank: smallest v whose cumulative
+    * count reaches ceil(bp·N/10000) — the same integer-exact rule as
+    * [[Sampling.trimByPercentile]], so results are engine-exact, unlike
+    * approx_percentile sketches). One scan: columns are stacked long-form,
+    * the cumulative count runs over the per-column DISTINCT-VALUE
+    * histogram. The window is partitioned by column name — per-partition
+    * size is one column's distinct-value count, the same bound as
+    * [[columnStats]]'s exact countDistinct; pre-bin continuous columns if
+    * a single column's domain is unbounded. NULLs have no rank and are
+    * ignored. Output: (col_name, p<bp>...) with values cast to double.
+    */
+  def columnQuantiles(df: DataFrame, cols: Seq[String], bps: Seq[Int]): DataFrame = {
+    require(cols.nonEmpty, "columnQuantiles needs at least one column")
+    require(bps.nonEmpty && bps.forall(b => b >= 1 && b <= 10000),
+      "basis points must be in [1, 10000]")
+    val stacked = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    val hist = df
+      .select(expr(s"stack(${cols.size}, $stacked) AS (col_name, _v)"))
+      .filter(col("_v").isNotNull)
+      .groupBy(col("col_name"), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("col_name")).orderBy(col("_v"))
+    val cum = hist.withColumn("_cum", sum(col("_c")).over(w))
+    val n = hist.groupBy(col("col_name")).agg(sum(col("_c")).as("_n"))
+    val qs = bps.map(bp =>
+      min(when(col("_cum") >= expr(s"($bp * _n + 9999) div 10000"), col("_v"))).as(s"p$bp"))
+    cum.join(broadcast(n), "col_name")
+      .groupBy(col("col_name"))
+      .agg(qs.head, qs.tail: _*)
   }
 }

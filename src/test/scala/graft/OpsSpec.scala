@@ -531,6 +531,40 @@ class OpsSpec extends SparkSpec {
     assert(sk.length == 98 && sk.forall(_ == 10L))
   }
 
+  test("incrementalDedupe: exact/batch/near drop reasons with precedence") {
+    val corpus = Seq(
+      (1L, "aaa bbb ccc ddd eee"),
+      (2L, "xxx yyy zzz www vvv")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "aaa bbb ccc ddd eee"),     // identical to corpus doc 1
+      (11L, "hello world foo bar baz"), // fresh
+      (12L, "hello world foo bar baz"), // identical to 11, larger id
+      (13L, "qqq rrr sss ttt uuu"),     // fresh
+      (14L, "aaa bbb ccc ddd eee fff")  // near-dup of corpus doc 1 (3/4 shingles)
+    ).toDF("doc_id", "text")
+    val r = Dedup.incrementalDedupe(batch, corpus, "doc_id", "text",
+      n = 3, k = 16, bands = 4, minSim = 0.5)
+      .collect().map(row => row.getLong(0) -> Option(row.getString(1))).toMap
+    assert(r.size == 5)
+    // an exact corpus dup is ALSO a near dup — precedence reports exact
+    assert(r(10L) == Some("exact_corpus"))
+    assert(r(11L).isEmpty)  // first arrival in the batch is kept
+    assert(r(12L) == Some("exact_batch"))
+    assert(r(13L).isEmpty)
+    assert(r(14L) == Some("near_corpus"))
+  }
+
+  test("columnQuantiles: exact nearest-rank values per column, nulls ignored") {
+    val df = ((1 to 100).map(i => (Some(i.toLong), i.toDouble / 4)) :+
+      (None: Option[Long], 999.0)).toDF("a", "b")
+    val q = Profiling.columnQuantiles(df, Seq("a", "b"), Seq(5000, 9500))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // a: 1..100 (null ignored): p50 = 50th value = 50, p95 = 95
+    assert(q("a") == ((50.0, 95.0)))
+    // b: 101 values incl. the 999 outlier: k50=51 -> 12.75, k95=ceil(95.95)=96 -> 24.0
+    assert(q("b") == ((12.75, 24.0)))
+  }
+
   test("kmeans: 1-D fixture converges to the obvious clusters from ANY seed pair") {
     // Values {0,1,2} and {100,101,102}: hand-enumeration over every possible
     // hash-chosen seed pair shows 2 Lloyd rounds always end at centroids
