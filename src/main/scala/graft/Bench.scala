@@ -44,6 +44,10 @@ object Bench {
     materialize("q_filter")
 
     // Optional args: benchmark only the named queries (isolation runs).
+    // Fail fast on unknown names — materialize's catch-all would report a
+    // typo as -1.0 and the isolation run would silently measure nothing.
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

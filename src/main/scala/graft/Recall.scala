@@ -70,10 +70,14 @@ object Recall {
       "ivf_c64_probe16" -> (() =>
         ops.Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k, nCells = 64, nProbe = 16))
     ) ++ {
-      // k-means-trained quantizer vs the hash-sampled default, same probes
-      lazy val trained = ops.Clustering
+      // k-means-trained quantizer vs the hash-sampled default, same
+      // probes. Training is forced HERE, outside the timed measurements —
+      // it is a one-off index build, and charging it to whichever probe
+      // setting happens to run first would skew the cost-vs-recall table.
+      val trained = ops.Clustering
         .kmeansCentroids(emb, "vec_id", "embedding", k = 64, iters = 2)
         .select(col("cluster").as("cent_id"), col("cent").as("cent_vec"))
+        .localCheckpoint()
       Seq(4, 8, 16).map(p => s"ivf_kmeans_c64_probe$p" -> (() =>
         ops.Similarity.ivfTopKWithCentroids(emb, queries, "vec_id", "embedding", k,
           trained, nProbe = p)))

@@ -57,6 +57,7 @@ object SparkEntry {
       |), banded AS (
       |  SELECT doc_id, concat(b, ':', md5(array_to_string(sig[4*b+1:4*b+4], ','))) AS band
       |  FROM sigs CROSS JOIN generate_series(0, 3) t(b)
+      |  WHERE sig[1] <> 9223372036854775807
       |)""".stripMargin
 
   /** [[lshSigCte]] plus the within-corpus distinct same-band pair set
@@ -838,14 +839,16 @@ object SparkEntry {
     graft.ops.Retrieval.bm25TopK(
       d, "doc_id", "text",
       d.filter(pmod(col("doc_id"), lit(25)) === 0), "doc_id", "text",
-      k = 5, maxDfFraction = 0.8)
+      // the oracle encodes ONLY the fraction cap — disable the absolute
+      // default so engine and oracle stay aligned at any corpus size
+      k = 5, maxDf = Long.MaxValue, maxDfFraction = 0.8)
       .orderBy(col("query_id"), col("rank"))
   }
 
   /** Top-5 TF-IDF keywords per document (relative df cap, WindowGroupLimit). */
   private def qTfidf(s: SparkSession, dir: String): DataFrame =
     graft.ops.Retrieval.tfidfKeywords(docs(s, dir), "doc_id", "text",
-      k = 5, maxDfFraction = 0.8)
+      k = 5, maxDf = Long.MaxValue, maxDfFraction = 0.8)
       .orderBy(col("doc_id"), col("rank"))
 
   /** SemDeDup-style semantic dedup: nearest-of-16-cells assignment, drop
@@ -1106,14 +1109,6 @@ object SparkEntry {
     mainOut.unionByName(dlqOut).orderBy(col("branch"), col("event_id"))
   }
 
-  /** End-to-end STREAMING pipeline with a full oracle (F7/W4/R9-streaming):
-    * events.parquet read as a file stream (epoch-nanos `ts` arrives as
-    * BIGINT, a map step derives the event-time column), watermarked hourly
-    * aggregation, checkpointed run-to-drain parquet sink. Append mode only
-    * emits windows the final watermark (max event time − delay) has closed
-    * — the oracle mirrors that emission rule in SQL, so the watermark
-    * semantics themselves are oracle-checked, not just the arithmetic.
-    */
   /** Temp trees reclaimed at JVM exit. ONE hook for the whole session —
     * qStreamAgg can run many times in a long-lived session, and a hook per
     * invocation would accumulate in the JVM's hook registry.
@@ -1131,6 +1126,14 @@ object SparkEntry {
     def register(path: String): Unit = paths.add(path)
   }
 
+  /** End-to-end STREAMING pipeline with a full oracle (F7/W4/R9-streaming):
+    * events.parquet read as a file stream (epoch-nanos `ts` arrives as
+    * BIGINT, a map step derives the event-time column), watermarked hourly
+    * aggregation, checkpointed run-to-drain parquet sink. Append mode only
+    * emits windows the final watermark (max event time − delay) has closed
+    * — the oracle mirrors that emission rule in SQL, so the watermark
+    * semantics themselves are oracle-checked, not just the arithmetic.
+    */
   private def qStreamAgg(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_qstream").toString
     // The returned frame reads lazily from tmp/out, so the sink+checkpoint

@@ -62,12 +62,13 @@ object Stress {
         k = 5, maxDfFraction = 0.8)),
       "trim" -> (() => ops.Sampling.trimByPercentile(
         docsN.withColumn("n_chars", length(col("text"))), "n_chars", 500, 9500)),
-      // cell/cluster counts scale with the corpus (fixed cells would grow
-      // quadratic within-cell work as the input multiplies)
+      // cell/cluster counts scale with mult (tuned at 20x: 64/128) —
+      // fixed cells would grow quadratic within-cell work as the input
+      // multiplies, falsely refuting the linear-growth claims
       "kmeans" -> (() => ops.Clustering.kmeansAssign(embN, "vec_id", "embedding",
-        k = 64, iters = 2)),
+        k = math.max(8, (3.2 * mult).toInt), iters = 2)),
       "semdedup" -> (() => ops.Similarity.semanticDedupe(embN, "vec_id", "embedding",
-        nCells = 128, minCosine = 0.15))
+        nCells = math.max(16, (6.4 * mult).toInt), minCosine = 0.15))
     )
     val selected = if (args.nonEmpty) opList.filter(o => args.contains(o._1)) else opList
 

@@ -82,19 +82,21 @@ object Compiler {
         val dlqFrame = allDlq.reduceOption(_.unionByName(_))
         val dlqSink = p.dlq.flatMap(d => reg.sinks.get(d.sink))
         // AggregateEmit (types.rs:634-641): the LAST aggregate step's emit
-        // mode decides the sink's output mode + trigger.
-        val emit = p.steps.map(transformOf(reg, _))
+        // mode decides the sink's output mode + trigger — the last STEP,
+        // not the last step that happens to declare `emit`: an explicit
+        // mode on an earlier aggregate must not leak past a later one
+        // running with the default.
+        val lastAgg = p.steps.map(transformOf(reg, _))
           .filter(_.transformType == "aggregate")
-          .flatMap(_.config.get("emit").map(_.toString))
-          .lastOption.getOrElse("on_window_close")
+          .lastOption
+        val emit = lastAgg.flatMap(_.config.get("emit").map(_.toString))
+          .getOrElse("on_window_close")
         val (outMode, interval) = emit match {
           case "on_window_close" => ("append", None)
           case "on_update"       => ("update", None)
           case "periodic" =>
-            ("update", Some(p.steps.map(transformOf(reg, _))
-              .filter(_.transformType == "aggregate")
-              .flatMap(_.config.get("emitInterval").map(_.toString))
-              .lastOption.getOrElse("10 seconds")))
+            ("update", Some(lastAgg.flatMap(_.config.get("emitInterval").map(_.toString))
+              .getOrElse("10 seconds")))
           case other => sys.error(s"unknown aggregate emit mode: $other")
         }
         p.name -> CompiledPipeline(p.name, frame, sink, prefix, dlqFrame, dlqSink,

@@ -137,10 +137,18 @@ object Dedup {
   ): (DataFrame, DataFrame) = {
     val rows = k / bands
     val sigs = minhashSignatures(docs, idCol, textCol, n, k).localCheckpoint(false)
-    val banded = sigs.select(
-      col("doc"),
-      explode(H.lshBandKeys(col("sig"), bands, rows)).as("band")
-    )
+    // Docs with no shingles (shorter than n tokens) carry the all-sentinel
+    // signature: any two of them "agree" on every component while sharing
+    // no text, so they must never band-collide — no shingles means no
+    // evidence of near-duplication (exact dedup still catches identical
+    // short docs). The first component is the sentinel iff the doc has no
+    // shingles: a real minhash is < 2^31, never Long.MaxValue.
+    val banded = sigs
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .select(
+        col("doc"),
+        explode(H.lshBandKeys(col("sig"), bands, rows)).as("band")
+      )
     val candidates = banded
       .as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
@@ -413,8 +421,11 @@ object Dedup {
     val rows = k / bands
     val bSig = minhashSignatures(batch, idCol, textCol, n, k).localCheckpoint(false)
     val cSig = minhashSignatures(corpus, idCol, textCol, n, k).localCheckpoint(false)
-    def banded(sig: DataFrame): DataFrame = sig.select(
-      col("doc"), explode(H.lshBandKeys(col("sig"), bands, rows)).as("band"))
+    // same sentinel exclusion as lshCandidates: sub-shingle-length docs
+    // must not near-dup each other on the all-sentinel signature
+    def banded(sig: DataFrame): DataFrame = sig
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .select(col("doc"), explode(H.lshBandKeys(col("sig"), bands, rows)).as("band"))
     val cand = banded(bSig).as("a")
       .join(banded(cSig).as("b"), col("a.band") === col("b.band"))
       .select(col("a.doc").as("_b2"), col("b.doc").as("_c2"))

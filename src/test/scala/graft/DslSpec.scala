@@ -689,6 +689,40 @@ class DslSpec extends SparkSpec {
     assert(per.outputMode == "update" && per.emitInterval.contains("250 milliseconds"))
     assert(intercept[RuntimeException](compileWith("  emit: sometimes"))
       .getMessage.contains("emit"))
+    // the LAST aggregate step decides: an explicit emit on an EARLIER
+    // aggregate must not leak past a later one running with the default
+    val evTwo = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val regTwo = YamlLoader.load(
+      s"""kind: Source
+         |metadata: {name: ev}
+         |spec: {format: table, path: evt, streaming: true}
+         |---
+         |kind: Transform
+         |metadata: {name: aggA}
+         |spec:
+         |  type: aggregate
+         |  groupBy: [user]
+         |  aggregations: [{fn: count, as: n}]
+         |  emit: on_update
+         |---
+         |kind: Transform
+         |metadata: {name: aggB}
+         |spec:
+         |  type: aggregate
+         |  groupBy: [user]
+         |  aggregations: [{fn: sum, field: n, as: total}]
+         |---
+         |kind: Sink
+         |metadata: {name: two_out}
+         |spec: {format: memory, path: "", checkpoint: ""}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p2}
+         |spec: {source: ev, steps: [aggA, aggB], sink: two_out}
+         |""".stripMargin)
+    val two = Compiler.compile(spark, regTwo,
+      tables = Map("evt" -> evTwo.toDF().toDF("id", "user", "ts")))("p2")
+    assert(two.outputMode == "append" && two.emitInterval.isEmpty)
     // run-to-drain refuses a resident periodic pipeline
     assert(intercept[IllegalArgumentException](Compiler.write(per))
       .getMessage.contains("run-to-drain"))

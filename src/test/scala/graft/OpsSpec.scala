@@ -540,18 +540,33 @@ class OpsSpec extends SparkSpec {
       (11L, "hello world foo bar baz"), // fresh
       (12L, "hello world foo bar baz"), // identical to 11, larger id
       (13L, "qqq rrr sss ttt uuu"),     // fresh
-      (14L, "aaa bbb ccc ddd eee fff")  // near-dup of corpus doc 1 (3/4 shingles)
+      (14L, "aaa bbb ccc ddd eee fff"), // near-dup of corpus doc 1 (3/4 shingles)
+      (15L, "so short")                 // < n tokens: sentinel signature
     ).toDF("doc_id", "text")
-    val r = Dedup.incrementalDedupe(batch, corpus, "doc_id", "text",
+    val shortCorpus = corpus.union(Seq((3L, "tiny")).toDF("doc_id", "text"))
+    val r = Dedup.incrementalDedupe(batch, shortCorpus, "doc_id", "text",
       n = 3, k = 16, bands = 4, minSim = 0.5)
       .collect().map(row => row.getLong(0) -> Option(row.getString(1))).toMap
-    assert(r.size == 5)
+    assert(r.size == 6)
     // an exact corpus dup is ALSO a near dup — precedence reports exact
     assert(r(10L) == Some("exact_corpus"))
     assert(r(11L).isEmpty)  // first arrival in the batch is kept
     assert(r(12L) == Some("exact_batch"))
     assert(r(13L).isEmpty)
     assert(r(14L) == Some("near_corpus"))
+    // two sub-shingle-length docs share no text: the all-sentinel minhash
+    // signature must NOT make them near-dups of each other
+    assert(r(15L).isEmpty)
+  }
+
+  test("minhash LSH: sub-shingle-length docs never pair on the sentinel signature") {
+    val docs = Seq(
+      (1L, "one"), (2L, "two words"),  // both < 3 tokens, disjoint text
+      (3L, "aaa bbb ccc ddd"), (4L, "aaa bbb ccc ddd")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 16, bands = 4, minSim = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 4L)))
   }
 
   test("columnQuantiles: exact nearest-rank values per column, nulls ignored") {
