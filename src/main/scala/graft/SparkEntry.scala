@@ -831,8 +831,13 @@ object SparkEntry {
     * corpus docs per query, terms in more than 80% of documents pruned
     * before the posting join (the corpus-relative cap — the fixture
     * vocabulary is tiny and shared, so an absolute cap prunes everything
-    * at one SF and nothing at another). The oracle replays the posting
-    * join and the DECIMAL(28,12)-summed contributions term for term.
+    * at one SF and nothing at another). 0.8, not the usual 0.4-0.5
+    * stopword cutoff: 30 of the fixture's 31 terms sit at df 75-80%, so
+    * any tighter cap leaves zero query-term matches — the fixture's
+    * degenerate vocabulary also makes this the suite's most expensive
+    * query (~16 s at sf0.1: every posting list is ~0.8N). The oracle
+    * replays the posting join and the DECIMAL(28,12)-summed
+    * contributions term for term.
     */
   private def qBm25(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
