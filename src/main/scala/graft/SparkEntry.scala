@@ -659,7 +659,9 @@ object SparkEntry {
       mode = DeliveryMode.ExactlyOnce)
     Writers.write(out, sink)
     Writers.write(out, sink) // simulated redelivery: must converge, not append
-    s.read.parquet(path)
+    // explicit schema: an empty input writes no footer to infer from, and a
+    // 100 TB pipeline reading a sink it just wrote knows the schema anyway
+    s.read.schema(out.schema).parquet(path)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("status"))
       .orderBy(col("o_orderkey"))
   }
