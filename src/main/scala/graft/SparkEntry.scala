@@ -1232,6 +1232,54 @@ object SparkEntry {
       .orderBy(col("r_regionkey"))
   }
 
+  /** Span-level repeated-substring dedup (suffix-array dedup, relational):
+    * 8-token spans occurring more than once corpus-wide survive only at
+    * their first (doc, start); the cleaned text is compared by md5.
+    */
+  private def qDedupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.repeatedSpanDedupe(docs(s, dir), "doc_id", "text", w = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("text")).as("clean_hash"))
+      .orderBy(col("doc_id"))
+
+  /** Row-local L2 normalization; components compared as exploded rows so
+    * the hash check sees numeric doubles, never engine float formatting.
+    */
+  private def qEmbedNormalize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.l2Normalize(emb(s, dir), "embedding")
+      .select(col("vec_id"), posexplode(col("nvec")).as(Seq("pos", "nval")))
+      .orderBy(col("vec_id"), col("pos"))
+
+  /** Per-dimension z-score standardization (decimal-summed stats). */
+  private def qEmbedStandardize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.standardize(emb(s, dir), "embedding")
+      .select(col("vec_id"), posexplode(col("zvec")).as(Seq("pos", "zval")))
+      .orderBy(col("vec_id"), col("pos"))
+
+  /** Johnson–Lindenstrauss random projection 64 → 8 dims on the md5
+    * hyperplanes ([[graft.functions.VectorFunctions.planeWeight]]).
+    */
+  private def qEmbedProject(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.randomProject(emb(s, dir), "embedding", outDim = 8, dim = 64)
+      .select(col("vec_id"), posexplode(col("pvec")).as(Seq("pos", "pval")))
+      .orderBy(col("vec_id"), col("pos"))
+
+  /** Join-key skew profile of events.user_id: top-20 heavy hitters with
+    * integer-exact corpus share — the pre-flight check for SkewJoin/AQE.
+    */
+  private def qProfileSkew(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.keySkew(t(s, dir, "events"), "user_id", k = 20)
+      .orderBy(col("n_rows").desc, col("key_value"))
+
+  /** z-value (Morton) kernel over (user_id, event_id) — the oracle-checked
+    * half of [[graft.ops.Layout]]; the layout itself is plan/file-stat
+    * tested in LayoutSpec.
+    */
+  private def qZorder(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Layout.withZValue(t(s, dir, "events"), "user_id", "event_id", bits = 8)
+      .select(col("event_id"), col("zval"))
+      .orderBy(col("event_id"))
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -1322,7 +1370,13 @@ object SparkEntry {
     "q_kmeans" -> (qKmeans _),
     "q_trim_outliers" -> (qTrimOutliers _),
     "q_profile_quantiles" -> (qProfileQuantiles _),
-    "q_dedup_incremental" -> (qDedupIncremental _)
+    "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_spans" -> (qDedupSpans _),
+    "q_embed_normalize" -> (qEmbedNormalize _),
+    "q_embed_standardize" -> (qEmbedStandardize _),
+    "q_embed_project" -> (qEmbedProject _),
+    "q_profile_skew" -> (qProfileSkew _),
+    "q_zorder" -> (qZorder _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2354,6 +2408,111 @@ object SparkEntry {
         |LEFT JOIN eb ON d.doc_id = eb.doc_id
         |LEFT JOIN nc ON d.doc_id = nc.doc_id
         |WHERE d.doc_id % 5 = 0
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_dedup_spans" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(range(len(toks))) AS pos, toks FROM base
+        |), t AS (
+        |  SELECT doc_id, pos, toks[pos+1] AS tok FROM tok
+        |), occ AS (
+        |  SELECT doc_id, pos AS start,
+        |    md5(array_to_string(toks[pos+1:pos+8], ' ')) AS h
+        |  FROM tok WHERE pos + 8 <= len(toks)
+        |), dup AS (
+        |  SELECT doc_id, start FROM (
+        |    SELECT doc_id, start,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+        |    FROM occ) WHERE rn > 1
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, start + unnest(range(8)) AS pos FROM dup)
+        |), kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok
+        |  FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+        |  WHERE cov.doc_id IS NULL
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS clean
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT b.doc_id,
+        |  CAST(len(b.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(b.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(a.clean, '')) AS clean_hash
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+    "q_embed_normalize" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings
+        |), e AS (
+        |  SELECT vec_id, nrm, unnest(range(len(v))) AS pos, unnest(v) AS x FROM n
+        |)
+        |SELECT vec_id, pos,
+        |  CASE WHEN nrm > 0 THEN round(x / nrm, 6) ELSE 0.0 END AS nval
+        |FROM e ORDER BY vec_id, pos""".stripMargin,
+    "q_embed_standardize" ->
+      """WITH c AS (
+        |  SELECT vec_id, unnest(range(len(embedding))) AS pos,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings
+        |), sd AS (
+        |  SELECT pos, mean, sqrt(greatest(ex2 - mean * mean, 0.0)) AS std FROM (
+        |    SELECT pos,
+        |      CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean,
+        |      CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS ex2
+        |    FROM c GROUP BY pos)
+        |)
+        |SELECT c.vec_id, c.pos,
+        |  CASE WHEN sd.std > 0 THEN round((c.x - sd.mean) / sd.std, 6) ELSE 0.0 END AS zval
+        |FROM c JOIN sd USING (pos) ORDER BY c.vec_id, c.pos""".stripMargin,
+    "q_embed_project" -> projectOracleSql,
+    "q_profile_skew" ->
+      """SELECT coalesce(CAST(user_id AS VARCHAR), 'NULL') AS key_value,
+        |  count(*) AS n_rows,
+        |  count(*) * 10000 // (SELECT count(*) FROM events) AS share_bp
+        |FROM events GROUP BY 1
+        |ORDER BY n_rows DESC, key_value LIMIT 20""".stripMargin,
+    "q_zorder" ->
+      """WITH mm AS (
+        |  SELECT CAST(min(user_id) AS BIGINT) AS mina, CAST(max(user_id) AS BIGINT) AS maxa,
+        |         CAST(min(event_id) AS BIGINT) AS minb, CAST(max(event_id) AS BIGINT) AS maxb
+        |  FROM events
+        |), s AS (
+        |  SELECT e.event_id,
+        |    ((CAST(e.user_id AS BIGINT) - mina) * 256) // (maxa - mina + 1) AS an,
+        |    ((CAST(e.event_id AS BIGINT) - minb) * 256) // (maxb - minb + 1) AS bn
+        |  FROM events e CROSS JOIN mm
+        |)
+        |SELECT event_id,
+        |  CAST(list_sum(list_transform(range(8), i ->
+        |    (((an >> i) & 1) << (2*i+1)) + (((bn >> i) & 1) << (2*i)))) AS BIGINT) AS zval
+        |FROM s ORDER BY event_id""".stripMargin
   )
+
+  /** q_embed_project oracle: the 8×64 integer planeWeight values embedded
+    * as literal DOUBLE lists, so DuckDB's list_dot_product runs the same
+    * left-to-right accumulation over the same exact weights as VectorDot
+    * (integral weights round-trip exactly through a SQL literal).
+    */
+  private lazy val projectOracleSql: String = {
+    import graft.functions.{VectorFunctions => VF}
+    val planes = (0 until 8).map { p =>
+      val lst = (0 until 64).map(d => s"${VF.planeWeight(p, d)}.0").mkString(", ")
+      s"SELECT $p AS pos, [$lst]::DOUBLE[] AS w"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH w AS (
+       |  $planes
+       |)
+       |SELECT e.vec_id, w.pos,
+       |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), w.w) / 2147483648.0, 6) AS pval
+       |FROM embeddings e CROSS JOIN w
+       |ORDER BY e.vec_id, w.pos""".stripMargin
+  }
 }

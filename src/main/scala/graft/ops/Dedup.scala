@@ -370,6 +370,83 @@ object Dedup {
       .select(col(idCol), coalesce(col("_clean"), lit("")).as(textCol))
   }
 
+  /** Span-level repeated-substring dedup (the suffix-array dedup of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * re-expressed relationally): any `w`-token span occurring more than
+    * once ACROSS THE WHOLE CORPUS is kept only at its first occurrence
+    * (smallest (doc, start)) and removed everywhere else — the granularity
+    * between exact-doc dedup ([[exactGroups]]) and line dedup
+    * ([[dedupeLines]]); it catches templated passages and quotations that
+    * are neither whole-doc nor line-aligned.
+    *
+    * Relational shape instead of a suffix array: rolling w-token shingle
+    * occurrences (doc, start, md5) → the duplicated-shingle set via a
+    * map-side-combined groupBy (count > 1, keeper = min (doc, start) —
+    * an aggregation, NOT a per-shingle window, so a million-occurrence
+    * boilerplate span partial-aggregates on the map side instead of
+    * sorting through one task) → non-keeper occurrences expand to their w
+    * covered token positions → tokens anti-join covered, reassemble in
+    * order. Every join is keyed (shingle hash / (doc, pos)); nothing is
+    * quadratic; AQE splits the hot-shingle probe partitions.
+    *
+    * Tokens are RAW whitespace tokens (not [[graft.functions.TextFunctions
+    * .normalize]]): span dedup must return the surviving text verbatim (up
+    * to whitespace collapse), and near-miss spans differing by punctuation
+    * are edit-distance territory ([[editDistancePairs]]), not span dedup.
+    *
+    * Returns one row per input doc: (idCol, n_tokens, n_removed, textCol
+    * cleaned — "" when everything was removed).
+    */
+  def repeatedSpanDedupe(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int
+  ): DataFrame = {
+    require(w >= 1, "span width must be >= 1")
+    val toksExpr = when(length(trim(col(textCol))) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    // referenced three times (token explode, shingle explode, final join)
+    val base = docs.select(col(idCol).as("_doc"), toksExpr.as("_toks"))
+      .localCheckpoint(false)
+    val tokens = base.select(col("_doc"), posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+    // sequence(0, n-w) is guarded: Spark's sequence(0, negative) DESCENDS
+    val occs = base.select(
+      col("_doc"),
+      posexplode(
+        when(size(col("_toks")) < w, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), size(col("_toks")) - w),
+            i => md5(array_join(slice(col("_toks"), i + 1, lit(w)), " ")))))
+        .as(Seq("_start", "_h")))
+    val dupShingles = occs
+      .groupBy(col("_h"))
+      .agg(min(struct(col("_doc"), col("_start"))).as("_first"), count(lit(1)).as("_n"))
+      .filter(col("_n") > 1)
+      .select(col("_h"), col("_first"))
+    val covered = occs
+      .join(dupShingles, Seq("_h"))
+      .filter(struct(col("_doc"), col("_start")) =!= col("_first"))
+      .select(col("_doc"),
+        explode(sequence(col("_start"), col("_start") + (w - 1))).as("_pos"))
+      .distinct()
+    val kept = tokens
+      .join(covered, Seq("_doc", "_pos"), "left_anti")
+      .groupBy(col("_doc"))
+      .agg(
+        count(lit(1)).as("_n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("_pos"), col("_tok")))),
+            s => s.getField("_tok")), " ").as("_clean"))
+    base
+      .join(kept, Seq("_doc"), "left")
+      .select(
+        col("_doc").as(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        (size(col("_toks")) - coalesce(col("_n_kept"), lit(0L))).cast("long").as("n_removed"),
+        coalesce(col("_clean"), lit("")).as(textCol))
+  }
+
   /** Incremental dedup: a NEW batch (today's crawl) against an EXISTING
     * corpus that is already deduplicated — the production boundary case,
     * where re-running full-corpus dedup per batch would rescan 100 TB

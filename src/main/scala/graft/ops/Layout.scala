@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout for scan pruning — the write-side lever
+  * that makes 100 TB reads cheap. Sorting a table by one column gives
+  * parquet min/max footer stats that prune scans on THAT column only; a
+  * z-order (Morton-curve) layout interleaves the bits of two columns so
+  * every written file covers a small rectangle of the 2-D key domain, and
+  * predicates on EITHER column (or both) skip most files.
+  *
+  * Everything is integer arithmetic on rank-normalized values — exact in
+  * any engine, so the z-value kernel itself is oracle-checkable; the
+  * layout op is one `repartitionByRange` on the z-value (a range shuffle —
+  * the same cost as any global sort-for-layout pass) plus an in-partition
+  * sort, then a normal parquet write.
+  */
+object Layout {
+
+  /** z-value (Morton code) of two columns: each is cast to long, rank-
+    * normalized to [0, 2^bits) by integer min/max scaling (one tiny agg
+    * broadcast back — the corpus does not shuffle for stats), then bit-
+    * interleaved (colA takes the odd bit positions, colB the even). A
+    * constant column normalizes to 0; a NULL in either column yields a
+    * NULL z-value (range partitioning groups them together).
+    */
+  def withZValue(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      bits: Int,
+      outCol: String = "zval"
+  ): DataFrame = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val cells = 1L << bits
+    val prepared = df
+      .withColumn("_za", col(colA).cast("long"))
+      .withColumn("_zb", col(colB).cast("long"))
+    val mm = prepared.agg(
+      min(col("_za")).as("_mina"), max(col("_za")).as("_maxa"),
+      min(col("_zb")).as("_minb"), max(col("_zb")).as("_maxb"))
+    // (x - min) * cells div (range + 1) lands in [0, cells) with pure
+    // integer ops; a constant column divides by 1 and lands on 0
+    val scaled = prepared
+      .crossJoin(broadcast(mm))
+      .withColumn("_an", expr(s"(_za - _mina) * ${cells}L div (_maxa - _mina + 1)"))
+      .withColumn("_bn", expr(s"(_zb - _minb) * ${cells}L div (_maxb - _minb + 1)"))
+    val z = (0 until bits)
+      .map { i =>
+        shiftleft(shiftright(col("_an"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+          .bitwiseOR(shiftleft(shiftright(col("_bn"), i).bitwiseAND(lit(1L)), 2 * i))
+      }
+      .reduce(_.bitwiseOR(_))
+    scaled
+      .withColumn(outCol, z)
+      .drop("_za", "_zb", "_mina", "_maxa", "_minb", "_maxb", "_an", "_bn")
+  }
+
+  /** Re-lay a frame out along the z-order curve of (colA, colB):
+    * range-partition on the z-value into `numPartitions` output files-to-be
+    * and sort within each, so every written file's footer covers a compact
+    * z-range — i.e. a small rectangle of the (colA, colB) domain. Write
+    * the result with any parquet sink; scans filtering on either column
+    * then skip most files on min/max stats alone.
+    */
+  def zOrder(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      bits: Int,
+      numPartitions: Int
+  ): DataFrame = {
+    require(numPartitions >= 1, "numPartitions must be >= 1")
+    withZValue(df, colA, colB, bits)
+      .repartitionByRange(numPartitions, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .drop("zval")
+  }
+}

@@ -131,6 +131,32 @@ object Profiling {
       s"stack(${cols.size}, $stacked) AS (col_name, n, n_null, n_distinct, min_v, max_v)"))
   }
 
+  /** Join-key skew profile: the top-k heaviest keys of a prospective
+    * join/groupBy key with their row counts and corpus share in basis
+    * points (integer arithmetic — engine-exact). THE diagnostic to run
+    * before keying 100 TB on a column: it tells you whether you need
+    * [[graft.operators.SkewJoin]] (salting) or AQE skew splitting, and for
+    * which keys. One map-side-combined groupBy over the keys; the per-key
+    * frame is locally checkpointed because the grand total reads it again
+    * (O(distinct keys) storage, never the corpus); top-k is a distributed
+    * TakeOrderedAndProject, no global sort. NULL keys profile as 'NULL'
+    * (a null-heavy key column is the most common real-world skew).
+    */
+  def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val counts = df
+      .groupBy(coalesce(col(keyCol).cast("string"), lit("NULL")).as("key_value"))
+      .agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint(false)
+    val total = counts.agg(sum(col("n_rows")).as("_total"))
+    counts
+      .crossJoin(broadcast(total))
+      .select(col("key_value"), col("n_rows"),
+        expr("n_rows * 10000 div _total").as("share_bp"))
+      .orderBy(col("n_rows").desc, col("key_value"))
+      .limit(k)
+  }
+
   /** Exact per-column quantiles (nearest-rank: smallest v whose cumulative
     * count reaches ceil(bp·N/10000) — the same integer-exact rule as
     * [[Sampling.trimByPercentile]], so results are engine-exact, unlike

@@ -283,6 +283,88 @@ object Similarity {
         col("_did").isNull.as("kept"))
   }
 
+  /** Row-local L2 normalization: x / ||x||, rounded to 6 d.p. (the same
+    * cross-engine FP absorption as [[graft.functions.VectorFunctions
+    * .cosine]]). After this, cosine degenerates to a plain dot — ANN
+    * pipelines normalize once at ingest instead of carrying norms through
+    * every candidate join. Zero vectors normalize to zeros. No shuffle;
+    * the norm sits behind its own projection so the HOF lambda does not
+    * re-evaluate it per element (the [[quantizeInt8]] recompute trap).
+    */
+  def l2Normalize(df: DataFrame, vecCol: String, outCol: String = "nvec"): DataFrame = {
+    val withNorm = df.withColumn("__nrm", V.norm(col(vecCol)))
+    withNorm
+      .withColumn(outCol,
+        when(col("__nrm") > 0.0,
+          transform(col(vecCol), x => round(x.cast("double") / col("__nrm"), 6)))
+          .otherwise(transform(col(vecCol), _ => lit(0.0))))
+      .drop("__nrm")
+  }
+
+  /** Per-dimension z-score standardization across the corpus — the
+    * preprocessing step before distance-based ops when dimensions have
+    * unequal scales. Stats pass: posexplode to (pos, x), one map-side-
+    * combined groupBy over `dim` keys with DECIMAL(28,12) sums (order-
+    * independent, so an oracle replays them exactly; variance is
+    * E[x²] − mean² from the two exact sums). The dim-row stats collapse
+    * to a single array row that rides a broadcast back onto the corpus —
+    * the corpus itself never shuffles. A constant dimension (std = 0)
+    * standardizes to 0.
+    */
+  def standardize(df: DataFrame, vecCol: String, outCol: String = "zvec"): DataFrame = {
+    val stats = df
+      .select(posexplode(col(vecCol)).as(Seq("_p", "_x")))
+      .select(col("_p"), col("_x").cast("double").as("_x"))
+      .groupBy(col("_p"))
+      .agg(
+        (sum(col("_x").cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("_mean"),
+        (sum((col("_x") * col("_x")).cast("decimal(28,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("_ex2"))
+      .select(col("_p"), col("_mean"),
+        sqrt(greatest(col("_ex2") - col("_mean") * col("_mean"), lit(0.0))).as("_std"))
+    val statsRow = stats
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("_p"), col("_mean"), col("_std")))),
+          s => s.getField("_mean")).as("__means"),
+        transform(array_sort(collect_list(struct(col("_p"), col("_mean"), col("_std")))),
+          s => s.getField("_std")).as("__stds"))
+    df.crossJoin(broadcast(statsRow))
+      .withColumn(outCol,
+        transform(col(vecCol), (x, i) =>
+          when(element_at(col("__stds"), i + 1) > 0.0,
+            round((x.cast("double") - element_at(col("__means"), i + 1)) /
+              element_at(col("__stds"), i + 1), 6))
+            .otherwise(lit(0.0))))
+      .drop("__means", "__stds")
+  }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
+    * y_j = <x, w_j> with w_j the md5-derived integer hyperplanes of
+    * [[graft.functions.VectorFunctions.planeWeight]] — the SAME projections
+    * [[lshTopK]] takes the sign of, kept as values. Weights are integral,
+    * so they embed exactly as literals in any engine's SQL; the dot is
+    * then divided by 2³¹ — a lossless exponent shift that brings weights
+    * to effectively [-1, 1) — BEFORE the 6 d.p. round (rounding the raw
+    * ≈1e9-magnitude dot sits below one double ULP and flaps across
+    * engines). Row-local, no shuffle, one codegen'd dot per output dim.
+    */
+  def randomProject(
+      df: DataFrame,
+      vecCol: String,
+      outDim: Int,
+      dim: Int,
+      outCol: String = "pvec"
+  ): DataFrame = {
+    require(outDim >= 1 && dim >= 1, "outDim and dim must be >= 1")
+    val comps = (0 until outDim).map { p =>
+      val weights = typedLit((0 until dim).map(d => V.planeWeight(p, d).toDouble))
+      round(V.dot(col(vecCol), weights) / 2147483648.0, 6)
+    }
+    df.withColumn(outCol, array(comps: _*))
+  }
+
   /** Symmetric int8 quantization per vector: q_i = round_half_up(x_i * 127
     * / max|x|), the storage layout ANN indexes ship at scale (4× smaller
     * exchanges and index blocks than float32; dot products stay int

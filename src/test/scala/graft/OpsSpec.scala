@@ -607,4 +607,75 @@ class OpsSpec extends SparkSpec {
     assert(seeds.length == 2)
     seeds.foreach { case (id, c) => assert(c == Seq(values(id).toDouble)) }
   }
+
+  test("repeatedSpanDedupe removes every non-first occurrence of a repeated span") {
+    // w=3. "a b c" occurs at (1,0), (2,2), (3,0); keeper is (1,0).
+    // Doc 3 is an exact copy of doc 1, so ALL its shingles repeat doc 1's
+    // -> every position covered -> cleaned to "".
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y a b c"),
+      (3L, "a b c d e"),
+      (4L, "p q"), // shorter than w: no shingles, untouched
+      (5L, "")     // empty: 0 tokens
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanDedupe(docs, "doc_id", "text", w = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((5L, 0L, "a b c d e"))) // keeper doc intact
+    assert(out(2L) == ((5L, 3L, "x y")))       // covered positions 2..4 removed
+    assert(out(3L) == ((5L, 5L, "")))          // exact dup fully removed
+    assert(out(4L) == ((2L, 0L, "p q")))
+    assert(out(5L) == ((0L, 0L, "")))
+  }
+
+  test("repeatedSpanDedupe removes in-document repeats past the first occurrence") {
+    // "a b c" occurs twice INSIDE doc 1 at starts 0 and 3; the second
+    // occurrence (positions 3..5) is removed, the first kept.
+    val docs = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpanDedupe(docs, "doc_id", "text", w = 3)
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq == Seq((1L, 6L, 3L, "a b c")))
+  }
+
+  test("l2Normalize: unit-norm rows, zero vector to zeros") {
+    val vecs = Seq((1L, Seq(3f, 4f)), (2L, Seq(0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.l2Normalize(vecs, "embedding")
+      .select(col("vec_id"), col("nvec")).as[(Long, Seq[Double])].collect().toMap
+    assert(out(1L) == Seq(0.6, 0.8))
+    assert(out(2L) == Seq(0.0, 0.0))
+  }
+
+  test("standardize: z-scores per dimension; constant dimension maps to 0") {
+    // dim 0: values {0, 2} -> mean 1, std 1 -> z = {-1, 1}
+    // dim 1: constant 10 -> std 0 -> z = 0
+    val vecs = Seq((1L, Seq(0f, 10f)), (2L, Seq(2f, 10f))).toDF("vec_id", "embedding")
+    val out = Similarity.standardize(vecs, "embedding")
+      .select(col("vec_id"), col("zvec")).as[(Long, Seq[Double])].collect().toMap
+    assert(out(1L) == Seq(-1.0, 0.0))
+    assert(out(2L) == Seq(1.0, 0.0))
+  }
+
+  test("randomProject: md5-hyperplane dots over 2^31, deterministic") {
+    val v = Seq(1.0f, -2.0f, 0.5f)
+    val vecs = Seq((1L, v)).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(vecs, "embedding", outDim = 4, dim = 3)
+      .select(col("pvec")).as[Seq[Double]].head()
+    assert(out.length == 4)
+    val expected = (0 until 4).map { p =>
+      val raw = (0 until 3).map(d => v(d).toDouble * V.planeWeight(p, d)).sum
+      BigDecimal(raw / 2147483648.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out == expected)
+  }
+
+  test("keySkew: heavy hitters with exact basis-point share; NULL key profiled") {
+    val rows = Seq.fill(6)(Some("hot")) ++ Seq(Some("warm"), Some("warm"), None, Some("cold"))
+    val df = rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val out = Profiling.keySkew(df, "k", k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // 10 rows total: hot 6 (6000 bp), warm 2 (2000 bp), NULL/cold 1 each
+    // (1000 bp) -> top-3 tie at rank 3 broken by key_value: "NULL" < "cold"
+    assert(out == Seq(("hot", 6L, 6000L), ("warm", 2L, 2000L), ("NULL", 1L, 1000L)))
+  }
 }
