@@ -68,7 +68,14 @@ object Stress {
       "kmeans" -> (() => ops.Clustering.kmeansAssign(embN, "vec_id", "embedding",
         k = math.max(8, (3.2 * mult).toInt), iters = 2)),
       "semdedup" -> (() => ops.Similarity.semanticDedupe(embN, "vec_id", "embedding",
-        nCells = math.max(16, (6.4 * mult).toInt), minCosine = 0.15))
+        nCells = math.max(16, (6.4 * mult).toInt), minCosine = 0.15)),
+      "span_dedup" -> (() => ops.Dedup.repeatedSpanDedupe(docsN, "doc_id", "text", w = 8)),
+      "standardize" -> (() => ops.Similarity.standardize(embN, "embedding")),
+      "project" -> (() => ops.Similarity.randomProject(embN, "embedding",
+        outDim = 8, dim = 64)),
+      "key_skew" -> (() => ops.Profiling.keySkew(eventsN, "user_id", k = 20)),
+      "zorder" -> (() => ops.Layout.zOrder(eventsN, "user_id", "event_id",
+        bits = 12, numPartitions = 64))
     )
     val selected = if (args.nonEmpty) opList.filter(o => args.contains(o._1)) else opList
 

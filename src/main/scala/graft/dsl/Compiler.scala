@@ -277,7 +277,16 @@ object Compiler {
           "writeStreaming() and manage its lifecycle; write() is run-to-drain")
       writeStreaming(p).awaitTermination()
     } else {
-      val w = p.frame.write.mode(p.sink.mode)
+      val frame =
+        if (p.sink.zOrderBy.isEmpty) p.frame
+        else {
+          require(p.sink.zOrderBy.size == 2,
+            s"sink '${p.sink.name}': zOrderBy takes exactly two columns")
+          val parts = p.frame.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+          graft.ops.Layout.zOrder(p.frame,
+            p.sink.zOrderBy.head, p.sink.zOrderBy(1), p.sink.zOrderBits, parts)
+        }
+      val w = frame.write.mode(p.sink.mode)
       val pw = if (p.sink.partitionBy.nonEmpty) w.partitionBy(p.sink.partitionBy: _*) else w
       p.sink.format match {
         case "parquet" => pw.parquet(p.sink.path)
@@ -300,6 +309,10 @@ object Compiler {
     */
   def writeStreaming(p: CompiledPipeline): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
+    // a global space-filling-curve sort needs the whole dataset; micro-batches
+    // can only ever be locally ordered — z-order is a batch/compaction concern
+    require(p.sink.zOrderBy.isEmpty,
+      s"sink '${p.sink.name}': zOrderBy is batch-only (re-layout via a compaction run)")
     require(p.sink.format == "memory" || p.sink.checkpoint.nonEmpty || p.sink.path.nonEmpty,
       s"streaming sink '${p.sink.name}' needs a checkpoint: location " +
         "(or a path to derive one from)")

@@ -32,7 +32,9 @@ final case class SinkManifest(
     path: String,
     mode: String = "overwrite",
     partitionBy: Seq[String] = Seq.empty,
-    checkpoint: String = ""          // streaming sinks: checkpoint location
+    checkpoint: String = "",         // streaming sinks: checkpoint location
+    zOrderBy: Seq[String] = Seq.empty, // exactly two columns: z-order layout
+    zOrderBits: Int = 12
 )
 
 final case class DlqSpec(sink: String, maxRetries: Int, retryBackoffMs: Long, maxRetryBackoffMs: Long)

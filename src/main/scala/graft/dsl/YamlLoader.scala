@@ -53,9 +53,13 @@ object YamlLoader {
       case "Sink" =>
         val partitions = spec.get("partitionBy")
           .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
+        val zOrder = spec.get("zOrderBy")
+          .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
         Registry(sinks = Map(name ->
           SinkManifest(name, str("format", "parquet"), str("path"), str("mode", "overwrite"),
-            partitions, checkpoint = str("checkpoint"))))
+            partitions, checkpoint = str("checkpoint"),
+            zOrderBy = zOrder,
+            zOrderBits = spec.get("zOrderBits").fold(12)(_.toString.toInt))))
       case "Pipeline" =>
         val steps = spec.get("steps").map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
         val dlq = spec.get("dlq").map { d0 =>

@@ -24,7 +24,9 @@ final case class SinkConfig(
     partitionBy: Seq[String] = Seq.empty,
     mode: DeliveryMode.Value = DeliveryMode.ExactlyOnce,
     options: Map[String, String] = Map.empty,
-    retry: RetryPolicy = RetryPolicy()
+    retry: RetryPolicy = RetryPolicy(),
+    zOrderBy: Seq[String] = Seq.empty, // exactly two columns: z-order layout
+    zOrderBits: Int = 12
 )
 
 object Writers {
@@ -33,7 +35,16 @@ object Writers {
     * write failures retry with exponential backoff; at-least-once appends,
     * exactly-once overwrites only the partitions present in this batch.
     */
-  def write(df: DataFrame, sink: SinkConfig): Unit = {
+  def write(df0: DataFrame, sink: SinkConfig): Unit = {
+    // z-order layout rewrites the frame's partitioning/order, not its rows
+    val df =
+      if (sink.zOrderBy.isEmpty) df0
+      else {
+        require(sink.zOrderBy.size == 2, "zOrderBy takes exactly two columns")
+        val parts = df0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        graft.ops.Layout.zOrder(df0, sink.zOrderBy.head, sink.zOrderBy(1),
+          sink.zOrderBits, parts)
+      }
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     if (sink.mode == DeliveryMode.ExactlyOnce && sink.partitionBy.nonEmpty)

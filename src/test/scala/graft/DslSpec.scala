@@ -132,6 +132,48 @@ class DslSpec extends SparkSpec {
     assert(r == Seq((1L, Some("alice"))))
   }
 
+  test("sink zOrderBy: parses from YAML, batch write lays out, streaming refuses") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsl_z").toString
+    val yaml =
+      s"""kind: Source
+         |metadata: {name: ev}
+         |spec: {format: table, path: events}
+         |---
+         |kind: Sink
+         |metadata: {name: zout}
+         |spec:
+         |  format: parquet
+         |  path: $dir/out
+         |  zOrderBy: [user_id, event_id]
+         |  zOrderBits: 4
+         |---
+         |kind: Pipeline
+         |metadata: {name: pz}
+         |spec: {source: ev, steps: [], sink: zout}
+         |""".stripMargin
+    val reg = YamlLoader.load(yaml)
+    assert(reg.sinks("zout").zOrderBy == Seq("user_id", "event_id"))
+    assert(reg.sinks("zout").zOrderBits == 4)
+    val compiled = Compiler.compile(spark, reg, tables = Map("events" -> events))
+    Compiler.write(compiled("pz"))
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == events.count()) // layout changes order, not content
+    assert(back.columns.sorted.toSeq == events.columns.sorted.toSeq)
+    // a streaming pipeline must refuse the batch-only layout option
+    val badSink = reg.sinks("zout")
+    val streamFrame = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      val ms = MemoryStream[Long]
+      ms.addData(1L)
+      ms.toDF()
+    }
+    val err = intercept[IllegalArgumentException] {
+      Compiler.writeStreaming(Compiler.CompiledPipeline("ps", streamFrame, badSink, Seq.empty))
+    }
+    assert(err.getMessage.contains("batch-only"))
+  }
+
   test("DOT export names all stages and edges") {
     val reg = YamlLoader.load(manifestYaml)
     val dot = PipelineGraph.fromRegistry("t", reg).toDot

@@ -59,4 +59,20 @@ class LayoutSpec extends SparkSpec {
     assert(zR.count { case (ra, rb) => ra <= 16 && rb <= 16 } >= zR.size * 3 / 4,
       s"z-ranges too wide: $zR")
   }
+
+  test("Writers.write applies a z-order layout when the sink asks for one") {
+    import graft.sinks.{SinkConfig, Writers}
+    val dir = java.nio.file.Files.createTempDirectory("graft_zsink").toString
+    val grid = (for { a <- 0 until 32; b <- 0 until 32 } yield (a, b)).toDF("a", "b")
+    Writers.write(grid, SinkConfig("parquet", s"$dir/out",
+      zOrderBy = Seq("a", "b"), zOrderBits = 5))
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 1024)
+    // layout reorders rows/files, never changes content
+    assert(back.as[(Int, Int)].collect().toSet ==
+      (for { a <- 0 until 32; b <- 0 until 32 } yield (a, b)).toSet)
+    intercept[IllegalArgumentException] {
+      Writers.write(grid, SinkConfig("parquet", s"$dir/bad", zOrderBy = Seq("a")))
+    }
+  }
 }
