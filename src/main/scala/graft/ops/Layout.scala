@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout for scan pruning — the write-side lever
@@ -76,5 +76,48 @@ object Layout {
       .repartitionByRange(numPartitions, col("zval"))
       .sortWithinPartitions(col("zval"))
       .drop("zval")
+  }
+
+  /** Small-file compaction — the maintenance pass every long-running sink
+    * needs: streaming micro-batches and per-partition overwrites accumulate
+    * thousands of KB-sized files whose open/footer overhead eventually
+    * dominates scan time. Rewrites a parquet directory into
+    * ceil(totalBytes / targetBytes) files (optionally z-ordering on two
+    * columns while at it — this is the "compaction run" the streaming
+    * zOrderBy guard points to), then swaps the rewrite in.
+    *
+    * The swap is delete-then-rename on the filesystem: NOT atomic — a
+    * crash between the two leaves the data one rename away under
+    * `<path>__compact_tmp`. Transactional swaps need a table format's
+    * manifest (or partition-at-a-time rewrites) — out of scope here, and
+    * the job is idempotently re-runnable. Returns the output file count.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 128L << 20,
+      zOrderBy: Seq[String] = Seq.empty,
+      bits: Int = 12
+  ): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(zOrderBy.isEmpty || zOrderBy.size == 2, "zOrderBy takes exactly two columns")
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hp, true)
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (!f.getPath.getName.startsWith("_")) totalBytes += f.getLen
+    }
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(path)
+    val out =
+      if (zOrderBy.nonEmpty) zOrder(df, zOrderBy.head, zOrderBy(1), bits, nFiles)
+      else df.repartition(nFiles)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    out.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hp, true)
+    require(fs.rename(tmp, hp), s"compaction swap failed: rename $tmp -> $hp")
+    nFiles
   }
 }

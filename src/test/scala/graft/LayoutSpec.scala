@@ -75,4 +75,26 @@ class LayoutSpec extends SparkSpec {
       Writers.write(grid, SinkConfig("parquet", s"$dir/bad", zOrderBy = Seq("a")))
     }
   }
+
+  test("compact: many small files collapse to the byte-target count, rows intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val data = (0 until 2000).map(i => (i, s"row_$i")).toDF("id", "payload")
+    data.repartition(50).write.parquet(s"$dir/t")
+    val before = new java.io.File(s"$dir/t").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 50)
+    val n = graft.ops.Layout.compact(spark, s"$dir/t", targetBytes = 1L << 30)
+    assert(n == 1)
+    val files = new java.io.File(s"$dir/t").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 1)
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 2000)
+    assert(back.as[(Int, String)].collect().toSet ==
+      (0 until 2000).map(i => (i, s"row_$i")).toSet)
+    // z-ordering during compaction keeps content identical too
+    val n2 = graft.ops.Layout.compact(spark, s"$dir/t", targetBytes = 1L << 30,
+      zOrderBy = Seq("id", "id"), bits = 4)
+    assert(n2 == 1 && spark.read.parquet(s"$dir/t").count() == 2000)
+  }
 }
