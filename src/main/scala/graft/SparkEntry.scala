@@ -2201,11 +2201,11 @@ object SparkEntry {
         |  CROSS JOIN stats s WHERE CAST(t.df AS DOUBLE) <= 0.8 * CAST(s.n AS DOUBLE)
         |), contrib AS (
         |  SELECT p.doc_id, p.term,
-        |    CAST(
+        |    CAST(floor(
         |      ln((CAST(s.n - t.df AS DOUBLE) + 0.5) / (CAST(t.df AS DOUBLE) + 0.5) + 1.0) *
         |      ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
         |       (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
-        |    AS DECIMAL(28,12)) AS c
+        |      * 1e12 + 0.5) AS BIGINT) AS c
         |  FROM post p JOIN tdf t USING (term) JOIN dls d ON d.doc_id = p.doc_id CROSS JOIN stats s
         |), qt AS (
         |  SELECT DISTINCT doc_id AS qid, term
@@ -2216,7 +2216,8 @@ object SparkEntry {
         |  FROM qt q JOIN contrib c USING (term)
         |  WHERE c.doc_id <> q.qid GROUP BY 1, 2
         |)
-        |SELECT qid AS query_id, did AS doc_id, rank, round(CAST(score AS DOUBLE), 6) AS score
+        |SELECT qid AS query_id, did AS doc_id, rank,
+        |  CAST((score + 500000) // 1000000 AS DOUBLE) / 1e6 AS score
         |FROM (
         |  SELECT qid, did, score,
         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank

@@ -22,9 +22,11 @@ import graft.functions.{TextFunctions => T}
   *
   * Exactness for the oracle: per-(doc,term) BM25 contributions are
   * computed in double with a literal-for-literal expression tree, then
-  * cast to DECIMAL(28,12) BEFORE the per-(query,doc) sum — the decimal
-  * sum is independent of aggregation order, and the 12-decimal rounding
-  * swallows any last-ulp `ln` divergence between engines.
+  * quantized to 1e12-scaled longs BEFORE the per-(query,doc) sum — the
+  * integer sum is independent of aggregation order (the job a
+  * DECIMAL(28,12) sum did in earlier rounds, at Int128 aggregation cost),
+  * and the 12-decimal quantization swallows any last-ulp `ln` divergence
+  * between engines.
   */
 object Retrieval {
 
@@ -56,23 +58,33 @@ object Retrieval {
       maxDf: Long = 1000000L,
       maxDfFraction: Double = 1.0
   ): DataFrame = {
-    // Tokens behind their own projection: `__toks` is referenced by both
-    // size() and explode(); inlining the (non-cheap) tokenizer would
-    // re-run it per reference (Catalyst recompute trap).
-    val toks = docs.select(
-      col(docIdCol).cast("long").as("__did"),
-      T.tokens(col(docTextCol)).as("__toks"))
-    val dls = toks.select(col("__did"), size(col("__toks")).cast("long").as("__dl"))
-    val postings = toks
-      .select(col("__did"), explode(col("__toks")).as("__term"))
+    // The posting table is the expensive pass (tokenize + explode + per-
+    // (doc,term) aggregation) and THREE consumers reference it (term df,
+    // doc lengths, the contribution join) — materialize it ONCE (lazy
+    // localCheckpoint, freed by the ContextCleaner; the Dedup storage
+    // contract). Before this the tokenizer ran 3x and the posting
+    // aggregation 2x — measured ~1.9x slower on the bench fixture.
+    val postings = docs
+      .select(col(docIdCol).cast("long").as("__did"),
+        explode(T.tokens(col(docTextCol))).as("__term"))
       .groupBy(col("__did"), col("__term"))
       .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint(false)
+    // Doc length = sum of its term frequencies — read from the stored
+    // postings instead of re-running the tokenizer. Empty docs have no
+    // posting rows and so no __dl row; they cannot score anyway, and the
+    // corpus scalars below count them independently.
+    val dls = postings.groupBy(col("__did")).agg(sum(col("__tf")).as("__dl"))
 
-    // Corpus scalars: N over ALL docs (empty ones included) and the mean
-    // doc length — exact (long sum / long count) then one double divide.
-    val stats = dls.agg(
-      count(lit(1)).as("__n"),
-      (sum(col("__dl")).cast("double") / count(lit(1)).cast("double")).as("__avgdl"))
+    // Corpus scalars: N over ALL docs (empty ones included — a plain row
+    // count, column pruning drops the tokenizer from this branch) and the
+    // mean doc length — exact (long sum / long count), one double divide;
+    // empty docs contribute 0 tokens to the sum either way.
+    val stats = dls.agg(sum(col("__dl")).as("__tok"))
+      .crossJoin(docs.agg(count(lit(1)).as("__n")))
+      .select(col("__n"),
+        (coalesce(col("__tok"), lit(0L)).cast("double") /
+          col("__n").cast("double")).as("__avgdl"))
 
     // The fraction cap rides the same broadcast stats row the contribution
     // join uses — identical BroadcastExchange subtree, so ReuseExchange
@@ -93,11 +105,20 @@ object Retrieval {
     val sat = (col("__tf").cast("double") * (lit(k1) + lit(1.0))) /
       (col("__tf").cast("double") +
         lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("__dl").cast("double") / col("__avgdl"))))
+    // Contributions are quantized to 1e12-scaled LONGS, not DECIMAL(28,12):
+    // same 12-decimal half-up quantization (contributions are positive, so
+    // floor(x*1e12 + 0.5) IS the decimal cast's rounding), but the
+    // per-(query,doc) sum becomes a primitive long — order-independent like
+    // decimal, and codegen'd hash aggregation instead of the Int128 path a
+    // precision-28 decimal sum takes (precision > 18 leaves long-backed
+    // Decimal). Headroom: one contribution < 20 → < 2e13 scaled; a query
+    // needs ~460k matching terms to approach 2^63.
     val contrib = postings
       .join(termDf, "__term")
       .join(dls, "__did")
       .crossJoin(broadcast(stats))
-      .select(col("__did"), col("__term"), (idf * sat).cast("decimal(28,12)").as("__c"))
+      .select(col("__did"), col("__term"),
+        floor((idf * sat) * lit(1e12) + lit(0.5)).cast("long").as("__c"))
 
     val queryTerms = queries
       .select(col(queryIdCol).cast("long").as("__qid"),
@@ -118,7 +139,9 @@ object Retrieval {
         col("__qid").as("query_id"),
         col("__did").as("doc_id"),
         col("rank"),
-        round(col("__score").cast("double"), 6).as("score"))
+        // 6 d.p. half-up in pure integer arithmetic on the exact scaled
+        // sum (micro-units < 2^53, so the final double divide is exact)
+        (expr("(__score + 500000L) div 1000000L").cast("double") / lit(1e6)).as("score"))
   }
 
   /** Top-`k` TF-IDF keywords per document — topic labels / quality
@@ -144,16 +167,15 @@ object Retrieval {
       maxDf: Long = 1000000L,
       maxDfFraction: Double = 1.0
   ): DataFrame = {
-    val toks = docs.select(
-      col(idCol).cast("long").as("__did"),
-      T.tokens(col(textCol)).as("__toks"))
-    val postings = toks
-      .select(col("__did"), explode(col("__toks")).as("term"))
+    // Materialized once (lazy localCheckpoint): the posting aggregation is
+    // referenced by both the df pass and the scoring join (see bm25TopK).
+    val postings = docs
+      .select(col(idCol).cast("long").as("__did"),
+        explode(T.tokens(col(textCol))).as("term"))
       .groupBy(col("__did"), col("term"))
       .agg(count(lit(1)).as("__tf"))
-    // count(lit(1)) never references __toks, so column pruning removes the
-    // tokenizer from this branch — it is a plain row count of docs
-    val n = toks.agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false)
+    val n = docs.agg(count(lit(1)).as("__n"))
     val termDf = postings
       .groupBy(col("term"))
       .agg(count(lit(1)).as("__df"))
