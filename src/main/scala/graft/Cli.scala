@@ -15,6 +15,7 @@ import graft.dsl._
   *   graft.Cli backup create <backup.yaml> <checkpointDir>
   *   graft.Cli backup list <backup.yaml>
   *   graft.Cli backup restore <restore.yaml> <backup.yaml> <targetCheckpointDir>
+  *   graft.Cli compact <parquetDir> <targetMB> [colA colB [bits]]
   * }}}
   *
   * `run` requires file-backed sources/sinks (format=table needs the
@@ -111,10 +112,32 @@ object Cli {
           0
       }
 
+    // maintenance pass for long-running sinks: graft.Cli compact <path>
+    // <targetMB> [colA colB [bits]] — optionally z-orders while rewriting
+    case Seq("compact", path, targetMb) =>
+      doCompact(sparkOpt, path, targetMb, Seq.empty, 12)
+
+    case Seq("compact", path, targetMb, colA, colB) =>
+      doCompact(sparkOpt, path, targetMb, Seq(colA, colB), 12)
+
+    case Seq("compact", path, targetMb, colA, colB, bits) =>
+      doCompact(sparkOpt, path, targetMb, Seq(colA, colB), bits.toInt)
+
     case _ =>
       println("usage: graft.Cli (validate|graph|run|get) <manifest.yaml> | " +
-        "describe <manifest.yaml> <name> | backup (create|list|restore) ...")
+        "describe <manifest.yaml> <name> | backup (create|list|restore) ... | " +
+        "compact <path> <targetMB> [colA colB [bits]]")
       2
+  }
+
+  private def doCompact(sparkOpt: Option[SparkSession], path: String,
+      targetMb: String, zOrderBy: Seq[String], bits: Int): Int = {
+    val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
+    val n = graft.ops.Layout.compact(spark, path,
+      targetBytes = targetMb.toLong << 20, zOrderBy = zOrderBy, bits = bits)
+    println(s"compacted $path to $n file(s)" +
+      (if (zOrderBy.nonEmpty) s", z-ordered on (${zOrderBy.mkString(", ")})" else ""))
+    0
   }
 
   private def readFile(path: String): String =

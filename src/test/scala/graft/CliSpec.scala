@@ -123,4 +123,16 @@ class CliSpec extends SparkSpec {
     java.nio.file.Files.writeString(bf, badYaml)
     assert(Cli.run(Seq("backup", "create", bf.toString, s"$dir/chk"), Some(spark)) == 1)
   }
+
+  test("compact command rewrites small files, optionally z-ordered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_compact").toString
+    (0 until 500).map(i => (i, i % 7)).toDF("a", "b")
+      .repartition(20).write.parquet(s"$dir/t")
+    assert(Cli.run(Seq("compact", s"$dir/t", "512"), Some(spark)) == 0)
+    assert(new java.io.File(s"$dir/t").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    assert(spark.read.parquet(s"$dir/t").count() == 500)
+    assert(Cli.run(Seq("compact", s"$dir/t", "512", "a", "b", "6"), Some(spark)) == 0)
+    assert(spark.read.parquet(s"$dir/t").count() == 500)
+  }
 }
