@@ -124,4 +124,58 @@ class KernelPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("repeatedSpanDedupe equals an in-memory reference on random corpora") {
+    // Tiny vocabulary forces genuine span collisions (incl. overlapping and
+    // in-document ones); duplicate docs force the full-coverage path.
+    def reference(docs: Seq[(Long, String)], w: Int): Map[Long, (Long, Long, String)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> (if (t.trim.isEmpty) Array.empty[String] else t.trim.split("\\s+"))
+      }
+      val occ = scala.collection.mutable.LinkedHashMap
+        .empty[String, Vector[(Long, Int)]].withDefaultValue(Vector())
+      for ((id, tk) <- toks.sortBy(_._1); s <- 0 to tk.length - w if tk.length >= w) {
+        val key = tk.slice(s, s + w).mkString(" ")
+        occ(key) = occ(key) :+ ((id, s))
+      }
+      val covered = scala.collection.mutable.Set.empty[(Long, Int)]
+      for ((_, os) <- occ if os.size > 1; o <- os.sortBy(identity).drop(1);
+           p <- o._2 until o._2 + w) covered += ((o._1, p))
+      toks.map { case (id, tk) =>
+        val kept = tk.zipWithIndex.collect { case (t, i) if !covered((id, i)) => t }
+        id -> ((tk.length.toLong, (tk.length - kept.length).toLong, kept.mkString(" ")))
+      }.toMap
+    }
+    val vocab = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, vocab)).map(_.mkString(" "))
+    for (seed <- 300L to 307L) {
+      val w = (seed % 3 + 2).toInt // 2..4
+      val base = sample(Gen.listOfN(16, docGen), seed)
+      val texts = base ++ base.take(3) // exact dup docs
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = graft.ops.Dedup
+        .repeatedSpanDedupe(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == reference(docs, w), s"seed=$seed w=$w")
+    }
+  }
+
+  test("zvalue stays in range and is injective on the normalized grid") {
+    import graft.ops.Layout
+    for (seed <- 400L to 403L) {
+      val bits = (seed % 3 + 2).toInt // 2..4
+      val pairs = sample(Gen.listOfN(60,
+        Gen.zip(Gen.chooseNum(-1000, 1000), Gen.chooseNum(-1000, 1000))), seed)
+      val out = Layout.withZValue(pairs.toDF("a", "b"), "a", "b", bits)
+        .select(col("a"), col("b"), col("zval")).as[(Int, Int, Long)].collect()
+      assert(out.length == pairs.length) // no rows lost
+      val cells = 1L << (2 * bits)
+      out.foreach { case (a, b, z) =>
+        assert(z >= 0 && z < cells, s"seed=$seed ($a,$b) -> $z")
+      }
+      // same (a, b) always lands on the same z (deterministic layout key)
+      assert(out.groupBy(r => (r._1, r._2)).values.forall(_.map(_._3).distinct.size == 1))
+    }
+  }
 }
