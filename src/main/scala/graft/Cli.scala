@@ -131,14 +131,23 @@ object Cli {
   }
 
   private def doCompact(sparkOpt: Option[SparkSession], path: String,
-      targetMb: String, zOrderBy: Seq[String], bits: Int): Int = {
-    val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
-    val n = graft.ops.Layout.compact(spark, path,
-      targetBytes = targetMb.toLong << 20, zOrderBy = zOrderBy, bits = bits)
-    println(s"compacted $path to $n file(s)" +
-      (if (zOrderBy.nonEmpty) s", z-ordered on (${zOrderBy.mkString(", ")})" else ""))
-    0
-  }
+      targetMb: String, zOrderBy: Seq[String], bits: => Int): Int =
+    try {
+      val mb = targetMb.toLong
+      require(mb > 0, s"targetMB must be positive, got $targetMb")
+      val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
+      val n = graft.ops.Layout.compact(spark, path,
+        targetBytes = mb << 20, zOrderBy = zOrderBy, bits = bits)
+      println(s"compacted $path to $n file(s)" +
+        (if (zOrderBy.nonEmpty) s", z-ordered on (${zOrderBy.mkString(", ")})" else ""))
+      0
+    } catch {
+      // bad numbers / bad bit widths are usage errors, not stack traces
+      case e @ (_: NumberFormatException | _: IllegalArgumentException) =>
+        println(s"ERROR: ${e.getMessage}")
+        println("usage: graft.Cli compact <path> <targetMB> [colA colB [bits]]")
+        2
+    }
 
   private def readFile(path: String): String =
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")

@@ -2466,8 +2466,8 @@ object SparkEntry {
         |), sd AS (
         |  SELECT pos, mean, sqrt(greatest(ex2 - mean * mean, 0.0)) AS std FROM (
         |    SELECT pos,
-        |      CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean,
-        |      CAST(sum(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS ex2
+        |      CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS mean,
+        |      CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS ex2
         |    FROM c GROUP BY pos)
         |)
         |SELECT c.vec_id, c.pos,
@@ -2476,10 +2476,11 @@ object SparkEntry {
     "q_embed_project" -> projectOracleSql,
     "q_profile_skew" ->
       """SELECT coalesce(CAST(user_id AS VARCHAR), 'NULL') AS key_value,
+        |  user_id IS NULL AS is_null,
         |  count(*) AS n_rows,
         |  count(*) * 10000 // (SELECT count(*) FROM events) AS share_bp
-        |FROM events GROUP BY 1
-        |ORDER BY n_rows DESC, key_value LIMIT 20""".stripMargin,
+        |FROM events GROUP BY 1, 2
+        |ORDER BY n_rows DESC, key_value, is_null LIMIT 20""".stripMargin,
     "q_zorder" ->
       """WITH mm AS (
         |  SELECT CAST(min(user_id) AS BIGINT) AS mina, CAST(max(user_id) AS BIGINT) AS maxa,

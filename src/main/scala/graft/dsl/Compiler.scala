@@ -277,15 +277,8 @@ object Compiler {
           "writeStreaming() and manage its lifecycle; write() is run-to-drain")
       writeStreaming(p).awaitTermination()
     } else {
-      val frame =
-        if (p.sink.zOrderBy.isEmpty) p.frame
-        else {
-          require(p.sink.zOrderBy.size == 2,
-            s"sink '${p.sink.name}': zOrderBy takes exactly two columns")
-          val parts = p.frame.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-          graft.ops.Layout.zOrder(p.frame,
-            p.sink.zOrderBy.head, p.sink.zOrderBy(1), p.sink.zOrderBits, parts)
-        }
+      val frame = graft.ops.Layout.applyZOrder(
+        p.frame, p.sink.zOrderBy, p.sink.zOrderBits, s"sink '${p.sink.name}'")
       val w = frame.write.mode(p.sink.mode)
       val pw = if (p.sink.partitionBy.nonEmpty) w.partitionBy(p.sink.partitionBy: _*) else w
       p.sink.format match {

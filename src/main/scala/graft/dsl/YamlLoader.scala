@@ -55,11 +55,18 @@ object YamlLoader {
           .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
         val zOrder = spec.get("zOrderBy")
           .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
+        // fail at LOAD, not at write time: `Cli validate` must reject a
+        // malformed layout spec before any sibling sink has been written
+        if (zOrder.nonEmpty && zOrder.size != 2)
+          sys.error(s"sink '$name': zOrderBy takes exactly two columns, got $zOrder")
+        val zBits = spec.get("zOrderBits").fold(12)(_.toString.toInt)
+        if (zBits < 1 || zBits > 31)
+          sys.error(s"sink '$name': zOrderBits must be in [1, 31], got $zBits")
         Registry(sinks = Map(name ->
           SinkManifest(name, str("format", "parquet"), str("path"), str("mode", "overwrite"),
             partitions, checkpoint = str("checkpoint"),
             zOrderBy = zOrder,
-            zOrderBits = spec.get("zOrderBits").fold(12)(_.toString.toInt))))
+            zOrderBits = zBits)))
       case "Pipeline" =>
         val steps = spec.get("steps").map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
         val dlq = spec.get("dlq").map { d0 =>

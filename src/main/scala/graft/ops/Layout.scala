@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout for scan pruning — the write-side lever
@@ -18,12 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  private val TempCols =
+    Seq("__graft_za", "__graft_zb", "__graft_mina", "__graft_maxa",
+      "__graft_minb", "__graft_maxb", "__graft_an", "__graft_bn")
+
   /** z-value (Morton code) of two columns: each is cast to long, rank-
     * normalized to [0, 2^bits) by integer min/max scaling (one tiny agg
     * broadcast back — the corpus does not shuffle for stats), then bit-
     * interleaved (colA takes the odd bit positions, colB the even). A
     * constant column normalizes to 0; a NULL in either column yields a
     * NULL z-value (range partitioning groups them together).
+    *
+    * The scaling runs in DECIMAL(38,0): `(x - min) * 2^bits` overflows a
+    * long once the column range exceeds 2^(63-bits) — hash-derived ids
+    * and epoch-nano timestamps DO — and a full-range column makes
+    * `max - min + 1` wrap to 0. Decimal keeps every intermediate exact
+    * for any pair of longs (|x-min|·2^31 < 1e29 ≪ 1e38) and the quotient
+    * is < 2^bits, so the BIGINT result is identical to the plain-integer
+    * formula wherever that formula doesn't overflow (which is why the
+    * small-domain oracle can replay it in BIGINT).
     */
   def withZValue(
       df: DataFrame,
@@ -33,28 +46,31 @@ object Layout {
       outCol: String = "zval"
   ): DataFrame = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (TempCols :+ outCol).foreach(c =>
+      require(!df.columns.contains(c), s"withZValue: input already has a '$c' column"))
     val cells = 1L << bits
     val prepared = df
-      .withColumn("_za", col(colA).cast("long"))
-      .withColumn("_zb", col(colB).cast("long"))
+      .withColumn("__graft_za", col(colA).cast("long"))
+      .withColumn("__graft_zb", col(colB).cast("long"))
     val mm = prepared.agg(
-      min(col("_za")).as("_mina"), max(col("_za")).as("_maxa"),
-      min(col("_zb")).as("_minb"), max(col("_zb")).as("_maxb"))
-    // (x - min) * cells div (range + 1) lands in [0, cells) with pure
-    // integer ops; a constant column divides by 1 and lands on 0
+      min(col("__graft_za")).as("__graft_mina"), max(col("__graft_za")).as("__graft_maxa"),
+      min(col("__graft_zb")).as("__graft_minb"), max(col("__graft_zb")).as("__graft_maxb"))
+    def scale(x: String, mn: String, mx: String): Column = expr(
+      s"""(CAST($x AS DECIMAL(38,0)) - CAST($mn AS DECIMAL(38,0))) * ${cells}L
+         | div (CAST($mx AS DECIMAL(38,0)) - CAST($mn AS DECIMAL(38,0)) + 1)""".stripMargin)
     val scaled = prepared
       .crossJoin(broadcast(mm))
-      .withColumn("_an", expr(s"(_za - _mina) * ${cells}L div (_maxa - _mina + 1)"))
-      .withColumn("_bn", expr(s"(_zb - _minb) * ${cells}L div (_maxb - _minb + 1)"))
+      .withColumn("__graft_an", scale("__graft_za", "__graft_mina", "__graft_maxa"))
+      .withColumn("__graft_bn", scale("__graft_zb", "__graft_minb", "__graft_maxb"))
     val z = (0 until bits)
       .map { i =>
-        shiftleft(shiftright(col("_an"), i).bitwiseAND(lit(1L)), 2 * i + 1)
-          .bitwiseOR(shiftleft(shiftright(col("_bn"), i).bitwiseAND(lit(1L)), 2 * i))
+        shiftleft(shiftright(col("__graft_an"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+          .bitwiseOR(shiftleft(shiftright(col("__graft_bn"), i).bitwiseAND(lit(1L)), 2 * i))
       }
       .reduce(_.bitwiseOR(_))
     scaled
       .withColumn(outCol, z)
-      .drop("_za", "_zb", "_mina", "_maxa", "_minb", "_maxb", "_an", "_bn")
+      .drop(TempCols: _*)
   }
 
   /** Re-lay a frame out along the z-order curve of (colA, colB):
@@ -72,25 +88,65 @@ object Layout {
       numPartitions: Int
   ): DataFrame = {
     require(numPartitions >= 1, "numPartitions must be >= 1")
-    withZValue(df, colA, colB, bits)
-      .repartitionByRange(numPartitions, col("zval"))
-      .sortWithinPartitions(col("zval"))
-      .drop("zval")
+    val zc = "__graft_zval"
+    withZValue(df, colA, colB, bits, outCol = zc)
+      .repartitionByRange(numPartitions, col(zc))
+      .sortWithinPartitions(col(zc))
+      .drop(zc)
+  }
+
+  /** The shared sink-side wrapper (Writers.write and the DSL batch write
+    * path): validates the two-column contract and sizes the layout to the
+    * session's shuffle parallelism.
+    */
+  def applyZOrder(df: DataFrame, zOrderBy: Seq[String], bits: Int,
+      what: String): DataFrame =
+    if (zOrderBy.isEmpty) df
+    else {
+      require(zOrderBy.size == 2, s"$what: zOrderBy takes exactly two columns")
+      val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      zOrder(df, zOrderBy.head, zOrderBy(1), bits, parts)
+    }
+
+  /** Hive-style partition columns of a parquet directory, in directory
+    * order: descends first directories while their names are `k=v`.
+    */
+  private def partitionColsOf(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val cols = Seq.newBuilder[String]
+    var cur = root
+    var descending = true
+    while (descending) {
+      val dirs = fs.listStatus(cur).filter(s =>
+        s.isDirectory && !s.getPath.getName.startsWith("_") && s.getPath.getName.contains("="))
+      dirs.headOption match {
+        case Some(d) =>
+          cols += d.getPath.getName.takeWhile(_ != '=')
+          cur = d.getPath
+        case None => descending = false
+      }
+    }
+    cols.result()
   }
 
   /** Small-file compaction — the maintenance pass every long-running sink
     * needs: streaming micro-batches and per-partition overwrites accumulate
     * thousands of KB-sized files whose open/footer overhead eventually
     * dominates scan time. Rewrites a parquet directory into
-    * ceil(totalBytes / targetBytes) files (optionally z-ordering on two
+    * ~ceil(totalBytes / targetBytes) files (optionally z-ordering on two
     * columns while at it — this is the "compaction run" the streaming
-    * zOrderBy guard points to), then swaps the rewrite in.
+    * zOrderBy guard points to), then swaps the rewrite in. A hive-
+    * partitioned directory (`k=v` subdirs, e.g. an ExactlyOnce
+    * partitionBy sink) is re-written WITH its partition columns, so
+    * partition pruning and subsequent dynamic-partition overwrites keep
+    * working on the compacted layout.
     *
     * The swap is delete-then-rename on the filesystem: NOT atomic — a
     * crash between the two leaves the data one rename away under
     * `<path>__compact_tmp`. Transactional swaps need a table format's
     * manifest (or partition-at-a-time rewrites) — out of scope here, and
-    * the job is idempotently re-runnable. Returns the output file count.
+    * the job is idempotently re-runnable. Returns the target file count
+    * (per partition directory for partitioned layouts).
     */
   def compact(
       spark: SparkSession,
@@ -110,12 +166,14 @@ object Layout {
       if (!f.getPath.getName.startsWith("_")) totalBytes += f.getLen
     }
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val partCols = partitionColsOf(fs, hp)
     val df = spark.read.parquet(path)
     val out =
       if (zOrderBy.nonEmpty) zOrder(df, zOrderBy.head, zOrderBy(1), bits, nFiles)
       else df.repartition(nFiles)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
-    out.write.mode("overwrite").parquet(tmp.toString)
+    val w = out.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
     fs.delete(hp, true)
     require(fs.rename(tmp, hp), s"compaction swap failed: rename $tmp -> $hp")
     nFiles

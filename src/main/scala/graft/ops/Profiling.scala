@@ -139,21 +139,26 @@ object Profiling {
     * which keys. One map-side-combined groupBy over the keys; the per-key
     * frame is locally checkpointed because the grand total reads it again
     * (O(distinct keys) storage, never the corpus); top-k is a distributed
-    * TakeOrderedAndProject, no global sort. NULL keys profile as 'NULL'
+    * TakeOrderedAndProject, no global sort. NULL keys profile as
+    * key_value 'NULL' with is_null=true — the flag keeps a genuine
+    * "NULL" STRING key (stringified nulls are routine in crawl data)
+    * distinguishable from SQL NULL, so the caller salts the right one
     * (a null-heavy key column is the most common real-world skew).
     */
   def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val counts = df
-      .groupBy(coalesce(col(keyCol).cast("string"), lit("NULL")).as("key_value"))
+      .groupBy(
+        coalesce(col(keyCol).cast("string"), lit("NULL")).as("key_value"),
+        col(keyCol).isNull.as("is_null"))
       .agg(count(lit(1)).as("n_rows"))
       .localCheckpoint(false)
     val total = counts.agg(sum(col("n_rows")).as("_total"))
     counts
       .crossJoin(broadcast(total))
-      .select(col("key_value"), col("n_rows"),
+      .select(col("key_value"), col("is_null"), col("n_rows"),
         expr("n_rows * 10000 div _total").as("share_bp"))
-      .orderBy(col("n_rows").desc, col("key_value"))
+      .orderBy(col("n_rows").desc, col("key_value"), col("is_null"))
       .limit(k)
   }
 

@@ -316,10 +316,15 @@ object Similarity {
       .select(posexplode(col(vecCol)).as(Seq("_p", "_x")))
       .select(col("_p"), col("_x").cast("double").as("_x"))
       .groupBy(col("_p"))
+      // DECIMAL(38,12), not (28,12): x*x at |x| > 1e8 would overflow the
+      // narrower type's 1e16 integral capacity, and a non-ANSI overflow is
+      // a silent NULL the sum SKIPS while count(*) still counts — wrong
+      // stats with no error. 38,12 holds |x| up to 1e13 (anything beyond
+      // is corrupt input, not an embedding).
       .agg(
-        (sum(col("_x").cast("decimal(28,12)")).cast("double") /
+        (sum(col("_x").cast("decimal(38,12)")).cast("double") /
           count(lit(1)).cast("double")).as("_mean"),
-        (sum((col("_x") * col("_x")).cast("decimal(28,12)")).cast("double") /
+        (sum((col("_x") * col("_x")).cast("decimal(38,12)")).cast("double") /
           count(lit(1)).cast("double")).as("_ex2"))
       .select(col("_p"), col("_mean"),
         sqrt(greatest(col("_ex2") - col("_mean") * col("_mean"), lit(0.0))).as("_std"))
@@ -362,7 +367,14 @@ object Similarity {
       val weights = typedLit((0 until dim).map(d => V.planeWeight(p, d).toDouble))
       round(V.dot(col(vecCol), weights) / 2147483648.0, 6)
     }
-    df.withColumn(outCol, array(comps: _*))
+    // fail loudly on a ragged/mis-declared corpus: VectorDot returns NULL
+    // on a length mismatch, which would otherwise propagate silently into
+    // every downstream bucket join
+    df.withColumn(outCol,
+      when(size(col(vecCol)) === dim, array(comps: _*))
+        .otherwise(raise_error(format_string(
+          s"randomProject: vector has %s dims, expected $dim",
+          size(col(vecCol)).cast("string"))).cast("array<double>")))
   }
 
   /** Symmetric int8 quantization per vector: q_i = round_half_up(x_i * 127

@@ -37,14 +37,7 @@ object Writers {
     */
   def write(df0: DataFrame, sink: SinkConfig): Unit = {
     // z-order layout rewrites the frame's partitioning/order, not its rows
-    val df =
-      if (sink.zOrderBy.isEmpty) df0
-      else {
-        require(sink.zOrderBy.size == 2, "zOrderBy takes exactly two columns")
-        val parts = df0.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-        graft.ops.Layout.zOrder(df0, sink.zOrderBy.head, sink.zOrderBy(1),
-          sink.zOrderBits, parts)
-      }
+    val df = graft.ops.Layout.applyZOrder(df0, sink.zOrderBy, sink.zOrderBits, "sink")
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     if (sink.mode == DeliveryMode.ExactlyOnce && sink.partitionBy.nonEmpty)

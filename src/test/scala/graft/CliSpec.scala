@@ -134,5 +134,9 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/t").count() == 500)
     assert(Cli.run(Seq("compact", s"$dir/t", "512", "a", "b", "6"), Some(spark)) == 0)
     assert(spark.read.parquet(s"$dir/t").count() == 500)
+    // bad numerics are usage errors (exit 2), not stack traces
+    assert(Cli.run(Seq("compact", s"$dir/t", "big"), Some(spark)) == 2)
+    assert(Cli.run(Seq("compact", s"$dir/t", "0"), Some(spark)) == 2)
+    assert(Cli.run(Seq("compact", s"$dir/t", "512", "a", "b", "forty"), Some(spark)) == 2)
   }
 }

@@ -172,6 +172,16 @@ class DslSpec extends SparkSpec {
       Compiler.writeStreaming(Compiler.CompiledPipeline("ps", streamFrame, badSink, Seq.empty))
     }
     assert(err.getMessage.contains("batch-only"))
+    // malformed layout specs are rejected at LOAD (so `Cli validate` sees
+    // them), not at write time after sibling sinks already ran
+    val badArity = intercept[RuntimeException] {
+      YamlLoader.load(yaml.replace("zOrderBy: [user_id, event_id]", "zOrderBy: [user_id]"))
+    }
+    assert(badArity.getMessage.contains("exactly two"))
+    val badBits = intercept[RuntimeException] {
+      YamlLoader.load(yaml.replace("zOrderBits: 4", "zOrderBits: 64"))
+    }
+    assert(badBits.getMessage.contains("zOrderBits"))
   }
 
   test("DOT export names all stages and edges") {

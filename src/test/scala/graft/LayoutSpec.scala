@@ -76,6 +76,56 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("withZValue survives full-range long keys: no overflow, no wrap, in range") {
+    // (max - min) overflows a long and (range + 1) wraps to 0 in plain
+    // integer arithmetic — the decimal path must stay exact
+    val df = Seq((Long.MinValue, 1L), (-1L, 2L), (0L, 3L), (Long.MaxValue, 4L))
+      .toDF("a", "b")
+    val out = Layout.withZValue(df, "a", "b", bits = 12)
+      .select(col("a"), col("zval")).as[(Long, Long)].collect()
+    assert(out.length == 4)
+    out.foreach { case (a, z) =>
+      assert(z >= 0 && z < (1L << 24), s"a=$a z=$z out of range")
+    }
+    // a-cells must be monotone in a (odd-bit extraction of zval)
+    def aCell(z: Long) = (0 until 12).map(i => ((z >> (2 * i + 1)) & 1) << i).sum
+    val cells = out.sortBy(_._1).map(r => aCell(r._2)).toSeq
+    assert(cells == cells.sorted, s"a-cells not monotone: $cells")
+    assert(cells.head == 0 && cells.last == (1 << 12) - 1)
+  }
+
+  test("withZValue refuses colliding column names instead of clobbering data") {
+    intercept[IllegalArgumentException] {
+      Layout.withZValue(Seq((1, 2, 3)).toDF("a", "b", "zval"), "a", "b", bits = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.withZValue(Seq((1, 2, 3)).toDF("a", "b", "__graft_an"), "a", "b", bits = 4)
+    }
+    // zOrder's internal name never collides with a user 'zval' column
+    val out = Layout.zOrder(Seq((1, 2, 9L)).toDF("a", "b", "zval"), "a", "b", 4, 1)
+    assert(out.columns.toSeq == Seq("a", "b", "zval"))
+    assert(out.as[(Int, Int, Long)].head() == ((1, 2, 9L)))
+  }
+
+  test("compact preserves hive partitioning (pruning + dynamic overwrite keep working)") {
+    import graft.sinks.{DeliveryMode, SinkConfig, Writers}
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
+    val data = (0 until 300).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "status")
+    val sink = SinkConfig("parquet", s"$dir/t", partitionBy = Seq("status"),
+      mode = DeliveryMode.ExactlyOnce)
+    Writers.write(data, sink)
+    assert(graft.ops.Layout.compact(spark, s"$dir/t", targetBytes = 1L << 30) == 1)
+    // partition directories survived the rewrite ...
+    val dirs = new java.io.File(s"$dir/t").listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("status=even", "status=odd"), s"got $dirs")
+    assert(spark.read.parquet(s"$dir/t").count() == 300)
+    // ... so a redelivered exactly-once write still converges on top
+    Writers.write(data, sink)
+    assert(spark.read.parquet(s"$dir/t").count() == 300)
+  }
+
   test("compact: many small files collapse to the byte-target count, rows intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val data = (0 until 2000).map(i => (i, s"row_$i")).toDF("id", "payload")

@@ -670,12 +670,18 @@ class OpsSpec extends SparkSpec {
   }
 
   test("keySkew: heavy hitters with exact basis-point share; NULL key profiled") {
-    val rows = Seq.fill(6)(Some("hot")) ++ Seq(Some("warm"), Some("warm"), None, Some("cold"))
+    // both a SQL NULL and a literal "NULL" string key: they must NOT merge
+    val rows = Seq.fill(6)(Some("hot")) ++
+      Seq(Some("warm"), Some("warm"), None, Some("NULL"))
     val df = rows.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
-    val out = Profiling.keySkew(df, "k", k = 3)
-      .as[(String, Long, Long)].collect().toSeq
-    // 10 rows total: hot 6 (6000 bp), warm 2 (2000 bp), NULL/cold 1 each
-    // (1000 bp) -> top-3 tie at rank 3 broken by key_value: "NULL" < "cold"
-    assert(out == Seq(("hot", 6L, 6000L), ("warm", 2L, 2000L), ("NULL", 1L, 1000L)))
+    val out = Profiling.keySkew(df, "k", k = 4)
+      .as[(String, Boolean, Long, Long)].collect().toSeq
+    // 10 rows total: hot 6 (6000 bp), warm 2 (2000 bp), the SQL NULL and
+    // the "NULL" string 1 each (1000 bp) as SEPARATE rows, false < true
+    assert(out == Seq(
+      ("hot", false, 6L, 6000L),
+      ("warm", false, 2L, 2000L),
+      ("NULL", false, 1L, 1000L),
+      ("NULL", true, 1L, 1000L)))
   }
 }
