@@ -1271,6 +1271,27 @@ object SparkEntry {
     graft.ops.Profiling.keySkew(t(s, dir, "events"), "user_id", k = 20)
       .orderBy(col("n_rows").desc, col("key_value"))
 
+  /** One-pass corpus datacard over documents: counts/tokens/dup-rate/
+    * source-cardinality/language-mix as a tall (metric, value) frame.
+    */
+  private def qDatacard(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profiling.datacard(docs(s, dir), "text", "source")
+      .orderBy(col("metric"))
+
+  /** Deterministic weighted upsampling (epochs-per-source): sources get
+    * 2.5× / 1× / 0.4× multiplicities derived from the source name, the
+    * fractional part resolved by the id-hash draw.
+    */
+  private def qUpsample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.upsampleByWeight(
+      docs(s, dir).withColumn("weight",
+        when(col("source") === "src0", 2.5)
+          .when(col("source") === "src1", 0.4)
+          .otherwise(1.0)),
+      "doc_id", "weight")
+      .select(col("doc_id"), col("source"), col("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+
   /** z-value (Morton) kernel over (user_id, event_id) — the oracle-checked
     * half of [[graft.ops.Layout]]; the layout itself is plan/file-stat
     * tested in LayoutSpec.
@@ -1376,7 +1397,9 @@ object SparkEntry {
     "q_embed_standardize" -> (qEmbedStandardize _),
     "q_embed_project" -> (qEmbedProject _),
     "q_profile_skew" -> (qProfileSkew _),
-    "q_zorder" -> (qZorder _)
+    "q_zorder" -> (qZorder _),
+    "q_datacard" -> (qDatacard _),
+    "q_upsample" -> (qUpsample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2495,7 +2518,70 @@ object SparkEntry {
         |SELECT event_id,
         |  CAST(list_sum(list_transform(range(8), i ->
         |    (((an >> i) & 1) << (2*i+1)) + (((bn >> i) & 1) << (2*i)))) AS BIGINT) AS zval
-        |FROM s ORDER BY event_id""".stripMargin
+        |FROM s ORDER BY event_id""".stripMargin,
+    "q_datacard" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS tc,
+        |    length(text) AS nc,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS h_en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein)\b')) AS h_de,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans)\b')) AS h_fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para|por)\b')) AS h_es
+        |  FROM documents
+        |), l AS (
+        |  SELECT *,
+        |    CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+        |         WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+        |         WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+        |         WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+        |         ELSE 'es' END AS lang
+        |  FROM d
+        |), a AS (
+        |  SELECT count(*) AS n_docs,
+        |    coalesce(sum(CASE WHEN tc = 0 THEN 1 ELSE 0 END), 0) AS n_empty,
+        |    coalesce(sum(tc), 0) AS n_tokens,
+        |    coalesce(sum(nc), 0) AS n_chars,
+        |    count(*) - count(DISTINCT fp) AS n_exact_dups,
+        |    count(DISTINCT source) AS n_sources,
+        |    coalesce(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0) AS n_lang_en,
+        |    coalesce(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END), 0) AS n_lang_de,
+        |    coalesce(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END), 0) AS n_lang_fr,
+        |    coalesce(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END), 0) AS n_lang_es,
+        |    coalesce(sum(CASE WHEN lang = 'und' THEN 1 ELSE 0 END), 0) AS n_lang_und
+        |  FROM l
+        |)
+        |SELECT metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT 'n_docs' AS metric, n_docs AS value FROM a
+        |  UNION ALL SELECT 'n_empty', n_empty FROM a
+        |  UNION ALL SELECT 'n_tokens', n_tokens FROM a
+        |  UNION ALL SELECT 'n_chars', n_chars FROM a
+        |  UNION ALL SELECT 'n_exact_dups', n_exact_dups FROM a
+        |  UNION ALL SELECT 'n_sources', n_sources FROM a
+        |  UNION ALL SELECT 'n_lang_en', n_lang_en FROM a
+        |  UNION ALL SELECT 'n_lang_de', n_lang_de FROM a
+        |  UNION ALL SELECT 'n_lang_fr', n_lang_fr FROM a
+        |  UNION ALL SELECT 'n_lang_es', n_lang_es FROM a
+        |  UNION ALL SELECT 'n_lang_und', n_lang_und FROM a
+        |) ORDER BY metric""".stripMargin,
+    "q_upsample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source = 'src0' THEN CAST(2.5 AS DOUBLE)
+        |         WHEN source = 'src1' THEN CAST(0.4 AS DOUBLE)
+        |         ELSE CAST(1.0 AS DOUBLE) END AS wt,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id, source,
+        |    CAST(floor(wt) AS BIGINT) +
+        |      (CASE WHEN CAST(b AS DOUBLE) < (wt - floor(wt)) * 10000.0 THEN 1 ELSE 0 END) AS copies
+        |  FROM w
+        |)
+        |SELECT doc_id, source, unnest(range(copies)) AS copy
+        |FROM n WHERE copies > 0
+        |ORDER BY doc_id, copy""".stripMargin
   )
 
   /** q_embed_project oracle: the 8×64 integer planeWeight values embedded

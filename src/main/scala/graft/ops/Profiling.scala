@@ -131,6 +131,39 @@ object Profiling {
       s"stack(${cols.size}, $stacked) AS (col_name, n, n_null, n_distinct, min_v, max_v)"))
   }
 
+  /** One-pass corpus datacard — the summary block of a dataset card
+    * (docs/tokens/chars, empty-doc and exact-dup counts, source
+    * cardinality, language mix) as a tall (metric, value) frame. ONE scan,
+    * one aggregation: fingerprint/token-count/language are computed once
+    * behind a projection boundary, the exact distinct counts ride the same
+    * Expand-based aggregate as [[columnStats]], and the language mix is
+    * conditional sums over the shared langPredict column — nothing is
+    * scanned per metric. Swap countDistinct for approx_count_distinct at
+    * extreme fingerprint cardinalities.
+    */
+  def datacard(docs: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val proj = docs.select(
+      T.fingerprint(col(textCol)).as("_fp"),
+      T.tokenCount(col(textCol)).as("_tc"),
+      length(col(textCol)).cast("long").as("_nc"),
+      T.langPredict(col(textCol)).as("_lang"),
+      col(sourceCol).cast("string").as("_src"))
+    val langs = Seq("en", "de", "fr", "es", "und")
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("_tc") === 0, 1L).otherwise(0L)).as("n_empty"),
+      sum(col("_tc")).as("n_tokens"),
+      sum(col("_nc")).as("n_chars"),
+      (count(lit(1)) - countDistinct(col("_fp"))).as("n_exact_dups"),
+      countDistinct(col("_src")).as("n_sources")) ++
+      langs.map(l => sum(when(col("_lang") === l, 1L).otherwise(0L)).as(s"n_lang_$l"))
+    val one = proj.agg(aggs.head, aggs.tail: _*)
+    val metrics = Seq("n_docs", "n_empty", "n_tokens", "n_chars",
+      "n_exact_dups", "n_sources") ++ langs.map(l => s"n_lang_$l")
+    val stacked = metrics.map(m => s"'$m', CAST(coalesce(`$m`, 0) AS BIGINT)").mkString(", ")
+    one.select(expr(s"stack(${metrics.size}, $stacked) AS (metric, value)"))
+  }
+
   /** Join-key skew profile: the top-k heaviest keys of a prospective
     * join/groupBy key with their row counts and corpus share in basis
     * points (integer arithmetic — engine-exact). THE diagnostic to run

@@ -161,6 +161,34 @@ object Sampling {
       .drop("__rate")
   }
 
+  /** Deterministic weighted upsampling — the "epochs per source" knob of
+    * a training mix (DoReMi/Pile-style recipes repeat high-quality
+    * sources 2-5× while crawl data runs under one epoch). Each row is
+    * emitted floor(w) or ceil(w) times, where the fractional part is
+    * resolved by the same hash-bucket draw as [[byHash]] — so the
+    * EXPECTED multiplicity is exactly w, the realized count is a pure
+    * function of the id (reproducible at any scale/partitioning), and a
+    * weight ≤ 0 drops the row. Copies are numbered in `copyCol`
+    * (0-based) so downstream shuffling can separate them. Row-local
+    * explode — no shuffle, output volume is Σ ceil(w) by construction.
+    */
+  def upsampleByWeight(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      copyCol: String = "copy"
+  ): DataFrame = {
+    // copies = floor(w) + (bucket < frac(w)·10000 ? 1 : 0), all row-local
+    val w = col(weightCol).cast("double")
+    val base = floor(w).cast("long")
+    val frac = w - base.cast("double")
+    val extra = when(bucket(col(idCol)).cast("double") < frac * 10000.0, 1L).otherwise(0L)
+    df.withColumn("__n_copies", when(w <= 0.0, 0L).otherwise(base + extra))
+      .filter(col("__n_copies") > 0)
+      .withColumn(copyCol, explode(sequence(lit(0L), col("__n_copies") - 1)))
+      .drop("__n_copies")
+  }
+
   /** Keep rows whose `valueCol` lies within the corpus's exact
     * [lowBp, highBp] basis-point percentile band (nearest-rank: the p-th
     * percentile is the smallest value whose cumulative count reaches
