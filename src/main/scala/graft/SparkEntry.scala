@@ -1292,6 +1292,16 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("copy"))
       .orderBy(col("doc_id"), col("copy"))
 
+  /** Hashed-feature linear classifier inference (fastText-deployment
+    * shape): 256-bucket stub coefficients, integer-exact logits, keep at
+    * logit ≥ 0.
+    */
+  private def qQualityClassifier(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scoring.hashedLinearScore(docs(s, dir), "text",
+      graft.ops.Scoring.stubWeights(256), biasMicro = 50000L, threshold = 0.0)
+      .select(col("doc_id"), col("logit"), col("keep"))
+      .orderBy(col("doc_id"))
+
   /** z-value (Morton) kernel over (user_id, event_id) — the oracle-checked
     * half of [[graft.ops.Layout]]; the layout itself is plan/file-stat
     * tested in LayoutSpec.
@@ -1399,7 +1409,8 @@ object SparkEntry {
     "q_profile_skew" -> (qProfileSkew _),
     "q_zorder" -> (qZorder _),
     "q_datacard" -> (qDatacard _),
-    "q_upsample" -> (qUpsample _)
+    "q_upsample" -> (qUpsample _),
+    "q_quality_classifier" -> (qQualityClassifier _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2581,8 +2592,31 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, unnest(range(copies)) AS copy
         |FROM n WHERE copies > 0
-        |ORDER BY doc_id, copy""".stripMargin
+        |ORDER BY doc_id, copy""".stripMargin,
+    "q_quality_classifier" -> qualityClassifierOracleSql
   )
+
+  /** q_quality_classifier oracle: the 256 stub coefficients embedded as a
+    * literal BIGINT list — integer sums replay the logit exactly in any
+    * engine (same design as [[projectOracleSql]]).
+    */
+  private lazy val qualityClassifierOracleSql: String = {
+    val w = graft.ops.Scoring.stubWeights(256).mkString(", ")
+    s"""WITH ws AS (
+       |  SELECT [$w]::BIGINT[] AS w
+       |), t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(50000 + coalesce(list_sum(list_transform(toks, tok ->
+       |    ws.w[CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS INT) + 1])), 0) AS DOUBLE) / 1e6 AS logit,
+       |  (CAST(50000 + coalesce(list_sum(list_transform(toks, tok ->
+       |    ws.w[CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS INT) + 1])), 0) AS DOUBLE) / 1e6) >= 0.0 AS keep
+       |FROM t CROSS JOIN ws
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** q_embed_project oracle: the 8×64 integer planeWeight values embedded
     * as literal DOUBLE lists, so DuckDB's list_dot_product runs the same

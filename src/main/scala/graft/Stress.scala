@@ -75,7 +75,12 @@ object Stress {
         outDim = 8, dim = 64)),
       "key_skew" -> (() => ops.Profiling.keySkew(eventsN, "user_id", k = 20)),
       "zorder" -> (() => ops.Layout.zOrder(eventsN, "user_id", "event_id",
-        bits = 12, numPartitions = 64))
+        bits = 12, numPartitions = 64)),
+      "datacard" -> (() => ops.Profiling.datacard(docsN, "text", "source")),
+      "upsample" -> (() => ops.Sampling.upsampleByWeight(
+        docsN.withColumn("w", lit(1.5)), "doc_id", "w")),
+      "classifier" -> (() => ops.Scoring.hashedLinearScore(docsN, "text",
+        ops.Scoring.stubWeights(1024)))
     )
     val selected = if (args.nonEmpty) opList.filter(o => args.contains(o._1)) else opList
 

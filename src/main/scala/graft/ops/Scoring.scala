@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+
+/** Model-based document scoring, deployment-shaped: the quality / toxicity
+  * / domain classifiers real pipelines run over every document are almost
+  * always a linear layer over hashed bag-of-words features (fastText,
+  * logistic regression on hashed n-grams) — training happens offline,
+  * inference at corpus scale is "hash each token into D buckets, sum the
+  * bucket coefficients, threshold". That inference step is what belongs
+  * in the engine, and it is pure row-local column math: no shuffle, no
+  * UDF, whole-stage codegen'd, filter-fusable.
+  *
+  * Coefficients arrive as 1e6-scaled LONGS (micro-units): the per-token
+  * lookups then SUM IN INTEGERS — aggregation-order-independent, so any
+  * engine replays the exact logit (the same trick as BM25's scaled
+  * contributions). Callers quantize their trained weights once at export;
+  * [[Scoring.stubWeights]] derives a deterministic md5 table for
+  * tests/oracles (honest test double, like `Multimodal.StubCodecs`).
+  * Sigmoid is monotone, so thresholding on the logit IS thresholding on
+  * the probability — the keep decision never needs `exp` (whose last-ulp
+  * behavior differs across engines).
+  */
+object Scoring {
+
+  /** Deterministic md5-derived coefficient table in [-1.0, 1.0) units
+    * (1e6-scaled longs): weight(b) = hash32("w_" || b) mod 2e6+1 − 1e6.
+    * A reproducible stand-in for trained coefficients.
+    */
+  def stubWeights(d: Int): Seq[Long] = {
+    require(d >= 1, "d must be >= 1")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until d).map { b =>
+      val hex = digest.digest(s"w_$b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2000001L - 1000000L
+    }
+  }
+
+  /** Per-document logit of a hashed-feature linear model: bias + Σ_tokens
+    * w[hash32(token) mod D], all in 1e6-scaled integer arithmetic, then
+    * one exact double divide. Returns the input plus (logitCol, keepCol =
+    * logit ≥ threshold). The weight table rides the plan as a literal
+    * array (fine into the tens of thousands of buckets — the hashing
+    * trick's point is that D stays small); tokens are computed once
+    * behind a projection boundary.
+    */
+  def hashedLinearScore(
+      df: DataFrame,
+      textCol: String,
+      weights: Seq[Long],
+      biasMicro: Long = 0L,
+      threshold: Double = 0.0,
+      logitCol: String = "logit",
+      keepCol: String = "keep"
+  ): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val d = weights.size
+    val warr = typedLit(weights)
+    // tokens("") is [""] (the 1-gram kernel's empty-doc sentinel) — an
+    // empty document must score bias-only, not w[hash("")]
+    val withToks = df.withColumn("__score_toks",
+      array_remove(T.tokens(col(textCol)), ""))
+    withToks
+      .withColumn(logitCol,
+        (aggregate(
+          transform(col("__score_toks"),
+            t => element_at(warr, (H.hash32(t) % d + 1).cast("int"))),
+          lit(biasMicro),
+          (acc, w) => acc + w
+        ).cast("double") / lit(1e6)))
+      .withColumn(keepCol, col(logitCol) >= threshold)
+      .drop("__score_toks")
+  }
+}

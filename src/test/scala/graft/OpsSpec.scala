@@ -714,6 +714,28 @@ class OpsSpec extends SparkSpec {
     assert(card("n_lang_fr") == 0L && card("n_lang_es") == 0L)
   }
 
+  test("hashedLinearScore: integer-exact logits against a hand computation") {
+    def h32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val w = Scoring.stubWeights(4)
+    val docs = Seq((1L, "alpha beta alpha"), (2L, ""), (3L, "Zz!  "))
+      .toDF("doc_id", "text")
+    val out = Scoring.hashedLinearScore(docs, "text", w,
+      biasMicro = 250000L, threshold = 0.5)
+      .select(col("doc_id"), col("logit"), col("keep"))
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val logit1 = (250000L + 2 * w((h32("alpha") % 4).toInt) +
+      w((h32("beta") % 4).toInt)).toDouble / 1e6
+    assert(out(1L) == ((logit1, logit1 >= 0.5)))
+    assert(out(2L) == ((0.25, false))) // empty doc scores bias only
+    val logit3 = (250000L + w((h32("zz") % 4).toInt)).toDouble / 1e6
+    assert(out(3L) == ((logit3, logit3 >= 0.5))) // normalize("Zz!  ") = "zz"
+  }
+
   test("keySkew: heavy hitters with exact basis-point share; NULL key profiled") {
     // both a SQL NULL and a literal "NULL" string key: they must NOT merge
     val rows = Seq.fill(6)(Some("hot")) ++
