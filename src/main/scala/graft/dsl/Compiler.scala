@@ -602,6 +602,28 @@ object Compiler {
           excludeFields = c.get("excludeFields")
             .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
         )(df)
+      case "quality_filter" =>
+        // Hashed-linear classifier inference (graft.ops.Scoring) as a
+        // pipeline step — row-local, so it compiles unchanged on
+        // streaming frames. Coefficients come from the manifest
+        // (1e6-scaled longs, exported offline) or the md5 stub table
+        // (stubDim) for wiring tests. action: filter (default) keeps
+        // passing rows; tag keeps everything + (logit, keep) columns.
+        val weights = c.get("weightsMicro")
+          .map(_.asInstanceOf[Seq[Any]].map(_.toString.toLong))
+          .orElse(c.get("stubDim").map(d => graft.ops.Scoring.stubWeights(d.toString.toInt)))
+          .getOrElse(sys.error("quality_filter needs weightsMicro or stubDim"))
+        val scored = graft.ops.Scoring.hashedLinearScore(
+          df,
+          textCol = c.getOrElse("field", "text").toString,
+          weights = weights,
+          biasMicro = c.get("biasMicro").fold(0L)(_.toString.toLong),
+          threshold = c.get("threshold").fold(0.0)(_.toString.toDouble))
+        c.getOrElse("action", "filter").toString match {
+          case "filter" => scored.filter(col("keep")).drop("logit", "keep")
+          case "tag"    => scored
+          case other    => sys.error(s"unknown quality_filter action: $other")
+        }
       case "asof_join" =>
         // nearest-prior (or next) match on a time axis — graft.operators.AsofJoin
         val rightFrame = tables.getOrElse(c("rightStream").toString,

@@ -184,6 +184,48 @@ class DslSpec extends SparkSpec {
     assert(badBits.getMessage.contains("zOrderBits"))
   }
 
+  test("quality_filter transform: stub coefficients, tag and filter actions") {
+    def yaml(action: String) =
+      s"""kind: Source
+         |metadata: {name: docs}
+         |spec: {format: table, path: docs}
+         |---
+         |kind: Transform
+         |metadata: {name: qf}
+         |spec:
+         |  type: quality_filter
+         |  field: body
+         |  stubDim: 64
+         |  biasMicro: 100000
+         |  threshold: 0.0
+         |  action: $action
+         |---
+         |kind: Sink
+         |metadata: {name: out}
+         |spec: {format: noop, path: ""}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: docs, steps: [qf], sink: out}
+         |""".stripMargin
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta"), (3L, ""))
+      .toDF("doc_id", "body")
+    def compiled(action: String) =
+      Compiler.compile(spark, YamlLoader.load(yaml(action)),
+        tables = Map("docs" -> docs))("p").frame
+    val tagged = compiled("tag")
+    assert(tagged.columns.toSeq == Seq("doc_id", "body", "logit", "keep"))
+    assert(tagged.count() == 3) // tag keeps everything
+    val kept = tagged.filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val filtered = compiled("filter")
+    assert(filtered.columns.toSeq == Seq("doc_id", "body")) // scores dropped
+    assert(filtered.select("doc_id").as[Long].collect().toSet == kept)
+    // deterministic stub weights -> the empty doc scores exactly the bias
+    val emptyLogit = tagged.filter(col("doc_id") === 3L)
+      .select("logit").as[Double].head()
+    assert(emptyLogit == 0.1)
+  }
+
   test("DOT export names all stages and edges") {
     val reg = YamlLoader.load(manifestYaml)
     val dot = PipelineGraph.fromRegistry("t", reg).toDot
