@@ -131,23 +131,34 @@ object Cli {
   }
 
   private def doCompact(sparkOpt: Option[SparkSession], path: String,
-      targetMb: String, zOrderBy: Seq[String], bits: => Int): Int =
-    try {
-      val mb = targetMb.toLong
-      require(mb > 0, s"targetMB must be positive, got $targetMb")
-      val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
-      val n = graft.ops.Layout.compact(spark, path,
-        targetBytes = mb << 20, zOrderBy = zOrderBy, bits = bits)
-      println(s"compacted $path to $n file(s)" +
-        (if (zOrderBy.nonEmpty) s", z-ordered on (${zOrderBy.mkString(", ")})" else ""))
-      0
-    } catch {
-      // bad numbers / bad bit widths are usage errors, not stack traces
-      case e @ (_: NumberFormatException | _: IllegalArgumentException) =>
-        println(s"ERROR: ${e.getMessage}")
-        println("usage: graft.Cli compact <path> <targetMB> [colA colB [bits]]")
-        2
+      targetMb: String, zOrderBy: Seq[String], bits: => Int): Int = {
+    // Arg validation ONLY inside this catch: an execution failure (e.g.
+    // the swap's rename require, when the data sits under __compact_tmp)
+    // must surface as itself, never be dressed up as a usage error.
+    val parsed =
+      try {
+        val mb = targetMb.toLong
+        require(mb > 0, s"targetMB must be positive, got $targetMb")
+        val b = bits
+        require(b >= 1 && b <= 31, s"bits must be in [1, 31], got $b")
+        Some((mb, b))
+      } catch {
+        case e @ (_: NumberFormatException | _: IllegalArgumentException) =>
+          println(s"ERROR: ${e.getMessage}")
+          println("usage: graft.Cli compact <path> <targetMB> [colA colB [bits]]")
+          None
+      }
+    parsed match {
+      case None => 2
+      case Some((mb, b)) =>
+        val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
+        val n = graft.ops.Layout.compact(spark, path,
+          targetBytes = mb << 20, zOrderBy = zOrderBy, bits = b)
+        println(s"compacted $path to $n file(s)" +
+          (if (zOrderBy.nonEmpty) s", z-ordered on (${zOrderBy.mkString(", ")})" else ""))
+        0
     }
+  }
 
   private def readFile(path: String): String =
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")

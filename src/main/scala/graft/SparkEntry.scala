@@ -1269,7 +1269,7 @@ object SparkEntry {
     */
   private def qProfileSkew(s: SparkSession, dir: String): DataFrame =
     graft.ops.Profiling.keySkew(t(s, dir, "events"), "user_id", k = 20)
-      .orderBy(col("n_rows").desc, col("key_value"))
+      .orderBy(col("n_rows").desc, col("key_value"), col("is_null"))
 
   /** One-pass corpus datacard over documents: counts/tokens/dup-rate/
     * source-cardinality/language-mix as a tall (metric, value) frame.
@@ -1914,7 +1914,7 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT doc_id,
-        |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+        |  CASE WHEN coalesce(greatest(h_en, h_de, h_fr, h_es), 0) = 0 THEN 'und'
         |       WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
         |       WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
         |       WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
@@ -2543,7 +2543,7 @@ object SparkEntry {
         |  FROM documents
         |), l AS (
         |  SELECT *,
-        |    CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+        |    CASE WHEN coalesce(greatest(h_en, h_de, h_fr, h_es), 0) = 0 THEN 'und'
         |         WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
         |         WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
         |         WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'

@@ -624,6 +624,28 @@ object Compiler {
           case "tag"    => scored
           case other    => sys.error(s"unknown quality_filter action: $other")
         }
+      case "upsample" =>
+        // Deterministic weighted upsampling (graft.ops.Sampling) as a
+        // pipeline step: per-stratum weights from the manifest, resolved
+        // to a weight column, then the floor(w) + id-hash fractional
+        // draw. Row-local; batch-only (repeating rows inside a streaming
+        // micro-batch would re-emit per batch, not per epoch).
+        require(!df.isStreaming,
+          "upsample is batch-only: epoch multiplicity is a corpus-level notion")
+        val byStratum = c.get("weights")
+          .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString.toDouble })
+          .getOrElse(Map.empty)
+        val defaultW = c.get("defaultWeight").fold(1.0)(_.toString.toDouble)
+        val stratum = c.getOrElse("stratumField", "source").toString
+        val weighted = byStratum.toSeq.sortBy(_._1).foldLeft(lit(defaultW)) {
+          case (acc, (k, w)) => when(col(stratum) === k, lit(w)).otherwise(acc)
+        }
+        graft.ops.Sampling.upsampleByWeight(
+          df.withColumn("__upsample_w", weighted),
+          idCol = c.getOrElse("idField", "doc_id").toString,
+          weightCol = "__upsample_w",
+          copyCol = c.getOrElse("copyField", "copy").toString)
+          .drop("__upsample_w")
       case "asof_join" =>
         // nearest-prior (or next) match on a time axis — graft.operators.AsofJoin
         val rightFrame = tables.getOrElse(c("rightStream").toString,

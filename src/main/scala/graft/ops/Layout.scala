@@ -179,7 +179,19 @@ object Layout {
     }
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val partCols = partitionColsOf(fs, hp)
-    val df = spark.read.parquet(path)
+    // partition values must round-trip VERBATIM: type inference would
+    // re-type numeric-looking strings (bucket=007 → bucket=7) and the
+    // rewrite would silently rename partition directories out from under
+    // the sink's next dynamic overwrite
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    val df =
+      try spark.read.parquet(path)
+      finally prevInfer match {
+        case Some(v) => spark.conf.set(inferKey, v)
+        case None    => spark.conf.unset(inferKey)
+      }
     val out =
       if (zOrderBy.nonEmpty) zOrder(df, zOrderBy.head, zOrderBy(1), bits, nFiles)
       else df.repartition(nFiles)

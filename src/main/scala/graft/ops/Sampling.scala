@@ -178,6 +178,9 @@ object Sampling {
       weightCol: String,
       copyCol: String = "copy"
   ): DataFrame = {
+    Seq("__n_copies", copyCol).foreach(c =>
+      require(!df.columns.contains(c),
+        s"upsampleByWeight: input already has a '$c' column"))
     // copies = floor(w) + (bucket < frac(w)·10000 ? 1 : 0), all row-local
     val w = col(weightCol).cast("double")
     val base = floor(w).cast("long")

@@ -57,12 +57,16 @@ object Scoring {
       keepCol: String = "keep"
   ): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
+    Seq("__score_toks", logitCol, keepCol).foreach(c =>
+      require(!df.columns.contains(c),
+        s"hashedLinearScore: input already has a '$c' column"))
     val d = weights.size
     val warr = typedLit(weights)
     // tokens("") is [""] (the 1-gram kernel's empty-doc sentinel) — an
-    // empty document must score bias-only, not w[hash("")]
+    // empty OR NULL document must score bias-only, not w[hash("")] (and
+    // never a NULL logit that filter/tag would treat inconsistently)
     val withToks = df.withColumn("__score_toks",
-      array_remove(T.tokens(col(textCol)), ""))
+      array_remove(T.tokens(coalesce(col(textCol), lit(""))), ""))
     withToks
       .withColumn(logitCol,
         (aggregate(

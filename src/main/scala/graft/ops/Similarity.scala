@@ -369,9 +369,11 @@ object Similarity {
     }
     // fail loudly on a ragged/mis-declared corpus: VectorDot returns NULL
     // on a length mismatch, which would otherwise propagate silently into
-    // every downstream bucket join
+    // every downstream bucket join. A NULL vector stays a NULL projection
+    // (the pre-existing null-propagation contract), it is not an error.
     df.withColumn(outCol,
-      when(size(col(vecCol)) === dim, array(comps: _*))
+      when(col(vecCol).isNull, lit(null).cast("array<double>"))
+        .when(size(col(vecCol)) === dim, array(comps: _*))
         .otherwise(raise_error(format_string(
           s"randomProject: vector has %s dims, expected $dim",
           size(col(vecCol)).cast("string"))).cast("array<double>")))

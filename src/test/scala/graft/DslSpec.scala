@@ -226,6 +226,40 @@ class DslSpec extends SparkSpec {
     assert(emptyLogit == 0.1)
   }
 
+  test("upsample transform: per-stratum epoch weights from the manifest") {
+    val yaml =
+      """kind: Source
+        |metadata: {name: docs}
+        |spec: {format: table, path: docs}
+        |---
+        |kind: Transform
+        |metadata: {name: up}
+        |spec:
+        |  type: upsample
+        |  idField: doc_id
+        |  stratumField: src
+        |  weights: {books: 3.0, web: 1.0}
+        |  defaultWeight: 2.0
+        |---
+        |kind: Sink
+        |metadata: {name: out}
+        |spec: {format: noop, path: ""}
+        |---
+        |kind: Pipeline
+        |metadata: {name: p}
+        |spec: {source: docs, steps: [up], sink: out}
+        |""".stripMargin
+    val docs = Seq((1L, "a", "books"), (2L, "b", "web"), (3L, "c", "code"))
+      .toDF("doc_id", "body", "src")
+    val frame = Compiler.compile(spark, YamlLoader.load(yaml),
+      tables = Map("docs" -> docs))("p").frame
+    val counts = frame.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    // integer weights are exact: books 3x, web 1x, default (code) 2x
+    assert(counts == Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
+    assert(frame.columns.toSeq == Seq("doc_id", "body", "src", "copy"))
+  }
+
   test("DOT export names all stages and edges") {
     val reg = YamlLoader.load(manifestYaml)
     val dot = PipelineGraph.fromRegistry("t", reg).toDot

@@ -734,6 +734,27 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == ((0.25, false))) // empty doc scores bias only
     val logit3 = (250000L + w((h32("zz") % 4).toInt)).toDouble / 1e6
     assert(out(3L) == ((logit3, logit3 >= 0.5))) // normalize("Zz!  ") = "zz"
+    // NULL text scores bias-only like the empty doc — never a NULL logit
+    // (filter and tag actions must agree on what happens to the row)
+    val nullOut = Scoring.hashedLinearScore(
+      Seq((9L, Option.empty[String])).toDF("doc_id", "text"), "text", w,
+      biasMicro = 250000L, threshold = 0.5)
+      .select(col("logit"), col("keep")).as[(Double, Boolean)].head()
+    assert(nullOut == ((0.25, false)))
+  }
+
+  test("randomProject: NULL vector stays NULL; ragged length raises") {
+    val vecs = Seq((1L, Some(Seq(1f, 2f))), (2L, None)).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(vecs, "embedding", outDim = 2, dim = 2)
+      .select(col("vec_id"), col("pvec")).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true))
+    val ragged = Seq((1L, Seq(1f, 2f, 3f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.randomProject(ragged, "embedding", outDim = 2, dim = 2).collect()
+    }
+    assert(e.getMessage.contains("expected 2") ||
+      Option(e.getCause).exists(_.getMessage.contains("expected 2")))
   }
 
   test("keySkew: heavy hitters with exact basis-point share; NULL key profiled") {
