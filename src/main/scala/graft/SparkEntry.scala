@@ -1271,6 +1271,19 @@ object SparkEntry {
     graft.ops.Profiling.keySkew(t(s, dir, "events"), "user_id", k = 20)
       .orderBy(col("n_rows").desc, col("key_value"), col("is_null"))
 
+  /** Near-dup decontamination scores: every 10th doc plays the benchmark,
+    * the rest the corpus; max minhash-signature agreement per corpus doc
+    * against any band-sharing benchmark doc.
+    */
+  private def qDecontaminateNear(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ops.Contamination.nearDupScore(
+      d.filter(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text",
+      d.filter(pmod(col("doc_id"), lit(10)) === 0), "doc_id", "text",
+      n = 3, k = 16, bands = 4)
+      .orderBy(col("doc_id"))
+  }
+
   /** One-pass corpus datacard over documents: counts/tokens/dup-rate/
     * source-cardinality/language-mix as a tall (metric, value) frame.
     */
@@ -1410,7 +1423,8 @@ object SparkEntry {
     "q_zorder" -> (qZorder _),
     "q_datacard" -> (qDatacard _),
     "q_upsample" -> (qUpsample _),
-    "q_quality_classifier" -> (qQualityClassifier _)
+    "q_quality_classifier" -> (qQualityClassifier _),
+    "q_decontaminate_near" -> (qDecontaminateNear _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2593,7 +2607,27 @@ object SparkEntry {
         |SELECT doc_id, source, unnest(range(copies)) AS copy
         |FROM n WHERE copies > 0
         |ORDER BY doc_id, copy""".stripMargin,
-    "q_quality_classifier" -> qualityClassifierOracleSql
+    "q_quality_classifier" -> qualityClassifierOracleSql,
+    "q_decontaminate_near" ->
+      s"""$lshSigCte, xc AS (
+        |  SELECT DISTINCT a.doc_id AS did, b.doc_id AS bid
+        |  FROM banded a JOIN banded b ON a.band = b.band
+        |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |), simt AS (
+        |  SELECT did, max(sim) AS max_sim FROM (
+        |    SELECT c.did, c.bid,
+        |      round(sum(CASE WHEN sa.sig[g.i+1] = sb.sig[g.i+1] THEN 1 ELSE 0 END) / 16.0, 6) AS sim
+        |    FROM xc c
+        |    JOIN sigs sa ON c.did = sa.doc_id
+        |    JOIN sigs sb ON c.bid = sb.doc_id
+        |    CROSS JOIN generate_series(0, 15) g(i)
+        |    GROUP BY 1, 2
+        |  ) GROUP BY did
+        |)
+        |SELECT d.doc_id, coalesce(m.max_sim, 0.0) AS max_sim
+        |FROM documents d LEFT JOIN simt m ON d.doc_id = m.did
+        |WHERE d.doc_id % 10 <> 0
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** q_quality_classifier oracle: the 256 stub coefficients embedded as a

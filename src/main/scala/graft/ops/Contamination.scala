@@ -58,6 +58,83 @@ object Contamination {
           6).as("overlap"))
   }
 
+  /** Near-dup contamination score: the highest minhash-signature
+    * agreement (an unbiased Jaccard estimate) between each document and
+    * ANY benchmark document sharing an LSH band — 0.0 when no candidate.
+    * Catches lightly-paraphrased eval leakage that exact n-gram
+    * [[overlap]] underestimates (reworded problems keep most shingles'
+    * minhashes but few exact 3-grams).
+    *
+    * Cross-frame variant of [[Dedup.minhashLshPairs]] (the same band
+    * machinery as incremental dedup's near-vs-corpus leg): docs×bench
+    * meet only on band keys, never row×row; benchmark signatures are tiny
+    * and reusable across corpora. Returns one row per doc: (idCol,
+    * max_sim).
+    */
+  def nearDupScore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 4
+  ): DataFrame = {
+    import graft.functions.{HashFunctions => H}
+    val rows = k / bands
+    val dSig = Dedup.minhashSignatures(docs, idCol, textCol, n, k).localCheckpoint(false)
+    val bSig = Dedup.minhashSignatures(bench, benchIdCol, benchTextCol, n, k)
+      .localCheckpoint(false)
+    // same sentinel rule as every LSH path: sub-shingle-length docs carry
+    // the all-sentinel signature and must never band-collide
+    def banded(sig: DataFrame): DataFrame = sig
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .select(col("doc"), explode(H.lshBandKeys(col("sig"), bands, rows)).as("band"))
+    val cand = banded(dSig).as("a")
+      .join(banded(bSig).as("b"), col("a.band") === col("b.band"))
+      .select(col("a.doc").as("_d"), col("b.doc").as("_b"))
+      .distinct()
+    val sims = cand
+      .join(dSig.as("sa"), col("_d") === col("sa.doc"))
+      .join(bSig.as("sb"), col("_b") === col("sb.doc"))
+      .withColumn("_sim",
+        round(
+          aggregate(
+            zip_with(col("sa.sig"), col("sb.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+            lit(0),
+            (acc, v) => acc + v
+          ).cast("double") / k, 6))
+      .groupBy(col("_d"))
+      .agg(max(col("_sim")).as("max_sim"))
+    docs
+      .select(col(idCol))
+      .join(sims, col(idCol) === col("_d"), "left")
+      .select(col(idCol), coalesce(col("max_sim"), lit(0.0)).as("max_sim"))
+  }
+
+  /** Drop documents whose [[nearDupScore]] meets `minSim` (keep the rest
+    * with all their original columns).
+    */
+  def decontaminateNearDup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      minSim: Double,
+      n: Int = 3,
+      k: Int = 16,
+      bands: Int = 4
+  ): DataFrame = {
+    val hot = nearDupScore(docs, idCol, textCol, bench, benchIdCol, benchTextCol, n, k, bands)
+      .filter(col("max_sim") >= minSim)
+      .select(col(idCol))
+    docs.join(hot, Seq(idCol), "left_anti")
+  }
+
   /** Drop documents whose overlap meets `minOverlap` (keep the rest with
     * all their original columns).
     */

@@ -757,6 +757,27 @@ class OpsSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("expected 2")))
   }
 
+  test("nearDupScore: paraphrase-level benchmark leakage scores high, unrelated 0") {
+    val leaked = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, leaked),                              // verbatim copy of bench doc
+      (2L, leaked.replace("today", "tonight")),  // light paraphrase
+      (3L, "completely different content about spark aggregation plans here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, leaked)).toDF("doc_id", "text")
+    val out = Contamination.nearDupScore(corpus, "doc_id", "text",
+      bench, "doc_id", "text", n = 3, k = 16, bands = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) == 1.0)            // identical signatures
+    assert(out(2L) >= 0.5)            // paraphrase keeps most minhashes
+    assert(out(3L) == 0.0)            // no shared band
+    // decontaminateNearDup drops exactly the scored-hot docs
+    val kept = Contamination.decontaminateNearDup(corpus, "doc_id", "text",
+      bench, "doc_id", "text", minSim = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
   test("keySkew: heavy hitters with exact basis-point share; NULL key profiled") {
     // both a SQL NULL and a literal "NULL" string key: they must NOT merge
     val rows = Seq.fill(6)(Some("hot")) ++
