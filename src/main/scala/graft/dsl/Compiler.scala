@@ -640,6 +640,8 @@ object Compiler {
         val weighted = byStratum.toSeq.sortBy(_._1).foldLeft(lit(defaultW)) {
           case (acc, (k, w)) => when(col(stratum) === k, lit(w)).otherwise(acc)
         }
+        require(!df.columns.contains("__upsample_w"),
+          "upsample: input already has a '__upsample_w' column")
         graft.ops.Sampling.upsampleByWeight(
           df.withColumn("__upsample_w", weighted),
           idCol = c.getOrElse("idField", "doc_id").toString,

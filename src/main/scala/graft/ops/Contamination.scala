@@ -83,6 +83,9 @@ object Contamination {
       bands: Int = 4
   ): DataFrame = {
     import graft.functions.{HashFunctions => H}
+    require(k % bands == 0,
+      s"nearDupScore: k ($k) must be divisible by bands ($bands) — integer " +
+        "truncation would silently drop the last k % bands signature components")
     val rows = k / bands
     val dSig = Dedup.minhashSignatures(docs, idCol, textCol, n, k).localCheckpoint(false)
     val bSig = Dedup.minhashSignatures(bench, benchIdCol, benchTextCol, n, k)

@@ -153,12 +153,16 @@ object Layout {
     * partition pruning and subsequent dynamic-partition overwrites keep
     * working on the compacted layout.
     *
-    * The swap is delete-then-rename on the filesystem: NOT atomic — a
-    * crash between the two leaves the data one rename away under
-    * `<path>__compact_tmp`. Transactional swaps need a table format's
-    * manifest (or partition-at-a-time rewrites) — out of scope here, and
-    * the job is idempotently re-runnable. Returns the target file count
-    * (per partition directory for partitioned layouts).
+    * The swap is rename-aside: the original moves to
+    * `<path>__compact_old`, the rewrite renames into place, THEN the old
+    * copy is deleted — at no point is the only copy of the data gone. A
+    * crash mid-swap leaves the original intact under `__compact_old`, and
+    * a re-run recovers it automatically before proceeding (truly
+    * transactional swaps need a table format's manifest — out of scope).
+    * Returns the target file count (summed over partition directories for
+    * partitioned layouts, which are sized per-directory so each approaches
+    * `targetBytes` per file instead of fragmenting a global count across
+    * every directory).
     */
   def compact(
       spark: SparkSession,
@@ -171,13 +175,13 @@ object Layout {
     require(zOrderBy.isEmpty || zOrderBy.size == 2, "zOrderBy takes exactly two columns")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(hp, true)
-    var totalBytes = 0L
-    while (it.hasNext) {
-      val f = it.next()
-      if (!f.getPath.getName.startsWith("_")) totalBytes += f.getLen
-    }
-    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    // recover from a crash between the two swap renames of a prior run:
+    // the data is intact under __compact_old — put it back and proceed
+    if (!fs.exists(hp) && fs.exists(old))
+      require(fs.rename(old, hp), s"compaction recovery failed: rename $old -> $hp")
+    def fileCount(ceilOf: Long): Int =
+      math.max(1L, (ceilOf + targetBytes - 1) / targetBytes).toInt
     val partCols = partitionColsOf(fs, hp)
     // partition values must round-trip VERBATIM: type inference would
     // re-type numeric-looking strings (bucket=007 → bucket=7) and the
@@ -192,14 +196,100 @@ object Layout {
         case Some(v) => spark.conf.set(inferKey, v)
         case None    => spark.conf.unset(inferKey)
       }
-    val out =
-      if (zOrderBy.nonEmpty) zOrder(df, zOrderBy.head, zOrderBy(1), bits, nFiles)
-      else df.repartition(nFiles)
+    val (out, nFiles) =
+      if (partCols.isEmpty) {
+        val it = fs.listFiles(hp, true)
+        var totalBytes = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (!f.getPath.getName.startsWith("_")) totalBytes += f.getLen
+        }
+        val n = fileCount(totalBytes)
+        val o = if (zOrderBy.nonEmpty) zOrder(df, zOrderBy.head, zOrderBy(1), bits, n)
+                else df.repartition(n)
+        (o, n)
+      } else {
+        // A hive-partitioned directory writes one file per (task,
+        // partition-value) pair, so a global repartition(n) fragments
+        // every directory into up-to-n slivers. Instead: size each
+        // partition directory independently from its on-disk bytes, then
+        // co-locate rows by (partition cols, per-directory salt) so each
+        // directory gets exactly its own ~targetBytes-sized files.
+        val perDir = leafDirBytes(fs, hp, partCols.size)
+          .map { case (vals, bytes) => (vals, fileCount(bytes)) }
+        val total = perDir.map(_._2.toLong).sum.min(Int.MaxValue).toInt
+        val nfRows = perDir.map { case (vals, n) =>
+          org.apache.spark.sql.Row.fromSeq(vals :+ n)
+        }
+        val nfSchema = org.apache.spark.sql.types.StructType(
+          partCols.map(c => org.apache.spark.sql.types.StructField(
+            c, org.apache.spark.sql.types.StringType)) :+
+            org.apache.spark.sql.types.StructField(
+              "__graft_nf", org.apache.spark.sql.types.IntegerType))
+        val nfDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(nfRows, 1), nfSchema)
+        val joined = df.join(broadcast(nfDf), partCols)
+        val keyCols = (partCols :+ "__graft_salt").map(col)
+        val o =
+          if (zOrderBy.nonEmpty) {
+            // salt = z-bucket (not a hash) so every file still covers a
+            // compact z-range within its directory
+            val zc = "__graft_zval"
+            val maxZ = 1L << math.min(62, 2 * bits)
+            withZValue(joined, zOrderBy.head, zOrderBy(1), bits, outCol = zc)
+              .withColumn("__graft_salt", coalesce(
+                expr(s"CAST(CAST($zc AS DECIMAL(38,0)) * __graft_nf DIV ${maxZ}L AS INT)"),
+                lit(0)))
+              .repartition(total, keyCols: _*)
+              .sortWithinPartitions(col(zc))
+              .drop(zc, "__graft_salt", "__graft_nf")
+          } else {
+            val dataCols = df.columns.filterNot(partCols.contains)
+            joined
+              .withColumn("__graft_salt",
+                pmod(xxhash64(dataCols.map(col): _*), col("__graft_nf")).cast("int"))
+              .repartition(total, keyCols: _*)
+              .drop("__graft_salt", "__graft_nf")
+          }
+        (o, total)
+      }
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     val w = out.write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
-    fs.delete(hp, true)
-    require(fs.rename(tmp, hp), s"compaction swap failed: rename $tmp -> $hp")
+    if (fs.exists(old)) fs.delete(old, true) // leftover of a fully-completed prior swap
+    require(fs.rename(hp, old), s"compaction swap failed: rename $hp -> $old")
+    if (!fs.rename(tmp, hp)) {
+      fs.rename(old, hp) // restore the original — rename failure loses nothing
+      sys.error(s"compaction swap failed: rename $tmp -> $hp (original restored)")
+    }
+    fs.delete(old, true)
     nFiles
+  }
+
+  /** Bytes of data files under each leaf partition directory, keyed by the
+    * partition values in directory order (`a=1/b=x` → Seq("1", "x")).
+    */
+  private def leafDirBytes(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, depth: Int): Seq[(Seq[String], Long)] = {
+    def walk(dir: org.apache.hadoop.fs.Path, vals: List[String],
+        d: Int): Seq[(Seq[String], Long)] =
+      if (d == 0) {
+        val it = fs.listFiles(dir, true)
+        var bytes = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (!f.getPath.getName.startsWith("_")) bytes += f.getLen
+        }
+        Seq((vals.reverse, bytes))
+      } else
+        fs.listStatus(dir)
+          .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_") &&
+            s.getPath.getName.contains("="))
+          .toSeq
+          .flatMap { s =>
+            val v = s.getPath.getName.dropWhile(_ != '=').drop(1)
+            walk(s.getPath, v :: vals, d - 1)
+          }
+    walk(root, Nil, depth)
   }
 }

@@ -115,15 +115,40 @@ class LayoutSpec extends SparkSpec {
     val sink = SinkConfig("parquet", s"$dir/t", partitionBy = Seq("status"),
       mode = DeliveryMode.ExactlyOnce)
     Writers.write(data, sink)
-    assert(graft.ops.Layout.compact(spark, s"$dir/t", targetBytes = 1L << 30) == 1)
+    // per-directory sizing: each of the two partition dirs gets its own
+    // 1-file target (total 2), instead of a global count fragmented
+    // across every directory
+    assert(graft.ops.Layout.compact(spark, s"$dir/t", targetBytes = 1L << 30) == 2)
     // partition directories survived the rewrite ...
     val dirs = new java.io.File(s"$dir/t").listFiles().filter(_.isDirectory)
       .map(_.getName).toSet
     assert(dirs == Set("status=even", "status=odd"), s"got $dirs")
+    // ... and each collapsed to exactly its own single data file
+    for (d <- dirs) {
+      val files = new java.io.File(s"$dir/t/$d").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 1, s"$d has $files files, want 1")
+    }
     assert(spark.read.parquet(s"$dir/t").count() == 300)
     // ... so a redelivered exactly-once write still converges on top
     Writers.write(data, sink)
     assert(spark.read.parquet(s"$dir/t").count() == 300)
+  }
+
+  test("compact recovers from a crash mid-swap (original parked at __compact_old)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString
+    val data = (0 until 500).map(i => (i, s"row_$i")).toDF("id", "payload")
+    data.repartition(10).write.parquet(s"$dir/t")
+    // simulate a crash between the two swap renames: the dataset sits
+    // under __compact_old and the target path is gone
+    assert(new java.io.File(s"$dir/t").renameTo(new java.io.File(s"$dir/t__compact_old")))
+    val n = graft.ops.Layout.compact(spark, s"$dir/t", targetBytes = 1L << 30)
+    assert(n == 1)
+    assert(!new java.io.File(s"$dir/t__compact_old").exists())
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 500)
+    assert(back.as[(Int, String)].collect().toSet ==
+      (0 until 500).map(i => (i, s"row_$i")).toSet)
   }
 
   test("compact: many small files collapse to the byte-target count, rows intact") {

@@ -776,6 +776,13 @@ class OpsSpec extends SparkSpec {
       bench, "doc_id", "text", minSim = 0.5)
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(3L))
+    // indivisible band layout is a loud error, not silently-dropped
+    // signature components (k=16, bands=5 would band only 15 of 16)
+    val e = intercept[IllegalArgumentException] {
+      Contamination.nearDupScore(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, k = 16, bands = 5)
+    }
+    assert(e.getMessage.contains("divisible"))
   }
 
   test("keySkew: heavy hitters with exact basis-point share; NULL key profiled") {
