@@ -496,6 +496,50 @@ object SparkEntry {
       .orderBy(col("custkey"))
   }
 
+  /** JoinType::Right (types.rs:655-661): all customers in the filtered
+    * dimension survive; customers with no orders carry NULL order columns.
+    */
+  private def qJoinRight(s: SparkSession, dir: String): DataFrame =
+    EquiJoin(
+      right = t(s, dir, "customer").filter(col("c_custkey") <= 750)
+        .select(col("c_custkey"), col("c_name")),
+      leftKey = "o_custkey",
+      rightKey = "c_custkey",
+      joinType = "right"
+    )(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), col("o_orderkey"))
+
+  /** Bucketed co-located join (F9) as an end-to-end result check: both
+    * sides are written `bucketBy(custkey)` once, then joined back with
+    * broadcast disabled so the plan HAS to be a bucket-aligned sort-merge
+    * join — [[graft.sources.Bucketing.assertCoLocated]] fails the query if
+    * any ShuffleExchange appears. The oracle replays the join relationally;
+    * the shuffle-free-plan claim stays structural (also unit-tested).
+    */
+  private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Bucketing
+    Bucketing.writeBucketed(
+      t(s, dir, "customer").select(col("c_custkey").as("custkey"), col("c_name")),
+      "graft_q_bkt_cust", Seq("custkey"), nBuckets = 8)
+    Bucketing.writeBucketed(
+      t(s, dir, "orders").select(col("o_custkey").as("custkey"),
+        col("o_orderkey"), col("o_totalprice")),
+      "graft_q_bkt_ord", Seq("custkey"), nBuckets = 8)
+    val prev = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing
+        .coLocatedJoin(s, "graft_q_bkt_ord", "graft_q_bkt_cust", Seq("custkey"))
+        .select(col("custkey"), col("o_orderkey"), col("c_name"), col("o_totalprice"))
+      Bucketing.assertCoLocated(joined)
+      joined.orderBy(col("o_orderkey"))
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None    => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   // ==========================================================================
   // Routing / watermark / reliability (SURVEY §2.4-2.6)
   // ==========================================================================
@@ -663,6 +707,28 @@ object SparkEntry {
     // 100 TB pipeline reading a sink it just wrote knows the schema anyway
     s.read.schema(out.schema).parquet(path)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("status"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Avro source/sink end-to-end (F2): orders written as avro container
+    * files (per-task, via the bundled avro-mapred output format) and read
+    * back through [[graft.sources.Readers.avro]] (the spark-avro-less
+    * fallback in this container). The oracle is the originating parquet —
+    * DuckDB never reads avro; any loss or corruption in either direction
+    * breaks the hash compare. Timestamp/decimal columns are excluded per
+    * the writer's documented type surface.
+    */
+  private def qSourceAvro(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_source_avro"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true)
+    graft.sources.Readers.writeAvro(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice")),
+      path)
+    graft.sources.Readers.avro(s, path)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -1356,7 +1422,9 @@ object SparkEntry {
     "q_join_range" -> (qJoinRange _),
     "q_join_overlap" -> (qJoinOverlap _),
     "q_join_left" -> (qJoinLeft _),
+    "q_join_right" -> (qJoinRight _),
     "q_join_full" -> (qJoinFull _),
+    "q_bucketed_join" -> (qBucketedJoin _),
     "q_join_windowed" -> (qJoinWindowed _),
     "q_route_edges" -> (qRouteEdges _),
     "q_lookup_merge" -> (qLookupMerge _),
@@ -1393,6 +1461,7 @@ object SparkEntry {
     "q_dlq_replay" -> (qDlqReplay _),
     "q_source_csv" -> (qSourceCsv _),
     "q_source_json" -> (qSourceJson _),
+    "q_source_avro" -> (qSourceAvro _),
     "q_dsl_pipeline" -> (qDslPipeline _),
     "q_stream_agg" -> (qStreamAgg _),
     "q_sql_functions" -> (qSqlFunctions _),
@@ -1658,6 +1727,16 @@ object SparkEntry {
         |FULL JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
         |  ON c.c_custkey = o.o_custkey
         |ORDER BY custkey""".stripMargin,
+    "q_join_right" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders) o
+        |RIGHT JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 750) c
+        |  ON o_custkey = c_custkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT c_custkey AS custkey, o_orderkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q_route_edges" ->
       """SELECT event_id, event_type, value, target FROM (
         |  SELECT event_id, event_type, value, 'billing' AS target
@@ -2076,6 +2155,9 @@ object SparkEntry {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_sink_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus AS status
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_source_avro" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_repetition" ->
       """WITH nrm AS (

@@ -3,10 +3,11 @@ package graft.sources
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.Schema
-import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
-import org.apache.avro.mapred.{AvroInputFormat, AvroWrapper, FsInput}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericRecord}
+import org.apache.avro.mapred.{AvroInputFormat, AvroJob, AvroOutputFormat, AvroWrapper, FsInput}
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.io.NullWritable
+import org.apache.hadoop.mapred.JobConf
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -41,6 +42,103 @@ private[sources] object AvroFallback {
         it.map { case (w, _) => toRow(w.datum(), sch) }
       }
     s.createDataFrame(rows, struct)
+  }
+
+  /** Distributed avro writer over the same avro-mapred jars: each task
+    * writes its partition as one container file (`part-NNNNN.avro`), so
+    * the write parallelizes exactly like any Hadoop-format sink — no
+    * driver-side materialization. Schema is the mechanical inverse of
+    * [[toStruct]]: nullable Spark fields become `[null, T]` unions.
+    * Types without a faithful generic-avro encoding (decimal, date,
+    * timestamp) are rejected loudly — cast them first; silently writing
+    * e.g. a timestamp as a bare long would corrupt round-trips.
+    */
+  def write(df: DataFrame, path: String): Unit = {
+    val schema = fromStruct(df.schema, "graft_record")
+    val schemaJson = schema.toString
+    val conf = new JobConf(df.sparkSession.sparkContext.hadoopConfiguration)
+    AvroJob.setOutputSchema(conf, schema)
+    df.rdd
+      .mapPartitions { it =>
+        val sch = new Schema.Parser().parse(schemaJson)
+        it.map(r => (new AvroWrapper[GenericRecord](toRecord(r, sch)), NullWritable.get()))
+      }
+      .saveAsHadoopFile(
+        path,
+        classOf[AvroWrapper[GenericRecord]],
+        classOf[NullWritable],
+        classOf[AvroOutputFormat[GenericRecord]],
+        conf)
+  }
+
+  private[sources] def fromStruct(st: StructType, name: String): Schema = {
+    val fields = st.fields.toSeq.map { f =>
+      val base = fromDataType(f.dataType, s"${name}_${f.name}")
+      val sch =
+        if (f.nullable)
+          Schema.createUnion(java.util.Arrays.asList(Schema.create(Schema.Type.NULL), base))
+        else base
+      new Schema.Field(f.name, sch, null,
+        if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord(name, null, "graft", false, fields.asJava)
+  }
+
+  private def fromDataType(dt: DataType, name: String): Schema = dt match {
+    case StringType                         => Schema.create(Schema.Type.STRING)
+    case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+    case LongType                           => Schema.create(Schema.Type.LONG)
+    case FloatType                          => Schema.create(Schema.Type.FLOAT)
+    case DoubleType                         => Schema.create(Schema.Type.DOUBLE)
+    case BooleanType                        => Schema.create(Schema.Type.BOOLEAN)
+    case BinaryType                         => Schema.create(Schema.Type.BYTES)
+    case ArrayType(et, containsNull) =>
+      val e = fromDataType(et, s"${name}_item")
+      Schema.createArray(
+        if (containsNull)
+          Schema.createUnion(java.util.Arrays.asList(Schema.create(Schema.Type.NULL), e))
+        else e)
+    case MapType(StringType, vt, valueContainsNull) =>
+      val v = fromDataType(vt, s"${name}_value")
+      Schema.createMap(
+        if (valueContainsNull)
+          Schema.createUnion(java.util.Arrays.asList(Schema.create(Schema.Type.NULL), v))
+        else v)
+    case st: StructType => fromStruct(st, name)
+    case other =>
+      sys.error(s"avro writer: unsupported Spark type $other for field $name " +
+        "(cast decimal/date/timestamp to a supported type first)")
+  }
+
+  private def toRecord(row: Row, sch: Schema): GenericRecord = {
+    val rec = new GenericData.Record(sch)
+    val fields = sch.getFields
+    var i = 0
+    while (i < fields.size()) {
+      rec.put(i, toAvro(row.get(i), fields.get(i).schema()))
+      i += 1
+    }
+    rec
+  }
+
+  private def toAvro(v: Any, s: Schema): Any = {
+    if (v == null) return null
+    s.getType match {
+      case Schema.Type.UNION =>
+        toAvro(v, s.getTypes.asScala.find(_.getType != Schema.Type.NULL)
+          .getOrElse(s.getTypes.get(0)))
+      case Schema.Type.STRING => v.toString
+      case Schema.Type.BYTES =>
+        java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case Schema.Type.ARRAY =>
+        v.asInstanceOf[scala.collection.Seq[Any]]
+          .map(toAvro(_, s.getElementType)).asJava
+      case Schema.Type.MAP =>
+        v.asInstanceOf[scala.collection.Map[String, Any]]
+          .map { case (k, vv) => k -> toAvro(vv, s.getValueType) }.asJava
+      case Schema.Type.RECORD => toRecord(v.asInstanceOf[Row], s)
+      case _                  => v // int/long/float/double/boolean
+    }
   }
 
   private def readHeaderSchema(s: SparkSession, path: String): Schema = {

@@ -83,6 +83,12 @@ object Readers {
         AvroFallback.read(s, path)
     }
 
+  /** Avro writer counterpart of [[avro]]: per-task container files via the
+    * bundled avro-mapred output format (see [[AvroFallback.write]]) — no
+    * spark-avro module required.
+    */
+  def writeAvro(df: DataFrame, path: String): Unit = AvroFallback.write(df, path)
+
   /** JDBC source (types.rs postgres/mysql configs). Standard partitioned
     * read: `partitionColumn` + bounds split the table into `numPartitions`
     * parallel range scans. Driver jars are deployment-provided.

@@ -156,6 +156,31 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(col("score").isNotNull).count() == 3)
   }
 
+  test("avro writer round-trips nulls, arrays, maps and nested structs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_w").toString + "/out"
+    val df = Seq(
+      (1L, Some("a"), Seq(1, 2, 3), Map("k" -> 1.5), ("x", 10L)),
+      (2L, None, Seq.empty[Int], Map.empty[String, Double], ("y", 20L))
+    ).toDF("id", "name", "nums", "scores", "nested")
+    Readers.writeAvro(df, dir)
+    val back = Readers.avro(spark, dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "nums", "scores", "nested"))
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "a")
+    assert(rows(0).getSeq[Int](2) == Seq(1, 2, 3))
+    assert(rows(0).getMap[String, Double](3) == Map("k" -> 1.5))
+    assert(rows(0).getStruct(4).getString(0) == "x" && rows(0).getStruct(4).getLong(1) == 10L)
+    assert(rows(1).isNullAt(1) && rows(1).getSeq[Int](2).isEmpty)
+    // unsupported types fail loudly instead of corrupting the container
+    val e = intercept[RuntimeException] {
+      Readers.writeAvro(
+        Seq(Tuple1(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("ts"),
+        dir + "_bad")
+    }
+    assert(e.getMessage.contains("unsupported Spark type"))
+  }
+
   test("bucketed tables join and aggregate without a shuffle exchange") {
     val left = (1L to 1000L).map(i => (i, s"n$i")).toDF("k", "name")
     val right = (1L to 3000L).map(i => ((i - 1) % 500 + 1, i * 10)).toDF("k", "amount")
