@@ -519,6 +519,15 @@ object SparkEntry {
     */
   private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Bucketing
+    // a prior JVM's managed-table location survives the catalog (fresh
+    // derby metastore per run) — drop both ways or the write refuses
+    Seq("graft_q_bkt_cust", "graft_q_bkt_ord").foreach { tbl =>
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + "/" + tbl)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     Bucketing.writeBucketed(
       t(s, dir, "customer").select(col("c_custkey").as("custkey"), col("c_name")),
       "graft_q_bkt_cust", Seq("custkey"), nBuckets = 8)

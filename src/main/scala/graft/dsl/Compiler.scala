@@ -38,7 +38,11 @@ object Compiler {
         * reference leaves the period to deployment config; here it is the
         * aggregate step's `emitInterval`, default "10 seconds").
         */
-      emitInterval: Option[String] = None
+      emitInterval: Option[String] = None,
+      /** Pipeline execution mode (manifest `spec.trigger`): "drain" →
+        * Trigger.AvailableNow, "resident" → continuous micro-batches.
+        */
+      triggerMode: String = "drain"
   )
 
   /** Compile every enabled pipeline. `tables` resolves format=table sources
@@ -100,7 +104,7 @@ object Compiler {
           case other => sys.error(s"unknown aggregate emit mode: $other")
         }
         p.name -> CompiledPipeline(p.name, frame, sink, prefix, dlqFrame, dlqSink,
-          outputMode = outMode, emitInterval = interval)
+          outputMode = outMode, emitInterval = interval, triggerMode = p.trigger)
       }
     }
   }
@@ -269,11 +273,14 @@ object Compiler {
     */
   def write(p: CompiledPipeline): Unit =
     if (p.frame.isStreaming) {
-      // A periodic-emit pipeline is resident (its timer trigger never
-      // drains) — it must be driven via writeStreaming + lifecycle
-      // management, not the CLI's run-to-drain.
+      // A periodic-emit or trigger:resident pipeline never drains — it
+      // must be driven via writeStreaming + lifecycle management, not the
+      // CLI's run-to-drain.
       require(p.emitInterval.isEmpty,
         s"pipeline '${p.name}' has emit: periodic — start it with " +
+          "writeStreaming() and manage its lifecycle; write() is run-to-drain")
+      require(p.triggerMode != "resident",
+        s"pipeline '${p.name}' is trigger: resident — start it with " +
           "writeStreaming() and manage its lifecycle; write() is run-to-drain")
       writeStreaming(p).awaitTermination()
     } else {
@@ -315,7 +322,10 @@ object Compiler {
       else None
     val trigger = p.emitInterval match {
       case Some(interval) => Trigger.ProcessingTime(interval)
-      case None           => Trigger.AvailableNow()
+      // resident: continuous micro-batches — event-time timeouts fire as
+      // the watermark moves, without waiting for the next scheduled drain
+      case None if p.triggerMode == "resident" => Trigger.ProcessingTime(0L)
+      case None => Trigger.AvailableNow()
     }
     val w = ckpt.foldLeft(
       p.frame.writeStream
@@ -403,15 +413,15 @@ object Compiler {
           keepParent = c.get("keepParent").exists(_.toString.toBoolean)
         )(df)
       case "dedupe" if df.isStreaming =>
-        // streaming: first arrival per key wins within the watermark
-        // horizon (dropDuplicatesWithinWatermark — state purged as the
-        // watermark passes, types.rs:543-548 with bounded state). keep:
-        // last would need ordered replay and is refused; orderBy is
-        // ignored because arrival order IS the stream's order — exactly
-        // the reference's stream semantics, where batch (eventTime,
-        // tiebreak) ordering is the distributed re-expression.
-        require(!c.get("keep").exists(_.toString == "last"),
-          "streaming dedupe supports keep: first only (first arrival wins)")
+        // streaming: keep: first (default) = first arrival per key wins
+        // within the watermark horizon (dropDuplicatesWithinWatermark —
+        // state purged as the watermark passes, types.rs:543-548 with
+        // bounded state). keep: last holds each key's max-event-time row
+        // in flatMapGroupsWithState state and emits it once the watermark
+        // passes its horizon (graft.streaming.StatefulDedup). orderBy is
+        // ignored: arrival order IS the stream's order — exactly the
+        // reference's stream semantics, where batch (eventTime, tiebreak)
+        // ordering is the distributed re-expression.
         val keys = c("keys").asInstanceOf[Seq[Any]].map(_.toString)
         val evtCol = c.getOrElse("eventTimeField", "ts").toString
         // transform-level watermark, same shape as aggregate's: for
@@ -420,15 +430,19 @@ object Compiler {
           case Some(w) => df.withWatermark(w("field").toString, w("delay").toString)
           case None    => df
         }
-        // windowSeconds keeps batch parity — first per key PER TUMBLING
-        // WINDOW — by folding the window start into the dedup key
-        c.get("windowSeconds").map(_.toString.toLong) match {
-          case Some(ws) =>
-            df0.withColumn("_w", windows.tumblingStart(col(evtCol), ws))
-              .dropDuplicatesWithinWatermark(keys :+ "_w")
-              .drop("_w")
-          case None => df0.dropDuplicatesWithinWatermark(keys)
-        }
+        val ws = c.get("windowSeconds").map(_.toString.toLong)
+        if (c.get("keep").exists(_.toString == "last"))
+          graft.streaming.StatefulDedup.keepLast(df0, keys, evtCol, ws)
+        else
+          // windowSeconds keeps batch parity — first per key PER TUMBLING
+          // WINDOW — by folding the window start into the dedup key
+          ws match {
+            case Some(w) =>
+              df0.withColumn("_w", windows.tumblingStart(col(evtCol), w))
+                .dropDuplicatesWithinWatermark(keys :+ "_w")
+                .drop("_w")
+            case None => df0.dropDuplicatesWithinWatermark(keys)
+          }
       case "dedupe" =>
         Dedupe(
           c("keys").asInstanceOf[Seq[Any]].map(_.toString),

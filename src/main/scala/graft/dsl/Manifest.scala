@@ -45,7 +45,15 @@ final case class PipelineManifest(
     steps: Seq[String],
     sink: String,
     enabled: Boolean = true,
-    dlq: Option[DlqSpec] = None
+    dlq: Option[DlqSpec] = None,
+    /** Streaming execution mode: "drain" (default) runs available data to
+      * completion and stops (Trigger.AvailableNow — the batch-like cron
+      * shape); "resident" keeps the query running micro-batch to
+      * micro-batch, which also lets event-time timeouts (sessionize
+      * on_close, dedupe keep:last) fire without waiting for the next
+      * scheduled run.
+      */
+    trigger: String = "drain"
 )
 
 /** All manifests of one namespace, indexed by kind+name (the reference's

@@ -78,13 +78,17 @@ object YamlLoader {
             d.get("maxRetryBackoffMs").fold(30000L)(_.toString.toLong)
           )
         }
+        val trigger = spec.getOrElse("trigger", "drain").toString
+        require(trigger == "drain" || trigger == "resident",
+          s"pipeline $name: trigger must be drain or resident, got $trigger")
         Registry(pipelines = Map(name -> PipelineManifest(
           name,
           str("source"),
           steps,
           str("sink"),
           spec.get("enabled").forall(_.toString.toBoolean),
-          dlq
+          dlq,
+          trigger
         )))
       case other => sys.error(s"unknown manifest kind: $other")
     }

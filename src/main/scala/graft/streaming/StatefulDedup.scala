@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming `keep: last` dedupe (DedupeKeep::Last, reference
+  * types.rs:552-557) via `flatMapGroupsWithState` — the counterpart of the
+  * built-in `dropDuplicatesWithinWatermark` first-wins path.
+  *
+  * "Last" is only decidable once no earlier-or-equal event can still
+  * arrive, so each key's current best row (max event time; a later ARRIVAL
+  * wins ties, so a re-delivery replaces the original) is held in state and
+  * emitted exactly once when the watermark passes its horizon:
+  *
+  *  - windowed (`windowSeconds`): one state entry per (key, tumbling
+  *    window), emitted when the watermark passes the window end — exact
+  *    batch parity with `Dedupe(keepLast = true, windowSizeSeconds)`.
+  *  - unwindowed: emitted when the watermark passes the best row's event
+  *    time — i.e. after the key goes quiet for the watermark delay. A key
+  *    that re-activates later starts a new generation and emits again
+  *    (the unbounded-stream analog of "last per key": each emission is
+  *    final for everything at-or-before it).
+  *
+  * State is one row per open (key[, window]) and is removed at emission —
+  * bounded by watermark progress exactly like the sessionize state
+  * machine ([[StatefulSessions]]). Rows with a NULL event time are dropped
+  * (they cannot be ordered, same as any event-time operator).
+  */
+object StatefulDedup {
+
+  def keepLast(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      windowSeconds: Option[Long]
+  ): DataFrame = {
+    val schema = df.schema
+    val tsIdx = schema.fieldIndex(tsCol)
+    val keyIdxs = keys.map(schema.fieldIndex)
+    val winMs = windowSeconds.map(_ * 1000L)
+
+    implicit val rowEnc = Encoders.row(schema)
+    implicit val stateEnc = Encoders.tuple(Encoders.scalaLong, rowEnc)
+    implicit val keyEnc = Encoders.STRING
+
+    def groupKey(r: Row): String = {
+      val base = keyIdxs.map { i =>
+        // distinguish SQL NULL from any string rendering of it
+        if (r.isNullAt(i)) "\u0001" else "\u0002" + r.get(i)
+      }.mkString("\u0000")
+      winMs match {
+        case Some(w) =>
+          val ts = r.getTimestamp(tsIdx).getTime
+          base + "\u0000" + Math.floorDiv(ts, w) * w
+        case None => base
+      }
+    }
+
+    df.filter(col(tsCol).isNotNull)
+      .as(rowEnc)
+      .groupByKey(groupKey _)
+      .flatMapGroupsWithState[(Long, Row), Row](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[Row], state: GroupState[(Long, Row)]) =>
+          if (state.hasTimedOut) {
+            val (_, row) = state.get
+            state.remove()
+            Iterator.single(row)
+          } else {
+            val best = rows.foldLeft(state.getOption) { (acc, r) =>
+              val ts = r.getTimestamp(tsIdx).getTime
+              acc match {
+                case Some((bts, _)) if bts > ts => acc
+                case _                          => Some((ts, r)) // >= : later arrival wins
+              }
+            }
+            best.foreach { case (ts, _) =>
+              state.update(best.get)
+              val horizon = winMs match {
+                case Some(w) => Math.floorDiv(ts, w) * w + w // tumbling window end
+                case None    => ts + 1 // close once the watermark passes the best event
+              }
+              // the timeout must sit strictly beyond the current watermark
+              state.setTimeoutTimestamp(math.max(horizon, state.getCurrentWatermarkMs() + 1))
+            }
+            Iterator.empty
+          }
+      }
+  }
+}

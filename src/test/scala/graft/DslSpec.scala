@@ -856,7 +856,62 @@ class DslSpec extends SparkSpec {
       .getMessage.contains("run-to-drain"))
   }
 
-  test("streaming dedupe: first arrival wins, per-window parity, keep:last refused") {
+  test("streaming dedupe keep:last — later arrival replaces the first across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val reg = YamlLoader.load(
+      """kind: Source
+        |metadata: {name: ev}
+        |spec: {format: table, path: evt, streaming: true}
+        |---
+        |kind: Transform
+        |metadata: {name: dd}
+        |spec:
+        |  type: dedupe
+        |  keys: [user]
+        |  orderBy: [id]
+        |  keep: last
+        |  windowSeconds: 600
+        |  watermark: {field: ts, delay: 10 seconds}
+        |---
+        |kind: Sink
+        |metadata: {name: ddl_mem}
+        |spec: {format: memory, path: "", checkpoint: ""}
+        |---
+        |kind: Pipeline
+        |metadata: {name: p}
+        |spec: {source: ev, steps: [dd], sink: ddl_mem, trigger: resident}
+        |""".stripMargin)
+    val p = Compiler.compile(spark, reg,
+      tables = Map("evt" -> ev.toDF().toDF("id", "user", "ts")))("p")
+    val q = Compiler.writeStreaming(p)
+    try {
+      // batch 1: two u1 events — the later-ts one is the current best
+      ev.addData((1L, "u1", t("2024-01-01 00:00:00")), (2L, "u1", t("2024-01-01 00:01:00")),
+        (3L, "u2", t("2024-01-01 00:00:05")))
+      q.processAllAvailable()
+      assert(spark.table("ddl_mem").count() == 0) // window still open: nothing final yet
+      // batch 2: a LATER u1 arrival inside the same window replaces both
+      ev.addData((4L, "u1", t("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      // batch 3: watermark jumps past the 10-min window end; batch 4
+      // flushes the expired keys (under run-to-drain, event-time timeouts
+      // fire in the batch AFTER the watermark advance, like any stateful op)
+      ev.addData((9L, "u3", t("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      ev.addData((10L, "u3", t("2024-01-01 01:00:01")))
+      q.processAllAvailable()
+      val got = spark.table("ddl_mem").collect()
+        .map(r => r.getString(1) -> r.getLong(0)).toMap
+      assert(got == Map("u1" -> 4L, "u2" -> 3L), s"got ${got.toSeq.sorted}")
+      // the sink schema is the input schema — no state columns leak
+      assert(spark.table("ddl_mem").schema.fieldNames.toSeq == Seq("id", "user", "ts"))
+    } finally q.stop()
+  }
+
+  test("streaming dedupe: first arrival wins, per-window parity, keep:last honored") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     def pipelineWith(cfg: String, sinkName: String): (MemoryStream[(Long, String, java.sql.Timestamp)], Compiler.CompiledPipeline) = {
@@ -881,7 +936,7 @@ class DslSpec extends SparkSpec {
            |---
            |kind: Pipeline
            |metadata: {name: p}
-           |spec: {source: ev, steps: [dd], sink: $sinkName}
+           |spec: {source: ev, steps: [dd], sink: $sinkName, trigger: resident}
            |""".stripMargin)
       (ev, Compiler.compile(spark, reg,
         tables = Map("evt" -> ev.toDF().toDF("id", "user", "ts")))("p"))
@@ -911,9 +966,21 @@ class DslSpec extends SparkSpec {
     // the internal window-bucket key does not leak into the output schema
     assert(w.head.schema.fieldNames.toSeq == Seq("id", "user", "ts"))
 
-    // keep: last cannot be honored on a stream — fail fast, like sessionize
-    assert(intercept[IllegalArgumentException](pipelineWith("  keep: last", "ddl_mem"))
-      .getMessage.contains("keep: first"))
+    // keep: last routes to the stateful path (covered in the test above);
+    // unwindowed keep:last emits per quiet-period generation
+    val (evL, pL) = pipelineWith("  keep: last", "ddl2_mem")
+    evL.addData((1L, "u1", t("2024-01-01 00:00:00")), (2L, "u1", t("2024-01-01 00:00:05")))
+    val qL = Compiler.writeStreaming(pL)
+    try {
+      qL.processAllAvailable()
+      // watermark passes the best event (00:00:05 + 10s delay) → the next
+      // batch flushes u1's generation, emitting id=2
+      evL.addData((3L, "u2", t("2024-01-01 00:10:00")))
+      qL.processAllAvailable()
+      evL.addData((4L, "u2", t("2024-01-01 00:10:01")))
+      qL.processAllAvailable()
+      assert(spark.table("ddl2_mem").collect().map(_.getLong(0)).toSet == Set(2L))
+    } finally qL.stop()
   }
 
   test("aggregate emit: periodic re-emits updated keys every trigger") {
