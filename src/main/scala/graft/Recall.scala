@@ -63,6 +63,18 @@ object Recall {
       "lsh_planes8_tables8" -> (() =>
         ops.Similarity.lshTopK(emb, queries, "vec_id", "embedding", k, planes = 8, dim = 64,
           tables = 8)),
+      "lsh_planes6_multiprobe" -> (() =>
+        ops.Similarity.lshTopK(emb, queries, "vec_id", "embedding", k, planes = 6, dim = 64,
+          probeBits = 1)),
+      "lsh_planes6_tables4_multiprobe" -> (() =>
+        ops.Similarity.lshTopK(emb, queries, "vec_id", "embedding", k, planes = 6, dim = 64,
+          tables = 4, probeBits = 1)),
+      "lsh_planes6_tables8_multiprobe" -> (() =>
+        ops.Similarity.lshTopK(emb, queries, "vec_id", "embedding", k, planes = 6, dim = 64,
+          tables = 8, probeBits = 1)),
+      "lsh_planes8_tables8_multiprobe" -> (() =>
+        ops.Similarity.lshTopK(emb, queries, "vec_id", "embedding", k, planes = 8, dim = 64,
+          tables = 8, probeBits = 1)),
       "ivf_c64_probe4" -> (() =>
         ops.Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k, nCells = 64, nProbe = 4)),
       "ivf_c64_probe8" -> (() =>

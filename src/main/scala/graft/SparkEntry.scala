@@ -830,6 +830,16 @@ object SparkEntry {
       k = 5, planes = 8, dim = 64)
       .orderBy(col("q_id"), col("rank"))
 
+  /** Multiprobe LSH (Hamming-radius-1 probes, query side only): the recall
+    * lever that costs candidates, not corpus-side shuffle — see
+    * RECALL.md for the measured recall/sec frontier vs plain LSH.
+    */
+  private def qAnnMultiprobe(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Similarity.lshTopK(
+      emb(s, dir), emb(s, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, planes = 8, dim = 64, tables = 1, probeBits = 1)
+      .orderBy(col("q_id"), col("rank"))
+
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.ivfTopK(
       emb(s, dir), emb(s, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
@@ -1452,6 +1462,7 @@ object SparkEntry {
     "q_neardup_cosine" -> (qNeardupCosine _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_multiprobe" -> (qAnnMultiprobe _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_lang_id" -> (qLangId _),
     "q_pii_scrub" -> (qPiiScrub _),
@@ -1954,6 +1965,41 @@ object SparkEntry {
         |  JOIN buckets bc ON c.vec_id = bc.vec_id
         |  JOIN buckets bq ON bc.bucket = bq.bucket
         |  JOIN embeddings q ON q.vec_id = bq.vec_id AND q.vec_id < 10
+        |  WHERE c.vec_id <> q.vec_id
+        |)
+        |SELECT q_id, rank, n_id, cosine FROM (
+        |  SELECT q_id, n_id, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+        |  FROM scored
+        |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_multiprobe" ->
+      """WITH w AS (
+        |  SELECT p.p, d.d,
+        |    CAST(CAST(concat('0x', substr(md5(concat(p.p, '_', d.d)), 1, 8)) AS BIGINT) - 2147483648 AS DOUBLE) AS wt
+        |  FROM generate_series(0, 7) p(p) CROSS JOIN generate_series(0, 63) d(d)
+        |), proj AS (
+        |  SELECT e.vec_id, w.p, sum(CAST(e.embedding[w.d+1] AS DOUBLE) * w.wt) AS pr
+        |  FROM embeddings e CROSS JOIN w
+        |  GROUP BY 1, 2
+        |), buckets AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM proj GROUP BY vec_id
+        |), probes AS (
+        |  SELECT b.vec_id,
+        |    CASE WHEN p.p = 8 THEN b.bucket
+        |         ELSE xor(b.bucket, CAST(1 AS BIGINT) << p.p) END AS bucket
+        |  FROM buckets b CROSS JOIN generate_series(0, 8) p(p)
+        |  WHERE b.vec_id < 10
+        |), scored AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
+        |  FROM embeddings c
+        |  JOIN buckets bc ON c.vec_id = bc.vec_id
+        |  JOIN probes bq ON bc.bucket = bq.bucket
+        |  JOIN embeddings q ON q.vec_id = bq.vec_id
         |  WHERE c.vec_id <> q.vec_id
         |)
         |SELECT q_id, rank, n_id, cosine FROM (

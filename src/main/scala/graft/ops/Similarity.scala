@@ -82,23 +82,43 @@ object Similarity {
       k: Int,
       planes: Int,
       dim: Int,
-      tables: Int = 1
+      tables: Int = 1,
+      probeBits: Int = 0
   ): DataFrame = {
     require(tables >= 1 && planes + math.ceil(math.log(tables) / math.log(2)) <= 62,
       "table tag + bucket bits must fit in a long")
+    require(probeBits == 0 || probeBits == 1,
+      "multiprobe supports Hamming radius 0 or 1 (radius 2 is planes^2 probes)")
     // Table t's bucket ids are tagged into a disjoint key space
     // (t*2^planes + bits), so one explode + one equi-join serves all
-    // tables; tables == 1 keeps the original single-bucket plan (and its
-    // oracle) exactly.
+    // tables; tables == 1, probeBits == 0 keeps the original
+    // single-bucket plan (and its oracle) exactly.
     def withAllBuckets(df: DataFrame): DataFrame =
       if (tables == 1) withBuckets(df, vecCol, planes, dim)
       else df.withColumn("bucket", explode(array((0 until tables).map(t =>
         V.hyperplaneBucket(col(vecCol), planes, dim, planeOffset = t * planes) +
           lit(t.toLong << planes)): _*)))
+    // Multiprobe (QUERY side only): besides its own bucket, a query probes
+    // every bucket one sign-bit flip away — the buckets its true neighbors
+    // most likely landed in when a near-zero projection flipped. Candidate
+    // cost ×(1+planes) per table, but the corpus side (the 100 TB side)
+    // still materializes ONE bucket per table — same join, same shuffle
+    // shape, only the tiny probe side fans out.
+    def withProbes(df: DataFrame): DataFrame = {
+      val base = withAllBuckets(df)
+      if (probeBits == 0) base
+      else base
+        .withColumnRenamed("bucket", "_b0")
+        // flips stay inside the low `planes` bits, so the table tag (the
+        // high bits) is preserved and probes never cross tables
+        .withColumn("bucket", explode(array(
+          col("_b0") +: (0 until planes).map(i => col("_b0").bitwiseXOR(lit(1L << i))): _*)))
+        .drop("_b0")
+    }
     val c = withAllBuckets(corpus)
       .select(col("bucket"), col(idCol).as("n_id"), col(vecCol).as("n_vec"),
         V.norm(col(vecCol)).as("n_norm"))
-    val q = withAllBuckets(queries)
+    val q = withProbes(queries)
       .select(col("bucket"), col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         V.norm(col(vecCol)).as("q_norm"))
     val scoredAll = c
@@ -109,8 +129,8 @@ object Similarity {
         col("n_id"),
         cosineFromNorms(col("q_vec"), col("n_vec"), col("q_norm"), col("n_norm")).as("cosine")
       )
-    // a pair that collides in several tables must rank once
-    val scored = if (tables == 1) scoredAll else scoredAll.distinct()
+    // a pair that collides in several tables/probes must rank once
+    val scored = if (tables == 1 && probeBits == 0) scoredAll else scoredAll.distinct()
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("n_id"))
     scored
       .withColumn("rank", row_number().over(w))

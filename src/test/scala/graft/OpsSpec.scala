@@ -470,6 +470,25 @@ class OpsSpec extends SparkSpec {
       val ranks = rs.map(_._2).sorted.toSeq
       assert(ranks == (1 to ranks.length), ranks.toString)
     }
+
+    // multiprobe (Hamming-radius-1) recalls at least as much as exact-
+    // bucket lookup — its candidate set is a strict superset — and still
+    // emits no duplicate pairs
+    def mpPairs(probeBits: Int): Set[(Long, Long)] =
+      Similarity.lshTopK(vecs, qs, "vec_id", "embedding", k = 5,
+        planes = 6, dim = 16, probeBits = probeBits)
+        .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val mp = Similarity.lshTopK(vecs, qs, "vec_id", "embedding", k = 5,
+      planes = 6, dim = 16, probeBits = 1)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(mp.length == mp.distinct.length)
+    assert((mpPairs(0) intersect truth).size <= (mpPairs(1) intersect truth).size,
+      "multiprobe recalled fewer true neighbors than exact-bucket LSH")
+    // radius-2 probing is refused (planes^2 candidate blow-up)
+    assert(intercept[IllegalArgumentException] {
+      Similarity.lshTopK(vecs, qs, "vec_id", "embedding", k = 5,
+        planes = 6, dim = 16, probeBits = 2)
+    }.getMessage.contains("multiprobe"))
   }
 
   test("bm25TopK: hand-checked scores, ranking, self-hit exclusion, df cap") {
