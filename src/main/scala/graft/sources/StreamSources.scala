@@ -257,9 +257,9 @@ object StreamSources {
       unsupportedLanding("sqs", s"queue $queueUrl")
     case Nats(url, subject, _, _, _) =>
       unsupportedLanding("nats", s"subject $subject at $url")
-    case Http(addr, _)      => unsupportedLanding("http listener", addr)
-    case Websocket(addr, _) => unsupportedLanding("websocket listener", addr)
-    case Grpc(addr, _)      => unsupportedLanding("grpc listener", addr)
+    case Http(addr, _)      => pushLanding(spark, "http listener", addr)
+    case Websocket(addr, _) => pushLanding(spark, "websocket listener", addr)
+    case Grpc(addr, _)      => pushLanding(spark, "grpc listener", addr)
     case PostgresCdc(conn, _, _, _) =>
       throw new UnsupportedOperationException(
         s"postgres CDC ($conn): land the WAL through Debezium->Kafka and read the " +
@@ -280,6 +280,26 @@ object StreamSources {
     val r = spark.readStream.format(format)
     (if (ddl.nonEmpty) r.schema(ddl) else r).options(opts).load(path)
   }
+
+  /** Push listeners (http/websocket/grpc) have no Spark pull source. A
+    * `loopback://host:port` address opts into the in-container double:
+    * Spark's line-based socket reader attached to a local listener, so the
+    * landing pattern — payloads streaming in over a socket into a frame
+    * with one `value` string column (parse with `from_json`, like Kafka's
+    * value) — is e2e-testable without egress. Any other address keeps the
+    * actionable landing error: in production these sources run a sidecar
+    * listener that lands payloads to files/Kafka, and Spark reads THAT.
+    */
+  private def pushLanding(spark: SparkSession, kind: String, addr: String): DataFrame =
+    if (addr.startsWith("loopback://")) {
+      addr.stripPrefix("loopback://").split(":") match {
+        case Array(host, port) if port.forall(_.isDigit) =>
+          spark.readStream.format("socket")
+            .option("host", host).option("port", port.toInt).load()
+        case _ =>
+          sys.error(s"$kind: loopback address must be loopback://host:port, got $addr")
+      }
+    } else unsupportedLanding(kind, addr)
 
   private def unsupportedLanding(kind: String, target: String): Nothing =
     throw new UnsupportedOperationException(

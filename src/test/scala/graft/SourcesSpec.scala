@@ -92,6 +92,46 @@ class SourcesSpec extends SparkSpec {
     needsLanding(Grpc("0.0.0.0:50051"))
     needsLanding(PostgresCdc("postgres://h/db", publication = Some("pub")))
     needsLanding(MysqlCdc("mysql://h/db"))
+
+    // the push types accept the loopback double (streaming frame, no listener
+    // dialed until the query starts) — e2e ingestion covered in its own test
+    assert(StreamSources.read(spark, Websocket("loopback://127.0.0.1:9")).isStreaming)
+    assert(StreamSources.read(spark, Grpc("loopback://127.0.0.1:9")).isStreaming)
+    intercept[RuntimeException](StreamSources.read(spark, Http("loopback://nope")))
+  }
+
+  test("push-source loopback double: payloads stream through a socket into a frame") {
+    val server = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getByName("127.0.0.1"))
+    val port = server.getLocalPort
+    val payloads = Seq("""{"id":1,"v":"a"}""", """{"id":2,"v":"b"}""", """{"id":3,"v":"c"}""")
+    val pusher = new Thread(() => {
+      try {
+        val s = server.accept()
+        val w = new java.io.PrintWriter(s.getOutputStream, true)
+        payloads.foreach(w.println)
+        w.flush()
+        Thread.sleep(30000) // hold the connection open while the reader drains
+        s.close()
+      } catch { case _: Exception => () } // server closed at test end
+    })
+    pusher.setDaemon(true)
+    pusher.start()
+    val df = StreamSources.read(spark, Http(s"loopback://127.0.0.1:$port"))
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.toSeq == Seq("value"))
+    val q = df.writeStream.format("memory").queryName("push_mem")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis + 60000
+      while (spark.table("push_mem").count() < 3 && System.currentTimeMillis < deadline)
+        Thread.sleep(200)
+      val got = spark.table("push_mem").collect().map(_.getString(0)).toSet
+      assert(got == payloads.toSet, s"got $got")
+    } finally {
+      q.stop()
+      server.close()
+    }
   }
 
   test("jdbc reads from embedded Derby, including partitioned range scans") {
