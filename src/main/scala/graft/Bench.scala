@@ -52,7 +52,15 @@ object Bench {
     val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Also persist the line to a file: the driver captures a bounded stdout
+    // tail, and a 96-query JSON line can fall past the window (BENCH_r04
+    // lost 27 per-query timings that way). BENCH.json is the self-contained
+    // artifact; stdout stays the driver contract.
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }

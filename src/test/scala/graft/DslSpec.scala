@@ -1029,4 +1029,54 @@ class DslSpec extends SparkSpec {
     assert(rows.contains(("u1", 1L)) && rows.contains(("u1", 3L)), rows.toString)
     assert(rows.count(_._1 == "u2") == 1, rows.toString)
   }
+
+  test("emit: periodic resident — timer-driven re-emissions, stopped after two") {
+    // Unlike the test above, this harness never calls processAllAvailable:
+    // the ProcessingTime trigger alone must pick up each wave and re-emit
+    // the updated key — the resident deployment shape of types.rs periodic
+    // emission. The query is stopped after the second observed emission.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val reg = YamlLoader.load(
+      s"""kind: Source
+         |metadata: {name: ev}
+         |spec: {format: table, path: evt, streaming: true}
+         |---
+         |kind: Transform
+         |metadata: {name: agg}
+         |spec:
+         |  type: aggregate
+         |  groupBy: [user]
+         |  aggregations: [{fn: count, as: n}]
+         |  emit: periodic
+         |  emitInterval: 100 milliseconds
+         |---
+         |kind: Sink
+         |metadata: {name: per_mem}
+         |spec: {format: memory, path: "", checkpoint: ""}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: ev, steps: [agg], sink: per_mem}
+         |""".stripMargin)
+    val p = Compiler.compile(spark, reg,
+      tables = Map("evt" -> ev.toDF().toDF("id", "user", "ts")))("p")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def u1Counts(): Seq[Long] = spark.table("per_mem").collect()
+      .filter(_.getString(0) == "u1").map(_.getLong(1)).toSeq
+    def awaitEmission(pred: () => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!pred() && System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(pred(), "timed out waiting for a periodic emission")
+    }
+    ev.addData((1L, "u1", t("2024-01-01 00:00:00")))
+    val q = Compiler.writeStreaming(p)
+    try {
+      awaitEmission(() => u1Counts().contains(1L)) // first timer emission
+      ev.addData((2L, "u1", t("2024-01-01 00:01:00")))
+      awaitEmission(() => u1Counts().contains(2L)) // second: updated value
+    } finally q.stop() // stop after the second emission
+    assert(u1Counts().sorted == Seq(1L, 2L), u1Counts().toString)
+  }
 }
