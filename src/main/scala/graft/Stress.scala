@@ -80,7 +80,21 @@ object Stress {
       "upsample" -> (() => ops.Sampling.upsampleByWeight(
         docsN.withColumn("w", lit(1.5)), "doc_id", "w")),
       "classifier" -> (() => ops.Scoring.hashedLinearScore(docsN, "text",
-        ops.Scoring.stubWeights(1024)))
+        ops.Scoring.stubWeights(1024))),
+      // round 5: multiprobe fans out the (tiny) query side x(1+planes);
+      // the corpus side must stay one-bucket-per-table — linear in mult
+      "ann_multiprobe" -> (() => ops.Similarity.lshTopK(embN,
+        embN.filter(pmod(col("vec_id"), lit(997)) === 0), "vec_id", "embedding",
+        k = 10, planes = 6, dim = 64, tables = 4, probeBits = 1)),
+      // round 5: distributed avro write + fallback read, both per-task
+      "avro_roundtrip" -> (() => {
+        val path = "/tmp/graft_stress_avro"
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.delete(hp, true)
+        graft.sources.Readers.writeAvro(docsN, path)
+        graft.sources.Readers.avro(spark, path)
+      })
     )
     val selected = if (args.nonEmpty) opList.filter(o => args.contains(o._1)) else opList
 

@@ -68,11 +68,17 @@ object StatefulDedup {
             state.remove()
             Iterator.single(row)
           } else {
+            // rows at-or-before the watermark are too late: their
+            // generation may already have emitted, and re-opening the key
+            // would emit a duplicate — drop them, the same contract every
+            // watermarked stateful operator applies to late data
+            val wm0 = state.getCurrentWatermarkMs()
             val best = rows.foldLeft(state.getOption) { (acc, r) =>
               val ts = r.getTimestamp(tsIdx).getTime
               acc match {
-                case Some((bts, _)) if bts > ts => acc
-                case _                          => Some((ts, r)) // >= : later arrival wins
+                case _ if ts <= wm0 && !state.exists => acc
+                case Some((bts, _)) if bts > ts      => acc
+                case _                               => Some((ts, r)) // >= : later arrival wins
               }
             }
             best.foreach { case (ts, _) =>

@@ -980,6 +980,14 @@ class DslSpec extends SparkSpec {
       evL.addData((4L, "u2", t("2024-01-01 00:10:01")))
       qL.processAllAvailable()
       assert(spark.table("ddl2_mem").collect().map(_.getLong(0)).toSet == Set(2L))
+      // a too-late u1 arrival (far below the watermark) after its
+      // generation emitted must be dropped, not re-emit a duplicate
+      evL.addData((5L, "u1", t("2024-01-01 00:00:01")))
+      qL.processAllAvailable()
+      evL.addData((6L, "u2", t("2024-01-01 00:20:00")))
+      qL.processAllAvailable()
+      assert(spark.table("ddl2_mem").collect().map(_.getLong(0))
+        .count(_ == 5L) == 0, "too-late row re-opened an emitted generation")
     } finally qL.stop()
   }
 
