@@ -741,6 +741,30 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** JDBC source/sink end-to-end (F4): orders written into embedded Derby
+    * through Spark's distributed JDBC writer (one connection per task),
+    * read back as 8 parallel range scans over the key bounds, and oracled
+    * against the originating parquet — the same round-trip trick as
+    * q_source_avro (DuckDB never talks JDBC). Bounds only shape the
+    * partition split; out-of-range rows still land in the edge partitions,
+    * so fixed bounds stay correct at every scale factor.
+    */
+  private def qSourceJdbc(s: SparkSession, dir: String): DataFrame = {
+    val base = "/tmp/graft_q_jdbc"
+    val hp = new org.apache.hadoop.fs.Path(base)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true)
+    val url = s"jdbc:derby:$base/db;create=true"
+    val out = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"))
+    out.write.mode("overwrite").jdbc(url, "orders_jdbc", new java.util.Properties)
+    graft.sources.Readers.jdbc(s, url, "orders_jdbc",
+      partitionColumn = Some("o_orderkey"), lowerBound = 0L,
+      upperBound = 10000000L, numPartitions = 8)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ==========================================================================
   // LLM-training-data operators (SURVEY §2.8)
   // ==========================================================================
@@ -1482,6 +1506,7 @@ object SparkEntry {
     "q_source_csv" -> (qSourceCsv _),
     "q_source_json" -> (qSourceJson _),
     "q_source_avro" -> (qSourceAvro _),
+    "q_source_jdbc" -> (qSourceJdbc _),
     "q_dsl_pipeline" -> (qDslPipeline _),
     "q_stream_agg" -> (qStreamAgg _),
     "q_sql_functions" -> (qSqlFunctions _),
@@ -2212,6 +2237,9 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus AS status
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_source_avro" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_source_jdbc" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_repetition" ->
