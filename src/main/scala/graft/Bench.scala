@@ -53,14 +53,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout first — it is the driver contract and must survive even if
+    // the file copy can't be written (read-only cwd, bad env path)
+    println(line)
     // Also persist the line to a file: the driver captures a bounded stdout
-    // tail, and a 96-query JSON line can fall past the window (BENCH_r04
+    // tail, and a 100-query JSON line can fall past the window (BENCH_r04
     // lost 27 per-query timings that way). BENCH.json is the self-contained
-    // artifact; stdout stays the driver contract.
-    java.nio.file.Files.write(java.nio.file.Paths.get(
+    // artifact.
+    try java.nio.file.Files.write(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")),
       (line + "\n").getBytes("UTF-8"))
-    println(line)
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write BENCH.json: $e")
+    }
     spark.stop()
   }
 }

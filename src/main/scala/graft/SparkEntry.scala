@@ -511,11 +511,12 @@ object SparkEntry {
       .orderBy(col("c_custkey"), col("o_orderkey"))
 
   /** Bucketed co-located join (F9) as an end-to-end result check: both
-    * sides are written `bucketBy(custkey)` once, then joined back with
-    * broadcast disabled so the plan HAS to be a bucket-aligned sort-merge
-    * join — [[graft.sources.Bucketing.assertCoLocated]] fails the query if
-    * any ShuffleExchange appears. The oracle replays the join relationally;
-    * the shuffle-free-plan claim stays structural (also unit-tested).
+    * sides are written `bucketBy(custkey)` once, then joined back with a
+    * merge hint pinned into the plan, so the EXECUTED query is a
+    * bucket-aligned sort-merge join (the hint travels with the plan, unlike
+    * a conf flipped around construction) —
+    * [[graft.sources.Bucketing.assertCoLocated]] fails the query if any
+    * ShuffleExchange appears. The oracle replays the join relationally.
     */
   private def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.Bucketing
@@ -535,18 +536,11 @@ object SparkEntry {
       t(s, dir, "orders").select(col("o_custkey").as("custkey"),
         col("o_orderkey"), col("o_totalprice")),
       "graft_q_bkt_ord", Seq("custkey"), nBuckets = 8)
-    val prev = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = Bucketing
-        .coLocatedJoin(s, "graft_q_bkt_ord", "graft_q_bkt_cust", Seq("custkey"))
-        .select(col("custkey"), col("o_orderkey"), col("c_name"), col("o_totalprice"))
-      Bucketing.assertCoLocated(joined)
-      joined.orderBy(col("o_orderkey"))
-    } finally prev match {
-      case Some(v) => s.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
-      case None    => s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-    }
+    val joined = Bucketing
+      .coLocatedJoin(s, "graft_q_bkt_ord", "graft_q_bkt_cust", Seq("custkey"))
+      .select(col("custkey"), col("o_orderkey"), col("c_name"), col("o_totalprice"))
+    Bucketing.assertCoLocated(joined)
+    joined.orderBy(col("o_orderkey"))
   }
 
   // ==========================================================================

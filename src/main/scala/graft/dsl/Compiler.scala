@@ -103,6 +103,10 @@ object Compiler {
               .getOrElse("10 seconds")))
           case other => sys.error(s"unknown aggregate emit mode: $other")
         }
+        // resident is a streaming notion — a batch frame would silently
+        // run once and stop, the opposite of what the manifest asked for
+        require(p.trigger != "resident" || frame.isStreaming,
+          s"pipeline '${p.name}': trigger: resident needs a streaming source")
         p.name -> CompiledPipeline(p.name, frame, sink, prefix, dlqFrame, dlqSink,
           outputMode = outMode, emitInterval = interval, triggerMode = p.trigger)
       }
@@ -431,9 +435,17 @@ object Compiler {
           case None    => df
         }
         val ws = c.get("windowSeconds").map(_.toString.toLong)
-        if (c.get("keep").exists(_.toString == "last"))
+        if (c.get("keep").exists(_.toString == "last")) {
+          // fail fast at compile: without a watermark the event-time
+          // timeout would only die at query START with a generic Spark
+          // error far from the manifest the user typed
+          val hasWatermark = df0.queryExecution.analyzed.collectFirst {
+            case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => ()
+          }.isDefined
+          require(hasWatermark, "dedupe keep: last on a stream needs a watermark — " +
+            "declare watermark: {field, delay} on the step or on the source")
           graft.streaming.StatefulDedup.keepLast(df0, keys, evtCol, ws)
-        else
+        } else
           // windowSeconds keeps batch parity — first per key PER TUMBLING
           // WINDOW — by folding the window start into the dedup key
           ws match {

@@ -198,13 +198,7 @@ object Layout {
       }
     val (out, nFiles) =
       if (partCols.isEmpty) {
-        val it = fs.listFiles(hp, true)
-        var totalBytes = 0L
-        while (it.hasNext) {
-          val f = it.next()
-          if (!f.getPath.getName.startsWith("_")) totalBytes += f.getLen
-        }
-        val n = fileCount(totalBytes)
+        val n = fileCount(leafDirBytes(fs, hp, 0).head._2)
         val o = if (zOrderBy.nonEmpty) zOrder(df, zOrderBy.head, zOrderBy(1), bits, n)
                 else df.repartition(n)
         (o, n)
@@ -212,24 +206,41 @@ object Layout {
         // A hive-partitioned directory writes one file per (task,
         // partition-value) pair, so a global repartition(n) fragments
         // every directory into up-to-n slivers. Instead: size each
-        // partition directory independently from its on-disk bytes, then
-        // co-locate rows by (partition cols, per-directory salt) so each
-        // directory gets exactly its own ~targetBytes-sized files.
+        // partition directory independently from its on-disk bytes,
+        // assign every row a dense target-file index (per-directory
+        // offset + in-directory salt), and range-partition on that index
+        // so each directory gets ~targetBytes-sized files.
+        //
+        // Directory names are hive-unescaped (%XX) and
+        // __HIVE_DEFAULT_PARTITION__ maps to SQL NULL, the join is
+        // NULL-SAFE, and it is a LEFT join with a 1-file fallback — a
+        // partition value this bookkeeping failed to match can cost file
+        // sizing, never rows.
         val perDir = leafDirBytes(fs, hp, partCols.size)
-          .map { case (vals, bytes) => (vals, fileCount(bytes)) }
+          .map { case (vals, bytes) => (vals.map(unescapeHive), fileCount(bytes)) }
         val total = perDir.map(_._2.toLong).sum.min(Int.MaxValue).toInt
-        val nfRows = perDir.map { case (vals, n) =>
-          org.apache.spark.sql.Row.fromSeq(vals :+ n)
+        val offsets = perDir.scanLeft(0L)(_ + _._2).init
+        val nfRows = perDir.zip(offsets).map { case ((vals, n), off) =>
+          org.apache.spark.sql.Row.fromSeq(vals :+ n :+ off)
         }
+        val pvCols = partCols.map(c => s"__graft_pv_$c")
         val nfSchema = org.apache.spark.sql.types.StructType(
-          partCols.map(c => org.apache.spark.sql.types.StructField(
+          pvCols.map(c => org.apache.spark.sql.types.StructField(
             c, org.apache.spark.sql.types.StringType)) :+
             org.apache.spark.sql.types.StructField(
-              "__graft_nf", org.apache.spark.sql.types.IntegerType))
+              "__graft_nf", org.apache.spark.sql.types.IntegerType) :+
+            org.apache.spark.sql.types.StructField(
+              "__graft_off", org.apache.spark.sql.types.LongType))
         val nfDf = spark.createDataFrame(
           spark.sparkContext.parallelize(nfRows, 1), nfSchema)
-        val joined = df.join(broadcast(nfDf), partCols)
-        val keyCols = (partCols :+ "__graft_salt").map(col)
+        val joinCond = partCols.zip(pvCols)
+          .map { case (c, pv) => df(c) <=> nfDf(pv) }
+          .reduce(_ && _)
+        val joined = df.join(broadcast(nfDf), joinCond, "left")
+          .withColumn("__graft_nf", coalesce(col("__graft_nf"), lit(1)))
+          .withColumn("__graft_off", coalesce(col("__graft_off"), lit(total.toLong)))
+          .drop(pvCols: _*)
+        val fid = "__graft_fid"
         val o =
           if (zOrderBy.nonEmpty) {
             // salt = z-bucket (not a hash) so every file still covers a
@@ -237,19 +248,19 @@ object Layout {
             val zc = "__graft_zval"
             val maxZ = 1L << math.min(62, 2 * bits)
             withZValue(joined, zOrderBy.head, zOrderBy(1), bits, outCol = zc)
-              .withColumn("__graft_salt", coalesce(
+              .withColumn(fid, col("__graft_off") + coalesce(
                 expr(s"CAST(CAST($zc AS DECIMAL(38,0)) * __graft_nf DIV ${maxZ}L AS INT)"),
                 lit(0)))
-              .repartition(total, keyCols: _*)
-              .sortWithinPartitions(col(zc))
-              .drop(zc, "__graft_salt", "__graft_nf")
+              .repartitionByRange(total, col(fid))
+              .sortWithinPartitions(col(fid), col(zc))
+              .drop(zc, fid, "__graft_nf", "__graft_off")
           } else {
             val dataCols = df.columns.filterNot(partCols.contains)
             joined
-              .withColumn("__graft_salt",
-                pmod(xxhash64(dataCols.map(col): _*), col("__graft_nf")).cast("int"))
-              .repartition(total, keyCols: _*)
-              .drop("__graft_salt", "__graft_nf")
+              .withColumn(fid, col("__graft_off") +
+                pmod(xxhash64(dataCols.map(col): _*), col("__graft_nf")))
+              .repartitionByRange(total, col(fid))
+              .drop(fid, "__graft_nf", "__graft_off")
           }
         (o, total)
       }
@@ -266,8 +277,30 @@ object Layout {
     nFiles
   }
 
+  /** Hive directory-name unescaping: `%XX` byte escapes back to their
+    * characters, and the null-partition sentinel to SQL NULL. (Hive
+    * escaping is exactly %XX — NOT URL encoding; '+' is literal.)
+    */
+  private def unescapeHive(v: String): String =
+    if (v == "__HIVE_DEFAULT_PARTITION__") null
+    else if (!v.contains('%')) v
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < v.length) {
+        if (v.charAt(i) == '%' && i + 2 < v.length) {
+          try {
+            sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
+            i += 3
+          } catch { case _: NumberFormatException => sb.append(v.charAt(i)); i += 1 }
+        } else { sb.append(v.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+
   /** Bytes of data files under each leaf partition directory, keyed by the
     * partition values in directory order (`a=1/b=x` → Seq("1", "x")).
+    * Depth 0 = the whole directory as one leaf (unpartitioned total).
     */
   private def leafDirBytes(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, depth: Int): Seq[(Seq[String], Long)] = {

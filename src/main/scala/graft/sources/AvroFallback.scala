@@ -137,7 +137,16 @@ private[sources] object AvroFallback {
         v.asInstanceOf[scala.collection.Map[String, Any]]
           .map { case (k, vv) => k -> toAvro(vv, s.getValueType) }.asJava
       case Schema.Type.RECORD => toRecord(v.asInstanceOf[Row], s)
-      case _                  => v // int/long/float/double/boolean
+      case Schema.Type.INT =>
+        // Short/Byte map to avro INT in the schema, but avro's union
+        // resolution only recognizes Integer — widen here or nullable
+        // smallint/tinyint columns crash the writer at runtime
+        v match {
+          case s: java.lang.Short => Int.box(s.intValue)
+          case b: java.lang.Byte  => Int.box(b.intValue)
+          case other              => other
+        }
+      case _ => v // long/float/double/boolean
     }
   }
 

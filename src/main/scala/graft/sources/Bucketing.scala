@@ -50,6 +50,13 @@ object Bucketing {
     * plan must contain no ShuffleExchange on either scan side — verified by
     * [[assertCoLocated]] in tests; at scale this is THE difference between
     * an hourly full-table shuffle and a local merge.
+    *
+    * The merge hint pins the strategy to a sort-merge join regardless of
+    * the session's broadcast threshold — the point of bucketing is the
+    * bucket-aligned merge, and the hint travels with the plan, so the
+    * EXECUTED query exercises it too (a conf flipped around plan
+    * construction would be re-read, and possibly re-decided, at action
+    * time).
     */
   def coLocatedJoin(
       spark: SparkSession,
@@ -58,7 +65,8 @@ object Bucketing {
       keys: Seq[String],
       joinType: String = "inner"
   ): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable), keys, joinType)
+    spark.table(leftTable).hint("merge")
+      .join(spark.table(rightTable).hint("merge"), keys, joinType)
 
   /** True iff the physical plan reads both sides bucket-aligned: no shuffle
     * exchange anywhere (broadcast exchanges are fine — a broadcast side

@@ -966,6 +966,31 @@ class DslSpec extends SparkSpec {
     // the internal window-bucket key does not leak into the output schema
     assert(w.head.schema.fieldNames.toSeq == Seq("id", "user", "ts"))
 
+    // keep:last without ANY watermark fails at compile, not query start
+    val noWm = intercept[IllegalArgumentException] {
+      val ev2 = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val reg2 = YamlLoader.load(
+        """kind: Source
+          |metadata: {name: ev}
+          |spec: {format: table, path: evt, streaming: true}
+          |---
+          |kind: Transform
+          |metadata: {name: dd}
+          |spec: {type: dedupe, keys: [user], orderBy: [id], keep: last}
+          |---
+          |kind: Sink
+          |metadata: {name: nw_mem}
+          |spec: {format: memory, path: "", checkpoint: ""}
+          |---
+          |kind: Pipeline
+          |metadata: {name: p}
+          |spec: {source: ev, steps: [dd], sink: nw_mem}
+          |""".stripMargin)
+      Compiler.compile(spark, reg2,
+        tables = Map("evt" -> ev2.toDF().toDF("id", "user", "ts")))
+    }
+    assert(noWm.getMessage.contains("needs a watermark"))
+
     // keep: last routes to the stateful path (covered in the test above);
     // unwindowed keep:last emits per quiet-period generation
     val (evL, pL) = pipelineWith("  keep: last", "ddl2_mem")
@@ -1036,6 +1061,36 @@ class DslSpec extends SparkSpec {
     // complete, mode)
     assert(rows.contains(("u1", 1L)) && rows.contains(("u1", 3L)), rows.toString)
     assert(rows.count(_._1 == "u2") == 1, rows.toString)
+  }
+
+  test("trigger: resident on a batch source is rejected at compile") {
+    val reg = YamlLoader.load(
+      """kind: Source
+        |metadata: {name: src}
+        |spec: {format: table, path: tbl}
+        |---
+        |kind: Sink
+        |metadata: {name: out}
+        |spec: {format: noop, path: "", checkpoint: ""}
+        |---
+        |kind: Pipeline
+        |metadata: {name: p}
+        |spec: {source: src, steps: [], sink: out, trigger: resident}
+        |""".stripMargin)
+    val e = intercept[IllegalArgumentException] {
+      Compiler.compile(spark, reg,
+        tables = Map("tbl" -> Seq((1L, "a")).toDF("id", "v")))
+    }
+    assert(e.getMessage.contains("needs a streaming source"))
+    // and an unknown trigger value is rejected at load
+    val bad = intercept[IllegalArgumentException] {
+      YamlLoader.load(
+        """kind: Pipeline
+          |metadata: {name: p}
+          |spec: {source: s, steps: [], sink: k, trigger: sometimes}
+          |""".stripMargin)
+    }
+    assert(bad.getMessage.contains("drain or resident"))
   }
 
   test("emit: periodic resident — timer-driven re-emissions, stopped after two") {

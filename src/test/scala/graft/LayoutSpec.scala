@@ -135,6 +135,23 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/t").count() == 300)
   }
 
+  test("compact preserves rows under null and hive-escaped partition values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_esc").toString
+    // ':' escapes to %3A in the directory name; null becomes the
+    // __HIVE_DEFAULT_PARTITION__ sentinel — both must survive compaction
+    val data = Seq(
+      (1L, "a:b"), (2L, "a:b"), (3L, "plain"), (4L, null), (5L, null)
+    ).toDF("id", "k")
+    data.repartition(4).write.partitionBy("k").parquet(s"$dir/t")
+    val n = graft.ops.Layout.compact(spark, s"$dir/t", targetBytes = 1L << 30)
+    assert(n == 3, s"expected one file target per directory, got $n")
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 5, "compaction lost rows")
+    val got = back.select("id", "k").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a:b"), (2L, "a:b"), (3L, "plain"), (4L, null), (5L, null)),
+      s"got $got")
+  }
+
   test("compact recovers from a crash mid-swap (original parked at __compact_old)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString
     val data = (0 until 500).map(i => (i, s"row_$i")).toDF("id", "payload")

@@ -219,6 +219,14 @@ class SourcesSpec extends SparkSpec {
         dir + "_bad")
     }
     assert(e.getMessage.contains("unsupported Spark type"))
+    // nullable smallint/tinyint: avro union resolution only recognizes
+    // Integer — the writer must widen Short/Byte or crash at runtime
+    val sb = Seq((1L, Some(2.toShort), Some(3.toByte)), (2L, None, None))
+      .toDF("id", "s", "b")
+    Readers.writeAvro(sb, dir + "_sb")
+    val sbBack = Readers.avro(spark, dir + "_sb").orderBy("id").collect()
+    assert(sbBack(0).getInt(1) == 2 && sbBack(0).getInt(2) == 3)
+    assert(sbBack(1).isNullAt(1) && sbBack(1).isNullAt(2))
   }
 
   test("bucketed tables join and aggregate without a shuffle exchange") {
