@@ -876,6 +876,26 @@ object SparkEntry {
       )
       .orderBy(col("doc_id"))
 
+  /** Markup stripping (L44): synthetic HTML built around each document —
+    * script containing a decoy close tag, style, entities incl. a
+    * double-encoded one, comment, block structure — through
+    * [[TF.stripMarkup]]'s regexp chain; the oracle replays every pass in
+    * DuckDB (RE2 and Java agree on this regex subset).
+    */
+  private def qStripHtml(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        TF.stripMarkup(concat(
+          lit("<html><head><script>var x=\"</div>\";</script><style>p{}</style>" +
+            "</head><body><h1>Doc "),
+          col("doc_id"),
+          lit("</h1><p>"), col("text"),
+          lit("</p><ul><li>a</li><li>b</li></ul><div>&amp;amp; tail &lt;x&gt;&nbsp;end" +
+            "</div><!-- c --></body></html>")
+        )).as("clean"))
+      .orderBy(col("doc_id"))
+
   private def qSampleHash(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.withSplit(
       graft.ops.Sampling.byHash(docs(s, dir), "doc_id", fractionBp = 5000),
@@ -1484,6 +1504,7 @@ object SparkEntry {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_lang_id" -> (qLangId _),
     "q_pii_scrub" -> (qPiiScrub _),
+    "q_strip_html" -> (qStripHtml _),
     "q_sample_hash" -> (qSampleHash _),
     "q_domain_cap" -> (qDomainCap _),
     "q_pack" -> (qPack _),
@@ -2099,6 +2120,26 @@ object SparkEntry {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_strip_html" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    concat('<html><head><script>var x="</div>";</script><style>p{}</style>',
+        |           '</head><body><h1>Doc ', CAST(doc_id AS VARCHAR), '</h1><p>', text,
+        |           '</p><ul><li>a</li><li>b</li></ul><div>&amp;amp; tail &lt;x&gt;&nbsp;end',
+        |           '</div><!-- c --></body></html>') AS x
+        |  FROM documents
+        |), s1 AS (SELECT doc_id, regexp_replace(x, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS x FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(x, '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS x FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(x, '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|thead|tbody|blockquote|section|article|header|footer)\b[^>]*>', chr(10), 'g') AS x FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s4),
+        |e1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(x, '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g') AS x FROM s5),
+        |e2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(x, '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&apos;', chr(39), 'g') AS x FROM e1),
+        |e3 AS (SELECT doc_id, regexp_replace(x, '&amp;', '&', 'g') AS x FROM e2),
+        |w1 AS (SELECT doc_id, regexp_replace(x, '[ \t\r]+', ' ', 'g') AS x FROM e3),
+        |w2 AS (SELECT doc_id, regexp_replace(x, '\s*\n\s*', chr(10), 'g') AS x FROM w1)
+        |SELECT doc_id, regexp_replace(x, '^\s+|\s+$', '', 'g') AS clean
+        |FROM w2 ORDER BY doc_id""".stripMargin,
     "q_pack" ->
       """WITH d AS (SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

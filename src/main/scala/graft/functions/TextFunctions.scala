@@ -167,6 +167,47 @@ object TextFunctions {
     regexp_replace(noEmail, "[0-9][0-9 ()+.-]{6,}[0-9]", "<NUMBER>")
   }
 
+  /** HTML/markup → text, the boilerplate-stripping staple of every web
+    * corpus pipeline (the C4/RefinedWeb preprocessing shape), as a pure
+    * regexp_replace chain — row-local, codegen'd, pushdown-friendly, and
+    * exactly replayable in any regex-capable engine (the oracle replays
+    * it in DuckDB):
+    *
+    *  1. script/style subtrees dropped wholesale (separate passes, so a
+    *     stray `</style>` can't close a `<script>`);
+    *  2. comments dropped;
+    *  3. block-level tags become newlines (sentences from adjacent
+    *     paragraphs must not weld together);
+    *  4. every remaining tag becomes a space;
+    *  5. the dominant entities decode — `&amp;` LAST, so double-encoded
+    *     text (`&amp;lt;`) decodes one level per pass, not two;
+    *  6. whitespace normalizes: horizontal runs to one space, newline
+    *     runs (with surrounding space) to one newline, ends trimmed.
+    *
+    * This is deliberately NOT an HTML parser — at 100 TB the per-row cost
+    * budget is a few regex passes, malformed markup must never throw, and
+    * the output feeds dedup/quality scoring that tolerates imperfect
+    * extraction. A DOM-accurate extractor is a `mapPartitions` kernel a
+    * deployment can swap in; the pipeline shape stays identical.
+    */
+  def stripMarkup(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|thead|tbody|blockquote|section|article|header|footer)\\b[^>]*>",
+      "\n")
+    val noTags = regexp_replace(blocks, "<[^>]*>", " ")
+    val entities = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'",
+      "&amp;" -> "&" // last: one decode level per pass
+    ).foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    val hws = regexp_replace(entities, "[ \\t\\r]+", " ")
+    val nl = regexp_replace(hws, "\\s*\\n\\s*", "\n")
+    regexp_replace(nl, "^\\s+|\\s+$", "")
+  }
+
   /** Composite quality score in [0,1]: rewards mid-length docs with healthy
     * stopword density and low punctuation noise. Weights are illustrative;
     * the value is the *pipeline shape* (pure column math, filterable,

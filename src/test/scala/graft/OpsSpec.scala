@@ -20,6 +20,26 @@ class OpsSpec extends SparkSpec {
     assert(r.getLong(2) == 8L)
   }
 
+  test("stripMarkup: scripts/styles/comments dropped, blocks break lines, entities decode once") {
+    val html =
+      """<html><head><title>T</title><script type="text/javascript">
+        |var x = "</div> trap"; if (a<b) {}
+        |</script><style>p { color: red }</style></head>
+        |<body><h1 class="big">Head</h1><p>one &amp; two &lt;three&gt;</p>
+        |<ul><li>a</li><li>b</li></ul>
+        |<!-- hidden --><div>&amp;amp; stays encoded once&nbsp;end</div>
+        |<span>inline</span> tail</body></html>""".stripMargin
+    val out = Seq(Tuple1(html)).toDF("h")
+      .select(T.stripMarkup(col("h")).as("c")).head().getString(0)
+    assert(out ==
+      "T\nHead\none & two <three>\na\nb\n&amp; stays encoded once end\ninline tail",
+      s"got ${out.replace("\n", "\\n")}")
+    // malformed markup never throws — worst case it passes through as text
+    val weird = Seq(Tuple1("a < b > c <unclosed <p>fine</p>")).toDF("h")
+      .select(T.stripMarkup(col("h")).as("c")).head().getString(0)
+    assert(weird.contains("fine"))
+  }
+
   test("wordShingles: n consecutive tokens; short docs yield empty") {
     val df = Seq(("a b c d", 1), ("a b", 2)).toDF("text", "id")
     val m = df.select(col("id"), T.wordShingles(col("text"), 3).as("sh"))
