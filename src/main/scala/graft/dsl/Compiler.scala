@@ -628,6 +628,16 @@ object Compiler {
           excludeFields = c.get("excludeFields")
             .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
         )(df)
+      case "strip_markup" =>
+        // HTML/markup → text (TextFunctions.stripMarkup) as a pipeline
+        // step — row-local regexp chain, so it compiles unchanged on
+        // streaming frames. In-place by default; `target` writes a new
+        // column instead (keeping the raw markup alongside).
+        val field = c.getOrElse("field", "text").toString
+        val target = c.getOrElse("target", field).toString
+        require(target == field || !df.columns.contains(target),
+          s"strip_markup: target column '$target' already exists")
+        df.withColumn(target, graft.functions.TextFunctions.stripMarkup(col(field)))
       case "quality_filter" =>
         // Hashed-linear classifier inference (graft.ops.Scoring) as a
         // pipeline step — row-local, so it compiles unchanged on

@@ -184,6 +184,47 @@ class DslSpec extends SparkSpec {
     assert(badBits.getMessage.contains("zOrderBits"))
   }
 
+  test("strip_markup transform: in-place and to a target column") {
+    def yaml(extra: String) =
+      s"""kind: Source
+         |metadata: {name: docs}
+         |spec: {format: table, path: docs}
+         |---
+         |kind: Transform
+         |metadata: {name: sm}
+         |spec:
+         |  type: strip_markup
+         |  field: body
+         |$extra
+         |---
+         |kind: Sink
+         |metadata: {name: out}
+         |spec: {format: noop, path: ""}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: docs, steps: [sm], sink: out}
+         |""".stripMargin
+    val docs = Seq((1L, "<p>hello <b>world</b></p><!-- x -->"), (2L, "plain"))
+      .toDF("doc_id", "body")
+    def run(extra: String) =
+      Compiler.compile(spark, YamlLoader.load(yaml(extra)),
+        tables = Map("docs" -> docs))("p").frame
+    // in-place: markup gone, columns unchanged
+    val inPlace = run("")
+    assert(inPlace.columns.toSeq == Seq("doc_id", "body"))
+    val m = inPlace.as[(Long, String)].collect().toMap
+    assert(m(1L) == "hello world" && m(2L) == "plain")
+    // target: raw markup kept alongside the clean column
+    val toCol = run("  target: clean")
+    assert(toCol.columns.toSeq == Seq("doc_id", "body", "clean"))
+    assert(toCol.filter(col("doc_id") === 1L).select("clean").as[String].head()
+      == "hello world")
+    // an existing target column is refused, not clobbered
+    assert(intercept[IllegalArgumentException](run("  target: doc_id").collect())
+      .getMessage.contains("already exists"))
+  }
+
   test("quality_filter transform: stub coefficients, tag and filter actions") {
     def yaml(action: String) =
       s"""kind: Source
