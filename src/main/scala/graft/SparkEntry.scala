@@ -896,6 +896,23 @@ object SparkEntry {
         )).as("clean"))
       .orderBy(col("doc_id"))
 
+  /** URL canonicalization (L45): messy synthetic URLs — mixed case, default
+    * ports, tracking params, fragments, scheme-less — per document; the
+    * oracle replays the whole extract/normalize/filter/sort chain.
+    */
+  private def qUrlCanon(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        TF.canonicalUrl(concat(
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS://Example.COM:443"))
+            .otherwise(lit("site.org:80")),
+          lit("/Docs/"), col("doc_id"),
+          lit("?utm_source=feed&ref_src=tw&b="), col("doc_id"),
+          lit("&a=1#sec"), col("doc_id")
+        )).as("curl"))
+      .orderBy(col("doc_id"))
+
   private def qSampleHash(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.withSplit(
       graft.ops.Sampling.byHash(docs(s, dir), "doc_id", fractionBp = 5000),
@@ -1505,6 +1522,7 @@ object SparkEntry {
     "q_lang_id" -> (qLangId _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_strip_html" -> (qStripHtml _),
+    "q_url_canon" -> (qUrlCanon _),
     "q_sample_hash" -> (qSampleHash _),
     "q_domain_cap" -> (qDomainCap _),
     "q_pack" -> (qPack _),
@@ -2140,6 +2158,34 @@ object SparkEntry {
         |w2 AS (SELECT doc_id, regexp_replace(x, '\s*\n\s*', chr(10), 'g') AS x FROM w1)
         |SELECT doc_id, regexp_replace(x, '^\s+|\s+$', '', 'g') AS clean
         |FROM w2 ORDER BY doc_id""".stripMargin,
+    "q_url_canon" ->
+      """WITH u AS (
+        |  SELECT doc_id, concat(
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Example.COM:443' ELSE 'site.org:80' END,
+        |    '/Docs/', CAST(doc_id AS VARCHAR),
+        |    '?utm_source=feed&ref_src=tw&b=', CAST(doc_id AS VARCHAR),
+        |    '&a=1#sec', CAST(doc_id AS VARCHAR)) AS url
+        |  FROM documents
+        |), nf AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS x FROM u),
+        |p1 AS (SELECT doc_id, lower(regexp_extract(x, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS raw_scheme,
+        |  regexp_replace(x, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM nf),
+        |p2 AS (SELECT doc_id, CASE WHEN raw_scheme = '' THEN 'http' ELSE raw_scheme END AS scheme,
+        |  lower(regexp_extract(rest, '^([^/?]*)', 1)) AS auth,
+        |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM p1),
+        |p3 AS (SELECT doc_id, scheme,
+        |  CASE WHEN scheme='http' THEN regexp_replace(auth, ':80$', '')
+        |       WHEN scheme='https' THEN regexp_replace(auth, ':443$', '')
+        |       ELSE auth END AS auth,
+        |  regexp_extract(pathq, '^([^?]*)', 1) AS path,
+        |  regexp_extract(pathq, '\?(.*)$', 1) AS query FROM p2),
+        |p4 AS (SELECT doc_id, scheme, auth,
+        |  CASE WHEN path='' THEN '/' ELSE path END AS path,
+        |  array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |    p -> NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|msclkid|igshid|ref_src)=') AND p <> '')), '&') AS q FROM p3)
+        |SELECT doc_id,
+        |  concat(scheme, '://', auth, path,
+        |         CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END) AS curl
+        |FROM p4 ORDER BY doc_id""".stripMargin,
     "q_pack" ->
       """WITH d AS (SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

@@ -167,6 +167,39 @@ object TextFunctions {
     regexp_replace(noEmail, "[0-9][0-9 ()+.-]{6,}[0-9]", "<NUMBER>")
   }
 
+  /** Canonical URL — the crawl-dedup key (two fetches of the same page
+    * should collide even when the link carried tracking params or cosmetic
+    * differences). Pure column ops, exactly replayable in the oracle:
+    *
+    *  - fragment dropped; scheme and host (authority) lowercased, path
+    *    case PRESERVED (paths are case-sensitive on most origins);
+    *  - scheme-less inputs assume http; default ports (:80/:443) dropped;
+    *  - tracking params removed (utm_*, gclid, fbclid, msclkid, igshid,
+    *    ref_src), remaining params SORTED (param order is not identity);
+    *  - empty path normalizes to "/".
+    *
+    * Composes with [[fingerprint]]/exact dedup for dedup-by-URL.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val rawScheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val scheme = when(rawScheme === "", lit("http")).otherwise(rawScheme)
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val authority = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val authNorm = when(scheme === "http", regexp_replace(authority, ":80$", ""))
+      .when(scheme === "https", regexp_replace(authority, ":443$", ""))
+      .otherwise(authority)
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    val path = regexp_extract(pathq, "^([^?]*)", 1)
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p =>
+      !(p.rlike("^(utm_[^=]*|gclid|fbclid|msclkid|igshid|ref_src)=") || (p === lit(""))))
+    val sortedQ = array_join(array_sort(params), "&")
+    val pathNorm = when(path === "", lit("/")).otherwise(path)
+    concat(scheme, lit("://"), authNorm, pathNorm,
+      when(length(sortedQ) > 0, concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
+
   /** HTML/markup → text, the boilerplate-stripping staple of every web
     * corpus pipeline (the C4/RefinedWeb preprocessing shape), as a pure
     * regexp_replace chain — row-local, codegen'd, pushdown-friendly, and

@@ -20,6 +20,30 @@ class OpsSpec extends SparkSpec {
     assert(r.getLong(2) == 8L)
   }
 
+  test("canonicalUrl: tracking params out, params sorted, host/scheme case and ports normalized") {
+    val cases = Seq(
+      (" HTTPS://Example.COM:443/Path/To?utm_source=x&b=2&a=1&fbclid=z#frag ",
+        "https://example.com/Path/To?a=1&b=2"),
+      ("http://site.org:80", "http://site.org/"),
+      ("example.com/a?gclid=1", "http://example.com/a"), // scheme-less assumes http
+      ("https://h.io/p?", "https://h.io/p"),
+      ("ftp://Host.Net:21/File", "ftp://host.net:21/File") // non-http port kept
+    )
+    val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "url")
+      .select(col("i"), T.canonicalUrl(col("url")).as("c"))
+      .as[(Int, String)].collect().toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i) == want, s"canonicalUrl($in) = ${got(i)}, want $want")
+    }
+    // the canonical form is a dedup key: all variants of one page collide
+    val variants = Seq(
+      "https://example.com/page?b=2&a=1",
+      "HTTPS://EXAMPLE.com:443/page?a=1&b=2&utm_campaign=x#top"
+    ).toDF("url").select(T.canonicalUrl(col("url")).as("c")).distinct()
+    assert(variants.count() == 1)
+  }
+
   test("stripMarkup: scripts/styles/comments dropped, blocks break lines, entities decode once") {
     val html =
       """<html><head><title>T</title><script type="text/javascript">
