@@ -913,6 +913,19 @@ object SparkEntry {
         )).as("curl"))
       .orderBy(col("doc_id"))
 
+  /** Unicode NFC normalization (L46): decomposed sequences (e +
+    * combining acute, etc.) appended to each document compose to their
+    * canonical forms; DuckDB's native nfc_normalize is the oracle, so the
+    * kernel is checked against an independent ICU-grade implementation.
+    */
+  private def qNfcNorm(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        TF.nfcNormalize(concat(col("text"), lit(" cafe\u0301 n\u0303 A\u030A")))
+          .as("norm"))
+      .orderBy(col("doc_id"))
+
   private def qSampleHash(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sampling.withSplit(
       graft.ops.Sampling.byHash(docs(s, dir), "doc_id", fractionBp = 5000),
@@ -1523,6 +1536,7 @@ object SparkEntry {
     "q_pii_scrub" -> (qPiiScrub _),
     "q_strip_html" -> (qStripHtml _),
     "q_url_canon" -> (qUrlCanon _),
+    "q_nfc_norm" -> (qNfcNorm _),
     "q_sample_hash" -> (qSampleHash _),
     "q_domain_cap" -> (qDomainCap _),
     "q_pack" -> (qPack _),
@@ -2158,6 +2172,10 @@ object SparkEntry {
         |w2 AS (SELECT doc_id, regexp_replace(x, '\s*\n\s*', chr(10), 'g') AS x FROM w1)
         |SELECT doc_id, regexp_replace(x, '^\s+|\s+$', '', 'g') AS clean
         |FROM w2 ORDER BY doc_id""".stripMargin,
+    "q_nfc_norm" ->
+      """SELECT doc_id,
+        |  nfc_normalize(concat(text, ' cafe', chr(769), ' n', chr(771), ' A', chr(778))) AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_url_canon" ->
       """WITH u AS (
         |  SELECT doc_id, concat(

@@ -1,0 +1,59 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization as a codegen'd expression — the missing piece
+  * of exact dedup on real-world text: "é" arrives both composed (U+00E9)
+  * and decomposed (U+0065 U+0301) in web corpora, and a byte-level
+  * fingerprint treats them as different documents. Canonical composition
+  * (NFC) makes canonically-equivalent strings byte-identical BEFORE
+  * hashing, so exact/minhash dedup and URL keys collide as they should.
+  *
+  * NFC (not NFKC) deliberately: canonical equivalence is lossless —
+  * compatibility normalization (ﬁ → fi, ² → 2) changes text and belongs
+  * in a quality/tokenizer policy, not a dedup key.
+  *
+  * Fast path: `Normalizer.isNormalized` is O(n) with no allocation and
+  * true for virtually all real text (pure-ASCII short-circuits
+  * immediately), so the common case never re-encodes; only strings
+  * carrying decomposed sequences pay the normalize + UTF-8 round-trip.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize needs a string input, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    NfcNormalize.normalize(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Shared by interpreted eval and generated code (the generated call is
+    * a static one-liner — the JIT inlines it; the win over an interpreted
+    * Expression tree is avoiding per-row boxing/virtual dispatch, not the
+    * method call itself).
+    */
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+}

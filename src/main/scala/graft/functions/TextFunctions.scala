@@ -58,6 +58,13 @@ object TextFunctions {
   def simhashSignature(hashes: Column, bits: Int = 60): Column =
     ColumnBridge.column(SimHashSignature(ColumnBridge.expression(hashes), bits))
 
+  /** Unicode NFC normalization (codegen'd kernel — see [[NfcNormalize]]):
+    * canonically-equivalent strings become byte-identical before any
+    * fingerprint/dedup hashing.
+    */
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
   /** Reference HOF formulation of [[wordShingles]] — kept for the
     * equivalence spec and as documentation of the exact semantics.
     */

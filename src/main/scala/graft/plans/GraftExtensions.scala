@@ -49,7 +49,8 @@ object GraftExtensions {
     "word_shingle_hash32" -> (es => WordShingleHash32(es(0), intArg(es(1), "n"))),
     "word_shingle_hash60" -> (es => WordShingleHash60(es(0), intArg(es(1), "n"))),
     "simhash_signature" -> (es =>
-      SimHashSignature(es(0), if (es.size > 1) intArg(es(1), "bits") else 60))
+      SimHashSignature(es(0), if (es.size > 1) intArg(es(1), "bits") else 60)),
+    "nfc_normalize" -> (es => NfcNormalize(es(0)))
   )
 
   /** Register on an already-built session. */

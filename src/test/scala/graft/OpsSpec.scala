@@ -20,6 +20,29 @@ class OpsSpec extends SparkSpec {
     assert(r.getLong(2) == 8L)
   }
 
+  test("nfcNormalize: decomposed sequences compose, canonical equivalents collide") {
+    val decomposed = "cafe\u0301 n\u0303 A\u030A plain"
+    val composed = "caf\u00e9 \u00f1 \u00c5 plain"
+    val out = Seq(Tuple1(decomposed)).toDF("t")
+      .select(T.nfcNormalize(col("t")).as("n")).head().getString(0)
+    assert(out == composed, s"got ${out.map(_.toInt.toHexString)}")
+    // canonical equivalents hash identically after normalization — the
+    // dedup-key property the kernel exists for
+    val fps = Seq(decomposed, composed).toDF("t")
+      .select(T.fingerprint(T.nfcNormalize(col("t"))).as("f")).distinct()
+    assert(fps.count() == 1)
+    // without it they would NOT collide (the gap being closed)
+    val raw = Seq(decomposed, composed).toDF("t")
+      .select(T.fingerprint(col("t")).as("f")).distinct()
+    assert(raw.count() == 2)
+    // null passes through; SQL surface registered
+    graft.plans.GraftExtensions.register(spark)
+    val viaSql = spark.sql(s"SELECT nfc_normalize('café')").head().getString(0)
+    assert(viaSql == "caf\u00e9")
+    assert(Seq(Tuple1(null: String)).toDF("t")
+      .select(T.nfcNormalize(col("t"))).head().isNullAt(0))
+  }
+
   test("canonicalUrl: tracking params out, params sorted, host/scheme case and ports normalized") {
     val cases = Seq(
       (" HTTPS://Example.COM:443/Path/To?utm_source=x&b=2&a=1&fbclid=z#frag ",
