@@ -86,6 +86,17 @@ object Stress {
       "ann_multiprobe" -> (() => ops.Similarity.lshTopK(embN,
         embN.filter(pmod(col("vec_id"), lit(997)) === 0), "vec_id", "embedding",
         k = 10, planes = 6, dim = 64, tables = 4, probeBits = 1)),
+      // round 5: row-local text kernels — must be flat-linear in rows
+      "strip_html" -> (() => docsN.select(col("doc_id"),
+        graft.functions.TextFunctions.stripMarkup(
+          concat(lit("<p>"), col("text"), lit("</p><div>&amp;x</div>"))).as("clean"))),
+      "url_canon" -> (() => docsN.select(col("doc_id"),
+        graft.functions.TextFunctions.canonicalUrl(
+          concat(lit("HTTPS://Example.COM:443/d/"), col("doc_id"),
+            lit("?utm_source=x&b=2&a=1#f"))).as("curl"))),
+      "nfc_norm" -> (() => docsN.select(col("doc_id"),
+        graft.functions.TextFunctions.nfcNormalize(
+          concat(col("text"), lit(" cafe\u0301"))).as("norm"))),
       // round 5: distributed avro write + fallback read, both per-task
       "avro_roundtrip" -> (() => {
         val path = "/tmp/graft_stress_avro"

@@ -40,6 +40,26 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("nfc kernel equals java.text.Normalizer on random unicode (codegen path)") {
+    // generator biased toward combining marks and precomposed forms so the
+    // slow path actually runs; plain ASCII exercises the fast path
+    val uniGen: Gen[String] = Gen.listOf(Gen.frequency(
+      4 -> Gen.alphaNumStr.map(_.take(6)),
+      2 -> Gen.oneOf("\u00e9", "\u00f1", "\u00c5", "e\u0301", "n\u0303", "A\u030A"),
+      1 -> Gen.oneOf(" ", "\u0301", "\u3099", "\uAC00", "\u1100\u1161") // lone marks, hangul
+    )).map(_.mkString)
+    for (seed <- 200L to 207L) {
+      val texts = sample(Gen.listOfN(25, uniGen), seed)
+      val df = texts.zipWithIndex.toDF("text", "id")
+      val kernel = df.select(col("id"), T.nfcNormalize(col("text")))
+        .as[(Int, String)].collect().toMap
+      val reference = texts.zipWithIndex
+        .map { case (t, i) => i -> java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC) }
+        .toMap
+      assert(kernel == reference, s"seed=$seed")
+    }
+  }
+
   test("hash kernels equal md5-conv formulations on random text") {
     for (seed <- 100L to 104L) {
       val texts = sample(Gen.listOfN(20, textGen), seed)
