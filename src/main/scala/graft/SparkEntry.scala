@@ -1179,6 +1179,77 @@ object SparkEntry {
     * The second pipeline exists to force the shared-prefix cache path
     * (optimizer.rs:1-120 find_shared_prefix).
     */
+  /** The LLM-corpus pipeline END TO END through the YAML DSL — the
+    * round-5 text ops composing with the round-4 ones in one manifest:
+    * markup-variant + encoding-variant duplicates of every document
+    * (html vs div wrapper, decomposed vs precomposed accents) collapse
+    * through strip_markup → nfc-fingerprint map → dedupe, survivors are
+    * classifier-filtered and per-source upsampled. The oracle replays the
+    * entire chain — strip regexes, DuckDB's own nfc_normalize, row_number
+    * dedup, integer-exact logits, hash-fraction upsampling.
+    */
+  private def qLlmPipeline(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s) // nfc_normalize in map exprs
+    val base = docs(s, dir)
+    val variantA = base.select(col("doc_id"), col("source"),
+      concat(lit("<p>"), col("text"), lit(" cafe\u0301</p>")).as("text"))
+    val variantB = base.select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+      concat(lit("<div>"), col("text"), lit(" caf\u00e9</div><!-- dup -->")).as("text"))
+    val yaml =
+      """kind: Source
+        |metadata: {name: docs}
+        |spec: {format: table, path: docs_html}
+        |---
+        |kind: Transform
+        |metadata: {name: strip}
+        |spec: {type: strip_markup, field: text}
+        |---
+        |kind: Transform
+        |metadata: {name: fp}
+        |spec:
+        |  type: map
+        |  fields:
+        |    - {target: doc_id, source: doc_id}
+        |    - {target: source, source: source}
+        |    - {target: text, source: text}
+        |    - {target: fp, expr: "md5(nfc_normalize(text))"}
+        |---
+        |kind: Transform
+        |metadata: {name: dd}
+        |spec: {type: dedupe, keys: [fp], orderBy: [doc_id]}
+        |---
+        |kind: Transform
+        |metadata: {name: qf}
+        |spec:
+        |  type: quality_filter
+        |  field: text
+        |  stubDim: 256
+        |  biasMicro: 50000
+        |  threshold: 0.0
+        |  action: filter
+        |---
+        |kind: Transform
+        |metadata: {name: up}
+        |spec:
+        |  type: upsample
+        |  stratumField: source
+        |  idField: doc_id
+        |  weights: {src0: 2.5, src1: 0.4}
+        |---
+        |kind: Sink
+        |metadata: {name: out}
+        |spec: {format: noop, path: ""}
+        |---
+        |kind: Pipeline
+        |metadata: {name: p}
+        |spec: {source: docs, steps: [strip, fp, dd, qf, up], sink: out}
+        |""".stripMargin
+    graft.dsl.Compiler.compile(s, graft.dsl.YamlLoader.load(yaml),
+      tables = Map("docs_html" -> variantA.unionByName(variantB)))("p").frame
+      .select(col("doc_id"), col("source"), col("copy"))
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
   private def qDslPipeline(s: SparkSession, dir: String): DataFrame = {
     val yaml =
       """kind: Source
@@ -1555,6 +1626,7 @@ object SparkEntry {
     "q_source_avro" -> (qSourceAvro _),
     "q_source_jdbc" -> (qSourceJdbc _),
     "q_dsl_pipeline" -> (qDslPipeline _),
+    "q_llm_pipeline" -> (qLlmPipeline _),
     "q_stream_agg" -> (qStreamAgg _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_sink_roundtrip" -> (qSinkRoundtrip _),
@@ -2872,6 +2944,7 @@ object SparkEntry {
         |FROM n WHERE copies > 0
         |ORDER BY doc_id, copy""".stripMargin,
     "q_quality_classifier" -> qualityClassifierOracleSql,
+    "q_llm_pipeline" -> llmPipelineOracleSql,
     "q_decontaminate_near" ->
       s"""$lshSigCte, xc AS (
         |  SELECT DISTINCT a.doc_id AS did, b.doc_id AS bid
@@ -2914,6 +2987,66 @@ object SparkEntry {
        |    ws.w[CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS INT) + 1])), 0) AS DOUBLE) / 1e6) >= 0.0 AS keep
        |FROM t CROSS JOIN ws
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_llm_pipeline oracle: the whole DSL chain replayed — synthetic
+    * markup/encoding variants, the strip_markup regex passes, DuckDB's
+    * own nfc_normalize for the dedup fingerprint, row_number keep-first,
+    * the integer-exact classifier logit, and hash-fraction upsampling.
+    */
+  private lazy val llmPipelineOracleSql: String = {
+    val w = graft.ops.Scoring.stubWeights(256).mkString(", ")
+    s"""WITH ws AS (
+       |  SELECT [$w]::BIGINT[] AS w
+       |), h AS (
+       |  SELECT doc_id, source, concat('<p>', text, ' cafe', chr(769), '</p>') AS x
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, source,
+       |    concat('<div>', text, ' caf', chr(233), '</div><!-- dup -->')
+       |  FROM documents
+       |), s1 AS (SELECT doc_id, source, regexp_replace(x, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g') AS x FROM h),
+       |s2 AS (SELECT doc_id, source, regexp_replace(x, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS x FROM s1),
+       |s3 AS (SELECT doc_id, source, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
+       |s4 AS (SELECT doc_id, source, regexp_replace(x, '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|thead|tbody|blockquote|section|article|header|footer)\\b[^>]*>', chr(10), 'g') AS x FROM s3),
+       |s5 AS (SELECT doc_id, source, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s4),
+       |e1 AS (SELECT doc_id, source, regexp_replace(regexp_replace(regexp_replace(x, '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g') AS x FROM s5),
+       |e2 AS (SELECT doc_id, source, regexp_replace(regexp_replace(regexp_replace(x, '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&apos;', chr(39), 'g') AS x FROM e1),
+       |e3 AS (SELECT doc_id, source, regexp_replace(x, '&amp;', '&', 'g') AS x FROM e2),
+       |w1 AS (SELECT doc_id, source, regexp_replace(x, '[ \\t\\r]+', ' ', 'g') AS x FROM e3),
+       |w2 AS (SELECT doc_id, source, regexp_replace(x, '\\s*\\n\\s*', chr(10), 'g') AS x FROM w1),
+       |clean AS (SELECT doc_id, source, regexp_replace(x, '^\\s+|\\s+$$', '', 'g') AS text FROM w2),
+       |nrm AS (SELECT doc_id, source, text, md5(nfc_normalize(text)) AS fp FROM clean),
+       |dd AS (
+       |  SELECT doc_id, source, text FROM (
+       |    SELECT doc_id, source, text,
+       |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+       |    FROM nrm
+       |  ) WHERE rn = 1
+       |), tok AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '), t -> t <> '') AS toks
+       |  FROM dd
+       |), keepd AS (
+       |  SELECT doc_id, source FROM tok CROSS JOIN ws
+       |  WHERE CAST(50000 + coalesce(list_sum(list_transform(toks, tok ->
+       |    ws.w[CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS INT) + 1])), 0) AS DOUBLE) / 1e6 >= 0.0
+       |), wgt AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN source = 'src0' THEN CAST(2.5 AS DOUBLE)
+       |         WHEN source = 'src1' THEN CAST(0.4 AS DOUBLE)
+       |         ELSE CAST(1.0 AS DOUBLE) END AS wt,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+       |  FROM keepd
+       |), n AS (
+       |  SELECT doc_id, source,
+       |    CAST(floor(wt) AS BIGINT) +
+       |      (CASE WHEN CAST(b AS DOUBLE) < (wt - floor(wt)) * 10000.0 THEN 1 ELSE 0 END) AS copies
+       |  FROM wgt
+       |)
+       |SELECT doc_id, source, unnest(range(copies)) AS copy
+       |FROM n WHERE copies > 0
+       |ORDER BY doc_id, copy""".stripMargin
   }
 
   /** q_embed_project oracle: the 8×64 integer planeWeight values embedded
