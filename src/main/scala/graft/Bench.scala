@@ -64,7 +64,9 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")),
       (line + "\n").getBytes("UTF-8"))
     catch {
-      case e: java.io.IOException =>
+      // incl. InvalidPathException from a malformed env override — the
+      // stdout line above is the contract, the file is best-effort
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not write BENCH.json: $e")
     }
     spark.stop()

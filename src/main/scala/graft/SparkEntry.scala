@@ -2224,26 +2224,7 @@ object SparkEntry {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q_strip_html" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    concat('<html><head><script>var x="</div>";</script><style>p{}</style>',
-        |           '</head><body><h1>Doc ', CAST(doc_id AS VARCHAR), '</h1><p>', text,
-        |           '</p><ul><li>a</li><li>b</li></ul><div>&amp;amp; tail &lt;x&gt;&nbsp;end',
-        |           '</div><!-- c --></body></html>') AS x
-        |  FROM documents
-        |), s1 AS (SELECT doc_id, regexp_replace(x, '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g') AS x FROM h),
-        |s2 AS (SELECT doc_id, regexp_replace(x, '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS x FROM s1),
-        |s3 AS (SELECT doc_id, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
-        |s4 AS (SELECT doc_id, regexp_replace(x, '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|thead|tbody|blockquote|section|article|header|footer)\b[^>]*>', chr(10), 'g') AS x FROM s3),
-        |s5 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s4),
-        |e1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(x, '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g') AS x FROM s5),
-        |e2 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(x, '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&apos;', chr(39), 'g') AS x FROM e1),
-        |e3 AS (SELECT doc_id, regexp_replace(x, '&amp;', '&', 'g') AS x FROM e2),
-        |w1 AS (SELECT doc_id, regexp_replace(x, '[ \t\r]+', ' ', 'g') AS x FROM e3),
-        |w2 AS (SELECT doc_id, regexp_replace(x, '\s*\n\s*', chr(10), 'g') AS x FROM w1)
-        |SELECT doc_id, regexp_replace(x, '^\s+|\s+$', '', 'g') AS clean
-        |FROM w2 ORDER BY doc_id""".stripMargin,
+    "q_strip_html" -> stripHtmlOracleSql,
     "q_nfc_norm" ->
       """SELECT doc_id,
         |  nfc_normalize(concat(text, ' cafe', chr(769), ' n', chr(771), ' A', chr(778))) AS norm
@@ -2989,6 +2970,37 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The strip_markup regexp chain as oracle CTEs — ONE copy of the 11
+    * passes, shared by every oracle that replays the chain (q_strip_html,
+    * q_llm_pipeline): from a CTE named `from` carrying `carry` columns
+    * plus the raw markup in `x`, to a CTE named `clean` carrying `carry`
+    * plus the extracted text in `text`. Any change to
+    * [[TF.stripMarkup]]'s passes is mirrored in exactly one place here.
+    */
+  private def stripChainSql(from: String, carry: String): String =
+    s"""s1 AS (SELECT $carry, regexp_replace(x, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g') AS x FROM $from),
+       |s2 AS (SELECT $carry, regexp_replace(x, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS x FROM s1),
+       |s3 AS (SELECT $carry, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
+       |s4 AS (SELECT $carry, regexp_replace(x, '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|thead|tbody|blockquote|section|article|header|footer)\\b[^>]*>', chr(10), 'g') AS x FROM s3),
+       |s5 AS (SELECT $carry, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s4),
+       |e1 AS (SELECT $carry, regexp_replace(regexp_replace(regexp_replace(x, '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g') AS x FROM s5),
+       |e2 AS (SELECT $carry, regexp_replace(regexp_replace(regexp_replace(x, '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&apos;', chr(39), 'g') AS x FROM e1),
+       |e3 AS (SELECT $carry, regexp_replace(x, '&amp;', '&', 'g') AS x FROM e2),
+       |w1 AS (SELECT $carry, regexp_replace(x, '[ \\t\\r]+', ' ', 'g') AS x FROM e3),
+       |w2 AS (SELECT $carry, regexp_replace(x, '\\s*\\n\\s*', chr(10), 'g') AS x FROM w1),
+       |clean AS (SELECT $carry, regexp_replace(x, '^\\s+|\\s+$$', '', 'g') AS text FROM w2)""".stripMargin
+
+  private lazy val stripHtmlOracleSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    concat('<html><head><script>var x="</div>";</script><style>p{}</style>',
+       |           '</head><body><h1>Doc ', CAST(doc_id AS VARCHAR), '</h1><p>', text,
+       |           '</p><ul><li>a</li><li>b</li></ul><div>&amp;amp; tail &lt;x&gt;&nbsp;end',
+       |           '</div><!-- c --></body></html>') AS x
+       |  FROM documents
+       |), ${stripChainSql("h", "doc_id")}
+       |SELECT doc_id, text AS clean FROM clean ORDER BY doc_id""".stripMargin
+
   /** q_llm_pipeline oracle: the whole DSL chain replayed — synthetic
     * markup/encoding variants, the strip_markup regex passes, DuckDB's
     * own nfc_normalize for the dedup fingerprint, row_number keep-first,
@@ -3005,17 +3017,7 @@ object SparkEntry {
        |  SELECT doc_id + 1000000, source,
        |    concat('<div>', text, ' caf', chr(233), '</div><!-- dup -->')
        |  FROM documents
-       |), s1 AS (SELECT doc_id, source, regexp_replace(x, '(?is)<script\\b[^>]*>.*?</script\\s*>', ' ', 'g') AS x FROM h),
-       |s2 AS (SELECT doc_id, source, regexp_replace(x, '(?is)<style\\b[^>]*>.*?</style\\s*>', ' ', 'g') AS x FROM s1),
-       |s3 AS (SELECT doc_id, source, regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
-       |s4 AS (SELECT doc_id, source, regexp_replace(x, '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|thead|tbody|blockquote|section|article|header|footer)\\b[^>]*>', chr(10), 'g') AS x FROM s3),
-       |s5 AS (SELECT doc_id, source, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s4),
-       |e1 AS (SELECT doc_id, source, regexp_replace(regexp_replace(regexp_replace(x, '&nbsp;', ' ', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g') AS x FROM s5),
-       |e2 AS (SELECT doc_id, source, regexp_replace(regexp_replace(regexp_replace(x, '&quot;', '"', 'g'), '&#39;', chr(39), 'g'), '&apos;', chr(39), 'g') AS x FROM e1),
-       |e3 AS (SELECT doc_id, source, regexp_replace(x, '&amp;', '&', 'g') AS x FROM e2),
-       |w1 AS (SELECT doc_id, source, regexp_replace(x, '[ \\t\\r]+', ' ', 'g') AS x FROM e3),
-       |w2 AS (SELECT doc_id, source, regexp_replace(x, '\\s*\\n\\s*', chr(10), 'g') AS x FROM w1),
-       |clean AS (SELECT doc_id, source, regexp_replace(x, '^\\s+|\\s+$$', '', 'g') AS text FROM w2),
+       |), ${stripChainSql("h", "doc_id, source")},
        |nrm AS (SELECT doc_id, source, text, md5(nfc_normalize(text)) AS fp FROM clean),
        |dd AS (
        |  SELECT doc_id, source, text FROM (

@@ -435,17 +435,19 @@ object Compiler {
           case None    => df
         }
         val ws = c.get("windowSeconds").map(_.toString.toLong)
-        if (c.get("keep").exists(_.toString == "last")) {
-          // fail fast at compile: without a watermark the event-time
-          // timeout would only die at query START with a generic Spark
-          // error far from the manifest the user typed
-          val hasWatermark = df0.queryExecution.analyzed.collectFirst {
-            case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => ()
-          }.isDefined
-          require(hasWatermark, "dedupe keep: last on a stream needs a watermark — " +
-            "declare watermark: {field, delay} on the step or on the source")
+        // fail fast at compile: BOTH streaming paths
+        // (dropDuplicatesWithinWatermark and the keep:last event-time
+        // timeout) require a watermark, and without this check they only
+        // die at query START with a generic Spark error far from the
+        // manifest the user typed
+        val hasWatermark = df0.queryExecution.analyzed.collectFirst {
+          case _: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => ()
+        }.isDefined
+        require(hasWatermark, "streaming dedupe needs a watermark — " +
+          "declare watermark: {field, delay} on the step or on the source")
+        if (c.get("keep").exists(_.toString == "last"))
           graft.streaming.StatefulDedup.keepLast(df0, keys, evtCol, ws)
-        } else
+        else
           // windowSeconds keeps batch parity — first per key PER TUMBLING
           // WINDOW — by folding the window start into the dedup key
           ws match {
@@ -635,7 +637,11 @@ object Compiler {
         // column instead (keeping the raw markup alongside).
         val field = c.getOrElse("field", "text").toString
         val target = c.getOrElse("target", field).toString
-        require(target == field || !df.columns.contains(target),
+        // case-INSENSITIVE collision check: withColumn resolves existing
+        // columns case-insensitively by default, so a differently-cased
+        // target would silently clobber, not add
+        require(target.equalsIgnoreCase(field) ||
+            !df.columns.exists(_.equalsIgnoreCase(target)),
           s"strip_markup: target column '$target' already exists")
         df.withColumn(target, graft.functions.TextFunctions.stripMarkup(col(field)))
       case "quality_filter" =>

@@ -190,12 +190,21 @@ object Layout {
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val prevInfer = spark.conf.getOption(inferKey)
     spark.conf.set(inferKey, "false")
-    val df =
+    val df0 =
       try spark.read.parquet(path)
       finally prevInfer match {
         case Some(v) => spark.conf.set(inferKey, v)
         case None    => spark.conf.unset(inferKey)
       }
+    // Every branch below except plain-repartition range-partitions, and a
+    // RangePartitioner SAMPLES its input — without a checkpoint that
+    // re-executes the whole upstream (a second full remote parquet scan,
+    // plus the z-value computation) before the real shuffle. One eager
+    // localCheckpoint trades executor-local disk (which the compaction
+    // shuffle needs anyway) for not reading a multi-TB directory twice.
+    val df =
+      if (partCols.isEmpty && zOrderBy.isEmpty) df0
+      else df0.localCheckpoint()
     val (out, nFiles) =
       if (partCols.isEmpty) {
         val n = fileCount(leafDirBytes(fs, hp, 0).head._2)
@@ -267,6 +276,7 @@ object Layout {
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
     val w = out.write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(tmp.toString)
+    if (df ne df0) df.unpersist(false) // free the checkpoint blocks
     if (fs.exists(old)) fs.delete(old, true) // leftover of a fully-completed prior swap
     require(fs.rename(hp, old), s"compaction swap failed: rename $hp -> $old")
     if (!fs.rename(tmp, hp)) {
@@ -277,26 +287,17 @@ object Layout {
     nFiles
   }
 
-  /** Hive directory-name unescaping: `%XX` byte escapes back to their
-    * characters, and the null-partition sentinel to SQL NULL. (Hive
-    * escaping is exactly %XX — NOT URL encoding; '+' is literal.)
+  /** Hive directory-name unescaping, delegated to Spark's OWN routine
+    * (the exact inverse of what produced the partition values the read
+    * path matches against — a hand-rolled copy would have to stay
+    * byte-for-byte equivalent forever); the null-partition sentinel maps
+    * to SQL NULL.
     */
-  private def unescapeHive(v: String): String =
-    if (v == "__HIVE_DEFAULT_PARTITION__") null
-    else if (!v.contains('%')) v
-    else {
-      val sb = new StringBuilder
-      var i = 0
-      while (i < v.length) {
-        if (v.charAt(i) == '%' && i + 2 < v.length) {
-          try {
-            sb.append(Integer.parseInt(v.substring(i + 1, i + 3), 16).toChar)
-            i += 3
-          } catch { case _: NumberFormatException => sb.append(v.charAt(i)); i += 1 }
-        } else { sb.append(v.charAt(i)); i += 1 }
-      }
-      sb.toString
-    }
+  private def unescapeHive(v: String): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+    else ExternalCatalogUtils.unescapePathName(v)
+  }
 
   /** Bytes of data files under each leaf partition directory, keyed by the
     * partition values in directory order (`a=1/b=x` → Seq("1", "x")).

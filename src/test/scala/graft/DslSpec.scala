@@ -220,8 +220,11 @@ class DslSpec extends SparkSpec {
     assert(toCol.columns.toSeq == Seq("doc_id", "body", "clean"))
     assert(toCol.filter(col("doc_id") === 1L).select("clean").as[String].head()
       == "hello world")
-    // an existing target column is refused, not clobbered
+    // an existing target column is refused, not clobbered — including a
+    // case-variant, since withColumn resolves case-insensitively
     assert(intercept[IllegalArgumentException](run("  target: doc_id").collect())
+      .getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException](run("  target: DOC_ID").collect())
       .getMessage.contains("already exists"))
   }
 
