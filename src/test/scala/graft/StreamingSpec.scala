@@ -139,6 +139,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fan-in append emission is governed by the SLOWEST source watermark") {
+    // The W1 min-combine rule, observable end-to-end: a window closes only
+    // when EVERY source's watermark has passed it — one fast source must
+    // not flush windows the slow source could still fill.
+    implicit val sqlCtx = spark.sqlContext
+    val s1 = MemoryStream[(Long, Timestamp)]
+    val s2 = MemoryStream[(Long, Timestamp)]
+    val unioned = Streams.fanIn(
+      Seq(
+        (s1.toDF().toDF("id", "ts"), Seq(col("id"), col("ts"))),
+        (s2.toDF().toDF("id", "ts"), Seq(col("id"), col("ts")))
+      ), "ts", "10 seconds")
+    val counted = unioned
+      .groupBy(window(col("ts"), "60 seconds")).agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = counted.writeStream.format("memory").queryName("fanin_min_out")
+      .outputMode("append").start()
+    try {
+      // s1 races ahead (00:10 advances its watermark far past the first
+      // window); s2 has only a first-window event, so the COMBINED
+      // watermark must stay below the window end
+      s1.addData((1L, ts("2024-01-01 00:00:10")), (2L, ts("2024-01-01 00:10:00")))
+      s2.addData((3L, ts("2024-01-01 00:00:20")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      assert(spark.table("fanin_min_out").count() == 0,
+        "window flushed while the slow source could still fill it")
+      // s2 catches up -> min watermark passes the window end -> emit ONCE,
+      // counting the events from BOTH sources
+      s2.addData((4L, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val rows = spark.table("fanin_min_out")
+        .as[(Timestamp, Long)].collect().toSeq
+      assert(rows == Seq((ts("2024-01-01 00:00:00"), 2L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("streaming session window merges events within gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
