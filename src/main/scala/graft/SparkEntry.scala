@@ -759,6 +759,35 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Small-file compaction end-to-end (L39's maintenance pass): orders
+    * written as a deliberately fragmented hive-partitioned sink (16 round-
+    * robin files per status directory), compacted to one file per
+    * directory via the rename-aside swap, then read back — the oracle is
+    * the plain input, so any row lost or duplicated by the bookkeeping
+    * join / salting / swap breaks the hash compare. The per-directory
+    * file-count contract is asserted in-query.
+    */
+  private def qCompact(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_q_compact"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) fs.delete(hp, true)
+    val out = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus").as("status"))
+    out.repartition(16).write.partitionBy("status").parquet(path)
+    graft.ops.Layout.compact(s, path, targetBytes = 1L << 30)
+    fs.listStatus(hp).filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .foreach { d =>
+        val files = fs.listStatus(d.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))
+        require(files == 1, s"${d.getPath.getName}: $files files after compaction, want 1")
+      }
+    s.read.parquet(path)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("status"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // ==========================================================================
   // LLM-training-data operators (SURVEY §2.8)
   // ==========================================================================
@@ -1625,6 +1654,7 @@ object SparkEntry {
     "q_source_json" -> (qSourceJson _),
     "q_source_avro" -> (qSourceAvro _),
     "q_source_jdbc" -> (qSourceJdbc _),
+    "q_compact" -> (qCompact _),
     "q_dsl_pipeline" -> (qDslPipeline _),
     "q_llm_pipeline" -> (qLlmPipeline _),
     "q_stream_agg" -> (qStreamAgg _),
@@ -2393,6 +2423,9 @@ object SparkEntry {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_source_jdbc" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_compact" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus AS status
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_repetition" ->
       """WITH nrm AS (
