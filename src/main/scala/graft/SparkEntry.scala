@@ -783,7 +783,8 @@ object SparkEntry {
           .count(_.getPath.getName.endsWith(".parquet"))
         require(files == 1, s"${d.getPath.getName}: $files files after compaction, want 1")
       }
-    s.read.parquet(path)
+    // explicit schema: an empty input writes no footer to infer from
+    s.read.schema(out.schema).parquet(path)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("status"))
       .orderBy(col("o_orderkey"))
   }

@@ -182,6 +182,9 @@ object Layout {
       require(fs.rename(old, hp), s"compaction recovery failed: rename $old -> $hp")
     def fileCount(ceilOf: Long): Int =
       math.max(1L, (ceilOf + targetBytes - 1) / targetBytes).toInt
+    // a dataless directory (empty sink, fresh maintenance window) is a
+    // no-op, not an inference error mid-rewrite
+    if (leafDirBytes(fs, hp, 0).head._2 == 0L) return 0
     val partCols = partitionColsOf(fs, hp)
     // partition values must round-trip VERBATIM: type inference would
     // re-type numeric-looking strings (bucket=007 → bucket=7) and the
