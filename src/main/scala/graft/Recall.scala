@@ -30,7 +30,29 @@ object Recall {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val emb = graft.sources.Tables.read(spark, sfDir, "embeddings")
+    // SPARK_GRAFT_RECALL_MULT=N replicates the corpus N× with small
+    // deterministic per-copy perturbations (hash-derived, no RNG) — the
+    // scale-trend harness behind SURVEY §5's "planes grows with
+    // log(corpus)" claim: at a bigger corpus, compare planes=p vs p+Δ to
+    // see recall/cost hold when bucket sizes are kept flat. Copy 0 is the
+    // original vectors, so queries stay comparable across multipliers.
+    val mult = sys.env.getOrElse("SPARK_GRAFT_RECALL_MULT", "1").toInt
+    val emb0 = graft.sources.Tables.read(spark, sfDir, "embeddings")
+    val emb =
+      if (mult == 1) emb0
+      else emb0
+        .withColumn("__c", explode(array((0 until mult).map(lit): _*)))
+        .select(
+          (col("vec_id") + col("__c").cast("long") * 10000000L).as("vec_id"),
+          when(col("__c") === 0, col("embedding")).otherwise(
+            // copies are FRESH hash-derived vectors (same near-isotropic
+            // distribution), not near-dups — a jittered clone would be
+            // its original's true neighbor and saturate recall at 1.0
+            org.apache.spark.sql.functions.transform(col("embedding"),
+              (_, i) => (pmod(xxhash64(col("vec_id"), col("__c"), i), lit(2000L))
+                .cast("float") - 1000f) / 1000f)
+          ).as("embedding"))
+        .localCheckpoint() // freeze: truth and every setting must see the SAME corpus
     val queries = emb.filter(col("vec_id") < 100)
     val k = 10
     val corpusN = emb.count()
