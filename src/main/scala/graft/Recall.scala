@@ -49,8 +49,12 @@ object Recall {
             // distribution), not near-dups — a jittered clone would be
             // its original's true neighbor and saturate recall at 1.0
             org.apache.spark.sql.functions.transform(col("embedding"),
-              (_, i) => (pmod(xxhash64(col("vec_id"), col("__c"), i), lit(2000L))
-                .cast("float") - 1000f) / 1000f)
+              // cast the element back to float: the /1000f division
+              // promotes to double, and a double-typed copy branch would
+              // coerce the whole column to array<double> — making mult>1
+              // runs score cosines at a different precision than mult=1
+              (_, i) => ((pmod(xxhash64(col("vec_id"), col("__c"), i), lit(2000L))
+                .cast("float") - 1000f) / 1000f).cast("float"))
           ).as("embedding"))
         .localCheckpoint() // freeze: truth and every setting must see the SAME corpus
     val queries = emb.filter(col("vec_id") < 100)

@@ -935,7 +935,8 @@ object SparkEntry {
       .select(
         col("doc_id"),
         TF.canonicalUrl(concat(
-          when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS://Example.COM:443"))
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("http://User:Pw@Host.ORG"))
+            .when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS://Example.COM:443"))
             .otherwise(lit("site.org:80")),
           lit("/Docs/"), col("doc_id"),
           lit("?utm_source=feed&ref_src=tw&b="), col("doc_id"),
@@ -2263,7 +2264,9 @@ object SparkEntry {
     "q_url_canon" ->
       """WITH u AS (
         |  SELECT doc_id, concat(
-        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://Example.COM:443' ELSE 'site.org:80' END,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'http://User:Pw@Host.ORG'
+        |         WHEN doc_id % 2 = 0 THEN 'HTTPS://Example.COM:443'
+        |         ELSE 'site.org:80' END,
         |    '/Docs/', CAST(doc_id AS VARCHAR),
         |    '?utm_source=feed&ref_src=tw&b=', CAST(doc_id AS VARCHAR),
         |    '&a=1#sec', CAST(doc_id AS VARCHAR)) AS url
@@ -2272,7 +2275,8 @@ object SparkEntry {
         |p1 AS (SELECT doc_id, lower(regexp_extract(x, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS raw_scheme,
         |  regexp_replace(x, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM nf),
         |p2 AS (SELECT doc_id, CASE WHEN raw_scheme = '' THEN 'http' ELSE raw_scheme END AS scheme,
-        |  lower(regexp_extract(rest, '^([^/?]*)', 1)) AS auth,
+        |  concat(regexp_extract(regexp_extract(rest, '^([^/?]*)', 1), '^(.*@)', 1),
+        |         lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1), '^.*@', ''))) AS auth,
         |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM p1),
         |p3 AS (SELECT doc_id, scheme,
         |  CASE WHEN scheme='http' THEN regexp_replace(auth, ':80$', '')

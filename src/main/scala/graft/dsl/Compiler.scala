@@ -637,11 +637,15 @@ object Compiler {
         // column instead (keeping the raw markup alongside).
         val field = c.getOrElse("field", "text").toString
         val target = c.getOrElse("target", field).toString
-        // case-INSENSITIVE collision check: withColumn resolves existing
-        // columns case-insensitively by default, so a differently-cased
-        // target would silently clobber, not add
-        require(target.equalsIgnoreCase(field) ||
-            !df.columns.exists(_.equalsIgnoreCase(target)),
+        // collision check matches withColumn's resolution: case-insensitive
+        // by default (a differently-cased target would silently clobber,
+        // not add), exact when spark.sql.caseSensitive=true (where a
+        // distinct-case target is a legitimately new column)
+        val caseSensitive = df.sparkSession.sessionState.conf.caseSensitiveAnalysis
+        def sameCol(a: String, b: String) =
+          if (caseSensitive) a == b else a.equalsIgnoreCase(b)
+        require(sameCol(target, field) ||
+            !df.columns.exists(sameCol(_, target)),
           s"strip_markup: target column '$target' already exists")
         df.withColumn(target, graft.functions.TextFunctions.stripMarkup(col(field)))
       case "quality_filter" =>

@@ -192,7 +192,13 @@ object TextFunctions {
     val rawScheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val scheme = when(rawScheme === "", lit("http")).otherwise(rawScheme)
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val authority = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    // per RFC 3986 only the HOST is case-insensitive: keep any userinfo
+    // (user:pass@) byte-exact and lowercase just the host[:port] after
+    // the last '@'
+    val rawAuth = regexp_extract(rest, "^([^/?]*)", 1)
+    val authority = concat(
+      regexp_extract(rawAuth, "^(.*@)", 1),
+      lower(regexp_replace(rawAuth, "^.*@", "")))
     val authNorm = when(scheme === "http", regexp_replace(authority, ":80$", ""))
       .when(scheme === "https", regexp_replace(authority, ":443$", ""))
       .otherwise(authority)

@@ -292,13 +292,22 @@ object StreamSources {
     */
   private def pushLanding(spark: SparkSession, kind: String, addr: String): DataFrame =
     if (addr.startsWith("loopback://")) {
-      addr.stripPrefix("loopback://").split(":") match {
-        case Array(host, port) if port.forall(_.isDigit) =>
-          spark.readStream.format("socket")
-            .option("host", host).option("port", port.toInt).load()
-        case _ =>
-          sys.error(s"$kind: loopback address must be loopback://host:port, got $addr")
-      }
+      // split on the LAST ':' so bracketed IPv6 literals
+      // (loopback://[::1]:9999) parse; strip the brackets for the socket
+      // source, which wants a bare host
+      val body = addr.stripPrefix("loopback://")
+      val sep = body.lastIndexOf(':')
+      val port = if (sep >= 0) body.substring(sep + 1) else ""
+      if (sep > 0 && port.nonEmpty && port.forall(_.isDigit)) {
+        val rawHost = body.substring(0, sep)
+        val host =
+          if (rawHost.startsWith("[") && rawHost.endsWith("]"))
+            rawHost.substring(1, rawHost.length - 1)
+          else rawHost
+        spark.readStream.format("socket")
+          .option("host", host).option("port", port.toInt).load()
+      } else
+        sys.error(s"$kind: loopback address must be loopback://host:port, got $addr")
     } else unsupportedLanding(kind, addr)
 
   private def unsupportedLanding(kind: String, target: String): Nothing =

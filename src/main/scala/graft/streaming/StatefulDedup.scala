@@ -46,9 +46,15 @@ object StatefulDedup {
 
     def groupKey(r: Row): String = {
       val base = keyIdxs.map { i =>
-        // distinguish SQL NULL from any string rendering of it
-        if (r.isNullAt(i)) "\u0001" else "\u0002" + r.get(i)
-      }.mkString("\u0000")
+        // distinguish SQL NULL from any string rendering of it;
+        // length-prefix non-null values so marker/separator bytes inside
+        // a value can never make two distinct key tuples collide
+        if (r.isNullAt(i)) "\u0001"
+        else {
+          val s = String.valueOf(r.get(i))
+          "\u0002" + s.length + "\u0000" + s
+        }
+      }.mkString
       winMs match {
         case Some(w) =>
           val ts = r.getTimestamp(tsIdx).getTime

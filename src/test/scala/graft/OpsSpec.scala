@@ -50,7 +50,9 @@ class OpsSpec extends SparkSpec {
       ("http://site.org:80", "http://site.org/"),
       ("example.com/a?gclid=1", "http://example.com/a"), // scheme-less assumes http
       ("https://h.io/p?", "https://h.io/p"),
-      ("ftp://Host.Net:21/File", "ftp://host.net:21/File") // non-http port kept
+      ("ftp://Host.Net:21/File", "ftp://host.net:21/File"), // non-http port kept
+      // RFC 3986: only the host is case-insensitive — userinfo stays byte-exact
+      ("http://User:Pw@Host.ORG/a", "http://User:Pw@host.org/a")
     )
     val got = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
       .toDF("i", "url")

@@ -97,7 +97,10 @@ class SourcesSpec extends SparkSpec {
     // dialed until the query starts) — e2e ingestion covered in its own test
     assert(StreamSources.read(spark, Websocket("loopback://127.0.0.1:9")).isStreaming)
     assert(StreamSources.read(spark, Grpc("loopback://127.0.0.1:9")).isStreaming)
+    // bracketed IPv6 literals parse (split on the LAST ':')
+    assert(StreamSources.read(spark, Websocket("loopback://[::1]:9")).isStreaming)
     intercept[RuntimeException](StreamSources.read(spark, Http("loopback://nope")))
+    intercept[RuntimeException](StreamSources.read(spark, Http("loopback://[::1]")))
   }
 
   test("push-source loopback double: payloads stream through a socket into a frame") {

@@ -57,6 +57,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedupe: separator bytes inside key values do not collide tuples") {
+    implicit val sqlCtx = spark.sqlContext
+    // without length-prefixing, ("a\u0000\u0002b","c") and ("a","b\u0000\u0002c")
+    // concatenate to the same state key and one of them would be dropped
+    val input = MemoryStream[(String, String, String, Timestamp)]
+    val deduped = Streams.dedupe(
+      input.toDF().toDF("k1", "k2", "v", "ts"), Seq("k1", "k2"), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_sep_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        ("a\u0000\u0002b", "c", "x", ts("2024-01-01 00:00:00")),
+        ("a", "b\u0000\u0002c", "y", ts("2024-01-01 00:00:30")))
+      q.processAllAvailable()
+      val out = spark.table("dedup_sep_out").select("v").as[String].collect().toSet
+      assert(out == Set("x", "y"))
+    } finally q.stop()
+  }
+
   test("streaming asof matches latest prior right, exactly once, on watermark pass") {
     implicit val sqlCtx = spark.sqlContext
     val lefts = MemoryStream[(String, Timestamp, String)]
