@@ -408,6 +408,29 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** The hot-key-mitigated as-of path (bucketSeconds): same query as
+    * [[qJoinAsof]], same DuckDB native-ASOF oracle, but the running window
+    * partitions by (user, 6-hour bucket) with boundary-carry rows — the
+    * oracle proves the bucketed plan is result-identical, not just
+    * spec-equal on synthetic fixtures.
+    */
+  private def qJoinAsofBucketed(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.operators.AsofJoin(
+      purchases, clicks,
+      keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+      rightPayload = Seq("click_id"), rightPrefix = "click_",
+      bucketSeconds = Some(21600L))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("click_ts"), col("click_click_id").as("click_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range join: purchases matched to the one-hour attribution window after
     * each signup of the same user (RangeJoin.pointInInterval — bucketized
     * equi-join on (user, hour-bucket), never a nested-loop range scan).
@@ -1608,6 +1631,7 @@ object SparkEntry {
     "q_sessionize_maxdur" -> (qSessionizeMaxdur _),
     "q_join_inner" -> (qJoinInner _),
     "q_join_asof" -> (qJoinAsof _),
+    "q_join_asof_bucketed" -> (qJoinAsofBucketed _),
     "q_join_range" -> (qJoinRange _),
     "q_join_overlap" -> (qJoinOverlap _),
     "q_join_left" -> (qJoinLeft _),
@@ -1884,6 +1908,15 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
     "q_join_asof" ->
+      """SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts, r.click_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS click_id
+        |                FROM events WHERE event_type = 'click'
+        |                GROUP BY user_id, ts) r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
+    "q_join_asof_bucketed" ->
       """SELECT l.event_id, l.user_id, l.ts, r.ts AS click_ts, r.click_id
         |FROM (SELECT event_id, user_id, ts FROM events
         |      WHERE event_type = 'purchase') l

@@ -17,10 +17,17 @@ object Stress {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val mult = sys.env.getOrElse("STRESS_MULT", "20").toInt
+    // STRESS_SHUFFLE models cluster-scale parallelism: a splittable plan's
+    // task_max falls as partitions grow; a serialized hot key's cannot
+    val shufflePartitions = sys.env.getOrElse("STRESS_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
+      // per-task byte target — the knob that bounds a splittable plan's
+      // task ceiling; defaults to Spark's 64m
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("STRESS_ADVISORY", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -46,6 +53,18 @@ object Stress {
       .select(
         (col("vec_id") + col("__copy").cast("long") * 10000000L).as("vec_id"),
         col("embedding"))
+
+    // extreme-skew as-of fixture: fold half of user_id space onto one key,
+    // right side = every 3rd event carrying `value` as the payload
+    def asofSkewSides(e: DataFrame): (DataFrame, DataFrame) = {
+      val keyed = e.select(
+        when(pmod(col("user_id"), lit(2)) === 0, lit(-1L))
+          .otherwise(col("user_id")).as("k"),
+        col("ts"), col("event_id"), col("value"))
+      (keyed.select("k", "ts", "event_id"),
+        keyed.filter(pmod(col("event_id"), lit(3)) === 0)
+          .select(col("k"), col("ts"), col("value").as("px")))
+    }
 
     val opList: Seq[(String, () => DataFrame)] = Seq(
       "pack" -> (() => ops.Packing.packSequences(docsN, "doc_id", "text", capacity = 2048L)),
@@ -97,6 +116,28 @@ object Stress {
       "nfc_norm" -> (() => docsN.select(col("doc_id"),
         graft.functions.TextFunctions.nfcNormalize(
           concat(col("text"), lit(" cafe\u0301"))).as("norm"))),
+      // round 6: as-of join under extreme skew — one key holds 50% of BOTH
+      // sides (hot = 1M left rows at 20x). The plain path serializes that
+      // key into ONE window task; bucketSeconds=3600 splits it over ~720
+      // hourly buckets. Compare their task_max (per-task ceiling), not
+      // just wall time — the single-task bottleneck is invisible to wall
+      // clock at local[16] but fatal on a 1000-executor cluster.
+      "asof_skew_plain" -> (() => {
+        val (l, r) = asofSkewSides(eventsN)
+        operators.AsofJoin(l, r, keys = Seq("k"), leftTs = "ts", rightTs = "ts",
+          rightPayload = Seq("px"))
+      }),
+      "asof_skew_bucketed" -> (() => {
+        val (l, r) = asofSkewSides(eventsN)
+        operators.AsofJoin(l, r, keys = Seq("k"), leftTs = "ts", rightTs = "ts",
+          rightPayload = Seq("px"), bucketSeconds = Some(3600L))
+      }),
+      // control: the raw scan+explode alone — its task_max is the floor any
+      // plan over this fixture pays (map tasks; splittable further via
+      // files.maxPartitionBytes at real scale). Bucketed asof sitting AT
+      // this floor means the window stage's hot task is gone, while
+      // plain's excess over it is the serialized hot key.
+      "asof_skew_scanfloor" -> (() => asofSkewSides(eventsN)._1),
       // round 5: distributed avro write + fallback read, both per-task
       "avro_roundtrip" -> (() => {
         val path = "/tmp/graft_stress_avro"
@@ -109,17 +150,51 @@ object Stress {
     )
     val selected = if (args.nonEmpty) opList.filter(o => args.contains(o._1)) else opList
 
+    // per-task ceiling per op: local wall time hides a serialized hot key
+    // (31 other cores soak it up); the longest single task is what an
+    // executor on a real cluster would be stuck with
+    val taskMaxMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stageMaxMs = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val d = te.taskInfo.duration
+        var cur = taskMaxMs.get()
+        while (d > cur && !taskMaxMs.compareAndSet(cur, d)) cur = taskMaxMs.get()
+        stageMaxMs.merge(te.stageId, d, (a: Long, b: Long) => math.max(a, b))
+      }
+    })
+
+    val stageDiag = sys.env.contains("STRESS_STAGE_DIAG")
     val results = selected.map { case (name, f) =>
+      taskMaxMs.set(0L)
+      stageMaxMs.clear()
       val t0 = System.nanoTime()
       f().write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
-      name -> secs
+      // listener events drain asynchronously (the bus flush API is
+      // private); settle-poll until the max stops moving
+      var last = -1L
+      var stable = 0
+      var polls = 0
+      while (stable < 3 && polls < 30) {
+        val cur = taskMaxMs.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+        Thread.sleep(100); polls += 1
+      }
+      if (stageDiag) {
+        import scala.jdk.CollectionConverters._
+        val top = stageMaxMs.asScala.toSeq.sortBy(-_._2).take(4)
+          .map { case (sid, ms) => s"stage$sid=${ms / 1000.0}s" }.mkString(" ")
+        System.err.println(s"[stress-diag] $name top task_max by stage: $top")
+      }
+      (name, secs, taskMaxMs.get() / 1000.0)
     }
-    val body = results.map { case (n, s) => s""""$n":${math.round(s * 100) / 100.0}""" }.mkString(",")
-    println(s"""{"metric":"stress","mult":$mult,"docs":${docsN.count()},"events":${eventsN.count()},"ops":{$body},"sf":"$sfDir"}""")
+    val body = results.map { case (n, s, _) => s""""$n":${math.round(s * 100) / 100.0}""" }.mkString(",")
+    val taskBody = results.map { case (n, _, tm) => s""""$n":${math.round(tm * 100) / 100.0}""" }.mkString(",")
+    println(s"""{"metric":"stress","mult":$mult,"docs":${docsN.count()},"events":${eventsN.count()},"ops":{$body},"task_max":{$taskBody},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

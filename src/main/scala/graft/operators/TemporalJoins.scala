@@ -37,6 +37,18 @@ object AsofJoin {
     *                     (inner). Requires timestamp ts columns.
     * @param joinType     "left" keeps unmatched left rows with null right
     *                     columns; "inner" drops them.
+    * @param bucketSeconds hot-key mitigation: partition the running window
+    *                     by (keys..., floor(ts / bucketSeconds)) instead of
+    *                     keys alone, so one degenerate key no longer lands
+    *                     in a single task. Cross-bucket matches are kept by
+    *                     injecting, per (key, bucket), ONE boundary carry
+    *                     row — the best match from all earlier (backward) /
+    *                     later (forward) buckets — computed on a bucket-
+    *                     summary frame of one row per key×bucket, so the
+    *                     only per-key serial pass left is over bucket
+    *                     counts, not row counts. Result-equal to the plain
+    *                     path (spec-verified); pick a width that yields
+    *                     ~thousands of rows per (key, bucket).
     */
   def apply(
       left: DataFrame,
@@ -48,7 +60,8 @@ object AsofJoin {
       direction: String = "backward",
       toleranceMs: Option[Long] = None,
       rightPrefix: String = "r_",
-      joinType: String = "left"
+      joinType: String = "left",
+      bucketSeconds: Option[Long] = None
   ): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got '$direction'")
@@ -80,10 +93,50 @@ object AsofJoin {
     // row at exactly rightTs sees that right row — the >= / <= inclusive
     // asof semantics. The frame is UNBOUNDED PRECEDING..CURRENT ROW, which
     // Spark evaluates as a running aggregate (O(n) per partition).
+    val backward = direction == "backward"
     val ordering =
-      if (direction == "backward") Seq(col("__t").asc, col("__side").asc, col("__r").asc)
+      if (backward) Seq(col("__t").asc, col("__side").asc, col("__r").asc)
       else Seq(col("__t").desc, col("__side").asc, col("__r").desc)
-    val w = Window.partitionBy(keys.map(col): _*)
+
+    val unioned = lSide.unionByName(rSide)
+    val (tagged, partCols) = bucketSeconds match {
+      case None => (unioned, keys.map(col))
+      case Some(sec) =>
+        require(sec > 0, "bucketSeconds must be positive")
+        val wMicros = sec * 1000000L
+        val withB = unioned.withColumn("__b", floor(unix_micros(col("__t")) / wMicros))
+        // Per (key, bucket) best right candidate. `__r`'s first field is
+        // its own ts, so struct max/min implements exactly the window's
+        // (ts, payload) tie rule: greatest under backward, least under
+        // forward. Lefts contribute null `__r` (ignored by max/min), but
+        // still materialize their bucket so left-only buckets receive a
+        // carry. This aggregate is map-side partial — the per-key serial
+        // window below it sees ONE row per bucket, not per record.
+        val best = (if (backward) max(col("__r")) else min(col("__r"))).as("__s")
+        val summaries = withB.groupBy(keys.map(col) :+ col("__b"): _*).agg(best)
+        val wB = Window.partitionBy(keys.map(col): _*)
+          .orderBy(if (backward) col("__b").asc else col("__b").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carryAgg =
+          if (backward) max(col("__s")).over(wB) else min(col("__s")).over(wB)
+        // One synthetic right-side row per (key, bucket): the best match
+        // from all strictly-earlier (backward) / strictly-later (forward)
+        // buckets. Its real ts lies outside the bucket's span, so it sorts
+        // before every in-bucket row under `ordering` — left rows see it
+        // only when nothing closer precedes them.
+        val carries = summaries
+          .withColumn("__c", carryAgg)
+          .filter(col("__c").isNotNull && col("__b").isNotNull)
+          .select(keys.map(col) ++ Seq(
+            col("__c.__ts").as("__t"),
+            lit(0).as("__side"),
+            lit(null).cast(lSide.schema("__l").dataType).as("__l"),
+            col("__c").as("__r"),
+            col("__b")): _*)
+        (withB.unionByName(carries), keys.map(col) :+ col("__b"))
+    }
+
+    val w = Window.partitionBy(partCols: _*)
       .orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -100,7 +153,7 @@ object AsofJoin {
     }
     val matched = when(col("__t").isNotNull, withTolerance)
 
-    val joined = lSide.unionByName(rSide)
+    val joined = tagged
       .withColumn("__m", matched)
       .filter(col("__side") === 1)
     val kept = if (joinType == "inner") joined.filter(col("__m").isNotNull) else joined

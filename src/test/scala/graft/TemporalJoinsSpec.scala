@@ -92,6 +92,53 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.sorted == Seq((1L, 10L), (2L, 20L)))
   }
 
+  test("asof bucketSeconds path is result-equal on an extreme-skew fixture") {
+    // one key holds 50% of BOTH sides — the shape that pins the plain
+    // per-key window to a single task at scale. The bucketed plan must
+    // return byte-identical results, including cross-bucket carries
+    // (buckets with no rights), tolerance, ties, and both directions.
+    val n = 4000
+    val lefts = spark.range(n).select(
+      when($"id" % 2 === 0, lit("hot")).otherwise(concat(lit("k"), $"id" % 37)).as("k"),
+      // irregular spacing so many buckets have lefts but no rights
+      timestamp_micros($"id" * 7000000L + ($"id" % 13) * 1000000L).as("ts"),
+      $"id".as("lid"))
+    val rights = spark.range(n / 2).select(
+      when($"id" % 2 === 0, lit("hot")).otherwise(concat(lit("k"), $"id" % 37)).as("k"),
+      // clustered: rights only exist in the first third of the time axis,
+      // so later buckets depend entirely on the boundary carry
+      timestamp_micros($"id" * 4000000L + ($"id" % 7) * 500000L).as("ts"),
+      ($"id" % 11).cast("double").as("px"))
+
+    for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(60000L))) {
+      val plain = AsofJoin(lefts, rights, keys = Seq("k"),
+        leftTs = "ts", rightTs = "ts", rightPayload = Seq("px"),
+        direction = dir, toleranceMs = tol)
+      val bucketed = AsofJoin(lefts, rights, keys = Seq("k"),
+        leftTs = "ts", rightTs = "ts", rightPayload = Seq("px"),
+        direction = dir, toleranceMs = tol, bucketSeconds = Some(300L))
+      assert(plain.count() == n.toLong)
+      assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty,
+        s"bucketed asof diverged from plain (direction=$dir tolerance=$tol)")
+    }
+  }
+
+  test("asof bucketSeconds splits the hot key across window partitions") {
+    // the mitigation's point: the per-row window partitions by
+    // (key, bucket), so the degenerate key's rows are spread over many
+    // partition groups rather than one task
+    val lefts = spark.range(1000).select(lit("hot").as("k"),
+      timestamp_micros($"id" * 1000000L).as("ts"), $"id".as("lid"))
+    val rights = spark.range(500).select(lit("hot").as("k"),
+      timestamp_micros($"id" * 2000000L).as("ts"), $"id".cast("double").as("px"))
+    val plan = AsofJoin(lefts, rights, keys = Seq("k"),
+      leftTs = "ts", rightTs = "ts", rightPayload = Seq("px"),
+      bucketSeconds = Some(60L)).queryExecution.executedPlan.toString
+    // the heavy running-match window must be keyed by (k, __b); only the
+    // bucket-summary window (one row per key x bucket) stays key-only
+    assert(plan.contains("__b"), s"expected bucket column in plan:\n$plan")
+  }
+
   test("asof ignores null timestamps on both sides") {
     val nullQuotes = Seq(
       ("A", Option.empty[Timestamp], 7.7), // can never satisfy the inequality
