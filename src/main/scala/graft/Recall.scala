@@ -106,7 +106,27 @@ object Recall {
       "ivf_c64_probe8" -> (() =>
         ops.Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k, nCells = 64, nProbe = 8)),
       "ivf_c64_probe16" -> (() =>
-        ops.Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k, nCells = 64, nProbe = 16))
+        ops.Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k, nCells = 64, nProbe = 16)),
+      // the EXECUTABLE scale rule (planParamsFor): planes/nCells derive
+      // from the corpus count, so per-query cost should hold ~flat across
+      // RECALL_MULT while fixed-parameter rows above grow linearly
+      "lsh_auto_tables4_multiprobe" -> (() =>
+        ops.Similarity.lshTopKAuto(emb, queries, "vec_id", "embedding", k, dim = 64,
+          tables = 4, probeBits = 1, corpusCount = Some(corpusN))),
+      "lsh_auto_tables8_multiprobe" -> (() =>
+        ops.Similarity.lshTopKAuto(emb, queries, "vec_id", "embedding", k, dim = 64,
+          tables = 8, probeBits = 1, corpusCount = Some(corpusN))),
+      // the FULL auto rule: planes AND tables derive from the corpus count
+      // (tables = 8 x 1.4^(planes-6), the recall-compensation law)
+      "lsh_auto_full_multiprobe" -> (() =>
+        ops.Similarity.lshTopKAuto(emb, queries, "vec_id", "embedding", k, dim = 64,
+          probeBits = 1, corpusCount = Some(corpusN))),
+      "ivf_auto_probe8" -> (() =>
+        ops.Similarity.ivfTopKAuto(emb, queries, "vec_id", "embedding", k,
+          nProbe = 8, corpusCount = Some(corpusN))),
+      "ivf_auto_probe16" -> (() =>
+        ops.Similarity.ivfTopKAuto(emb, queries, "vec_id", "embedding", k,
+          nProbe = 16, corpusCount = Some(corpusN)))
     ) ++ {
       // k-means-trained quantizer vs the hash-sampled default, same
       // probes. Training is forced HERE, outside the timed measurements —
@@ -120,11 +140,23 @@ object Recall {
         ops.Similarity.ivfTopKWithCentroids(emb, queries, "vec_id", "embedding", k,
           trained, nProbe = p)))
     }
-    val rows = settings.map { case (name, f) => measure(name, f()) }
+    // optional grid via env: RECALL_GRID="planes:tables:probeBits,..." adds
+    // ad-hoc lshTopK settings — the tuning loop for the auto-param rule
+    val grid = sys.env.get("RECALL_GRID").toSeq.flatMap(_.split(",")).map { spec =>
+      val Array(p, tb, pb) = spec.split(":").map(_.trim.toInt)
+      s"lsh_p${p}_t${tb}_r$pb" -> (() =>
+        ops.Similarity.lshTopK(emb, queries, "vec_id", "embedding", k, planes = p,
+          dim = 64, tables = tb, probeBits = pb))
+    }
+    val all = settings ++ grid
+    // args = name filter for fast single-setting iteration
+    val selected = if (args.nonEmpty) all.filter(s => args.exists(s._1.contains)) else all
+    val rows = selected.map { case (name, f) => measure(name, f()) }
     val body = rows.map { case (n, r, s) =>
       s""""$n":{"recall":${math.round(r * 10000) / 10000.0},"sec":${math.round(s * 100) / 100.0}}"""
     }.mkString(",")
-    println(s"""{"metric":"recall@$k","corpus":$corpusN,"n_queries":${truthN / k},"settings":{$body},"sf":"$sfDir"}""")
+    val auto = ops.Similarity.planParamsFor(corpusN)
+    println(s"""{"metric":"recall@$k","corpus":$corpusN,"n_queries":${truthN / k},"auto_planes":${auto.planes},"auto_cells":${auto.nCells},"settings":{$body},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

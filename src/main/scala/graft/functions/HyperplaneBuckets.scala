@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** All LSH bucket ids of a vector — every table, every plane — in ONE pass.
+  *
+  * `weights` is the stacked hyperplane matrix: row `t * planesPerTable + p`
+  * holds table `t`'s plane `p` (md5-derived via
+  * [[VectorFunctions.planeWeight]], so any engine can recompute it — the
+  * ANN oracle SQL does). Returns `array<long>` with one table-local bucket
+  * id per table: bit `p` set iff the row-`p` projection is ≥ 0.
+  *
+  * Why an Expression and not composition: the per-plane formulation (one
+  * [[VectorDot]] — or worse, one interpreted `aggregate`∘`zip_with` — per
+  * plane) puts tables × planes separate loops in the projection, each
+  * re-reading the array column. At 8 tables × 11 planes that is 88
+  * expression nodes: interpreted HOFs dominated the entire ANN query
+  * (~28 s of a 28 s run, RECALL.md ×20 fixture), and 88 inlined codegen
+  * loops blow past JIT method limits. Here the generated code is a single
+  * planes-loop nested in a dim-loop — each element is read once and fed to
+  * every plane — O(tables × planes × dim) fused multiply-adds per row.
+  *
+  * Null semantics preserve the per-plane-dot formulation it replaced: a
+  * NULL input vector yields NULL; a NULL element or a length ≠ dim makes
+  * every projection undefined → bit unset → bucket 0 for every table
+  * (exactly what `when(proj >= 0, bit)` produced when `proj` was NULL).
+  */
+case class HyperplaneBuckets(
+    child: Expression,
+    weights: Array[Array[Double]],
+    planesPerTable: Int
+) extends UnaryExpression {
+
+  private val tables = weights.length / planesPerTable
+  require(planesPerTable >= 1 && weights.length == tables * planesPerTable,
+    "weights rows must be tables * planesPerTable")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private def elemType: Option[DataType] = child.dataType match {
+    case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType.isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_buckets needs an array<float|double> input, got ${child.dataType}")
+
+  private def dim: Int = weights(0).length
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](tables)
+    val n = a.numElements()
+    var ok = n == dim
+    var i = 0
+    while (ok && i < n) { ok = !a.isNullAt(i); i += 1 }
+    if (ok) {
+      val isFloat = elemType.contains(FloatType)
+      var t = 0
+      while (t < tables) {
+        var bits = 0L
+        var p = 0
+        while (p < planesPerTable) {
+          val w = weights(t * planesPerTable + p)
+          var acc = 0.0
+          var d = 0
+          while (d < dim) {
+            acc += (if (isFloat) a.getFloat(d).toDouble else a.getDouble(d)) * w(d)
+            d += 1
+          }
+          if (acc >= 0) bits |= 1L << p
+          p += 1
+        }
+        out(t) = bits
+        t += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val wRef = ctx.addReferenceObj("hyperplaneWeights", weights, "double[][]")
+      val out = ctx.freshName("out")
+      val ok = ctx.freshName("ok")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val bits = ctx.freshName("bits")
+      val w = ctx.freshName("w")
+      val getElem =
+        if (elemType.contains(FloatType)) s"(double) $a.getFloat($d)" else s"$a.getDouble($d)"
+      val getNullChk =
+        s"if ($a.isNullAt($i)) { $ok = false; break; }"
+      s"""
+         |long[] $out = new long[$tables];
+         |boolean $ok = $a.numElements() == $dim;
+         |if ($ok) {
+         |  for (int $i = 0; $i < $dim; $i++) { $getNullChk }
+         |}
+         |if ($ok) {
+         |  for (int $t = 0; $t < $tables; $t++) {
+         |    long $bits = 0L;
+         |    for (int $p = 0; $p < $planesPerTable; $p++) {
+         |      double[] $w = $wRef[$t * $planesPerTable + $p];
+         |      double $acc = 0.0;
+         |      for (int $d = 0; $d < $dim; $d++) {
+         |        $acc += ($getElem) * $w[$d];
+         |      }
+         |      if ($acc >= 0) $bits |= 1L << $p;
+         |    }
+         |    $out[$t] = $bits;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}

@@ -57,23 +57,27 @@ object VectorFunctions {
     * independent set of md5-derived hyperplanes. Offset 0 is the
     * single-table bucket (oracle-replayable as before).
     */
-  def hyperplaneBucket(vec: Column, planes: Int, dim: Int, planeOffset: Int): Column = {
-    val bits = (0 until planes).map { p0 =>
-      val p = planeOffset + p0
-      // One zip_with fold per plane over a literal weight array: the plan
-      // stays O(planes) nodes. The naive per-dimension expansion
-      // (planes × dim element_at terms) made Catalyst analysis+codegen the
-      // bottleneck (~40s for 8×64 before any row was processed).
-      val weights = typedLit((0 until dim).map(d => planeWeight(p, d).toDouble))
-      val proj = aggregate(
-        zip_with(vec, weights, (x, w) => x.cast("double") * w),
-        lit(0.0),
-        (acc, v) => acc + v
-      )
-      // bit position is table-local (p0): every table's bucket id lives in
-      // [0, 2^planes) regardless of its plane offset
-      when(proj >= 0, shiftleft(lit(1L), p0)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+  def hyperplaneBucket(vec: Column, planes: Int, dim: Int, planeOffset: Int): Column =
+    hyperplaneBuckets(vec, planes, dim, tables = 1, planeOffset).getItem(0)
+
+  /** All `tables` bucket ids at once as `array<long>` (element `t` =
+    * table `t`'s TABLE-LOCAL bucket in [0, 2^planes), using global planes
+    * [planeOffset + t*planes, planeOffset + (t+1)*planes)).
+    *
+    * One [[HyperplaneBuckets]] codegen Expression: a single generated
+    * loop reads each vector element once and feeds every plane of every
+    * table. The compositional forms it replaced — one interpreted
+    * `aggregate`∘`zip_with` per plane, or one [[VectorDot]] per plane —
+    * cost tables × planes separate per-row loops: the interpreted HOFs
+    * dominated the whole ANN query (~28 s of a 28 s multiprobe run on the
+    * ×20 fixture, RECALL.md), and 88 inlined VectorDot loops overflow JIT
+    * method limits. The per-dimension literal expansion is worst of all:
+    * ~40 s of Catalyst analysis before any row moves.
+    */
+  def hyperplaneBuckets(
+      vec: Column, planes: Int, dim: Int, tables: Int, planeOffset: Int = 0): Column = {
+    val weights = Array.tabulate(tables * planes, dim)(
+      (r, d) => planeWeight(planeOffset + r, d).toDouble)
+    ColumnBridge.column(HyperplaneBuckets(ColumnBridge.expression(vec), weights, planes))
   }
 }

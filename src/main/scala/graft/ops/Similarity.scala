@@ -57,6 +57,95 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
   }
 
+  /** Index parameters derived from the corpus size — the SURVEY §5
+    * "planes/nCells must grow with the corpus" rule as code instead of
+    * prose (a fixed `planes` is a trap: per-bucket candidates, and so
+    * per-query cost, grow linearly with the corpus; RECALL.md measured
+    * ×7.7 cost at ×20 data before this existed).
+    */
+  final case class AnnParams(planes: Int, nCells: Int, tables: Int)
+
+  /** Derive LSH/IVF sizing from the corpus count.
+    *
+    *  - `planes = ceil(log2(n / targetBucketSize))`: holds the EXPECTED
+    *    bucket population at `targetBucketSize` regardless of corpus
+    *    size, so LSH per-query candidate cost stays ~flat (the only
+    *    growing factor is the multiprobe fan-out, ×(1+planes) — i.e.
+    *    logarithmic). Default target 32 reproduces the measured
+    *    efficiency frontier at the 2k fixture (planes=6).
+    *  - `nCells = ceil(sqrt(n))`: the classic IVF balance point (cell
+    *    count = expected cell size), making per-query IVF cost grow as
+    *    √n at fixed nProbe instead of linearly.
+    *  - `tables = round(8 × 1.4^(planes−6))`: the recall-compensation
+    *    law. Each plane added multiplies a fixed-angle neighbor's
+    *    per-table collision probability by a constant < 1 (measured
+    *    ≈ 0.72 on the near-isotropic fixture, RECALL.md), so holding
+    *    recall needs tables × ≈ 1/0.72 ≈ 1.4 per plane — i.e. tables ~
+    *    corpus^ρ with ρ ≈ log2(1.4) ≈ 0.49 here. This is the classic
+    *    LSH n^ρ law, NOT a free lunch: per-query cost under the auto
+    *    rule grows ~√n on isotropic data (vs LINEAR at fixed params);
+    *    clustered real corpora sit at much lower ρ. Anchored at the
+    *    measured frontier (planes=6 → 8 tables).
+    *
+    * Clamps: planes ∈ [1, 24] (2^24 buckets is plenty below 10^9 rows —
+    * past that, raise targetBucketSize too), nCells ∈ [4, 2^17] (the
+    * quantizer must stay broadcastable), tables ∈ [1, 64] (candidate
+    * cost and the 62-bit table-tag budget).
+    */
+  def planParamsFor(corpusCount: Long, targetBucketSize: Long = 32L): AnnParams = {
+    require(corpusCount > 0, "corpusCount must be positive")
+    require(targetBucketSize > 0, "targetBucketSize must be positive")
+    val planes = math.max(1, math.min(24,
+      math.ceil(math.log(corpusCount.toDouble / targetBucketSize) / math.log(2)).toInt))
+    val nCells = math.max(4, math.min(1 << 17,
+      math.ceil(math.sqrt(corpusCount.toDouble)).toInt))
+    val tables = math.max(1, math.min(64,
+      math.round(8.0 * math.pow(1.4, planes - 6)).toInt))
+    AnnParams(planes, nCells, tables)
+  }
+
+  /** [[lshTopK]] with `planes` derived via [[planParamsFor]] from the
+    * corpus count (counted here unless the caller already knows it).
+    * Defaults (8 tables, multiprobe radius 1) are the measured recall
+    * frontier — see RECALL.md "auto" rows for the scale trend.
+    */
+  def lshTopKAuto(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      dim: Int,
+      tables: Int = 0,
+      probeBits: Int = 1,
+      targetBucketSize: Long = 32L,
+      corpusCount: Option[Long] = None
+  ): DataFrame = {
+    // an empty corpus produces an empty result under ANY parameters —
+    // derive from 1 instead of refusing
+    val n = math.max(1L, corpusCount.getOrElse(corpus.count()))
+    val params = planParamsFor(n, targetBucketSize)
+    lshTopK(corpus, queries, idCol, vecCol, k,
+      planes = params.planes, dim = dim,
+      tables = if (tables > 0) tables else params.tables,
+      probeBits = probeBits)
+  }
+
+  /** [[ivfTopK]] with `nCells` derived via [[planParamsFor]]. */
+  def ivfTopKAuto(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 8,
+      corpusCount: Option[Long] = None
+  ): DataFrame = {
+    val n = math.max(1L, corpusCount.getOrElse(corpus.count()))
+    ivfTopK(corpus, queries, idCol, vecCol, k,
+      nCells = planParamsFor(n).nCells, nProbe = nProbe)
+  }
+
   /** Bucket assignment for the LSH scale path. */
   def withBuckets(df: DataFrame, vecCol: String, planes: Int, dim: Int): DataFrame =
     df.withColumn("bucket", V.hyperplaneBucket(col(vecCol), planes, dim))
@@ -95,9 +184,12 @@ object Similarity {
     // single-bucket plan (and its oracle) exactly.
     def withAllBuckets(df: DataFrame): DataFrame =
       if (tables == 1) withBuckets(df, vecCol, planes, dim)
-      else df.withColumn("bucket", explode(array((0 until tables).map(t =>
-        V.hyperplaneBucket(col(vecCol), planes, dim, planeOffset = t * planes) +
-          lit(t.toLong << planes)): _*)))
+      else df.withColumn("bucket", explode(
+        // ONE codegen pass computes every table's bucket (array<long>);
+        // the tag shift moves table t's id into its disjoint key range —
+        // the transform runs over `tables` elements, not the vector
+        transform(V.hyperplaneBuckets(col(vecCol), planes, dim, tables),
+          (b, t) => b + shiftleft(t.cast("long"), planes))))
     // Multiprobe (QUERY side only): besides its own bucket, a query probes
     // every bucket one sign-bit flip away — the buckets its true neighbors
     // most likely landed in when a near-zero projection flipped. Candidate

@@ -241,6 +241,33 @@ class OpsSpec extends SparkSpec {
     assert(topk == Map(1 -> 3L, 2 -> 2L)) // cos: v3=0.707, v2=0, v4=-1
   }
 
+  test("planParamsFor holds bucket size flat and clamps at the extremes") {
+    import Similarity.planParamsFor
+    // expected bucket population n / 2^planes stays within [target/2, target]
+    for (n <- Seq(100L, 2000L, 40000L, 10000000L, 100000000000L)) {
+      val p = planParamsFor(n, targetBucketSize = 32L)
+      val bucketPop = n.toDouble / (1L << math.min(p.planes, 62))
+      assert(p.planes >= 1 && p.planes <= 24)
+      if (p.planes < 24) assert(bucketPop <= 32.0 && bucketPop > 16.0 - 1e-9,
+        s"n=$n planes=${p.planes} pop=$bucketPop")
+      assert(p.nCells >= 4 && p.nCells <= (1 << 17))
+      if (n >= 16 && n <= (1L << 34)) assert(p.nCells == math.ceil(math.sqrt(n.toDouble)).toInt)
+      assert(p.tables >= 1 && p.tables <= 64)
+    }
+    // fixture anchors: the measured frontier planes=6 x 8 tables at the 2k
+    // corpus, and the oracle's value at the 500-vector correctness SF
+    assert(planParamsFor(2000L).planes == 6)
+    assert(planParamsFor(2000L).tables == 8)
+    assert(planParamsFor(500L).planes == 4)
+    assert(planParamsFor(500L).tables == 4)  // fewer planes need fewer tables
+    assert(planParamsFor(40000L).planes == 11)
+    assert(planParamsFor(40000L).tables == 43) // ~8 x 1.4^5: the n^rho law
+    assert(planParamsFor(1L).planes == 1)  // log2(<1) clamps up
+    // lshTopKAuto(tables=1, radius 0..1) with full-probing equivalence is
+    // covered by the q_ann_multiprobe oracle, which re-derives planes from
+    // count(*) in SQL
+  }
+
   test("ivfTopK with full probing equals brute force") {
     val vecs = (1 to 40).map(i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 7.3 + d * 1.7).toFloat)))
