@@ -56,28 +56,73 @@ object Cli {
 
     case Seq("get", path) =>
       // reference: etlctl get (commands/get.rs) — one row per resource
-      val reg = YamlLoader.loadFile(path)
-      reg.sources.values.toSeq.sortBy(_.name).foreach(s =>
-        println(f"source    ${s.name}%-24s ${s.format}${if (s.streaming) " (streaming)" else ""}"))
-      reg.transforms.values.toSeq.sortBy(_.name).foreach(t =>
-        println(f"transform ${t.name}%-24s ${t.transformType}"))
-      reg.sinks.values.toSeq.sortBy(_.name).foreach(k =>
-        println(f"sink      ${k.name}%-24s ${k.format}"))
-      reg.pipelines.values.toSeq.sortBy(_.name).foreach(p =>
-        println(f"pipeline  ${p.name}%-24s ${p.source} -> ${p.steps.mkString(" -> ")} -> ${p.sink}"))
+      printRegistry(YamlLoader.loadFile(path))
       0
 
     case Seq("describe", path, name) =>
-      // reference: etlctl describe — full spec of one resource
+      // reference: etlctl describe — full spec of one resource, addressed
+      // as "name" (default namespace) or "namespace/name"
       val reg = YamlLoader.loadFile(path)
+      val (ns, n) = splitRef(name)
       val found: Option[String] =
-        reg.sources.get(name).map(_.toString)
-          .orElse(reg.transforms.get(name).map(_.toString))
-          .orElse(reg.sinks.get(name).map(_.toString))
-          .orElse(reg.pipelines.get(name).map(_.toString))
+        reg.getSource(ns, n).map(_.toString)
+          .orElse(reg.getTransform(ns, n).map(_.toString))
+          .orElse(reg.getSink(ns, n).map(_.toString))
+          .orElse(reg.getPipeline(ns, n).map(_.toString))
       found match {
         case Some(d) => println(d); 0
-        case None    => println(s"ERROR: no resource named '$name' in $path"); 1
+        case None    => println(s"ERROR: no resource named '$n' in namespace '$ns' in $path"); 1
+      }
+
+    // ---- durable registry (registry.rs apply/delete/list/validate) ----
+
+    case Seq("registry", "apply", dir, manifestPath) =>
+      val written = RegistryStore.apply(dir, readFile(manifestPath))
+      written.foreach { case (kind, ns, name) => println(s"applied $kind $ns/$name") }
+      0
+
+    case Seq("registry", "delete", dir, kind, ref) =>
+      val (ns, n) = splitRef(ref)
+      if (RegistryStore.delete(dir, kind, ns, n)) { println(s"deleted $kind $ns/$n"); 0 }
+      else { println(s"ERROR: no $kind named '$n' in namespace '$ns'"); 1 }
+
+    case Seq("registry", "list", dir) =>
+      printRegistry(RegistryStore.loadAll(dir))
+      0
+
+    case Seq("registry", "list", dir, ns) =>
+      printRegistry(RegistryStore.loadAll(dir, Some(ns)))
+      0
+
+    case Seq("registry", "validate", dir) =>
+      // registry.rs:validate_all_pipelines — every pipeline's references
+      // must resolve within its own namespace
+      RegistryStore.validateAll(dir) match {
+        case Seq() => println("OK: all pipelines resolve"); 0
+        case errs  => errs.foreach(e => println(s"ERROR: $e")); 1
+      }
+
+    case Seq("registry", "run", dir, ref) =>
+      val (ns, n) = splitRef(ref)
+      val reg = RegistryStore.loadAll(dir)
+      reg.getPipeline(ns, n) match {
+        case None => println(s"ERROR: no pipeline named '$n' in namespace '$ns'"); 1
+        case Some(p) =>
+          reg.validatePipeline(p) match {
+            case Seq() =>
+              val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
+              // compile only this pipeline's namespace slice, with every
+              // sibling pipeline disabled except the requested one
+              val slice = Registry(
+                sources = reg.sources.filter(_._1._1 == ns),
+                transforms = reg.transforms.filter(_._1._1 == ns),
+                sinks = reg.sinks.filter(_._1._1 == ns),
+                pipelines = Map(p.key -> p))
+              Compiler.compile(spark, slice).values.foreach(Compiler.write)
+              println(s"pipeline $ns/$n: wrote sink '${p.sink}'")
+              0
+            case errs => errs.foreach(e => println(s"ERROR: $e")); 1
+          }
       }
 
     case Seq("backup", "create", manifestPath, ckptDir) =>
@@ -125,9 +170,31 @@ object Cli {
 
     case _ =>
       println("usage: graft.Cli (validate|graph|run|get) <manifest.yaml> | " +
-        "describe <manifest.yaml> <name> | backup (create|list|restore) ... | " +
+        "describe <manifest.yaml> <[ns/]name> | " +
+        "registry (apply <dir> <manifest.yaml> | delete <dir> <kind> <[ns/]name> | " +
+        "list <dir> [ns] | validate <dir> | run <dir> <[ns/]pipeline>) | " +
+        "backup (create|list|restore) ... | " +
         "compact <path> <targetMB> [colA colB [bits]]")
       2
+  }
+
+  /** "ns/name" → (ns, name); bare "name" → (default, name). */
+  private def splitRef(ref: String): (String, String) = ref.split("/", 2) match {
+    case Array(ns, n) => (ns, n)
+    case _            => (Registry.DefaultNamespace, ref)
+  }
+
+  private def printRegistry(reg: Registry): Unit = {
+    def label(ns: String, name: String): String =
+      if (ns == Registry.DefaultNamespace) name else s"$ns/$name"
+    reg.listSources().foreach(s =>
+      println(f"source    ${label(s.namespace, s.name)}%-24s ${s.format}${if (s.streaming) " (streaming)" else ""}"))
+    reg.listTransforms().foreach(t =>
+      println(f"transform ${label(t.namespace, t.name)}%-24s ${t.transformType}"))
+    reg.listSinks().foreach(k =>
+      println(f"sink      ${label(k.namespace, k.name)}%-24s ${k.format}"))
+    reg.listPipelines().foreach(p =>
+      println(f"pipeline  ${label(p.namespace, p.name)}%-24s ${p.source} -> ${p.steps.mkString(" -> ")} -> ${p.sink}"))
   }
 
   private def doCompact(sparkOpt: Option[SparkSession], path: String,

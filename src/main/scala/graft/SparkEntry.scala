@@ -904,11 +904,15 @@ object SparkEntry {
   /** Multiprobe LSH (Hamming-radius-1 probes, query side only): the recall
     * lever that costs candidates, not corpus-side shuffle — see
     * RECALL.md for the measured recall/sec frontier vs plain LSH.
+    * `planes` is NOT fixed: it derives from the corpus count via
+    * `planParamsFor` (ceil(log2(n/32))), and the oracle SQL derives the
+    * SAME value from count(*) — so the executable scale rule itself is
+    * under the correctness gate at every SF.
     */
   private def qAnnMultiprobe(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Similarity.lshTopK(
+    graft.ops.Similarity.lshTopKAuto(
       emb(s, dir), emb(s, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
-      k = 5, planes = 8, dim = 64, tables = 1, probeBits = 1)
+      k = 5, dim = 64, tables = 1, probeBits = 1, targetBucketSize = 32L)
       .orderBy(col("q_id"), col("rank"))
 
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame =
@@ -1304,6 +1308,52 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("copy"))
   }
 
+  /** Registry namespacing (registry.rs:28-158) under the full oracle: two
+    * namespaces each own a transform NAMED `scale` with different configs
+    * (prod doubles value, staging multiplies by 10) and a pipeline; each
+    * pipeline must resolve the `scale` in ITS OWN namespace. The round
+    * trips through [[graft.dsl.RegistryStore]] (apply → load), so the
+    * durable store's keying is under the gate too. A clobbering flat
+    * registry — or any cross-namespace leak — flips the multipliers and
+    * fails the hash.
+    */
+  private def qDslRegistry(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qreg").toString
+    TempReaper.register(tmp)
+    def nsYaml(ns: String, mult: Int) =
+      s"""kind: Source
+         |metadata: {name: ev, namespace: $ns}
+         |spec: {format: table, path: events}
+         |---
+         |kind: Transform
+         |metadata: {name: scale, namespace: $ns}
+         |spec:
+         |  type: map
+         |  fields:
+         |    - {target: event_id, source: event_id}
+         |    - {target: spend, expr: "value * $mult"}
+         |---
+         |kind: Sink
+         |metadata: {name: out, namespace: $ns}
+         |spec: {format: noop}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p, namespace: $ns}
+         |spec: {source: ev, steps: [scale], sink: out}
+         |""".stripMargin
+    graft.dsl.RegistryStore.apply(tmp, nsYaml("prod", 2))
+    graft.dsl.RegistryStore.apply(tmp, nsYaml("staging", 10))
+    val reg = graft.dsl.RegistryStore.loadAll(tmp)
+    require(reg.validateAllPipelines.isEmpty, "registry must validate")
+    val ev = t(s, dir, "events").select(col("event_id"), col("value"))
+    val compiled = graft.dsl.Compiler.compile(s, reg, tables = Map("events" -> ev))
+    Seq("prod", "staging")
+      .map(ns => compiled(s"$ns/p").frame
+        .select(lit(ns).as("ns"), col("event_id"), col("spend")))
+      .reduce(_.unionByName(_))
+      .orderBy(col("ns"), col("event_id"))
+  }
+
   private def qDslPipeline(s: SparkSession, dir: String): DataFrame = {
     val yaml =
       """kind: Source
@@ -1486,6 +1536,134 @@ object SparkEntry {
         case None    => s.conf.unset(nanosConf)
       }
     }
+  }
+
+  /** S4b emit:on_update under the full oracle: a DETERMINISTIC 3-batch
+    * arrival schedule (one wave file per micro-batch via
+    * maxFilesPerTrigger=1, mtime-ordered), hourly windowed aggregation
+    * compiled from YAML with `emit: on_update`, memory sink. Update mode
+    * re-emits every (window, key) group TOUCHED in a batch with its
+    * cumulative state; the oracle replays that exact rule in SQL (for
+    * each wave w and group touched in w: aggregate over waves <= w), so
+    * the emission semantics are hash-checked, not just row-counted.
+    * No watermark on purpose: state then never evicts and no row can be
+    * late-dropped, which keeps the multiset closed-form in SQL.
+    */
+  private def qEmitModes(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qemit").toString
+    TempReaper.register(tmp)
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufConf)
+    s.conf.set(shufConf, "8")
+    try {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts").as("ets"), col("event_type"), col("value"),
+          pmod(col("event_id"), lit(3)).as("wave"))
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      (0 until 3).foreach { w =>
+        val staging = s"$tmp/stage$w"
+        ev.filter(col("wave") === w).drop("wave").coalesce(1).write.parquet(staging)
+        val part = {
+          val st = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
+          try st.filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+          finally st.close()
+        }
+        val dest = inDir.resolve(s"wave$w.parquet")
+        java.nio.file.Files.move(part, dest)
+        // the file stream picks up files in (mtime, path) order — pin both
+        dest.toFile.setLastModified(1700000000000L + w * 60000L)
+      }
+      val sinkName = "q_emit_modes_out"
+      s.catalog.dropTempView(sinkName) // re-runs in one session (bench x3)
+      val yaml =
+        s"""kind: Source
+           |metadata: {name: waves}
+           |spec:
+           |  format: parquet
+           |  path: $tmp/in
+           |  streaming: true
+           |  schema: "event_id BIGINT, ets TIMESTAMP, event_type STRING, value DOUBLE"
+           |  options: {maxFilesPerTrigger: "1"}
+           |---
+           |kind: Transform
+           |metadata: {name: hourly}
+           |spec:
+           |  type: aggregate
+           |  groupBy: [event_type]
+           |  windowSeconds: 3600
+           |  eventTimeField: ets
+           |  emit: on_update
+           |  aggregations:
+           |    - {fn: count, as: n}
+           |    - {fn: sum, field: value, as: sum_value}
+           |---
+           |kind: Sink
+           |metadata: {name: $sinkName}
+           |spec: {format: memory}
+           |---
+           |kind: Pipeline
+           |metadata: {name: p}
+           |spec: {source: waves, steps: [hourly], sink: $sinkName}
+           |""".stripMargin
+      val p = graft.dsl.Compiler.compile(s, graft.dsl.YamlLoader.load(yaml))("p")
+      val q = graft.dsl.Compiler.writeStreaming(p)
+      q.awaitTermination()
+      s.table(sinkName)
+        .select(unix_seconds(col("window_start")).as("ws"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("ws"), col("event_type"), col("n"))
+    } finally s.conf.set(shufConf, prevShuf)
+  }
+
+  /** W4 streaming watermark fan-in under the full oracle: two file streams
+    * (a full-speed source and one TRUNCATED 10 days early) unioned via
+    * `Streams.fanIn` — Spark min-combines the per-source watermarks, so
+    * append-mode emission is governed by the SLOWEST source. The oracle
+    * replays exactly that: final watermark = least(max ts per source) −
+    * delay; a window is emitted iff it closed under the combined
+    * watermark. The fast source's later windows are the refutation set —
+    * present in the data, withheld by min-combine.
+    */
+  private def qStreamFanin(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qfanin").toString
+    TempReaper.register(tmp)
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufConf)
+    s.conf.set(shufConf, "8")
+    try {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts").as("ets"), col("event_type"), col("value"))
+      val cutoff = "2024-01-20 00:00:00"
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .coalesce(1).write.parquet(s"$tmp/a")
+      ev.filter(pmod(col("event_id"), lit(2)) === 1 && col("ets") < lit(cutoff).cast("timestamp"))
+        .coalesce(1).write.parquet(s"$tmp/b")
+      val schema = "event_id BIGINT, ets TIMESTAMP, event_type STRING, value DOUBLE"
+      def src(path: String) =
+        s.readStream.schema(schema).parquet(path)
+      val unioned = graft.streaming.Streams.fanIn(
+        Seq(
+          (src(s"$tmp/a"), Seq(col("event_id"), col("ets"), col("event_type"), col("value"))),
+          (src(s"$tmp/b"), Seq(col("event_id"), col("ets"), col("event_type"), col("value")))
+        ), "ets", "30 minutes")
+      val agg = unioned
+        .groupBy(window(col("ets"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+      val q = agg.writeStream.format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/chk")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(unix_seconds(col("window_start")).as("ws"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("ws"), col("event_type"))
+    } finally s.conf.set(shufConf, prevShuf)
   }
 
   // ==========================================================================
@@ -1682,8 +1860,11 @@ object SparkEntry {
     "q_source_jdbc" -> (qSourceJdbc _),
     "q_compact" -> (qCompact _),
     "q_dsl_pipeline" -> (qDslPipeline _),
+    "q_dsl_registry" -> (qDslRegistry _),
     "q_llm_pipeline" -> (qLlmPipeline _),
     "q_stream_agg" -> (qStreamAgg _),
+    "q_emit_modes" -> (qEmitModes _),
+    "q_stream_fanin" -> (qStreamFanin _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_sink_roundtrip" -> (qSinkRoundtrip _),
     "q_repetition" -> (qRepetition _),
@@ -2182,10 +2363,14 @@ object SparkEntry {
         |  FROM scored
         |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "q_ann_multiprobe" ->
-      """WITH w AS (
+      """WITH params AS (
+        |  SELECT greatest(1, least(24, CAST(ceil(log2(count(*) / 32.0)) AS INT))) AS planes
+        |  FROM embeddings
+        |), w AS (
         |  SELECT p.p, d.d,
         |    CAST(CAST(concat('0x', substr(md5(concat(p.p, '_', d.d)), 1, 8)) AS BIGINT) - 2147483648 AS DOUBLE) AS wt
-        |  FROM generate_series(0, 7) p(p) CROSS JOIN generate_series(0, 63) d(d)
+        |  FROM generate_series(0, 23) p(p) CROSS JOIN generate_series(0, 63) d(d)
+        |  WHERE p.p < (SELECT planes FROM params)
         |), proj AS (
         |  SELECT e.vec_id, w.p, sum(CAST(e.embedding[w.d+1] AS DOUBLE) * w.wt) AS pr
         |  FROM embeddings e CROSS JOIN w
@@ -2196,10 +2381,10 @@ object SparkEntry {
         |  FROM proj GROUP BY vec_id
         |), probes AS (
         |  SELECT b.vec_id,
-        |    CASE WHEN p.p = 8 THEN b.bucket
+        |    CASE WHEN p.p = (SELECT planes FROM params) THEN b.bucket
         |         ELSE xor(b.bucket, CAST(1 AS BIGINT) << p.p) END AS bucket
-        |  FROM buckets b CROSS JOIN generate_series(0, 8) p(p)
-        |  WHERE b.vec_id < 10
+        |  FROM buckets b CROSS JOIN generate_series(0, 24) p(p)
+        |  WHERE b.vec_id < 10 AND p.p <= (SELECT planes FROM params)
         |), scored AS (
         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
         |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
@@ -2434,6 +2619,32 @@ object SparkEntry {
         |FROM src GROUP BY 1, 2
         |HAVING (ws + 3600) * 1000 <= (SELECT wm_ms FROM wm)
         |ORDER BY ws, event_type""".stripMargin,
+    "q_emit_modes" ->
+      """WITH src AS (
+        |  SELECT event_id % 3 AS wave,
+        |         (epoch_us(ts) // 3600000000) * 3600 AS ws,
+        |         event_type, value
+        |  FROM events
+        |), touched AS (SELECT DISTINCT wave, ws, event_type FROM src)
+        |SELECT t.ws, t.event_type, count(*) AS n,
+        |       CAST(sum(CAST(e.value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        |FROM touched t
+        |JOIN src e ON e.event_type = t.event_type AND e.ws = t.ws AND e.wave <= t.wave
+        |GROUP BY t.wave, t.ws, t.event_type
+        |ORDER BY t.ws, t.event_type, n""".stripMargin,
+    "q_stream_fanin" ->
+      """WITH a AS (SELECT epoch_us(ts) AS us, event_type, value FROM events
+        |           WHERE event_id % 2 = 0),
+        |     b AS (SELECT epoch_us(ts) AS us, event_type, value FROM events
+        |           WHERE event_id % 2 = 1 AND ts < TIMESTAMP '2024-01-20 00:00:00'),
+        |     wm AS (SELECT least((SELECT max(us) FROM a), (SELECT max(us) FROM b)) // 1000
+        |              - 1800000 AS wm_ms),
+        |     u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT (us // 3600000000) * 3600 AS ws, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        |FROM u GROUP BY 1, 2
+        |HAVING (ws + 3600) * 1000 <= (SELECT wm_ms FROM wm)
+        |ORDER BY ws, event_type""".stripMargin,
     "q_dsl_pipeline" ->
       """WITH tagged AS (
         |  SELECT *, CASE WHEN NOT (value >= 0) THEN 'NEG_VALUE'
@@ -2449,6 +2660,11 @@ object SparkEntry {
         |SELECT 'dlq', event_id, event_type, NULL, NULL, err
         |FROM tagged WHERE err IS NOT NULL
         |ORDER BY branch, event_id""".stripMargin,
+    "q_dsl_registry" ->
+      """SELECT 'prod' AS ns, event_id, value * 2 AS spend FROM events
+        |UNION ALL
+        |SELECT 'staging', event_id, value * 10 FROM events
+        |ORDER BY ns, event_id""".stripMargin,
     "q_sql_functions" ->
       """SELECT vec_id,
         |  round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), 6) AS norm_sq

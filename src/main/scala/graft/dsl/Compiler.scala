@@ -55,18 +55,22 @@ object Compiler {
       reg: Registry,
       tables: Map[String, DataFrame] = Map.empty
   ): Map[String, CompiledPipeline] = {
-    val enabled = reg.pipelines.values.filter(_.enabled).toSeq.sortBy(_.name)
+    val enabled = reg.pipelines.values.filter(_.enabled).toSeq.sortBy(_.key)
 
-    val bySource = enabled.groupBy(_.source)
-    bySource.flatMap { case (sourceName, pipes) =>
-      val src = reg.sources.getOrElse(sourceName, sys.error(s"unknown source: $sourceName"))
+    // group WITHIN a namespace: the shared-prefix optimization must never
+    // fuse pipelines whose same-named source/steps resolve to different
+    // manifests in different namespaces
+    val bySource = enabled.groupBy(p => (p.namespace, p.source))
+    bySource.flatMap { case ((ns, sourceName), pipes) =>
+      val src = reg.getSource(ns, sourceName)
+        .getOrElse(sys.error(s"unknown source: $sourceName (namespace '$ns')"))
       val sourceDf = readSource(spark, src, tables)
 
       // optimizer.rs:find_shared_prefix — longest common leading step run.
       val prefix = sharedPrefix(pipes.map(_.steps))
       val (prefixDf, prefixDlq) = prefix.foldLeft((sourceDf, Seq.empty[DataFrame])) {
         case ((df, dlqs), step) =>
-          val (out, dlq) = applyTransformRouted(df, transformOf(reg, step), tables)
+          val (out, dlq) = applyTransformRouted(df, transformOf(reg, ns, step), tables)
           (out, dlqs ++ dlq)
       }
       // streaming frames can't cache; each consumer re-reads the source,
@@ -78,19 +82,20 @@ object Compiler {
       pipes.map { p =>
         val (frame, tailDlq) = p.steps.drop(prefix.length)
           .foldLeft((sharedDf, Seq.empty[DataFrame])) { case ((df, dlqs), step) =>
-            val (out, dlq) = applyTransformRouted(df, transformOf(reg, step), tables)
+            val (out, dlq) = applyTransformRouted(df, transformOf(reg, ns, step), tables)
             (out, dlqs ++ dlq)
           }
-        val sink = reg.sinks.getOrElse(p.sink, sys.error(s"unknown sink: ${p.sink}"))
+        val sink = reg.getSink(ns, p.sink)
+          .getOrElse(sys.error(s"unknown sink: ${p.sink} (namespace '$ns')"))
         val allDlq = prefixDlq ++ tailDlq
         val dlqFrame = allDlq.reduceOption(_.unionByName(_))
-        val dlqSink = p.dlq.flatMap(d => reg.sinks.get(d.sink))
+        val dlqSink = p.dlq.flatMap(d => reg.getSink(ns, d.sink))
         // AggregateEmit (types.rs:634-641): the LAST aggregate step's emit
         // mode decides the sink's output mode + trigger — the last STEP,
         // not the last step that happens to declare `emit`: an explicit
         // mode on an earlier aggregate must not leak past a later one
         // running with the default.
-        val lastAgg = p.steps.map(transformOf(reg, _))
+        val lastAgg = p.steps.map(transformOf(reg, ns, _))
           .filter(_.transformType == "aggregate")
           .lastOption
         val emit = lastAgg.flatMap(_.config.get("emit").map(_.toString))
@@ -107,7 +112,12 @@ object Compiler {
         // run once and stop, the opposite of what the manifest asked for
         require(p.trigger != "resident" || frame.isStreaming,
           s"pipeline '${p.name}': trigger: resident needs a streaming source")
-        p.name -> CompiledPipeline(p.name, frame, sink, prefix, dlqFrame, dlqSink,
+        // result keys qualify the namespace ("ns/name") except for the
+        // default namespace, so single-ns callers keep their plain names
+        // and two namespaces' same-named pipelines never collide
+        val qualified =
+          if (ns == Registry.DefaultNamespace) p.name else s"$ns/${p.name}"
+        qualified -> CompiledPipeline(qualified, frame, sink, prefix, dlqFrame, dlqSink,
           outputMode = outMode, emitInterval = interval, triggerMode = p.trigger)
       }
     }
@@ -198,7 +208,7 @@ object Compiler {
           }
           val fannedIn = inputs.reduce(_.unionByName(_))
           if (stage.stageType == StageType.Sink) fannedIn
-          else applyTransform(fannedIn, transformOf(reg, stageId), tables)
+          else applyTransform(fannedIn, transformOfStage(reg, stageId), tables)
       }
       if (outDegree.getOrElse(stageId, 0) > 1 && !computed.isStreaming) computed.cache()
       else computed
@@ -214,8 +224,16 @@ object Compiler {
       a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1)
     }
 
-  private def transformOf(reg: Registry, name: String): TransformManifest =
-    reg.transforms.getOrElse(name, sys.error(s"unknown transform: $name"))
+  private def transformOf(reg: Registry, ns: String, name: String): TransformManifest =
+    reg.getTransform(ns, name)
+      .getOrElse(sys.error(s"unknown transform: $name (namespace '$ns')"))
+
+  /** Graph stage ids qualify the namespace as "ns/name" (default ns bare). */
+  private def transformOfStage(reg: Registry, stageId: String): TransformManifest =
+    stageId.split("/", 2) match {
+      case Array(ns, name) => transformOf(reg, ns, name)
+      case _               => transformOf(reg, Registry.DefaultNamespace, stageId)
+    }
 
   private def readSource(
       spark: SparkSession,

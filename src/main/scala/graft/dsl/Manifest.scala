@@ -17,14 +17,16 @@ final case class SourceManifest(
     streaming: Boolean = false,      // readStream instead of read
     schemaDDL: String = "",          // required for streaming file sources
     watermarkField: String = "",     // event-time column (streaming)
-    watermarkDelay: String = ""      // e.g. "30 minutes" (streaming)
-)
+    watermarkDelay: String = "",     // e.g. "30 minutes" (streaming)
+    namespace: String = Registry.DefaultNamespace
+) { def key: (String, String) = (namespace, name) }
 
 final case class TransformManifest(
     name: String,
     transformType: String,
-    config: Map[String, Any]
-)
+    config: Map[String, Any],
+    namespace: String = Registry.DefaultNamespace
+) { def key: (String, String) = (namespace, name) }
 
 final case class SinkManifest(
     name: String,
@@ -34,8 +36,9 @@ final case class SinkManifest(
     partitionBy: Seq[String] = Seq.empty,
     checkpoint: String = "",         // streaming sinks: checkpoint location
     zOrderBy: Seq[String] = Seq.empty, // exactly two columns: z-order layout
-    zOrderBits: Int = 12
-)
+    zOrderBits: Int = 12,
+    namespace: String = Registry.DefaultNamespace
+) { def key: (String, String) = (namespace, name) }
 
 final case class DlqSpec(sink: String, maxRetries: Int, retryBackoffMs: Long, maxRetryBackoffMs: Long)
 
@@ -53,17 +56,22 @@ final case class PipelineManifest(
       * on_close, dedupe keep:last) fire without waiting for the next
       * scheduled run.
       */
-    trigger: String = "drain"
-)
+    trigger: String = "drain",
+    namespace: String = Registry.DefaultNamespace
+) { def key: (String, String) = (namespace, name) }
 
-/** All manifests of one namespace, indexed by kind+name (the reference's
-  * Registry, conveyor-etl-registry).
+/** Namespaced manifest registry (registry.rs:28-158): every resource is
+  * keyed by (namespace, name); a pipeline resolves its source, steps, and
+  * sinks WITHIN ITS OWN NAMESPACE — two teams can both own a `clean`
+  * transform without colliding. Immutable: apply/delete return updated
+  * copies (the mutable store is [[RegistryStore]], one YAML doc per
+  * resource on disk).
   */
 final case class Registry(
-    sources: Map[String, SourceManifest] = Map.empty,
-    transforms: Map[String, TransformManifest] = Map.empty,
-    sinks: Map[String, SinkManifest] = Map.empty,
-    pipelines: Map[String, PipelineManifest] = Map.empty
+    sources: Map[(String, String), SourceManifest] = Map.empty,
+    transforms: Map[(String, String), TransformManifest] = Map.empty,
+    sinks: Map[(String, String), SinkManifest] = Map.empty,
+    pipelines: Map[(String, String), PipelineManifest] = Map.empty
 ) {
   def ++(other: Registry): Registry = Registry(
     sources ++ other.sources,
@@ -71,6 +79,63 @@ final case class Registry(
     sinks ++ other.sinks,
     pipelines ++ other.pipelines
   )
+
+  // ---- reference API (registry.rs): apply / get / delete / list ----
+
+  def apply(m: SourceManifest): Registry = copy(sources = sources + (m.key -> m))
+  def apply(m: TransformManifest): Registry = copy(transforms = transforms + (m.key -> m))
+  def apply(m: SinkManifest): Registry = copy(sinks = sinks + (m.key -> m))
+  def apply(m: PipelineManifest): Registry = copy(pipelines = pipelines + (m.key -> m))
+
+  def getSource(ns: String, name: String): Option[SourceManifest] = sources.get((ns, name))
+  def getTransform(ns: String, name: String): Option[TransformManifest] = transforms.get((ns, name))
+  def getSink(ns: String, name: String): Option[SinkManifest] = sinks.get((ns, name))
+  def getPipeline(ns: String, name: String): Option[PipelineManifest] = pipelines.get((ns, name))
+
+  def deleteSource(ns: String, name: String): Registry = copy(sources = sources - ((ns, name)))
+  def deleteTransform(ns: String, name: String): Registry =
+    copy(transforms = transforms - ((ns, name)))
+  def deleteSink(ns: String, name: String): Registry = copy(sinks = sinks - ((ns, name)))
+  def deletePipeline(ns: String, name: String): Registry =
+    copy(pipelines = pipelines - ((ns, name)))
+
+  private def listOf[T](m: Map[(String, String), T], ns: Option[String]): Seq[T] =
+    m.toSeq.filter { case ((n, _), _) => ns.forall(_ == n) }.sortBy(_._1).map(_._2)
+
+  def listSources(ns: Option[String] = None): Seq[SourceManifest] = listOf(sources, ns)
+  def listTransforms(ns: Option[String] = None): Seq[TransformManifest] = listOf(transforms, ns)
+  def listSinks(ns: Option[String] = None): Seq[SinkManifest] = listOf(sinks, ns)
+  def listPipelines(ns: Option[String] = None): Seq[PipelineManifest] = listOf(pipelines, ns)
+
+  def namespaces: Seq[String] =
+    (sources.keys ++ transforms.keys ++ sinks.keys ++ pipelines.keys)
+      .map(_._1).toSeq.distinct.sorted
+
+  /** Reference-exact resolution check (registry.rs:validate_pipeline):
+    * every name the pipeline references must exist in ITS namespace.
+    * Returns all errors, not fail-fast.
+    */
+  def validatePipeline(p: PipelineManifest): Seq[String] = {
+    val ns = p.namespace
+    val errs = Seq.newBuilder[String]
+    if (getSource(ns, p.source).isEmpty)
+      errs += s"Pipeline '${p.name}': source '${p.source}' not found in namespace '$ns'"
+    for (step <- p.steps if getTransform(ns, step).isEmpty)
+      errs += s"Pipeline '${p.name}': transform '$step' not found in namespace '$ns'"
+    if (getSink(ns, p.sink).isEmpty)
+      errs += s"Pipeline '${p.name}': sink '${p.sink}' not found in namespace '$ns'"
+    for (d <- p.dlq if getSink(ns, d.sink).isEmpty)
+      errs += s"Pipeline '${p.name}': DLQ sink '${d.sink}' not found in namespace '$ns'"
+    errs.result()
+  }
+
+  /** registry.rs:validate_all_pipelines — every pipeline, every namespace. */
+  def validateAllPipelines: Seq[String] =
+    pipelines.toSeq.sortBy(_._1).flatMap { case (_, p) => validatePipeline(p) }
+}
+
+object Registry {
+  val DefaultNamespace = "default"
 }
 
 // =============================================================================
@@ -201,16 +266,21 @@ object PipelineGraph {
   def fromRegistry(id: String, reg: Registry): PipelineGraph = {
     val stages = scala.collection.mutable.Map.empty[String, Stage]
     val edges = scala.collection.mutable.ArrayBuffer.empty[Edge]
-    for (p <- reg.pipelines.values if p.enabled) {
-      stages(p.source) = Stage(p.source, StageType.Source)
-      stages(p.sink) = Stage(p.sink, StageType.Sink)
+    // stage ids are namespace-qualified only when needed (non-default ns),
+    // so single-namespace graphs and their DOT output stay unchanged
+    def sid(ns: String, name: String): String =
+      if (ns == Registry.DefaultNamespace) name else s"$ns/$name"
+    for (p <- reg.pipelines.values.toSeq.sortBy(_.key) if p.enabled) {
+      val ns = p.namespace
+      stages(sid(ns, p.source)) = Stage(sid(ns, p.source), StageType.Source)
+      stages(sid(ns, p.sink)) = Stage(sid(ns, p.sink), StageType.Sink)
       val lookupNames = p.steps.filter(s =>
-        reg.transforms.get(s).exists(_.transformType == "lookup"))
+        reg.getTransform(ns, s).exists(_.transformType == "lookup"))
       p.steps.foreach { s =>
         val t = if (lookupNames.contains(s)) StageType.Lookup else StageType.Transform
-        stages.getOrElseUpdate(s, Stage(s, t))
+        stages.getOrElseUpdate(sid(ns, s), Stage(sid(ns, s), t))
       }
-      val chain = p.source +: p.steps :+ p.sink
+      val chain = (p.source +: p.steps :+ p.sink).map(sid(ns, _))
       chain.sliding(2).foreach { case Seq(a, b) => edges += Edge(a, b); case _ => }
     }
     PipelineGraph(id, stages.toMap, edges.distinct.toSeq)

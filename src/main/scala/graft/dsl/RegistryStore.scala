@@ -1,0 +1,87 @@
+package graft.dsl
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Durable manifest registry: one YAML document per resource at
+  * `<root>/<kind>/<namespace>/<name>.yaml` — the reference registry's
+  * apply/get/delete/list/validate surface (registry.rs:28-158,
+  * conveyor-etl-registry) with a filesystem store instead of a gRPC
+  * service (any shared mount / object store works; the Spark driver is
+  * the only writer in this deployment shape).
+  *
+  * Documents are stored as the RAW text the user applied — no
+  * re-serialization, so round-trips preserve comments and formatting, and
+  * `loadAll` is exactly `YamlLoader.load` over the concatenation.
+  */
+object RegistryStore {
+
+  private val Kinds = Set("Source", "Transform", "Sink", "Pipeline")
+  // path-safe resource coordinates; rejects traversal and separator tricks
+  private val SafeSeg = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
+
+  private def requireSafe(kind: String, s: String): String = {
+    require(SafeSeg.findFirstIn(s).isDefined,
+      s"$kind segment '$s' is not a valid resource coordinate")
+    s
+  }
+
+  /** Split a multi-document YAML text into its raw documents. */
+  def splitDocs(yamlText: String): Seq[String] =
+    yamlText.split("(?m)^---\\s*$").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Identify one parsed document: (kind, namespace, name). */
+  private def identify(doc: String): (String, String, String) = {
+    val reg = YamlLoader.load(doc)
+    val all =
+      reg.listSources().map(m => ("Source", m.namespace, m.name)) ++
+        reg.listTransforms().map(m => ("Transform", m.namespace, m.name)) ++
+        reg.listSinks().map(m => ("Sink", m.namespace, m.name)) ++
+        reg.listPipelines().map(m => ("Pipeline", m.namespace, m.name))
+    require(all.size == 1, s"expected exactly one resource per document, got ${all.size}")
+    all.head
+  }
+
+  private def fileFor(root: String, kind: String, ns: String, name: String): Path =
+    Paths.get(root, requireSafe("kind", kind),
+      requireSafe("namespace", ns), requireSafe("name", name) + ".yaml")
+
+  /** Upsert every document in `yamlText` (k8s-style `apply -f`). Returns
+    * the (kind, namespace, name) keys written.
+    */
+  def apply(root: String, yamlText: String): Seq[(String, String, String)] =
+    splitDocs(yamlText).map { doc =>
+      val id @ (kind, ns, name) = identify(doc)
+      require(Kinds.contains(kind), s"unknown kind: $kind")
+      val f = fileFor(root, kind, ns, name)
+      Files.createDirectories(f.getParent)
+      Files.writeString(f, doc + "\n")
+      id
+    }
+
+  /** Delete one resource; false if it was not present. */
+  def delete(root: String, kind: String, ns: String, name: String): Boolean =
+    Files.deleteIfExists(fileFor(root, kind, ns, name))
+
+  /** Load the whole store (or one namespace) into an in-memory Registry. */
+  def loadAll(root: String, ns: Option[String] = None): Registry = {
+    val rootPath = Paths.get(root)
+    if (!Files.isDirectory(rootPath)) return Registry()
+    val files = {
+      val s = Files.walk(rootPath)
+      try
+        s.iterator().asScala
+          .filter(p => p.toString.endsWith(".yaml") && Files.isRegularFile(p))
+          .filter(p => ns.forall(_ == p.getParent.getFileName.toString))
+          .toSeq.sortBy(_.toString)
+      finally s.close()
+    }
+    files.foldLeft(Registry()) { (reg, f) =>
+      reg ++ YamlLoader.load(Files.readString(f))
+    }
+  }
+
+  /** registry.rs:validate_all_pipelines over the store. */
+  def validateAll(root: String): Seq[String] =
+    loadAll(root).validateAllPipelines
+}

@@ -31,6 +31,7 @@ object YamlLoader {
     val kind = doc.getOrElse("kind", "").toString
     val meta = doc.getOrElse("metadata", Map.empty).asInstanceOf[Map[String, Any]]
     val name = meta.getOrElse("name", sys.error("manifest missing metadata.name")).toString
+    val ns = meta.getOrElse("namespace", Registry.DefaultNamespace).toString
     val spec = doc.getOrElse("spec", Map.empty).asInstanceOf[Map[String, Any]]
 
     def str(k: String, default: String = ""): String = spec.get(k).fold(default)(_.toString)
@@ -41,15 +42,16 @@ object YamlLoader {
           .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString })
           .getOrElse(Map.empty[String, String])
         val wm = spec.get("watermark").map(_.asInstanceOf[Map[String, Any]])
-        Registry(sources = Map(name ->
+        Registry().apply(
           SourceManifest(name, str("format", "parquet"), str("path"), opts,
             streaming = spec.get("streaming").exists(_.toString.toBoolean),
             schemaDDL = str("schema"),
             watermarkField = wm.flatMap(_.get("field")).fold("")(_.toString),
-            watermarkDelay = wm.flatMap(_.get("delay")).fold("")(_.toString))))
+            watermarkDelay = wm.flatMap(_.get("delay")).fold("")(_.toString),
+            namespace = ns))
       case "Transform" =>
-        Registry(transforms = Map(name ->
-          TransformManifest(name, str("type"), spec - "type")))
+        Registry().apply(
+          TransformManifest(name, str("type"), spec - "type", namespace = ns))
       case "Sink" =>
         val partitions = spec.get("partitionBy")
           .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
@@ -62,11 +64,12 @@ object YamlLoader {
         val zBits = spec.get("zOrderBits").fold(12)(_.toString.toInt)
         if (zBits < 1 || zBits > 31)
           sys.error(s"sink '$name': zOrderBits must be in [1, 31], got $zBits")
-        Registry(sinks = Map(name ->
+        Registry().apply(
           SinkManifest(name, str("format", "parquet"), str("path"), str("mode", "overwrite"),
             partitions, checkpoint = str("checkpoint"),
             zOrderBy = zOrder,
-            zOrderBits = zBits)))
+            zOrderBits = zBits,
+            namespace = ns))
       case "Pipeline" =>
         val steps = spec.get("steps").map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
         val dlq = spec.get("dlq").map { d0 =>
@@ -81,15 +84,16 @@ object YamlLoader {
         val trigger = spec.getOrElse("trigger", "drain").toString
         require(trigger == "drain" || trigger == "resident",
           s"pipeline $name: trigger must be drain or resident, got $trigger")
-        Registry(pipelines = Map(name -> PipelineManifest(
+        Registry().apply(PipelineManifest(
           name,
           str("source"),
           steps,
           str("sink"),
           spec.get("enabled").forall(_.toString.toBoolean),
           dlq,
-          trigger
-        )))
+          trigger,
+          namespace = ns
+        ))
       case other => sys.error(s"unknown manifest kind: $other")
     }
   }

@@ -87,6 +87,59 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(Seq("describe", f.toString, "nope")) == 1)
   }
 
+  test("registry apply/list/delete/validate/run manage namespaced manifests") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_reg").toString
+    val store = s"$dir/registry"
+    val src = s"$dir/in"
+    Seq((1L, "purchase", 50.0), (2L, "click", 5.0))
+      .toDF("event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(src)
+    def nsYaml(ns: String, keep: String, out: String) =
+      s"""kind: Source
+         |metadata: {name: ev, namespace: $ns}
+         |spec: {format: parquet, path: $src}
+         |---
+         |kind: Transform
+         |metadata: {name: keep, namespace: $ns}
+         |spec:
+         |  type: filter
+         |  condition: {equals: {field: event_type, value: $keep}}
+         |---
+         |kind: Sink
+         |metadata: {name: out, namespace: $ns}
+         |spec: {format: parquet, path: $out}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p, namespace: $ns}
+         |spec: {source: ev, steps: [keep], sink: out}
+         |""".stripMargin
+    val aYaml = java.nio.file.Paths.get(dir, "a.yaml")
+    val bYaml = java.nio.file.Paths.get(dir, "b.yaml")
+    // same resource NAMES in both namespaces, different semantics
+    java.nio.file.Files.writeString(aYaml, nsYaml("team-a", "purchase", s"$dir/outA"))
+    java.nio.file.Files.writeString(bYaml, nsYaml("team-b", "click", s"$dir/outB"))
+    assert(Cli.run(Seq("registry", "apply", store, aYaml.toString)) == 0)
+    assert(Cli.run(Seq("registry", "apply", store, bYaml.toString)) == 0)
+    assert(Cli.run(Seq("registry", "list", store)) == 0)
+    assert(Cli.run(Seq("registry", "list", store, "team-a")) == 0)
+    assert(Cli.run(Seq("registry", "validate", store)) == 0)
+    // each namespace's pipeline resolves ITS OWN same-named transform
+    assert(Cli.run(Seq("registry", "run", store, "team-a/p"), Some(spark)) == 0)
+    assert(Cli.run(Seq("registry", "run", store, "team-b/p"), Some(spark)) == 0)
+    assert(spark.read.parquet(s"$dir/outA").select("event_id").as[Long].collect().toSeq == Seq(1L))
+    assert(spark.read.parquet(s"$dir/outB").select("event_id").as[Long].collect().toSeq == Seq(2L))
+    // deleting team-b's transform breaks ONLY team-b's pipeline resolution
+    assert(Cli.run(Seq("registry", "delete", store, "Transform", "team-b/keep")) == 0)
+    assert(Cli.run(Seq("registry", "delete", store, "Transform", "team-b/keep")) == 1)
+    assert(Cli.run(Seq("registry", "validate", store)) == 1)
+    assert(Cli.run(Seq("registry", "run", store, "team-a/p"), Some(spark)) == 0)
+    assert(Cli.run(Seq("registry", "run", store, "team-b/p"), Some(spark)) == 1)
+    // unknown refs and traversal-shaped coordinates are rejected
+    assert(Cli.run(Seq("registry", "run", store, "team-c/p"), Some(spark)) == 1)
+    intercept[IllegalArgumentException](
+      graft.dsl.RegistryStore.delete(store, "Transform", "..", "keep"))
+  }
+
   test("backup create / list / restore subcommands round-trip a checkpoint") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cli_bak").toString
     new java.io.File(s"$dir/chk/offsets").mkdirs()

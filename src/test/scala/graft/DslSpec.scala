@@ -72,11 +72,12 @@ class DslSpec extends SparkSpec {
 
   test("YAML loads all four kinds") {
     val reg = YamlLoader.load(manifestYaml)
-    assert(reg.sources.keySet == Set("events-src"))
-    assert(reg.transforms.keySet == Set("filter-purchases", "enrich-user", "shape"))
-    assert(reg.sinks.keySet == Set("out-a", "out-b"))
-    assert(reg.pipelines.keySet == Set("p1", "p2"))
-    assert(reg.pipelines("p1").steps == Seq("filter-purchases", "enrich-user", "shape"))
+    val d = Registry.DefaultNamespace
+    assert(reg.sources.keySet == Set((d, "events-src")))
+    assert(reg.transforms.keySet.map(_._2) == Set("filter-purchases", "enrich-user", "shape"))
+    assert(reg.sinks.keySet.map(_._2) == Set("out-a", "out-b"))
+    assert(reg.pipelines.keySet.map(_._2) == Set("p1", "p2"))
+    assert(reg.getPipeline(d, "p1").get.steps == Seq("filter-purchases", "enrich-user", "shape"))
   }
 
   test("graph validation passes for a well-formed registry") {
@@ -152,15 +153,16 @@ class DslSpec extends SparkSpec {
          |spec: {source: ev, steps: [], sink: zout}
          |""".stripMargin
     val reg = YamlLoader.load(yaml)
-    assert(reg.sinks("zout").zOrderBy == Seq("user_id", "event_id"))
-    assert(reg.sinks("zout").zOrderBits == 4)
+    val zout = reg.getSink(Registry.DefaultNamespace, "zout").get
+    assert(zout.zOrderBy == Seq("user_id", "event_id"))
+    assert(zout.zOrderBits == 4)
     val compiled = Compiler.compile(spark, reg, tables = Map("events" -> events))
     Compiler.write(compiled("pz"))
     val back = spark.read.parquet(s"$dir/out")
     assert(back.count() == events.count()) // layout changes order, not content
     assert(back.columns.sorted.toSeq == events.columns.sorted.toSeq)
     // a streaming pipeline must refuse the batch-only layout option
-    val badSink = reg.sinks("zout")
+    val badSink = reg.getSink(Registry.DefaultNamespace, "zout").get
     val streamFrame = {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx = spark.sqlContext
@@ -513,16 +515,15 @@ class DslSpec extends SparkSpec {
     import graft.model._
     // diamond: src -> (purchases | clicks) -> shape -> sink, with the
     // conditional edges multicasting big purchases to BOTH branches
-    val reg = Registry(transforms = Map(
-      "purchases" -> TransformManifest("purchases", "map", Map(
+    val reg = Registry()
+      .apply(TransformManifest("purchases", "map", Map(
         "fields" -> Seq(
           Map("target" -> "event_id", "source" -> "event_id"),
-          Map("target" -> "lane", "literal" -> "purchase")))),
-      "clicks" -> TransformManifest("clicks", "map", Map(
+          Map("target" -> "lane", "literal" -> "purchase")))))
+      .apply(TransformManifest("clicks", "map", Map(
         "fields" -> Seq(
           Map("target" -> "event_id", "source" -> "event_id"),
-          Map("target" -> "lane", "literal" -> "other"))))
-    ))
+          Map("target" -> "lane", "literal" -> "other")))))
     val g = PipelineGraph(
       "diamond",
       Map(
