@@ -49,10 +49,32 @@ object Bench {
     val unknown = args.filterNot(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> materialize(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // BASELINE.md's per-query drift rule compares medians; a single-run
+    // artifact tripped it spuriously on every sub-second query (round-5
+    // verdict adjudicated six such rows as environment drift). Run full
+    // round-robin epochs — same epoch discipline as the baseline — and
+    // report the per-query MEDIAN (+min), so the driver's artifact is
+    // rule-comparable without a judge. BENCH_RUNS=1 restores the quick
+    // single-pass shape for local iteration.
+    val epochs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(epochs >= 1, "SPARK_GRAFT_BENCH_RUNS must be >= 1")
+    val samples: Seq[Seq[(String, Double)]] =
+      (1 to epochs).map(_ => names.map(n => n -> materialize(n)))
+    def medianOf(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0
+      else {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+      }
+    val byName = names.map { n =>
+      val ok = samples.map(_.toMap.apply(n)).filter(_ >= 0)
+      (n, medianOf(ok), if (ok.isEmpty) -1.0 else ok.min)
+    }
+    val qs = byName.map { case (k, med, _) => "\"" + k + "\":" + med }.mkString("{", ",", "}")
+    val mins = byName.map { case (k, _, mn) => "\"" + k + "\":" + mn }.mkString("{", ",", "}")
+    val total = byName.map(_._2).filter(_ >= 0).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs":$epochs,""" +
+      s""""queries":$qs,"min":$mins,"sf":"$sfDir"}"""
     // stdout first — it is the driver contract and must survive even if
     // the file copy can't be written (read-only cwd, bad env path)
     println(line)
