@@ -649,12 +649,19 @@ object Compiler {
             .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
         )(df)
       case "strip_markup" =>
-        // HTML/markup → text (TextFunctions.stripMarkup) as a pipeline
-        // step — row-local regexp chain, so it compiles unchanged on
-        // streaming frames. In-place by default; `target` writes a new
-        // column instead (keeping the raw markup alongside).
+        // HTML/markup → text as a pipeline step — row-local, so it
+        // compiles unchanged on streaming frames. In-place by default;
+        // `target` writes a new column instead (keeping the raw markup
+        // alongside). `kernel` picks the extractor: "regex" (default,
+        // TextFunctions.stripMarkup — codegen'd chain, oracle-replayable)
+        // or "dom" (ops.Boilerplate — tag-structure walk that drops
+        // nav/footer/chrome blocks, the trafilatura shape, as the
+        // documented swappable mapPartitions kernel).
         val field = c.getOrElse("field", "text").toString
         val target = c.getOrElse("target", field).toString
+        val kernel = c.getOrElse("kernel", "regex").toString
+        require(kernel == "regex" || kernel == "dom",
+          s"strip_markup: kernel must be regex|dom, got '$kernel'")
         // collision check matches withColumn's resolution: case-insensitive
         // by default (a differently-cased target would silently clobber,
         // not add), exact when spark.sql.caseSensitive=true (where a
@@ -665,7 +672,8 @@ object Compiler {
         require(sameCol(target, field) ||
             !df.columns.exists(sameCol(_, target)),
           s"strip_markup: target column '$target' already exists")
-        df.withColumn(target, graft.functions.TextFunctions.stripMarkup(col(field)))
+        if (kernel == "dom") graft.ops.Boilerplate.extract(df, field, target)
+        else df.withColumn(target, graft.functions.TextFunctions.stripMarkup(col(field)))
       case "quality_filter" =>
         // Hashed-linear classifier inference (graft.ops.Scoring) as a
         // pipeline step — row-local, so it compiles unchanged on

@@ -1,0 +1,223 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DOM-aware main-content extraction — the trafilatura/boilerpipe shape,
+  * as the documented swappable kernel behind `strip_markup`
+  * (TextFunctions.stripMarkup's scaladoc promises exactly this hook).
+  *
+  * The regex chain treats every byte of text equally; on real web pages
+  * most bytes are chrome — navigation, footers, cookie banners, share
+  * widgets — and all of it lands in the corpus. This kernel walks the tag
+  * structure instead (single pass, no DOM allocation, malformed markup
+  * never throws) and scores TEXT BLOCKS:
+  *
+  *  - script/style/noscript/template/svg/head subtrees are skipped by
+  *    scanning for their literal close tag (their content may contain '<');
+  *  - nav/footer/header/aside/form elements — or any element whose
+  *    class/id matches the boilerplate vocabulary (menu, sidebar, cookie,
+  *    banner, share, ad, …) — poison every block opened inside them;
+  *  - article/main elements mark blocks as content;
+  *  - block-level tags close the running block; each block records its
+  *    word count, anchor-text ratio, and heading-ness.
+  *
+  * A block survives if it is not poisoned AND (it sits in article/main, or
+  * it has ≥ `minWords` words at < `maxLinkRatio` anchor density, or it is
+  * a heading with ≥ 3 words at low anchor density). Surviving blocks join
+  * with newlines — same output contract as `stripMarkup`.
+  *
+  * Runs as a `mapPartitions` kernel (the deployment shape: a heavier
+  * native extractor — or trafilatura over a py bridge — swaps in behind
+  * the same signature without touching the pipeline): row-local,
+  * linear in input size, no shuffle, upstream pruning still reaches the
+  * scan. The pure function [[extractMainContent]] is the unit surface.
+  */
+object Boilerplate {
+
+  private val BlockTags = Set(
+    "p", "div", "br", "hr", "li", "ul", "ol", "h1", "h2", "h3", "h4", "h5", "h6",
+    "tr", "td", "th", "table", "thead", "tbody", "blockquote", "pre",
+    "section", "article", "header", "footer", "nav", "aside", "main", "form",
+    "figure", "figcaption", "dl", "dt", "dd")
+  private val SkipTags = Set("script", "style", "noscript", "template", "svg", "head")
+  private val PenaltyTags = Set("nav", "footer", "header", "aside", "form")
+  private val BoostTags = Set("article", "main")
+  private val HeadingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
+  private val VoidTags = Set("br", "hr", "img", "input", "meta", "link",
+    "source", "wbr", "embed", "area", "col", "base", "track", "param")
+  private val BoilerClass =
+    ("(?i)\\b(nav|navbar|menu|footer|header|sidebar|side-bar|breadcrumb|comment|share|social|" +
+      "widget|cookie|banner|advert|ad-|-ad\\b|ads\\b|promo|related|recommend|subscribe|" +
+      "newsletter|popup|modal|masthead|pagination|toolbar|skip-link)").r
+
+  private val Entities = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+
+  private def decodeEntities(s: String): String =
+    Entities.foldLeft(s) { case (acc, (e, r)) => acc.replace(e, r) }
+
+  private final class Block {
+    val text = new StringBuilder
+    var linkChars = 0
+    var poisoned = false
+    var boosted = false
+    var heading = false
+    def words: Int = text.toString.trim.split("\\s+").count(_.nonEmpty)
+    def linkRatio: Double = if (text.isEmpty) 0.0 else linkChars.toDouble / text.length
+  }
+
+  /** Pure single-pass extraction; null-safe, never throws on malformed
+    * markup (unclosed tags are treated as text, unknown tags ignored).
+    */
+  def extractMainContent(
+      html: String,
+      minWords: Int = 10,
+      maxLinkRatio: Double = 0.33
+  ): String = {
+    if (html == null) return null
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Block]
+    var cur = new Block
+    var penaltyDepth = 0
+    var boostDepth = 0
+    var linkDepth = 0
+    // open-element stack: (name, contributesPenalty, contributesBoost).
+    // A class-poisoned <div> must release its penalty at ITS close tag —
+    // bare depth counters can't know which </div> that is.
+    val open = scala.collection.mutable.Stack.empty[(String, Boolean, Boolean)]
+
+    def flush(): Unit = {
+      if (cur.text.toString.trim.nonEmpty) blocks += cur
+      cur = new Block
+    }
+    def addText(t: String): Unit = {
+      val decoded = decodeEntities(t)
+      if (decoded.trim.nonEmpty || cur.text.nonEmpty) {
+        cur.text.append(decoded)
+        if (linkDepth > 0) cur.linkChars += decoded.length
+        if (penaltyDepth > 0) cur.poisoned = true
+        if (boostDepth > 0 && penaltyDepth == 0) cur.boosted = true
+      }
+    }
+
+    val n = html.length
+    val lower = html.toLowerCase // once: the skip-tag scan below must not re-lowercase per tag
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { addText(html.substring(i)); i = n }
+      else {
+        if (lt > i) addText(html.substring(i, lt))
+        if (lt + 3 < n && html.startsWith("<!--", lt)) {
+          val end = html.indexOf("-->", lt + 4)
+          i = if (end < 0) n else end + 3
+        } else {
+          val gt = html.indexOf('>', lt + 1)
+          if (gt < 0) { addText(html.substring(lt)); i = n }
+          else {
+            val raw = html.substring(lt + 1, gt)
+            val closing = raw.startsWith("/")
+            val body = if (closing) raw.substring(1) else raw
+            val name = body.takeWhile(c => c.isLetterOrDigit).toLowerCase
+            i = gt + 1
+            if (name.isEmpty) ()
+            else if (!closing && SkipTags.contains(name)) {
+              // raw-content subtree: scan for the literal close tag
+              val close = s"</$name"
+              val idx = lower.indexOf(close, i)
+              i = if (idx < 0) n else {
+                val e = html.indexOf('>', idx)
+                if (e < 0) n else e + 1
+              }
+            } else {
+              if (BlockTags.contains(name)) {
+                flush()
+                if (HeadingTags.contains(name) && !closing) cur.heading = true
+              }
+              if (name == "a") {
+                if (closing) linkDepth = math.max(0, linkDepth - 1) else linkDepth += 1
+              } else if (closing) {
+                // pop to the matching open element (tolerating unclosed
+                // children), releasing each popped element's contributions
+                if (open.exists(_._1 == name)) {
+                  var done = false
+                  while (!done && open.nonEmpty) {
+                    val (n0, pen, boo) = open.pop()
+                    if (pen) penaltyDepth = math.max(0, penaltyDepth - 1)
+                    if (boo) boostDepth = math.max(0, boostDepth - 1)
+                    done = n0 == name
+                  }
+                }
+              } else if (!raw.endsWith("/") && !VoidTags.contains(name)) {
+                val classPoison = BoilerClass
+                  .findFirstIn(attrValue(body, "class") + " " + attrValue(body, "id")).isDefined
+                val pen = PenaltyTags.contains(name) || classPoison
+                val boo = BoostTags.contains(name)
+                open.push((name, pen, boo))
+                if (pen) penaltyDepth += 1
+                if (boo) boostDepth += 1
+              }
+            }
+          }
+        }
+      }
+    }
+    flush()
+
+    blocks.iterator
+      .filter { b =>
+        !b.poisoned && (
+          b.boosted ||
+            (b.words >= minWords && b.linkRatio < maxLinkRatio) ||
+            (b.heading && b.words >= 3 && b.linkRatio < maxLinkRatio))
+      }
+      .map(b => b.text.toString.replaceAll("\\s+", " ").trim)
+      .filter(_.nonEmpty)
+      .mkString("\n")
+  }
+
+  /** Value of a `key="…"` / `key='…'` / `key=bare` attribute in a raw tag
+    * body, or "" — enough structure for the class/id vocabulary check.
+    */
+  private def attrValue(tagBody: String, key: String): String = {
+    val m = (s"""(?i)\\b$key\\s*=\\s*("([^"]*)"|'([^']*)'|([^\\s>]+))""").r
+      .findFirstMatchIn(tagBody)
+    m.map(g => Option(g.group(2)).orElse(Option(g.group(3))).orElse(Option(g.group(4)))
+      .getOrElse("")).getOrElse("")
+  }
+
+  /** The mapPartitions plumbing: replaces (or adds) `target` with the
+    * extracted main content of `field`, preserving every other column.
+    */
+  def extract(
+      df: DataFrame,
+      field: String,
+      target: String,
+      minWords: Int = 10,
+      maxLinkRatio: Double = 0.33
+  ): DataFrame = {
+    val inSchema = df.schema
+    val srcIdx = inSchema.fieldIndex(field)
+    val existing = inSchema.fieldNames.indexOf(target)
+    val outSchema =
+      if (existing >= 0)
+        StructType(inSchema.fields.updated(existing, StructField(target, StringType)))
+      else StructType(inSchema.fields :+ StructField(target, StringType))
+    val replaceIdx = existing
+    val input: Dataset[Row] = df
+    input.mapPartitions { it =>
+      it.map { r =>
+        val extracted =
+          if (r.isNullAt(srcIdx)) null
+          else extractMainContent(r.getString(srcIdx), minWords, maxLinkRatio)
+        val vals = r.toSeq
+        val out =
+          if (replaceIdx >= 0) vals.updated(replaceIdx, extracted)
+          else vals :+ extracted
+        Row.fromSeq(out)
+      }
+    }(Encoders.row(outSchema))
+  }
+}

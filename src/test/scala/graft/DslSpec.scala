@@ -228,6 +228,18 @@ class DslSpec extends SparkSpec {
       .getMessage.contains("already exists"))
     assert(intercept[IllegalArgumentException](run("  target: DOC_ID").collect())
       .getMessage.contains("already exists"))
+    // kernel: dom swaps in the boilerplate extractor — nav chrome dies,
+    // content survives; unknown kernels are refused at compile
+    val chromePage = "<nav><a href='/'>Home</a><a href='/b'>About</a></nav>" +
+      "<article><p>the quick brown fox jumps over the lazy dog near the " +
+      "river bank before sunrise</p></article>"
+    val domDocs = Seq((1L, chromePage)).toDF("doc_id", "body")
+    val dom = Compiler.compile(spark, YamlLoader.load(yaml("  kernel: dom")),
+      tables = Map("docs" -> domDocs))("p").frame
+    val domOut = dom.select("body").as[String].head()
+    assert(domOut.contains("quick brown fox") && !domOut.contains("Home"))
+    assert(intercept[IllegalArgumentException](run("  kernel: sax"))
+      .getMessage.contains("kernel must be regex|dom"))
   }
 
   test("quality_filter transform: stub coefficients, tag and filter actions") {

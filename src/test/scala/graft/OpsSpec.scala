@@ -89,6 +89,71 @@ class OpsSpec extends SparkSpec {
     assert(weird.contains("fine"))
   }
 
+  test("Boilerplate DOM kernel: chrome dropped, article kept, regex A/B") {
+    import graft.ops.Boilerplate
+    val page =
+      """<html><head><title>Site</title><script>nav.init()</script></head><body>
+        |<header class="masthead"><a href="/">Acme News</a>
+        |  <nav><ul><li><a href="/a">Home</a></li><li><a href="/b">World</a></li>
+        |  <li><a href="/c">Sports</a></li></ul></nav></header>
+        |<div class="cookie-banner">We use cookies to improve your experience.
+        |  Accept all cookies or manage preferences in settings.</div>
+        |<main><article>
+        |<h1>Quarterly results beat expectations</h1>
+        |<p>The company reported revenue growth of twelve percent over the
+        |previous quarter, driven by strong demand in its core markets and
+        |continued expansion of the services division.</p>
+        |<p>Analysts had forecast a more modest increase, citing supply chain
+        |pressure; the results sent shares up four percent in early trading.</p>
+        |</article></main>
+        |<aside class="sidebar"><h3>Related stories</h3>
+        |  <a href="/x">Another headline here</a><a href="/y">More links</a></aside>
+        |<footer>Copyright 2024 Acme Corp. All rights reserved.
+        |  <a href="/privacy">Privacy</a> <a href="/terms">Terms</a></footer>
+        |</body></html>""".stripMargin
+
+    val dom = Boilerplate.extractMainContent(page)
+    // the article survives, every chrome family dies
+    assert(dom.contains("Quarterly results beat expectations"))
+    assert(dom.contains("revenue growth of twelve percent"))
+    assert(dom.contains("shares up four percent"))
+    for (chrome <- Seq("Home", "Sports", "cookies", "Related stories",
+        "Copyright", "Privacy", "Acme News"))
+      assert(!dom.contains(chrome), s"chrome '$chrome' leaked into: $dom")
+
+    // A/B vs the regex chain: regex keeps every chrome byte (it treats all
+    // text equally); the DOM kernel's chrome share is ZERO on this page
+    val regex = Seq(Tuple1(page)).toDF("h")
+      .select(T.stripMarkup(col("h")).as("c")).head().getString(0)
+    for (chrome <- Seq("Home", "cookies", "Copyright"))
+      assert(regex.contains(chrome), "premise: regex strip keeps chrome")
+    assert(regex.contains("revenue growth of twelve percent")) // both keep content
+    val chromeTokens = Seq("Home", "World", "Sports", "cookies", "Related",
+      "Copyright", "Privacy", "Terms")
+    def chromeHits(s: String) = chromeTokens.count(s.contains)
+    assert(chromeHits(dom) == 0 && chromeHits(regex) == chromeTokens.size)
+
+    // malformed markup never throws; unclosed tags degrade to text
+    assert(Boilerplate.extractMainContent(null) == null)
+    Boilerplate.extractMainContent("<div <p>a & b</div> <script>open")
+    // heading rule: short headings (>= 3 words) survive without link spam
+    assert(Boilerplate.extractMainContent(
+      "<h2>Results overview 2024</h2><p>" + ("w " * 20) + "</p>")
+      .startsWith("Results overview 2024"))
+
+    // mapPartitions plumbing preserves sibling columns and schema order
+    val df = Seq((1L, page, "keepme")).toDF("id", "html", "tag")
+    val out = Boilerplate.extract(df, "html", "clean")
+    assert(out.columns.toSeq == Seq("id", "html", "tag", "clean"))
+    val row = out.head()
+    assert(row.getString(3).contains("Quarterly results"))
+    assert(row.getString(2) == "keepme")
+    // in-place replace keeps arity
+    val rep = Boilerplate.extract(df, "html", "html")
+    assert(rep.columns.toSeq == Seq("id", "html", "tag"))
+    assert(rep.head().getString(1).contains("Quarterly results"))
+  }
+
   test("wordShingles: n consecutive tokens; short docs yield empty") {
     val df = Seq(("a b c d", 1), ("a b", 2)).toDF("text", "id")
     val m = df.select(col("id"), T.wordShingles(col("text"), 3).as("sh"))
