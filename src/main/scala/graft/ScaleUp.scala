@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialize a larger-SF copy of a testdata directory by in-plan
+  * replication — the harness behind the sf1.0 bench epoch (the driver only
+  * ships sf0.001/0.01/0.1; linearity claims above that need a measured
+  * anchor, not extrapolation).
+  *
+  * Replication preserves each table's analytic shape:
+  *  - documents: id-remapped, text-perturbed copies (near-dups, not exact
+  *    dups — exact copies would collapse under dedup operators)
+  *  - embeddings: copy 0 is the original; other copies are fresh
+  *    hash-derived vectors from the same near-isotropic distribution
+  *    (jittered clones would saturate every ANN/dedup recall)
+  *  - events: id-remapped copies, timestamps preserved (event-time density
+  *    scales; the window count does not — same as real traffic growth)
+  *  - orders/lineitem: order keys remapped in lockstep so the FK holds;
+  *    customer/part/supplier keys kept (10× orders per customer — growth
+  *    concentrates on facts, dimensions stay)
+  *  - dimension tables (region nation customer supplier part): copied as-is
+  *
+  * Run: sbt "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/graft_sf1.0 10"
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, dstDir, multStr) = args.take(3)
+    val mult = multStr.toInt
+    require(mult >= 1, "mult must be >= 1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val copies = explode(array((0 until mult).map(lit): _*)).as("__c")
+    def t(name: String): DataFrame = graft.sources.Tables.read(spark, srcDir, name)
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+      println(s"[scaleup] wrote $name: ${spark.read.parquet(s"$dstDir/$name.parquet").count()} rows")
+    }
+
+    write("documents", t("documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), copies)
+      .select(
+        (col("doc_id") + col("__c").cast("long") * 10000000L).as("doc_id"),
+        when(col("__c") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" copy "), col("__c"))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text"))))
+
+    write("embeddings", t("embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"), copies)
+      .select(
+        (col("vec_id") + col("__c").cast("long") * 10000000L).as("vec_id"),
+        when(col("__c") === 0, col("embedding")).otherwise(
+          transform(col("embedding"),
+            (_, i) => ((pmod(xxhash64(col("vec_id"), col("__c"), i), lit(2000L))
+              .cast("float") - 1000f) / 1000f).cast("float"))).as("embedding"),
+        col("label")))
+
+    // ts goes back out as BIGINT epoch-nanos — the source fixture's
+    // physical layout (Spark can't WRITE nanos timestamps, and an INT96/
+    // micros column would break the fixed-schema streaming queries;
+    // Tables.read converts LongType ts on the way in either way)
+    write("events", t("events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"), copies)
+      .select(
+        (col("event_id") + col("__c").cast("long") * 1000000000L).as("event_id"),
+        (unix_micros(col("ts")) * 1000L).as("ts"),
+        (col("user_id") + col("__c").cast("long") * 10000000L).as("user_id"),
+        col("event_type"), col("value"), col("props")))
+
+    write("orders", t("orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"), copies)
+      .select(
+        (col("o_orderkey") + col("__c").cast("long") * 1000000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority")))
+
+    write("lineitem", t("lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate"), copies)
+      .select(
+        (col("l_orderkey") + col("__c").cast("long") * 1000000000L).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"),
+        col("l_returnflag"), col("l_linestatus"), col("l_shipdate")))
+
+    for (dim <- Seq("region", "nation", "customer", "supplier", "part"))
+      write(dim, t(dim))
+
+    spark.stop()
+  }
+}
