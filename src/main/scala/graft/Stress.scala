@@ -132,6 +132,17 @@ object Stress {
         operators.AsofJoin(l, r, keys = Seq("k"), leftTs = "ts", rightTs = "ts",
           rightPayload = Seq("px"), bucketSeconds = Some(3600L))
       }),
+      // round 6: the LSH all-pairs scale cliff and its cap. The replicated
+      // fixture IS the adversarial shape — every doc belongs to a
+      // mult-sized mirror family, so band buckets hold >= mult docs and
+      // the uncapped path pays C(mult,2) Levenshteins per family
+      // (measured: did not finish in 8 min at mult=10 through the sf1.0
+      // bench). maxBucket chains oversized buckets instead — linear.
+      "edit_dedup_capped" -> (() => ops.Dedup.editDistancePairs(
+        docsN, "doc_id", "text", n = 3, k = 16, bands = 4, maxDist = 20,
+        maxBucket = 32)),
+      "edit_dedup_uncapped" -> (() => ops.Dedup.editDistancePairs(
+        docsN, "doc_id", "text", n = 3, k = 16, bands = 4, maxDist = 20)),
       // control: the raw scan+explode alone — its task_max is the floor any
       // plan over this fixture pays (map tasks; splittable further via
       // files.maxPartitionBytes at real scale). Bucketed asof sitting AT

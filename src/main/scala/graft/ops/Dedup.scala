@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions => H, TextFunctions => T}
@@ -133,7 +134,8 @@ object Dedup {
       textCol: String,
       n: Int,
       k: Int,
-      bands: Int
+      bands: Int,
+      maxBucket: Int = Int.MaxValue
   ): (DataFrame, DataFrame) = {
     val rows = k / bands
     val sigs = minhashSignatures(docs, idCol, textCol, n, k).localCheckpoint(false)
@@ -149,11 +151,40 @@ object Dedup {
         col("doc"),
         explode(H.lshBandKeys(col("sig"), bands, rows)).as("band")
       )
-    val candidates = banded
-      .as("a")
-      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .distinct()
+    // The all-pairs bucket join is quadratic in bucket size. On a real
+    // crawl that is the scale cliff: a mirror-page family of c copies
+    // band-collides into buckets of c, costing c²/2 pairs per band —
+    // measured at the sf1.0 anchor as an unbounded Levenshtein stage
+    // (BASELINE.md). With `maxBucket`, oversized buckets emit only the
+    // ADJACENT pairs of the id-sorted bucket (a chain, linear in c):
+    // connected components — the downstream consumer of every pairs
+    // API — are unchanged whenever chain neighbors actually match,
+    // which is exactly the giant-dup-family case the cap exists for.
+    // Small buckets keep the exact all-pairs semantics.
+    val candidates =
+      if (maxBucket == Int.MaxValue)
+        banded.as("a")
+          .join(banded.as("b"), col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
+          .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+          .distinct()
+      else {
+        val w = Window.partitionBy("band")
+        val sized = banded
+          .withColumn("_sz", count(lit(1)).over(w))
+          .withColumn("_rn", row_number().over(w.orderBy("doc")))
+          .localCheckpoint(false) // consumed twice below; also caps the
+        // window to ONE evaluation of the band explode
+        val small = sized.filter(col("_sz") <= maxBucket)
+        val smallPairs = small.as("a")
+          .join(small.as("b"), col("a.band") === col("b.band") && col("a.doc") < col("b.doc"))
+          .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+        val big = sized.filter(col("_sz") > maxBucket)
+        val bigPairs = big.as("a")
+          .join(big.as("b"),
+            col("a.band") === col("b.band") && col("b._rn") === col("a._rn") + 1)
+          .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+        smallPairs.unionByName(bigPairs).distinct()
+      }
     (sigs, candidates)
   }
 
@@ -169,9 +200,10 @@ object Dedup {
       n: Int,
       k: Int,
       bands: Int,
-      minSim: Double
+      minSim: Double,
+      maxBucket: Int = Int.MaxValue
   ): DataFrame = {
-    val (sigs, candidates) = lshCandidates(docs, idCol, textCol, n, k, bands)
+    val (sigs, candidates) = lshCandidates(docs, idCol, textCol, n, k, bands, maxBucket)
     candidates
       .join(sigs.as("sa"), col("id_a") === col("sa.doc"))
       .join(sigs.as("sb"), col("id_b") === col("sb.doc"))
@@ -214,9 +246,10 @@ object Dedup {
       n: Int,
       k: Int,
       bands: Int,
-      maxDist: Int
+      maxDist: Int,
+      maxBucket: Int = Int.MaxValue
   ): DataFrame = {
-    val (_, candidates) = lshCandidates(docs, idCol, textCol, n, k, bands)
+    val (_, candidates) = lshCandidates(docs, idCol, textCol, n, k, bands, maxBucket)
     val texts = docs.select(col(idCol).as("doc"), col(textCol).as("txt"))
     candidates
       .join(texts.as("ta"), col("id_a") === col("ta.doc"))

@@ -267,6 +267,37 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 3L))) // 3 is a candidate but beyond maxDist
   }
 
+  test("maxBucket caps dup-family pair blowup, components survive the chain") {
+    // a mirror-page family: 12 near-identical copies + 2 unrelated docs.
+    // All-pairs emits C(12,2)=66 family pairs; the capped path must emit
+    // O(family) pairs yet still connect the family into ONE component.
+    val family = (0 until 12).map(i =>
+      (i.toLong, s"the quick brown fox jumps over the lazy dog copy $i"))
+    val docs = (family ++ Seq(
+      (100L, "completely unrelated text with no shared shingles at all"),
+      (101L, "another disjoint document about entirely different things here")))
+      .toDF("doc_id", "text")
+    val all = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, minSim = 0.5)
+    val capped = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, minSim = 0.5,
+      maxBucket = 4)
+    val (nAll, nCapped) = (all.count(), capped.count())
+    assert(nAll > 40, s"premise: uncapped family is quadratic, got $nAll")
+    assert(nCapped < nAll / 2, s"cap must shed pairs: $nCapped vs $nAll")
+    // the chain keeps the family connected: same single component
+    val comps = Dedup.connectedComponents(capped.select("id_a", "id_b"))
+      .select("component").distinct().as[Long].collect().toSeq
+    assert(comps == Seq(0L), s"family must stay one component, got $comps")
+    // keep-one semantics end-to-end: one survivor of the family + the two
+    // unrelated docs
+    val kept = Dedup.dedupeByPairs(docs, "doc_id", capped)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(0L, 100L, 101L))
+    // edit-distance path accepts the same cap
+    val ed = Dedup.editDistancePairs(docs, "doc_id", "text",
+      n = 3, k = 16, bands = 4, maxDist = 10, maxBucket = 4)
+    assert(ed.count() <= nCapped + 2)
+  }
+
   test("columnStats: one row per column with exact counts and bounds") {
     val df = Seq(
       (Some(1L), Some(2.0)), (Some(1L), None), (Some(3L), Some(-1.5))
