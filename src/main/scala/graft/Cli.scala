@@ -107,6 +107,11 @@ object Cli {
       val reg = RegistryStore.loadAll(dir)
       reg.getPipeline(ns, n) match {
         case None => println(s"ERROR: no pipeline named '$n' in namespace '$ns'"); 1
+        case Some(p) if !p.enabled =>
+          // an explicit run of a disabled pipeline must refuse loudly —
+          // compile() filters disabled manifests, which would otherwise
+          // turn this into a silent no-op "success"
+          println(s"ERROR: pipeline '$ns/$n' is disabled (enabled: false)"); 1
         case Some(p) =>
           reg.validatePipeline(p) match {
             case Seq() =>

@@ -136,6 +136,16 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(Seq("registry", "run", store, "team-b/p"), Some(spark)) == 1)
     // unknown refs and traversal-shaped coordinates are rejected
     assert(Cli.run(Seq("registry", "run", store, "team-c/p"), Some(spark)) == 1)
+    // a disabled pipeline refuses an explicit run instead of silently
+    // compiling to nothing
+    val disabled = java.nio.file.Paths.get(dir, "d.yaml")
+    java.nio.file.Files.writeString(disabled,
+      s"""kind: Pipeline
+         |metadata: {name: dp, namespace: team-a}
+         |spec: {source: ev, steps: [keep], sink: out, enabled: false}
+         |""".stripMargin)
+    assert(Cli.run(Seq("registry", "apply", store, disabled.toString)) == 0)
+    assert(Cli.run(Seq("registry", "run", store, "team-a/dp"), Some(spark)) == 1)
     intercept[IllegalArgumentException](
       graft.dsl.RegistryStore.delete(store, "Transform", "..", "keep"))
   }

@@ -387,6 +387,14 @@ class OpsSpec extends SparkSpec {
       k = 4, trained, nProbe = nTrained)
       .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
     assert(ivfTrained == brute)
+    // the index-once-query-many split returns exactly the fused result —
+    // a persisted index (simulated with a checkpoint) serves query
+    // batches without re-assigning the corpus
+    val index = Similarity.ivfIndex(vecs, "vec_id", "embedding", trained).localCheckpoint()
+    val viaIndex = Similarity.ivfTopKIndexed(index, queries, "vec_id", "embedding",
+      k = 4, trained, nProbe = nTrained)
+      .select("q_id", "rank", "n_id").as[(Long, Int, Long)].collect().toSet
+    assert(viaIndex == ivfTrained)
   }
 
   test("planeWeight matches its md5 definition") {
