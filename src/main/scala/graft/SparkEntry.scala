@@ -1143,6 +1143,54 @@ object SparkEntry {
       .select(col("doc_id"), TF.fingerprint(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
+  /** The learned subword vocabulary itself (L10 fidelity upgrade): top-64
+    * most frequent word-substrings (len 2..6, deterministic tie-break).
+    * Oracle re-derives the identical list in SQL, so the vocab LEARNING
+    * step — not just encoding — sits under the correctness gate.
+    */
+  private def qSubwordVocab(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Subword.vocabTop(docs(s, dir), "text")
+      .orderBy(col("freq").desc, col("piece"))
+
+  /** Real subword token counts: greedy longest-match over the corpus-
+    * trained vocabulary (codegen'd trie kernel). The oracle replays the
+    * whole pipeline — vocab derivation AND the greedy encode loop (as a
+    * recursive CTE over per-position advance steps) — in SQL.
+    */
+  private def qTokenSubword(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val table = graft.functions.Subword.buildTable(d, "text")
+    d.select(col("doc_id"),
+        graft.functions.Subword.count(coalesce(col("text"), lit("")), table).as("n_subword"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Context chunks budgeted in REAL subword tokens (48-token capacity,
+    * word boundaries preserved) — the greedy word-packing fold runs as a
+    * row-local `aggregate` HOF; the oracle replays it as a per-document
+    * recursive fold in SQL.
+    */
+  private def qChunkSubword(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val table = graft.functions.Subword.buildTable(d, "text")
+    graft.ops.Profiling.chunkBySubwordTokens(d, "doc_id", "text", capacity = 48L, table)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Sequence packing budgeted in real subword tokens: same two-pass
+    * distributed prefix sum as q_pack, counter swapped for the trained
+    * tokenizer — pack boundaries now fall where a trainer's would.
+    */
+  private def qPackSubword(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val table = graft.functions.Subword.buildTable(d, "text")
+    graft.ops.Packing.packSequences(d, "doc_id", "text", capacity = 2048L,
+        counter = c => graft.functions.Subword.count(coalesce(c, lit("")), table))
+      .select(col("doc_id"), col("n_tokens"), col("offset").as("tok_offset"),
+        col("pack_id"), col("pos_in_pack"))
+      .orderBy(col("doc_id"))
+  }
+
   /** In-document repetition signals (Gopher-style quality filters). The
     * shingle array is computed in its OWN select — dup/top fractions
     * reference it 3× each, and a projection boundary keeps the kernel from
@@ -1847,6 +1895,10 @@ object SparkEntry {
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_quality" -> (qQuality _),
     "q_token_count" -> (qTokenCount _),
+    "q_subword_vocab" -> (qSubwordVocab _),
+    "q_token_subword" -> (qTokenSubword _),
+    "q_chunk_subword" -> (qChunkSubword _),
+    "q_pack_subword" -> (qPackSubword _),
     "q_fingerprint" -> (qFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal" -> (qMultimodal _),
@@ -1896,6 +1948,56 @@ object SparkEntry {
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_decontaminate_near" -> (qDecontaminateNear _)
   )
+
+  /** Shared oracle fragment for the subword-tokenizer queries: derives the
+    * learned vocabulary (top-64 substrings len 2..6 + observed chars) and
+    * every word's greedy longest-match cost. The greedy encode loop is a
+    * recursive CTE over a PRE-JOINED per-position advance table (`steps`)
+    * — deliberately no correlated subquery inside the recursion: DuckDB
+    * 1.0.0 mis-evaluates correlated subqueries in recursive CTEs when
+    * referenced CTEs are materialized, and without materialization the
+    * downstream chunk fold re-inlines this whole pipeline per iteration
+    * (~70× slower). MATERIALIZED + plain joins is both correct (verified
+    * against an independent Python greedy implementation) and fast.
+    */
+  private val subwordCte: String =
+    """nrm AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text,'')),'[^a-z0-9 ]','','g'),' +',' ','g')), ' ') AS toks
+      |  FROM documents
+      |), wocc AS MATERIALIZED (
+      |  SELECT doc_id, i + 1 AS w, toks[i+1] AS word
+      |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM nrm)
+      |  WHERE toks[i+1] <> ''
+      |), wfreq AS MATERIALIZED (
+      |  SELECT word, count(*) AS wf FROM wocc GROUP BY word
+      |), cand AS (
+      |  SELECT substr(word, CAST(s AS INT), CAST(l AS INT)) AS piece, sum(wf) AS freq
+      |  FROM wfreq,
+      |    LATERAL (SELECT unnest(range(2, 7)) AS l),
+      |    LATERAL (SELECT unnest(range(1, length(word) + 1)) AS s)
+      |  WHERE s + l - 1 <= length(word)
+      |  GROUP BY piece
+      |), top AS (
+      |  SELECT piece FROM cand ORDER BY freq DESC, piece LIMIT 64
+      |), chars AS (
+      |  SELECT DISTINCT substr(word, CAST(s AS INT), 1) AS piece
+      |  FROM wfreq, LATERAL (SELECT unnest(range(1, length(word) + 1)) AS s)
+      |), vocab AS MATERIALIZED (
+      |  SELECT piece, CAST(length(piece) AS INT) AS plen FROM (SELECT piece FROM top UNION SELECT piece FROM chars)
+      |), positions AS (
+      |  SELECT word, CAST(unnest(range(1, length(word) + 1)) AS INT) AS pos FROM wfreq
+      |), steps AS MATERIALIZED (
+      |  SELECT p.word, p.pos, coalesce(max(v.plen), 1) AS adv
+      |  FROM positions p LEFT JOIN vocab v ON substr(p.word, p.pos, v.plen) = v.piece
+      |  GROUP BY p.word, p.pos
+      |), enc AS (
+      |  SELECT word, 1 AS pos, CAST(0 AS BIGINT) AS n FROM wfreq
+      |  UNION ALL
+      |  SELECT e.word, e.pos + s.adv, e.n + 1
+      |  FROM enc e JOIN steps s ON s.word = e.word AND s.pos = e.pos
+      |), wcost AS MATERIALIZED (
+      |  SELECT word, max(n) AS c FROM enc GROUP BY word
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_filter" ->
@@ -2571,6 +2673,57 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_subword_vocab" ->
+      s"""WITH RECURSIVE $subwordCte
+         |SELECT piece, CAST(length(piece) AS INT) AS plen, CAST(freq AS BIGINT) AS freq
+         |FROM cand ORDER BY freq DESC, piece LIMIT 64""".stripMargin,
+    "q_token_subword" ->
+      s"""WITH RECURSIVE $subwordCte,
+         |per_doc AS (
+         |  SELECT o.doc_id, sum(c.c) AS n FROM wocc o JOIN wcost c USING (word) GROUP BY o.doc_id
+         |)
+         |SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_subword
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_chunk_subword" ->
+      s"""WITH RECURSIVE $subwordCte,
+         |dwc AS MATERIALIZED (
+         |  SELECT o.doc_id, o.w, o.word, c.c FROM wocc o JOIN wcost c USING (word)
+         |), nw AS (
+         |  SELECT doc_id, max(w) AS nwords FROM dwc GROUP BY doc_id
+         |), fold AS (
+         |  SELECT doc_id, 0 AS w, 1 AS chunk_idx, CAST(0 AS BIGINT) AS run FROM nw
+         |  UNION ALL
+         |  SELECT f.doc_id, f.w + 1,
+         |    CASE WHEN f.run > 0 AND f.run + d.c > 48 THEN f.chunk_idx + 1 ELSE f.chunk_idx END,
+         |    CASE WHEN f.run > 0 AND f.run + d.c > 48 THEN d.c ELSE f.run + d.c END
+         |  FROM fold f JOIN dwc d ON d.doc_id = f.doc_id AND d.w = f.w + 1
+         |), chunks AS (
+         |  SELECT f.doc_id, CAST(f.chunk_idx - 1 AS INT) AS chunk_idx,
+         |    string_agg(d.word, ' ' ORDER BY f.w) AS chunk_text,
+         |    CAST(sum(d.c) AS BIGINT) AS n_tokens
+         |  FROM fold f JOIN dwc d ON d.doc_id = f.doc_id AND d.w = f.w
+         |  GROUP BY f.doc_id, f.chunk_idx
+         |)
+         |SELECT * FROM chunks
+         |UNION ALL
+         |SELECT d.doc_id, 0 AS chunk_idx, '' AS chunk_text, CAST(0 AS BIGINT) AS n_tokens
+         |FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM chunks)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_pack_subword" ->
+      s"""WITH RECURSIVE $subwordCte,
+         |per_doc AS (
+         |  SELECT o.doc_id, sum(c.c) AS n FROM wocc o JOIN wcost c USING (word) GROUP BY o.doc_id
+         |), d AS (
+         |  SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens
+         |  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |), o AS (
+         |  SELECT doc_id, n_tokens,
+         |    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM d
+         |)
+         |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS tok_offset,
+         |  CAST(cum // 2048 AS BIGINT) AS pack_id, CAST(cum % 2048 AS BIGINT) AS pos_in_pack
+         |FROM o ORDER BY doc_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, 'image' AS kind,
         |  CAST(length(text) AS BIGINT) AS n_bytes,

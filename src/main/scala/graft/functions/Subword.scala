@@ -1,0 +1,309 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Corpus-trained subword tokenizer: greedy longest-match (WordPiece-style
+  * maximal munch — Schuster & Nakajima 2012; the published BERT tokenizer
+  * uses the same inference rule) over a vocabulary LEARNED from the corpus
+  * itself, so chunking (L22) and sequence packing (L25) can budget in the
+  * tokens a trainer would actually see instead of whitespace counts.
+  *
+  * No downloaded model anywhere: the vocabulary is a pure function of the
+  * corpus — the `vocabSize` most frequent word-substrings (length 2..
+  * `maxPieceLen`, frequency = occurrences weighted by word frequency,
+  * ties broken by piece text) plus every observed single character, so
+  * encoding can never get stuck. The same derivation is expressible in
+  * ANSI SQL, which is what puts the whole path — vocab learning AND
+  * greedy encoding — under the DuckDB oracle gate (q_subword_vocab,
+  * q_token_subword; the encode loop replays as a recursive CTE).
+  *
+  * Scale shape (100 TB): vocab learning is one shuffle on `word` (the
+  * distinct-word space, ~10⁶ entries for web text), one shuffle on
+  * `piece` (bounded by distinct substrings ≤ 36^maxPieceLen but in
+  * practice ≪ candidate positions because aggregation is by piece), and a
+  * TakeOrdered top-K — no global sort materialized. Encoding is a
+  * row-local codegen'd kernel: the vocab trie (O(vocabSize·maxPieceLen)
+  * nodes, a few KB) ships to executors once as a broadcast-by-reference
+  * object inside the expression; each document is scanned left-to-right
+  * with zero per-row allocation (byte-level trie walk on the UTF8String,
+  * no substring materialization).
+  *
+  * The tokenizer operates on [[TextFunctions.normalize]]d text ([a-z0-9 ]
+  * only) — the same canonical form every other text kernel here uses, and
+  * what keeps the alphabet small enough for a flat-array trie.
+  */
+object Subword {
+
+  val DefaultVocabSize = 64
+  val DefaultMaxPieceLen = 6
+
+  /** Normalized word frequencies: one row per distinct word, `wf` = number
+    * of occurrences across the corpus. One shuffle on `word`.
+    */
+  def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(TextFunctions.normalize(col(textCol)), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word")
+      // full path: this object's own `count` (the tokenizer) shadows the aggregate
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("wf"))
+
+  /** The learned multi-character vocabulary: top `vocabSize` substrings of
+    * length 2..`maxPieceLen` by corpus frequency (occurrences weighted by
+    * word frequency; deterministic tie-break on piece text). Returns
+    * (piece, plen, freq) ordered by (freq DESC, piece) — the exact list
+    * the oracle re-derives in SQL.
+    */
+  def vocabTop(
+      docs: DataFrame,
+      textCol: String,
+      vocabSize: Int = DefaultVocabSize,
+      maxPieceLen: Int = DefaultMaxPieceLen
+  ): DataFrame =
+    wordFrequencies(docs, textCol)
+      .select(col("word"), col("wf"),
+        explode(sequence(lit(2), lit(maxPieceLen))).as("l"))
+      // guard BEFORE generating starts: sequence(1, n) with n < 1 DESCENDS
+      .filter(length(col("word")) >= col("l"))
+      .select(col("word"), col("wf"), col("l"),
+        explode(sequence(lit(1), length(col("word")) - col("l") + 1)).as("s"))
+      .select(col("word").substr(col("s"), col("l")).as("piece"), col("wf"))
+      .groupBy("piece")
+      .agg(sum(col("wf")).as("freq"))
+      .orderBy(col("freq").desc, col("piece"))
+      .limit(vocabSize)
+      .select(col("piece"), length(col("piece")).as("plen"), col("freq"))
+
+  /** Every single character observed in the normalized corpus — the
+    * coverage floor that makes greedy encoding total (any word encodes to
+    * SOME piece sequence).
+    */
+  def observedChars(docs: DataFrame, textCol: String): DataFrame =
+    wordFrequencies(docs, textCol)
+      .select(explode(sequence(lit(1), length(col("word")))).as("s"), col("word"))
+      .select(col("word").substr(col("s"), lit(1)).as("piece"))
+      .distinct()
+
+  /** Learn the vocabulary and collect it into an executor-shippable table.
+    * Driver state is O(vocabSize + alphabet) — a few KB at any corpus
+    * size (the same collect-a-tiny-model pattern as IVF centroids).
+    */
+  def buildTable(
+      docs: DataFrame,
+      textCol: String,
+      vocabSize: Int = DefaultVocabSize,
+      maxPieceLen: Int = DefaultMaxPieceLen
+  ): SubwordTable = {
+    val top = vocabTop(docs, textCol, vocabSize, maxPieceLen)
+      .select("piece").collect().map(_.getString(0))
+    val chars = observedChars(docs, textCol)
+      .collect().map(_.getString(0))
+    SubwordTable((top ++ chars).distinct.sorted.toSeq)
+  }
+
+  /** Subword token count of a document (raw text; normalization applied
+    * here so the kernel sees the canonical form).
+    */
+  def count(text: Column, table: SubwordTable): Column =
+    countNormalized(TextFunctions.normalize(text), table)
+
+  /** Subword token count of ALREADY-normalized text. */
+  def countNormalized(normText: Column, table: SubwordTable): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(SubwordCount(ColumnBridge.expression(normText), table))
+  }
+
+  /** Per-word subword costs of ALREADY-normalized text: array with one
+    * entry per whitespace word, in order — the budgeting input for
+    * token-exact chunking. Empty text → empty array.
+    */
+  def wordCostsNormalized(normText: Column, table: SubwordTable): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(SubwordWordCosts(ColumnBridge.expression(normText), table))
+  }
+}
+
+/** The learned vocabulary as a flat-array trie over the normalized
+  * alphabet [a-z0-9]. Serializable (ships inside the expression to
+  * executors); the trie itself is rebuilt lazily per JVM from the piece
+  * list. Case-class equality on the piece list keeps Catalyst expression
+  * semantics (canonicalization, subexpression elimination) correct.
+  */
+final case class SubwordTable(pieces: Seq[String]) extends Serializable {
+  // an EMPTY vocabulary is legal (empty corpus): the trie is just the
+  // root and every character encodes as its own token — the degenerate
+  // but total behavior an empty training set should produce
+
+  /** trie arrays: children(node)(charIdx) = next node or -1; terminal(node). */
+  @transient private lazy val trie: (Array[Array[Int]], Array[Boolean]) = {
+    val children = scala.collection.mutable.ArrayBuffer(Array.fill(36)(-1))
+    val terminal = scala.collection.mutable.ArrayBuffer(false)
+    pieces.foreach { p =>
+      var node = 0
+      var i = 0
+      while (i < p.length) {
+        val c = SubwordTable.charIdx(p.charAt(i).toByte)
+        require(c >= 0, s"vocabulary piece '$p' has a char outside [a-z0-9]")
+        if (children(node)(c) < 0) {
+          children(node)(c) = children.length
+          children += Array.fill(36)(-1)
+          terminal += false
+        }
+        node = children(node)(c)
+        i += 1
+      }
+      terminal(node) = true
+    }
+    (children.toArray, terminal.toArray)
+  }
+
+  /** Greedy longest-match token count over normalized text. Byte-level
+    * walk (normalized text is pure ASCII): at each position take the
+    * longest vocab piece; if none matches (char outside the alphabet —
+    * cannot happen post-normalize) advance one byte and count one token,
+    * mirroring the oracle's `coalesce(max(plen), 1)`.
+    */
+  def countTokens(s: UTF8String): Long = {
+    val (ch, term) = trie
+    val n = s.numBytes
+    var i = 0
+    var count = 0L
+    while (i < n) {
+      if (s.getByte(i) == ' ') i += 1
+      else {
+        var node = 0
+        var j = i
+        var last = -1
+        var walking = true
+        while (walking && j < n) {
+          val c = SubwordTable.charIdx(s.getByte(j))
+          if (c < 0) walking = false
+          else {
+            val nxt = ch(node)(c)
+            if (nxt < 0) walking = false
+            else { node = nxt; j += 1; if (term(node)) last = j }
+          }
+        }
+        i = if (last > i) last else i + 1
+        count += 1L
+      }
+    }
+    count
+  }
+
+  /** Per-word token costs over normalized text (one array slot per
+    * whitespace-separated word, in document order).
+    */
+  def wordCosts(s: UTF8String): Array[Long] = {
+    val n = s.numBytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < n) {
+      if (s.getByte(i) == ' ') i += 1
+      else {
+        var end = i
+        while (end < n && s.getByte(end) != ' ') end += 1
+        out += countTokens(s.substring(i, end))
+        i = end
+      }
+    }
+    out.toArray
+  }
+
+  /** Piece sequence of one (normalized) word — spec/debug surface; the
+    * counting kernels never materialize pieces.
+    */
+  def encode(word: String): Seq[String] = {
+    val (ch, term) = trie
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      var node = 0
+      var j = i
+      var last = -1
+      var walking = true
+      while (walking && j < word.length) {
+        val c = SubwordTable.charIdx(word.charAt(j).toByte)
+        if (c < 0) walking = false
+        else {
+          val nxt = ch(node)(c)
+          if (nxt < 0) walking = false
+          else { node = nxt; j += 1; if (term(node)) last = j }
+        }
+      }
+      if (last > i) { out += word.substring(i, last); i = last }
+      else { out += word.substring(i, i + 1); i += 1 }
+    }
+    out.toSeq
+  }
+}
+
+object SubwordTable {
+  def charIdx(b: Byte): Int =
+    if (b >= 'a' && b <= 'z') b - 'a'
+    else if (b >= '0' && b <= '9') 26 + (b - '0')
+    else -1
+}
+
+/** Subword token count of a normalized-text column — codegen'd; the
+  * generated code is one static-shaped call into the shared trie walk
+  * (the reference-object pattern, same as [[HyperplaneBuckets]]).
+  */
+case class SubwordCount(child: Expression, table: SubwordTable)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"subword_count needs a string input, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    table.countTokens(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tab = ctx.addReferenceObj("subwordTable", table, classOf[SubwordTable].getName)
+    defineCodeGen(ctx, ev, c => s"$tab.countTokens($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordCount =
+    copy(child = newChild)
+}
+
+/** Per-word subword costs (array&lt;long&gt;, one slot per word) of a
+  * normalized-text column — the chunker's budgeting input.
+  */
+case class SubwordWordCosts(child: Expression, table: SubwordTable)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"subword_word_costs needs a string input, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      table.wordCosts(v.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tab = ctx.addReferenceObj("subwordTable", table, classOf[SubwordTable].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($tab.wordCosts($c))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SubwordWordCosts =
+    copy(child = newChild)
+}

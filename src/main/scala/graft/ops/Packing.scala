@@ -73,16 +73,22 @@ object Packing {
     * offset div capacity) with its position there. A downstream writer
     * that concatenates docs in `idCol` order and cuts every `capacity`
     * tokens reproduces exactly this assignment.
+    *
+    * `counter` maps the text column to a per-doc token count — default is
+    * the whitespace proxy; pass `graft.functions.Subword.count(_, table)`
+    * with a trained [[graft.functions.SubwordTable]] to budget packs in
+    * the exact subword tokens a trainer consumes (q_pack_subword).
     */
   def packSequences(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      capacity: Long
+      capacity: Long,
+      counter: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.functions.TextFunctions.tokenCount
   ): DataFrame = {
     require(capacity > 0, "capacity must be positive")
-    val counted = docs.withColumn("n_tokens",
-      graft.functions.TextFunctions.tokenCount(col(textCol)))
+    val counted = docs.withColumn("n_tokens", counter(col(textCol)))
     withGlobalOffset(counted, idCol, "n_tokens", outCol = "offset")
       // `div`, not floor(/): the latter routes a long through double
       .withColumn("pack_id", expr(s"offset div ${capacity}L"))

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{Subword, SubwordTable, TextFunctions => T}
+
+/** Corpus-trained subword tokenizer (L10 fidelity): trie greedy
+  * longest-match vs a brute-force reference, vocab determinism, and the
+  * token-budgeted chunk/pack consumers.
+  */
+class SubwordSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force greedy longest-match — the executable definition the trie
+    * kernel must reproduce.
+    */
+  private def refGreedy(word: String, vocab: Set[String], maxLen: Int): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val l = (math.min(maxLen, word.length - i) to 1 by -1)
+        .find(l => vocab.contains(word.substring(i, i + l))).getOrElse(1)
+      out += word.substring(i, i + l)
+      i += l
+    }
+    out.toSeq
+  }
+
+  private val wordGen: Gen[String] =
+    Gen.chooseNum(1, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.choose('a', 'z'),
+        2 -> Gen.choose('0', '9'))).map(_.mkString))
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("trie greedy longest-match == brute-force reference on random vocab/words") {
+    (1L to 40L).foreach { seed =>
+      val pieces = (1 to 30).map(i => sample(wordGen, seed * 1000 + i).take(6))
+      val chars = ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString)
+      val table = SubwordTable((pieces ++ chars).distinct.sorted)
+      val vocab = (pieces ++ chars).toSet
+      (1 to 25).foreach { j =>
+        val w = sample(wordGen, seed * 7919 + j)
+        val exp = refGreedy(w, vocab, 6)
+        assert(table.encode(w) == exp, s"word $w")
+        assert(table.countTokens(
+          org.apache.spark.unsafe.types.UTF8String.fromString(w)) == exp.length)
+      }
+    }
+  }
+
+  test("countTokens over a sentence == sum of per-word costs; wordCosts aligns with words") {
+    val table = SubwordTable(Seq("ab", "abc", "bcd", "a", "b", "c", "d", "x"))
+    val s = "abcd ab x abcabc"
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val costs = table.wordCosts(u)
+    assert(costs.length == 4)
+    assert(costs.sum == table.countTokens(u))
+    // greedy: abcd -> abc+d (2), ab -> ab (1), x -> x (1), abcabc -> abc+abc (2)
+    assert(costs.toSeq == Seq(2L, 1L, 1L, 2L))
+  }
+
+  test("unknown characters advance one byte and count one token") {
+    val table = SubwordTable(Seq("ab", "a", "b"))
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("a_b ab")
+    // '_' is outside [a-z0-9]: a, _, b, then ab
+    assert(table.countTokens(u) == 4L)
+  }
+
+  test("vocab learning is deterministic with a total tie-break and plen bounds") {
+    val docs = Seq.tabulate(40)(i => (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta iota v$i"))
+      .toDF("doc_id", "text")
+    val v1 = Subword.vocabTop(docs, "text", vocabSize = 32).collect()
+    val v2 = Subword.vocabTop(docs, "text", vocabSize = 32).collect()
+    assert(v1.map(_.toSeq).toSeq == v2.map(_.toSeq).toSeq)
+    assert(v1.length == 32)
+    assert(v1.forall(r => r.getInt(1) >= 2 && r.getInt(1) <= 6))
+    // descending freq, ties broken by piece text ascending
+    val pairs = v1.map(r => (r.getLong(2), r.getString(0)))
+    assert(pairs.sliding(2).forall {
+      case Array((f1, p1), (f2, p2)) => f1 > f2 || (f1 == f2 && p1 < p2)
+      case _ => true
+    })
+  }
+
+  test("buildTable covers every observed char so encoding is total") {
+    val docs = Seq((1L, "qqq zzz 999")).toDF("doc_id", "text")
+    val table = Subword.buildTable(docs, "text", vocabSize = 2)
+    assert(Set("q", "z", "9").subsetOf(table.pieces.toSet))
+    assert(table.countTokens(
+      org.apache.spark.unsafe.types.UTF8String.fromString("qz9")) == 3L)
+  }
+
+  test("Subword.count column == kernel count on raw (un-normalized) text") {
+    val docs = Seq(
+      (1L, "Hello, World!  multiple   spaces"),
+      (2L, ""),
+      (3L, "MiXeD CaSe 123")).toDF("doc_id", "text")
+    val table = Subword.buildTable(docs, "text")
+    val got = docs.select(col("doc_id"), Subword.count(col("text"), table).as("n"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exp = docs.select(col("doc_id"), T.normalize(col("text")).as("nrm"))
+      .orderBy("doc_id").collect().map { r =>
+        val n = r.getString(1)
+        (r.getLong(0),
+          n.split(" ").filter(_.nonEmpty).map(w => refGreedy(w, table.pieces.toSet, 6).length.toLong).sum)
+      }
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("chunkBySubwordTokens: capacity respected, words preserved, empty doc kept") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, ""),
+      (3L, "word")).toDF("doc_id", "text")
+    val table = Subword.buildTable(docs, "text", vocabSize = 8)
+    val out = graft.ops.Profiling
+      .chunkBySubwordTokens(docs, "doc_id", "text", capacity = 6L, table)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // every chunk within capacity unless it is a single word
+    out.foreach { r =>
+      val nTok = r.getLong(3)
+      val nWords = r.getString(2).split(" ").count(_.nonEmpty)
+      assert(nTok <= 6L || nWords == 1, s"chunk over capacity: $r")
+    }
+    // concatenating chunks reproduces the normalized text
+    val byDoc = out.groupBy(_.getLong(0))
+    val nrm = docs.select(col("doc_id"), T.normalize(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    byDoc.foreach { case (id, rs) =>
+      val joined = rs.sortBy(_.getInt(1)).map(_.getString(2)).filter(_.nonEmpty).mkString(" ")
+      assert(joined == nrm(id), s"doc $id")
+    }
+    // empty doc → exactly one empty chunk with 0 tokens
+    val empty = byDoc(2L)
+    assert(empty.length == 1 && empty.head.getString(2) == "" && empty.head.getLong(3) == 0L)
+    // n_tokens is the exact subword cost of the chunk text
+    out.filter(_.getString(2).nonEmpty).foreach { r =>
+      val c = table.countTokens(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(2)))
+      assert(c == r.getLong(3), s"n_tokens mismatch on $r")
+    }
+  }
+
+  test("a single word costing more than capacity still gets its own chunk") {
+    val docs = Seq((1L, "supercalifragilistic ab")).toDF("doc_id", "text")
+    val table = SubwordTable(('a' to 'z').map(_.toString)) // 1 token per char
+    val out = graft.ops.Profiling
+      .chunkBySubwordTokens(docs, "doc_id", "text", capacity = 5L, table)
+      .orderBy("chunk_idx").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(2) == "supercalifragilistic" && out(0).getLong(3) == 20L)
+    assert(out(1).getString(2) == "ab" && out(1).getLong(3) == 2L)
+  }
+
+  test("packSequences with a subword counter keeps the prefix-sum contract") {
+    val docs = Seq.tabulate(50)(i => (i.toLong, ("w" * (i % 5 + 1)) + " tail")).toDF("doc_id", "text")
+    val table = Subword.buildTable(docs, "text", vocabSize = 4)
+    val out = graft.ops.Packing.packSequences(docs, "doc_id", "text", capacity = 10L,
+        counter = c => Subword.count(coalesce(c, lit("")), table))
+      .orderBy("doc_id").collect()
+    var cum = 0L
+    out.foreach { r =>
+      assert(r.getAs[Long]("offset") == cum)
+      assert(r.getAs[Long]("pack_id") == cum / 10L)
+      assert(r.getAs[Long]("pos_in_pack") == cum % 10L)
+      cum += r.getAs[Long]("n_tokens")
+    }
+  }
+}
