@@ -2466,8 +2466,12 @@ object SparkEntry {
         |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "q_ann_multiprobe" ->
       """WITH params AS (
-        |  SELECT greatest(1, least(24, CAST(ceil(log2(count(*) / 32.0)) AS INT))) AS planes
-        |  FROM embeddings
+        |  -- integer-exact ceil(log2(ceil(n/32))): bits(m-1); same closed
+        |  -- form as planParamsFor (FP log2 can ceil an ulp high at exact
+        |  -- powers of two)
+        |  SELECT greatest(1, least(24, CASE WHEN m <= 1 THEN 1
+        |    ELSE CAST(length(bin(m - 1)) AS INT) END)) AS planes
+        |  FROM (SELECT (count(*) + 31) // 32 AS m FROM embeddings)
         |), w AS (
         |  SELECT p.p, d.d,
         |    CAST(CAST(concat('0x', substr(md5(concat(p.p, '_', d.d)), 1, 8)) AS BIGINT) - 2147483648 AS DOUBLE) AS wt

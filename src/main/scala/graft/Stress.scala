@@ -195,6 +195,14 @@ object Stress {
         if (cur == last) stable += 1 else { stable = 0; last = cur }
         Thread.sleep(100); polls += 1
       }
+      if (stable < 3)
+        // the cap was hit while the max was still moving: this op's
+        // task_max may under-report, and stragglers landing after the
+        // window will pollute the NEXT op's max (taskMaxMs resets before
+        // its t0) — flag it so a row is never silently trusted
+        System.err.println(
+          s"[stress] WARNING: $name listener bus did not settle in ${polls * 100} ms; " +
+            "task_max may be under-reported and may leak into the next op")
       if (stageDiag) {
         import scala.jdk.CollectionConverters._
         val top = stageMaxMs.asScala.toSeq.sortBy(-_._2).take(4)

@@ -199,8 +199,18 @@ object Boilerplate {
       maxLinkRatio: Double = 0.33
   ): DataFrame = {
     val inSchema = df.schema
-    val srcIdx = inSchema.fieldIndex(field)
-    val existing = inSchema.fieldNames.indexOf(target)
+    // resolve names the way withColumn would: case-insensitively unless
+    // spark.sql.caseSensitive is set — otherwise a target differing from
+    // an existing column only by case would APPEND a near-duplicate
+    // column here while the regex kernel's withColumn REPLACES, leaving
+    // later references ambiguous
+    val caseSensitive = df.sparkSession.sessionState.conf.caseSensitiveAnalysis
+    def indexOfName(name: String): Int =
+      if (caseSensitive) inSchema.fieldNames.indexOf(name)
+      else inSchema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+    val srcIdx = indexOfName(field)
+    require(srcIdx >= 0, s"column '$field' not found in ${inSchema.fieldNames.mkString(", ")}")
+    val existing = indexOfName(target)
     val outSchema =
       if (existing >= 0)
         StructType(inSchema.fields.updated(existing, StructField(target, StringType)))

@@ -192,6 +192,16 @@ object Dedup {
     * signature agreement (fraction of equal minhash components — an unbiased
     * Jaccard estimate) as the similarity. The band join shuffles on band
     * keys only; no cross join anywhere. Returns (id_a, id_b, sig_sim).
+    *
+    * `maxBucket` (default off — exact semantics): band buckets larger than
+    * the cap emit an id-sorted adjacent-pair CHAIN instead of all pairs
+    * (linear vs quadratic in family size). Above the cap the PAIR LIST is
+    * chain-approximate — non-adjacent pairs are dropped, and a mixed
+    * oversized bucket (a true dup family interleaved in id order with
+    * colliding non-dups) can fragment a family whose chain neighbors fail
+    * the downstream similarity filter. Connected components are preserved
+    * in the pure-family case (spec-verified); consumers reading the pair
+    * list directly — not clustering it — should leave the cap off.
     */
   def minhashLshPairs(
       docs: DataFrame,
@@ -238,6 +248,13 @@ object Dedup {
     * arithmetic) and Spark's THRESHOLDED levenshtein, which early-exits
     * at maxDist (banded DP, O(len·maxDist)) instead of filling the full
     * O(len²) matrix. Returns (id_a, id_b, edit_dist), id_a < id_b.
+    *
+    * `maxBucket` has the same contract as on [[minhashLshPairs]]: above
+    * the cap the pair list is chain-approximate (adjacent-in-id-order
+    * pairs only), sized for connected-components consumers; a chain
+    * neighbor failing the edit-distance filter can split a family that
+    * the uncapped path would keep connected. Leave off when the pair
+    * list itself is the product.
     */
   def editDistancePairs(
       docs: DataFrame,

@@ -81,7 +81,7 @@ object Retrieval {
     // mean doc length — exact (long sum / long count), one double divide;
     // empty docs contribute 0 tokens to the sum either way.
     val stats = dls.agg(sum(col("__dl")).as("__tok"))
-      .crossJoin(docs.agg(count(lit(1)).as("__n")))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("__n"))))
       .select(col("__n"),
         (coalesce(col("__tok"), lit(0L)).cast("double") /
           col("__n").cast("double")).as("__avgdl"))

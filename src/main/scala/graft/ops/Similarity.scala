@@ -95,8 +95,15 @@ object Similarity {
   def planParamsFor(corpusCount: Long, targetBucketSize: Long = 32L): AnnParams = {
     require(corpusCount > 0, "corpusCount must be positive")
     require(targetBucketSize > 0, "targetBucketSize must be positive")
-    val planes = math.max(1, math.min(24,
-      math.ceil(math.log(corpusCount.toDouble / targetBucketSize) / math.log(2)).toInt))
+    // ceil(log2(n/target)) computed in INTEGER arithmetic: the smallest
+    // p >= 1 with n <= target * 2^p, via bits(ceil(n/target) - 1). The
+    // FP route (log(n/t)/log(2)) can land an ulp above an exact power of
+    // two and ceil one plane too high — and the oracle SQL re-derives
+    // this value, so both sides must use the same exact closed form
+    // (oracle: length(bin(m - 1))).
+    val m = (corpusCount + targetBucketSize - 1) / targetBucketSize
+    val bits = if (m <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    val planes = math.max(1, math.min(24, bits))
     val nCells = math.max(4, math.min(1 << 17,
       math.ceil(math.sqrt(corpusCount.toDouble)).toInt))
     val tables = math.max(1, math.min(64,

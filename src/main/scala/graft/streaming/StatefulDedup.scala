@@ -45,6 +45,12 @@ object StatefulDedup {
     implicit val keyEnc = Encoders.STRING
 
     def groupKey(r: Row): String = {
+      // STATE-FORMAT v2 (round 6): length-prefixed encoding below is NOT
+      // compatible with checkpoints written by the v1 (unprefixed) format
+      // — keys admitted under v1 no longer match, so each previously-seen
+      // tuple would be re-emitted once after an in-place upgrade. Restart
+      // streaming-dedup checkpoints when upgrading across the format
+      // change (or accept the one-time duplicate emission).
       val base = keyIdxs.map { i =>
         // distinguish SQL NULL from any string rendering of it;
         // length-prefix non-null values so marker/separator bytes inside

@@ -152,6 +152,12 @@ class OpsSpec extends SparkSpec {
     val rep = Boilerplate.extract(df, "html", "html")
     assert(rep.columns.toSeq == Seq("id", "html", "tag"))
     assert(rep.head().getString(1).contains("Quarterly results"))
+    // target differing from an existing column only by case REPLACES under
+    // default case-insensitive resolution (mirrors withColumn), instead of
+    // appending an ambiguous near-duplicate column
+    val repCase = Boilerplate.extract(df, "HTML", "Html")
+    assert(repCase.columns.toSeq == Seq("id", "Html", "tag"))
+    assert(repCase.head().getString(1).contains("Quarterly results"))
   }
 
   test("wordShingles: n consecutive tokens; short docs yield empty") {
@@ -359,6 +365,14 @@ class OpsSpec extends SparkSpec {
     assert(planParamsFor(40000L).planes == 11)
     assert(planParamsFor(40000L).tables == 43) // ~8 x 1.4^5: the n^rho law
     assert(planParamsFor(1L).planes == 1)  // log2(<1) clamps up
+    // integer derivation is exact at powers of two: n/target = 2^k must
+    // give exactly k planes (the FP log-ratio route could ceil to k+1)
+    for (k <- 1 to 20) {
+      assert(planParamsFor(32L << k, 32L).planes == k, s"2^$k exact")
+      assert(planParamsFor((32L << k) + 1, 32L).planes == k + 1, s"2^$k + 1")
+      assert(planParamsFor(32L << k, 32L).planes ==
+        planParamsFor((32L << k) - 1, 32L).planes, s"2^$k - 1 same bucket fill")
+    }
     // lshTopKAuto(tables=1, radius 0..1) with full-probing equivalence is
     // covered by the q_ann_multiprobe oracle, which re-derives planes from
     // count(*) in SQL
