@@ -1,0 +1,97 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import graft.ops.Multimodal
+import graft.ops.Multimodal.{ImageIoCodecs, StubCodecs}
+
+/** Real (javax.imageio) image decode behind the multimodal plumbing —
+  * exercised on ACTUAL encoded PNG/BMP bytes generated in-test, so the
+  * kernel is proven on real pixels, not on the md5 double.
+  */
+class ImageCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic synthetic image: a (x*7 + y*13)-derived RGB ramp. */
+  private def makeImage(w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (x * 7) % 256
+      val g = (y * 13) % 256
+      val b = (x + y) % 256
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    img
+  }
+
+  private def encode(img: BufferedImage, format: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, format, bos), s"JDK cannot encode $format")
+    bos.toByteArray
+  }
+
+  test("imageDims reads real dimensions from PNG and BMP bytes") {
+    assert(ImageIoCodecs.imageDims(encode(makeImage(37, 21), "png")) == (37, 21))
+    assert(ImageIoCodecs.imageDims(encode(makeImage(8, 64), "bmp")) == (8, 64))
+  }
+
+  test("undecodable, empty, and null blobs degrade instead of throwing") {
+    assert(ImageIoCodecs.imageDims("not an image".getBytes) == (-1, -1))
+    assert(ImageIoCodecs.imageDims(Array.empty[Byte]) == (-1, -1))
+    assert(ImageIoCodecs.imageDims(null) == (-1, -1))
+    assert(ImageIoCodecs.features("junk".getBytes).isEmpty)
+    assert(ImageIoCodecs.resize("junk".getBytes, 4, 4).isEmpty)
+  }
+
+  test("features are real pixel luminance sums (PNG is lossless, so exact)") {
+    val img = makeImage(10, 6)
+    val got = ImageIoCodecs.features(encode(img, "png"))
+    val exp = new Array[Long](8)
+    for (y <- 0 until 6; x <- 0 until 10) {
+      val rgb = img.getRGB(x, y)
+      exp((y * 10 + x) % 8) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
+    assert(got.toSeq == exp.map(_.toFloat).toSeq)
+  }
+
+  test("resize produces a real decodable image of the target size") {
+    val out = ImageIoCodecs.resize(encode(makeImage(40, 40), "png"), 16, 12)
+    assert(out.nonEmpty)
+    assert(ImageIoCodecs.imageDims(out) == (16, 12))
+    // a solid-color image stays that color through a real resample
+    val solid = new BufferedImage(20, 20, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 20) solid.setRGB(x, y, 0x336699)
+    val rs = ImageIO.read(new java.io.ByteArrayInputStream(
+      ImageIoCodecs.resize(encode(solid, "png"), 5, 5)))
+    for (y <- 0 until 5; x <- 0 until 5)
+      assert((rs.getRGB(x, y) & 0xffffff) == 0x336699)
+  }
+
+  test("decodeImages with ImageIoCodecs over a DataFrame of real blobs") {
+    val blobs = Seq(
+      (1L, encode(makeImage(31, 17), "png")),
+      (2L, encode(makeImage(5, 9), "bmp")),
+      (3L, "broken bytes".getBytes))
+    val df = blobs.toDF("id", "blob")
+    val out = Multimodal.decodeImages(df, "id", "blob", codec = ImageIoCodecs)
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) == 31 && out(0).getInt(2) == 17)
+    assert(out(1).getInt(1) == 5 && out(1).getInt(2) == 9)
+    assert(out(2).getInt(1) == -1 && out(2).getInt(2) == -1)
+    assert(out(2).getSeq[Float](3).isEmpty)
+    // same plumbing, stub kernel: identical schema, different (fake) values
+    val stub = Multimodal.decodeImages(df, "id", "blob", codec = StubCodecs)
+      .orderBy("id").collect()
+    assert(stub.map(_.schema) sameElements out.map(_.schema))
+  }
+
+  test("resizeImages with ImageIoCodecs yields re-decodable PNGs at the target dims") {
+    val df = Seq((1L, encode(makeImage(24, 24), "png"))).toDF("id", "blob")
+    val out = Multimodal.resizeImages(df, "id", "blob", 6, 8, codec = ImageIoCodecs).head()
+    assert(out.getInt(1) == 6 && out.getInt(2) == 8)
+    assert(ImageIoCodecs.imageDims(out.getAs[Array[Byte]](3)) == (6, 8))
+  }
+}
