@@ -1714,6 +1714,57 @@ object SparkEntry {
     } finally s.conf.set(shufConf, prevShuf)
   }
 
+  /** W3 idle-source advance (watermark.rs:130-150) under the full oracle:
+    * the deterministic-schedule trick from q_stream_fanin applied to the
+    * [[graft.streaming.WatermarkTracker]]. Events replay in DAILY WAVES
+    * through two sources — A sees even ids all month, B sees odd ids only
+    * before Jan 10 and then goes silent. The tracker runs with an
+    * injectable wave-counter clock and a 1-wave idle timeout on B, so
+    * after the cutoff B is pushed to processing time (wave max + 10 s)
+    * every wave instead of stalling the min-combine. A second tracker
+    * WITHOUT the timeout runs the same schedule: its stalled combined
+    * watermark (pinned at B's last real event) is emitted alongside — the
+    * refutation column; if idle-advance ever stopped working the two
+    * would collapse together and the hash flips. The oracle replays the
+    * whole rule in SQL: per-wave per-source running maxes, B's watermark
+    * = greatest(data max, ptime) on silent waves (B never resumes after
+    * the cutoff in this schedule, so the data max alone is B's real-data
+    * running max). Driver state is O(#waves) — 30 rows.
+    */
+  private def qStreamIdle(s: SparkSession, dir: String): DataFrame = {
+    val cutoffUs = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
+    val waves = t(s, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("wave", expr("us div 86400000000"))
+      .groupBy(col("wave"))
+      .agg(
+        max(when(pmod(col("event_id"), lit(2)) === 0, col("us"))).as("amax"),
+        max(when(pmod(col("event_id"), lit(2)) === 1 && col("us") < lit(cutoffUs),
+          col("us"))).as("bmax"),
+        max(col("us")).as("pmax"))
+      .orderBy(col("wave"))
+      .collect()
+    var now = 0L
+    val withIdle = new graft.streaming.WatermarkTracker(Seq("a", "b"), 0L, () => now)
+    withIdle.setIdleTimeout("b", 1L)
+    val noIdle = new graft.streaming.WatermarkTracker(Seq("a", "b"), 0L, () => now)
+    val out = waves.map { r =>
+      now += 1
+      val wave = r.getLong(0)
+      val ptime = r.getLong(3) + 10000000L
+      Seq(withIdle, noIdle).foreach { tr =>
+        if (!r.isNullAt(1)) tr.update("a", r.getLong(1))
+        if (!r.isNullAt(2)) tr.update("b", r.getLong(2))
+        tr.advanceIdleSources(ptime)
+      }
+      (wave, withIdle.sourceWatermark("a").get, withIdle.sourceWatermark("b").get,
+        withIdle.combinedWatermark, noIdle.combinedWatermark)
+    }.toSeq
+    import s.implicits._
+    out.toDF("wave", "wm_a", "wm_b", "combined", "combined_stalled")
+      .orderBy(col("wave"))
+  }
+
   // ==========================================================================
   // Source readers (SURVEY §2.7): round-trip through non-parquet formats
   // ==========================================================================
@@ -1917,6 +1968,7 @@ object SparkEntry {
     "q_stream_agg" -> (qStreamAgg _),
     "q_emit_modes" -> (qEmitModes _),
     "q_stream_fanin" -> (qStreamFanin _),
+    "q_stream_idle" -> (qStreamIdle _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_sink_roundtrip" -> (qSinkRoundtrip _),
     "q_repetition" -> (qRepetition _),
@@ -2802,6 +2854,26 @@ object SparkEntry {
         |FROM u GROUP BY 1, 2
         |HAVING (ws + 3600) * 1000 <= (SELECT wm_ms FROM wm)
         |ORDER BY ws, event_type""".stripMargin,
+    "q_stream_idle" ->
+      """WITH wv AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS wave,
+        |    max(CASE WHEN event_id % 2 = 0 THEN epoch_us(ts) END) AS amax,
+        |    max(CASE WHEN event_id % 2 = 1
+        |             AND ts < TIMESTAMP '2024-01-10 00:00:00' THEN epoch_us(ts) END) AS bmax,
+        |    max(epoch_us(ts)) AS pmax
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT wave, bmax, pmax + 10000000 AS ptime,
+        |    max(amax) OVER w AS wm_a,
+        |    max(bmax) OVER w AS raw_b
+        |  FROM wv WINDOW w AS (ORDER BY wave ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT CAST(wave AS BIGINT) AS wave, wm_a,
+        |  CASE WHEN bmax IS NOT NULL THEN raw_b ELSE greatest(raw_b, ptime) END AS wm_b,
+        |  least(wm_a,
+        |    CASE WHEN bmax IS NOT NULL THEN raw_b ELSE greatest(raw_b, ptime) END) AS combined,
+        |  least(wm_a, raw_b) AS combined_stalled
+        |FROM r ORDER BY wave""".stripMargin,
     "q_dsl_pipeline" ->
       """WITH tagged AS (
         |  SELECT *, CASE WHEN NOT (value >= 0) THEN 'NEG_VALUE'
