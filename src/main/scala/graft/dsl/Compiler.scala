@@ -274,7 +274,12 @@ object Compiler {
         val fmt = if (src.format == "lines") "text" else src.format
         val base = spark.readStream.format(fmt).schema(src.schemaDDL)
         val withHeader = if (src.format == "csv") base.option("header", "true") else base
-        withHeader.options(src.options).load(src.path)
+        // the typed rateCap wins over a raw options entry — the manifest
+        // field is the validated surface
+        val withCap = src.maxFilesPerTrigger.fold(withHeader)(n =>
+          withHeader.option("maxFilesPerTrigger", n.toString))
+        withCap.options(src.options -- (if (src.maxFilesPerTrigger.isDefined)
+          Seq("maxFilesPerTrigger") else Nil)).load(src.path)
       case other => sys.error(s"unknown streaming source format: $other")
     }
     // per-source watermark (watermark.rs W1): the delay doubles as allowed

@@ -18,6 +18,15 @@ final case class SourceManifest(
     schemaDDL: String = "",          // required for streaming file sources
     watermarkField: String = "",     // event-time column (streaming)
     watermarkDelay: String = "",     // e.g. "30 minutes" (streaming)
+    /** Per-source ingestion rate cap (the useful fraction of the
+      * reference's credit-based backpressure — buffer crate — that is not
+      * already Spark scheduler territory): at most this many files per
+      * micro-batch for streaming file sources. YAML: `rateCap:
+      * {maxFilesPerTrigger: N}`. Offset-based connectors take the
+      * equivalent cap on their typed configs
+      * ([[graft.sources.Kafka.maxOffsetsPerTrigger]]).
+      */
+    maxFilesPerTrigger: Option[Long] = None,
     namespace: String = Registry.DefaultNamespace
 ) { def key: (String, String) = (namespace, name) }
 

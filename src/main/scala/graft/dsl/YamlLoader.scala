@@ -42,12 +42,30 @@ object YamlLoader {
           .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString })
           .getOrElse(Map.empty[String, String])
         val wm = spec.get("watermark").map(_.asInstanceOf[Map[String, Any]])
+        val streaming = spec.get("streaming").exists(_.toString.toBoolean)
+        // rate caps fail at LOAD, not at stream start: `Cli validate` must
+        // reject a bad cap before any pipeline has begun draining
+        val rateCap = spec.get("rateCap").map(_.asInstanceOf[Map[String, Any]])
+        rateCap.foreach { rc =>
+          val unknown = rc.keySet -- Set("maxFilesPerTrigger")
+          if (unknown.nonEmpty)
+            sys.error(s"source '$name': unknown rateCap keys $unknown — file " +
+              "sources take maxFilesPerTrigger; offset connectors (kafka) " +
+              "take maxOffsetsPerTrigger on their typed config")
+          if (!streaming)
+            sys.error(s"source '$name': rateCap requires streaming: true " +
+              "(a batch read has no micro-batches to cap)")
+        }
+        val maxFiles = rateCap.flatMap(_.get("maxFilesPerTrigger")).map(_.toString.toLong)
+        maxFiles.foreach(n => if (n < 1)
+          sys.error(s"source '$name': rateCap.maxFilesPerTrigger must be >= 1, got $n"))
         Registry().apply(
           SourceManifest(name, str("format", "parquet"), str("path"), opts,
-            streaming = spec.get("streaming").exists(_.toString.toBoolean),
+            streaming = streaming,
             schemaDDL = str("schema"),
             watermarkField = wm.flatMap(_.get("field")).fold("")(_.toString),
             watermarkDelay = wm.flatMap(_.get("delay")).fold("")(_.toString),
+            maxFilesPerTrigger = maxFiles,
             namespace = ns))
       case "Transform" =>
         Registry().apply(

@@ -42,8 +42,16 @@ final case class Kafka(
     consumerGroup: Option[String] = None,
     securityProtocol: Option[String] = None,
     saslMechanism: Option[String] = None,
+    /** Per-trigger ingestion cap (offsets across all partitions) — the
+      * offset-connector analog of the file sources' `rateCap`; the useful
+      * fraction of the reference's credit-based backpressure.
+      */
+    maxOffsetsPerTrigger: Option[Long] = None,
     options: Map[String, String] = Map.empty
-) extends StreamSourceConfig
+) extends StreamSourceConfig {
+  maxOffsetsPerTrigger.foreach(n =>
+    require(n >= 1, s"maxOffsetsPerTrigger must be >= 1, got $n"))
+}
 
 /** types.rs:192-201 Kinesis (+ AwsCredentialsConfig via cluster config). */
 final case class Kinesis(
@@ -175,7 +183,7 @@ final case class Generic(
 object StreamSources {
 
   def read(spark: SparkSession, cfg: StreamSourceConfig): DataFrame = cfg match {
-    case Kafka(brokers, topic, starting, group, protocol, sasl, opts) =>
+    case Kafka(brokers, topic, starting, group, protocol, sasl, maxOff, opts) =>
       attempt("kafka", "org.apache.spark:spark-sql-kafka-0-10") {
         val base = spark.readStream.format("kafka")
           .option("kafka.bootstrap.servers", brokers.mkString(","))
@@ -184,7 +192,9 @@ object StreamSources {
         val withGroup = group.fold(base)(g => base.option("kafka.group.id", g))
         val withSec = protocol.fold(withGroup)(p => withGroup.option("kafka.security.protocol", p))
         val withSasl = sasl.fold(withSec)(m => withSec.option("kafka.sasl.mechanism", m))
-        withSasl.options(opts).load()
+        val withCap = maxOff.fold(withSasl)(n =>
+          withSasl.option("maxOffsetsPerTrigger", n.toString))
+        withCap.options(opts).load()
       }
 
     case Kinesis(stream, region, iterType, opts) =>

@@ -1199,4 +1199,56 @@ class DslSpec extends SparkSpec {
     } finally q.stop() // stop after the second emission
     assert(u1Counts().sorted == Seq(1L, 2L), u1Counts().toString)
   }
+
+  test("rateCap.maxFilesPerTrigger bounds every micro-batch of a drain") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ratecap").toString
+    import spark.implicits._
+    // three separate files — an uncapped AvailableNow drain takes them in
+    // one batch; the cap must force one file per micro-batch
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"u$i")).toDF("id", "user")
+        .coalesce(1).write.parquet(s"$tmp/in/f$i")
+    }
+    def yaml(cap: String) =
+      s"""kind: Source
+         |metadata: {name: files}
+         |spec:
+         |  format: parquet
+         |  path: $tmp/in/*
+         |  streaming: true
+         |  schema: "id BIGINT, user STRING"
+         |  $cap
+         |---
+         |kind: Transform
+         |metadata: {name: ident}
+         |spec: {type: filter, condition: {always: true}}
+         |---
+         |kind: Sink
+         |metadata: {name: cap_mem}
+         |spec: {format: memory, path: "", checkpoint: ""}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: files, steps: [ident], sink: cap_mem}
+         |""".stripMargin
+    val p = Compiler.compile(spark,
+      YamlLoader.load(yaml("rateCap: {maxFilesPerTrigger: 1}")))("p")
+    val q = Compiler.writeStreaming(p)
+    try q.awaitTermination() finally q.stop()
+    // every row arrived, and no micro-batch carried more than one file's rows
+    assert(spark.table("cap_mem").count() == 3)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length == 3, s"expected 3 capped batches, got ${batches.length}")
+    assert(batches.forall(_.numInputRows == 1), batches.map(_.numInputRows).toSeq.toString)
+
+    // load-time validation: bad cap values and misplacement die at load
+    def loadErr(cap: String): String =
+      intercept[RuntimeException](YamlLoader.load(yaml(cap))).getMessage
+    assert(loadErr("rateCap: {maxFilesPerTrigger: 0}").contains(">= 1"))
+    assert(loadErr("rateCap: {maxRowsPerTrigger: 5}").contains("unknown rateCap"))
+    assert(intercept[RuntimeException](YamlLoader.load(
+      yaml("rateCap: {maxFilesPerTrigger: 2}")
+        .replace("streaming: true", "streaming: false")))
+      .getMessage.contains("requires streaming"))
+  }
 }
