@@ -1119,9 +1119,16 @@ object SparkEntry {
       .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** L8 upgrade (round 7): character-trigram profile scoring (TextCat
+    * shape) replaces the marker-word heuristic. The profile is trained
+    * deterministically from the embedded seed corpus and EMBEDDED IN THE
+    * ORACLE as literal VALUES — profile scoring, argmax, tie-break, and
+    * the "und" fallback all replay in SQL with integer scores.
+    */
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .select(col("doc_id"), TF.langPredict(col("text")).as("pred_lang"))
+      .select(col("doc_id"),
+        graft.functions.LangId.predict(coalesce(col("text"), lit(""))).as("pred_lang"))
       .orderBy(col("doc_id"))
 
   private def qQuality(s: SparkSession, dir: String): DataFrame =
@@ -2604,22 +2611,31 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
         |  FROM scored
         |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-    "q_lang_id" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS h_en,
-        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein)\b')) AS h_de,
-        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une|dans)\b')) AS h_fr,
-        |    len(regexp_extract_all(lower(text), '\b(el|los|las|es|una|para|por)\b')) AS h_es
-        |  FROM documents
-        |)
-        |SELECT doc_id,
-        |  CASE WHEN coalesce(greatest(h_en, h_de, h_fr, h_es), 0) = 0 THEN 'und'
-        |       WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
-        |       WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
-        |       WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
-        |       ELSE 'es' END AS pred_lang
-        |FROM h ORDER BY doc_id""".stripMargin,
+    "q_lang_id" -> {
+      // the trained trigram profile rides into the oracle as literal
+      // VALUES (integer weights — the scoring replays exactly in SQL);
+      // argmax with lang-ascending tie-break, 'und' when no gram matches
+      val profValues = graft.functions.LangId.default.entries
+        .map { case (g, l, w) => s"('$g','$l',$w)" }.mkString(", ")
+      s"""WITH prof(gram, lang, w) AS (VALUES $profValues),
+         |nrm AS (
+         |  SELECT doc_id, trim(regexp_replace(regexp_replace(lower(coalesce(text,'')),'[^a-z0-9 ]','','g'),' +',' ','g')) AS s
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, substr(s, CAST(i AS INT), 3) AS gram
+         |  FROM (SELECT doc_id, s, unnest(range(1, greatest(length(s) - 1, 1))) AS i FROM nrm)
+         |), sc AS (
+         |  SELECT doc_id, lang, sum(w) AS score FROM g JOIN prof USING (gram) GROUP BY 1, 2
+         |), best AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+         |  FROM sc
+         |)
+         |SELECT d.doc_id, coalesce(b.lang, 'und') AS pred_lang
+         |FROM documents d
+         |LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_pii_scrub" ->
       """SELECT doc_id,
         |  regexp_replace(

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{LangId, LangModel, TextFunctions => TF}
+
+/** Character-trigram language ID (L8 upgrade): determinism, kernel vs a
+  * brute-force scorer, and the A/B showing the trained profiles beat the
+  * marker-word heuristic on held-out sentences.
+  */
+class LangIdSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Held-out evaluation set — sentences NOT in the seed corpus, several
+    * deliberately avoiding the marker words ("the"/"der"/"le"/"el" …) that
+    * the round-1 heuristic depends on.
+    */
+  private val heldOut: Seq[(String, String)] = Seq(
+    "en" -> "birds sing loudly every morning outside my window",
+    "en" -> "we should visit grandmother next weekend if weather permits",
+    "en" -> "reading books makes winter evenings pass quickly",
+    "en" -> "fresh coffee smells wonderful early each day",
+    "de" -> "jeden morgen singen draussen vor meinem fenster laut einige voegel",
+    "de" -> "naechstes wochenende sollten wir grossmutter besuchen wenn es trocken bleibt",
+    "de" -> "mit guten buechern vergehen lange winterabende schnell",
+    "de" -> "frischer kaffee duftet jeden tag herrlich durch unsere kueche",
+    "fr" -> "chaque matin quelques oiseaux chantent fort devant ma fenetre",
+    "fr" -> "nous devrions rendre visite a grand mere ce weekend sil fait beau",
+    "fr" -> "avec de bons livres longues soirees dhiver passent vite",
+    "fr" -> "du cafe frais sent merveilleusement bon chaque jour",
+    "es" -> "cada manana varios pajaros cantan fuerte frente a mi ventana",
+    "es" -> "deberiamos visitar a nuestra abuela este fin de semana si hace buen tiempo",
+    "es" -> "con buenos libros tardes largas de invierno pasan rapido",
+    "es" -> "cafe recien hecho huele maravillosamente cada dia")
+
+  test("training is deterministic and weights are rank-consistent") {
+    val m1 = LangId.train(LangId.seedSamples)
+    val m2 = LangId.train(LangId.seedSamples)
+    assert(m1 == m2)
+    assert(m1.langs == Seq("de", "en", "es", "fr"))
+    // per language: k entries, weights are a permutation-free descending
+    // rank assignment in (count DESC, gram ASC) order
+    m1.langs.foreach { l =>
+      val ws = m1.entries.filter(_._2 == l).map(_._3)
+      assert(ws.size == LangId.DefaultK)
+      assert(ws == (LangId.DefaultK to 1 by -1))
+    }
+  }
+
+  test("kernel predict == brute-force reference scoring") {
+    val m = LangId.default
+    def ref(text: String): String = {
+      val s = LangId.normalizeString(text)
+      val scores = m.langs.map { l =>
+        val weights = m.entries.collect { case (g, `l`, w) => g -> w }.toMap
+        l -> (0 to s.length - 3).map(i => weights.getOrElse(s.substring(i, i + 3), 0).toLong).sum
+      }
+      val best = scores.filter(_._2 > 0)
+      if (best.isEmpty) "und"
+      else {
+        val mx = best.map(_._2).max
+        best.collect { case (l, sc) if sc == mx => l }.min
+      }
+    }
+    (LangId.seedSamples ++ heldOut).foreach { case (_, text) =>
+      val kern = m.predict(UTF8String.fromString(LangId.normalizeString(text))).toString
+      assert(kern == ref(text), s"kernel vs reference on: $text")
+    }
+    // zero-signal text → und
+    assert(m.predict(UTF8String.fromString("")).toString == "und")
+    assert(m.predict(UTF8String.fromString("zq")).toString == "und")
+  }
+
+  test("A/B: trigram profiles beat the marker heuristic on held-out sentences") {
+    val df = heldOut.zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+      .toDF("id", "truth", "text")
+    val scored = df.select(
+      col("truth"),
+      LangId.predict(col("text")).as("ngram"),
+      TF.langPredict(col("text")).as("marker")).collect()
+    val ngramAcc = scored.count(r => r.getString(1) == r.getString(0))
+    val markerAcc = scored.count(r => r.getString(2) == r.getString(0))
+    // the trigram profiles must classify every held-out sentence; the
+    // marker heuristic misses the marker-poor ones
+    assert(ngramAcc == heldOut.size, s"ngram accuracy $ngramAcc/${heldOut.size}: " +
+      scored.map(r => (r.getString(0), r.getString(1))).mkString(", "))
+    assert(ngramAcc > markerAcc, s"ngram $ngramAcc <= marker $markerAcc")
+  }
+
+  test("a model trained on disjoint languages never emits an unknown label") {
+    val tiny = LangId.train(Seq("en" -> "the cat sat on the mat", "de" -> "die katze sass auf der matte"), k = 8)
+    val out = Seq((1L, "wholly unrelated zebra xylophone")).toDF("id", "text")
+      .select(LangId.predict(col("text"), tiny)).head().getString(0)
+    assert(Set("en", "de", "und").contains(out))
+  }
+}
