@@ -128,6 +128,22 @@ object Recall {
         ops.Similarity.ivfTopKAuto(emb, queries, "vec_id", "embedding", k,
           nProbe = 16, corpusCount = Some(corpusN)))
     ) ++ {
+      // round 7: the IVF SERVE PATH, measured. The n×cells corpus
+      // assignment (the round-6 ivfIndex/ivfTopKIndexed split) happens
+      // HERE, outside the timed section — the indexed rows answer "what
+      // does a query batch cost once the index build is amortized", the
+      // question the fused ivf_auto rows (build+query — ~all build at
+      // ×20) cannot. Results identical to the fused path by spec.
+      val autoCells = ops.Similarity.planParamsFor(corpusN).nCells
+      val quant = ops.Similarity.centroids(emb, "vec_id", "embedding", autoCells)
+        .select("cent_id", "cent_vec").localCheckpoint()
+      val index = ops.Similarity.ivfIndex(emb, "vec_id", "embedding", quant)
+        .localCheckpoint()
+      index.count() // force the build NOW, not inside the first timed query
+      Seq(8, 16).map(p => s"ivf_indexed_auto_probe$p" -> (() =>
+        ops.Similarity.ivfTopKIndexed(index, queries, "vec_id", "embedding", k,
+          quant, p)))
+    } ++ {
       // k-means-trained quantizer vs the hash-sampled default, same
       // probes. Training is forced HERE, outside the timed measurements —
       // it is a one-off index build, and charging it to whichever probe

@@ -66,8 +66,21 @@ object Stress {
           .select(col("k"), col("ts"), col("value").as("px")))
     }
 
+    // round 7: subword tokenizer at scale — vocab trained ONCE on the 1×
+    // corpus (a deployment trains per corpus version, not per query; the
+    // replicated copies share the 1× text modulo the " copy N" suffix), so
+    // the timed ops measure the TRIE KERNEL's scaling, which must be
+    // flat-linear in rows like every other row-local text kernel
+    lazy val subwordTable = graft.functions.Subword.buildTable(
+      graft.sources.Tables.read(spark, sfDir, "documents"), "text")
+
     val opList: Seq[(String, () => DataFrame)] = Seq(
       "pack" -> (() => ops.Packing.packSequences(docsN, "doc_id", "text", capacity = 2048L)),
+      "subword_count" -> (() => docsN.select(col("doc_id"),
+        graft.functions.Subword.count(col("text"), subwordTable).as("n"))),
+      "subword_chunk" -> (() => ops.Profiling.chunkBySubwordTokens(
+        docsN, "doc_id", "text", capacity = 48L, subwordTable)),
+      "subword_train" -> (() => graft.functions.Subword.vocabTop(docsN, "text")),
       "shuffle" -> (() => ops.Sampling.deterministicShuffle(docsN, "doc_id", salt = "42")),
       "mixture" -> (() => ops.Sampling.byTemperature(eventsN, "event_id", "event_type",
         targetRows = 40000L)),

@@ -90,10 +90,12 @@ object Profiling {
     * valid text; n_tokens is the EXACT subword cost a tokenizer-budgeted
     * trainer sees, unlike [[chunkByTokens]]'s whitespace proxy.
     *
-    * Pure row-local plan: the per-word cost array and the greedy fold
-    * (an `aggregate` HOF over it) both live inside the projection — no
-    * shuffle, no state beyond one document. Empty documents yield one
-    * empty chunk so no document silently disappears (same contract as
+    * Pure row-local plan: the greedy fold runs inside the projection as
+    * ONE codegen'd kernel pass ([[graft.functions.SubwordChunkBounds]] —
+    * it replaced an interpreted `aggregate`-HOF fold measured at 3.5× the
+    * count kernel's cost at the ×20 stress fixture) — no shuffle, no
+    * state beyond one document. Empty documents yield one empty chunk so
+    * no document silently disappears (same contract as
     * [[chunkByTokens]]).
     */
   def chunkBySubwordTokens(
@@ -105,36 +107,11 @@ object Profiling {
   ): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val norm = T.normalize(coalesce(col(textCol), lit("")))
-    val boundsT = "array<struct<s:int,e:int,t:bigint>>"
-    // greedy fold state: done = closed chunks, cs = current chunk's first
-    // word (1-based), run = current chunk's token sum, i = words consumed
-    val folded = aggregate(
-      col("_costs"),
-      struct(
-        expr(s"cast(array() as $boundsT)").as("done"),
-        lit(1).as("cs"), lit(0L).as("run"), lit(0).as("i")),
-      (acc, c) => {
-        val over = acc.getField("run") + c > lit(capacity) &&
-          acc.getField("run") > lit(0L)
-        val closed = array_append(acc.getField("done"),
-          struct(acc.getField("cs").as("s"), acc.getField("i").as("e"),
-            acc.getField("run").as("t")))
-        struct(
-          when(over, closed).otherwise(acc.getField("done")).as("done"),
-          when(over, acc.getField("i") + 1).otherwise(acc.getField("cs")).as("cs"),
-          when(over, c).otherwise(acc.getField("run") + c).as("run"),
-          (acc.getField("i") + 1).as("i"))
-      },
-      acc => when(acc.getField("i") === 0,
-          expr(s"cast(array(struct(1, 0, 0)) as $boundsT)"))
-        .otherwise(array_append(acc.getField("done"),
-          struct(acc.getField("cs").as("s"), acc.getField("i").as("e"),
-            acc.getField("run").as("t")))))
     docs
       .select(col(idCol),
         T.tokens(norm).as("_toks"),
-        graft.functions.Subword.wordCostsNormalized(norm, table).as("_costs"))
-      .select(col(idCol), col("_toks"), posexplode(folded))
+        graft.functions.Subword.chunkBoundsNormalized(norm, table, capacity).as("_bounds"))
+      .select(col(idCol), col("_toks"), posexplode(col("_bounds")))
       .select(
         col(idCol),
         col("pos").as("chunk_idx"),

@@ -256,7 +256,7 @@ object Similarity {
     * nCells rows), NOT a global sort; an unpartitioned row_number window
     * here would pull the whole corpus through one task at 100 TB.
     */
-  private def centroids(corpus: DataFrame, idCol: String, vecCol: String,
+  def centroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int): DataFrame = {
     import graft.functions.{HashFunctions => H}
     corpus
