@@ -321,10 +321,12 @@ object Similarity {
     * the corpus→cell assignment costs n × nCells cosines (n^1.5 under the
     * √n auto rule) and is independent of any query, so build it ONCE,
     * persist it (parquet partitioned by cent_id, or just cache), and serve
-    * every query batch from it via [[ivfTopKIndexed]]. The recall harness
-    * measures build+query fused (its 31 s ivf_auto row at ×20 is ~all
-    * build); a real deployment pays that once per corpus version.
-    * Returns (n_id, n_vec, n_norm, cent_id).
+    * every query batch from it via [[ivfTopKIndexed]]. Measured
+    * (RECALL.md round 7): at ×20 corpus the fused path costs 14.3 s
+    * (~all build) while the indexed serve path answers the same
+    * 100-query batch in 0.95 s at identical recall — and serve cost
+    * stays ~flat across ×20 corpus growth. A deployment pays the build
+    * once per corpus version. Returns (n_id, n_vec, n_norm, cent_id).
     */
   def ivfIndex(
       corpus: DataFrame,

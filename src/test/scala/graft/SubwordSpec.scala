@@ -62,6 +62,13 @@ class SubwordSpec extends SparkSpec {
     assert(costs.sum == table.countTokens(u))
     // greedy: abcd -> abc+d (2), ab -> ab (1), x -> x (1), abcabc -> abc+abc (2)
     assert(costs.toSeq == Seq(2L, 1L, 1L, 2L))
+    // the Column kernel (SubwordWordCosts) agrees with the direct walk,
+    // including the empty-doc empty-array contract
+    val got = Seq((1L, s), (2L, "")).toDF("id", "t")
+      .select(col("id"), Subword.wordCostsNormalized(col("t"), table).as("c"))
+      .orderBy("id").collect()
+    assert(got(0).getSeq[Long](1) == Seq(2L, 1L, 1L, 2L))
+    assert(got(1).getSeq[Long](1).isEmpty)
   }
 
   test("unknown characters advance one byte and count one token") {
