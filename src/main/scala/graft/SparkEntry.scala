@@ -1409,6 +1409,52 @@ object SparkEntry {
       .orderBy(col("ns"), col("event_id"))
   }
 
+  /** Shared derivation for the fleet-scale DAG metadata queries: a family of
+    * pipeline graphs synthesized arithmetically from the orders table (so the
+    * DuckDB oracle re-derives the identical fleet). Node space is n0..n11;
+    * stage typing is positional (i%5==0 → Source, i%5==4 → Sink, else
+    * Transform) and node n7 is deliberately absent from the registry so
+    * missing-stage references occur.
+    */
+  private def dagEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(
+        (expr("o_orderkey div 97") % 24).as("graph_id"),
+        concat(lit("n"), col("o_orderkey") * 7 % 12).as("from"),
+        concat(lit("n"), (col("o_orderkey") * 11 + 3) % 12).as("to"))
+      .distinct()
+
+  private def qDagValidate(s: SparkSession, dir: String): DataFrame = {
+    val stageOf: String => Option[graft.dsl.Stage] = { n =>
+      if (n == "n7") None
+      else {
+        val i = n.drop(1).toInt
+        val st =
+          if (i % 5 == 0) graft.dsl.StageType.Source
+          else if (i % 5 == 4) graft.dsl.StageType.Sink
+          else graft.dsl.StageType.Transform
+        Some(graft.dsl.Stage(n, st))
+      }
+    }
+    graft.dsl.GraphBatch.validateMany(dagEdges(s, dir), stageOf)
+      .orderBy(col("graph_id"), col("error_type"), col("stage_id"))
+  }
+
+  private def qDagDot(s: SparkSession, dir: String): DataFrame = {
+    val stageOf: String => graft.dsl.Stage = { n =>
+      val i = n.drop(1).toInt
+      val st =
+        if (i % 5 == 0) graft.dsl.StageType.Source
+        else if (i % 5 == 4) graft.dsl.StageType.Sink
+        else graft.dsl.StageType.Transform
+      graft.dsl.Stage(n, st)
+    }
+    graft.dsl.GraphBatch.dotMany(dagEdges(s, dir), stageOf,
+        (u, v) => (u.drop(1).toInt + v.drop(1).toInt) % 3 == 0)
+      .orderBy(col("graph_id"))
+  }
+
   private def qDslPipeline(s: SparkSession, dir: String): DataFrame = {
     val yaml =
       """kind: Source
@@ -1971,6 +2017,8 @@ object SparkEntry {
     "q_compact" -> (qCompact _),
     "q_dsl_pipeline" -> (qDslPipeline _),
     "q_dsl_registry" -> (qDslRegistry _),
+    "q_dag_validate" -> (qDagValidate _),
+    "q_dag_dot" -> (qDagDot _),
     "q_llm_pipeline" -> (qLlmPipeline _),
     "q_stream_agg" -> (qStreamAgg _),
     "q_emit_modes" -> (qEmitModes _),
@@ -2910,6 +2958,118 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'staging', event_id, value * 10 FROM events
         |ORDER BY ns, event_id""".stripMargin,
+    // Fleet DAG validation: the oracle re-derives the same graph family and
+    // recomputes every finding class relationally — reachability and the
+    // explored set as recursive-CTE fixpoints (UNION, so cyclic graphs
+    // terminate), cycles as self-reaching pairs restricted to the explored
+    // set (the Spark DFS starts only from registered stages, so a cycle no
+    // stage can reach must NOT produce a cycle row).
+    "q_dag_validate" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT (o_orderkey // 97) % 24 AS g,
+        |         (o_orderkey * 7) % 12 AS u,
+        |         (o_orderkey * 11 + 3) % 12 AS v
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |),
+        |st AS (
+        |  SELECT DISTINCT g, x AS i,
+        |         CASE WHEN x % 5 = 0 THEN 'Source'
+        |              WHEN x % 5 = 4 THEN 'Sink'
+        |              ELSE 'Transform' END AS typ
+        |  FROM (SELECT g, u AS x FROM e UNION SELECT g, v FROM e)
+        |  WHERE x <> 7
+        |),
+        |gs AS (SELECT DISTINCT g FROM e),
+        |rf AS (
+        |  SELECT g, i AS n FROM st WHERE typ = 'Source'
+        |  UNION
+        |  SELECT e.g, e.v FROM rf JOIN e ON e.g = rf.g AND e.u = rf.n
+        |),
+        |ts AS (
+        |  SELECT g, i AS n FROM st WHERE typ = 'Sink'
+        |  UNION
+        |  SELECT e.g, e.u FROM ts JOIN e ON e.g = ts.g AND e.v = ts.n
+        |),
+        |ex AS (
+        |  SELECT g, i AS n FROM st
+        |  UNION
+        |  SELECT e.g, e.v FROM ex JOIN e ON e.g = ex.g AND e.u = ex.n
+        |),
+        |rp AS (
+        |  SELECT g, u AS s, v AS n FROM e
+        |  UNION
+        |  SELECT rp.g, rp.s, e.v FROM rp JOIN e ON e.g = rp.g AND e.u = rp.n
+        |)
+        |SELECT * FROM (
+        |  SELECT DISTINCT g AS graph_id, 'missing_stage' AS error_type, 'n7' AS stage_id
+        |  FROM e WHERE u = 7 OR v = 7
+        |  UNION ALL
+        |  SELECT DISTINCT rp.g, 'cycle', ''
+        |  FROM rp JOIN ex ON ex.g = rp.g AND ex.n = rp.s WHERE rp.s = rp.n
+        |  UNION ALL
+        |  SELECT g, 'no_source', '' FROM gs
+        |  WHERE g NOT IN (SELECT g FROM st WHERE typ = 'Source')
+        |  UNION ALL
+        |  SELECT g, 'no_sink', '' FROM gs
+        |  WHERE g NOT IN (SELECT g FROM st WHERE typ = 'Sink')
+        |  UNION ALL
+        |  SELECT st.g, 'unreachable_from_source', 'n' || st.i FROM st
+        |  WHERE st.typ <> 'Source'
+        |    AND NOT EXISTS (SELECT 1 FROM rf WHERE rf.g = st.g AND rf.n = st.i)
+        |  UNION ALL
+        |  SELECT st.g, 'cannot_reach_sink', 'n' || st.i FROM st
+        |  WHERE st.typ <> 'Sink'
+        |    AND NOT EXISTS (SELECT 1 FROM ts WHERE ts.g = st.g AND ts.n = st.i)
+        |  UNION ALL
+        |  SELECT st.g, 'disconnected', 'n' || st.i FROM st
+        |  WHERE CASE
+        |    WHEN st.typ = 'Source' THEN
+        |      NOT EXISTS (SELECT 1 FROM e WHERE e.g = st.g AND e.u = st.i)
+        |    WHEN st.typ = 'Sink' THEN
+        |      NOT EXISTS (SELECT 1 FROM e WHERE e.g = st.g AND e.v = st.i)
+        |    ELSE NOT EXISTS (SELECT 1 FROM e WHERE e.g = st.g AND (e.u = st.i OR e.v = st.i))
+        |  END
+        |)
+        |ORDER BY graph_id, error_type, stage_id""".stripMargin,
+    // Fleet DOT export: byte-exact reconstruction of PipelineGraph.toDot —
+    // stage lines sorted by quoted id, edge lines sorted by (from, to),
+    // label text carries a literal backslash-n (standard SQL strings do not
+    // process escapes, matching the Scala "\\n").
+    "q_dag_dot" ->
+      """WITH e AS (
+        |  SELECT DISTINCT (o_orderkey // 97) % 24 AS g,
+        |         (o_orderkey * 7) % 12 AS u,
+        |         (o_orderkey * 11 + 3) % 12 AS v
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |),
+        |nodes AS (
+        |  SELECT DISTINCT g, x AS i
+        |  FROM (SELECT g, u AS x FROM e UNION SELECT g, v FROM e)
+        |),
+        |stage_txt AS (
+        |  SELECT g, string_agg(line, chr(10) ORDER BY sid) AS body FROM (
+        |    SELECT g, 'n' || i AS sid,
+        |      '  "n' || i || '" [shape=' ||
+        |        CASE WHEN i % 5 = 0 THEN 'invhouse'
+        |             WHEN i % 5 = 4 THEN 'house' ELSE 'box' END ||
+        |      ',label="n' || i || '\n(' ||
+        |        CASE WHEN i % 5 = 0 THEN 'Source'
+        |             WHEN i % 5 = 4 THEN 'Sink' ELSE 'Transform' END ||
+        |      ')"];' AS line
+        |    FROM nodes) GROUP BY g
+        |),
+        |edge_txt AS (
+        |  SELECT g, string_agg(line, chr(10) ORDER BY fs, tos) AS body FROM (
+        |    SELECT g, 'n' || u AS fs, 'n' || v AS tos,
+        |      '  "n' || u || '" -> "n' || v || '"' ||
+        |      CASE WHEN (u + v) % 3 = 0 THEN ' [label="cond"]' ELSE '' END || ';' AS line
+        |    FROM e) GROUP BY g
+        |)
+        |SELECT s.g AS graph_id,
+        |  'digraph "g' || s.g || '" {' || chr(10) || s.body || chr(10) ||
+        |  x.body || chr(10) || '}' || chr(10) AS dot
+        |FROM stage_txt s JOIN edge_txt x ON x.g = s.g
+        |ORDER BY graph_id""".stripMargin,
     "q_sql_functions" ->
       """SELECT vec_id,
         |  round(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), 6) AS norm_sq

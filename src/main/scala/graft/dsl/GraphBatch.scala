@@ -1,0 +1,88 @@
+package graft.dsl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Distributed control-plane operations over MANY pipeline graphs at once.
+  *
+  * The reference validates one registry in-process (dag.rs:validate) and
+  * exports one graph (`cli graph --format dot`). At fleet scale a control
+  * plane holds 10^5-10^6 pipeline manifests — one per tenant/namespace —
+  * and wants to validate or render ALL of them after a platform upgrade.
+  * Each graph is metadata-sized (stages + edges, not data), so the right
+  * Spark shape is one task per graph: a single shuffle by graph id
+  * (groupByKey + mapGroups), never a driver loop. The per-graph logic is
+  * the exact same [[PipelineGraph]] validate/toDot used on the single-graph
+  * path, so the batch surface cannot drift from the CLI surface.
+  *
+  * Determinism contract (what the DuckDB oracle replays): edges are
+  * deduplicated and sorted by (from, to) before graph construction, cycle
+  * findings are canonicalized to an existence row (the DFS's particular
+  * offending path depends on traversal order; whether a cycle exists does
+  * not — note the DFS starts only from REGISTERED stage ids, so a cycle
+  * confined to unregistered nodes that no stage can reach is reported as
+  * missing_stage, not cycle), and all other findings are per-stage sets.
+  */
+object GraphBatch {
+
+  /** Validate every graph in `edges` — columns (graph_id: long, from: string,
+    * to: string) — in one distributed pass. `stageOf` maps a node id to its
+    * registered stage, or None when the node is referenced by an edge but
+    * missing from the registry (→ missing_stage findings).
+    * Returns (graph_id, error_type, stage_id) rows, one per distinct finding.
+    */
+  def validateMany(edges: DataFrame, stageOf: String => Option[Stage]): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    edges
+      .select(col("graph_id").cast("long"), col("from"), col("to"))
+      .as[(Long, String, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g: Long, it: Iterator[(Long, String, String)]) =>
+        val es = it.map { case (_, u, v) => Edge(u, v) }
+          .toVector.distinct.sortBy(e => (e.from, e.to))
+        val stages = es.flatMap(e => Seq(e.from, e.to)).distinct
+          .flatMap(n => stageOf(n)).map(st => st.id -> st).toMap
+        PipelineGraph(s"g$g", stages, es).validate.map {
+          case ValidationError.CycleDetected(_)          => (g, "cycle", "")
+          case ValidationError.MissingStage(id)          => (g, "missing_stage", id)
+          case ValidationError.DisconnectedStage(id)     => (g, "disconnected", id)
+          case ValidationError.UnreachableFromSource(id) => (g, "unreachable_from_source", id)
+          case ValidationError.CannotReachSink(id)       => (g, "cannot_reach_sink", id)
+          case ValidationError.NoSourceStages            => (g, "no_source", "")
+          case ValidationError.NoSinkStages              => (g, "no_sink", "")
+        }.distinct.iterator
+      }
+      .toDF("graph_id", "error_type", "stage_id")
+  }
+
+  /** Render every graph in `edges` to Graphviz DOT in one distributed pass
+    * (same columns as [[validateMany]]). `stageOf` must be total here — DOT
+    * renders whatever the edges reference. `conditional` marks which edges
+    * carry a routing condition (rendered as the `cond` label).
+    * Returns (graph_id, dot) rows.
+    */
+  def dotMany(
+      edges: DataFrame,
+      stageOf: String => Stage,
+      conditional: (String, String) => Boolean
+  ): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    edges
+      .select(col("graph_id").cast("long"), col("from"), col("to"))
+      .as[(Long, String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (g: Long, it: Iterator[(Long, String, String)]) =>
+        val es = it.map { case (_, u, v) => (u, v) }
+          .toVector.distinct.sorted
+          .map { case (u, v) =>
+            Edge(u, v, if (conditional(u, v)) Some(graft.model.Always) else None)
+          }
+        val stages = es.flatMap(e => Seq(e.from, e.to)).distinct
+          .map(n => n -> stageOf(n)).toMap
+        (g, PipelineGraph(s"g$g", stages, es).toDot)
+      }
+      .toDF("graph_id", "dot")
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.dsl._
+
+/** File-scope so closures shipping to executors don't capture the suite. */
+private object GraphBatchSpecFns {
+  def stageOf(n: String): Option[Stage] =
+    if (n == "x") None
+    else
+      Some(Stage(n, n.head match {
+        case 's' => StageType.Source
+        case 'k' => StageType.Sink
+        case _   => StageType.Transform
+      }))
+}
+
+class GraphBatchSpec extends SparkSpec {
+  import spark.implicits._
+  import GraphBatchSpecFns.stageOf
+
+  test("validateMany agrees with the single-graph PipelineGraph.validate") {
+    // graph 0: healthy chain; graph 1: cycle + dead-end transform;
+    // graph 2: missing stage + disconnected sink
+    val edges = Seq(
+      (0L, "s1", "t1"), (0L, "t1", "k1"),
+      (1L, "s1", "t1"), (1L, "t1", "t2"), (1L, "t2", "t1"), (1L, "t1", "k1"), (1L, "s1", "t3"),
+      (2L, "s1", "x"), (2L, "x", "k1"), (2L, "k2", "k2")
+    ).toDF("graph_id", "from", "to")
+
+    val got = GraphBatch.validateMany(edges, stageOf)
+      .as[(Long, String, String)].collect().toSet
+
+    // the same findings, computed via the non-batch API per graph
+    val expected = Seq(0L, 1L, 2L).flatMap { g =>
+      val es = Seq(
+        (0L, "s1", "t1"), (0L, "t1", "k1"),
+        (1L, "s1", "t1"), (1L, "t1", "t2"), (1L, "t2", "t1"), (1L, "t1", "k1"), (1L, "s1", "t3"),
+        (2L, "s1", "x"), (2L, "x", "k1"), (2L, "k2", "k2")
+      ).filter(_._1 == g).map { case (_, u, v) => Edge(u, v) }
+        .distinct.sortBy(e => (e.from, e.to))
+      val stages = es.flatMap(e => Seq(e.from, e.to)).distinct
+        .flatMap(stageOf).map(st => st.id -> st).toMap
+      PipelineGraph(s"g$g", stages, es).validate.map {
+        case ValidationError.CycleDetected(_)          => (g, "cycle", "")
+        case ValidationError.MissingStage(id)          => (g, "missing_stage", id)
+        case ValidationError.DisconnectedStage(id)     => (g, "disconnected", id)
+        case ValidationError.UnreachableFromSource(id) => (g, "unreachable_from_source", id)
+        case ValidationError.CannotReachSink(id)       => (g, "cannot_reach_sink", id)
+        case ValidationError.NoSourceStages            => (g, "no_source", "")
+        case ValidationError.NoSinkStages              => (g, "no_sink", "")
+      }.distinct
+    }.toSet
+    assert(got == expected)
+    // sanity on the known shapes
+    assert(!got.exists(r => r._1 == 0L)) // healthy graph: zero findings
+    assert(got.contains((1L, "cycle", "")))
+    assert(got.contains((1L, "cannot_reach_sink", "t3")))
+    assert(got.contains((2L, "missing_stage", "x")))
+  }
+
+  test("a cycle confined to an unregistered node is missing_stage, not cycle") {
+    // the DFS starts only from registered stage ids; x->x is unreachable
+    // from s1 (edge leads x->s1... none), so no cycle row may appear —
+    // this is the exact contract the DuckDB oracle replays via the
+    // explored-set join.
+    val edges = Seq((5L, "x", "x"), (5L, "x", "t1"), (5L, "s1", "k1"))
+      .toDF("graph_id", "from", "to")
+    val got = GraphBatch.validateMany(edges, stageOf)
+      .as[(Long, String, String)].collect().toSet
+    assert(got.contains((5L, "missing_stage", "x")))
+    assert(!got.exists(_._2 == "cycle"))
+    // t1 only has an in-edge from the unregistered node: not reachable
+    // from any source, cannot reach a sink
+    assert(got.contains((5L, "unreachable_from_source", "t1")))
+    assert(got.contains((5L, "cannot_reach_sink", "t1")))
+    // ...but a cycle REACHABLE from a stage is still found through
+    // unregistered intermediates
+    val edges2 = Seq((6L, "s1", "x"), (6L, "x", "x"), (6L, "s1", "k1"))
+      .toDF("graph_id", "from", "to")
+    val got2 = GraphBatch.validateMany(edges2, stageOf)
+      .as[(Long, String, String)].collect().toSet
+    assert(got2.contains((6L, "cycle", "")))
+  }
+
+  test("dotMany reproduces toDot byte-for-byte, conditions included") {
+    val edges = Seq((3L, "s1", "t1"), (3L, "t1", "k1"), (3L, "t1", "t2"))
+      .toDF("graph_id", "from", "to")
+    val cond = (u: String, v: String) => u == "t1" && v == "k1"
+    val got = GraphBatch.dotMany(edges, n => stageOf(n).get, cond)
+      .as[(Long, String)].collect().toMap
+    val es = Seq(("s1", "t1"), ("t1", "k1"), ("t1", "t2")).sorted.map { case (u, v) =>
+      Edge(u, v, if (cond(u, v)) Some(graft.model.Always) else None)
+    }
+    val stages = es.flatMap(e => Seq(e.from, e.to)).distinct
+      .map(n => n -> stageOf(n).get).toMap
+    assert(got(3L) == PipelineGraph("g3", stages, es).toDot)
+    assert(got(3L).contains("""  "t1" -> "k1" [label="cond"];"""))
+    assert(got(3L).contains("""  "s1" [shape=invhouse,label="s1\n(Source)"];"""))
+  }
+}
