@@ -12,8 +12,9 @@ import org.apache.spark.sql.types._
   * [[Multimodal.StubCodecs]] (the default) is the deterministic
   * SQL-expressible double that keeps the decode PATH under the DuckDB
   * oracle gate (q_multimodal/q_frames hash whichever bytes flow through
-  * the same plumbing). Video frame sampling stays stubbed — the JDK has
-  * no demuxer; wire ffmpeg at the same [[Multimodal.BlobCodec]] seam.
+  * the same plumbing). Frame sampling is real for JDK-demuxable
+  * containers (animated GIF); mp4/mkv need ffmpeg wired at the same
+  * [[Multimodal.BlobCodec]] seam.
   */
 object Multimodal {
 
@@ -99,10 +100,10 @@ object Multimodal {
     *
     * Features are 8 rolling luminance-bucket sums over the real pixels —
     * the same shape as the stub's byte-bucket sums, so downstream schema
-    * and partitioning are identical whichever kernel runs. frameSample
-    * stays the byte-split stub: the JDK carries no video demuxer, and
-    * faking one here would be dishonest — wire ffmpeg at the same seam in
-    * production.
+    * and partitioning are identical whichever kernel runs. frameSample is
+    * REAL for containers the JDK can demux (animated GIF; single-frame
+    * image formats yield their one frame); true video formats (mp4/mkv)
+    * still need ffmpeg wired at this same seam.
     */
   object ImageIoCodecs extends BlobCodec {
     private def read(blob: Array[Byte]): Option[java.awt.image.BufferedImage] =
@@ -147,8 +148,56 @@ object Multimodal {
         bos.toByteArray
       }.getOrElse(Array.empty[Byte])
 
-    def frameSample(blob: Array[Byte], n: Int): Array[Array[Byte]] =
-      StubCodecs.frameSample(blob, n)
+    /** REAL frame sampling for multi-frame containers the JDK can demux —
+      * animated GIF ships with the JRE's ImageIO (getNumImages(true) +
+      * per-frame read). Frames are sampled evenly (all of them when the
+      * container holds <= n), converted to RGB, and re-encoded as PNG so
+      * downstream consumers see one uniform frame format regardless of the
+      * container. Single-frame formats (PNG/BMP/JPEG) yield their one
+      * frame. Undecodable bytes degrade to zero frames, never a task
+      * failure. True video containers (mp4/mkv) still need ffmpeg wired at
+      * this same seam — the JDK carries no video demuxer.
+      */
+    def frameSample(blob: Array[Byte], n: Int): Array[Array[Byte]] = {
+      if (blob == null || blob.isEmpty || n <= 0) Array.empty
+      else {
+        val iis =
+          try javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(blob))
+          catch { case _: Exception => null }
+        if (iis == null) Array.empty
+        else
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Array.empty[Array[Byte]]
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val m = try reader.getNumImages(true) catch { case _: Exception => 0 }
+                val idxs =
+                  if (m <= 0) Seq.empty
+                  else if (m <= n) 0 until m
+                  else (0 until n).map(i => i * m / n)
+                idxs.iterator.flatMap { i =>
+                  try {
+                    val img = reader.read(i)
+                    val rgb = new java.awt.image.BufferedImage(
+                      img.getWidth, img.getHeight,
+                      java.awt.image.BufferedImage.TYPE_INT_RGB)
+                    val g = rgb.createGraphics()
+                    try g.drawImage(img, 0, 0, null)
+                    finally g.dispose()
+                    val bos = new java.io.ByteArrayOutputStream()
+                    javax.imageio.ImageIO.write(rgb, "png", bos)
+                    Some(bos.toByteArray)
+                  } catch { case _: Exception => None }
+                }.toArray
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+      }
+    }
   }
 
   /** Per-partition batched "decode": the Scala analog of mapInPandas — rows

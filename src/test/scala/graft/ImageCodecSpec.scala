@@ -94,4 +94,65 @@ class ImageCodecSpec extends SparkSpec {
     assert(out.getInt(1) == 6 && out.getInt(2) == 8)
     assert(ImageIoCodecs.imageDims(out.getAs[Array[Byte]](3)) == (6, 8))
   }
+
+  /** Animated GIF with one solid-color frame per entry of `colors` — the
+    * JDK writes GIF sequences natively, so the multi-frame fixture is
+    * real container bytes, not a mock.
+    */
+  private def makeGif(w: Int, h: Int, colors: Seq[Int]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("frameSample demuxes real animated-GIF frames, evenly spaced, as PNG") {
+    // GIF palettes hold solid primaries exactly, so round-trips are exact
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00, 0x00ffff)
+    val gif = makeGif(16, 12, colors)
+    // ask for fewer frames than the container holds: even spacing i*m/n
+    val three = ImageIoCodecs.frameSample(gif, 3)
+    assert(three.length == 3)
+    val expectedIdx = Seq(0, 1, 3) // floor(i*5/3)
+    three.zip(expectedIdx).foreach { case (png, fi) =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth == 16 && img.getHeight == 12)
+      assert((img.getRGB(3, 4) & 0xffffff) == colors(fi))
+    }
+    // ask for more than the container holds: all frames, in order
+    val all = ImageIoCodecs.frameSample(gif, 99)
+    assert(all.length == colors.length)
+    all.zip(colors).foreach { case (png, c) =>
+      val img = ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert((img.getRGB(0, 0) & 0xffffff) == c)
+    }
+    // single-frame formats yield their one frame; junk yields none
+    assert(ImageIoCodecs.frameSample(encode(makeImage(9, 9), "png"), 4).length == 1)
+    assert(ImageIoCodecs.frameSample("not a container".getBytes, 4).isEmpty)
+    assert(ImageIoCodecs.frameSample(Array.empty[Byte], 4).isEmpty)
+  }
+
+  test("sampleFrames over a DataFrame of real GIFs via the partition plumbing") {
+    val gif = makeGif(8, 8, Seq(0xff0000, 0x00ff00, 0x0000ff))
+    val df = Seq((1L, gif), (2L, "junk".getBytes)).toDF("id", "blob")
+    val out = Multimodal.sampleFrames(df, "id", "blob", 2, codec = ImageIoCodecs)
+      .orderBy("id", "frame_idx").collect()
+    // id 1 → 2 sampled frames (indices 0 and 1 of 3); id 2 → zero rows
+    assert(out.length == 2)
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 1L))
+    val f0 = ImageIO.read(new java.io.ByteArrayInputStream(out(0).getAs[Array[Byte]](2)))
+    assert((f0.getRGB(0, 0) & 0xffffff) == 0xff0000)
+    // frame_hash matches the re-encoded PNG bytes, same as the stub contract
+    assert(out(0).getString(3).length == 32)
+  }
 }
