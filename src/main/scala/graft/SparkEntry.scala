@@ -1409,6 +1409,121 @@ object SparkEntry {
       .orderBy(col("ns"), col("event_id"))
   }
 
+  /** F8 backup/restore (types.rs:868-1018, validation.rs:15-133) under the
+    * full oracle: the complete disaster-recovery loop. Three config
+    * generations are applied to a durable RegistryStore and backed up
+    * (BackupYaml-parsed manifest, all four components, retention count=2 —
+    * so backup-000001 is GONE after the third run and sequencing must
+    * survive a stray `backup-000002-old` sibling). The live checkpoint
+    * tree carries load-bearing offsets/state files that advance between
+    * generations. Then the store AND checkpoint are wiped — total loss —
+    * and `from: {latest: true}` restores into a fresh checkpoint root. The
+    * restored pipeline.yaml is re-applied to a NEW store, compiled, and
+    * run against lineitem; the restored offset/state values ride along as
+    * columns. The oracle knows only generation-3 semantics (threshold 30,
+    * offsets 57, epoch 9): restoring the wrong generation, losing a
+    * subtree byte, mis-sequencing ids, or retention eating the wrong
+    * backup all flip the hash.
+    */
+  private def qRegistryBackup(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files => nio}
+    val tmp = nio.createTempDirectory("graft_qbak").toString
+    TempReaper.register(tmp)
+    def write(rel: String, text: String): Unit = {
+      val p = java.nio.file.Paths.get(tmp, rel.split('/').toSeq: _*)
+      nio.createDirectories(p.getParent)
+      nio.writeString(p, text)
+    }
+    def regYaml(threshold: Int): String =
+      s"""kind: Source
+         |metadata: {name: li}
+         |spec: {format: table, path: lineitem}
+         |---
+         |kind: Transform
+         |metadata: {name: bulk}
+         |spec:
+         |  type: filter
+         |  condition: {gt: {field: l_quantity, value: $threshold}}
+         |---
+         |kind: Transform
+         |metadata: {name: byflag}
+         |spec:
+         |  type: aggregate
+         |  groupBy: [l_returnflag]
+         |  aggregations:
+         |    - {fn: count, as: n}
+         |    - {fn: sum, field: l_quantity, as: sum_qty}
+         |---
+         |kind: Sink
+         |metadata: {name: out}
+         |spec: {format: noop}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: li, steps: [bulk, byflag], sink: out}
+         |""".stripMargin
+    val bm = graft.dsl.BackupYaml.loadBackup(
+      s"""kind: Backup
+         |metadata: {name: nightly}
+         |spec:
+         |  pipeline: {name: p}
+         |  include: [checkpoints, offsets, configuration, state]
+         |  destination: {type: file, path: $tmp/backups}
+         |  schedule:
+         |    cron: "0 3 * * *"
+         |    retention: {count: 2}
+         |""".stripMargin)
+    // three generations: config upserted, offsets/state advancing between runs
+    Seq((10, 17L, 3L), (20, 42L, 6L), (30, 57L, 9L)).foreach { case (thr, off, ep) =>
+      graft.dsl.RegistryStore.apply(s"$tmp/store", regYaml(thr))
+      write("ckpt/metadata", """{"id":"q_registry_backup"}""")
+      write("ckpt/offsets/0", off.toString)
+      write("ckpt/commits/0", off.toString)
+      write("ckpt/state/0/epoch", ep.toString)
+      val storeFiles = {
+        val st = nio.walk(java.nio.file.Paths.get(tmp, "store"))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(_.toString.endsWith(".yaml")).toSeq.sortBy(_.toString)
+        } finally st.close()
+      }
+      graft.dsl.BackupRunner.backup(s, bm, s"$tmp/ckpt",
+        Some(storeFiles.map(p => nio.readString(p)).mkString("---\n")))
+    }
+    // a stray manually-named sibling must not break sequencing or `latest`
+    nio.createDirectories(java.nio.file.Paths.get(tmp, "backups", "nightly", "backup-000002-old"))
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/backups/nightly")
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val kept = graft.dsl.BackupRunner.listBackups(fs,
+      new org.apache.hadoop.fs.Path(s"$tmp/backups/nightly"))
+    require(kept == Seq("backup-000002", "backup-000003"),
+      s"retention count=2 must keep exactly the last two, got $kept")
+    // disaster: lose the registry store and the live checkpoint entirely
+    Seq("store", "ckpt").foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/$d"), true)
+    }
+    val rm = graft.dsl.BackupYaml.loadRestore(
+      """kind: Restore
+        |metadata: {name: dr}
+        |spec:
+        |  from: {latest: true}
+        |""".stripMargin)
+    val restored = graft.dsl.BackupRunner.restore(
+      s, rm, "nightly", graft.dsl.FileDestination(s"$tmp/backups"), s"$tmp/ckpt2")
+    require(restored == "backup-000003", s"latest must resolve to 000003, got $restored")
+    graft.dsl.RegistryStore.apply(s"$tmp/store2",
+      nio.readString(java.nio.file.Paths.get(tmp, "ckpt2", "pipeline.yaml")))
+    val reg = graft.dsl.RegistryStore.loadAll(s"$tmp/store2")
+    require(reg.validateAllPipelines.isEmpty, "restored registry must validate")
+    val li = t(s, dir, "lineitem").select(col("l_returnflag"), col("l_quantity"))
+    val resumeOff = nio.readString(java.nio.file.Paths.get(tmp, "ckpt2", "offsets", "0")).trim.toLong
+    val stateEp = nio.readString(java.nio.file.Paths.get(tmp, "ckpt2", "state", "0", "epoch")).trim.toLong
+    graft.dsl.Compiler.compile(s, reg, tables = Map("lineitem" -> li))("p").frame
+      .select(col("l_returnflag"), col("n"), col("sum_qty"),
+        lit(resumeOff).as("resume_offset"), lit(stateEp).as("state_epoch"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Shared derivation for the fleet-scale DAG metadata queries: a family of
     * pipeline graphs synthesized arithmetically from the orders table (so the
     * DuckDB oracle re-derives the identical fleet). Node space is n0..n11;
@@ -1593,7 +1708,7 @@ object SparkEntry {
            |  format: parquet
            |  path: $dir/events*.parquet
            |  streaming: true
-           |  schema: "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+           |  schema: "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE"
            |---
            |kind: Transform
            |metadata: {name: to-ts}
@@ -1602,7 +1717,7 @@ object SparkEntry {
            |  fields:
            |    - {target: event_type, source: event_type}
            |    - {target: value, source: value}
-           |    - {target: ets, expr: "timestamp_micros(ts div 1000)"}
+           |    - {target: ets, expr: "cast(ts as timestamp)"}
            |---
            |kind: Transform
            |metadata: {name: hourly}
@@ -1818,6 +1933,81 @@ object SparkEntry {
       .orderBy(col("wave"))
   }
 
+  /** F5 per-source rate cap (the backpressure fraction of the buffer
+    * crate) under the full oracle: four wave files with pinned (mtime,
+    * path) order drain through the YAML DSL's validated `rateCap:
+    * {maxFilesPerTrigger: 1}` surface. Each micro-batch is aggregated in
+    * foreachBatch and stamped with its RUNTIME batch_id; the data carries
+    * its own wave number. The oracle asserts batch_id == wave for every
+    * group — if the cap were ignored the whole drain would land in batch
+    * 0, if ordering broke the ids would cross, and either flips the hash.
+    * Scale note: the cap is the knob that bounds per-trigger working sets
+    * when a backlog of thousands of files appears at once (reprocessing,
+    * recovery) — exactly the credit-based admission the reference's buffer
+    * crate implements on its gRPC streams.
+    */
+  private def qStreamRatecap(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qcap").toString
+    TempReaper.register(tmp)
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufConf)
+    s.conf.set(shufConf, "8")
+    try {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          pmod(col("event_id"), lit(4)).as("wave"))
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      (0 until 4).foreach { w =>
+        val staging = s"$tmp/stage$w"
+        ev.filter(col("wave") === w).coalesce(1).write.parquet(staging)
+        val part = {
+          val st = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
+          try st.filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+          finally st.close()
+        }
+        val dest = inDir.resolve(s"wave$w.parquet")
+        java.nio.file.Files.move(part, dest)
+        dest.toFile.setLastModified(1700000000000L + w * 60000L)
+      }
+      val yaml =
+        s"""kind: Source
+           |metadata: {name: backlog}
+           |spec:
+           |  format: parquet
+           |  path: $tmp/in
+           |  streaming: true
+           |  schema: "event_id BIGINT, event_type STRING, value DOUBLE, wave BIGINT"
+           |  rateCap: {maxFilesPerTrigger: 1}
+           |---
+           |kind: Sink
+           |metadata: {name: out}
+           |spec: {format: noop}
+           |---
+           |kind: Pipeline
+           |metadata: {name: p}
+           |spec: {source: backlog, steps: [], sink: out}
+           |""".stripMargin
+      val p = graft.dsl.Compiler.compile(s, graft.dsl.YamlLoader.load(yaml))("p")
+      val q = p.frame.writeStream
+        .foreachBatch { (df: DataFrame, bid: Long) =>
+          df.groupBy(col("wave"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
+            .withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(s"$tmp/out")
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("batch_id"), col("wave"), col("n"), col("sum_value"))
+        .orderBy(col("batch_id"))
+    } finally s.conf.set(shufConf, prevShuf)
+  }
+
   // ==========================================================================
   // Source readers (SURVEY §2.7): round-trip through non-parquet formats
   // ==========================================================================
@@ -2017,6 +2207,7 @@ object SparkEntry {
     "q_compact" -> (qCompact _),
     "q_dsl_pipeline" -> (qDslPipeline _),
     "q_dsl_registry" -> (qDslRegistry _),
+    "q_registry_backup" -> (qRegistryBackup _),
     "q_dag_validate" -> (qDagValidate _),
     "q_dag_dot" -> (qDagDot _),
     "q_llm_pipeline" -> (qLlmPipeline _),
@@ -2024,6 +2215,7 @@ object SparkEntry {
     "q_emit_modes" -> (qEmitModes _),
     "q_stream_fanin" -> (qStreamFanin _),
     "q_stream_idle" -> (qStreamIdle _),
+    "q_stream_ratecap" -> (qStreamRatecap _),
     "q_sql_functions" -> (qSqlFunctions _),
     "q_sink_roundtrip" -> (qSinkRoundtrip _),
     "q_repetition" -> (qRepetition _),
@@ -2938,6 +3130,14 @@ object SparkEntry {
         |    CASE WHEN bmax IS NOT NULL THEN raw_b ELSE greatest(raw_b, ptime) END) AS combined,
         |  least(wm_a, raw_b) AS combined_stalled
         |FROM r ORDER BY wave""".stripMargin,
+    // Rate cap: batch_id comes from the RUNTIME (foreachBatch), wave from
+    // the data; the oracle equates them — an uncapped or misordered drain
+    // puts every wave in batch 0 and fails the hash.
+    "q_stream_ratecap" ->
+      """SELECT CAST(event_id % 4 AS BIGINT) AS batch_id,
+        |  CAST(event_id % 4 AS BIGINT) AS wave, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY batch_id""".stripMargin,
     "q_dsl_pipeline" ->
       """WITH tagged AS (
         |  SELECT *, CASE WHEN NOT (value >= 0) THEN 'NEG_VALUE'
@@ -2958,6 +3158,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'staging', event_id, value * 10 FROM events
         |ORDER BY ns, event_id""".stripMargin,
+    // Backup/restore: the oracle knows ONLY the third config generation
+    // (threshold 30) and its checkpoint coordinates (offsets 57, epoch 9) —
+    // restoring any earlier backup, corrupting a restored subtree, or
+    // resolving `latest` wrong surfaces as a value/hash mismatch.
+    "q_registry_backup" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(57 AS BIGINT) AS resume_offset, CAST(9 AS BIGINT) AS state_epoch
+        |FROM lineitem WHERE l_quantity > 30
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // Fleet DAG validation: the oracle re-derives the same graph family and
     // recomputes every finding class relationally — reachability and the
     // explored set as recursive-CTE fixpoints (UNION, so cyclic graphs

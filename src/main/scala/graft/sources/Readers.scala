@@ -119,13 +119,28 @@ object Readers {
   }
 }
 
-/** Test-table loader for the driver's synthetic TPC-H-ish data. `events.ts`
-  * is written as parquet TIMESTAMP(NANOS) (pandas default), which needs the
-  * nanos path.
+/** Test-table loader for the driver's synthetic TPC-H-ish data. Temporal
+  * columns have arrived in different physical shapes across data
+  * generations — TIMESTAMP(NANOS) (pandas default) and TIMESTAMP(MICROS)
+  * with isAdjustedToUTC=false (arrow default, read by Spark as
+  * TIMESTAMP_NTZ) — so the loader normalizes BOTH to the session-zone
+  * TIMESTAMP every operator expects. Sessions here pin UTC, so the
+  * NTZ→LTZ cast is wall-clock exact and agrees with DuckDB's naive read
+  * of the same file. The cast is a scan-side projection: column pruning
+  * and predicate pushdown on other columns are unaffected.
   */
 object Tables {
-  def read(s: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events")
-      Readers.parquetWithNanos(s, s"$dir/events.parquet", Seq("ts"))
-    else s.read.parquet(s"$dir/$name.parquet")
+  def read(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events")
+        Readers.parquetWithNanos(s, s"$dir/events.parquet", Seq("ts"))
+      else s.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          d.withColumn(f.name, org.apache.spark.sql.functions.col(f.name).cast("timestamp"))
+        case _ => d
+      }
+    }
+  }
 }
