@@ -1212,6 +1212,74 @@ object SparkEntry {
         TF.topShingleFraction(col("_sh")).as("top_frac"))
       .orderBy(col("doc_id"))
 
+  /** Gopher document-rule pack (L47): the corpus has no line structure or
+    * symbols, so the query synthesizes one refutation family per rule
+    * deterministically (doc_id % 6): fully-bulletized lines (every line
+    * starts '- ' → the 90% bullet bound fails), ellipsis line-ends, symbol
+    * flooding (every space becomes ' # ' → symbol ratio AND alpha-word
+    * fraction fail), truncation (word-count floor fails), and
+    * space-stripping (one giant word → word count AND mean-word-length
+    * fail). Each rule has both outcomes in the result and the oracle
+    * recomputes every integer metric and verdict. minWords=40 sits inside
+    * the corpus's 10–99 word range so the word-count rule discriminates on
+    * the unmodified family too.
+    */
+  private def qGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val varied = docs(s, dir).select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(6)).as("fam"),
+      expr("""CASE doc_id % 6
+          WHEN 1 THEN concat('- ', replace(text, ' table ', concat(chr(10), '- ')))
+          WHEN 2 THEN replace(text, ' query ', concat('...', chr(10)))
+          WHEN 3 THEN replace(text, ' ', ' # ')
+          WHEN 4 THEN substr(text, 1, 40)
+          WHEN 5 THEN replace(text, ' ', '')
+          ELSE text END""").as("text"))
+    graft.ops.QualityRules.gopherReport(varied, "doc_id", "text",
+      graft.ops.QualityRules.GopherParams(minWords = 40))
+      .select(
+        Seq(col("doc_id"), col("fam"), col("n_words"), col("sum_word_len"),
+          col("n_sym"), col("n_lines"), col("bullet_lines"), col("ellipsis_lines"),
+          col("alpha_words"), col("stop_hits"), col("mean_wlen_milli")) ++
+          Seq("r_word_count", "r_mean_wlen", "r_symbols", "r_bullets",
+            "r_ellipsis", "r_alpha", "r_stops", "pass")
+            .map(c => col(c).cast("int").as(c)): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** C4 line cleaning (L48): line structure synthesized by sentence-
+    * splitting on a frequent token, plus per-family contaminant lines
+    * (boilerplate JS/cookie notice, code with braces, lorem ipsum) — each
+    * banned marker and the terminal-punctuation / min-words rules all have
+    * both outcomes. `fp` pins the cleaned text byte-for-byte.
+    */
+  private def qCleanC4(s: SparkSession, dir: String): DataFrame = {
+    val varied = docs(s, dir).select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(4)).as("fam"),
+      expr("""CASE doc_id % 4
+          WHEN 1 THEN concat(replace(text, ' row ', concat('.', chr(10))),
+                             chr(10), 'you must enable javascript and accept our cookie policy.')
+          WHEN 2 THEN concat(replace(text, ' row ', concat('.', chr(10))),
+                             chr(10), 'window.config = { mode: dark };')
+          WHEN 3 THEN concat('lorem ipsum dolor sit amet.', chr(10),
+                             replace(text, ' row ', concat('.', chr(10))))
+          ELSE replace(text, ' row ', concat('.', chr(10))) END""").as("text"))
+    graft.ops.QualityRules.c4LineClean(varied, "doc_id", "text",
+      graft.ops.QualityRules.C4Params(minLineWords = 5, minKeptLines = 2))
+      .select(col("doc_id"), col("fam"), col("n_lines"), col("kept_lines"),
+        md5(col("cleaned")).as("fp"), col("doc_kept").cast("int").as("doc_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram LM surprisal (L49): the corpus scores itself — counts, smoothing,
+    * and the mean-inverse-probability score are all exact integer
+    * arithmetic, so the oracle rebuilds the identical model in SQL.
+    */
+  private def qPerplexity(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LangModel.bigramSurprisal(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Benchmark decontamination: every 20th doc plays the benchmark set;
     * overlap = fraction of a doc's distinct 3-grams present in it.
     */
@@ -2219,6 +2287,9 @@ object SparkEntry {
     "q_sql_functions" -> (qSqlFunctions _),
     "q_sink_roundtrip" -> (qSinkRoundtrip _),
     "q_repetition" -> (qRepetition _),
+    "q_gopher_rules" -> (qGopherRules _),
+    "q_clean_c4" -> (qCleanC4 _),
+    "q_perplexity" -> (qPerplexity _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_dedup_lines" -> (qDedupLines _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -3312,6 +3383,119 @@ object SparkEntry {
         |  round(CASE WHEN a.tot IS NULL THEN 0.0 ELSE CAST(a.tot - a.dis AS DOUBLE) / a.tot END, 6) AS dup_frac,
         |  round(CASE WHEN a.tot IS NULL THEN 0.0 ELSE CAST(a.mx AS DOUBLE) / a.tot END, 6) AS top_frac
         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Gopher rule pack: every metric is an integer count and every verdict a
+    // cross-multiplied integer comparison — the oracle recomputes all of it.
+    "q_gopher_rules" ->
+      """WITH varied AS (
+        |  SELECT doc_id, CAST(doc_id % 6 AS BIGINT) AS fam,
+        |    CASE doc_id % 6
+        |      WHEN 1 THEN '- ' || replace(text, ' table ', chr(10) || '- ')
+        |      WHEN 2 THEN replace(text, ' query ', '...' || chr(10))
+        |      WHEN 3 THEN replace(text, ' ', ' # ')
+        |      WHEN 4 THEN substr(text, 1, 40)
+        |      WHEN 5 THEN replace(text, ' ', '')
+        |      ELSE text END AS text
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, fam,
+        |    list_filter(string_split_regex(text, '\s+'), w -> len(w) > 0) AS words,
+        |    string_split(text, chr(10)) AS lines,
+        |    CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS n_sym
+        |  FROM varied
+        |), mm AS (
+        |  SELECT doc_id, fam, n_sym,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(words, w -> len(w))), 0) AS BIGINT) AS sum_word_len,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* ') OR starts_with(ltrim(l), '• '))) AS BIGINT) AS bullet_lines,
+        |    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS ellipsis_lines,
+        |    CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+        |    CAST((CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(words, 'a') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+        |  FROM m
+        |)
+        |SELECT doc_id, fam, n_words, sum_word_len, n_sym, n_lines, bullet_lines,
+        |  ellipsis_lines, alpha_words, stop_hits,
+        |  CASE WHEN n_words = 0 THEN 0 ELSE (1000 * sum_word_len) // n_words END AS mean_wlen_milli,
+        |  CAST(n_words >= 40 AND n_words <= 100000 AS INT) AS r_word_count,
+        |  CAST(n_words > 0 AND sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words AS INT) AS r_mean_wlen,
+        |  CAST(10 * n_sym <= 1 * n_words AS INT) AS r_symbols,
+        |  CAST(10 * bullet_lines <= 9 * n_lines AS INT) AS r_bullets,
+        |  CAST(10 * ellipsis_lines <= 3 * n_lines AS INT) AS r_ellipsis,
+        |  CAST(10 * alpha_words >= 8 * n_words AS INT) AS r_alpha,
+        |  CAST(stop_hits >= 2 AS INT) AS r_stops,
+        |  CAST(n_words >= 40 AND n_words <= 100000
+        |   AND n_words > 0 AND sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+        |   AND 10 * n_sym <= 1 * n_words
+        |   AND 10 * bullet_lines <= 9 * n_lines
+        |   AND 10 * ellipsis_lines <= 3 * n_lines
+        |   AND 10 * alpha_words >= 8 * n_words
+        |   AND stop_hits >= 2 AS INT) AS pass
+        |FROM mm ORDER BY doc_id""".stripMargin,
+    // C4 line cleaning: fp pins the cleaned text byte-for-byte.
+    "q_clean_c4" ->
+      """WITH varied AS (
+        |  SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS fam,
+        |    CASE doc_id % 4
+        |      WHEN 1 THEN replace(text, ' row ', '.' || chr(10)) || chr(10) || 'you must enable javascript and accept our cookie policy.'
+        |      WHEN 2 THEN replace(text, ' row ', '.' || chr(10)) || chr(10) || 'window.config = { mode: dark };'
+        |      WHEN 3 THEN 'lorem ipsum dolor sit amet.' || chr(10) || replace(text, ' row ', '.' || chr(10))
+        |      ELSE replace(text, ' row ', '.' || chr(10)) END AS text
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, fam, string_split(text, chr(10)) AS lines FROM varied
+        |), k AS (
+        |  SELECT doc_id, fam, lines,
+        |    list_filter(lines, l ->
+        |      (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+        |        OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+        |      AND len(list_filter(string_split_regex(l, '\s+'), w -> len(w) > 0)) >= 5
+        |      AND NOT contains(lower(l), 'javascript')
+        |      AND NOT contains(lower(l), 'lorem ipsum')
+        |      AND NOT contains(lower(l), 'cookie')
+        |      AND NOT contains(lower(l), '{')) AS kept
+        |  FROM m
+        |)
+        |SELECT doc_id, fam, CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS kept_lines,
+        |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS fp,
+        |  CAST(len(kept) >= 2 AS INT) AS doc_kept
+        |FROM k ORDER BY doc_id""".stripMargin,
+    // Bigram surprisal: the oracle rebuilds the identical count model and
+    // integer-exact mean-inverse-probability score.
+    "q_perplexity" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), wocc AS MATERIALIZED (
+        |  SELECT doc_id, i + 1 AS pos, toks[i+1] AS w
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM nrm)
+        |  WHERE toks[i+1] <> ''
+        |), uni AS MATERIALIZED (
+        |  SELECT w, count(*) AS c1 FROM wocc GROUP BY w
+        |), v AS (SELECT count(*) AS vs FROM uni),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM wocc a JOIN wocc b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |), big AS MATERIALIZED (
+        |  SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+        |), terms AS (
+        |  SELECT p.doc_id, ((u.c1 + v.vs) * 1000000) // (g.c2 + 1) AS tm
+        |  FROM pairs p
+        |  JOIN big g ON g.w1 = p.w1 AND g.w2 = p.w2
+        |  JOIN uni u ON u.w = p.w1
+        |  CROSS JOIN v
+        |)
+        |SELECT doc_id, count(*) AS n_transitions,
+        |  CAST(sum(tm) // count(*) AS BIGINT) AS score_micro
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH nrm AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks

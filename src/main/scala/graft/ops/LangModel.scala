@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-based n-gram language-model scoring for corpus quality filtering —
+  * the classic "train a cheap LM on the corpus, rank documents by how
+  * surprised it is" signal (CCNet / KenLM-style pipelines, Wenzek et al.
+  * 2020), re-expressed relationally so it runs as three shuffles over any
+  * corpus size instead of a per-process model file.
+  *
+  * Model: bigram counts with add-one smoothing over the corpus's own
+  * normalized tokens. Per token transition the INVERSE smoothed conditional
+  * probability is
+  *
+  *   inv(w1→w2) = (c1(w1) + V) / (c2(w1,w2) + 1)
+  *
+  * and a document's score is the arithmetic mean of inv over its
+  * transitions — low = predictable/fluent relative to the corpus, high =
+  * improbable word salad. The mean of inverse probabilities is a monotone
+  * surprisal surrogate for perplexity's geometric mean chosen deliberately:
+  * it needs NO logarithm, so the whole score is exact integer arithmetic
+  * (micro-scaled integer division) and replays bit-identically in any
+  * engine — FP log/exp round-trips do not survive a cross-engine hash gate.
+  *
+  * Scale shape (100 TB): one explode+groupBy for unigram counts, one for
+  * bigram counts (both map-side partially aggregated), one broadcast of the
+  * single-row vocabulary size, then a join of document transitions against
+  * the count tables — the same shuffle profile as the BM25 posting build
+  * ([[Retrieval]]). `(c1+V)·10^6` stays inside int64 for corpora up to
+  * ~9·10^12 occurrences of the most common token; beyond that, widen the
+  * scale factor down or the decimal up.
+  */
+object LangModel {
+
+  private val Micro = 1000000L
+
+  /** Per-document bigram surprisal: (doc_id, n_transitions, score_micro).
+    * Documents with fewer than two tokens are dropped (no transitions to
+    * score) — re-join on id if a row per input document is needed.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .filter(col("n") >= 2)
+
+    // transitions: (doc_id, w1, w2) — array-side pairing, no window shuffle
+    val pairs = toks
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, n - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))"))
+          .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+    val uni = toks
+      .select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = broadcast(uni.agg(count(lit(1)).as("v")))
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+
+    pairs
+      .join(big, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(vocab)
+      .withColumn("term_micro", expr(s"((c1 + v) * $Micro) div (c2 + 1)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        sum(col("term_micro").cast("decimal(38,0)")).as("_sum"))
+      // exact integer division on the decimal sum: (s - s mod n) / n
+      .withColumn("score_micro",
+        ((col("_sum") - pmod(col("_sum"), col("n_transitions").cast("decimal(38,0)")))
+          / col("n_transitions").cast("decimal(38,0)")).cast("long"))
+      .select(col("doc_id"), col("n_transitions"), col("score_micro"))
+  }
+}

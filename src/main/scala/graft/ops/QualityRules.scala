@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-level heuristic quality filters from the public web-corpus
+  * literature, as pure column math (no UDFs, scan-side codegen, pushdown
+  * friendly — the filters are the cheapest stage of a corpus pipeline and
+  * must run at scan speed on all 100 TB).
+  *
+  * Two rule families:
+  *  - [[gopherReport]]: the Gopher paper's repetition-independent document
+  *    rules (Rae et al. 2021, "Scaling Language Models", App. A1.1) —
+  *    word-count bounds, mean-word-length band, symbol-to-word ratio,
+  *    bullet/ellipsis line fractions, alphabetic-word fraction, stopword
+  *    presence.
+  *  - [[c4LineClean]]: C4's line-level cleaning (Raffel et al. 2020, §2.2)
+  *    — keep lines that end in terminal punctuation, have enough words,
+  *    and carry none of the boilerplate markers; drop documents left with
+  *    too few lines.
+  *
+  * EVERY metric is exact integer arithmetic (counts, products, integer
+  * division) and every threshold is applied as a cross-multiplied integer
+  * comparison (e.g. mean word length ≥ 3 ⇔ sumLen ≥ 3·n) — no floating
+  * point anywhere, so results replay bit-exactly in any engine, and the
+  * rules behave identically across partitionings at cluster scale.
+  *
+  * Reference analog: conveyor-etl's validate/filter transforms
+  * (dsl/src/types.rs rule conditions) are generic predicates; these are
+  * the corpus-specific rule packs a training-data deployment of the same
+  * pipeline shape would register as transforms.
+  */
+object QualityRules {
+
+  /** Gopher stopword set, adapted to be vocabulary-portable: the original
+    * 8-word list (the, be, to, of, and, that, have, with) plus "a" — the
+    * presence test needs ≥ [[GopherParams.minStopHits]] DISTINCT members.
+    */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with", "a")
+
+  final case class GopherParams(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLenX1: Int = 3, // mean word length band [3, 10]
+      maxMeanWordLenX1: Int = 10,
+      maxSymbolRatioX10: Int = 1,  // symbols/words ≤ 0.1  → 10·sym ≤ 1·words
+      maxBulletRatioX10: Int = 9,  // bullet lines ≤ 90%   → 10·bul ≤ 9·lines
+      maxEllipsisRatioX10: Int = 3, // ellipsis lines ≤ 30% → 10·ell ≤ 3·lines
+      minAlphaRatioX10: Int = 8,   // alpha words ≥ 80%    → 10·alpha ≥ 8·words
+      minStopHits: Int = 2
+  )
+
+  private def nonEmptyWords(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > 0)
+
+  /** Occurrences of a literal `needle` in `text`: leftmost non-overlapping
+    * matches, the semantics every regex engine shares for literal
+    * patterns, so the count replays exactly in the oracle.
+    */
+  private def occurrences(text: Column, needle: String): Column =
+    size(regexp_extract_all(text, lit(java.util.regex.Pattern.quote(needle)), lit(0)))
+      .cast("long")
+
+  /** Per-document Gopher rule report: one row per input row with the raw
+    * integer metrics, one boolean per rule, and the conjunction `pass`.
+    * Keeping the metrics next to the verdicts makes threshold sweeps a
+    * WHERE clause instead of a recompute.
+    */
+  def gopherReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      p: GopherParams = GopherParams()
+  ): DataFrame = {
+    val text = col(textCol)
+    val words = nonEmptyWords(text)
+    val lines = split(text, "\n")
+    val nWords = size(words).cast("long")
+    val sumLen = aggregate(transform(words, w => length(w)), lit(0), (a, x) => a + x)
+      .cast("long")
+    val nSym = occurrences(text, "#") + occurrences(text, "...")
+    val nLines = size(lines).cast("long")
+    val bullets = size(filter(lines, l =>
+      startswith(ltrim(l), lit("- ")) || startswith(ltrim(l), lit("* ")) ||
+        startswith(ltrim(l), lit("• ")))).cast("long")
+    val ells = size(filter(lines, l => endswith(rtrim(l), lit("...")))).cast("long")
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = GopherStops
+      .map(s => when(array_contains(words, s), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+    df.withColumn("n_words", nWords)
+      .withColumn("sum_word_len", sumLen)
+      .withColumn("n_sym", nSym)
+      .withColumn("n_lines", nLines)
+      .withColumn("bullet_lines", bullets)
+      .withColumn("ellipsis_lines", ells)
+      .withColumn("alpha_words", alphaWords)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("mean_wlen_milli",
+        when(col("n_words") === 0, lit(0L))
+          .otherwise(expr("(1000 * sum_word_len) div n_words")))
+      .withColumn("r_word_count",
+        col("n_words") >= p.minWords && col("n_words") <= p.maxWords)
+      .withColumn("r_mean_wlen",
+        col("n_words") > 0 &&
+          col("sum_word_len") >= lit(p.minMeanWordLenX1) * col("n_words") &&
+          col("sum_word_len") <= lit(p.maxMeanWordLenX1) * col("n_words"))
+      .withColumn("r_symbols", lit(10) * col("n_sym") <= lit(p.maxSymbolRatioX10) * col("n_words"))
+      .withColumn("r_bullets", lit(10) * col("bullet_lines") <= lit(p.maxBulletRatioX10) * col("n_lines"))
+      .withColumn("r_ellipsis", lit(10) * col("ellipsis_lines") <= lit(p.maxEllipsisRatioX10) * col("n_lines"))
+      .withColumn("r_alpha", lit(10) * col("alpha_words") >= lit(p.minAlphaRatioX10) * col("n_words"))
+      .withColumn("r_stops", col("stop_hits") >= p.minStopHits)
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_wlen") && col("r_symbols") &&
+          col("r_bullets") && col("r_ellipsis") && col("r_alpha") && col("r_stops"))
+  }
+
+  final case class C4Params(
+      minLineWords: Int = 5,
+      minKeptLines: Int = 3,
+      banned: Seq[String] = Seq("javascript", "lorem ipsum", "cookie", "{")
+  )
+
+  /** C4-style line-level cleaning: per document, keep lines that (after
+    * right-trim) end in terminal punctuation (. ! ? "), have at least
+    * `minLineWords` whitespace words, and contain no banned marker
+    * (case-insensitive). Emits the cleaned text (kept lines re-joined with
+    * newlines), the line counts, and `doc_kept` (enough lines survived).
+    * Array-op formulation — the whole rule pack is one projection, no
+    * explode/shuffle, so it composes with any downstream operator at scan
+    * cost.
+    */
+  def c4LineClean(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      p: C4Params = C4Params()
+  ): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    def keepLine(l: Column): Column = {
+      val t = rtrim(l)
+      val terminal = endswith(t, lit(".")) || endswith(t, lit("!")) ||
+        endswith(t, lit("?")) || endswith(t, lit("\""))
+      val enoughWords = size(filter(split(l, "\\s+"), w => length(w) > 0)) >= p.minLineWords
+      val clean = p.banned
+        .map(b => !contains(lower(l), lit(b)))
+        .reduce(_ && _)
+      terminal && enoughWords && clean
+    }
+    val kept = filter(lines, keepLine _)
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("kept_lines", size(kept).cast("long"))
+      .withColumn("cleaned", concat_ws("\n", kept))
+      .withColumn("doc_kept", col("kept_lines") >= p.minKeptLines)
+  }
+}

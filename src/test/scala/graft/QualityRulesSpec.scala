@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{LangModel, QualityRules}
+import graft.ops.QualityRules.{C4Params, GopherParams}
+
+class QualityRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gopherReport computes exact integer metrics and verdicts") {
+    val df = Seq(
+      // healthy doc: the/a stopwords, 6 words, mean len inside [3,10]
+      (1L, "the quick brown fox and the dog"),
+      // bullet-only lines → bullet rule fails
+      (2L, "- the first point\n- the second point\n- the third point"),
+      // symbol flood → symbol + alpha rules fail
+      (3L, "the # a # with # steps"),
+      // one giant word → word-count and mean-word-length fail
+      (4L, "thequickbrownfoxjumpsoverthelazydog"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val r = QualityRules.gopherReport(df, "doc_id", "text", GopherParams(minWords = 5))
+      .select("doc_id", "n_words", "sum_word_len", "n_sym", "bullet_lines",
+        "alpha_words", "stop_hits", "r_word_count", "r_mean_wlen", "r_symbols",
+        "r_bullets", "r_alpha", "r_stops")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(r(1L).getLong(1) == 7 && r(1L).getBoolean(7) && r(1L).getBoolean(8))
+    assert(r(1L).getLong(6) >= 2 && r(1L).getBoolean(12)) // the + and + a? (the, and)
+    assert(r(2L).getLong(4) == 3 && !r(2L).getBoolean(10)) // 3/3 bullets > 90%
+    assert(r(3L).getLong(3) == 3 && !r(3L).getBoolean(9))  // 3 symbols vs 7 words
+    assert(!r(3L).getBoolean(11))                          // 4/7 alpha < 80%
+    assert(r(4L).getLong(1) == 1 && !r(4L).getBoolean(7) && !r(4L).getBoolean(8))
+    assert(r(5L).getLong(1) == 0 && !r(5L).getBoolean(7))
+  }
+
+  test("c4LineClean keeps only terminal-punctuated, long-enough, clean lines") {
+    val text = Seq(
+      "this line ends with a period and is long enough.",
+      "too short.",
+      "this one has no terminal punctuation at all",
+      "please enable javascript to view this content.",
+      "var config = { a: 1 } is code and also fine length.",
+      "honest closing line with question mark at the end?").mkString("\n")
+    val out = QualityRules.c4LineClean(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text",
+      C4Params(minLineWords = 5, minKeptLines = 2)).collect().head
+    assert(out.getAs[Long]("n_lines") == 6)
+    assert(out.getAs[Long]("kept_lines") == 2)
+    assert(out.getAs[Boolean]("doc_kept"))
+    val cleaned = out.getAs[String]("cleaned")
+    assert(cleaned.startsWith("this line ends") && cleaned.endsWith("the end?"))
+  }
+
+  test("bigramSurprisal is the exact integer mean inverse probability") {
+    // corpus: a b | a b | a c  →  c1(a)=3 c1(b)=2 c1(c)=1, V=3,
+    // c2(a,b)=2 c2(a,c)=1
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val r = LangModel.bigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r(1L) == (1L, 2000000L)) // (3+3)*1e6 / (2+1)
+    assert(r(2L) == (1L, 2000000L))
+    assert(r(3L) == (1L, 3000000L)) // (3+3)*1e6 / (1+1)
+  }
+
+  test("bigramSurprisal drops docs without transitions and plans no cartesian") {
+    val df = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(LangModel.bigramSurprisal(df, "doc_id", "text").count() == 0)
+    val plan = LangModel.bigramSurprisal(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
