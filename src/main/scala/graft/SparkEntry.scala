@@ -1280,6 +1280,17 @@ object SparkEntry {
     graft.ops.LangModel.bigramSurprisal(docs(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** DSIR importance weighting (L50): sources src0-src2 play the quality
+    * seed corpus; every document is scored by its hashed-feature
+    * importance ratio against that target. The oracle rebuilds the
+    * identical bucket models (same md5 hash32, same smoothing, same
+    * integer micro-division) from scratch.
+    */
+  private def qDsir(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.dsirWeights(docs(s, dir), "doc_id", "text",
+      isTarget = col("source").isin("src0", "src1", "src2"))
+      .orderBy(col("doc_id"))
+
   /** Benchmark decontamination: every 20th doc plays the benchmark set;
     * overlap = fraction of a doc's distinct 3-grams present in it.
     */
@@ -2290,6 +2301,7 @@ object SparkEntry {
     "q_gopher_rules" -> (qGopherRules _),
     "q_clean_c4" -> (qCleanC4 _),
     "q_perplexity" -> (qPerplexity _),
+    "q_dsir" -> (qDsir _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_dedup_lines" -> (qDedupLines _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -3495,6 +3507,38 @@ object SparkEntry {
         |)
         |SELECT doc_id, count(*) AS n_transitions,
         |  CAST(sum(tm) // count(*) AS BIGINT) AS score_micro
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // DSIR: bucketed hashed-n-gram importance ratios, integer micro units.
+    // HUGEINT casts keep the (T+B)·(R+B)·1e6 products exact at any SF.
+    "q_dsir" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), uni AS (
+        |  SELECT doc_id, toks[i+1] AS f
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM nrm)
+        |  WHERE toks[i+1] <> ''
+        |), big AS (
+        |  SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS f
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 1)) AS i FROM nrm)
+        |), fb AS MATERIALIZED (
+        |  SELECT u.doc_id,
+        |    CASE WHEN d.source IN ('src0','src1','src2') THEN 1 ELSE 0 END AS tgt,
+        |    CAST(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big) u
+        |  JOIN documents d USING (doc_id)
+        |), counts AS MATERIALIZED (
+        |  SELECT b, count(*) AS rc, sum(tgt) AS tc FROM fb GROUP BY b
+        |), tot AS (SELECT sum(rc) AS r, sum(tc) AS t FROM counts),
+        |terms AS (
+        |  SELECT fb.doc_id,
+        |    (CAST(c.tc + 1 AS HUGEINT) * (tot.r + 1024) * 1000000)
+        |      // (CAST(c.rc + 1 AS HUGEINT) * (tot.t + 1024)) AS tm
+        |  FROM fb JOIN counts c USING (b) CROSS JOIN tot
+        |)
+        |SELECT doc_id, count(*) AS n_feats,
+        |  CAST(sum(tm) // count(*) AS BIGINT) AS weight_micro,
+        |  CAST((sum(tm) // count(*)) >= 1000000 AS INT) AS selected
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH nrm AS (

@@ -230,4 +230,69 @@ object Sampling {
       .filter(col(valueCol) >= col("_lo") && col(valueCol) <= col("_hi"))
       .drop("_lo", "_hi")
   }
+
+  /** DSIR-style data selection with importance resampling (Xie et al.
+    * 2023): score every document by how much more likely its hashed
+    * n-gram features are under a TARGET distribution (a quality seed
+    * corpus) than under the raw corpus. Features are normalized unigrams +
+    * bigrams hashed into `buckets` buckets; both "models" are bucket
+    * count tables with add-one smoothing.
+    *
+    * Per feature occurrence the integer importance ratio (micro-scaled) is
+    *
+    *   ratio(b) = ((t(b)+1) · (R+buckets) · 10^6) div ((r(b)+1) · (T+buckets))
+    *
+    * and the document weight is the arithmetic mean over its features —
+    * the same log-free exact-integer formulation as
+    * [[LangModel.bigramSurprisal]] (DSIR sums log ratios; the mean of
+    * ratios is a monotone-compatible surrogate that replays bit-exactly in
+    * any engine). Numerator magnitudes reach (T+B)·(R+B)·10^6, so the
+    * arithmetic runs in DECIMAL(38,0) — overflow-safe for any corpus whose
+    * token count squared stays under 10^32.
+    *
+    * Scale shape: the bucket tables are `buckets` rows — broadcast — so
+    * scoring is ONE explode + broadcast joins + one per-doc aggregation;
+    * no corpus-sized shuffle at all beyond the two count builds, both
+    * map-side combined.
+    *
+    * `selected` = weight ≥ 1.0 (in micro units): the doc looks more like
+    * the target than the background. For proportional sampling compose
+    * with [[byHash]] on a weight-derived threshold.
+    */
+  def dsirWeights(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 1024
+  ): DataFrame = {
+    val feats = corpus
+      .select(col(idCol).as("doc_id"), isTarget.as("_tgt"),
+        explode(concat(
+          graft.functions.TextFunctions.wordShingles(col(textCol), 1),
+          graft.functions.TextFunctions.wordShingles(col(textCol), 2))).as("f"))
+      .select(col("doc_id"), col("_tgt"),
+        pmod(graft.functions.HashFunctions.hash32(col("f")), lit(buckets)).as("b"))
+    val counts = feats
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("rc"),
+        sum(when(col("_tgt"), lit(1L)).otherwise(lit(0L))).as("tc"))
+    val totals = counts.agg(sum(col("rc")).as("_R"), sum(col("tc")).as("_T"))
+    feats
+      .join(broadcast(counts), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("tm", expr(
+        s"""CAST((CAST((tc + 1) AS DECIMAL(38,0)) * (_R + $buckets) * 1000000
+           |  - (CAST((tc + 1) AS DECIMAL(38,0)) * (_R + $buckets) * 1000000)
+           |    % (CAST((rc + 1) AS DECIMAL(38,0)) * (_T + $buckets)))
+           | / (CAST((rc + 1) AS DECIMAL(38,0)) * (_T + $buckets)) AS DECIMAL(38,0))"""
+          .stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("tm")).as("_s"))
+      .withColumn("weight_micro",
+        ((col("_s") - pmod(col("_s"), col("n_feats").cast("decimal(38,0)")))
+          / col("n_feats").cast("decimal(38,0)")).cast("long"))
+      .select(col("doc_id"), col("n_feats"), col("weight_micro"),
+        (col("weight_micro") >= 1000000L).cast("int").as("selected"))
+  }
 }

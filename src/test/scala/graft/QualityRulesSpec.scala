@@ -63,6 +63,27 @@ class QualityRulesSpec extends SparkSpec {
     assert(r(3L) == (1L, 3000000L)) // (3+3)*1e6 / (1+1)
   }
 
+  test("dsirWeights favors target-vocabulary docs, exact and broadcast-joined") {
+    // two disjoint vocabularies: target docs speak "alpha beta gamma",
+    // background speaks "delta epsilon zeta"
+    val df = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "alpha gamma beta gamma alpha", true),
+      (3L, "delta epsilon zeta delta epsilon", false),
+      (4L, "delta zeta epsilon zeta delta", false),
+      (5L, "alpha beta gamma delta epsilon", false) // mixed, not target
+    ).toDF("doc_id", "text", "is_t")
+    val out = graft.ops.Sampling.dsirWeights(df, "doc_id", "text", col("is_t"))
+    val w = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // target-vocab docs outrank pure-background docs; the mixed doc in between
+    assert(w(1L) > w(3L) && w(2L) > w(4L))
+    assert(w(5L) > w(3L) && w(5L) < w(1L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // weights are deterministic long micro-units (exact integer pipeline)
+    assert(out.schema("weight_micro").dataType.typeName == "long")
+  }
+
   test("bigramSurprisal drops docs without transitions and plans no cartesian") {
     val df = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
     assert(LangModel.bigramSurprisal(df, "doc_id", "text").count() == 0)
