@@ -52,6 +52,36 @@ class QualityRulesSpec extends SparkSpec {
     assert(cleaned.startsWith("this line ends") && cleaned.endsWith("the end?"))
   }
 
+  test("gopherReport metrics agree with an independent Scala reference on random text") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Seq("the", "a", "fox", "xyzzy", "-", "#", "...", "line\nbreak", "")
+    val texts = (0 until 60).map { i =>
+      (i.toLong, (0 until rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val got = QualityRules.gopherReport(df, "doc_id", "text")
+      .select("doc_id", "n_words", "sum_word_len", "n_sym", "n_lines", "bullet_lines",
+        "ellipsis_lines", "alpha_words", "stop_hits")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long])).toMap
+    texts.foreach { case (id, t) =>
+      val words = t.split("\\s+").filter(_.nonEmpty)
+      val lines = t.split("\n", -1)
+      def occ(n: String) = {
+        var c = 0; var i = t.indexOf(n)
+        while (i >= 0) { c += 1; i = t.indexOf(n, i + n.length) }; c
+      }
+      val ref = Seq[Long](
+        words.length, words.map(_.length).sum, occ("#") + occ("..."),
+        lines.length,
+        lines.count(l => Seq("- ", "* ", "• ").exists(l.dropWhile(_ == ' ').startsWith)),
+        lines.count(l => l.reverse.dropWhile(_ == ' ').reverse.endsWith("...")),
+        words.count(_.exists(_.isLetter)),
+        QualityRules.GopherStops.count(words.contains))
+      assert(got(id) == ref, s"doc $id: '$t'\n got ${got(id)}\n ref $ref")
+    }
+  }
+
   test("bigramSurprisal is the exact integer mean inverse probability") {
     // corpus: a b | a b | a c  →  c1(a)=3 c1(b)=2 c1(c)=1, V=3,
     // c2(a,b)=2 c2(a,c)=1
