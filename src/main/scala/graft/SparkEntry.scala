@@ -1355,6 +1355,23 @@ object SparkEntry {
       )
       .orderBy(col("id"))
 
+  /** Audio decode over blobs (second binary modality through the same
+    * mapPartitions seam): the stub kernel's md5-derived metadata and
+    * byte-bucket energy replay in SQL; [[graft.ops.Multimodal.WavAudioCodecs]]
+    * is the REAL JDK WAV decode behind the identical schema (spec-tested on
+    * generated PCM fixtures).
+    */
+  private def qAudio(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Multimodal.decodeAudio(
+      docs(s, dir).withColumn("blob", col("text").cast("binary")), "doc_id", "blob")
+      .select(
+        col("id"),
+        col("sample_rate"),
+        col("channels"),
+        col("n_frames"),
+        array_join(transform(col("energy"), _.cast("string")), ",").as("energy"))
+      .orderBy(col("id"))
+
   /** Frame sampling over blobs — the mapPartitions batch path, oracle-checked
     * via the deterministic stub's slice arithmetic.
     */
@@ -2074,6 +2091,7 @@ object SparkEntry {
             .agg(count(lit(1)).as("n"),
               sum(col("value").cast("decimal(28,4)")).cast("double").as("sum_value"))
             .withColumn("batch_id", lit(bid))
+            .coalesce(1) // aggregate output is O(#waves) rows; one file per batch
             .write.mode("append").parquet(s"$tmp/out")
           ()
         }
@@ -2275,6 +2293,7 @@ object SparkEntry {
     "q_fingerprint" -> (qFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal" -> (qMultimodal _),
+    "q_audio" -> (qAudio _),
     "q_frames" -> (qFrames _),
     "q_join_salted" -> (qJoinSalted _),
     "q_source_partitioned" -> (qSourcePartitioned _),
@@ -3131,6 +3150,19 @@ object SparkEntry {
         |  array_to_string(list_transform(range(0,8), k ->
         |    coalesce(list_sum(list_transform(range(1+k, length(text)+1, 8),
         |                                     i -> ord(substr(text,i,1)))), 0)), ',') AS features
+        |FROM documents ORDER BY id""".stripMargin,
+    // Audio stub decode: md5-derived meta + byte-bucket energy, replayed
+    // exactly (the same oracle pattern as q_multimodal's features).
+    "q_audio" ->
+      """SELECT doc_id AS id,
+        |  CAST(CASE ('0x'||substr(md5(text),1,8))::BIGINT % 5
+        |    WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+        |    WHEN 3 THEN 44100 ELSE 48000 END AS INT) AS sample_rate,
+        |  CAST((('0x'||substr(md5(text),1,8))::BIGINT % 2) + 1 AS INT) AS channels,
+        |  CAST((('0x'||substr(md5(text),1,8))::BIGINT % 100000) + 1 AS BIGINT) AS n_frames,
+        |  array_to_string(list_transform(range(0,8), k ->
+        |    coalesce(list_sum(list_transform(range(1+k, length(text)+1, 8),
+        |                                     i -> ord(substr(text,i,1)))), 0)), ',') AS energy
         |FROM documents ORDER BY id""".stripMargin,
     "q_frames" ->
       """SELECT doc_id AS id, i AS frame_idx,

@@ -301,4 +301,119 @@ object Multimodal {
   private def md5Hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map("%02x".format(_)).mkString
+
+  // ==========================================================================
+  // Audio — the same swappable-kernel seam for the second binary modality
+  // ==========================================================================
+
+  /** Audio decode kernels: metadata (sample rate, channels, frame count)
+    * and an 8-bucket integer energy profile (sum of |sample| per time
+    * bucket — integer-exact, no FP accumulation order to drift).
+    */
+  trait AudioCodec extends Serializable {
+    /** (sampleRateHz, channels, frames); (-1, -1, -1L) when undecodable. */
+    def audioMeta(blob: Array[Byte]): (Int, Int, Long)
+    /** 8 time-bucket sums of |sample|; empty when undecodable. */
+    def audioEnergy(blob: Array[Byte]): Array[Long]
+  }
+
+  /** STUB audio kernels — md5-derived metadata (SQL-expressible, so an
+    * oracle can replay the decode path) and byte-bucket sums, mirroring
+    * [[StubCodecs]].
+    */
+  object StubAudioCodecs extends AudioCodec {
+    def audioMeta(blob: Array[Byte]): (Int, Int, Long) = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(blob)
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val rates = Array(8000, 16000, 22050, 44100, 48000)
+      (rates((h % 5).toInt), (h % 2).toInt + 1, h % 100000 + 1)
+    }
+    def audioEnergy(blob: Array[Byte]): Array[Long] = {
+      val sums = new Array[Long](8)
+      var i = 0
+      while (i < blob.length) { sums(i % 8) += (blob(i) & 0xff); i += 1 }
+      sums
+    }
+  }
+
+  /** REAL audio decode, JDK-only (javax.sound.sampled ships WAV/AIFF/AU
+    * readers with the JRE; compressed formats — mp3/flac/ogg — need an SPI
+    * jar wired at this same seam). PCM samples are decoded to 16-bit
+    * signed and |sample| is summed into 8 equal time buckets as longs —
+    * int64-safe to ~2.8·10^14 frames per bucket. Undecodable bytes degrade
+    * per-row, never failing the task: at 100 TB some blobs WILL be
+    * truncated, and one bad row must not kill a partition of good ones.
+    */
+  object WavAudioCodecs extends AudioCodec {
+    private def stream(blob: Array[Byte]) =
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob))
+
+    def audioMeta(blob: Array[Byte]): (Int, Int, Long) =
+      try {
+        val in = stream(blob)
+        try {
+          val f = in.getFormat
+          (f.getSampleRate.toInt, f.getChannels, in.getFrameLength)
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => (-1, -1, -1L) }
+
+    def audioEnergy(blob: Array[Byte]): Array[Long] =
+      try {
+        val in = stream(blob)
+        try {
+          val f = in.getFormat
+          val bytesPerSample = math.max(f.getSampleSizeInBits / 8, 1)
+          val bytes = in.readAllBytes()
+          val nSamples = bytes.length / bytesPerSample
+          if (nSamples == 0) return Array.empty[Long]
+          val sums = new Array[Long](8)
+          var i = 0
+          while (i < nSamples) {
+            val off = i * bytesPerSample
+            val s =
+              if (bytesPerSample >= 2) {
+                // 16-bit window of the sample, honoring endianness
+                val (lo, hi) = if (f.isBigEndian) (off + bytesPerSample - 1, off)
+                else (off, off + bytesPerSample - 1)
+                ((bytes(hi) << 8) | (bytes(lo) & 0xff)).toShort.toInt
+              } else (bytes(off) & 0xff) - 128 // 8-bit PCM is unsigned
+            sums((i.toLong * 8 / nSamples).toInt) += math.abs(s).toLong
+            i += 1
+          }
+          sums
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => Array.empty[Long] }
+  }
+
+  /** Audio decode over a binary column: (id, sample_rate, channels,
+    * n_frames, energy[8]) — the same partition-batched mapPartitions shape
+    * as [[decodeImages]], so schema/partitioning are identical whichever
+    * kernel (stub or real WAV) runs.
+    */
+  def decodeAudio(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      codec: AudioCodec = StubAudioCodecs
+  ): DataFrame = {
+    val outSchema = StructType(
+      Seq(
+        StructField("id", LongType),
+        StructField("sample_rate", IntegerType),
+        StructField("channels", IntegerType),
+        StructField("n_frames", LongType),
+        StructField("energy", ArrayType(LongType))
+      )
+    )
+    val input: Dataset[Row] = df.select(col(idCol).cast("long"), col(blobCol))
+    input.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val blob = r.getAs[Array[Byte]](1)
+        val (sr, ch, fr) = codec.audioMeta(blob)
+        Row(id, sr, ch, fr, codec.audioEnergy(blob).toSeq)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

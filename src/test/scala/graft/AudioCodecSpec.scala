@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+
+/** The REAL JDK WAV decode behind the audio codec seam, on generated PCM
+  * fixtures (javax.sound writes the RIFF container, so the bytes are
+  * well-formed by construction — the test owns the sample values).
+  */
+class AudioCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 16-bit mono little-endian PCM WAV of the given samples. */
+  private def wav(samples: Array[Short], rateHz: Float = 8000f): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz, 16, 1, true, false)
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, samples.length)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("WavAudioCodecs decodes real PCM: meta and integer energy buckets") {
+    val ramp = Array.tabulate(800)(i => (i - 400).toShort) // signed values both sides of 0
+    val blob = wav(ramp)
+    assert(Multimodal.WavAudioCodecs.audioMeta(blob) == (8000, 1, 800L))
+    val energy = Multimodal.WavAudioCodecs.audioEnergy(blob)
+    val expected = ramp.grouped(100).map(_.map(s => math.abs(s.toInt).toLong).sum).toArray
+    assert(energy.toSeq == expected.toSeq)
+  }
+
+  test("undecodable bytes degrade per-row instead of failing the task") {
+    assert(Multimodal.WavAudioCodecs.audioMeta("not audio".getBytes) == (-1, -1, -1L))
+    assert(Multimodal.WavAudioCodecs.audioEnergy(Array.emptyByteArray).isEmpty)
+    // a partition mixing good and bad blobs decodes the good ones
+    val rows = Seq(
+      (1L, wav(Array.tabulate(80)(_.toShort))),
+      (2L, "garbage".getBytes)
+    ).toDF("doc_id", "blob")
+    val out = Multimodal.decodeAudio(rows, "doc_id", "blob",
+      codec = Multimodal.WavAudioCodecs)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(1L) == 8000 && out(2L) == -1)
+  }
+
+  test("stub and real kernels share one schema through decodeAudio") {
+    val df = Seq((1L, "abc".getBytes)).toDF("doc_id", "blob")
+    val stub = Multimodal.decodeAudio(df, "doc_id", "blob").schema
+    val real = Multimodal.decodeAudio(df, "doc_id", "blob",
+      codec = Multimodal.WavAudioCodecs).schema
+    assert(stub == real)
+  }
+}
