@@ -1355,6 +1355,33 @@ object SparkEntry {
       )
       .orderBy(col("id"))
 
+  /** KMV distinct sketch (custom TypedImperativeAggregate) next to the
+    * exact count: per event_type, the k=64 minimum distinct user-id
+    * hashes, the estimator, and the saturation point. The sketch is an
+    * EXACT function of the hash set — partitioning/merge order cannot
+    * change it — so the oracle re-derives sketch, kth value, and estimate
+    * with window functions. n_exact rides along to show estimator error
+    * in-result.
+    */
+  private def qSketchDistinct(s: SparkSession, dir: String): DataFrame = {
+    // distinct "active user-days" per event type — thousands per group and
+    // different across groups, so each sketch is distinct and saturated
+    val key = concat(col("user_id").cast("string"), lit(":"),
+      expr("unix_micros(ts) div 86400000000").cast("string"))
+    val h = graft.functions.HashFunctions.hash60(key)
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(key).as("n_exact"),
+        graft.functions.HashFunctions.kmvSketch(h, 64).as("_sk"))
+      .select(col("event_type"), col("n_exact"),
+        graft.functions.HashFunctions.kmvEstimate(col("_sk"), 64).as("n_est"),
+        size(col("_sk")).cast("long").as("sk_size"),
+        when(size(col("_sk")) >= 64, element_at(col("_sk"), 64))
+          .otherwise(lit(-1L)).as("kth_min"))
+      .orderBy(col("event_type"))
+  }
+
   /** Audio decode over blobs (second binary modality through the same
     * mapPartitions seam): the stub kernel's md5-derived metadata and
     * byte-bucket energy replay in SQL; [[graft.ops.Multimodal.WavAudioCodecs]]
@@ -2294,6 +2321,7 @@ object SparkEntry {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal" -> (qMultimodal _),
     "q_audio" -> (qAudio _),
+    "q_sketch_distinct" -> (qSketchDistinct _),
     "q_frames" -> (qFrames _),
     "q_join_salted" -> (qJoinSalted _),
     "q_source_partitioned" -> (qSourcePartitioned _),
@@ -3151,6 +3179,38 @@ object SparkEntry {
         |    coalesce(list_sum(list_transform(range(1+k, length(text)+1, 8),
         |                                     i -> ord(substr(text,i,1)))), 0)), ',') AS features
         |FROM documents ORDER BY id""".stripMargin,
+    // KMV sketch: the k-minimum hash set is an exact function of the data,
+    // so the oracle rebuilds the sketch with a window rank and replays the
+    // (k-1)*2^60 div kth estimator in HUGEINT.
+    "q_sketch_distinct" ->
+      """WITH k AS (
+        |  SELECT event_type,
+        |    CAST(user_id AS VARCHAR) || ':' ||
+        |      CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS ky
+        |  FROM events
+        |), h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x'||substr(md5(ky),1,15))::BIGINT AS hv
+        |  FROM k
+        |), r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h
+        |), x AS (
+        |  SELECT event_type, max(nd) AS nd,
+        |    max(CASE WHEN rn = 64 THEN hv END) AS kth
+        |  FROM r GROUP BY event_type
+        |), e AS (
+        |  SELECT event_type, count(DISTINCT ky) AS n_exact
+        |  FROM k GROUP BY event_type
+        |)
+        |SELECT e.event_type, e.n_exact,
+        |  CAST(CASE WHEN x.nd < 64 THEN x.nd
+        |       ELSE (63::HUGEINT * 1152921504606846976) // x.kth END AS BIGINT) AS n_est,
+        |  CAST(least(x.nd, 64) AS BIGINT) AS sk_size,
+        |  coalesce(x.kth, -1) AS kth_min
+        |FROM e JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
     // Audio stub decode: md5-derived meta + byte-bucket energy, replayed
     // exactly (the same oracle pattern as q_multimodal's features).
     "q_audio" ->

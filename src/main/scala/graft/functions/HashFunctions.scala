@@ -131,4 +131,29 @@ object HashFunctions {
     }
     array(keys: _*)
   }
+
+  /** KMV distinct sketch over a hash60 column (see [[KmvSketch]]): the
+    * aggregate value is the sorted array of the k smallest distinct
+    * hashes — bounded per-group state, map-side combined, merge-safe.
+    */
+  def kmvSketch(hash60Col: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      KmvSketch(ColumnBridge.expression(hash60Col), k).toAggregateExpression())
+  }
+
+  /** KMV estimate from a sketch array: exact distinct count while the
+    * sketch is unsaturated (fewer than k distinct values seen), else the
+    * classic `(k−1)·2^60 div kth_min` estimator — in DECIMAL(38,0) so the
+    * 2^60-scale product cannot overflow, with the subtract-remainder trick
+    * for exact integer division (replays as HUGEINT `//` in the oracle).
+    */
+  def kmvEstimate(sketch: Column, k: Int): Column = {
+    val kth = element_at(sketch, k).cast("decimal(38,0)")
+    val num = lit(new java.math.BigDecimal(
+      java.math.BigInteger.ONE.shiftLeft(60).multiply(
+        java.math.BigInteger.valueOf(k - 1L)))).cast("decimal(38,0)")
+    when(size(sketch) < k, size(sketch).cast("long"))
+      .otherwise(((num - pmod(num, kth)) / kth).cast("long"))
+  }
 }

@@ -1,0 +1,110 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** KMV (k-minimum-values) distinct-count sketch as a native Catalyst
+  * TypedImperativeAggregate — the mergeable-sketch shape a 100 TB engine
+  * needs for distinct counting: per-group state is the k smallest DISTINCT
+  * hash values (bounded: k longs, here k·8 bytes), partial aggregation
+  * happens map-side, and merge is a bounded set union — associative,
+  * commutative, and therefore independent of partitioning and task order.
+  *
+  * Unlike HLL-family sketches the KMV state and estimate are EXACT
+  * functions of the input's hash set: `(k−1)·2^60 div kth_min` (the
+  * classic KMV estimator over the hash60 space, integer-division form) —
+  * so the whole sketch sits under the cross-engine hash gate; an oracle
+  * can re-derive the identical sketch and estimate with ORDER BY + LIMIT.
+  * Spark's own approx_count_distinct (HLL++) cannot be oracle-checked
+  * that way, which is exactly why this sketch exists here.
+  *
+  * The buffer is a TreeSet (ascending): dedup + bounded trim in O(log k)
+  * per row; eval emits the sorted k-minimum array (the sketch itself), so
+  * callers can both estimate and further merge sketches relationally.
+  */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with UnaryLike[Expression] {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow
+  ): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.add(v.asInstanceOf[Long])
+      if (buf.size > k) buf.pollLast() // drop the largest; keep k minima
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]
+  ): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) {
+      buf.add(it.next())
+      if (buf.size > k) buf.pollLast()
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator() // TreeSet iterates ascending
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(4 + buf.size * 8)
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.add(in.readLong()); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"kmv_sketch requires a BIGINT hash column, got ${child.dataType.sql}")
+  override def prettyName: String = "kmv_sketch"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketch =
+    copy(child = newChild)
+}

@@ -130,11 +130,26 @@ object Readers {
   * and predicate pushdown on other columns are unaffected.
   */
 object Tables {
+  private val InferNtzConf = "spark.sql.parquet.inferTimestampNTZ.enabled"
+
   def read(s: SparkSession, dir: String, name: String): DataFrame = {
+    // Prefer the scan-level normalization: with NTZ inference off the
+    // reader types the column TIMESTAMP directly — no projection at all.
+    val prev = s.conf.getOption(InferNtzConf)
+    s.conf.set(InferNtzConf, "false")
     val df =
-      if (name == "events")
-        Readers.parquetWithNanos(s, s"$dir/events.parquet", Seq("ts"))
-      else s.read.parquet(s"$dir/$name.parquet")
+      try {
+        if (name == "events")
+          Readers.parquetWithNanos(s, s"$dir/events.parquet", Seq("ts"))
+        else s.read.parquet(s"$dir/$name.parquet")
+      } finally prev match {
+        case Some(v) => s.conf.set(InferNtzConf, v)
+        case None    => s.conf.unset(InferNtzConf)
+      }
+    // Fallback for sessions that pin their own schema or inference rules:
+    // any column that still arrives NTZ gets a projection-level cast
+    // (predicate pushdown survives it — Catalyst rewrites comparisons
+    // through the UTC cast — verified in the plan).
     df.schema.fields.foldLeft(df) { (d, f) =>
       f.dataType match {
         case org.apache.spark.sql.types.TimestampNTZType =>

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions => H}
+
+/** The KMV sketch aggregate: exactness, merge-order independence, and the
+  * estimator's integer arithmetic.
+  */
+class KmvSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sketch is the sorted k smallest distinct hashes, dedup included") {
+    val df = Seq(5L, 3L, 9L, 3L, 1L, 9L, 7L).toDF("h")
+    val sk = df.agg(H.kmvSketch(col("h"), 4)).as[Seq[Long]].collect().head
+    assert(sk == Seq(1L, 3L, 5L, 7L))
+    // unsaturated: all distinct values present
+    val small = df.agg(H.kmvSketch(col("h"), 100)).as[Seq[Long]].collect().head
+    assert(small == Seq(1L, 3L, 5L, 7L, 9L))
+  }
+
+  test("sketch is independent of partitioning (merge is a bounded set union)") {
+    val data = (1L to 5000L).map(i => i * 2654435761L % 1000003L)
+    for (parts <- Seq(1, 7, 32)) {
+      val sk = data.toDF("h").repartition(parts)
+        .agg(H.kmvSketch(col("h"), 64)).as[Seq[Long]].collect().head
+      val expected = data.distinct.sorted.take(64)
+      assert(sk == expected, s"parts=$parts")
+    }
+  }
+
+  test("estimator: exact below k, (k-1)*2^60 div kth at saturation") {
+    val df = Seq((1L, 10L), (1L, 20L), (2L, 100L), (2L, 200L), (2L, 300L))
+      .toDF("g", "h")
+    val out = df.groupBy(col("g")).agg(H.kmvSketch(col("h"), 2).as("sk"))
+      .select(col("g"), H.kmvEstimate(col("sk"), 2).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twoTo60 = BigInt(1) << 60
+    assert(out(1L) == (twoTo60 / 20).toLong) // kth = 20, k-1 = 1
+    assert(out(2L) == (twoTo60 / 200).toLong)
+    val one = Seq(42L).toDF("h").agg(H.kmvSketch(col("h"), 2).as("sk"))
+      .select(H.kmvEstimate(col("sk"), 2)).collect().head.getLong(0)
+    assert(one == 1L) // unsaturated → exact count
+  }
+
+  test("estimate converges on real hash60 values") {
+    val n = 20000
+    val df = (1 to n).map(_.toString).toDF("s")
+      .select(H.hash60(col("s")).as("h"))
+    val est = df.agg(H.kmvSketch(col("h"), 256).as("sk"))
+      .select(H.kmvEstimate(col("sk"), 256)).collect().head.getLong(0)
+    assert(math.abs(est - n).toDouble / n < 0.15, s"est=$est for n=$n")
+  }
+}
