@@ -1301,6 +1301,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Bloom-pruned decontamination: same fixture and same final
+    * (n_sh, n_hit, overlap) as q_decontaminate, but membership runs
+    * against a 16384-bit broadcast bitset (scan-local bit arithmetic, no
+    * probe join for the corpus side) with the exact confirm join touching
+    * only candidates. The bitset is deliberately small so the FP gap
+    * (n_cand > n_hit) appears in-result; the oracle re-derives every bit
+    * position and replays the all-k-bits-set candidate rule in SQL.
+    */
+  private def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0).select(col("text"))
+    graft.ops.Contamination
+      .bloomOverlap(d, "doc_id", "text", bench, "text", n = 3, mBits = 16384, numHashes = 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** Cross-corpus line dedup. The corpus has no newlines, so "lines" are
     * the 8-token chunks of the normalized text (built deterministically in
     * the query); near-dup documents share chunks, which maxDf=1 removes
@@ -1380,6 +1396,34 @@ object SparkEntry {
         when(size(col("_sk")) >= 64, element_at(col("_sk"), 64))
           .otherwise(lit(-1L)).as("kth_min"))
       .orderBy(col("event_type"))
+  }
+
+  /** Count-Min heavy hitters (custom TypedImperativeAggregate #2): one
+    * fixed d×w counter matrix over ALL token occurrences — no
+    * distinct-token shuffle anywhere in the sketch branch; each task folds
+    * its partition into its matrix map-side and the exchange moves only
+    * the matrices (at production widths, ~64 KB vs a vocabulary-sized
+    * shuffle). The fixture uses 4×16 — deliberately undersized for the
+    * 31-token synthetic vocab so the one-sided error is visible in-result
+    * (n_est ≥ n_exact always; collisions give real overcounts). The exact
+    * top-20 rides alongside; the oracle rebuilds every counter with
+    * GROUP BY (row, bucket) and replays min-over-rows reads.
+    */
+  private def qSketchHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val d = 4; val w = 16
+    val H = graft.functions.HashFunctions
+    val toks = t(s, dir, "documents")
+      .select(explode(TF.tokens(col("text"))).as("tok"))
+    val sk = toks
+      .select(H.cmsPositions(col("tok"), d, w).as("pos"))
+      .agg(H.cmsSketch(col("pos"), d, w).as("sk"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok")).limit(20)
+    top.crossJoin(broadcast(sk))
+      .select(col("tok").as("token"), col("n_exact"),
+        H.cmsEstimate(col("sk"), H.cmsPositions(col("tok"), d, w), d, w).as("n_est"))
+      .withColumn("overcount", col("n_est") - col("n_exact"))
+      .orderBy(col("n_exact").desc, col("token"))
   }
 
   /** Audio decode over blobs (second binary modality through the same
@@ -2322,6 +2366,7 @@ object SparkEntry {
     "q_multimodal" -> (qMultimodal _),
     "q_audio" -> (qAudio _),
     "q_sketch_distinct" -> (qSketchDistinct _),
+    "q_sketch_heavyhitters" -> (qSketchHeavyHitters _),
     "q_frames" -> (qFrames _),
     "q_join_salted" -> (qJoinSalted _),
     "q_source_partitioned" -> (qSourcePartitioned _),
@@ -2350,6 +2395,7 @@ object SparkEntry {
     "q_perplexity" -> (qPerplexity _),
     "q_dsir" -> (qDsir _),
     "q_decontaminate" -> (qDecontaminate _),
+    "q_decontaminate_bloom" -> (qDecontaminateBloom _),
     "q_dedup_lines" -> (qDedupLines _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_shuffle" -> (qShuffle _),
@@ -3211,6 +3257,31 @@ object SparkEntry {
         |  CAST(least(x.nd, 64) AS BIGINT) AS sk_size,
         |  coalesce(x.kth, -1) AS kth_min
         |FROM e JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
+    // Count-Min: every counter is a plain GROUP BY over (row, bucket) of
+    // the md5-derived positions; estimates replay as min-over-rows reads.
+    "q_sketch_heavyhitters" ->
+      """WITH nrm AS (
+        |  SELECT string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), occ AS MATERIALIZED (
+        |  SELECT toks[i+1] AS tok
+        |  FROM (SELECT toks, unnest(range(0, len(toks))) AS i FROM nrm)
+        |  WHERE toks[i+1] <> ''
+        |), cms AS MATERIALIZED (
+        |  SELECT r, ('0x'||substr(md5(CAST(r AS VARCHAR)||':'||tok),1,15))::BIGINT % 16 AS b,
+        |    count(*) AS c
+        |  FROM occ CROSS JOIN range(4) t(r)
+        |  GROUP BY 1, 2
+        |), top AS (
+        |  SELECT tok AS token, count(*) AS n_exact
+        |  FROM occ GROUP BY tok ORDER BY n_exact DESC, token LIMIT 20
+        |)
+        |SELECT token, n_exact, min(c) AS n_est, min(c) - n_exact AS overcount
+        |FROM top CROSS JOIN range(4) t(r)
+        |JOIN cms ON cms.r = t.r
+        |  AND cms.b = ('0x'||substr(md5(CAST(t.r AS VARCHAR)||':'||token),1,15))::BIGINT % 16
+        |GROUP BY token, n_exact
+        |ORDER BY n_exact DESC, token""".stripMargin,
     // Audio stub decode: md5-derived meta + byte-bucket energy, replayed
     // exactly (the same oracle pattern as q_multimodal's features).
     "q_audio" ->
@@ -3651,6 +3722,43 @@ object SparkEntry {
         |  CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
         |  round(CASE WHEN a.n_sh IS NULL THEN 0.0 ELSE CAST(a.n_hit AS DOUBLE) / a.n_sh END, 6) AS overlap
         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // Bloom-pruned variant: re-derive the 3 bit positions per shingle,
+    // candidate = all 3 positions in the benchmark's distinct-position
+    // set, then exact-confirm candidates only. n_sh/n_hit/overlap must
+    // equal q_decontaminate's; n_cand exposes the FP gap.
+    "q_decontaminate_bloom" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM nrm)
+        |), bsh AS MATERIALIZED (
+        |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+        |), bpos AS MATERIALIZED (
+        |  SELECT DISTINCT ('0x'||substr(md5('b'||CAST(j AS VARCHAR)||':'||shingle),1,15))::BIGINT % 16384 AS p
+        |  FROM bsh CROSS JOIN range(3) t(j)
+        |), cand AS (
+        |  SELECT s.doc_id, s.shingle
+        |  FROM sh s CROSS JOIN range(3) t(j)
+        |  LEFT JOIN bpos ON bpos.p =
+        |    ('0x'||substr(md5('b'||CAST(t.j AS VARCHAR)||':'||s.shingle),1,15))::BIGINT % 16384
+        |  GROUP BY s.doc_id, s.shingle
+        |  HAVING count(bpos.p) = 3
+        |), hits AS (
+        |  SELECT c.doc_id, count(*) AS n_cand,
+        |         sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        |  FROM cand c LEFT JOIN bsh b USING (shingle) GROUP BY c.doc_id
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n_sh, 0) AS BIGINT) AS n_sh,
+        |  CAST(coalesce(h.n_cand, 0) AS BIGINT) AS n_cand,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  round(CASE WHEN a.n_sh IS NULL THEN 0.0 ELSE CAST(coalesce(h.n_hit, 0) AS DOUBLE) / a.n_sh END, 6) AS overlap
+        |FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN hits h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_lines" ->
       """WITH nrm AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks

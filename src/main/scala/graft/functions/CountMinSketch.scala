@@ -1,0 +1,111 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Count-Min frequency sketch as a native Catalyst
+  * `TypedImperativeAggregate` — the second member of the mergeable-sketch
+  * family (with [[KmvSketch]]): per-group state is a FIXED d×w matrix of
+  * long counters (d·w·8 bytes, independent of input cardinality), update
+  * is d array increments, and merge is elementwise addition — associative,
+  * commutative, partition- and order-independent. At 100 TB this is the
+  * heavy-hitter shape: token frequencies without a distinct-token shuffle —
+  * each task folds its partition into one 64 KB matrix map-side, the
+  * exchange moves only the matrices, and point estimates are O(d) reads.
+  *
+  * Like KMV (and unlike any randomized-seed sketch), the state is an EXACT
+  * function of the input multiset: the child is the item's d bucket
+  * positions (md5-derived, see `HashFunctions.cmsPositions`), so an oracle
+  * re-derives every counter with a plain GROUP BY over (row, bucket) and
+  * every estimate as min-over-rows — the whole sketch sits under the
+  * cross-engine hash gate. The classic one-sided error bound holds
+  * deterministically: estimate ≥ true count, and estimate ≤ true count +
+  * εN with probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln(1/δ)⌉ (Cormode &
+  * Muthukrishnan 2005).
+  *
+  * The buffer is the flat row-major matrix `state[row·w + bucket]`; eval
+  * emits it as array<long> so estimates can be read relationally
+  * (`element_at`) and sketches of different groups can be merged further
+  * with `zip_with(+)`.
+  */
+case class CountMinSketch(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+
+  require(depth >= 1 && width >= 1, s"need depth,width >= 1, got $depth x $width")
+  require(depth.toLong * width <= (1L << 22),
+    s"sketch matrix $depth x $width exceeds the 4M-counter sanity bound")
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val pos = v.asInstanceOf[ArrayData]
+      require(pos.numElements() == depth,
+        s"cms positions array has ${pos.numElements()} elements, expected depth=$depth")
+      var r = 0
+      while (r < depth) {
+        val p = pos.getInt(r)
+        buf(r * width + p) += 1L
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(buf.length * 8)
+    val out = new DataOutputStream(bos)
+    var i = 0
+    while (i < buf.length) { out.writeLong(buf(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < buf.length) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cms_sketch requires array<int> bucket positions, got ${other.sql}")
+    }
+  override def prettyName: String = "cms_sketch"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CountMinSketch =
+    copy(child = newChild)
+}

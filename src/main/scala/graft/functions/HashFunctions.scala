@@ -142,6 +142,36 @@ object HashFunctions {
       KmvSketch(ColumnBridge.expression(hash60Col), k).toAggregateExpression())
   }
 
+  /** Count-Min bucket positions for an item: row r's bucket is
+    * hash60("r:" || item) mod width — the md5-derived hash family every
+    * sketch operator here uses, replayable in any engine. Feed the result
+    * to [[cmsSketch]] (aggregate) and [[cmsEstimate]] (point read).
+    */
+  def cmsPositions(item: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map { r =>
+      pmod(hash60(concat(lit(r + ":"), item)), lit(width.toLong)).cast("int")
+    }: _*)
+
+  /** Count-Min sketch aggregate over a positions column (see
+    * [[CountMinSketch]]): the value is the flat row-major d×w counter
+    * matrix — fixed-size state, map-side combined, merge = elementwise add.
+    */
+  def cmsSketch(positions: Column, depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      CountMinSketch(ColumnBridge.expression(positions), depth, width)
+        .toAggregateExpression())
+  }
+
+  /** Count-Min point estimate: min over rows of the item's counter —
+    * ≥ the true count always, ≤ true + εN w.h.p. All reads are
+    * element_at on the (broadcast) sketch array; no shuffle.
+    */
+  def cmsEstimate(sketch: Column, positions: Column, depth: Int, width: Int): Column =
+    array_min(array((0 until depth).map { r =>
+      element_at(sketch, element_at(positions, r + 1) + lit(r * width + 1))
+    }: _*))
+
   /** KMV estimate from a sketch array: exact distinct count while the
     * sketch is unsaturated (fewer than k distinct values seen), else the
     * classic `(k−1)·2^60 div kth_min` estimator — in DECIMAL(38,0) so the

@@ -58,6 +58,63 @@ object Contamination {
           6).as("overlap"))
   }
 
+  /** [[overlap]] with Bloom-filter pruning — the shape that survives when
+    * the benchmark n-gram set itself is too big to broadcast as strings.
+    * The benchmark side compresses to an mBits bitset
+    * ([[graft.functions.BloomFilter]]): the corpus-side membership test
+    * becomes scan-local bit arithmetic against one broadcast row (no
+    * join, no shuffle), and only the candidate sliver — true hits plus
+    * the designed εN false positives — reaches the exact string-confirm
+    * join. Final (n_sh, n_hit, overlap) are IDENTICAL to [[overlap]]
+    * (Bloom has no false negatives, and candidates are exactly
+    * confirmed); `n_cand` rides along to expose the pruning ratio and
+    * the FP gap (n_cand ≥ n_hit).
+    */
+  def bloomOverlap(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int,
+      mBits: Int,
+      numHashes: Int
+  ): DataFrame = {
+    import graft.functions.BloomFilter
+    val bsh = bench
+      .select(explode(array_distinct(T.wordShingles(col(benchTextCol), n))).as("_sh"))
+      .distinct()
+    val bits = BloomFilter.bitsFrame(bsh, "_sh", numHashes, mBits)
+    // two consumers (per-doc totals; candidate confirm) — materialize the
+    // exploded shingles once (the Retrieval.postings storage contract)
+    val tested = docs
+      .select(col(idCol), explode(array_distinct(T.wordShingles(col(textCol), n))).as("_sh"))
+      .crossJoin(broadcast(bits))
+      .withColumn("_cand",
+        BloomFilter.contains(col("bits"), BloomFilter.positions(col("_sh"), numHashes, mBits)))
+      .drop("bits")
+      .localCheckpoint(false)
+    val totals = tested.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val hits = tested
+      .filter(col("_cand"))
+      .join(broadcast(bsh.withColumn("_b", lit(1L))), Seq("_sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_cand"), sum(coalesce(col("_b"), lit(0L))).as("n_hit"))
+    docs
+      .select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(hits, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(
+          when(coalesce(col("n_sh"), lit(0L)) === 0, lit(0.0))
+            .otherwise(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh").cast("double")),
+          6).as("overlap"))
+  }
+
   /** Near-dup contamination score: the highest minhash-signature
     * agreement (an unbiased Jaccard estimate) between each document and
     * ANY benchmark document sharing an LSH band — 0.0 when no candidate.

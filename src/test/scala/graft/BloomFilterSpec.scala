@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.BloomFilter
+
+/** The relational Bloom filter: no false negatives ever, designed false
+  * positives, and bloomOverlap's exactness-preserving pruning.
+  */
+class BloomFilterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("no false negatives: every inserted item tests positive") {
+    val items = (1 to 500).map(i => s"gram-$i")
+    val bits = BloomFilter.bitsFrame(items.toDF("g"), "g", 3, 4096)
+    val misses = items.toDF("g")
+      .crossJoin(broadcast(bits))
+      .filter(!BloomFilter.contains(col("bits"), BloomFilter.positions(col("g"), 3, 4096)))
+      .count()
+    assert(misses == 0L)
+  }
+
+  test("false positives exist at an undersized width but stay a minority") {
+    val inserted = (1 to 500).map(i => s"in-$i")
+    val probes = (1 to 2000).map(i => s"out-$i") // disjoint from inserted
+    val bits = BloomFilter.bitsFrame(inserted.toDF("g"), "g", 3, 4096)
+    val fp = probes.toDF("g")
+      .crossJoin(broadcast(bits))
+      .filter(BloomFilter.contains(col("bits"), BloomFilter.positions(col("g"), 3, 4096)))
+      .count()
+    // design ε = (1 - e^(-3*500/4096))^3 ≈ 2.9%; allow generous slack
+    assert(fp > 0L, "width chosen to produce some false positives")
+    assert(fp < 300L, s"fp=$fp out of 2000 — far above the designed rate")
+  }
+
+  test("bitsFrame is one dense row of mBits/64 words") {
+    val bits = BloomFilter.bitsFrame(Seq("a", "b").toDF("g"), "g", 3, 256)
+      .as[Seq[Long]].collect()
+    assert(bits.length == 1 && bits.head.length == 4)
+    assert(bits.head.exists(_ != 0L))
+  }
+
+  test("bloomOverlap matches exact overlap, with n_cand >= n_hit") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta history random walk"),
+      (3L, "completely different words here today friends"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon").toDF("text")
+    val exact = graft.ops.Contamination
+      .overlap(docs, "doc_id", "text", bench, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val pruned = graft.ops.Contamination
+      .bloomOverlap(docs, "doc_id", "text", bench, "text", n = 3, mBits = 1024, numHashes = 3)
+      .collect()
+    assert(pruned.length == 4)
+    pruned.foreach { r =>
+      val (nSh, nHit, ov) = exact(r.getLong(0))
+      assert(r.getLong(1) == nSh)
+      assert(r.getLong(3) == nHit)
+      assert(r.getDouble(4) == ov)
+      assert(r.getLong(2) >= r.getLong(3), "candidates must cover all true hits")
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions => H}
+
+/** The Count-Min sketch aggregate: exact counter semantics, merge/partition
+  * independence, and the one-sided error guarantee.
+  */
+class CountMinSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("counters are exact bucket counts of the input multiset") {
+    // depth 2, width 4; positions supplied directly so the expectation is
+    // hand-computable: items A (x3, buckets [1,2]) and B (x1, buckets [3,2])
+    val df = Seq(
+      Seq(1, 2), Seq(1, 2), Seq(1, 2), Seq(3, 2)
+    ).toDF("pos")
+    val sk = df.agg(H.cmsSketch(col("pos"), 2, 4)).as[Seq[Long]].collect().head
+    assert(sk == Seq(0L, 3L, 0L, 1L, /* row 1 */ 0L, 0L, 4L, 0L))
+  }
+
+  test("sketch is independent of partitioning (merge = elementwise add)") {
+    val items = (1 to 4000).map(i => s"item${i % 97}")
+    val df = items.toDF("s").select(H.cmsPositions(col("s"), 4, 64).as("pos"))
+    val expected = df.coalesce(1)
+      .agg(H.cmsSketch(col("pos"), 4, 64)).as[Seq[Long]].collect().head
+    for (parts <- Seq(7, 32)) {
+      val sk = df.repartition(parts)
+        .agg(H.cmsSketch(col("pos"), 4, 64)).as[Seq[Long]].collect().head
+      assert(sk == expected, s"parts=$parts")
+    }
+  }
+
+  test("estimate is never below the true count; exact when width is ample") {
+    val items = (1 to 2000).map(i => s"tok${i % 31}") // 31 distinct items
+    val df = items.toDF("s")
+    val sk = df.select(H.cmsPositions(col("s"), 4, 4096).as("pos"))
+      .agg(H.cmsSketch(col("pos"), 4, 4096).as("sk"))
+    val out = df.groupBy(col("s")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(sk))
+      .select(col("s"), col("n"),
+        H.cmsEstimate(col("sk"), H.cmsPositions(col("s"), 4, 4096), 4, 4096).as("est"))
+      .collect()
+    assert(out.length == 31)
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"${r.getString(0)} under-counted")
+    }
+    // 31 items in 4096 buckets across 4 rows: some row is collision-free
+    // for every item with overwhelming probability -> min read is exact
+    assert(out.forall(r => r.getLong(2) == r.getLong(1)))
+  }
+
+  test("width 1 degenerates to the total count (all mass in one bucket)") {
+    val df = Seq("a", "b", "a", "c").toDF("s")
+    val est = df.select(H.cmsPositions(col("s"), 2, 1).as("pos"))
+      .agg(H.cmsSketch(col("pos"), 2, 1).as("sk"))
+      .select(H.cmsEstimate(col("sk"), H.cmsPositions(lit("a"), 2, 1), 2, 1))
+      .collect().head.getLong(0)
+    assert(est == 4L)
+  }
+}
