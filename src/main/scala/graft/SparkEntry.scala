@@ -1426,6 +1426,80 @@ object SparkEntry {
       .orderBy(col("n_exact").desc, col("token"))
   }
 
+  /** KMV reaggregability — the warehouse-cube law that makes the sketch
+    * worth having at 100 TB: per-(key, day) sketches built ONCE can be
+    * merged relationally for ANY later rollup without rescanning the
+    * fact table, and the merged sketch is IDENTICAL to a direct pass
+    * (k smallest of a union = k smallest of the per-day k-smallest).
+    * Spark computes both routes and compares the raw sketch arrays;
+    * the oracle pins est_merged = est_direct = the window-rank replay
+    * and merge_exact = TRUE, so a broken merge flips the hash gate.
+    */
+  private def qSketchRollup(s: SparkSession, dir: String): DataFrame = {
+    val H = graft.functions.HashFunctions
+    val day = expr("unix_micros(ts) div 86400000000")
+    val key = concat(col("user_id").cast("string"), lit(":"), day.cast("string"))
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), day.as("__day"), H.hash60(key).as("__h"))
+    val daily = ev
+      .groupBy(col("event_type"), col("__day"))
+      .agg(H.kmvSketch(col("__h"), 64).as("__sk"))
+    val merged = daily
+      .select(col("event_type"), explode(col("__sk")).as("__h"))
+      .groupBy(col("event_type"))
+      .agg(H.kmvSketch(col("__h"), 64).as("__skm"))
+    val direct = ev
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("__day")).as("n_days"),
+        H.kmvSketch(col("__h"), 64).as("__skd"))
+    merged.join(direct, "event_type")
+      .select(col("event_type"), col("n_days"),
+        H.kmvEstimate(col("__skm"), 64).as("est_merged"),
+        H.kmvEstimate(col("__skd"), 64).as("est_direct"),
+        (col("__skm") === col("__skd")).as("merge_exact"))
+      .orderBy(col("event_type"))
+  }
+
+  /** count_distinct_approx as a first-class DSL aggregation (the KMV
+    * sketch behind the reference's aggregate vocabulary): bounded
+    * per-group state where count_distinct holds an unbounded dedup set.
+    * k=16 is deliberately far below the per-type event cardinality so
+    * the estimator is exercised (n_events rides along for the error).
+    */
+  private def qDslSketch(s: SparkSession, dir: String): DataFrame = {
+    val yaml =
+      """kind: Source
+        |metadata: {name: ev}
+        |spec: {format: table, path: events}
+        |---
+        |kind: Transform
+        |metadata: {name: approx}
+        |spec:
+        |  type: aggregate
+        |  groupBy: [event_type]
+        |  aggregations:
+        |    - {fn: count, as: n_events}
+        |    - {fn: count_distinct_approx, field: event_id, k: 16, as: approx_events}
+        |---
+        |kind: Sink
+        |metadata: {name: out}
+        |spec: {format: noop, path: ""}
+        |---
+        |kind: Pipeline
+        |metadata: {name: main}
+        |spec:
+        |  source: ev
+        |  steps: [approx]
+        |  sink: out
+        |""".stripMargin
+    val reg = graft.dsl.YamlLoader.load(yaml)
+    val compiled = graft.dsl.Compiler.compile(s, reg, tables = Map(
+      "events" -> t(s, dir, "events")))
+    compiled("main").frame
+      .select(col("event_type"), col("n_events"), col("approx_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** Audio decode over blobs (second binary modality through the same
     * mapPartitions seam): the stub kernel's md5-derived metadata and
     * byte-bucket energy replay in SQL; [[graft.ops.Multimodal.WavAudioCodecs]]
@@ -2367,6 +2441,8 @@ object SparkEntry {
     "q_audio" -> (qAudio _),
     "q_sketch_distinct" -> (qSketchDistinct _),
     "q_sketch_heavyhitters" -> (qSketchHeavyHitters _),
+    "q_sketch_rollup" -> (qSketchRollup _),
+    "q_dsl_sketch" -> (qDslSketch _),
     "q_frames" -> (qFrames _),
     "q_join_salted" -> (qJoinSalted _),
     "q_source_partitioned" -> (qSourcePartitioned _),
@@ -3257,6 +3333,63 @@ object SparkEntry {
         |  CAST(least(x.nd, 64) AS BIGINT) AS sk_size,
         |  coalesce(x.kth, -1) AS kth_min
         |FROM e JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
+    // KMV rollup: merged-from-daily and direct sketches are provably the
+    // same object, so the oracle computes the direct estimate once and
+    // pins both columns to it (and merge_exact to TRUE) — any divergence
+    // in the Spark merge flips the gate.
+    "q_sketch_rollup" ->
+      """WITH k AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(user_id AS VARCHAR) || ':' ||
+        |      CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS ky
+        |  FROM events
+        |), h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x'||substr(md5(ky),1,15))::BIGINT AS hv
+        |  FROM k
+        |), r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h
+        |), x AS (
+        |  SELECT event_type, max(nd) AS nd,
+        |    max(CASE WHEN rn = 64 THEN hv END) AS kth
+        |  FROM r GROUP BY event_type
+        |), d AS (
+        |  SELECT event_type, count(DISTINCT day) AS n_days FROM k GROUP BY event_type
+        |), e AS (
+        |  SELECT event_type,
+        |    CAST(CASE WHEN x.nd < 64 THEN x.nd
+        |         ELSE (63::HUGEINT * 1152921504606846976) // x.kth END AS BIGINT) AS est
+        |  FROM x
+        |)
+        |SELECT d.event_type, d.n_days, e.est AS est_merged, e.est AS est_direct,
+        |  TRUE AS merge_exact
+        |FROM d JOIN e USING (event_type) ORDER BY d.event_type""".stripMargin,
+    // DSL count_distinct_approx: replay the k=16 KMV over event_id hashes.
+    "q_dsl_sketch" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT AS hv
+        |  FROM events
+        |), r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h
+        |), x AS (
+        |  SELECT event_type, max(nd) AS nd,
+        |    max(CASE WHEN rn = 16 THEN hv END) AS kth
+        |  FROM r GROUP BY event_type
+        |), c AS (
+        |  SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+        |)
+        |SELECT c.event_type, c.n_events,
+        |  CAST(CASE WHEN x.nd < 16 THEN x.nd
+        |       ELSE (15::HUGEINT * 1152921504606846976) // x.kth END AS BIGINT) AS approx_events
+        |FROM c JOIN x USING (event_type) ORDER BY c.event_type""".stripMargin,
     // Count-Min: every counter is a plain GROUP BY over (row, bucket) of
     // the md5-derived positions; estimates replay as min-over-rows reads.
     "q_sketch_heavyhitters" ->

@@ -552,6 +552,16 @@ object Compiler {
             case "min"            => min(fieldCol.get)
             case "max"            => max(fieldCol.get)
             case "count_distinct" => countDistinct(fieldCol.get)
+            // KMV-sketch approximate distinct (graft.functions.KmvSketch):
+            // bounded k*8-byte state per group vs count_distinct's
+            // unbounded dedup set — the right default at 100 TB group
+            // cardinalities. Deterministic (md5-derived hashes), so the
+            // estimate is oracle-replayable, and exact below k distincts.
+            case "count_distinct_approx" =>
+              val k = a.get("k").fold(64)(_.toString.toInt)
+              val h = graft.functions.HashFunctions.hash60(fieldCol.get.cast("string"))
+              graft.functions.HashFunctions.kmvEstimate(
+                graft.functions.HashFunctions.kmvSketch(h, k), k)
             case "collect"        => AggFns.collectSorted(fieldCol.get)
             case other            => sys.error(s"unknown aggregation: $other")
           }

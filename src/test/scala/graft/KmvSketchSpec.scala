@@ -42,6 +42,18 @@ class KmvSketchSpec extends SparkSpec {
     assert(one == 1L) // unsaturated → exact count
   }
 
+  test("sketch-of-sketches equals sketch-of-data (rollup law)") {
+    // values spread over 10 'days'; per-day sketches re-aggregated must
+    // be the identical object to one direct pass
+    val rows = (1L to 3000L).map(i => (i % 10, i * 2654435761L % 1000003L))
+    val df = rows.toDF("day", "h")
+    val direct = df.agg(H.kmvSketch(col("h"), 32)).as[Seq[Long]].collect().head
+    val rolled = df.groupBy(col("day")).agg(H.kmvSketch(col("h"), 32).as("sk"))
+      .select(explode(col("sk")).as("h"))
+      .agg(H.kmvSketch(col("h"), 32)).as[Seq[Long]].collect().head
+    assert(rolled == direct)
+  }
+
   test("estimate converges on real hash60 values") {
     val n = 20000
     val df = (1 to n).map(_.toString).toDF("s")
