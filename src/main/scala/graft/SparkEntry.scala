@@ -1303,17 +1303,20 @@ object SparkEntry {
 
   /** Bloom-pruned decontamination: same fixture and same final
     * (n_sh, n_hit, overlap) as q_decontaminate, but membership runs
-    * against a 16384-bit broadcast bitset (scan-local bit arithmetic, no
-    * probe join for the corpus side) with the exact confirm join touching
-    * only candidates. The bitset is deliberately small so the FP gap
-    * (n_cand > n_hit) appears in-result; the oracle re-derives every bit
-    * position and replays the all-k-bits-set candidate rule in SQL.
+    * against a broadcast bitset (scan-local bit arithmetic, no probe
+    * join for the corpus side) with the exact confirm join touching only
+    * candidates. The width derives from the benchmark's gram count via
+    * the executable scale rule (bitsFor: 10 bits/gram ≈ 1.7% FP at 3
+    * hashes — enough FPs that n_cand > n_hit shows in-result), and the
+    * oracle re-derives the SAME width from its own count(*) plus every
+    * bit position — the sizing rule itself is under the hash gate.
     */
   private def qDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0).select(col("text"))
     graft.ops.Contamination
-      .bloomOverlap(d, "doc_id", "text", bench, "text", n = 3, mBits = 16384, numHashes = 3)
+      .bloomOverlapAuto(d, "doc_id", "text", bench, "text", n = 3,
+        bitsPerItem = 10, numHashes = 3)
       .orderBy(col("doc_id"))
   }
 
@@ -3855,10 +3858,12 @@ object SparkEntry {
         |  CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
         |  round(CASE WHEN a.n_sh IS NULL THEN 0.0 ELSE CAST(a.n_hit AS DOUBLE) / a.n_sh END, 6) AS overlap
         |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
-    // Bloom-pruned variant: re-derive the 3 bit positions per shingle,
-    // candidate = all 3 positions in the benchmark's distinct-position
-    // set, then exact-confirm candidates only. n_sh/n_hit/overlap must
-    // equal q_decontaminate's; n_cand exposes the FP gap.
+    // Bloom-pruned variant: re-derive the filter WIDTH from the benchmark
+    // gram count (the executable scale rule: ((n*10+63)//64)*64), then the
+    // 3 bit positions per shingle; candidate = all 3 positions in the
+    // benchmark's distinct-position set, then exact-confirm candidates
+    // only. n_sh/n_hit/overlap must equal q_decontaminate's; n_cand
+    // exposes the FP gap.
     "q_decontaminate_bloom" ->
       """WITH nrm AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
@@ -3868,14 +3873,16 @@ object SparkEntry {
         |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM nrm)
         |), bsh AS MATERIALIZED (
         |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+        |), m AS (
+        |  SELECT ((count(*) * 10 + 63) // 64) * 64 AS mb FROM bsh
         |), bpos AS MATERIALIZED (
-        |  SELECT DISTINCT ('0x'||substr(md5('b'||CAST(j AS VARCHAR)||':'||shingle),1,15))::BIGINT % 16384 AS p
-        |  FROM bsh CROSS JOIN range(3) t(j)
+        |  SELECT DISTINCT ('0x'||substr(md5('b'||CAST(j AS VARCHAR)||':'||shingle),1,15))::BIGINT % m.mb AS p
+        |  FROM bsh CROSS JOIN range(3) t(j) CROSS JOIN m
         |), cand AS (
         |  SELECT s.doc_id, s.shingle
-        |  FROM sh s CROSS JOIN range(3) t(j)
+        |  FROM sh s CROSS JOIN range(3) t(j) CROSS JOIN m
         |  LEFT JOIN bpos ON bpos.p =
-        |    ('0x'||substr(md5('b'||CAST(t.j AS VARCHAR)||':'||s.shingle),1,15))::BIGINT % 16384
+        |    ('0x'||substr(md5('b'||CAST(t.j AS VARCHAR)||':'||s.shingle),1,15))::BIGINT % m.mb
         |  GROUP BY s.doc_id, s.shingle
         |  HAVING count(bpos.p) = 3
         |), hits AS (

@@ -19,6 +19,22 @@ import org.apache.spark.sql.functions._
   */
 object BloomFilter {
 
+  /** The executable scale rule: size the filter from the insert count —
+    * `bitsPerItem` bits per item rounded up to a word (10 bits/item with
+    * 3 hashes ≈ 1.7% FP; the classic (1−e^(−kn/m))^k). A FIXED width is a
+    * scale cliff: grow the insert set past it and the filter saturates to
+    * all-ones, every probe becomes a candidate, and the pruning silently
+    * degrades to a full confirm join (measured ×20 at a ×10 benchmark on
+    * the round-7 sf1.0 epoch). Deterministic and SQL-replayable:
+    * `((n * bitsPerItem + 63) // 64) * 64`.
+    */
+  def bitsFor(nItems: Long, bitsPerItem: Int = 10): Int = {
+    require(nItems >= 0 && bitsPerItem >= 1, s"bad bloom sizing: $nItems x $bitsPerItem")
+    val m = ((nItems.max(1L) * bitsPerItem + 63) / 64) * 64
+    require(m <= Int.MaxValue - 63, s"bloom of $m bits exceeds the int-indexed bitset")
+    m.toInt
+  }
+
   /** The `numHashes` bit positions of an item: position j is
     * hash60("b" + j + ":" + item) mod mBits. DuckDB replay:
     * `('0x'||substr(md5('b'||CAST(j AS VARCHAR)||':'||item),1,15))::BIGINT % mBits`.

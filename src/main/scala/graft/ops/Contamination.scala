@@ -68,7 +68,10 @@ object Contamination {
     * join. Final (n_sh, n_hit, overlap) are IDENTICAL to [[overlap]]
     * (Bloom has no false negatives, and candidates are exactly
     * confirmed); `n_cand` rides along to expose the pruning ratio and
-    * the FP gap (n_cand ≥ n_hit).
+    * the FP gap (n_cand ≥ n_hit). Prefer [[bloomOverlapAuto]] unless you
+    * have a reason to pin mBits — a fixed width saturates when the
+    * benchmark grows past it and the pruning silently degrades to a full
+    * confirm join.
     */
   def bloomOverlap(
       docs: DataFrame,
@@ -85,18 +88,19 @@ object Contamination {
       .select(explode(array_distinct(T.wordShingles(col(benchTextCol), n))).as("_sh"))
       .distinct()
     val bits = BloomFilter.bitsFrame(bsh, "_sh", numHashes, mBits)
-    // two consumers (per-doc totals; candidate confirm) — materialize the
-    // exploded shingles once (the Retrieval.postings storage contract)
-    val tested = docs
+    // Two consumers of the exploded shingles, deliberately NOT
+    // checkpointed: a corpus-sized materialization is the wrong trade at
+    // scale. The totals branch recomputes only scan + shingle explode
+    // (column pruning drops the md5 position hashes entirely); the md5s
+    // are paid once, in the candidate branch that needs them.
+    val dsh = docs
       .select(col(idCol), explode(array_distinct(T.wordShingles(col(textCol), n))).as("_sh"))
+    val totals = dsh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val hits = dsh
       .crossJoin(broadcast(bits))
-      .withColumn("_cand",
-        BloomFilter.contains(col("bits"), BloomFilter.positions(col("_sh"), numHashes, mBits)))
+      .filter(BloomFilter.contains(
+        col("bits"), BloomFilter.positions(col("_sh"), numHashes, mBits)))
       .drop("bits")
-      .localCheckpoint(false)
-    val totals = tested.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val hits = tested
-      .filter(col("_cand"))
       .join(broadcast(bsh.withColumn("_b", lit(1L))), Seq("_sh"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_cand"), sum(coalesce(col("_b"), lit(0L))).as("n_hit"))
@@ -113,6 +117,31 @@ object Contamination {
           when(coalesce(col("n_sh"), lit(0L)) === 0, lit(0.0))
             .otherwise(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh").cast("double")),
           6).as("overlap"))
+  }
+
+  /** [[bloomOverlap]] with the filter sized by the executable scale rule
+    * ([[graft.functions.BloomFilter.bitsFor]]): mBits derives from the
+    * benchmark's distinct-gram count, so growing the benchmark cannot
+    * saturate the filter. The count is one scalar aggregate on the tiny
+    * side (same driver-side derivation as Similarity.lshTopKAuto's
+    * planes-from-count rule).
+    */
+  def bloomOverlapAuto(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int,
+      bitsPerItem: Int = 10,
+      numHashes: Int = 3
+  ): DataFrame = {
+    val nGrams = bench
+      .select(explode(array_distinct(T.wordShingles(col(benchTextCol), n))).as("_sh"))
+      .distinct()
+      .count()
+    bloomOverlap(docs, idCol, textCol, bench, benchTextCol, n,
+      graft.functions.BloomFilter.bitsFor(nGrams, bitsPerItem), numHashes)
   }
 
   /** Near-dup contamination score: the highest minhash-signature

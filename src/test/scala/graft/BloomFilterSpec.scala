@@ -39,6 +39,18 @@ class BloomFilterSpec extends SparkSpec {
     assert(bits.head.exists(_ != 0L))
   }
 
+  test("bitsFor sizes by count and never saturates a grown set") {
+    assert(BloomFilter.bitsFor(0) == 64)
+    assert(BloomFilter.bitsFor(1) == 64)
+    assert(BloomFilter.bitsFor(100) == 1024)        // 1000 bits -> 16 words
+    assert(BloomFilter.bitsFor(100, 10) % 64 == 0)
+    assert(BloomFilter.bitsFor(1000000) == 10000000) // already 64-aligned
+    // the rule keeps fill ~constant: 10x the items -> ~10x the bits
+    val small = BloomFilter.bitsFor(1000)
+    val big = BloomFilter.bitsFor(10000)
+    assert(big >= 9 * small && big <= 11 * small)
+  }
+
   test("bloomOverlap matches exact overlap, with n_cand >= n_hit") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
@@ -51,7 +63,8 @@ class BloomFilterSpec extends SparkSpec {
       .overlap(docs, "doc_id", "text", bench, "text", n = 3)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     val pruned = graft.ops.Contamination
-      .bloomOverlap(docs, "doc_id", "text", bench, "text", n = 3, mBits = 1024, numHashes = 3)
+      .bloomOverlapAuto(docs, "doc_id", "text", bench, "text", n = 3,
+        bitsPerItem = 10, numHashes = 3)
       .collect()
     assert(pruned.length == 4)
     pruned.foreach { r =>

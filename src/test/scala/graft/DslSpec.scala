@@ -687,6 +687,77 @@ class DslSpec extends SparkSpec {
     assert(byKey(("2024-01-01 00:01:00.0", "view")) == ((1L, 5.0)))
   }
 
+  test("count_distinct_approx runs in a streaming aggregate (state-store round-trip)") {
+    // Two single-file micro-batches (rateCap) force the KmvSketch buffer
+    // through state-store serialize/deserialize between batches; the
+    // streaming result must equal the batch run of the same aggregation.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsl_kmv").toString
+    val yaml =
+      s"""kind: Source
+         |metadata: {name: ev}
+         |spec:
+         |  format: json
+         |  path: $dir/in
+         |  streaming: true
+         |  schema: "id LONG, event_type STRING, ts TIMESTAMP"
+         |  watermark: {field: ts, delay: "10 minutes"}
+         |  rateCap: {maxFilesPerTrigger: 1}
+         |---
+         |kind: Transform
+         |metadata: {name: approx}
+         |spec:
+         |  type: aggregate
+         |  groupBy: [event_type]
+         |  windowSeconds: 3600
+         |  eventTimeField: ts
+         |  aggregations:
+         |    - {fn: count, as: n}
+         |    - {fn: count_distinct_approx, field: id, k: 2, as: approx_ids}
+         |---
+         |kind: Sink
+         |metadata: {name: out}
+         |spec:
+         |  format: parquet
+         |  path: $dir/out
+         |  checkpoint: $dir/chk
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: ev, steps: [approx], sink: out}
+         |""".stripMargin
+    def rows(seq: Seq[(Long, String, String)], part: Int): Unit =
+      seq.toDF("id", "event_type", "ts_s")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+        .coalesce(1).write.mode("append").json(s"$dir/in/w$part")
+    // k=2 with 4 distinct ids per group -> saturated estimator; the split
+    // across waves makes the merge path (not just update) carry the state
+    rows(Seq((1L, "view", "2024-01-01 00:00:10"), (2L, "view", "2024-01-01 00:10:00"),
+      (10L, "click", "2024-01-01 00:00:20")), 1)
+    rows(Seq((3L, "view", "2024-01-01 00:20:00"), (4L, "view", "2024-01-01 00:30:00"),
+      (11L, "click", "2024-01-01 00:10:00"), (12L, "click", "2024-01-01 00:20:00"),
+      (13L, "click", "2024-01-01 00:25:00"),
+      (99L, "view", "2024-01-01 09:00:00")), 2) // watermark-advancing closer
+    val reg = YamlLoader.load(yaml.replace(s"path: $dir/in", s"path: $dir/in/w*"))
+    val p = Compiler.compile(spark, reg)("p")
+    assert(p.frame.isStreaming)
+    Compiler.write(p)
+    val out = spark.read.parquet(s"$dir/out")
+      .filter(col("window_start") === "2024-01-01 00:00:00")
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val batch = spark.read.schema("id LONG, event_type STRING, ts TIMESTAMP")
+      .json(s"$dir/in/w*")
+      .filter(col("ts") < "2024-01-01 01:00:00")
+      .groupBy(col("event_type"))
+      .agg(graft.functions.HashFunctions.kmvEstimate(
+        graft.functions.HashFunctions.kmvSketch(
+          graft.functions.HashFunctions.hash60(col("id").cast("string")), 2), 2).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("view", "click"))
+    assert(out("view")._1 == 4L && out("click")._1 == 4L)
+    assert(out("view")._2 == batch("view"), "streaming estimate must equal batch")
+    assert(out("click")._2 == batch("click"))
+  }
+
   test("streaming sessionize compiles to native session windows") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsl_sess").toString
     val yaml =
