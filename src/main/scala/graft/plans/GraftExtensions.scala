@@ -50,7 +50,14 @@ object GraftExtensions {
     "word_shingle_hash60" -> (es => WordShingleHash60(es(0), intArg(es(1), "n"))),
     "simhash_signature" -> (es =>
       SimHashSignature(es(0), if (es.size > 1) intArg(es(1), "bits") else 60)),
-    "nfc_normalize" -> (es => NfcNormalize(es(0)))
+    "nfc_normalize" -> (es => NfcNormalize(es(0))),
+    // the mergeable-sketch aggregates (see KmvSketch / CountMinSketch):
+    //   SELECT kmv_sketch(hash_col, 256), cms_sketch(pos_array, 4, 2048)
+    "kmv_sketch" -> (es =>
+      KmvSketch(es(0), intArg(es(1), "k")).toAggregateExpression()),
+    "cms_sketch" -> (es =>
+      CountMinSketch(es(0), intArg(es(1), "depth"), intArg(es(2), "width"))
+        .toAggregateExpression())
   )
 
   /** Register on an already-built session. */

@@ -26,6 +26,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getLong(3) != 0L)
   }
 
+  test("sketch aggregates callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    Seq(5L, 3L, 9L, 3L, 1L).toDF("h").createOrReplaceTempView("hv")
+    val sk = spark.sql("SELECT kmv_sketch(h, 3) FROM hv")
+      .as[Seq[Long]].head()
+    assert(sk == Seq(1L, 3L, 5L))
+    Seq(Seq(1, 2), Seq(1, 2), Seq(3, 0)).toDF("pos").createOrReplaceTempView("pv")
+    val cms = spark.sql("SELECT cms_sketch(pos, 2, 4) FROM pv")
+      .as[Seq[Long]].head()
+    assert(cms == Seq(0L, 2L, 0L, 1L, 1L, 0L, 2L, 0L))
+  }
+
   test("non-literal n argument is rejected with a clear error") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
