@@ -68,8 +68,9 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
-  test("no registered query plans an unpartitioned Window (100 TB scale guard)") {
+  test("no registered query plans an unpartitioned Window or a CartesianProduct (100 TB scale guard)") {
     import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(dir).isDirectory)
     for ((name, fn) <- graft.SparkEntry.queries) {
@@ -80,6 +81,11 @@ class PlanSpec extends SparkSpec {
       }
       assert(bad.isEmpty,
         s"$name plans an unpartitioned Window (single-task global sort at scale):\n${bad.mkString("\n")}")
+      // every crossJoin in the suite must ride a broadcast (the 1-row
+      // stats-attach pattern plans as BroadcastNestedLoopJoin, never this)
+      val cart = df.queryExecution.sparkPlan.collect { case c: CartesianProductExec => c }
+      assert(cart.isEmpty,
+        s"$name plans a CartesianProduct (row x row at scale):\n${cart.mkString("\n")}")
     }
   }
 
