@@ -1463,6 +1463,43 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** KMV set algebra: distinct-overlap between each event type's
+    * user-day set and the purchase type's — union size, Jaccard, and
+    * intersection size — computed ONLY from the two k=64 sketch arrays
+    * (no join between the underlying sets; the purchase sketch rides a
+    * 1-row broadcast). Exact counterparts ride along so estimator error
+    * is in-result; every estimate replays in the oracle from re-derived
+    * sketches.
+    */
+  private def qSketchSetops(s: SparkSession, dir: String): DataFrame = {
+    val H = graft.functions.HashFunctions
+    val k = 128
+    val day = expr("unix_micros(ts) div 86400000000")
+    val ev = t(s, dir, "events")
+      .select(col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"), day.cast("string")).as("__ky"))
+    val perType = ev
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("__ky")).as("n_type"),
+        H.kmvSketch(H.hash60(col("__ky")), k).as("__sk"))
+    val p = perType.filter(col("event_type") === "purchase")
+      .select(col("n_type").as("__np"), col("__sk").as("__skp"))
+    val dk = ev.distinct()
+    val interExact = dk.filter(col("event_type") =!= "purchase")
+      .join(dk.filter(col("event_type") === "purchase").select(col("__ky")), Seq("__ky"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("__ni"))
+    perType.filter(col("event_type") =!= "purchase")
+      .crossJoin(broadcast(p))
+      .join(interExact, Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("__ni"), lit(0L)).as("n_exact_inter"),
+        (col("n_type") + col("__np") - coalesce(col("__ni"), lit(0L))).as("n_exact_union"),
+        H.kmvUnionEstimate(col("__sk"), col("__skp"), k).as("est_union"),
+        H.kmvJaccardMicro(col("__sk"), col("__skp"), k).as("jaccard_micro"),
+        H.kmvIntersectEstimate(col("__sk"), col("__skp"), k).as("est_inter"))
+      .orderBy(col("event_type"))
+  }
+
   /** count_distinct_approx as a first-class DSL aggregation (the KMV
     * sketch behind the reference's aggregate vocabulary): bounded
     * per-group state where count_distinct holds an unbounded dedup set.
@@ -2445,6 +2482,7 @@ object SparkEntry {
     "q_sketch_distinct" -> (qSketchDistinct _),
     "q_sketch_heavyhitters" -> (qSketchHeavyHitters _),
     "q_sketch_rollup" -> (qSketchRollup _),
+    "q_sketch_setops" -> (qSketchSetops _),
     "q_dsl_sketch" -> (qDslSketch _),
     "q_frames" -> (qFrames _),
     "q_join_salted" -> (qJoinSalted _),
@@ -3324,15 +3362,15 @@ object SparkEntry {
         |  FROM h
         |), x AS (
         |  SELECT event_type, max(nd) AS nd,
-        |    max(CASE WHEN rn = 64 THEN hv END) AS kth
+        |    max(CASE WHEN rn = 128 THEN hv END) AS kth
         |  FROM r GROUP BY event_type
         |), e AS (
         |  SELECT event_type, count(DISTINCT ky) AS n_exact
         |  FROM k GROUP BY event_type
         |)
         |SELECT e.event_type, e.n_exact,
-        |  CAST(CASE WHEN x.nd < 64 THEN x.nd
-        |       ELSE (63::HUGEINT * 1152921504606846976) // x.kth END AS BIGINT) AS n_est,
+        |  CAST(CASE WHEN x.nd < 128 THEN x.nd
+        |       ELSE (127::HUGEINT * 1152921504606846976) // x.kth END AS BIGINT) AS n_est,
         |  CAST(least(x.nd, 64) AS BIGINT) AS sk_size,
         |  coalesce(x.kth, -1) AS kth_min
         |FROM e JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
@@ -3358,19 +3396,88 @@ object SparkEntry {
         |  FROM h
         |), x AS (
         |  SELECT event_type, max(nd) AS nd,
-        |    max(CASE WHEN rn = 64 THEN hv END) AS kth
+        |    max(CASE WHEN rn = 128 THEN hv END) AS kth
         |  FROM r GROUP BY event_type
         |), d AS (
         |  SELECT event_type, count(DISTINCT day) AS n_days FROM k GROUP BY event_type
         |), e AS (
         |  SELECT event_type,
-        |    CAST(CASE WHEN x.nd < 64 THEN x.nd
-        |         ELSE (63::HUGEINT * 1152921504606846976) // x.kth END AS BIGINT) AS est
+        |    CAST(CASE WHEN x.nd < 128 THEN x.nd
+        |         ELSE (127::HUGEINT * 1152921504606846976) // x.kth END AS BIGINT) AS est
         |  FROM x
         |)
         |SELECT d.event_type, d.n_days, e.est AS est_merged, e.est AS est_direct,
         |  TRUE AS merge_exact
         |FROM d JOIN e USING (event_type) ORDER BY d.event_type""".stripMargin,
+    // KMV set algebra: sketches re-derived per type via window rank; the
+    // union sketch is the rank over the DISTINCT union of the two sketch
+    // row sets; shared membership via joins; the three estimators replay
+    // in HUGEINT exactly as the Spark expressions compute them.
+    "q_sketch_setops" ->
+      """WITH kk AS (
+        |  SELECT event_type,
+        |    CAST(user_id AS VARCHAR) || ':' ||
+        |      CAST(epoch_us(ts) // 86400000000 AS VARCHAR) AS ky
+        |  FROM events
+        |), dk AS MATERIALIZED (
+        |  SELECT DISTINCT event_type, ky FROM kk
+        |), scnt AS (
+        |  SELECT event_type, count(*) AS n_type FROM dk GROUP BY event_type
+        |), sk AS MATERIALIZED (
+        |  SELECT event_type, hv FROM (
+        |    SELECT event_type, hv,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |    FROM (SELECT DISTINCT event_type,
+        |            ('0x'||substr(md5(ky),1,15))::BIGINT AS hv FROM dk)
+        |  ) WHERE rn <= 128
+        |), uni AS MATERIALIZED (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM (
+        |    SELECT DISTINCT event_type, hv FROM (
+        |      SELECT event_type, hv FROM sk WHERE event_type <> 'purchase'
+        |      UNION ALL
+        |      SELECT t.event_type, s.hv
+        |      FROM (SELECT DISTINCT event_type FROM sk WHERE event_type <> 'purchase') t
+        |      JOIN sk s ON s.event_type = 'purchase'
+        |    )
+        |  )
+        |), ux AS (
+        |  SELECT event_type, max(nd) AS nd,
+        |    max(CASE WHEN rn = 128 THEN hv END) AS kth,
+        |    count(CASE WHEN rn <= 128 THEN 1 END) AS usize
+        |  FROM uni GROUP BY event_type
+        |), shared AS (
+        |  SELECT u.event_type, count(*) AS ns
+        |  FROM uni u
+        |  JOIN sk a ON a.event_type = u.event_type AND a.hv = u.hv
+        |  JOIN sk p ON p.event_type = 'purchase' AND p.hv = u.hv
+        |  WHERE u.rn <= 128
+        |  GROUP BY u.event_type
+        |), est AS (
+        |  SELECT ux.event_type,
+        |    CAST(CASE WHEN ux.nd < 128 THEN ux.nd
+        |         ELSE (127::HUGEINT * 1152921504606846976) // ux.kth END AS BIGINT) AS est_union,
+        |    CAST(coalesce(s.ns, 0) * 1000000 // ux.usize AS BIGINT) AS jaccard_micro
+        |  FROM ux LEFT JOIN shared s USING (event_type)
+        |), ix AS (
+        |  SELECT a.event_type, count(*) AS n_inter
+        |  FROM dk a JOIN dk p ON p.event_type = 'purchase' AND p.ky = a.ky
+        |  WHERE a.event_type <> 'purchase'
+        |  GROUP BY a.event_type
+        |)
+        |SELECT c.event_type,
+        |  coalesce(ix.n_inter, 0) AS n_exact_inter,
+        |  c.n_type + pc.n_type - coalesce(ix.n_inter, 0) AS n_exact_union,
+        |  e.est_union, e.jaccard_micro,
+        |  CAST(e.jaccard_micro::HUGEINT * e.est_union // 1000000 AS BIGINT) AS est_inter
+        |FROM scnt c
+        |CROSS JOIN (SELECT n_type FROM scnt WHERE event_type = 'purchase') pc
+        |JOIN est e ON e.event_type = c.event_type
+        |LEFT JOIN ix ON ix.event_type = c.event_type
+        |WHERE c.event_type <> 'purchase'
+        |ORDER BY c.event_type""".stripMargin,
     // DSL count_distinct_approx: replay the k=16 KMV over event_id hashes.
     "q_dsl_sketch" ->
       """WITH h AS (

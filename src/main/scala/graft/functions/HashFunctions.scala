@@ -172,6 +172,46 @@ object HashFunctions {
       element_at(sketch, element_at(positions, r + 1) + lit(r * width + 1))
     }: _*))
 
+  /** KMV set algebra (Beyer et al. 2007): because a KMV sketch is the
+    * exact k-minimum set of the hashed input, sketches of two sets
+    * compose WITHOUT the data — the k smallest of (A's sketch ∪ B's
+    * sketch) IS the sketch of A∪B, and the fraction of the union sketch
+    * present in both inputs estimates Jaccard. Distinct-overlap questions
+    * between two 100 TB tables ("how many keys do these share") become
+    * arithmetic on two ≤k·8-byte arrays — no join, no scan. Deterministic
+    * like everything here, so every estimate replays in the oracle.
+    */
+  def kmvMerge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Distinct count of the UNION of the two sketched sets. */
+  def kmvUnionEstimate(a: Column, b: Column, k: Int): Column =
+    kmvEstimate(kmvMerge(a, b, k), k)
+
+  /** Jaccard similarity of the two sketched sets in micro-units
+    * (exact integer arithmetic: shared·10^6 div |union sketch|).
+    */
+  def kmvJaccardMicro(a: Column, b: Column, k: Int): Column = {
+    val u = kmvMerge(a, b, k)
+    val shared = size(array_intersect(array_intersect(u, a), b)).cast("long")
+    when(size(u) === 0, lit(0L))
+      .otherwise(exactDiv(shared * lit(1000000L), size(u).cast("long")))
+  }
+
+  /** Distinct count of the INTERSECTION: jaccard × union estimate. */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int): Column = {
+    val micro = lit(new java.math.BigDecimal(1000000)).cast("decimal(38,0)")
+    val num = kmvJaccardMicro(a, b, k).cast("decimal(38,0)") *
+      kmvUnionEstimate(a, b, k).cast("decimal(38,0)")
+    ((num - pmod(num, micro)) / micro).cast("long")
+  }
+
+  /** Exact long integer division via the subtract-remainder trick (the
+    * double divide sees an exact multiple; replays as `//` in DuckDB).
+    */
+  private def exactDiv(num: Column, den: Column): Column =
+    ((num - pmod(num, den)) / den).cast("long")
+
   /** KMV estimate from a sketch array: exact distinct count while the
     * sketch is unsaturated (fewer than k distinct values seen), else the
     * classic `(k−1)·2^60 div kth_min` estimator — in DECIMAL(38,0) so the

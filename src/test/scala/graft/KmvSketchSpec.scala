@@ -54,6 +54,42 @@ class KmvSketchSpec extends SparkSpec {
     assert(rolled == direct)
   }
 
+  test("set algebra: union sketch law, jaccard and intersection arithmetic") {
+    val df = Seq((
+      Seq(1L, 3L, 5L, 7L), // sketch A (k=4, saturated)
+      Seq(3L, 7L, 9L, 11L) // sketch B
+    )).toDF("a", "b")
+    // k smallest of {1,3,5,7,9,11} = [1,3,5,7]
+    val merged = df.select(H.kmvMerge(col("a"), col("b"), 4)).as[Seq[Long]].head()
+    assert(merged == Seq(1L, 3L, 5L, 7L))
+    // shared among the union sketch = {3,7} -> jaccard 2/4 in micro
+    val jm = df.select(H.kmvJaccardMicro(col("a"), col("b"), 4)).head().getLong(0)
+    assert(jm == 500000L)
+    // union estimate: kth = 7 -> 3*2^60 div 7; intersection = jm * eu div 1e6
+    val eu = df.select(H.kmvUnionEstimate(col("a"), col("b"), 4)).head().getLong(0)
+    assert(eu == ((BigInt(3) << 60) / 7).toLong)
+    val ei = df.select(H.kmvIntersectEstimate(col("a"), col("b"), 4)).head().getLong(0)
+    assert(ei == (BigInt(jm) * eu / 1000000).toLong)
+    // disjoint sets -> jaccard 0; identical sets -> jaccard 1e6
+    val d2 = Seq((Seq(1L, 2L), Seq(5L, 6L))).toDF("a", "b")
+    assert(d2.select(H.kmvJaccardMicro(col("a"), col("b"), 4)).head().getLong(0) == 0L)
+    val d3 = Seq((Seq(1L, 2L), Seq(1L, 2L))).toDF("a", "b")
+    assert(d3.select(H.kmvJaccardMicro(col("a"), col("b"), 4)).head().getLong(0) == 1000000L)
+  }
+
+  test("set estimates converge on real overlapping sets") {
+    val a = (1 to 12000).map(i => s"k$i")
+    val b = (6001 to 18000).map(i => s"k$i") // |union|=18000, |inter|=6000
+    def sk(xs: Seq[String]) = xs.toDF("s").select(H.hash60(col("s")).as("h"))
+      .agg(H.kmvSketch(col("h"), 512).as("sk"))
+    val df = sk(a).crossJoin(sk(b).withColumnRenamed("sk", "sk2"))
+    val r = df.select(
+      H.kmvUnionEstimate(col("sk"), col("sk2"), 512).as("u"),
+      H.kmvIntersectEstimate(col("sk"), col("sk2"), 512).as("i")).head()
+    assert(math.abs(r.getLong(0) - 18000).toDouble / 18000 < 0.15, s"union=${r.getLong(0)}")
+    assert(math.abs(r.getLong(1) - 6000).toDouble / 6000 < 0.30, s"inter=${r.getLong(1)}")
+  }
+
   test("estimate converges on real hash60 values") {
     val n = 20000
     val df = (1 to n).map(_.toString).toDF("s")
