@@ -1500,6 +1500,25 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Join-consistent sampling: the SAME md5 bucket rule applied to both
+    * sides of an FK preserves join pairs exactly — sample-then-join ==
+    * join-then-sample (spec-asserted law; OpsSpec) — so a 1% debug
+    * subset of a 100 TB star schema still JOINS, unlike independent
+    * random samples whose pair survival is fraction². Both filters push
+    * to the scans; re-running selects the identical subset.
+    */
+  private def qSampleJoinsync(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.ops.Sampling
+    val o = S.byHash(t(s, dir, "orders"), "o_orderkey", 1000)
+    val l = S.byHash(t(s, dir, "lineitem"), "l_orderkey", 1000)
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(col("l_quantity").cast("decimal(28,4)")).cast("double").as("sum_qty"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** count_distinct_approx as a first-class DSL aggregation (the KMV
     * sketch behind the reference's aggregate vocabulary): bounded
     * per-group state where count_distinct holds an unbounded dedup set.
@@ -2483,6 +2502,7 @@ object SparkEntry {
     "q_sketch_heavyhitters" -> (qSketchHeavyHitters _),
     "q_sketch_rollup" -> (qSketchRollup _),
     "q_sketch_setops" -> (qSketchSetops _),
+    "q_sample_joinsync" -> (qSampleJoinsync _),
     "q_dsl_sketch" -> (qDslSketch _),
     "q_frames" -> (qFrames _),
     "q_join_salted" -> (qJoinSalted _),
@@ -3253,6 +3273,20 @@ object SparkEntry {
         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
         |  FROM documents
         |) WHERE b < 5000 ORDER BY doc_id""".stripMargin,
+    // Join-consistent sampling: same bucket rule on both FK sides.
+    "q_sample_joinsync" ->
+      """WITH o AS (
+        |  SELECT * FROM orders
+        |  WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 1000
+        |), l AS (
+        |  SELECT * FROM lineitem
+        |  WHERE CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 1000
+        |)
+        |SELECT o_orderstatus, count(*) AS n_lines,
+        |  count(DISTINCT o.o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sum_qty
+        |FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_quality" ->
       """WITH c AS (
         |  SELECT doc_id, length(text) AS lc,

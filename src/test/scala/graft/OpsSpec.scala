@@ -1033,4 +1033,20 @@ class OpsSpec extends SparkSpec {
       ("NULL", false, 1L, 1000L),
       ("NULL", true, 1L, 1000L)))
   }
+
+  test("byHash on both FK sides commutes with the join (sample-then-join == join-then-sample)") {
+    import graft.ops.Sampling
+    val orders = (1L to 400L).map(k => (k, s"s${k % 3}")).toDF("ok", "status")
+    val lines = (1L to 400L).flatMap(k => (1 to (k % 4 + 1).toInt).map(i => (k, i.toLong)))
+      .toDF("lk", "qty")
+    val sampleJoin = Sampling.byHash(orders, "ok", 2500)
+      .join(Sampling.byHash(lines, "lk", 2500), col("ok") === col("lk"))
+    val joinSample = Sampling.byHash(
+      orders.join(lines, col("ok") === col("lk")), "ok", 2500)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("ok", "qty").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val a = key(sampleJoin)
+    assert(a == key(joinSample))
+    assert(a.nonEmpty && a.map(_._1).distinct.size < 400, "a real subsample")
+  }
 }
