@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver contract: every registered query must be oracle-gated and
+  * every oracle must gate a real query. (A query silently missing an
+  * oracle would not appear in CORRECTNESS at all — the failure mode this
+  * spec exists to catch.)
+  */
+class ContractSpec extends AnyFunSuite {
+
+  test("queries and oracleSql cover exactly the same names") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+  }
+
+  test("every oracle ends in a deterministic total ORDER BY") {
+    // the driver compare sorts rows, but the convention keeps dumps
+    // stable and diffable; a missing ORDER BY is almost always a paste
+    // error in a new oracle
+    val bad = SparkEntry.oracleSql.collect {
+      case (name, sql) if !sql.toUpperCase.contains("ORDER BY") => name
+    }
+    assert(bad.isEmpty, s"oracles without ORDER BY: ${bad.toSeq.sorted}")
+  }
+}
