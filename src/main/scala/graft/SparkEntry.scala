@@ -736,6 +736,28 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** WARC container end-to-end (F1 extension — the format web crawls
+    * arrive in): documents written as WARC response records, read back
+    * through the splittable delimiter-framed reader, headers and bodies
+    * re-derived with Column parsing. The oracle is the originating
+    * table: any framing slip, header mangling, or body truncation in
+    * either direction breaks the hash compare.
+    */
+  private def qSourceWarc(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_warc_roundtrip"
+    val d = docs(s, dir)
+      .select(col("doc_id"),
+        concat(lit("https://corpus.example/doc/"), col("doc_id").cast("string")).as("uri"),
+        col("text"))
+    graft.sources.Warc.write(d, "doc_id", "uri", "text", path)
+    graft.sources.Warc.read(s, path)
+      .select(
+        regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long").as("doc_id"),
+        col("warc_type"), col("target_uri"), col("content_length"),
+        md5(col("body")).as("body_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Avro source/sink end-to-end (F2): orders written as avro container
     * files (per-task, via the bundled avro-mapred output format) and read
     * back through [[graft.sources.Readers.avro]] (the spark-avro-less
@@ -2511,6 +2533,7 @@ object SparkEntry {
     "q_source_csv" -> (qSourceCsv _),
     "q_source_json" -> (qSourceJson _),
     "q_source_avro" -> (qSourceAvro _),
+    "q_source_warc" -> (qSourceWarc _),
     "q_source_jdbc" -> (qSourceJdbc _),
     "q_compact" -> (qCompact _),
     "q_dsl_pipeline" -> (qDslPipeline _),
@@ -3813,6 +3836,14 @@ object SparkEntry {
     "q_source_avro" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // WARC roundtrip: the oracle is the originating table — headers and
+    // body md5 must survive the container untouched.
+    "q_source_warc" ->
+      """SELECT doc_id, 'response' AS warc_type,
+        |  'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  CAST(strlen(text) AS BIGINT) AS content_length,
+        |  md5(text) AS body_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_source_jdbc" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,

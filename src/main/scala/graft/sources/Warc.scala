@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (Web ARChive, ISO 28500) reader/writer — the container format
+  * web crawls actually arrive in, and therefore the first format a
+  * 100 TB training-data pipeline ingests.
+  *
+  * Scale design: a WARC file is a concatenation of records each opening
+  * with a `WARC/1.0\r\n` version line. Reading uses Hadoop's
+  * TextInputFormat with the record DELIMITER set to that version line —
+  * the classic trick that makes a self-delimiting text container
+  * SPLITTABLE: every input split starts scanning at the next record
+  * boundary, so a 1 GB warc.gz-free file fans out across tasks instead
+  * of being one whole-file string. Everything after the split is Column
+  * arithmetic (header block = text before the first blank line, body =
+  * the rest; header fields via regexp_extract), codegen'd in the scan
+  * projection.
+  *
+  * Deliberately NOT handled here (production notes): gzip-per-record
+  * WARCs (.warc.gz members) are not splittable by delimiter — decompress
+  * or use a member-aware index; request/metadata record types pass
+  * through with their WARC-Type so callers filter.
+  */
+object Warc {
+
+  val VersionLine = "WARC/1.0\r\n"
+
+  /** Write `df` as WARC response records (one file per partition via the
+    * text datasource — each output row is one full record, and because
+    * rows start with the version line the result is a valid concatenated
+    * WARC). Bodies must not contain the version line; Content-Length is
+    * the body's UTF-8 byte length per the spec.
+    */
+  def write(df: DataFrame, idCol: String, uriCol: String, bodyCol: String,
+            path: String): Unit = {
+    val body = col(bodyCol).cast("string")
+    val rec = concat(
+      lit("WARC-Type: response\r\n"),
+      lit("WARC-Record-ID: <urn:graft:"), col(idCol).cast("string"), lit(">\r\n"),
+      lit("WARC-Target-URI: "), col(uriCol).cast("string"), lit("\r\n"),
+      lit("Content-Length: "), octet_length(body).cast("string"), lit("\r\n"),
+      lit("\r\n"),
+      body, lit("\r\n"))
+    // the text writer appends \n per row; readers split on the version
+    // line, so the extra byte lands at the tail of the previous record's
+    // trailing blank region and parses away with the \r\n trim
+    df.select(concat(lit(VersionLine), rec).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
+  /** Read WARC files into (record_id, warc_type, target_uri, content_length,
+    * body). Splittable: delimiter-based record framing (the one genuine
+    * RDD-API site in the sources package — input framing is below the
+    * DataFrame abstraction), then pure Column parsing. The body is the
+    * text after the header's blank line with the record's trailing
+    * `\r\n` separator removed; `content_length` (the header's byte
+    * count) rides along for validation — a byte-exact slice needs a
+    * binary pipeline, which the fixture's single-line UTF-8 docs don't.
+    */
+  def read(s: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.io.{LongWritable, Text}
+    import org.apache.hadoop.mapreduce.lib.input.TextInputFormat
+    val conf = new org.apache.hadoop.conf.Configuration(s.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", VersionLine)
+    val raw = s.sparkContext
+      .newAPIHadoopFile(path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text], conf)
+      .map(_._2.toString)
+    import s.implicits._
+    val blank = "\r\n\r\n"
+    val recs = raw.toDF("rec").filter(length(trim(col("rec"))) > 0)
+    val header = substring_index(col("rec"), blank, 1)
+    val rest = col("rec").substr(
+      instr(col("rec"), blank) + lit(4), length(col("rec")))
+    val clen = regexp_extract(header, "(?m)^Content-Length: (\\d+)$", 1).cast("long")
+    recs.select(
+      regexp_extract(header, "(?m)^WARC-Record-ID: <([^>]*)>$", 1).as("record_id"),
+      regexp_extract(header, "(?m)^WARC-Type: ([^\r\n]*)$", 1).as("warc_type"),
+      regexp_extract(header, "(?m)^WARC-Target-URI: ([^\r\n]*)$", 1).as("target_uri"),
+      clen.as("content_length"),
+      regexp_replace(rest, "\\r\\n\\n?$", "").as("body"))
+  }
+}
