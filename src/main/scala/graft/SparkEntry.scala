@@ -758,6 +758,35 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Keyed merge sink (D4 extension — batch upserts): base load, then a
+    * merge of updates (status flip on every 10th key) plus inserts (new
+    * keys), APPLIED TWICE — a retried merge must converge, not duplicate
+    * or re-apply. The oracle reproduces the merge relationally over the
+    * originating table; any duplication, loss, or key leakage between
+    * the anti-join and the union breaks the hash compare.
+    */
+  private def qSinkMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.Writers
+    val path = "/tmp/graft_sink_merge"
+    // fresh run each time: the query is the whole lifecycle
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    Writers.mergeByKey(base, path, Seq("o_orderkey")) // initial load = merge into empty
+    val updates = base.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .withColumn("o_orderstatus", lit("U"))
+    val inserts = base.filter(pmod(col("o_orderkey"), lit(1000)) === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderstatus", lit("I"))
+    val delta = updates.unionByName(inserts)
+    Writers.mergeByKey(delta, path, Seq("o_orderkey"))
+    Writers.mergeByKey(delta, path, Seq("o_orderkey")) // redelivery: must converge
+    s.read.schema(base.schema).parquet(path)
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Avro source/sink end-to-end (F2): orders written as avro container
     * files (per-task, via the bundled avro-mapred output format) and read
     * back through [[graft.sources.Readers.avro]] (the spark-avro-less
@@ -2534,6 +2563,7 @@ object SparkEntry {
     "q_source_json" -> (qSourceJson _),
     "q_source_avro" -> (qSourceAvro _),
     "q_source_warc" -> (qSourceWarc _),
+    "q_sink_merge" -> (qSinkMerge _),
     "q_source_jdbc" -> (qSourceJdbc _),
     "q_compact" -> (qCompact _),
     "q_dsl_pipeline" -> (qDslPipeline _),
@@ -3836,6 +3866,23 @@ object SparkEntry {
     "q_source_avro" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // Keyed merge: base rows minus updated keys, plus updates and inserts.
+    "q_sink_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+        |), delta AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, 'I', o_totalprice
+        |  FROM base WHERE o_orderkey % 1000 = 0
+        |)
+        |SELECT * FROM (
+        |  SELECT b.* FROM base b
+        |  ANTI JOIN (SELECT DISTINCT o_orderkey FROM delta) d USING (o_orderkey)
+        |  UNION ALL
+        |  SELECT * FROM delta
+        |) ORDER BY o_orderkey""".stripMargin,
     // WARC roundtrip: the oracle is the originating table — headers and
     // body md5 must survive the container untouched.
     "q_source_warc" ->

@@ -76,6 +76,56 @@ object Writers {
     }
   }
 
+  /** SCD-1 keyed merge (upsert) into a parquet directory: rows in
+    * `updates` REPLACE same-key rows; all other existing rows survive;
+    * new keys insert. Relational end to end — read existing, left-anti
+    * on the update keys, union — and ATOMIC via the rename-aside swap
+    * discipline ([[graft.ops.Layout.compact]]): the merged table is
+    * fully written NEXT TO the live directory, then two renames swap it
+    * in, and a crash in any window is recovered at the next call (the
+    * `__merge_new` artifact is complete by construction when the live
+    * path is missing; a stale `__merge_new` beside a live path is
+    * discarded). Re-running the same updates converges to the same
+    * table — the merge is idempotent, the batch analog of keyed
+    * streaming upserts.
+    *
+    * Scale shape: one left-anti join of the sink against the (usually
+    * small, broadcastable) distinct update keys + a full rewrite. A full
+    * rewrite per merge is the honest cost of upserts WITHOUT a manifest
+    * table format; partition-restricted merges should route through
+    * ExactlyOnce dynamic partition overwrite instead.
+    */
+  def mergeByKey(updates: DataFrame, path: String, keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "mergeByKey needs at least one key column")
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val spark = updates.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val nu = new org.apache.hadoop.fs.Path(path + "__merge_new")
+    val old = new org.apache.hadoop.fs.Path(path + "__merge_old")
+    // crash recovery, in dependency order (see scaladoc)
+    if (!fs.exists(live) && fs.exists(nu))
+      require(fs.rename(nu, live), s"merge recovery failed: $nu -> $live")
+    else if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live), s"merge rollback failed: $old -> $live")
+    if (fs.exists(nu)) fs.delete(nu, true) // stale artifact beside a live path
+    if (fs.exists(old)) fs.delete(old, true)
+
+    val merged =
+      if (fs.exists(live)) {
+        val existing = spark.read.schema(updates.schema).parquet(path)
+        existing
+          .join(broadcast(updates.select(keys.map(col): _*).distinct()), keys, "left_anti")
+          .unionByName(updates)
+      } else updates
+    merged.write.mode("overwrite").parquet(nu.toString)
+    val hadLive = fs.exists(live)
+    if (hadLive) require(fs.rename(live, old), s"merge swap failed: $live -> $old")
+    require(fs.rename(nu, live), s"merge swap failed: $nu -> $live")
+    if (hadLive) fs.delete(old, true)
+  }
+
   /** Streaming exactly-once via foreachBatch + batch-id layout: each
     * micro-batch writes (overwrite) into its own `_batch_id=N` partition
     * directory. After a failure, Structured Streaming replays the LAST

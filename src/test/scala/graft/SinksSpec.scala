@@ -41,6 +41,38 @@ class SinksSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown sink format"))
   }
 
+  test("mergeByKey: upserts replace, inserts land, survivors keep, re-merge converges") {
+    import graft.sinks.Writers
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString + "/t"
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+    Writers.mergeByKey(base, dir, Seq("k")) // initial load into empty path
+    val delta = Seq((2L, "B2", 22.0), (9L, "new", 90.0)).toDF("k", "s", "v")
+    Writers.mergeByKey(delta, dir, Seq("k"))
+    Writers.mergeByKey(delta, dir, Seq("k")) // redelivery
+    val out = spark.read.schema(base.schema).parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a", 10.0), (2L, "B2", 22.0), (3L, "c", 30.0), (9L, "new", 90.0)))
+    // no swap artifacts left behind
+    assert(!new java.io.File(dir + "__merge_new").exists())
+    assert(!new java.io.File(dir + "__merge_old").exists())
+  }
+
+  test("mergeByKey recovers a crash window where the live dir is gone") {
+    import graft.sinks.Writers
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge_rec").toString + "/t"
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    Writers.mergeByKey(base, dir, Seq("k"))
+    // simulate a crash between the two swap renames: live moved aside
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "__merge_old")))
+    Writers.mergeByKey(Seq((3L, "c")).toDF("k", "s"), dir, Seq("k"))
+    val out = spark.read.schema(base.schema).parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("streaming exactlyOnceEachBatch converges when a batch is replayed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
