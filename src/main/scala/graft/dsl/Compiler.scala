@@ -310,6 +310,9 @@ object Compiler {
         s"pipeline '${p.name}' is trigger: resident — start it with " +
           "writeStreaming() and manage its lifecycle; write() is run-to-drain")
       writeStreaming(p).awaitTermination()
+    } else if (p.sink.mergeKeys.nonEmpty) {
+      // keyed upsert: same-key rows replaced, others kept, atomic swap
+      graft.sinks.Writers.mergeByKey(p.frame, p.sink.path, p.sink.mergeKeys)
     } else {
       val frame = graft.ops.Layout.applyZOrder(
         p.frame, p.sink.zOrderBy, p.sink.zOrderBits, s"sink '${p.sink.name}'")

@@ -46,6 +46,7 @@ final case class SinkManifest(
     checkpoint: String = "",         // streaming sinks: checkpoint location
     zOrderBy: Seq[String] = Seq.empty, // exactly two columns: z-order layout
     zOrderBits: Int = 12,
+    mergeKeys: Seq[String] = Seq.empty, // non-empty: keyed upsert (Writers.mergeByKey)
     namespace: String = Registry.DefaultNamespace
 ) { def key: (String, String) = (namespace, name) }
 

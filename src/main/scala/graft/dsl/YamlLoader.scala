@@ -82,11 +82,22 @@ object YamlLoader {
         val zBits = spec.get("zOrderBits").fold(12)(_.toString.toInt)
         if (zBits < 1 || zBits > 31)
           sys.error(s"sink '$name': zOrderBits must be in [1, 31], got $zBits")
+        val mergeKeys = spec.get("mergeKeys")
+          .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
+        val fmt = str("format", "parquet")
+        // merge is a whole-directory parquet rewrite — the constraints are
+        // structural, so reject them at load (Cli validate), not mid-write
+        if (mergeKeys.nonEmpty && fmt != "parquet")
+          sys.error(s"sink '$name': mergeKeys requires format parquet, got '$fmt'")
+        if (mergeKeys.nonEmpty && partitions.nonEmpty)
+          sys.error(s"sink '$name': mergeKeys and partitionBy are exclusive — " +
+            "partition-scoped upserts route through mode overwrite (dynamic partitions)")
         Registry().apply(
-          SinkManifest(name, str("format", "parquet"), str("path"), str("mode", "overwrite"),
+          SinkManifest(name, fmt, str("path"), str("mode", "overwrite"),
             partitions, checkpoint = str("checkpoint"),
             zOrderBy = zOrder,
             zOrderBits = zBits,
+            mergeKeys = mergeKeys,
             namespace = ns))
       case "Pipeline" =>
         val steps = spec.get("steps").map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)

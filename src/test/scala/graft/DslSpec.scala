@@ -687,6 +687,39 @@ class DslSpec extends SparkSpec {
     assert(byKey(("2024-01-01 00:01:00.0", "view")) == ((1L, 5.0)))
   }
 
+  test("merge sink (mergeKeys) upserts through the YAML surface and converges on re-run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsl_merge").toString
+    def yaml(src: String) =
+      s"""kind: Source
+         |metadata: {name: ev}
+         |spec: {format: table, path: $src}
+         |---
+         |kind: Sink
+         |metadata: {name: out}
+         |spec: {format: parquet, path: $dir/t, mergeKeys: [k]}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: ev, steps: [], sink: out}
+         |""".stripMargin
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+    val delta = Seq((2L, "B"), (3L, "c")).toDF("k", "s")
+    Compiler.write(Compiler.compile(spark, YamlLoader.load(yaml("t0")), Map("t0" -> base))("p"))
+    val pd = Compiler.compile(spark, YamlLoader.load(yaml("t1")), Map("t1" -> delta))("p")
+    Compiler.write(pd)
+    Compiler.write(pd) // redelivery converges
+    val out = spark.read.schema(base.schema).parquet(s"$dir/t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // structural constraints rejected at load
+    assert(intercept[RuntimeException](YamlLoader.load(
+      s"kind: Sink\nmetadata: {name: bad}\nspec: {format: csv, path: /x, mergeKeys: [k]}\n"))
+      .getMessage.contains("parquet"))
+    assert(intercept[RuntimeException](YamlLoader.load(
+      s"kind: Sink\nmetadata: {name: bad2}\nspec: {format: parquet, path: /x, mergeKeys: [k], partitionBy: [s]}\n"))
+      .getMessage.contains("exclusive"))
+  }
+
   test("count_distinct_approx runs in a streaming aggregate (state-store round-trip)") {
     // Two single-file micro-batches (rateCap) force the KmvSketch buffer
     // through state-store serialize/deserialize between batches; the
