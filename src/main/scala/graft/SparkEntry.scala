@@ -3449,15 +3449,15 @@ object SparkEntry {
         |  FROM h
         |), x AS (
         |  SELECT event_type, max(nd) AS nd,
-        |    max(CASE WHEN rn = 128 THEN hv END) AS kth
+        |    max(CASE WHEN rn = 64 THEN hv END) AS kth
         |  FROM r GROUP BY event_type
         |), e AS (
         |  SELECT event_type, count(DISTINCT ky) AS n_exact
         |  FROM k GROUP BY event_type
         |)
         |SELECT e.event_type, e.n_exact,
-        |  CAST(CASE WHEN x.nd < 128 THEN x.nd
-        |       ELSE (127::HUGEINT * 1152921504606846976) // x.kth END AS BIGINT) AS n_est,
+        |  CAST(CASE WHEN x.nd < 64 THEN x.nd
+        |       ELSE (63::HUGEINT * 1152921504606846976) // x.kth END AS BIGINT) AS n_est,
         |  CAST(least(x.nd, 64) AS BIGINT) AS sk_size,
         |  coalesce(x.kth, -1) AS kth_min
         |FROM e JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
@@ -3483,14 +3483,14 @@ object SparkEntry {
         |  FROM h
         |), x AS (
         |  SELECT event_type, max(nd) AS nd,
-        |    max(CASE WHEN rn = 128 THEN hv END) AS kth
+        |    max(CASE WHEN rn = 64 THEN hv END) AS kth
         |  FROM r GROUP BY event_type
         |), d AS (
         |  SELECT event_type, count(DISTINCT day) AS n_days FROM k GROUP BY event_type
         |), e AS (
         |  SELECT event_type,
-        |    CAST(CASE WHEN x.nd < 128 THEN x.nd
-        |         ELSE (127::HUGEINT * 1152921504606846976) // x.kth END AS BIGINT) AS est
+        |    CAST(CASE WHEN x.nd < 64 THEN x.nd
+        |         ELSE (63::HUGEINT * 1152921504606846976) // x.kth END AS BIGINT) AS est
         |  FROM x
         |)
         |SELECT d.event_type, d.n_days, e.est AS est_merged, e.est AS est_direct,
