@@ -198,4 +198,59 @@ class KernelPropertySpec extends SparkSpec {
       assert(out.groupBy(r => (r._1, r._2)).values.forall(_.map(_._3).distinct.size == 1))
     }
   }
+
+  test("KMV sketch equals brute-force k-minima on arbitrary multisets and partitionings") {
+    val valGen = Gen.listOf(Gen.chooseNum(0L, 1L << 40))
+    for (seed <- 400L to 407L) {
+      val vals = sample(valGen, seed)
+      val k = (seed % 7 + 1).toInt * 3
+      val parts = (seed % 5 + 1).toInt
+      val expected = vals.distinct.sorted.take(k)
+      val got =
+        if (vals.isEmpty) Seq.empty
+        else vals.toDF("h").repartition(parts)
+          .agg(H.kmvSketch(col("h"), k)).as[Seq[Long]].collect().head
+      assert(got == expected, s"seed=$seed k=$k parts=$parts n=${vals.size}")
+    }
+  }
+
+  test("CMS estimate >= exact count for every item, any data, any partitioning") {
+    val itemGen = Gen.listOf(Gen.chooseNum(0, 400).map(i => s"t$i"))
+    for (seed <- 500L to 505L) {
+      val items = sample(itemGen, seed)
+      if (items.nonEmpty) {
+        val (d, w) = ((seed % 3 + 2).toInt, (seed % 4 + 1).toInt * 16)
+        val df = items.toDF("s").repartition((seed % 6 + 1).toInt)
+        val sk = df.select(H.cmsPositions(col("s"), d, w).as("p"))
+          .agg(H.cmsSketch(col("p"), d, w).as("sk"))
+        val out = df.groupBy(col("s")).agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(sk))
+          .select(col("n"), H.cmsEstimate(col("sk"), H.cmsPositions(col("s"), d, w), d, w))
+          .as[(Long, Long)].collect()
+        out.foreach { case (n, est) => assert(est >= n, s"seed=$seed d=$d w=$w") }
+        // total mass conservation per row of the matrix
+        val mat = sk.as[Seq[Long]].collect().head
+        (0 until d).foreach { r =>
+          assert(mat.slice(r * w, (r + 1) * w).sum == items.size, s"seed=$seed row=$r")
+        }
+      }
+    }
+  }
+
+  test("Bloom filter never false-negatives on arbitrary insert/probe sets") {
+    val strGen = Gen.listOf(Gen.identifier.map(_.take(12)))
+    for (seed <- 600L to 605L) {
+      val inserted = sample(strGen, seed).distinct
+      if (inserted.nonEmpty) {
+        val kh = (seed % 4 + 1).toInt
+        val m = graft.functions.BloomFilter.bitsFor(inserted.size.toLong, 10)
+        val bits = graft.functions.BloomFilter.bitsFrame(inserted.toDF("g"), "g", kh, m)
+        val misses = inserted.toDF("g").crossJoin(broadcast(bits))
+          .filter(!graft.functions.BloomFilter.contains(
+            col("bits"), graft.functions.BloomFilter.positions(col("g"), kh, m)))
+          .count()
+        assert(misses == 0L, s"seed=$seed kh=$kh m=$m n=${inserted.size}")
+      }
+    }
+  }
 }
