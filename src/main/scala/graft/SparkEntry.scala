@@ -3598,7 +3598,8 @@ object SparkEntry {
         |  FROM (SELECT toks, unnest(range(0, len(toks))) AS i FROM nrm)
         |  WHERE toks[i+1] <> ''
         |), cms AS MATERIALIZED (
-        |  SELECT r, ('0x'||substr(md5(CAST(r AS VARCHAR)||':'||tok),1,15))::BIGINT % 16 AS b,
+        |  SELECT r, (('0x'||substr(md5(tok),1,15))::BIGINT
+        |           + r * ('0x'||substr(md5(tok),16,15))::BIGINT) % 16 AS b,
         |    count(*) AS c
         |  FROM occ CROSS JOIN range(4) t(r)
         |  GROUP BY 1, 2
@@ -3609,7 +3610,8 @@ object SparkEntry {
         |SELECT token, n_exact, min(c) AS n_est, min(c) - n_exact AS overcount
         |FROM top CROSS JOIN range(4) t(r)
         |JOIN cms ON cms.r = t.r
-        |  AND cms.b = ('0x'||substr(md5(CAST(t.r AS VARCHAR)||':'||token),1,15))::BIGINT % 16
+        |  AND cms.b = (('0x'||substr(md5(token),1,15))::BIGINT
+        |             + t.r * ('0x'||substr(md5(token),16,15))::BIGINT) % 16
         |GROUP BY token, n_exact
         |ORDER BY n_exact DESC, token""".stripMargin,
     // Audio stub decode: md5-derived meta + byte-bucket energy, replayed
@@ -4095,13 +4097,15 @@ object SparkEntry {
         |), m AS (
         |  SELECT ((count(*) * 10 + 63) // 64) * 64 AS mb FROM bsh
         |), bpos AS MATERIALIZED (
-        |  SELECT DISTINCT ('0x'||substr(md5('b'||CAST(j AS VARCHAR)||':'||shingle),1,15))::BIGINT % m.mb AS p
+        |  SELECT DISTINCT (('0x'||substr(md5(shingle),1,15))::BIGINT
+        |                 + j * ('0x'||substr(md5(shingle),16,15))::BIGINT) % m.mb AS p
         |  FROM bsh CROSS JOIN range(3) t(j) CROSS JOIN m
         |), cand AS (
         |  SELECT s.doc_id, s.shingle
         |  FROM sh s CROSS JOIN range(3) t(j) CROSS JOIN m
         |  LEFT JOIN bpos ON bpos.p =
-        |    ('0x'||substr(md5('b'||CAST(t.j AS VARCHAR)||':'||s.shingle),1,15))::BIGINT % m.mb
+        |    (('0x'||substr(md5(s.shingle),1,15))::BIGINT
+        |   + t.j * ('0x'||substr(md5(s.shingle),16,15))::BIGINT) % m.mb
         |  GROUP BY s.doc_id, s.shingle
         |  HAVING count(bpos.p) = 3
         |), hits AS (

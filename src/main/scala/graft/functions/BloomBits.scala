@@ -1,0 +1,99 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Bloom bitset builder as a native Catalyst `TypedImperativeAggregate`
+  * (third member of the bounded-state family with [[KmvSketch]] and
+  * [[CountMinSketch]]): per-task state is the m-bit bitset itself
+  * (m/64 longs), update sets the item's bits from its positions array,
+  * and merge is elementwise OR — associative, commutative, partition-
+  * and order-independent, and ONE pass over the insert set.
+  *
+  * This replaced a relational assembly (positions → distinct → per-word
+  * bit_or → dense array via per-index map lookups) whose final step was
+  * quadratic in m/64: Catalyst map lookup is O(entries), so a 2.6M-bit
+  * filter paid ~1.7e9 comparisons on one row inside one task (measured
+  * as the dominant cost of the sf1.0 bloom epoch). The aggregate build
+  * is linear, map-side combined, and shuffles only bitsets.
+  */
+case class BloomBits(
+    child: Expression,
+    mBits: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+
+  require(mBits > 0 && mBits % 64 == 0, s"mBits must be a positive multiple of 64, got $mBits")
+  require(mBits <= (1 << 30), s"bitset of $mBits bits exceeds the 2^30 sanity bound")
+
+  private val words = mBits / 64
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](words)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val pos = v.asInstanceOf[ArrayData]
+      var i = 0
+      val n = pos.numElements()
+      while (i < n) {
+        val p = pos.getLong(i)
+        buf((p >>> 6).toInt) |= 1L << (p & 63)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < words) { buf(i) |= other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(words * 8)
+    val out = new DataOutputStream(bos)
+    var i = 0
+    while (i < words) { out.writeLong(buf(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < words) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bloom_bits requires array<bigint> positions, got ${other.sql}")
+    }
+  override def prettyName: String = "bloom_bits"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomBits =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomBits =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomBits =
+    copy(child = newChild)
+}

@@ -35,32 +35,36 @@ object BloomFilter {
     m.toInt
   }
 
-  /** The `numHashes` bit positions of an item: position j is
-    * hash60("b" + j + ":" + item) mod mBits. DuckDB replay:
-    * `('0x'||substr(md5('b'||CAST(j AS VARCHAR)||':'||item),1,15))::BIGINT % mBits`.
+  /** The `numHashes` bit positions of an item, from ONE md5
+    * (Kirsch–Mitzenmacher double hashing: position j = (h1 + j·h2) mod m
+    * preserves the Bloom FP asymptotics of k independent hashes). One
+    * digest per probed gram instead of k — at corpus scale the md5s ARE
+    * the membership cost, so this is a k× cut on the scan-side probe.
+    * h1/h2 are disjoint 60-bit slices of the same digest; the sum stays
+    * < 2^63 for any k ≤ 8. DuckDB replay:
+    * `(('0x'||substr(md5(g),1,15))::BIGINT + j*('0x'||substr(md5(g),16,15))::BIGINT) % mBits`.
     */
-  def positions(item: Column, numHashes: Int, mBits: Int): Column =
-    array((0 until numHashes).map { j =>
-      pmod(HashFunctions.hash60(concat(lit(s"b$j:"), item)), lit(mBits.toLong))
-    }: _*)
+  def positions(item: Column, numHashes: Int, mBits: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      DoubleHashPositions(ColumnBridge.expression(item), numHashes, mBits.toLong))
+  }
 
-  /** Build the bitset as ONE row holding array<long> of mBits/64 words:
-    * explode positions → distinct → per-word bit_or of the set bits →
-    * dense array via a map lookup over the word sequence. The result is
-    * the frame to `broadcast(...)` and crossJoin onto the probe side.
+  /** Build the bitset as ONE row holding array<long> of mBits/64 words,
+    * via the [[graft.functions.BloomBits]] aggregate: per-task bitset
+    * state, bit-OR merge, one pass over the items — linear, map-side
+    * combined, shuffling only bitsets. (A prior relational assembly's
+    * dense-array step was quadratic in the word count — see BloomBits's
+    * scaladoc.) The result is the frame to `broadcast(...)` and
+    * crossJoin onto the probe side.
     */
   def bitsFrame(items: DataFrame, itemCol: String, numHashes: Int, mBits: Int): DataFrame = {
     require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64, got $mBits")
-    val words = mBits / 64
-    items
-      .select(explode(positions(col(itemCol), numHashes, mBits)).as("p"))
-      .distinct()
-      .groupBy(shiftright(col("p"), 6).cast("int").as("w"))
-      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT)))").as("m"))
-      .agg(map_from_entries(collect_list(struct(col("w"), col("m")))).as("mp"))
-      .select(transform(
-        sequence(lit(0), lit(words - 1)),
-        i => coalesce(element_at(col("mp"), i), lit(0L))).as("bits"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    items.agg(ColumnBridge.column(
+      BloomBits(
+        ColumnBridge.expression(positions(col(itemCol), numHashes, mBits)),
+        mBits).toAggregateExpression()).as("bits"))
   }
 
   /** Membership test: every position's bit is set. ~maybe-contained —

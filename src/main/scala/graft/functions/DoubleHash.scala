@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+object DoubleHashKernel {
+  /** Kirsch–Mitzenmacher positions from ONE md5: h1 = hex chars 1–15
+    * (first 60 digest bits), h2 = hex chars 16–30 (bits 60–119),
+    * position j = (h1 + j·h2) mod m — bit-identical to the Column
+    * formulation `pmod(conv(substr(md5(x),1,15),16,10) +
+    * j*conv(substr(md5(x),16,15),16,10), m)` and to the DuckDB replay.
+    * h1, h2 < 2^60 and j ≤ 7, so the sum stays below 2^63 (no overflow
+    * in any engine).
+    */
+  def positions(s: UTF8String, k: Int, m: Long): ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes)
+    var h1 = 0L
+    var j = 0
+    while (j < 7) { h1 = (h1 << 8) | (d(j) & 0xffL); j += 1 }
+    h1 = (h1 << 4) | ((d(7) & 0xf0L) >> 4)
+    var h2 = d(7) & 0x0fL
+    j = 8
+    while (j < 15) { h2 = (h2 << 8) | (d(j) & 0xffL); j += 1 }
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) { out(i) = (h1 + i.toLong * h2) % m; i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd double-hash position array: array<bigint> of the k
+  * Bloom/Count-Min positions of a string, one digest per row. Exists
+  * because the equivalent Column tree (CreateArray over shared
+  * conv(md5) halves) re-evaluates the md5 and the hex parse PER ARRAY
+  * ELEMENT PER REFERENCE — measured ~6× a single conv(md5) on the
+  * bloom probe path; this kernel is one md5 + integer arithmetic.
+  */
+case class DoubleHashPositions(child: Expression, k: Int, mBits: Long)
+    extends UnaryExpression {
+
+  require(k >= 1 && k <= 8, s"k must be in [1, 8], got $k")
+  require(mBits >= 1, s"modulus must be positive, got $mBits")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expects STRING, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    DoubleHashKernel.positions(input.asInstanceOf[UTF8String], k, mBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.DoubleHashKernel.positions($c, $k, ${mBits}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): DoubleHashPositions =
+    copy(child = newChild)
+}

@@ -142,15 +142,21 @@ object HashFunctions {
       KmvSketch(ColumnBridge.expression(hash60Col), k).toAggregateExpression())
   }
 
-  /** Count-Min bucket positions for an item: row r's bucket is
-    * hash60("r:" || item) mod width — the md5-derived hash family every
-    * sketch operator here uses, replayable in any engine. Feed the result
-    * to [[cmsSketch]] (aggregate) and [[cmsEstimate]] (point read).
+  /** Count-Min bucket positions for an item, from ONE md5 via
+    * Kirsch–Mitzenmacher double hashing: row r's bucket is
+    * (h1 + r·h2) mod width, with h1/h2 disjoint 60-bit slices of the
+    * digest — one digest per item instead of d, same estimator
+    * guarantees. Replay:
+    * `(('0x'||substr(md5(t),1,15))::BIGINT + r*('0x'||substr(md5(t),16,15))::BIGINT) % width`.
+    * Feed the result to [[cmsSketch]] (aggregate) and [[cmsEstimate]]
+    * (point read).
     */
-  def cmsPositions(item: Column, depth: Int, width: Int): Column =
-    array((0 until depth).map { r =>
-      pmod(hash60(concat(lit(r + ":"), item)), lit(width.toLong)).cast("int")
-    }: _*)
+  def cmsPositions(item: Column, depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val longs = ColumnBridge.column(
+      DoubleHashPositions(ColumnBridge.expression(item), depth, width.toLong))
+    transform(longs, p => p.cast("int")) // CMS buffers index with ints
+  }
 
   /** Count-Min sketch aggregate over a positions column (see
     * [[CountMinSketch]]): the value is the flat row-major d×w counter

@@ -87,7 +87,18 @@ object Contamination {
     val bsh = bench
       .select(explode(array_distinct(T.wordShingles(col(benchTextCol), n))).as("_sh"))
       .distinct()
-    val bits = BloomFilter.bitsFrame(bsh, "_sh", numHashes, mBits)
+    // The bitset is collected to the driver and embedded as a CONSTANT
+    // literal in the probe expression — O(mBits/64) driver state, the
+    // same collect-a-tiny-model contract as IVF centroids and the
+    // subword vocab. The earlier crossJoin-a-1-row-frame shape was
+    // measured 30× slower at sf1.0: the join output materializes the
+    // whole bitset array INTO every probe row (~13 KB × millions of
+    // shingles of pure row copying); a literal is stored once in the
+    // codegen references and element_at reads it with zero per-row copy.
+    val bitsArr: Array[Long] = BloomFilter
+      .bitsFrame(bsh, "_sh", numHashes, mBits)
+      .collect().head.getSeq[Long](0).toArray
+    val bits = typedLit(bitsArr)
     // Two consumers of the exploded shingles, deliberately NOT
     // checkpointed: a corpus-sized materialization is the wrong trade at
     // scale. The totals branch recomputes only scan + shingle explode
@@ -97,10 +108,8 @@ object Contamination {
       .select(col(idCol), explode(array_distinct(T.wordShingles(col(textCol), n))).as("_sh"))
     val totals = dsh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val hits = dsh
-      .crossJoin(broadcast(bits))
       .filter(BloomFilter.contains(
-        col("bits"), BloomFilter.positions(col("_sh"), numHashes, mBits)))
-      .drop("bits")
+        bits, BloomFilter.positions(col("_sh"), numHashes, mBits)))
       .join(broadcast(bsh.withColumn("_b", lit(1L))), Seq("_sh"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_cand"), sum(coalesce(col("_b"), lit(0L))).as("n_hit"))
