@@ -64,8 +64,21 @@ object HashFunctions {
     * universal-hash family. One md5 per element total (the base hash),
     * k cheap integer folds after. Callers MUST put the base-hash array
     * behind its own projection so it is computed once, not k times.
+    *
+    * Routed through the [[MinhashSignature]] codegen kernel since round
+    * 7e: one loop computes all k components, replacing k interpreted
+    * array_min∘transform passes per row (same arithmetic, same values).
     */
   def minhashFromHashes(baseHashes: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(MinhashSignature(ColumnBridge.expression(baseHashes), k))
+  }
+
+  /** The fold formulation of [[minhashFromHashes]] — retained as the
+    * cross-checkable reference the kernel must agree with (property
+    * spec) and as documentation of the arithmetic the oracle replays.
+    */
+  def minhashFromHashesFold(baseHashes: Column, k: Int): Column = {
     val p = MinhashPrime
     val comps = minhashCoeffs(k).map { case (a, b) =>
       coalesce(

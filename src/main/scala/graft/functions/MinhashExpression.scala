@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+object MinhashKernel {
+  /** Affine coefficient tables per k, memoized — identical to
+    * [[HashFunctions.minhashCoeffs]] (md5-derived, engine-independent).
+    */
+  private val coeffCache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def coeffs(k: Int): (Array[Long], Array[Long]) =
+    coeffCache.computeIfAbsent(k, _ => {
+      val cs = HashFunctions.minhashCoeffs(k)
+      (cs.map(_._1).toArray, cs.map(_._2).toArray)
+    })
+
+  /** All k signature components in ONE pass over the hash array:
+    * component i = min over elements of ((h mod p)·a_i + b_i) mod p,
+    * empty arrays → the max-long sentinel. Bit-identical to the
+    * fold formulation ([[HashFunctions.minhashFromHashes]]): p is the
+    * Mersenne prime 2^31−1, so every product stays under 2^62.
+    */
+  def signature(hashes: ArrayData, k: Int): ArrayData = {
+    val (as, bs) = coeffs(k)
+    val p = HashFunctions.MinhashPrime
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      val hm = hashes.getLong(j) % p
+      var i = 0
+      while (i < k) {
+        val v = (hm * as(i) + bs(i)) % p
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd MinHash signature from pre-computed base hashes: one loop
+  * over the array computes all k components (the HyperplaneBuckets
+  * treatment applied to the dedup family's signature step — the Column
+  * formulation runs k interpreted array_min∘transform passes per row).
+  */
+case class MinhashSignature(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"expects ARRAY<BIGINT>, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashKernel.signature(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinhashKernel.signature($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}

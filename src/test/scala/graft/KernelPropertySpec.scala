@@ -199,6 +199,22 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("minhash kernel equals the fold formulation on arbitrary hash arrays") {
+    val arrGen = Gen.listOf(Gen.listOf(Gen.chooseNum(0L, 1L << 50)))
+    for (seed <- 700L to 707L) {
+      val arrays = sample(arrGen, seed)
+      if (arrays.nonEmpty) {
+        val k = (seed % 5 + 1).toInt * 4
+        val df = arrays.zipWithIndex.toDF("hs", "id")
+        val kernel = df.select(col("id"), H.minhashFromHashes(col("hs"), k))
+          .as[(Int, Seq[Long])].collect().toMap
+        val fold = df.select(col("id"), H.minhashFromHashesFold(col("hs"), k))
+          .as[(Int, Seq[Long])].collect().toMap
+        assert(kernel == fold, s"seed=$seed k=$k")
+      }
+    }
+  }
+
   test("KMV sketch equals brute-force k-minima on arbitrary multisets and partitionings") {
     val valGen = Gen.listOf(Gen.chooseNum(0L, 1L << 40))
     for (seed <- 400L to 407L) {
