@@ -57,7 +57,14 @@ object GraftExtensions {
       KmvSketch(es(0), intArg(es(1), "k")).toAggregateExpression()),
     "cms_sketch" -> (es =>
       CountMinSketch(es(0), intArg(es(1), "depth"), intArg(es(2), "width"))
-        .toAggregateExpression())
+        .toAggregateExpression()),
+    "bloom_bits" -> (es =>
+      BloomBits(es(0), intArg(es(1), "mBits")).toAggregateExpression()),
+    // one-digest position/signature kernels (round 7e/7f)
+    "double_hash_positions" -> (es =>
+      DoubleHashPositions(es(0), intArg(es(1), "k"), intArg(es(2), "mBits").toLong)),
+    "minhash_signature" -> (es =>
+      MinhashSignature(es(0), intArg(es(1), "k")))
   )
 
   /** Register on an already-built session. */

@@ -36,6 +36,15 @@ class ExtensionsSpec extends SparkSpec {
     val cms = spark.sql("SELECT cms_sketch(pos, 2, 4) FROM pv")
       .as[Seq[Long]].head()
     assert(cms == Seq(0L, 2L, 0L, 1L, 1L, 0L, 2L, 0L))
+    val bb = spark.sql("SELECT bloom_bits(array(0L, 65L, 127L), 128)")
+      .as[Seq[Long]].head()
+    assert(bb == Seq(1L, 2L | (1L << 63)))
+    val dh = spark.sql("SELECT double_hash_positions('gram', 3, 1024)")
+      .as[Seq[Long]].head()
+    assert(dh.length == 3 && dh.forall(p => p >= 0 && p < 1024))
+    val ms = spark.sql("SELECT minhash_signature(array(5L, 9L), 4)")
+      .as[Seq[Long]].head()
+    assert(ms.length == 4 && ms.forall(_ != Long.MaxValue))
   }
 
   test("non-literal n argument is rejected with a clear error") {
