@@ -1570,11 +1570,74 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"))
   }
 
-  /** count_distinct_approx as a first-class DSL aggregation (the KMV
-    * sketch behind the reference's aggregate vocabulary): bounded
-    * per-group state where count_distinct holds an unbounded dedup set.
-    * k=16 is deliberately far below the per-type event cardinality so
-    * the estimator is exercised (n_events rides along for the error).
+  /** BKS quantile sketch (custom TypedImperativeAggregate #4 — see
+    * [[graft.functions.BksSketch]]): per-event-type p50/p90/p99 of the
+    * value column estimated from a k=128 bottom-k-by-hash row sample.
+    * Completes the mergeable-sketch triad: KMV = distinct counts, CMS =
+    * frequencies, BKS = quantiles/distribution shape — all three with
+    * bounded per-group state that is an EXACT function of the input, so
+    * every estimate replays in the oracle. The rollup law is asserted
+    * IN-QUERY (per-day sketches merged relationally must equal the
+    * direct pass byte-for-byte; the oracle pins merge_exact TRUE), so a
+    * daily sketch cube answers any later date-range quantile question
+    * without rescanning the fact table. Values ride the DECIMAL(18,4)
+    * ·10^4 long encoding (engine-exact); quantiles are nearest-rank at
+    * basis points — the SAME ceil rule as Profiling.columnQuantiles —
+    * and the exact quantiles ride alongside so the k=128 sampling error
+    * is the honest display.
+    */
+  private def qSketchQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val H = graft.functions.HashFunctions
+    val W = org.apache.spark.sql.expressions.Window
+    val k = 128
+    val ev = t(s, dir, "events")
+      .filter(col("event_id").isNotNull && col("value").isNotNull)
+      .select(col("event_type"),
+        H.hash60(col("event_id").cast("string")).as("__h"),
+        (col("value").cast("decimal(18,4)") * lit(10000)).cast("long").as("__v"),
+        expr("unix_micros(ts) div 86400000000").as("__day"))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(H.bksSketch(col("__h"), col("__v"), k).as("__sk"))
+    // the rollup route: daily sketches -> explode -> re-aggregate
+    val merged = ev.groupBy(col("event_type"), col("__day"))
+      .agg(H.bksSketch(col("__h"), col("__v"), k).as("__skd"))
+      .select(col("event_type"), explode(col("__skd")).as("__p"))
+      .select(col("event_type"),
+        col("__p").getField("h").as("__h"), col("__p").getField("v").as("__v"))
+      .groupBy(col("event_type"))
+      .agg(H.bksSketch(col("__h"), col("__v"), k).as("__skm"))
+    // exact ride-along: distinct-value histogram + cumulative rank (the
+    // columnQuantiles shape, partitioned per group)
+    val hist = ev.groupBy(col("event_type"), col("__v")).agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(W.partitionBy("event_type").orderBy("__v")))
+    val n = hist.groupBy(col("event_type")).agg(sum(col("__c")).as("__n"))
+    def exactQ(bp: Int, alias: String) =
+      min(when(col("__cum") >= expr(s"($bp * __n + 9999) div 10000"), col("__v")))
+        .as(alias)
+    val exacts = cum.join(broadcast(n), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("__n")).as("n_rows"),
+        exactQ(5000, "p50_exact"), exactQ(9000, "p90_exact"),
+        exactQ(9900, "p99_exact"))
+    direct.join(merged, "event_type").join(exacts, "event_type")
+      .select(col("event_type"), col("n_rows"),
+        size(col("__sk")).cast("long").as("sample_n"),
+        H.bksQuantile(col("__sk"), 5000).as("p50_est"),
+        H.bksQuantile(col("__sk"), 9000).as("p90_est"),
+        H.bksQuantile(col("__sk"), 9900).as("p99_est"),
+        col("p50_exact"), col("p90_exact"), col("p99_exact"),
+        (col("__sk") === col("__skm")).as("merge_exact"))
+      .orderBy(col("event_type"))
+  }
+
+  /** count_distinct_approx AND quantile_approx as first-class DSL
+    * aggregations (the sketch members of the aggregate vocabulary):
+    * bounded per-group state where count_distinct / exact quantiles
+    * hold unbounded sets. k=16 is deliberately far below the per-type
+    * event cardinality so the KMV estimator is exercised (n_events
+    * rides along for the error); the p50 rides the k=128 BKS row
+    * sample keyed on event_id.
     */
   private def qDslSketch(s: SparkSession, dir: String): DataFrame = {
     val yaml =
@@ -1590,6 +1653,7 @@ object SparkEntry {
         |  aggregations:
         |    - {fn: count, as: n_events}
         |    - {fn: count_distinct_approx, field: event_id, k: 16, as: approx_events}
+        |    - {fn: quantile_approx, field: value, keyField: event_id, k: 128, bp: 5000, as: p50_value}
         |---
         |kind: Sink
         |metadata: {name: out}
@@ -1606,7 +1670,8 @@ object SparkEntry {
     val compiled = graft.dsl.Compiler.compile(s, reg, tables = Map(
       "events" -> t(s, dir, "events")))
     compiled("main").frame
-      .select(col("event_type"), col("n_events"), col("approx_events"))
+      .select(col("event_type"), col("n_events"), col("approx_events"),
+        col("p50_value"))
       .orderBy(col("event_type"))
   }
 
@@ -2553,6 +2618,7 @@ object SparkEntry {
     "q_sketch_heavyhitters" -> (qSketchHeavyHitters _),
     "q_sketch_rollup" -> (qSketchRollup _),
     "q_sketch_setops" -> (qSketchSetops _),
+    "q_sketch_quantiles" -> (qSketchQuantiles _),
     "q_sample_joinsync" -> (qSampleJoinsync _),
     "q_dsl_sketch" -> (qDslSketch _),
     "q_frames" -> (qFrames _),
@@ -3565,7 +3631,57 @@ object SparkEntry {
         |LEFT JOIN ix ON ix.event_type = c.event_type
         |WHERE c.event_type <> 'purchase'
         |ORDER BY c.event_type""".stripMargin,
-    // DSL count_distinct_approx: replay the k=16 KMV over event_id hashes.
+    // BKS quantile sketch: the sample is re-derived with a window rank
+    // over the row hash (min(v) per hash mirrors the aggregate's
+    // collision rule); both the sketch estimates and the exact
+    // quantiles replay the same nearest-rank-at-basis-points formula;
+    // the rollup law is provable (bottom-k of per-day bottom-k =
+    // bottom-k overall), so merge_exact pins TRUE.
+    "q_sketch_quantiles" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT AS hv,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND value IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, hv, min(v) AS v FROM b GROUP BY event_type, hv
+        |), r AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM g
+        |), sq AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+        |    count(*) OVER (PARTITION BY event_type) AS sn
+        |  FROM r WHERE rn <= 128
+        |), est AS (
+        |  SELECT event_type, max(sn) AS sample_n,
+        |    max(CASE WHEN vr = (5000*sn + 9999)//10000 THEN v END) AS p50_est,
+        |    max(CASE WHEN vr = (9000*sn + 9999)//10000 THEN v END) AS p90_est,
+        |    max(CASE WHEN vr = (9900*sn + 9999)//10000 THEN v END) AS p99_est
+        |  FROM sq GROUP BY event_type
+        |), xq AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM b
+        |), ex AS (
+        |  SELECT event_type, max(n) AS n_rows,
+        |    max(CASE WHEN vr = (5000*n + 9999)//10000 THEN v END) AS p50_exact,
+        |    max(CASE WHEN vr = (9000*n + 9999)//10000 THEN v END) AS p90_exact,
+        |    max(CASE WHEN vr = (9900*n + 9999)//10000 THEN v END) AS p99_exact
+        |  FROM xq GROUP BY event_type
+        |)
+        |SELECT ex.event_type, ex.n_rows, est.sample_n,
+        |  est.p50_est, est.p90_est, est.p99_est,
+        |  ex.p50_exact, ex.p90_exact, ex.p99_exact,
+        |  TRUE AS merge_exact
+        |FROM ex JOIN est USING (event_type)
+        |ORDER BY ex.event_type""".stripMargin,
+    // DSL sketch aggregations: replay the k=16 KMV over event_id hashes
+    // and the k=128 BKS p50 (window rank over the row hash, nearest-rank
+    // over the sampled values, back to input scale as DOUBLE).
     "q_dsl_sketch" ->
       """WITH h AS (
         |  SELECT DISTINCT event_type,
@@ -3582,11 +3698,34 @@ object SparkEntry {
         |  FROM r GROUP BY event_type
         |), c AS (
         |  SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type
+        |), qb AS (
+        |  SELECT event_type,
+        |    ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT AS hv,
+        |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_id IS NOT NULL AND value IS NOT NULL
+        |), qg AS (
+        |  SELECT event_type, hv, min(v) AS v FROM qb GROUP BY event_type, hv
+        |), qr AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM qg
+        |), qs AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS vr,
+        |    count(*) OVER (PARTITION BY event_type) AS sn
+        |  FROM qr WHERE rn <= 128
+        |), qe AS (
+        |  SELECT event_type,
+        |    max(CASE WHEN vr = (5000*sn + 9999)//10000 THEN v END) AS p50v
+        |  FROM qs GROUP BY event_type
         |)
         |SELECT c.event_type, c.n_events,
         |  CAST(CASE WHEN x.nd < 16 THEN x.nd
-        |       ELSE (15::HUGEINT * 1152921504606846976) // x.kth END AS BIGINT) AS approx_events
-        |FROM c JOIN x USING (event_type) ORDER BY c.event_type""".stripMargin,
+        |       ELSE (15::HUGEINT * 1152921504606846976) // x.kth END AS BIGINT) AS approx_events,
+        |  CAST(qe.p50v AS DOUBLE) / 10000.0 AS p50_value
+        |FROM c JOIN x USING (event_type) JOIN qe USING (event_type)
+        |ORDER BY c.event_type""".stripMargin,
     // Count-Min: every counter is a plain GROUP BY over (row, bucket) of
     // the md5-derived positions; estimates replay as min-over-rows reads.
     "q_sketch_heavyhitters" ->

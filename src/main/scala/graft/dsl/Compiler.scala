@@ -565,6 +565,23 @@ object Compiler {
               val h = graft.functions.HashFunctions.hash60(fieldCol.get.cast("string"))
               graft.functions.HashFunctions.kmvEstimate(
                 graft.functions.HashFunctions.kmvSketch(h, k), k)
+            // BKS-sketch approximate quantile (graft.functions.BksSketch):
+            // a bounded k·16-byte uniform row sample per group (keyField
+            // must be a unique row key — the hash of it is the sampling
+            // coin flip), nearest-rank at `bp` basis points (default
+            // p50). Values ride the DECIMAL(18,4)·10^4 long encoding and
+            // return to the input's scale as DOUBLE — every step is
+            // deterministic, so the estimate is oracle-replayable.
+            case "quantile_approx" =>
+              val k = a.get("k").fold(128)(_.toString.toInt)
+              val bp = a.get("bp").fold(5000)(_.toString.toInt)
+              val keyCol = col(a.getOrElse("keyField",
+                sys.error("quantile_approx needs keyField (a unique row key)")).toString)
+              val h = graft.functions.HashFunctions.hash60(keyCol.cast("string"))
+              val v = (fieldCol.get.cast("decimal(18,4)") * lit(10000)).cast("long")
+              graft.functions.HashFunctions.bksQuantile(
+                graft.functions.HashFunctions.bksSketch(h, v, k), bp)
+                .cast("double") / lit(10000.0)
             case "collect"        => AggFns.collectSorted(fieldCol.get)
             case other            => sys.error(s"unknown aggregation: $other")
           }

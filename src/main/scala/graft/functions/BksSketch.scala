@@ -1,0 +1,154 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bottom-k-by-hash value sample ("BKS") — the quantile member of the
+  * mergeable-sketch triad ([[KmvSketch]] = distinct counts,
+  * [[CountMinSketch]] = frequencies, this = quantiles / distribution
+  * shape). Per-group state is the (hash, value) pair for the k smallest
+  * row hashes — a deterministic uniform sample of the group's rows
+  * (hashing a unique row key is an order-independent coin flip), bounded
+  * at k·16 bytes, partial-aggregated map-side; merge keeps the k smallest
+  * of the union, so the sketch is independent of partitioning and task
+  * order, and per-day sketch cubes roll up relationally to the IDENTICAL
+  * object a direct pass would build (same law as KMV, spec-asserted).
+  *
+  * Chosen over randomized quantile sketches (KLL, t-digest) for the same
+  * reason KMV was chosen over HLL++: the state is an EXACT function of
+  * the input, so an oracle re-derives the whole sketch with a window
+  * rank (`row_number() OVER (ORDER BY hash) <= k`) and the quantile
+  * estimates replay cross-engine bit-for-bit. Estimates are
+  * nearest-rank-below over the sampled values (see
+  * `HashFunctions.bksQuantile`); at sample size k the relative rank
+  * error is O(1/sqrt(k)) — the honest-display columns in
+  * q_sketch_quantiles put the exact quantiles alongside.
+  *
+  * Hash collisions (impossible in practice at 60 bits, but determinism
+  * must not depend on that): the smaller value wins, in update and merge
+  * both, so the sketch stays a pure function of the input SET. The
+  * oracle mirrors the same rule with `min(v) ... GROUP BY hash`.
+  */
+case class BksSketch(
+    left: Expression,  // 60-bit row hash (BIGINT, e.g. HashFunctions.hash60)
+    right: Expression, // long-encoded sample value (BIGINT)
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[java.util.TreeMap[java.lang.Long, java.lang.Long]]
+    with BinaryLike[Expression] {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def createAggregationBuffer(): java.util.TreeMap[java.lang.Long, java.lang.Long] =
+    new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+
+  private def put(
+      buf: java.util.TreeMap[java.lang.Long, java.lang.Long],
+      h: java.lang.Long,
+      v: java.lang.Long): Unit = {
+    val prev = buf.get(h)
+    if (prev == null || v < prev) buf.put(h, v)
+    if (buf.size > k) buf.pollLastEntry() // drop the largest hash; keep k minima
+  }
+
+  override def update(
+      buf: java.util.TreeMap[java.lang.Long, java.lang.Long],
+      input: InternalRow
+  ): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+    val h = left.eval(input)
+    val v = right.eval(input)
+    if (h != null && v != null) {
+      put(buf, h.asInstanceOf[Long], v.asInstanceOf[Long])
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeMap[java.lang.Long, java.lang.Long],
+      other: java.util.TreeMap[java.lang.Long, java.lang.Long]
+  ): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      put(buf, e.getKey, e.getValue)
+    }
+    buf
+  }
+
+  /** Emits the sample as array<struct<h,v>> sorted ascending by hash — the
+    * canonical sketch identity, so equal inputs give byte-equal sketches
+    * and sketches merge relationally (explode → re-aggregate).
+    */
+  override def eval(buf: java.util.TreeMap[java.lang.Long, java.lang.Long]): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = InternalRow(e.getKey.longValue(), e.getValue.longValue())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(
+      buf: java.util.TreeMap[java.lang.Long, java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(4 + buf.size * 16)
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeLong(e.getKey)
+      out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(
+      bytes: Array[Byte]): java.util.TreeMap[java.lang.Long, java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.put(in.readLong(), in.readLong()); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = BksSketch.sketchType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bks_sketch requires (BIGINT hash, BIGINT value), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  override def prettyName: String = "bks_sketch"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BksSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BksSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BksSketch =
+    copy(left = newLeft, right = newRight)
+}
+
+object BksSketch {
+  /** array<struct<h: bigint, v: bigint>> — h ascending, h = row hash,
+    * v = long-encoded sampled value.
+    */
+  val sketchType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h", LongType, nullable = false),
+      StructField("v", LongType, nullable = false))),
+    containsNull = false)
+}

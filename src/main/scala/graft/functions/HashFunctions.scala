@@ -231,6 +231,50 @@ object HashFunctions {
   private def exactDiv(num: Column, den: Column): Column =
     ((num - pmod(num, den)) / den).cast("long")
 
+  /** Bottom-k-by-hash value sample (see [[BksSketch]]): the quantile
+    * member of the sketch triad. `hash60Col` must be a 60-bit hash of a
+    * UNIQUE row key (the sample is then uniform over rows); `valueLong`
+    * is the long-encoded measure being sampled. Bounded k·16-byte state,
+    * map-side combined, merge = bounded union — rollup-exact like KMV.
+    */
+  def bksSketch(hash60Col: Column, valueLong: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      BksSketch(
+        ColumnBridge.expression(hash60Col),
+        ColumnBridge.expression(valueLong), k).toAggregateExpression())
+  }
+
+  /** Merge two BKS sketches without the data: k smallest hashes of the
+    * union, smaller value winning on a shared hash (the same rule the
+    * aggregate applies, so merge-of-sketches == sketch-of-union).
+    */
+  def bksMerge(a: Column, b: Column, k: Int): Column = {
+    // group by hash taking min(v): sort pairs (struct sort is (h, v)
+    // lexicographic), then keep each hash's FIRST occurrence via the
+    // dedup-adjacent filter, and trim to k.
+    val sorted = array_sort(concat(a, b))
+    val dedup = filter(sorted, (x, i) =>
+      i === 0 || x.getField("h") =!=
+        element_at(sorted, greatest(i, lit(1))).getField("h"))
+    slice(dedup, 1, k)
+  }
+
+  /** Nearest-rank quantile estimate from a BKS sketch, in the value's
+    * long encoding: the sampled values sorted ascending, indexed at
+    * ceil(bp·n/10000) — the SAME integer rule as
+    * `Profiling.columnQuantiles`, so sketch estimates and exact
+    * quantiles are directly comparable; replays as a window rank in the
+    * oracle. `bp` is basis points in [1, 10000]. NULL on an empty sketch.
+    */
+  def bksQuantile(sketch: Column, bp: Int): Column = {
+    require(bp >= 1 && bp <= 10000, s"bp must be in [1, 10000], got $bp")
+    val vals = array_sort(transform(sketch, x => x.getField("v")))
+    val n = size(vals).cast("long")
+    val idx = exactDiv(lit(bp.toLong) * n + lit(9999L), lit(10000L)).cast("int")
+    when(n === 0, lit(null).cast("long")).otherwise(element_at(vals, idx))
+  }
+
   /** KMV estimate from a sketch array: exact distinct count while the
     * sketch is unsaturated (fewer than k distinct values seen), else the
     * classic `(k−1)·2^60 div kth_min` estimator — in DECIMAL(38,0) so the

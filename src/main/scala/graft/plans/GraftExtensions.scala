@@ -60,6 +60,8 @@ object GraftExtensions {
         .toAggregateExpression()),
     "bloom_bits" -> (es =>
       BloomBits(es(0), intArg(es(1), "mBits")).toAggregateExpression()),
+    "bks_sketch" -> (es =>
+      BksSketch(es(0), es(1), intArg(es(2), "k")).toAggregateExpression()),
     // one-digest position/signature kernels (round 7e/7f)
     "double_hash_positions" -> (es =>
       DoubleHashPositions(es(0), intArg(es(1), "k"), intArg(es(2), "mBits").toLong)),

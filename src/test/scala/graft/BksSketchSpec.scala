@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.functions.{HashFunctions => H}
+
+/** The BKS (bottom-k-by-hash) quantile sketch: sample identity, merge
+  * laws, collision determinism, and the nearest-rank estimator.
+  */
+class BksSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(r: Row): Seq[(Long, Long)] =
+    r.getSeq[Row](0).map(p => (p.getLong(0), p.getLong(1)))
+
+  /** Literal (h, v) pair lists -> the sketch's named-struct shape. */
+  private def skDf(cols: (String, Seq[(Long, Long)])*) = {
+    import org.apache.spark.sql.types._
+    val pairType = StructType(Seq(
+      StructField("h", LongType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    val schema = StructType(cols.map { case (n, _) =>
+      StructField(n, ArrayType(pairType, containsNull = false))
+    }.toArray)
+    val row = Row.fromSeq(cols.map(_._2.map { case (h, v) => Row(h, v) }))
+    spark.createDataFrame(java.util.List.of(row), schema)
+  }
+
+  test("sketch keeps the k smallest hashes with their values, hash-sorted") {
+    val df = Seq((5L, 50L), (3L, 30L), (9L, 90L), (1L, 10L), (7L, 70L))
+      .toDF("h", "v")
+    val sk = pairs(df.agg(H.bksSketch(col("h"), col("v"), 3)).head())
+    assert(sk == Seq((1L, 10L), (3L, 30L), (5L, 50L)))
+    // unsaturated: everything present
+    val all = pairs(df.agg(H.bksSketch(col("h"), col("v"), 100)).head())
+    assert(all == Seq((1L, 10L), (3L, 30L), (5L, 50L), (7L, 70L), (9L, 90L)))
+  }
+
+  test("sketch is independent of partitioning (merge = bounded union)") {
+    val data = (1L to 5000L).map(i => (i * 2654435761L % 1000003L, i))
+    for (parts <- Seq(1, 7, 32)) {
+      val sk = pairs(data.toDF("h", "v").repartition(parts)
+        .agg(H.bksSketch(col("h"), col("v"), 64)).head())
+      val expected = data.sortBy(_._1).take(64)
+      assert(sk == expected, s"parts=$parts")
+    }
+  }
+
+  test("hash collision: the smaller value wins, in update and merge both") {
+    val df = Seq((1L, 20L), (1L, 10L), (2L, 5L), (1L, 30L)).toDF("h", "v")
+    for (parts <- Seq(1, 4)) { // 1 = all in update; 4 = resolved in merge
+      val sk = pairs(df.repartition(parts)
+        .agg(H.bksSketch(col("h"), col("v"), 8)).head())
+      assert(sk == Seq((1L, 10L), (2L, 5L)), s"parts=$parts")
+    }
+  }
+
+  test("rollup law: sketch-of-sketches equals sketch-of-data") {
+    val rows = (1L to 3000L).map(i => (i % 10, i * 2654435761L % 1000003L, i))
+    val df = rows.toDF("day", "h", "v")
+    val direct = pairs(df.agg(H.bksSketch(col("h"), col("v"), 32)).head())
+    val rolled = pairs(df.groupBy(col("day"))
+      .agg(H.bksSketch(col("h"), col("v"), 32).as("sk"))
+      .select(explode(col("sk")).as("p"))
+      .select(col("p.h").as("h"), col("p.v").as("v"))
+      .agg(H.bksSketch(col("h"), col("v"), 32)).head())
+    assert(rolled == direct)
+  }
+
+  test("bksMerge composes two sketches without the data") {
+    val a = Seq((1L, 10L), (4L, 40L), (6L, 60L))
+    val b = Seq((2L, 20L), (4L, 35L), (9L, 90L)) // shared hash 4: min v wins
+    val df = skDf("a" -> a, "b" -> b)
+    val m = pairs(df.select(H.bksMerge(col("a"), col("b"), 4)).head())
+    assert(m == Seq((1L, 10L), (2L, 20L), (4L, 35L), (6L, 60L)))
+    val trimmed = pairs(df.select(H.bksMerge(col("a"), col("b"), 2)).head())
+    assert(trimmed == Seq((1L, 10L), (2L, 20L)))
+  }
+
+  test("bksQuantile: nearest-rank at basis points over the sampled values") {
+    // sample values (hash order irrelevant): 10,20,...,100
+    val sk = (1L to 10L).map(i => (i, i * 10L))
+    val df = skDf("sk" -> sk)
+    def q(bp: Int): Long =
+      df.select(H.bksQuantile(col("sk"), bp)).head().getLong(0)
+    assert(q(5000) == 50L)  // ceil(0.5*10)=5 -> 50
+    assert(q(9000) == 90L)
+    assert(q(9900) == 100L) // ceil(0.99*10)=10
+    assert(q(1) == 10L)     // ceil(0.0001*10)=1
+    assert(q(10000) == 100L)
+    // empty sketch -> NULL
+    val empty = skDf("sk" -> Seq.empty)
+    assert(empty.select(H.bksQuantile(col("sk"), 5000)).head().isNullAt(0))
+  }
+
+  test("estimate converges on a real distribution (error ~ 1/sqrt(k))") {
+    // values 1..20000 uniform; true p50 = 10000
+    val n = 20000
+    val df = (1 to n).map(i => (s"row$i", i.toLong)).toDF("key", "v")
+      .select(H.hash60(col("key")).as("h"), col("v"))
+    val est = df.agg(H.bksSketch(col("h"), col("v"), 256).as("sk"))
+      .select(H.bksQuantile(col("sk"), 5000)).head().getLong(0)
+    assert(math.abs(est - n / 2).toDouble / (n / 2) < 0.15, s"p50 est=$est")
+  }
+
+  test("bks_sketch is callable from SQL") {
+    graft.plans.GraftExtensions.register(spark)
+    (1L to 100L).map(i => (i * 2654435761L % 1000003L, i))
+      .toDF("h", "v").createOrReplaceTempView("bks_in")
+    val sk = pairs(
+      spark.sql("SELECT bks_sketch(h, v, 8) FROM bks_in").head())
+    assert(sk.size == 8 && sk == sk.sortBy(_._1))
+  }
+}
