@@ -937,6 +937,36 @@ object SparkEntry {
         array_join(transform(col("qvec"), _.cast("string")), ",").as("qvec"))
       .orderBy(col("vec_id"))
 
+  /** Product quantization end-to-end (L55): codebook (4 subspaces × 8
+    * centroids, 2 deterministic Lloyd rounds each), codes for the whole
+    * corpus, and ADC top-5 for the standard probe set — with the TRUE
+    * full-precision distance alongside the estimate, so PQ's
+    * approximation error is the in-result honest display. The oracle
+    * re-derives all four per-subspace k-means (shared md5-chosen seed
+    * vectors), every code, the per-query lookup tables, and the
+    * decimal-summed estimates.
+    */
+  private def qEmbedPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val S = graft.ops.Similarity
+    val e = emb(s, dir)
+    val cb = S.pqCodebook(e, "vec_id", "embedding", m = 4, codesK = 8, iters = 2, dim = 64)
+    val codes = S.pqEncode(e, "vec_id", "embedding", cb, m = 4, dim = 64)
+    val probes = e.filter(col("vec_id") < 10)
+    val topk = S.pqAdcTopK(codes, cb, probes, "vec_id", "embedding", k = 5, m = 4, dim = 64)
+    val dv = transform(col("embedding"), _.cast("double"))
+    val corpusV = e.select(col("vec_id"), dv.as("__cv"))
+    val probesV = probes.select(col("vec_id").as("q_id"), dv.as("__qv"))
+    topk
+      .join(corpusV, "vec_id")
+      .join(broadcast(probesV), "q_id")
+      .select(col("q_id"), col("vec_id"), col("rank"), col("est_dist2"),
+        round(VF.dot(col("__cv"), col("__cv"))
+          - lit(2.0) * VF.dot(col("__cv"), col("__qv"))
+          + VF.dot(col("__qv"), col("__qv")), 6).as("true_dist2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   private def qNeardupCosine(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", "label", minCosine = 0.4)
       .orderBy(col("id_a"), col("id_b"))
@@ -2604,6 +2634,7 @@ object SparkEntry {
     "q_domain_cap" -> (qDomainCap _),
     "q_pack" -> (qPack _),
     "q_embed_quantize" -> (qEmbedQuantize _),
+    "q_embed_pq" -> (qEmbedPq _),
     "q_quality" -> (qQuality _),
     "q_token_count" -> (qTokenCount _),
     "q_subword_vocab" -> (qSubwordVocab _),
@@ -2730,7 +2761,84 @@ object SparkEntry {
       |  SELECT word, max(n) AS c FROM enc GROUP BY word
       |)""".stripMargin
 
+  /** DuckDB CTE chain for one PQ subspace (16 dims starting at s·16+1):
+    * two Lloyd rounds from the shared md5-chosen seed vectors, then the
+    * final code assignment — the q_kmeans oracle shape, parameterized
+    * per subspace.
+    */
+  private def pqSubCte(s: Int): String = {
+    val lo = s * 16 + 1
+    val hi = lo + 16 - 1
+    def argmin(vsrc: String, csrc: String): String =
+      s"""SELECT vid, cluster FROM (
+         |  SELECT vid, cluster, row_number() OVER (PARTITION BY vid ORDER BY d2, cluster) AS r FROM (
+         |    SELECT v.vid, c.cluster,
+         |      round(list_dot_product(v.sv, v.sv) - 2.0*list_dot_product(v.sv, c.cent) + list_dot_product(c.cent, c.cent), 6) AS d2
+         |    FROM $vsrc v CROSS JOIN $csrc c)
+         |) WHERE r = 1""".stripMargin
+    def mean(asrc: String): String =
+      s"""SELECT cluster, list(m ORDER BY p) AS cent FROM (
+         |  SELECT a.cluster, p.p AS p,
+         |    CAST(sum(CAST(v.sv[p.p] AS DECIMAL(28,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS m
+         |  FROM $asrc a JOIN s${s}v v ON v.vid = a.vid
+         |  CROSS JOIN generate_series(1, 16) p(p)
+         |  GROUP BY 1, 2) GROUP BY cluster""".stripMargin
+    s"""s${s}v AS MATERIALIZED (SELECT vid, vec[$lo:$hi] AS sv FROM ev),
+       |s${s}c0 AS (SELECT cluster, vec[$lo:$hi] AS cent FROM seeds),
+       |s${s}a1 AS (${argmin(s"s${s}v", s"s${s}c0")}),
+       |s${s}c1 AS MATERIALIZED (${mean(s"s${s}a1")}),
+       |s${s}a2 AS (${argmin(s"s${s}v", s"s${s}c1")}),
+       |s${s}c2 AS MATERIALIZED (${mean(s"s${s}a2")}),
+       |s${s}code AS (${argmin(s"s${s}v", s"s${s}c2")})""".stripMargin
+  }
+
+  /** Full q_embed_pq oracle: the four subspace chains + per-query lookup
+    * tables + decimal-summed ADC estimates + exact distances.
+    */
+  private def pqOracle: String = {
+    val subs = (0 until 4).map(pqSubCte).mkString(",\n")
+    val lut = (0 until 4).map { s =>
+      val lo = s * 16 + 1; val hi = lo + 15
+      s"""SELECT q.qid, $s AS sub, c.cluster,
+         |  round(list_dot_product(q.vec[$lo:$hi], q.vec[$lo:$hi]) - 2.0*list_dot_product(q.vec[$lo:$hi], c.cent) + list_dot_product(c.cent, c.cent), 6) AS d2
+         |FROM probes q CROSS JOIN s${s}c2 c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val codes = (0 until 4).map(s =>
+      s"SELECT vid, $s AS sub, cluster AS code FROM s${s}code").mkString("\nUNION ALL\n")
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT CAST(vec_id AS BIGINT) AS vid, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+       |), seeds AS (
+       |  SELECT vid AS cluster, vec FROM ev
+       |  ORDER BY CAST(concat('0x', substr(md5(CAST(vid AS VARCHAR)), 1, 8)) AS BIGINT), vid
+       |  LIMIT 8
+       |),
+       |$subs,
+       |probes AS MATERIALIZED (SELECT vid AS qid, vec FROM ev WHERE vid < 10),
+       |lut AS MATERIALIZED (
+       |$lut
+       |),
+       |codes AS (
+       |$codes
+       |),
+       |est AS (
+       |  SELECT l.qid, c.vid, sum(CAST(l.d2 AS DECIMAL(28,6))) AS est_dec
+       |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cluster = c.code
+       |  GROUP BY 1, 2
+       |), tk AS (
+       |  SELECT qid, vid, est_dec,
+       |    row_number() OVER (PARTITION BY qid ORDER BY est_dec, vid) AS rank
+       |  FROM est
+       |)
+       |SELECT t.qid AS q_id, t.vid AS vec_id, t.rank,
+       |  CAST(t.est_dec AS DOUBLE) AS est_dist2,
+       |  round(list_dot_product(v.vec, v.vec) - 2.0*list_dot_product(v.vec, q.vec) + list_dot_product(q.vec, q.vec), 6) AS true_dist2
+       |FROM tk t JOIN ev v ON v.vid = t.vid JOIN probes q ON q.qid = t.qid
+       |WHERE t.rank <= 5
+       |ORDER BY t.qid, t.rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_embed_pq" -> pqOracle,
     "q_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30

@@ -535,6 +535,99 @@ object Similarity {
           size(col(vecCol)).cast("string"))).cast("array<double>")))
   }
 
+  /** Product quantization (Jégou, Douze & Schmid 2011, "Product
+    * quantization for nearest neighbor search"): split every d-dim
+    * vector into `m` subvectors and k-means each subspace independently;
+    * a vector is then stored as its m per-subspace centroid ids — at
+    * (m=4, k=8) that is 4 small ints for a 64-float vector, the ~50×
+    * compression that lets a 100 TB embedding corpus's search structure
+    * live in memory (int8 is the 4× step; PQ is the next tier, and
+    * IVF-PQ = [[ivfIndex]] cells + these codes is the standard
+    * billion-vector serving layout). Distances are estimated
+    * ASYMMETRICALLY (ADC): the query stays exact, and dist²(q, v) ≈
+    * Σ_s dist²(q_s, centroid[code_s]) — one m·k lookup table per query,
+    * corpus side never touches floats again.
+    *
+    * Everything is deterministic ([[Clustering]]'s md5-seeded Lloyd
+    * rounds, 6-dp-rounded distances, decimal sums), so codebook, codes,
+    * and ADC estimates all replay in the oracle (q_embed_pq re-derives
+    * the per-subspace k-means in SQL; true distances ride alongside the
+    * estimates as the honest display of PQ's approximation error).
+    */
+  def pqCodebook(vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int, codesK: Int, iters: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    require(m >= 1 && subDim * m == dim, s"m=$m must divide dim=$dim")
+    // one small k-means per subspace; seed selection is id-based, so all
+    // subspaces share the same seed VECTORS (and the oracle one seed CTE)
+    (0 until m).map { s =>
+      val sliced = vectors.select(col(idCol),
+        transform(slice(col(vecCol), s * subDim + 1, subDim),
+          _.cast("double")).as("__sv"))
+      Clustering.kmeansCentroids(sliced, idCol, "__sv", codesK, iters)
+        .select(lit(s).as("sub"), col("cluster"), col("cent"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Codes for every vector: explode to (vector, subspace) rows ONCE,
+    * score against the broadcast codebook, argmin per (vector, subspace)
+    * via map-side-combinable min_by, reassemble the m-int code array.
+    * One shuffle on the vector id; the corpus vectors never co-shuffle
+    * with each other.
+    */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    require(m >= 1 && subDim * m == dim, s"m=$m must divide dim=$dim")
+    val subs = vectors.select(col(idCol).cast("long").as("__vid"),
+      posexplode(array((0 until m).map(s =>
+        transform(slice(col(vecCol), s * subDim + 1, subDim),
+          _.cast("double"))): _*)).as(Seq("sub", "__sv")))
+    val scored = subs.join(broadcast(codebook), "sub")
+      .select(col("__vid"), col("sub"), col("cluster"),
+        round(V.dot(col("__sv"), col("__sv"))
+          - lit(2.0) * V.dot(col("__sv"), col("cent"))
+          + V.dot(col("cent"), col("cent")), 6).as("__d2"))
+    scored.groupBy(col("__vid"), col("sub"))
+      .agg(min_by(col("cluster"), struct(col("__d2"), col("cluster"))).as("__code"))
+      .groupBy(col("__vid"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("__code")))),
+        x => x.getField("__code").cast("int")).as("codes"))
+      .select(col("__vid").as(idCol), col("codes"))
+  }
+
+  /** ADC top-k: per query, a broadcast m·k lookup table of subspace
+    * distances; the corpus side is ONLY the code arrays — explode, join
+    * the table, decimal-sum the m parts (exact, order-independent),
+    * rank per query. The big side moves once, as (id, m ints).
+    */
+  def pqAdcTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    require(m >= 1 && subDim * m == dim, s"m=$m must divide dim=$dim")
+    val qsubs = queries.select(col(idCol).cast("long").as("q_id"),
+      posexplode(array((0 until m).map(s =>
+        transform(slice(col(vecCol), s * subDim + 1, subDim),
+          _.cast("double"))): _*)).as(Seq("sub", "__qv")))
+    val lut = qsubs.join(broadcast(codebook), "sub")
+      .select(col("q_id"), col("sub"), col("cluster"),
+        round(V.dot(col("__qv"), col("__qv"))
+          - lit(2.0) * V.dot(col("__qv"), col("cent"))
+          + V.dot(col("cent"), col("cent")), 6).as("__d2"))
+    val cexp = codes
+      .select(col(idCol).cast("long").as("__vid"),
+        posexplode(col("codes")).as(Seq("__sub", "__code")))
+    val est = cexp
+      .join(broadcast(lut),
+        cexp("__sub") === lut("sub") && cexp("__code") === lut("cluster"))
+      .groupBy(col("q_id"), col("__vid"))
+      .agg(sum(col("__d2").cast("decimal(28,6)")).as("__est"))
+    val w = Window.partitionBy("q_id").orderBy(col("__est"), col("__vid"))
+    est.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("__vid").as(idCol),
+        col("rank"), col("__est").cast("double").as("est_dist2"))
+  }
+
   /** Symmetric int8 quantization per vector: q_i = round_half_up(x_i * 127
     * / max|x|), the storage layout ANN indexes ship at scale (4× smaller
     * exchanges and index blocks than float32; dot products stay int

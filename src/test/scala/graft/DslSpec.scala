@@ -720,10 +720,13 @@ class DslSpec extends SparkSpec {
       .getMessage.contains("exclusive"))
   }
 
-  test("count_distinct_approx runs in a streaming aggregate (state-store round-trip)") {
-    // Two single-file micro-batches (rateCap) force the KmvSketch buffer
-    // through state-store serialize/deserialize between batches; the
-    // streaming result must equal the batch run of the same aggregation.
+  test("sketch aggregations run in a streaming aggregate (state-store round-trip)") {
+    // Two single-file micro-batches (rateCap) force the KmvSketch AND
+    // BksSketch buffers through state-store serialize/deserialize between
+    // batches; the streaming result must equal the batch run of the same
+    // aggregations. (countDistinct / exact quantiles are UNSUPPORTED in
+    // streaming — the sketches are how these questions get answered at
+    // all on an unbounded stream.)
     val dir = java.nio.file.Files.createTempDirectory("graft_dsl_kmv").toString
     val yaml =
       s"""kind: Source
@@ -732,7 +735,7 @@ class DslSpec extends SparkSpec {
          |  format: json
          |  path: $dir/in
          |  streaming: true
-         |  schema: "id LONG, event_type STRING, ts TIMESTAMP"
+         |  schema: "id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP"
          |  watermark: {field: ts, delay: "10 minutes"}
          |  rateCap: {maxFilesPerTrigger: 1}
          |---
@@ -746,6 +749,7 @@ class DslSpec extends SparkSpec {
          |  aggregations:
          |    - {fn: count, as: n}
          |    - {fn: count_distinct_approx, field: id, k: 2, as: approx_ids}
+         |    - {fn: quantile_approx, field: value, keyField: id, k: 2, bp: 5000, as: p50v}
          |---
          |kind: Sink
          |metadata: {name: out}
@@ -758,37 +762,45 @@ class DslSpec extends SparkSpec {
          |metadata: {name: p}
          |spec: {source: ev, steps: [approx], sink: out}
          |""".stripMargin
-    def rows(seq: Seq[(Long, String, String)], part: Int): Unit =
-      seq.toDF("id", "event_type", "ts_s")
+    def rows(seq: Seq[(Long, String, Double, String)], part: Int): Unit =
+      seq.toDF("id", "event_type", "value", "ts_s")
         .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
         .coalesce(1).write.mode("append").json(s"$dir/in/w$part")
-    // k=2 with 4 distinct ids per group -> saturated estimator; the split
-    // across waves makes the merge path (not just update) carry the state
-    rows(Seq((1L, "view", "2024-01-01 00:00:10"), (2L, "view", "2024-01-01 00:10:00"),
-      (10L, "click", "2024-01-01 00:00:20")), 1)
-    rows(Seq((3L, "view", "2024-01-01 00:20:00"), (4L, "view", "2024-01-01 00:30:00"),
-      (11L, "click", "2024-01-01 00:10:00"), (12L, "click", "2024-01-01 00:20:00"),
-      (13L, "click", "2024-01-01 00:25:00"),
-      (99L, "view", "2024-01-01 09:00:00")), 2) // watermark-advancing closer
+    // k=2 with 4 distinct ids per group -> saturated estimator AND a
+    // trimmed BKS sample; the split across waves makes the merge path
+    // (not just update) carry both states
+    rows(Seq((1L, "view", 1.5, "2024-01-01 00:00:10"), (2L, "view", 2.5, "2024-01-01 00:10:00"),
+      (10L, "click", 10.0, "2024-01-01 00:00:20")), 1)
+    rows(Seq((3L, "view", 3.5, "2024-01-01 00:20:00"), (4L, "view", 4.5, "2024-01-01 00:30:00"),
+      (11L, "click", 11.0, "2024-01-01 00:10:00"), (12L, "click", 12.0, "2024-01-01 00:20:00"),
+      (13L, "click", 13.0, "2024-01-01 00:25:00"),
+      (99L, "view", 9.9, "2024-01-01 09:00:00")), 2) // watermark-advancing closer
     val reg = YamlLoader.load(yaml.replace(s"path: $dir/in", s"path: $dir/in/w*"))
     val p = Compiler.compile(spark, reg)("p")
     assert(p.frame.isStreaming)
     Compiler.write(p)
     val out = spark.read.parquet(s"$dir/out")
       .filter(col("window_start") === "2024-01-01 00:00:00")
-      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
-    val batch = spark.read.schema("id LONG, event_type STRING, ts TIMESTAMP")
+      .collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val H = graft.functions.HashFunctions
+    val bh = H.hash60(col("id").cast("string"))
+    val batch = spark.read.schema("id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
       .json(s"$dir/in/w*")
       .filter(col("ts") < "2024-01-01 01:00:00")
       .groupBy(col("event_type"))
-      .agg(graft.functions.HashFunctions.kmvEstimate(
-        graft.functions.HashFunctions.kmvSketch(
-          graft.functions.HashFunctions.hash60(col("id").cast("string")), 2), 2).as("e"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .agg(
+        H.kmvEstimate(H.kmvSketch(bh, 2), 2).as("e"),
+        (H.bksQuantile(H.bksSketch(bh,
+          (col("value").cast("decimal(18,4)") * lit(10000)).cast("long"), 2), 5000)
+          .cast("double") / lit(10000.0)).as("q"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(out.keySet == Set("view", "click"))
     assert(out("view")._1 == 4L && out("click")._1 == 4L)
-    assert(out("view")._2 == batch("view"), "streaming estimate must equal batch")
-    assert(out("click")._2 == batch("click"))
+    assert(out("view")._2 == batch("view")._1, "streaming estimate must equal batch")
+    assert(out("click")._2 == batch("click")._1)
+    assert(out("view")._3 == batch("view")._2, "streaming p50 must equal batch")
+    assert(out("click")._3 == batch("click")._2)
   }
 
   test("streaming sessionize compiles to native session windows") {

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** Product quantization: codebook/code shapes, partition determinism,
+  * and ADC retrieval quality on a separably-clustered fixture.
+  */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 well-separated centers in 8-dim space + small deterministic jitter;
+  // 60 vectors per center
+  private lazy val fixture = {
+    val centers = Seq(
+      Array(10.0, 0, 0, 0, 10, 0, 0, 0),
+      Array(0.0, 10, 0, 0, 0, 10, 0, 0),
+      Array(0.0, 0, 10, 0, 0, 0, 10, 0),
+      Array(0.0, 0, 0, 10, 0, 0, 0, 10))
+    (0 until 240).map { i =>
+      val c = centers(i % 4)
+      val v = c.indices.map(d => (c(d) + ((i * 7 + d * 3) % 5) * 0.1).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("codebook: m×k centroids of subDim length; codes in range, length m") {
+    val cb = Similarity.pqCodebook(fixture, "vec_id", "embedding",
+      m = 2, codesK = 4, iters = 2, dim = 8)
+    val rows = cb.collect()
+    assert(rows.length <= 8 && rows.length >= 2) // empty clusters may drop
+    assert(rows.forall(_.getSeq[Double](2).length == 4))
+    val clusters = cb.select(col("cluster")).distinct().as[Long].collect().toSet
+    val codes = Similarity.pqEncode(fixture, "vec_id", "embedding", cb, m = 2, dim = 8)
+    val cd = codes.collect()
+    assert(cd.length == 240)
+    assert(cd.forall(_.getSeq[Int](1).length == 2))
+    assert(cd.forall(_.getSeq[Int](1).forall(c => clusters.contains(c.toLong))))
+  }
+
+  test("codes are independent of partitioning") {
+    val cb = Similarity.pqCodebook(fixture, "vec_id", "embedding",
+      m = 2, codesK = 4, iters = 2, dim = 8)
+    def codesAt(parts: Int) =
+      Similarity.pqEncode(fixture.repartition(parts), "vec_id", "embedding",
+        cb, m = 2, dim = 8)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codesAt(1) == codesAt(7))
+  }
+
+  test("ADC top-k finds the query's own cluster (recall on separable data)") {
+    val cb = Similarity.pqCodebook(fixture, "vec_id", "embedding",
+      m = 2, codesK = 4, iters = 2, dim = 8)
+    val codes = Similarity.pqEncode(fixture, "vec_id", "embedding", cb, m = 2, dim = 8)
+    val probes = fixture.filter(col("vec_id") < 4) // one per center family
+    val topk = Similarity.pqAdcTopK(codes, cb, probes, "vec_id", "embedding",
+      k = 5, m = 2, dim = 8).collect()
+    assert(topk.length == 20)
+    // every retrieved neighbor shares the probe's center family (i%4)
+    val hits = topk.count(r => r.getLong(1) % 4 == r.getLong(0) % 4)
+    assert(hits >= 18, s"cluster-family hits $hits/20")
+    // est_dist2 within a family stays far below the ~400 cross-family
+    // true distance (two 10-unit axis differences squared, both halves)
+    val est = topk.map(_.getDouble(3))
+    assert(est.forall(_ < 100.0), s"family est distances: ${est.max}")
+  }
+}
