@@ -967,6 +967,35 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF-PQ end-to-end (the L55 × L7b composition — the standard
+    * billion-vector serving layout): the index holds (id, cell, 4 codes)
+    * and NO float vectors; queries probe 4 of 16 cells and rank
+    * candidates by ADC estimates, with true distances alongside. The
+    * oracle re-derives the cells (q_ann_ivf's CTEs), the four subspace
+    * k-means, every code, and the candidate-restricted estimates.
+    */
+  private def qAnnIvfpq(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val S = graft.ops.Similarity
+    val e = emb(s, dir)
+    val quant = S.centroids(e, "vec_id", "embedding", 16)
+      .select(col("cent_id"), col("cent_vec"))
+    val cb = S.pqCodebook(e, "vec_id", "embedding", m = 4, codesK = 8, iters = 2, dim = 64)
+    val index = S.ivfPqIndex(e, "vec_id", "embedding", quant, cb, m = 4, dim = 64)
+    val probes = e.filter(col("vec_id") < 10)
+    val topk = S.ivfPqTopK(index, probes, "vec_id", "embedding", k = 5,
+      quant, cb, m = 4, dim = 64, nProbe = 4)
+    val dv = transform(col("embedding"), _.cast("double"))
+    topk
+      .join(e.select(col("vec_id").as("n_id"), dv.as("__cv")), "n_id")
+      .join(broadcast(probes.select(col("vec_id").as("q_id"), dv.as("__qv"))), "q_id")
+      .select(col("q_id"), col("n_id"), col("rank"), col("est_dist2"),
+        round(VF.dot(col("__cv"), col("__cv"))
+          - lit(2.0) * VF.dot(col("__cv"), col("__qv"))
+          + VF.dot(col("__qv"), col("__qv")), 6).as("true_dist2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   private def qNeardupCosine(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", "label", minCosine = 0.4)
       .orderBy(col("id_a"), col("id_b"))
@@ -2635,6 +2664,7 @@ object SparkEntry {
     "q_pack" -> (qPack _),
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_embed_pq" -> (qEmbedPq _),
+    "q_ann_ivfpq" -> (qAnnIvfpq _),
     "q_quality" -> (qQuality _),
     "q_token_count" -> (qTokenCount _),
     "q_subword_vocab" -> (qSubwordVocab _),
@@ -2792,33 +2822,43 @@ object SparkEntry {
        |s${s}code AS (${argmin(s"s${s}v", s"s${s}c2")})""".stripMargin
   }
 
-  /** Full q_embed_pq oracle: the four subspace chains + per-query lookup
-    * tables + decimal-summed ADC estimates + exact distances.
+  /** Shared PQ oracle fragments: the corpus/seed CTEs, the per-query
+    * lookup-table union, and the per-subspace code union.
     */
-  private def pqOracle: String = {
-    val subs = (0 until 4).map(pqSubCte).mkString(",\n")
-    val lut = (0 until 4).map { s =>
-      val lo = s * 16 + 1; val hi = lo + 15
-      s"""SELECT q.qid, $s AS sub, c.cluster,
-         |  round(list_dot_product(q.vec[$lo:$hi], q.vec[$lo:$hi]) - 2.0*list_dot_product(q.vec[$lo:$hi], c.cent) + list_dot_product(c.cent, c.cent), 6) AS d2
-         |FROM probes q CROSS JOIN s${s}c2 c""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    val codes = (0 until 4).map(s =>
-      s"SELECT vid, $s AS sub, cluster AS code FROM s${s}code").mkString("\nUNION ALL\n")
-    s"""WITH ev AS MATERIALIZED (
+  private def pqEvSeeds: String =
+    s"""ev AS MATERIALIZED (
        |  SELECT CAST(vec_id AS BIGINT) AS vid, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
        |), seeds AS (
        |  SELECT vid AS cluster, vec FROM ev
        |  ORDER BY CAST(concat('0x', substr(md5(CAST(vid AS VARCHAR)), 1, 8)) AS BIGINT), vid
        |  LIMIT 8
-       |),
+       |)""".stripMargin
+
+  private def pqLutSql: String =
+    (0 until 4).map { s =>
+      val lo = s * 16 + 1; val hi = lo + 15
+      s"""SELECT q.qid, $s AS sub, c.cluster,
+         |  round(list_dot_product(q.vec[$lo:$hi], q.vec[$lo:$hi]) - 2.0*list_dot_product(q.vec[$lo:$hi], c.cent) + list_dot_product(c.cent, c.cent), 6) AS d2
+         |FROM probes q CROSS JOIN s${s}c2 c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  private def pqCodesSql: String =
+    (0 until 4).map(s =>
+      s"SELECT vid, $s AS sub, cluster AS code FROM s${s}code").mkString("\nUNION ALL\n")
+
+  /** Full q_embed_pq oracle: the four subspace chains + per-query lookup
+    * tables + decimal-summed ADC estimates + exact distances.
+    */
+  private def pqOracle: String = {
+    val subs = (0 until 4).map(pqSubCte).mkString(",\n")
+    s"""WITH $pqEvSeeds,
        |$subs,
        |probes AS MATERIALIZED (SELECT vid AS qid, vec FROM ev WHERE vid < 10),
        |lut AS MATERIALIZED (
-       |$lut
+       |$pqLutSql
        |),
        |codes AS (
-       |$codes
+       |$pqCodesSql
        |),
        |est AS (
        |  SELECT l.qid, c.vid, sum(CAST(l.d2 AS DECIMAL(28,6))) AS est_dec
@@ -2837,8 +2877,66 @@ object SparkEntry {
        |ORDER BY t.qid, t.rank""".stripMargin
   }
 
+  /** q_ann_ivfpq oracle: the PQ chains + the q_ann_ivf cell CTEs
+    * (16 md5-chosen centroids, cosine assignment, 4 probes) + ADC
+    * estimates restricted to the probed cells' candidates.
+    */
+  private def pqIvfOracle: String = {
+    val subs = (0 until 4).map(pqSubCte).mkString(",\n")
+    def cellAssign(src: String, keep: String): String =
+      s"""SELECT _aid, cent_id FROM (
+         |  SELECT _aid, cent_id, row_number() OVER (PARTITION BY _aid ORDER BY csim DESC, cent_id) AS cr
+         |  FROM (
+         |    SELECT e.vid AS _aid, c.cent_id,
+         |      round(list_dot_product(e.vec, c.cvec) /
+         |        (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS csim
+         |    FROM $src e CROSS JOIN cents c
+         |  )
+         |) WHERE $keep""".stripMargin
+    s"""WITH $pqEvSeeds,
+       |$subs,
+       |probes AS MATERIALIZED (SELECT vid AS qid, vec FROM ev WHERE vid < 10),
+       |lut AS MATERIALIZED (
+       |$pqLutSql
+       |),
+       |codes AS MATERIALIZED (
+       |$pqCodesSql
+       |),
+       |cents AS (
+       |  SELECT vid AS cent_id, vec AS cvec FROM (
+       |    SELECT vid, vec,
+       |      row_number() OVER (ORDER BY CAST(concat('0x', substr(md5(CAST(vid AS VARCHAR)), 1, 8)) AS BIGINT), vid) AS r
+       |    FROM ev
+       |  ) WHERE r <= 16
+       |), ccells AS (${cellAssign("ev", "cr = 1")}),
+       |qcells AS (${cellAssign("(SELECT vid, vec FROM ev WHERE vid < 10)", "cr <= 4")}),
+       |cand AS (
+       |  SELECT DISTINCT qc._aid AS qid, cc._aid AS vid
+       |  FROM qcells qc JOIN ccells cc ON cc.cent_id = qc.cent_id
+       |  WHERE cc._aid <> qc._aid
+       |),
+       |est AS (
+       |  SELECT c.qid, c.vid, sum(CAST(l.d2 AS DECIMAL(28,6))) AS est_dec
+       |  FROM cand c
+       |  JOIN codes k ON k.vid = c.vid
+       |  JOIN lut l ON l.qid = c.qid AND l.sub = k.sub AND l.cluster = k.code
+       |  GROUP BY 1, 2
+       |), tk AS (
+       |  SELECT qid, vid, est_dec,
+       |    row_number() OVER (PARTITION BY qid ORDER BY est_dec, vid) AS rank
+       |  FROM est
+       |)
+       |SELECT t.qid AS q_id, t.vid AS n_id, t.rank,
+       |  CAST(t.est_dec AS DOUBLE) AS est_dist2,
+       |  round(list_dot_product(v.vec, v.vec) - 2.0*list_dot_product(v.vec, q.vec) + list_dot_product(q.vec, q.vec), 6) AS true_dist2
+       |FROM tk t JOIN ev v ON v.vid = t.vid JOIN probes q ON q.qid = t.qid
+       |WHERE t.rank <= 5
+       |ORDER BY t.qid, t.rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_embed_pq" -> pqOracle,
+    "q_ann_ivfpq" -> pqIvfOracle,
     "q_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30

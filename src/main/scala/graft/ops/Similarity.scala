@@ -601,19 +601,28 @@ object Similarity {
     * the table, decimal-sum the m parts (exact, order-independent),
     * rank per query. The big side moves once, as (id, m ints).
     */
-  def pqAdcTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, m: Int, dim: Int): DataFrame = {
+  /** Per-query ADC lookup table: dist²(query subvector, centroid) for
+    * every (subspace, centroid) — m·k rows per query, 6-dp-rounded.
+    * Columns: (q_id, sub, cluster, __d2).
+    */
+  private def pqLut(queries: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame, m: Int, dim: Int): DataFrame = {
     val subDim = dim / m
     require(m >= 1 && subDim * m == dim, s"m=$m must divide dim=$dim")
     val qsubs = queries.select(col(idCol).cast("long").as("q_id"),
       posexplode(array((0 until m).map(s =>
         transform(slice(col(vecCol), s * subDim + 1, subDim),
           _.cast("double"))): _*)).as(Seq("sub", "__qv")))
-    val lut = qsubs.join(broadcast(codebook), "sub")
+    qsubs.join(broadcast(codebook), "sub")
       .select(col("q_id"), col("sub"), col("cluster"),
         round(V.dot(col("__qv"), col("__qv"))
           - lit(2.0) * V.dot(col("__qv"), col("cent"))
           + V.dot(col("cent"), col("cent")), 6).as("__d2"))
+  }
+
+  def pqAdcTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, m: Int, dim: Int): DataFrame = {
+    val lut = pqLut(queries, idCol, vecCol, codebook, m, dim)
     val cexp = codes
       .select(col(idCol).cast("long").as("__vid"),
         posexplode(col("codes")).as(Seq("__sub", "__code")))
@@ -626,6 +635,56 @@ object Similarity {
     est.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("q_id"), col("__vid").as(idCol),
         col("rank"), col("__est").cast("double").as("est_dist2"))
+  }
+
+  /** IVF-PQ index: (n_id, cent_id, codes) — the billion-vector serving
+    * layout with NO float vectors at all: the IVF cell prunes the
+    * search, the PQ codes measure the candidates. At m=4/codesK=8 over
+    * 64 floats the per-vector index payload drops from 256 bytes to one
+    * cell id + 4 small ints — the compression that lets the whole index
+    * stay memory-resident on a serving fleet.
+    */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      quantizer: DataFrame, codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    val cells = ivfIndex(corpus, idCol, vecCol, quantizer)
+      .select(col("n_id").cast("long").as("n_id"), col("cent_id"))
+    val codes = pqEncode(corpus, idCol, vecCol, codebook, m, dim)
+      .select(col(idCol).cast("long").as("n_id"), col("codes"))
+    cells.join(codes, "n_id")
+  }
+
+  /** IVF-PQ top-k (ADC): the query probes its nProbe nearest cells
+    * (cosine, like [[ivfTopK]]); candidates are those cells' code rows;
+    * distances are ADC dist² estimates from the per-query broadcast
+    * lookup table, ascending (PQ measures L2 — L2-normalize the corpus
+    * first if cosine ordering is wanted). The big side that moves is
+    * (id, cell, m ints); the float vectors are never read at query
+    * time.
+    */
+  def ivfPqTopK(index: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, quantizer: DataFrame, codebook: DataFrame,
+      m: Int, dim: Int, nProbe: Int): DataFrame = {
+    val cents = quantizer.select(col("cent_id"), col("cent_vec"),
+      V.norm(col("cent_vec")).as("cent_norm"))
+    val queryCells = assignCells(queries, idCol, vecCol, cents, probes = nProbe)
+      .select(col("_aid").cast("long").as("q_id"), col("cent_id"))
+    val lut = pqLut(queries, idCol, vecCol, codebook, m, dim)
+      .withColumnRenamed("q_id", "__lq")
+    val cand = index.join(queryCells, Seq("cent_id"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), col("codes")).distinct()
+    val cexp = cand.select(col("q_id"), col("n_id"),
+      posexplode(col("codes")).as(Seq("__sub", "__code")))
+    val est = cexp
+      .join(broadcast(lut),
+        cexp("q_id") === lut("__lq") && cexp("__sub") === lut("sub") &&
+          cexp("__code") === lut("cluster"))
+      .groupBy(cexp("q_id"), col("n_id"))
+      .agg(sum(col("__d2").cast("decimal(28,6)")).as("__est"))
+    val w = Window.partitionBy("q_id").orderBy(col("__est"), col("n_id"))
+    est.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        col("__est").cast("double").as("est_dist2"))
   }
 
   /** Symmetric int8 quantization per vector: q_i = round_half_up(x_i * 127
