@@ -1390,6 +1390,15 @@ object SparkEntry {
     graft.ops.LangModel.bigramSurprisal(docs(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Interpolated Kneser–Ney surprisal (L59): the discount/continuation
+    * smoothing real LM pipelines use, in the same exact-integer micro
+    * units as L49 — the oracle rebuilds counts, continuation tables, and
+    * every common-denominator division in SQL.
+    */
+  private def qKneserNey(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LangModel.knSurprisal(docs(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** DSIR importance weighting (L50): sources src0-src2 play the quality
     * seed corpus; every document is scored by its hashed-feature
     * importance ratio against that target. The oracle rebuilds the
@@ -1538,6 +1547,70 @@ object SparkEntry {
       .withColumn("overcount", col("n_est") - col("n_exact"))
       .orderBy(col("n_exact").desc, col("token"))
   }
+
+  /** Host-graph PageRank (L56): the domain-level quality prior for web
+    * corpora. A deterministic link graph is synthesized from documents —
+    * source host = md5(doc_id) over 38 hosts, three out-links per doc to
+    * md5(doc_id:j) over 40 hosts — so hosts h38/h39 appear only as link
+    * targets and exercise the dangling-mass branch. Five exact
+    * integer-scaled iterations ([[graft.ops.Graph.pageRank]]); the oracle
+    * unrolls the identical recurrence as five chained CTEs, so every
+    * floor division and the damping split are under the hash gate.
+    */
+  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val H = graft.functions.HashFunctions
+    val host = (c: Column, m: Int) =>
+      concat(lit("h"), pmod(H.hash32(c), lit(m)).cast("string"))
+    val links = docs(s, dir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("j"))
+      .select(
+        host(col("doc_id").cast("string"), 38).as("src"),
+        host(concat(col("doc_id").cast("string"), lit(":"),
+          col("j").cast("string")), 40).as("dst"))
+    graft.ops.Graph.pageRank(links, "src", "dst", iters = 5)
+      .orderBy(col("node"))
+  }
+
+  /** Perceptual image near-dup (L57): aHash bands + pigeonhole band join
+    * ([[graft.ops.Multimodal.ahashPairs]]). Thumbnails are synthesized as
+    * column arithmetic — docs in the same family (doc_id div 5) share an
+    * md5-derived 8×8 base image and each variant v>0 carries one planted
+    * pixel flip at index (v*13)%64 — so near-duplicate pairs exist by
+    * construction and the WHOLE chain (pixels, mean, band signature,
+    * band-equality candidates, hamming filter) replays in SQL. The real
+    * decode path (javax.imageio block-averaged luminance feeding the same
+    * ahashBands kernel) is pinned by ImageAhashSpec on generated PNGs.
+    */
+  private def qImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    val M = graft.ops.Multimodal
+    val g = expr("doc_id div 5").cast("string")
+    val v = pmod(col("doc_id"), lit(5))
+    val base = (i: Column) =>
+      conv(md5(concat(g, lit("#"), shiftright(i, 4).cast("string")))
+        .substr(pmod(i, lit(16)) * 2 + 1, lit(2)), 16, 10).cast("int")
+    val px = transform(sequence(lit(0), lit(63)), i =>
+      when(v > 0 && i === pmod(v * 13, lit(64)),
+        pmod(base(i) + 128, lit(256))).otherwise(base(i)))
+    val sigs = docs(s, dir)
+      .select(col("doc_id"), px.as("px"))
+      .withColumn("mean", M.ahashMean(col("px")))
+      .withColumn("bands", M.ahashBands(col("px"), col("mean")))
+    M.ahashPairs(sigs, "doc_id", "bands", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact-integer PCA (L58): one GramMatrix aggregate pass over the
+    * embeddings (bounded d²+d+1-long state, map-side combined), then the
+    * covariance normalization and 8 power iterations as integer column
+    * arithmetic on the single aggregate row ([[graft.ops.Pca]]). The
+    * oracle re-derives the Gram sums with explode + self-join and unrolls
+    * the identical iterations as chained CTEs — every truncating division
+    * (`div` = DuckDB `//`) is under the hash gate.
+    */
+  private def qPca(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Pca.topComponent(t(s, dir, "embeddings"), "embedding",
+      dim = 64, iters = 8)
+      .orderBy(col("dim"))
 
   /** KMV reaggregability — the warehouse-cube law that makes the sketch
     * worth having at 100 TB: per-(key, day) sketches built ONCE can be
@@ -2677,6 +2750,9 @@ object SparkEntry {
     "q_audio" -> (qAudio _),
     "q_sketch_distinct" -> (qSketchDistinct _),
     "q_sketch_heavyhitters" -> (qSketchHeavyHitters _),
+    "q_pagerank" -> (qPagerank _),
+    "q_image_neardup" -> (qImageNeardup _),
+    "q_pca" -> (qPca _),
     "q_sketch_rollup" -> (qSketchRollup _),
     "q_sketch_setops" -> (qSketchSetops _),
     "q_sketch_quantiles" -> (qSketchQuantiles _),
@@ -2710,6 +2786,7 @@ object SparkEntry {
     "q_gopher_rules" -> (qGopherRules _),
     "q_clean_c4" -> (qCleanC4 _),
     "q_perplexity" -> (qPerplexity _),
+    "q_kneser_ney" -> (qKneserNey _),
     "q_dsir" -> (qDsir _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_decontaminate_bloom" -> (qDecontaminateBloom _),
@@ -2934,9 +3011,118 @@ object SparkEntry {
        |ORDER BY t.qid, t.rank""".stripMargin
   }
 
+  /** Unrolls the exact integer PageRank recurrence ([[graft.ops.Graph]])
+    * as chained CTEs — one per iteration, same floor divisions (`//`),
+    * same damping split, same dangling redistribution.
+    */
+  private def pagerankOracle: String = {
+    val iter = (k: Int) =>
+      s"""r$k AS (
+         |  SELECT d.node, d.out_deg,
+         |    1500000000000 // (nn.n * 10000)
+         |    + (8500 * (coalesce(inc.incoming, 0) + dg.dangling // nn.n)) // 10000 AS pr
+         |  FROM deg d
+         |  LEFT JOIN (SELECT e.dst AS node, sum(r.pr // r.out_deg) AS incoming
+         |             FROM edges e JOIN r${k - 1} r ON e.src = r.node GROUP BY 1) inc
+         |    ON d.node = inc.node
+         |  CROSS JOIN (SELECT coalesce(sum(pr), 0) AS dangling
+         |              FROM r${k - 1} WHERE out_deg = 0) dg
+         |  CROSS JOIN nn
+         |)""".stripMargin
+    s"""WITH links AS (
+       |  SELECT 'h' || CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 38 AS VARCHAR) AS src,
+       |    'h' || CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)),1,8))::BIGINT % 40 AS VARCHAR) AS dst
+       |  FROM documents CROSS JOIN range(3) t(j)
+       |), edges AS MATERIALIZED (
+       |  SELECT src, dst FROM links WHERE src <> dst
+       |), deg AS MATERIALIZED (
+       |  SELECT node, coalesce(cnt, 0) AS out_deg
+       |  FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges) n
+       |  LEFT JOIN (SELECT src, count(*) AS cnt FROM edges GROUP BY 1) d
+       |    ON n.node = d.src
+       |), nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT node, out_deg, 1000000000 // n AS pr FROM deg CROSS JOIN nn),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT node, out_deg, CAST(pr AS BIGINT) AS pr FROM r5 ORDER BY node""".stripMargin
+  }
+
+  /** Unrolls [[graft.ops.Pca.topComponent]]'s exact integer power
+    * iteration: Gram sums via explode + self-join, covariance and every
+    * normalize step with `//` (truncate-toward-zero, the same semantics
+    * as Spark's `div`), sign canonicalization included.
+    */
+  private def pcaOracle: String = {
+    val iter = (k: Int) =>
+      s"""w$k AS (SELECT c.i, sum(c.c * v.v) AS w
+         |  FROM c JOIN v${k - 1} v ON v.i = c.j GROUP BY 1),
+         |wm$k AS (SELECT greatest(max(abs(w)), 1) AS m FROM w$k),
+         |v$k AS (SELECT i, (w * 100000) // m AS v FROM w$k CROSS JOIN wm$k)""".stripMargin
+    s"""WITH xs AS MATERIALIZED (
+       |  SELECT vec_id, CAST(t.i AS INT) AS i,
+       |    CAST(floor(CAST(embedding[CAST(t.i + 1 AS INT)] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x
+       |  FROM embeddings CROSS JOIN range(64) t(i)
+       |), nn AS (SELECT count(*) AS n FROM embeddings),
+       |s AS MATERIALIZED (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM xs GROUP BY 1),
+       |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS g
+       |  FROM xs a JOIN xs b USING (vec_id) GROUP BY 1, 2),
+       |cov AS MATERIALIZED (SELECT g.i, g.j, g.g - (sa.s * sb.s) // nn.n AS cv
+       |  FROM g JOIN s sa ON sa.i = g.i JOIN s sb ON sb.i = g.j CROSS JOIN nn),
+       |cm AS (SELECT greatest(max(abs(cv)), 1) AS m FROM cov),
+       |c AS MATERIALIZED (SELECT i, j, (cv * 100000) // m AS c FROM cov CROSS JOIN cm),
+       |v0 AS (SELECT CAST(t.i AS INT) AS i, CAST(100000 AS BIGINT) AS v FROM range(64) t(i)),
+       |${(1 to 8).map(iter).mkString(",\n")},
+       |sg AS (SELECT CASE WHEN (SELECT v FROM v8
+       |    WHERE abs(v) = (SELECT max(abs(v)) FROM v8) ORDER BY i LIMIT 1) < 0
+       |  THEN -1 ELSE 1 END AS sgn)
+       |SELECT CAST(d.i AS BIGINT) AS dim,
+       |  CAST(c.c AS BIGINT) AS var_norm,
+       |  CAST(v8.v * sg.sgn AS BIGINT) AS loading,
+       |  CAST(wm8.m AS BIGINT) AS lam
+       |FROM range(64) d(i)
+       |JOIN c ON c.i = d.i AND c.j = d.i
+       |JOIN v8 ON v8.i = d.i
+       |CROSS JOIN sg CROSS JOIN wm8
+       |ORDER BY dim""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_embed_pq" -> pqOracle,
     "q_ann_ivfpq" -> pqIvfOracle,
+    "q_pagerank" -> pagerankOracle,
+    "q_pca" -> pcaOracle,
+    "q_image_neardup" ->
+      """WITH px AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), i ->
+        |      CASE WHEN (doc_id % 5) > 0 AND i = ((doc_id % 5) * 13) % 64
+        |        THEN (('0x'||substr(md5(CAST(doc_id // 5 AS VARCHAR)||'#'||CAST(i // 16 AS VARCHAR)), CAST((i % 16) * 2 + 1 AS INT), 2))::INT + 128) % 256
+        |        ELSE ('0x'||substr(md5(CAST(doc_id // 5 AS VARCHAR)||'#'||CAST(i // 16 AS VARCHAR)), CAST((i % 16) * 2 + 1 AS INT), 2))::INT
+        |      END) AS px
+        |  FROM documents
+        |), sig AS MATERIALIZED (
+        |  SELECT doc_id, list_sum(px) // 64 AS m,
+        |    list_transform(range(0, 4), b ->
+        |      list_sum(list_transform(range(0, 16), j ->
+        |        CASE WHEN px[CAST(b * 16 + j + 1 AS INT)] > (list_sum(px) // 64)
+        |             THEN (1 << j) ELSE 0 END))) AS bands
+        |  FROM px
+        |), keyed AS (
+        |  SELECT doc_id, bands, r AS bidx, bands[CAST(r + 1 AS INT)] AS bval
+        |  FROM sig CROSS JOIN range(4) t(r)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM keyed a JOIN keyed b
+        |    ON a.bidx = b.bidx AND a.bval = b.bval AND a.doc_id < b.doc_id
+        |)
+        |SELECT * FROM (
+        |  SELECT p.id_a, p.id_b,
+        |    CAST(list_sum(list_transform(range(0, 4), k ->
+        |      bit_count(xor(sa.bands[CAST(k + 1 AS INT)], sb.bands[CAST(k + 1 AS INT)])))) AS INT) AS hamming
+        |  FROM pairs p
+        |  JOIN sig sa ON sa.doc_id = p.id_a
+        |  JOIN sig sb ON sb.doc_id = p.id_b
+        |) WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30
@@ -4369,6 +4555,38 @@ object SparkEntry {
         |  JOIN big g ON g.w1 = p.w1 AND g.w2 = p.w2
         |  JOIN uni u ON u.w = p.w1
         |  CROSS JOIN v
+        |)
+        |SELECT doc_id, count(*) AS n_transitions,
+        |  CAST(sum(tm) // count(*) AS BIGINT) AS score_micro
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Kneser–Ney: same tokenization/pair CTEs as q_perplexity; HUGEINT
+    // keeps 4·c1·T·1e6 exact at any SF.
+    "q_kneser_ney" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), wocc AS MATERIALIZED (
+        |  SELECT doc_id, i + 1 AS pos, toks[i+1] AS w
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM nrm)
+        |  WHERE toks[i+1] <> ''
+        |), pairs AS MATERIALIZED (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM wocc a JOIN wocc b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |), big AS MATERIALIZED (
+        |  SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+        |), ctx AS (SELECT w1, sum(c2) AS cl, count(*) AS n1f FROM big GROUP BY 1),
+        |ncont AS (SELECT w2, count(*) AS nc FROM big GROUP BY 1),
+        |tt AS (SELECT count(*) AS t FROM big),
+        |terms AS (
+        |  SELECT p.doc_id,
+        |    (CAST(4 AS HUGEINT) * x.cl * tt.t * 1000000) //
+        |    (CAST(greatest(4 * g.c2 - 3, 0) AS HUGEINT) * tt.t
+        |      + CAST(3 AS HUGEINT) * x.n1f * c.nc) AS tm
+        |  FROM pairs p
+        |  JOIN big g ON g.w1 = p.w1 AND g.w2 = p.w2
+        |  JOIN ctx x ON x.w1 = p.w1
+        |  JOIN ncont c ON c.w2 = p.w2
+        |  CROSS JOIN tt
         |)
         |SELECT doc_id, count(*) AS n_transitions,
         |  CAST(sum(tm) // count(*) AS BIGINT) AS score_micro

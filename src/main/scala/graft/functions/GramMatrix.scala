@@ -1,0 +1,102 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** One-pass second-moment (Gram) accumulator over integer-scaled vectors —
+  * the covariance input for exact-arithmetic PCA ([[graft.ops.Pca]]).
+  *
+  * Fourth bounded-state TypedImperativeAggregate in the suite (KMV =
+  * distinct, CMS = frequency, BKS = quantiles, Gram = second moments):
+  * per-group state is exactly 1 + d + d² longs — [n, Σx_i, Σx_i·x_j] —
+  * independent of row count, map-side combined, and merged by elementwise
+  * addition (associative + commutative ⇒ partition- and order-
+  * independent). Because the input is integer-scaled, every sum is EXACT:
+  * no float accumulation order anywhere, so the state is a deterministic
+  * function of the input multiset and sits fully under the cross-engine
+  * oracle gate (an oracle re-derives it with explode + self-join + SUM).
+  *
+  * Overflow budget: with inputs scaled to 3 decimal places (|x| ≤ ~4 ⇒
+  * |x_int| ≤ 4000), Σx_i·x_j grows as n·1.6e7 — safe in i64 to n ≈ 5e11
+  * rows; the downstream ×1e5 covariance normalization in [[graft.ops.Pca]]
+  * is the binding constraint (n ≲ 5e5 per its scaladoc — reduce the input
+  * scale for bigger corpora).
+  *
+  * Cost is the honest O(n·d²) of exact covariance, all inside one scan —
+  * no shuffle carries anything larger than the (d²+d+1)-long state.
+  */
+case class GramMatrix(
+    child: Expression,
+    d: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] {
+
+  require(d >= 1 && d <= 1024, s"d must be in [1, 1024], got $d")
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](1 + d + d * d)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      if (arr.numElements() == d) {
+        buf(0) += 1L
+        var i = 0
+        while (i < d) {
+          val xi = arr.getLong(i)
+          buf(1 + i) += xi
+          var j = 0
+          val row = 1 + d + i * d
+          while (j < d) { buf(row + j) += xi * arr.getLong(j); j += 1 }
+          i += 1
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(buf.length * 8)
+    val out = new DataOutputStream(bos)
+    var i = 0
+    while (i < buf.length) { out.writeLong(buf(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Array[Long](1 + d + d * d)
+    var i = 0
+    while (i < buf.length) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramMatrix =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramMatrix =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): GramMatrix =
+    copy(child = newChild)
+  override def prettyName: String = "gram_matrix"
+}

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for web-corpus curation.
+  *
+  * PageRank over the host/domain graph is the standard quality prior for
+  * crawl corpora (a page's training weight is seeded by its host's
+  * centrality — the Common-Crawl-style host-rank signal — rather than by
+  * per-page heuristics alone). The reference routes records and has no
+  * graph analog; this is part of the LLM-ops surface the library adds on
+  * top of its operator set.
+  *
+  * All arithmetic is integer-scaled: ranks are longs in units of
+  * 1/`scale`, every division is an exact floor division, and the damping
+  * split is basis points over 10000. That makes each iteration an EXACT,
+  * order-independent function of the graph — immune to float
+  * non-associativity under Spark's partial aggregation, and replayable
+  * bit-for-bit by an oracle that unrolls the same iterations in SQL
+  * (`//` in DuckDB is the same floor division).
+  *
+  * Scale shape (100 TB crawl, ~1e8 hosts, ~1e10 edges):
+  *   - out-degrees: one groupBy(src) over edges, computed once;
+  *   - each iteration: ranks (|V| rows, orders of magnitude smaller than
+  *     the edge table) join edges on src, then groupBy dst — ONE
+  *     edge-sized shuffle per iteration, keyed identically every round;
+  *     the rank side is broadcast by AQE whenever |V| fits (host-level
+  *     graphs usually do), so the edge table is never re-partitioned;
+  *   - the dangling-mass term is a 1-row broadcast aggregate (the
+  *     stats-broadcast pattern), never a join or a driver loop;
+  *   - lineage: each iteration's rank table is localCheckpoint'd (the
+  *     [[Dedup.connectedComponents]] idiom) so iteration N's plan reads
+  *     iteration N-1's stored blocks — never an N-deep recompute cascade.
+  */
+object Graph {
+
+  /** Exact floor division for non-negative longs, kept inside codegen:
+    * (a - a mod b) is an exact multiple of b, so the double division is
+    * exact and the cast back to long is the true quotient (all values in
+    * the rank recurrence stay far below 2^53).
+    */
+  private def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Fixed-iteration PageRank with uniform teleport and dangling-mass
+    * redistribution.
+    *
+    * Recurrence, in integer units of 1/`scale` with d = dampingBp:
+    * {{{
+    *   r0(v)   = scale div n
+    *   r_t+1(v)= ((10000-d)*scale) div (n*10000)
+    *           + (d * (incoming(v) + dangling div n)) div 10000
+    *   incoming(v) = sum over edges (u,v) of  r_t(u) div out(u)
+    *   dangling    = sum of r_t(u) where out(u) = 0
+    * }}}
+    * Floor division leaks a few units of mass per iteration (at most
+    * n + |E| units, i.e. ~1e-9 relative at default scale) — both engines
+    * leak identically, so results stay hash-comparable.
+    *
+    * Parallel edges are intentional multiplicity (a host linking three
+    * times contributes three shares); self-loops are dropped.
+    *
+    * @return one row per node: (node, out_deg, pr)
+    */
+  def pageRank(
+      edges0: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int,
+      dampingBp: Int = 8500,
+      scale: Long = 1000000000L
+  ): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampingBp >= 0 && dampingBp <= 10000,
+      s"dampingBp must be in [0, 10000], got $dampingBp")
+    // One checkpoint job materializes the (possibly expensive) upstream
+    // edge derivation; every iteration re-reads these blocks.
+    val edges = edges0
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val base = nodes
+      .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+      .localCheckpoint()
+    val nRow = broadcast(base.agg(count(lit(1)).as("n")))
+
+    var ranks = base.crossJoin(nRow)
+      .select(col("node"), col("out_deg"),
+        floorDiv(lit(scale), col("n")).as("pr"))
+      .localCheckpoint()
+
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(ranks.select(col("node").as("src"), col("pr"), col("out_deg")),
+          Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(floorDiv(col("pr"), col("out_deg"))).as("incoming"))
+        .withColumnRenamed("dst", "node")
+      val dangling = broadcast(
+        ranks.filter(col("out_deg") === 0)
+          .agg(coalesce(sum(col("pr")), lit(0L)).as("dangling")))
+      ranks = ranks.select(col("node"), col("out_deg"))
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(dangling)
+        .crossJoin(nRow)
+        .select(col("node"), col("out_deg"),
+          (floorDiv(lit((10000L - dampingBp) * scale), col("n") * lit(10000L)) +
+            floorDiv(
+              lit(dampingBp.toLong) *
+                (coalesce(col("incoming"), lit(0L)) +
+                  floorDiv(col("dangling"), col("n"))),
+              lit(10000L))).as("pr"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("out_deg"), col("pr"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Count-based n-gram language-model scoring for corpus quality filtering —
@@ -35,23 +35,28 @@ object LangModel {
 
   private val Micro = 1000000L
 
-  /** Per-document bigram surprisal: (doc_id, n_transitions, score_micro).
-    * Documents with fewer than two tokens are dropped (no transitions to
-    * score) — re-join on id if a row per input document is needed.
-    */
-  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
       col(idCol).as("doc_id"),
       graft.functions.TextFunctions.tokens(col(textCol)).as("ws"))
       .withColumn("n", size(col("ws")))
       .filter(col("n") >= 2)
 
-    // transitions: (doc_id, w1, w2) — array-side pairing, no window shuffle
-    val pairs = toks
+  // transitions: (doc_id, w1, w2) — array-side pairing, no window shuffle
+  private def transitions(toks: DataFrame): DataFrame =
+    toks
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, n - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))"))
           .as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** Per-document bigram surprisal: (doc_id, n_transitions, score_micro).
+    * Documents with fewer than two tokens are dropped (no transitions to
+    * score) — re-join on id if a row per input document is needed.
+    */
+  def bigramSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokenized(docs, idCol, textCol)
+    val pairs = transitions(toks)
 
     val uni = toks
       .select(explode(col("ws")).as("w"))
@@ -69,6 +74,83 @@ object LangModel {
         count(lit(1)).as("n_transitions"),
         sum(col("term_micro").cast("decimal(38,0)")).as("_sum"))
       // exact integer division on the decimal sum: (s - s mod n) / n
+      .withColumn("score_micro",
+        ((col("_sum") - pmod(col("_sum"), col("n_transitions").cast("decimal(38,0)")))
+          / col("n_transitions").cast("decimal(38,0)")).cast("long"))
+      .select(col("doc_id"), col("n_transitions"), col("score_micro"))
+  }
+
+  /** Interpolated Kneser–Ney bigram surprisal (Kneser & Ney 1995; Chen &
+    * Goodman 1999) — the smoothing real LM-quality pipelines use, still
+    * in EXACT integer arithmetic. With discount D = 3/4 and
+    *
+    *   T       = distinct bigram types,
+    *   N1f(w1) = distinct continuations of w1,
+    *   Nc(w2)  = distinct predecessors of w2 (the continuation count),
+    *
+    * the interpolated probability has the common-denominator form
+    *
+    *   P(w2|w1) = [max(4·c12 − 3, 0)·T + 3·N1f(w1)·Nc(w2)] / (4·cL(w1)·T)
+    *
+    * — numerator and denominator are exact integers (the 4× clears the
+    * 3/4 discount), so the per-transition INVERSE probability in micro
+    * units, (4·cL·T·10^6) div num, replays bit-identically cross-engine.
+    * cL(w1) = Σ_w c(w1,w) is w1's count as a bigram LEFT element: with
+    * document boundaries a document-final occurrence has no continuation,
+    * and using the raw unigram count there would leak its mass (the
+    * conditional would sum below 1). Like [[bigramSurprisal]], a
+    * document's score is the arithmetic mean of the inverse
+    * probabilities — log-free on purpose. Unlike add-one, KN's
+    * continuation term scores rare-but-productive tokens (many distinct
+    * contexts) as likelier than frequent-but-bound ones — the
+    * distinction that makes boilerplate n-grams stand out.
+    *
+    * Exact normalization: for every context w1, Σ P(w2|w1) over ALL w2
+    * with a predecessor (observed continuations at their discounted
+    * estimates + unobserved ones at λ·Pcont) is EXACTLY 1 — the spec
+    * asserts the integer form Σ num = 4·cL·T. That discounted mass
+    * re-enters through the continuation distribution is what makes this
+    * a probability model rather than a heuristic.
+    *
+    * Shuffle shape: the [[bigramSurprisal]] profile minus the unigram
+    * pass plus two GROUP BYs over the DISTINCT-bigram table (cL and N1f
+    * come from ONE aggregation of it; Nc from another — both far smaller
+    * than the token stream, both map-side combined) and one broadcast
+    * scalar (T). Products route through DECIMAL(38,0): cL·T·4·10^6 at
+    * crawl scale (cL ~ 1e9, T ~ 1e9) needs ~1e25 — far past i64,
+    * comfortably inside decimal38/HUGEINT.
+    */
+  def knSurprisal(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokenized(docs, idCol, textCol)
+    val pairs = transitions(toks)
+
+    val big = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .localCheckpoint(false)
+    // one pass over the distinct-bigram table yields both the context
+    // denominator cL(w1) = Σc2 and the continuation-type count N1f(w1)
+    val ctx = big.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("cl"), count(lit(1)).as("n1f"))
+    val ncont = big.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val types = broadcast(big.agg(count(lit(1)).as("t")))
+
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    pairs
+      .join(big, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(ncont, Seq("w2"))
+      .crossJoin(types)
+      .withColumn("num",
+        dec(greatest(col("c2") * 4 - 3, lit(0L))) * dec(col("t")) +
+          dec(lit(3L)) * dec(col("n1f")) * dec(col("nc")))
+      .withColumn("den_micro", dec(col("cl")) * dec(col("t")) * dec(lit(4L * Micro)))
+      // exact integer division on decimals: (a - a mod b) / b
+      .withColumn("inv_micro",
+        ((col("den_micro") - pmod(col("den_micro"), col("num"))) / col("num"))
+          .cast("decimal(38,0)"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_transitions"),
+        sum(col("inv_micro")).as("_sum"))
       .withColumn("score_micro",
         ((col("_sum") - pmod(col("_sum"), col("n_transitions").cast("decimal(38,0)")))
           / col("n_transitions").cast("decimal(38,0)")).cast("long"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -51,6 +51,12 @@ object Multimodal {
     def features(blob: Array[Byte]): Array[Float]
     def resize(blob: Array[Byte], w: Int, h: Int): Array[Byte]
     def frameSample(blob: Array[Byte], n: Int): Array[Array[Byte]]
+
+    /** 8×8 grayscale thumbnail (64 ints in 0..255, row-major) — the
+      * perceptual-hash input. Real codecs block-average luminance;
+      * the stub derives 64 deterministic SQL-expressible bytes.
+      */
+    def pixels8x8(blob: Array[Byte]): Array[Int]
   }
 
   /** STUB decode kernels. Each is deterministic on the blob bytes so tests
@@ -88,6 +94,26 @@ object Multimodal {
     def resize(blob: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val n = math.max(w * h / 64, 1)
       Array.tabulate(n)(i => if (blob.isEmpty) 0.toByte else blob(i % blob.length))
+    }
+
+    /** Fake 8×8 thumbnail: four chained digests, 16 bytes each —
+      * pixel[16k+j] = byte j of md5(blob ++ "#k"), which is exactly
+      * `('0x'||substr(md5(text||'#k'), j*2+1, 2))::INT` in DuckDB, so the
+      * perceptual-hash input is oracle-replayable.
+      */
+    def pixels8x8(blob: Array[Byte]): Array[Int] = {
+      val out = new Array[Int](64)
+      var k = 0
+      while (k < 4) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.update(blob)
+        md.update(s"#$k".getBytes("UTF-8"))
+        val d = md.digest()
+        var j = 0
+        while (j < 16) { out(k * 16 + j) = d(j) & 0xff; j += 1 }
+        k += 1
+      }
+      out
     }
   }
 
@@ -147,6 +173,41 @@ object Multimodal {
         javax.imageio.ImageIO.write(out, "png", bos)
         bos.toByteArray
       }.getOrElse(Array.empty[Byte])
+
+    /** REAL 8×8 thumbnail: block-averaged integer luminance
+      * ((299R+587G+114B)/1000) over an 8×8 grid of pixel blocks —
+      * deterministic integer arithmetic, no float resampling, so the
+      * perceptual hash of the same bytes is identical everywhere.
+      * Undecodable blobs degrade to all -1 (hashes to a full-zero
+      * signature band set that never collides with real images' bands
+      * except by the generic band join, and is filtered by hamming).
+      */
+    def pixels8x8(blob: Array[Byte]): Array[Int] =
+      read(blob).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        Array.tabulate(64) { i =>
+          val r = i / 8
+          val c = i % 8
+          var x0 = c * w / 8; var x1 = (c + 1) * w / 8
+          var y0 = r * h / 8; var y1 = (r + 1) * h / 8
+          if (x1 <= x0) { x0 = math.min(x0, w - 1); x1 = x0 + 1 }
+          if (y1 <= y0) { y0 = math.min(y0, h - 1); y1 = y0 + 1 }
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          (sum / ((x1 - x0).toLong * (y1 - y0))).toInt
+        }
+      }.getOrElse(Array.fill(64)(-1))
 
     /** REAL frame sampling for multi-frame containers the JDK can demux —
       * animated GIF ships with the JRE's ImageIO (getNumImages(true) +
@@ -415,5 +476,93 @@ object Multimodal {
         Row(id, sr, ch, fr, codec.audioEnergy(blob).toSeq)
       }
     }(Encoders.row(outSchema))
+  }
+
+  // ---- perceptual image near-dup (aHash) -------------------------------
+  //
+  // The hash is computed from an 8×8 grayscale thumbnail: bit i is set
+  // when pixel i is above the thumbnail's integer mean. The 64 bits are
+  // carried as FOUR 16-bit band values (array<int>) rather than one i64 —
+  // always-positive arithmetic that both engines replay exactly, and the
+  // bands double as the LSH blocking keys: by pigeonhole, any pair within
+  // hamming distance 3 agrees on at least one band, so the band-equality
+  // join finds EXACTLY the brute-force result with no n² compare.
+  //
+  // Scale shape: decode is partition-local (mapPartitions, no shuffle);
+  // a signature is 4 ints per image, so the pair join shuffles ~20 bytes
+  // per image regardless of image size. Band buckets over 2^16 values
+  // stay small unless the corpus contains huge exact-duplicate families —
+  // the same mirror-family caveat as MinHash-LSH (Dedup.maxBucket).
+
+  /** Decode a blob column to 8×8 thumbnails: (id, px array<int>[64]). */
+  def decodePixels(
+      df: DataFrame,
+      idCol: String,
+      blobCol: String,
+      codec: BlobCodec = StubCodecs
+  ): DataFrame = {
+    val outSchema = StructType(
+      Seq(
+        StructField("id", LongType),
+        StructField("px", ArrayType(IntegerType))
+      )
+    )
+    val input: Dataset[Row] = df.select(col(idCol).cast("long"), col(blobCol))
+    input.mapPartitions { it =>
+      it.map { r =>
+        Row(r.getLong(0), codec.pixels8x8(r.getAs[Array[Byte]](1)).toSeq)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Integer mean of a 64-pixel array (exact floor division, codegen'd).
+    * Materialize this as its own column before [[ahashBands]] — referenced
+    * inside the band lambda it would be re-evaluated per bit.
+    */
+  def ahashMean(px: Column): Column = {
+    val sum = aggregate(px, lit(0L), (a, x) => a + x.cast("long"))
+    ((sum - pmod(sum, lit(64L))) / 64).cast("long")
+  }
+
+  /** The 64-bit aHash as 4×16-bit bands: band b bit j set when
+    * pixel[16b+j] > mean. Pure column arithmetic (2^j via pow — exact to
+    * 2^15), so the whole signature replays in SQL.
+    */
+  def ahashBands(px: Column, mean: Column): Column =
+    transform(sequence(lit(0), lit(3)), b =>
+      aggregate(sequence(lit(0), lit(15)), lit(0),
+        (acc, j) =>
+          acc + when(element_at(px, b * 16 + j + 1).cast("long") > mean,
+            pow(lit(2), j).cast("int")).otherwise(lit(0))))
+
+  /** Hamming distance between two band-array signatures. */
+  def hammingBands(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
+      lit(0), (acc, v) => acc + v)
+
+  /** Near-duplicate image pairs within `maxHamming` via the band-equality
+    * join. Exact (pigeonhole) for maxHamming <= 3 with the 4-band layout.
+    */
+  def ahashPairs(
+      df: DataFrame,
+      idCol: String,
+      bandsCol: String,
+      maxHamming: Int
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4 bands guarantee full recall only for maxHamming in [0, 3], got $maxHamming")
+    val sigs = df.select(col(idCol).as("doc"), col(bandsCol).as("bands"))
+      .localCheckpoint(false)
+    val keyed = sigs.select(col("doc"), col("bands"),
+      posexplode(col("bands")).as(Seq("bidx", "bval")))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.bidx") === col("b.bidx") && col("a.bval") === col("b.bval") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"),
+        hammingBands(col("a.bands"), col("b.bands")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
   }
 }

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.functions.GramMatrix
+
+/** Exact-arithmetic PCA: top principal component of an embedding corpus by
+  * power iteration over an integer covariance matrix.
+  *
+  * Two-phase shape, matching how PCA actually runs at 100 TB:
+  *   1. ONE distributed scan folds every vector into a [[GramMatrix]]
+  *      state (n, Σx, Σxxᵀ — bounded d²+d+1 longs, map-side combined).
+  *      This is the only pass over the data and the only shuffle, and it
+  *      moves sketch-sized state, not vectors.
+  *   2. The d×d covariance and the power iteration run as COLUMN
+  *      arithmetic on that single aggregate row — no driver collect, no
+  *      float: every step is integer multiply + exact truncating division
+  *      (`div`), so the iteration is a deterministic function of the
+  *      corpus and replays cross-engine (DuckDB's `//` has identical
+  *      truncate-toward-zero semantics; the oracle unrolls the same
+  *      iterations as chained CTEs).
+  *
+  * Normalization: covariance entries are rescaled to |c| ≤ 1e5
+  * (`S_C`), the iterate to |v| ≤ 1e5 (`S_V`) after every multiply, and
+  * the sign is canonicalized at the end (the first max-magnitude loading
+  * is made non-negative) — covariance is PSD so the iteration cannot
+  * oscillate. Overflow budget: |cov*S_C| needs Σxᵢxⱼ ≲ 9e13, i.e. with
+  * 3-dp input scaling roughly n ≲ 5e6 rows of |x| ≤ 4 — reduce `xScale`
+  * for bigger corpora (the sums themselves are safe to n ≈ 5e11).
+  *
+  * Power iteration converges at rate (λ₂/λ₁)^iters; 8 iterations resolve
+  * any spectrum with a visible top gap, which is what PCA-whitening of
+  * embedding corpora cares about (the dominant direction to remove).
+  */
+object Pca {
+  val S_C = 100000L // normalized covariance scale
+  val S_V = 100000L // eigenvector iterate scale
+
+  /** Exact i64 truncating division via Catalyst's IntegralDivide —
+    * bit-identical to DuckDB's `//` for all i64 inputs (both truncate
+    * toward zero), with none of the 2^53 double-division hazard.
+    */
+  private def tdiv(a: Column, b: Column): Column =
+    call_function("div", a, b)
+
+  /** Top principal component. Input: a float/double array column of fixed
+    * dimension `dim`. Returns one row per dimension:
+    * (dim, var_norm — the S_C-scaled covariance diagonal, loading — the
+    * S_V-scaled eigenvector, lam — the S_V-scaled dominant-eigenvalue
+    * proxy ‖Cv‖∞ of the final iterate, identical on every row).
+    */
+  def topComponent(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      iters: Int = 8,
+      xScale: Long = 1000L
+  ): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters must be in [1,32], got $iters")
+    val scaled = df.select(
+      transform(col(vecCol),
+        x => floor(x.cast("double") * xScale + 0.5).cast("long")).as("__xv"))
+    val gm = ColumnBridge.column(
+      GramMatrix(ColumnBridge.expression(col("__xv")), dim)
+        .toAggregateExpression())
+    var row = scaled.agg(gm.as("gm")).select(
+      element_at(col("gm"), 1).as("n"),
+      slice(col("gm"), 2, dim).as("s"),
+      slice(col("gm"), 2 + dim, dim * dim).as("g"))
+    // cov*_ij = g_ij - (s_i * s_j) div n  (exact; symmetric)
+    row = row
+      .withColumn("cov", transform(sequence(lit(0), lit(dim * dim - 1)), k => {
+        val i = ((k - pmod(k, lit(dim))) / dim).cast("int")
+        val j = pmod(k, lit(dim)).cast("int")
+        element_at(col("g"), k + 1) -
+          tdiv(element_at(col("s"), i + 1) * element_at(col("s"), j + 1),
+            greatest(col("n"), lit(1L)))
+      }))
+      .withColumn("cm",
+        greatest(array_max(transform(col("cov"), x => abs(x))), lit(1L)))
+      .withColumn("c",
+        transform(col("cov"), x => tdiv(x * S_C, col("cm"))))
+      .withColumn("v",
+        transform(sequence(lit(0), lit(dim - 1)), _ => lit(S_V)))
+    // Checkpoint the single covariance row before iterating, and between
+    // iterations: without the barrier, projection collapsing substitutes
+    // each iterate into the next and the expression tree grows as d^iters.
+    // Each checkpoint materializes ONE row (d²+2d+2 longs) — 8 micro-jobs,
+    // not 8 scans.
+    row = row.localCheckpoint()
+    for (_ <- 1 to iters) {
+      row = row
+        .withColumn("w", transform(sequence(lit(0), lit(dim - 1)), i =>
+          aggregate(sequence(lit(0), lit(dim - 1)), lit(0L),
+            (acc, j) =>
+              acc + element_at(col("c"), i * dim + j + 1) *
+                element_at(col("v"), j + 1))))
+        .withColumn("wm",
+          greatest(array_max(transform(col("w"), x => abs(x))), lit(1L)))
+        .withColumn("v",
+          transform(col("w"), x => tdiv(x * S_V, col("wm"))))
+        .localCheckpoint()
+    }
+    row
+      .withColumn("sgn",
+        when(element_at(
+          filter(col("v"),
+            x => abs(x) === array_max(transform(col("v"), y => abs(y)))),
+          1) < 0, lit(-1L)).otherwise(lit(1L)))
+      .select(col("c"), col("wm").as("lam"), col("sgn"),
+        posexplode(col("v")).as(Seq("dim", "vraw")))
+      .select(
+        col("dim").cast("long").as("dim"),
+        element_at(col("c"), col("dim") * dim + col("dim") + 1).as("var_norm"),
+        (col("vraw") * col("sgn")).as("loading"),
+        col("lam"))
+  }
+
+  /** Project vectors onto a loading array (e.g. to remove or keep the top
+    * component): score = Σ loading_i · x_int_i — row-local exact integer
+    * dot product, codegen'd, no shuffle.
+    */
+  def projectScore(vec: Column, loadings: Column, xScale: Long = 1000L): Column =
+    aggregate(
+      zip_with(
+        transform(vec, x => floor(x.cast("double") * xScale + 0.5).cast("long")),
+        loadings, (x, l) => x * l),
+      lit(0L), (acc, t) => acc + t)
+}

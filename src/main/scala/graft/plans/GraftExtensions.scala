@@ -62,6 +62,8 @@ object GraftExtensions {
       BloomBits(es(0), intArg(es(1), "mBits")).toAggregateExpression()),
     "bks_sketch" -> (es =>
       BksSketch(es(0), es(1), intArg(es(2), "k")).toAggregateExpression()),
+    "gram_matrix" -> (es =>
+      GramMatrix(es(0), intArg(es(1), "d")).toAggregateExpression()),
     // one-digest position/signature kernels (round 7e/7f)
     "double_hash_positions" -> (es =>
       DoubleHashPositions(es(0), intArg(es(1), "k"), intArg(es(2), "mBits").toLong)),

@@ -45,6 +45,11 @@ class ExtensionsSpec extends SparkSpec {
     val ms = spark.sql("SELECT minhash_signature(array(5L, 9L), 4)")
       .as[Seq[Long]].head()
     assert(ms.length == 4 && ms.forall(_ != Long.MaxValue))
+    Seq(Seq(1L, 2L), Seq(3L, 4L)).toDF("xv").createOrReplaceTempView("gv")
+    val gm = spark.sql("SELECT gram_matrix(xv, 2) FROM gv")
+      .as[Seq[Long]].head()
+    // [n, s0, s1, g00, g01, g10, g11]
+    assert(gm == Seq(2L, 4L, 6L, 10L, 14L, 14L, 20L))
   }
 
   test("non-literal n argument is rejected with a clear error") {

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+
+/** Perceptual image hash: column-kernel arithmetic (mean, bands, hamming),
+  * band-join exactness vs brute force, and the REAL javax.imageio decode
+  * path on generated PNGs (near-identical images land within the hamming
+  * budget; unrelated images do not).
+  */
+class ImageAhashSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ahash kernels: mean, band bits, hamming match hand arithmetic") {
+    // pixels 0..63: sum = 2016, mean = 31; bits set exactly for px > 31,
+    // i.e. the upper two bands are all-ones
+    val df = Seq((1L, (0 until 64).toArray)).toDF("id", "px")
+      .withColumn("mean", Multimodal.ahashMean(col("px")))
+      .withColumn("bands", Multimodal.ahashBands(col("px"), col("mean")))
+    val row = df.select("mean", "bands").head
+    assert(row.getLong(0) == 31L)
+    assert(row.getSeq[Int](1) == Seq(0, 0, 0xffff, 0xffff))
+
+    val ham = Seq((Array(0, 0, 0xffff, 0xffff), Array(1, 0, 0xfffe, 0xffff)))
+      .toDF("a", "b")
+      .select(Multimodal.hammingBands(col("a"), col("b")).as("h"))
+      .head.getInt(0)
+    assert(ham == 2)
+  }
+
+  test("band join finds exactly the brute-force pairs at maxHamming 3") {
+    // 40 signatures in 8 families: base bands from a hash-ish formula,
+    // variants flip 0-3 low bits across distinct bands
+    val sigs = (0 until 40).map { i =>
+      val fam = i / 5; val v = i % 5
+      val base = Array.tabulate(4)(b => (fam * 2654435761L >>> (b * 7)).toInt & 0xffff)
+      val flipped = base.indices.map { b =>
+        if (v > b) base(b) ^ (1 << ((fam + b) % 16)) else base(b)
+      }.toArray
+      (i.toLong, flipped)
+    }
+    val df = sigs.toDF("id", "bands")
+    val got = Multimodal.ahashPairs(df, "id", "bands", maxHamming = 3)
+      .select("id_a", "id_b", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      (a, ba) <- sigs; (b, bb) <- sigs if a < b
+      h = ba.zip(bb).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+      if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == brute && brute.nonEmpty)
+  }
+
+  test("real decode: near-identical PNGs are close, unrelated ones far") {
+    import java.awt.image.BufferedImage
+    def png(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val gradient = png((x, y) => x * 4)
+    val tweaked = png((x, y) => if (x < 5 && y < 5) 255 - x * 4 else x * 4)
+    val checker = png((x, y) => if (((x / 8) + (y / 8)) % 2 == 0) 255 else 0)
+    def bandsOf(blob: Array[Byte]): Array[Int] = {
+      val px = Multimodal.ImageIoCodecs.pixels8x8(blob)
+      val mean = px.map(_.toLong).sum / 64
+      Array.tabulate(4)(b => (0 until 16).map(j =>
+        if (px(b * 16 + j) > mean) 1 << j else 0).sum)
+    }
+    def ham(a: Array[Int], b: Array[Int]) =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    assert(ham(bandsOf(gradient), bandsOf(tweaked)) <= 3)
+    assert(ham(bandsOf(gradient), bandsOf(checker)) > 10)
+
+    // the distributed path produces the same signatures as the local one
+    val df = Seq((1L, gradient), (2L, tweaked), (3L, checker)).toDF("id", "blob")
+    val sigs = Multimodal.decodePixels(df, "id", "blob", Multimodal.ImageIoCodecs)
+      .withColumn("mean", Multimodal.ahashMean(col("px")))
+      .withColumn("bands", Multimodal.ahashBands(col("px"), col("mean")))
+    val pairs = Multimodal.ahashPairs(sigs, "id", "bands", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("stub pixels8x8 matches the documented md5 chain") {
+    val blob = "hello world".getBytes("UTF-8")
+    val px = Multimodal.StubCodecs.pixels8x8(blob)
+    assert(px.length == 64 && px.forall(p => p >= 0 && p <= 255))
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("hello world#2".getBytes("UTF-8"))
+    assert(px(2 * 16 + 5) == (md(5) & 0xff))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Exact integer PageRank: hand-computed one-iteration values on a tiny
+  * graph with a dangling node, mass accounting, partition independence,
+  * and edge-multiplicity semantics.
+  */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a -> b, a -> c, b -> a; c is dangling (out_deg 0)
+  private def tiny = Seq(("a", "b"), ("a", "c"), ("b", "a")).toDF("src", "dst")
+
+  test("one iteration matches the hand-computed recurrence") {
+    // r0 = 10^9 div 3 = 333333333 each; base = 1.5e12 div 30000 = 50000000
+    // incoming(a) = r(b) div 1 = 333333333; incoming(b) = incoming(c)
+    //   = r(a) div 2 = 166666666; dangling div n = 333333333 div 3
+    // r1(a) = 50000000 + (8500 * 444444444) div 10000 = 427777777
+    // r1(b) = r1(c) = 50000000 + (8500 * 277777777) div 10000 = 286111110
+    val out = Graph.pageRank(tiny, "src", "dst", iters = 1)
+      .orderBy("node").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("a", 2L, 427777777L), ("b", 1L, 286111110L), ("c", 0L, 286111110L)))
+  }
+
+  test("mass stays within the floor-leak bound over 5 iterations") {
+    val total = Graph.pageRank(tiny, "src", "dst", iters = 5)
+      .agg(sum("pr")).head.getLong(0)
+    // each iteration floors at most once per node + once per edge + the
+    // dangling split; 5 iterations on 3 nodes / 3 edges leaks < 100 units
+    assert(total <= 1000000000L && total >= 1000000000L - 100L)
+  }
+
+  test("result is independent of input partitioning") {
+    val edges = (0L until 300L)
+      .map(i => (s"h${i % 17}", s"h${(i * 7 + 3) % 19}")).toDF("src", "dst")
+    val one = Graph.pageRank(edges.repartition(1), "src", "dst", iters = 3)
+      .orderBy("node").collect().toSeq
+    val seven = Graph.pageRank(edges.repartition(7), "src", "dst", iters = 3)
+      .orderBy("node").collect().toSeq
+    assert(one == seven)
+  }
+
+  test("parallel edges carry multiplicity; self-loops are dropped") {
+    val doubled = Seq(("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"),
+      ("c", "c")).toDF("src", "dst")
+    val r = Graph.pageRank(doubled, "src", "dst", iters = 1)
+      .orderBy("node").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2))).toSeq
+    // a now has out_deg 3; b receives 2 shares of a's rank, c one share;
+    // c's self-loop is dropped so it stays dangling
+    val r0 = 333333333L; val base = 50000000L
+    val share = r0 / 3
+    def nxt(inc: Long) = base + (8500L * (inc + r0 / 3)) / 10000L
+    assert(r == Seq(
+      ("a", 3L, nxt(r0)), ("b", 1L, nxt(2 * share)), ("c", 0L, nxt(share))))
+  }
+}

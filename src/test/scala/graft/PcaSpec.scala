@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import graft.functions.GramMatrix
+import graft.ops.Pca
+
+/** Exact-integer PCA: Gram aggregate vs brute force, partition
+  * independence, recovery of a planted dominant direction, sign
+  * canonicalization, and the projection kernel.
+  */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gram(df: org.apache.spark.sql.DataFrame, d: Int): Array[Long] = {
+    val c = ColumnBridge.column(
+      GramMatrix(ColumnBridge.expression(col("xv")), d).toAggregateExpression())
+    df.agg(c.as("gm")).head.getSeq[Long](0).toArray
+  }
+
+  test("GramMatrix matches brute-force sums and is partition-independent") {
+    val rows = (0 until 100).map(i => Array.tabulate(4)(j => (i * (j + 1) % 17 - 8).toLong))
+    val df = rows.toDF("xv")
+    val g1 = gram(df.repartition(1), 4)
+    val g7 = gram(df.repartition(7), 4)
+    assert(g1.toSeq == g7.toSeq)
+    assert(g1(0) == 100L)
+    val d = 4
+    for (i <- 0 until d) {
+      assert(g1(1 + i) == rows.map(_(i)).sum)
+      for (j <- 0 until d)
+        assert(g1(1 + d + i * d + j) == rows.map(r => r(i) * r(j)).sum)
+    }
+  }
+
+  test("power iteration recovers a planted dominant direction") {
+    // variance concentrated on dims 0 and 1 with 2:1 loadings; other dims noise
+    val data = (0 until 400).map { i =>
+      val t = (i % 21) - 10 // deterministic "signal" in [-10, 10]
+      val noise = (j: Int) => ((i * 31 + j * 7) % 5 - 2) * 0.01
+      Array.tabulate(8)(j =>
+        (if (j == 0) 2.0 * t * 0.1 else if (j == 1) 1.0 * t * 0.1 else 0.0)
+          + noise(j)).map(_.toFloat)
+    }
+    val df = data.toDF("embedding")
+    val out = Pca.topComponent(df, "embedding", dim = 8, iters = 8)
+      .orderBy("dim").collect()
+    assert(out.length == 8)
+    val loadings = out.map(_.getLong(2))
+    // dominant direction ~ (2, 1, 0...) scaled: loading(0) positive max,
+    // loading(1) about half, the rest near zero
+    assert(loadings(0) == loadings.map(math.abs).max)
+    assert(loadings(0) > 0)
+    assert(math.abs(loadings(1) * 2 - loadings(0)) < Pca.S_V / 10)
+    assert((2 until 8).forall(j => math.abs(loadings(j)) < Pca.S_V / 10))
+    // var_norm diag: dim 0 carries the max normalized variance = S_C
+    assert(out(0).getLong(1) == 100000L)
+    // lam identical on every row and positive
+    assert(out.map(_.getLong(3)).toSet.size == 1 && out.head.getLong(3) > 0)
+  }
+
+  test("sign canonicalization: negated input yields the same loadings") {
+    val data = (0 until 100).map { i =>
+      val t = (i % 11) - 5
+      Array.tabulate(4)(j => (if (j == 0) -t * 0.2 else t * 0.1).toFloat)
+    }
+    val df = data.toDF("embedding")
+    val neg = data.map(_.map(x => -x)).toDF("embedding")
+    val a = Pca.topComponent(df, "embedding", 4, 6).orderBy("dim")
+      .select("loading").as[Long].collect().toSeq
+    val b = Pca.topComponent(neg, "embedding", 4, 6).orderBy("dim")
+      .select("loading").as[Long].collect().toSeq
+    assert(a == b)
+    // first max-magnitude loading is non-negative
+    assert(a.maxBy(math.abs) == a.filter(x => math.abs(x) == a.map(math.abs).max).head)
+  }
+
+  test("projectScore is the exact integer dot product") {
+    val df = Seq((Array(1.0f, -2.0f, 0.5f), Array(3L, 1L, -4L)))
+      .toDF("vec", "ld")
+    val s = df.select(Pca.projectScore(col("vec"), col("ld")).as("s"))
+      .head.getLong(0)
+    // scaled: (1000, -2000, 500) · (3, 1, -4) = 3000 - 2000 - 2000
+    assert(s == -1000L)
+  }
+}

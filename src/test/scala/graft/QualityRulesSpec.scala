@@ -114,6 +114,50 @@ class QualityRulesSpec extends SparkSpec {
     assert(out.schema("weight_micro").dataType.typeName == "long")
   }
 
+  test("knSurprisal matches hand-computed interpolated Kneser-Ney") {
+    // corpus: a b | a b | a c → c1(a)=3, bigrams (a,b):2 (a,c):1, T=2,
+    // N1f(a)=2, Nc(b)=Nc(c)=1
+    // P(b|a) = (2-3/4)/3 + (3/4·2/3)(1/2) = 2/3  → inv = 24e6 div 16
+    // P(c|a) = (1-3/4)/3 + (3/4·2/3)(1/2) = 1/3  → inv = 24e6 div 8
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val r = LangModel.knSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r(1L) == (1L, 1500000L))
+    assert(r(2L) == (1L, 1500000L))
+    assert(r(3L) == (1L, 3000000L))
+  }
+
+  test("knSurprisal: full continuation mass of a context sums to exactly 1") {
+    // for every context w1, Σ P(w2|w1) over ALL w2 with a predecessor
+    // (observed at discounted estimates, unobserved at λ·Pcont) must be
+    // exactly 1. Integer form: Σ_observed (4c−3)·T + 3·N1f(w1)·T
+    // == 4·cL(w1)·T, where cL is w1's count as a bigram left element.
+    val df = Seq((1L, "the cat sat on the mat"), (2L, "the cat ran"),
+      (3L, "a dog sat on a mat"), (4L, "the dog sat")).toDF("doc_id", "text")
+    val byDoc = df.collect().map(_.getString(1).split(" ").toSeq)
+    val pairs = byDoc.flatMap(ws => ws.zip(ws.tail))
+    val c2 = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = c2.size.toLong
+    val cl = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1f = c2.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nc = c2.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    for (w1 <- n1f.keys) {
+      val obs = c2.collect { case ((a, _), c) if a == w1 => 4 * c - 3 }.sum
+      assert(obs * t + 3 * n1f(w1) * t == 4 * cl(w1) * t, s"context $w1")
+    }
+    // and the distributed op agrees with the local reference per doc
+    val got = LangModel.knSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ref = byDoc.zipWithIndex.map { case (ws, i) =>
+      val invs = ws.zip(ws.tail).map { case (a, b) =>
+        val num = math.max(4 * c2((a, b)) - 3, 0) * t + 3 * n1f(a) * nc(b)
+        BigInt(4) * cl(a) * t * 1000000 / num
+      }
+      (i + 1).toLong -> (invs.sum / invs.size).toLong
+    }.toMap
+    assert(got == ref)
+  }
+
   test("bigramSurprisal drops docs without transitions and plans no cartesian") {
     val df = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
     assert(LangModel.bigramSurprisal(df, "doc_id", "text").count() == 0)
