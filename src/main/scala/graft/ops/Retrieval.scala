@@ -197,4 +197,48 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("__did").as("doc_id"), col("rank"), col("term"), col("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    * ranked lists — the standard hybrid-retrieval combiner for a lexical
+    * (BM25) and a vector (ANN) channel. Each present side contributes
+    * 10^9 div (kRrf + rank) in exact integer nano-units, so the fused
+    * score — unlike the usual float 1/(k+r) — is an order-independent
+    * integer both engines replay identically; an absent side contributes
+    * 0 (its rank reports as 0 in the output).
+    *
+    * Scale shape: the fusion itself is ONE (query, doc)-keyed full-outer
+    * join between two frames that are already tiny (≤ k rows per query,
+    * whatever the corpus size) plus one per-query window — the expensive
+    * work stays in the upstream channels, which scale independently
+    * (posting join / ANN index). kRrf = 60 per the paper.
+    *
+    * Inputs must carry (query_id, doc_id, rank) with 1-based ranks.
+    *
+    * @return (query_id, doc_id, rank_text, rank_vec, rrf_nano, rank)
+    */
+  def rrfFuse(
+      textRanks: DataFrame,
+      vecRanks: DataFrame,
+      k: Int,
+      kRrf: Int = 60
+  ): DataFrame = {
+    require(k >= 1 && kRrf >= 0, s"need k >= 1, kRrf >= 0; got $k, $kRrf")
+    val contrib = (rank: org.apache.spark.sql.Column) =>
+      coalesce(
+        call_function("div", lit(1000000000L), lit(kRrf.toLong) + rank), lit(0L))
+    val a = textRanks.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("__rt"))
+    val b = vecRanks.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("__rv"))
+    val fused = a.join(b, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("__rt"), lit(0L)).as("rank_text"),
+        coalesce(col("__rv"), lit(0L)).as("rank_vec"),
+        (contrib(col("__rt")) + contrib(col("__rv"))).as("rrf_nano"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_nano").desc, col("doc_id"))
+    fused
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

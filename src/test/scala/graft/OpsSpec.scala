@@ -705,6 +705,55 @@ class OpsSpec extends SparkSpec {
     }.getMessage.contains("multiprobe"))
   }
 
+  test("psiDrift: zero on identical snapshots, positive on shift, clamped edges") {
+    val ref = (0 until 200).map(i => (i % 50).toDouble).toDF("value")
+    val same = Profiling.psiDrift(ref, ref, "value", nBins = 10)
+      .orderBy("bin").collect()
+    assert(same.length == 10)
+    // identical snapshots: pa == pb exactly in every bin → every term 0
+    assert(same.forall(r => r.getDecimal(3).signum == 0))
+    assert(same.head.getDecimal(4).signum == 0)
+
+    // shifted + out-of-range current: values 60..109 all clamp into bin 9
+    val cur = (0 until 200).map(i => (60 + i % 50).toDouble).toDF("value")
+    val drift = Profiling.psiDrift(ref, cur, "value", nBins = 10)
+      .orderBy("bin").collect()
+    val n9 = drift(9).getLong(2)
+    assert(n9 == 200L, s"expected all current rows clamped to bin 9, got $n9")
+    assert(drift.head.getDecimal(4).doubleValue() > 0.5)
+
+    // hand-check one bin against the same IEEE sequence computed locally
+    val r0 = drift(0)
+    val (nr, nc) = (r0.getLong(1), r0.getLong(2))
+    val pa = (nr + 1).toDouble / 210.0
+    val pb = (nc + 1).toDouble / 210.0
+    val t = (pa / pb - 1.0) / (pa / pb + 1.0)
+    val t2 = t * t
+    val ln = 2.0 * t * (1.0 + t2 / 3.0 + t2 * t2 / 5.0 +
+      t2 * t2 * t2 / 7.0 + t2 * t2 * t2 * t2 / 9.0)
+    val term = BigDecimal((pa - pb) * ln)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    assert(BigDecimal(r0.getDecimal(3)) == term)
+  }
+
+  test("rrfFuse: exact nano-unit fusion, missing sides, top-k cut") {
+    // q1 text ranks: d1=1, d2=2, d3=3; vec ranks: d2=1, d4=2
+    val text = Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 2L, 1), (1L, 4L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(text, vec, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def c(r: Long) = 1000000000L / (60 + r)
+    // d2 on both channels wins; then d1 (text rank 1); then d4 (vec 2)
+    assert(out.toSeq == Seq(
+      (2L, 2L, 1L, c(2) + c(1)),
+      (1L, 1L, 0L, c(1)),
+      (4L, 0L, 2L, c(2))))
+    // k cut: d3 (score c(3)) was dropped — c(3) < c(2), ties impossible
+    assert(!out.map(_._1).contains(3L))
+  }
+
   test("bm25TopK: hand-checked scores, ranking, self-hit exclusion, df cap") {
     val corpus = Seq(
       (1L, "apple banana apple"),            // dl=3
