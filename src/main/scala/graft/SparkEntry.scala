@@ -1621,14 +1621,28 @@ object SparkEntry {
     val M = graft.ops.Multimodal
     val g = expr("doc_id div 5").cast("string")
     val v = pmod(col("doc_id"), lit(5))
-    val base = (i: Column) =>
-      conv(md5(concat(g, lit("#"), shiftright(i, 4).cast("string")))
-        .substr(pmod(i, lit(16)) * 2 + 1, lit(2)), 16, 10).cast("int")
-    val px = transform(sequence(lit(0), lit(63)), i =>
-      when(v > 0 && i === pmod(v * 13, lit(64)),
-        pmod(base(i) + 128, lit(256))).otherwise(base(i)))
-    val sigs = docs(s, dir)
-      .select(col("doc_id"), px.as("px"))
+    // Two checkpoint barriers defeat collapse-under-pruning: any alias an
+    // array lambda references 64× gets INLINED per element when only the
+    // downstream column survives pruning, compounding the chain to O(d³)
+    // conv/md5 evaluations per row (measured: 43 s vs ~4 s for the same
+    // signature build at sf1.0). Stored columns are attribute reads, so
+    // each stage stays O(d)–O(d²) cheap ops. Real-decode callers get the
+    // px barrier for free — decodePixels is an RDD boundary.
+    val digs = array((0 until 4).map(k => md5(concat(g, lit("#" + k)))): _*)
+    // unrolled constant-index construction (codegen'd; a HOF transform
+    // would run interpreted — the ahashMean lesson)
+    val pxExpr = array((0 until 64).map { i =>
+      val base = conv(element_at(col("__digs"), i / 16 + 1)
+        .substr(lit(i % 16 * 2 + 1), lit(2)), 16, 10).cast("int")
+      when(col("__v") > 0 && lit(i) === pmod(col("__v") * 13, lit(64)),
+        pmod(base + 128, lit(256))).otherwise(base)
+    }: _*)
+    val withPx = docs(s, dir)
+      .select(col("doc_id"), digs.as("__digs"), v.as("__v"))
+      .localCheckpoint()
+      .select(col("doc_id"), pxExpr.as("px"))
+      .localCheckpoint()
+    val sigs = withPx
       .withColumn("mean", M.ahashMean(col("px")))
       .withColumn("bands", M.ahashBands(col("px"), col("mean")))
     M.ahashPairs(sigs, "doc_id", "bands", maxHamming = 3)

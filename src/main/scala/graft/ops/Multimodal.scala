@@ -515,25 +515,32 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
-  /** Integer mean of a 64-pixel array (exact floor division, codegen'd).
-    * Materialize this as its own column before [[ahashBands]] — referenced
-    * inside the band lambda it would be re-evaluated per bit.
+  /** Integer mean of a 64-pixel array (exact floor division). Unrolled
+    * constant-index sum rather than a higher-order `aggregate`: HOF
+    * lambdas run INTERPRETED per element, and referenced 64× from the
+    * band expression an interpreted 64-add fold compounds to ~4k boxed
+    * ops per row; the unrolled form stays inside whole-stage codegen.
+    * Still materialize the pixel column itself (RDD boundary) first —
+    * see [[ahashPairs]]'s caller contract.
     */
   def ahashMean(px: Column): Column = {
-    val sum = aggregate(px, lit(0L), (a, x) => a + x.cast("long"))
+    val sum = (0 until 64).map(i => element_at(px, i + 1).cast("long"))
+      .reduce(_ + _)
     ((sum - pmod(sum, lit(64L))) / 64).cast("long")
   }
 
   /** The 64-bit aHash as 4×16-bit bands: band b bit j set when
-    * pixel[16b+j] > mean. Pure column arithmetic (2^j via pow — exact to
-    * 2^15), so the whole signature replays in SQL.
+    * pixel[16b+j] > mean. Unrolled constant-index comparisons (codegen'd;
+    * see [[ahashMean]] on why not a HOF), so the whole signature replays
+    * in SQL as the same arithmetic.
     */
   def ahashBands(px: Column, mean: Column): Column =
-    transform(sequence(lit(0), lit(3)), b =>
-      aggregate(sequence(lit(0), lit(15)), lit(0),
-        (acc, j) =>
-          acc + when(element_at(px, b * 16 + j + 1).cast("long") > mean,
-            pow(lit(2), j).cast("int")).otherwise(lit(0))))
+    array((0 until 4).map { b =>
+      (0 until 16).map { j =>
+        when(element_at(px, b * 16 + j + 1).cast("long") > mean,
+          lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
 
   /** Hamming distance between two band-array signatures. */
   def hammingBands(a: Column, b: Column): Column =
@@ -552,8 +559,16 @@ object Multimodal {
   ): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"4 bands guarantee full recall only for maxHamming in [0, 3], got $maxHamming")
+    // EAGER checkpoint: the signature frame feeds both join sides and the
+    // AQE broadcast stage — one materialization, then block reads.
+    // CALLER CONTRACT (same as quantizeInt8's maxabs note, measured 43 s
+    // vs 3 s at sf1.0): the pixel column feeding ahashBands must itself
+    // be materialized (an RDD boundary — decodePixels, a shuffle, or a
+    // checkpoint). Left as an inline expression, column pruning inlines
+    // it into the 64 per-bit lambda references and the signature build
+    // goes O(d³) per row.
     val sigs = df.select(col(idCol).as("doc"), col(bandsCol).as("bands"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     val keyed = sigs.select(col("doc"), col("bands"),
       posexplode(col("bands")).as(Seq("bidx", "bval")))
     keyed.as("a")
