@@ -65,13 +65,38 @@ object Recall {
       .select("q_id", "n_id").cache()
     val truthN = truth.count()
 
-    def measure(name: String, approx: => DataFrame): (String, Double, Double) = {
+    // L2 ground truth for the PQ family: ADC approximates SQUARED
+    // DISTANCE, and the vectors are not normalized, so scoring PQ rows
+    // against the cosine truth would conflate metric mismatch with
+    // quantization loss.
+    val truthL2 = {
+      import org.apache.spark.sql.expressions.Window
+      val V = graft.functions.VectorFunctions
+      val dv = (c: org.apache.spark.sql.Column) =>
+        org.apache.spark.sql.functions.transform(c, x => x.cast("double"))
+      val scored = emb.select(col("vec_id").as("n_id"), dv(col("embedding")).as("nv"))
+        .join(broadcast(queries.select(col("vec_id").as("q_id"),
+          dv(col("embedding")).as("qv"))))
+        .filter(col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          (V.dot(col("nv"), col("nv")) - lit(2.0) * V.dot(col("nv"), col("qv"))
+            + V.dot(col("qv"), col("qv"))).as("d2"))
+      val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id"))
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= k)
+        .select("q_id", "n_id")
+    }.cache()
+    val truthL2N = truthL2.count()
+
+    def measureAgainst(t: DataFrame, tn: Long)(
+        name: String, approx: => DataFrame): (String, Double, Double) = {
       val t0 = System.nanoTime()
       val hits = approx.select("q_id", "n_id")
-        .join(truth, Seq("q_id", "n_id"), "left_semi").count()
+        .join(t, Seq("q_id", "n_id"), "left_semi").count()
       val secs = (System.nanoTime() - t0) / 1e9
-      (name, hits.toDouble / truthN, secs)
+      (name, hits.toDouble / tn, secs)
     }
+    def measure(name: String, approx: => DataFrame): (String, Double, Double) =
+      measureAgainst(truth, truthN)(name, approx)
 
     val settings: Seq[(String, () => DataFrame)] = Seq(
       "lsh_planes4" -> (() =>
@@ -155,6 +180,35 @@ object Recall {
       Seq(4, 8, 16).map(p => s"ivf_kmeans_c64_probe$p" -> (() =>
         ops.Similarity.ivfTopKWithCentroids(emb, queries, "vec_id", "embedding", k,
           trained, nProbe = p)))
+    } ++ {
+      // round 7h: the PQ serving tier. Codebook, codes, and the IVF-PQ
+      // index are built OUTSIDE the timed section — one-off, amortized
+      // over the query stream in production. These rows score against
+      // truthL2 (see above). What they answer: the query-time cost and
+      // recall of ADC over 4-int codes, alone and cell-restricted.
+      val autoCells = ops.Similarity.planParamsFor(corpusN).nCells
+      val quant = ops.Similarity.centroids(emb, "vec_id", "embedding", autoCells)
+        .select("cent_id", "cent_vec").localCheckpoint()
+      Seq((4, 16), (8, 64)).flatMap { case (m, codesK) =>
+        val cb = ops.Similarity.pqCodebook(emb, "vec_id", "embedding",
+          m, codesK, iters = 2, dim = 64).localCheckpoint()
+        val codes = ops.Similarity.pqEncode(emb, "vec_id", "embedding",
+          cb, m, dim = 64).localCheckpoint()
+        codes.count()
+        val ipq = ops.Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+          quant, cb, m, 64).localCheckpoint()
+        ipq.count()
+        Seq(
+          s"pq_adc_m${m}k$codesK" -> (() =>
+            ops.Similarity.pqAdcTopK(codes, cb, queries, "vec_id", "embedding",
+              k, m, 64).withColumnRenamed("vec_id", "n_id")),
+          s"ivfpq_m${m}k${codesK}_probe8" -> (() =>
+            ops.Similarity.ivfPqTopK(ipq, queries, "vec_id", "embedding", k,
+              quant, cb, m, 64, nProbe = 8)),
+          s"ivfpq_m${m}k${codesK}_probe16" -> (() =>
+            ops.Similarity.ivfPqTopK(ipq, queries, "vec_id", "embedding", k,
+              quant, cb, m, 64, nProbe = 16)))
+      }
     }
     // optional grid via env: RECALL_GRID="planes:tables:probeBits,..." adds
     // ad-hoc lshTopK settings — the tuning loop for the auto-param rule
@@ -167,7 +221,11 @@ object Recall {
     val all = settings ++ grid
     // args = name filter for fast single-setting iteration
     val selected = if (args.nonEmpty) all.filter(s => args.exists(s._1.contains)) else all
-    val rows = selected.map { case (name, f) => measure(name, f()) }
+    val rows = selected.map { case (name, f) =>
+      if (name.startsWith("pq_") || name.startsWith("ivfpq_"))
+        measureAgainst(truthL2, truthL2N)(name, f())
+      else measure(name, f())
+    }
     val body = rows.map { case (n, r, s) =>
       s""""$n":{"recall":${math.round(r * 10000) / 10000.0},"sec":${math.round(s * 100) / 100.0}}"""
     }.mkString(",")
