@@ -1247,6 +1247,36 @@ object SparkEntry {
       .orderBy(col("bin"))
   }
 
+  /** Snapshot diff (L62): the current snapshot drops every 17th doc,
+    * appends " v2" to every 13th, and adds clones of every 19th under new
+    * ids — so all four statuses appear. Fingerprint compare only; the
+    * oracle replays the md5 full-outer join.
+    */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val prev = docs(s, dir).select(col("doc_id"), col("text"))
+    val cur = prev
+      .filter(pmod(col("doc_id"), lit(17)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(13)) === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(prev.filter(pmod(col("doc_id"), lit(19)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" new")).as("text")))
+    graft.ops.Snapshot.diff(prev, cur, "doc_id", "text")
+      .orderBy(col("id"))
+  }
+
+  /** Coverage-balanced budget sampling (L63): 120 rows across the event
+    * types — every type contributes its r-th deterministic pick before
+    * any contributes its (r+1)-th, full tiers admitted by threshold and
+    * only the boundary tier globally ordered. The oracle replays ranks,
+    * the tier cumsum, the cutoff, and the boundary slice.
+    */
+  private def qSampleCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.coverageSample(
+      t(s, dir, "events"), "event_id", "event_type", budget = 120)
+      .orderBy(col("id"))
+
   /** Exact per-column quantiles over events (p25/p50/p75/p95) — the
     * nearest-rank rule makes them engine-exact, unlike percentile sketches.
     */
@@ -1304,6 +1334,16 @@ object SparkEntry {
   private def qSubwordVocab(s: SparkSession, dir: String): DataFrame =
     graft.functions.Subword.vocabTop(docs(s, dir), "text")
       .orderBy(col("freq").desc, col("piece"))
+
+  /** BPE merge training (L64): sixteen rounds of the real
+    * count-pairs/merge-best loop over the corpus's word-frequency table
+    * ([[graft.functions.Subword.bpeMerges]]). The oracle unrolls every
+    * round — pair counting, the deterministic argmax, and the literal
+    * paren-boundary replace — so the learned merge TABLE itself is under
+    * the hash gate, not just a downstream count.
+    */
+  private def qBpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.functions.Subword.bpeMerges(docs(s, dir), "text", nMerges = 16)
 
   /** Real subword token counts: greedy longest-match over the corpus-
     * trained vocabulary (codegen'd trie kernel). The oracle replays the
@@ -2792,6 +2832,7 @@ object SparkEntry {
     "q_token_count" -> (qTokenCount _),
     "q_subword_vocab" -> (qSubwordVocab _),
     "q_token_subword" -> (qTokenSubword _),
+    "q_bpe_merges" -> (qBpeMerges _),
     "q_chunk_subword" -> (qChunkSubword _),
     "q_pack_subword" -> (qPackSubword _),
     "q_fingerprint" -> (qFingerprint _),
@@ -2857,6 +2898,8 @@ object SparkEntry {
     "q_trim_outliers" -> (qTrimOutliers _),
     "q_profile_quantiles" -> (qProfileQuantiles _),
     "q_drift_psi" -> (qDriftPsi _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_sample_coverage" -> (qSampleCoverage _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_spans" -> (qDedupSpans _),
     "q_embed_normalize" -> (qEmbedNormalize _),
@@ -3137,11 +3180,53 @@ object SparkEntry {
        |ORDER BY dim""".stripMargin
   }
 
+  /** Unrolls the BPE training loop ([[graft.functions.Subword.bpeMerges]])
+    * as chained CTEs: per round, pair counts over the word table, the
+    * (freq DESC, l, r) argmax, and the paren-boundary literal replace —
+    * identical replace semantics in both engines.
+    */
+  private def bpeOracle(n: Int): String = {
+    // every chained CTE is MATERIALIZED: w(k) is referenced twice (pair
+    // counts + the next replace), and DuckDB re-executes plain CTEs per
+    // reference — 16 rounds would re-evaluate the whole prefix 2^16 times
+    val step = (k: Int) =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT arr[CAST(i + 1 AS INT)] AS l, arr[CAST(i + 2 AS INT)] AS r,
+         |    CAST(sum(wf) AS BIGINT) AS pair_freq
+         |  FROM (SELECT wf, arr, unnest(range(0, len(arr) - 1)) AS i
+         |        FROM (SELECT wf, string_split(trim(seq, '()'), ')(') AS arr
+         |              FROM w${k - 1}))
+         |  GROUP BY 1, 2
+         |), b$k AS MATERIALIZED (
+         |  SELECT $k AS step, l, r, pair_freq FROM p$k
+         |  ORDER BY pair_freq DESC, l, r LIMIT 1
+         |), w$k AS MATERIALIZED (
+         |  SELECT wf, replace(seq, '('||b.l||')('||b.r||')', '('||b.l||b.r||')') AS seq
+         |  FROM w${k - 1} CROSS JOIN b$k b
+         |)""".stripMargin
+    s"""WITH nrm AS (
+       |  SELECT string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+       |  FROM documents
+       |), wt AS MATERIALIZED (
+       |  SELECT w AS word, count(*) AS wf
+       |  FROM (SELECT unnest(toks) AS w FROM nrm) WHERE w <> '' GROUP BY 1
+       |), w0 AS MATERIALIZED (
+       |  SELECT wf, '(' || array_to_string(list_transform(range(length(word)),
+       |    i -> substr(word, CAST(i + 1 AS INT), 1)), ')(') || ')' AS seq
+       |  FROM wt
+       |),
+       |${(1 to n).map(step).mkString(",\n")}
+       |${(1 to n).map(k => s"SELECT step, l, r, pair_freq FROM b$k")
+          .mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY step""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_embed_pq" -> pqOracle,
     "q_ann_ivfpq" -> pqIvfOracle,
     "q_pagerank" -> pagerankOracle,
     "q_pca" -> pcaOracle,
+    "q_bpe_merges" -> bpeOracle(16),
     "q_image_neardup" ->
       """WITH px AS MATERIALIZED (
         |  SELECT doc_id,
@@ -4611,6 +4696,53 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_transitions,
         |  CAST(sum(tm) // count(*) AS BIGINT) AS score_micro
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH prev AS (SELECT doc_id, text FROM documents),
+        |cur AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM prev WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+        |  FROM prev WHERE doc_id % 19 = 0
+        |)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN md5(a.text) = md5(b.text) THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  CASE WHEN a.doc_id IS NULL THEN NULL ELSE md5(a.text) END AS fp_prev,
+        |  CASE WHEN b.doc_id IS NULL THEN NULL ELSE md5(b.text) END AS fp_cur
+        |FROM prev a FULL OUTER JOIN cur b ON a.doc_id = b.doc_id
+        |ORDER BY id""".stripMargin,
+    "q_sample_coverage" ->
+      """WITH ranked AS MATERIALIZED (
+        |  SELECT event_id AS id, event_type AS grp,
+        |    ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT AS h,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT, event_id)
+        |      AS tier
+        |  FROM events
+        |), tiers AS (
+        |  SELECT tier, count(*) AS n,
+        |    sum(count(*)) OVER (ORDER BY tier
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM ranked GROUP BY tier
+        |), cut AS (
+        |  SELECT coalesce(max(CASE WHEN cum <= 120 THEN tier END), 0) AS r_full,
+        |    coalesce(max(CASE WHEN cum <= 120 THEN cum END), 0) AS admitted
+        |  FROM tiers
+        |), boundary AS (
+        |  SELECT id, grp, tier FROM (
+        |    SELECT r.id, r.grp, r.tier,
+        |      row_number() OVER (ORDER BY r.h, r.id) AS b
+        |    FROM ranked r CROSS JOIN cut c WHERE r.tier = c.r_full + 1
+        |  ) CROSS JOIN cut c WHERE b <= 120 - c.admitted
+        |)
+        |SELECT id, grp, tier FROM ranked CROSS JOIN cut c WHERE tier <= c.r_full
+        |UNION ALL
+        |SELECT id, grp, tier FROM boundary
+        |ORDER BY id""".stripMargin,
     // PSI drift: exact micro-int binning; ln via the fixed artanh series
     // (identical IEEE op sequence in both engines — no libm log).
     "q_drift_psi" ->

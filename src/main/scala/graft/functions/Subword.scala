@@ -80,6 +80,70 @@ object Subword {
       .limit(vocabSize)
       .select(col("piece"), length(col("piece")).as("plen"), col("freq"))
 
+  /** BPE merge training (Sennrich, Haddow & Birch 2016) — the actual
+    * tokenizer-training algorithm, not a frequency heuristic: repeat
+    * nMerges times { count adjacent symbol pairs over the word-frequency
+    * table, merge the most frequent pair everywhere }. Ties break
+    * deterministically on (pair_freq DESC, left, right).
+    *
+    * Representation: each word's symbol sequence is paren-wrapped —
+    * "ban" → "(b)(a)(n)" — so a merge is ONE literal string replace of
+    * "(x)(y)" with "(xy)". The explicit boundaries make the replace
+    * EXACTLY textbook greedy left-to-right: adjacent occurrences share
+    * no characters ("(a)(n)(a)(n)" merges both), and runs consume
+    * left-to-right ("(a)(a)(a)" → "(aa)(a)"). Space-delimited encodings
+    * get this wrong (a shared delimiter is consumed by the previous
+    * match), and the same replace runs identically in DuckDB — the
+    * oracle unrolls every round. Normalized text is [a-z0-9]+ so parens
+    * can never collide with symbol content.
+    *
+    * Scale shape: training runs over the DISTINCT-WORD frequency table
+    * (vocabulary-sized, not corpus-sized — the classic trick), so each
+    * round is a tiny explode+groupBy, a 1-row argmax broadcast, and one
+    * replace projection; rounds are localCheckpoint-barriered. The
+    * corpus is scanned once, by [[wordFrequencies]].
+    *
+    * @return the learned merge table: (step, l, r, pair_freq), one row
+    *         per merge in training order — the artifact a BPE encoder
+    *         applies in sequence
+    */
+  def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1 && nMerges <= 256,
+      s"nMerges must be in [1, 256], got $nMerges")
+    var words = wordFrequencies(docs, textCol)
+      .select(col("wf"),
+        concat_ws("", transform(sequence(lit(1), length(col("word"))),
+          i => concat(lit("("), col("word").substr(i, lit(1)), lit(")"))))
+          .as("seq"))
+      .localCheckpoint()
+    var merges: DataFrame = null
+    for (step <- 1 to nMerges) {
+      val arr = split(trim(col("seq"), "()"), "\\)\\(")
+      val pairs = words
+        .select(col("wf"),
+          explode(zip_with(
+            slice(arr, lit(1), size(arr) - 1),
+            slice(arr, lit(2), size(arr) - 1),
+            (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wf")).as("pair_freq"))
+      val best = pairs
+        .orderBy(col("pair_freq").desc, col("l"), col("r"))
+        .limit(1)
+        .select(lit(step).as("step"), col("l"), col("r"), col("pair_freq"))
+        .localCheckpoint()
+      merges = if (merges == null) best else merges.union(best)
+      words = words
+        .crossJoin(broadcast(best.select(col("l").as("__l"), col("r").as("__r"))))
+        .select(col("wf"),
+          replace(col("seq"),
+            concat(lit("("), col("__l"), lit(")("), col("__r"), lit(")")),
+            concat(lit("("), col("__l"), col("__r"), lit(")"))).as("seq"))
+        .localCheckpoint()
+    }
+    merges.orderBy(col("step"))
+  }
+
   /** Every single character observed in the normalized corpus — the
     * coverage floor that makes greedy encoding total (any word encodes to
     * SOME piece sequence).

@@ -295,4 +295,59 @@ object Sampling {
       .select(col("doc_id"), col("n_feats"), col("weight_micro"),
         (col("weight_micro") >= 1000000L).cast("int").as("selected"))
   }
+
+  /** Coverage-balanced budget sampling: under a global row budget, every
+    * group (domain, source, language) contributes its r-th pick before
+    * any group contributes its (r+1)-th — so a budget of B covers
+    * min(B, #groups) groups, instead of letting one giant domain eat the
+    * whole allocation the way uniform hash sampling does. Within a group
+    * the pick order is the deterministic md5 rank (stable across runs
+    * and engines).
+    *
+    * Scale shape — deliberately NOT a global row_number over n rows
+    * (that is a single-task sort): full tiers are admitted by a
+    * THRESHOLD computed from per-tier counts (a #tiers-row frame,
+    * window-cumsummed and broadcast), and only the single boundary tier
+    * — at most #groups rows — is globally ordered to take the
+    * remainder. One window per group for ranks, one tiny window for the
+    * cumsum, one bounded window for the boundary.
+    *
+    * @return selected rows: (id, group, tier) — tier is the within-group
+    *         pick rank, 1-based
+    */
+  def coverageSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df
+      .select(col(idCol).as("id"), col(groupCol).as("grp"),
+        H.hash60(col(idCol).cast("string")).as("__h"))
+      .withColumn("tier", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("__h"), col("id"))))
+      .localCheckpoint(false)
+    // cum(r) = rows in tiers 1..r; r_full = last fully-admitted tier
+    val tiers = ranked.groupBy(col("tier")).agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("tier")).rowsBetween(Window.unboundedPreceding, 0)))
+    val cut = broadcast(tiers
+      .agg(
+        coalesce(max(when(col("cum") <= budget, col("tier"))), lit(0L).cast("int"))
+          .as("r_full"),
+        coalesce(max(when(col("cum") <= budget, col("cum"))), lit(0L))
+          .as("admitted")))
+    val boundary = ranked.crossJoin(cut)
+      .filter(col("tier") === col("r_full") + 1)
+      .withColumn("__b", row_number().over(
+        Window.orderBy(col("__h"), col("id"))))
+      .filter(col("__b") <= lit(budget) - col("admitted"))
+      .select(col("id"), col("grp"), col("tier"))
+    ranked.crossJoin(cut)
+      .filter(col("tier") <= col("r_full"))
+      .select(col("id"), col("grp"), col("tier"))
+      .union(boundary)
+  }
 }

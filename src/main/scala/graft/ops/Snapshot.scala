@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot versioning: the "what changed between refresh N−1 and
+  * N" primitive a recurring ingestion pipeline runs before anything else
+  * — feed the `changed ∪ added` slice to incremental dedup
+  * ([[Dedup.incrementalDedupe]]) and the drift monitor
+  * ([[Profiling.psiDrift]]), audit `removed` against retention rules.
+  *
+  * Pure relational shape: one md5 fingerprint projection per side, one
+  * (id)-keyed full-outer join — no content ever compares byte-by-byte
+  * across the join (fingerprints do), so the shuffle carries 32-byte
+  * digests, not documents. At 100 TB both sides bucket/sort-merge on id;
+  * with snapshots stored bucketed by id ([[graft.sources.Bucketing]])
+  * the join is co-located and shuffle-free.
+  */
+object Snapshot {
+
+  /** Per-document diff status between two snapshots.
+    *
+    * @return (id, status ∈ added|removed|changed|unchanged, fp_prev,
+    *         fp_cur) — fingerprints are md5 hex of the content column,
+    *         null on the missing side
+    */
+  def diff(prev: DataFrame, cur: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val a = prev.select(col(idCol).as("id"), md5(col(contentCol)).as("fp_prev"))
+    val b = cur.select(col(idCol).as("id"), md5(col(contentCol)).as("fp_cur"))
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("fp_prev").isNull, lit("added"))
+          .when(col("fp_cur").isNull, lit("removed"))
+          .when(col("fp_prev") === col("fp_cur"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("fp_prev"), col("fp_cur"))
+  }
+}

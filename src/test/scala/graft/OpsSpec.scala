@@ -705,6 +705,43 @@ class OpsSpec extends SparkSpec {
     }.getMessage.contains("multiprobe"))
   }
 
+  test("Snapshot.diff: all four statuses, fingerprints only on present sides") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cur = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = graft.ops.Snapshot.diff(prev, cur, "doc_id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.isNullAt(2), r.isNullAt(3)))
+    assert(got.toSeq == Seq(
+      (1L, "removed", false, true),
+      (2L, "unchanged", false, false),
+      (3L, "changed", false, false),
+      (4L, "added", true, false)))
+  }
+
+  test("coverageSample: round-robin tiers, exact budget, boundary slice") {
+    // groups: a has 10 rows, b has 3, c has 1
+    val rows = (0 until 10).map(i => (100L + i, "a")) ++
+      (0 until 3).map(i => (200L + i, "b")) ++ Seq((300L, "c"))
+    val df = rows.toDF("event_id", "grp")
+    def sel(budget: Long) = graft.ops.Sampling
+      .coverageSample(df, "event_id", "grp", budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // budget 5 = two full tiers exactly: a,b twice + c once
+    val s5 = sel(5)
+    assert(s5.length == 5)
+    assert(s5.count(_._2 == "a") == 2 && s5.count(_._2 == "b") == 2 &&
+      s5.count(_._2 == "c") == 1)
+    // budget 4: tier 1 full (3 rows) + 1 boundary pick from tier 2 —
+    // every group still covered before any gets a second pick
+    val s4 = sel(4)
+    assert(s4.length == 4 && s4.map(_._2).toSet == Set("a", "b", "c"))
+    assert(s4.count(_._3 == 1) == 3 && s4.count(_._3 == 2) == 1)
+    // big budget admits everything
+    assert(sel(1000).length == 14)
+    // deterministic across runs
+    assert(sel(7).toSeq.sorted == sel(7).toSeq.sorted)
+  }
+
   test("psiDrift: zero on identical snapshots, positive on shift, clamped edges") {
     val ref = (0 until 200).map(i => (i % 50).toDouble).toDF("value")
     val same = Profiling.psiDrift(ref, ref, "value", nBins = 10)

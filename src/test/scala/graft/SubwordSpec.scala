@@ -178,4 +178,49 @@ class SubwordSpec extends SparkSpec {
       cum += r.getAs[Long]("n_tokens")
     }
   }
+
+  private def mergeGreedy(syms: List[String], l: String, r: String): List[String] =
+    syms match {
+      case a :: b :: rest if a == l && b == r => (a + b) :: mergeGreedy(rest, l, r)
+      case a :: rest => a :: mergeGreedy(rest, l, r)
+      case Nil => Nil
+    }
+
+  private def refBpe(freq: Map[String, Long], n: Int): Seq[(Int, String, String, Long)] = {
+    var words = freq.toList.map { case (w, f) => (w.map(_.toString).toList, f) }
+    (1 to n).map { step =>
+      val counts = collection.mutable.Map[(String, String), Long]()
+      for ((syms, f) <- words;
+           p <- syms.sliding(2).collect { case Seq(a, b) => (a, b) })
+        counts(p) = counts.getOrElse(p, 0L) + f
+      val ((l, r), c) = counts.toSeq
+        .sortBy { case ((a, b), cnt) => (-cnt, a, b) }.head
+      words = words.map { case (syms, f) => (mergeGreedy(syms, l, r), f) }
+      (step, l, r, c)
+    }
+  }
+
+  test("bpeMerges: matches a reference BPE trainer on the classic fixture") {
+    // Sennrich-style corpus: low x5, lower x2, newest x6, widest x3.
+    // First merge is (e, s) at freq 9 — the (s, t) tie breaks
+    // lexicographically — then (es, t), building 'est'.
+    val freq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val text = freq.toSeq.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+      .mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = graft.functions.Subword.bpeMerges(df, "text", 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val ref = refBpe(freq, 6)
+    assert(got == ref)
+    assert(got.head._2 == "e" && got.head._3 == "s" && got.head._4 == 9L)
+  }
+
+  test("bpeMerges: runs merge textbook-greedy left-to-right") {
+    // 'aaaa' → (a,a) appears 3 times; greedy merge yields (aa)(aa), so
+    // the second round learns (aa, aa) at freq 1
+    val df = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = graft.functions.Subword.bpeMerges(df, "text", 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
 }
