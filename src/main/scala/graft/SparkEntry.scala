@@ -1345,6 +1345,21 @@ object SparkEntry {
   private def qBpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.functions.Subword.bpeMerges(docs(s, dir), "text", nMerges = 16)
 
+  /** BPE token counts (L64 serving side): the merges learned by
+    * q_bpe_merges applied in training order per document. Oracle =
+    * the same 16-round training chain + the identical nested replaces.
+    */
+  private def qTokenBpe(s: SparkSession, dir: String): DataFrame = {
+    val merges = graft.functions.Subword.bpeMerges(docs(s, dir), "text", 16)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    docs(s, dir)
+      .select(col("doc_id"),
+        graft.functions.Subword.bpeTokenCount(coalesce(col("text"), lit("")),
+          merges).as("n_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Real subword token counts: greedy longest-match over the corpus-
     * trained vocabulary (codegen'd trie kernel). The oracle replays the
     * whole pipeline — vocab derivation AND the greedy encode loop (as a
@@ -2833,6 +2848,7 @@ object SparkEntry {
     "q_subword_vocab" -> (qSubwordVocab _),
     "q_token_subword" -> (qTokenSubword _),
     "q_bpe_merges" -> (qBpeMerges _),
+    "q_token_bpe" -> (qTokenBpe _),
     "q_chunk_subword" -> (qChunkSubword _),
     "q_pack_subword" -> (qPackSubword _),
     "q_fingerprint" -> (qFingerprint _),
@@ -3185,11 +3201,11 @@ object SparkEntry {
     * (freq DESC, l, r) argmax, and the paren-boundary literal replace —
     * identical replace semantics in both engines.
     */
-  private def bpeOracle(n: Int): String = {
-    // every chained CTE is MATERIALIZED: w(k) is referenced twice (pair
-    // counts + the next replace), and DuckDB re-executes plain CTEs per
-    // reference — 16 rounds would re-evaluate the whole prefix 2^16 times
-    val step = (k: Int) =>
+  // every chained CTE is MATERIALIZED: w(k) is referenced twice (pair
+  // counts + the next replace), and DuckDB re-executes plain CTEs per
+  // reference — 16 rounds would re-evaluate the whole prefix 2^16 times
+  private val bpeStep: Int => String =
+    (k: Int) =>
       s"""p$k AS MATERIALIZED (
          |  SELECT arr[CAST(i + 1 AS INT)] AS l, arr[CAST(i + 2 AS INT)] AS r,
          |    CAST(sum(wf) AS BIGINT) AS pair_freq
@@ -3204,7 +3220,15 @@ object SparkEntry {
          |  SELECT wf, replace(seq, '('||b.l||')('||b.r||')', '('||b.l||b.r||')') AS seq
          |  FROM w${k - 1} CROSS JOIN b$k b
          |)""".stripMargin
-    s"""WITH nrm AS (
+
+  private def bpeOracle(n: Int): String =
+    s"""WITH ${bpeChain(n, bpeStep)}
+       |${(1 to n).map(k => s"SELECT step, l, r, pair_freq FROM b$k")
+          .mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY step""".stripMargin
+
+  private def bpeChain(n: Int, step: Int => String): String =
+    s"""nrm AS (
        |  SELECT string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
        |  FROM documents
        |), wt AS MATERIALIZED (
@@ -3215,10 +3239,26 @@ object SparkEntry {
        |    i -> substr(word, CAST(i + 1 AS INT), 1)), ')(') || ')' AS seq
        |  FROM wt
        |),
-       |${(1 to n).map(step).mkString(",\n")}
-       |${(1 to n).map(k => s"SELECT step, l, r, pair_freq FROM b$k")
-          .mkString("", "\nUNION ALL\n", "")}
-       |ORDER BY step""".stripMargin
+       |${(1 to n).map(step).mkString(",\n")}""".stripMargin
+
+  /** q_token_bpe: the [[bpeOracle]] training chain, then every document
+    * paren-wrapped and run through the same nested replaces in merge
+    * order; token count = number of '(' groups left.
+    */
+  private def tokenBpeOracle(n: Int, step: Int => String): String = {
+    val nested = (1 to n).foldLeft("w") { (acc, k) =>
+      s"replace($acc, '('||b$k.l||')('||b$k.r||')', '('||b$k.l||b$k.r||')')"
+    }
+    s"""WITH ${bpeChain(n, step)},
+       |docw AS (
+       |  SELECT doc_id, regexp_replace(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), '([a-z0-9])', '(\\1)', 'g') AS w
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CAST(length(m) - length(replace(m, '(', '')) AS BIGINT) AS n_bpe
+       |FROM (SELECT doc_id, $nested AS m
+       |      FROM docw ${(1 to n).map(k => s"CROSS JOIN b$k").mkString(" ")})
+       |ORDER BY doc_id""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -3227,6 +3267,7 @@ object SparkEntry {
     "q_pagerank" -> pagerankOracle,
     "q_pca" -> pcaOracle,
     "q_bpe_merges" -> bpeOracle(16),
+    "q_token_bpe" -> tokenBpeOracle(16, bpeStep),
     "q_image_neardup" ->
       """WITH px AS MATERIALIZED (
         |  SELECT doc_id,

@@ -144,6 +144,25 @@ object Subword {
     merges.orderBy(col("step"))
   }
 
+  /** Token count under a learned BPE merge list ([[bpeMerges]]): the
+    * normalized text is paren-wrapped per character (spaces stay bare, so
+    * no merge can cross a word boundary), each merge applies IN TRAINING
+    * ORDER as one literal replace — identical greedy semantics to
+    * training — and the token count is simply the number of '(' groups
+    * left. All codegen'd string ops (one regexp + |merges|+1 replaces per
+    * document); the merge list is driver state the size of the merge
+    * table (the collect-a-tiny-model pattern, like SubwordTable / IVF
+    * centroids), and the whole chain replays in SQL.
+    */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    val wrapped =
+      regexp_replace(TextFunctions.normalize(text), "([a-z0-9])", "($1)")
+    val merged = merges.foldLeft(wrapped) { case (s, (l, r)) =>
+      replace(s, lit("(" + l + ")(" + r + ")"), lit("(" + l + r + ")"))
+    }
+    (length(merged) - length(replace(merged, lit("("), lit("")))).cast("long")
+  }
+
   /** Every single character observed in the normalized corpus — the
     * coverage floor that makes greedy encoding total (any word encodes to
     * SOME piece sequence).

@@ -215,6 +215,28 @@ class SubwordSpec extends SparkSpec {
     assert(got.head._2 == "e" && got.head._3 == "s" && got.head._4 == 9L)
   }
 
+  test("bpeTokenCount agrees with applying the merges locally") {
+    val freq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val text = freq.toSeq.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+      .mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = refBpe(freq, 6).map(m => (m._2, m._3))
+    def localCount(doc: String): Long =
+      doc.split(" ").filter(_.nonEmpty).map { w =>
+        merges.foldLeft(w.map(_.toString).toList) { case (syms, (l, r)) =>
+          mergeGreedy(syms, l, r)
+        }.length.toLong
+      }.sum
+    val probe = Seq((1L, "lowest newest"), (2L, "low wide"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = probe.select(col("doc_id"),
+      graft.functions.Subword.bpeTokenCount(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == localCount("lowest newest"))
+    assert(got(2L) == localCount("low wide"))
+    assert(got(3L) == 0L)
+  }
+
   test("bpeMerges: runs merge textbook-greedy left-to-right") {
     // 'aaaa' → (a,a) appears 3 times; greedy merge yields (aa)(aa), so
     // the second round learns (aa, aa) at freq 1
