@@ -73,13 +73,20 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.joins.CartesianProductExec
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(dir).isDirectory)
+    // Documented exceptions: unpartitioned windows whose INPUT is bounded
+    // by construction, not by the corpus (the guard can't see cardinality)
+    val boundedWindowOk = Set(
+      // tier cumsum runs over the #tiers frame; the boundary row_number
+      // over at most #groups rows — see PLANS.md round-7h
+      "q_sample_coverage"
+    )
     for ((name, fn) <- graft.SparkEntry.queries) {
       val df = fn(spark, dir)
       val bad = df.queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty           => w
         case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
       }
-      assert(bad.isEmpty,
+      assert(boundedWindowOk(name) || bad.isEmpty,
         s"$name plans an unpartitioned Window (single-task global sort at scale):\n${bad.mkString("\n")}")
       // every crossJoin in the suite must ride a broadcast (the 1-row
       // stats-attach pattern plans as BroadcastNestedLoopJoin, never this)
