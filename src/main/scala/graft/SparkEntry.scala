@@ -996,6 +996,22 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Contrastive pair mining (L65): brute-force top-1 positives for 50
+    * anchors + 4 deterministic cross-label negatives each via the
+    * bucket-summary sampler ([[graft.ops.Similarity.contrastivePairs]]).
+    * The oracle replays the cosine positives, the per-bucket top/runner-
+    * up tables, and the label-aware pick.
+    */
+  private def qContrastive(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val pos = graft.ops.Similarity.bruteForceTopK(
+      e, e.filter(col("vec_id") < 50), "vec_id", "embedding", k = 1)
+      .select(col("q_id").as("query_id"), col("n_id"))
+    graft.ops.Similarity.contrastivePairs(e, pos, "vec_id", "label",
+      kNeg = 4, nBuckets = 64)
+      .orderBy(col("anchor_id"), col("neg_j"))
+  }
+
   private def qNeardupCosine(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", "label", minCosine = 0.4)
       .orderBy(col("id_a"), col("id_b"))
@@ -2908,6 +2924,7 @@ object SparkEntry {
     "q_chunk" -> (qChunk _),
     "q_bm25" -> (qBm25 _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
+    "q_contrastive" -> (qContrastive _),
     "q_tfidf" -> (qTfidf _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_kmeans" -> (qKmeans _),
@@ -4737,6 +4754,56 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_transitions,
         |  CAST(sum(tm) // count(*) AS BIGINT) AS score_micro
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Contrastive triplets: cosine top-1 positives + the bucket-summary
+    // cross-label negative sampler, replayed end-to-end.
+    "q_contrastive" ->
+      """WITH rows0 AS MATERIALIZED (
+        |  SELECT vec_id AS cid, label AS clab,
+        |    ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT AS ch,
+        |    ('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15))::BIGINT % 64 AS b
+        |  FROM embeddings
+        |), ranked AS MATERIALIZED (
+        |  SELECT cid, clab, ch, b,
+        |    row_number() OVER (PARTITION BY b ORDER BY ch, cid) AS r
+        |  FROM rows0
+        |), f AS MATERIALIZED (
+        |  SELECT b, cid AS id1, clab AS lab1 FROM ranked WHERE r = 1
+        |), s2 AS (
+        |  SELECT b, cid AS id2, clab AS lab2 FROM (
+        |    SELECT a.b, a.cid, a.clab,
+        |      row_number() OVER (PARTITION BY a.b ORDER BY a.r) AS r2
+        |    FROM ranked a JOIN f ON a.b = f.b AND a.clab <> f.lab1
+        |  ) WHERE r2 = 1
+        |), buckets AS MATERIALIZED (
+        |  SELECT f.b, f.id1, f.lab1, s2.id2, s2.lab2
+        |  FROM f LEFT JOIN s2 ON f.b = s2.b
+        |), pos AS MATERIALIZED (
+        |  SELECT q_id AS anchor_id, n_id AS pos_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+        |    FROM (
+        |      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |        round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |          (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |           sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
+        |      FROM embeddings c
+        |      CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50) q
+        |      WHERE c.vec_id <> q.vec_id
+        |    )
+        |  ) WHERE rank <= 1
+        |), anch AS (
+        |  SELECT p.anchor_id, p.pos_id, e.label AS alab, j.j AS neg_j,
+        |    (('0x'||substr(md5(CAST(p.anchor_id AS VARCHAR)),1,15))::BIGINT + j.j) % 64 AS b
+        |  FROM pos p JOIN embeddings e ON e.vec_id = p.anchor_id
+        |  CROSS JOIN range(4) j(j)
+        |)
+        |SELECT anchor_id, pos_id, neg_j, neg_id, neg_label FROM (
+        |  SELECT a.anchor_id, a.pos_id, a.neg_j,
+        |    CASE WHEN bk.lab1 <> a.alab THEN bk.id1 ELSE bk.id2 END AS neg_id,
+        |    CASE WHEN bk.lab1 <> a.alab THEN bk.lab1 ELSE bk.lab2 END AS neg_label
+        |  FROM anch a JOIN buckets bk ON bk.b = a.b
+        |) WHERE neg_id IS NOT NULL
+        |ORDER BY anchor_id, neg_j""".stripMargin,
     "q_snapshot_diff" ->
       """WITH prev AS (SELECT doc_id, text FROM documents),
         |cur AS (

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{VectorFunctions => V}
+import graft.functions.{HashFunctions => H, VectorFunctions => V}
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -710,5 +710,77 @@ object Similarity {
             x => floor(x.cast("double") * 127.0 / col("__maxabs") + 0.5).cast("int")))
           .otherwise(transform(col(vecCol), _ => lit(0))))
       .drop("__maxabs")
+  }
+
+  /** Contrastive pair mining: for each anchor, one retrieval positive
+    * plus `kNeg` deterministic cross-label negatives — the (anchor,
+    * positive, negatives) triplets contrastive/embedding training and
+    * hard-negative-mining pipelines consume.
+    *
+    * The negative sampler is the part that must not be a per-anchor
+    * corpus scan, and is not: the corpus is hashed into `nBuckets`
+    * buckets, and each bucket precomputes its top row by hash plus the
+    * first row whose label DIFFERS from the top's — so for ANY anchor
+    * label a valid cross-label negative exists in that 2-row summary
+    * (pick the top if its label differs, else the runner-up). Anchor j's
+    * negative j comes from bucket (hash(anchor)+j) mod nBuckets: O(1)
+    * work per negative via a broadcast-sized (nBuckets × 2-row) table,
+    * uniform-ish over the corpus, reproducible across runs and engines.
+    * Buckets whose rows all share the anchor's label yield a null and
+    * the row is dropped (size nBuckets so buckets mix labels).
+    *
+    * Positives are supplied by the caller as (query_id, n_id) — at scale
+    * that is the ANN index ([[lshTopKAuto]] / [[ivfTopKIndexed]]); in the
+    * oracle query it is brute-force top-1, so the whole triplet table
+    * replays in SQL.
+    *
+    * @return (anchor_id, pos_id, neg_j ∈ 0..kNeg−1, neg_id, neg_label)
+    */
+  def contrastivePairs(
+      corpus: DataFrame,
+      positives: DataFrame,
+      idCol: String,
+      labelCol: String,
+      kNeg: Int,
+      nBuckets: Int
+  ): DataFrame = {
+    require(kNeg >= 1 && nBuckets >= 2,
+      s"need kNeg >= 1 and nBuckets >= 2, got $kNeg, $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val rows = corpus.select(
+      col(idCol).cast("long").as("__cid"),
+      col(labelCol).as("__clab"),
+      H.hash60(col(idCol).cast("string")).as("__ch"),
+      pmod(H.hash60(col(idCol).cast("string")), lit(nBuckets.toLong)).as("__b"))
+    val ranked = rows.withColumn("__r", row_number().over(
+      Window.partitionBy(col("__b")).orderBy(col("__ch"), col("__cid"))))
+    val first = ranked.filter(col("__r") === 1)
+      .select(col("__b"), col("__cid").as("id1"), col("__clab").as("lab1"))
+    // runner-up = the min-rank row whose label differs from the top's
+    val second = ranked.as("a")
+      .join(first.as("f"), col("a.__b") === col("f.__b"))
+      .filter(col("a.__clab") =!= col("f.lab1"))
+      .withColumn("__r2", row_number().over(
+        Window.partitionBy(col("a.__b")).orderBy(col("a.__r"))))
+      .filter(col("__r2") === 1)
+      .select(col("a.__b").as("__b"), col("a.__cid").as("id2"),
+        col("a.__clab").as("lab2"))
+    val buckets = broadcast(first.join(second, Seq("__b"), "left"))
+    val anchors = positives.select(
+      col("query_id").as("anchor_id"), col("n_id").as("pos_id"))
+      .join(corpus.select(col(idCol).cast("long").as("anchor_id"),
+        col(labelCol).as("__alab")), Seq("anchor_id"))
+      .select(col("anchor_id"), col("pos_id"), col("__alab"),
+        explode(sequence(lit(0), lit(kNeg - 1))).as("neg_j"))
+      .withColumn("__b",
+        pmod(H.hash60(col("anchor_id").cast("string")) + col("neg_j"),
+          lit(nBuckets.toLong)))
+    anchors.join(buckets, Seq("__b"))
+      .select(col("anchor_id"), col("pos_id"), col("neg_j"),
+        when(col("lab1") =!= col("__alab"), col("id1"))
+          .otherwise(col("id2")).as("neg_id"),
+        when(col("lab1") =!= col("__alab"), col("lab1"))
+          .otherwise(col("lab2")).as("neg_label"))
+      .filter(col("neg_id").isNotNull)
   }
 }

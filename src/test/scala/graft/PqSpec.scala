@@ -9,6 +9,42 @@ import graft.ops.Similarity
 class PqSpec extends SparkSpec {
   import spark.implicits._
 
+  test("contrastivePairs: cross-label negatives, deterministic, bucket-summary sourced") {
+    // two labels interleaved; anchors 0..9 with trivial positives
+    val corpus = (0L until 200L).map(i => (i, (i % 3).toInt)).toDF("vec_id", "label")
+    val pos = (0L until 10L).map(i => (i, i + 100L)).toDF("query_id", "n_id")
+    val out = graft.ops.Similarity.contrastivePairs(
+      corpus, pos, "vec_id", "label", kNeg = 4, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getInt(4)))
+    // every anchor got its 4 negatives (labels 0/1/2 mix in every bucket
+    // at this density), none sharing the anchor's label
+    assert(out.length == 40)
+    for ((a, _, _, n, nl) <- out) {
+      assert(nl != (a % 3).toInt, s"anchor $a drew same-label negative $n")
+      assert(n % 3 == nl.toLong)
+    }
+    // deterministic
+    val again = graft.ops.Similarity.contrastivePairs(
+      corpus.repartition(7), pos, "vec_id", "label", kNeg = 4, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3), r.getInt(4)))
+    assert(out.sorted.toSeq == again.sorted.toSeq)
+    // negatives come from the documented bucket summary: each (anchor, j)
+    // bucket is (hash60(anchor)+j) mod 16 — spot-check membership
+    val byBucket = corpus.select(col("vec_id"),
+      pmod(graft.functions.HashFunctions.hash60(col("vec_id").cast("string")),
+        lit(16L)).as("b")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val anchorB = (a: Long, j: Int) => {
+      val h = corpus.sparkSession.range(1).select(
+        pmod(graft.functions.HashFunctions.hash60(lit(a.toString)) + j, lit(16L)))
+        .head.getLong(0)
+      h
+    }
+    for ((a, _, j, n, _) <- out.take(5))
+      assert(byBucket(n) == anchorB(a, j))
+  }
+
   // 4 well-separated centers in 8-dim space + small deterministic jitter;
   // 60 vectors per center
   private lazy val fixture = {
