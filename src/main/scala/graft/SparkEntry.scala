@@ -1293,6 +1293,26 @@ object SparkEntry {
       t(s, dir, "events"), "event_id", "event_type", budget = 120)
       .orderBy(col("id"))
 
+  /** Embargoed temporal split (L66): 70% of the observed range trains,
+    * one day after the boundary is embargoed, the rest tests — boundary
+    * in exact integer micros so the oracle replays it at any SF.
+    */
+  private def qSplitTemporal(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.temporalSplit(t(s, dir, "events"), "ts",
+      trainBp = 7000, embargoSeconds = 86400L)
+      .select(col("event_id"), col("split"))
+      .orderBy(col("event_id"))
+
+  /** Median/MAD robust outliers (L67): exact two-pass nearest-rank
+    * medians over event values; dev > 3·MAD flags. The oracle replays
+    * both histogram medians and every flag.
+    */
+  private def qTrimMad(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.madOutliers(t(s, dir, "events"), "value", k = 3)
+      .select(col("event_id"), col("value_micro"), col("dev_micro"),
+        col("med"), col("mad"), col("is_outlier"))
+      .orderBy(col("event_id"))
+
   /** Exact per-column quantiles over events (p25/p50/p75/p95) — the
     * nearest-rank rule makes them engine-exact, unlike percentile sketches.
     */
@@ -2932,6 +2952,8 @@ object SparkEntry {
     "q_profile_quantiles" -> (qProfileQuantiles _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_split_temporal" -> (qSplitTemporal _),
+    "q_trim_mad" -> (qTrimMad _),
     "q_sample_coverage" -> (qSampleCoverage _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_spans" -> (qDedupSpans _),
@@ -4804,6 +4826,38 @@ object SparkEntry {
         |  FROM anch a JOIN buckets bk ON bk.b = a.b
         |) WHERE neg_id IS NOT NULL
         |ORDER BY anchor_id, neg_j""".stripMargin,
+    "q_split_temporal" ->
+      """WITH src AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        |b AS (SELECT min(us) AS lo, max(us) AS hi FROM src),
+        |e AS (SELECT lo, lo + ((hi - lo) * 7000) // 10000 AS endus FROM b)
+        |SELECT event_id,
+        |  CASE WHEN us < endus THEN 'train'
+        |       WHEN us < endus + 86400000000 THEN 'embargo'
+        |       ELSE 'test' END AS split
+        |FROM src CROSS JOIN e
+        |ORDER BY event_id""".stripMargin,
+    "q_trim_mad" ->
+      """WITH vals AS MATERIALIZED (
+        |  SELECT event_id, CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), h AS (SELECT v, count(*) AS c FROM vals GROUP BY 1),
+        |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+        |n1 AS (SELECT count(*) AS n FROM vals),
+        |med AS MATERIALIZED (
+        |  SELECT min(v) AS med FROM cum CROSS JOIN n1
+        |  WHERE cum >= (5000 * n + 9999) // 10000
+        |), devs AS (SELECT abs(v - med) AS d FROM vals CROSS JOIN med),
+        |h2 AS (SELECT d, count(*) AS c FROM devs GROUP BY 1),
+        |cum2 AS (SELECT d, sum(c) OVER (ORDER BY d) AS cum FROM h2),
+        |mad AS MATERIALIZED (
+        |  SELECT min(d) AS mad FROM cum2 CROSS JOIN n1
+        |  WHERE cum >= (5000 * n + 9999) // 10000
+        |)
+        |SELECT event_id, v AS value_micro, abs(v - med) AS dev_micro,
+        |  med, mad,
+        |  CAST(CASE WHEN abs(v - med) > 3 * mad THEN 1 ELSE 0 END AS INT) AS is_outlier
+        |FROM vals CROSS JOIN med CROSS JOIN mad
+        |ORDER BY event_id""".stripMargin,
     "q_snapshot_diff" ->
       """WITH prev AS (SELECT doc_id, text FROM documents),
         |cur AS (

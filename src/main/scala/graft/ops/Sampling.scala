@@ -296,6 +296,78 @@ object Sampling {
         (col("weight_micro") >= 1000000L).cast("int").as("selected"))
   }
 
+  /** Embargoed temporal split — the leakage guard for time-ordered
+    * training data: rows in [boundary, boundary + embargo) are assigned
+    * to NEITHER side, so label/feature windows that straddle the
+    * boundary cannot leak future information into the train split
+    * (purged/embargoed splitting, López de Prado 2018). The boundary is
+    * derived from the observed range in exact integer micros —
+    * min + (max−min)·trainBp div 10000 — so the split is a deterministic
+    * function of the data at any SF. One 2-value broadcast aggregate +
+    * a scan-local projection; nothing shuffles.
+    */
+  def temporalSplit(
+      df: DataFrame,
+      tsCol: String,
+      trainBp: Int,
+      embargoSeconds: Long
+  ): DataFrame = {
+    require(trainBp >= 0 && trainBp <= 10000,
+      s"trainBp must be in [0, 10000], got $trainBp")
+    require(embargoSeconds >= 0, s"embargoSeconds must be >= 0")
+    val us = expr(s"unix_micros($tsCol)")
+    val bounds = broadcast(df.agg(min(us).as("__lo"), max(us).as("__hi")))
+    df.crossJoin(bounds)
+      .withColumn("__end",
+        col("__lo") + expr(s"((__hi - __lo) * $trainBp) div 10000"))
+      .withColumn("split",
+        when(us < col("__end"), lit("train"))
+          .when(us < col("__end") + lit(embargoSeconds * 1000000L),
+            lit("embargo"))
+          .otherwise(lit("test")))
+      .drop("__lo", "__hi", "__end")
+  }
+
+  /** Robust outlier flags via median/MAD — the heavy-tail-safe
+    * alternative to z-scores (one extreme value drags a mean/stddev band
+    * arbitrarily; the median and the median absolute deviation ignore
+    * it). Exact two-pass shape: nearest-rank median over the
+    * distinct-value histogram (the [[trimByPercentile]] machinery), then
+    * the same median over |x − med| — both integer micro-scaled, both
+    * map-side-combined histogram aggregations with 1-row broadcast
+    * results, so the flags replay bit-identically cross-engine.
+    * A point is an outlier when dev > k·MAD.
+    */
+  def madOutliers(
+      df: DataFrame,
+      valueCol: String,
+      k: Int = 3,
+      scale: Long = 1000000L
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = floor(col(valueCol).cast("double") * scale + 0.5d).cast("long")
+    val vals = df.filter(col(valueCol).isNotNull).select(v.as("__v"))
+    def medianOf(d: DataFrame, c: String, out: String): DataFrame = {
+      val hist = d.groupBy(col(c).as("_v")).agg(count(lit(1)).as("_c"))
+      val cum = Packing.withGlobalOffset(hist, "_v", "_c", outCol = "_excl")
+        .withColumn("_cum", col("_excl") + col("_c"))
+      val n = hist.agg(sum(col("_c")).as("_n"))
+      cum.crossJoin(broadcast(n))
+        .agg(min(when(col("_cum") >= expr("(5000 * _n + 9999) div 10000"),
+          col("_v"))).as(out))
+    }
+    val med = broadcast(medianOf(vals, "__v", "med"))
+    val mad = broadcast(medianOf(
+      vals.crossJoin(med).select(abs(col("__v") - col("med")).as("__d")),
+      "__d", "mad"))
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(med).crossJoin(mad)
+      .withColumn("value_micro", v)
+      .withColumn("dev_micro", abs(v - col("med")))
+      .withColumn("is_outlier",
+        (col("dev_micro") > lit(k.toLong) * col("mad")).cast("int"))
+  }
+
   /** Coverage-balanced budget sampling: under a global row budget, every
     * group (domain, source, language) contributes its r-th pick before
     * any group contributes its (r+1)-th — so a budget of B covers

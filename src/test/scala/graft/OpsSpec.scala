@@ -705,6 +705,34 @@ class OpsSpec extends SparkSpec {
     }.getMessage.contains("multiprobe"))
   }
 
+  test("temporalSplit: train/embargo/test boundaries in exact micros") {
+    val day = 86400L * 1000000L
+    val t0 = 1600000000L * 1000000L
+    val rows = Seq(0L, 30L, 49L, 50L, 99L, 100L).map(d =>
+      (d, new java.sql.Timestamp((t0 + d * day) / 1000L)))
+    val df = rows.toDF("d", "ts")
+    // range = 100 days; trainBp 5000 → boundary at day 50; embargo 1 day
+    val got = graft.ops.Sampling.temporalSplit(df, "ts", 5000, 86400L)
+      .select("d", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) == "train" && got(30L) == "train" && got(49L) == "train")
+    assert(got(50L) == "embargo")
+    assert(got(99L) == "test" && got(100L) == "test")
+  }
+
+  test("madOutliers: exact median/MAD flags, robust to the outlier itself") {
+    val df = ((1 to 9).map(_.toDouble) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "value")
+    val out = graft.ops.Sampling.madOutliers(df, "value", k = 3)
+      .select("id", "med", "mad", "dev_micro", "is_outlier")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    // med = 5.0 (nearest-rank 5th of 10), MAD = median of
+    // {4,3,2,1,0,1,2,3,4,995} = 2 → threshold 6: only the 1000 flags
+    assert(out.values.forall { case (m, s, _, _) => m == 5000000L && s == 2000000L })
+    assert(out(9L)._4 == 1 && out(9L)._3 == 995000000L)
+    assert((0L to 8L).forall(i => out(i)._4 == 0))
+  }
+
   test("Snapshot.diff: all four statuses, fingerprints only on present sides") {
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val cur = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
