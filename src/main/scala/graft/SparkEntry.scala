@@ -2803,6 +2803,22 @@ object SparkEntry {
       .select(col("doc_id"), col("logit"), col("keep"))
       .orderBy(col("doc_id"))
 
+  /** Classifier calibration bins (L68): the L42 stub classifier's logit
+    * (recovered to exact micro units) binned against a deterministic
+    * "quality" label (source in src0-src2); the oracle replays scoring,
+    * the micro round-trip, the integer binning, and the basis-point
+    * rates.
+    */
+  private def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.ops.Scoring.hashedLinearScore(docs(s, dir), "text",
+      graft.ops.Scoring.stubWeights(256), biasMicro = 50000L)
+      .select(
+        floor(col("logit") * 1e6 + 0.5).cast("long").as("score_micro"),
+        col("source").isin("src0", "src1", "src2").as("label"))
+    graft.ops.Scoring.calibrationBins(scored, "score_micro", "label", nBins = 10)
+      .orderBy(col("bin"))
+  }
+
   /** z-value (Morton) kernel over (user_id, event_id) — the oracle-checked
     * half of [[graft.ops.Layout]]; the layout itself is plan/file-stat
     * tested in LayoutSpec.
@@ -2965,6 +2981,7 @@ object SparkEntry {
     "q_datacard" -> (qDatacard _),
     "q_upsample" -> (qUpsample _),
     "q_quality_classifier" -> (qQualityClassifier _),
+    "q_calibration" -> (qCalibration _),
     "q_decontaminate_near" -> (qDecontaminateNear _)
   )
 
@@ -5635,6 +5652,7 @@ object SparkEntry {
         |FROM n WHERE copies > 0
         |ORDER BY doc_id, copy""".stripMargin,
     "q_quality_classifier" -> qualityClassifierOracleSql,
+    "q_calibration" -> calibrationOracleSql,
     "q_llm_pipeline" -> llmPipelineOracleSql,
     "q_decontaminate_near" ->
       s"""$lshSigCte, xc AS (
@@ -5678,6 +5696,30 @@ object SparkEntry {
        |    ws.w[CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS INT) + 1])), 0) AS DOUBLE) / 1e6) >= 0.0 AS keep
        |FROM t CROSS JOIN ws
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q_calibration: the classifier scoring chain kept in exact integer
+    * micro units, binned over the observed range, basis-point rates.
+    */
+  private lazy val calibrationOracleSql: String = {
+    val w = graft.ops.Scoring.stubWeights(256).mkString(", ")
+    s"""WITH ws AS (
+       |  SELECT [$w]::BIGINT[] AS w
+       |), t AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |), sc AS MATERIALIZED (
+       |  SELECT CAST(50000 + coalesce(list_sum(list_transform(toks, tok ->
+       |      ws.w[CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS INT) + 1])), 0) AS BIGINT) AS sm,
+       |    CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END AS y
+       |  FROM t CROSS JOIN ws
+       |), b AS (SELECT min(sm) AS lo, max(sm) - min(sm) + 1 AS span FROM sc)
+       |SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+       |  CAST((CAST(sum(y) AS BIGINT) * 10000) // count(*) AS BIGINT) AS pos_bp
+       |FROM (SELECT greatest(0, least(9, CAST(((sm - lo) * 10) // span AS INT))) AS bin, y
+       |      FROM sc CROSS JOIN b)
+       |GROUP BY bin ORDER BY bin""".stripMargin
   }
 
   /** The strip_markup regexp chain as oracle CTEs — ONE copy of the 11

@@ -78,4 +78,37 @@ object Scoring {
       .withColumn(keepCol, col(logitCol) >= threshold)
       .drop("__score_toks")
   }
+
+  /** Classifier reliability table: equal-width bins over an integer-
+    * scaled score vs a boolean label — the artifact a calibration step
+    * (Platt/isotonic, fitted offline) consumes, and the first thing to
+    * inspect before trusting a quality classifier's threshold. Per bin:
+    * row count, positive count, and the observed positive rate in exact
+    * basis points. One 2-value broadcast bounds aggregate + one ≤nBins-
+    * group aggregation (map-side combined); scores outside nothing —
+    * bins derive from the observed range, all integer arithmetic
+    * (truncating div ≡ DuckDB `//`), so every row replays cross-engine.
+    * Only non-empty bins are returned.
+    */
+  def calibrationBins(
+      df: DataFrame,
+      scoreMicroCol: String,
+      labelCol: String,
+      nBins: Int = 10
+  ): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2,1000], got $nBins")
+    val bounds = broadcast(df.agg(
+      min(col(scoreMicroCol)).as("__lo"),
+      (max(col(scoreMicroCol)) - min(col(scoreMicroCol)) + 1L).as("__span")))
+    df.crossJoin(bounds)
+      .select(
+        greatest(lit(0), least(lit(nBins - 1),
+          call_function("div",
+            (col(scoreMicroCol) - col("__lo")) * nBins, col("__span"))
+            .cast("int"))).as("bin"),
+        col(labelCol).cast("int").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).cast("long").as("n_pos"))
+      .withColumn("pos_bp", expr("(n_pos * 10000) div n"))
+  }
 }

@@ -705,6 +705,18 @@ class OpsSpec extends SparkSpec {
     }.getMessage.contains("multiprobe"))
   }
 
+  test("calibrationBins: exact bin edges and basis-point rates") {
+    val df = (0L until 100L).map(s => (s, s >= 55L)).toDF("score_micro", "label")
+    val out = graft.ops.Scoring.calibrationBins(df, "score_micro", "label", 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 10 && out.forall(_._2 == 10L))
+    // bins 0-4 all negative, bin 5 split 5/10, bins 6-9 all positive
+    assert((0 to 4).forall(b => out(b)._4 == 0L))
+    assert(out(5) == ((5, 10L, 5L, 5000L)))
+    assert((6 to 9).forall(b => out(b)._4 == 10000L))
+  }
+
   test("temporalSplit: train/embargo/test boundaries in exact micros") {
     val day = 86400L * 1000000L
     val t0 = 1600000000L * 1000000L
