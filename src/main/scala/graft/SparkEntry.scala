@@ -1293,6 +1293,16 @@ object SparkEntry {
       t(s, dir, "events"), "event_id", "event_type", budget = 120)
       .orderBy(col("id"))
 
+  /** Temperature mixture (L69): τ=1/2 rebalancing over event types with
+    * a 2000-row budget — quotas proportional to floor(sqrt(n_d)),
+    * rows by within-domain md5 rank. The oracle replays counts, the
+    * integer sqrt shares, quotas, ranks, and the cut.
+    */
+  private def qMixtureTemperature(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.temperatureMixture(
+      t(s, dir, "events"), "event_id", "event_type", budget = 2000L)
+      .orderBy(col("id"))
+
   /** Embargoed temporal split (L66): 70% of the observed range trains,
     * one day after the boundary is embargoed, the rest tests — boundary
     * in exact integer micros so the oracle replays it at any SF.
@@ -2969,6 +2979,7 @@ object SparkEntry {
     "q_drift_psi" -> (qDriftPsi _),
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_split_temporal" -> (qSplitTemporal _),
+    "q_mixture_temperature" -> (qMixtureTemperature _),
     "q_trim_mad" -> (qTrimMad _),
     "q_sample_coverage" -> (qSampleCoverage _),
     "q_dedup_incremental" -> (qDedupIncremental _),
@@ -4843,6 +4854,24 @@ object SparkEntry {
         |  FROM anch a JOIN buckets bk ON bk.b = a.b
         |) WHERE neg_id IS NOT NULL
         |ORDER BY anchor_id, neg_j""".stripMargin,
+    "q_mixture_temperature" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT event_type AS grp, count(*) AS n_d,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS s_d
+        |  FROM events GROUP BY 1
+        |), tot AS (SELECT sum(s_d) AS stot FROM c),
+        |q AS (SELECT grp, n_d, (2000 * s_d) // stot AS quota FROM c CROSS JOIN tot),
+        |r AS (
+        |  SELECT event_id AS id, event_type AS grp,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT, event_id)
+        |      AS rank
+        |  FROM events
+        |)
+        |SELECT r.id, r.grp, q.n_d, CAST(q.quota AS BIGINT) AS quota, r.rank
+        |FROM r JOIN q ON r.grp = q.grp
+        |WHERE r.rank <= q.quota
+        |ORDER BY id""".stripMargin,
     "q_split_temporal" ->
       """WITH src AS (SELECT event_id, epoch_us(ts) AS us FROM events),
         |b AS (SELECT min(us) AS lo, max(us) AS hi FROM src),

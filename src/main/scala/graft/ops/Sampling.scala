@@ -368,6 +368,42 @@ object Sampling {
         (col("dev_micro") > lit(k.toLong) * col("mad")).cast("int"))
   }
 
+  /** Temperature-sampled domain mixture at τ = 1/2 — the multilingual/
+    * multi-domain rebalancing rule (mC4, XLM-R): domain d's share of the
+    * budget is proportional to n_d^τ, which upsamples small domains and
+    * flattens giants without discarding them. τ = 1/2 is the rule's
+    * classic setting AND the one with an exact integer form: s_d =
+    * floor(sqrt(n_d)) (IEEE sqrt is correctly rounded, so floor over
+    * longs is deterministic cross-engine), quota_d = budget·s_d div Σs,
+    * rows kept by within-domain md5 rank ≤ quota (quota > n_d simply
+    * keeps the whole domain). One count aggregation + a broadcast quota
+    * table + one per-domain rank window — no global sort, no resampling
+    * pass.
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_d"))
+      .withColumn("s_d", floor(sqrt(col("n_d").cast("double"))).cast("long"))
+    val tot = broadcast(counts.agg(sum(col("s_d")).as("__stot")))
+    val quotas = broadcast(counts.crossJoin(tot)
+      .withColumn("quota", expr(s"($budget * s_d) div __stot"))
+      .select(col("grp"), col("n_d"), col("quota")))
+    df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        H.hash60(col(idCol).cast("string")).as("__h"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("__h"), col("id"))))
+      .join(quotas, Seq("grp"))
+      .filter(col("rank") <= col("quota"))
+      .select(col("id"), col("grp"), col("n_d"), col("quota"), col("rank"))
+  }
+
   /** Coverage-balanced budget sampling: under a global row budget, every
     * group (domain, source, language) contributes its r-th pick before
     * any group contributes its (r+1)-th — so a budget of B covers

@@ -705,6 +705,28 @@ class OpsSpec extends SparkSpec {
     }.getMessage.contains("multiprobe"))
   }
 
+  test("temperatureMixture: sqrt-proportional quotas, exact and capped") {
+    // groups of 4 / 9 / 100 rows → shares 2 / 3 / 10 (sum 15); budget 15
+    // gives quotas exactly 2 / 3 / 10
+    val rows = (0 until 4).map(i => (100L + i, "a")) ++
+      (0 until 9).map(i => (200L + i, "b")) ++
+      (0 until 100).map(i => (300L + i, "c"))
+    val df = rows.toDF("event_id", "grp")
+    val got = graft.ops.Sampling.temperatureMixture(df, "event_id", "grp", 15L)
+      .collect().map(r => (r.getString(1), r.getLong(3)))
+    assert(got.count(_._1 == "a") == 2 && got.count(_._1 == "b") == 3 &&
+      got.count(_._1 == "c") == 10)
+    assert(got.toMap.apply("a") == 2L) // quota column
+    // a huge budget keeps whole domains (quota caps at n_d via rank)
+    val all = graft.ops.Sampling.temperatureMixture(df, "event_id", "grp", 100000L)
+      .collect()
+    assert(all.length == 113)
+    // flattening property: the giant domain's SHARE shrinks vs raw
+    val sel = graft.ops.Sampling.temperatureMixture(df, "event_id", "grp", 15L)
+      .collect().map(_.getString(1))
+    assert(sel.count(_ == "c").toDouble / sel.length < 100.0 / 113.0)
+  }
+
   test("calibrationBins: exact bin edges and basis-point rates") {
     val df = (0L until 100L).map(s => (s, s >= 55L)).toDF("score_micro", "label")
     val out = graft.ops.Scoring.calibrationBins(df, "score_micro", "label", 10)
