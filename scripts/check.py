@@ -85,6 +85,17 @@ def main():
                            params={"files": spark_files})
             stypes = dict(zip(srel.columns, [pdclass(t) for t in srel.types]))
             otypes = dict(zip(ocols, [pdclass(t) for t in orel.types]))
+            # int WIDTH (int32 vs int64) passed the local gate in r07 but
+            # the driver's hash flagged it on q_drift_psi — warn loudly.
+            sraw = dict(zip(srel.columns, [str(x) for x in srel.types]))
+            oraw = dict(zip(ocols, [str(x) for x in orel.types]))
+            iw = {'TINYINT': 8, 'SMALLINT': 16, 'INTEGER': 32, 'BIGINT': 64}
+            wm = [c for c in ocols
+                  if iw.get(sraw.get(c)) and iw.get(oraw[c])
+                  and iw[sraw[c]] != iw[oraw[c]]]
+            if wm:
+                print(f"WARN {name}: int-width mismatch (driver hash may flag): "
+                      f"{[(c, sraw[c], oraw[c]) for c in wm]}")
             tmism = [c for c in ocols if stypes.get(c) != otypes[c]]
             if tmism:
                 print(f"FAIL {name}: dtype class mismatch "

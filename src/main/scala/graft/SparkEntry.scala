@@ -758,6 +758,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Gzip-member WARC end-to-end (F1 extension — the container Common
+    * Crawl actually ships): documents written one-gzip-member-per-record,
+    * read back through the splittable member-boundary input format with a
+    * small split cap so the verify run itself exercises mid-member split
+    * starts and the trial-decode boundary scan. The oracle is the
+    * originating table: any member framing slip, boundary double-read, or
+    * body corruption breaks the hash compare.
+    */
+  private def qSourceWarcGz(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_warcgz_roundtrip"
+    val d = docs(s, dir)
+      .select(col("doc_id"),
+        concat(lit("https://corpus.example/doc/"), col("doc_id").cast("string")).as("uri"),
+        col("text"))
+    graft.sources.WarcGz.write(d, "doc_id", "uri", "text", path)
+    graft.sources.WarcGz.read(s, path + "/part-*", maxSplitBytes = 256 * 1024)
+      .select(
+        regexp_extract(col("record_id"), "urn:graft:(\\d+)", 1).cast("long").as("doc_id"),
+        col("warc_type"), col("target_uri"), col("content_length"),
+        md5(col("body")).as("body_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Keyed merge sink (D4 extension — batch upserts): base load, then a
     * merge of updates (status flip on every 10th key) plus inserts (new
     * keys), APPLIED TWICE — a retried merge must converge, not duplicate
@@ -2935,6 +2958,7 @@ object SparkEntry {
     "q_source_json" -> (qSourceJson _),
     "q_source_avro" -> (qSourceAvro _),
     "q_source_warc" -> (qSourceWarc _),
+    "q_source_warcgz" -> (qSourceWarcGz _),
     "q_sink_merge" -> (qSinkMerge _),
     "q_source_jdbc" -> (qSourceJdbc _),
     "q_compact" -> (qCompact _),
@@ -4669,6 +4693,14 @@ object SparkEntry {
         |  CAST(strlen(text) AS BIGINT) AS content_length,
         |  md5(text) AS body_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Gzip-member WARC roundtrip: same oracle shape — the container must
+    // be transparent whether records are delimiter-framed or gzip members.
+    "q_source_warcgz" ->
+      """SELECT doc_id, 'response' AS warc_type,
+        |  'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  CAST(strlen(text) AS BIGINT) AS content_length,
+        |  md5(text) AS body_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_source_jdbc" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
@@ -4968,13 +5000,13 @@ object SparkEntry {
         |ta AS (SELECT count(*) AS ta FROM av),
         |tb AS (SELECT count(*) AS tb FROM bv),
         |cnt AS (
-        |  SELECT t.bin AS bin, coalesce(na.n, 0) AS n_ref, coalesce(nb.n, 0) AS n_cur
+        |  SELECT CAST(t.bin AS INT) AS bin, coalesce(na.n, 0) AS n_ref, coalesce(nb.n, 0) AS n_cur
         |  FROM range(10) t(bin)
         |  LEFT JOIN na ON na.bin = t.bin LEFT JOIN nb ON nb.bin = t.bin
         |), terms AS MATERIALIZED (
         |  SELECT bin, n_ref, n_cur,
         |    CAST(round((pa - pb) * (2.0 * tt * (1.0 + t2/3.0 + t2*t2/5.0
-        |      + t2*t2*t2/7.0 + t2*t2*t2*t2/9.0)), 6) AS DECIMAL(18,6)) AS psi_term
+        |      + t2*t2*t2/7.0 + t2*t2*t2*t2/9.0)), 6) AS DECIMAL(18,6)) AS psi_dec
         |  FROM (
         |    SELECT bin, n_ref, n_cur, pa, pb, tt, tt*tt AS t2 FROM (
         |      SELECT bin, n_ref, n_cur, pa, pb,
@@ -4984,8 +5016,8 @@ object SparkEntry {
         |          CAST(n_cur + 1 AS DOUBLE) / CAST(tb.tb + 10 AS DOUBLE) AS pb
         |        FROM cnt CROSS JOIN ta CROSS JOIN tb)))
         |)
-        |SELECT bin, n_ref, n_cur, psi_term,
-        |  CAST((SELECT sum(psi_term) FROM terms) AS DECIMAL(38,6)) AS psi_total
+        |SELECT bin, n_ref, n_cur, CAST(psi_dec AS DOUBLE) AS psi_term,
+        |  CAST(CAST((SELECT sum(psi_dec) FROM terms) AS DECIMAL(38,6)) AS DOUBLE) AS psi_total
         |FROM terms ORDER BY bin""".stripMargin,
     // Kneser–Ney: same tokenization/pair CTEs as q_perplexity; HUGEINT
     // keeps 4·c1·T·1e6 exact at any SF.

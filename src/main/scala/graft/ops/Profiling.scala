@@ -345,15 +345,22 @@ object Profiling {
           + col("__t2") * col("__t2") / 5.0d
           + col("__t2") * col("__t2") * col("__t2") / 7.0d
           + col("__t2") * col("__t2") * col("__t2") * col("__t2") / 9.0d))
-      .withColumn("psi_term",
+      .withColumn("__psi_dec",
         round((col("__pa") - col("__pb")) * col("__ln"), 6).cast("decimal(18,6)"))
       // nBins rows, but two consumers (total + serving) — materialize so
       // the two bin-count scans run once, not twice
       .localCheckpoint(false)
+    // DECIMAL only INTERNALLY (order-independent exact sum); the served
+    // columns are DOUBLE — the suite-wide emit convention. Emitting raw
+    // decimals was the r07 q_drift_psi hash failure: this was the only
+    // query in the suite with decimal OUTPUT columns, and the driver's
+    // pandas frames render DuckDB decimals and parquet decimals as
+    // different dtypes even when every value is equal.
     val total = broadcast(
-      scored.agg(sum(col("psi_term")).cast("decimal(38,6)").as("psi_total")))
+      scored.agg(sum(col("__psi_dec")).cast("decimal(38,6)")
+        .cast("double").as("psi_total")))
     scored.crossJoin(total)
       .select(col("bin"), col("n_ref"), col("n_cur"),
-        col("psi_term"), col("psi_total"))
+        col("__psi_dec").cast("double").as("psi_term"), col("psi_total"))
   }
 }

@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   * the rest; header fields via regexp_extract), codegen'd in the scan
   * projection.
   *
-  * Deliberately NOT handled here (production notes): gzip-per-record
-  * WARCs (.warc.gz members) are not splittable by delimiter — decompress
-  * or use a member-aware index; request/metadata record types pass
-  * through with their WARC-Type so callers filter.
+  * Gzip-per-record WARCs (.warc.gz members, the shape Common Crawl
+  * actually ships) are not splittable by text delimiter — they go through
+  * [[WarcGz]], whose input format finds gzip member boundaries instead.
+  * Request/metadata record types pass through with their WARC-Type so
+  * callers filter.
   */
 object Warc {
 
@@ -35,18 +36,10 @@ object Warc {
     */
   def write(df: DataFrame, idCol: String, uriCol: String, bodyCol: String,
             path: String): Unit = {
-    val body = col(bodyCol).cast("string")
-    val rec = concat(
-      lit("WARC-Type: response\r\n"),
-      lit("WARC-Record-ID: <urn:graft:"), col(idCol).cast("string"), lit(">\r\n"),
-      lit("WARC-Target-URI: "), col(uriCol).cast("string"), lit("\r\n"),
-      lit("Content-Length: "), octet_length(body).cast("string"), lit("\r\n"),
-      lit("\r\n"),
-      body, lit("\r\n"))
     // the text writer appends \n per row; readers split on the version
     // line, so the extra byte lands at the tail of the previous record's
     // trailing blank region and parses away with the \r\n trim
-    df.select(concat(lit(VersionLine), rec).as("value"))
+    df.select(recordText(idCol, uriCol, bodyCol).as("value"))
       .write.mode("overwrite").text(path)
   }
 
@@ -68,8 +61,18 @@ object Warc {
       .newAPIHadoopFile(path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text], conf)
       .map(_._2.toString)
     import s.implicits._
+    parseRecords(raw.toDF("rec"))
+  }
+
+  /** Column-only parse of WARC record text (WITHOUT the version line):
+    * header block = text before the first blank line, body = the rest with
+    * the trailing record separator trimmed. Shared by the plain splittable
+    * reader above and the gzip-member reader ([[WarcGz.read]]) — one copy
+    * of the header grammar.
+    */
+  private[sources] def parseRecords(recsRaw: DataFrame): DataFrame = {
     val blank = "\r\n\r\n"
-    val recs = raw.toDF("rec").filter(length(trim(col("rec"))) > 0)
+    val recs = recsRaw.filter(length(trim(col("rec"))) > 0)
     val header = substring_index(col("rec"), blank, 1)
     val rest = col("rec").substr(
       instr(col("rec"), blank) + lit(4), length(col("rec")))
@@ -80,5 +83,22 @@ object Warc {
       regexp_extract(header, "(?m)^WARC-Target-URI: ([^\r\n]*)$", 1).as("target_uri"),
       clen.as("content_length"),
       regexp_replace(rest, "\\r\\n\\n?$", "").as("body"))
+  }
+
+  /** One WARC response record's full text (version line included) — the
+    * per-member payload [[WarcGz.write]] compresses. Kept next to
+    * [[write]] so the two writers can never drift on the record grammar.
+    */
+  private[sources] def recordText(idCol: String, uriCol: String,
+                                  bodyCol: String): org.apache.spark.sql.Column = {
+    val body = col(bodyCol).cast("string")
+    concat(
+      lit(VersionLine),
+      lit("WARC-Type: response\r\n"),
+      lit("WARC-Record-ID: <urn:graft:"), col(idCol).cast("string"), lit(">\r\n"),
+      lit("WARC-Target-URI: "), col(uriCol).cast("string"), lit("\r\n"),
+      lit("Content-Length: "), octet_length(body).cast("string"), lit("\r\n"),
+      lit("\r\n"),
+      body, lit("\r\n"))
   }
 }

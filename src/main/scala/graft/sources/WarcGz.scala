@@ -1,0 +1,319 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, EOFException, InputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{CRC32, GZIPOutputStream, Inflater}
+
+import org.apache.hadoop.fs.{FSDataInputStream, Path}
+import org.apache.hadoop.io.{BytesWritable, LongWritable, NullWritable, Text}
+import org.apache.hadoop.mapreduce.{InputSplit, JobContext, RecordReader, RecordWriter, TaskAttemptContext}
+import org.apache.hadoop.mapreduce.lib.input.{FileInputFormat, FileSplit}
+import org.apache.hadoop.mapreduce.lib.output.FileOutputFormat
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gzip-per-record WARC (`.warc.gz`) — the container shape real crawls
+  * (Common Crawl) actually ship: one gzip MEMBER per WARC record,
+  * members concatenated. Reference analog: the file-source container +
+  * compression surface (conveyor-etl/src/types.rs:270-289); the member
+  * framing itself is from RFC 1952 + ISO 28500 §annex.
+  *
+  * Why the plain-WARC trick fails here: with per-record gzip the byte
+  * stream is compressed, so the `WARC/1.0\r\n` delimiter scan cannot
+  * frame records. What CAN be framed is the gzip member: each member
+  * starts with a fixed magic (1f 8b 08), and a trial decode to its
+  * 8-byte CRC32+ISIZE trailer proves a candidate boundary real.
+  *
+  * Scale design: a custom splittable Hadoop input format. Each task
+  * seeks to its split start, scans forward for a VALIDATED member
+  * boundary (magic + reserved-FLG-bits check to prefilter, then a full
+  * trial decode — a false positive would have to inflate cleanly AND
+  * match both trailer words, ~2^-64), then decodes members with exact
+  * byte accounting (`Inflater.getRemaining`) until the next member
+  * start reaches the split end. A member STARTING in [start, end)
+  * belongs to this task (split 0 owns offset 0 unscanned), so a 1 GB
+  * crawl file fans out across tasks like any splittable container and
+  * every record is read exactly once. Decompression is the only
+  * per-byte work below the DataFrame API; header/body parsing is the
+  * same shared Column grammar as plain WARC ([[Warc.parseRecords]]).
+  *
+  * The writer is the exact inverse — one deterministic gzip member per
+  * record (java's GZIPOutputStream: zero MTIME, fixed header), written
+  * through a Hadoop output format so it gets committer semantics and
+  * per-task files, no driver materialization.
+  */
+object WarcGz {
+
+  /** Gzip one record's bytes as a standalone member (RFC 1952).
+    * Deterministic: JDK GZIPOutputStream writes MTIME=0 and no FNAME.
+    */
+  private[graft] def gzipMember(payload: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(payload.length / 2 + 64)
+    val gz = new GZIPOutputStream(bos)
+    gz.write(payload)
+    gz.finish(); gz.close()
+    bos.toByteArray
+  }
+
+  /** Decode exactly ONE gzip member from `in` (positioned at the member's
+    * first byte), verifying the CRC32+ISIZE trailer. Consumes precisely
+    * the member's bytes (unconsumed inflater input is pushed back), so
+    * successive calls walk member boundaries exactly.
+    */
+  private[graft] def inflateMember(in: MemberStream): Array[Byte] = {
+    val hdr = in.readN(10)
+    if (!((hdr(0) & 0xff) == 0x1f && (hdr(1) & 0xff) == 0x8b && hdr(2) == 8))
+      throw new EOFException("not a gzip member header")
+    val flg = hdr(3) & 0xff
+    if ((flg & 0xe0) != 0) throw new EOFException("reserved FLG bits set")
+    if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length, then skip
+      val x = in.readN(2); in.skipN(((x(1) & 0xff) << 8) | (x(0) & 0xff))
+    }
+    if ((flg & 8) != 0) in.skipZeroTerminated()  // FNAME
+    if ((flg & 16) != 0) in.skipZeroTerminated() // FCOMMENT
+    if ((flg & 2) != 0) in.readN(2)              // FHCRC
+    val inf = new Inflater(true)
+    try {
+      val inBuf = new Array[Byte](64 * 1024)
+      val outBuf = new Array[Byte](64 * 1024)
+      val out = new ByteArrayOutputStream(256 * 1024)
+      val crc = new CRC32()
+      var filled = 0
+      while (!inf.finished()) {
+        if (inf.needsInput()) {
+          filled = in.read(inBuf, 0, inBuf.length)
+          if (filled < 0) throw new EOFException("truncated gzip member")
+          inf.setInput(inBuf, 0, filled)
+        }
+        val n = inf.inflate(outBuf)
+        if (n > 0) { out.write(outBuf, 0, n); crc.update(outBuf, 0, n) }
+        else if (n == 0 && inf.needsInput() && inf.getRemaining == 0 && filled == 0)
+          throw new EOFException("stalled gzip member")
+      }
+      // exact accounting: bytes the inflater did not consume are the next
+      // member's (or the trailer's) — push them back
+      val rem = inf.getRemaining
+      if (rem > 0) in.unread(inBuf, filled - rem, rem)
+      val tr = in.readN(8)
+      def le32(o: Int): Long =
+        ((tr(o) & 0xffL)) | ((tr(o + 1) & 0xffL) << 8) |
+          ((tr(o + 2) & 0xffL) << 16) | ((tr(o + 3) & 0xffL) << 24)
+      if (le32(0) != crc.getValue)
+        throw new EOFException("gzip member CRC mismatch")
+      if (le32(4) != (out.size().toLong & 0xffffffffL))
+        throw new EOFException("gzip member ISIZE mismatch")
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  /** Counting reader with pushback over an InputStream. `pos` is the
+    * logical number of bytes consumed (reads minus pushback) — member
+    * starts are `splitStart + pos` in file coordinates.
+    */
+  private[graft] final class MemberStream(in: InputStream) {
+    private var back: Array[Byte] = Array.emptyByteArray
+    private var backOff = 0
+    private var consumed = 0L
+    def pos: Long = consumed
+    def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (backOff < back.length) {
+        val n = math.min(len, back.length - backOff)
+        System.arraycopy(back, backOff, b, off, n)
+        backOff += n; consumed += n
+        n
+      } else {
+        val n = in.read(b, off, len)
+        if (n > 0) consumed += n
+        n
+      }
+    }
+    def unread(b: Array[Byte], off: Int, len: Int): Unit = {
+      val keep = back.length - backOff
+      val nb = new Array[Byte](len + keep)
+      System.arraycopy(b, off, nb, 0, len)
+      if (keep > 0) System.arraycopy(back, backOff, nb, len, keep)
+      back = nb; backOff = 0; consumed -= len
+    }
+    def readN(n: Int): Array[Byte] = {
+      val b = new Array[Byte](n)
+      var got = 0
+      while (got < n) {
+        val r = read(b, got, n - got)
+        if (r < 0) throw new EOFException(s"need $n bytes, got $got")
+        got += r
+      }
+      b
+    }
+    def skipN(n: Int): Unit = { readN(n); () }
+    def skipZeroTerminated(): Unit = {
+      val one = new Array[Byte](1)
+      var b = 0
+      do {
+        if (read(one, 0, 1) < 0) throw new EOFException("unterminated field")
+        b = one(0) & 0xff
+      } while (b != 0)
+    }
+  }
+
+  /** Read `.warc.gz` into the same (record_id, warc_type, target_uri,
+    * content_length, body) frame as [[Warc.read]]. `maxSplitBytes` caps
+    * Hadoop split size (tests use it to force multi-split reads of one
+    * file; production leaves the block-size default).
+    */
+  def read(s: SparkSession, path: String, maxSplitBytes: Long = 0L): DataFrame = {
+    val conf = new org.apache.hadoop.conf.Configuration(s.sparkContext.hadoopConfiguration)
+    if (maxSplitBytes > 0)
+      conf.setLong("mapreduce.input.fileinputformat.split.maxsize", maxSplitBytes)
+    val raw = s.sparkContext
+      .newAPIHadoopFile(path, classOf[WarcGzInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .map(_._2.toString)
+    import s.implicits._
+    // members carry the full record INCLUDING the version line; the shared
+    // parser expects it stripped (the plain reader's delimiter consumed it)
+    Warc.parseRecords(
+      raw.toDF("raw").select(
+        regexp_replace(col("raw"), "^WARC/1\\.[01]\\r\\n", "").as("rec")))
+  }
+
+  /** Write one gzip member per record (response records, same grammar as
+    * [[Warc.write]]). Overwrites `path`.
+    */
+  def write(df: DataFrame, idCol: String, uriCol: String, bodyCol: String,
+            path: String): Unit = {
+    val s = df.sparkSession
+    val hConf = s.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(hConf)
+    if (fs.exists(p)) fs.delete(p, true)
+    df.select(Warc.recordText(idCol, uriCol, bodyCol).as("rec"))
+      .rdd
+      .mapPartitions(_.map { r =>
+        (NullWritable.get(),
+          new BytesWritable(gzipMember(r.getString(0).getBytes(UTF_8))))
+      })
+      .saveAsNewAPIHadoopFile(path, classOf[NullWritable], classOf[BytesWritable],
+        classOf[WarcGzOutputFormat], hConf)
+  }
+}
+
+/** Splittable input format for concatenated-gzip-member files: one
+  * decompressed member per record. See [[WarcGz]] for the boundary
+  * protocol.
+  */
+final class WarcGzInputFormat extends FileInputFormat[LongWritable, Text] {
+  override def isSplitable(ctx: JobContext, file: Path): Boolean = true
+  override def createRecordReader(split: InputSplit, ctx: TaskAttemptContext): RecordReader[LongWritable, Text] =
+    new WarcGzRecordReader
+}
+
+final class WarcGzRecordReader extends RecordReader[LongWritable, Text] {
+  private var fsIn: FSDataInputStream = _
+  private var ms: WarcGz.MemberStream = _
+  private var start = 0L
+  private var end = 0L
+  private var memberStart = 0L // file offset of the NEXT member to decode
+  private var seekBase = 0L    // file offset `ms` was opened at
+  private var filePath: Path = _
+  private var conf: org.apache.hadoop.conf.Configuration = _
+  private val key = new LongWritable()
+  private val value = new Text()
+  private var done = false
+
+  override def initialize(genericSplit: InputSplit, ctx: TaskAttemptContext): Unit = {
+    val split = genericSplit.asInstanceOf[FileSplit]
+    filePath = split.getPath
+    conf = ctx.getConfiguration
+    start = split.getStart
+    end = start + split.getLength
+    val fs = filePath.getFileSystem(conf)
+    memberStart =
+      if (start == 0L) 0L
+      else scanForBoundary(fs, start, end)
+    if (memberStart >= end && !(start == 0L && memberStart == 0L)) { done = true; return }
+    if (start == 0L && end == 0L) { done = true; return }
+    fsIn = fs.open(filePath)
+    fsIn.seek(memberStart)
+    seekBase = memberStart
+    ms = new WarcGz.MemberStream(fsIn)
+  }
+
+  /** First file offset in [from, end) that starts a VALIDATED gzip member
+    * (full trial decode). Returns `end` when the split contains none.
+    */
+  private def scanForBoundary(fs: org.apache.hadoop.fs.FileSystem,
+                              from: Long, until: Long): Long = {
+    val in = fs.open(filePath)
+    try {
+      in.seek(from)
+      val buf = new Array[Byte](128 * 1024)
+      var bufBase = from // file offset of buf(0)
+      var bufLen = 0
+      var i = 0
+      var carry = 0
+      while (bufBase + i < until) {
+        if (i >= bufLen - 3) { // refill, keeping a 3-byte overlap for the magic
+          carry = math.max(0, bufLen - i)
+          System.arraycopy(buf, bufLen - carry, buf, 0, carry)
+          bufBase = bufBase + bufLen - carry
+          i = i - (bufLen - carry)
+          val n = in.read(buf, carry, buf.length - carry)
+          if (n < 0) return until
+          bufLen = carry + n
+          if (bufLen < 4) return until
+        }
+        if ((buf(i) & 0xff) == 0x1f && (buf(i + 1) & 0xff) == 0x8b &&
+          buf(i + 2) == 8 && (buf(i + 3) & 0xe0) == 0) {
+          val cand = bufBase + i
+          if (validates(fs, cand)) return cand
+        }
+        i += 1
+      }
+      until
+    } finally in.close()
+  }
+
+  private def validates(fs: org.apache.hadoop.fs.FileSystem, off: Long): Boolean = {
+    val in = fs.open(filePath)
+    try {
+      in.seek(off)
+      WarcGz.inflateMember(new WarcGz.MemberStream(in))
+      true
+    } catch { case _: Exception => false } finally in.close()
+  }
+
+  override def nextKeyValue(): Boolean = {
+    if (done || memberStart >= end) return false
+    val bytes =
+      try WarcGz.inflateMember(ms)
+      catch { case _: EOFException => done = true; return false } // clean EOF at file tail
+    key.set(memberStart)
+    value.set(new String(bytes, UTF_8))
+    // ms.pos counts bytes consumed since the seek to the first owned
+    // member — exact framing makes this the next member's file offset
+    memberStart = seekBase + ms.pos
+    true
+  }
+
+  override def getCurrentKey: LongWritable = key
+  override def getCurrentValue: Text = value
+  override def getProgress: Float =
+    if (end == start) 1.0f
+    else math.min(1.0f, (memberStart - start).toFloat / (end - start).toFloat)
+  override def close(): Unit = if (fsIn != null) fsIn.close()
+}
+
+/** Raw concatenated-bytes output: each value is one pre-gzipped member,
+  * written verbatim — the task's file is a valid `.warc.gz`.
+  */
+final class WarcGzOutputFormat extends FileOutputFormat[NullWritable, BytesWritable] {
+  override def getRecordWriter(ctx: TaskAttemptContext): RecordWriter[NullWritable, BytesWritable] = {
+    val file = getDefaultWorkFile(ctx, ".warc.gz")
+    val out = file.getFileSystem(ctx.getConfiguration).create(file, false)
+    new RecordWriter[NullWritable, BytesWritable] {
+      override def write(k: NullWritable, v: BytesWritable): Unit =
+        out.write(v.getBytes, 0, v.getLength)
+      override def close(ctx: TaskAttemptContext): Unit = out.close()
+    }
+  }
+}

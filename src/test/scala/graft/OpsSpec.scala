@@ -810,8 +810,8 @@ class OpsSpec extends SparkSpec {
       .orderBy("bin").collect()
     assert(same.length == 10)
     // identical snapshots: pa == pb exactly in every bin → every term 0
-    assert(same.forall(r => r.getDecimal(3).signum == 0))
-    assert(same.head.getDecimal(4).signum == 0)
+    assert(same.forall(r => r.getDouble(3) == 0.0))
+    assert(same.head.getDouble(4) == 0.0)
 
     // shifted + out-of-range current: values 60..109 all clamp into bin 9
     val cur = (0 until 200).map(i => (60 + i % 50).toDouble).toDF("value")
@@ -819,7 +819,7 @@ class OpsSpec extends SparkSpec {
       .orderBy("bin").collect()
     val n9 = drift(9).getLong(2)
     assert(n9 == 200L, s"expected all current rows clamped to bin 9, got $n9")
-    assert(drift.head.getDecimal(4).doubleValue() > 0.5)
+    assert(drift.head.getDouble(4) > 0.5)
 
     // hand-check one bin against the same IEEE sequence computed locally
     val r0 = drift(0)
@@ -832,7 +832,9 @@ class OpsSpec extends SparkSpec {
       t2 * t2 * t2 / 7.0 + t2 * t2 * t2 * t2 / 9.0)
     val term = BigDecimal((pa - pb) * ln)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    assert(BigDecimal(r0.getDecimal(3)) == term)
+    // served double = nearest-double of the 6-dp decimal; 6-dp values at
+    // this magnitude round-trip exactly through double
+    assert(r0.getDouble(3) == term.toDouble)
   }
 
   test("rrfFuse: exact nano-unit fusion, missing sides, top-k cut") {
