@@ -231,6 +231,28 @@ object Recall {
     }.mkString(",")
     val auto = ops.Similarity.planParamsFor(corpusN)
     println(s"""{"metric":"recall@$k","corpus":$corpusN,"n_queries":${truthN / k},"auto_planes":${auto.planes},"auto_cells":${auto.nCells},"settings":{$body},"sf":"$sfDir"}""")
+
+    // round 8: the contrastive POSITIVE channel (q_contrastive wiring) —
+    // top-1 agreement of its exact IVF config (c16, probe 4, 50 anchors)
+    // vs brute-force top-1. One number: how often the indexed positive
+    // is the true nearest neighbor. Printed as its own JSON line.
+    if (args.isEmpty || args.exists("contrastive_pos".contains)) {
+      val anchors = emb.filter(col("vec_id") < 50)
+      val posTruth = ops.Similarity
+        .bruteForceTopK(emb, anchors, "vec_id", "embedding", 1)
+        .select("q_id", "n_id")
+      val nT = posTruth.count()
+      val probes = Seq((16, 4), (16, 6), (16, 8), (64, 8), (64, 16)).map { case (c, p) =>
+        val t0 = System.nanoTime()
+        val posIvf = ops.Similarity
+          .ivfTopK(emb, anchors, "vec_id", "embedding", 1, nCells = c, nProbe = p)
+          .select("q_id", "n_id")
+        val hits = posIvf.join(posTruth, Seq("q_id", "n_id"), "left_semi").count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        s""""ivf_c${c}_probe${p}_agree":${math.round(hits.toDouble / nT * 10000) / 10000.0},"c${c}p${p}_sec":${math.round(secs * 100) / 100.0}"""
+      }
+      println(s"""{"metric":"contrastive_pos_top1","corpus":$corpusN,"anchors":$nT,${probes.mkString(",")},"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }
