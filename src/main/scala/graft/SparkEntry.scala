@@ -2018,6 +2018,32 @@ object SparkEntry {
       .select(col("id"), col("frame_idx"), col("frame_hash"))
       .orderBy(col("id"), col("frame_idx"))
 
+  /** VIDEO frame sampling through the REAL RIFF/AVI demuxer (L12
+    * extension): each document's text is character-sliced into 8
+    * variable-length frame payloads BY COLUMN FUNCTIONS (so the text
+    * semantics stay SQL-replayable), packed into a spec-valid AVI
+    * container (headers, odd-length chunks, RIFF even-padding, idx1),
+    * then demuxed back and stride-sampled 8→5 by
+    * [[graft.ops.Video.VideoCodecs]]. The oracle recomputes the slices
+    * and the i*m/n stride relationally — a demuxer that mis-walks chunk
+    * sizes, forgets even-padding, or mis-strides desyncs and fails the
+    * hash gate. (mp4/mkv run through the ffmpeg tier at the same seam;
+    * availability-gated spec, not oracle-gated in this container.)
+    */
+  private def qFramesVideo(s: SparkSession, dir: String): DataFrame = {
+    val padded = rpad(col("text"), 200, "x")
+    val payloads = array(graft.ops.Video.FixtureFramePlan.map {
+      case (start, len) => substring(padded, start + 1, len)
+    }: _*)
+    val blobs = graft.ops.Video.packAvi(
+      docs(s, dir).select(col("doc_id"), payloads.as("payloads")),
+      "doc_id", "payloads", width = 640, height = 480)
+    graft.ops.Multimodal.sampleFrames(blobs, "id", "blob", nFrames = 5,
+      graft.ops.Video.VideoCodecs)
+      .select(col("id"), col("frame_idx"), col("frame_hash"))
+      .orderBy(col("id"), col("frame_idx"))
+  }
+
   /** End-to-end DSL compile (R8/R9): a YAML registry with two pipelines
     * sharing a two-step prefix (validate onInvalid=route → broadcast lookup)
     * goes through YamlLoader + Compiler.compile; the result unions the main
@@ -2962,6 +2988,7 @@ object SparkEntry {
     "q_sample_joinsync" -> (qSampleJoinsync _),
     "q_dsl_sketch" -> (qDslSketch _),
     "q_frames" -> (qFrames _),
+    "q_frames_video" -> (qFramesVideo _),
     "q_join_salted" -> (qJoinSalted _),
     "q_source_partitioned" -> (qSourcePartitioned _),
     "q_dlq_replay" -> (qDlqReplay _),
@@ -4447,6 +4474,18 @@ object SparkEntry {
         |                            // greatest(length(text) // 4, 1)))) AS i
         |  FROM documents
         |) ORDER BY id, frame_idx""".stripMargin,
+    // AVI frame sampling: plan = the 8 (start,len) slices of rpad-200
+    // text; sel = the i*m/n stride picking 5 of 8 (0,1,3,4,6). Any
+    // demux/stride slip on the Spark side breaks the hash compare.
+    "q_frames_video" ->
+      """WITH plan(i, st, ln) AS (VALUES
+        |    (0,0,10),(1,10,17),(2,27,11),(3,38,18),
+        |    (4,56,12),(5,68,19),(6,87,13),(7,100,20)),
+        |sel(j, i) AS (VALUES (0,0),(1,1),(2,3),(3,4),(4,6))
+        |SELECT d.doc_id AS id, s.j AS frame_idx,
+        |  md5(substr(rpad(d.text, 200, 'x'), p.st + 1, p.ln)) AS frame_hash
+        |FROM documents d CROSS JOIN sel s JOIN plan p ON p.i = s.i
+        |ORDER BY id, frame_idx""".stripMargin,
     "q_join_salted" ->
       """SELECT o_orderkey, o_custkey, c_name
         |FROM orders JOIN customer ON o_custkey = c_custkey

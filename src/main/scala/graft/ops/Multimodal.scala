@@ -13,8 +13,9 @@ import org.apache.spark.sql.types._
   * SQL-expressible double that keeps the decode PATH under the DuckDB
   * oracle gate (q_multimodal/q_frames hash whichever bytes flow through
   * the same plumbing). Frame sampling is real for JDK-demuxable
-  * containers (animated GIF); mp4/mkv need ffmpeg wired at the same
-  * [[Multimodal.BlobCodec]] seam.
+  * containers (animated GIF) and for RIFF/AVI via [[Video.VideoCodecs]]
+  * (real MJPEG-in-AVI demux, pure Scala); mp4/mkv run through
+  * [[Video.FfmpegCodecs]] at the same [[Multimodal.BlobCodec]] seam.
   */
 object Multimodal {
 
@@ -128,8 +129,9 @@ object Multimodal {
     * the same shape as the stub's byte-bucket sums, so downstream schema
     * and partitioning are identical whichever kernel runs. frameSample is
     * REAL for containers the JDK can demux (animated GIF; single-frame
-    * image formats yield their one frame); true video formats (mp4/mkv)
-    * still need ffmpeg wired at this same seam.
+    * image formats yield their one frame); AVI demuxes through
+    * [[Video.VideoCodecs]], mp4/mkv through [[Video.FfmpegCodecs]] — the
+    * same seam, different tier.
     */
   object ImageIoCodecs extends BlobCodec {
     private def read(blob: Array[Byte]): Option[java.awt.image.BufferedImage] =
@@ -216,8 +218,9 @@ object Multimodal {
       * downstream consumers see one uniform frame format regardless of the
       * container. Single-frame formats (PNG/BMP/JPEG) yield their one
       * frame. Undecodable bytes degrade to zero frames, never a task
-      * failure. True video containers (mp4/mkv) still need ffmpeg wired at
-      * this same seam — the JDK carries no video demuxer.
+      * failure. RIFF/AVI has its own pure-Scala demuxer
+      * ([[Video.demuxAvi]]); mp4/mkv go through [[Video.FfmpegCodecs]] —
+      * the JDK carries no video demuxer.
       */
     def frameSample(blob: Array[Byte], n: Int): Array[Array[Byte]] = {
       if (blob == null || blob.isEmpty || n <= 0) Array.empty

@@ -1,0 +1,324 @@
+package graft.ops
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Video containers at the [[Multimodal.BlobCodec]] seam.
+  *
+  * The JDK ships no mp4/mkv demuxer, so true video needs an external
+  * decoder; this module provides the three honest tiers:
+  *
+  *  1. [[demuxAvi]]/[[buildAvi]] — a REAL RIFF/AVI demuxer+writer in
+  *     pure Scala. AVI is a genuine production container (MJPEG-in-AVI
+  *     is what many cameras and legacy corpora ship), and its frame
+  *     chunks are complete JPEGs the JDK decodes — so frame sampling,
+  *     stride logic, and per-frame decode are REAL end-to-end on this
+  *     tier, no ffmpeg needed.
+  *  2. [[VideoCodecs]] — the BlobCodec wiring: AVI blobs demux through
+  *     (1); everything else falls back to [[Multimodal.ImageIoCodecs]]
+  *     (animated GIF, single-frame images). This is the codec
+  *     `sampleFrames`/`decodeImages` take for mixed corpora.
+  *  3. [[FfmpegCodecs]] — the documented mp4/mkv wire-in: shells out to
+  *     ffmpeg at the SAME seam when the binary exists on executors
+  *     (this container ships none, so its spec is availability-gated).
+  *     The Spark-side plumbing — schema, partition batching, bounded
+  *     output — is identical whichever tier runs.
+  *
+  * Reference analog: the file-source container surface
+  * (conveyor-etl/src/types.rs:270-289); RIFF layout per the public
+  * AVI 1.0 spec (msdn AVIMAINHEADER/AVISTREAMHEADER, RIFF 1991).
+  *
+  * Scale notes: demux is per-row work inside the partition-batched
+  * kernel ([[Multimodal.sampleFrames]]) — no shuffle, output bounded at
+  * nFrames rows per blob; the RIFF walk is a single forward pass over
+  * the blob (no allocation besides the sampled payloads). Corrupt or
+  * truncated containers degrade to zero frames, never a task failure.
+  */
+object Video {
+
+  // ---------------------------------------------------------------- RIFF
+
+  private def le32(b: Array[Byte], o: Int): Long =
+    if (o + 4 > b.length) -1L
+    else ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  private def fourcc(b: Array[Byte], o: Int): String =
+    if (o + 4 > b.length) ""
+    else new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** True when the blob is a RIFF/AVI container. */
+  def isAvi(blob: Array[Byte]): Boolean =
+    blob != null && blob.length >= 12 &&
+      fourcc(blob, 0) == "RIFF" && fourcc(blob, 8) == "AVI "
+
+  /** Demux the video-stream frame chunks (`NNdc`/`NNdb`, all streams, in
+    * file order — AVI interleave order IS presentation order) out of a
+    * RIFF/AVI blob. One forward walk; `rec ` sub-lists recurse; malformed
+    * tails stop the walk and return the frames found so far.
+    */
+  def demuxAvi(blob: Array[Byte]): Array[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def isFrameChunk(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        id(2) == 'd' && (id(3) == 'c' || id(3) == 'b')
+    // walk chunks in blob[from, until); inMovi controls frame capture
+    def walk(from: Int, until: Int, inMovi: Boolean): Unit = {
+      var p = from
+      while (p + 8 <= until) {
+        val id = fourcc(blob, p)
+        val sz = le32(blob, p + 4)
+        if (sz < 0 || p + 8 + sz > until) return // truncated: keep what we have
+        val size = sz.toInt
+        if (id == "LIST" && size >= 4) {
+          val listType = fourcc(blob, p + 8)
+          walk(p + 12, p + 8 + size,
+            inMovi || listType == "movi" || listType == "rec ")
+        } else if (inMovi && isFrameChunk(id)) {
+          out += java.util.Arrays.copyOfRange(blob, p + 8, p + 8 + size)
+        }
+        p += 8 + size + (size & 1) // RIFF chunks pad to even
+      }
+    }
+    if (!isAvi(blob)) Array.empty
+    else { walk(12, blob.length, inMovi = false); out.toArray }
+  }
+
+  /** (width, height) from the first `strf` BITMAPINFOHEADER, or None. */
+  def aviDims(blob: Array[Byte]): Option[(Int, Int)] = {
+    var found: Option[(Int, Int)] = None
+    def walk(from: Int, until: Int): Unit = {
+      var p = from
+      while (p + 8 <= until && found.isEmpty) {
+        val id = fourcc(blob, p)
+        val sz = le32(blob, p + 4)
+        if (sz < 0 || p + 8 + sz > until) return
+        val size = sz.toInt
+        if (id == "LIST" && size >= 4) walk(p + 12, p + 8 + size)
+        else if (id == "strf" && size >= 12) {
+          val w = le32(blob, p + 8 + 4).toInt
+          val h = le32(blob, p + 8 + 8).toInt
+          found = Some((w, math.abs(h))) // negative height = top-down DIB
+        }
+        p += 8 + size + (size & 1)
+      }
+    }
+    if (!isAvi(blob)) None else { walk(12, blob.length); found }
+  }
+
+  /** Build a minimal spec-valid single-video-stream AVI (fourcc MJPG)
+    * around the given frame payloads: RIFF(AVI ) → hdrl(avih, strl(strh,
+    * strf)) → movi(00dc…) → idx1. With JPEG payloads the result is a real
+    * MJPEG-in-AVI file any player/demuxer opens; fixture payloads of any
+    * bytes exercise the same framing (incl. odd-length even-padding).
+    */
+  def buildAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+               fps: Int = 25): Array[Byte] = {
+    require(fps > 0, s"fps must be positive, got $fps")
+    val bos = new ByteArrayOutputStream(frames.map(_.length + 16).sum + 512)
+    def w32(v: Long): Unit = {
+      bos.write((v & 0xff).toInt); bos.write(((v >> 8) & 0xff).toInt)
+      bos.write(((v >> 16) & 0xff).toInt); bos.write(((v >> 24) & 0xff).toInt)
+    }
+    def wcc(s: String): Unit = bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val moviContent = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val idx1Size = 16 * frames.length
+    // avih(8+56) + LIST strl(8 + 4 + strh(8+56) + strf(8+40)) = 64 + 124
+    val hdrlContent = 4 + 64 + (8 + 116)
+    val riffSize = 4 + (8 + hdrlContent) + (8 + moviContent) + (8 + idx1Size)
+
+    wcc("RIFF"); w32(riffSize); wcc("AVI ")
+    wcc("LIST"); w32(hdrlContent); wcc("hdrl")
+    wcc("avih"); w32(56)
+    w32(1000000L / fps) // usPerFrame
+    w32(maxFrame.toLong * fps) // maxBytesPerSec
+    w32(0) // padding granularity
+    w32(0x10) // AVIF_HASINDEX
+    w32(frames.length); w32(0) // totalFrames, initialFrames
+    w32(1) // streams
+    w32(maxFrame) // suggested buffer
+    w32(width); w32(height)
+    w32(0); w32(0); w32(0); w32(0) // reserved
+    wcc("LIST"); w32(116); wcc("strl")
+    wcc("strh"); w32(56)
+    wcc("vids"); wcc("MJPG")
+    w32(0); w32(0) // flags, prio+lang
+    w32(0) // initial frames
+    w32(1); w32(fps) // scale, rate → fps
+    w32(0); w32(frames.length) // start, length (in frames)
+    w32(maxFrame); w32(-1 & 0xffffffffL) // bufSize, quality=-1 default
+    w32(0) // sampleSize (0 = varying, correct for video)
+    w32(0); w32((height.toLong << 16) | (width & 0xffffL)) // rcFrame
+    wcc("strf"); w32(40)
+    w32(40) // biSize
+    w32(width); w32(height)
+    w32((24 << 16) | 1) // planes=1, bitCount=24
+    wcc("MJPG") // biCompression
+    w32(width.toLong * height * 3) // sizeImage
+    w32(0); w32(0); w32(0); w32(0) // ppm, clrUsed, clrImportant
+    wcc("LIST"); w32(moviContent); wcc("movi")
+    val offsets = new Array[Int](frames.length)
+    var off = 4 // idx1 offsets count from the 'movi' fourcc
+    frames.zipWithIndex.foreach { case (f, i) =>
+      offsets(i) = off
+      wcc("00dc"); w32(f.length); bos.write(f)
+      if ((f.length & 1) == 1) bos.write(0)
+      off += 8 + f.length + (f.length & 1)
+    }
+    wcc("idx1"); w32(idx1Size)
+    frames.zipWithIndex.foreach { case (f, i) =>
+      wcc("00dc"); w32(0x10) // AVIIF_KEYFRAME
+      w32(offsets(i)); w32(f.length)
+    }
+    bos.toByteArray
+  }
+
+  /** Evenly sample up to n of m frames — the SAME stride rule as
+    * [[Multimodal.ImageIoCodecs.frameSample]] (idx_i = i*m/n), so GIF and
+    * AVI tiers agree and one oracle replays both.
+    */
+  private def sampleEvenly(frames: Array[Array[Byte]], n: Int): Array[Array[Byte]] = {
+    val m = frames.length
+    if (m == 0 || n <= 0) Array.empty
+    else if (m <= n) frames
+    else Array.tabulate(n)(i => frames(i * m / n))
+  }
+
+  /** BlobCodec over mixed corpora: AVI demuxes through the real RIFF
+    * walker (frames in the container's native encoding — JPEGs for
+    * MJPEG-in-AVI); everything else falls back to ImageIoCodecs. Frame
+    * DIMENSIONS for AVI come from the strf header (a real metadata
+    * decode, no pixel work); features/thumbnail decode the first frame.
+    */
+  object VideoCodecs extends Multimodal.BlobCodec {
+    private def firstFrame(blob: Array[Byte]): Array[Byte] =
+      demuxAvi(blob).headOption.getOrElse(Array.emptyByteArray)
+    def imageDims(blob: Array[Byte]): (Int, Int) =
+      if (isAvi(blob)) aviDims(blob).getOrElse((-1, -1))
+      else Multimodal.ImageIoCodecs.imageDims(blob)
+    def features(blob: Array[Byte]): Array[Float] =
+      if (isAvi(blob)) Multimodal.ImageIoCodecs.features(firstFrame(blob))
+      else Multimodal.ImageIoCodecs.features(blob)
+    def resize(blob: Array[Byte], w: Int, h: Int): Array[Byte] =
+      if (isAvi(blob)) Multimodal.ImageIoCodecs.resize(firstFrame(blob), w, h)
+      else Multimodal.ImageIoCodecs.resize(blob, w, h)
+    def pixels8x8(blob: Array[Byte]): Array[Int] =
+      if (isAvi(blob)) Multimodal.ImageIoCodecs.pixels8x8(firstFrame(blob))
+      else Multimodal.ImageIoCodecs.pixels8x8(blob)
+    def frameSample(blob: Array[Byte], n: Int): Array[Array[Byte]] =
+      if (isAvi(blob)) sampleEvenly(demuxAvi(blob), n)
+      else Multimodal.ImageIoCodecs.frameSample(blob, n)
+  }
+
+  /** The mp4/mkv wire-in: ffmpeg at the same seam, per-blob via a temp
+    * file (ffmpeg cannot seek a pipe for mp4 moov atoms at the tail).
+    * Frames come back as PNGs — the uniform frame format of the GIF tier.
+    * `available` gates specs and lets mixed pipelines fall back to
+    * [[VideoCodecs]] where the binary is absent. Dimensions and
+    * features go through the decoded first frame.
+    */
+  final class FfmpegCodecs(ffmpeg: String = "ffmpeg") extends Multimodal.BlobCodec {
+    def available: Boolean =
+      try {
+        val p = new ProcessBuilder(ffmpeg, "-version")
+          .redirectErrorStream(true).start()
+        p.getInputStream.readAllBytes()
+        p.waitFor() == 0
+      } catch { case _: Exception => false }
+
+    def frameSample(blob: Array[Byte], n: Int): Array[Array[Byte]] = {
+      if (blob == null || blob.isEmpty || n <= 0) return Array.empty
+      val dir = java.nio.file.Files.createTempDirectory("graft_ffm")
+      try {
+        val in = dir.resolve("in.bin")
+        java.nio.file.Files.write(in, blob)
+        // two passes: count frames (nb_read_packets via ffmpeg null mux is
+        // version-fragile; decode-to-null frame count is robust), then
+        // select every (m/n)th — the same even-stride contract as the
+        // other tiers, derived from the real frame count.
+        val count = {
+          val p = new ProcessBuilder(ffmpeg, "-nostdin", "-i", in.toString,
+            "-map", "0:v:0", "-c", "copy", "-f", "null", "-")
+            .redirectErrorStream(true).start()
+          val log = new String(p.getInputStream.readAllBytes(), UTF_8)
+          p.waitFor()
+          "frame=\\s*(\\d+)".r.findAllMatchIn(log).map(_.group(1).toInt)
+            .foldLeft(0)((_, v) => v) // last "frame=" line is the total
+        }
+        if (count <= 0) return Array.empty
+        val stride = math.max(count / math.max(n, 1), 1)
+        val p = new ProcessBuilder(ffmpeg, "-nostdin", "-i", in.toString,
+          "-vf", s"select='not(mod(n\\,$stride))'", "-vsync", "vfr",
+          "-frames:v", n.toString, dir.resolve("f_%06d.png").toString)
+          .redirectErrorStream(true).start()
+        p.getInputStream.readAllBytes(); p.waitFor()
+        val fs = java.nio.file.Files.list(dir).iterator()
+        val frames = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+        while (fs.hasNext) {
+          val f = fs.next()
+          if (f.getFileName.toString.startsWith("f_"))
+            frames += ((f.getFileName.toString, java.nio.file.Files.readAllBytes(f)))
+        }
+        frames.sortBy(_._1).map(_._2).toArray
+      } catch { case _: Exception => Array.empty }
+      finally {
+        val fs = java.nio.file.Files.list(dir).iterator()
+        while (fs.hasNext) java.nio.file.Files.deleteIfExists(fs.next())
+        java.nio.file.Files.deleteIfExists(dir)
+      }
+    }
+    def imageDims(blob: Array[Byte]): (Int, Int) = {
+      val f = frameSample(blob, 1)
+      if (f.isEmpty) (-1, -1) else Multimodal.ImageIoCodecs.imageDims(f(0))
+    }
+    def features(blob: Array[Byte]): Array[Float] = {
+      val f = frameSample(blob, 1)
+      if (f.isEmpty) Array.empty else Multimodal.ImageIoCodecs.features(f(0))
+    }
+    def resize(blob: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val f = frameSample(blob, 1)
+      if (f.isEmpty) Array.emptyByteArray
+      else Multimodal.ImageIoCodecs.resize(f(0), w, h)
+    }
+    def pixels8x8(blob: Array[Byte]): Array[Int] = {
+      val f = frameSample(blob, 1)
+      if (f.isEmpty) Array.fill(64)(-1) else Multimodal.ImageIoCodecs.pixels8x8(f(0))
+    }
+  }
+
+  // ------------------------------------------------- fixture construction
+
+  /** The q_frames_video fixture plan: 8 variable-length character slices
+    * of the (rpad-200) document text become the frame payloads —
+    * variable lengths (incl. odd ones) so a demuxer that mis-walks chunk
+    * sizes or forgets RIFF even-padding desyncs and fails the oracle.
+    * Shared constant so the Spark query and any spec agree byte-for-byte.
+    */
+  val FixtureFramePlan: Seq[(Int, Int)] = {
+    val lens = (0 until 8).map(i => 10 + (i * 7) % 13)
+    lens.scanLeft(0)(_ + _).zip(lens)
+  }
+
+  /** Wrap per-row payload strings (already character-sliced by Column
+    * functions, so text semantics stayed SQL-replayable) into AVI blobs:
+    * (id, payloads array<string>) → (id, blob). Binary container
+    * assembly only — one row in, one row out, partition-batched.
+    */
+  def packAvi(df: DataFrame, idCol: String, payloadsCol: String,
+              width: Int, height: Int, fps: Int = 25): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("blob", BinaryType)))
+    val input: Dataset[Row] = df.select(col(idCol).cast("long"), col(payloadsCol))
+    input.mapPartitions { it =>
+      it.map { r =>
+        val frames = r.getSeq[String](1).map(_.getBytes(UTF_8))
+        Row(r.getLong(0), buildAvi(frames, width, height, fps))
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal, Video}
+
+/** RIFF/AVI video tier: real MJPEG-in-AVI build→demux→decode roundtrips,
+  * chunk-walk edge cases (odd sizes, truncation, rec lists), header
+  * metadata, stride agreement with the GIF tier, and the ffmpeg seam
+  * (availability-gated).
+  */
+class VideoSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A real JPEG: solid-color image encoded by the JDK. */
+  private def jpegFrame(rgb: Int, w: Int = 32, h: Int = 24): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("MJPEG-in-AVI roundtrip: frames demux intact and DECODE as JPEGs") {
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0x808080)
+    val frames = colors.map(jpegFrame(_))
+    val avi = Video.buildAvi(frames, 32, 24, fps = 10)
+    assert(Video.isAvi(avi))
+    val out = Video.demuxAvi(avi)
+    assert(out.length == 4)
+    out.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+    // and each demuxed frame is a decodable image with the right size
+    out.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth == 32 && img.getHeight == 24)
+    }
+  }
+
+  test("aviDims reads strf; VideoCodecs.imageDims uses it without pixel work") {
+    val avi = Video.buildAvi(Seq(jpegFrame(0x123456, 64, 48)), 64, 48)
+    assert(Video.aviDims(avi).contains((64, 48)))
+    assert(Video.VideoCodecs.imageDims(avi) == ((64, 48)))
+    // non-AVI falls through to the image tier
+    val png = {
+      val img = new java.awt.image.BufferedImage(5, 7,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    assert(Video.VideoCodecs.imageDims(png) == ((5, 7)))
+  }
+
+  test("odd-length payloads honor RIFF even-padding; walk stays in sync") {
+    val frames = (0 until 6).map(i => ("p" * (3 + i * 2 + (i % 2))).getBytes(UTF_8))
+    val avi = Video.buildAvi(frames, 8, 8)
+    val out = Video.demuxAvi(avi)
+    assert(out.length == 6)
+    out.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
+  test("truncated container degrades to the frames before the cut, never throws") {
+    val frames = (0 until 5).map(i => jpegFrame(i * 50))
+    val avi = Video.buildAvi(frames, 32, 24)
+    // cut mid-way through the movi list
+    val cut = java.util.Arrays.copyOf(avi, avi.length - frames.last.length - 40)
+    val out = Video.demuxAvi(cut)
+    assert(out.length < 5)
+    out.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+    assert(Video.demuxAvi(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Video.demuxAvi(Array.emptyByteArray).isEmpty)
+  }
+
+  test("rec-list interleave (OpenDML style) demuxes the same frames") {
+    // hand-wrap two frames in a 'rec ' sub-list inside movi
+    val f1 = "frame one".getBytes(UTF_8)
+    val f2 = "frame two!".getBytes(UTF_8)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(id.getBytes(UTF_8))
+      val n = payload.length
+      bos.write(Array[Byte]((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+        ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte))
+      bos.write(payload); if ((n & 1) == 1) bos.write(0)
+      bos.toByteArray
+    }
+    val rec = chunk("LIST", "rec ".getBytes(UTF_8) ++ chunk("00dc", f1) ++ chunk("00dc", f2))
+    val movi = chunk("LIST", "movi".getBytes(UTF_8) ++ rec)
+    val riff = chunk("RIFF", "AVI ".getBytes(UTF_8) ++ movi)
+    val out = Video.demuxAvi(riff)
+    assert(out.length == 2)
+    assert(out(0).sameElements(f1) && out(1).sameElements(f2))
+  }
+
+  test("sampleFrames over AVI blobs: even stride, bounded output, md5s line up") {
+    val rows = (1L to 10L).map { id =>
+      val frames = (0 until 8).map(i => s"id$id frame$i payload".getBytes(UTF_8))
+      (id, Video.buildAvi(frames, 16, 16))
+    }
+    val df = rows.toDF("id", "blob")
+    val out = Multimodal.sampleFrames(df, "id", "blob", nFrames = 5, Video.VideoCodecs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[Array[Byte]](2)))
+    assert(out.length == 50) // 5 per blob, bounded
+    // stride 8→5 picks source frames 0,1,3,4,6
+    val expectIdx = Seq(0, 1, 3, 4, 6)
+    out.groupBy(_._1).foreach { case (id, fs) =>
+      fs.sortBy(_._2).zip(expectIdx).foreach { case ((_, j, bytes), src) =>
+        assert(new String(bytes, UTF_8) == s"id$id frame$src payload")
+      }
+    }
+  }
+
+  test("VideoCodecs features/pixels8x8 decode the FIRST frame's real pixels") {
+    // solid mid-gray frame → every 8x8 luminance cell ≈ that gray
+    val avi = Video.buildAvi(Seq(jpegFrame(0x7f7f7f, 32, 32)), 32, 32)
+    val px = Video.VideoCodecs.pixels8x8(avi)
+    assert(px.length == 64)
+    assert(px.forall(v => math.abs(v - 127) <= 3), s"got ${px.toSeq.take(8)}")
+  }
+
+  test("ffmpeg tier (availability-gated): frameSample on a built AVI") {
+    val codec = new Video.FfmpegCodecs()
+    assume(codec.available, "ffmpeg binary not present in this container")
+    val avi = Video.buildAvi((0 until 6).map(i => jpegFrame(i * 40)), 32, 24, fps = 5)
+    val frames = codec.frameSample(avi, 3)
+    assert(frames.length == 3)
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth == 32)
+    }
+  }
+}
