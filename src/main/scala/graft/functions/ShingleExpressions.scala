@@ -147,6 +147,62 @@ case class WordShingleHash60(child: Expression, n: Int) extends ShingleExpressio
     copy(child = newChild)
 }
 
+object WordOccKernel {
+  /** One-pass (term, tf, dl) occurrence list: EXACTLY the aggregation
+    * `groupBy(doc, term).count` computes over `explode(tokens(text))`,
+    * but inside the row — the (doc, term) group key is doc-local, so the
+    * per-(doc,term) SHUFFLE the relational spelling pays is pure waste;
+    * this kernel replaces it with a per-doc hash map. `dl` (the doc's
+    * total token count — what `groupBy(doc).sum(tf)` recomputed with a
+    * second shuffle + join in earlier rounds) rides every entry.
+    * Tokenization is [[ShingleKernel.shingles]](·, 1) verbatim, including
+    * the empty-text → one-empty-token rule, so the BM25/TF-IDF oracles
+    * replaying string_split semantics stay hash-exact.
+    */
+  def occurrences(s: UTF8String): ArrayData = {
+    val toks = ShingleKernel.shingles(s, 1)
+    val n = toks.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Integer]()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val c = counts.get(t)
+      counts.put(t, if (c == null) 1 else c + 1)
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    var j = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(
+        e.getKey, e.getValue.intValue(), n)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd per-document posting fragment: array<struct<__term,__tf,__dl>>
+  * — `inline` it for a shuffle-free posting table build.
+  */
+case class WordOccurrences(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("__term", StringType, nullable = false),
+    StructField("__tf", IntegerType, nullable = false),
+    StructField("__dl", IntegerType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"expects STRING, got ${child.dataType}")
+  override def nullSafeEval(input: Any): Any =
+    WordOccKernel.occurrences(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordOccKernel.occurrences($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordOccurrences =
+    copy(child = newChild)
+}
+
 object SimHashKernel {
   /** Same result as the per-bit fold formulation
     * (HashFunctions.simhashFromHashes): bit b of the signature is set iff

@@ -23,6 +23,13 @@ object TextFunctions {
   def tokens(text: Column): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), 1))
 
+  /** Per-document posting fragments (term, tf, dl) — see
+    * [[WordOccKernel.occurrences]]; `inline` the result for a
+    * shuffle-free inverted-index build.
+    */
+  def wordOccurrences(text: Column): Column =
+    ColumnBridge.column(WordOccurrences(ColumnBridge.expression(text)))
+
   /** Whitespace token count (empty string → 0). */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0L))

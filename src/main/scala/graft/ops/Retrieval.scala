@@ -11,14 +11,23 @@ import graft.functions.{TextFunctions => T}
   * training-data pipelines (the lexical complement of the embedding ANN
   * family in [[Similarity]]).
   *
-  * Shape at scale: a classic inverted index expressed relationally. The
-  * corpus is tokenized once into a posting table (doc, term, tf) — one
-  * explode + one groupBy — and retrieval is an equi-join on `term`
-  * between query terms and postings, never a doc×doc comparison. A
+  * Shape at scale: a classic inverted index expressed relationally, with
+  * the QUERY SET as the small side throughout — the retrieval use cases
+  * this serves (decontamination probes, eval mining, hard negatives) ask
+  * thousands of queries against a 100 TB corpus, never the reverse. The
+  * corpus is tokenized once by a codegen kernel that emits (term, tf,
+  * dl) per document (no per-(doc,term) shuffle — that group key is
+  * doc-local), immediately semi-joined down to the broadcast query
+  * vocabulary, and every downstream join (term df, query terms) is a
+  * broadcast: the full corpus stream never shuffles; only the matched
+  * candidate rows shuffle once, for the per-(query,doc) sum. A
   * document-frequency cap drops stopword-grade terms before the join
-  * (same hot-key defense as Dedup.maxShingleDf), so no term's posting
-  * list can dominate a shuffle partition. Corpus scalars (N, avgdl) ride
-  * a broadcast; the final top-k per query plans as WindowGroupLimit.
+  * (same hot-key defense as Dedup.maxShingleDf). Corpus scalars (N,
+  * avgdl) come from a shuffle-free count scan and ride a broadcast; the
+  * final top-k per query plans as WindowGroupLimit. (For a query SET too
+  * big to broadcast, shard the queries and union — each shard keeps this
+  * plan; the corpus side is re-scanned per shard either way at that
+  * scale.)
   *
   * Exactness for the oracle: per-(doc,term) BM25 contributions are
   * computed in double with a literal-for-literal expression tree, then
@@ -58,37 +67,50 @@ object Retrieval {
       maxDf: Long = 1000000L,
       maxDfFraction: Double = 1.0
   ): DataFrame = {
-    // The posting table is the expensive pass (tokenize + explode + per-
-    // (doc,term) aggregation) and THREE consumers reference it (term df,
-    // doc lengths, the contribution join) — materialize it ONCE (lazy
-    // localCheckpoint, freed by the ContextCleaner; the Dedup storage
-    // contract). Before this the tokenizer ran 3x and the posting
-    // aggregation 2x — measured ~1.9x slower on the bench fixture.
+    // Posting build, round 8 shape — three structural savings over the
+    // r04-r07 chain (which tokenized+exploded into a per-(doc,term)
+    // shuffle agg, checkpointed the FULL posting table, then re-shuffled
+    // it twice more for doc lengths and term df):
+    //  1. The WordOccurrences codegen kernel computes (term, tf, dl)
+    //     INSIDE the row — the (doc,term) group key is doc-local, so the
+    //     per-(doc,term) shuffle was pure waste; dl rides along, so the
+    //     doc-length aggregation+join is gone too.
+    //  2. Only terms that appear in SOME query can reach the output, and
+    //     df(term) depends only on term's own posting rows — so the
+    //     posting stream is semi-joined down to the query vocabulary
+    //     (broadcast, no shuffle) BEFORE anything is materialized or
+    //     aggregated. Full-corpus postings never hit a shuffle or disk.
+    //  3. df and the contribution join then operate on the small
+    //     query-vocabulary subset, and both small sides broadcast.
+    // Corpus-wide truth is preserved: N, avgdl are computed over the FULL
+    // corpus (a shuffle-free tokenize-count scan), and df values are
+    // per-term identical on the subset — the relational result, and
+    // therefore the oracle, is unchanged.
+    val queryTerms = queries
+      .select(col(queryIdCol).cast("long").as("__qid"),
+        explode(T.tokens(col(queryTextCol))).as("__term"))
+      .distinct()
+    val qvocab = queryTerms.select(col("__term")).distinct()
+
+    // Query-relevant postings: tokenize once, inline, broadcast-semi
+    // filter; checkpointed (lazy) for its two consumers (df, contrib).
     val postings = docs
       .select(col(docIdCol).cast("long").as("__did"),
-        explode(T.tokens(col(docTextCol))).as("__term"))
-      .groupBy(col("__did"), col("__term"))
-      .agg(count(lit(1)).as("__tf"))
+        T.wordOccurrences(col(docTextCol)).as("__occ"))
+      .select(col("__did"), inline(col("__occ")))
+      .join(broadcast(qvocab), Seq("__term"), "left_semi")
       .localCheckpoint(false)
-    // Doc length = sum of its term frequencies — read from the stored
-    // postings instead of re-running the tokenizer. Empty docs have no
-    // posting rows and so no __dl row; they cannot score anyway, and the
-    // corpus scalars below count them independently.
-    val dls = postings.groupBy(col("__did")).agg(sum(col("__tf")).as("__dl"))
 
-    // Corpus scalars: N over ALL docs (empty ones included — a plain row
-    // count, column pruning drops the tokenizer from this branch) and the
-    // mean doc length — exact (long sum / long count), one double divide;
-    // empty docs contribute 0 tokens to the sum either way.
-    val stats = dls.agg(sum(col("__dl")).as("__tok"))
-      .crossJoin(broadcast(docs.agg(count(lit(1)).as("__n"))))
+    // Corpus scalars: N over ALL docs and the exact mean doc length —
+    // a codegen'd count scan (no explode, no shuffle; empty text counts
+    // its one empty token, matching the posting-side tokenization).
+    val stats = docs
+      .agg(count(lit(1)).as("__n"),
+        sum(size(T.tokens(col(docTextCol)))).as("__tok"))
       .select(col("__n"),
         (coalesce(col("__tok"), lit(0L)).cast("double") /
           col("__n").cast("double")).as("__avgdl"))
 
-    // The fraction cap rides the same broadcast stats row the contribution
-    // join uses — identical BroadcastExchange subtree, so ReuseExchange
-    // computes the corpus scalars once, not twice.
     val termDf = postings
       .groupBy(col("__term"))
       .agg(count(lit(1)).as("__df"))
@@ -114,19 +136,13 @@ object Retrieval {
     // Decimal). Headroom: one contribution < 20 → < 2e13 scaled; a query
     // needs ~460k matching terms to approach 2^63.
     val contrib = postings
-      .join(termDf, "__term")
-      .join(dls, "__did")
+      .join(broadcast(termDf), "__term")
       .crossJoin(broadcast(stats))
       .select(col("__did"), col("__term"),
         floor((idf * sat) * lit(1e12) + lit(0.5)).cast("long").as("__c"))
 
-    val queryTerms = queries
-      .select(col(queryIdCol).cast("long").as("__qid"),
-        explode(T.tokens(col(queryTextCol))).as("__term"))
-      .distinct()
-
-    val scores = queryTerms
-      .join(contrib, "__term")
+    val scores = contrib
+      .join(broadcast(queryTerms), "__term")
       .filter(col("__did") =!= col("__qid"))
       .groupBy(col("__qid"), col("__did"))
       .agg(sum(col("__c")).as("__score"))
@@ -167,13 +183,16 @@ object Retrieval {
       maxDf: Long = 1000000L,
       maxDfFraction: Double = 1.0
   ): DataFrame = {
-    // Materialized once (lazy localCheckpoint): the posting aggregation is
-    // referenced by both the df pass and the scoring join (see bm25TopK).
+    // Materialized once (lazy localCheckpoint): referenced by both the df
+    // pass and the scoring join. Shuffle-free build via the same
+    // WordOccurrences kernel as bm25TopK (the extra __dl column it emits
+    // is unused here; column pruning drops it at the scan).
     val postings = docs
       .select(col(idCol).cast("long").as("__did"),
-        explode(T.tokens(col(textCol))).as("term"))
-      .groupBy(col("__did"), col("term"))
-      .agg(count(lit(1)).as("__tf"))
+        T.wordOccurrences(col(textCol)).as("__occ"))
+      .select(col("__did"), inline(col("__occ")))
+      .withColumnRenamed("__term", "term")
+      .drop("__dl")
       .localCheckpoint(false)
     val n = docs.agg(count(lit(1)).as("__n"))
     val termDf = postings
