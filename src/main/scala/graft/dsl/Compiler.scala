@@ -357,6 +357,12 @@ object Compiler {
       case None if p.triggerMode == "resident" => Trigger.ProcessingTime(0L)
       case None => Trigger.AvailableNow()
     }
+    // state-format guard: verify/stamp the checkpoint BEFORE the query
+    // starts when the plan carries graft custom state — an incompatible
+    // checkpoint must abort here, not resume silently wrong
+    if (graft.streaming.StateFormat.hasCustomState(p.frame))
+      ckpt.foreach(c =>
+        graft.streaming.StateFormat.ensure(p.frame.sparkSession, c))
     val w = ckpt.foldLeft(
       p.frame.writeStream
         .format(p.sink.format)

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fail-fast state-format versioning for graft's custom-state streaming
+  * operators (StatefulDedup / StatefulRateLimit / StatefulSessions /
+  * StatefulAsof).
+  *
+  * Why: Spark's own stateSchemaCheck catches STATE SCHEMA changes, but a
+  * semantic change with an unchanged schema resumes silently wrong. The
+  * round-6 key-encoding fix is the canonical case: v1 (unprefixed) and
+  * v2 (length-prefixed) dedup keys have the same STRING schema, so an
+  * in-place upgrade over a v1 checkpoint would simply never match the
+  * old keys and re-emit every previously-seen tuple. The correct
+  * behavior is to ABORT with an actionable error, not to resume.
+  *
+  * Two complementary guards, both conservative by design (one suite-wide
+  * version; any incompatible change to any operator bumps it):
+  *
+  *  1. Checkpoint-dir stamp: [[ensure]] writes `graft-state-format.json`
+  *     into a fresh checkpoint directory and verifies it on every
+  *     subsequent start — immediate detection, before a single batch
+  *     runs. A checkpoint that already has offsets but NO stamp predates
+  *     versioning (≤ r07) and is rejected the same way. Wired into the
+  *     DSL's streaming starts and [[Streams.checkpointedSink]]; library
+  *     users composing writeStream by hand call [[ensure]] themselves.
+  *  2. In-state stamp: every state entry carries the version as its
+  *     first field, checked on every read — catches the case where a
+  *     stamped directory was hand-edited or state files were copied
+  *     between checkpoints, at the first touch of a foreign entry
+  *     (including event-time timeout fires on keys new data never
+  *     touches).
+  *
+  * Version history: v1 — unprefixed dedup group keys (≤ r05);
+  * v2 — length-prefixed null-safe key encoding (r06), in-state +
+  * dir stamps introduced r08.
+  */
+object StateFormat {
+
+  /** The suite-wide state-format version this build writes and expects. */
+  val Current: Int = 2
+
+  val FileName = "graft-state-format.json"
+
+  /** In-state guard: called with the version field of a state entry on
+    * every read. Throws with an actionable message on mismatch.
+    */
+  def check(entry: Int, op: String): Unit =
+    if (entry != Current)
+      throw new IllegalStateException(
+        s"graft state-format mismatch in $op: checkpoint state entry has " +
+          s"format v$entry, this build expects v$Current. The checkpoint was " +
+          "written by an incompatible graft version — restart with a fresh " +
+          "checkpoint directory and replay the source instead of resuming.")
+
+  /** Dir-level guard: stamp a fresh checkpoint, verify an existing one.
+    *
+    *  - no stamp + no offsets → new checkpoint: write the stamp
+    *  - stamp present, version == Current → ok
+    *  - stamp present, version != Current → IllegalStateException
+    *  - offsets present but NO stamp → pre-versioning checkpoint →
+    *    IllegalStateException
+    */
+  def ensure(spark: SparkSession, checkpointDir: String): Unit = {
+    val dir = new Path(checkpointDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamp = new Path(dir, FileName)
+    if (fs.exists(stamp)) {
+      val in = fs.open(stamp)
+      val txt =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val v = """"graft_state_format"\s*:\s*(\d+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toInt)
+      v match {
+        case Some(Current) => ()
+        case Some(other) =>
+          throw new IllegalStateException(
+            s"graft state-format mismatch: checkpoint '$checkpointDir' is " +
+              s"stamped v$other, this build writes v$Current. Restart with a " +
+              "fresh checkpoint directory and replay the source.")
+        case None =>
+          throw new IllegalStateException(
+            s"graft state-format stamp at '$checkpointDir/$FileName' is " +
+              "unreadable — refusing to resume over a checkpoint of unknown " +
+              "format. Restart with a fresh checkpoint directory.")
+      }
+    } else {
+      val offsets = new Path(dir, "offsets")
+      val hasRuns = fs.exists(offsets) && fs.listStatus(offsets).nonEmpty
+      if (hasRuns)
+        throw new IllegalStateException(
+          s"checkpoint '$checkpointDir' has offsets but no graft state-format " +
+            s"stamp — it predates state-format versioning (written ≤ v1/v2 " +
+            "pre-stamp builds). Its custom-operator state cannot be verified " +
+            "compatible; restart with a fresh checkpoint directory and replay " +
+            "the source.")
+      fs.mkdirs(dir)
+      val out = fs.create(stamp, true)
+      try out.write(
+        s"""{"graft_state_format": $Current}""".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** True when the frame's plan contains graft-relevant streaming state
+    * (custom flatMapGroupsWithState or watermark dedup) — the wiring
+    * calls [[ensure]] only for these, so stateless streams keep
+    * stamp-free checkpoints.
+    */
+  def hasCustomState(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.analyzed.collectFirst {
+      case _: FlatMapGroupsWithState => ()
+      case _: Deduplicate            => ()
+      case _: DeduplicateWithinWatermark => ()
+    }.isDefined
+  }
+}

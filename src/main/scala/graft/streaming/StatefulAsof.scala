@@ -89,11 +89,14 @@ object StatefulAsof {
 
     tagged
       .groupByKey(_._1)
-      .flatMapGroupsWithState[AsofState, AsofMatched](
+      .flatMapGroupsWithState[(Int, AsofState), AsofMatched](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: String, events: Iterator[(String, Timestamp, Int, String)],
-         state: GroupState[AsofState]) =>
-          val st0 = state.getOption.getOrElse(AsofState(Nil, Nil))
+         state: GroupState[(Int, AsofState)]) =>
+          // version-stamped state (StateFormat scaladoc has the contract)
+          val st0 = state.getOption.map { case (v, st) =>
+            StateFormat.check(v, "StatefulAsof.asofJoin"); st
+          }.getOrElse(AsofState(Nil, Nil))
           val st1 = events.foldLeft(st0) { case (st, (_, ts, side, payload)) =>
             if (side == 0) st.copy(rights = (ts.getTime, payload) :: st.rights)
             else st.copy(lefts = (ts.getTime, payload) :: st.lefts)
@@ -102,7 +105,7 @@ object StatefulAsof {
           val (emitted, st2) = advance(st1, wm)
           if (st2.lefts.isEmpty && st2.rights.isEmpty) state.remove()
           else {
-            state.update(st2)
+            state.update((StateFormat.Current, st2))
             // wake when the watermark can release the oldest pending left
             st2.lefts.map(_._1).minOption.foreach { t =>
               if (t > wm) state.setTimeoutTimestamp(t)

@@ -41,16 +41,22 @@ object StatefulDedup {
     val winMs = windowSeconds.map(_ * 1000L)
 
     implicit val rowEnc = Encoders.row(schema)
-    implicit val stateEnc = Encoders.tuple(Encoders.scalaLong, rowEnc)
+    // state carries the suite state-format version as its first field —
+    // checked on every read (StateFormat.check), so state copied in from
+    // an incompatible checkpoint aborts at first touch, including
+    // timeout fires on keys new data never revisits
+    implicit val stateEnc =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong, rowEnc)
     implicit val keyEnc = Encoders.STRING
 
     def groupKey(r: Row): String = {
       // STATE-FORMAT v2 (round 6): length-prefixed encoding below is NOT
       // compatible with checkpoints written by the v1 (unprefixed) format
       // — keys admitted under v1 no longer match, so each previously-seen
-      // tuple would be re-emitted once after an in-place upgrade. Restart
-      // streaming-dedup checkpoints when upgrading across the format
-      // change (or accept the one-time duplicate emission).
+      // tuple would be re-emitted once after an in-place upgrade. Since
+      // round 8 this is ENFORCED, not advisory: StateFormat.ensure
+      // rejects pre-v2 checkpoints at start, and every state entry
+      // carries the version for first-touch detection.
       val base = keyIdxs.map { i =>
         // distinguish SQL NULL from any string rendering of it;
         // length-prefix non-null values so marker/separator bytes inside
@@ -72,38 +78,54 @@ object StatefulDedup {
     df.filter(col(tsCol).isNotNull)
       .as(rowEnc)
       .groupByKey(groupKey _)
-      .flatMapGroupsWithState[(Long, Row), Row](
+      .flatMapGroupsWithState[(Int, Long, Row), Row](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (_: String, rows: Iterator[Row], state: GroupState[(Long, Row)]) =>
-          if (state.hasTimedOut) {
-            val (_, row) = state.get
-            state.remove()
-            Iterator.single(row)
-          } else {
-            // rows at-or-before the watermark are too late: their
-            // generation may already have emitted, and re-opening the key
-            // would emit a duplicate — drop them, the same contract every
-            // watermarked stateful operator applies to late data
-            val wm0 = state.getCurrentWatermarkMs()
-            val best = rows.foldLeft(state.getOption) { (acc, r) =>
-              val ts = r.getTimestamp(tsIdx).getTime
-              acc match {
-                case _ if ts <= wm0 && !state.exists => acc
-                case Some((bts, _)) if bts > ts      => acc
-                case _                               => Some((ts, r)) // >= : later arrival wins
-              }
-            }
-            best.foreach { case (ts, _) =>
-              state.update(best.get)
-              val horizon = winMs match {
-                case Some(w) => Math.floorDiv(ts, w) * w + w // tumbling window end
-                case None    => ts + 1 // close once the watermark passes the best event
-              }
-              // the timeout must sit strictly beyond the current watermark
-              state.setTimeoutTimestamp(math.max(horizon, state.getCurrentWatermarkMs() + 1))
-            }
-            Iterator.empty
-          }
+        (_: String, rows: Iterator[Row], state: GroupState[(Int, Long, Row)]) =>
+          transition(rows, state, tsIdx, winMs)
       }
+  }
+
+  /** The keep-last state transition, factored out so specs can drive it
+    * with TestGroupState (including foreign-format state entries).
+    */
+  private[graft] def transition(
+      rows: Iterator[Row],
+      state: GroupState[(Int, Long, Row)],
+      tsIdx: Int,
+      winMs: Option[Long]
+  ): Iterator[Row] = {
+    if (state.hasTimedOut) {
+      val (v, _, row) = state.get
+      StateFormat.check(v, "StatefulDedup.keepLast")
+      state.remove()
+      Iterator.single(row)
+    } else {
+      // rows at-or-before the watermark are too late: their
+      // generation may already have emitted, and re-opening the key
+      // would emit a duplicate — drop them, the same contract every
+      // watermarked stateful operator applies to late data
+      val wm0 = state.getCurrentWatermarkMs()
+      val prev = state.getOption.map { case (v, ts, row) =>
+        StateFormat.check(v, "StatefulDedup.keepLast"); (ts, row)
+      }
+      val best = rows.foldLeft(prev) { (acc, r) =>
+        val ts = r.getTimestamp(tsIdx).getTime
+        acc match {
+          case _ if ts <= wm0 && !state.exists => acc
+          case Some((bts, _)) if bts > ts      => acc
+          case _                               => Some((ts, r)) // >= : later arrival wins
+        }
+      }
+      best.foreach { case (ts, row) =>
+        state.update((StateFormat.Current, ts, row))
+        val horizon = winMs match {
+          case Some(w) => Math.floorDiv(ts, w) * w + w // tumbling window end
+          case None    => ts + 1 // close once the watermark passes the best event
+        }
+        // the timeout must sit strictly beyond the current watermark
+        state.setTimeoutTimestamp(math.max(horizon, state.getCurrentWatermarkMs() + 1))
+      }
+      Iterator.empty
+    }
   }
 }

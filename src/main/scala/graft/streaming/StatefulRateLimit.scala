@@ -49,11 +49,15 @@ object StatefulRateLimit {
 
     typed
       .groupByKey(_._1)
-      .flatMapGroupsWithState[WindowCounts, AllowedEvent](
+      .flatMapGroupsWithState[(Int, WindowCounts), AllowedEvent](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (key: String, events: Iterator[(String, Timestamp, String)],
-         state: GroupState[WindowCounts]) =>
-          var counts = state.getOption.getOrElse(Map.empty)
+         state: GroupState[(Int, WindowCounts)]) =>
+          // version-stamped state: foreign-format entries abort at first
+          // read (StateFormat scaladoc has the full contract)
+          var counts = state.getOption.map { case (v, m) =>
+            StateFormat.check(v, "StatefulRateLimit.rateLimit"); m
+          }.getOrElse(Map.empty)
           val wm = state.getCurrentWatermarkMs()
           // prune windows fully behind the watermark
           counts = counts.filter { case (w, _) => w + windowMs > wm }
@@ -68,7 +72,7 @@ object StatefulRateLimit {
           }
           if (counts.isEmpty) state.remove()
           else {
-            state.update(counts)
+            state.update((StateFormat.Current, counts))
             state.setTimeoutTimestamp(counts.keys.max + windowMs)
           }
           out.iterator

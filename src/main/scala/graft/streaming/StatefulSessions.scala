@@ -59,10 +59,14 @@ object StatefulSessions {
 
     typed
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSessions, ClosedSession](
+      .flatMapGroupsWithState[(Int, OpenSessions), ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (key: String, events: Iterator[(String, Timestamp)], state: GroupState[OpenSessions]) =>
-          val open0 = state.getOption.getOrElse(Nil)
+        (key: String, events: Iterator[(String, Timestamp)],
+         state: GroupState[(Int, OpenSessions)]) =>
+          // version-stamped state (StateFormat scaladoc has the contract)
+          val open0 = state.getOption.map { case (v, ss) =>
+            StateFormat.check(v, "StatefulSessions.sessionize"); ss
+          }.getOrElse(Nil)
           val open1 = events.foldLeft(open0) { case (acc, (_, ts)) =>
             mergeEvent(acc, ts.getTime, gapMs)
           }
@@ -70,7 +74,7 @@ object StatefulSessions {
           val (closed, stillOpen) = open1.partition { case (_, e, _) => e + gapMs <= wm }
           if (stillOpen.isEmpty) state.remove()
           else {
-            state.update(stillOpen)
+            state.update((StateFormat.Current, stillOpen))
             // wake up when the watermark can close the oldest open session
             state.setTimeoutTimestamp(stillOpen.map(_._2).min + gapMs)
           }

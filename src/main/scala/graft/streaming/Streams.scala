@@ -135,10 +135,15 @@ object Streams {
       path: String,
       checkpointDir: String,
       outputMode: OutputMode = OutputMode.Append()
-  ): DataStreamWriter[Row] =
+  ): DataStreamWriter[Row] = {
+    // incompatible custom-operator state must abort before start, not
+    // resume silently wrong — see StateFormat's scaladoc contract
+    if (StateFormat.hasCustomState(df))
+      StateFormat.ensure(df.sparkSession, checkpointDir)
     df.writeStream
       .format(format)
       .outputMode(outputMode)
       .option("path", path)
       .option("checkpointLocation", checkpointDir)
+  }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.streaming.TestGroupState
+import org.apache.spark.sql.types._
+
+import graft.streaming.{StateFormat, StatefulDedup}
+
+/** State-format versioning: an old-format checkpoint must ABORT with an
+  * actionable error, never resume silently wrong (the round-6 key
+  * encoding change is the motivating case — same state schema, changed
+  * semantics, so Spark's own stateSchemaCheck cannot catch it).
+  */
+class StateFormatSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_ckpt").toString
+
+  test("fresh checkpoint is stamped; restart with the same build passes") {
+    val dir = tmp() + "/c1"
+    StateFormat.ensure(spark, dir)
+    val stamp = new java.io.File(dir, StateFormat.FileName)
+    assert(stamp.exists)
+    val txt = new String(Files.readAllBytes(stamp.toPath))
+    assert(txt.contains(s""""graft_state_format": ${StateFormat.Current}"""))
+    StateFormat.ensure(spark, dir) // idempotent for the same build
+  }
+
+  test("checkpoint stamped by an older format version aborts with a clear error") {
+    val dir = tmp() + "/c2"
+    StateFormat.ensure(spark, dir)
+    Files.write(new java.io.File(dir, StateFormat.FileName).toPath,
+      """{"graft_state_format": 1}""".getBytes)
+    // drop the local-FS checksum sidecar the raw rewrite invalidated
+    new java.io.File(dir, "." + StateFormat.FileName + ".crc").delete()
+    val e = intercept[IllegalStateException](StateFormat.ensure(spark, dir))
+    assert(e.getMessage.contains("state-format mismatch"))
+    assert(e.getMessage.contains("v1"))
+    assert(e.getMessage.contains("fresh checkpoint"))
+  }
+
+  test("pre-versioning checkpoint (offsets, no stamp) is rejected, not resumed") {
+    val dir = tmp() + "/c3"
+    // simulate a ≤r07 checkpoint: offsets written, no graft stamp
+    val off = new java.io.File(dir, "offsets")
+    off.mkdirs()
+    Files.write(new java.io.File(off, "0").toPath, "v1\n{}".getBytes)
+    val e = intercept[IllegalStateException](StateFormat.ensure(spark, dir))
+    assert(e.getMessage.contains("predates state-format versioning"))
+  }
+
+  test("unreadable stamp refuses to resume") {
+    val dir = tmp() + "/c4"
+    new java.io.File(dir).mkdirs()
+    Files.write(new java.io.File(dir, StateFormat.FileName).toPath,
+      "not json at all".getBytes)
+    val e = intercept[IllegalStateException](StateFormat.ensure(spark, dir))
+    assert(e.getMessage.contains("unreadable"))
+  }
+
+  test("in-state stamp: a foreign-format state entry aborts at first touch") {
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("ts", TimestampType)))
+    val row = Row("a", new java.sql.Timestamp(1000L))
+    // timeout fire over a v1 entry — the exact path that would silently
+    // re-emit after an in-place upgrade
+    val timedOut = TestGroupState.create[(Int, Long, Row)](
+      Optional.of((1, 1000L, row)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(5000L),
+      hasTimedOut = true)
+    val e = intercept[IllegalStateException](
+      StatefulDedup.transition(Iterator.empty, timedOut, tsIdx = 1, winMs = None))
+    assert(e.getMessage.contains("state-format mismatch"))
+    assert(e.getMessage.contains("StatefulDedup"))
+
+    // current-format entry processes normally (emits on timeout)
+    val ok = TestGroupState.create[(Int, Long, Row)](
+      Optional.of((StateFormat.Current, 1000L, row)),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(5000L),
+      hasTimedOut = true)
+    val out = StatefulDedup.transition(Iterator.empty, ok, tsIdx = 1, winMs = None)
+    assert(out.toSeq == Seq(row))
+    assert(ok.isRemoved)
+  }
+
+  test("new entries are written with the current version stamp") {
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("ts", TimestampType)))
+    val row = Row("a", new java.sql.Timestamp(9000L))
+    val st = TestGroupState.create[(Int, Long, Row)](
+      Optional.empty[(Int, Long, Row)](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      batchProcessingTimeMs = 0L, eventTimeWatermarkMs = Optional.of(0L),
+      hasTimedOut = false)
+    val out = StatefulDedup.transition(Iterator.single(row), st, tsIdx = 1, winMs = None)
+    assert(out.isEmpty)
+    assert(st.get._1 == StateFormat.Current)
+    assert(st.get._2 == 9000L)
+  }
+
+  test("hasCustomState: true for flatMapGroupsWithState / watermark dedup plans only") {
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, java.sql.Timestamp)](spark)
+    val stream = mem.toDF().toDF("k", "ts")
+    assert(!StateFormat.hasCustomState(stream.select("k")))
+    assert(StateFormat.hasCustomState(
+      stream.withWatermark("ts", "1 minute").dropDuplicatesWithinWatermark("k")))
+    assert(StateFormat.hasCustomState(
+      StatefulDedup.keepLast(stream.withWatermark("ts", "1 minute"),
+        Seq("k"), "ts", None)))
+  }
+}
