@@ -1268,6 +1268,17 @@ object SparkEntry {
       k = 8, iters = 2)
       .orderBy(col("vec_id"))
 
+  /** Convergence-criterion k-means (verdict r07 item 7, the clustering
+    * twin of q_pagerank_converged): Lloyd rounds until total centroid
+    * movement <= 3e6 micro-units (or 4 rounds). On this fixture the exit
+    * triggers at round 3 (shifts 41.9M → 3.93M → 2.25M); the oracle
+    * unrolls the rounds AND the stop rule.
+    */
+  private def qKmeansConverged(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Clustering.kmeansConverged(emb(s, dir), "vec_id", "embedding",
+      k = 8, maxIters = 4, epsilonMicro = 3000000L)
+      .orderBy(col("vec_id"))
+
   /** Incremental dedup: every 5th doc plays the new batch, the rest the
     * existing corpus. Exact-vs-corpus, exact-within-batch and LSH
     * near-dup-vs-corpus in one pass; precedence exact_corpus >
@@ -1728,18 +1739,31 @@ object SparkEntry {
     * unrolls the identical recurrence as five chained CTEs, so every
     * floor division and the damping split are under the hash gate.
     */
-  private def qPagerank(s: SparkSession, dir: String): DataFrame = {
+  private def qPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.pageRank(prFixtureLinks(s, dir), "src", "dst", iters = 5)
+      .orderBy(col("node"))
+
+  /** Convergence-criterion PageRank (verdict r07 item 7): iterate to a
+    * measured total-|Δrank| <= 50000 integer units (or 8 rounds). On
+    * this fixture the exit genuinely triggers early — round 6, deltas
+    * 61126 → 7734 across the boundary — and the oracle replays the stop
+    * rule itself, not just the arithmetic.
+    */
+  private def qPagerankConverged(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.pageRankConverged(prFixtureLinks(s, dir), "src", "dst",
+      maxIters = 8, epsilon = 50000L)
+      .orderBy(col("node"))
+
+  private def prFixtureLinks(s: SparkSession, dir: String): DataFrame = {
     val H = graft.functions.HashFunctions
     val host = (c: Column, m: Int) =>
       concat(lit("h"), pmod(H.hash32(c), lit(m)).cast("string"))
-    val links = docs(s, dir)
+    docs(s, dir)
       .select(col("doc_id"), explode(sequence(lit(0), lit(2))).as("j"))
       .select(
         host(col("doc_id").cast("string"), 38).as("src"),
         host(concat(col("doc_id").cast("string"), lit(":"),
           col("j").cast("string")), 40).as("dst"))
-    graft.ops.Graph.pageRank(links, "src", "dst", iters = 5)
-      .orderBy(col("node"))
   }
 
   /** Perceptual image near-dup (L57): aHash bands + pigeonhole band join
@@ -2980,6 +3004,7 @@ object SparkEntry {
     "q_sketch_distinct" -> (qSketchDistinct _),
     "q_sketch_heavyhitters" -> (qSketchHeavyHitters _),
     "q_pagerank" -> (qPagerank _),
+    "q_pagerank_converged" -> (qPagerankConverged _),
     "q_image_neardup" -> (qImageNeardup _),
     "q_pca" -> (qPca _),
     "q_sketch_rollup" -> (qSketchRollup _),
@@ -3036,6 +3061,7 @@ object SparkEntry {
     "q_tfidf" -> (qTfidf _),
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_kmeans" -> (qKmeans _),
+    "q_kmeans_converged" -> (qKmeansConverged _),
     "q_trim_outliers" -> (qTrimOutliers _),
     "q_profile_quantiles" -> (qProfileQuantiles _),
     "q_drift_psi" -> (qDriftPsi _),
@@ -3255,20 +3281,25 @@ object SparkEntry {
     * as chained CTEs — one per iteration, same floor divisions (`//`),
     * same damping split, same dangling redistribution.
     */
-  private def pagerankOracle: String = {
-    val iter = (k: Int) =>
-      s"""r$k AS (
-         |  SELECT d.node, d.out_deg,
-         |    1500000000000 // (nn.n * 10000)
-         |    + (8500 * (coalesce(inc.incoming, 0) + dg.dangling // nn.n)) // 10000 AS pr
-         |  FROM deg d
-         |  LEFT JOIN (SELECT e.dst AS node, sum(r.pr // r.out_deg) AS incoming
-         |             FROM edges e JOIN r${k - 1} r ON e.src = r.node GROUP BY 1) inc
-         |    ON d.node = inc.node
-         |  CROSS JOIN (SELECT coalesce(sum(pr), 0) AS dangling
-         |              FROM r${k - 1} WHERE out_deg = 0) dg
-         |  CROSS JOIN nn
-         |)""".stripMargin
+  /** One PageRank round as a CTE (shared by the fixed-iteration and
+    * convergence oracles — one copy of the integer recurrence).
+    */
+  private def prIterCte(k: Int): String =
+    s"""r$k AS (
+       |  SELECT d.node, d.out_deg,
+       |    1500000000000 // (nn.n * 10000)
+       |    + (8500 * (coalesce(inc.incoming, 0) + dg.dangling // nn.n)) // 10000 AS pr
+       |  FROM deg d
+       |  LEFT JOIN (SELECT e.dst AS node, sum(r.pr // r.out_deg) AS incoming
+       |             FROM edges e JOIN r${k - 1} r ON e.src = r.node GROUP BY 1) inc
+       |    ON d.node = inc.node
+       |  CROSS JOIN (SELECT coalesce(sum(pr), 0) AS dangling
+       |              FROM r${k - 1} WHERE out_deg = 0) dg
+       |  CROSS JOIN nn
+       |)""".stripMargin
+
+  /** The fixture link graph + degree/count/r0 CTE prefix (shared). */
+  private def prPrefixCtes: String =
     s"""WITH links AS (
        |  SELECT 'h' || CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 38 AS VARCHAR) AS src,
        |    'h' || CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':'||CAST(j AS VARCHAR)),1,8))::BIGINT % 40 AS VARCHAR) AS dst
@@ -3281,9 +3312,109 @@ object SparkEntry {
        |  LEFT JOIN (SELECT src, count(*) AS cnt FROM edges GROUP BY 1) d
        |    ON n.node = d.src
        |), nn AS (SELECT count(*) AS n FROM deg),
-       |r0 AS (SELECT node, out_deg, 1000000000 // n AS pr FROM deg CROSS JOIN nn),
-       |${(1 to 5).map(iter).mkString(",\n")}
+       |r0 AS (SELECT node, out_deg, 1000000000 // n AS pr FROM deg CROSS JOIN nn)""".stripMargin
+
+  private def pagerankOracle: String =
+    s"""$prPrefixCtes,
+       |${(1 to 5).map(prIterCte).mkString(",\n")}
        |SELECT node, out_deg, CAST(pr AS BIGINT) AS pr FROM r5 ORDER BY node""".stripMargin
+
+  /** Replays [[graft.ops.Clustering.kmeansConverged]] INCLUDING the stop
+    * decision: unroll maxIters Lloyd rounds, compute each round's total
+    * centroid micro-shift over surviving (cluster, component) pairs,
+    * stop at the first round with shift <= eps.
+    */
+  private def kmeansConvergedOracle(maxIters: Int, eps: Long): String = {
+    def assignCte(k: Int): String = {
+      val cents = if (k == 1) "seeds" else s"c${k - 1}"
+      s"""a$k AS (
+         |  SELECT _vid, cluster FROM (
+         |    SELECT _vid, cluster,
+         |      row_number() OVER (PARTITION BY _vid ORDER BY dist2, cluster) AS r
+         |    FROM (
+         |      SELECT e.vec_id AS _vid, c.cluster,
+         |        round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+         |          - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cent)
+         |          + list_dot_product(c.cent, c.cent), 6) AS dist2
+         |      FROM embeddings e CROSS JOIN $cents c
+         |    )
+         |  ) WHERE r = 1
+         |)""".stripMargin
+    }
+    def meanCtes(k: Int): String =
+      s"""cm$k AS MATERIALIZED (
+         |  SELECT a.cluster, p.p AS p,
+         |    CAST(sum(CAST(CAST(e.embedding[p.p] AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE)
+         |      / CAST(count(*) AS DOUBLE) AS m
+         |  FROM a$k a JOIN embeddings e ON e.vec_id = a._vid
+         |  CROSS JOIN generate_series(1, 64) p(p)
+         |  GROUP BY 1, 2
+         |), c$k AS (SELECT cluster, list(m ORDER BY p) AS cent FROM cm$k GROUP BY cluster)""".stripMargin
+    def shiftCte(k: Int): String =
+      s"""s$k AS (SELECT coalesce(sum(abs(
+         |    CAST(floor(a.m * 1000000 + 0.5) AS BIGINT)
+         |    - CAST(floor(b.m * 1000000 + 0.5) AS BIGINT))), 0) AS s
+         |  FROM cm$k a JOIN cm${k - 1} b ON a.cluster = b.cluster AND a.p = b.p)""".stripMargin
+    def finalAssign(k: Int): String =
+      s"""SELECT _vid, cluster, dist2, $k AS k FROM (
+         |  SELECT e.vec_id AS _vid, c.cluster,
+         |    round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+         |      - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cent)
+         |      + list_dot_product(c.cent, c.cent), 6) AS dist2,
+         |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+         |        - 2.0 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cent)
+         |        + list_dot_product(c.cent, c.cent), 6), c.cluster) AS r
+         |  FROM embeddings e CROSS JOIN c$k c
+         |) WHERE r = 1""".stripMargin
+    val sunion = (1 to maxIters)
+      .map(k => s"SELECT $k AS k, s FROM s$k").mkString(" UNION ALL ")
+    s"""WITH seeds AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS cluster, CAST(embedding AS DOUBLE[]) AS cent
+       |  FROM embeddings
+       |  ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id
+       |  LIMIT 8
+       |), cm0 AS (
+       |  SELECT cluster, p.p AS p, cent[p.p] AS m
+       |  FROM seeds CROSS JOIN generate_series(1, 64) p(p)
+       |),
+       |${(1 to maxIters).map(k => assignCte(k) + ",\n" + meanCtes(k)).mkString(",\n")},
+       |${(1 to maxIters).map(shiftCte).mkString(",\n")},
+       |sk AS ($sunion),
+       |stop AS (SELECT coalesce((SELECT min(k) FROM sk WHERE s <= $eps), $maxIters) AS k)
+       |SELECT u._vid AS vec_id, u.cluster, u.dist2,
+       |  CAST(st.k AS INT) AS rounds_run,
+       |  CAST((SELECT s FROM sk WHERE sk.k = st.k) AS BIGINT) AS last_shift
+       |FROM (${(1 to maxIters).map(finalAssign).mkString(" UNION ALL ")}) u
+       |CROSS JOIN stop st
+       |WHERE u.k = st.k
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** Replays [[graft.ops.Graph.pageRankConverged]] INCLUDING the stop
+    * decision: unroll maxIters rounds, compute each round's total
+    * absolute rank delta, stop at the first round with delta <= eps —
+    * the convergence rule itself sits under the hash gate.
+    */
+  private def pagerankConvergedOracle(maxIters: Int, eps: Long): String = {
+    val deltas = (1 to maxIters).map(k =>
+      s"""d$k AS (SELECT sum(abs(a.pr - b.pr)) AS d
+         |  FROM r$k a JOIN r${k - 1} b ON a.node = b.node)""".stripMargin)
+    val dunion = (1 to maxIters)
+      .map(k => s"SELECT $k AS k, d FROM d$k").mkString(" UNION ALL ")
+    val runion = (1 to maxIters)
+      .map(k => s"SELECT r.*, $k AS k FROM r$k r").mkString(" UNION ALL ")
+    s"""$prPrefixCtes,
+       |${(1 to maxIters).map(prIterCte).mkString(",\n")},
+       |${deltas.mkString(",\n")},
+       |dk AS ($dunion),
+       |stop AS (SELECT coalesce((SELECT min(k) FROM dk WHERE d <= $eps), $maxIters) AS k)
+       |SELECT u.node, u.out_deg, CAST(u.pr AS BIGINT) AS pr,
+       |  CAST(s.k AS INT) AS rounds_run,
+       |  CAST((SELECT d FROM dk WHERE dk.k = s.k) AS BIGINT) AS last_delta
+       |FROM ($runion) u CROSS JOIN stop s
+       |WHERE u.k = s.k
+       |ORDER BY u.node""".stripMargin
   }
 
   /** Unrolls [[graft.ops.Pca.topComponent]]'s exact integer power
@@ -3394,6 +3525,8 @@ object SparkEntry {
     "q_embed_pq" -> pqOracle,
     "q_ann_ivfpq" -> pqIvfOracle,
     "q_pagerank" -> pagerankOracle,
+    "q_pagerank_converged" -> pagerankConvergedOracle(8, 50000L),
+    "q_kmeans_converged" -> kmeansConvergedOracle(4, 3000000L),
     "q_pca" -> pcaOracle,
     "q_bpe_merges" -> bpeOracle(16),
     "q_token_bpe" -> tokenBpeOracle(16, bpeStep),

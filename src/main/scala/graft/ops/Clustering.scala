@@ -107,6 +107,48 @@ object Clustering {
     cents
   }
 
+  /** Lloyd rounds with a MEASURED convergence criterion: stop when the
+    * total centroid movement — Σ over surviving (cluster, component) of
+    * |Δ| in micro-units (floor(c·1e6 + 0.5), exact integers over the
+    * bit-identical decimal-summed means) — drops to `epsilonMicro`, or
+    * at `maxIters`. The stop decision rides the output (rounds_run,
+    * last_shift on every row), so an oracle unrolling the same rounds
+    * replays the convergence RULE itself, not just the arithmetic.
+    * Per-round driver cost: one k×dim-sized scalar aggregate.
+    *
+    * @return assignment against the converged centroids:
+    *         (idCol, cluster, dist2, rounds_run, last_shift)
+    */
+  def kmeansConverged(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxIters: Int,
+      epsilonMicro: Long
+  ): DataFrame = {
+    require(k >= 1 && maxIters >= 1 && epsilonMicro >= 0L,
+      "k >= 1, maxIters >= 1, epsilonMicro >= 0")
+    val micro = (c: Column) => floor(c * 1000000d + 0.5d).cast("long")
+    var cents = seedCentroids(vectors, idCol, vecCol, k).localCheckpoint()
+    var round = 0
+    var shift = Long.MaxValue
+    while (round < maxIters && shift > epsilonMicro) {
+      val next = update(assign(vectors, idCol, vecCol, cents)).localCheckpoint()
+      val a = next.select(col("cluster"), posexplode(col("cent")).as(Seq("_p", "_a")))
+      val b = cents.select(col("cluster"), posexplode(col("cent")).as(Seq("_p", "_b")))
+      shift = a.join(b, Seq("cluster", "_p"))
+        .agg(coalesce(sum(abs(micro(col("_a")) - micro(col("_b")))), lit(0L)))
+        .first().getLong(0)
+      cents = next
+      round += 1
+    }
+    assign(vectors, idCol, vecCol, cents)
+      .select(col("_vid").as(idCol), col("cluster"), col("dist2"))
+      .withColumn("rounds_run", lit(round))
+      .withColumn("last_shift", lit(shift))
+  }
+
   /** Assignment of every vector to its nearest final centroid:
     * (idCol, cluster, dist2), dist2 rounded to 6 d.p.
     */

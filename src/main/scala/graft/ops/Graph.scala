@@ -74,8 +74,70 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingBp >= 0 && dampingBp <= 10000,
       s"dampingBp must be in [0, 10000], got $dampingBp")
-    // One checkpoint job materializes the (possibly expensive) upstream
-    // edge derivation; every iteration re-reads these blocks.
+    val (edges, _, nRow, r0) = prSetup(edges0, srcCol, dstCol, scale)
+    var ranks = r0
+    for (_ <- 1 to iters)
+      ranks = prIterate(ranks, edges, nRow, dampingBp, scale).localCheckpoint()
+    ranks.select(col("node"), col("out_deg"), col("pr"))
+  }
+
+  /** PageRank with a MEASURED convergence criterion: iterate until the
+    * total absolute rank change (exact integer units of 1/`scale`)
+    * drops to `epsilon` or `maxIters` is hit — the early exit fixed
+    * iteration counts cannot give (run 5 when 3 suffice, or stop at 5
+    * when the graph needed 9).
+    *
+    * The stop decision is part of the OUTPUT — every node row carries
+    * (rounds_run, last_delta) — so an oracle that unrolls maxIters
+    * rounds with the same integer recurrence computes the same deltas,
+    * picks the same stop round, and hash-matches the served ranks: the
+    * convergence RULE itself sits under the correctness gate, not just
+    * the per-round arithmetic.
+    *
+    * Per-round driver cost is one scalar aggregate (sum |Δpr|) over the
+    * |V|-sized rank table — the standard iterate-until-converged shape;
+    * rank tables are localCheckpoint'd per round exactly like the
+    * fixed-iteration path, so the delta action never re-runs lineage.
+    *
+    * @return one row per node: (node, out_deg, pr, rounds_run, last_delta)
+    */
+  def pageRankConverged(
+      edges0: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIters: Int,
+      epsilon: Long,
+      dampingBp: Int = 8500,
+      scale: Long = 1000000000L
+  ): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(epsilon >= 0L, s"epsilon must be >= 0, got $epsilon")
+    val (edges, _, nRow, r0) = prSetup(edges0, srcCol, dstCol, scale)
+    var ranks = r0
+    var round = 0
+    var delta = Long.MaxValue
+    while (round < maxIters && delta > epsilon) {
+      val next = prIterate(ranks, edges, nRow, dampingBp, scale).localCheckpoint()
+      delta = next
+        .join(ranks.select(col("node"), col("pr").as("__prev")), Seq("node"))
+        .agg(coalesce(sum(abs(col("pr") - col("__prev"))), lit(0L)))
+        .first().getLong(0)
+      ranks = next
+      round += 1
+    }
+    ranks.select(col("node"), col("out_deg"), col("pr"))
+      .withColumn("rounds_run", lit(round))
+      .withColumn("last_delta", lit(delta))
+  }
+
+  /** Shared setup: cleaned edge table, degree-joined node base, 1-row
+    * node count, uniform initial ranks. One checkpoint job materializes
+    * the (possibly expensive) upstream edge derivation; every iteration
+    * re-reads these blocks.
+    */
+  private def prSetup(
+      edges0: DataFrame, srcCol: String, dstCol: String, scale: Long
+  ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val edges = edges0
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -89,35 +151,37 @@ object Graph {
       .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg"))
       .localCheckpoint()
     val nRow = broadcast(base.agg(count(lit(1)).as("n")))
-
-    var ranks = base.crossJoin(nRow)
+    val r0 = base.crossJoin(nRow)
       .select(col("node"), col("out_deg"),
         floorDiv(lit(scale), col("n")).as("pr"))
       .localCheckpoint()
+    (edges, base, nRow, r0)
+  }
 
-    for (_ <- 1 to iters) {
-      val contribs = edges
-        .join(ranks.select(col("node").as("src"), col("pr"), col("out_deg")),
-          Seq("src"))
-        .groupBy(col("dst"))
-        .agg(sum(floorDiv(col("pr"), col("out_deg"))).as("incoming"))
-        .withColumnRenamed("dst", "node")
-      val dangling = broadcast(
-        ranks.filter(col("out_deg") === 0)
-          .agg(coalesce(sum(col("pr")), lit(0L)).as("dangling")))
-      ranks = ranks.select(col("node"), col("out_deg"))
-        .join(contribs, Seq("node"), "left")
-        .crossJoin(dangling)
-        .crossJoin(nRow)
-        .select(col("node"), col("out_deg"),
-          (floorDiv(lit((10000L - dampingBp) * scale), col("n") * lit(10000L)) +
-            floorDiv(
-              lit(dampingBp.toLong) *
-                (coalesce(col("incoming"), lit(0L)) +
-                  floorDiv(col("dangling"), col("n"))),
-              lit(10000L))).as("pr"))
-        .localCheckpoint()
-    }
-    ranks.select(col("node"), col("out_deg"), col("pr"))
+  /** One exact-integer PageRank round (see the recurrence in [[pageRank]]). */
+  private def prIterate(
+      ranks: DataFrame, edges: DataFrame, nRow: DataFrame,
+      dampingBp: Int, scale: Long
+  ): DataFrame = {
+    val contribs = edges
+      .join(ranks.select(col("node").as("src"), col("pr"), col("out_deg")),
+        Seq("src"))
+      .groupBy(col("dst"))
+      .agg(sum(floorDiv(col("pr"), col("out_deg"))).as("incoming"))
+      .withColumnRenamed("dst", "node")
+    val dangling = broadcast(
+      ranks.filter(col("out_deg") === 0)
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dangling")))
+    ranks.select(col("node"), col("out_deg"))
+      .join(contribs, Seq("node"), "left")
+      .crossJoin(dangling)
+      .crossJoin(nRow)
+      .select(col("node"), col("out_deg"),
+        (floorDiv(lit((10000L - dampingBp) * scale), col("n") * lit(10000L)) +
+          floorDiv(
+            lit(dampingBp.toLong) *
+              (coalesce(col("incoming"), lit(0L)) +
+                floorDiv(col("dangling"), col("n"))),
+            lit(10000L))).as("pr"))
   }
 }

@@ -991,6 +991,25 @@ class OpsSpec extends SparkSpec {
     seeds.foreach { case (id, c) => assert(c == Seq(values(id).toDouble)) }
   }
 
+  test("kmeansConverged: 1-D fixture stops once centroids settle, matches fixed-iteration") {
+    val values = Map(1L -> 0f, 2L -> 1f, 3L -> 2f, 4L -> 100f, 5L -> 101f, 6L -> 102f)
+    val vecs = values.toSeq.sortBy(_._1).map { case (id, v) => (id, Seq(v)) }
+      .toDF("vec_id", "embedding")
+    // round 1 lands on {1.0, 101.0} or one-sided splits depending on the
+    // seed pair; by round 2 centroids are settled, so round 3's shift is 0
+    // and a generous budget exits early
+    val out = Clustering.kmeansConverged(vecs, "vec_id", "embedding",
+      k = 2, maxIters = 8, epsilonMicro = 0L).collect()
+    val rounds = out.head.getInt(3)
+    assert(rounds < 8, s"expected early exit, ran $rounds")
+    assert(out.head.getLong(4) == 0L) // exact settle in micro-units
+    // assignment equals the fixed-iteration run at the stop round
+    val fixed = Clustering.kmeansAssign(vecs, "vec_id", "embedding",
+      k = 2, iters = rounds).orderBy("vec_id").collect()
+    assert(out.sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      fixed.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
   test("repeatedSpanDedupe removes every non-first occurrence of a repeated span") {
     // w=3. "a b c" occurs at (1,0), (2,2), (3,0); keeper is (1,0).
     // Doc 3 is an exact copy of doc 1, so ALL its shingles repeat doc 1's

@@ -57,4 +57,40 @@ class PageRankSpec extends SparkSpec {
     assert(r == Seq(
       ("a", 3L, nxt(r0)), ("b", 1L, nxt(2 * share)), ("c", 0L, nxt(share))))
   }
+
+  test("pageRankConverged: early exit matches the fixed-iteration ranks at the stop round") {
+    val edges = (0L until 300L)
+      .map(i => (s"h${i % 17}", s"h${(i * 7 + 3) % 19}")).toDF("src", "dst")
+    val conv = Graph.pageRankConverged(edges, "src", "dst",
+      maxIters = 12, epsilon = 100000L).orderBy("node").collect()
+    val rounds = conv.head.getInt(3)
+    val delta = conv.head.getLong(4)
+    assert(rounds < 12, s"expected early exit, ran $rounds")
+    assert(delta <= 100000L)
+    // the served ranks ARE the fixed-iteration ranks at the stop round
+    val fixed = Graph.pageRank(edges, "src", "dst", iters = rounds)
+      .orderBy("node").collect()
+    assert(conv.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      fixed.map(r => (r.getString(0), r.getLong(2))).toSeq)
+  }
+
+  test("pageRankConverged: epsilon 0 runs to maxIters on a drifting graph") {
+    val edges = (0L until 300L)
+      .map(i => (s"h${i % 17}", s"h${(i * 7 + 3) % 19}")).toDF("src", "dst")
+    val conv = Graph.pageRankConverged(edges, "src", "dst",
+      maxIters = 3, epsilon = 0L).collect()
+    // this asymmetric graph still moves integer units after 3 rounds
+    assert(conv.head.getInt(3) == 3)
+    assert(conv.head.getLong(4) > 0L)
+  }
+
+  test("pageRankConverged: an exact integer fixed point stops immediately") {
+    // symmetric 3-cycle: uniform ranks are the exact fixed point, so the
+    // first round's delta is 0 and the loop stops at round 1
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val conv = Graph.pageRankConverged(edges, "src", "dst",
+      maxIters = 5, epsilon = 0L).collect()
+    assert(conv.head.getInt(3) == 1)
+    assert(conv.head.getLong(4) == 0L)
+  }
 }
