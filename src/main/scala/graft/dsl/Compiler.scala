@@ -55,7 +55,24 @@ object Compiler {
       reg: Registry,
       tables: Map[String, DataFrame] = Map.empty
   ): Map[String, CompiledPipeline] = {
+    // manifests may use graft's SQL functions (nfc_normalize, vector_dot,
+    // ...) inside map exprs / conditions — make them resolvable whether or
+    // not the session was built with GraftExtensions (idempotent)
+    graft.plans.GraftExtensions.register(spark)
     val enabled = reg.pipelines.values.filter(_.enabled).toSeq.sortBy(_.key)
+
+    // Lookup tables resolve by name against (1) caller-injected frames
+    // (the library API — they win) and (2) any file-backed BATCH Source
+    // manifest in the registry — so a pure-CLI manifest can declare its
+    // lookup side as a Source resource, the reference's by-name resource
+    // resolution (registry.rs). `table`-format and streaming sources
+    // still need injection; DataFrames are lazy, so unused registry
+    // sources cost nothing.
+    val registrySources: Map[String, DataFrame] = reg.sources.values
+      .filter(s => !s.streaming && s.format != "table")
+      .map(s => s.name -> readSource(spark, s, tables))
+      .toMap
+    val lookupTables = registrySources ++ tables
 
     // group WITHIN a namespace: the shared-prefix optimization must never
     // fuse pipelines whose same-named source/steps resolve to different
@@ -70,7 +87,7 @@ object Compiler {
       val prefix = sharedPrefix(pipes.map(_.steps))
       val (prefixDf, prefixDlq) = prefix.foldLeft((sourceDf, Seq.empty[DataFrame])) {
         case ((df, dlqs), step) =>
-          val (out, dlq) = applyTransformRouted(df, transformOf(reg, ns, step), tables)
+          val (out, dlq) = applyTransformRouted(df, transformOf(reg, ns, step), lookupTables)
           (out, dlqs ++ dlq)
       }
       // streaming frames can't cache; each consumer re-reads the source,
@@ -82,7 +99,7 @@ object Compiler {
       pipes.map { p =>
         val (frame, tailDlq) = p.steps.drop(prefix.length)
           .foldLeft((sharedDf, Seq.empty[DataFrame])) { case ((df, dlqs), step) =>
-            val (out, dlq) = applyTransformRouted(df, transformOf(reg, ns, step), tables)
+            val (out, dlq) = applyTransformRouted(df, transformOf(reg, ns, step), lookupTables)
             (out, dlqs ++ dlq)
           }
         val sink = reg.getSink(ns, p.sink)
