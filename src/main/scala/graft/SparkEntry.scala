@@ -1444,6 +1444,14 @@ object SparkEntry {
     val merges = graft.functions.Subword.bpeMerges(docs(s, dir), "text", 16)
       .orderBy(col("step")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
+    // The oracle unrolls EXACTLY 16 merge steps (each b_k CTE cross-joins
+    // the previous); a corpus that exhausts mergeable pairs earlier would
+    // empty a b_k and zero the oracle while this side still served the
+    // shorter list — fail loudly instead of silently diverging (advisor
+    // r07). The bench fixtures always train the full 16.
+    require(merges.length == 16,
+      s"q_token_bpe: corpus trained only ${merges.length}/16 BPE merges — " +
+        "the 16-step oracle cannot replay a shorter schedule")
     docs(s, dir)
       .select(col("doc_id"),
         graft.functions.Subword.bpeTokenCount(coalesce(col("text"), lit("")),
@@ -3432,7 +3440,7 @@ object SparkEntry {
        |  SELECT vec_id, CAST(t.i AS INT) AS i,
        |    CAST(floor(CAST(embedding[CAST(t.i + 1 AS INT)] AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS x
        |  FROM embeddings CROSS JOIN range(64) t(i)
-       |), nn AS (SELECT count(*) AS n FROM embeddings),
+       |), nn AS (SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL),
        |s AS MATERIALIZED (SELECT i, CAST(sum(x) AS BIGINT) AS s FROM xs GROUP BY 1),
        |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS g
        |  FROM xs a JOIN xs b USING (vec_id) GROUP BY 1, 2),
@@ -3549,6 +3557,7 @@ object SparkEntry {
         |), keyed AS (
         |  SELECT doc_id, bands, r AS bidx, bands[CAST(r + 1 AS INT)] AS bval
         |  FROM sig CROSS JOIN range(4) t(r)
+        |  WHERE bands <> [0, 0, 0, 0]
         |), pairs AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM keyed a JOIN keyed b

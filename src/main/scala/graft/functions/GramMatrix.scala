@@ -46,19 +46,26 @@ case class GramMatrix(
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
+    // NULL vectors skip (SQL aggregate convention — the oracle mirrors it
+    // by counting only non-null rows); a WRONG-DIMENSION vector fails
+    // LOUDLY: silently skipping it would desynchronize n from any oracle
+    // counting rows, and a mixed-dimension embedding column is data
+    // corruption a covariance must never average over.
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      if (arr.numElements() == d) {
-        buf(0) += 1L
-        var i = 0
-        while (i < d) {
-          val xi = arr.getLong(i)
-          buf(1 + i) += xi
-          var j = 0
-          val row = 1 + d + i * d
-          while (j < d) { buf(row + j) += xi * arr.getLong(j); j += 1 }
-          i += 1
-        }
+      if (arr.numElements() != d)
+        throw new IllegalArgumentException(
+          s"gram_matrix(d=$d): input vector has ${arr.numElements()} " +
+            "elements — mixed-dimension embedding column")
+      buf(0) += 1L
+      var i = 0
+      while (i < d) {
+        val xi = arr.getLong(i)
+        buf(1 + i) += xi
+        var j = 0
+        val row = 1 + d + i * d
+        while (j < d) { buf(row + j) += xi * arr.getLong(j); j += 1 }
+        i += 1
       }
     }
     buf

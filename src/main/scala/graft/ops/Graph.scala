@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   * split is basis points over 10000. That makes each iteration an EXACT,
   * order-independent function of the graph — immune to float
   * non-associativity under Spark's partial aggregation, and replayable
-  * bit-for-bit by an oracle that unrolls the same iterations in SQL
-  * (`//` in DuckDB is the same floor division).
+  * bit-for-bit by an oracle that unrolls the same iterations in SQL.
+  * (DuckDB's `//` TRUNCATES toward zero, which only coincides with floor
+  * on non-negative operands — every quantity in the rank recurrence is
+  * non-negative, which is the precondition [[floorDiv]] requires.)
   *
   * Scale shape (100 TB crawl, ~1e8 hosts, ~1e10 edges):
   *   - out-degrees: one groupBy(src) over edges, computed once;
@@ -35,10 +37,16 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Exact floor division for non-negative longs, kept inside codegen:
-    * (a - a mod b) is an exact multiple of b, so the double division is
-    * exact and the cast back to long is the true quotient (all values in
-    * the rank recurrence stay far below 2^53).
+  /** Exact floor division, kept inside codegen: (a - a pmod b) is an
+    * exact multiple of b, so the double division is exact and the cast
+    * back to long is the true quotient (all values in the rank recurrence
+    * stay far below 2^53).
+    *
+    * PRECONDITION: operands non-negative. This is TRUE floor semantics
+    * (pmod), so on a negative dividend it diverges from the truncating
+    * `//`/`div` the oracles use: -7 floorDiv 2 = -4 but -7 // 2 = -3.
+    * All PageRank quantities are non-negative by construction; a caller
+    * with signed values must NOT reuse this helper against a `//` oracle.
     */
   private def floorDiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")

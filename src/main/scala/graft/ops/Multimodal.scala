@@ -180,9 +180,11 @@ object Multimodal {
       * ((299R+587G+114B)/1000) over an 8×8 grid of pixel blocks —
       * deterministic integer arithmetic, no float resampling, so the
       * perceptual hash of the same bytes is identical everywhere.
-      * Undecodable blobs degrade to all -1 (hashes to a full-zero
-      * signature band set that never collides with real images' bands
-      * except by the generic band join, and is filtered by hamming).
+      * Undecodable blobs degrade to all -1, which bands to the all-zero
+      * signature — the same bands any constant-luminance image produces
+      * (no pixel strictly above its mean), so two such rows are hamming-0
+      * "duplicates" of each other. [[ahashPairs]] excludes the all-zero
+      * signature family for exactly that reason.
       */
     def pixels8x8(blob: Array[Byte]): Array[Int] =
       read(blob).map { img =>
@@ -572,7 +574,16 @@ object Multimodal {
     // goes O(d³) per row.
     val sigs = df.select(col(idCol).as("doc"), col(bandsCol).as("bands"))
       .localCheckpoint()
-    val keyed = sigs.select(col("doc"), col("bands"),
+    // The all-zero signature is a degenerate FAMILY, not a fingerprint:
+    // undecodable blobs degrade to the all-(-1) pixel sentinel, and any
+    // constant-luminance thumbnail has no pixel strictly above its mean —
+    // both produce bands [0,0,0,0], so every such pair (solid-black vs
+    // solid-white, two unrelated corrupt blobs) would report hamming 0.
+    // Excluded here; callers wanting flat-image dedup should compare the
+    // mean channel instead.
+    val zero = array(lit(0), lit(0), lit(0), lit(0))
+    val live = sigs.filter(not(col("bands") === zero))
+    val keyed = live.select(col("doc"), col("bands"),
       posexplode(col("bands")).as(Seq("bidx", "bval")))
     keyed.as("a")
       .join(keyed.as("b"),

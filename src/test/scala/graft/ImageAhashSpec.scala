@@ -43,8 +43,11 @@ class ImageAhashSpec extends SparkSpec {
     val got = Multimodal.ahashPairs(df, "id", "bands", maxHamming = 3)
       .select("id_a", "id_b", "hamming")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // family 0's base is the all-zero signature — the degenerate family
+    // ahashPairs excludes by design (see its scaladoc), so brute skips it
     val brute = (for {
-      (a, ba) <- sigs; (b, bb) <- sigs if a < b
+      (a, ba) <- sigs if ba.exists(_ != 0)
+      (b, bb) <- sigs if a < b && bb.exists(_ != 0)
       h = ba.zip(bb).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
       if h <= 3
     } yield (a, b, h)).toSet
@@ -85,6 +88,26 @@ class ImageAhashSpec extends SparkSpec {
     val pairs = Multimodal.ahashPairs(sigs, "id", "bands", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
+  }
+
+  test("all-zero signatures (undecodable sentinel, flat images) never pair") {
+    // doc 1: undecodable blob -> all-(-1) pixels; doc 2: solid gray (no
+    // pixel strictly above its mean); doc 3/4: a real near-dup pair.
+    // Without the zero-signature exclusion, (1,2) reports hamming 0.
+    val sentinel = Multimodal.ImageIoCodecs.pixels8x8("not an image".getBytes)
+    assert(sentinel.forall(_ == -1))
+    val flat = Array.fill(64)(127)
+    val real = Array.tabulate(64)(i => if (i % 3 == 0) 200 else 20)
+    val real2 = real.clone(); real2(5) = 250
+    val px = Seq(1L -> sentinel, 2L -> flat, 3L -> real, 4L -> real2)
+      .map { case (id, p) => (id, p.toSeq) }.toDF("id", "px")
+      .localCheckpoint()
+    val sigs = px
+      .withColumn("mean", Multimodal.ahashMean(col("px")))
+      .withColumn("bands", Multimodal.ahashBands(col("px"), col("mean")))
+    val pairs = Multimodal.ahashPairs(sigs, "id", "bands", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 4L)), s"got $pairs")
   }
 
   test("stub pixels8x8 matches the documented md5 chain") {
