@@ -1445,11 +1445,13 @@ object SparkEntry {
       .orderBy(col("step")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     // The oracle unrolls EXACTLY 16 merge steps (each b_k CTE cross-joins
-    // the previous); a corpus that exhausts mergeable pairs earlier would
-    // empty a b_k and zero the oracle while this side still served the
-    // shorter list — fail loudly instead of silently diverging (advisor
-    // r07). The bench fixtures always train the full 16.
-    require(merges.length == 16,
+    // the previous); a NON-EMPTY corpus that exhausts mergeable pairs
+    // earlier would empty a b_k and zero the oracle while this side still
+    // served the shorter list — fail loudly instead of silently diverging
+    // (advisor r07). An EMPTY corpus is fine: both sides emit zero rows
+    // whatever the schedule, which is the empty-input contract
+    // (EmptyInputSpec). The bench fixtures always train the full 16.
+    require(merges.length == 16 || docs(s, dir).isEmpty,
       s"q_token_bpe: corpus trained only ${merges.length}/16 BPE merges — " +
         "the 16-step oracle cannot replay a shorter schedule")
     docs(s, dir)

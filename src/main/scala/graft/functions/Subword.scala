@@ -144,17 +144,31 @@ object Subword {
     merges.orderBy(col("step"))
   }
 
-  /** Token count under a learned BPE merge list ([[bpeMerges]]): the
-    * normalized text is paren-wrapped per character (spaces stay bare, so
-    * no merge can cross a word boundary), each merge applies IN TRAINING
-    * ORDER as one literal replace — identical greedy semantics to
-    * training — and the token count is simply the number of '(' groups
-    * left. All codegen'd string ops (one regexp + |merges|+1 replaces per
-    * document); the merge list is driver state the size of the merge
+  /** Token count under a learned BPE merge list ([[bpeMerges]]): merges
+    * apply IN TRAINING ORDER within word boundaries — identical greedy
+    * semantics to training. Since round 8 this runs as ONE codegen kernel
+    * pass over a token array ([[BpeMergeTable.countTokens]]) instead of
+    * the r7 chain of one regexp paren-wrap + |merges|+1 full-string
+    * literal replaces — same result by construction (each replace pass ==
+    * one left-to-right adjacent-pair merge sweep; property-spec'd against
+    * [[bpeTokenCountColumns]] and still replayed by the SQL oracle as the
+    * replace chain). The merge list is driver state the size of the merge
     * table (the collect-a-tiny-model pattern, like SubwordTable / IVF
-    * centroids), and the whole chain replays in SQL.
+    * centroids).
     */
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(BpeCount(
+      ColumnBridge.expression(TextFunctions.normalize(text)),
+      new BpeMergeTable(merges.map(_._1).toArray, merges.map(_._2).toArray)))
+  }
+
+  /** The r7 Column-chain formulation, kept as the executable spec of the
+    * kernel's semantics (and the shape the DuckDB oracle replays): wrap
+    * each char in parens, apply each merge as a literal string replace,
+    * count '(' groups.
+    */
+  def bpeTokenCountColumns(text: Column, merges: Seq[(String, String)]): Column = {
     val wrapped =
       regexp_replace(TextFunctions.normalize(text), "([a-z0-9])", "($1)")
     val merged = merges.foldLeft(wrapped) { case (s, (l, r)) =>
@@ -487,5 +501,86 @@ case class SubwordChunkBounds(child: Expression, table: SubwordTable, capacity: 
   }
 
   override protected def withNewChildInternal(newChild: Expression): SubwordChunkBounds =
+    copy(child = newChild)
+}
+
+/** Executor-shippable BPE merge schedule with the single-pass apply
+  * kernel. Equivalence to the r7 replace-chain formulation, argued once:
+  * the paren-wrapped string "(t0)(t1)..." IS a token array, and one
+  * literal `replace(s, "(l)(r)", "(lr)")` is exactly one left-to-right
+  * sweep merging adjacent (l, r) token pairs — the replacement is not
+  * re-examined as the LEFT of a pair within the same pass (string search
+  * resumes after it), which is precisely `i += 2` below. Sixteen string
+  * passes with per-pass full-copy allocation become sixteen array sweeps.
+  */
+final class BpeMergeTable(val lefts: Array[String], val rights: Array[String])
+    extends Serializable {
+  require(lefts.length == rights.length, "merge table arity mismatch")
+
+  /** Token count of already-NORMALIZED text under the merge schedule. */
+  def countTokens(s: UTF8String): Long = {
+    val str = s.toString
+    val n = str.length
+    var total = 0L
+    var start = 0
+    while (start < n) {
+      var end = str.indexOf(' ', start)
+      if (end < 0) end = n
+      if (end > start) total += wordTokens(str, start, end)
+      start = end + 1
+    }
+    total
+  }
+
+  private def wordTokens(str: String, from: Int, until: Int): Int = {
+    var toks = new Array[String](until - from)
+    var k = 0
+    while (k < toks.length) { toks(k) = String.valueOf(str.charAt(from + k)); k += 1 }
+    var len = toks.length
+    var m = 0
+    while (m < lefts.length && len > 1) {
+      val l = lefts(m)
+      val r = rights(m)
+      var w = 0
+      var i = 0
+      while (i < len) {
+        if (i + 1 < len && toks(i) == l && toks(i + 1) == r) {
+          toks(w) = toks(i) + toks(i + 1); i += 2
+        } else {
+          toks(w) = toks(i); i += 1
+        }
+        w += 1
+      }
+      len = w
+      m += 1
+    }
+    len
+  }
+}
+
+/** Codegen'd BPE token count over a normalized-text column — one kernel
+  * call per row (the reference-object pattern, like [[SubwordCount]]).
+  */
+case class BpeCount(child: Expression, table: BpeMergeTable)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_count needs a string input, got $other")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    table.countTokens(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tab = ctx.addReferenceObj("bpeMergeTable", table, classOf[BpeMergeTable].getName)
+    defineCodeGen(ctx, ev, c => s"$tab.countTokens($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCount =
     copy(child = newChild)
 }

@@ -237,6 +237,36 @@ class SubwordSpec extends SparkSpec {
     assert(got(3L) == 0L)
   }
 
+  test("BpeCount kernel == r7 replace-chain columns on randomized schedules") {
+    // the kernel's whole correctness claim is pass-for-pass equivalence
+    // with the literal replace chain (which the DuckDB oracle replays) —
+    // pin it on adversarial shapes: runs, chained merges, merges whose
+    // left is a previous merge's output, empties, unicode-stripped text
+    val rng = new scala.util.Random(42)
+    val alphabet = "ab0"
+    def randWord(n: Int) = (0 until n).map(_ => alphabet(rng.nextInt(3))).mkString
+    val docs = (1L to 60L).map { i =>
+      (i, (0 until rng.nextInt(6)).map(_ => randWord(1 + rng.nextInt(8))).mkString(" "))
+    } ++ Seq(61L -> "aaaa aaa aa a", 62L -> "", 63L -> "été ünïcode ab",
+      64L -> "ababab bababa", 65L -> "a0b0a0 0a0b0a")
+    val df = docs.toDF("doc_id", "text")
+    val schedules = Seq(
+      Seq("a" -> "a", "aa" -> "aa", "aaaa" -> "a"),
+      Seq("a" -> "b", "ab" -> "ab", "abab" -> "ab", "b" -> "a"),
+      Seq("0" -> "a", "0a" -> "0a", "b" -> "0", "a" -> "0"),
+      (1 to 16).map(_ => (randWord(1 + rng.nextInt(2)), randWord(1 + rng.nextInt(2)))))
+    schedules.zipWithIndex.foreach { case (merges, si) =>
+      val both = df.select(col("doc_id"),
+        graft.functions.Subword.bpeTokenCount(col("text"), merges).as("kernel"),
+        graft.functions.Subword.bpeTokenCountColumns(col("text"), merges).as("chain"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getLong(1) == r.getLong(2),
+          s"schedule $si doc ${r.getLong(0)}: kernel ${r.getLong(1)} != chain ${r.getLong(2)}")
+      }
+    }
+  }
+
   test("bpeMerges: runs merge textbook-greedy left-to-right") {
     // 'aaaa' → (a,a) appears 3 times; greedy merge yields (aa)(aa), so
     // the second round learns (aa, aa) at freq 1
