@@ -920,6 +920,30 @@ object SparkEntry {
       n = 3, k = 16, bands = 4, maxDist = 10)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Quality-aware survivor selection over the SAME near-dup clusters as
+    * q_dedup_clusters (L70): keep the longest member per component (byte
+    * length as the quality signal, ties to lowest id), singletons keep
+    * themselves without touching the window. The oracle replays the
+    * cluster derivation AND the argmax.
+    */
+  private def qDedupBest(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ops.Dedup.keepBestByScore(d, "doc_id", octet_length(col("text")),
+      graft.ops.Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, minJaccard = 0.5))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Score-proportional deterministic sampling (L71): acceptance
+    * probability rises with document length (micro-units, clamped), the
+    * decision is the id's hash — replayable row-local filter, the
+    * importance-sampling form of q_sample_hash.
+    */
+  private def qSampleWeighted(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.byScore(docs(s, dir), "doc_id",
+      col("n_chars").cast("long") * 1500L)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
     graft.ops.Dedup.connectedComponents(
       graft.ops.Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.5))
@@ -2983,6 +3007,8 @@ object SparkEntry {
     "q_dedup_edit" -> (qDedupEdit _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_best" -> (qDedupBest _),
+    "q_sample_weighted" -> (qSampleWeighted _),
     "q_neardup_cosine" -> (qNeardupCosine _),
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
@@ -3987,6 +4013,60 @@ object SparkEntry {
         |)
         |SELECT src AS id, least(min(dst), src) AS component
         |FROM reach GROUP BY src ORDER BY id""".stripMargin,
+    // Same cluster CTEs + the argmax survivor rule; singletons (docs not
+    // in any pair) keep themselves.
+    "q_dedup_best" ->
+      """WITH RECURSIVE nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM nrm)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), filt AS (
+        |  SELECT doc_id, shingle FROM sh
+        |  QUALIFY count(*) OVER (PARTITION BY shingle) <= 100
+        |), prs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM filt a JOIN filt b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), plist AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      round(CAST(inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - inter AS DOUBLE), 6) AS jaccard
+        |    FROM prs
+        |    JOIN sizes sa ON id_a = sa.doc_id
+        |    JOIN sizes sb ON id_b = sb.doc_id
+        |  ) WHERE jaccard >= 0.5
+        |), bidir AS (
+        |  SELECT id_a AS src, id_b AS dst FROM plist
+        |  UNION ALL SELECT id_b, id_a FROM plist
+        |), reach(src, dst) AS (
+        |  SELECT src, dst FROM bidir
+        |  UNION
+        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+        |), comp AS (
+        |  SELECT src AS id, least(min(dst), src) AS component
+        |  FROM reach GROUP BY src
+        |), scored AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+        |    CAST(strlen(d.text) AS BIGINT) AS score,
+        |    c.id IS NOT NULL AS is_member
+        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |)
+        |SELECT doc_id, component, score,
+        |  CASE WHEN is_member
+        |    THEN row_number() OVER (PARTITION BY component ORDER BY is_member DESC, score DESC, doc_id) = 1
+        |    ELSE TRUE END AS kept
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    // hash60(id) % 1e6 < clamp(n_chars * 1500) — the importance-sampling
+    // filter, decision identical in both engines.
+    "q_sample_weighted" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000000
+        |      < greatest(0, least(1000000, CAST(n_chars AS BIGINT) * 1500))
+        |ORDER BY doc_id""".stripMargin,
     "q_neardup_cosine" ->
       """SELECT id_a, id_b, cosine FROM (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

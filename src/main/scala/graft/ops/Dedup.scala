@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -339,6 +339,47 @@ object Dedup {
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     docs.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** Quality-aware near-dup survivor selection: label every document with
+    * its near-dup component and keep the BEST member per component —
+    * argmax score, ties to the lowest id — instead of [[dedupeByPairs]]'s
+    * keep-lowest-id. This is what production corpus dedup actually wants:
+    * a mirror family's survivor should be its cleanest/longest member,
+    * not whichever happened to get the smallest id.
+    *
+    * Scale shape: components exist only for ids that appear in `pairs`
+    * (≪ corpus); the corpus splits into members (inner join, then a
+    * component-keyed argmax window over the SMALL member set) and
+    * singletons (anti join — kept by construction, never shuffled through
+    * the window). Output is one row per input doc.
+    *
+    * @param scoreCol any deterministic quality column (classifier logit,
+    *                 byte length, ...) — higher is better
+    * @return (idCol, component, score, kept): component = min member id
+    *         (own id for singletons), kept = survivor flag
+    */
+  def keepBestByScore(
+      docs: DataFrame,
+      idCol: String,
+      scoreCol: Column,
+      pairs: DataFrame
+  ): DataFrame = {
+    val comps = connectedComponents(pairs)
+      .select(col("id").as("__cid"), col("component"))
+    val base = docs.select(col(idCol).cast("long").as("__cid"),
+      scoreCol.cast("long").as("score"))
+    val members = base.join(comps, Seq("__cid"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("score").desc, col("__cid"))
+    val rankedMembers = members
+      .withColumn("kept", row_number().over(w) === 1)
+    val singletons = base.join(comps, Seq("__cid"), "left_anti")
+      .select(col("__cid"), col("__cid").as("component"),
+        col("score"), lit(true).as("kept"))
+    rankedMembers.select(col("__cid"), col("component"), col("score"), col("kept"))
+      .unionByName(singletons)
+      .withColumnRenamed("__cid", idCol)
   }
 
   /** SimHash near-dup pairs within `maxHamming`. Blocking via signature

@@ -41,6 +41,21 @@ object Sampling {
       splitCol: String = "split"): DataFrame =
     df.withColumn(splitCol, splitColumn(col(idCol), splits))
 
+  /** Score-proportional deterministic sampling (importance sampling by
+    * quality): accept each row with probability `probMicro`/1e6, decided
+    * by the id's hash — same id, same decision, across runs, engines and
+    * table versions (the byHash replayability contract, at micro
+    * resolution because classifier-derived probabilities need finer than
+    * basis-point steps). Out-of-range probabilities clamp to [0, 1e6].
+    * Row-local filter — no shuffle, pushes toward the scan — and composes
+    * with any score source: classifier logits squashed to a probability,
+    * DSIR weights, length priors.
+    */
+  def byScore(df: DataFrame, idCol: String, probMicro: Column): DataFrame =
+    df.filter(
+      pmod(H.hash60(col(idCol).cast("string")), lit(1000000L)) <
+        greatest(lit(0L), least(lit(1000000L), probMicro.cast("long"))))
+
   /** Per-stratum sampling rates (basis points), deterministic by id — the
     * training-mix knob: keep 100% of a rare class, 5% of the dominant one.
     * Strata absent from `rates` use `defaultBp`. Still a pure row-local

@@ -1010,6 +1010,44 @@ class OpsSpec extends SparkSpec {
       fixed.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
   }
 
+  test("keepBestByScore: argmax survivor per cluster, ties to lowest id, singletons kept") {
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L),   // cluster {1,2,3}: best = 2 (score tie 2 vs 3 -> lowest id)
+      (4L, 5L),                          // singleton
+      (5L, 1L), (6L, 99L)                // cluster {5,6}: best = 6
+    ).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBestByScore(docs, "id", col("score"), pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(out.length == 6) // one row per input doc
+    assert(out.toSeq == Seq(
+      (1L, 1L, 10L, false), (2L, 1L, 30L, true), (3L, 1L, 30L, false),
+      (4L, 4L, 5L, true),
+      (5L, 5L, 1L, false), (6L, 5L, 99L, true)))
+    // exactly one survivor per component
+    assert(out.filter(_._4).map(_._2).toSeq.sorted == Seq(1L, 4L, 5L))
+  }
+
+  test("byScore: probability 0 drops all, 1e6 keeps all, decision is id-stable") {
+    val df = (1L to 500L).map(i => (i, i % 7)).toDF("id", "grp")
+    assert(Sampling.byScore(df, "id", lit(0L)).count() == 0L)
+    assert(Sampling.byScore(df, "id", lit(1000000L)).count() == 500L)
+    assert(Sampling.byScore(df, "id", lit(5000000L)).count() == 500L) // clamps high
+    assert(Sampling.byScore(df, "id", lit(-5L)).count() == 0L)        // clamps low
+    val half = Sampling.byScore(df, "id", lit(500000L))
+      .select("id").as[Long].collect().toSet
+    // deterministic across partitionings, and roughly half
+    val half7 = Sampling.byScore(df.repartition(7), "id", lit(500000L))
+      .select("id").as[Long].collect().toSet
+    assert(half == half7)
+    assert(half.size > 400 / 2 && half.size < 600 / 2 + 100)
+    // monotone: raising the probability only ADDS ids
+    val more = Sampling.byScore(df, "id", lit(750000L))
+      .select("id").as[Long].collect().toSet
+    assert(half.subsetOf(more))
+  }
+
   test("repeatedSpanDedupe removes every non-first occurrence of a repeated span") {
     // w=3. "a b c" occurs at (1,0), (2,2), (3,0); keeper is (1,0).
     // Doc 3 is an exact copy of doc 1, so ALL its shingles repeat doc 1's
