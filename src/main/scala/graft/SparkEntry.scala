@@ -359,6 +359,24 @@ object SparkEntry {
       )
       .orderBy(col("user_id"), col("session_id"))
 
+  /** Conversation/thread assembly (L73): the sessionizer's consumer —
+    * one training document per (user, session), utterances in exact
+    * (event-time, id) order. The oracle replays the session tagging AND
+    * the ordered string_agg.
+    */
+  private def qThreadAssembly(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Threads.assemble(t(s, dir, "events"), "user_id", "ts",
+      "event_type", gapSeconds = 1800, tieBreakCol = "event_id")
+      .orderBy(col("user_id"), col("session_id"))
+
+  /** Phrase mining by integer PMI (L72): top co-occurring word pairs over
+    * the corpus transition space, exact decimal floor division — the
+    * Mikolov-style phrase pass, log-free under the hash gate.
+    */
+  private def qPhrasePmi(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LangModel.phrasePmi(docs(s, dir), "doc_id", "text",
+      minCount = 5, k = 50)
+
   private def qSessionize(s: SparkSession, dir: String): DataFrame =
     sessionizer
       .tagged(t(s, dir, "events"))
@@ -2982,6 +3000,8 @@ object SparkEntry {
     "q_agg_sliding" -> (qAggSliding _),
     "q_agg_session" -> (qAggSession _),
     "q_sessionize" -> (qSessionize _),
+    "q_thread_assembly" -> (qThreadAssembly _),
+    "q_phrase_pmi" -> (qPhrasePmi _),
     "q_sessionize_maxdur" -> (qSessionizeMaxdur _),
     "q_join_inner" -> (qJoinInner _),
     "q_join_asof" -> (qJoinAsof _),
@@ -3746,6 +3766,49 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_thread_assembly" ->
+      """WITH tagged AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM tagged
+        |)
+        |SELECT user_id, session_id, min(ts) AS session_start,
+        |  max(ts) AS session_end, count(*) AS n_utterances,
+        |  string_agg(event_type, chr(10) ORDER BY ts, event_id) AS transcript
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    // PMI over the same tokenization/pair CTEs as q_kneser_ney; HUGEINT
+    // keeps c12*T*1e6 exact at any SF, // is the same floor the decimal
+    // division computes (all quantities non-negative).
+    "q_phrase_pmi" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), wocc AS MATERIALIZED (
+        |  SELECT doc_id, i + 1 AS pos, toks[i+1] AS w
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM nrm)
+        |  WHERE toks[i+1] <> ''
+        |), pairs AS MATERIALIZED (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM wocc a JOIN wocc b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |), big AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+        |l AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+        |r AS (SELECT w2, count(*) AS c2 FROM pairs GROUP BY 1),
+        |tt AS (SELECT count(*) AS t FROM pairs)
+        |SELECT w1, w2, c12,
+        |  CAST((CAST(c12 AS HUGEINT) * tt.t * 1000000)
+        |       // (CAST(l.c1 AS HUGEINT) * r.c2) AS BIGINT) AS pmi_ratio_micro
+        |FROM big JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tt
+        |WHERE c12 >= 5
+        |ORDER BY pmi_ratio_micro DESC, w1, w2 LIMIT 50""".stripMargin,
     "q_sessionize" ->
       """WITH tagged AS (
         |  SELECT event_id, user_id, ts,

@@ -156,4 +156,61 @@ object LangModel {
           / col("n_transitions").cast("decimal(38,0)")).cast("long"))
       .select(col("doc_id"), col("n_transitions"), col("score_micro"))
   }
+
+
+  /** Phrase mining by pointwise mutual information (the Mikolov et al.
+    * 2013 phrase-pass count form): rank adjacent word pairs by how much
+    * more often they co-occur than independence predicts,
+    *
+    *   pmi_ratio_micro = (c12 · T · 1e6) div (c1 · c2)
+    *
+    * over the TRANSITION space (c1 = transitions starting with w1, c2 =
+    * transitions ending with w2, T = all transitions). log is monotone,
+    * so ranking by the exact integer ratio IS ranking by PMI — and the
+    * ratio is computed with the suite's decimal(38,0) exact floor
+    * division, so there is no log, no float, and no overflow bound to
+    * document. `minCount` prunes rare-pair noise BEFORE the ratio (the
+    * standard phrase-pass discount-free filter).
+    *
+    * Scale shape: one transition explode feeding three map-side-combined
+    * aggregations (pair counts, left counts, right counts) + a 1-row
+    * broadcast total — the q_perplexity shuffle profile — then top-k as
+    * TakeOrdered (never a global sort).
+    *
+    * @return top `k` rows: (w1, w2, c12, pmi_ratio_micro), ordered by
+    *         (ratio desc, w1, w2) — the deterministic total order both
+    *         engines replay
+    */
+  def phrasePmi(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long,
+      k: Int
+  ): DataFrame = {
+    require(minCount >= 1 && k >= 1, "minCount >= 1, k >= 1")
+    // one materialization for the four consumers (pair/left/right/total)
+    val pairs = transitions(tokenized(docs, idCol, textCol))
+      .select(col("w1"), col("w2"))
+      .localCheckpoint(false)
+    val big = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val left = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val right = pairs.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val tot = broadcast(pairs.agg(count(lit(1)).as("t")))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    big
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(tot)
+      .withColumn("_num", dec(col("c12")) * dec(col("t")) * dec(lit(Micro)))
+      .withColumn("_den", dec(col("c1")) * dec(col("c2")))
+      .withColumn("pmi_ratio_micro",
+        ((col("_num") - pmod(col("_num"), col("_den"))) / col("_den"))
+          .cast("long"))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi_ratio_micro"))
+      .orderBy(col("pmi_ratio_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

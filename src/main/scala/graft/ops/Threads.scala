@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Conversation / thread assembly — turning event-shaped data (chat
+  * messages, support tickets, interaction logs) into the per-conversation
+  * TRAINING DOCUMENTS an LLM pipeline consumes: sessionize per key, then
+  * one row per session whose transcript is the utterances in event-time
+  * order. The missing last step between the engine's sessionize operator
+  * (which emits boundaries/stats) and a text corpus.
+  *
+  * Scale shape: session tagging is the audited [[graft.operators.Sessionize]]
+  * per-key window; assembly is ONE groupBy((key, session_id)) whose state
+  * per group is the session's own utterances — bounded by session length,
+  * the same bound any conversation-document build has. Ordering inside
+  * the transcript is exact and engine-replayable: utterances collect as
+  * (event-time micros, tiebreak, text) structs, sort_array orders them
+  * lexicographically by those fields, so ties break on the caller's
+  * tiebreak column, never on arrival order.
+  */
+object Threads {
+
+  /** One row per (key, session): (keyCol, session_id, session_start,
+    * session_end, n_utterances, transcript).
+    *
+    * @param tieBreakCol orders same-timestamp utterances (an id column);
+    *                    REQUIRED because arrival order is not reproducible
+    * @param sep         transcript separator (default newline)
+    */
+  def assemble(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      utterCol: String,
+      gapSeconds: Long,
+      tieBreakCol: String,
+      sep: String = "\n"
+  ): DataFrame = {
+    val tagged = graft.operators.Sessionize(
+      keyCol, gapSeconds,
+      orderBy = Seq(col(tsCol), col(tieBreakCol)),
+      eventTimeCol = tsCol
+    ).tagged(df)
+    tagged
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_utterances"),
+        sort_array(collect_list(struct(
+          unix_micros(col(tsCol)).as("_t"),
+          col(tieBreakCol).cast("long").as("_i"),
+          col(utterCol).cast("string").as("_u")))).as("_us"))
+      .select(col(keyCol), col("session_id"), col("session_start"),
+        col("session_end"), col("n_utterances"),
+        array_join(transform(col("_us"), u => u.getField("_u")), sep)
+          .as("transcript"))
+  }
+}

@@ -1048,6 +1048,53 @@ class OpsSpec extends SparkSpec {
     assert(half.subsetOf(more))
   }
 
+  test("Threads.assemble: gap boundaries, exact utterance order, tie-breaks") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val events = Seq(
+      // user 1, session 1: three utterances, two at the SAME timestamp —
+      // the tiebreak id must order them 11 then 12
+      (10L, 1L, ts(100), "hello"),
+      (12L, 1L, ts(160), "world"),
+      (11L, 1L, ts(160), "big"),
+      // > 60s gap -> session 2
+      (13L, 1L, ts(300), "again"),
+      // user 2: one singleton session
+      (20L, 2L, ts(500), "solo")
+    ).toDF("event_id", "user_id", "ts", "utt")
+    val out = Threads.assemble(events, "user_id", "ts", "utt",
+      gapSeconds = 60, tieBreakCol = "event_id", sep = " | ")
+      .orderBy("user_id", "session_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getString(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, "hello | big | world"),
+      (1L, 2L, 1L, "again"),
+      (2L, 1L, 1L, "solo")))
+  }
+
+  test("phrasePmi: hand-computed integer ratios, minCount filter, ordering") {
+    // corpus transitions: "new york" x4, "new deal" x1, "the york" x1,
+    // plus filler "a b" x2. T = 8.
+    val docs = Seq(
+      (1L, "new york new york a b"), // transitions: (new,york)(york,new)(new,york)(york,a)(a,b)
+      (2L, "new york new deal"),     // (new,york)(york,new)(new,deal)
+      (3L, "the york a b")           // (the,york)(york,a)(a,b)
+    ).toDF("doc_id", "text")
+    val out = LangModel.phrasePmi(docs, "doc_id", "text", minCount = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // transitions: T = 11.
+    // c12(new,york)=3, c1(new)=4, c2(york)=4  -> 3*11e6 / 16 = 2062500
+    // c12(york,new)=2, c1(york)=4, c2(new)=2  -> 2*11e6 / 8  = 2750000
+    // c12(a,b)=2,      c1(a)=2,   c2(b)=2     -> 2*11e6 / 4  = 5500000
+    // c12(york,a)=2,   c1(york)=4, c2(a)=2    -> 2*11e6 / 8  = 2750000
+    assert(out.length == 4)
+    assert(out(0) == (("a", "b", 2L, 5500000L)))
+    // tie between (york,a) and (york,new) breaks on w2
+    assert(out(1) == (("york", "a", 2L, 2750000L)))
+    assert(out(2) == (("york", "new", 2L, 2750000L)))
+    assert(out(3) == (("new", "york", 3L, 2062500L)))
+  }
+
   test("repeatedSpanDedupe removes every non-first occurrence of a repeated span") {
     // w=3. "a b c" occurs at (1,0), (2,2), (3,0); keeper is (1,0).
     // Doc 3 is an exact copy of doc 1, so ALL its shingles repeat doc 1's
