@@ -189,10 +189,13 @@ object LangModel {
       k: Int
   ): DataFrame = {
     require(minCount >= 1 && k >= 1, "minCount >= 1, k >= 1")
-    // one materialization for the four consumers (pair/left/right/total)
+    // four consumers, NO materialization: each aggregation rescans the
+    // corpus with the tokenizer Generate recomputed — the same deliberate
+    // trade as bigramSurprisal (PLANS.md q_perplexity note): checkpointing
+    // here would write CORPUS-SIZED transition state for the same total
+    // I/O, which is exactly wrong at 100 TB
     val pairs = transitions(tokenized(docs, idCol, textCol))
       .select(col("w1"), col("w2"))
-      .localCheckpoint(false)
     val big = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= minCount)

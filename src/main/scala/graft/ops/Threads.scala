@@ -24,8 +24,11 @@ object Threads {
   /** One row per (key, session): (keyCol, session_id, session_start,
     * session_end, n_utterances, transcript).
     *
-    * @param tieBreakCol orders same-timestamp utterances (an id column);
-    *                    REQUIRED because arrival order is not reproducible
+    * @param tieBreakCol orders same-timestamp utterances — a NUMERIC id
+    *                    column (it is cast to long inside the sort
+    *                    struct; a non-numeric id would cast to null and
+    *                    collapse the tie-break). REQUIRED because
+    *                    arrival order is not reproducible
     * @param sep         transcript separator (default newline)
     */
   def assemble(
