@@ -96,6 +96,14 @@ def main():
             if wm:
                 print(f"WARN {name}: int-width mismatch (driver hash may flag): "
                       f"{[(c, sraw[c], oraw[c]) for c in wm]}")
+            # raw TIMESTAMP outputs are the same pandas-dtype hazard class
+            # as decimals (tz-aware parquet vs naive duckdb frames): suite
+            # convention is unix_micros/unix_seconds integer columns
+            tscols = [c for c in ocols
+                      if 'TIMESTAMP' in str(sraw.get(c, '')) or 'TIMESTAMP' in str(oraw[c])]
+            if tscols:
+                print(f"WARN {name}: raw timestamp output {tscols} — serve as "
+                      f"unix micros/seconds (driver hash may flag tz-awareness)")
             tmism = [c for c in ocols if stypes.get(c) != otypes[c]]
             if tmism:
                 print(f"FAIL {name}: dtype class mismatch "

@@ -367,6 +367,13 @@ object SparkEntry {
   private def qThreadAssembly(s: SparkSession, dir: String): DataFrame =
     graft.ops.Threads.assemble(t(s, dir, "events"), "user_id", "ts",
       "event_type", gapSeconds = 1800, tieBreakCol = "event_id")
+      // suite convention: temporal outputs serve as unix micros, never raw
+      // timestamps — the same pandas-dtype hazard class as q_drift_psi's
+      // decimals (tz-aware parquet reads vs naive DuckDB frames)
+      .select(col("user_id"), col("session_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_utterances"), col("transcript"))
       .orderBy(col("user_id"), col("session_id"))
 
   /** Phrase mining by integer PMI (L72): top co-occurring word pairs over
@@ -3780,8 +3787,8 @@ object SparkEntry {
         |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM tagged
         |)
-        |SELECT user_id, session_id, min(ts) AS session_start,
-        |  max(ts) AS session_end, count(*) AS n_utterances,
+        |SELECT user_id, session_id, epoch_us(min(ts)) AS session_start_us,
+        |  epoch_us(max(ts)) AS session_end_us, count(*) AS n_utterances,
         |  string_agg(event_type, chr(10) ORDER BY ts, event_id) AS transcript
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,

@@ -340,6 +340,19 @@ object Compiler {
         case "csv"     => pw.option("header", "true").csv(p.sink.path)
         case "json"    => pw.json(p.sink.path)
         case "noop"    => pw.format("noop").save()
+        // WARC container sinks: options name the id/uri/body columns
+        // (defaults doc_id/uri/text); overwrite-only, no partitionBy —
+        // fail loudly rather than silently dropping semantics
+        case "warc" | "warcgz" =>
+          require(p.sink.partitionBy.isEmpty,
+            s"sink '${p.sink.name}': ${p.sink.format} does not support partitionBy")
+          val idCol = p.sink.options.getOrElse("idCol", "doc_id")
+          val uriCol = p.sink.options.getOrElse("uriCol", "uri")
+          val bodyCol = p.sink.options.getOrElse("bodyCol", "text")
+          if (p.sink.format == "warc")
+            graft.sources.Warc.write(frame, idCol, uriCol, bodyCol, p.sink.path)
+          else
+            graft.sources.WarcGz.write(frame, idCol, uriCol, bodyCol, p.sink.path)
         case other     => sys.error(s"unknown sink format: $other")
       }
     }

@@ -47,6 +47,7 @@ final case class SinkManifest(
     zOrderBy: Seq[String] = Seq.empty, // exactly two columns: z-order layout
     zOrderBits: Int = 12,
     mergeKeys: Seq[String] = Seq.empty, // non-empty: keyed upsert (Writers.mergeByKey)
+    options: Map[String, String] = Map.empty, // format-specific (warc: idCol/uriCol/bodyCol)
     namespace: String = Registry.DefaultNamespace
 ) { def key: (String, String) = (namespace, name) }
 

@@ -92,12 +92,16 @@ object YamlLoader {
         if (mergeKeys.nonEmpty && partitions.nonEmpty)
           sys.error(s"sink '$name': mergeKeys and partitionBy are exclusive — " +
             "partition-scoped upserts route through mode overwrite (dynamic partitions)")
+        val sinkOpts = spec.get("options")
+          .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString })
+          .getOrElse(Map.empty[String, String])
         Registry().apply(
           SinkManifest(name, fmt, str("path"), str("mode", "overwrite"),
             partitions, checkpoint = str("checkpoint"),
             zOrderBy = zOrder,
             zOrderBits = zBits,
             mergeKeys = mergeKeys,
+            options = sinkOpts,
             namespace = ns))
       case "Pipeline" =>
         val steps = spec.get("steps").map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)

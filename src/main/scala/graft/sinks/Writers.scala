@@ -19,7 +19,7 @@ import graft.operators.RetryPolicy
 object DeliveryMode extends Enumeration { val AtLeastOnce, ExactlyOnce = Value }
 
 final case class SinkConfig(
-    format: String,                  // parquet | csv | json | noop
+    format: String,                  // parquet | csv | json | noop | warc | warcgz
     path: String,
     partitionBy: Seq[String] = Seq.empty,
     mode: DeliveryMode.Value = DeliveryMode.ExactlyOnce,
@@ -72,6 +72,23 @@ object Writers {
       case "csv"     => w.option("header", "true").csv(sink.path)
       case "json"    => w.json(sink.path)
       case "noop"    => w.format("noop").save()
+      // WARC container sinks (crawl-corpus handoff): options name the id /
+      // uri / body columns (defaults doc_id / uri / text). Both writers
+      // overwrite their directory; partitionBy/append don't apply to the
+      // record-container shape, so they fail loudly rather than silently
+      // dropping semantics.
+      case "warc" | "warcgz" =>
+        require(sink.partitionBy.isEmpty,
+          s"sink format ${sink.format} does not support partitionBy")
+        require(sink.mode == DeliveryMode.ExactlyOnce,
+          s"sink format ${sink.format} is overwrite-only (ExactlyOnce)")
+        val idCol = sink.options.getOrElse("idCol", "doc_id")
+        val uriCol = sink.options.getOrElse("uriCol", "uri")
+        val bodyCol = sink.options.getOrElse("bodyCol", "text")
+        if (sink.format == "warc")
+          graft.sources.Warc.write(df, idCol, uriCol, bodyCol, sink.path)
+        else
+          graft.sources.WarcGz.write(df, idCol, uriCol, bodyCol, sink.path)
       case other     => sys.error(s"unknown sink format: $other")
     }
   }

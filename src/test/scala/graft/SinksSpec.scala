@@ -100,4 +100,31 @@ class SinksSpec extends SparkSpec {
     // batch-id partitions are visible for pruning
     assert(out.columns.contains("_batch_id"))
   }
+
+  test("warc / warcgz sink formats roundtrip through the container readers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_sink").toString
+    val docs = Seq(
+      (1L, "https://a/1", "alpha body"),
+      (2L, "https://a/2", "beta body"))
+      .toDF("doc_id", "uri", "text")
+    Writers.write(docs, SinkConfig("warc", s"$dir/w"))
+    val back = graft.sources.Warc.read(spark, s"$dir/w")
+    assert(back.count() == 2)
+    Writers.write(docs, SinkConfig("warcgz", s"$dir/wz"))
+    val backGz = graft.sources.WarcGz.read(spark, s"$dir/wz/part-*")
+    assert(backGz.select("body").as[String].collect().toSet ==
+      Set("alpha body", "beta body"))
+    // custom column names via options
+    val named = Seq((9L, "u", "b")).toDF("id", "link", "payload")
+    Writers.write(named, SinkConfig("warcgz", s"$dir/wz2",
+      options = Map("idCol" -> "id", "uriCol" -> "link", "bodyCol" -> "payload")))
+    assert(graft.sources.WarcGz.read(spark, s"$dir/wz2/part-*")
+      .select("target_uri").as[String].collect().toSeq == Seq("u"))
+    // loud failures instead of dropped semantics
+    intercept[IllegalArgumentException](
+      Writers.write(docs, SinkConfig("warc", s"$dir/bad", partitionBy = Seq("uri"))))
+    intercept[IllegalArgumentException](
+      Writers.write(docs, SinkConfig("warc", s"$dir/bad2",
+        mode = DeliveryMode.AtLeastOnce)))
+  }
 }
