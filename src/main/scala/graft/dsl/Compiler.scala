@@ -767,6 +767,50 @@ object Compiler {
           case "tag"    => scored
           case other    => sys.error(s"unknown quality_filter action: $other")
         }
+      case "dedupe_near" =>
+        // Near-duplicate removal (MinHash-LSH band join) as a pipeline
+        // step — the YAML form of the Dedup.minhashLshPairs +
+        // dedupeByPairs/keepBestByScore composition, so corpus curation
+        // manifests get REAL near-dedup, not just exact-key dedupe.
+        // Batch-only: banding needs the whole corpus.
+        require(!df.isStreaming,
+          "dedupe_near is batch-only: LSH banding needs the full corpus " +
+            "(run it as a compaction/curation pipeline)")
+        val nIdField = c.getOrElse("idField", "doc_id").toString
+        val nTextField = c.getOrElse("field", "text").toString
+        val pairs = graft.ops.Dedup.minhashLshPairs(df, nIdField, nTextField,
+          n = c.getOrElse("shingleSize", 3).toString.toInt,
+          k = c.getOrElse("signatureSize", 16).toString.toInt,
+          bands = c.getOrElse("bands", 4).toString.toInt,
+          minSim = c.getOrElse("minSimilarity", 0.5).toString.toDouble,
+          maxBucket = c.getOrElse("maxBucket", Int.MaxValue).toString.toInt)
+        c.getOrElse("keep", "first").toString match {
+          case "first" => graft.ops.Dedup.dedupeByPairs(df, nIdField, pairs)
+          case "best" =>
+            // quality-aware survivors (keepBestByScore): keep the argmax
+            // of scoreField per near-dup cluster instead of the lowest id
+            val scoreField = c.getOrElse("scoreField",
+              sys.error("dedupe_near keep: best needs scoreField")).toString
+            val survivors = graft.ops.Dedup
+              .keepBestByScore(df, nIdField, col(scoreField), pairs)
+              .filter(col("kept"))
+              .select(col(nIdField))
+            df.join(survivors, Seq(nIdField), "left_semi")
+          case other => sys.error(s"dedupe_near: keep must be first|best, got '$other'")
+        }
+      case "temperature_mixture" =>
+        // Domain-temperature rebalancing (tau = 1/2 exact-integer quotas)
+        // as a pipeline step: keep the deterministic per-group sample the
+        // operator selects, with the original row schema.
+        require(!df.isStreaming,
+          "temperature_mixture is batch-only: quotas are corpus-level")
+        val mIdField = c.getOrElse("idField", "doc_id").toString
+        val groupField = c("groupField").toString
+        val budget = c("budget").toString.toLong
+        val picked = graft.ops.Sampling
+          .temperatureMixture(df, mIdField, groupField, budget)
+          .select(col("id").as(mIdField))
+        df.join(picked, Seq(mIdField), "left_semi")
       case "upsample" =>
         // Deterministic weighted upsampling (graft.ops.Sampling) as a
         // pipeline step: per-stratum weights from the manifest, resolved

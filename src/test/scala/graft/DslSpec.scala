@@ -318,6 +318,85 @@ class DslSpec extends SparkSpec {
     assert(frame.columns.toSeq == Seq("doc_id", "body", "src", "copy"))
   }
 
+  test("dedupe_near transform: LSH near-dedup from the manifest, keep first and best") {
+    def yaml(keep: String, extra: String = "") =
+      s"""kind: Source
+         |metadata: {name: docs}
+         |spec: {format: table, path: docs}
+         |---
+         |kind: Transform
+         |metadata: {name: dn}
+         |spec:
+         |  type: dedupe_near
+         |  idField: doc_id
+         |  field: body
+         |  minSimilarity: 0.8
+         |  keep: $keep
+         |$extra---
+         |kind: Sink
+         |metadata: {name: out}
+         |spec: {format: noop, path: ""}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: docs, steps: [dn], sink: out}
+         |""".stripMargin
+    // docs 1/2: identical long text (near-dup family); doc 3 unrelated
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base, 10L), (2L, base, 99L),
+      (3L, "completely different words in this one entirely", 5L))
+      .toDF("doc_id", "body", "score")
+    val first = Compiler.compile(spark, YamlLoader.load(yaml("first")),
+      tables = Map("docs" -> docs))("p").frame
+      .select("doc_id").as[Long].collect().sorted
+    assert(first.toSeq == Seq(1L, 3L)) // lowest id survives
+    val best = Compiler.compile(spark,
+      YamlLoader.load(yaml("best", "  scoreField: score\n")),
+      tables = Map("docs" -> docs))("p").frame
+      .select("doc_id").as[Long].collect().sorted
+    assert(best.toSeq == Seq(2L, 3L)) // highest score survives
+    // keep: best without scoreField fails loudly
+    val e = intercept[RuntimeException](Compiler.compile(spark,
+      YamlLoader.load(yaml("best")), tables = Map("docs" -> docs))("p").frame.count())
+    assert(e.getMessage.contains("scoreField"))
+  }
+
+  test("temperature_mixture transform: tau=1/2 quotas from the manifest") {
+    val yaml =
+      """kind: Source
+        |metadata: {name: ev}
+        |spec: {format: table, path: ev}
+        |---
+        |kind: Transform
+        |metadata: {name: mix}
+        |spec:
+        |  type: temperature_mixture
+        |  idField: id
+        |  groupField: grp
+        |  budget: 30
+        |---
+        |kind: Sink
+        |metadata: {name: out}
+        |spec: {format: noop, path: ""}
+        |---
+        |kind: Pipeline
+        |metadata: {name: p}
+        |spec: {source: ev, steps: [mix], sink: out}
+        |""".stripMargin
+    // 90 'big' rows vs 10 'small': sqrt flattening gives small a far
+    // larger share than its 1/10 population
+    val ev = ((1L to 90L).map(i => (i, "big")) ++ (91L to 100L).map(i => (i, "small")))
+      .toDF("id", "grp")
+    val out = Compiler.compile(spark, YamlLoader.load(yaml),
+      tables = Map("ev" -> ev))("p").frame
+    val byGrp = out.groupBy("grp").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    // s_big = 9, s_small = 3, stot = 12: quotas 30*9/12=22, 30*3/12=7
+    assert(byGrp == Map("big" -> 22L, "small" -> 7L))
+    assert(out.columns.toSeq == Seq("id", "grp")) // original schema survives
+  }
+
   test("DOT export names all stages and edges") {
     val reg = YamlLoader.load(manifestYaml)
     val dot = PipelineGraph.fromRegistry("t", reg).toDot
