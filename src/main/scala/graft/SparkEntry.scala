@@ -2127,6 +2127,48 @@ object SparkEntry {
       .orderBy(col("id"), col("frame_idx"))
   }
 
+  /** q_frames_video's ISO-BMFF sibling: the same text-slice payloads pack
+    * into a REAL progressive MP4 (ftyp/mdat/moov with full stbl sample
+    * tables, built by [[graft.ops.Mp4.buildMp4]]), demux back through the
+    * sample-table walker, and stride-sample 8→3. The oracle replays the
+    * slices and the i*m/n stride (0,2,5) relationally — a demuxer that
+    * mis-accounts stsz/stsc/stco desyncs and fails the hash gate.
+    */
+  private def qFramesMp4(s: SparkSession, dir: String): DataFrame = {
+    val padded = rpad(col("text"), 200, "x")
+    val payloads = array(graft.ops.Video.FixtureFramePlan.map {
+      case (start, len) => substring(padded, start + 1, len)
+    }: _*)
+    val blobs = graft.ops.Video.packMp4(
+      docs(s, dir).select(col("doc_id"), payloads.as("payloads")),
+      "doc_id", "payloads", width = 640, height = 360)
+    graft.ops.Multimodal.sampleFrames(blobs, "id", "blob", nFrames = 3,
+      graft.ops.Video.VideoCodecs)
+      .select(col("id"), col("frame_idx"), col("frame_hash"))
+      .orderBy(col("id"), col("frame_idx"))
+  }
+
+  /** q_frames_video's Matroska sibling with XIPH LACING: all 8 payloads
+    * pack into ONE laced SimpleBlock ([[graft.ops.Mkv.buildMkv]] — the
+    * 255-run size encoding naive readers break on; the rpad-200 plan's
+    * lengths stay under 255 so the last-lace remainder rule is what's
+    * actually under test), demux back through the EBML walker, and
+    * stride-sample 8→6 (0,1,2,4,5,6).
+    */
+  private def qFramesMkv(s: SparkSession, dir: String): DataFrame = {
+    val padded = rpad(col("text"), 200, "x")
+    val payloads = array(graft.ops.Video.FixtureFramePlan.map {
+      case (start, len) => substring(padded, start + 1, len)
+    }: _*)
+    val blobs = graft.ops.Video.packMkv(
+      docs(s, dir).select(col("doc_id"), payloads.as("payloads")),
+      "doc_id", "payloads", width = 640, height = 360, lacing = "xiph")
+    graft.ops.Multimodal.sampleFrames(blobs, "id", "blob", nFrames = 6,
+      graft.ops.Video.VideoCodecs)
+      .select(col("id"), col("frame_idx"), col("frame_hash"))
+      .orderBy(col("id"), col("frame_idx"))
+  }
+
   /** End-to-end DSL compile (R8/R9): a YAML registry with two pipelines
     * sharing a two-step prefix (validate onInvalid=route → broadcast lookup)
     * goes through YamlLoader + Compiler.compile; the result unions the main
@@ -3077,6 +3119,8 @@ object SparkEntry {
     "q_dsl_sketch" -> (qDslSketch _),
     "q_frames" -> (qFrames _),
     "q_frames_video" -> (qFramesVideo _),
+    "q_frames_mp4" -> (qFramesMp4 _),
+    "q_frames_mkv" -> (qFramesMkv _),
     "q_join_salted" -> (qJoinSalted _),
     "q_source_partitioned" -> (qSourcePartitioned _),
     "q_dlq_replay" -> (qDlqReplay _),
@@ -4776,6 +4820,26 @@ object SparkEntry {
         |    (0,0,10),(1,10,17),(2,27,11),(3,38,18),
         |    (4,56,12),(5,68,19),(6,87,13),(7,100,20)),
         |sel(j, i) AS (VALUES (0,0),(1,1),(2,3),(3,4),(4,6))
+        |SELECT d.doc_id AS id, s.j AS frame_idx,
+        |  md5(substr(rpad(d.text, 200, 'x'), p.st + 1, p.ln)) AS frame_hash
+        |FROM documents d CROSS JOIN sel s JOIN plan p ON p.i = s.i
+        |ORDER BY id, frame_idx""".stripMargin,
+    // MP4 sample-table demux: same slice plan, i*8/3 stride → 0,2,5
+    "q_frames_mp4" ->
+      """WITH plan(i, st, ln) AS (VALUES
+        |    (0,0,10),(1,10,17),(2,27,11),(3,38,18),
+        |    (4,56,12),(5,68,19),(6,87,13),(7,100,20)),
+        |sel(j, i) AS (VALUES (0,0),(1,2),(2,5))
+        |SELECT d.doc_id AS id, s.j AS frame_idx,
+        |  md5(substr(rpad(d.text, 200, 'x'), p.st + 1, p.ln)) AS frame_hash
+        |FROM documents d CROSS JOIN sel s JOIN plan p ON p.i = s.i
+        |ORDER BY id, frame_idx""".stripMargin,
+    // MKV Xiph-laced demux: same slice plan, i*8/6 stride → 0,1,2,4,5,6
+    "q_frames_mkv" ->
+      """WITH plan(i, st, ln) AS (VALUES
+        |    (0,0,10),(1,10,17),(2,27,11),(3,38,18),
+        |    (4,56,12),(5,68,19),(6,87,13),(7,100,20)),
+        |sel(j, i) AS (VALUES (0,0),(1,1),(2,2),(3,4),(4,5),(5,6))
         |SELECT d.doc_id AS id, s.j AS frame_idx,
         |  md5(substr(rpad(d.text, 200, 'x'), p.st + 1, p.ln)) AS frame_hash
         |FROM documents d CROSS JOIN sel s JOIN plan p ON p.i = s.i

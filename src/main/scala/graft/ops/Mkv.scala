@@ -1,0 +1,363 @@
+package graft.ops
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.US_ASCII
+
+/** Matroska / WebM (EBML) demuxer + writer in pure Scala — the third
+  * REAL video-container tier (after RIFF/AVI and ISO-BMFF), removing the
+  * ffmpeg dependency for mkv frame EXTRACTION. As with [[Mp4]], pixel
+  * decode of non-JPEG codecs still needs an external decoder; with
+  * `V_MJPEG` tracks the JDK decodes the extracted frames end-to-end.
+  *
+  * EBML grammar per the public Matroska/EBML specs (RFC 8794): every
+  * element is `[id:vint-with-marker][size:vint][payload]`. The demuxer
+  * walks Segment → Tracks to find the video TrackEntry (TrackType 1),
+  * then Segment → Cluster → SimpleBlock / BlockGroup/Block, filtering on
+  * the track number and unpacking all four lacing modes (none, Xiph,
+  * fixed, EBML signed-delta) — lacing is where naive readers break, so
+  * the spec and the oracle fixture exercise it explicitly. Unknown-size
+  * elements (streamed files write Segment/Cluster with the all-ones
+  * vint) extend to the end of their container. Truncation degrades to
+  * the frames recovered so far, never a task failure.
+  *
+  * Reference analog: the file-source container surface
+  * (conveyor-etl/src/types.rs:270-289). Demux runs per-row inside the
+  * partition-batched [[Multimodal.sampleFrames]] kernel — no shuffle.
+  */
+object Mkv {
+
+  // EBML element IDs (raw, marker bit included)
+  private val IdSegment = 0x18538067L
+  private val IdTracks = 0x1654AE6BL
+  private val IdTrackEntry = 0xAEL
+  private val IdTrackNumber = 0xD7L
+  private val IdTrackType = 0x83L
+  private val IdVideo = 0xE0L
+  private val IdPixelWidth = 0xB0L
+  private val IdPixelHeight = 0xBAL
+  private val IdCluster = 0x1F43B675L
+  private val IdSimpleBlock = 0xA3L
+  private val IdBlockGroup = 0xA0L
+  private val IdBlock = 0xA1L
+
+  /** True when the blob starts with the EBML magic 0x1A45DFA3. */
+  def isMkv(blob: Array[Byte]): Boolean =
+    blob != null && blob.length >= 4 &&
+      (blob(0) & 0xff) == 0x1a && (blob(1) & 0xff) == 0x45 &&
+      (blob(2) & 0xff) == 0xdf && (blob(3) & 0xff) == 0xa3
+
+  /** Read an EBML vint at `o`: (value, widthBytes). For IDs keep the
+    * marker bit (`keepMarker = true`); for sizes strip it. Returns
+    * (-1, 0) on malformed/truncated input. A size vint of all ones
+    * (unknown size) returns value -2.
+    */
+  private def vint(b: Array[Byte], o: Int, keepMarker: Boolean): (Long, Int) = {
+    if (o >= b.length) return (-1L, 0)
+    val first = b(o) & 0xff
+    if (first == 0) return (-1L, 0)
+    val len = java.lang.Integer.numberOfLeadingZeros(first) - 24 + 1
+    if (len < 1 || len > 8 || o + len > b.length) return (-1L, 0)
+    var v = if (keepMarker) first.toLong else (first & (0xff >>> len)).toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+    if (!keepMarker && v == (1L << (7 * len)) - 1) (-2L, len) // unknown size
+    else (v, len)
+  }
+
+  /** Child elements of blob[from, until) as (id, payloadStart, payloadEnd).
+    * Unknown-size payloads extend to `until`; malformed headers stop the
+    * walk.
+    */
+  private def elements(b: Array[Byte], from: Int, until: Int): Seq[(Long, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+    var p = from
+    while (p < until) {
+      val (id, idw) = vint(b, p, keepMarker = true)
+      if (id < 0 || idw == 0) return out.toSeq
+      val (sz, szw) = vint(b, p + idw, keepMarker = false)
+      if (szw == 0 || sz == -1L) return out.toSeq
+      val ps = p + idw + szw
+      val peL = if (sz == -2L) until.toLong else ps.toLong + sz
+      if (peL < ps || peL > until) return out.toSeq
+      val pe = peL.toInt
+      out += ((id, ps, pe))
+      p = pe
+    }
+    out.toSeq
+  }
+
+  private def uintAt(b: Array[Byte], from: Int, until: Int): Long = {
+    var v = 0L
+    var p = from
+    while (p < until && p - from < 8) { v = (v << 8) | (b(p) & 0xffL); p += 1 }
+    v
+  }
+
+  /** (trackNumber, payloadStart, payloadEnd of Video element) of the first
+    * TrackType==1 entry, if any.
+    */
+  private def videoTrack(b: Array[Byte], segS: Int, segE: Int): Option[(Long, Option[(Int, Int)])] =
+    elements(b, segS, segE).collectFirst { case (IdTracks, ts, te) =>
+      elements(b, ts, te).collectFirst {
+        case (IdTrackEntry, es, ee)
+            if elements(b, es, ee).exists { case (id, s, e) =>
+              id == IdTrackType && uintAt(b, s, e) == 1L
+            } =>
+          val kids = elements(b, es, ee)
+          val num = kids.collectFirst { case (IdTrackNumber, s, e) => uintAt(b, s, e) }
+            .getOrElse(1L)
+          val video = kids.collectFirst { case (IdVideo, s, e) => (s, e) }
+          (num, video)
+      }
+    }.flatten
+
+  /** Unpack a (Simple)Block payload at blob[from, until): returns the
+    * frame byte ranges if the block belongs to `track` (or track < 0 =
+    * accept all). Handles all four lacing modes.
+    */
+  private def blockFrames(b: Array[Byte], from: Int, until: Int,
+                          track: Long): Seq[(Int, Int)] = {
+    val (num, nw) = vint(b, from, keepMarker = false)
+    if (nw == 0 || num < 0) return Nil
+    if (track >= 0 && num != track) return Nil
+    var p = from + nw + 2 // skip s16 timecode
+    if (p >= until) return Nil
+    val flags = b(p) & 0xff
+    p += 1
+    (flags >> 1) & 0x3 match {
+      case 0 => // no lacing: one frame
+        if (p <= until) Seq((p, until)) else Nil
+      case lacing =>
+        if (p >= until) return Nil
+        val count = (b(p) & 0xff) + 1 // frame count
+        p += 1
+        val sizes = new Array[Int](count)
+        lacing match {
+          case 1 => // Xiph: sizes 0..count-2 as 255-run + terminator
+            var i = 0
+            while (i < count - 1) {
+              var s = 0
+              var more = true
+              while (more && p < until) {
+                val v = b(p) & 0xff; p += 1
+                s += v; if (v != 255) more = false
+              }
+              if (more) return Nil
+              sizes(i) = s; i += 1
+            }
+          case 2 => // fixed: equal sizes over the remainder
+            val rem = until - p
+            if (count == 0 || rem % count != 0) return Nil
+            java.util.Arrays.fill(sizes, rem / count)
+          case _ => // EBML: first unsigned vint, then signed vint deltas
+            if (count > 1) { // a 1-frame laced block stores no sizes at all
+              val (s0, w0) = vint(b, p, keepMarker = false)
+              if (w0 == 0 || s0 < 0) return Nil
+              sizes(0) = s0.toInt; p += w0
+              var i = 1
+              var prev = s0.toInt
+              while (i < count - 1) {
+                val (raw, w) = vint(b, p, keepMarker = false)
+                if (w == 0 || raw < 0) return Nil
+                val delta = raw - ((1L << (7 * w - 1)) - 1) // signed vint bias
+                prev = (prev + delta).toInt
+                if (prev < 0) return Nil
+                sizes(i) = prev; p += w; i += 1
+              }
+            }
+        }
+        // last lace (Xiph/EBML) = remainder
+        if (lacing != 2) {
+          val used = sizes.take(count - 1).map(_.toLong).sum
+          val last = (until - p) - used
+          if (last < 0) return Nil
+          sizes(count - 1) = last.toInt
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var off = p
+        sizes.foreach { s =>
+          if (off + s > until) return out.toSeq
+          out += ((off, off + s)); off += s
+        }
+        out.toSeq
+    }
+  }
+
+  /** Demux the video-track frame payloads out of a Matroska blob, in
+    * cluster/block order (Matroska interleave order), unpacking lacing.
+    */
+  def demuxMkv(blob: Array[Byte]): Array[Array[Byte]] = {
+    if (!isMkv(blob)) return Array.empty
+    val top = elements(blob, 0, blob.length)
+    val seg = top.collectFirst { case (IdSegment, s, e) => (s, e) }
+      .getOrElse(return Array.empty)
+    val track = videoTrack(blob, seg._1, seg._2).map(_._1).getOrElse(-1L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    elements(blob, seg._1, seg._2).foreach {
+      case (IdCluster, cs, ce) =>
+        elements(blob, cs, ce).foreach {
+          case (IdSimpleBlock, bs, be) =>
+            blockFrames(blob, bs, be, track).foreach { case (s, e) =>
+              out += java.util.Arrays.copyOfRange(blob, s, e)
+            }
+          case (IdBlockGroup, gs, ge) =>
+            elements(blob, gs, ge).foreach {
+              case (IdBlock, bs, be) =>
+                blockFrames(blob, bs, be, track).foreach { case (s, e) =>
+                  out += java.util.Arrays.copyOfRange(blob, s, e)
+                }
+              case _ => ()
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    out.toArray
+  }
+
+  /** (PixelWidth, PixelHeight) of the video track — header decode only. */
+  def mkvDims(blob: Array[Byte]): Option[(Int, Int)] = {
+    if (!isMkv(blob)) return None
+    val seg = elements(blob, 0, blob.length)
+      .collectFirst { case (IdSegment, s, e) => (s, e) }.getOrElse(return None)
+    videoTrack(blob, seg._1, seg._2).flatMap(_._2).flatMap { case (vs, ve) =>
+      val kids = elements(blob, vs, ve)
+      for {
+        w <- kids.collectFirst { case (IdPixelWidth, s, e) => uintAt(b = blob, from = s, until = e).toInt }
+        h <- kids.collectFirst { case (IdPixelHeight, s, e) => uintAt(b = blob, from = s, until = e).toInt }
+      } yield (w, h)
+    }
+  }
+
+  // ---------------------------------------------------------------- writer
+
+  private final class EbmlWriter {
+    val bos = new ByteArrayOutputStream()
+    def rawId(id: Long): Unit = {
+      // IDs are written with their marker bit as stored (1..4-byte forms)
+      if (id > 0xffffffL) bos.write(((id >> 24) & 0xff).toInt)
+      if (id > 0xffffL) bos.write(((id >> 16) & 0xff).toInt)
+      if (id > 0xffL) bos.write(((id >> 8) & 0xff).toInt)
+      bos.write((id & 0xff).toInt)
+    }
+    def vintSize(v: Long): Unit = {
+      var len = 1
+      while (len < 8 && v >= (1L << (7 * len)) - 1) len += 1 // avoid all-ones (unknown)
+      var i = len - 1
+      bos.write((((v >> (8 * i)) & 0xff) | (0x100 >> len)).toInt)
+      i -= 1
+      while (i >= 0) { bos.write(((v >> (8 * i)) & 0xff).toInt); i -= 1 }
+    }
+    def element(id: Long)(f: EbmlWriter => Unit): Unit = {
+      val w = new EbmlWriter; f(w)
+      val payload = w.bos.toByteArray
+      rawId(id); vintSize(payload.length); bos.write(payload)
+    }
+    def uintElement(id: Long, v: Long): Unit = element(id) { w =>
+      var len = 1
+      while (len < 8 && (v >>> (8 * len)) != 0) len += 1
+      var i = len - 1
+      while (i >= 0) { w.bos.write(((v >> (8 * i)) & 0xff).toInt); i -= 1 }
+    }
+    def strElement(id: Long, s: String): Unit =
+      element(id)(_.bos.write(s.getBytes(US_ASCII)))
+  }
+
+  /** Xiph lace-size encoding: 255-run + terminator byte. */
+  private def xiphSize(w: ByteArrayOutputStream, n: Int): Unit = {
+    var r = n
+    while (r >= 255) { w.write(255); r -= 255 }
+    w.write(r)
+  }
+
+  /** Build a minimal spec-valid single-video-track Matroska file
+    * (CodecID V_MJPEG) around the given frame payloads. `lacing` picks the
+    * block layout: "none" = one SimpleBlock per frame; "xiph" / "ebml" =
+    * ALL frames packed into one laced SimpleBlock (the layouts naive
+    * readers break on); "fixed" requires equal frame sizes.
+    */
+  def buildMkv(frames: Seq[Array[Byte]], width: Int, height: Int,
+               lacing: String = "none"): Array[Byte] = {
+    val w = new EbmlWriter
+    // EBML header
+    w.element(0x1A45DFA3L) { h =>
+      h.uintElement(0x4286L, 1) // EBMLVersion
+      h.uintElement(0x42F7L, 1) // EBMLReadVersion
+      h.uintElement(0x42F2L, 4) // EBMLMaxIDLength
+      h.uintElement(0x42F3L, 8) // EBMLMaxSizeLength
+      h.strElement(0x4282L, "matroska") // DocType
+      h.uintElement(0x4287L, 4) // DocTypeVersion
+      h.uintElement(0x4285L, 2) // DocTypeReadVersion
+    }
+    w.element(IdSegment) { seg =>
+      seg.element(0x1549A966L) { info => // Info
+        info.uintElement(0x2AD7B1L, 1000000L) // TimecodeScale (ns/tick)
+      }
+      seg.element(IdTracks) { tracks =>
+        tracks.element(IdTrackEntry) { te =>
+          te.uintElement(IdTrackNumber, 1)
+          te.uintElement(0x73C5L, 1) // TrackUID
+          te.uintElement(IdTrackType, 1) // video
+          te.strElement(0x86L, "V_MJPEG") // CodecID
+          te.element(IdVideo) { v =>
+            v.uintElement(IdPixelWidth, width)
+            v.uintElement(IdPixelHeight, height)
+          }
+        }
+      }
+      seg.element(IdCluster) { cl =>
+        cl.uintElement(0xE7L, 0) // Timecode
+        lacing match {
+          case "none" =>
+            frames.zipWithIndex.foreach { case (f, i) =>
+              cl.element(IdSimpleBlock) { b =>
+                b.bos.write(0x81) // track 1 as 1-byte vint
+                b.bos.write((i >> 8) & 0xff); b.bos.write(i & 0xff) // timecode
+                b.bos.write(0x80) // keyframe, no lacing
+                b.bos.write(f)
+              }
+            }
+          case "xiph" =>
+            cl.element(IdSimpleBlock) { b =>
+              b.bos.write(0x81); b.bos.write(0); b.bos.write(0)
+              b.bos.write(0x80 | 0x02) // keyframe, Xiph lacing
+              b.bos.write(frames.length - 1)
+              frames.init.foreach(f => xiphSize(b.bos, f.length))
+              frames.foreach(f => b.bos.write(f))
+            }
+          case "fixed" =>
+            require(frames.map(_.length).distinct.size <= 1,
+              "fixed lacing needs equal frame sizes")
+            cl.element(IdSimpleBlock) { b =>
+              b.bos.write(0x81); b.bos.write(0); b.bos.write(0)
+              b.bos.write(0x80 | 0x04) // keyframe, fixed lacing
+              b.bos.write(frames.length - 1)
+              frames.foreach(f => b.bos.write(f))
+            }
+          case "ebml" =>
+            cl.element(IdSimpleBlock) { b =>
+              b.bos.write(0x81); b.bos.write(0); b.bos.write(0)
+              b.bos.write(0x80 | 0x06) // keyframe, EBML lacing
+              b.bos.write(frames.length - 1)
+              val ew = new EbmlWriter
+              ew.vintSize(frames.head.length)
+              b.bos.write(ew.bos.toByteArray)
+              // signed vint deltas for laces 1..count-2, 2-byte form
+              var prev = frames.head.length
+              frames.tail.init.foreach { f =>
+                val delta = f.length - prev
+                prev = f.length
+                val biased = delta + ((1L << 13) - 1) // 2-byte signed bias
+                require(biased >= 0 && biased < (1L << 14) - 1, "delta out of 2-byte range")
+                b.bos.write((0x40 | ((biased >> 8) & 0x3f)).toInt)
+                b.bos.write((biased & 0xff).toInt)
+              }
+              frames.foreach(f => b.bos.write(f))
+            }
+          case other => throw new IllegalArgumentException(s"unknown lacing: $other")
+        }
+      }
+    }
+    w.bos.toByteArray
+  }
+}

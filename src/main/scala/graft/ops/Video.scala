@@ -9,24 +9,27 @@ import org.apache.spark.sql.types._
 
 /** Video containers at the [[Multimodal.BlobCodec]] seam.
   *
-  * The JDK ships no mp4/mkv demuxer, so true video needs an external
-  * decoder; this module provides the three honest tiers:
+  * Frame EXTRACTION (demux) is pure Scala for all three production
+  * containers; pixel DECODE of the extracted frames is JDK-real for
+  * JPEG payloads (the MJPEG shapes) and ffmpeg-gated otherwise:
   *
-  *  1. [[demuxAvi]]/[[buildAvi]] — a REAL RIFF/AVI demuxer+writer in
-  *     pure Scala. AVI is a genuine production container (MJPEG-in-AVI
-  *     is what many cameras and legacy corpora ship), and its frame
-  *     chunks are complete JPEGs the JDK decodes — so frame sampling,
-  *     stride logic, and per-frame decode are REAL end-to-end on this
-  *     tier, no ffmpeg needed.
-  *  2. [[VideoCodecs]] — the BlobCodec wiring: AVI blobs demux through
-  *     (1); everything else falls back to [[Multimodal.ImageIoCodecs]]
-  *     (animated GIF, single-frame images). This is the codec
-  *     `sampleFrames`/`decodeImages` take for mixed corpora.
-  *  3. [[FfmpegCodecs]] — the documented mp4/mkv wire-in: shells out to
-  *     ffmpeg at the SAME seam when the binary exists on executors
-  *     (this container ships none, so its spec is availability-gated).
-  *     The Spark-side plumbing — schema, partition batching, bounded
-  *     output — is identical whichever tier runs.
+  *  1. [[demuxAvi]]/[[buildAvi]] — a REAL RIFF/AVI demuxer+writer.
+  *     MJPEG-in-AVI frame chunks are complete JPEGs the JDK decodes —
+  *     frame sampling, stride logic, and per-frame decode are REAL
+  *     end-to-end, no ffmpeg needed. [[Mp4]] (ISO-BMFF sample tables)
+  *     and [[Mkv]] (EBML blocks incl. all four lacing modes) are the
+  *     same tier for the two containers modern corpora ship.
+  *  2. [[VideoCodecs]] — the BlobCodec wiring: AVI/mp4/mkv blobs demux
+  *     through their native walkers; everything else falls back to
+  *     [[Multimodal.ImageIoCodecs]] (animated GIF, single-frame
+  *     images). This is the codec `sampleFrames`/`decodeImages` take
+  *     for mixed corpora.
+  *  3. [[FfmpegCodecs]] — the decode wire-in for non-JPEG codecs
+  *     (H.264 etc.): shells out to ffmpeg at the SAME seam when the
+  *     binary exists on executors (this container ships none, so its
+  *     spec is availability-gated). The Spark-side plumbing — schema,
+  *     partition batching, bounded output — is identical whichever
+  *     tier runs.
   *
   * Reference analog: the file-source container surface
   * (conveyor-etl/src/types.rs:270-289); RIFF layout per the public
@@ -190,28 +193,38 @@ object Video {
   }
 
   /** BlobCodec over mixed corpora: AVI demuxes through the real RIFF
-    * walker (frames in the container's native encoding — JPEGs for
-    * MJPEG-in-AVI); everything else falls back to ImageIoCodecs. Frame
-    * DIMENSIONS for AVI come from the strf header (a real metadata
+    * walker, mp4 through the ISO-BMFF sample tables ([[Mp4.demuxMp4]]),
+    * mkv through the EBML block walker ([[Mkv.demuxMkv]]) — frames in the
+    * container's native encoding, JPEGs for the MJPEG shapes; everything
+    * else falls back to ImageIoCodecs. Frame DIMENSIONS come from the
+    * container headers (strf / stsd / PixelWidth — a real metadata
     * decode, no pixel work); features/thumbnail decode the first frame.
     */
   object VideoCodecs extends Multimodal.BlobCodec {
+    private def demux(blob: Array[Byte]): Array[Array[Byte]] =
+      if (isAvi(blob)) demuxAvi(blob)
+      else if (Mp4.isMp4(blob)) Mp4.demuxMp4(blob)
+      else Mkv.demuxMkv(blob) // only called when isVideo(blob)
+    private def isVideo(blob: Array[Byte]): Boolean =
+      isAvi(blob) || Mp4.isMp4(blob) || Mkv.isMkv(blob)
     private def firstFrame(blob: Array[Byte]): Array[Byte] =
-      demuxAvi(blob).headOption.getOrElse(Array.emptyByteArray)
+      demux(blob).headOption.getOrElse(Array.emptyByteArray)
     def imageDims(blob: Array[Byte]): (Int, Int) =
       if (isAvi(blob)) aviDims(blob).getOrElse((-1, -1))
+      else if (Mp4.isMp4(blob)) Mp4.mp4Dims(blob).getOrElse((-1, -1))
+      else if (Mkv.isMkv(blob)) Mkv.mkvDims(blob).getOrElse((-1, -1))
       else Multimodal.ImageIoCodecs.imageDims(blob)
     def features(blob: Array[Byte]): Array[Float] =
-      if (isAvi(blob)) Multimodal.ImageIoCodecs.features(firstFrame(blob))
+      if (isVideo(blob)) Multimodal.ImageIoCodecs.features(firstFrame(blob))
       else Multimodal.ImageIoCodecs.features(blob)
     def resize(blob: Array[Byte], w: Int, h: Int): Array[Byte] =
-      if (isAvi(blob)) Multimodal.ImageIoCodecs.resize(firstFrame(blob), w, h)
+      if (isVideo(blob)) Multimodal.ImageIoCodecs.resize(firstFrame(blob), w, h)
       else Multimodal.ImageIoCodecs.resize(blob, w, h)
     def pixels8x8(blob: Array[Byte]): Array[Int] =
-      if (isAvi(blob)) Multimodal.ImageIoCodecs.pixels8x8(firstFrame(blob))
+      if (isVideo(blob)) Multimodal.ImageIoCodecs.pixels8x8(firstFrame(blob))
       else Multimodal.ImageIoCodecs.pixels8x8(blob)
     def frameSample(blob: Array[Byte], n: Int): Array[Array[Byte]] =
-      if (isAvi(blob)) sampleEvenly(demuxAvi(blob), n)
+      if (isVideo(blob)) sampleEvenly(demux(blob), n)
       else Multimodal.ImageIoCodecs.frameSample(blob, n)
   }
 
@@ -310,14 +323,31 @@ object Video {
     * assembly only — one row in, one row out, partition-batched.
     */
   def packAvi(df: DataFrame, idCol: String, payloadsCol: String,
-              width: Int, height: Int, fps: Int = 25): DataFrame = {
+              width: Int, height: Int, fps: Int = 25): DataFrame =
+    pack(df, idCol, payloadsCol)(buildAvi(_, width, height, fps))
+
+  /** [[packAvi]]'s mp4 sibling: payload strings → ISO-BMFF blobs. */
+  def packMp4(df: DataFrame, idCol: String, payloadsCol: String,
+              width: Int, height: Int, fps: Int = 25): DataFrame =
+    pack(df, idCol, payloadsCol)(Mp4.buildMp4(_, width, height, fps))
+
+  /** [[packAvi]]'s mkv sibling: payload strings → Matroska blobs, with
+    * the chosen block lacing (the fixture uses "xiph" so the lacing walk
+    * itself sits under the oracle gate).
+    */
+  def packMkv(df: DataFrame, idCol: String, payloadsCol: String,
+              width: Int, height: Int, lacing: String = "none"): DataFrame =
+    pack(df, idCol, payloadsCol)(Mkv.buildMkv(_, width, height, lacing))
+
+  private def pack(df: DataFrame, idCol: String, payloadsCol: String)(
+      build: Seq[Array[Byte]] => Array[Byte]): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("id", LongType), StructField("blob", BinaryType)))
     val input: Dataset[Row] = df.select(col(idCol).cast("long"), col(payloadsCol))
     input.mapPartitions { it =>
       it.map { r =>
         val frames = r.getSeq[String](1).map(_.getBytes(UTF_8))
-        Row(r.getLong(0), buildAvi(frames, width, height, fps))
+        Row(r.getLong(0), build(frames))
       }
     }(Encoders.row(outSchema))
   }

@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.{Mkv, Video}
+
+/** The pure-Scala Matroska (EBML) tier: roundtrips across all four block
+  * lacing modes, track filtering, header dims, truncation degradation,
+  * JDK decode of V_MJPEG frames, and the VideoCodecs dispatch.
+  */
+class MkvSpec extends SparkSpec {
+
+  private def jpegFrame(rgb: Int, w: Int = 32, h: Int = 24): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  private def fixtureFrames: Seq[Array[Byte]] =
+    Seq(7, 300, 13, 256, 1).map(n => // >255 lengths exercise Xiph 255-runs
+      Array.tabulate[Byte](n)(i => ((i * 17 + n) & 0xff).toByte))
+
+  test("roundtrip per lacing mode: none, xiph, ebml preserve frame bytes") {
+    for (lacing <- Seq("none", "xiph", "ebml")) {
+      val mkv = Mkv.buildMkv(fixtureFrames, 320, 240, lacing)
+      assert(Mkv.isMkv(mkv), lacing)
+      val out = Mkv.demuxMkv(mkv)
+      assert(out.length == fixtureFrames.length, lacing)
+      out.zip(fixtureFrames).foreach { case (a, b) =>
+        assert(a.sameElements(b), lacing)
+      }
+    }
+  }
+
+  test("fixed lacing roundtrips equal-size frames") {
+    val frames = (1 to 4).map(i => Array.fill[Byte](50)(i.toByte)).toSeq
+    val out = Mkv.demuxMkv(Mkv.buildMkv(frames, 64, 64, "fixed"))
+    assert(out.length == 4)
+    out.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
+  test("V_MJPEG frames decode as real JPEGs; dims from PixelWidth/Height") {
+    val mkv = Mkv.buildMkv(Seq(0xff0000, 0x00ff00).map(jpegFrame(_)), 32, 24, "xiph")
+    assert(Mkv.mkvDims(mkv).contains((32, 24)))
+    val out = Mkv.demuxMkv(mkv)
+    assert(out.length == 2)
+    out.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth == 32 && img.getHeight == 24)
+    }
+  }
+
+  test("truncation degrades (never throws); garbage is not mkv") {
+    val full = Mkv.buildMkv(fixtureFrames, 64, 64, "none")
+    for (cut <- Seq(3, 40, full.length / 2, full.length - 3)) {
+      val part = java.util.Arrays.copyOfRange(full, 0, cut)
+      val rec = Mkv.demuxMkv(part) // must not throw
+      assert(rec.length <= fixtureFrames.length)
+    }
+    assert(Mkv.demuxMkv("plain text".getBytes).isEmpty)
+    assert(!Mkv.isMkv(null))
+    assert(Mkv.mkvDims(Array[Byte](0x1a, 0x45)).isEmpty)
+  }
+
+  test("VideoCodecs dispatches mkv: dims from header, frames via stride") {
+    val frames = (0 until 8).map(i => Array.fill[Byte](10 + i)((i + 1).toByte))
+    val mkv = Mkv.buildMkv(frames, 640, 360, "ebml")
+    assert(Video.VideoCodecs.imageDims(mkv) == ((640, 360)))
+    val sampled = Video.VideoCodecs.frameSample(mkv, 5)
+    // i*m/n stride over m=8, n=5 → indices 0,1,3,4,6
+    assert(sampled.length == 5)
+    assert(sampled.map(_.head.toInt).toSeq == Seq(1, 2, 4, 5, 7))
+  }
+}

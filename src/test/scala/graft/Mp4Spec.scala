@@ -1,0 +1,85 @@
+package graft
+
+import graft.ops.{Mp4, Video}
+
+/** The pure-Scala ISO-BMFF (mp4) tier: build → demux roundtrips, sample
+  * tables, header dims, degradation on truncation, JDK decode of
+  * MJPEG-in-MP4 frames, and the VideoCodecs dispatch.
+  */
+class Mp4Spec extends SparkSpec {
+
+  private def jpegFrame(rgb: Int, w: Int = 32, h: Int = 24): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("build → demux roundtrip preserves frames (odd + variable lengths)") {
+    val frames = Seq(7, 1, 255, 13, 64).map(n =>
+      Array.tabulate[Byte](n)(i => ((i * 31 + n) & 0xff).toByte))
+    val mp4 = Mp4.buildMp4(frames, 320, 240, fps = 10)
+    assert(Mp4.isMp4(mp4))
+    assert(!Video.isAvi(mp4))
+    val out = Mp4.demuxMp4(mp4)
+    assert(out.length == 5)
+    out.zip(frames).foreach { case (a, b) => assert(a.sameElements(b)) }
+  }
+
+  test("MJPEG-in-MP4: demuxed frames decode as real JPEGs with stsd dims") {
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff)
+    val mp4 = Mp4.buildMp4(colors.map(jpegFrame(_)), 32, 24)
+    assert(Mp4.mp4Dims(mp4).contains((32, 24)))
+    val out = Mp4.demuxMp4(mp4)
+    assert(out.length == 3)
+    out.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null && img.getWidth == 32 && img.getHeight == 24)
+    }
+  }
+
+  test("truncated mdat degrades to the frames recovered so far") {
+    val frames = Seq(100, 100, 100).map(n => Array.fill[Byte](n)(7))
+    val full = Mp4.buildMp4(frames, 64, 64)
+    // moov trails mdat in our layout; cutting inside the SECOND sample
+    // leaves no moov at all → zero frames, but must not throw
+    val headCut = java.util.Arrays.copyOfRange(full, 0, 200)
+    assert(Mp4.demuxMp4(headCut).isEmpty)
+    // corrupting stsz sizes (patch a sample size beyond the blob) must
+    // stop the walk, not throw
+    val bad = full.clone()
+    val idx = indexOfFourcc(bad, "stsz")
+    bad(idx + 16) = 0x7f // SECOND sample's size becomes ~2^30: out of range
+    val rec = Mp4.demuxMp4(bad)
+    assert(rec.length == 1 && rec(0).sameElements(frames(0)))
+  }
+
+  test("empty and garbage blobs are not mp4") {
+    assert(Mp4.demuxMp4(Array.emptyByteArray).isEmpty)
+    assert(!Mp4.isMp4(null))
+    assert(Mp4.demuxMp4("not a container at all".getBytes).isEmpty)
+    assert(Mp4.mp4Dims("RIFFxxxxAVI ".getBytes).isEmpty)
+    // zero-frame container roundtrips to zero frames
+    assert(Mp4.demuxMp4(Mp4.buildMp4(Nil, 16, 16)).isEmpty)
+  }
+
+  test("VideoCodecs dispatches mp4: dims from header, frames via stride") {
+    val frames = (0 until 8).map(i => Array.fill[Byte](10 + i)((i + 1).toByte))
+    val mp4 = Mp4.buildMp4(frames, 640, 360)
+    assert(Video.VideoCodecs.imageDims(mp4) == ((640, 360)))
+    val sampled = Video.VideoCodecs.frameSample(mp4, 4)
+    // i*m/n stride over m=8, n=4 → indices 0,2,4,6
+    assert(sampled.length == 4)
+    assert(sampled.map(_.head.toInt).toSeq == Seq(1, 3, 5, 7))
+  }
+
+  private def indexOfFourcc(b: Array[Byte], cc: String): Int = {
+    val pat = cc.getBytes("US-ASCII")
+    (0 until b.length - 4).find(i => pat.indices.forall(j => b(i + j) == pat(j)))
+      .map(_ + 4).getOrElse(fail(s"fourcc $cc not found"))
+  }
+}
