@@ -953,7 +953,8 @@ object SparkEntry {
     */
   private def qDedupBest(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    graft.ops.Dedup.keepBestByScore(d, "doc_id", octet_length(col("text")),
+    graft.ops.Dedup.keepBestByScore(d, "doc_id",
+      octet_length(col("text")).cast("long"),
       graft.ops.Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, minJaccard = 0.5))
       .orderBy(col("doc_id"))
   }

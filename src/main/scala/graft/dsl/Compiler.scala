@@ -66,10 +66,20 @@ object Compiler {
     // manifest in the registry — so a pure-CLI manifest can declare its
     // lookup side as a Source resource, the reference's by-name resource
     // resolution (registry.rs). `table`-format and streaming sources
-    // still need injection; DataFrames are lazy, so unused registry
-    // sources cost nothing.
+    // still need injection. Only sources ACTUALLY NAMED by an enabled
+    // pipeline's lookup/join steps are read: spark.read resolves path +
+    // schema eagerly (and csv inferSchema scans), so touching every
+    // registry source would fail the whole compile on a declared-but-
+    // absent path (disabled pipeline, env-specific, written later by
+    // another pipeline's sink).
+    val referencedTables: Set[String] = enabled.flatMap { p =>
+      p.steps.map(transformOf(reg, p.namespace, _)).flatMap { t =>
+        t.config.get("table").orElse(t.config.get("rightStream")).map(_.toString)
+      }
+    }.toSet
     val registrySources: Map[String, DataFrame] = reg.sources.values
-      .filter(s => !s.streaming && s.format != "table")
+      .filter(s => !s.streaming && s.format != "table" &&
+        referencedTables.contains(s.name) && !tables.contains(s.name))
       .map(s => s.name -> readSource(spark, s, tables))
       .toMap
     val lookupTables = registrySources ++ tables

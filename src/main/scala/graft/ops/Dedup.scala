@@ -355,7 +355,11 @@ object Dedup {
     * the window). Output is one row per input doc.
     *
     * @param scoreCol any deterministic quality column (classifier logit,
-    *                 byte length, ...) — higher is better
+    *                 byte length, ...) — higher is better. Compared in its
+    *                 OWN type (no cast): fractional scores keep their
+    *                 fractions, and string ids never silently null out —
+    *                 the same id-in-native-type contract as
+    *                 [[dedupeByPairs]]/[[connectedComponents]].
     * @return (idCol, component, score, kept): component = min member id
     *         (own id for singletons), kept = survivor flag
     */
@@ -367,8 +371,8 @@ object Dedup {
   ): DataFrame = {
     val comps = connectedComponents(pairs)
       .select(col("id").as("__cid"), col("component"))
-    val base = docs.select(col(idCol).cast("long").as("__cid"),
-      scoreCol.cast("long").as("score"))
+    val base = docs.select(col(idCol).as("__cid"),
+      scoreCol.as("score"))
     val members = base.join(comps, Seq("__cid"))
     val w = Window.partitionBy(col("component"))
       .orderBy(col("score").desc, col("__cid"))

@@ -252,8 +252,11 @@ object Video {
         java.nio.file.Files.write(in, blob)
         // two passes: count frames (nb_read_packets via ffmpeg null mux is
         // version-fragile; decode-to-null frame count is robust), then
-        // select every (m/n)th — the same even-stride contract as the
-        // other tiers, derived from the real frame count.
+        // select the EXPLICIT i*m/n index set — the identical rule to
+        // [[sampleEvenly]]/ImageIoCodecs, so a mixed pipeline samples the
+        // SAME frames regardless of which codec tier handles the blob (a
+        // uniform mod-stride would take the first n of every stride-th
+        // frame instead).
         val count = {
           val p = new ProcessBuilder(ffmpeg, "-nostdin", "-i", in.toString,
             "-map", "0:v:0", "-c", "copy", "-f", "null", "-")
@@ -264,10 +267,14 @@ object Video {
             .foldLeft(0)((_, v) => v) // last "frame=" line is the total
         }
         if (count <= 0) return Array.empty
-        val stride = math.max(count / math.max(n, 1), 1)
+        val picks =
+          if (count <= n) (0 until count).toArray
+          else Array.tabulate(n)(i => i * count / n)
+        val select = picks.distinct.map(i => s"eq(n\\,$i)").mkString("+")
         val p = new ProcessBuilder(ffmpeg, "-nostdin", "-i", in.toString,
-          "-vf", s"select='not(mod(n\\,$stride))'", "-vsync", "vfr",
-          "-frames:v", n.toString, dir.resolve("f_%06d.png").toString)
+          "-vf", s"select='$select'", "-vsync", "vfr",
+          "-frames:v", picks.distinct.length.toString,
+          dir.resolve("f_%06d.png").toString)
           .redirectErrorStream(true).start()
         p.getInputStream.readAllBytes(); p.waitFor()
         val fs = java.nio.file.Files.list(dir).iterator()

@@ -55,17 +55,46 @@ object WarcGz {
     bos.toByteArray
   }
 
+  /** A gzip member that is structurally broken: bad magic/FLG, truncated
+    * mid-body, or a CRC32/ISIZE trailer mismatch. Distinct from the
+    * clean-end-of-stream [[EOFException]] so a reader can tell "file is
+    * over" from "file is damaged" — conflating them would silently drop
+    * every record after the damage (the exactly-once contract forbids
+    * that failure mode).
+    */
+  private[graft] final class CorruptGzipMemberException(msg: String)
+    extends java.io.IOException(msg)
+
   /** Decode exactly ONE gzip member from `in` (positioned at the member's
     * first byte), verifying the CRC32+ISIZE trailer. Consumes precisely
     * the member's bytes (unconsumed inflater input is pushed back), so
     * successive calls walk member boundaries exactly.
+    *
+    * Throws [[EOFException]] ONLY when the stream ends cleanly BEFORE the
+    * first header byte (true end of the member sequence); any failure
+    * after that — partial header, bad magic, mid-body truncation, trailer
+    * mismatch — is a [[CorruptGzipMemberException]].
     */
   private[graft] def inflateMember(in: MemberStream): Array[Byte] = {
-    val hdr = in.readN(10)
+    val first = new Array[Byte](1)
+    if (in.read(first, 0, 1) < 0)
+      throw new EOFException("end of member stream")
+    try inflateMemberBody(in, first(0))
+    catch {
+      case e: CorruptGzipMemberException => throw e
+      case e: EOFException =>
+        throw new CorruptGzipMemberException(s"truncated gzip member: ${e.getMessage}")
+    }
+  }
+
+  private def inflateMemberBody(in: MemberStream, b0: Byte): Array[Byte] = {
+    val hdr = new Array[Byte](10)
+    hdr(0) = b0
+    System.arraycopy(in.readN(9), 0, hdr, 1, 9)
     if (!((hdr(0) & 0xff) == 0x1f && (hdr(1) & 0xff) == 0x8b && hdr(2) == 8))
-      throw new EOFException("not a gzip member header")
+      throw new CorruptGzipMemberException("not a gzip member header")
     val flg = hdr(3) & 0xff
-    if ((flg & 0xe0) != 0) throw new EOFException("reserved FLG bits set")
+    if ((flg & 0xe0) != 0) throw new CorruptGzipMemberException("reserved FLG bits set")
     if ((flg & 4) != 0) { // FEXTRA: 2-byte little-endian length, then skip
       val x = in.readN(2); in.skipN(((x(1) & 0xff) << 8) | (x(0) & 0xff))
     }
@@ -82,13 +111,13 @@ object WarcGz {
       while (!inf.finished()) {
         if (inf.needsInput()) {
           filled = in.read(inBuf, 0, inBuf.length)
-          if (filled < 0) throw new EOFException("truncated gzip member")
+          if (filled < 0) throw new CorruptGzipMemberException("truncated gzip member")
           inf.setInput(inBuf, 0, filled)
         }
         val n = inf.inflate(outBuf)
         if (n > 0) { out.write(outBuf, 0, n); crc.update(outBuf, 0, n) }
         else if (n == 0 && inf.needsInput() && inf.getRemaining == 0 && filled == 0)
-          throw new EOFException("stalled gzip member")
+          throw new CorruptGzipMemberException("stalled gzip member")
       }
       // exact accounting: bytes the inflater did not consume are the next
       // member's (or the trailer's) — push them back
@@ -99,9 +128,9 @@ object WarcGz {
         ((tr(o) & 0xffL)) | ((tr(o + 1) & 0xffL) << 8) |
           ((tr(o + 2) & 0xffL) << 16) | ((tr(o + 3) & 0xffL) << 24)
       if (le32(0) != crc.getValue)
-        throw new EOFException("gzip member CRC mismatch")
+        throw new CorruptGzipMemberException("gzip member CRC mismatch")
       if (le32(4) != (out.size().toLong & 0xffffffffL))
-        throw new EOFException("gzip member ISIZE mismatch")
+        throw new CorruptGzipMemberException("gzip member ISIZE mismatch")
       out.toByteArray
     } finally inf.end()
   }
@@ -284,9 +313,12 @@ final class WarcGzRecordReader extends RecordReader[LongWritable, Text] {
 
   override def nextKeyValue(): Boolean = {
     if (done || memberStart >= end) return false
+    // clean EOF (stream over before the next header byte) ends the split;
+    // CorruptGzipMemberException propagates — a damaged member mid-file
+    // must fail the task loudly, not silently drop the rest of the split
     val bytes =
       try WarcGz.inflateMember(ms)
-      catch { case _: EOFException => done = true; return false } // clean EOF at file tail
+      catch { case _: EOFException => done = true; return false }
     key.set(memberStart)
     value.set(new String(bytes, UTF_8))
     // ms.pos counts bytes consumed since the seek to the first owned

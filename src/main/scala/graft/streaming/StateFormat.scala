@@ -105,17 +105,19 @@ object StateFormat {
     }
   }
 
-  /** True when the frame's plan contains graft-relevant streaming state
-    * (custom flatMapGroupsWithState or watermark dedup) — the wiring
-    * calls [[ensure]] only for these, so stateless streams keep
-    * stamp-free checkpoints.
+  /** True when the frame's plan contains GRAFT-custom streaming state —
+    * a flatMapGroupsWithState operator (our dedup/rate-limit/sessionize
+    * state machines, whose encoding only this library defines). The
+    * wiring calls [[ensure]] only for these, so stateless streams AND
+    * streams using only Spark-native stateful operators (dropDuplicates,
+    * windowed aggregates — Spark versions that state itself) keep
+    * stamp-free checkpoints; a pre-stamp checkpoint of a plain
+    * dropDuplicates stream resumes fine and must not be rejected.
     */
   def hasCustomState(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     df.queryExecution.analyzed.collectFirst {
       case _: FlatMapGroupsWithState => ()
-      case _: Deduplicate            => ()
-      case _: DeduplicateWithinWatermark => ()
     }.isDefined
   }
 }

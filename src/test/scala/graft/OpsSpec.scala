@@ -1029,6 +1029,24 @@ class OpsSpec extends SparkSpec {
     assert(out.filter(_._4).map(_._2).toSeq.sorted == Seq(1L, 4L, 5L))
   }
 
+  test("keepBestByScore: string ids and fractional scores survive uncast") {
+    // string ids + classifier-logit scores: the r8 advisor found the long
+    // casts nulled string ids (empty keep:best output) and truncated
+    // fractional scores to 0 (argmax degraded to lowest-id)
+    val docs = Seq(
+      ("doc-a", 0.91), ("doc-b", 0.93), ("doc-c", 0.12), // cluster: best = doc-b
+      ("doc-d", 0.50)                                    // singleton
+    ).toDF("id", "score")
+    val pairs = Seq(("doc-a", "doc-b"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
+    val out = Dedup.keepBestByScore(docs, "id", col("score"), pairs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(out.length == 4) // no silently-nulled ids
+    assert(out.toSeq == Seq(
+      ("doc-a", "doc-a", 0.91, false), ("doc-b", "doc-a", 0.93, true),
+      ("doc-c", "doc-a", 0.12, false), ("doc-d", "doc-d", 0.50, true)))
+  }
+
   test("byScore: probability 0 drops all, 1e6 keeps all, decision is id-stable") {
     val df = (1L to 500L).map(i => (i, i % 7)).toDF("id", "grp")
     assert(Sampling.byScore(df, "id", lit(0L)).count() == 0L)

@@ -18,8 +18,11 @@ class PqSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
         r.getLong(3), r.getInt(4)))
     // every anchor got its 4 negatives (labels 0/1/2 mix in every bucket
-    // at this density), none sharing the anchor's label
-    assert(out.length == 40)
+    // at this density), none sharing the anchor's label — minus exactly
+    // one row: anchor 9's bucket j=3 offers its own positive (109), and
+    // the library-level degenerate-triplet guard drops it (39, not 40 —
+    // the r8 verdict's evidence that the guard belongs in the function)
+    assert(out.length == 39)
     for ((a, _, _, n, nl) <- out) {
       assert(nl != (a % 3).toInt, s"anchor $a drew same-label negative $n")
       assert(n % 3 == nl.toLong)
@@ -43,6 +46,9 @@ class PqSpec extends SparkSpec {
     }
     for ((a, _, j, n, _) <- out.take(5))
       assert(byBucket(n) == anchorB(a, j))
+    // the degenerate-triplet guard is LIBRARY-level (r8 verdict item):
+    // the raw function never emits neg == pos, with no caller filter
+    for ((_, p, _, n, _) <- out) assert(n != p, s"degenerate triplet pos=$p neg=$n")
   }
 
   // 4 well-separated centers in 8-dim space + small deterministic jitter;

@@ -103,14 +103,19 @@ class StateFormatSpec extends SparkSpec {
     assert(st.get._2 == 9000L)
   }
 
-  test("hasCustomState: true for flatMapGroupsWithState / watermark dedup plans only") {
+  test("hasCustomState: true for graft flatMapGroupsWithState plans ONLY") {
     import spark.implicits._
     val mem = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(String, java.sql.Timestamp)](spark)
     val stream = mem.toDF().toDF("k", "ts")
     assert(!StateFormat.hasCustomState(stream.select("k")))
-    assert(StateFormat.hasCustomState(
+    // Spark-NATIVE stateful dedup carries no graft state: Spark versions
+    // its own checkpoints, so a pre-stamp dropDuplicates checkpoint must
+    // resume without the stamp guard forcing a restart
+    assert(!StateFormat.hasCustomState(
       stream.withWatermark("ts", "1 minute").dropDuplicatesWithinWatermark("k")))
+    assert(!StateFormat.hasCustomState(
+      stream.withWatermark("ts", "1 minute").dropDuplicates("k")))
     assert(StateFormat.hasCustomState(
       StatefulDedup.keepLast(stream.withWatermark("ts", "1 minute"),
         Seq("k"), "ts", None)))
