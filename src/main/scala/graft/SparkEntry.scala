@@ -3025,6 +3025,157 @@ object SparkEntry {
       .orderBy(col("event_id"))
 
   // ==========================================================================
+  // Round-9 DSL-reachability twins: each q_dsl_* drives the SAME
+  // computation as its library query, but THROUGH the YAML step surface
+  // (YamlLoader → Compiler → step wiring → frame) and shares that query's
+  // oracle verbatim — what sits under the gate is the manifest plumbing
+  // (config parsing, defaults, column flow), not new math. Reference
+  // anchor: the transform registry surface, conveyor-etl-dsl/src/types.rs
+  // :389-697 — these steps close the "library-only" reachability gap the
+  // r8 verdict called out.
+  // ==========================================================================
+
+  /** One-step YAML pipeline over injected tables — the twin harness. */
+  private def dslStep(s: SparkSession, tables: Map[String, DataFrame],
+      stepYaml: String): DataFrame = {
+    val yaml =
+      s"""kind: Source
+         |metadata: {name: docs}
+         |spec: {format: table, path: step_in}
+         |---
+         |kind: Transform
+         |metadata: {name: step}
+         |spec:
+         |$stepYaml
+         |---
+         |kind: Sink
+         |metadata: {name: out}
+         |spec: {format: noop, path: ""}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: docs, steps: [step], sink: out}
+         |""".stripMargin
+    graft.dsl.Compiler.compile(s, graft.dsl.YamlLoader.load(yaml),
+      tables = tables)("p").frame
+  }
+
+  private def qDslChunk(s: SparkSession, dir: String): DataFrame =
+    dslStep(s, Map("step_in" -> docs(s, dir)),
+      "  type: chunk\n  chunkTokens: 40\n  overlapTokens: 10")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private def qDslPack(s: SparkSession, dir: String): DataFrame =
+    dslStep(s, Map("step_in" -> docs(s, dir)), "  type: pack\n  capacity: 2048")
+      .select(col("doc_id"), col("n_tokens"), col("offset").as("tok_offset"),
+        col("pack_id"), col("pos_in_pack"))
+      .orderBy(col("doc_id"))
+
+  private def qDslLangid(s: SparkSession, dir: String): DataFrame =
+    dslStep(s, Map("step_in" -> docs(s, dir)), "  type: lang_id")
+      .select(col("doc_id"), col("pred_lang"))
+      .orderBy(col("doc_id"))
+
+  private def qDslGopher(s: SparkSession, dir: String): DataFrame = {
+    val varied = docs(s, dir).select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(6)).as("fam"),
+      expr("""CASE doc_id % 6
+          WHEN 1 THEN concat('- ', replace(text, ' table ', concat(chr(10), '- ')))
+          WHEN 2 THEN replace(text, ' query ', concat('...', chr(10)))
+          WHEN 3 THEN replace(text, ' ', ' # ')
+          WHEN 4 THEN substr(text, 1, 40)
+          WHEN 5 THEN replace(text, ' ', '')
+          ELSE text END""").as("text"))
+    dslStep(s, Map("step_in" -> varied),
+      "  type: gopher_rules\n  action: tag\n  minWords: 40")
+      .select(
+        Seq(col("doc_id"), col("fam"), col("n_words"), col("sum_word_len"),
+          col("n_sym"), col("n_lines"), col("bullet_lines"), col("ellipsis_lines"),
+          col("alpha_words"), col("stop_hits"), col("mean_wlen_milli")) ++
+          Seq("r_word_count", "r_mean_wlen", "r_symbols", "r_bullets",
+            "r_ellipsis", "r_alpha", "r_stops", "pass")
+            .map(c => col(c).cast("int").as(c)): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private def qDslC4(s: SparkSession, dir: String): DataFrame = {
+    val varied = docs(s, dir).select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(4)).as("fam"),
+      expr("""CASE doc_id % 4
+          WHEN 1 THEN concat(replace(text, ' row ', concat('.', chr(10))),
+                             chr(10), 'you must enable javascript and accept our cookie policy.')
+          WHEN 2 THEN concat(replace(text, ' row ', concat('.', chr(10))),
+                             chr(10), 'window.config = { mode: dark };')
+          WHEN 3 THEN concat('lorem ipsum dolor sit amet.', chr(10),
+                             replace(text, ' row ', concat('.', chr(10))))
+          ELSE replace(text, ' row ', concat('.', chr(10))) END""").as("text"))
+    dslStep(s, Map("step_in" -> varied),
+      "  type: c4_clean\n  action: tag\n  minLineWords: 5\n  minKeptLines: 2")
+      .select(col("doc_id"), col("fam"), col("n_lines"), col("kept_lines"),
+        md5(col("cleaned")).as("fp"), col("doc_kept").cast("int").as("doc_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def qDslSplitLeakproof(s: SparkSession, dir: String): DataFrame =
+    dslStep(s, Map("step_in" -> docs(s, dir)),
+      "  type: split_assign\n  mode: leakproof\n  field: text\n" +
+        "  splits: [{name: train, bp: 8000}, {name: val, bp: 1000}, {name: test, bp: 1000}]")
+      .select(col("doc_id"), col("fp"), col("split"))
+      .orderBy(col("doc_id"))
+
+  private def qDslSplitTemporal(s: SparkSession, dir: String): DataFrame =
+    dslStep(s, Map("step_in" -> t(s, dir, "events")),
+      "  type: split_assign\n  mode: temporal\n  timeField: ts\n" +
+        "  trainBp: 7000\n  embargoSeconds: 86400")
+      .select(col("event_id"), col("split"))
+      .orderBy(col("event_id"))
+
+  /** The composite curation chain through YAML — decontaminate (exact,
+    * benchmark = every 20th doc) → chunk (40/10) → split_assign (hash) —
+    * gating COLUMN FLOW BETWEEN STEPS, which the single-step twins don't:
+    * the chunk step must see the decontaminated survivors, and the split
+    * step must key on the chunk output's doc_id.
+    */
+  private def qDslCuration(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0).select(col("text"))
+    val yaml =
+      s"""kind: Source
+         |metadata: {name: docs}
+         |spec: {format: table, path: step_in}
+         |---
+         |kind: Transform
+         |metadata: {name: decon}
+         |spec: {type: decontaminate, mode: exact, benchTable: bench, shingleSize: 3, minOverlap: 0.5}
+         |---
+         |kind: Transform
+         |metadata: {name: shard}
+         |spec: {type: chunk, chunkTokens: 40, overlapTokens: 10}
+         |---
+         |kind: Transform
+         |metadata: {name: assign}
+         |spec:
+         |  type: split_assign
+         |  mode: hash
+         |  idField: doc_id
+         |  splits: [{name: train, bp: 8000}, {name: val, bp: 1000}, {name: test, bp: 1000}]
+         |---
+         |kind: Sink
+         |metadata: {name: out}
+         |spec: {format: noop, path: ""}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: docs, steps: [decon, shard, assign], sink: out}
+         |""".stripMargin
+    graft.dsl.Compiler.compile(s, graft.dsl.YamlLoader.load(yaml),
+      tables = Map("step_in" -> d, "bench" -> bench))("p").frame
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  // ==========================================================================
   // Registry
   // ==========================================================================
 
@@ -3189,7 +3340,15 @@ object SparkEntry {
     "q_upsample" -> (qUpsample _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_calibration" -> (qCalibration _),
-    "q_decontaminate_near" -> (qDecontaminateNear _)
+    "q_decontaminate_near" -> (qDecontaminateNear _),
+    "q_dsl_chunk" -> (qDslChunk _),
+    "q_dsl_pack" -> (qDslPack _),
+    "q_dsl_langid" -> (qDslLangid _),
+    "q_dsl_gopher" -> (qDslGopher _),
+    "q_dsl_c4" -> (qDslC4 _),
+    "q_dsl_split_leakproof" -> (qDslSplitLeakproof _),
+    "q_dsl_split_temporal" -> (qDslSplitTemporal _),
+    "q_dsl_curation" -> (qDslCuration _)
   )
 
   /** Shared oracle fragment for the subword-tokenizer queries: derives the
@@ -3629,7 +3788,64 @@ object SparkEntry {
        |ORDER BY doc_id""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  /** DSL twins share their library query's oracle verbatim: the YAML path
+    * computes the identical result, so a drift between the two surfaces
+    * (config default, wiring typo) fails the shared hash. q_dsl_curation
+    * composes steps and carries its own chain oracle below.
+    */
+  private val dslTwinOf: Map[String, String] = Map(
+    "q_dsl_chunk" -> "q_chunk",
+    "q_dsl_pack" -> "q_pack",
+    "q_dsl_langid" -> "q_lang_id",
+    "q_dsl_gopher" -> "q_gopher_rules",
+    "q_dsl_c4" -> "q_clean_c4",
+    "q_dsl_split_leakproof" -> "q_split_leakproof",
+    "q_dsl_split_temporal" -> "q_split_temporal")
+
+  def oracleSql: Map[String, String] =
+    baseOracleSql ++ dslTwinOf.map { case (twin, lib) => twin -> baseOracleSql(lib) }
+
+  private def baseOracleSql: Map[String, String] = Map(
+    // The composite DSL curation chain: exact decontamination (bench =
+    // every 20th doc, drop at rounded overlap >= 0.5) feeding the 40/10
+    // token chunker, then the doc_id hash split. Same fragments as the
+    // q_decontaminate / q_chunk / q_split_leakproof oracles, nested.
+    "q_dsl_curation" ->
+      """WITH nrm AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM nrm)
+        |), bsh AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+        |), agg AS (
+        |  SELECT s.doc_id, count(*) AS n_sh,
+        |         sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        |  FROM sh s LEFT JOIN bsh b USING (shingle) GROUP BY s.doc_id
+        |), dropids AS (
+        |  SELECT doc_id FROM agg WHERE round(CAST(n_hit AS DOUBLE) / n_sh, 6) >= 0.5
+        |), cnt AS (
+        |  SELECT n.doc_id, n.toks,
+        |    CASE WHEN len(n.toks) = 1 AND n.toks[1] = '' THEN 0 ELSE len(n.toks) END AS n
+        |  FROM nrm n LEFT JOIN dropids dr USING (doc_id) WHERE dr.doc_id IS NULL
+        |), ch AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |    array_to_string(toks[i*30+1:i*30+40], ' ') AS chunk_text,
+        |    CAST(least(n - i*30, 40) AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, toks, n,
+        |          unnest(range(0, greatest((n - 10 - 1) // 30, 0) + 1)) AS i
+        |        FROM cnt)
+        |)
+        |SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+        |  CASE WHEN b < 8000 THEN 'train'
+        |       WHEN b < 9000 THEN 'val'
+        |       WHEN b < 10000 THEN 'test' END AS split
+        |FROM (SELECT ch.*,
+        |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+        |      FROM ch)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_embed_pq" -> pqOracle,
     "q_ann_ivfpq" -> pqIvfOracle,
     "q_pagerank" -> pagerankOracle,

@@ -74,7 +74,8 @@ object Compiler {
     // another pipeline's sink).
     val referencedTables: Set[String] = enabled.flatMap { p =>
       p.steps.map(transformOf(reg, p.namespace, _)).flatMap { t =>
-        t.config.get("table").orElse(t.config.get("rightStream")).map(_.toString)
+        t.config.get("table").orElse(t.config.get("rightStream"))
+          .orElse(t.config.get("benchTable")).map(_.toString)
       }
     }.toSet
     val registrySources: Map[String, DataFrame] = reg.sources.values
@@ -845,6 +846,163 @@ object Compiler {
           weightCol = "__upsample_w",
           copyCol = c.getOrElse("copyField", "copy").toString)
           .drop("__upsample_w")
+      case "chunk" =>
+        // Context-window sharding (ops.Profiling.chunkByTokens) as a
+        // pipeline step: documents explode into whitespace-token chunks
+        // with a shared overlap — one output row per chunk. Row-local
+        // explode, so it compiles unchanged on streaming frames.
+        graft.ops.Profiling.chunkByTokens(df,
+          idCol = c.getOrElse("idField", "doc_id").toString,
+          textCol = c.getOrElse("field", "text").toString,
+          chunkTokens = c.getOrElse("chunkTokens", 512).toString.toInt,
+          overlapTokens = c.getOrElse("overlapTokens", 0).toString.toInt)
+      case "pack" =>
+        // Sequence packing (ops.Packing.packSequences): global token
+        // offsets + greedy pack assignment. Batch-only — the offset is a
+        // corpus-level prefix sum.
+        require(!df.isStreaming,
+          "pack is batch-only: token offsets are a corpus-level prefix sum")
+        graft.ops.Packing.packSequences(df,
+          idCol = c.getOrElse("idField", "doc_id").toString,
+          textCol = c.getOrElse("field", "text").toString,
+          capacity = c.getOrElse("capacity", 2048L).toString.toLong)
+      case "decontaminate" =>
+        // Benchmark decontamination as a pipeline step: drop documents
+        // whose n-gram overlap with a benchmark table (resolved by name,
+        // like `lookup`) crosses the threshold. mode selects the engine:
+        // exact (shingle join), bloom (broadcast-bitset prune + exact
+        // confirm — same answer, corpus side never shuffles), near
+        // (MinHash-LSH signature similarity, catches paraphrases exact
+        // n-grams miss). Batch-only: overlap is a per-doc aggregate.
+        require(!df.isStreaming,
+          "decontaminate is batch-only: overlap aggregates per document")
+        val bench = tables.getOrElse(c("benchTable").toString,
+          sys.error(s"decontaminate benchmark table not provided: ${c("benchTable")}"))
+        val dcId = c.getOrElse("idField", "doc_id").toString
+        val dcField = c.getOrElse("field", "text").toString
+        val dcBenchField = c.getOrElse("benchField", dcField).toString
+        val dcN = c.getOrElse("shingleSize", 3).toString.toInt
+        c.getOrElse("mode", "exact").toString match {
+          case "exact" =>
+            graft.ops.Contamination.decontaminate(df, dcId, dcField,
+              bench, dcBenchField, n = dcN,
+              minOverlap = c.getOrElse("minOverlap", 0.5).toString.toDouble)
+          case "bloom" =>
+            val hot = graft.ops.Contamination.bloomOverlapAuto(df, dcId, dcField,
+              bench, dcBenchField, n = dcN,
+              bitsPerItem = c.getOrElse("bitsPerItem", 10).toString.toInt,
+              numHashes = c.getOrElse("numHashes", 3).toString.toInt)
+              .filter(col("overlap") >= c.getOrElse("minOverlap", 0.5).toString.toDouble)
+              .select(col(dcId))
+            df.join(hot, Seq(dcId), "left_anti")
+          case "near" =>
+            graft.ops.Contamination.decontaminateNearDup(df, dcId, dcField,
+              bench,
+              benchIdCol = c.getOrElse("benchIdField", dcId).toString,
+              benchTextCol = dcBenchField,
+              minSim = c.getOrElse("minSimilarity", 0.5).toString.toDouble,
+              n = dcN,
+              k = c.getOrElse("signatureSize", 16).toString.toInt,
+              bands = c.getOrElse("bands", 4).toString.toInt)
+          case other => sys.error(s"decontaminate: mode must be exact|bloom|near, got '$other'")
+        }
+      case "split_assign" =>
+        // Train/val/test assignment as a pipeline step (adds targetField,
+        // default `split`). mode=hash: per-id basis-point buckets
+        // (row-local — streams too). mode=leakproof: the split key is the
+        // normalized-text FINGERPRINT (written to fpField) so near-
+        // identical docs land in the SAME split — no train/test leakage
+        // through duplicates. mode=temporal: time-ordered train|embargo|
+        // test from the corpus time range (batch-only: needs min/max ts).
+        val splits = c.get("splits").map(cfgSeq).map(_.map(m =>
+          m("name").toString -> m("bp").toString.toInt))
+          .getOrElse(Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+        c.getOrElse("mode", "hash").toString match {
+          case "hash" =>
+            graft.ops.Sampling.withSplit(df,
+              idCol = c.getOrElse("idField", "doc_id").toString,
+              splits = splits,
+              splitCol = c.getOrElse("targetField", "split").toString)
+          case "leakproof" =>
+            val fpField = c.getOrElse("fpField", "fp").toString
+            require(!df.columns.contains(fpField),
+              s"split_assign: fpField column '$fpField' already exists")
+            graft.ops.Sampling.withGroupSplit(
+              df.withColumn(fpField, graft.functions.TextFunctions
+                .fingerprint(col(c.getOrElse("field", "text").toString))),
+              groupCol = col(fpField),
+              splits = splits,
+              splitCol = c.getOrElse("targetField", "split").toString)
+          case "temporal" =>
+            require(!df.isStreaming,
+              "split_assign mode: temporal is batch-only (needs the corpus time range)")
+            graft.ops.Sampling.temporalSplit(df,
+              tsCol = c.getOrElse("timeField", "ts").toString,
+              trainBp = c.getOrElse("trainBp", 7000).toString.toInt,
+              embargoSeconds = c.getOrElse("embargoSeconds", 86400L).toString.toLong)
+          case other => sys.error(s"split_assign: mode must be hash|leakproof|temporal, got '$other'")
+        }
+      case "lang_id" =>
+        // Language identification (trigram-profile scoring) as a pipeline
+        // step: adds targetField (default `pred_lang`); optional `keep`
+        // filters to the listed languages. Row-local — streams too.
+        val liTarget = c.getOrElse("targetField", "pred_lang").toString
+        require(!df.columns.contains(liTarget),
+          s"lang_id: target column '$liTarget' already exists")
+        val tagged = df.withColumn(liTarget, graft.functions.LangId.predict(
+          coalesce(col(c.getOrElse("field", "text").toString), lit(""))))
+        c.get("keep").map(_.asInstanceOf[Seq[Any]].map(_.toString)) match {
+          case Some(langs) => tagged.filter(col(liTarget).isin(langs: _*))
+          case None        => tagged
+        }
+      case "gopher_rules" =>
+        // The Gopher quality-rule pack as a pipeline step. action=filter
+        // (default) keeps passing docs with the ORIGINAL schema;
+        // action=tag keeps everything plus the integer metrics, per-rule
+        // verdicts, and `pass`. Row-local projection — streams too.
+        val before = df.columns.toSeq
+        val defaults = graft.ops.QualityRules.GopherParams()
+        val report = graft.ops.QualityRules.gopherReport(df,
+          idCol = c.getOrElse("idField", "doc_id").toString,
+          textCol = c.getOrElse("field", "text").toString,
+          p = graft.ops.QualityRules.GopherParams(
+            minWords = c.getOrElse("minWords", defaults.minWords).toString.toInt,
+            maxWords = c.getOrElse("maxWords", defaults.maxWords).toString.toInt,
+            minMeanWordLenX1 = c.getOrElse("minMeanWordLen", defaults.minMeanWordLenX1).toString.toInt,
+            maxMeanWordLenX1 = c.getOrElse("maxMeanWordLen", defaults.maxMeanWordLenX1).toString.toInt,
+            maxSymbolRatioX10 = c.getOrElse("maxSymbolRatioX10", defaults.maxSymbolRatioX10).toString.toInt,
+            maxBulletRatioX10 = c.getOrElse("maxBulletRatioX10", defaults.maxBulletRatioX10).toString.toInt,
+            maxEllipsisRatioX10 = c.getOrElse("maxEllipsisRatioX10", defaults.maxEllipsisRatioX10).toString.toInt,
+            minAlphaRatioX10 = c.getOrElse("minAlphaRatioX10", defaults.minAlphaRatioX10).toString.toInt,
+            minStopHits = c.getOrElse("minStopHits", defaults.minStopHits).toString.toInt))
+        c.getOrElse("action", "filter").toString match {
+          case "filter" => report.filter(col("pass")).select(before.map(col): _*)
+          case "tag"    => report
+          case other    => sys.error(s"unknown gopher_rules action: $other")
+        }
+      case "c4_clean" =>
+        // C4-style line cleaning as a pipeline step: the field is
+        // REPLACED by the cleaned text (kept lines re-joined).
+        // action=filter (default) also drops docs with too few surviving
+        // lines; action=tag keeps everything plus the line counts and
+        // `doc_kept`. Row-local projection — streams too.
+        val c4Field = c.getOrElse("field", "text").toString
+        val c4Defaults = graft.ops.QualityRules.C4Params()
+        val cleaned = graft.ops.QualityRules.c4LineClean(df,
+          idCol = c.getOrElse("idField", "doc_id").toString,
+          textCol = c4Field,
+          p = graft.ops.QualityRules.C4Params(
+            minLineWords = c.getOrElse("minLineWords", c4Defaults.minLineWords).toString.toInt,
+            minKeptLines = c.getOrElse("minKeptLines", c4Defaults.minKeptLines).toString.toInt,
+            banned = c.get("banned").map(_.asInstanceOf[Seq[Any]].map(_.toString))
+              .getOrElse(c4Defaults.banned)))
+        c.getOrElse("action", "filter").toString match {
+          case "filter" => cleaned.filter(col("doc_kept"))
+            .withColumn(c4Field, col("cleaned"))
+            .drop("n_lines", "kept_lines", "cleaned", "doc_kept")
+          case "tag" => cleaned
+          case other => sys.error(s"unknown c4_clean action: $other")
+        }
       case "asof_join" =>
         // nearest-prior (or next) match on a time axis — graft.operators.AsofJoin
         val rightFrame = tables.getOrElse(c("rightStream").toString,

@@ -1446,4 +1446,151 @@ class DslSpec extends SparkSpec {
         .replace("streaming: true", "streaming: false")))
       .getMessage.contains("requires streaming"))
   }
+
+  // ------------------------------------------------ curation-chain steps
+  // (round 9): the LLM-corpus operators as first-class YAML steps, each
+  // asserted equal to its library call — the step is pure config wiring.
+
+  private def curationPipeline(stepYaml: String,
+      tables: Map[String, org.apache.spark.sql.DataFrame]) = {
+    val yaml =
+      s"""kind: Source
+         |metadata: {name: docs}
+         |spec: {format: table, path: docs}
+         |---
+         |kind: Transform
+         |metadata: {name: step}
+         |spec:
+         |$stepYaml
+         |---
+         |kind: Sink
+         |metadata: {name: out}
+         |spec: {format: noop, path: ""}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: docs, steps: [step], sink: out}
+         |""".stripMargin
+    Compiler.compile(spark, YamlLoader.load(yaml), tables = tables)("p").frame
+  }
+
+  test("chunk transform: token chunks with overlap from the manifest") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"), (2L, "one two"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val out = curationPipeline(
+      "  type: chunk\n  chunkTokens: 5\n  overlapTokens: 2",
+      Map("docs" -> docs))
+    val lib = graft.ops.Profiling.chunkByTokens(docs, "doc_id", "text", 5, 2)
+    assert(out.orderBy("doc_id", "chunk_idx").collect().toSeq ==
+      lib.orderBy("doc_id", "chunk_idx").collect().toSeq)
+    assert(out.filter(col("doc_id") === 1L).count() == 4) // 12 toks, stride 3
+  }
+
+  test("pack transform: capacity packing from the manifest; batch-only") {
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i")).toDF("doc_id", "text")
+    val out = curationPipeline("  type: pack\n  capacity: 5", Map("docs" -> docs))
+    val lib = graft.ops.Packing.packSequences(docs, "doc_id", "text", capacity = 5L)
+    assert(out.orderBy("doc_id").collect().toSeq == lib.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("decontaminate transform: exact, bloom, and near modes drop overlapping docs") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("bench_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // contaminated
+      (2L, "completely unrelated words about different things here entirely now"),
+      (3L, "quick brown fox and also some extra unrelated padding words"))
+      .toDF("doc_id", "text")
+    def run(mode: String, extra: String = "") = curationPipeline(
+      s"  type: decontaminate\n  mode: $mode\n  benchTable: bench\n  minOverlap: 0.5\n" +
+        s"  minSimilarity: 0.5\n  benchIdField: bench_id\n$extra",
+      Map("docs" -> docs, "bench" -> bench))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(run("exact") == Seq(2L, 3L))
+    assert(run("bloom") == Seq(2L, 3L)) // bloom has no false negatives; confirm join exact
+    assert(run("near") == Seq(2L, 3L))
+    val e = intercept[RuntimeException](curationPipeline(
+      "  type: decontaminate\n  mode: fuzzy\n  benchTable: bench",
+      Map("docs" -> docs, "bench" -> bench)).count())
+    assert(e.getMessage.contains("exact|bloom|near"))
+  }
+
+  test("split_assign transform: hash, leakproof, and temporal modes") {
+    val docs = (1L to 40L).map(i => (i, s"doc number $i body")).toDF("doc_id", "text")
+    val hashOut = curationPipeline(
+      "  type: split_assign\n  mode: hash\n  idField: doc_id\n" +
+        "  splits: [{name: train, bp: 8000}, {name: val, bp: 1000}, {name: test, bp: 1000}]",
+      Map("docs" -> docs))
+    val hashLib = graft.ops.Sampling.withSplit(docs, "doc_id",
+      Seq("train" -> 8000, "val" -> 1000, "test" -> 1000))
+    assert(hashOut.orderBy("doc_id").collect().toSeq ==
+      hashLib.orderBy("doc_id").collect().toSeq)
+
+    // leakproof: EXACT duplicates (same fingerprint) must share a split
+    val dup = Seq((1L, "same text body here"), (2L, "same text body here"),
+      (3L, "another doc text")).toDF("doc_id", "text")
+    val lp = curationPipeline(
+      "  type: split_assign\n  mode: leakproof\n  field: text", Map("docs" -> dup))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(lp(1L) == lp(2L))
+    assert(lp.size == 3)
+
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-01-10 00:00:00")))
+      .toDF("event_id", "ts")
+    val tmp = curationPipeline(
+      "  type: split_assign\n  mode: temporal\n  timeField: ts\n  trainBp: 5000\n  embargoSeconds: 86400",
+      Map("docs" -> events))
+      .select("event_id", "split").as[(Long, String)].collect().toMap
+    assert(tmp(1L) == "train" && tmp(3L) == "test")
+  }
+
+  test("lang_id transform: tags pred_lang; keep filters languages") {
+    val docs = Seq(
+      (1L, "the cat and the dog have been with that house and the tree"),
+      (2L, "el gato y el perro que con una casa para los arboles grandes"))
+      .toDF("doc_id", "text")
+    val tagged = curationPipeline("  type: lang_id", Map("docs" -> docs))
+    val lib = docs.withColumn("pred_lang",
+      graft.functions.LangId.predict(coalesce(col("text"), lit(""))))
+    assert(tagged.orderBy("doc_id").collect().toSeq == lib.orderBy("doc_id").collect().toSeq)
+    val kept = curationPipeline("  type: lang_id\n  keep: [en]", Map("docs" -> docs))
+      .select("doc_id").as[Long].collect().toSeq
+    val keptLib = lib.filter(col("pred_lang") === "en")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == keptLib)
+  }
+
+  test("gopher_rules transform: filter keeps the original schema; tag appends the report") {
+    // 55 words, mean length 4.5, four distinct stopwords — all rules pass
+    val good = ("the quick brown foxes have jumped with style and grace today " * 5).trim
+    val docs = Seq((1L, good), (2L, "tiny")).toDF("doc_id", "text")
+    val filtered = curationPipeline("  type: gopher_rules", Map("docs" -> docs))
+    assert(filtered.columns.toSeq == Seq("doc_id", "text"))
+    assert(filtered.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    val tagged = curationPipeline("  type: gopher_rules\n  action: tag", Map("docs" -> docs))
+    assert(tagged.count() == 2)
+    assert(tagged.columns.contains("pass") && tagged.columns.contains("n_words"))
+    val libPass = graft.ops.QualityRules.gopherReport(docs, "doc_id", "text")
+      .select("doc_id", "pass").as[(Long, Boolean)].collect().toMap
+    assert(libPass(1L) && !libPass(2L))
+  }
+
+  test("c4_clean transform: replaces text with kept lines; filter drops thin docs") {
+    val keepable = (1 to 4).map(i =>
+      s"this line number $i has plenty of words and ends properly.").mkString("\n")
+    val docs = Seq(
+      (1L, keepable + "\nBAD javascript line here."),
+      (2L, "no terminal punctuation here at all")).toDF("doc_id", "text")
+    val out = curationPipeline("  type: c4_clean", Map("docs" -> docs))
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    val kept = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(kept.keySet == Set(1L))
+    assert(kept(1L) == keepable) // banned + unterminated lines dropped
+    val tagged = curationPipeline("  type: c4_clean\n  action: tag", Map("docs" -> docs))
+    assert(tagged.count() == 2 && tagged.columns.contains("doc_kept"))
+  }
 }

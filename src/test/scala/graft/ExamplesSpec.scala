@@ -48,6 +48,10 @@ class ExamplesSpec extends SparkSpec {
       (4L, "src2", "<p>third unique document body text</p>")
     ).toDF("doc_id", "source", "text")
       .write.mode("overwrite").parquet(s"$dir/data/documents")
+    // llm-corpus.yaml's held-out benchmark: doc 4's body verbatim, so the
+    // decontaminate step must drop doc 4 from the curated corpus
+    Seq(Tuple1("third unique document body text")).toDF("text")
+      .write.mode("overwrite").parquet(s"$dir/data/benchmark")
   }
 
   test("batch-analytics.yaml: validate, graph, run; DLQ captures routed rows") {
@@ -83,12 +87,16 @@ class ExamplesSpec extends SparkSpec {
     val total = out.agg(sum("n")).first().getLong(0)
     assert(total == 4L, s"expected the 4 closed-window events, got $total")
     assert(Files.isDirectory(Paths.get(s"$dir/data/out/stream_checkpoint")))
-    // the checkpoint is state-format stamped (round-8 guard)
-    assert(Files.exists(Paths.get(
+    // keep:first compiles to Spark-NATIVE dropDuplicatesWithinWatermark —
+    // Spark versions that state itself, so the graft state-format stamp
+    // must NOT be written (round 9: stamping it would force unnecessary
+    // checkpoint restarts on resume; only graft flatMapGroupsWithState
+    // operators carry graft-encoded state)
+    assert(!Files.exists(Paths.get(
       s"$dir/data/out/stream_checkpoint/${graft.streaming.StateFormat.FileName}")))
   }
 
-  test("llm-corpus.yaml: strip -> fingerprint-dedupe -> quality -> upsample") {
+  test("llm-corpus.yaml: strip -> dedupe -> lang -> quality -> decontaminate -> split -> upsample") {
     val dir = Files.createTempDirectory("graft_ex_llm").toString
     writeFixtures(dir)
     val m = materialize("llm-corpus.yaml", dir)
@@ -96,10 +104,14 @@ class ExamplesSpec extends SparkSpec {
     assert(Cli.run(Seq("run", m), sparkOpt = Some(spark)) == 0)
     val out = spark.read.parquet(s"$dir/data/out/corpus")
     // docs 1/2 collapse to one fingerprint survivor (doc 1); quality stub
-    // + upsample keep deterministic multiplicities — just pin the dedupe
-    // and that no raw markup leaked
+    // + upsample keep deterministic multiplicities — pin the dedupe, the
+    // markup strip, the benchmark drop, and the curation columns
     val ids = out.select("doc_id").as[Long].collect().toSet
     assert(!ids.contains(2L), "fingerprint dedupe must drop the markup variant")
+    assert(!ids.contains(4L), "decontaminate must drop the benchmark-overlapping doc")
     assert(out.filter(col("text").contains("<")).count() == 0, "markup must be stripped")
+    assert(out.columns.contains("pred_lang") && out.columns.contains("split"),
+      "lang_id and split_assign must contribute their columns")
+    assert(out.filter(!col("split").isin("train", "val", "test")).count() == 0)
   }
 }
