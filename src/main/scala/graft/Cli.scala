@@ -123,7 +123,16 @@ object Cli {
                 transforms = reg.transforms.filter(_._1._1 == ns),
                 sinks = reg.sinks.filter(_._1._1 == ns),
                 pipelines = Map(p.key -> p))
-              Compiler.compile(spark, slice).values.foreach(Compiler.write)
+              Compiler.compile(spark, slice).values.foreach { cp =>
+                Compiler.write(cp)
+                // DLQ parity with `run`: the routed branch writes too —
+                // a registry-run pipeline must not silently drop its
+                // dead letters
+                for (dlq <- cp.dlq; sink <- cp.dlqSink) {
+                  Compiler.write(Compiler.CompiledPipeline(s"${cp.name}-dlq", dlq, sink, Nil))
+                  println(s"pipeline $ns/$n: wrote DLQ sink '${sink.name}'")
+                }
+              }
               println(s"pipeline $ns/$n: wrote sink '${p.sink}'")
               0
             case errs => errs.foreach(e => println(s"ERROR: $e")); 1

@@ -27,8 +27,25 @@ final case class SourceManifest(
       * ([[graft.sources.Kafka.maxOffsetsPerTrigger]]).
       */
     maxFilesPerTrigger: Option[Long] = None,
+    /** High/low queue-utilization watermarks for the wave-drain
+      * backpressure controller (the reference's buffer-crate signal
+      * surface, conveyor-etl-buffer/src/backpressure.rs:4-23). YAML:
+      * `backpressure: {highWatermark: 0.9, lowWatermark: 0.7}` —
+      * validated at LOAD (0 < low < high). A driver running governed
+      * waves builds the controller via [[backpressureController]].
+      */
+    bpHighWatermark: Option[Double] = None,
+    bpLowWatermark: Option[Double] = None,
     namespace: String = Registry.DefaultNamespace
-) { def key: (String, String) = (namespace, name) }
+) {
+  def key: (String, String) = (namespace, name)
+  /** The declared backpressure controller, when the manifest carries the
+    * watermark pair.
+    */
+  def backpressureController: Option[graft.streaming.Backpressure.Controller] =
+    for (hi <- bpHighWatermark; lo <- bpLowWatermark)
+      yield new graft.streaming.Backpressure.Controller(hi, lo)
+}
 
 final case class TransformManifest(
     name: String,

@@ -59,6 +59,25 @@ object YamlLoader {
         val maxFiles = rateCap.flatMap(_.get("maxFilesPerTrigger")).map(_.toString.toLong)
         maxFiles.foreach(n => if (n < 1)
           sys.error(s"source '$name': rateCap.maxFilesPerTrigger must be >= 1, got $n"))
+        // backpressure watermarks fail at LOAD too — same contract as
+        // rateCap: `Cli validate` rejects a bad pair before any drain
+        val bp = spec.get("backpressure").map(_.asInstanceOf[Map[String, Any]])
+        bp.foreach { b =>
+          val unknown = b.keySet -- Set("highWatermark", "lowWatermark")
+          if (unknown.nonEmpty)
+            sys.error(s"source '$name': unknown backpressure keys $unknown — " +
+              "expected highWatermark and lowWatermark")
+          if (!streaming)
+            sys.error(s"source '$name': backpressure requires streaming: true " +
+              "(a batch read has no ingestion waves to govern)")
+          val hi = b.getOrElse("highWatermark",
+            sys.error(s"source '$name': backpressure needs highWatermark")).toString.toDouble
+          val lo = b.getOrElse("lowWatermark",
+            sys.error(s"source '$name': backpressure needs lowWatermark")).toString.toDouble
+          if (!(lo > 0.0 && hi > lo))
+            sys.error(s"source '$name': backpressure needs 0 < lowWatermark < " +
+              s"highWatermark, got low=$lo high=$hi")
+        }
         Registry().apply(
           SourceManifest(name, str("format", "parquet"), str("path"), opts,
             streaming = streaming,
@@ -66,6 +85,8 @@ object YamlLoader {
             watermarkField = wm.flatMap(_.get("field")).fold("")(_.toString),
             watermarkDelay = wm.flatMap(_.get("delay")).fold("")(_.toString),
             maxFilesPerTrigger = maxFiles,
+            bpHighWatermark = bp.flatMap(_.get("highWatermark")).map(_.toString.toDouble),
+            bpLowWatermark = bp.flatMap(_.get("lowWatermark")).map(_.toString.toDouble),
             namespace = ns))
       case "Transform" =>
         Registry().apply(

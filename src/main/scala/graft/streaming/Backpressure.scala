@@ -1,0 +1,154 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+/** Credit-based backpressure signals for streaming ingestion — the
+  * reference's buffer-crate BackpressureController re-expressed at the
+  * seam Spark actually exposes.
+  *
+  * Reference analog: conveyor-etl-buffer/src/backpressure.rs:4-105 — a
+  * high/low watermark pair maps queue utilization to one of three
+  * signals (proceed / slow down with a proportional delay / pause), and
+  * a per-source credit ledger tracks granted-vs-used ingestion budget.
+  *
+  * Where this sits in Spark: a micro-batch stream is PULL-based — there
+  * is no push queue inside the engine to throttle, so the per-trigger
+  * caps (`rateCap.maxFilesPerTrigger`, `Kafka.maxOffsetsPerTrigger`)
+  * already bound what one wave ingests. What those caps cannot express
+  * is DOWNSTREAM pressure: a landing queue (files accumulating faster
+  * than the sink drains, a slow external sink, a filling DLQ) has no
+  * way to slow the driver. The controller closes that gap at the
+  * wave-drain loop: before each run-to-drain wave, the driver reports
+  * the queue's utilization and acts on the signal — pause (poll until
+  * the queue recedes below the high watermark), delay proportionally
+  * inside the band, or proceed. The signal computation is pure integer/
+  * double arithmetic on the reported utilization — deterministic, so
+  * the spec drives it with a scripted queue double exactly like
+  * rateCap's file-count double.
+  */
+object Backpressure {
+
+  /** backpressure.rs:4-8 — the three-valued signal. */
+  sealed trait Signal
+  case object Proceed extends Signal
+  final case class SlowDown(delayMs: Long) extends Signal
+  case object Pause extends Signal
+
+  private final class SourceState {
+    @volatile var currentSignal: Signal = Proceed
+    @volatile var creditsGranted: Long = 0L
+    @volatile var creditsUsed: Long = 0L
+  }
+
+  /** Per-source signal + credit ledger. Thread-safe: listener threads and
+    * the drain loop may consult it concurrently.
+    *
+    * @param highWatermark utilization at/above which ingestion pauses
+    * @param lowWatermark  utilization at/below which ingestion proceeds
+    *                      freely; the (low, high) band maps linearly to a
+    *                      delay of 10..100 ms (backpressure.rs:40-50)
+    */
+  final class Controller(val highWatermark: Double, val lowWatermark: Double) {
+    require(lowWatermark > 0.0 && highWatermark > lowWatermark,
+      s"backpressure watermarks need 0 < low < high, " +
+        s"got low=$lowWatermark high=$highWatermark")
+
+    private val states = new ConcurrentHashMap[String, SourceState]()
+    private def state(id: String): SourceState =
+      states.computeIfAbsent(id, _ => new SourceState)
+
+    /** The reference's compute_signal formula verbatim: Pause at/above
+      * high; inside (low, high) a delay proportional to band position,
+      * floored at 10 ms; Proceed at/below low. The computed signal is
+      * retained as the source's current signal.
+      */
+    def computeSignal(sourceId: String, utilization: Double): Signal = {
+      val s =
+        if (utilization >= highWatermark) Pause
+        else if (utilization > lowWatermark) {
+          val delay = ((utilization - lowWatermark) /
+            (highWatermark - lowWatermark) * 100.0).toLong
+          SlowDown(math.max(delay, 10L))
+        } else Proceed
+      state(sourceId).currentSignal = s
+      s
+    }
+
+    def currentSignal(sourceId: String): Signal =
+      Option(states.get(sourceId)).fold[Signal](Proceed)(_.currentSignal)
+
+    // ------------------------------------------------- credit ledger
+    // (backpressure.rs:57-93): grant/use/available/reset, with available
+    // saturating at zero — overdrawn sources read as "no credits", never
+    // negative.
+    def grantCredits(sourceId: String, credits: Long): Unit =
+      state(sourceId).synchronized { state(sourceId).creditsGranted += credits }
+    def useCredits(sourceId: String, credits: Long): Unit =
+      state(sourceId).synchronized { state(sourceId).creditsUsed += credits }
+    def availableCredits(sourceId: String): Long =
+      Option(states.get(sourceId))
+        .fold(0L)(s => math.max(0L, s.creditsGranted - s.creditsUsed))
+    def resetCredits(sourceId: String): Unit =
+      state(sourceId).synchronized {
+        val s = state(sourceId); s.creditsGranted = 0L; s.creditsUsed = 0L
+      }
+  }
+
+  /** The reference's Default impl: high 0.9 / low 0.7. */
+  def defaultController(): Controller = new Controller(0.9, 0.7)
+
+  /** One wave's outcome in a governed drain. */
+  final case class WaveRecord(wave: Int, signalsSeen: Seq[Signal])
+
+  /** Drive `runWave` (one run-to-drain pass — e.g. a Trigger.AvailableNow
+    * query start + awaitTermination) for `waves` waves, consulting the
+    * controller against `utilization()` BEFORE each wave:
+    *
+    *  - Pause: do NOT run; wait `pollMs` (via `onDelay`) and re-measure —
+    *    the wave starts only once the queue recedes below the high
+    *    watermark. `maxPolls` bounds the loop: a queue that never recedes
+    *    fails loudly instead of hanging the driver.
+    *  - SlowDown(d): wait d, then run the wave.
+    *  - Proceed: run immediately.
+    *
+    * `onDelay` is the injectable clock: production passes Thread.sleep,
+    * specs pass a recorder (and mutate the queue double inside it) — the
+    * whole governed drain then runs deterministically with zero real
+    * sleeping, the same test-double discipline as rateCap's scripted
+    * landing directory.
+    */
+  def governedDrain(
+      controller: Controller,
+      sourceId: String,
+      utilization: () => Double,
+      runWave: Int => Unit,
+      waves: Int,
+      pollMs: Long = 100L,
+      onDelay: Long => Unit = Thread.sleep,
+      maxPolls: Int = 1000
+  ): Seq[WaveRecord] = {
+    require(waves >= 1, s"waves must be >= 1, got $waves")
+    (0 until waves).map { w =>
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Signal]
+      var polls = 0
+      var signal = controller.computeSignal(sourceId, utilization())
+      seen += signal
+      while (signal == Pause) {
+        polls += 1
+        if (polls > maxPolls)
+          sys.error(s"backpressure: source '$sourceId' still at/above the " +
+            s"high watermark (${controller.highWatermark}) after $maxPolls " +
+            s"polls — queue is not draining; aborting instead of hanging")
+        onDelay(pollMs)
+        signal = controller.computeSignal(sourceId, utilization())
+        seen += signal
+      }
+      signal match {
+        case SlowDown(d) => onDelay(d)
+        case _           => ()
+      }
+      runWave(w)
+      WaveRecord(w, seen.toSeq)
+    }
+  }
+}

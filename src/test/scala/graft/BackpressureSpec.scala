@@ -1,0 +1,157 @@
+package graft
+
+import graft.dsl.{Compiler, YamlLoader}
+import graft.streaming.Backpressure
+import graft.streaming.Backpressure.{Pause, Proceed, SlowDown}
+
+class BackpressureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("computeSignal: the reference's high/low watermark formula") {
+    val c = new Backpressure.Controller(0.9, 0.7)
+    assert(c.computeSignal("s", 0.0) == Proceed)
+    assert(c.computeSignal("s", 0.7) == Proceed)   // at-or-below low proceeds
+    assert(c.computeSignal("s", 0.9) == Pause)     // at high pauses
+    assert(c.computeSignal("s", 1.5) == Pause)     // utilization may exceed 1
+    // inside the band: linear 0..100 ms, floored at 10
+    assert(c.computeSignal("s", 0.8) == SlowDown(50))
+    assert(c.computeSignal("s", 0.88) == SlowDown(89)) // (0.18/0.2)*100 = 90 fp-rounds to 89
+    assert(c.computeSignal("s", 0.701) == SlowDown(10)) // floor at 10ms
+    // the computed signal is retained per source
+    assert(c.currentSignal("s") == SlowDown(10))
+    assert(c.currentSignal("never-seen") == Proceed)
+  }
+
+  test("controller rejects a degenerate watermark pair at construction") {
+    intercept[IllegalArgumentException](new Backpressure.Controller(0.7, 0.9))
+    intercept[IllegalArgumentException](new Backpressure.Controller(0.9, 0.0))
+    intercept[IllegalArgumentException](new Backpressure.Controller(0.5, 0.5))
+    assert(Backpressure.defaultController().highWatermark == 0.9)
+  }
+
+  test("credit ledger: grant/use/available saturate at zero, reset clears") {
+    val c = Backpressure.defaultController()
+    assert(c.availableCredits("a") == 0L)
+    c.grantCredits("a", 100L)
+    c.useCredits("a", 30L)
+    assert(c.availableCredits("a") == 70L)
+    c.useCredits("a", 100L) // overdraw: available saturates, never negative
+    assert(c.availableCredits("a") == 0L)
+    c.grantCredits("b", 5L)
+    assert(c.availableCredits("b") == 5L) // per-source isolation
+    c.resetCredits("a")
+    c.grantCredits("a", 7L)
+    assert(c.availableCredits("a") == 7L)
+  }
+
+  test("governedDrain: pause polls until the queue recedes; delays are deterministic") {
+    val c = new Backpressure.Controller(0.9, 0.7)
+    // scripted queue double: wave 0 proceeds, wave 1 starts saturated and
+    // recedes one step per poll, wave 2 sits inside the slow-down band
+    var depth = 0.2
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ran = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val script = Iterator(0.92, 0.3) // queue depth after each wave-1 poll
+    val records = Backpressure.governedDrain(
+      c, "src",
+      utilization = () => depth,
+      runWave = { w =>
+        ran += w
+        if (w == 0) depth = 0.95 // wave 1 opens saturated
+        if (w == 1) depth = 0.8  // wave 2 opens in the band
+      },
+      waves = 3,
+      pollMs = 100L,
+      onDelay = { d => delays += d; if (script.hasNext) depth = script.next() })
+    assert(ran.toSeq == Seq(0, 1, 2))
+    // wave 0: clean proceed
+    assert(records(0).signalsSeen == Seq(Proceed))
+    // wave 1: paused twice (0.95, then 0.92 after the first poll), then
+    // the queue receded to 0.3 -> Proceed
+    assert(records(1).signalsSeen == Seq(Pause, Pause, Proceed))
+    // wave 2: in-band -> one SlowDown, delay = (0.8-0.7)/0.2*100 = 50
+    assert(records(2).signalsSeen == Seq(SlowDown(50)))
+    // all waits went through the injected clock: two 100ms polls + 50ms
+    assert(delays.toSeq == Seq(100L, 100L, 50L))
+  }
+
+  test("governedDrain: a queue that never recedes aborts instead of hanging") {
+    val c = new Backpressure.Controller(0.9, 0.7)
+    val e = intercept[RuntimeException](Backpressure.governedDrain(
+      c, "stuck", utilization = () => 1.0, runWave = _ => fail("must not run"),
+      waves = 1, onDelay = _ => (), maxPolls = 5))
+    assert(e.getMessage.contains("not draining"))
+  }
+
+  test("e2e: YAML-declared watermarks govern a real wave drain (scripted queue double)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bp").toString
+    def yaml(bp: String) =
+      s"""kind: Source
+         |metadata: {name: files}
+         |spec:
+         |  format: parquet
+         |  path: $tmp/in/*
+         |  streaming: true
+         |  schema: "id BIGINT, user STRING"
+         |  $bp
+         |---
+         |kind: Transform
+         |metadata: {name: ident}
+         |spec: {type: filter, condition: {always: true}}
+         |---
+         |kind: Sink
+         |metadata: {name: bp_out}
+         |spec: {format: parquet, path: "$tmp/out", checkpoint: "$tmp/ckpt"}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: files, steps: [ident], sink: bp_out}
+         |""".stripMargin
+    val reg = YamlLoader.load(yaml("backpressure: {highWatermark: 0.9, lowWatermark: 0.7}"))
+    // the load-time-validated pair builds the controller off the manifest
+    val ctl = reg.sources.values.head.backpressureController.get
+    assert(ctl.highWatermark == 0.9 && ctl.lowWatermark == 0.7)
+
+    def writeFile(i: Int): Unit =
+      Seq((i.toLong, s"u$i")).toDF("id", "user")
+        .coalesce(1).write.parquet(s"$tmp/in/f$i")
+    writeFile(1)
+
+    // wave = one AvailableNow drain of the compiled pipeline (checkpoint
+    // carries offsets across waves, so each wave ingests only new files);
+    // queue double: wave 1 opens saturated and recedes after one poll —
+    // file 2 lands only once the governor has let the wave through
+    var depth = 0.2
+    var polls = 0
+    val records = Backpressure.governedDrain(
+      ctl, "files",
+      utilization = () => depth,
+      runWave = { w =>
+        val q = Compiler.writeStreaming(Compiler.compile(spark, reg)("p"))
+        try q.awaitTermination() finally q.stop()
+        if (w == 0) { writeFile(2); depth = 0.95 }
+      },
+      waves = 2,
+      onDelay = { _ => polls += 1; depth = 0.3 })
+    assert(records(0).signalsSeen == Seq(Proceed))
+    assert(records(1).signalsSeen == Seq(Pause, Proceed))
+    assert(polls == 1)
+    // both files drained exactly once across the governed waves (the
+    // checkpoint carries offsets wave to wave)
+    assert(spark.read.parquet(s"$tmp/out")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+
+    // load-time validation: bad pairs and misplacement die at load
+    def loadErr(bp: String): String =
+      intercept[RuntimeException](YamlLoader.load(yaml(bp))).getMessage
+    assert(loadErr("backpressure: {highWatermark: 0.7, lowWatermark: 0.9}")
+      .contains("0 < lowWatermark < highWatermark"))
+    assert(loadErr("backpressure: {highWatermark: 0.9}").contains("needs lowWatermark"))
+    assert(loadErr("backpressure: {highWatermark: 0.9, lowWatermark: 0.7, burst: 2}")
+      .contains("unknown backpressure"))
+    assert(intercept[RuntimeException](YamlLoader.load(
+      yaml("backpressure: {highWatermark: 0.9, lowWatermark: 0.7}")
+        .replace("streaming: true", "streaming: false")))
+      .getMessage.contains("requires streaming"))
+  }
+}

@@ -150,6 +150,57 @@ class CliSpec extends SparkSpec {
       graft.dsl.RegistryStore.delete(store, "Transform", "..", "keep"))
   }
 
+  test("split-resource example tree: apply each file, validate, run both pipelines") {
+    // the reference ships one resource per file under examples/manifests/
+    // {sources,transforms,sinks,pipelines}/ and assembles them by name in
+    // the registry — drive OUR mirror of that tree through the durable
+    // store end to end
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_tree").toString
+    val store = s"$dir/registry"
+    Seq(
+      (1L, 10L, "purchase", 50.0),
+      (2L, 11L, "click", 5.0),     // filtered (not purchase)
+      (3L, 12L, "purchase", -4.0), // passes filter, DLQ-routed (value <= 0)
+      (4L, 13L, "purchase", 20.0)
+    ).toDF("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/data/events")
+    val tree = java.nio.file.Paths.get("examples/manifests")
+    val files = Seq(
+      "sources/user-events.yaml",
+      "transforms/filter-active-users.yaml",
+      "transforms/mask-pii.yaml",
+      "transforms/validate-user-schema.yaml",
+      "sinks/s3-archive.yaml",
+      "sinks/error-handler.yaml",
+      "sinks/analytics.yaml",
+      "pipelines/user-analytics.yaml",
+      "pipelines/user-archive.yaml")
+    for (f <- files) {
+      val raw = java.nio.file.Files.readString(tree.resolve(f))
+      val mat = java.nio.file.Paths.get(dir, f.replace('/', '_'))
+      java.nio.file.Files.writeString(mat, raw.replace("path: data/", s"path: $dir/data/"))
+      assert(Cli.run(Seq("registry", "apply", store, mat.toString)) == 0, s"apply $f")
+    }
+    assert(Cli.run(Seq("registry", "validate", store)) == 0)
+    assert(Cli.run(Seq("registry", "run", store, "user-analytics"), Some(spark)) == 0)
+    assert(Cli.run(Seq("registry", "run", store, "user-archive"), Some(spark)) == 0)
+    // user-analytics: purchases with value>0 pass validation to the
+    // archive; event 3 routes to the DLQ with its error code
+    assert(spark.read.parquet(s"$dir/data/out/archive")
+      .select("event_id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    val dlq = spark.read.parquet(s"$dir/data/out/dlq")
+    assert(dlq.select("event_id").as[Long].collect().toSeq == Seq(3L))
+    assert(dlq.select("dlq_message").head.getString(0) == "NON_POSITIVE_VALUE")
+    // user-archive: same filter prefix, PII masked before the sink
+    // (user_id hashed away from the raw ids, event_type partial-masked)
+    val arch = spark.read.parquet(s"$dir/data/out/analytics")
+    assert(arch.count() == 3)
+    assert(arch.select("event_type").distinct().collect().map(_.getString(0)).toSet
+      .forall(_.startsWith("pu")))
+    assert(!arch.select("user_id").collect().map(_.get(0)).toSet
+      .exists(Set[Any](10L, 12L, 13L).contains))
+  }
+
   test("backup create / list / restore subcommands round-trip a checkpoint") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cli_bak").toString
     new java.io.File(s"$dir/chk/offsets").mkdirs()
