@@ -34,6 +34,16 @@ object Stress {
     spark.sparkContext.setLogLevel("WARN")
 
     val copies = explode(array((0 until mult).map(lit): _*)).as("__copy")
+    val warcGzStressPath = "/tmp/graft_stress_warcgz"
+
+    def warcGzFatDocs(d: DataFrame): DataFrame = d.select(
+      col("doc_id"),
+      concat(lit("https://example.com/doc/"), col("doc_id")).as("uri"),
+      // 64 DISTINCT digests per record: hex compresses ~2:1 (16-symbol
+      // alphabet) but never collapses — repeated padding would gzip away
+      // and leave a toy file
+      array_join(transform(sequence(lit(0), lit(63)),
+        i => md5(concat(col("text"), i.cast("string")))), " ").as("body"))
 
     def docsN: DataFrame = graft.sources.Tables.read(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), col("source"), copies)
@@ -73,6 +83,14 @@ object Stress {
     // flat-linear in rows like every other row-local text kernel
     lazy val subwordTable = graft.functions.Subword.buildTable(
       graft.sources.Tables.read(spark, sfDir, "documents"), "text")
+
+    def ensureWarcGzStress(): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(warcGzStressPath)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp))
+        graft.sources.WarcGz.write(warcGzFatDocs(docsN).coalesce(2),
+          "doc_id", "uri", "body", warcGzStressPath)
+    }
 
     val opList: Seq[(String, () => DataFrame)] = Seq(
       "pack" -> (() => ops.Packing.packSequences(docsN, "doc_id", "text", capacity = 2048L)),
@@ -170,8 +188,43 @@ object Stress {
         if (fs.exists(hp)) fs.delete(hp, true)
         graft.sources.Readers.writeAvro(docsN, path)
         graft.sources.Readers.avro(spark, path)
+      }),
+      // round 9: member-boundary scan scaling for the splittable .warc.gz
+      // reader. warcgz_write builds a fat archive ONCE (low-compressibility
+      // hex bodies — 64 distinct md5s/record ≈ 2 KB raw ≈ 1 KB gzipped —
+      // in 2 coalesced part files, so split count is governed by the CAP,
+      // not the file count; ~110 MB at mult 20, ~220 MB at mult 40). The
+      // scan ops re-read it whole (2 splits — one boundary scan each) vs
+      // capped at 8 MB / 2 MB (≈14 / 56 splits — each split pays one
+      // validated-boundary seek, then decodes only its owned members).
+      // Near-flat wall time across the three rows = the boundary scan is
+      // O(splits · scan-window), not O(splits · file-size): split-count
+      // scaling holds, so a 1 GB crawl file fans out like any container.
+      "warcgz_write" -> (() => {
+        val path = warcGzStressPath
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.delete(hp, true)
+        graft.sources.WarcGz.write(warcGzFatDocs(docsN).coalesce(2),
+          "doc_id", "uri", "body", path)
+        spark.range(1).toDF("done")
+      }),
+      "warcgz_scan_whole" -> (() => {
+        ensureWarcGzStress()
+        graft.sources.WarcGz.read(spark, warcGzStressPath)
+      }),
+      "warcgz_scan_split8m" -> (() => {
+        ensureWarcGzStress()
+        graft.sources.WarcGz.read(spark, warcGzStressPath,
+          maxSplitBytes = 8L * 1024 * 1024)
+      }),
+      "warcgz_scan_split2m" -> (() => {
+        ensureWarcGzStress()
+        graft.sources.WarcGz.read(spark, warcGzStressPath,
+          maxSplitBytes = 2L * 1024 * 1024)
       })
     )
+
     val selected = if (args.nonEmpty) opList.filter(o => args.contains(o._1)) else opList
 
     // per-task ceiling per op: local wall time hides a serialized hot key
