@@ -64,16 +64,18 @@ object ScaleUp {
               .cast("float") - 1000f) / 1000f).cast("float"))).as("embedding"),
         col("label")))
 
-    // ts goes back out as BIGINT epoch-nanos — the source fixture's
-    // physical layout (Spark can't WRITE nanos timestamps, and an INT96/
-    // micros column would break the fixed-schema streaming queries;
-    // Tables.read converts LongType ts on the way in either way)
+    // ts goes back out as TIMESTAMP_NTZ micros — the source fixture's
+    // CURRENT physical layout (isAdjustedToUTC=false micros; the round-9
+    // sf1.0 epoch caught the previous BIGINT-nanos shape failing
+    // q_stream_agg's fixed NTZ schema with PARQUET_COLUMN_DATA_TYPE_
+    // MISMATCH). Sessions pin UTC, so the cast is wall-clock exact and
+    // Tables.read normalizes it back on the way in.
     write("events", t("events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"), copies)
       .select(
         (col("event_id") + col("__c").cast("long") * 1000000000L).as("event_id"),
-        (unix_micros(col("ts")) * 1000L).as("ts"),
+        col("ts").cast("timestamp_ntz").as("ts"),
         (col("user_id") + col("__c").cast("long") * 10000000L).as("user_id"),
         col("event_type"), col("value"), col("props")))
 
