@@ -3132,6 +3132,28 @@ object SparkEntry {
       .select(col("event_id"), col("split"))
       .orderBy(col("event_id"))
 
+  /** The r8 dedupe_near step (MinHash-LSH, keep: first) under its own
+    * oracle — the survivors of the q_dedup_minhash pair set after the
+    * connected-components keep-lowest-id rule, all replayed in SQL.
+    */
+  private def qDslDedupeNear(s: SparkSession, dir: String): DataFrame =
+    dslStep(s, Map("step_in" -> docs(s, dir)),
+      "  type: dedupe_near\n  idField: doc_id\n  field: text\n" +
+        "  minSimilarity: 0.5\n  keep: first")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  /** The r8 temperature_mixture step under its own oracle — the picked
+    * ids of the q_mixture_temperature quota computation, with the step's
+    * semi-join preserving the original row (projected to the id).
+    */
+  private def qDslMixture(s: SparkSession, dir: String): DataFrame =
+    dslStep(s, Map("step_in" -> t(s, dir, "events")),
+      "  type: temperature_mixture\n  idField: event_id\n" +
+        "  groupField: event_type\n  budget: 2000")
+      .select(col("event_id"))
+      .orderBy(col("event_id"))
+
   /** The composite curation chain through YAML — decontaminate (exact,
     * benchmark = every 20th doc) → chunk (40/10) → split_assign (hash) —
     * gating COLUMN FLOW BETWEEN STEPS, which the single-step twins don't:
@@ -3348,7 +3370,9 @@ object SparkEntry {
     "q_dsl_c4" -> (qDslC4 _),
     "q_dsl_split_leakproof" -> (qDslSplitLeakproof _),
     "q_dsl_split_temporal" -> (qDslSplitTemporal _),
-    "q_dsl_curation" -> (qDslCuration _)
+    "q_dsl_curation" -> (qDslCuration _),
+    "q_dsl_dedupe_near" -> (qDslDedupeNear _),
+    "q_dsl_mixture" -> (qDslMixture _)
   )
 
   /** Shared oracle fragment for the subword-tokenizer queries: derives the
@@ -3806,6 +3830,54 @@ object SparkEntry {
     baseOracleSql ++ dslTwinOf.map { case (twin, lib) => twin -> baseOracleSql(lib) }
 
   private def baseOracleSql: Map[String, String] = Map(
+    // dedupe_near (keep: first) through YAML: the q_dedup_minhash pair
+    // set (same shared LSH CTEs) → recursive components → keep-lowest-id
+    // survivors. RECURSIVE is spliced onto the shared WITH prefix.
+    "q_dsl_dedupe_near" ->
+      s"""${lshCandCte.replace("WITH nrm", "WITH RECURSIVE nrm")}, scored AS (
+        |  SELECT c.id_a, c.id_b,
+        |    round(sum(CASE WHEN sa.sig[g.i+1] = sb.sig[g.i+1] THEN 1 ELSE 0 END) / 16.0, 6) AS sig_sim
+        |  FROM cand c
+        |  JOIN sigs sa ON c.id_a = sa.doc_id
+        |  JOIN sigs sb ON c.id_b = sb.doc_id
+        |  CROSS JOIN generate_series(0, 15) g(i)
+        |  GROUP BY 1, 2
+        |), plist AS (
+        |  SELECT id_a, id_b FROM scored WHERE sig_sim >= 0.5
+        |), bidir AS (
+        |  SELECT id_a AS src, id_b AS dst FROM plist
+        |  UNION ALL SELECT id_b, id_a FROM plist
+        |), reach(src, dst) AS (
+        |  SELECT src, dst FROM bidir
+        |  UNION
+        |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src
+        |), comp AS (
+        |  SELECT src AS id, least(min(dst), src) AS component FROM reach GROUP BY src
+        |)
+        |SELECT d.doc_id FROM documents d
+        |LEFT JOIN comp c ON c.id = d.doc_id
+        |WHERE c.id IS NULL OR c.component = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // temperature_mixture through YAML: the q_mixture_temperature quota
+    // machinery, projected to the semi-join's surviving ids.
+    "q_dsl_mixture" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT event_type AS grp, count(*) AS n_d,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS s_d
+        |  FROM events GROUP BY 1
+        |), tot AS (SELECT sum(s_d) AS stot FROM c),
+        |q AS (SELECT grp, n_d, (2000 * s_d) // stot AS quota FROM c CROSS JOIN tot),
+        |r AS (
+        |  SELECT event_id AS id, event_type AS grp,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ('0x'||substr(md5(CAST(event_id AS VARCHAR)),1,15))::BIGINT, event_id)
+        |      AS rank
+        |  FROM events
+        |)
+        |SELECT r.id AS event_id
+        |FROM r JOIN q ON r.grp = q.grp
+        |WHERE r.rank <= q.quota
+        |ORDER BY event_id""".stripMargin,
     // The composite DSL curation chain: exact decontamination (bench =
     // every 20th doc, drop at rounded overlap >= 0.5) feeding the 40/10
     // token chunker, then the doc_id hash split. Same fragments as the
