@@ -100,6 +100,74 @@ object Backpressure {
   /** One wave's outcome in a governed drain. */
   final case class WaveRecord(wave: Int, signalsSeen: Seq[Signal])
 
+  /** Queue-utilization probe for a FILE landing directory: pending files
+    * (present under `landingDir` but not yet committed by the streaming
+    * checkpoint's file-source log) over `capacityFiles`. This is the
+    * probe a file-fed governed drain wants out of the box — producers
+    * drop files into the landing dir, the checkpoint records what each
+    * wave ingested, and the difference IS the queue depth.
+    *
+    * The file-source log layout (checkpointDir/sources/0/<batchId>, one
+    * JSON entry per committed file with a `path` field) is Spark's
+    * on-disk contract for exactly-once file streams — the same files the
+    * engine itself replays on restart, so reading it introduces no new
+    * coupling beyond what the checkpoint already pins. Absent checkpoint
+    * (or absent log) counts nothing committed. Listing is driver-side
+    * over one directory — O(pending + committed-log size), the same
+    * order of work the file source's own discovery does per trigger.
+    */
+  def fileQueueUtilization(
+      spark: org.apache.spark.sql.SparkSession,
+      landingDir: String,
+      checkpointDir: String,
+      capacityFiles: Int
+  ): () => Double = {
+    require(capacityFiles >= 1, s"capacityFiles must be >= 1, got $capacityFiles")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    () => {
+      import org.apache.hadoop.fs.Path
+      val landing = new Path(landingDir)
+      val lfs = landing.getFileSystem(hconf)
+      val present: Set[String] =
+        if (!lfs.exists(landing)) Set.empty
+        else {
+          val it = lfs.listFiles(landing, true)
+          val b = Set.newBuilder[String]
+          while (it.hasNext) {
+            val f = it.next()
+            val n = f.getPath.getName
+            if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+              b += f.getPath.toUri.getPath
+          }
+          b.result()
+        }
+      val srcLog = new Path(s"$checkpointDir/sources/0")
+      val cfs = srcLog.getFileSystem(hconf)
+      val committed: Set[String] =
+        if (!cfs.exists(srcLog)) Set.empty
+        else {
+          val pathRe = """"path"\s*:\s*"([^"]+)"""".r
+          val b = Set.newBuilder[String]
+          val batches = cfs.listStatus(srcLog).filter(_.isFile)
+          for (st <- batches) {
+            val in = cfs.open(st.getPath)
+            val text =
+              try {
+                val bos = new java.io.ByteArrayOutputStream()
+                val buf = new Array[Byte](8192)
+                var n = in.read(buf)
+                while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+                new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+              } finally in.close()
+            for (m <- pathRe.findAllMatchIn(text))
+              b += new Path(new java.net.URI(m.group(1)).getPath).toUri.getPath
+          }
+          b.result()
+        }
+      (present -- committed).size.toDouble / capacityFiles
+    }
+  }
+
   /** Drive `runWave` (one run-to-drain pass — e.g. a Trigger.AvailableNow
     * query start + awaitTermination) for `waves` waves, consulting the
     * controller against `utilization()` BEFORE each wave:

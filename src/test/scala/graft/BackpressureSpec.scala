@@ -83,6 +83,32 @@ class BackpressureSpec extends SparkSpec {
     assert(e.getMessage.contains("not draining"))
   }
 
+  test("fileQueueUtilization: pending = landed minus checkpoint-committed") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpq").toString
+    def writeFile(i: Int): Unit =
+      Seq((i.toLong, s"u$i")).toDF("id", "user")
+        .coalesce(1).write.parquet(s"$tmp/in/f$i")
+    val probe = Backpressure.fileQueueUtilization(spark, s"$tmp/in", s"$tmp/ckpt",
+      capacityFiles = 4)
+    assert(probe() == 0.0) // nothing landed, no checkpoint
+    writeFile(1); writeFile(2)
+    // each parquet write lands one data file (plus _SUCCESS, skipped)
+    assert(probe() == 0.5)
+    // drain once: the checkpoint's source log now commits both files
+    val q = spark.readStream.schema("id BIGINT, user STRING")
+      .parquet(s"$tmp/in/*")
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(probe() == 0.0)
+    // a third producer drop raises the depth again
+    writeFile(3)
+    assert(probe() == 0.25)
+    intercept[IllegalArgumentException](
+      Backpressure.fileQueueUtilization(spark, s"$tmp/in", s"$tmp/ckpt", 0))
+  }
+
   test("e2e: YAML-declared watermarks govern a real wave drain (scripted queue double)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bp").toString
     def yaml(bp: String) =

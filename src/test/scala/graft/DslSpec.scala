@@ -1579,6 +1579,66 @@ class DslSpec extends SparkSpec {
     assert(libPass(1L) && !libPass(2L))
   }
 
+  test("row-local curation steps compile and drain on a STREAMING frame") {
+    // lang_id / gopher_rules / c4_clean / chunk / split_assign(hash) are
+    // all row-local projections or explodes — a streaming micro-batch can
+    // run them unchanged; this is the e2e proof (the batch-only steps —
+    // pack, decontaminate, split_assign temporal, dedupe_near — each
+    // fail fast with their own require instead)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cur_stream").toString
+    val good = ("the quick brown foxes have jumped with style and grace today " * 5).trim
+    Seq((1L, good + ".\n" + good + "."), (2L, "tiny"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$tmp/in/f1")
+    val yaml =
+      s"""kind: Source
+         |metadata: {name: docs}
+         |spec:
+         |  format: parquet
+         |  path: $tmp/in/*
+         |  streaming: true
+         |  schema: "doc_id BIGINT, text STRING"
+         |---
+         |kind: Transform
+         |metadata: {name: lang}
+         |spec: {type: lang_id}
+         |---
+         |kind: Transform
+         |metadata: {name: quality}
+         |spec: {type: gopher_rules}
+         |---
+         |kind: Transform
+         |metadata: {name: clean}
+         |spec: {type: c4_clean, minKeptLines: 1}
+         |---
+         |kind: Transform
+         |metadata: {name: shard}
+         |spec: {type: chunk, chunkTokens: 20}
+         |---
+         |kind: Transform
+         |metadata: {name: assign}
+         |spec: {type: split_assign, mode: hash, idField: doc_id}
+         |---
+         |kind: Sink
+         |metadata: {name: cur_mem}
+         |spec: {format: memory, path: "", checkpoint: ""}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: docs, steps: [lang, quality, clean, shard, assign], sink: cur_mem}
+         |""".stripMargin
+    val q = Compiler.writeStreaming(
+      Compiler.compile(spark, YamlLoader.load(yaml))("p"))
+    try q.awaitTermination() finally q.stop()
+    val out = spark.table("cur_mem")
+    // doc 2 fails gopher (too short); doc 1 survives and chunks: 110
+    // words, stride 20 -> 6 chunks, each split-assigned
+    assert(out.columns.toSeq == Seq("doc_id", "chunk_idx", "chunk_text", "n_tokens", "split"))
+    assert(out.select("doc_id").distinct().as[Long].collect().toSeq == Seq(1L))
+    assert(out.count() == 6)
+    assert(out.select("split").distinct().collect()
+      .forall(r => Set("train", "val", "test")(r.getString(0))))
+  }
+
   test("c4_clean transform: replaces text with kept lines; filter drops thin docs") {
     val keepable = (1 to 4).map(i =>
       s"this line number $i has plenty of words and ends properly.").mkString("\n")
