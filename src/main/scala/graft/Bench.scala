@@ -81,9 +81,14 @@ object Bench {
     // Also persist the line to a file: the driver captures a bounded stdout
     // tail, and a 100-query JSON line can fall past the window (BENCH_r04
     // lost 27 per-query timings that way). BENCH.json is the self-contained
-    // artifact.
+    // artifact. FILTERED runs (isolation probes) and foreign-SF epochs
+    // (the sf1.0 fixture) write BENCH_partial.json instead — a round-9
+    // sf1.0 epoch silently clobbered the committed sf0.1 anchor, and an
+    // anchor that can be overwritten by any probe is not an anchor.
+    val isAnchorRun = args.isEmpty && sfDir.startsWith("/root/testdata/")
+    val outDefault = if (isAnchorRun) "BENCH.json" else "BENCH_partial.json"
     try java.nio.file.Files.write(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")),
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", outDefault)),
       (line + "\n").getBytes("UTF-8"))
     catch {
       // incl. InvalidPathException from a malformed env override — the
