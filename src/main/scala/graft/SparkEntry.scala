@@ -945,6 +945,20 @@ object SparkEntry {
       n = 3, k = 16, bands = 4, maxDist = 10)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** The PRODUCTION edit-dedup path under its own oracle (round 9): the
+    * maxBucket chain-cap that turns quadratic band buckets into id-sorted
+    * adjacent-pair chains. The cap is set LOW (2) so it actually binds on
+    * the fixture — the oracle replays the size/rank window and the
+    * small-all-pairs vs big-chain split, not just the final distances.
+    * This is the variant a near-dup-dense crawl runs (q_dedup_edit keeps
+    * exact uncapped semantics; its sf1.0 row is the measured reason this
+    * query exists — BASELINE round-9 table).
+    */
+  private def qDedupEditCapped(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.editDistancePairs(docs(s, dir), "doc_id", "text",
+      n = 3, k = 16, bands = 4, maxDist = 10, maxBucket = 2)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Quality-aware survivor selection over the SAME near-dup clusters as
     * q_dedup_clusters (L70): keep the longest member per component (byte
     * length as the quality signal, ties to lowest id), singletons keep
@@ -3372,7 +3386,8 @@ object SparkEntry {
     "q_dsl_split_temporal" -> (qDslSplitTemporal _),
     "q_dsl_curation" -> (qDslCuration _),
     "q_dsl_dedupe_near" -> (qDslDedupeNear _),
-    "q_dsl_mixture" -> (qDslMixture _)
+    "q_dsl_mixture" -> (qDslMixture _),
+    "q_dedup_edit_capped" -> (qDedupEditCapped _)
   )
 
   /** Shared oracle fragment for the subword-tokenizer queries: derives the
@@ -3858,6 +3873,31 @@ object SparkEntry {
         |LEFT JOIN comp c ON c.id = d.doc_id
         |WHERE c.id IS NULL OR c.component = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // The chain-cap rule itself under the gate: per-band size + id-rank
+    // windows; buckets at-or-under the cap keep ALL ordered pairs, bigger
+    // buckets keep only rank-adjacent pairs — then the same unbounded-
+    // levenshtein replay as q_dedup_edit (Spark's thresholded kernel
+    // returns -1 above maxDist; the <= filter makes them agree).
+    "q_dedup_edit_capped" ->
+      s"""$lshSigCte, sized AS (
+        |  SELECT doc_id, band,
+        |    count(*) OVER (PARTITION BY band) AS sz,
+        |    row_number() OVER (PARTITION BY band ORDER BY doc_id) AS rn
+        |  FROM banded
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sized a JOIN sized b ON a.band = b.band AND (
+        |    (a.sz <= 2 AND a.doc_id < b.doc_id) OR
+        |    (a.sz > 2 AND b.rn = a.rn + 1))
+        |), scored AS (
+        |  SELECT c.id_a, c.id_b, levenshtein(ta.text, tb.text) AS edit_dist
+        |  FROM cand c
+        |  JOIN documents ta ON c.id_a = ta.doc_id
+        |  JOIN documents tb ON c.id_b = tb.doc_id
+        |)
+        |SELECT id_a, id_b, CAST(edit_dist AS BIGINT) AS edit_dist
+        |FROM scored WHERE edit_dist <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
     // temperature_mixture through YAML: the q_mixture_temperature quota
     // machinery, projected to the semi-join's surviving ids.
     "q_dsl_mixture" ->

@@ -272,8 +272,17 @@ object Dedup {
       .join(texts.as("ta"), col("id_a") === col("ta.doc"))
       .join(texts.as("tb"), col("id_b") === col("tb.doc"))
       .filter(abs(length(col("ta.txt")) - length(col("tb.txt"))) <= maxDist)
+      // explode-of-one as an evaluate-once barrier: a plain project+filter
+      // lets PushDownPredicates substitute the levenshtein expression into
+      // the post-join filter, so the banded DP runs 2× per candidate pair
+      // (once in the pushed predicate, once in the projection) — measured
+      // 41.4 s vs 23.0 s for the full sf1.0 capped query. A filter on a
+      // GENERATED attribute cannot be pushed below the Generate, so the
+      // kernel runs exactly once per pair, with no checkpoint
+      // materialization of the pair-texts table (the alternative barrier,
+      // same wall time but executor-storage-bound on a real cluster).
       .withColumn("edit_dist",
-        levenshtein(col("ta.txt"), col("tb.txt"), maxDist).cast("long"))
+        explode(array(levenshtein(col("ta.txt"), col("tb.txt"), maxDist).cast("long"))))
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }

@@ -389,10 +389,15 @@ object Similarity {
       V.norm(col(vecCol)).as("nrm"))
     v.as("a")
       .join(v.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      // explode-of-one evaluate-once barrier (the editDistancePairs
+      // treatment): a plain select+filter lets the pushed predicate carry
+      // its own copy of the dot product, so every blocked pair pays the
+      // O(dim) kernel twice. Filters cannot push below a Generate.
       .select(
         col("a.id").as("id_a"),
         col("b.id").as("id_b"),
-        cosineFromNorms(col("a.vec"), col("b.vec"), col("a.nrm"), col("b.nrm")).as("cosine")
+        explode(array(
+          cosineFromNorms(col("a.vec"), col("b.vec"), col("a.nrm"), col("b.nrm")))).as("cosine")
       )
       .filter(col("cosine") >= minCosine)
   }
