@@ -2653,6 +2653,40 @@ object SparkEntry {
     }
   }
 
+  /** One-job wave-fixture writer for the file-stream queries: partitions
+    * `df` on `waveCol` and writes ONE parquet file per wave value in a
+    * SINGLE Spark job — the former per-wave filter+coalesce(1) loop
+    * re-scanned the source once per wave and serialized the single-task
+    * writes (3-4 sequential jobs per streaming query's fixture prep).
+    * repartition on the wave column puts each wave wholly in one task, so
+    * every `waveCol=<w>` directory gets exactly one part file, which is
+    * moved to inDir/wave<w>.parquet with a pinned mtime (the file stream
+    * picks files up in (mtime, path) order — both are pinned, so wave w
+    * IS micro-batch w under maxFilesPerTrigger=1). partitionBy drops the
+    * partition column from the data files; callers that need it in-file
+    * duplicate it under a scratch name first.
+    */
+  private def writeWaveFiles(
+      df: DataFrame,
+      waveCol: String,
+      nWaves: Int,
+      stagingDir: String,
+      inDir: java.nio.file.Path): Unit = {
+    df.repartition(nWaves, col(waveCol))
+      .write.partitionBy(waveCol).parquet(stagingDir)
+    (0 until nWaves).foreach { w =>
+      val dir = java.nio.file.Paths.get(stagingDir, s"$waveCol=$w")
+      val part = {
+        val st = java.nio.file.Files.list(dir)
+        try st.filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+        finally st.close()
+      }
+      val dest = inDir.resolve(s"wave$w.parquet")
+      java.nio.file.Files.move(part, dest)
+      dest.toFile.setLastModified(1700000000000L + w * 60000L)
+    }
+  }
+
   /** S4b emit:on_update under the full oracle: a DETERMINISTIC 3-batch
     * arrival schedule (one wave file per micro-batch via
     * maxFilesPerTrigger=1, mtime-ordered), hourly windowed aggregation
@@ -2676,19 +2710,9 @@ object SparkEntry {
           pmod(col("event_id"), lit(3)).as("wave"))
       val inDir = java.nio.file.Paths.get(tmp, "in")
       java.nio.file.Files.createDirectories(inDir)
-      (0 until 3).foreach { w =>
-        val staging = s"$tmp/stage$w"
-        ev.filter(col("wave") === w).drop("wave").coalesce(1).write.parquet(staging)
-        val part = {
-          val st = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
-          try st.filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
-          finally st.close()
-        }
-        val dest = inDir.resolve(s"wave$w.parquet")
-        java.nio.file.Files.move(part, dest)
-        // the file stream picks up files in (mtime, path) order — pin both
-        dest.toFile.setLastModified(1700000000000L + w * 60000L)
-      }
+      // one scan + parallel writes (partitionBy drops the wave column,
+      // matching the former per-wave drop("wave"))
+      writeWaveFiles(ev, "wave", 3, s"$tmp/stage", inDir)
       val sinkName = "q_emit_modes_out"
       s.catalog.dropTempView(sinkName) // re-runs in one session (bench x3)
       val yaml =
@@ -2750,10 +2774,28 @@ object SparkEntry {
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("ts").as("ets"), col("event_type"), col("value"))
       val cutoff = "2024-01-20 00:00:00"
-      ev.filter(pmod(col("event_id"), lit(2)) === 0)
-        .coalesce(1).write.parquet(s"$tmp/a")
-      ev.filter(pmod(col("event_id"), lit(2)) === 1 && col("ets") < lit(cutoff).cast("timestamp"))
-        .coalesce(1).write.parquet(s"$tmp/b")
+      // both source fixtures in ONE job: label rows with their destination
+      // stream and partitionBy the label (the former two filter+coalesce(1)
+      // writes scanned events twice and serialized the writes), then move
+      // each label's single part file into its own source directory
+      val labeled = ev
+        .withColumn("_src",
+          when(pmod(col("event_id"), lit(2)) === 0, "a")
+            .when(col("ets") < lit(cutoff).cast("timestamp"), "b"))
+        .filter(col("_src").isNotNull)
+      labeled.repartition(2, col("_src"))
+        .write.partitionBy("_src").parquet(s"$tmp/stage")
+      Seq("a", "b").foreach { lab =>
+        val dir = java.nio.file.Paths.get(tmp, "stage", s"_src=$lab")
+        val dest = java.nio.file.Paths.get(tmp, lab)
+        java.nio.file.Files.createDirectories(dest)
+        val part = {
+          val st = java.nio.file.Files.list(dir)
+          try st.filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+          finally st.close()
+        }
+        java.nio.file.Files.move(part, dest.resolve("data.parquet"))
+      }
       val schema = "event_id BIGINT, ets TIMESTAMP, event_type STRING, value DOUBLE"
       def src(path: String) =
         s.readStream.schema(schema).parquet(path)
@@ -2857,18 +2899,9 @@ object SparkEntry {
           pmod(col("event_id"), lit(4)).as("wave"))
       val inDir = java.nio.file.Paths.get(tmp, "in")
       java.nio.file.Files.createDirectories(inDir)
-      (0 until 4).foreach { w =>
-        val staging = s"$tmp/stage$w"
-        ev.filter(col("wave") === w).coalesce(1).write.parquet(staging)
-        val part = {
-          val st = java.nio.file.Files.list(java.nio.file.Paths.get(staging))
-          try st.filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
-          finally st.close()
-        }
-        val dest = inDir.resolve(s"wave$w.parquet")
-        java.nio.file.Files.move(part, dest)
-        dest.toFile.setLastModified(1700000000000L + w * 60000L)
-      }
+      // this query's stream schema keeps the wave column in the data
+      // files, so partition on a scratch duplicate instead
+      writeWaveFiles(ev.withColumn("_w", col("wave")), "_w", 4, s"$tmp/stage", inDir)
       val yaml =
         s"""kind: Source
            |metadata: {name: backlog}
