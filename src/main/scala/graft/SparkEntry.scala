@@ -2941,6 +2941,60 @@ object SparkEntry {
     } finally s.conf.set(shufConf, prevShuf)
   }
 
+  /** Streaming near-dedup under the FULL oracle (StatefulNearDedup): the
+    * documents table arrives in 3 deterministic waves (wave = doc_id mod 3,
+    * one file per micro-batch); each doc is flagged dup iff an
+    * earlier-arrived doc shares an LSH band with minhash agreement ≥ 0.5,
+    * where each band bucket retains only its first `maxBucket = 2`
+    * arrivals as reference entries. The oracle replays the ENTIRE
+    * stream's decision history in SQL — arrival order via (wave, id)
+    * rank windows over the shared lshSigCte machinery — and the output
+    * carries batch_id, so the wave scheduling itself is hash-gated
+    * (batch_id must equal wave, the q_stream_ratecap contract).
+    * Verdict assembly (dup = ANY band matched) is batch-local in
+    * foreachBatch: every band verdict for a doc lands in the doc's own
+    * micro-batch, so no second stateful operator is needed.
+    */
+  private def qStreamDedupeNear(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qsdn").toString
+    TempReaper.register(tmp)
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufConf)
+    s.conf.set(shufConf, "8")
+    try {
+      val docs0 = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(3)).as("wave"))
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      writeWaveFiles(docs0, "wave", 3, s"$tmp/stage", inDir)
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in")
+      val verdicts = graft.streaming.StatefulNearDedup.verdicts(
+        stream, "doc_id", "text", n = 3, k = 16, bands = 4,
+        minSim = 0.5, maxBucket = 2)
+      graft.streaming.StateFormat.ensure(s, s"$tmp/chk")
+      val q = verdicts.writeStream
+        .foreachBatch { (df: DataFrame, bid: Long) =>
+          df.groupBy(col("id"))
+            .agg(max(col("dup")).as("dup"))
+            .withColumn("batch_id", lit(bid))
+            .coalesce(1) // one small verdict file per micro-batch
+            .write.mode("append").parquet(s"$tmp/out")
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("id").as("doc_id"), col("dup").cast("int").as("dup"),
+          col("batch_id"))
+        .orderBy(col("doc_id"))
+    } finally s.conf.set(shufConf, prevShuf)
+  }
+
   // ==========================================================================
   // Source readers (SURVEY §2.7): round-trip through non-parquet formats
   // ==========================================================================
@@ -3420,7 +3474,8 @@ object SparkEntry {
     "q_dsl_curation" -> (qDslCuration _),
     "q_dsl_dedupe_near" -> (qDslDedupeNear _),
     "q_dsl_mixture" -> (qDslMixture _),
-    "q_dedup_edit_capped" -> (qDedupEditCapped _)
+    "q_dedup_edit_capped" -> (qDedupEditCapped _),
+    "q_stream_dedupe_near" -> (qStreamDedupeNear _)
   )
 
   /** Shared oracle fragment for the subword-tokenizer queries: derives the
@@ -3931,6 +3986,35 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(edit_dist AS BIGINT) AS edit_dist
         |FROM scored WHERE edit_dist <= 10
         |ORDER BY id_a, id_b""".stripMargin,
+    // The streaming near-dedup's ENTIRE decision history, closed-form:
+    // arrival order is (wave = doc_id mod 3, id); a band bucket admits its
+    // first 2 arrivals (rank window); a doc is dup iff some admitted
+    // earlier-arrived bucket-mate agrees on >= 8 of 16 minhash components.
+    // batch_id = wave doubles as the micro-batch-scheduling assertion.
+    "q_stream_dedupe_near" ->
+      s"""$lshSigCte, waved AS (
+        |  SELECT doc_id, band, doc_id % 3 AS wave,
+        |    row_number() OVER (PARTITION BY band ORDER BY doc_id % 3, doc_id) AS rn
+        |  FROM banded
+        |), cand AS (
+        |  SELECT DISTINCT d.doc_id AS did, e.doc_id AS eid
+        |  FROM waved d JOIN waved e ON e.band = d.band AND e.rn <= 2
+        |    AND (e.wave < d.wave OR (e.wave = d.wave AND e.doc_id < d.doc_id))
+        |), agreem AS (
+        |  SELECT c.did
+        |  FROM cand c
+        |  JOIN sigs sa ON sa.doc_id = c.did
+        |  JOIN sigs sb ON sb.doc_id = c.eid
+        |  CROSS JOIN generate_series(0, 15) g(i)
+        |  GROUP BY c.did, c.eid
+        |  HAVING sum(CASE WHEN sa.sig[g.i+1] = sb.sig[g.i+1] THEN 1 ELSE 0 END) / 16.0 >= 0.5
+        |)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN m.did IS NOT NULL THEN 1 ELSE 0 END AS INT) AS dup,
+        |  d.doc_id % 3 AS batch_id
+        |FROM documents d
+        |LEFT JOIN (SELECT DISTINCT did FROM agreem) m ON m.did = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // temperature_mixture through YAML: the q_mixture_temperature quota
     // machinery, projected to the semi-join's surviving ids.
     "q_dsl_mixture" ->

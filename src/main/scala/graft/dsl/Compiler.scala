@@ -783,10 +783,18 @@ object Compiler {
         // step — the YAML form of the Dedup.minhashLshPairs +
         // dedupeByPairs/keepBestByScore composition, so corpus curation
         // manifests get REAL near-dedup, not just exact-key dedupe.
-        // Batch-only: banding needs the whole corpus.
+        // Batch-only as a STEP: the keep-survivors semantics needs a
+        // per-doc ANY-band aggregation after the stateful band pass, and
+        // Spark cannot chain a second stateful operator behind
+        // flatMapGroupsWithState in one streaming query. The streaming
+        // form exists at the library seam — StatefulNearDedup.verdicts
+        // emits per-band dup verdicts for batch-local assembly in a
+        // foreachBatch sink (see q_stream_dedupe_near).
         require(!df.isStreaming,
-          "dedupe_near is batch-only: LSH banding needs the full corpus " +
-            "(run it as a compaction/curation pipeline)")
+          "dedupe_near is batch-only as a pipeline step (run it as a " +
+            "compaction/curation pipeline); for continuous ingest use " +
+            "graft.streaming.StatefulNearDedup.verdicts with a " +
+            "foreachBatch sink")
         val nIdField = c.getOrElse("idField", "doc_id").toString
         val nTextField = c.getOrElse("field", "text").toString
         val pairs = graft.ops.Dedup.minhashLshPairs(df, nIdField, nTextField,

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.functions.{HashFunctions => H, TextFunctions => T}
+
+/** Streaming MinHash-LSH near-duplicate detection — the continuous-ingest
+  * counterpart of [[graft.ops.Dedup.minhashLshPairs]] + keep-first: a
+  * document arriving on the stream is flagged `dup` iff some EARLIER
+  * document (prior micro-batch, or same batch with smaller id) landed in
+  * one of its LSH band buckets with minhash agreement ≥ `minSim`. The
+  * reference's streaming dedupe (types.rs:552-557) is exact-key only;
+  * this extends the library's near-dup family to the crawl-ingest seam
+  * where "have I seen this page before" cannot wait for a batch job.
+  *
+  * Execution shape: signatures and band keys are the SAME row-local
+  * codegen kernels as the batch path (one md5 pass per distinct shingle,
+  * k affine min-hashes, banded md5 keys), so the stream never shuffles on
+  * anything wider than the band key. State lives per band bucket in
+  * `flatMapGroupsWithState`: the bucket REGISTRY — the first `maxBucket`
+  * arrivals in (batch, id) order, each a (id, k-long signature) pair.
+  * Arrivals beyond the cap still receive verdicts against the retained
+  * registry but are not admitted, which (a) bounds state at
+  * `maxBucket · k` longs per bucket — the streaming analog of the batch
+  * chain-cap, sized for mirror-family hot buckets — and (b) keeps the
+  * decision rule closed-form: admission depends only on arrival rank,
+  * never on earlier verdicts, so a DuckDB oracle replays the whole
+  * stream's decisions with one rank window (q_stream_dedupe_near).
+  * Admission is verdict-blind on purpose: a dup's registry entry only
+  * strengthens later matches against its family.
+  *
+  * Determinism: within a micro-batch a bucket's rows are processed in id
+  * order (the iterator is sorted before the fold), so re-execution of a
+  * batch after failure reproduces identical verdicts and identical state
+  * — required for exactly-once sinks and for the oracle replay.
+  *
+  * Documents with no shingles (shorter than n tokens) carry the sentinel
+  * signature; any two would "agree" on every component while sharing no
+  * text (the batch-path invariant, Dedup.scala:142-147), so they bypass
+  * buckets entirely via a per-doc self key and are always emitted
+  * `dup = false`, touching no state.
+  *
+  * Returns one row per (document, band): `(id, dup)`. A document is a
+  * near-duplicate iff ANY of its bands matched — aggregate
+  * `max(dup) GROUP BY id` batch-locally at the sink (every band verdict
+  * for a document is emitted in the document's own micro-batch).
+  *
+  * Ids must be integral (the registry is a typed long state encoding —
+  * dictionary-encode or hash string ids upstream). `minSim` should be a
+  * dyadic rational (0.5, 0.75, ...) so the agreement comparison is
+  * FP-exact across engines.
+  */
+object StatefulNearDedup {
+
+  def verdicts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      bands: Int,
+      minSim: Double,
+      maxBucket: Int
+  ): DataFrame = {
+    require(bands > 0 && k % bands == 0, s"k=$k must divide into bands=$bands")
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    val idType = df.schema(idCol).dataType
+    require(idType == LongType || idType == IntegerType,
+      s"near-dedup stream ids must be integral, got $idType for '$idCol'")
+    val rows = k / bands
+
+    val sigged = df.select(
+      col(idCol).cast("long").as("id"),
+      H.minhashFromHashes(T.wordShingleHashes(col(textCol), n), k).as("sig"))
+    val banded = sigged.select(
+      col("id"),
+      explode(
+        when(element_at(col("sig"), 1) === Long.MaxValue,
+          array(concat(lit(SelfPrefix), col("id").cast("string"))))
+          .otherwise(H.lshBandKeys(col("sig"), bands, rows))).as("band"),
+      col("sig"))
+
+    implicit val rowEnc = Encoders.row(banded.schema)
+    implicit val stateEnc = Encoders.product[(Int, Seq[(Long, Seq[Long])])]
+    implicit val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaBoolean)
+    implicit val keyEnc = Encoders.STRING
+
+    banded.as(rowEnc)
+      .groupByKey((r: Row) => r.getString(1))
+      .flatMapGroupsWithState[(Int, Seq[(Long, Seq[Long])]), (Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rs: Iterator[Row], state: GroupState[(Int, Seq[(Long, Seq[Long])])]) =>
+          transition(key, rs, state, k, minSim, maxBucket)
+      }
+      .toDF("id", "dup")
+  }
+
+  /** A no-shingle document's bucket-bypass key: unique per doc, never
+    * collides with a real band key (those start with a digit).
+    */
+  private[graft] val SelfPrefix = "\u0001"
+
+  /** The per-bucket state transition, factored out so specs can drive it
+    * with TestGroupState.
+    */
+  private[graft] def transition(
+      key: String,
+      rs: Iterator[Row],
+      state: GroupState[(Int, Seq[(Long, Seq[Long])])],
+      k: Int,
+      minSim: Double,
+      maxBucket: Int
+  ): Iterator[(Long, Boolean)] = {
+    if (key.startsWith(SelfPrefix)) {
+      // sentinel-signature doc: no near-dup evidence possible, stateless
+      rs.map(r => (r.getLong(0), false))
+    } else {
+      var entries = state.getOption match {
+        case Some((v, es)) => StateFormat.check(v, "StatefulNearDedup"); es
+        case None          => Seq.empty[(Long, Seq[Long])]
+      }
+      // id order within the batch: deterministic across re-executions
+      val sorted = rs.toArray.sortBy(_.getLong(0))
+      val out = sorted.map { r =>
+        val id = r.getLong(0)
+        val sig = r.getSeq[Long](2)
+        val dup = entries.exists { case (_, esig) =>
+          var same = 0
+          var i = 0
+          while (i < k) { if (esig(i) == sig(i)) same += 1; i += 1 }
+          same.toDouble / k >= minSim
+        }
+        if (entries.size < maxBucket) entries = entries :+ ((id, sig))
+        (id, dup)
+      }
+      state.update((StateFormat.Current, entries))
+      out.iterator
+    }
+  }
+}

@@ -305,4 +305,73 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/data").count() == 2)
     assert(new java.io.File(s"$dir/chk/offsets").exists())
   }
+
+  test("streaming near-dedup flags dups across and within micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val long1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val long2 = "completely different content about distributed query engines and shuffles everywhere"
+    val input = MemoryStream[(Long, String)]
+    val verdicts = StatefulNearDedup.verdicts(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, k = 16, bands = 4, minSim = 0.5, maxBucket = 8)
+    val q = verdicts.writeStream.format("memory").queryName("sdn_out")
+      .outputMode("append").start()
+    try {
+      // batch 0: 1 and 2 identical (same batch: smaller id is the keeper),
+      // 7 distinct, 9 sentinel (under n tokens -> no shingles)
+      input.addData((1L, long1), (2L, long1), (7L, long2), (9L, "hi"))
+      q.processAllAvailable()
+      // batch 1: 3 matches the batch-0 family; 8 matches nothing
+      input.addData((3L, long1),
+        (8L, "entirely unrelated prose describing alpine weather patterns this winter season"))
+      q.processAllAvailable()
+      val byDoc = spark.table("sdn_out").groupBy(col("id"))
+        .agg(max(col("dup")).as("dup"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(byDoc == Map(1L -> false, 2L -> true, 7L -> false,
+        9L -> false, 3L -> true, 8L -> false))
+    } finally q.stop()
+  }
+
+  test("near-dedup transition: cap blocks admission but not verdicts; version checked") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.Row
+    val sigA = Seq.tabulate(16)(i => 100L + i)
+    val sigB = Seq.tabulate(16)(i => 900L + i) // agrees with nothing
+    def row(id: Long, sig: Seq[Long]) = Row(id, "b", sig)
+    val st = org.apache.spark.sql.streaming.TestGroupState.create[(Int, Seq[(Long, Seq[Long])])](
+      Optional.empty[(Int, Seq[(Long, Seq[Long])])](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = false)
+    // cap 2: ids 1,2 admitted; 3 (distinct sig) gets a verdict but is NOT
+    // admitted, so a later arrival matching only sigB stays clean
+    val out1 = StatefulNearDedup.transition("b",
+      Iterator(row(3L, sigB), row(1L, sigA), row(2L, sigA)), // unsorted on purpose
+      st, k = 16, minSim = 0.5, maxBucket = 2).toSeq
+    assert(out1 == Seq((1L, false), (2L, true), (3L, false)))
+    val (ver, entries) = st.get
+    assert(ver == StateFormat.Current)
+    assert(entries.map(_._1) == Seq(1L, 2L)) // id-sorted admission, 3 rejected
+    val out2 = StatefulNearDedup.transition("b",
+      Iterator(row(4L, sigB)), st, k = 16, minSim = 0.5, maxBucket = 2).toSeq
+    assert(out2 == Seq((4L, false))) // 3 was never admitted: no match for 4
+    // sentinel self-key: verdict false, state untouched
+    val before = st.get
+    val out3 = StatefulNearDedup.transition(StatefulNearDedup.SelfPrefix + "9",
+      Iterator(row(9L, sigA)), st, k = 16, minSim = 0.5, maxBucket = 2).toSeq
+    assert(out3 == Seq((9L, false)) && st.get == before)
+    // foreign-format state aborts at first touch
+    val bad = org.apache.spark.sql.streaming.TestGroupState.create[(Int, Seq[(Long, Seq[Long])])](
+      Optional.of((1, Seq((1L, sigA)))),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = Optional.empty[Long](),
+      hasTimedOut = false)
+    val e = intercept[IllegalStateException](
+      StatefulNearDedup.transition("b", Iterator(row(5L, sigA)), bad,
+        k = 16, minSim = 0.5, maxBucket = 2).toSeq)
+    assert(e.getMessage.contains("StatefulNearDedup"))
+  }
 }
