@@ -3200,6 +3200,42 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Code-corpus rule pack (L75): per-family variants violate exactly one
+    * rule each — an over-long line, a minified single line (mean), an
+    * auto-generation marker, an XML header, a symbol flood (alnum) — so
+    * the oracle gates every rule in both directions, not just the pass
+    * path. Newline-injected base text stands in for code's short lines.
+    */
+  private def codeVariants(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(6)).as("fam"),
+      expr("""CASE doc_id % 6
+          WHEN 1 THEN concat(replace(text, ' ', chr(10)), chr(10), repeat('x', 1200))
+          WHEN 2 THEN text
+          WHEN 3 THEN concat(replace(text, ' ', chr(10)), chr(10), '// this file is auto-generated, do not edit')
+          WHEN 4 THEN concat('<?xml version="1.0" encoding="UTF-8"?>', chr(10), replace(text, ' ', chr(10)))
+          WHEN 5 THEN concat(replace(text, ' ', chr(10)), chr(10), repeat('#', 600))
+          ELSE replace(text, ' ', chr(10)) END""").as("text"))
+
+  private def codeReportCols: Seq[org.apache.spark.sql.Column] =
+    Seq(col("doc_id"), col("fam"), col("n_lines"), col("max_line_len"),
+      col("sum_line_len"), col("n_chars"), col("alnum_chars"),
+      col("autogen_hits"), col("mean_line_len_milli")) ++
+      Seq("r_max_line", "r_mean_line", "r_alnum", "r_autogen", "r_xml", "pass")
+        .map(c => col(c).cast("int").as(c))
+
+  private def qCodeRules(s: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityRules.codeReport(codeVariants(s, dir), "doc_id", "text")
+      .select(codeReportCols: _*)
+      .orderBy(col("doc_id"))
+
+  private def qDslCode(s: SparkSession, dir: String): DataFrame =
+    dslStep(s, Map("step_in" -> codeVariants(s, dir)),
+      "  type: code_rules\n  action: tag")
+      .select(codeReportCols: _*)
+      .orderBy(col("doc_id"))
+
   private def qDslC4(s: SparkSession, dir: String): DataFrame = {
     val varied = docs(s, dir).select(
       col("doc_id"),
@@ -3475,7 +3511,9 @@ object SparkEntry {
     "q_dsl_dedupe_near" -> (qDslDedupeNear _),
     "q_dsl_mixture" -> (qDslMixture _),
     "q_dedup_edit_capped" -> (qDedupEditCapped _),
-    "q_stream_dedupe_near" -> (qStreamDedupeNear _)
+    "q_stream_dedupe_near" -> (qStreamDedupeNear _),
+    "q_code_rules" -> (qCodeRules _),
+    "q_dsl_code" -> (qDslCode _)
   )
 
   /** Shared oracle fragment for the subword-tokenizer queries: derives the
@@ -3925,6 +3963,7 @@ object SparkEntry {
     "q_dsl_pack" -> "q_pack",
     "q_dsl_langid" -> "q_lang_id",
     "q_dsl_gopher" -> "q_gopher_rules",
+    "q_dsl_code" -> "q_code_rules",
     "q_dsl_c4" -> "q_clean_c4",
     "q_dsl_split_leakproof" -> "q_split_leakproof",
     "q_dsl_split_temporal" -> "q_split_temporal")
@@ -5632,6 +5671,48 @@ object SparkEntry {
         |   AND 10 * ellipsis_lines <= 3 * n_lines
         |   AND 10 * alpha_words >= 8 * n_words
         |   AND stop_hits >= 2 AS INT) AS pass
+        |FROM mm ORDER BY doc_id""".stripMargin,
+    // Code rule pack: every rule violated by exactly one variant family.
+    "q_code_rules" ->
+      """WITH varied AS (
+        |  SELECT doc_id, CAST(doc_id % 6 AS BIGINT) AS fam,
+        |    CASE doc_id % 6
+        |      WHEN 1 THEN replace(text, ' ', chr(10)) || chr(10) || repeat('x', 1200)
+        |      WHEN 2 THEN text
+        |      WHEN 3 THEN replace(text, ' ', chr(10)) || chr(10) || '// this file is auto-generated, do not edit'
+        |      WHEN 4 THEN '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) || replace(text, ' ', chr(10))
+        |      WHEN 5 THEN replace(text, ' ', chr(10)) || chr(10) || repeat('#', 600)
+        |      ELSE replace(text, ' ', chr(10)) END AS text
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, fam,
+        |    string_split(text, chr(10)) AS lines,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS alnum_chars,
+        |    CAST((CASE WHEN contains(lower(text), 'auto-generated') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN contains(lower(text), 'autogenerated') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN contains(lower(text), 'automatically generated') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN contains(lower(text), 'do not edit') THEN 1 ELSE 0 END) AS BIGINT) AS autogen_hits,
+        |    starts_with(ltrim(text), '<?xml version=') AS is_xml
+        |  FROM varied
+        |), mm AS (
+        |  SELECT doc_id, fam, n_chars, alnum_chars, autogen_hits, is_xml,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(list_max(list_transform(lines, l -> len(l))) AS BIGINT) AS max_line_len,
+        |    CAST(coalesce(list_sum(list_transform(lines, l -> len(l))), 0) AS BIGINT) AS sum_line_len
+        |  FROM m
+        |)
+        |SELECT doc_id, fam, n_lines, max_line_len, sum_line_len, n_chars,
+        |  alnum_chars, autogen_hits,
+        |  (1000 * sum_line_len) // n_lines AS mean_line_len_milli,
+        |  CAST(max_line_len <= 1000 AS INT) AS r_max_line,
+        |  CAST(sum_line_len <= 100 * n_lines AS INT) AS r_mean_line,
+        |  CAST(100 * alnum_chars >= 25 * n_chars AS INT) AS r_alnum,
+        |  CAST(autogen_hits = 0 AS INT) AS r_autogen,
+        |  CAST(NOT is_xml AS INT) AS r_xml,
+        |  CAST(max_line_len <= 1000 AND sum_line_len <= 100 * n_lines
+        |   AND 100 * alnum_chars >= 25 * n_chars AND autogen_hits = 0
+        |   AND NOT is_xml AS INT) AS pass
         |FROM mm ORDER BY doc_id""".stripMargin,
     // C4 line cleaning: fp pins the cleaned text byte-for-byte.
     "q_clean_c4" ->

@@ -988,6 +988,26 @@ object Compiler {
           case "tag"    => report
           case other    => sys.error(s"unknown gopher_rules action: $other")
         }
+      case "code_rules" =>
+        // Code-corpus rule pack (StarCoder/The Stack-style) as a pipeline
+        // step — same action surface as gopher_rules: filter (default)
+        // keeps passing rows with the original schema, tag keeps the
+        // full report. Row-local projection: compiles unchanged on
+        // streaming frames.
+        val before = df.columns.toSeq
+        val report = graft.ops.QualityRules.codeReport(
+          df,
+          c.getOrElse("idField", "doc_id").toString,
+          c.getOrElse("field", "text").toString,
+          graft.ops.QualityRules.CodeParams(
+            maxLineLen = c.getOrElse("maxLineLen", 1000).toString.toInt,
+            maxMeanLineLenX1 = c.getOrElse("maxMeanLineLen", 100).toString.toInt,
+            minAlnumRatioX100 = c.getOrElse("minAlnumPct", 25).toString.toInt))
+        c.getOrElse("action", "filter").toString match {
+          case "filter" => report.filter(col("pass")).select(before.map(col): _*)
+          case "tag"    => report
+          case other    => sys.error(s"unknown code_rules action: $other")
+        }
       case "c4_clean" =>
         // C4-style line cleaning as a pipeline step: the field is
         // REPLACED by the cleaned text (kept lines re-joined).

@@ -117,6 +117,63 @@ object QualityRules {
           col("r_bullets") && col("r_ellipsis") && col("r_alpha") && col("r_stops"))
   }
 
+  final case class CodeParams(
+      maxLineLen: Int = 1000,
+      maxMeanLineLenX1: Int = 100, // mean line length ≤ 100 → sumLen ≤ 100·n
+      minAlnumRatioX100: Int = 25, // alnum chars ≥ 25% → 100·alnum ≥ 25·chars
+      autogenMarkers: Seq[String] = Seq(
+        "auto-generated", "autogenerated", "automatically generated",
+        "do not edit")
+  )
+
+  /** Code-corpus document rules from the public code-LLM literature
+    * (StarCoder/The Stack, Li et al. 2023 §3; CodeParrot): drop files
+    * with any line over `maxLineLen`, mean line length over
+    * `maxMeanLineLenX1`, under `minAlnumRatioX100`% alphanumeric
+    * characters (minified/binary-ish blobs), an auto-generation marker
+    * (case-insensitive substring), or an XML declaration header. The
+    * text-rule trick is the same as [[gopherReport]]: every metric is an
+    * exact integer and every threshold a cross-multiplied integer
+    * comparison, so the report replays bit-exactly in any engine; the
+    * whole pack is one scan-side projection (array ops over the line
+    * split — no explode, no shuffle).
+    */
+  def codeReport(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      p: CodeParams = CodeParams()
+  ): DataFrame = {
+    val text = col(textCol)
+    val lines = split(text, "\n")
+    val lineLens = transform(lines, l => length(l))
+    val autogenHits = p.autogenMarkers
+      .map(m => when(contains(lower(text), lit(m)), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("max_line_len", array_max(lineLens).cast("long"))
+      .withColumn("sum_line_len",
+        aggregate(lineLens, lit(0), (a, x) => a + x).cast("long"))
+      .withColumn("n_chars", length(text).cast("long"))
+      .withColumn("alnum_chars",
+        length(regexp_replace(text, "[^A-Za-z0-9]", "")).cast("long"))
+      .withColumn("autogen_hits", autogenHits)
+      // split("") is [""], so n_lines ≥ 1 always — no zero guard needed
+      .withColumn("mean_line_len_milli",
+        expr("(1000 * sum_line_len) div n_lines"))
+      .withColumn("r_max_line", col("max_line_len") <= p.maxLineLen)
+      .withColumn("r_mean_line",
+        col("sum_line_len") <= lit(p.maxMeanLineLenX1) * col("n_lines"))
+      // empty text: 100·0 ≥ 25·0 — an empty file is not "minified"
+      .withColumn("r_alnum",
+        lit(100) * col("alnum_chars") >= lit(p.minAlnumRatioX100) * col("n_chars"))
+      .withColumn("r_autogen", col("autogen_hits") === 0L)
+      .withColumn("r_xml", !startswith(ltrim(text), lit("<?xml version=")))
+      .withColumn("pass",
+        col("r_max_line") && col("r_mean_line") && col("r_alnum") &&
+          col("r_autogen") && col("r_xml"))
+  }
+
   final case class C4Params(
       minLineWords: Int = 5,
       minKeptLines: Int = 3,

@@ -166,4 +166,33 @@ class QualityRulesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("codeReport: each rule trips on its targeted fixture and nothing else") {
+    val ok = "val x = 1\nval y = 2\nprintln(x + y)"
+    val df = Seq(
+      (1L, ok),                                          // clean: all pass
+      (2L, ok + "\n" + "x" * 1200),                       // line over 1000
+      (3L, ("word " * 50).trim),                         // one 254-char line: mean > 100
+      (4L, ok + "\n// Auto-Generated, DO NOT EDIT"),      // marker, case-insensitive
+      (5L, "<?xml version=\"1.0\"?>\n" + ok),             // xml header
+      (6L, ok + "\n" + "#! " * 60),                       // symbol flood: alnum < 25%
+      (7L, "")                                           // empty: passes everything
+    ).toDF("doc_id", "text")
+    val r = QualityRules.codeReport(df, "doc_id", "text")
+      .select("doc_id", "r_max_line", "r_mean_line", "r_alnum", "r_autogen", "r_xml", "pass")
+      .collect().map(x => x.getLong(0) -> (1 to 6).map(x.getBoolean)).toMap
+    assert(r(1L) == Seq(true, true, true, true, true, true))
+    assert(r(2L) == Seq(false, false, true, true, true, false)) // the 1200-char line also drags the mean
+    assert(r(3L) == Seq(true, false, true, true, true, false))
+    assert(r(4L) == Seq(true, true, true, false, true, false))
+    assert(r(5L) == Seq(true, true, true, true, false, false))
+    assert(r(6L) == Seq(true, true, false, true, true, false))
+    assert(r(7L) == Seq(true, true, true, true, true, true))
+    // integer metrics replay: 3 lines, max 14, mean in exact millis
+    val m = QualityRules.codeReport(df.filter(col("doc_id") === 1), "doc_id", "text")
+      .select("n_lines", "max_line_len", "sum_line_len", "mean_line_len_milli")
+      .head()
+    assert(m.getLong(0) == 3 && m.getLong(1) == 14)
+    assert(m.getLong(3) == 1000L * m.getLong(2) / 3)
+  }
 }
