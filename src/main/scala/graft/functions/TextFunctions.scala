@@ -181,6 +181,35 @@ object TextFunctions {
     regexp_replace(noEmail, "[0-9][0-9 ()+.-]{6,}[0-9]", "<NUMBER>")
   }
 
+  /** Credential/secret scrubbing for CODE training text (the redaction
+    * half of the public code-corpus pipelines: The Stack's PII/secrets
+    * pass, detect-secrets-style patterns): PEM private-key blocks, cloud
+    * access key ids, VCS/chat platform tokens, JWTs, and generic
+    * keyword-assigned credentials replaced with stable placeholders. Pure
+    * regexp_replace chain — codegen'd, scan-speed, and every pattern is
+    * in the Java∩RE2 regex subset (no pattern backreferences), so the
+    * oracle replays the scrub byte-exactly.
+    *
+    * Order matters: the multi-line PEM block first (its body would
+    * otherwise be nibbled token-wise), specific token formats next, the
+    * generic `key [:=] value` rule LAST — by then specific secrets are
+    * already `<...>` placeholders, whose angle brackets the value charset
+    * excludes, so nothing is redacted twice and the key name survives.
+    */
+  def scrubSecrets(text: Column): Column = {
+    val noPem = regexp_replace(text,
+      "(?s)-----BEGIN [A-Z ]*PRIVATE KEY-----.*?-----END [A-Z ]*PRIVATE KEY-----",
+      "<PRIVATE_KEY>")
+    val noAws = regexp_replace(noPem, "AKIA[0-9A-Z]{16}", "<AWS_KEY>")
+    val noGh = regexp_replace(noAws, "gh[pousr]_[A-Za-z0-9]{36,}", "<GH_TOKEN>")
+    val noSlack = regexp_replace(noGh, "xox[baprs]-[A-Za-z0-9-]{10,}", "<SLACK_TOKEN>")
+    val noJwt = regexp_replace(noSlack,
+      "eyJ[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{10,}\\.[A-Za-z0-9_-]{5,}", "<JWT>")
+    regexp_replace(noJwt,
+      "(?i)\\b(api[_-]?key|secret|token|passwd|password)(\\s*[:=]{1,2}\\s*[\"']?)[A-Za-z0-9/+_-]{8,}",
+      "$1$2<SECRET>")
+  }
+
   /** Canonical URL — the crawl-dedup key (two fetches of the same page
     * should collide even when the link carried tracking params or cosmetic
     * differences). Pure column ops, exactly replayable in the oracle:
