@@ -1580,7 +1580,8 @@ class DslSpec extends SparkSpec {
   }
 
   test("row-local curation steps compile and drain on a STREAMING frame") {
-    // lang_id / gopher_rules / c4_clean / chunk / split_assign(hash) are
+    // lang_id / gopher_rules / code_rules / c4_clean / chunk /
+    // split_assign(hash) are
     // all row-local projections or explodes — a streaming micro-batch can
     // run them unchanged; this is the e2e proof (the batch-only steps —
     // pack, decontaminate, split_assign temporal, dedupe_near — each
@@ -1607,6 +1608,10 @@ class DslSpec extends SparkSpec {
          |spec: {type: gopher_rules}
          |---
          |kind: Transform
+         |metadata: {name: code}
+         |spec: {type: code_rules, maxMeanLineLen: 400}
+         |---
+         |kind: Transform
          |metadata: {name: clean}
          |spec: {type: c4_clean, minKeptLines: 1}
          |---
@@ -1624,7 +1629,7 @@ class DslSpec extends SparkSpec {
          |---
          |kind: Pipeline
          |metadata: {name: p}
-         |spec: {source: docs, steps: [lang, quality, clean, shard, assign], sink: cur_mem}
+         |spec: {source: docs, steps: [lang, quality, code, clean, shard, assign], sink: cur_mem}
          |""".stripMargin
     val q = Compiler.writeStreaming(
       Compiler.compile(spark, YamlLoader.load(yaml))("p"))
