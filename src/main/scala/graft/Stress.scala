@@ -92,6 +92,61 @@ object Stress {
           "doc_id", "uri", "body", warcGzStressPath)
     }
 
+    def streamNearDedupDrain(maxBucket: Int): DataFrame = {
+      val waves = 12
+      val base = s"/tmp/graft_stress_sdn_$maxBucket"
+      val hp = new org.apache.hadoop.fs.Path(base)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.delete(hp, true)
+      val inDir = java.nio.file.Paths.get(base, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      docsN.select(col("doc_id"), col("text"),
+        pmod(col("doc_id"), lit(waves)).as("wave"))
+        .repartition(waves, col("wave"))
+        .write.partitionBy("wave").parquet(s"$base/stage")
+      (0 until waves).foreach { w =>
+        val dir = java.nio.file.Paths.get(base, "stage", s"wave=$w")
+        val part = {
+          val st = java.nio.file.Files.list(dir)
+          try st.filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+          finally st.close()
+        }
+        val dest = inDir.resolve(s"wave$w.parquet")
+        java.nio.file.Files.move(part, dest)
+        dest.toFile.setLastModified(1700000000000L + w * 60000L)
+      }
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in")
+      val verdicts = graft.streaming.StatefulNearDedup.verdicts(
+        stream, "doc_id", "text", n = 3, k = 16, bands = 4,
+        minSim = 0.5, maxBucket = maxBucket)
+      val marks = new scala.collection.mutable.ArrayBuffer[(Long, Double, Long, Long)]()
+      var last = System.nanoTime()
+      val q = verdicts.writeStream
+        .foreachBatch { (df: DataFrame, bid: Long) =>
+          val agg = df.groupBy(col("id")).agg(max(col("dup")).as("dup"))
+            .agg(count(lit(1)).as("n"), sum(col("dup").cast("long")).as("dups"))
+            .head()
+          val now = System.nanoTime()
+          marks.synchronized {
+            marks += ((bid, (now - last) / 1e9, agg.getLong(0), agg.getLong(1)))
+            last = now
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$base/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val tag = if (maxBucket == Int.MaxValue) "uncapped" else s"cap$maxBucket"
+      System.err.println(s"[stress-diag] stream_neardedup_$tag per-batch: " +
+        marks.map { case (b, s, n, d) => f"b$b=$s%.2fs($n docs, $d dup)" }
+          .mkString(" "))
+      spark.range(1).toDF("done")
+    }
+
     val opList: Seq[(String, () => DataFrame)] = Seq(
       "pack" -> (() => ops.Packing.packSequences(docsN, "doc_id", "text", capacity = 2048L)),
       "subword_count" -> (() => docsN.select(col("doc_id"),
@@ -222,8 +277,18 @@ object Stress {
         ensureWarcGzStress()
         graft.sources.WarcGz.read(spark, warcGzStressPath,
           maxSplitBytes = 2L * 1024 * 1024)
-      })
+      }),
+      // Streaming near-dedup state-growth rows: a 12-wave drain of the
+      // near-dup-dense replica through StatefulNearDedup, per-batch wall
+      // times printed as a stress-diag line. The CONTRAST is the claim:
+      // capped registries (maxBucket=4) hold per-batch cost ~flat as
+      // waves accumulate state, while uncapped registries grow every
+      // mirror-family bucket by one entry per colliding arrival and the
+      // per-batch compare cost climbs with it.
+      "stream_neardedup_capped" -> (() => streamNearDedupDrain(4)),
+      "stream_neardedup_uncapped" -> (() => streamNearDedupDrain(Int.MaxValue))
     )
+
 
     val selected = if (args.nonEmpty) opList.filter(o => args.contains(o._1)) else opList
 
