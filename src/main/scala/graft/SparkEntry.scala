@@ -2698,6 +2698,12 @@ object SparkEntry {
       .write.partitionBy(waveCol).parquet(stagingDir)
     (0 until nWaves).foreach { w =>
       val dir = java.nio.file.Paths.get(stagingDir, s"$waveCol=$w")
+      // a wave with no rows gets no partition directory (partitionBy
+      // writes only observed values) — backfill an empty file so the
+      // stream still sees one file per wave and downstream reads of the
+      // sink never hit a missing path (the empty-input contract)
+      if (!java.nio.file.Files.isDirectory(dir))
+        df.drop(waveCol).filter(lit(false)).coalesce(1).write.parquet(dir.toString)
       val part = {
         val st = java.nio.file.Files.list(dir)
         try st.filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
@@ -2809,6 +2815,9 @@ object SparkEntry {
         .write.partitionBy("_src").parquet(s"$tmp/stage")
       Seq("a", "b").foreach { lab =>
         val dir = java.nio.file.Paths.get(tmp, "stage", s"_src=$lab")
+        // empty-input backfill, same contract as writeWaveFiles
+        if (!java.nio.file.Files.isDirectory(dir))
+          labeled.drop("_src").filter(lit(false)).coalesce(1).write.parquet(dir.toString)
         val dest = java.nio.file.Paths.get(tmp, lab)
         java.nio.file.Files.createDirectories(dest)
         val part = {
