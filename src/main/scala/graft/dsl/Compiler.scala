@@ -988,6 +988,17 @@ object Compiler {
           case "tag"    => report
           case other    => sys.error(s"unknown gopher_rules action: $other")
         }
+      case "scrub" =>
+        // Text scrubbing as a pipeline step: kind pii (emails/URLs/digit
+        // runs) or secrets (PEM/cloud keys/tokens/JWT/assignments) —
+        // in-place rewrite of `field`, row-local, streaming-safe.
+        val sField = c.getOrElse("field", "text").toString
+        val kernel = c.getOrElse("kind", "pii").toString match {
+          case "pii"     => graft.functions.TextFunctions.scrubPii _
+          case "secrets" => graft.functions.TextFunctions.scrubSecrets _
+          case other => sys.error(s"scrub: kind must be pii|secrets, got '$other'")
+        }
+        df.withColumn(sField, kernel(col(sField)))
       case "code_rules" =>
         // Code-corpus rule pack (StarCoder/The Stack-style) as a pipeline
         // step — same action surface as gopher_rules: filter (default)

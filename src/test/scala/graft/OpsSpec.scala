@@ -1321,4 +1321,18 @@ class OpsSpec extends SparkSpec {
     assert(a == key(joinSample))
     assert(a.nonEmpty && a.map(_._1).distinct.size < 400, "a real subsample")
   }
+
+  test("editDistancePairs: capped pairs are a subset of uncapped pairs") {
+    val fam = (0 until 6).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog variant " + (i / 3)))
+    val docs = fam.toDF("doc_id", "text")
+    def pairs(maxBucket: Int) =
+      graft.ops.Dedup.editDistancePairs(docs, "doc_id", "text",
+        n = 3, k = 16, bands = 4, maxDist = 12, maxBucket = maxBucket)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = pairs(Int.MaxValue)
+    val capped = pairs(2)
+    assert(capped.subsetOf(uncapped), s"capped=$capped uncapped=$uncapped")
+    assert(capped.size < uncapped.size) // the cap binds on this fixture
+  }
 }
