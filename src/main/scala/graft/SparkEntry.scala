@@ -1164,6 +1164,20 @@ object SparkEntry {
     * double-eligible (specific rule wins, generic must NOT re-redact), so
     * the oracle pins the rule ORDER, not just each pattern.
     */
+  /** Embedding-space decontamination (L77): max cosine of every corpus
+    * vector against the broadcast benchmark set (vec_id < 8), per-row
+    * argmax hash-gated for ALL rows — the threshold verdict is just a
+    * projection of the gated score. The plan is the scale story: ONE
+    * row-local HOF fold per corpus row over a 1-row broadcast-scalar
+    * join — corpus×bench pair rows never exist.
+    */
+  private def qDecontaminateSemantic(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Contamination.semanticOverlap(
+      emb(s, dir), "vec_id", "embedding",
+      emb(s, dir).filter(col("vec_id") < 8), "vec_id", "embedding",
+      minCosine = 0.5)
+      .orderBy(col("vec_id"))
+
   private def secretsVariants(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(
@@ -3560,7 +3574,8 @@ object SparkEntry {
     "q_code_rules" -> (qCodeRules _),
     "q_dsl_code" -> (qDslCode _),
     "q_secrets_scrub" -> (qSecretsScrub _),
-    "q_dsl_scrub" -> (qDslScrub _)
+    "q_dsl_scrub" -> (qDslScrub _),
+    "q_decontaminate_semantic" -> (qDecontaminateSemantic _)
   )
 
   /** Shared oracle fragment for the subword-tokenizer queries: derives the
@@ -4890,6 +4905,25 @@ object SparkEntry {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9][0-9 ()+.-]{6,}[0-9]', '<NUMBER>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Semantic decontamination: the row-local argmax fold replayed as a
+    // cross join + rank-1 window (ties to lowest bench id, matching the
+    // fold's tie rule).
+    "q_decontaminate_semantic" ->
+      """WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT c.vec_id, b.vec_id AS bid,
+        |    round(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+        |  FROM embeddings c CROSS JOIN bench b
+        |), best AS (
+        |  SELECT vec_id, bid, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid) AS rn
+        |  FROM scored
+        |)
+        |SELECT vec_id, bid AS bench_id, cos AS max_cosine,
+        |  CAST(cos >= 0.5 AS BOOLEAN) AS contaminated
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // Secrets redaction: the six-pass scrub chain replayed in order —
     // DuckDB's RE2 and Spark's Java regex agree on this subset (inline
     // (?s)/(?i), lazy quantifiers, \b, no pattern backreferences);

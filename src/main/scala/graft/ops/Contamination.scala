@@ -250,4 +250,65 @@ object Contamination {
       .select(col(idCol))
     docs.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** EMBEDDING-space decontamination — the semantic sibling of the n-gram
+    * [[overlap]]: a training vector is contaminated when its max cosine
+    * against the benchmark embedding set crosses `minCosine` (catches
+    * paraphrased/translated test leakage that shares no n-grams; the
+    * standard complement to lexical decontamination).
+    *
+    * Shape at 100 TB: the benchmark set (at most thousands of eval
+    * vectors) collapses into ONE broadcast row of (id, vec, norm)
+    * structs, and the max/argmax evaluates as a row-local HOF fold
+    * inside the corpus scan's projection — corpus × |bench| pairs never
+    * exist as rows and nothing shuffles (the only join node is the
+    * 1-row broadcast-scalar join carrying the packed benchmark array). The argmax fold is
+    * order-independent (strictly-greater, ties to the LOWEST benchmark
+    * id), so the nondeterministic collect_list order cannot change the
+    * result and the oracle replays it with a plain cross join + window.
+    *
+    * Returns every input id with (bench_id, max_cosine, contaminated);
+    * an empty benchmark yields (null, null, false).
+    */
+  def semanticOverlap(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchVecCol: String,
+      minCosine: Double
+  ): DataFrame = {
+    val V = graft.functions.VectorFunctions
+    val packed = bench
+      .select(struct(
+        col(benchIdCol).as("bid"),
+        col(benchVecCol).as("bvec"),
+        V.norm(col(benchVecCol)).as("bnrm")).as("e"))
+      .agg(collect_list(col("e")).as("__bench"))
+    val scored = vectors
+      .select(col(idCol), col(vecCol).as("__vec"), V.norm(col(vecCol)).as("__nrm"))
+      .crossJoin(broadcast(packed))
+      .withColumn("__best",
+        aggregate(
+          col("__bench"),
+          struct(lit(null).cast("double").as("cos"),
+            lit(null).cast(bench.schema(benchIdCol).dataType).as("bid")),
+          (acc, e) => {
+            val c = round(V.dot(col("__vec"), e.getField("bvec")) /
+              (col("__nrm") * e.getField("bnrm")), 6)
+            val better = acc.getField("cos").isNull ||
+              c > acc.getField("cos") ||
+              (c === acc.getField("cos") && e.getField("bid") < acc.getField("bid"))
+            struct(
+              when(better, c).otherwise(acc.getField("cos")).as("cos"),
+              when(better, e.getField("bid")).otherwise(acc.getField("bid")).as("bid"))
+          }))
+      .select(
+        col(idCol),
+        col("__best.bid").as("bench_id"),
+        col("__best.cos").as("max_cosine"),
+        coalesce(col("__best.cos") >= minCosine, lit(false)).as("contaminated"))
+    scored
+  }
 }

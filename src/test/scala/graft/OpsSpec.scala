@@ -1335,4 +1335,30 @@ class OpsSpec extends SparkSpec {
     assert(capped.subsetOf(uncapped), s"capped=$capped uncapped=$uncapped")
     assert(capped.size < uncapped.size) // the cap binds on this fixture
   }
+
+  test("semanticOverlap: scaled copies are caught, argmax ties to lowest bench id") {
+    val bench = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(3.0f, 0.0f, 0.0f)),   // scaled copy of bench 10: cosine 1.0
+      (2L, Seq(0.0f, 0.0f, 1.0f)),   // orthogonal to both: max 0.0
+      (3L, Seq(1.0f, 1.0f, 0.0f)),   // ties 10 and 11 at ~0.707: lowest id wins
+      (4L, Seq(0.9f, 0.1f, 0.0f))    // near-copy: high but not 1.0
+    ).toDF("vec_id", "embedding")
+    val r = graft.ops.Contamination.semanticOverlap(
+      corpus, "vec_id", "embedding", bench, "vec_id", "embedding", minCosine = 0.9)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getDouble(2), x.getBoolean(3)))).toMap
+    assert(r(1L) == ((10L, 1.0, true)))
+    assert(r(2L)._2 == 0.0 && !r(2L)._3)
+    assert(r(3L)._1 == 10L && r(3L)._2 == 0.707107 && !r(3L)._3)
+    assert(r(4L)._1 == 10L && r(4L)._2 > 0.9 && r(4L)._3)
+    // empty benchmark: nothing contaminated, null scores
+    val e = graft.ops.Contamination.semanticOverlap(
+      corpus, "vec_id", "embedding", bench.filter(col("vec_id") < 0),
+      "vec_id", "embedding", minCosine = 0.9).collect()
+    assert(e.forall(x => x.isNullAt(1) && x.isNullAt(2) && !x.getBoolean(3)))
+  }
 }
