@@ -1178,6 +1178,21 @@ object SparkEntry {
       minCosine = 0.5)
       .orderBy(col("vec_id"))
 
+  /** The semantic-decontamination STEP twin: same benchmark and
+    * threshold through YAML `decontaminate mode: semantic` — surviving
+    * rows only, full embeddings schema.
+    */
+  private def qDslDecontaminateSemantic(s: SparkSession, dir: String): DataFrame =
+    dslStep(s, Map(
+      "step_in" -> emb(s, dir),
+      "bench_in" -> emb(s, dir).filter(col("vec_id") < 8)),
+      "  type: decontaminate\n  mode: semantic\n  benchTable: bench_in\n" +
+        "  idField: vec_id\n  minCosine: 0.5")
+      // surviving-row SET is the claim; the embedding array itself is
+      // driver-unhashable, and vec_id already identifies the source row
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+
   private def secretsVariants(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(
@@ -3575,7 +3590,8 @@ object SparkEntry {
     "q_dsl_code" -> (qDslCode _),
     "q_secrets_scrub" -> (qSecretsScrub _),
     "q_dsl_scrub" -> (qDslScrub _),
-    "q_decontaminate_semantic" -> (qDecontaminateSemantic _)
+    "q_decontaminate_semantic" -> (qDecontaminateSemantic _),
+    "q_dsl_decontaminate_semantic" -> (qDslDecontaminateSemantic _)
   )
 
   /** Shared oracle fragment for the subword-tokenizer queries: derives the
@@ -4924,6 +4940,21 @@ object SparkEntry {
         |SELECT vec_id, bid AS bench_id, cos AS max_cosine,
         |  CAST(cos >= 0.5 AS BOOLEAN) AS contaminated
         |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // The step twin drops contaminated rows; same scored/best CTEs.
+    "q_dsl_decontaminate_semantic" ->
+      """WITH bench AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT c.vec_id, b.vec_id AS bid,
+        |    round(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos
+        |  FROM embeddings c CROSS JOIN bench b
+        |), hot AS (
+        |  SELECT DISTINCT vec_id FROM scored WHERE cos >= 0.5
+        |)
+        |SELECT e.vec_id, e.label
+        |FROM embeddings e LEFT JOIN hot ON hot.vec_id = e.vec_id
+        |WHERE hot.vec_id IS NULL ORDER BY e.vec_id""".stripMargin,
     // Secrets redaction: the six-pass scrub chain replayed in order —
     // DuckDB's RE2 and Spark's Java regex agree on this subset (inline
     // (?s)/(?i), lazy quantifiers, \b, no pattern backreferences);

@@ -912,7 +912,20 @@ object Compiler {
               n = dcN,
               k = c.getOrElse("signatureSize", 16).toString.toInt,
               bands = c.getOrElse("bands", 4).toString.toInt)
-          case other => sys.error(s"decontaminate: mode must be exact|bloom|near, got '$other'")
+          case "semantic" =>
+            // embedding-space mode: the frame carries vectors, not text —
+            // vecField on both sides (benchVecField to override); drops
+            // rows whose max benchmark cosine crosses minCosine
+            val vecField = c.getOrElse("vecField", "embedding").toString
+            val hot = graft.ops.Contamination.semanticOverlap(df, dcId, vecField,
+              bench,
+              benchIdCol = c.getOrElse("benchIdField", dcId).toString,
+              benchVecCol = c.getOrElse("benchVecField", vecField).toString,
+              minCosine = c.getOrElse("minCosine", 0.9).toString.toDouble)
+              .filter(col("contaminated"))
+              .select(col(dcId))
+            df.join(hot, Seq(dcId), "left_anti")
+          case other => sys.error(s"decontaminate: mode must be exact|bloom|near|semantic, got '$other'")
         }
       case "split_assign" =>
         // Train/val/test assignment as a pipeline step (adds targetField,

@@ -1516,6 +1516,19 @@ class DslSpec extends SparkSpec {
     assert(e.getMessage.contains("exact|bloom|near"))
   }
 
+  test("decontaminate mode semantic: drops vectors near the benchmark set") {
+    val corpus = Seq(
+      (1L, Seq(3.0f, 0.0f)), // scaled copy of bench vector: dropped
+      (2L, Seq(0.0f, 1.0f))  // orthogonal: kept
+    ).toDF("vec_id", "embedding")
+    val bench = Seq((10L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = curationPipeline(
+      "  type: decontaminate\n  mode: semantic\n  benchTable: bench\n" +
+        "  idField: vec_id\n  minCosine: 0.9",
+      Map("docs" -> corpus, "bench" -> bench))
+    assert(out.select("vec_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("split_assign transform: hash, leakproof, and temporal modes") {
     val docs = (1L to 40L).map(i => (i, s"doc number $i body")).toDF("doc_id", "text")
     val hashOut = curationPipeline(
