@@ -163,6 +163,19 @@ object Stress {
         docsN, "doc_id", "text",
         docsN.filter(pmod(col("doc_id"), lit(997)) === 0), "doc_id", "text",
         k = 10, maxDf = 100L * mult)),
+      // The query-set-too-big-to-broadcast fallback, measured against the
+      // broadcast path on the SAME workload (queries = every 25th doc):
+      // the sharded wall should read ~nShards × broadcast, since each
+      // shard re-runs the corpus posting scan — the documented trade,
+      // now a number instead of prose.
+      "bm25_broadcast" -> (() => ops.Retrieval.bm25TopK(
+        docsN, "doc_id", "text",
+        docsN.filter(col("doc_id") % 25 === 0), "doc_id", "text",
+        k = 10, maxDfFraction = 0.5)),
+      "bm25_sharded2" -> (() => ops.Retrieval.bm25TopKSharded(
+        docsN, "doc_id", "text",
+        docsN.filter(col("doc_id") % 25 === 0), "doc_id", "text",
+        k = 10, nShards = 2, maxDfFraction = 0.5)),
       "tfidf" -> (() => ops.Retrieval.tfidfKeywords(docsN, "doc_id", "text",
         k = 5, maxDfFraction = 0.8)),
       "trim" -> (() => ops.Sampling.trimByPercentile(

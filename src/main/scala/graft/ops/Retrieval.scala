@@ -160,6 +160,48 @@ object Retrieval {
         (expr("(__score + 500000L) div 1000000L").cast("double") / lit(1e6)).as("score"))
   }
 
+  /** [[bm25TopK]] for a query set too big to broadcast: shard the
+    * queries by id hash and union the per-shard results. Correctness is
+    * trivial — BM25 scores and top-k are per-query independent, so the
+    * union EQUALS the unsharded result (spec-asserted). The cost model
+    * is NOT simply nShards × the broadcast path: each shard re-runs the
+    * corpus posting scan, but it also shrinks the per-task working set
+    * of the candidate stage (per-posting query fan-out and the
+    * per-(query,doc) aggregation hash table), and when the full-width
+    * run is past its spill cliff, sharding is a net WIN — measured
+    * ×0.5 wall and ×0.44 task_max at 2 shards on the hot-vocabulary
+    * 20× stress workload (Stress `bm25_sharded2` vs `bm25_broadcast`,
+    * order-swap verified). So shard when the query side crosses
+    * broadcast limits, AND consider sharding earlier as a working-set
+    * knob whenever the candidate aggregation spills.
+    */
+  def bm25TopKSharded(
+      docs: DataFrame,
+      docIdCol: String,
+      docTextCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      nShards: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxDf: Long = 1000000L,
+      maxDfFraction: Double = 1.0
+  ): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    (0 until nShards)
+      .map { i =>
+        val shard = queries.filter(
+          pmod(graft.functions.HashFunctions.hash32(col(queryIdCol).cast("string")),
+            lit(nShards)) === i)
+        bm25TopK(docs, docIdCol, docTextCol, shard, queryIdCol, queryTextCol,
+          k, k1, b, maxDf, maxDfFraction)
+      }
+      .reduce(_.unionByName(_))
+  }
+
+
   /** Top-`k` TF-IDF keywords per document — topic labels / quality
     * signals / cluster names for a corpus, from the same posting-table
     * shape as [[bm25TopK]] (tokenize once, df per term, df-cap pruning).

@@ -1361,4 +1361,21 @@ class OpsSpec extends SparkSpec {
       "vec_id", "embedding", minCosine = 0.9).collect()
     assert(e.forall(x => x.isNullAt(1) && x.isNullAt(2) && !x.getBoolean(3)))
   }
+
+  test("bm25TopKSharded equals the broadcast path for any shard count") {
+    val docs = (1L to 30L).map(i =>
+      (i, s"apple banana cherry date egg fig grape item$i word${i % 7}"))
+      .toDF("doc_id", "text")
+    val queries = docs.filter(col("doc_id") % 5 === 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "rank", "score")
+        .as[(Long, Long, Int, Double)].collect().toSet
+    val base = canon(graft.ops.Retrieval.bm25TopK(
+      docs, "doc_id", "text", queries, "doc_id", "text", k = 4))
+    Seq(1, 3, 4).foreach { n =>
+      val sharded = canon(graft.ops.Retrieval.bm25TopKSharded(
+        docs, "doc_id", "text", queries, "doc_id", "text", k = 4, nShards = n))
+      assert(sharded == base, s"nShards=$n diverged")
+    }
+  }
 }
