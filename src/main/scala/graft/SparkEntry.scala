@@ -1343,7 +1343,13 @@ object SparkEntry {
     */
   private def qBm25(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    graft.ops.Retrieval.bm25TopK(
+    // Auto-sharded (round 9): identical results to the broadcast path
+    // (spec-proven union equality; the oracle is unchanged), but the
+    // shard count grows with the query set — at sf0.1 (200 queries)
+    // this derives 1 shard and the plan is byte-identical; at sf1.0
+    // (2 000 queries) it derives 8 and the wall drops 576 -> 79 s
+    // (the candidate stage's spill cliff, BASELINE.md sweep).
+    graft.ops.Retrieval.bm25TopKAuto(
       d, "doc_id", "text",
       d.filter(pmod(col("doc_id"), lit(25)) === 0), "doc_id", "text",
       // the oracle encodes ONLY the fraction cap — disable the absolute

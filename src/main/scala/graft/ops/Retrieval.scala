@@ -175,6 +175,40 @@ object Retrieval {
     * broadcast limits, AND consider sharding earlier as a working-set
     * knob whenever the candidate aggregation spills.
     */
+  /** [[bm25TopKSharded]] with the shard count derived from the query
+    * set's size — the lshTopKAuto pattern: one cheap count on the SMALL
+    * side picks the knob instead of prose. `targetQueriesPerShard`
+    * defaults to 250, the measured pre-spill width of the candidate
+    * aggregation on this suite's workloads: at the sf1.0 fixture
+    * (2 000 hot-vocabulary queries over 50 k docs) the full-width run
+    * took 576-785 s while 8 shards (250/shard) took 79 s and 16 took
+    * 62 s — near-linear gains because the per-(query,doc) stage
+    * dominates far past its spill cliff (BASELINE.md sweep). Small query
+    * sets derive 1 shard and keep the broadcast plan byte-identical.
+    * The constant is a box-dependent default, not a law — re-measure on
+    * the production profile (the Stress rows are the harness).
+    */
+  def bm25TopKAuto(
+      docs: DataFrame,
+      docIdCol: String,
+      docTextCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      targetQueriesPerShard: Long = 250L,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxDf: Long = 1000000L,
+      maxDfFraction: Double = 1.0
+  ): DataFrame = {
+    require(targetQueriesPerShard >= 1, "targetQueriesPerShard must be >= 1")
+    val nq = queries.count()
+    val n = math.max(1L, (nq + targetQueriesPerShard - 1) / targetQueriesPerShard).toInt
+    bm25TopKSharded(docs, docIdCol, docTextCol, queries, queryIdCol, queryTextCol,
+      k, n, k1, b, maxDf, maxDfFraction)
+  }
+
   def bm25TopKSharded(
       docs: DataFrame,
       docIdCol: String,

@@ -1377,5 +1377,10 @@ class OpsSpec extends SparkSpec {
         docs, "doc_id", "text", queries, "doc_id", "text", k = 4, nShards = n))
       assert(sharded == base, s"nShards=$n diverged")
     }
+    // the auto rule (2 queries/shard -> 3 shards here) equals it too
+    val auto = canon(graft.ops.Retrieval.bm25TopKAuto(
+      docs, "doc_id", "text", queries, "doc_id", "text", k = 4,
+      targetQueriesPerShard = 2L))
+    assert(auto == base)
   }
 }
