@@ -78,23 +78,34 @@ object Bench {
     // stdout first — it is the driver contract and must survive even if
     // the file copy can't be written (read-only cwd, bad env path)
     println(line)
-    // Also persist the line to a file: the driver captures a bounded stdout
+    // Also persist the line to files: the driver captures a bounded stdout
     // tail, and a 100-query JSON line can fall past the window (BENCH_r04
-    // lost 27 per-query timings that way). BENCH.json is the self-contained
-    // artifact. FILTERED runs (isolation probes) and foreign-SF epochs
-    // (the sf1.0 fixture) write BENCH_partial.json instead — a round-9
-    // sf1.0 epoch silently clobbered the committed sf0.1 anchor, and an
-    // anchor that can be overwritten by any probe is not an anchor.
-    val isAnchorRun = args.isEmpty && sfDir.startsWith("/root/testdata/")
+    // lost 27 timings; BENCH_r09 lost 114). BENCH_latest.json always holds
+    // the full line of the most recent epoch — the durable artifact no
+    // stdout window can truncate. BENCH.json is the committed anchor and
+    // only a full-suite run at the anchor scale factor may write it:
+    // FILTERED runs (isolation probes) and foreign-SF epochs (the sf1.0
+    // fixture) write BENCH_partial.json instead — a round-9 sf1.0 epoch
+    // silently clobbered the committed sf0.1 anchor, and an anchor that
+    // can be overwritten by any probe is not an anchor. Anchor detection
+    // gates on the fixture's scale-factor name (sf0.1), not a hardcoded
+    // machine path; SPARK_GRAFT_ANCHOR=1/0 overrides either way.
+    val isAnchorRun = args.isEmpty && (sys.env.get("SPARK_GRAFT_ANCHOR") match {
+      case Some(v) => v == "1" || v.equalsIgnoreCase("true")
+      case None    => new java.io.File(sfDir).getName == "sf0.1"
+    })
     val outDefault = if (isAnchorRun) "BENCH.json" else "BENCH_partial.json"
-    try java.nio.file.Files.write(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", outDefault)),
-      (line + "\n").getBytes("UTF-8"))
-    catch {
-      // incl. InvalidPathException from a malformed env override — the
-      // stdout line above is the contract, the file is best-effort
-      case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bench] could not write BENCH.json: $e")
+    val outs = Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", outDefault),
+      "BENCH_latest.json").distinct
+    outs.foreach { out =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes("UTF-8"))
+      catch {
+        // incl. InvalidPathException from a malformed env override — the
+        // stdout line above is the contract, the files are best-effort
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] could not write $out: $e")
+      }
     }
     spark.stop()
   }

@@ -3075,6 +3075,73 @@ object SparkEntry {
     } finally s.conf.set(shufConf, prevShuf)
   }
 
+  /** Streaming sessionize `emit: on_event` (SessionEmit::OnEvent,
+    * types.rs:690-697) under the full oracle: a DETERMINISTIC 3-batch
+    * arrival schedule (wave = event_id mod 3, one file per micro-batch),
+    * per-event update-mode emission compiled from YAML. Every event is
+    * emitted exactly once — in its processing batch — tagged with the
+    * start of the gap-merged session it belongs to AT THAT MOMENT, so a
+    * later wave's earlier-timestamped arrival retroactively extends a
+    * session without rewriting already-emitted tags. The oracle replays
+    * exactly that rule in SQL: for each wave w, tag wave-w events against
+    * the gap-components of all events with wave <= w. The watermark delay
+    * (365 days) exceeds the fixture's span so no session closes mid-run,
+    * keeping the replay closed-form.
+    */
+  private def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qssess").toString
+    TempReaper.register(tmp)
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufConf)
+    s.conf.set(shufConf, "8")
+    try {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"),
+          pmod(col("event_id"), lit(3)).as("wave"))
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      writeWaveFiles(ev, "wave", 3, s"$tmp/stage", inDir)
+      val sinkName = "q_stream_sessionize_out"
+      s.catalog.dropTempView(sinkName) // re-runs in one session (bench x3)
+      val yaml =
+        s"""kind: Source
+           |metadata: {name: waves}
+           |spec:
+           |  format: parquet
+           |  path: $tmp/in
+           |  streaming: true
+           |  schema: "event_id BIGINT, ts TIMESTAMP, event_type STRING"
+           |  watermark: {field: ts, delay: "365 days"}
+           |  options: {maxFilesPerTrigger: "1"}
+           |---
+           |kind: Transform
+           |metadata: {name: sess}
+           |spec:
+           |  type: sessionize
+           |  keyField: event_type
+           |  gapSeconds: 1800
+           |  eventTimeField: ts
+           |  orderBy: [ts]
+           |  emit: on_event
+           |---
+           |kind: Sink
+           |metadata: {name: $sinkName}
+           |spec: {format: memory}
+           |---
+           |kind: Pipeline
+           |metadata: {name: p}
+           |spec: {source: waves, steps: [sess], sink: $sinkName}
+           |""".stripMargin
+      val p = graft.dsl.Compiler.compile(s, graft.dsl.YamlLoader.load(yaml))("p")
+      val q = graft.dsl.Compiler.writeStreaming(p)
+      q.awaitTermination()
+      s.table(sinkName)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("session_start")).as("session_start_us"))
+        .orderBy(col("event_id"))
+    } finally s.conf.set(shufConf, prevShuf)
+  }
+
   // ==========================================================================
   // Source readers (SURVEY §2.7): round-trip through non-parquet formats
   // ==========================================================================
@@ -3592,6 +3659,7 @@ object SparkEntry {
     "q_dsl_mixture" -> (qDslMixture _),
     "q_dedup_edit_capped" -> (qDedupEditCapped _),
     "q_stream_dedupe_near" -> (qStreamDedupeNear _),
+    "q_stream_sessionize" -> (qStreamSessionize _),
     "q_code_rules" -> (qCodeRules _),
     "q_dsl_code" -> (qDslCode _),
     "q_secrets_scrub" -> (qSecretsScrub _),
@@ -4139,6 +4207,38 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN (SELECT DISTINCT did FROM agreem) m ON m.did = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // Streaming sessionize on_event, per-wave replay: an event arriving in
+    // wave w is tagged with the min-ts of its gap-connected component over
+    // events with wave <= w — so a later wave's earlier arrival extends a
+    // session's start for ITS OWN tag while earlier-emitted tags keep the
+    // start as it was known then (the retroactivity assertion).
+    "q_stream_sessionize" ->
+      """WITH src AS (
+        |  SELECT event_id, ts, event_type, event_id % 3 AS wave FROM events
+        |), hist AS (
+        |  SELECT w.wave AS aw, e.event_id, e.ts, e.event_type, e.wave
+        |  FROM (SELECT DISTINCT wave FROM src) w JOIN src e ON e.wave <= w.wave
+        |), brk AS (
+        |  SELECT aw, event_id, ts, event_type, wave,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM hist
+        |  WINDOW w AS (PARTITION BY aw, event_type ORDER BY ts, event_id)
+        |), tag AS (
+        |  SELECT aw, event_id, ts, event_type, wave,
+        |    sum(b) OVER (PARTITION BY aw, event_type ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM brk
+        |), st AS (
+        |  SELECT aw, event_type, sid, min(ts) AS session_start
+        |  FROM tag GROUP BY 1, 2, 3
+        |)
+        |SELECT t.event_id, t.event_type, epoch_us(s.session_start) AS session_start_us
+        |FROM tag t
+        |JOIN st s ON s.aw = t.aw AND s.event_type = t.event_type AND s.sid = t.sid
+        |WHERE t.wave = t.aw
+        |ORDER BY t.event_id""".stripMargin,
     // temperature_mixture through YAML: the q_mixture_temperature quota
     // machinery, projected to the semi-join's surviving ids.
     "q_dsl_mixture" ->

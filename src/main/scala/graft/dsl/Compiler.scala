@@ -72,10 +72,12 @@ object Compiler {
     // registry source would fail the whole compile on a declared-but-
     // absent path (disabled pipeline, env-specific, written later by
     // another pipeline's sink).
+    // Collect EVERY table-valued config key per transform (not an orElse
+    // chain): a step type carrying two table references must register both,
+    // or the second would silently stop resolving from the registry.
     val referencedTables: Set[String] = enabled.flatMap { p =>
       p.steps.map(transformOf(reg, p.namespace, _)).flatMap { t =>
-        t.config.get("table").orElse(t.config.get("rightStream"))
-          .orElse(t.config.get("benchTable")).map(_.toString)
+        Seq("table", "rightStream", "benchTable").flatMap(t.config.get).map(_.toString)
       }
     }.toSet
     val registrySources: Map[String, DataFrame] = reg.sources.values
@@ -118,23 +120,34 @@ object Compiler {
         val allDlq = prefixDlq ++ tailDlq
         val dlqFrame = allDlq.reduceOption(_.unionByName(_))
         val dlqSink = p.dlq.flatMap(d => reg.getSink(ns, d.sink))
-        // AggregateEmit (types.rs:634-641): the LAST aggregate step's emit
-        // mode decides the sink's output mode + trigger — the last STEP,
-        // not the last step that happens to declare `emit`: an explicit
-        // mode on an earlier aggregate must not leak past a later one
-        // running with the default.
-        val lastAgg = p.steps.map(transformOf(reg, ns, _))
-          .filter(_.transformType == "aggregate")
+        // AggregateEmit (types.rs:634-641) / SessionEmit (types.rs:690-697):
+        // the LAST emitting step's mode decides the sink's output mode +
+        // trigger — the last STEP, not the last step that happens to
+        // declare `emit`: an explicit mode on an earlier step must not
+        // leak past a later one running with the default. Streaming
+        // sessionize emit on_event/both compiles to update-mode
+        // flatMapGroupsWithState, so the query must run in update mode.
+        val lastEmitStep = p.steps.map(transformOf(reg, ns, _))
+          .filter(t => t.transformType == "aggregate" || t.transformType == "sessionize")
           .lastOption
-        val emit = lastAgg.flatMap(_.config.get("emit").map(_.toString))
-          .getOrElse("on_window_close")
-        val (outMode, interval) = emit match {
-          case "on_window_close" => ("append", None)
-          case "on_update"       => ("update", None)
-          case "periodic" =>
-            ("update", Some(lastAgg.flatMap(_.config.get("emitInterval").map(_.toString))
-              .getOrElse("10 seconds")))
-          case other => sys.error(s"unknown aggregate emit mode: $other")
+        val (outMode, interval) = lastEmitStep match {
+          case Some(t) if t.transformType == "sessionize" =>
+            t.config.getOrElse("emit", "on_close").toString match {
+              case "on_close"          => ("append", None)
+              case "on_event" | "both" => ("update", None)
+              case other => sys.error(s"unknown emit mode: $other")
+            }
+          case agg =>
+            val emit = agg.flatMap(_.config.get("emit").map(_.toString))
+              .getOrElse("on_window_close")
+            emit match {
+              case "on_window_close" => ("append", None)
+              case "on_update"       => ("update", None)
+              case "periodic" =>
+                ("update", Some(agg.flatMap(_.config.get("emitInterval").map(_.toString))
+                  .getOrElse("10 seconds")))
+              case other => sys.error(s"unknown aggregate emit mode: $other")
+            }
         }
         // resident is a streaming notion — a batch frame would silently
         // run once and stop, the opposite of what the manifest asked for
@@ -548,32 +561,44 @@ object Compiler {
           tagInsteadOfDrop = c.get("onExceed").exists(_.toString == "tag")
         )(df)
       case "sessionize" if df.isStreaming =>
-        // streaming: native session_window (incremental gap-merge, closed
-        // by the source watermark). Emits the batch `sessions` shape minus
-        // the per-key ordinal session_id — session_start is the stable
-        // identifier a streaming consumer can key on. start/end are
-        // event-bounded (min/max ts), matching batch semantics rather than
-        // session_window's end-extends-by-gap convention.
+        // streaming, by emit mode (SessionEmit, types.rs:690-697):
+        //   on_close — native session_window (incremental gap-merge, closed
+        //     by the source watermark). Emits the batch `sessions` shape
+        //     minus the per-key ordinal session_id — session_start is the
+        //     stable identifier a streaming consumer can key on. start/end
+        //     are event-bounded (min/max ts), matching batch semantics
+        //     rather than session_window's end-extends-by-gap convention.
+        //   on_event — per-event update-mode emission (the live-session
+        //     feed): each event leaves in its processing micro-batch tagged
+        //     with its session's current start (StatefulSessions).
+        //   both — on_event rows plus a session summary row on close,
+        //     discriminated by a `kind` column.
         // Fail fast on config this path cannot honor — silently diverging
         // from the batch compilation of the same manifest is worse.
-        val emitMode = c.getOrElse("emit", "on_close").toString
-        require(emitMode == "on_close",
-          s"streaming sessionize supports emit: on_close only (got '$emitMode'); " +
-            "per-event emission needs graft.streaming.StatefulSessions")
         require(!c.contains("maxDurationSeconds"),
           "streaming sessionize does not support maxDurationSeconds; " +
             "session_window merges on gap only — cap sessions downstream or " +
             "use graft.streaming.StatefulSessions")
         val evtCol = c.getOrElse("eventTimeField", "ts").toString
         val keyField = c("keyField").toString
-        df.groupBy(
-            session_window(col(evtCol), s"${c("gapSeconds")} seconds"),
-            col(keyField))
-          .agg(
-            min(col(evtCol)).as("session_start"),
-            max(col(evtCol)).as("session_end"),
-            count(lit(1)).as("n_events"))
-          .select(col(keyField), col("session_start"), col("session_end"), col("n_events"))
+        c.getOrElse("emit", "on_close").toString match {
+          case "on_close" =>
+            df.groupBy(
+                session_window(col(evtCol), s"${c("gapSeconds")} seconds"),
+                col(keyField))
+              .agg(
+                min(col(evtCol)).as("session_start"),
+                max(col(evtCol)).as("session_end"),
+                count(lit(1)).as("n_events"))
+              .select(col(keyField), col("session_start"), col("session_end"), col("n_events"))
+          case "on_event" =>
+            graft.streaming.StatefulSessions.taggedStream(
+              df, keyField, evtCol, c("gapSeconds").toString.toLong)
+          case "both" =>
+            graft.streaming.StatefulSessions.withStatsStream(
+              df, keyField, evtCol, c("gapSeconds").toString.toLong)
+          case other => sys.error(s"unknown emit mode: $other")
+        }
       case "sessionize" =>
         // types.rs:681-697 SessionizeTransformConfig: gap + max_duration +
         // emit (on_close is the reference default).

@@ -36,16 +36,33 @@ object YamlLoader {
 
     def str(k: String, default: String = ""): String = spec.get(k).fold(default)(_.toString)
 
+    // Mapping-valued spec keys validate their SHAPE before any cast: a
+    // scalar or list (`backpressure: true`) must surface as the same
+    // source-named load error the rest of the validation guarantees, not
+    // a raw ClassCastException from asInstanceOf.
+    def mapping(k: String): Option[Map[String, Any]] = spec.get(k).map {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case other => sys.error(s"$kind '$name': spec.$k must be a mapping, " +
+        s"got ${other.getClass.getSimpleName}: $other")
+    }
+    // Same shape guard for list-valued keys (`partitionBy: foo` instead of
+    // `partitionBy: [foo]`).
+    def listing(k: String): Option[Seq[String]] = spec.get(k).map {
+      case l: Seq[_] => l.map(_.toString)
+      case other => sys.error(s"$kind '$name': spec.$k must be a list, " +
+        s"got ${other.getClass.getSimpleName}: $other")
+    }
+
     kind match {
       case "Source" =>
-        val opts = spec.get("options")
-          .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString })
+        val opts = mapping("options")
+          .map(_.map { case (k, v) => k -> v.toString })
           .getOrElse(Map.empty[String, String])
-        val wm = spec.get("watermark").map(_.asInstanceOf[Map[String, Any]])
+        val wm = mapping("watermark")
         val streaming = spec.get("streaming").exists(_.toString.toBoolean)
         // rate caps fail at LOAD, not at stream start: `Cli validate` must
         // reject a bad cap before any pipeline has begun draining
-        val rateCap = spec.get("rateCap").map(_.asInstanceOf[Map[String, Any]])
+        val rateCap = mapping("rateCap")
         rateCap.foreach { rc =>
           val unknown = rc.keySet -- Set("maxFilesPerTrigger")
           if (unknown.nonEmpty)
@@ -61,7 +78,7 @@ object YamlLoader {
           sys.error(s"source '$name': rateCap.maxFilesPerTrigger must be >= 1, got $n"))
         // backpressure watermarks fail at LOAD too — same contract as
         // rateCap: `Cli validate` rejects a bad pair before any drain
-        val bp = spec.get("backpressure").map(_.asInstanceOf[Map[String, Any]])
+        val bp = mapping("backpressure")
         bp.foreach { b =>
           val unknown = b.keySet -- Set("highWatermark", "lowWatermark")
           if (unknown.nonEmpty)
@@ -92,10 +109,8 @@ object YamlLoader {
         Registry().apply(
           TransformManifest(name, str("type"), spec - "type", namespace = ns))
       case "Sink" =>
-        val partitions = spec.get("partitionBy")
-          .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
-        val zOrder = spec.get("zOrderBy")
-          .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
+        val partitions = listing("partitionBy").getOrElse(Seq.empty)
+        val zOrder = listing("zOrderBy").getOrElse(Seq.empty)
         // fail at LOAD, not at write time: `Cli validate` must reject a
         // malformed layout spec before any sibling sink has been written
         if (zOrder.nonEmpty && zOrder.size != 2)
@@ -103,8 +118,7 @@ object YamlLoader {
         val zBits = spec.get("zOrderBits").fold(12)(_.toString.toInt)
         if (zBits < 1 || zBits > 31)
           sys.error(s"sink '$name': zOrderBits must be in [1, 31], got $zBits")
-        val mergeKeys = spec.get("mergeKeys")
-          .map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
+        val mergeKeys = listing("mergeKeys").getOrElse(Seq.empty)
         val fmt = str("format", "parquet")
         // merge is a whole-directory parquet rewrite — the constraints are
         // structural, so reject them at load (Cli validate), not mid-write
@@ -113,8 +127,8 @@ object YamlLoader {
         if (mergeKeys.nonEmpty && partitions.nonEmpty)
           sys.error(s"sink '$name': mergeKeys and partitionBy are exclusive — " +
             "partition-scoped upserts route through mode overwrite (dynamic partitions)")
-        val sinkOpts = spec.get("options")
-          .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString })
+        val sinkOpts = mapping("options")
+          .map(_.map { case (k, v) => k -> v.toString })
           .getOrElse(Map.empty[String, String])
         Registry().apply(
           SinkManifest(name, fmt, str("path"), str("mode", "overwrite"),
@@ -125,9 +139,8 @@ object YamlLoader {
             options = sinkOpts,
             namespace = ns))
       case "Pipeline" =>
-        val steps = spec.get("steps").map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Seq.empty)
-        val dlq = spec.get("dlq").map { d0 =>
-          val d = d0.asInstanceOf[Map[String, Any]]
+        val steps = listing("steps").getOrElse(Seq.empty)
+        val dlq = mapping("dlq").map { d =>
           DlqSpec(
             d.getOrElse("sink", "").toString,
             d.get("maxRetries").fold(3)(_.toString.toInt),

@@ -305,17 +305,36 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     // Seed = one propagation step for free: component(id) = min(id, direct
-    // neighbors). Near-clique duplicate clusters converge immediately, so
-    // the loop usually runs exactly one (no-change) round.
-    var labels = edges
+    // neighbors). Then CONTRACT before iterating: the propagation loop runs
+    // on the QUOTIENT graph (distinct seed-label-to-seed-label edges, self
+    // loops dropped), not the raw pair table. Duplicate clusters are near-
+    // cliques, and a clique's quotient is a single node — so the pair-
+    // quadratic edge table (×50 inflated on the sf1.0 mirror fixture) never
+    // enters the loop; only the residual label-graph does (usually empty).
+    // Correct for any graph: merging each node into a label it is connected
+    // to preserves component structure, and a component's min id m seeds to
+    // itself (all m's neighbors are larger), so quotient min-propagation
+    // returns exactly m — the same labels the uncontracted loop computes.
+    val seed = edges
+      .groupBy(col("src").as("id"))
+      .agg(least(col("id"), min(col("dst"))).as("component"))
+      .localCheckpoint()
+    val qEdges = edges
+      .join(seed.select(col("id").as("src"), col("component").as("qsrc")), "src")
+      .join(seed.select(col("id").as("dst"), col("component").as("qdst")), "dst")
+      .select(col("qsrc").as("src"), col("qdst").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct() // symmetric because edges is symmetric
+      .localCheckpoint()
+    var labels = qEdges
       .groupBy(col("src").as("id"))
       .agg(least(col("id"), min(col("dst"))).as("component"))
       .localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("id"))
+      val neighborMin = qEdges
+        .join(labels, qEdges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("component")).as("nbMin"))
       // The round carries its own change flag; materialization (the
@@ -336,7 +355,12 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels.select(col("id"), col("component"))
+    // map back through the contraction: a node whose seed label is isolated
+    // in the quotient (clique interiors — the common case) keeps its seed
+    seed
+      .join(labels.select(col("id").as("component"), col("component").as("qc")),
+        Seq("component"), "left")
+      .select(col("id"), coalesce(col("qc"), col("component")).as("component"))
   }
 
   /** Keep-one near-dedupe: drop every doc that is in some pair's cluster

@@ -205,8 +205,17 @@ object Retrieval {
     require(targetQueriesPerShard >= 1, "targetQueriesPerShard must be >= 1")
     val nq = queries.count()
     val n = math.max(1L, (nq + targetQueriesPerShard - 1) / targetQueriesPerShard).toInt
-    bm25TopKSharded(docs, docIdCol, docTextCol, queries, queryIdCol, queryTextCol,
-      k, n, k1, b, maxDf, maxDfFraction)
+    // n == 1 short-circuits to the plain broadcast path: the 1-shard
+    // sharded plan is equal-valued but not equal-shaped (it still carries
+    // the tautological pmod(hash32(id), 1) === 0 filter and the per-row
+    // hash projection), and "byte-identical" should mean the plan, not
+    // just the rows.
+    if (n == 1)
+      bm25TopK(docs, docIdCol, docTextCol, queries, queryIdCol, queryTextCol,
+        k, k1, b, maxDf, maxDfFraction)
+    else
+      bm25TopKSharded(docs, docIdCol, docTextCol, queries, queryIdCol, queryTextCol,
+        k, n, k1, b, maxDf, maxDfFraction)
   }
 
   def bm25TopKSharded(

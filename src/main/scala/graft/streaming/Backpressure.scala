@@ -80,17 +80,22 @@ object Backpressure {
     // ------------------------------------------------- credit ledger
     // (backpressure.rs:57-93): grant/use/available/reset, with available
     // saturating at zero — overdrawn sources read as "no credits", never
-    // negative.
+    // negative. use/reset act only on EXISTING state (backpressure.rs
+    // use_credits is a no-op for an unknown source): a use-before-grant
+    // sequence must not pre-charge the ledger, or a later grant would be
+    // silently offset (grant 100 after a stray use 30 must read 100).
     def grantCredits(sourceId: String, credits: Long): Unit =
       state(sourceId).synchronized { state(sourceId).creditsGranted += credits }
     def useCredits(sourceId: String, credits: Long): Unit =
-      state(sourceId).synchronized { state(sourceId).creditsUsed += credits }
+      Option(states.get(sourceId)).foreach { s =>
+        s.synchronized { s.creditsUsed += credits }
+      }
     def availableCredits(sourceId: String): Long =
       Option(states.get(sourceId))
         .fold(0L)(s => math.max(0L, s.creditsGranted - s.creditsUsed))
     def resetCredits(sourceId: String): Unit =
-      state(sourceId).synchronized {
-        val s = state(sourceId); s.creditsGranted = 0L; s.creditsUsed = 0L
+      Option(states.get(sourceId)).foreach { s =>
+        s.synchronized { s.creditsGranted = 0L; s.creditsUsed = 0L }
       }
   }
 

@@ -83,4 +83,145 @@ object StatefulSessions {
           }
       }
   }
+
+  // ------------------------------------------------------------------
+  // SessionEmit::OnEvent / ::Both (types.rs:690-697) for streaming frames
+  // ------------------------------------------------------------------
+
+  // exact micros <-> Timestamp (getTime alone would truncate sub-ms)
+  private def us(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def tsOf(u: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(u, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Merge one micro-batch's event times (SORTED ascending) into the open
+    * gap-merged intervals in one sweep — O(n + m) per batch instead of the
+    * per-event O(n log n) a fold over [[mergeEvent]] costs, which matters
+    * once a long-lived key holds thousands of open sessions. Unit-agnostic
+    * (callers pass micros).
+    */
+  private[graft] def mergeBatch(
+      open: OpenSessions, tsSorted: IndexedSeq[Long], gap: Long): OpenSessions = {
+    if (tsSorted.isEmpty) return open
+    // two sorted streams of proto-intervals -> coalesce on gap adjacency
+    val out = List.newBuilder[(Long, Long, Long)]
+    var oi = 0; var ti = 0
+    val oa = open.toArray
+    var cur: (Long, Long, Long) = null
+    def push(iv: (Long, Long, Long)): Unit =
+      if (cur == null) cur = iv
+      else if (iv._1 <= cur._2 + gap) cur = (cur._1, math.max(cur._2, iv._2), cur._3 + iv._3)
+      else { out += cur; cur = iv }
+    while (oi < oa.length || ti < tsSorted.length) {
+      if (ti >= tsSorted.length || (oi < oa.length && oa(oi)._1 <= tsSorted(ti)))
+        { push(oa(oi)); oi += 1 }
+      else { push((tsSorted(ti), tsSorted(ti), 1L)); ti += 1 }
+    }
+    if (cur != null) out += cur
+    out.result()
+  }
+
+  /** Per-event streaming emission — the reference's `emit: on_event`
+    * (SessionEmit::OnEvent, types.rs:690-697): every arriving event is
+    * emitted IN ITS PROCESSING MICRO-BATCH, tagged with the start of the
+    * gap-merged session it belongs to at that moment. `session_start` is
+    * the stable session identifier (the batch path's per-key ordinal
+    * session_id is not stable under out-of-order merging); note an
+    * earlier-timestamped late arrival can retroactively extend a session's
+    * start, so tags emitted in earlier batches reflect the session as it
+    * was known then — the same semantics the reference's per-event
+    * emission has, and exactly what the oracle replays wave by wave.
+    *
+    * Update-mode `flatMapGroupsWithState`; state per key is the open
+    * gap-merged interval set, version-stamped. Intervals whose gap horizon
+    * the watermark has passed are silently evicted (event-time timeout) —
+    * on_event emits events, not closes, so eviction produces no rows.
+    * Requires a watermarked input (the DSL source's `watermark:` block).
+    */
+  def taggedStream(
+      df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long): DataFrame =
+    sessionStream(df, keyCol, tsCol, gapSeconds, emitBoth = false)
+
+  /** `emit: both` (SessionEmit::Both): per-event tagged rows AND one
+    * session summary row when the watermark closes a session. Output is
+    * discriminated by `kind` ("event" rows carry the input columns plus
+    * the session's current start/end/count; "session" rows carry
+    * session_key + session_start/session_end/n_events with the input
+    * columns null).
+    */
+  def withStatsStream(
+      df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long): DataFrame =
+    sessionStream(df, keyCol, tsCol, gapSeconds, emitBoth = true)
+
+  private def sessionStream(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapSeconds: Long,
+      emitBoth: Boolean
+  ): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(gapSeconds >= 1, s"gapSeconds must be >= 1, got $gapSeconds")
+    val gapUs = gapSeconds * 1000000L
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val tsIdx = schema.fieldIndex(tsCol)
+    val outSchema =
+      if (emitBoth)
+        StructType(
+          StructField("kind", StringType) +: StructField("session_key", StringType) +:
+            (schema.fields :+ StructField("session_start", TimestampType)
+              :+ StructField("session_end", TimestampType)
+              :+ StructField("n_events", LongType)))
+      else StructType(schema.fields :+ StructField("session_start", TimestampType))
+    val enc = Encoders.row(outSchema)
+    val stage = if (emitBoth) "StatefulSessions.withStatsStream"
+                else "StatefulSessions.taggedStream"
+
+    df.groupByKey(r => String.valueOf(r.get(keyIdx)))
+      .flatMapGroupsWithState[(Int, OpenSessions), Row](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, events: Iterator[Row], state: GroupState[(Int, OpenSessions)]) =>
+          val open0 = state.getOption.map { case (v, ss) =>
+            StateFormat.check(v, stage); ss
+          }.getOrElse(Nil)
+          // buffer the group's batch (bounded by one micro-batch per key):
+          // tagging needs the POST-merge interval set, one pass can't do both
+          val evs = events.toVector
+          val open1 = mergeBatch(open0, evs.map(r => us(r.getAs[Timestamp](tsIdx))).sorted, gapUs)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, stillOpen) = open1.partition { case (_, e, _) => e + gapUs <= wmUs }
+          if (stillOpen.isEmpty) state.remove()
+          else {
+            state.update((StateFormat.Current, stillOpen))
+            // ceil to ms: the timeout must not fire before the horizon
+            state.setTimeoutTimestamp(Math.floorDiv(stillOpen.map(_._2).min + gapUs + 999L, 1000L))
+          }
+          val starts = open1.map(_._1).toArray // sorted by construction
+          def intervalOf(ts: Long): (Long, Long, Long) = {
+            var i = java.util.Arrays.binarySearch(starts, ts)
+            if (i < 0) i = -i - 2 // last interval with start <= ts
+            open1(i)
+          }
+          val eventRows = evs.iterator.map { r =>
+            val (s, e, c) = intervalOf(us(r.getAs[Timestamp](tsIdx)))
+            if (emitBoth) Row.fromSeq("event" +: key +: (r.toSeq :+ tsOf(s) :+ tsOf(e) :+ c))
+            else Row.fromSeq(r.toSeq :+ tsOf(s))
+          }
+          val closeRows =
+            if (emitBoth)
+              closed.iterator.map { case (s, e, c) =>
+                Row.fromSeq("session" +: key +: (schema.fields.map(_ => null).toSeq
+                  :+ tsOf(s) :+ tsOf(e) :+ c))
+              }
+            else Iterator.empty
+          eventRows ++ closeRows
+      }(implicitly, enc)
+  }
 }

@@ -44,6 +44,15 @@ class BackpressureSpec extends SparkSpec {
     assert(c.availableCredits("a") == 7L)
   }
 
+  test("credit ledger: use/reset before any grant are no-ops (backpressure.rs use_credits)") {
+    val c = Backpressure.defaultController()
+    c.useCredits("x", 30L) // unknown source: must NOT create state
+    c.resetCredits("x")
+    c.grantCredits("x", 100L)
+    // a stray use-before-grant must not offset the later grant
+    assert(c.availableCredits("x") == 100L)
+  }
+
   test("governedDrain: pause polls until the queue recedes; delays are deterministic") {
     val c = new Backpressure.Controller(0.9, 0.7)
     // scripted queue double: wave 0 proceeds, wave 1 starts saturated and

@@ -966,10 +966,130 @@ class DslSpec extends SparkSpec {
            |""".stripMargin)
       Compiler.compile(spark, reg, tables = Map("evt" -> stream))
     }
-    assert(intercept[IllegalArgumentException](compileWith("  emit: on_event"))
-      .getMessage.contains("on_close"))
     assert(intercept[IllegalArgumentException](compileWith("  maxDurationSeconds: 900"))
       .getMessage.contains("maxDurationSeconds"))
+    assert(intercept[RuntimeException](compileWith("  emit: sideways"))
+      .getMessage.contains("unknown emit mode"))
+  }
+
+  test("streaming sessionize emit on_event: per-batch tagged emission, retroactive merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsl_sev").toString
+    val yaml =
+      s"""kind: Source
+         |metadata: {name: ev}
+         |spec:
+         |  format: json
+         |  path: $dir/in
+         |  streaming: true
+         |  schema: "id LONG, user STRING, ts TIMESTAMP"
+         |  watermark: {field: ts, delay: "30 days"}
+         |  options: {maxFilesPerTrigger: "1"}
+         |---
+         |kind: Transform
+         |metadata: {name: sess}
+         |spec:
+         |  type: sessionize
+         |  keyField: user
+         |  gapSeconds: 60
+         |  eventTimeField: ts
+         |  orderBy: [ts]
+         |  emit: on_event
+         |---
+         |kind: Sink
+         |metadata: {name: sess_ev_out}
+         |spec: {format: memory}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: ev, steps: [sess], sink: sess_ev_out}
+         |""".stripMargin
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def wave(n: Int, rows: Seq[(Long, String, String)]): Unit = {
+      val f = java.nio.file.Paths.get(s"$dir/in/wave$n.json")
+      java.nio.file.Files.write(f, rows.map { case (id, u, ts) =>
+        s"""{"id":$id,"user":"$u","ts":"$ts"}"""
+      }.mkString("\n").getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + n * 60000L)
+    }
+    // wave 0: two separate sessions; wave 1 retroactively extends the
+    // SECOND one's start (e4 at 00:09:30 bridges into e3's session) while
+    // e2 merges into the first without moving its start
+    wave(0, Seq((1L, "u1", "2024-01-01 00:00:00"), (3L, "u1", "2024-01-01 00:10:00")))
+    wave(1, Seq((2L, "u1", "2024-01-01 00:00:30"), (4L, "u1", "2024-01-01 00:09:30")))
+    val p = Compiler.compile(spark, YamlLoader.load(yaml))("p")
+    assert(p.outputMode == "update")
+    Compiler.writeStreaming(p).awaitTermination()
+    val out = spark.table("sess_ev_out")
+    assert(out.columns.toSeq == Seq("id", "user", "ts", "session_start"))
+    val tags = out.collect().map(r => (r.getLong(0), r.getTimestamp(3).toString)).toSet
+    assert(tags == Set(
+      (1L, "2024-01-01 00:00:00.0"),
+      (3L, "2024-01-01 00:10:00.0"), // wave-0 tag: start as known THEN
+      (2L, "2024-01-01 00:00:00.0"), // merged into e1's session, start kept
+      (4L, "2024-01-01 00:09:30.0")  // new earlier start of e3's session
+    ))
+  }
+
+  test("streaming sessionize emit both: event rows plus session close rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsl_sboth").toString
+    val yaml =
+      s"""kind: Source
+         |metadata: {name: ev}
+         |spec:
+         |  format: json
+         |  path: $dir/in
+         |  streaming: true
+         |  schema: "id LONG, user STRING, ts TIMESTAMP"
+         |  watermark: {field: ts, delay: "1 second"}
+         |  options: {maxFilesPerTrigger: "1"}
+         |---
+         |kind: Transform
+         |metadata: {name: sess}
+         |spec:
+         |  type: sessionize
+         |  keyField: user
+         |  gapSeconds: 60
+         |  eventTimeField: ts
+         |  orderBy: [ts]
+         |  emit: both
+         |---
+         |kind: Sink
+         |metadata: {name: sess_both_out}
+         |spec: {format: memory}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: ev, steps: [sess], sink: sess_both_out}
+         |""".stripMargin
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def wave(n: Int, rows: Seq[(Long, String, String)]): Unit = {
+      val f = java.nio.file.Paths.get(s"$dir/in/wave$n.json")
+      java.nio.file.Files.write(f, rows.map { case (id, u, ts) =>
+        s"""{"id":$id,"user":"$u","ts":"$ts"}"""
+      }.mkString("\n").getBytes("UTF-8"))
+      f.toFile.setLastModified(1700000000000L + n * 60000L)
+    }
+    wave(0, Seq((1L, "u1", "2024-01-01 00:00:00"), (2L, "u1", "2024-01-01 00:00:30")))
+    wave(1, Seq((5L, "u1", "2024-01-01 01:00:00"))) // watermark push closes session A
+    val p = Compiler.compile(spark, YamlLoader.load(yaml))("p")
+    assert(p.outputMode == "update")
+    Compiler.writeStreaming(p).awaitTermination()
+    val out = spark.table("sess_both_out")
+    assert(out.columns.toSeq == Seq("kind", "session_key", "id", "user", "ts",
+      "session_start", "session_end", "n_events"))
+    val events = out.filter(col("kind") === "event").collect()
+      .map(r => (r.getLong(2), r.getTimestamp(5).toString, r.getTimestamp(6).toString,
+        r.getLong(7))).toSet
+    // event rows carry the session's POST-BATCH state
+    assert(events == Set(
+      (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:00:30.0", 2L),
+      (2L, "2024-01-01 00:00:00.0", "2024-01-01 00:00:30.0", 2L),
+      (5L, "2024-01-01 01:00:00.0", "2024-01-01 01:00:00.0", 1L)))
+    val sessions = out.filter(col("kind") === "session").collect()
+      .map(r => (r.getString(1), r.getTimestamp(5).toString, r.getTimestamp(6).toString,
+        r.getLong(7), r.isNullAt(2)))
+    assert(sessions.toSet == Set(("u1", "2024-01-01 00:00:00.0",
+      "2024-01-01 00:00:30.0", 2L, true)))
   }
 
   test("streaming join compiles to a watermarked windowed stream-stream join") {

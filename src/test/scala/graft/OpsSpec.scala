@@ -253,6 +253,21 @@ class OpsSpec extends SparkSpec {
     assert(kept == Seq(1L, 4L, 5L)) // canonical of each cluster + untouched 4
   }
 
+  test("connected components survive contraction-adversarial bridges") {
+    // Seed contraction merges every node into its min neighbor; this graph
+    // is built so the BRIDGE edge (2,4) connects two seed groups — a naive
+    // min-neighbor star subgraph would split {0,4} from {1,2}. The quotient
+    // propagation must still find one component.
+    val pairs = Seq((1L, 2L), (0L, 4L), (2L, 4L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(comps == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 4L -> 0L))
+    // a long chain exercises multi-round quotient propagation
+    val chain = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val chainComps = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    assert(chainComps == (0L until 12L).map(_ -> 0L).toMap)
+  }
+
   test("minhash signature approximates jaccard for identical docs") {
     val docs = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h")).toDF("doc_id", "text")
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.9)
