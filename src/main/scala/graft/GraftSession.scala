@@ -10,14 +10,30 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Provider classes for the `stateStore` knob. */
+  val StateStoreProviders: Map[String, String] = Map(
+    "hdfs" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    "rocksdb" -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+  /** @param stateStore streaming state-store backend: `hdfs` (Spark's
+    *   heap-backed default — every store's full state lives on the
+    *   executor heap between batches) or `rocksdb` (off-heap, spillable,
+    *   with changelog checkpointing enabled — the production knob for
+    *   stateful operators whose KEY COUNT grows with the corpus, e.g. the
+    *   streaming near-dedup registries' band buckets on an unbounded
+    *   crawl ingest: per-bucket state is capped, bucket count is not).
+    *   The provider is captured into each query's checkpoint at start;
+    *   Spark pins a checkpoint to its original provider on restart.
+    */
   def builder(
       appName: String = "graft",
       master: Option[String] = None,
       shufflePartitions: Option[Int] = None,
-      registerSqlFunctions: Boolean = true
+      registerSqlFunctions: Boolean = true,
+      stateStore: Option[String] = None
   ): SparkSession = {
     val cores = Runtime.getRuntime.availableProcessors()
-    val b = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .appName(appName)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -25,7 +41,18 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.getOrElse(cores).toString)
       .config("spark.sql.files.maxPartitionBytes", "134217728") // 128 MiB scan splits
       .config("spark.sql.session.timeZone", "UTC")
-      .withExtensions(new graft.plans.GraftExtensions)
+    val b = stateStore.fold(b0) { ss =>
+      val cls = StateStoreProviders.getOrElse(ss, throw new IllegalArgumentException(
+        s"unknown stateStore '$ss' — expected one of ${StateStoreProviders.keys.mkString(", ")}"))
+      val withProvider = b0.config("spark.sql.streaming.stateStore.providerClass", cls)
+      // changelog checkpointing: upload per-batch deltas instead of full
+      // RocksDB snapshots — the setting that makes rocksdb state durable
+      // without re-shipping the store every commit
+      if (ss == "rocksdb")
+        withProvider.config(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      else withProvider
+    }.withExtensions(new graft.plans.GraftExtensions)
     val spark = master.fold(b)(m => b.master(m)).getOrCreate()
     // getOrCreate may have returned a pre-existing session whose extensions
     // were fixed at creation; registering directly covers that path.

@@ -3142,6 +3142,75 @@ object SparkEntry {
     } finally s.conf.set(shufConf, prevShuf)
   }
 
+  /** Network push sink e2e under the full oracle (GrpcSinkConfig,
+    * types.rs:744-780): a 2-wave streaming pipeline delivers events as
+    * ndjson through the loopback transport to an in-process receiver;
+    * rows larger than the 40-byte message cap dead-letter as
+    * RECORD_TOO_LARGE. The output replays the DELIVERY LOG relationally:
+    * delivered payloads come from what the receiver actually got over
+    * the wire, dead payloads from the DLQ parquet — and the oracle
+    * rebuilds the exact payload strings in SQL (Spark's toJSON field
+    * order is schema order, no whitespace) and re-derives each row's
+    * fate from its byte length.
+    */
+  private def qSinkPush(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qpush").toString
+    TempReaper.register(tmp)
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufConf)
+    s.conf.set(shufConf, "8")
+    val rx = new graft.sinks.PushSink.LoopbackReceiver()
+    try {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), pmod(col("event_id"), lit(2)).as("wave"))
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      writeWaveFiles(ev, "wave", 2, s"$tmp/stage", inDir)
+      val yaml =
+        s"""kind: Source
+           |metadata: {name: waves}
+           |spec:
+           |  format: parquet
+           |  path: $tmp/in
+           |  streaming: true
+           |  schema: "event_id BIGINT, event_type STRING"
+           |  options: {maxFilesPerTrigger: "1"}
+           |---
+           |kind: Sink
+           |metadata: {name: push_out}
+           |spec:
+           |  format: push
+           |  path: ${rx.endpoint}
+           |  checkpoint: $tmp/chk
+           |  options: {maxMessageBytes: "40", dlqPath: "$tmp/dlq"}
+           |---
+           |kind: Pipeline
+           |metadata: {name: p}
+           |spec: {source: waves, steps: [], sink: push_out}
+           |""".stripMargin
+      val p = graft.dsl.Compiler.compile(s, graft.dsl.YamlLoader.load(yaml))("p")
+      graft.dsl.Compiler.writeStreaming(p).awaitTermination()
+      // drain: receiver threads may still be flushing the last connections
+      var last = -1
+      var cur = rx.received.size
+      var spins = 0
+      while (cur != last && spins < 50) {
+        Thread.sleep(100); last = cur; cur = rx.received.size; spins += 1
+      }
+      import s.implicits._
+      val delivered = rx.stop().toDF("payload")
+        .withColumn("status", lit("delivered"))
+      val dead = scala.util.Try(
+          s.read.schema("payload STRING").parquet(s"$tmp/dlq").select(col("payload")))
+        .getOrElse(Seq.empty[String].toDF("payload"))
+        .withColumn("status", lit("dead"))
+      delivered.unionByName(dead).orderBy(col("payload"))
+    } finally {
+      rx.stop()
+      s.conf.set(shufConf, prevShuf)
+    }
+  }
+
   // ==========================================================================
   // Source readers (SURVEY §2.7): round-trip through non-parquet formats
   // ==========================================================================
@@ -3660,6 +3729,7 @@ object SparkEntry {
     "q_dedup_edit_capped" -> (qDedupEditCapped _),
     "q_stream_dedupe_near" -> (qStreamDedupeNear _),
     "q_stream_sessionize" -> (qStreamSessionize _),
+    "q_sink_push" -> (qSinkPush _),
     "q_code_rules" -> (qCodeRules _),
     "q_dsl_code" -> (qDslCode _),
     "q_secrets_scrub" -> (qSecretsScrub _),
@@ -4239,6 +4309,19 @@ object SparkEntry {
         |JOIN st s ON s.aw = t.aw AND s.event_type = t.event_type AND s.sid = t.sid
         |WHERE t.wave = t.aw
         |ORDER BY t.event_id""".stripMargin,
+    // Push sink delivery log, replayed relationally: Spark's toJSON writes
+    // fields in schema order with no whitespace, so the oracle can rebuild
+    // every payload byte-for-byte and re-derive its fate from the 40-byte
+    // message cap (RECORD_TOO_LARGE refusal vs wire delivery).
+    "q_sink_push" ->
+      """WITH src AS (
+        |  SELECT '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}'
+        |    AS payload
+        |  FROM events
+        |)
+        |SELECT payload,
+        |  CASE WHEN strlen(payload) <= 40 THEN 'delivered' ELSE 'dead' END AS status
+        |FROM src ORDER BY payload""".stripMargin,
     // temperature_mixture through YAML: the q_mixture_temperature quota
     // machinery, projected to the semi-join's surviving ids.
     "q_dsl_mixture" ->

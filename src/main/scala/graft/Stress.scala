@@ -92,9 +92,11 @@ object Stress {
           "doc_id", "uri", "body", warcGzStressPath)
     }
 
-    def streamNearDedupDrain(maxBucket: Int): DataFrame = {
-      val waves = 12
-      val base = s"/tmp/graft_stress_sdn_$maxBucket"
+    def streamNearDedupDrain(maxBucket: Int, store: String = "hdfs"): DataFrame = {
+      // STRESS_SDN_WAVES widens the drain (30+ waves = the sf3-decade
+      // extrapolation probe of the per-batch-flatness claim)
+      val waves = sys.env.getOrElse("STRESS_SDN_WAVES", "12").toInt
+      val base = s"/tmp/graft_stress_sdn_${maxBucket}_$store"
       val hp = new org.apache.hadoop.fs.Path(base)
       val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(hp)) fs.delete(hp, true)
@@ -124,24 +126,47 @@ object Stress {
         minSim = 0.5, maxBucket = maxBucket)
       val marks = new scala.collection.mutable.ArrayBuffer[(Long, Double, Long, Long)]()
       var last = System.nanoTime()
-      val q = verdicts.writeStream
-        .foreachBatch { (df: DataFrame, bid: Long) =>
-          val agg = df.groupBy(col("id")).agg(max(col("dup")).as("dup"))
-            .agg(count(lit(1)).as("n"), sum(col("dup").cast("long")).as("dups"))
-            .head()
-          val now = System.nanoTime()
-          marks.synchronized {
-            marks += ((bid, (now - last) / 1e9, agg.getLong(0), agg.getLong(1)))
-            last = now
+      // pin the state-store backend for THIS query (captured at start,
+      // restored after): the hdfs/rocksdb contrast is the measurement
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val chgKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      val prevProv = spark.conf.getOption(provKey)
+      spark.conf.set(provKey, graft.GraftSession.StateStoreProviders(store))
+      if (store == "rocksdb") spark.conf.set(chgKey, "true")
+      val q =
+        try verdicts.writeStream
+          .foreachBatch { (df: DataFrame, bid: Long) =>
+            val agg = df.groupBy(col("id")).agg(max(col("dup")).as("dup"))
+              .agg(count(lit(1)).as("n"), sum(col("dup").cast("long")).as("dups"))
+              .head()
+            val now = System.nanoTime()
+            marks.synchronized {
+              marks += ((bid, (now - last) / 1e9, agg.getLong(0), agg.getLong(1)))
+              last = now
+            }
+            ()
           }
-          ()
+          .option("checkpointLocation", s"$base/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        finally {
+          prevProv.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
+          spark.conf.unset(chgKey)
         }
-        .option("checkpointLocation", s"$base/chk")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
       q.awaitTermination()
-      val tag = if (maxBucket == Int.MaxValue) "uncapped" else s"cap$maxBucket"
-      System.err.println(s"[stress-diag] stream_neardedup_$tag per-batch: " +
+      val tag = (if (maxBucket == Int.MaxValue) "uncapped" else s"cap$maxBucket") + s"_$store"
+      // checkpointed STATE footprint — the number the cap (and the
+      // backend's changelog layout) actually bounds
+      def duMb(dir: java.nio.file.Path): Double =
+        if (!java.nio.file.Files.exists(dir)) 0.0
+        else {
+          val st = java.nio.file.Files.walk(dir)
+          try st.filter(java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum / 1e6
+          finally st.close()
+        }
+      System.err.println(s"[stress-diag] stream_neardedup_$tag state=" +
+        f"${duMb(java.nio.file.Paths.get(base, "chk", "state"))}%.1f MB per-batch: " +
         marks.map { case (b, s, n, d) => f"b$b=$s%.2fs($n docs, $d dup)" }
           .mkString(" "))
       spark.range(1).toDF("done")
@@ -299,7 +324,12 @@ object Stress {
       // mirror-family bucket by one entry per colliding arrival and the
       // per-batch compare cost climbs with it.
       "stream_neardedup_capped" -> (() => streamNearDedupDrain(4)),
-      "stream_neardedup_uncapped" -> (() => streamNearDedupDrain(Int.MaxValue))
+      "stream_neardedup_uncapped" -> (() => streamNearDedupDrain(Int.MaxValue)),
+      // same drains on the RocksDB backend (changelog checkpointing on):
+      // heap-vs-offheap state cost at identical registry semantics
+      "stream_neardedup_capped_rocksdb" -> (() => streamNearDedupDrain(4, "rocksdb")),
+      "stream_neardedup_uncapped_rocksdb" ->
+        (() => streamNearDedupDrain(Int.MaxValue, "rocksdb"))
     )
 
 

@@ -42,7 +42,11 @@ object Compiler {
       /** Pipeline execution mode (manifest `spec.trigger`): "drain" →
         * Trigger.AvailableNow, "resident" → continuous micro-batches.
         */
-      triggerMode: String = "drain"
+      triggerMode: String = "drain",
+      /** Manifest `spec.stateStore`: streaming state-store backend pinned
+        * at query start (None = session default).
+        */
+      stateStore: Option[String] = None
   )
 
   /** Compile every enabled pipeline. `tables` resolves format=table sources
@@ -159,7 +163,8 @@ object Compiler {
         val qualified =
           if (ns == Registry.DefaultNamespace) p.name else s"$ns/${p.name}"
         qualified -> CompiledPipeline(qualified, frame, sink, prefix, dlqFrame, dlqSink,
-          outputMode = outMode, emitInterval = interval, triggerMode = p.trigger)
+          outputMode = outMode, emitInterval = interval, triggerMode = p.trigger,
+          stateStore = p.stateStore)
       }
     }
   }
@@ -377,6 +382,14 @@ object Compiler {
             graft.sources.Warc.write(frame, idCol, uriCol, bodyCol, p.sink.path)
           else
             graft.sources.WarcGz.write(frame, idCol, uriCol, bodyCol, p.sink.path)
+        // Network push sink (GrpcSinkConfig, types.rs:744-780): the path is
+        // the ENDPOINT; per-message retry + DLQ-on-exhaustion via PushSink.
+        case "push" =>
+          require(p.sink.partitionBy.isEmpty,
+            s"sink '${p.sink.name}': push does not support partitionBy")
+          graft.sinks.PushSink.runBatch(frame,
+            graft.sinks.PushSink.configFrom(p.sink.path, p.sink.options),
+            p.sink.options.get("dlqPath"), stage = p.sink.name)
         case other     => sys.error(s"unknown sink format: $other")
       }
     }
@@ -391,6 +404,35 @@ object Compiler {
     * so dashboards use `memory` (in-container double for the reference's
     * push/Redis-style sinks) or a foreachBatch writer.
     */
+  /** Pin the streaming state-store provider for one query start: the
+    * session conf is set, the query started (StreamExecution clones the
+    * session state at construction, so the setting is captured into the
+    * query and recorded in its checkpoint), then the session conf is
+    * restored. Spark pins a checkpoint to its original provider on
+    * restart, so a later resume under a different session default keeps
+    * the provider the state was written with.
+    */
+  private def withStateStore[T](
+      spark: org.apache.spark.sql.SparkSession,
+      store: Option[String])(start: => T): T = store match {
+    case None => start
+    case Some(ss) =>
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val chg = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      val cls = graft.GraftSession.StateStoreProviders.getOrElse(ss, sys.error(
+        s"unknown stateStore '$ss' — expected one of " +
+          graft.GraftSession.StateStoreProviders.keys.mkString(", ")))
+      val prevP = spark.conf.getOption(key)
+      val prevC = spark.conf.getOption(chg)
+      spark.conf.set(key, cls)
+      if (ss == "rocksdb") spark.conf.set(chg, "true")
+      try start
+      finally {
+        prevP.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+        prevC.fold(spark.conf.unset(chg))(v => spark.conf.set(chg, v))
+      }
+  }
+
   def writeStreaming(p: CompiledPipeline): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     // a global space-filling-curve sort needs the whole dataset; micro-batches
@@ -402,7 +444,11 @@ object Compiler {
         "(or a path to derive one from)")
     val ckpt =
       if (p.sink.checkpoint.nonEmpty) Some(p.sink.checkpoint)
-      else if (p.sink.path.nonEmpty) Some(s"${p.sink.path}/_checkpoint")
+      // a push sink's path is the ENDPOINT, not a filesystem location —
+      // never derive a checkpoint from it (explicit checkpoint: or the
+      // engine's temp checkpoint for run-to-drain)
+      else if (p.sink.format != "push" && p.sink.path.nonEmpty)
+        Some(s"${p.sink.path}/_checkpoint")
       else None
     val trigger = p.emitInterval match {
       case Some(interval) => Trigger.ProcessingTime(interval)
@@ -417,6 +463,20 @@ object Compiler {
     if (graft.streaming.StateFormat.hasCustomState(p.frame))
       ckpt.foreach(c =>
         graft.streaming.StateFormat.ensure(p.frame.sparkSession, c))
+    // push delivers through foreachBatch, not a DataSource format
+    if (p.sink.format == "push") {
+      require(p.sink.partitionBy.isEmpty,
+        s"sink '${p.sink.name}': push does not support partitionBy")
+      val writer = graft.sinks.PushSink.foreachBatchWriter(
+        graft.sinks.PushSink.configFrom(p.sink.path, p.sink.options),
+        p.sink.options.get("dlqPath"), stage = p.sink.name)
+      return withStateStore(p.frame.sparkSession, p.stateStore) {
+        ckpt.foldLeft(
+          p.frame.writeStream.outputMode(p.outputMode).trigger(trigger)
+            .foreachBatch(writer)) { (b, c) => b.option("checkpointLocation", c) }
+          .start()
+      }
+    }
     val w = ckpt.foldLeft(
       p.frame.writeStream
         .format(p.sink.format)
@@ -426,10 +486,12 @@ object Compiler {
     val pw =
       if (p.sink.partitionBy.nonEmpty) withHeader.partitionBy(p.sink.partitionBy: _*)
       else withHeader
-    p.sink.format match {
-      case "noop"   => pw.start()
-      case "memory" => pw.queryName(p.sink.name).start()
-      case _        => pw.option("path", p.sink.path).start()
+    withStateStore(p.frame.sparkSession, p.stateStore) {
+      p.sink.format match {
+        case "noop"   => pw.start()
+        case "memory" => pw.queryName(p.sink.name).start()
+        case _        => pw.option("path", p.sink.path).start()
+      }
     }
   }
 

@@ -85,6 +85,13 @@ final case class PipelineManifest(
       * scheduled run.
       */
     trigger: String = "drain",
+    /** Streaming state-store backend for this pipeline's query: None =
+      * session default; "rocksdb" / "hdfs" pin the provider at query
+      * start ([[graft.GraftSession.StateStoreProviders]]). rocksdb is
+      * the production knob when stateful key counts grow with the corpus
+      * (dedupe registries, near-dedup band buckets on unbounded ingest).
+      */
+    stateStore: Option[String] = None,
     namespace: String = Registry.DefaultNamespace
 ) { def key: (String, String) = (namespace, name) }
 

@@ -130,6 +130,19 @@ object YamlLoader {
         val sinkOpts = mapping("options")
           .map(_.map { case (k, v) => k -> v.toString })
           .getOrElse(Map.empty[String, String])
+        // push sinks fail at LOAD, not at delivery: endpoint scheme and
+        // every retry/size knob must parse before any pipeline runs
+        if (fmt == "push") {
+          val ep = str("path")
+          if (!Seq("http://", "https://", "loopback://").exists(ep.startsWith))
+            sys.error(s"sink '$name': push endpoint (path) must be http(s):// " +
+              s"or loopback://host:port, got '$ep'")
+          if (partitions.nonEmpty)
+            sys.error(s"sink '$name': push does not support partitionBy")
+          try graft.sinks.PushSink.configFrom(ep, sinkOpts)
+          catch { case scala.util.control.NonFatal(e) =>
+            sys.error(s"sink '$name': ${e.getMessage}") }
+        }
         Registry().apply(
           SinkManifest(name, fmt, str("path"), str("mode", "overwrite"),
             partitions, checkpoint = str("checkpoint"),
@@ -151,6 +164,11 @@ object YamlLoader {
         val trigger = spec.getOrElse("trigger", "drain").toString
         require(trigger == "drain" || trigger == "resident",
           s"pipeline $name: trigger must be drain or resident, got $trigger")
+        val stateStore = spec.get("stateStore").map(_.toString)
+        stateStore.foreach(ss =>
+          if (!graft.GraftSession.StateStoreProviders.contains(ss))
+            sys.error(s"pipeline '$name': unknown stateStore '$ss' — expected " +
+              graft.GraftSession.StateStoreProviders.keys.mkString(", ")))
         Registry().apply(PipelineManifest(
           name,
           str("source"),
@@ -159,6 +177,7 @@ object YamlLoader {
           spec.get("enabled").forall(_.toString.toBoolean),
           dlq,
           trigger,
+          stateStore = stateStore,
           namespace = ns
         ))
       case other => sys.error(s"unknown manifest kind: $other")

@@ -19,6 +19,17 @@ object Similarity {
 
   import org.apache.spark.sql.Column
 
+  /** Default pair budget for the brute-force truth anchors
+    * ([[bruteForceTopK]], [[nearDupPairs]]): ~1e7 O(dim) kernel
+    * evaluations is already ~a minute of single-box work (the sf1.0
+    * q_neardup_cosine epoch row measured 68 s for ~2e7 pairs) and the
+    * knee past which the bucketed paths (IVF/LSH/SemDeDup) win by
+    * orders of magnitude. The bound is a REFUSAL, not a silent
+    * truncation — callers that really want the exact scan raise
+    * `maxPairs` at the call site.
+    */
+  val BruteForceMaxPairs: Long = 10000000L
+
   /** cosine from a precomputed-norm pair: identical floating-point sequence
     * to `V.cosine(a, b)` (dot / (norm_a * norm_b), rounded to 6dp) — the
     * norms are just materialized per row instead of recomputed per
@@ -31,13 +42,27 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector. `queries` must be
     * small (it is broadcast). Ties broken by neighbor id — deterministic.
     */
+  /** @param maxPairs brute-force guardrail: the exact scan scores
+    *   |corpus|×|queries| pairs, and above [[BruteForceMaxPairs]] that is
+    *   a cluster-melting plan, not a truth anchor — the call REFUSES (two
+    *   cheap counts) and names the scale paths. Raise it explicitly to
+    *   force an exact scan anyway (oracle replays, small-slice audits).
+    */
   def bruteForceTopK(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int
+      k: Int,
+      maxPairs: Long = Similarity.BruteForceMaxPairs
   ): DataFrame = {
+    val nC = corpus.count()
+    val nQ = queries.count()
+    require(nQ == 0 || nC <= maxPairs / math.max(nQ, 1L),
+      s"bruteForceTopK: $nC corpus x $nQ query vectors > $maxPairs scored " +
+        "pairs — the exact scan is the truth anchor, not the scale path. " +
+        "Use ivfTopKAuto / lshTopKAuto (planParamsFor sizes the index from " +
+        "the same counts), or raise maxPairs to force the exact scan.")
     val c = corpus.select(
       col(idCol).as("n_id"), col(vecCol).as("n_vec"), V.norm(col(vecCol)).as("n_norm"))
     val q = queries.select(
@@ -383,8 +408,22 @@ object Similarity {
       idCol: String,
       vecCol: String,
       blockCol: String,
-      minCosine: Double
+      minCosine: Double,
+      maxPairs: Long = Similarity.BruteForceMaxPairs
   ): DataFrame = {
+    // guardrail (two-column aggregation, one cheap pruned scan): block-local
+    // ALL-PAIRS cosine is the brute-force truth anchor; above the pair
+    // bound it refuses and names the scale path instead of melting the
+    // cluster. Raise maxPairs to force the exact scan anyway.
+    val nPairs = vectors.select(col(blockCol).as("blk"))
+      .groupBy("blk").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * (col("n") - 1)), lit(0L)).as("p"))
+      .head.getLong(0) / 2
+    require(nPairs <= maxPairs,
+      s"nearDupPairs: $nPairs block-local pairs > $maxPairs — all-pairs " +
+        "cosine is the truth anchor, not the scale path. Use semanticDedupe " +
+        "(cell-bucketed SemDeDup) or the ANN suite, shrink the blocks, or " +
+        "raise maxPairs to force the exact scan.")
     val v = vectors.select(col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("vec"),
       V.norm(col(vecCol)).as("nrm"))
     v.as("a")

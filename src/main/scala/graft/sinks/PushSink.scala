@@ -1,0 +1,259 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{ErrorCode, RetryPolicy}
+
+/** Network push sink — the reference's only typed sink (GrpcSinkConfig,
+  * types.rs:744-780: endpoint + max_message_size + timeout_ms +
+  * retry{max_retries, initial_backoff_ms, max_backoff_ms,
+  * backoff_multiplier}) re-expressed at the seam Spark actually exposes.
+  *
+  * Spark has no gRPC DataSource sink; the idiomatic shape is executor-side
+  * delivery inside `foreachBatch`: rows serialize to newline-delimited JSON
+  * (the same payload convention the push-SOURCE loopback double reads),
+  * consecutive rows pack into messages up to `maxMessageBytes`, and each
+  * message is pushed with [[RetryPolicy]] exponential backoff. A message
+  * that exhausts its retry budget — or a single row larger than the message
+  * cap (the reference's max_message_size refusal) — dead-letters with the
+  * standard DLQ error context instead of failing the stream.
+  *
+  * Transports, by endpoint scheme:
+  *   - `http://` / `https://` — JDK HttpClient POST (ndjson body); any
+  *     status >= 400 is a delivery failure. The real production path.
+  *   - `loopback://host:port` — connect-per-message TCP line writer, the
+  *     in-container e2e double mirroring StreamSources' push-listener
+  *     loopback landing ([[LoopbackReceiver]] is the matching server).
+  *   - anything else (incl. `grpc://`) — actionable error: gRPC delivery
+  *     runs through a sidecar forwarder in production; point the sink at
+  *     its HTTP ingress or a loopback double.
+  *
+  * Delivery is AT-LEAST-ONCE per message (a timed-out send may have
+  * landed); per-partition message order is preserved, cross-partition
+  * order is not — same contract as the reference's concurrent senders.
+  */
+final case class PushSinkConfig(
+    endpoint: String,
+    maxMessageBytes: Int = 1 << 20,
+    timeoutMs: Long = 5000L,
+    retry: RetryPolicy = RetryPolicy()
+) {
+  require(maxMessageBytes >= 1, s"maxMessageBytes must be >= 1, got $maxMessageBytes")
+  require(timeoutMs >= 1, s"timeoutMs must be >= 1, got $timeoutMs")
+}
+
+object PushSink {
+
+  private[graft] trait Transport {
+    def send(message: Array[Byte]): Unit // throws on delivery failure
+  }
+
+  private[graft] def transportFor(cfg: PushSinkConfig): Transport = {
+    val ep = cfg.endpoint
+    if (ep.startsWith("http://") || ep.startsWith("https://")) new Transport {
+      private val client = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(cfg.timeoutMs))
+        .build()
+      def send(message: Array[Byte]): Unit = {
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(ep))
+          .timeout(java.time.Duration.ofMillis(cfg.timeoutMs))
+          .header("Content-Type", "application/x-ndjson")
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(message))
+          .build()
+        val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+        if (resp.statusCode() >= 400)
+          sys.error(s"push to $ep failed: HTTP ${resp.statusCode()}")
+      }
+    }
+    else if (ep.startsWith("loopback://")) new Transport {
+      private val (host, port) = hostPort(ep.stripPrefix("loopback://"))
+      def send(message: Array[Byte]): Unit = {
+        val sock = new java.net.Socket()
+        try {
+          sock.connect(new java.net.InetSocketAddress(host, port), cfg.timeoutMs.toInt)
+          val out = sock.getOutputStream
+          out.write(message)
+          out.write('\n')
+          out.flush()
+        } finally sock.close()
+      }
+    }
+    else
+      throw new UnsupportedOperationException(
+        s"push sink endpoint '$ep': supported schemes are http(s):// (POST " +
+          "delivery) and loopback://host:port (in-container double); gRPC " +
+          "delivery runs through a sidecar forwarder — point the sink at its " +
+          "HTTP ingress")
+  }
+
+  private def hostPort(body: String): (String, Int) = {
+    val sep = body.lastIndexOf(':')
+    require(sep > 0 && body.substring(sep + 1).forall(_.isDigit) && sep + 1 < body.length,
+      s"loopback endpoint needs host:port, got '$body'")
+    val raw = body.substring(0, sep)
+    val host = if (raw.startsWith("[") && raw.endsWith("]")) raw.substring(1, raw.length - 1)
+               else raw
+    (host, body.substring(sep + 1).toInt)
+  }
+
+  /** Deliver one (micro-)batch; returns the DEAD-LETTER frame — failed
+    * payloads wrapped with the standard DLQ error context (record.rs
+    * ErrorContext vocabulary). Delivery is a SIDE EFFECT of materializing
+    * the returned frame: callers must materialize it exactly once (the
+    * [[foreachBatchWriter]] does).
+    */
+  def deliver(df: DataFrame, cfg: PushSinkConfig, stage: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val failures = df.toJSON.mapPartitions { rows =>
+      val transport = transportFor(cfg)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Int)]
+      val pending = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pendingBytes = 0
+      def sendWithRetry(payload: String): Unit = {
+        val bytes = payload.getBytes(StandardCharsets.UTF_8)
+        var attempt = 0
+        var delivered = false
+        var lastErr = ""
+        while (!delivered && attempt <= cfg.retry.maxRetries) {
+          try { transport.send(bytes); delivered = true }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              lastErr = String.valueOf(e.getMessage)
+              if (cfg.retry.shouldRetry(attempt))
+                Thread.sleep(cfg.retry.backoffDurationMs(attempt))
+              attempt += 1
+          }
+        }
+        if (!delivered)
+          out += ((payload, ErrorCode.MaxRetriesExceeded, lastErr, cfg.retry.maxRetries))
+      }
+      def flush(): Unit = if (pending.nonEmpty) {
+        sendWithRetry(pending.mkString("\n"))
+        pending.clear(); pendingBytes = 0
+      }
+      rows.foreach { json =>
+        val n = json.getBytes(StandardCharsets.UTF_8).length
+        if (n > cfg.maxMessageBytes)
+          // the reference's max_message_size refusal: never attempted
+          out += ((json, ErrorCode.RecordTooLarge,
+            s"row is $n bytes, message cap is ${cfg.maxMessageBytes}", 0))
+        else {
+          if (pendingBytes + (if (pending.isEmpty) 0 else 1) + n > cfg.maxMessageBytes) flush()
+          pending += json
+          pendingBytes += n + (if (pendingBytes == 0) 0 else 1)
+        }
+      }
+      flush()
+      out.iterator
+    }.toDF("payload", "dlq_code", "dlq_message", "dlq_retry_count_raw")
+    failures
+      .withColumn("dlq_stage", lit(stage))
+      .withColumn("dlq_stage_type", lit("push_sink"))
+      .withColumn("dlq_retry_count", col("dlq_retry_count_raw"))
+      .withColumn("dlq_first_failure_time", current_timestamp())
+      .withColumn("dlq_last_failure_time", current_timestamp())
+      .drop("dlq_retry_count_raw")
+  }
+
+  /** Deliver one batch and dead-letter exhausted payloads to `dlqPath`
+    * (parquet, append). Without a DLQ path any failure fails the batch —
+    * Spark (or the caller's retry loop) redelivers it, the at-least-once
+    * default. The single materialization of the delivery plan happens
+    * here.
+    */
+  def runBatch(
+      batch: DataFrame,
+      cfg: PushSinkConfig,
+      dlqPath: Option[String],
+      stage: String
+  ): Unit = {
+    val failures = deliver(batch, cfg, stage)
+    dlqPath match {
+      case Some(p) => failures.write.mode("append").parquet(p)
+      case None =>
+        val n = failures.count()
+        if (n > 0) sys.error(
+          s"push sink $stage: $n message(s) exhausted their retry budget " +
+            "and no DLQ is configured — failing the batch for redelivery")
+    }
+  }
+
+  /** `foreachBatch` form of [[runBatch]] for streaming pipelines. */
+  def foreachBatchWriter(
+      cfg: PushSinkConfig,
+      dlqPath: Option[String],
+      stage: String = "push"
+  ): (DataFrame, Long) => Unit =
+    (batch, _) => runBatch(batch, cfg, dlqPath, stage)
+
+  /** Build the typed config from a sink manifest's endpoint + string
+    * options (the YAML surface). Unknown keys fail loudly — a typo'd
+    * retry knob must not silently run with defaults.
+    */
+  def configFrom(
+      endpoint: String,
+      options: Map[String, String],
+      base: RetryPolicy = RetryPolicy()
+  ): PushSinkConfig = {
+    val known = Set("maxMessageBytes", "timeoutMs", "maxRetries",
+      "initialBackoffMs", "maxBackoffMs", "backoffMultiplier", "dlqPath")
+    val unknown = options.keySet -- known
+    require(unknown.isEmpty,
+      s"push sink: unknown option(s) ${unknown.mkString(", ")} — expected $known")
+    PushSinkConfig(
+      endpoint,
+      maxMessageBytes = options.get("maxMessageBytes").fold(1 << 20)(_.toInt),
+      timeoutMs = options.get("timeoutMs").fold(5000L)(_.toLong),
+      retry = RetryPolicy(
+        maxRetries = options.get("maxRetries").fold(base.maxRetries)(_.toInt),
+        initialBackoffMs = options.get("initialBackoffMs").fold(base.initialBackoffMs)(_.toLong),
+        maxBackoffMs = options.get("maxBackoffMs").fold(base.maxBackoffMs)(_.toLong),
+        backoffMultiplier = options.get("backoffMultiplier").fold(base.backoffMultiplier)(_.toDouble)))
+  }
+
+  /** In-container receiving double for the `loopback://` transport: a
+    * line-collecting TCP server (one thread per connection — partitions
+    * deliver concurrently). `stop()` returns every received line in
+    * arrival order per connection.
+    */
+  final class LoopbackReceiver(port0: Int = 0) {
+    private val server = new java.net.ServerSocket(port0, 64,
+      java.net.InetAddress.getLoopbackAddress)
+    private val lines = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    @volatile private var running = true
+    def port: Int = server.getLocalPort
+    def endpoint: String = s"loopback://127.0.0.1:$port"
+    private val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          val t = new Thread(() => {
+            try {
+              val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+                sock.getInputStream, StandardCharsets.UTF_8))
+              var line = rd.readLine()
+              while (line != null) { lines.add(line); line = rd.readLine() }
+            } catch { case _: java.io.IOException => () }
+            finally sock.close()
+          })
+          t.setDaemon(true)
+          t.start()
+        } catch { case _: java.io.IOException => () } // closed on stop
+      }
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+    def received: Seq[String] = {
+      val snap = new java.util.ArrayList[String](lines)
+      scala.jdk.CollectionConverters.ListHasAsScala(snap).asScala.toSeq
+    }
+    def stop(): Seq[String] = {
+      running = false
+      server.close()
+      received
+    }
+  }
+}

@@ -89,6 +89,15 @@ object Writers {
           graft.sources.Warc.write(df, idCol, uriCol, bodyCol, sink.path)
         else
           graft.sources.WarcGz.write(df, idCol, uriCol, bodyCol, sink.path)
+      // Network push delivery (GrpcSinkConfig, types.rs:744-780): the path
+      // is the ENDPOINT; per-message retry/backoff + DLQ live inside
+      // PushSink (the outer job retry above only re-runs when no DLQ is
+      // configured and delivery failed — at-least-once by design).
+      case "push" =>
+        require(sink.partitionBy.isEmpty, "push sink does not support partitionBy")
+        PushSink.runBatch(df,
+          PushSink.configFrom(sink.path, sink.options - "dlqPath", sink.retry),
+          sink.options.get("dlqPath"), stage = "push")
       case other     => sys.error(s"unknown sink format: $other")
     }
   }

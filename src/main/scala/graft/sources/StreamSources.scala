@@ -42,6 +42,25 @@ final case class Kafka(
     consumerGroup: Option[String] = None,
     securityProtocol: Option[String] = None,
     saslMechanism: Option[String] = None,
+    /** KafkaSecurityConfig sasl_username (types.rs:183-184); requires
+      * [[saslPasswordEnv]] and a PLAIN / SCRAM-SHA-* [[saslMechanism]].
+      */
+    saslUsername: Option[String] = None,
+    /** KafkaSecurityConfig sasl_password_env (types.rs:185-186): the NAME
+      * of the environment variable holding the SASL password — the
+      * reference's env-var indirection contract. The secret is resolved
+      * when the reader is built and never appears in a manifest; an unset
+      * variable fails loudly then, not as an opaque broker auth error.
+      */
+    saslPasswordEnv: Option[String] = None,
+    /** KafkaSecurityConfig ssl_ca_location (types.rs:187-188): path to a
+      * PEM CA bundle. The reference's rdkafka takes `ssl.ca.location`
+      * directly; the Java client (what Spark's Kafka source runs) spells
+      * the same thing `ssl.truststore.location` + `ssl.truststore.type:
+      * PEM` — the mapping is applied here so manifests stay
+      * engine-agnostic.
+      */
+    sslCaLocation: Option[String] = None,
     /** Per-trigger ingestion cap (offsets across all partitions) — the
       * offset-connector analog of the file sources' `rateCap`; the useful
       * fraction of the reference's credit-based backpressure.
@@ -51,6 +70,9 @@ final case class Kafka(
 ) extends StreamSourceConfig {
   maxOffsetsPerTrigger.foreach(n =>
     require(n >= 1, s"maxOffsetsPerTrigger must be >= 1, got $n"))
+  require(saslUsername.isDefined == saslPasswordEnv.isDefined,
+    "kafka source: saslUsername and saslPasswordEnv must be set together " +
+      "(the password travels by env-var indirection, never inline)")
 }
 
 /** types.rs:192-201 Kinesis (+ AwsCredentialsConfig via cluster config). */
@@ -183,18 +205,9 @@ final case class Generic(
 object StreamSources {
 
   def read(spark: SparkSession, cfg: StreamSourceConfig): DataFrame = cfg match {
-    case Kafka(brokers, topic, starting, group, protocol, sasl, maxOff, opts) =>
+    case k: Kafka =>
       attempt("kafka", "org.apache.spark:spark-sql-kafka-0-10") {
-        val base = spark.readStream.format("kafka")
-          .option("kafka.bootstrap.servers", brokers.mkString(","))
-          .option("subscribe", topic)
-          .option("startingOffsets", starting)
-        val withGroup = group.fold(base)(g => base.option("kafka.group.id", g))
-        val withSec = protocol.fold(withGroup)(p => withGroup.option("kafka.security.protocol", p))
-        val withSasl = sasl.fold(withSec)(m => withSec.option("kafka.sasl.mechanism", m))
-        val withCap = maxOff.fold(withSasl)(n =>
-          withSasl.option("maxOffsetsPerTrigger", n.toString))
-        withCap.options(opts).load()
+        spark.readStream.format("kafka").options(kafkaOptions(k)).load()
       }
 
     case Kinesis(stream, region, iterType, opts) =>
@@ -278,6 +291,51 @@ object StreamSources {
       throw new UnsupportedOperationException(
         s"mysql CDC ($conn): land the binlog through Debezium->Kafka and read the " +
           "Kafka source, or use graft.sources.Readers.jdbc for batch snapshots")
+  }
+
+  /** The complete option map for the Kafka reader — pure, so the security
+    * mapping (KafkaSecurityConfig, types.rs:177-189) is unit-testable
+    * without a broker. `env` is injectable for tests; production resolves
+    * against the real environment. Secrets resolve HERE (reader build
+    * time) and flow only into the in-memory option map, honoring the
+    * reference's never-inline-the-password contract.
+    */
+  def kafkaOptions(
+      k: Kafka,
+      env: String => Option[String] = sys.env.get
+  ): Map[String, String] = {
+    val jaas: Map[String, String] = (k.saslUsername, k.saslPasswordEnv) match {
+      case (Some(user), Some(envKey)) =>
+        val mech = k.saslMechanism.getOrElse(sys.error(
+          "kafka source: sasl credentials need saslMechanism (PLAIN or SCRAM-SHA-256/512)"))
+        val module = mech.toUpperCase match {
+          case "PLAIN" => "org.apache.kafka.common.security.plain.PlainLoginModule"
+          case m if m.startsWith("SCRAM-SHA-") =>
+            "org.apache.kafka.common.security.scram.ScramLoginModule"
+          case other => sys.error(
+            s"kafka source: no jaas mapping for saslMechanism '$other' — " +
+              "pass kafka.sasl.jaas.config through options for GSSAPI/OAUTHBEARER")
+        }
+        val password = env(envKey).getOrElse(sys.error(
+          s"kafka source: sasl password env var '$envKey' is not set — the " +
+            "manifest names the variable, the environment must provide the secret"))
+        def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+        Map("kafka.sasl.jaas.config" ->
+          s"""$module required username="${esc(user)}" password="${esc(password)}";""")
+      case _ => Map.empty
+    }
+    val ssl = k.sslCaLocation.fold(Map.empty[String, String])(ca => Map(
+      "kafka.ssl.truststore.type" -> "PEM",
+      "kafka.ssl.truststore.location" -> ca))
+    Map(
+      "kafka.bootstrap.servers" -> k.brokers.mkString(","),
+      "subscribe" -> k.topic,
+      "startingOffsets" -> k.startingOffsets) ++
+      k.consumerGroup.map("kafka.group.id" -> _) ++
+      k.securityProtocol.map("kafka.security.protocol" -> _) ++
+      k.saslMechanism.map("kafka.sasl.mechanism" -> _) ++
+      k.maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString) ++
+      jaas ++ ssl ++ k.options
   }
 
   private def objectStoreStream(

@@ -1092,6 +1092,105 @@ class DslSpec extends SparkSpec {
       "2024-01-01 00:00:30.0", 2L, true)))
   }
 
+  test("pipeline stateStore: rocksdb pins the provider for the query, restores the session") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsl_rdb").toString
+    val yaml =
+      s"""kind: Source
+         |metadata: {name: ev}
+         |spec:
+         |  format: json
+         |  path: $dir/in
+         |  streaming: true
+         |  schema: "id LONG, k STRING, ts TIMESTAMP"
+         |  watermark: {field: ts, delay: "10 seconds"}
+         |---
+         |kind: Transform
+         |metadata: {name: dedupe}
+         |spec: {type: dedupe, keys: [k], keep: first, eventTimeField: ts, orderBy: [ts]}
+         |---
+         |kind: Sink
+         |metadata: {name: rdb_out}
+         |spec: {format: memory, checkpoint: $dir/chk}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: ev, steps: [dedupe], sink: rdb_out, stateStore: rocksdb}
+         |""".stripMargin
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/in/a.json"),
+      ("{\"id\":1,\"k\":\"a\",\"ts\":\"2024-01-01 00:00:00\"}\n" +
+        "{\"id\":2,\"k\":\"a\",\"ts\":\"2024-01-01 00:00:01\"}\n" +
+        "{\"id\":3,\"k\":\"b\",\"ts\":\"2024-01-01 00:00:02\"}").getBytes("UTF-8"))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val p = Compiler.compile(spark, YamlLoader.load(yaml))("p")
+    Compiler.writeStreaming(p).awaitTermination()
+    // session conf restored after start; the QUERY ran on rocksdb —
+    // changelog checkpointing leaves .changelog state files, not .delta
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass") == prev)
+    val st = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/chk/state"))
+    val names = try {
+      scala.jdk.CollectionConverters.IteratorHasAsScala(st.iterator()).asScala
+        .map(_.getFileName.toString).toVector
+    } finally st.close()
+    assert(names.exists(_.endsWith(".changelog")), s"no rocksdb changelog in $names")
+    assert(!names.exists(_.endsWith(".delta")), "hdfs-backed delta files present")
+    assert(spark.table("rdb_out").select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // unknown backend dies at LOAD with the pipeline named
+    assert(intercept[RuntimeException](YamlLoader.load(
+      """kind: Pipeline
+        |metadata: {name: bad}
+        |spec: {source: s, steps: [], sink: k, stateStore: leveldb}
+        |""".stripMargin)).getMessage.contains("leveldb"))
+  }
+
+  test("push sink streams from YAML: foreachBatch loopback delivery + DLQ option") {
+    val rx = new graft.sinks.PushSink.LoopbackReceiver()
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsl_push").toString
+    try {
+      val yaml =
+        s"""kind: Source
+           |metadata: {name: ev}
+           |spec:
+           |  format: json
+           |  path: $dir/in
+           |  streaming: true
+           |  schema: "id LONG, v STRING"
+           |---
+           |kind: Sink
+           |metadata: {name: out}
+           |spec:
+           |  format: push
+           |  path: ${rx.endpoint}
+           |  checkpoint: $dir/chk
+           |  options: {maxRetries: "1", initialBackoffMs: "1", dlqPath: "$dir/dlq"}
+           |---
+           |kind: Pipeline
+           |metadata: {name: p}
+           |spec: {source: ev, steps: [], sink: out}
+           |""".stripMargin
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/in/a.json"),
+        "{\"id\":1,\"v\":\"a\"}\n{\"id\":2,\"v\":\"b\"}".getBytes("UTF-8"))
+      val p = Compiler.compile(spark, YamlLoader.load(yaml))("p")
+      Compiler.write(p) // run-to-drain through writeStreaming
+      assert(rx.received.sorted == Seq("""{"id":1,"v":"a"}""", """{"id":2,"v":"b"}"""))
+    } finally rx.stop()
+    // load-time validation: scheme and option typos die in Cli validate
+    assert(intercept[RuntimeException](YamlLoader.load(
+      """kind: Sink
+        |metadata: {name: s}
+        |spec: {format: push, path: ftp://x:1}
+        |""".stripMargin)).getMessage.contains("push endpoint"))
+    assert(intercept[RuntimeException](YamlLoader.load(
+      """kind: Sink
+        |metadata: {name: s}
+        |spec:
+        |  format: push
+        |  path: loopback://h:1
+        |  options: {maxRetrys: "3"}
+        |""".stripMargin)).getMessage.contains("maxRetrys"))
+  }
+
   test("streaming join compiles to a watermarked windowed stream-stream join") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

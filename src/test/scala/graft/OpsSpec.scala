@@ -340,6 +340,25 @@ class OpsSpec extends SparkSpec {
     assert(c1.distinct.size == 16)
   }
 
+  test("brute-force guardrails refuse above the pair bound, overridable") {
+    val vecs = (1L to 100L).map(i => (i, Array.fill(4)(i.toFloat), i % 2))
+      .toDF("vec_id", "embedding", "label")
+    // 100 corpus x 100 queries = 10k pairs > 5k bound -> refusal names the scale path
+    val e = intercept[IllegalArgumentException](
+      Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 3, maxPairs = 5000L))
+    assert(e.getMessage.contains("ivfTopKAuto"))
+    // raising the bound forces the exact scan
+    assert(Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 3,
+      maxPairs = 10000L).count() == 300)
+    // nearDupPairs: 2 blocks x C(50,2) = 2450 pairs
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.nearDupPairs(vecs, "vec_id", "embedding", "label",
+        minCosine = 0.99, maxPairs = 2000L))
+    assert(e2.getMessage.contains("semanticDedupe"))
+    assert(Similarity.nearDupPairs(vecs, "vec_id", "embedding", "label",
+      minCosine = 0.99, maxPairs = 2450L).count() == 2450) // parallel vectors
+  }
+
   test("cosine and bruteForceTopK on hand-checked vectors") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f)),

@@ -127,4 +127,96 @@ class SinksSpec extends SparkSpec {
       Writers.write(docs, SinkConfig("warc", s"$dir/bad2",
         mode = DeliveryMode.AtLeastOnce)))
   }
+
+  // ------------------------------------------------------------------
+  // Push sink (GrpcSinkConfig, types.rs:744-780)
+  // ------------------------------------------------------------------
+
+  test("push sink: ordered ndjson delivery through the loopback double, batched by size") {
+    val rx = new PushSink.LoopbackReceiver()
+    try {
+      val df = (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+      // tiny cap forces multiple messages; rows must still arrive in order
+      PushSink.runBatch(df,
+        PushSinkConfig(rx.endpoint, maxMessageBytes = 64), dlqPath = None, stage = "t")
+      val got = rx.received
+      assert(got == (1 to 20).map(i => s"""{"id":$i,"v":"v$i"}"""))
+    } finally rx.stop()
+  }
+
+  test("push sink: http transport retries with backoff, then delivers") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val bodies = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    server.createContext("/ingest", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val n = hits.incrementAndGet()
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      if (n <= 2) ex.sendResponseHeaders(503, -1) // first two attempts fail
+      else { bodies.add(body); ex.sendResponseHeaders(200, -1) }
+      ex.close()
+    })
+    server.start()
+    try {
+      val ep = s"http://127.0.0.1:${server.getAddress.getPort}/ingest"
+      val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      PushSink.runBatch(df,
+        PushSinkConfig(ep, retry = RetryPolicy(3, 1, 4, 2.0)), dlqPath = None, stage = "t")
+      assert(hits.get() == 3) // 2 refusals + 1 success — retries observed
+      assert(bodies.size() == 1 &&
+        bodies.get(0) == """{"id":1,"v":"a"}""" + "\n" + """{"id":2,"v":"b"}""")
+    } finally server.stop(0)
+  }
+
+  test("push sink: permanent failure dead-letters with full error context") {
+    // bind-then-close: connections to the port are refused deterministically
+    val ss = new java.net.ServerSocket(0); val deadPort = ss.getLocalPort; ss.close()
+    val dlq = java.nio.file.Files.createTempDirectory("graft_push_dlq").toString + "/dlq"
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+    PushSink.runBatch(df,
+      PushSinkConfig(s"loopback://127.0.0.1:$deadPort", retry = RetryPolicy(2, 1, 2, 2.0)),
+      dlqPath = Some(dlq), stage = "s1")
+    val rows = spark.read.parquet(dlq)
+    assert(rows.count() == 1) // both rows packed into the one failed message
+    val r = rows.collect()(0)
+    assert(r.getAs[String]("dlq_code") == graft.operators.ErrorCode.MaxRetriesExceeded)
+    assert(r.getAs[String]("dlq_stage") == "s1")
+    assert(r.getAs[String]("dlq_stage_type") == "push_sink")
+    assert(r.getAs[Int]("dlq_retry_count") == 2)
+    assert(r.getAs[String]("payload").contains(""""id":1"""))
+    // without a DLQ the batch must fail for redelivery
+    intercept[RuntimeException](PushSink.runBatch(df,
+      PushSinkConfig(s"loopback://127.0.0.1:$deadPort", retry = RetryPolicy.noRetry),
+      dlqPath = None, stage = "s1"))
+  }
+
+  test("push sink: oversized rows dead-letter as RECORD_TOO_LARGE without a send") {
+    val rx = new PushSink.LoopbackReceiver()
+    try {
+      val dlq = java.nio.file.Files.createTempDirectory("graft_push_big").toString + "/dlq"
+      val df = Seq((1L, "ok"), (2L, "x" * 100)).toDF("id", "v").coalesce(1)
+      PushSink.runBatch(df, PushSinkConfig(rx.endpoint, maxMessageBytes = 40),
+        dlqPath = Some(dlq), stage = "t")
+      assert(rx.received == Seq("""{"id":1,"v":"ok"}""")) // the big row never hit the wire
+      val dead = spark.read.parquet(dlq).collect()
+      assert(dead.length == 1 &&
+        dead(0).getAs[String]("dlq_code") == graft.operators.ErrorCode.RecordTooLarge &&
+        dead(0).getAs[Int]("dlq_retry_count") == 0)
+    } finally rx.stop()
+  }
+
+  test("push sink: batch Writers route + config validation") {
+    val rx = new PushSink.LoopbackReceiver()
+    try {
+      Writers.write(Seq((7L, "z")).toDF("id", "v"),
+        SinkConfig("push", rx.endpoint))
+      assert(rx.received == Seq("""{"id":7,"v":"z"}"""))
+    } finally rx.stop()
+    val e = intercept[UnsupportedOperationException](
+      PushSink.transportFor(PushSinkConfig("grpc://h:1")))
+    assert(e.getMessage.contains("sidecar"))
+    val bad = intercept[IllegalArgumentException](
+      PushSink.configFrom("http://h/x", Map("maxRetrys" -> "3")))
+    assert(bad.getMessage.contains("maxRetrys"))
+  }
 }

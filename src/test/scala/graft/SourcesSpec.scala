@@ -103,6 +103,49 @@ class SourcesSpec extends SparkSpec {
     intercept[RuntimeException](StreamSources.read(spark, Http("loopback://[::1]")))
   }
 
+  test("kafka security config maps to typed reader options (types.rs:177-189)") {
+    val base = Kafka(Seq("b1:9092", "b2:9092"), "t",
+      startingOffsets = "earliest", consumerGroup = Some("g"),
+      securityProtocol = Some("SASL_SSL"), saslMechanism = Some("PLAIN"),
+      saslUsername = Some("svc"), saslPasswordEnv = Some("KAFKA_PW"),
+      sslCaLocation = Some("/etc/ca.pem"), maxOffsetsPerTrigger = Some(500L))
+    val opts = StreamSources.kafkaOptions(base,
+      env = Map("KAFKA_PW" -> """s3c"ret""").get)
+    assert(opts("kafka.bootstrap.servers") == "b1:9092,b2:9092")
+    assert(opts("kafka.security.protocol") == "SASL_SSL")
+    assert(opts("kafka.sasl.mechanism") == "PLAIN")
+    // env-var indirection resolved at build time; quotes escaped for JAAS
+    assert(opts("kafka.sasl.jaas.config") ==
+      """org.apache.kafka.common.security.plain.PlainLoginModule required """ +
+        """username="svc" password="s3c\"ret";""")
+    // rdkafka's ssl.ca.location spelled for the Java client: PEM truststore
+    assert(opts("kafka.ssl.truststore.type") == "PEM")
+    assert(opts("kafka.ssl.truststore.location") == "/etc/ca.pem")
+    assert(opts("maxOffsetsPerTrigger") == "500")
+
+    // SCRAM mechanisms pick the scram login module
+    val scram = StreamSources.kafkaOptions(
+      base.copy(saslMechanism = Some("SCRAM-SHA-512")),
+      env = Map("KAFKA_PW" -> "x").get)
+    assert(scram("kafka.sasl.jaas.config").startsWith(
+      "org.apache.kafka.common.security.scram.ScramLoginModule required"))
+
+    // error paths: unset env var, missing/unmappable mechanism, half-config
+    assert(intercept[RuntimeException](
+      StreamSources.kafkaOptions(base, env = _ => None))
+      .getMessage.contains("KAFKA_PW"))
+    assert(intercept[RuntimeException](
+      StreamSources.kafkaOptions(base.copy(saslMechanism = None),
+        env = Map("KAFKA_PW" -> "x").get))
+      .getMessage.contains("saslMechanism"))
+    assert(intercept[RuntimeException](
+      StreamSources.kafkaOptions(base.copy(saslMechanism = Some("GSSAPI")),
+        env = Map("KAFKA_PW" -> "x").get))
+      .getMessage.contains("GSSAPI"))
+    intercept[IllegalArgumentException](
+      Kafka(Seq("b:9092"), "t", saslUsername = Some("u")))
+  }
+
   test("push-source loopback double: payloads stream through a socket into a frame") {
     val server = new java.net.ServerSocket(0, 1,
       java.net.InetAddress.getByName("127.0.0.1"))
