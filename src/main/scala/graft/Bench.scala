@@ -19,24 +19,60 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Round-10 post-mortem: ONE hung query (q_sink_push's connect-per-
+    // message loopback double) zeroed the whole 181-query artifact — the
+    // driver killed the process before any result line was written. Two
+    // defenses: (1) every query runs under a WATCHDOG — a bounded join on
+    // a worker thread; on expiry the active streaming queries are stopped,
+    // the query's job group cancelled (interruptOnCancel), and the
+    // measurement recorded as -1.0 so the suite moves on; (2) each
+    // measurement appends to a JSONL journal the moment it lands, so even
+    // a driver-level kill leaves every completed number on disk.
+    val queryTimeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TIMEOUT_SEC", "150").toLong
+    require(queryTimeoutSec >= 1, "SPARK_GRAFT_BENCH_TIMEOUT_SEC must be >= 1")
+
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      finally {
-        // queries are independent; retained working-set caches would steal
-        // memory from later queries, and deferred GC debt would land inside
-        // some later query's timing. clearCache() only drops Dataset caches —
-        // localCheckpoint blocks (iterative/multi-consumer intermediates)
-        // live as persistent RDDs and must be freed explicitly, else one
-        // query's checkpoint debt inflates the next query's measurement
-        // (measured: q_dedup_edit's blocks added ~0.5-3 s to q_dedup_exact).
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-        System.gc()
+      @volatile var ok = false
+      val group = s"bench-$name"
+      val worker = new Thread(() => {
+        try {
+          // job group is thread-local: set it on the thread that submits
+          // the jobs so cancelJobGroup can reach them from the watchdog
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          ok = true
+        } catch { case _: Throwable => () }
+        finally spark.sparkContext.clearJobGroup()
+      }, group)
+      worker.setDaemon(true) // an unkillable hang must not block JVM exit
+      worker.start()
+      worker.join(queryTimeoutSec * 1000L)
+      val hung = worker.isAlive
+      if (hung) {
+        System.err.println(s"[bench] $name exceeded ${queryTimeoutSec}s — cancelling")
+        try spark.streams.active.foreach(q =>
+          try q.stop() catch { case scala.util.control.NonFatal(_) => () })
+        catch { case scala.util.control.NonFatal(_) => () }
+        try spark.sparkContext.cancelJobGroup(group)
+        catch { case scala.util.control.NonFatal(_) => () }
+        worker.interrupt()
+        worker.join(10000L) // grace; an still-stuck daemon thread is abandoned
       }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // queries are independent; retained working-set caches would steal
+      // memory from later queries, and deferred GC debt would land inside
+      // some later query's timing. clearCache() only drops Dataset caches —
+      // localCheckpoint blocks (iterative/multi-consumer intermediates)
+      // live as persistent RDDs and must be freed explicitly, else one
+      // query's checkpoint debt inflates the next query's measurement
+      // (measured: q_dedup_edit's blocks added ~0.5-3 s to q_dedup_exact).
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+      if (hung || !ok) -1.0 else elapsed
     }
 
     // Warmup: JIT the read path + codegen machinery on the smallest query.
@@ -58,8 +94,24 @@ object Bench {
     // single-pass shape for local iteration.
     val epochs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(epochs >= 1, "SPARK_GRAFT_BENCH_RUNS must be >= 1")
+    // incremental journal: one line per measurement, flushed as it lands —
+    // the recovery artifact when the process dies mid-suite
+    val journalPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_JOURNAL", "BENCH_journal.jsonl"))
+    try java.nio.file.Files.deleteIfExists(journalPath)
+    catch { case scala.util.control.NonFatal(_) => () }
+    def journal(epoch: Int, name: String, sec: Double): Unit =
+      try java.nio.file.Files.write(journalPath,
+        s"""{"epoch":$epoch,"query":"$name","sec":$sec,"sf":"$sfDir"}\n""".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case scala.util.control.NonFatal(_) => () }
     val samples: Seq[Seq[(String, Double)]] =
-      (1 to epochs).map(_ => names.map(n => n -> materialize(n)))
+      (1 to epochs).map(e => names.map { n =>
+        val sec = materialize(n)
+        journal(e, n, sec)
+        n -> sec
+      })
     def medianOf(xs: Seq[Double]): Double =
       if (xs.isEmpty) -1.0
       else {

@@ -61,7 +61,11 @@ object Recall {
     val k = 10
     val corpusN = emb.count()
 
-    val truth = ops.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k)
+    // ground truth is BY DESIGN an exact scan over corpus×queries: raise
+    // the brute-force guardrail explicitly (corpus×100 queries exceeds the
+    // 1e7 default once SPARK_GRAFT_RECALL_MULT inflates the corpus)
+    val truth = ops.Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k,
+      maxPairs = Long.MaxValue)
       .select("q_id", "n_id").cache()
     val truthN = truth.count()
 
@@ -239,7 +243,8 @@ object Recall {
     if (args.isEmpty || args.exists("contrastive_pos".contains)) {
       val anchors = emb.filter(col("vec_id") < 50)
       val posTruth = ops.Similarity
-        .bruteForceTopK(emb, anchors, "vec_id", "embedding", 1)
+        .bruteForceTopK(emb, anchors, "vec_id", "embedding", 1,
+          maxPairs = Long.MaxValue) // truth pass — exact scan by design
         .select("q_id", "n_id")
       val nT = posTruth.count()
       val probes = Seq((16, 4), (16, 6), (16, 8), (64, 8), (64, 16)).map { case (c, p) =>

@@ -1110,13 +1110,22 @@ object SparkEntry {
       .orderBy(col("anchor_id"), col("neg_j"))
   }
 
+  // deliberate brute-force TRUTH ANCHORS: the default maxPairs guardrail
+  // exists to stop accidental all-pairs plans; these two queries ARE the
+  // exact-scan oracle twins of the bucketed paths, so they raise the
+  // budget explicitly (sf1.0 measured ~2e7 pairs for q_neardup_cosine —
+  // over the 1e7 default, and the refusal would kill the oracle replay)
+  private val TruthAnchorMaxPairs = 200000000L
+
   private def qNeardupCosine(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", "label", minCosine = 0.4)
+    graft.ops.Similarity.nearDupPairs(emb(s, dir), "vec_id", "embedding", "label",
+      minCosine = 0.4, maxPairs = TruthAnchorMaxPairs)
       .orderBy(col("id_a"), col("id_b"))
 
   private def qAnnTopk(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.bruteForceTopK(
-      emb(s, dir), emb(s, dir).filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      emb(s, dir), emb(s, dir).filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+      maxPairs = TruthAnchorMaxPairs)
       .orderBy(col("q_id"), col("rank"))
 
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
@@ -1373,7 +1382,7 @@ object SparkEntry {
       .select(col("query_id"), col("doc_id"), col("rank"))
     val vec = graft.ops.Similarity.bruteForceTopK(
       emb(s, dir), emb(s, dir).filter(col("vec_id") < 10),
-      "vec_id", "embedding", k = 10)
+      "vec_id", "embedding", k = 10, maxPairs = TruthAnchorMaxPairs)
       .select(col("q_id").as("query_id"), col("n_id").as("doc_id"), col("rank"))
     graft.ops.Retrieval.rrfFuse(text, vec, k = 5)
       .orderBy(col("query_id"), col("rank"))

@@ -131,6 +131,7 @@ object Stress {
       val provKey = "spark.sql.streaming.stateStore.providerClass"
       val chgKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
       val prevProv = spark.conf.getOption(provKey)
+      val prevChg = spark.conf.getOption(chgKey)
       spark.conf.set(provKey, graft.GraftSession.StateStoreProviders(store))
       if (store == "rocksdb") spark.conf.set(chgKey, "true")
       val q =
@@ -150,8 +151,10 @@ object Stress {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         finally {
+          // restore BOTH keys symmetrically — unconditionally unsetting the
+          // changelog key would clobber a session built with rocksdb default
           prevProv.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
-          spark.conf.unset(chgKey)
+          prevChg.fold(spark.conf.unset(chgKey))(v => spark.conf.set(chgKey, v))
         }
       q.awaitTermination()
       val tag = (if (maxBucket == Int.MaxValue) "uncapped" else s"cap$maxBucket") + s"_$store"

@@ -20,41 +20,72 @@ import graft.operators.{ErrorCode, RetryPolicy}
   * standard DLQ error context instead of failing the stream.
   *
   * Transports, by endpoint scheme:
-  *   - `http://` / `https://` — JDK HttpClient POST (ndjson body); any
-  *     status >= 400 is a delivery failure. The real production path.
-  *   - `loopback://host:port` — connect-per-message TCP line writer, the
-  *     in-container e2e double mirroring StreamSources' push-listener
-  *     loopback landing ([[LoopbackReceiver]] is the matching server).
+  *   - `http://` / `https://` — JDK HttpClient POST (ndjson body; pooled
+  *     keep-alive connections); any status >= 400 is a delivery failure.
+  *     The real production path. `tls` (the reference's TlsConfig,
+  *     types.rs:330-336) supplies a client cert/key pair (mTLS) and/or a
+  *     CA bundle for server verification on the https scheme.
+  *   - `loopback://host:port` — ONE persistent newline-framed TCP
+  *     connection per partition, the in-container e2e double mirroring
+  *     StreamSources' push-listener loopback landing ([[LoopbackReceiver]]
+  *     is the matching server). Connect-per-message was the round-10
+  *     bench killer: ~100k short-lived connections to one loopback port
+  *     outrun the TIME_WAIT ephemeral-port recycle and every further
+  *     connect eats the full timeout×backoff budget. A send failure
+  *     closes the socket; the retry reconnects.
   *   - anything else (incl. `grpc://`) — actionable error: gRPC delivery
   *     runs through a sidecar forwarder in production; point the sink at
   *     its HTTP ingress or a loopback double.
   *
   * Delivery is AT-LEAST-ONCE per message (a timed-out send may have
-  * landed); per-partition message order is preserved, cross-partition
-  * order is not — same contract as the reference's concurrent senders.
+  * landed); per-partition message order is preserved (one ordered
+  * connection/HTTP client per partition), cross-partition order is not —
+  * same contract as the reference's concurrent senders.
   */
 final case class PushSinkConfig(
     endpoint: String,
     maxMessageBytes: Int = 1 << 20,
     timeoutMs: Long = 5000L,
-    retry: RetryPolicy = RetryPolicy()
+    retry: RetryPolicy = RetryPolicy(),
+    tls: Option[PushTlsConfig] = None
 ) {
   require(maxMessageBytes >= 1, s"maxMessageBytes must be >= 1, got $maxMessageBytes")
   require(timeoutMs >= 1, s"timeoutMs must be >= 1, got $timeoutMs")
+  require(tls.isEmpty || endpoint.startsWith("https://"),
+    s"tls config is only meaningful on https:// endpoints, got $endpoint")
+}
+
+/** The reference's TlsConfig (types.rs:330-336): client cert+key pair
+  * (required together) plus an optional CA bundle. PEM paths; see
+  * [[Tls]] for the accepted encodings.
+  */
+final case class PushTlsConfig(
+    certFile: Option[String] = None,
+    keyFile: Option[String] = None,
+    caFile: Option[String] = None
+) {
+  require(certFile.isDefined == keyFile.isDefined,
+    "tls: certFile and keyFile must be set together")
+  require(certFile.isDefined || caFile.isDefined,
+    "tls: at least one of certFile+keyFile (client identity) or caFile (trust) is required")
 }
 
 object PushSink {
 
   private[graft] trait Transport {
     def send(message: Array[Byte]): Unit // throws on delivery failure
+    def close(): Unit = ()               // release per-partition resources
   }
 
   private[graft] def transportFor(cfg: PushSinkConfig): Transport = {
     val ep = cfg.endpoint
     if (ep.startsWith("http://") || ep.startsWith("https://")) new Transport {
-      private val client = java.net.http.HttpClient.newBuilder()
-        .connectTimeout(java.time.Duration.ofMillis(cfg.timeoutMs))
-        .build()
+      private val client = {
+        val b = java.net.http.HttpClient.newBuilder()
+          .connectTimeout(java.time.Duration.ofMillis(cfg.timeoutMs))
+        cfg.tls.fold(b)(t =>
+          b.sslContext(Tls.sslContext(t.certFile, t.keyFile, t.caFile))).build()
+      }
       def send(message: Array[Byte]): Unit = {
         val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(ep))
           .timeout(java.time.Duration.ofMillis(cfg.timeoutMs))
@@ -67,16 +98,34 @@ object PushSink {
       }
     }
     else if (ep.startsWith("loopback://")) new Transport {
+      // one persistent connection for the transport's lifetime (= one
+      // partition of one batch): lazily opened, dropped on any send
+      // failure so the caller's retry reconnects fresh. A failure mid-
+      // message can leave a partial line on the wire; the reconnect
+      // resend makes delivery at-least-once, the documented contract.
       private val (host, port) = hostPort(ep.stripPrefix("loopback://"))
-      def send(message: Array[Byte]): Unit = {
-        val sock = new java.net.Socket()
+      private var sock: java.net.Socket = null
+      private def connected(): java.net.Socket = {
+        if (sock == null) {
+          val s = new java.net.Socket()
+          s.connect(new java.net.InetSocketAddress(host, port), cfg.timeoutMs.toInt)
+          s.setTcpNoDelay(true)
+          sock = s
+        }
+        sock
+      }
+      def send(message: Array[Byte]): Unit =
         try {
-          sock.connect(new java.net.InetSocketAddress(host, port), cfg.timeoutMs.toInt)
-          val out = sock.getOutputStream
+          val out = connected().getOutputStream
           out.write(message)
           out.write('\n')
           out.flush()
-        } finally sock.close()
+        } catch {
+          case e: java.io.IOException => close(); throw e
+        }
+      override def close(): Unit = {
+        if (sock != null) { try sock.close() catch { case _: java.io.IOException => () } }
+        sock = null
       }
     }
     else
@@ -133,19 +182,21 @@ object PushSink {
         sendWithRetry(pending.mkString("\n"))
         pending.clear(); pendingBytes = 0
       }
-      rows.foreach { json =>
-        val n = json.getBytes(StandardCharsets.UTF_8).length
-        if (n > cfg.maxMessageBytes)
-          // the reference's max_message_size refusal: never attempted
-          out += ((json, ErrorCode.RecordTooLarge,
-            s"row is $n bytes, message cap is ${cfg.maxMessageBytes}", 0))
-        else {
-          if (pendingBytes + (if (pending.isEmpty) 0 else 1) + n > cfg.maxMessageBytes) flush()
-          pending += json
-          pendingBytes += n + (if (pendingBytes == 0) 0 else 1)
+      try {
+        rows.foreach { json =>
+          val n = json.getBytes(StandardCharsets.UTF_8).length
+          if (n > cfg.maxMessageBytes)
+            // the reference's max_message_size refusal: never attempted
+            out += ((json, ErrorCode.RecordTooLarge,
+              s"row is $n bytes, message cap is ${cfg.maxMessageBytes}", 0))
+          else {
+            if (pendingBytes + (if (pending.isEmpty) 0 else 1) + n > cfg.maxMessageBytes) flush()
+            pending += json
+            pendingBytes += n + (if (pendingBytes == 0) 0 else 1)
+          }
         }
-      }
-      flush()
+        flush()
+      } finally transport.close()
       out.iterator
     }.toDF("payload", "dlq_code", "dlq_message", "dlq_retry_count_raw")
     failures
@@ -198,14 +249,23 @@ object PushSink {
       base: RetryPolicy = RetryPolicy()
   ): PushSinkConfig = {
     val known = Set("maxMessageBytes", "timeoutMs", "maxRetries",
-      "initialBackoffMs", "maxBackoffMs", "backoffMultiplier", "dlqPath")
+      "initialBackoffMs", "maxBackoffMs", "backoffMultiplier", "dlqPath",
+      "tlsCertFile", "tlsKeyFile", "tlsCaFile")
     val unknown = options.keySet -- known
     require(unknown.isEmpty,
       s"push sink: unknown option(s) ${unknown.mkString(", ")} — expected $known")
+    val tls =
+      if (Seq("tlsCertFile", "tlsKeyFile", "tlsCaFile").exists(options.contains))
+        Some(PushTlsConfig(
+          certFile = options.get("tlsCertFile"),
+          keyFile = options.get("tlsKeyFile"),
+          caFile = options.get("tlsCaFile")))
+      else None
     PushSinkConfig(
       endpoint,
       maxMessageBytes = options.get("maxMessageBytes").fold(1 << 20)(_.toInt),
       timeoutMs = options.get("timeoutMs").fold(5000L)(_.toLong),
+      tls = tls,
       retry = RetryPolicy(
         maxRetries = options.get("maxRetries").fold(base.maxRetries)(_.toInt),
         initialBackoffMs = options.get("initialBackoffMs").fold(base.initialBackoffMs)(_.toLong),
@@ -214,9 +274,13 @@ object PushSink {
   }
 
   /** In-container receiving double for the `loopback://` transport: a
-    * line-collecting TCP server (one thread per connection — partitions
-    * deliver concurrently). `stop()` returns every received line in
-    * arrival order per connection.
+    * line-collecting TCP server on a BOUNDED reader pool (64 threads —
+    * senders hold one persistent connection per partition, so the
+    * concurrent-connection count is the sender's partition count, not its
+    * row count; round 10's thread-per-connection receiver scaled with
+    * messages and was half of the bench hang). `stop()` returns every
+    * received line; arrival order is preserved per connection — one
+    * reader thread owns a connection end-to-end.
     */
   final class LoopbackReceiver(port0: Int = 0) {
     private val server = new java.net.ServerSocket(port0, 64,
@@ -224,13 +288,19 @@ object PushSink {
     private val lines = java.util.Collections.synchronizedList(
       new java.util.ArrayList[String]())
     @volatile private var running = true
+    private val accepted = new java.util.concurrent.atomic.AtomicInteger(0)
     def port: Int = server.getLocalPort
     def endpoint: String = s"loopback://127.0.0.1:$port"
+    /** Connections accepted so far — the spec's persistent-connection probe. */
+    def connections: Int = accepted.get()
+    private val readers = java.util.concurrent.Executors.newFixedThreadPool(64,
+      (r: Runnable) => { val t = new Thread(r, "loopback-reader"); t.setDaemon(true); t })
     private val acceptor = new Thread(() => {
       while (running) {
         try {
           val sock = server.accept()
-          val t = new Thread(() => {
+          accepted.incrementAndGet()
+          readers.execute(() => {
             try {
               val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
                 sock.getInputStream, StandardCharsets.UTF_8))
@@ -239,9 +309,10 @@ object PushSink {
             } catch { case _: java.io.IOException => () }
             finally sock.close()
           })
-          t.setDaemon(true)
-          t.start()
-        } catch { case _: java.io.IOException => () } // closed on stop
+        } catch {
+          case _: java.io.IOException => ()                          // closed on stop
+          case _: java.util.concurrent.RejectedExecutionException => () // pool stopped
+        }
       }
     })
     acceptor.setDaemon(true)
@@ -253,6 +324,11 @@ object PushSink {
     def stop(): Seq[String] = {
       running = false
       server.close()
+      // in-flight readers drain to EOF (senders close their connection when
+      // the partition finishes) — wait briefly so stop() is deterministic
+      // for callers that read `received` right after a completed batch
+      readers.shutdown()
+      readers.awaitTermination(2, java.util.concurrent.TimeUnit.SECONDS)
       received
     }
   }

@@ -1,0 +1,127 @@
+package graft.sinks
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.security.cert.{Certificate, CertificateFactory}
+import java.security.spec.PKCS8EncodedKeySpec
+import java.security.{KeyFactory, KeyStore, PrivateKey}
+import javax.net.ssl.{KeyManager, KeyManagerFactory, SSLContext, TrustManager, TrustManagerFactory}
+
+/** PEM-file TLS material → JDK [[SSLContext]], mirroring the reference's
+  * TlsConfig (types.rs:330-336: cert_file + key_file + optional ca_file).
+  *
+  * The reference requires cert_file/key_file together (mTLS identity) and
+  * treats ca_file as the optional trust override; this helper accepts
+  * either half independently — a custom CA without a client certificate is
+  * the common server-auth-only deployment — but still enforces that
+  * certFile and keyFile come as a pair.
+  *
+  * Accepted formats (what openssl emits by default): X.509 certificates in
+  * PEM (`BEGIN CERTIFICATE`, chains allowed), private keys in unencrypted
+  * PKCS#8 PEM (`BEGIN PRIVATE KEY`; RSA, EC or Ed25519). Legacy PKCS#1
+  * (`BEGIN RSA PRIVATE KEY`) and passphrase-protected keys are refused
+  * with the conversion command — a silent partial parse would surface as
+  * an opaque handshake failure three layers away.
+  */
+object Tls {
+
+  /** Build an SSLContext for a client (or server — the material is
+    * symmetric): `certFile`+`keyFile` become the key manager (local
+    * identity), `caFile` becomes the trust manager (peer verification);
+    * absent halves fall back to JDK defaults.
+    */
+  def sslContext(
+      certFile: Option[String],
+      keyFile: Option[String],
+      caFile: Option[String]
+  ): SSLContext = {
+    val kms: Array[KeyManager] = (certFile, keyFile) match {
+      case (Some(c), Some(k)) =>
+        val chain = loadCertificates(c)
+        require(chain.nonEmpty, s"tls: no CERTIFICATE blocks in $c")
+        val ks = newEmptyKeyStore()
+        ks.setKeyEntry("identity", loadPkcs8Key(k), Array.emptyCharArray, chain.toArray)
+        val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+        kmf.init(ks, Array.emptyCharArray)
+        kmf.getKeyManagers
+      case (None, None) => null
+      case _ => throw new IllegalArgumentException(
+        "tls: certFile and keyFile must be set together (the client identity " +
+          "is a cert+key pair); for trust-only config pass caFile alone")
+    }
+    val tms: Array[TrustManager] = caFile match {
+      case Some(ca) =>
+        val certs = loadCertificates(ca)
+        require(certs.nonEmpty, s"tls: no CERTIFICATE blocks in $ca")
+        val ks = newEmptyKeyStore()
+        certs.zipWithIndex.foreach { case (c, i) => ks.setCertificateEntry(s"ca$i", c) }
+        val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+        tmf.init(ks)
+        tmf.getTrustManagers
+      case None => null
+    }
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kms, tms, null)
+    ctx
+  }
+
+  private def newEmptyKeyStore(): KeyStore = {
+    val ks = KeyStore.getInstance(KeyStore.getDefaultType)
+    ks.load(null, null)
+    ks
+  }
+
+  /** Every CERTIFICATE block in the PEM file, in order (leaf-first chains
+    * stay leaf-first — the KeyStore chain entry requires that order).
+    */
+  def loadCertificates(path: String): Seq[Certificate] = {
+    val cf = CertificateFactory.getInstance("X.509")
+    pemBlocks(path, "CERTIFICATE").map(der =>
+      cf.generateCertificate(new ByteArrayInputStream(der)))
+  }
+
+  /** The first unencrypted PKCS#8 key in the file; refuses the legacy and
+    * encrypted encodings with the exact openssl conversion to run.
+    */
+  def loadPkcs8Key(path: String): PrivateKey = {
+    val text = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.US_ASCII)
+    if (text.contains("BEGIN RSA PRIVATE KEY") || text.contains("BEGIN EC PRIVATE KEY"))
+      throw new IllegalArgumentException(
+        s"tls: $path is a legacy PKCS#1/SEC1 key — convert with " +
+          "`openssl pkcs8 -topk8 -nocrypt -in key.pem -out key-pkcs8.pem`")
+    if (text.contains("BEGIN ENCRYPTED PRIVATE KEY"))
+      throw new IllegalArgumentException(
+        s"tls: $path is passphrase-protected — decrypt with " +
+          "`openssl pkcs8 -topk8 -nocrypt` (mount the decrypted key from a secret store)")
+    val ders = pemBlocks(path, "PRIVATE KEY")
+    require(ders.nonEmpty, s"tls: no PRIVATE KEY block in $path")
+    val spec = new PKCS8EncodedKeySpec(ders.head)
+    val algos = Seq("RSA", "EC", "Ed25519")
+    algos.iterator.flatMap { a =>
+      try Some(KeyFactory.getInstance(a).generatePrivate(spec))
+      catch { case _: java.security.spec.InvalidKeySpecException |
+                   _: java.security.NoSuchAlgorithmException => None }
+    }.nextOption().getOrElse(throw new IllegalArgumentException(
+      s"tls: PKCS#8 key in $path is none of ${algos.mkString("/")}"))
+  }
+
+  /** DER payloads of every `-----BEGIN <label>-----` block in the file. */
+  private def pemBlocks(path: String, label: String): Seq[Array[Byte]] = {
+    val text = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.US_ASCII)
+    val begin = s"-----BEGIN $label-----"
+    val end = s"-----END $label-----"
+    val out = Seq.newBuilder[Array[Byte]]
+    var from = 0
+    var i = text.indexOf(begin, from)
+    while (i >= 0) {
+      val j = text.indexOf(end, i)
+      require(j > i, s"tls: unterminated $label block in $path")
+      val b64 = text.substring(i + begin.length, j).replaceAll("\\s", "")
+      out += java.util.Base64.getDecoder.decode(b64)
+      from = j + end.length
+      i = text.indexOf(begin, from)
+    }
+    out.result()
+  }
+}

@@ -207,7 +207,19 @@ object StreamSources {
   def read(spark: SparkSession, cfg: StreamSourceConfig): DataFrame = cfg match {
     case k: Kafka =>
       attempt("kafka", "org.apache.spark:spark-sql-kafka-0-10") {
-        spark.readStream.format("kafka").options(kafkaOptions(k)).load()
+        val opts = kafkaOptions(k)
+        // the resolved SASL password sits inside kafka.sasl.jaas.config,
+        // whose KEY matches neither spark.redaction.regex nor the default
+        // spark.sql.redaction.options.regex — without this, `explain` / the SQL
+        // UI would print the secret wherever source options render. Extend
+        // the session's option-redaction regex before the plan exists.
+        if (opts.contains("kafka.sasl.jaas.config")) {
+          val redKey = "spark.sql.redaction.options.regex"
+          val cur = spark.conf.get(redKey, "(?i)url")
+          if (!cur.toLowerCase.contains("jaas"))
+            spark.conf.set(redKey, s"$cur|(?i)jaas")
+        }
+        spark.readStream.format("kafka").options(opts).load()
       }
 
     case Kinesis(stream, region, iterType, opts) =>

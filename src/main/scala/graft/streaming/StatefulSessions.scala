@@ -140,10 +140,23 @@ object StatefulSessions {
     * the watermark has passed are silently evicted (event-time timeout) —
     * on_event emits events, not closes, so eviction produces no rows.
     * Requires a watermarked input (the DSL source's `watermark:` block).
+    *
+    * MEMORY CONTRACT: per-key state is O(open intervals), and the
+    * watermark delay is what bounds it — with a huge delay (or an idle
+    * watermark) nothing ever evicts, and a key receiving gap-spaced
+    * events accumulates intervals without bound. `maxOpenSessions` is
+    * the backstop: when a key's open-interval set exceeds it, the OLDEST
+    * intervals are force-closed (dropped from state; emitted as `session`
+    * rows under `emit: both`, silently under `on_event` — same shape as
+    * watermark eviction). Events are also buffered per key for ONE
+    * micro-batch (tagging needs the post-merge interval set), so
+    * micro-batch sizing — maxOffsetsPerTrigger & friends — bounds the
+    * transient, not this knob.
     */
   def taggedStream(
-      df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long): DataFrame =
-    sessionStream(df, keyCol, tsCol, gapSeconds, emitBoth = false)
+      df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long,
+      maxOpenSessions: Int = DefaultMaxOpenSessions): DataFrame =
+    sessionStream(df, keyCol, tsCol, gapSeconds, emitBoth = false, maxOpenSessions)
 
   /** `emit: both` (SessionEmit::Both): per-event tagged rows AND one
     * session summary row when the watermark closes a session. Output is
@@ -153,15 +166,24 @@ object StatefulSessions {
     * columns null).
     */
   def withStatsStream(
-      df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long): DataFrame =
-    sessionStream(df, keyCol, tsCol, gapSeconds, emitBoth = true)
+      df: DataFrame, keyCol: String, tsCol: String, gapSeconds: Long,
+      maxOpenSessions: Int = DefaultMaxOpenSessions): DataFrame =
+    sessionStream(df, keyCol, tsCol, gapSeconds, emitBoth = true, maxOpenSessions)
+
+  /** Open-interval backstop per key (see [[taggedStream]]'s memory
+    * contract). 100k intervals ≈ a few MB per pathological key — big
+    * enough that a sane watermark delay never touches it, small enough
+    * that a key can't take an executor down.
+    */
+  val DefaultMaxOpenSessions: Int = 100000
 
   private def sessionStream(
       df: DataFrame,
       keyCol: String,
       tsCol: String,
       gapSeconds: Long,
-      emitBoth: Boolean
+      emitBoth: Boolean,
+      maxOpenSessions: Int
   ): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
@@ -174,9 +196,13 @@ object StatefulSessions {
     val tsIdx = schema.fieldIndex(tsCol)
     val outSchema =
       if (emitBoth)
+        // input fields must relax to nullable: `session` close rows carry
+        // null in every input column (a non-nullable Long input would
+        // otherwise fail row encoding at the first close)
         StructType(
           StructField("kind", StringType) +: StructField("session_key", StringType) +:
-            (schema.fields :+ StructField("session_start", TimestampType)
+            (schema.fields.map(_.copy(nullable = true))
+              :+ StructField("session_start", TimestampType)
               :+ StructField("session_end", TimestampType)
               :+ StructField("n_events", LongType)))
       else StructType(schema.fields :+ StructField("session_start", TimestampType))
@@ -196,7 +222,13 @@ object StatefulSessions {
           val evs = events.toVector
           val open1 = mergeBatch(open0, evs.map(r => us(r.getAs[Timestamp](tsIdx))).sorted, gapUs)
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (closed, stillOpen) = open1.partition { case (_, e, _) => e + gapUs <= wmUs }
+          val (closedWm, open2) = open1.partition { case (_, e, _) => e + gapUs <= wmUs }
+          // state backstop: force-close the oldest intervals past the cap
+          // (intervals are start-sorted; the newest stay open)
+          val over = open2.size - maxOpenSessions
+          val (closedCap, stillOpen) =
+            if (over > 0) open2.splitAt(over) else (Nil, open2)
+          val closed = closedWm ++ closedCap
           if (stillOpen.isEmpty) state.remove()
           else {
             state.update((StateFormat.Current, stillOpen))

@@ -243,6 +243,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize: maxOpenSessions force-closes the oldest intervals") {
+    // the memory-contract backstop: a key whose watermark never advances
+    // (365-day delay here) must still hold at most maxOpenSessions
+    // intervals — the oldest force-close as `session` rows under emit:both
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val df = input.toDF().toDF("id", "user", "ts").withWatermark("ts", "365 days")
+    val out = StatefulSessions.withStatsStream(df, "user", "ts",
+      gapSeconds = 60, maxOpenSessions = 2)
+    val q = out.writeStream.format("memory").queryName("sess_cap")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (1L, "u", ts("2024-01-01 00:00:00")),
+        (2L, "u", ts("2024-01-01 00:10:00")),
+        (3L, "u", ts("2024-01-01 00:20:00")),
+        (4L, "u", ts("2024-01-01 00:30:00"))) // 4 disjoint intervals, cap 2
+      q.processAllAvailable()
+      val rows = spark.table("sess_cap")
+      // every event still tagged
+      assert(rows.filter(col("kind") === "event").count() == 4)
+      // the 2 oldest intervals force-closed; the 2 newest remain open
+      val closed = rows.filter(col("kind") === "session")
+        .select("session_start").collect().map(_.getTimestamp(0).toString).toSet
+      assert(closed == Set("2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0"))
+      // next batch: state still bounded — one more interval closes one more
+      input.addData((5L, "u", ts("2024-01-01 00:40:00")))
+      q.processAllAvailable()
+      val closed2 = spark.table("sess_cap").filter(col("kind") === "session")
+        .select("session_start").collect().map(_.getTimestamp(0).toString).toSet
+      assert(closed2 == Set("2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0",
+        "2024-01-01 00:20:00.0"))
+    } finally q.stop()
+  }
+
   test("stateful streaming rate limit admits at most maxRate per key per window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp, Double)]
