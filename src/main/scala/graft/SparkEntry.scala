@@ -3232,6 +3232,65 @@ object SparkEntry {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Broker landing double e2e (types.rs:224-268): the nation table lands
+    * as payload lines in a watch directory (what the sidecar consumer
+    * writes), streams back through the rabbitmq typed config's `file://`
+    * double, and types out of the one-`value`-column frame with from_json
+    * — the Kafka-value contract shared by every broker landing.
+    */
+  private def qSourceBroker(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_src_broker").toString
+    TempReaper.register(tmp)
+    t(s, dir, "nation")
+      .select(to_json(struct(col("n_nationkey"), col("n_name"))).as("value"))
+      .coalesce(1).write.mode("overwrite").text(s"$tmp/q")
+    val landed = graft.sources.StreamSources.read(
+      s, graft.sources.Rabbitmq(s"file://$tmp/q", "nation"))
+    val parsed = landed
+      .select(from_json(col("value"), org.apache.spark.sql.types.StructType.fromDDL("n_nationkey INT, n_name STRING")).as("r"))
+      .select(col("r.n_nationkey").as("n_nationkey"), col("r.n_name").as("n_name"))
+    val sinkName = "q_source_broker_out"
+    s.catalog.dropTempView(sinkName) // re-runs in one session (bench x3)
+    parsed.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").option("checkpointLocation", s"$tmp/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.table(sinkName).orderBy(col("n_nationkey"))
+  }
+
+  /** CDC landing double e2e (types.rs:347-371): Debezium-envelope JSON
+    * lines (op/ts_ms/source/after built from the nation table) stream
+    * through the postgres-CDC `file://` double; the envelope types
+    * relationally and the `after` image re-types with from_json — the
+    * full produce-land-consume chain under the oracle.
+    */
+  private def qSourceCdc(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_src_cdc").toString
+    TempReaper.register(tmp)
+    t(s, dir, "nation")
+      .select(to_json(struct(
+        lit("c").as("op"),
+        (col("n_nationkey") * 1000L + 1000L).as("ts_ms"),
+        struct(lit("tpch").as("db"), lit("public").as("schema"),
+          lit("nation").as("table")).as("source"),
+        struct(col("n_nationkey"), col("n_name")).as("after"))).as("value"))
+      .coalesce(1).write.mode("overwrite").text(s"$tmp/wal")
+    val changes = graft.sources.StreamSources.read(
+      s, graft.sources.PostgresCdc(s"file://$tmp/wal", tables = Seq("nation")))
+    val parsed = changes
+      .select(col("op"), col("table"),
+        from_json(col("after"), org.apache.spark.sql.types.StructType.fromDDL("n_nationkey INT, n_name STRING")).as("a"))
+      .select(col("op"), col("table"),
+        col("a.n_nationkey").as("n_nationkey"), col("a.n_name").as("n_name"))
+    val sinkName = "q_source_cdc_out"
+    s.catalog.dropTempView(sinkName) // re-runs in one session (bench x3)
+    parsed.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").option("checkpointLocation", s"$tmp/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.table(sinkName).orderBy(col("n_nationkey"))
+  }
+
   private def qSourceJson(s: SparkSession, dir: String): DataFrame = {
     val path = "/tmp/graft_src_json"
     val src = t(s, dir, "region")
@@ -3661,6 +3720,8 @@ object SparkEntry {
     "q_source_partitioned" -> (qSourcePartitioned _),
     "q_dlq_replay" -> (qDlqReplay _),
     "q_source_csv" -> (qSourceCsv _),
+    "q_source_broker" -> (qSourceBroker _),
+    "q_source_cdc" -> (qSourceCdc _),
     "q_source_json" -> (qSourceJson _),
     "q_source_avro" -> (qSourceAvro _),
     "q_source_warc" -> (qSourceWarc _),
@@ -5687,6 +5748,11 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q_source_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_source_broker" ->
+      "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey",
+    "q_source_cdc" ->
+      """SELECT 'c' AS op, 'nation' AS "table", n_nationkey, n_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_source_json" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_stream_agg" ->

@@ -284,25 +284,21 @@ object StreamSources {
         ddl.fold(r)(r.schema).load()
       }
 
-    // Push listeners and broker types with no Spark pull source: name the
-    // landing pattern instead of dying in the DataSource registry.
+    // Push listeners and broker types with no Spark pull source: a
+    // loopback:// or file:// address opts into the in-container landing
+    // double; anything else names the landing pattern instead of dying in
+    // the DataSource registry.
     case Rabbitmq(url, queue, _, _) =>
-      unsupportedLanding("rabbitmq", s"queue $queue at $url")
+      brokerLanding(spark, "rabbitmq", url, s"queue $queue at $url")
     case Sqs(queueUrl, _, _, _) =>
-      unsupportedLanding("sqs", s"queue $queueUrl")
+      brokerLanding(spark, "sqs", queueUrl, s"queue $queueUrl")
     case Nats(url, subject, _, _, _) =>
-      unsupportedLanding("nats", s"subject $subject at $url")
+      brokerLanding(spark, "nats", url, s"subject $subject at $url")
     case Http(addr, _)      => pushLanding(spark, "http listener", addr)
     case Websocket(addr, _) => pushLanding(spark, "websocket listener", addr)
     case Grpc(addr, _)      => pushLanding(spark, "grpc listener", addr)
-    case PostgresCdc(conn, _, _, _) =>
-      throw new UnsupportedOperationException(
-        s"postgres CDC ($conn): land the WAL through Debezium->Kafka and read the " +
-          "Kafka source, or use graft.sources.Readers.jdbc for batch snapshots")
-    case MysqlCdc(conn, _, _) =>
-      throw new UnsupportedOperationException(
-        s"mysql CDC ($conn): land the binlog through Debezium->Kafka and read the " +
-          "Kafka source, or use graft.sources.Readers.jdbc for batch snapshots")
+    case PostgresCdc(conn, _, _, tables) => cdcLanding(spark, "postgres CDC", conn, tables)
+    case MysqlCdc(conn, _, tables)       => cdcLanding(spark, "mysql CDC", conn, tables)
   }
 
   /** The complete option map for the Kafka reader — pure, so the security
@@ -389,6 +385,69 @@ object StreamSources {
       } else
         sys.error(s"$kind: loopback address must be loopback://host:port, got $addr")
     } else unsupportedLanding(kind, addr)
+
+  /** Broker sources (rabbitmq/sqs/nats, types.rs:224-268) have no
+    * first-party Spark connector: production runs a sidecar consumer that
+    * LANDS payloads somewhere Spark can read, and the pipeline reads the
+    * landing. Two in-container doubles make that path e2e-testable:
+    *   - `file://dir` — a watch-directory of payload lines (the sidecar
+    *     appends files; Spark's text stream tails the directory). Same
+    *     one-`value`-string-column frame as the Kafka value / push landing.
+    *   - `loopback://host:port` — the socket landing shared with the push
+    *     listeners.
+    * Any other address (a real amqp://, an https SQS queue URL, a
+    * nats://) keeps the actionable landing error.
+    */
+  private def brokerLanding(
+      spark: SparkSession, kind: String, addr: String, detail: String): DataFrame =
+    if (addr.startsWith("file://"))
+      spark.readStream.format("text").load(addr.stripPrefix("file://"))
+    else if (addr.startsWith("loopback://")) pushLanding(spark, kind, addr)
+    else unsupportedLanding(kind, detail)
+
+  /** CDC sources (types.rs:347-371): the production landing is
+    * Debezium -> Kafka; in-container, a `file://dir` connection string
+    * reads a watch-directory of Debezium-envelope JSON lines and types the
+    * envelope relationally: one row per change event with
+    * `op` (c/u/d/r), `ts_ms`, `db`/`schema`/`table` (from `source`), and
+    * the `before`/`after` images as raw JSON strings — table schemas vary
+    * per event, so image typing belongs to the caller (`from_json` with
+    * the table's schema, exactly like Kafka's value column). `tables`
+    * filters on the qualified or bare table name when non-empty.
+    */
+  private def cdcLanding(
+      spark: SparkSession, kind: String, conn: String, tables: Seq[String]): DataFrame =
+    if (conn.startsWith("file://")) {
+      val raw = spark.readStream.format("text").load(conn.stripPrefix("file://"))
+      // one from_json pass for the fixed envelope scalars; before/after
+      // stay raw JSON (schema varies per table, get_json_object re-parse
+      // would be per-field) — VariantType would also work but the string
+      // contract matches the reference's payload passthrough
+      val env = org.apache.spark.sql.functions.from_json(
+        org.apache.spark.sql.functions.col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "op STRING, ts_ms BIGINT, source STRUCT<db: STRING, schema: STRING, table: STRING>"))
+      val parsed = raw.select(
+        env.getField("op").as("op"),
+        env.getField("ts_ms").as("ts_ms"),
+        env.getField("source").getField("db").as("db"),
+        env.getField("source").getField("schema").as("schema"),
+        env.getField("source").getField("table").as("table"),
+        org.apache.spark.sql.functions.get_json_object(
+          org.apache.spark.sql.functions.col("value"), "$.before").as("before"),
+        org.apache.spark.sql.functions.get_json_object(
+          org.apache.spark.sql.functions.col("value"), "$.after").as("after"))
+      if (tables.isEmpty) parsed
+      else {
+        import org.apache.spark.sql.functions.{col, concat_ws}
+        parsed.where(col("table").isin(tables: _*) ||
+          concat_ws(".", col("schema"), col("table")).isin(tables: _*))
+      }
+    } else throw new UnsupportedOperationException(
+      s"$kind ($conn): land the change log through Debezium->Kafka and read the " +
+        "kafka source, point the connection string at a file://dir of Debezium-" +
+        "envelope JSON lines (the in-container double), or use " +
+        "graft.sources.Readers.jdbc for batch snapshots")
 
   private def unsupportedLanding(kind: String, target: String): Nothing =
     throw new UnsupportedOperationException(

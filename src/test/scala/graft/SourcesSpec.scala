@@ -103,6 +103,61 @@ class SourcesSpec extends SparkSpec {
     intercept[RuntimeException](StreamSources.read(spark, Http("loopback://[::1]")))
   }
 
+  test("broker landing doubles: rabbitmq/sqs/nats stream from file:// and loopback://") {
+    // file landing: the sidecar-consumer stand-in appends payload lines to
+    // a watch directory; the typed config reads them as a one-column frame
+    val dir = java.nio.file.Files.createTempDirectory("graft_broker").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/q"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/q/m1.txt"),
+      "{\"id\":1}\n{\"id\":2}\n".getBytes("UTF-8"))
+    def drain(df: org.apache.spark.sql.DataFrame, name: String): Seq[String] = {
+      assert(df.isStreaming && df.columns.toSeq == Seq("value"))
+      val q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+      try { q.processAllAvailable(); spark.table(name).as[String].collect().toSeq.sorted }
+      finally q.stop()
+    }
+    assert(drain(StreamSources.read(spark, Rabbitmq(s"file://$dir/q", "orders")), "rmq_out")
+      == Seq("""{"id":1}""", """{"id":2}"""))
+    assert(drain(StreamSources.read(spark, Sqs(s"file://$dir/q")), "sqs_out").size == 2)
+    assert(drain(StreamSources.read(spark, Nats(s"file://$dir/q", "subj")), "nats_out").size == 2)
+    // loopback landing: same socket double the push listeners use
+    assert(StreamSources.read(spark, Nats("loopback://127.0.0.1:9", "subj")).isStreaming)
+    assert(StreamSources.read(spark, Rabbitmq("loopback://127.0.0.1:9", "q")).isStreaming)
+    assert(StreamSources.read(spark, Sqs("loopback://127.0.0.1:9")).isStreaming)
+  }
+
+  test("CDC file double: Debezium envelopes type relationally, tables filter applies") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/wal"))
+    val envelopes = Seq(
+      """{"op":"c","ts_ms":1000,"before":null,"after":{"id":1,"v":"a"},"source":{"db":"shop","schema":"public","table":"orders"}}""",
+      """{"op":"u","ts_ms":2000,"before":{"id":1,"v":"a"},"after":{"id":1,"v":"b"},"source":{"db":"shop","schema":"public","table":"orders"}}""",
+      """{"op":"d","ts_ms":3000,"before":{"id":9,"v":"x"},"after":null,"source":{"db":"shop","schema":"public","table":"users"}}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/wal/e1.json"),
+      envelopes.mkString("", "\n", "\n").getBytes("UTF-8"))
+    def drain(df: org.apache.spark.sql.DataFrame, name: String) = {
+      val q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+      try { q.processAllAvailable(); spark.table(name).collect().toSeq }
+      finally q.stop()
+    }
+    // unfiltered: all three events, typed envelope + raw images
+    val all = drain(StreamSources.read(spark,
+      PostgresCdc(s"file://$dir/wal")), "cdc_all")
+    assert(all.map(r => (r.getAs[String]("op"), r.getAs[Long]("ts_ms"),
+      r.getAs[String]("table"))).toSet ==
+      Set(("c", 1000L, "orders"), ("u", 2000L, "orders"), ("d", 3000L, "users")))
+    val upd = all.find(_.getAs[String]("op") == "u").get
+    assert(upd.getAs[String]("db") == "shop" && upd.getAs[String]("schema") == "public")
+    assert(upd.getAs[String]("before").contains(""""v":"a""""))
+    assert(upd.getAs[String]("after").contains(""""v":"b""""))
+    assert(all.find(_.getAs[String]("op") == "d").get.getAs[String]("after") == null)
+    // tables filter: bare and qualified names both select
+    assert(drain(StreamSources.read(spark, PostgresCdc(s"file://$dir/wal",
+      tables = Seq("orders"))), "cdc_bare").size == 2)
+    assert(drain(StreamSources.read(spark, MysqlCdc(s"file://$dir/wal",
+      tables = Seq("public.users"))), "cdc_qual").size == 1)
+  }
+
   test("kafka security config maps to typed reader options (types.rs:177-189)") {
     val base = Kafka(Seq("b1:9092", "b2:9092"), "t",
       startingOffsets = "earliest", consumerGroup = Some("g"),
