@@ -78,13 +78,51 @@ final case class FileDestination(path: String) extends BackupDestination {
 final case class BackupRetention(count: Option[Int] = None, days: Option[Int] = None)
 final case class BackupSchedule(cron: String, retention: Option[BackupRetention] = None)
 
+/** types.rs:960-967 BackupCompressionType — per-FILE codec applied while
+  * copying checkpoint subtrees (suffix-tagged, so restore auto-detects and
+  * mixed/plain backups restore transparently). All three codecs ride jars
+  * Spark already ships: JDK gzip, zstd-jni, lz4-java.
+  */
+sealed trait BackupCompression { def suffix: String }
+object BackupCompression {
+  case object Plain extends BackupCompression { val suffix = "" }
+  case object Gzip extends BackupCompression { val suffix = ".gz" }
+  case object Zstd extends BackupCompression { val suffix = ".zst" }
+  case object Lz4 extends BackupCompression { val suffix = ".lz4" }
+
+  def parse(s: String): BackupCompression = s.toLowerCase match {
+    case "none" => Plain
+    case "gzip" => Gzip
+    case "zstd" => Zstd
+    case "lz4"  => Lz4
+    case other  => sys.error(s"unknown backup compression: $other (none|gzip|zstd|lz4)")
+  }
+  def name(c: BackupCompression): String = c match {
+    case Plain => "none"; case Gzip => "gzip"; case Zstd => "zstd"; case Lz4 => "lz4"
+  }
+}
+
+/** types.rs:970-976 EncryptionConfig. Enabled encryption maps to the
+  * destination store's KMS envelope (S3 SSE-KMS via fs.s3a conf — the
+  * object store encrypts, the key never touches this process); stores
+  * without a wired KMS mapping refuse actionably rather than pretending.
+  */
+final case class BackupEncryption(enabled: Boolean, kmsKeyId: Option[String] = None)
+
+/** types.rs:952-958 BackupOptions. */
+final case class BackupOptions(
+    compression: BackupCompression = BackupCompression.Plain,
+    encryption: Option[BackupEncryption] = None
+)
+
 /** types.rs:868-886 — kind: Backup. */
 final case class BackupManifest(
     name: String,
     pipeline: String,
     include: Seq[BackupComponent],
     destination: BackupDestination,
-    schedule: Option[BackupSchedule] = None
+    schedule: Option[BackupSchedule] = None,
+    options: BackupOptions = BackupOptions()
 )
 
 /** types.rs:998-1007 — exactly one of backup / snapshot / latest. */
@@ -175,6 +213,7 @@ object BackupRunner {
   ): String = {
     BackupValidation.validateBackup(m).left.foreach(e => sys.error(e))
     val conf = spark.sessionState.newHadoopConf()
+    m.options.encryption.filter(_.enabled).foreach(applyEncryption(conf, m.destination, _))
     val root = new Path(m.destination.uri, m.name)
     val fs = root.getFileSystem(conf)
     val id = f"backup-${nextSeq(fs, root)}%06d"
@@ -187,7 +226,7 @@ object BackupRunner {
       BackupComponent.subtrees(c).flatMap { rel =>
         val src = new Path(ckptRoot, rel)
         if (srcFs.exists(src)) {
-          FileUtil.copy(srcFs, src, fs, new Path(dest, rel), false, conf)
+          copyTreeCompress(srcFs, src, fs, new Path(dest, rel), m.options.compression)
           Some(rel)
         } else None
       }
@@ -235,7 +274,9 @@ object BackupRunner {
         if (fs.exists(from)) {
           val to = new Path(ckptRoot, rel)
           if (dstFs.exists(to)) dstFs.delete(to, true)
-          FileUtil.copy(fs, from, dstFs, to, false, conf)
+          // decompression is per-file by suffix, so plain, compressed and
+          // mixed backups all restore through the same walk
+          copyTreeDecompress(fs, from, dstFs, to)
         }
       }
       // Configuration is not checkpoint-resident: restore the stored
@@ -277,6 +318,88 @@ object BackupRunner {
     (byCount ++ byAge).foreach(id => fs.delete(new Path(root, id), true))
   }
 
+  /** Recursive copy applying the configured codec to every FILE, with the
+    * codec's suffix appended — the restore walk keys off it. Stream-copies
+    * (8 MB buffers); never materializes a file in memory, so state stores
+    * of any size back up in O(1) heap.
+    */
+  private def copyTreeCompress(
+      srcFs: FileSystem, src: Path,
+      dstFs: FileSystem, dst: Path,
+      comp: BackupCompression): Unit = {
+    val st = srcFs.getFileStatus(src)
+    if (st.isDirectory) {
+      dstFs.mkdirs(dst)
+      srcFs.listStatus(src).foreach(c =>
+        copyTreeCompress(srcFs, c.getPath, dstFs, new Path(dst, c.getPath.getName), comp))
+    } else {
+      val in = srcFs.open(src)
+      val rawOut = dstFs.create(new Path(dst.getParent, dst.getName + comp.suffix), true)
+      val out: java.io.OutputStream = comp match {
+        case BackupCompression.Plain => rawOut
+        case BackupCompression.Gzip  => new java.util.zip.GZIPOutputStream(rawOut, 1 << 16)
+        case BackupCompression.Zstd  => new com.github.luben.zstd.ZstdOutputStream(rawOut)
+        case BackupCompression.Lz4   => new net.jpountz.lz4.LZ4FrameOutputStream(rawOut)
+      }
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 23)
+      finally { try in.close() catch { case _: java.io.IOException => () }; out.close() }
+    }
+  }
+
+  /** Restore-side walk: each file's codec is detected from its suffix and
+    * stripped, so the restored checkpoint tree is byte-identical to the
+    * original regardless of how (or whether) the backup compressed it.
+    */
+  private def copyTreeDecompress(
+      srcFs: FileSystem, src: Path,
+      dstFs: FileSystem, dst: Path): Unit = {
+    val st = srcFs.getFileStatus(src)
+    if (st.isDirectory) {
+      dstFs.mkdirs(dst)
+      srcFs.listStatus(src).foreach(c =>
+        copyTreeDecompress(srcFs, c.getPath, dstFs, new Path(dst, c.getPath.getName)))
+    } else {
+      val name = src.getName
+      val rawIn = srcFs.open(src)
+      val (in, outName): (java.io.InputStream, String) =
+        if (name.endsWith(".gz"))
+          (new java.util.zip.GZIPInputStream(rawIn, 1 << 16), name.stripSuffix(".gz"))
+        else if (name.endsWith(".zst"))
+          (new com.github.luben.zstd.ZstdInputStream(rawIn), name.stripSuffix(".zst"))
+        else if (name.endsWith(".lz4"))
+          (new net.jpountz.lz4.LZ4FrameInputStream(rawIn), name.stripSuffix(".lz4"))
+        else (rawIn, name)
+      val out = dstFs.create(new Path(dst.getParent, outName), true)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 23)
+      finally { try in.close() catch { case _: java.io.IOException => () }; out.close() }
+    }
+  }
+
+  /** EncryptionConfig (types.rs:970-976) → the destination store's KMS
+    * envelope. S3: SSE-KMS per-bucket fs.s3a conf (SSE-S3 when no key id);
+    * the cache-disable flag forces a fresh FileSystem so a previously
+    * cached unencrypted client can't be reused. Other stores refuse with
+    * the wiring that WOULD encrypt there — silent plaintext "success"
+    * would be worse than the error.
+    */
+  private def applyEncryption(
+      conf: Configuration, dest: BackupDestination, e: BackupEncryption): Unit = dest match {
+    case S3Destination(bucket, _, _) =>
+      conf.set(s"fs.s3a.bucket.$bucket.server-side-encryption-algorithm", "SSE-KMS")
+      e.kmsKeyId.foreach(k =>
+        conf.set(s"fs.s3a.bucket.$bucket.server-side-encryption.key", k))
+      conf.setBoolean("fs.s3a.impl.disable.cache", true)
+    case _: GcsDestination =>
+      throw new UnsupportedOperationException(
+        "backup encryption on gcs: set the bucket's CMEK default key " +
+          "(gcloud storage buckets update --default-encryption-key) — the " +
+          "connector has no per-write KMS option to map")
+    case _: FileDestination =>
+      throw new UnsupportedOperationException(
+        "backup encryption on file destinations: no KMS to delegate to — " +
+          "use an encrypted filesystem/volume, or an s3 destination with SSE-KMS")
+  }
+
   private def writeText(fs: FileSystem, p: Path, text: String): Unit = {
     val out = fs.create(p, true)
     try out.write(text.getBytes("UTF-8"))
@@ -287,8 +410,12 @@ object BackupRunner {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val comps = m.include.map(c => q(BackupComponent.name(c))).mkString("[", ",", "]")
     val trees = copied.map(q).mkString("[", ",", "]")
+    val enc = m.options.encryption.fold("null")(e =>
+      s"""{"enabled":${e.enabled},"kmsKeyId":${e.kmsKeyId.fold("null")(q)}}""")
     s"""{"id":${q(id)},"backup":${q(m.name)},"pipeline":${q(m.pipeline)},""" +
-      s""""components":$comps,"subtrees":$trees}"""
+      s""""components":$comps,"subtrees":$trees,""" +
+      s""""compression":${q(BackupCompression.name(m.options.compression))},""" +
+      s""""encryption":$enc}"""
   }
 }
 
@@ -316,6 +443,19 @@ object BackupYaml {
             BackupRetention(
               r.get("count").map(_.toString.toInt),
               r.get("days").map(_.toString.toInt))
+          })
+      },
+      options = spec.get("options").fold(BackupOptions()) { o0 =>
+        val o = o0.asInstanceOf[Map[String, Any]]
+        BackupOptions(
+          compression = o.get("compression")
+            .fold(BackupCompression.Plain: BackupCompression)(c =>
+              BackupCompression.parse(c.toString)),
+          encryption = o.get("encryption").map { e0 =>
+            val e = e0.asInstanceOf[Map[String, Any]]
+            BackupEncryption(
+              enabled = e.get("enabled").exists(_.toString.toBoolean),
+              kmsKeyId = e.get("kmsKeyId").map(_.toString))
           })
       }
     )

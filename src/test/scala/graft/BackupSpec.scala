@@ -142,6 +142,91 @@ class BackupSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("compressed backup round-trips the checkpoint byte-identically, all codecs") {
+    for (comp <- Seq(BackupCompression.Gzip, BackupCompression.Zstd, BackupCompression.Lz4)) {
+      val dir = tmp(s"graft_bak_${BackupCompression.name(comp)}")
+      def writeBatch(ids: Seq[Long]): Unit =
+        ids.map(i => (i, s"v$i")).toDF("id", "v")
+          .coalesce(1).write.mode("append").json(s"$dir/in")
+      def runOnce(): Unit = {
+        val src = Streams.fileSource(spark, "json", s"$dir/in", "id LONG, v STRING")
+        val q = Streams.checkpointedSink(src, "parquet", s"$dir/out", s"$dir/chk").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      writeBatch(Seq(1L, 2L)); runOnce()
+      val m = BackupManifest("comp", "p1",
+        Seq(BackupComponent.Checkpoints, BackupComponent.Offsets, BackupComponent.State),
+        FileDestination(s"$dir/bak"), options = BackupOptions(compression = comp))
+      val id = BackupRunner.backup(spark, m, s"$dir/chk")
+      // backed-up files carry the codec suffix (directories never do)
+      val walked = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$dir/bak/comp/$id/offsets"))
+        .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      val files = scala.jdk.CollectionConverters.IteratorHasAsScala(walked).asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString.endsWith(".crc")) // hadoop localfs sidecars
+        .toSeq
+      assert(files.nonEmpty && files.forall(_.getFileName.toString.endsWith(comp.suffix)))
+      // MANIFEST records the codec
+      val mf = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/bak/comp/$id/MANIFEST.json")), "UTF-8")
+      assert(mf.contains(s""""compression":"${BackupCompression.name(comp)}""""))
+      // wipe -> restore -> resume exactly-once (proof of byte-identity:
+      // Spark resumes off the restored offsets without reprocessing)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/chk"))
+      BackupRunner.restore(
+        spark, RestoreManifest("rb", RestoreSource(latest = true)),
+        "comp", FileDestination(s"$dir/bak"), s"$dir/chk")
+      writeBatch(Seq(3L, 4L)); runOnce()
+      val out = spark.read.parquet(s"$dir/out").select("id").as[Long].collect().sorted
+      assert(out.toSeq == Seq(1L, 2L, 3L, 4L), s"codec ${BackupCompression.name(comp)}")
+    }
+  }
+
+  test("backup options parse from YAML; encryption maps or refuses per store") {
+    val m = BackupYaml.loadBackup(
+      """kind: Backup
+        |metadata: {name: nightly}
+        |spec:
+        |  pipeline: {name: p1}
+        |  include: [offsets]
+        |  destination: {type: s3, bucket: bkt}
+        |  options:
+        |    compression: zstd
+        |    encryption: {enabled: true, kmsKeyId: "arn:aws:kms:k1"}
+        |""".stripMargin)
+    assert(m.options.compression == BackupCompression.Zstd)
+    assert(m.options.encryption.contains(BackupEncryption(true, Some("arn:aws:kms:k1"))))
+    assert(BackupYaml.loadBackup(
+      """kind: Backup
+        |metadata: {name: n}
+        |spec: {pipeline: {name: p}, include: [offsets], destination: {type: file, path: /x}}
+        |""".stripMargin).options == BackupOptions())
+    intercept[RuntimeException](BackupYaml.loadBackup(
+      """kind: Backup
+        |metadata: {name: n}
+        |spec:
+        |  pipeline: {name: p}
+        |  include: [offsets]
+        |  destination: {type: file, path: /x}
+        |  options: {compression: brotli}
+        |""".stripMargin))
+    // encryption on a file destination refuses actionably at run time
+    val dir = tmp("graft_bak_enc")
+    new java.io.File(s"$dir/chk/offsets").mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/chk/offsets/0"), "{}".getBytes)
+    val encFile = BackupManifest("e", "p", Seq(BackupComponent.Offsets),
+      FileDestination(s"$dir/bak"),
+      options = BackupOptions(encryption = Some(BackupEncryption(enabled = true))))
+    val err = intercept[UnsupportedOperationException](
+      BackupRunner.backup(spark, encFile, s"$dir/chk"))
+    assert(err.getMessage.contains("SSE-KMS"))
+    // enabled=false is inert on any store
+    assert(BackupRunner.backup(spark, encFile.copy(options =
+      BackupOptions(encryption = Some(BackupEncryption(enabled = false)))),
+      s"$dir/chk") == "backup-000001")
+  }
+
   test("retention by count prunes the oldest backups") {
     val dir = tmp("graft_ret")
     // a fake checkpoint dir with just an offsets subtree
