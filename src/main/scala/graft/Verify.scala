@@ -18,17 +18,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val selected =
-      if (only.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(only.contains).toMap
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      finally spark.catalog.clearCache() // per-query working-set caches
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -41,9 +31,47 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json is independent of query execution — write it FIRST,
+    // so a mid-run crash/kill still leaves every completed dump comparable
+    // (round-10 lesson from the bench side: one bad query must not zero
+    // the artifact)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // per-query watchdog, the Bench discipline: a hung query (stuck
+    // socket, runaway stream) records a failure and the run moves on
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_SEC", "300").toLong
+    val selected =
+      if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(only.contains).toMap
+    selected.foreach { case (name, fn) =>
+      val group = s"verify-$name"
+      val worker = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally spark.sparkContext.clearJobGroup()
+      }, group)
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(timeoutSec * 1000L)
+      if (worker.isAlive) {
+        System.err.println(s"[verify] $name exceeded ${timeoutSec}s — cancelling")
+        try spark.streams.active.foreach(s =>
+          try s.stop() catch { case scala.util.control.NonFatal(_) => () })
+        catch { case scala.util.control.NonFatal(_) => () }
+        try spark.sparkContext.cancelJobGroup(group)
+        catch { case scala.util.control.NonFatal(_) => () }
+        worker.interrupt()
+        worker.join(10000L)
+      }
+      spark.catalog.clearCache() // per-query working-set caches
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
     spark.stop()
   }
 }
