@@ -296,7 +296,13 @@ object Compiler {
           .options(src.options).csv(src.path)
       case "json"  => spark.read.options(src.options).json(src.path)
       case "lines" => spark.read.options(src.options).text(src.path)
-      case other   => sys.error(s"unknown source format: $other")
+      case other   =>
+        // connector formats exist but only as streams — say that, not
+        // "unknown" (the reference's connectors are streaming-only too)
+        if (graft.sources.StreamSources.connectorFromManifest(
+              other, src.path, src.options).isDefined)
+          sys.error(s"source format '$other' is a streaming connector — set streaming: true")
+        else sys.error(s"unknown source format: $other")
     }
 
   /** `streaming: true` sources: the same manifest, read as a file stream
@@ -326,7 +332,14 @@ object Compiler {
           withHeader.option("maxFilesPerTrigger", n.toString))
         withCap.options(src.options -- (if (src.maxFilesPerTrigger.isDefined)
           Seq("maxFilesPerTrigger") else Nil)).load(src.path)
-      case other => sys.error(s"unknown streaming source format: $other")
+      case other =>
+        // the reference's `source_type:` connector dispatch (SourceConfigDsl,
+        // types.rs:143-161): format names the connector, path its address,
+        // options the typed fields — kafka/kinesis/.../postgres CDC all
+        // declare in YAML exactly like file sources do
+        graft.sources.StreamSources.connectorFromManifest(other, src.path, src.options)
+          .map(cfg => graft.sources.StreamSources.read(spark, cfg))
+          .getOrElse(sys.error(s"unknown streaming source format: $other"))
     }
     // per-source watermark (watermark.rs W1): the delay doubles as allowed
     // lateness for every stateful operator downstream. Applied to injected

@@ -204,6 +204,107 @@ final case class Generic(
 
 object StreamSources {
 
+  /** YAML Source manifest → typed connector config — the reference's
+    * `source_type:` dispatch (SourceConfigDsl, types.rs:143-161, serde
+    * lowercase tags) on graft's manifest surface: `format:` names the
+    * connector, `path:` is its primary address (brokers / url / queue URL
+    * / bucket / listen address / connection string), and `options:` carry
+    * the remaining typed fields under the reference's camelCase names.
+    * Returns None when `format` is not a connector (the file formats keep
+    * their native path). Unknown option keys fail loudly per connector —
+    * a typo'd knob must not silently run with defaults. Kafka passes
+    * `kafka.`-prefixed options through verbatim (the connector's own
+    * escape hatch).
+    */
+  def connectorFromManifest(
+      format: String,
+      path: String,
+      options: Map[String, String]
+  ): Option[StreamSourceConfig] = {
+    def opt(k: String) = options.get(k)
+    def req(k: String) = options.getOrElse(k,
+      sys.error(s"$format source: required option '$k' is missing"))
+    def validate(known: Set[String], passPrefix: Option[String] = None): Unit = {
+      val unknown = (options.keySet -- known)
+        .filterNot(k => passPrefix.exists(k.startsWith))
+      require(unknown.isEmpty,
+        s"$format source: unknown option(s) ${unknown.mkString(", ")} — expected $known" +
+          passPrefix.fold("")(p => s" (or $p* passthrough)"))
+    }
+    def commaList(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    format.toLowerCase match {
+      case "kafka" =>
+        validate(Set("topic", "startingOffsets", "consumerGroup", "securityProtocol",
+          "saslMechanism", "saslUsername", "saslPasswordEnv", "sslCaLocation",
+          "maxOffsetsPerTrigger"), passPrefix = Some("kafka."))
+        Some(Kafka(
+          brokers = commaList(path),
+          topic = req("topic"),
+          startingOffsets = opt("startingOffsets").getOrElse("latest"),
+          consumerGroup = opt("consumerGroup"),
+          securityProtocol = opt("securityProtocol"),
+          saslMechanism = opt("saslMechanism"),
+          saslUsername = opt("saslUsername"),
+          saslPasswordEnv = opt("saslPasswordEnv"),
+          sslCaLocation = opt("sslCaLocation"),
+          maxOffsetsPerTrigger = opt("maxOffsetsPerTrigger").map(_.toLong),
+          options = options.view.filterKeys(_.startsWith("kafka.")).toMap))
+      case "kinesis" =>
+        validate(Set("region", "shardIteratorType"))
+        Some(Kinesis(path, opt("region"), opt("shardIteratorType")))
+      case "pulsar" =>
+        validate(Set("topic", "subscription", "subscriptionType"))
+        Some(Pulsar(path, req("topic"), opt("subscription"), opt("subscriptionType")))
+      case "rabbitmq" =>
+        validate(Set("queue", "prefetchCount", "autoAck"))
+        Some(Rabbitmq(path, req("queue"),
+          opt("prefetchCount").map(_.toInt), opt("autoAck").map(_.toBoolean)))
+      case "sqs" =>
+        validate(Set("region", "maxMessages", "waitTimeSeconds"))
+        Some(Sqs(path, opt("region"),
+          opt("maxMessages").map(_.toInt), opt("waitTimeSeconds").map(_.toInt)))
+      case "redis" =>
+        validate(Set("stream", "channel", "consumerGroup"))
+        Some(Redis(path, opt("stream"), opt("channel"), opt("consumerGroup")))
+      case "nats" =>
+        validate(Set("subject", "queueGroup", "jetstream", "durable"))
+        Some(Nats(path, req("subject"), opt("queueGroup"),
+          opt("jetstream").map(_.toBoolean), opt("durable")))
+      case "s3" | "gcs" =>
+        validate(Set("prefix", "format", "schema"))
+        val (bucket, inlinePrefix) = path.split("/", 2) match {
+          case Array(b, p) => (b, Some(p)); case Array(b) => (b, None)
+        }
+        val prefix = opt("prefix").orElse(inlinePrefix)
+        val fmt = opt("format").getOrElse("json")
+        val ddl = opt("schema").getOrElse("")
+        Some(if (format.toLowerCase == "s3") S3Stream(bucket, prefix, fmt, ddl)
+             else GcsStream(bucket, prefix, fmt, ddl))
+      case "http" =>
+        validate(Set("path")); Some(Http(path, opt("path")))
+      case "websocket" =>
+        validate(Set("path")); Some(Websocket(path, opt("path")))
+      case "grpc" =>
+        validate(Set("maxMessageSize"))
+        Some(Grpc(path, opt("maxMessageSize").map(_.toInt)))
+      case "postgres" =>
+        validate(Set("publication", "slotName", "tables"))
+        Some(PostgresCdc(path, opt("publication"), opt("slotName"),
+          opt("tables").map(commaList).getOrElse(Seq.empty)))
+      case "mysql" =>
+        validate(Set("serverId", "tables"))
+        Some(MysqlCdc(path, opt("serverId").map(_.toInt),
+          opt("tables").map(commaList).getOrElse(Seq.empty)))
+      case "mongodb" =>
+        validate(Set("database", "collection"))
+        Some(Mongodb(path, req("database"), opt("collection")))
+      case "rate" =>
+        validate(Set.empty)
+        Some(Rate(path.toLong))
+      case _ => None
+    }
+  }
+
   def read(spark: SparkSession, cfg: StreamSourceConfig): DataFrame = cfg match {
     case k: Kafka =>
       attempt("kafka", "org.apache.spark:spark-sql-kafka-0-10") {

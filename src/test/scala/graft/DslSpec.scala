@@ -972,6 +972,61 @@ class DslSpec extends SparkSpec {
       .getMessage.contains("unknown emit mode"))
   }
 
+  test("connector source_type dispatch in YAML: broker landing e2e, kafka mapping, typo refusal") {
+    // the reference declares connectors in manifests (SourceConfigDsl
+    // source_type tags); graft's format: names the connector, path: its
+    // address, options: the typed fields. E2e: a rabbitmq source with a
+    // file:// landing streams payload lines through a pipeline.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsl_conn").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/q"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/q/m.txt"),
+      "alpha\nbeta\n".getBytes("UTF-8"))
+    val yaml =
+      s"""kind: Source
+         |metadata: {name: mq}
+         |spec:
+         |  format: rabbitmq
+         |  path: file://$dir/q
+         |  streaming: true
+         |  options: {queue: orders}
+         |---
+         |kind: Sink
+         |metadata: {name: conn_out}
+         |spec: {format: memory}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: mq, steps: [], sink: conn_out}
+         |""".stripMargin
+    Compiler.writeStreaming(Compiler.compile(spark, YamlLoader.load(yaml))("p"))
+      .awaitTermination()
+    assert(spark.table("conn_out").as[String].collect().sorted.toSeq
+      == Seq("alpha", "beta"))
+    // kafka mapping: manifest surface → typed config (no broker needed)
+    val k = graft.sources.StreamSources.connectorFromManifest(
+      "kafka", "b1:9092,b2:9092",
+      Map("topic" -> "t", "consumerGroup" -> "g", "maxOffsetsPerTrigger" -> "500",
+        "kafka.fetch.min.bytes" -> "1024")).get.asInstanceOf[graft.sources.Kafka]
+    assert(k.brokers == Seq("b1:9092", "b2:9092") && k.topic == "t" &&
+      k.consumerGroup.contains("g") && k.maxOffsetsPerTrigger.contains(500L) &&
+      k.options == Map("kafka.fetch.min.bytes" -> "1024"))
+    // CDC mapping with tables filter
+    val pg = graft.sources.StreamSources.connectorFromManifest(
+      "postgres", "file:///wal", Map("tables" -> "orders, users")).get
+    assert(pg == graft.sources.PostgresCdc("file:///wal", None, None, Seq("orders", "users")))
+    // a typo'd option refuses at build time, naming the known set
+    val e = intercept[IllegalArgumentException](
+      graft.sources.StreamSources.connectorFromManifest(
+        "rabbitmq", "amqp://h", Map("queue" -> "q", "prefetch" -> "10")))
+    assert(e.getMessage.contains("prefetch"))
+    // a missing required field names itself
+    val e2 = intercept[RuntimeException](
+      graft.sources.StreamSources.connectorFromManifest("kafka", "b:9092", Map.empty))
+    assert(e2.getMessage.contains("topic"))
+    // non-connector formats still fall through to the file-format error
+    assert(graft.sources.StreamSources.connectorFromManifest("avro", "/x", Map.empty).isEmpty)
+  }
+
   test("streaming sessionize emit on_event: per-batch tagged emission, retroactive merge") {
     val dir = java.nio.file.Files.createTempDirectory("graft_dsl_sev").toString
     val yaml =

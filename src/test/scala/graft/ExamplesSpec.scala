@@ -21,7 +21,8 @@ class ExamplesSpec extends SparkSpec {
   /** Copy a manifest into `dir`, rewriting `data/` paths. */
   private def materialize(name: String, dir: String): String = {
     val raw = Files.readString(examplesDir.resolve(name))
-    val out = raw.replace("path: data/", s"path: $dir/data/")
+    val out = raw.replace("path: file://data/", s"path: file://$dir/data/")
+      .replace("path: data/", s"path: $dir/data/")
       .replace("checkpoint: data/", s"checkpoint: $dir/data/")
     val f = Paths.get(dir, name)
     Files.writeString(f, out)
@@ -94,6 +95,28 @@ class ExamplesSpec extends SparkSpec {
     // operators carry graft-encoded state)
     assert(!Files.exists(Paths.get(
       s"$dir/data/out/stream_checkpoint/${graft.streaming.StateFormat.FileName}")))
+  }
+
+  test("cdc-replication.yaml: Debezium envelopes -> tables filter -> upserts to parquet") {
+    val dir = Files.createTempDirectory("graft_ex_cdc").toString
+    writeFixtures(dir)
+    // the file:// landing double's WAL: orders create+update+delete, plus
+    // a users event the tables filter must drop
+    Files.createDirectories(Paths.get(s"$dir/data/cdc-wal"))
+    Files.writeString(Paths.get(s"$dir/data/cdc-wal/wal0.json"), Seq(
+      """{"op":"c","ts_ms":1,"after":{"id":1},"source":{"db":"shop","schema":"public","table":"orders"}}""",
+      """{"op":"u","ts_ms":2,"before":{"id":1},"after":{"id":1},"source":{"db":"shop","schema":"public","table":"orders"}}""",
+      """{"op":"d","ts_ms":3,"before":{"id":1},"source":{"db":"shop","schema":"public","table":"orders"}}""",
+      """{"op":"c","ts_ms":4,"after":{"id":9},"source":{"db":"shop","schema":"public","table":"users"}}"""
+    ).mkString("", "\n", "\n"))
+    val m = materialize("cdc-replication.yaml", dir)
+    assert(Cli.run(Seq("validate", m)) == 0)
+    assert(Cli.run(Seq("run", m), sparkOpt = Some(spark)) == 0)
+    val out = spark.read.parquet(s"$dir/data/out/orders-mirror")
+    // only the orders create+update survive (delete filtered, users dropped)
+    assert(out.select("op", "ts_ms").as[(String, Long)].collect().toSet
+      == Set(("c", 1L), ("u", 2L)))
+    assert(out.columns.contains("after"))
   }
 
   test("llm-corpus.yaml: strip -> dedupe -> lang -> quality -> decontaminate -> split -> upsample") {
