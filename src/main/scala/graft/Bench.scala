@@ -35,31 +35,10 @@ object Bench {
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
       @volatile var ok = false
-      val group = s"bench-$name"
-      val worker = new Thread(() => {
-        try {
-          // job group is thread-local: set it on the thread that submits
-          // the jobs so cancelJobGroup can reach them from the watchdog
-          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          ok = true
-        } catch { case _: Throwable => () }
-        finally spark.sparkContext.clearJobGroup()
-      }, group)
-      worker.setDaemon(true) // an unkillable hang must not block JVM exit
-      worker.start()
-      worker.join(queryTimeoutSec * 1000L)
-      val hung = worker.isAlive
-      if (hung) {
-        System.err.println(s"[bench] $name exceeded ${queryTimeoutSec}s — cancelling")
-        try spark.streams.active.foreach(q =>
-          try q.stop() catch { case scala.util.control.NonFatal(_) => () })
-        catch { case scala.util.control.NonFatal(_) => () }
-        try spark.sparkContext.cancelJobGroup(group)
-        catch { case scala.util.control.NonFatal(_) => () }
-        worker.interrupt()
-        worker.join(10000L) // grace; an still-stuck daemon thread is abandoned
+      val done = Watchdog.run(spark, s"bench-$name", queryTimeoutSec) {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        ok = true
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // queries are independent; retained working-set caches would steal
@@ -72,7 +51,7 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
-      if (hung || !ok) -1.0 else elapsed
+      if (!done || !ok) -1.0 else elapsed
     }
 
     // Warmup: JIT the read path + codegen machinery on the smallest query.

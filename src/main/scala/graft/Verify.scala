@@ -39,35 +39,20 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
-    // per-query watchdog, the Bench discipline: a hung query (stuck
-    // socket, runaway stream) records a failure and the run moves on
+    // per-query watchdog, the Bench discipline (shared Watchdog helper —
+    // incl. session-conf rollback after an abandoned hang): a hung query
+    // records a failure and the run moves on
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_SEC", "300").toLong
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only.contains).toMap
     selected.foreach { case (name, fn) =>
-      val group = s"verify-$name"
-      val worker = new Thread(() => {
-        try {
-          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-        } catch { case e: Throwable =>
+      Watchdog.run(spark, s"verify-$name", timeoutSec) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        } finally spark.sparkContext.clearJobGroup()
-      }, group)
-      worker.setDaemon(true)
-      worker.start()
-      worker.join(timeoutSec * 1000L)
-      if (worker.isAlive) {
-        System.err.println(s"[verify] $name exceeded ${timeoutSec}s — cancelling")
-        try spark.streams.active.foreach(s =>
-          try s.stop() catch { case scala.util.control.NonFatal(_) => () })
-        catch { case scala.util.control.NonFatal(_) => () }
-        try spark.sparkContext.cancelJobGroup(group)
-        catch { case scala.util.control.NonFatal(_) => () }
-        worker.interrupt()
-        worker.join(10000L)
+        }
       }
       spark.catalog.clearCache() // per-query working-set caches
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))

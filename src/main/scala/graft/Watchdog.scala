@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared per-query watchdog for the driver mains (Bench, Verify): run
+  * `body` on a bounded daemon worker; on expiry stop active streaming
+  * queries, cancel the query's job group (interruptOnCancel), interrupt,
+  * grace-join, and — because an abandoned worker's `finally` blocks never
+  * ran — roll back any session-conf mutations the query made (round-11
+  * review: a hung q_sink_push would leak its pinned
+  * spark.sql.shuffle.partitions=8 into every later measurement).
+  *
+  * Returns true when the body completed (successfully or with its own
+  * exception — the caller's concern), false when it hung and was
+  * abandoned.
+  */
+object Watchdog {
+
+  def run(spark: SparkSession, group: String, timeoutSec: Long)(body: => Unit): Boolean = {
+    require(timeoutSec >= 1, s"watchdog timeout must be >= 1s, got $timeoutSec")
+    val confBefore = spark.conf.getAll
+    val worker = new Thread(() => {
+      try {
+        // job group is thread-local: set it on the thread that submits the
+        // jobs so cancelJobGroup can reach them from the watchdog
+        spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
+        body
+      } catch { case _: Throwable => () }
+      finally spark.sparkContext.clearJobGroup()
+    }, group)
+    worker.setDaemon(true) // an unkillable hang must not block JVM exit
+    worker.start()
+    worker.join(timeoutSec * 1000L)
+    val hung = worker.isAlive
+    if (hung) {
+      System.err.println(s"[watchdog] $group exceeded ${timeoutSec}s — cancelling")
+      try spark.streams.active.foreach(q =>
+        try q.stop() catch { case scala.util.control.NonFatal(_) => () })
+      catch { case scala.util.control.NonFatal(_) => () }
+      try spark.sparkContext.cancelJobGroup(group)
+      catch { case scala.util.control.NonFatal(_) => () }
+      worker.interrupt()
+      worker.join(10000L) // grace; a still-stuck daemon thread is abandoned
+      // the abandoned worker's finally blocks never ran — restore every
+      // session conf it changed and unset every key it introduced
+      val confAfter = spark.conf.getAll
+      confBefore.foreach { case (k, v) =>
+        if (confAfter.get(k).exists(_ != v))
+          try spark.conf.set(k, v)
+          catch { case scala.util.control.NonFatal(_) => () } // non-runtime conf
+      }
+      (confAfter.keySet -- confBefore.keySet).foreach(k =>
+        try spark.conf.unset(k)
+        catch { case scala.util.control.NonFatal(_) => () })
+    }
+    !hung
+  }
+}

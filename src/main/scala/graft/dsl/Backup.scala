@@ -157,6 +157,13 @@ object BackupValidation {
               "Retention must specify either count or days"))
         } yield ()
       }
+      _ <- m.options.encryption.fold(ok)(e =>
+        // a kmsKeyId on a disabled block is a contradiction the user must
+        // resolve — silently writing plaintext next to a KMS key would be
+        // worse than the error
+        cond(e.enabled || e.kmsKeyId.isEmpty,
+          "Backup encryption: kmsKeyId is set but enabled is false — " +
+            "set enabled: true or remove the key"))
       _ <- validateDestination(m.destination)
     } yield ()
 
@@ -265,6 +272,11 @@ object BackupRunner {
     if (!fs.exists(src)) sys.error(s"backup $id not found under $root")
 
     val components = if (m.include.nonEmpty) m.include else BackupComponent.all
+    // decompression is gated on the codec the backup RECORDED, never on
+    // filename sniffing alone — a plain backup of a checkpoint file that
+    // happens to be named *.gz must restore verbatim (review r11). Pre-r11
+    // manifests carry no compression field → Plain → verbatim copy.
+    val codec = readManifestCompression(fs, new Path(src, "MANIFEST.json"))
     val ckptRoot = new Path(targetCheckpointDir)
     val dstFs = ckptRoot.getFileSystem(conf)
     dstFs.mkdirs(ckptRoot)
@@ -274,9 +286,7 @@ object BackupRunner {
         if (fs.exists(from)) {
           val to = new Path(ckptRoot, rel)
           if (dstFs.exists(to)) dstFs.delete(to, true)
-          // decompression is per-file by suffix, so plain, compressed and
-          // mixed backups all restore through the same walk
-          copyTreeDecompress(fs, from, dstFs, to)
+          copyTreeDecompress(fs, from, dstFs, to, codec)
         }
       }
       // Configuration is not checkpoint-resident: restore the stored
@@ -346,34 +356,58 @@ object BackupRunner {
     }
   }
 
-  /** Restore-side walk: each file's codec is detected from its suffix and
-    * stripped, so the restored checkpoint tree is byte-identical to the
-    * original regardless of how (or whether) the backup compressed it.
+  /** Restore-side walk: files are decompressed iff the backup's RECORDED
+    * codec says they were compressed (every file in a compressed backup
+    * carries exactly one appended codec suffix, so stripping one suffix
+    * restores the original name byte-identically — including originals
+    * that were themselves named *.gz). With Plain the copy is verbatim:
+    * suffix sniffing alone would corrupt a plain backup of a file that
+    * happened to end in .gz/.zst/.lz4.
     */
   private def copyTreeDecompress(
       srcFs: FileSystem, src: Path,
-      dstFs: FileSystem, dst: Path): Unit = {
+      dstFs: FileSystem, dst: Path,
+      codec: BackupCompression): Unit = {
     val st = srcFs.getFileStatus(src)
     if (st.isDirectory) {
       dstFs.mkdirs(dst)
       srcFs.listStatus(src).foreach(c =>
-        copyTreeDecompress(srcFs, c.getPath, dstFs, new Path(dst, c.getPath.getName)))
+        copyTreeDecompress(srcFs, c.getPath, dstFs, new Path(dst, c.getPath.getName), codec))
     } else {
       val name = src.getName
       val rawIn = srcFs.open(src)
-      val (in, outName): (java.io.InputStream, String) =
-        if (name.endsWith(".gz"))
+      val (in, outName): (java.io.InputStream, String) = codec match {
+        case BackupCompression.Plain => (rawIn, name)
+        case c if !name.endsWith(c.suffix) =>
+          // metadata files (MANIFEST.json, pipeline.yaml) are written
+          // uncompressed even in compressed backups
+          (rawIn, name)
+        case BackupCompression.Gzip =>
           (new java.util.zip.GZIPInputStream(rawIn, 1 << 16), name.stripSuffix(".gz"))
-        else if (name.endsWith(".zst"))
+        case BackupCompression.Zstd =>
           (new com.github.luben.zstd.ZstdInputStream(rawIn), name.stripSuffix(".zst"))
-        else if (name.endsWith(".lz4"))
+        case BackupCompression.Lz4 =>
           (new net.jpountz.lz4.LZ4FrameInputStream(rawIn), name.stripSuffix(".lz4"))
-        else (rawIn, name)
+      }
       val out = dstFs.create(new Path(dst.getParent, outName), true)
       try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 23)
       finally { try in.close() catch { case _: java.io.IOException => () }; out.close() }
     }
   }
+
+  /** The codec a backup recorded in its MANIFEST.json; Plain when the
+    * field (or the whole manifest — pre-compression backups) is absent.
+    */
+  private def readManifestCompression(fs: FileSystem, p: Path): BackupCompression =
+    if (!fs.exists(p)) BackupCompression.Plain
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+      """"compression"\s*:\s*"([a-z0-9]+)"""".r.findFirstMatchIn(text)
+        .map(m => BackupCompression.parse(m.group(1)))
+        .getOrElse(BackupCompression.Plain)
+    }
 
   /** EncryptionConfig (types.rs:970-976) → the destination store's KMS
     * envelope. S3: SSE-KMS per-bucket fs.s3a conf (SSE-S3 when no key id);

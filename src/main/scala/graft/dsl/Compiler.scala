@@ -298,9 +298,10 @@ object Compiler {
       case "lines" => spark.read.options(src.options).text(src.path)
       case other   =>
         // connector formats exist but only as streams — say that, not
-        // "unknown" (the reference's connectors are streaming-only too)
-        if (graft.sources.StreamSources.connectorFromManifest(
-              other, src.path, src.options).isDefined)
+        // "unknown" (the reference's connectors are streaming-only too);
+        // name-set check, NOT construction: a missing topic must not mask
+        // the real problem (streaming: true is absent)
+        if (graft.sources.StreamSources.ConnectorFormats(other.toLowerCase))
           sys.error(s"source format '$other' is a streaming connector — set streaming: true")
         else sys.error(s"unknown source format: $other")
     }
@@ -336,8 +337,11 @@ object Compiler {
         // the reference's `source_type:` connector dispatch (SourceConfigDsl,
         // types.rs:143-161): format names the connector, path its address,
         // options the typed fields — kafka/kinesis/.../postgres CDC all
-        // declare in YAML exactly like file sources do
-        graft.sources.StreamSources.connectorFromManifest(other, src.path, src.options)
+        // declare in YAML exactly like file sources do. The manifest-level
+        // rateCap and schema are threaded through (refused where they
+        // cannot apply — never silently dropped).
+        graft.sources.StreamSources.connectorFromManifest(
+            other, src.path, src.options, src.schemaDDL, src.maxFilesPerTrigger)
           .map(cfg => graft.sources.StreamSources.read(spark, cfg))
           .getOrElse(sys.error(s"unknown streaming source format: $other"))
     }

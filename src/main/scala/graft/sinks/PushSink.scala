@@ -103,6 +103,12 @@ object PushSink {
       // failure so the caller's retry reconnects fresh. A failure mid-
       // message can leave a partial line on the wire; the reconnect
       // resend makes delivery at-least-once, the documented contract.
+      // Known trade-off vs connect-per-message: a receiver that dies
+      // mid-partition is detected one-RTT-late — a few sends "succeed"
+      // into the kernel buffer before the RST surfaces, and those
+      // messages are neither retried nor dead-lettered. Acceptable for
+      // the in-container DOUBLE (the http production path gets a
+      // response code per message); not a production transport.
       private val (host, port) = hostPort(ep.stripPrefix("loopback://"))
       private var sock: java.net.Socket = null
       private def connected(): java.net.Socket = {

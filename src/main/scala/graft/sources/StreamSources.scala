@@ -92,12 +92,16 @@ final case class Pulsar(
     options: Map[String, String] = Map.empty
 ) extends StreamSourceConfig
 
-/** types.rs:227-235 RabbitMQ — no first-party Spark source. */
+/** types.rs:227-235 RabbitMQ — no first-party Spark source.
+  * `maxFilesPerTrigger` is the landing-double rate cap (the file-source
+  * analog of Kafka's maxOffsetsPerTrigger); ignored by the socket landing.
+  */
 final case class Rabbitmq(
     url: String,
     queue: String,
     prefetchCount: Option[Int] = None,
-    autoAck: Option[Boolean] = None
+    autoAck: Option[Boolean] = None,
+    maxFilesPerTrigger: Option[Long] = None
 ) extends StreamSourceConfig
 
 /** types.rs:238-249 SQS — no first-party Spark source. */
@@ -105,7 +109,8 @@ final case class Sqs(
     queueUrl: String,
     region: Option[String] = None,
     maxMessages: Option[Int] = None,
-    waitTimeSeconds: Option[Int] = None
+    waitTimeSeconds: Option[Int] = None,
+    maxFilesPerTrigger: Option[Long] = None
 ) extends StreamSourceConfig
 
 /** types.rs:252-261 Redis streams (spark-redis connector). */
@@ -123,7 +128,8 @@ final case class Nats(
     subject: String,
     queueGroup: Option[String] = None,
     jetstream: Option[Boolean] = None,
-    durable: Option[String] = None
+    durable: Option[String] = None,
+    maxFilesPerTrigger: Option[Long] = None
 ) extends StreamSourceConfig
 
 /** types.rs:277-285 File (watch dir) — also the in-container stand-in for
@@ -170,14 +176,16 @@ final case class PostgresCdc(
     connectionString: String,
     publication: Option[String] = None,
     slotName: Option[String] = None,
-    tables: Seq[String] = Seq.empty
+    tables: Seq[String] = Seq.empty,
+    maxFilesPerTrigger: Option[Long] = None
 ) extends StreamSourceConfig
 
 /** types.rs:365-371 MySQL binlog CDC. */
 final case class MysqlCdc(
     connectionString: String,
     serverId: Option[Int] = None,
-    tables: Seq[String] = Seq.empty
+    tables: Seq[String] = Seq.empty,
+    maxFilesPerTrigger: Option[Long] = None
 ) extends StreamSourceConfig
 
 /** types.rs:374-381 MongoDB change streams (mongodb Spark connector). */
@@ -216,11 +224,35 @@ object StreamSources {
     * `kafka.`-prefixed options through verbatim (the connector's own
     * escape hatch).
     */
+  /** Connector names `connectorFromManifest` dispatches on — the batch
+    * path uses this to say "set streaming: true" instead of "unknown
+    * format" without constructing (and option-validating) the config.
+    */
+  val ConnectorFormats: Set[String] = Set("kafka", "kinesis", "pulsar",
+    "rabbitmq", "sqs", "redis", "nats", "s3", "gcs", "http", "websocket",
+    "grpc", "postgres", "mysql", "mongodb", "rate")
+
   def connectorFromManifest(
       format: String,
       path: String,
-      options: Map[String, String]
+      options: Map[String, String],
+      schemaDDL: String = "",
+      maxFilesPerTrigger: Option[Long] = None
   ): Option[StreamSourceConfig] = {
+    // the typed manifest fields must not silently vanish: rate caps only
+    // map onto file-landing connectors (kafka has its own offset cap) and
+    // only s3/gcs take an explicit schema (the broker/push/CDC frames are
+    // fixed by the landing contract)
+    val capable = Set("rabbitmq", "sqs", "nats", "postgres", "mysql", "s3", "gcs")
+    val fmt = format.toLowerCase
+    if (maxFilesPerTrigger.isDefined && ConnectorFormats(fmt) && !capable(fmt))
+      sys.error(s"$format source: rateCap.maxFilesPerTrigger applies to file-landing " +
+        "connectors (rabbitmq/sqs/nats/postgres/mysql/s3/gcs)" +
+        (if (fmt == "kafka") " — kafka takes options.maxOffsetsPerTrigger" else ""))
+    if (schemaDDL.nonEmpty && ConnectorFormats(fmt) && !Set("s3", "gcs")(fmt))
+      sys.error(s"$format source: schema does not apply — the landing frame is fixed " +
+        "(one `value` string column for brokers/push, the typed envelope for CDC); " +
+        "parse downstream with from_json")
     def opt(k: String) = options.get(k)
     def req(k: String) = options.getOrElse(k,
       sys.error(s"$format source: required option '$k' is missing"))
@@ -258,28 +290,32 @@ object StreamSources {
       case "rabbitmq" =>
         validate(Set("queue", "prefetchCount", "autoAck"))
         Some(Rabbitmq(path, req("queue"),
-          opt("prefetchCount").map(_.toInt), opt("autoAck").map(_.toBoolean)))
+          opt("prefetchCount").map(_.toInt), opt("autoAck").map(_.toBoolean),
+          maxFilesPerTrigger))
       case "sqs" =>
         validate(Set("region", "maxMessages", "waitTimeSeconds"))
         Some(Sqs(path, opt("region"),
-          opt("maxMessages").map(_.toInt), opt("waitTimeSeconds").map(_.toInt)))
+          opt("maxMessages").map(_.toInt), opt("waitTimeSeconds").map(_.toInt),
+          maxFilesPerTrigger))
       case "redis" =>
         validate(Set("stream", "channel", "consumerGroup"))
         Some(Redis(path, opt("stream"), opt("channel"), opt("consumerGroup")))
       case "nats" =>
         validate(Set("subject", "queueGroup", "jetstream", "durable"))
         Some(Nats(path, req("subject"), opt("queueGroup"),
-          opt("jetstream").map(_.toBoolean), opt("durable")))
+          opt("jetstream").map(_.toBoolean), opt("durable"), maxFilesPerTrigger))
       case "s3" | "gcs" =>
         validate(Set("prefix", "format", "schema"))
         val (bucket, inlinePrefix) = path.split("/", 2) match {
           case Array(b, p) => (b, Some(p)); case Array(b) => (b, None)
         }
         val prefix = opt("prefix").orElse(inlinePrefix)
-        val fmt = opt("format").getOrElse("json")
-        val ddl = opt("schema").getOrElse("")
-        Some(if (format.toLowerCase == "s3") S3Stream(bucket, prefix, fmt, ddl)
-             else GcsStream(bucket, prefix, fmt, ddl))
+        val ffmt = opt("format").getOrElse("json")
+        val ddl = if (schemaDDL.nonEmpty) schemaDDL else opt("schema").getOrElse("")
+        val capOpt = maxFilesPerTrigger
+          .map(n => Map("maxFilesPerTrigger" -> n.toString)).getOrElse(Map.empty)
+        Some(if (fmt == "s3") S3Stream(bucket, prefix, ffmt, ddl, capOpt)
+             else GcsStream(bucket, prefix, ffmt, ddl, capOpt))
       case "http" =>
         validate(Set("path")); Some(Http(path, opt("path")))
       case "websocket" =>
@@ -290,11 +326,11 @@ object StreamSources {
       case "postgres" =>
         validate(Set("publication", "slotName", "tables"))
         Some(PostgresCdc(path, opt("publication"), opt("slotName"),
-          opt("tables").map(commaList).getOrElse(Seq.empty)))
+          opt("tables").map(commaList).getOrElse(Seq.empty), maxFilesPerTrigger))
       case "mysql" =>
         validate(Set("serverId", "tables"))
         Some(MysqlCdc(path, opt("serverId").map(_.toInt),
-          opt("tables").map(commaList).getOrElse(Seq.empty)))
+          opt("tables").map(commaList).getOrElse(Seq.empty), maxFilesPerTrigger))
       case "mongodb" =>
         validate(Set("database", "collection"))
         Some(Mongodb(path, req("database"), opt("collection")))
@@ -389,17 +425,19 @@ object StreamSources {
     // loopback:// or file:// address opts into the in-container landing
     // double; anything else names the landing pattern instead of dying in
     // the DataSource registry.
-    case Rabbitmq(url, queue, _, _) =>
-      brokerLanding(spark, "rabbitmq", url, s"queue $queue at $url")
-    case Sqs(queueUrl, _, _, _) =>
-      brokerLanding(spark, "sqs", queueUrl, s"queue $queueUrl")
-    case Nats(url, subject, _, _, _) =>
-      brokerLanding(spark, "nats", url, s"subject $subject at $url")
+    case Rabbitmq(url, queue, _, _, cap) =>
+      brokerLanding(spark, "rabbitmq", url, s"queue $queue at $url", cap)
+    case Sqs(queueUrl, _, _, _, cap) =>
+      brokerLanding(spark, "sqs", queueUrl, s"queue $queueUrl", cap)
+    case Nats(url, subject, _, _, _, cap) =>
+      brokerLanding(spark, "nats", url, s"subject $subject at $url", cap)
     case Http(addr, _)      => pushLanding(spark, "http listener", addr)
     case Websocket(addr, _) => pushLanding(spark, "websocket listener", addr)
     case Grpc(addr, _)      => pushLanding(spark, "grpc listener", addr)
-    case PostgresCdc(conn, _, _, tables) => cdcLanding(spark, "postgres CDC", conn, tables)
-    case MysqlCdc(conn, _, tables)       => cdcLanding(spark, "mysql CDC", conn, tables)
+    case PostgresCdc(conn, _, _, tables, cap) =>
+      cdcLanding(spark, "postgres CDC", conn, tables, cap)
+    case MysqlCdc(conn, _, tables, cap) =>
+      cdcLanding(spark, "mysql CDC", conn, tables, cap)
   }
 
   /** The complete option map for the Kafka reader — pure, so the security
@@ -500,9 +538,13 @@ object StreamSources {
     * nats://) keeps the actionable landing error.
     */
   private def brokerLanding(
-      spark: SparkSession, kind: String, addr: String, detail: String): DataFrame =
-    if (addr.startsWith("file://"))
-      spark.readStream.format("text").load(addr.stripPrefix("file://"))
+      spark: SparkSession, kind: String, addr: String, detail: String,
+      maxFilesPerTrigger: Option[Long] = None): DataFrame =
+    if (addr.startsWith("file://")) {
+      val r = spark.readStream.format("text")
+      maxFilesPerTrigger.fold(r)(n => r.option("maxFilesPerTrigger", n))
+        .load(addr.stripPrefix("file://"))
+    }
     else if (addr.startsWith("loopback://")) pushLanding(spark, kind, addr)
     else unsupportedLanding(kind, detail)
 
@@ -517,9 +559,12 @@ object StreamSources {
     * filters on the qualified or bare table name when non-empty.
     */
   private def cdcLanding(
-      spark: SparkSession, kind: String, conn: String, tables: Seq[String]): DataFrame =
+      spark: SparkSession, kind: String, conn: String, tables: Seq[String],
+      maxFilesPerTrigger: Option[Long] = None): DataFrame =
     if (conn.startsWith("file://")) {
-      val raw = spark.readStream.format("text").load(conn.stripPrefix("file://"))
+      val r0 = spark.readStream.format("text")
+      val raw = maxFilesPerTrigger.fold(r0)(n => r0.option("maxFilesPerTrigger", n))
+        .load(conn.stripPrefix("file://"))
       // one from_json pass for the fixed envelope scalars; before/after
       // stay raw JSON (schema varies per table, get_json_object re-parse
       // would be per-field) — VariantType would also work but the string

@@ -190,6 +190,9 @@ object StatefulSessions {
     val spark = df.sparkSession
     import spark.implicits._
     require(gapSeconds >= 1, s"gapSeconds must be >= 1, got $gapSeconds")
+    require(maxOpenSessions >= 1,
+      s"maxOpenSessions must be >= 1, got $maxOpenSessions — 0 would force-close " +
+        "every interval each micro-batch, degenerating sessions to single events")
     val gapUs = gapSeconds * 1000000L
     val schema = df.schema
     val keyIdx = schema.fieldIndex(keyCol)

@@ -227,6 +227,39 @@ class BackupSpec extends SparkSpec {
       s"$dir/chk") == "backup-000001")
   }
 
+  test("plain backup of a file literally named *.gz restores verbatim (no sniffing)") {
+    // decompression keys off the backup's RECORDED codec, not filename
+    // suffixes — a plain backup containing offsets/chk.gz must come back
+    // byte-identical under its original name
+    val dir = tmp("graft_bak_gzname")
+    new java.io.File(s"$dir/chk/offsets").mkdirs()
+    val gzBytes = Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3) // gzip magic, bogus body
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/chk/offsets/chk.gz"), gzBytes)
+    val m = BackupManifest("g", "p", Seq(BackupComponent.Offsets),
+      FileDestination(s"$dir/bak")) // default options: compression none
+    val id = BackupRunner.backup(spark, m, s"$dir/chk")
+    BackupRunner.restore(spark, RestoreManifest("r", RestoreSource(latest = true)),
+      "g", FileDestination(s"$dir/bak"), s"$dir/chk2")
+    val restored = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/chk2/offsets/chk.gz"))
+    assert(restored.toSeq == gzBytes.toSeq)
+    // and a COMPRESSED backup of the same tree also round-trips it: the
+    // stored name is chk.gz.gz, one suffix strips, one gunzip applies
+    val mz = m.copy(name = "gz", options = BackupOptions(BackupCompression.Gzip))
+    BackupRunner.backup(spark, mz, s"$dir/chk")
+    BackupRunner.restore(spark, RestoreManifest("r2", RestoreSource(latest = true)),
+      "gz", FileDestination(s"$dir/bak"), s"$dir/chk3")
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/chk3/offsets/chk.gz")).toSeq == gzBytes.toSeq)
+  }
+
+  test("encryption kmsKeyId with enabled:false is a validation error, not silent plaintext") {
+    val m = BackupManifest("b", "p", Seq(BackupComponent.Offsets), fileDest,
+      options = BackupOptions(encryption =
+        Some(BackupEncryption(enabled = false, kmsKeyId = Some("arn:k")))))
+    assert(BackupValidation.validateBackup(m).swap.exists(_.contains("enabled")))
+  }
+
   test("retention by count prunes the oldest backups") {
     val dir = tmp("graft_ret")
     // a fake checkpoint dir with just an offsets subtree

@@ -1025,6 +1025,37 @@ class DslSpec extends SparkSpec {
     assert(e2.getMessage.contains("topic"))
     // non-connector formats still fall through to the file-format error
     assert(graft.sources.StreamSources.connectorFromManifest("avro", "/x", Map.empty).isEmpty)
+    // manifest-level rateCap threads to file-landing connectors...
+    val rmq = graft.sources.StreamSources.connectorFromManifest(
+      "rabbitmq", "file:///q", Map("queue" -> "q"),
+      maxFilesPerTrigger = Some(1L)).get.asInstanceOf[graft.sources.Rabbitmq]
+    assert(rmq.maxFilesPerTrigger.contains(1L))
+    // ...but refuses where it can't apply (kafka names its own offset cap)
+    val capErr = intercept[RuntimeException](
+      graft.sources.StreamSources.connectorFromManifest(
+        "kafka", "b:9092", Map("topic" -> "t"), maxFilesPerTrigger = Some(1L)))
+    assert(capErr.getMessage.contains("maxOffsetsPerTrigger"))
+    // and a schema on a fixed-frame connector refuses instead of vanishing
+    val schErr = intercept[RuntimeException](
+      graft.sources.StreamSources.connectorFromManifest(
+        "rabbitmq", "file:///q", Map("queue" -> "q"), schemaDDL = "v STRING"))
+    assert(schErr.getMessage.contains("from_json"))
+    // batch use of a connector format points at streaming: true, even with
+    // incomplete options (name-set check, not construction)
+    val batchErr = intercept[RuntimeException](Compiler.compile(spark, YamlLoader.load(
+      """kind: Source
+        |metadata: {name: k}
+        |spec: {format: kafka, path: "b:9092"}
+        |---
+        |kind: Sink
+        |metadata: {name: o}
+        |spec: {format: noop, path: "", checkpoint: ""}
+        |---
+        |kind: Pipeline
+        |metadata: {name: p}
+        |spec: {source: k, steps: [], sink: o}
+        |""".stripMargin)))
+    assert(batchErr.getMessage.contains("streaming: true"))
   }
 
   test("streaming sessionize emit on_event: per-batch tagged emission, retroactive merge") {

@@ -276,6 +276,9 @@ class StreamingSpec extends SparkSpec {
       assert(closed2 == Set("2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0",
         "2024-01-01 00:20:00.0"))
     } finally q.stop()
+    // 0 would silently degenerate every session to one event — refused
+    intercept[IllegalArgumentException](
+      StatefulSessions.taggedStream(df, "user", "ts", 60, maxOpenSessions = 0))
   }
 
   test("stateful streaming rate limit admits at most maxRate per key per window") {
