@@ -1,0 +1,62 @@
+package graft
+
+/** The driver mains' per-query watchdog (Bench/Verify share it): bounded
+  * join, cancel, abandon — and session-conf rollback so a killed query's
+  * unexecuted `finally` blocks can't leak pinned confs into every later
+  * measurement (the round-11 review finding on a hung q_sink_push).
+  */
+class WatchdogSpec extends SparkSpec {
+
+  test("completed body returns true; its conf changes are its own business") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    try {
+      val done = Watchdog.run(spark, "wd-ok", timeoutSec = 30) {
+        spark.conf.set(key, "7") // a completing query restores in ITS finally
+      }
+      assert(done)
+      // no rollback on completion — the body owns its conf lifecycle
+      assert(spark.conf.get(key) == "7")
+    } finally spark.conf.set(key, before)
+  }
+
+  test("timed-out body records failure and conf mutations roll back") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val marker = "spark.graft.test.wdMarker"
+    val done = Watchdog.run(spark, "wd-hang", timeoutSec = 1) {
+      spark.conf.set(key, "7")
+      spark.conf.set(marker, "leaked")
+      // interruptible sleep: the watchdog's interrupt ends the worker
+      // inside the grace window — rollback must STILL run (the body's
+      // finally blocks never restored anything)
+      try Thread.sleep(600000L)
+      catch { case _: InterruptedException => () }
+    }
+    assert(!done)
+    assert(spark.conf.get(key) == before, "changed conf must roll back after a hang")
+    assert(spark.conf.getOption(marker).isEmpty, "introduced conf must be unset")
+  }
+
+  test("an interrupt-swallowing body is abandoned, conf still rolled back") {
+    val key = "spark.graft.test.wdStubborn"
+    @volatile var release = false
+    val t0 = System.nanoTime()
+    val done = Watchdog.run(spark, "wd-stubborn", timeoutSec = 1) {
+      spark.conf.set(key, "leaked")
+      while (!release) { // ignores interrupts entirely
+        try Thread.sleep(50L) catch { case _: InterruptedException => () }
+      }
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(!done)
+    assert(spark.conf.getOption(key).isEmpty)
+    // bounded: 1s timeout + 10s grace, not the body's forever
+    assert(secs < 30, s"watchdog must abandon, took ${secs}s")
+    release = true // let the daemon thread exit
+  }
+
+  test("timeout must be >= 1") {
+    intercept[IllegalArgumentException](Watchdog.run(spark, "wd-bad", 0) {})
+  }
+}
