@@ -1083,6 +1083,41 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The persisted-index serve path (AnnIndexStore): the SAME IVF-PQ
+    * build as [[qAnnIvfpq]] but routed through save → load → serve —
+    * parameters come from the on-disk manifest, the coded frame is read
+    * back cell-partitioned. Result-identical to the fused path by spec,
+    * so it shares q_ann_ivfpq's oracle verbatim; what this row gates is
+    * the round-trip: a serialization bug (dropped codes column, manifest
+    * drift, partition-column type change) flips the hash.
+    */
+  private def qAnnIvfpqServed(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val S = graft.ops.Similarity
+    val e = emb(s, dir)
+    val quant = S.centroids(e, "vec_id", "embedding", 16)
+      .select(col("cent_id"), col("cent_vec"))
+    val cb = S.pqCodebook(e, "vec_id", "embedding", m = 4, codesK = 8, iters = 2, dim = 64)
+    val index = S.ivfPqIndex(e, "vec_id", "embedding", quant, cb, m = 4, dim = 64)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annidx_q").toString
+    TempReaper.register(tmp)
+    graft.ops.AnnIndexStore.saveIvfPq(s"$tmp/pq", quant, cb, index,
+      m = 4, dim = 64, codesK = 8)
+    val bundle = graft.ops.AnnIndexStore.loadIvfPq(s, s"$tmp/pq")
+    val probes = e.filter(col("vec_id") < 10)
+    val topk = graft.ops.AnnIndexStore.serveIvfPq(bundle, probes, "vec_id", "embedding",
+      k = 5, nProbe = 4)
+    val dv = transform(col("embedding"), _.cast("double"))
+    topk
+      .join(e.select(col("vec_id").as("n_id"), dv.as("__cv")), "n_id")
+      .join(broadcast(probes.select(col("vec_id").as("q_id"), dv.as("__qv"))), "q_id")
+      .select(col("q_id"), col("n_id"), col("rank"), col("est_dist2"),
+        round(VF.dot(col("__cv"), col("__cv"))
+          - lit(2.0) * VF.dot(col("__cv"), col("__qv"))
+          + VF.dot(col("__qv"), col("__qv")), 6).as("true_dist2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Contrastive pair mining (L65): brute-force top-1 positives for 50
     * anchors + 4 deterministic cross-label negatives each via the
     * bucket-summary sampler ([[graft.ops.Similarity.contrastivePairs]]).
@@ -3689,6 +3724,7 @@ object SparkEntry {
     "q_embed_quantize" -> (qEmbedQuantize _),
     "q_embed_pq" -> (qEmbedPq _),
     "q_ann_ivfpq" -> (qAnnIvfpq _),
+    "q_ann_ivfpq_served" -> (qAnnIvfpqServed _),
     "q_quality" -> (qQuality _),
     "q_token_count" -> (qTokenCount _),
     "q_subword_vocab" -> (qSubwordVocab _),
@@ -4454,6 +4490,8 @@ object SparkEntry {
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_embed_pq" -> pqOracle,
     "q_ann_ivfpq" -> pqIvfOracle,
+    "q_ann_ivfpq_served" -> pqIvfOracle, // identical by spec: the row gates the save/load/serve round-trip
+
     "q_pagerank" -> pagerankOracle,
     "q_pagerank_converged" -> pagerankConvergedOracle(8, 50000L),
     "q_kmeans_converged" -> kmeansConvergedOracle(4, 3000000L),

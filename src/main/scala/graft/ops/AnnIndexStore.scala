@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistence + incremental maintenance for the relational ANN indexes
+  * ([[Similarity.ivfIndex]] flat IVF, [[Similarity.ivfPqIndex]] IVF-PQ).
+  *
+  * The indexes are plain DataFrames, so "an index" on disk is a directory
+  * of parquet frames plus a MANIFEST.json pinning the parameters the
+  * frames were built with (kind, m, dim, codesK, nCells). Serving against
+  * mismatched parameters is the classic silent-corruption path (ADC codes
+  * decoded against the wrong codebook produce plausible garbage), so
+  * `load` validates the manifest and `serve` takes its parameters FROM
+  * the manifest, never from the caller.
+  *
+  * Scale design: the coded frame is written `partitionBy(cent_id)`. The
+  * serve-path join (`index ⋈ queryCells on cent_id`, Similarity.ivfPqTopK)
+  * then prunes unprobed cells via dynamic partition pruning — with
+  * nProbe ≪ nCells a query batch reads a few percent of the index files
+  * instead of all of them. nCells rides sqrt(corpus) (planParamsFor), so
+  * the directory count stays civilized at any corpus size.
+  *
+  * Incremental append (`appendIvfPq`) is the daily-crawl path: new
+  * vectors are assigned to the EXISTING centroids and encoded against the
+  * EXISTING codebook — one narrow append write, no retraining, no
+  * touch of the resident rows. Quality degrades only as the vector
+  * distribution drifts from the training sample; rebuild cadence is the
+  * operator's call (the manifest records nothing time-like by design —
+  * byte-identical inputs give byte-identical indexes).
+  */
+object AnnIndexStore {
+
+  final case class IvfPqBundle(
+      quantizer: DataFrame,
+      codebook: DataFrame,
+      index: DataFrame,
+      m: Int,
+      dim: Int,
+      codesK: Int,
+      nCells: Int
+  )
+
+  final case class IvfBundle(quantizer: DataFrame, index: DataFrame, nCells: Int)
+
+  /** Persist an IVF-PQ index: quantizer + codebook + cell-partitioned
+    * codes + MANIFEST.json. Overwrites `dir`.
+    */
+  def saveIvfPq(
+      dir: String,
+      quantizer: DataFrame,
+      codebook: DataFrame,
+      index: DataFrame,
+      m: Int,
+      dim: Int,
+      codesK: Int
+  ): Unit = {
+    val nCells = quantizer.count().toInt
+    quantizer.write.mode("overwrite").parquet(s"$dir/quantizer")
+    codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+    index.write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/index")
+    writeManifest(quantizer.sparkSession, dir,
+      s"""{"kind":"ivfpq","m":$m,"dim":$dim,"codesK":$codesK,"nCells":$nCells}""")
+  }
+
+  /** Persist a flat IVF index (vectors resident): quantizer +
+    * cell-partitioned vector rows + MANIFEST.json.
+    */
+  def saveIvf(dir: String, quantizer: DataFrame, index: DataFrame): Unit = {
+    val nCells = quantizer.count().toInt
+    quantizer.write.mode("overwrite").parquet(s"$dir/quantizer")
+    index.write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/index")
+    writeManifest(quantizer.sparkSession, dir,
+      s"""{"kind":"ivf","nCells":$nCells}""")
+  }
+
+  def loadIvfPq(spark: SparkSession, dir: String): IvfPqBundle = {
+    val mf = readManifest(spark, dir)
+    require(mf("kind") == "ivfpq",
+      s"$dir holds a '${mf("kind")}' index, not ivfpq — use the matching loader")
+    IvfPqBundle(
+      spark.read.parquet(s"$dir/quantizer"),
+      spark.read.parquet(s"$dir/codebook"),
+      spark.read.parquet(s"$dir/index"),
+      m = mf("m").toInt, dim = mf("dim").toInt,
+      codesK = mf("codesK").toInt, nCells = mf("nCells").toInt)
+  }
+
+  def loadIvf(spark: SparkSession, dir: String): IvfBundle = {
+    val mf = readManifest(spark, dir)
+    require(mf("kind") == "ivf",
+      s"$dir holds a '${mf("kind")}' index, not ivf — use the matching loader")
+    IvfBundle(
+      spark.read.parquet(s"$dir/quantizer"),
+      spark.read.parquet(s"$dir/index"),
+      nCells = mf("nCells").toInt)
+  }
+
+  /** Serve top-k from a loaded IVF-PQ bundle — parameters come from the
+    * manifest, not the caller, so a drifted m/dim cannot silently decode
+    * garbage. Same plan as [[Similarity.ivfPqTopK]] over the fused build.
+    */
+  def serveIvfPq(
+      bundle: IvfPqBundle,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int
+  ): DataFrame =
+    Similarity.ivfPqTopK(bundle.index, queries, idCol, vecCol, k,
+      bundle.quantizer, bundle.codebook, bundle.m, bundle.dim, nProbe)
+
+  /** Serve top-k from a loaded flat-IVF bundle. */
+  def serveIvf(
+      bundle: IvfBundle,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int
+  ): DataFrame =
+    Similarity.ivfTopKIndexed(bundle.index, queries, idCol, vecCol, k,
+      bundle.quantizer, nProbe)
+
+  /** Incrementally add vectors to a persisted IVF-PQ index: assign to the
+    * EXISTING centroids, encode against the EXISTING codebook, append the
+    * new cell-partitioned rows. No retraining, no rewrite of resident
+    * rows — the daily-ingest shape. Caller owns id uniqueness (replays
+    * append duplicate rows; dedupe upstream or rebuild).
+    */
+  def appendIvfPq(
+      spark: SparkSession,
+      dir: String,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): Unit = {
+    val b = loadIvfPq(spark, dir)
+    Similarity.ivfPqIndex(vectors, idCol, vecCol,
+        b.quantizer.select(col("cent_id"), col("cent_vec")), b.codebook, b.m, b.dim)
+      .write.mode("append").partitionBy("cent_id").parquet(s"$dir/index")
+  }
+
+  private def writeManifest(spark: SparkSession, dir: String, json: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "MANIFEST.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readManifest(spark: SparkSession, dir: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "MANIFEST.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"$dir is not a saved ANN index (no MANIFEST.json)")
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    """"([A-Za-z]+)"\s*:\s*"?([A-Za-z0-9]+)"?""".r.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2)).toMap
+  }
+}

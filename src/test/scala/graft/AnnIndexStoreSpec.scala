@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{AnnIndexStore, Similarity}
+
+/** ANN index persistence: save/load/serve equality with the fused build,
+  * manifest-gated parameter safety, and the incremental-append path.
+  */
+class AnnIndexStoreSpec extends SparkSpec {
+
+  private val dim = 8
+
+  /** Deterministic near-isotropic vectors (hash-derived, the fixture
+    * recipe used across the ANN specs).
+    */
+  private def vecs(n: Int, idFrom: Long = 0L): DataFrame =
+    spark.range(idFrom, idFrom + n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), i =>
+        ((pmod(xxhash64(col("id"), i), lit(2000L)).cast("float") - 1000f) / 1000f)
+          .cast("float")).as("embedding"))
+
+  test("IVF-PQ save -> load -> serve equals the fused build+query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    val corpus = vecs(200)
+    val quant = Similarity.centroids(corpus, "vec_id", "embedding", 4)
+      .select(col("cent_id"), col("cent_vec"))
+    val cb = Similarity.pqCodebook(corpus, "vec_id", "embedding",
+      m = 2, codesK = 4, iters = 2, dim = dim)
+    val index = Similarity.ivfPqIndex(corpus, "vec_id", "embedding", quant, cb,
+      m = 2, dim = dim)
+    AnnIndexStore.saveIvfPq(s"$dir/pq", quant, cb, index, m = 2, dim = dim, codesK = 4)
+
+    val loaded = AnnIndexStore.loadIvfPq(spark, s"$dir/pq")
+    assert(loaded.m == 2 && loaded.dim == dim && loaded.codesK == 4 && loaded.nCells == 4)
+    val queries = vecs(5)
+    val servedRows = AnnIndexStore.serveIvfPq(loaded, queries, "vec_id", "embedding",
+      k = 3, nProbe = 2).orderBy("q_id", "rank").collect().toSeq
+    val fusedRows = Similarity.ivfPqTopK(index, queries, "vec_id", "embedding", k = 3,
+      quant, cb, m = 2, dim = dim, nProbe = 2).orderBy("q_id", "rank").collect().toSeq
+    assert(servedRows == fusedRows)
+    // the coded frame is laid out one directory per cell — the serve
+    // join's partition-pruning surface
+    val cells = new java.io.File(s"$dir/pq/index").listFiles()
+      .filter(_.getName.startsWith("cent_id=")).map(_.getName).toSet
+    assert(cells.size == 4, s"expected one directory per cell, got $cells")
+  }
+
+  test("flat IVF save -> load -> serve equals the indexed query path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_flat").toString
+    val corpus = vecs(200)
+    val quant = Similarity.centroids(corpus, "vec_id", "embedding", 4)
+      .select(col("cent_id"), col("cent_vec"))
+    val index = Similarity.ivfIndex(corpus, "vec_id", "embedding", quant)
+    AnnIndexStore.saveIvf(s"$dir/flat", quant, index)
+    val loaded = AnnIndexStore.loadIvf(spark, s"$dir/flat")
+    assert(loaded.nCells == 4)
+    val queries = vecs(5)
+    val served = AnnIndexStore.serveIvf(loaded, queries, "vec_id", "embedding",
+      k = 3, nProbe = 2).orderBy("q_id", "rank").collect().toSeq
+    val direct = Similarity.ivfTopKIndexed(index, queries, "vec_id", "embedding",
+      k = 3, quant, nProbe = 2).orderBy("q_id", "rank").collect().toSeq
+    assert(served == direct)
+  }
+
+  test("manifest gates the loader kind and detects non-index dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_kind").toString
+    val corpus = vecs(50)
+    val quant = Similarity.centroids(corpus, "vec_id", "embedding", 2)
+      .select(col("cent_id"), col("cent_vec"))
+    AnnIndexStore.saveIvf(s"$dir/flat",
+      quant, Similarity.ivfIndex(corpus, "vec_id", "embedding", quant))
+    val e = intercept[IllegalArgumentException](AnnIndexStore.loadIvfPq(spark, s"$dir/flat"))
+    assert(e.getMessage.contains("ivf"))
+    val e2 = intercept[IllegalArgumentException](AnnIndexStore.loadIvf(spark, "/tmp"))
+    assert(e2.getMessage.contains("MANIFEST"))
+  }
+
+  test("incremental append: new vectors join the index without retraining") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_app").toString
+    val corpus = vecs(200)
+    val quant = Similarity.centroids(corpus, "vec_id", "embedding", 4)
+      .select(col("cent_id"), col("cent_vec"))
+    val cb = Similarity.pqCodebook(corpus, "vec_id", "embedding",
+      m = 2, codesK = 4, iters = 2, dim = dim)
+    val index = Similarity.ivfPqIndex(corpus, "vec_id", "embedding", quant, cb,
+      m = 2, dim = dim)
+    AnnIndexStore.saveIvfPq(s"$dir/pq", quant, cb, index, m = 2, dim = dim, codesK = 4)
+    val before = AnnIndexStore.loadIvfPq(spark, s"$dir/pq").index.count()
+
+    // appended batch scaled x10: far outside the resident cloud, so even
+    // the coarse m=2/codesK=4 codes separate it — the retrievability
+    // check must not hinge on ADC resolving in-distribution ties
+    def scaled(n: Int, idFrom: Long) = vecs(n, idFrom).select(col("vec_id"),
+      transform(col("embedding"), x => (x * 10f).cast("float")).as("embedding"))
+    AnnIndexStore.appendIvfPq(spark, s"$dir/pq", scaled(50, idFrom = 1000L),
+      "vec_id", "embedding")
+    val loaded = AnnIndexStore.loadIvfPq(spark, s"$dir/pq")
+    assert(loaded.index.count() == before + 50)
+    // the appended rows are exactly what a fresh encode against the SAME
+    // quantizer+codebook produces (cell assignment + codes) — the
+    // no-retraining contract, asserted structurally: at codesK=4/m=2
+    // there are only 16 distinct codes, so a top-k retrievability check
+    // would hinge on ADC tie-breaks, not on the append path
+    val stored = loaded.index.filter(col("n_id") >= 1000L)
+      .select("n_id", "cent_id", "codes").orderBy("n_id").collect().toSeq
+    val fresh = Similarity.ivfPqIndex(scaled(50, 1000L), "vec_id", "embedding",
+        quant, cb, m = 2, dim = dim)
+      .select("n_id", "cent_id", "codes").orderBy("n_id").collect().toSeq
+    assert(stored == fresh)
+    // and end-to-end: with every cell probed and k covering the whole
+    // candidate set, the appended vector IS served, and its own code puts
+    // it at the minimal ADC distance for its query (ties allowed)
+    val probe = scaled(1, idFrom = 1000L)
+      .select(col("vec_id") + 900000L as "vec_id", col("embedding")) // distinct q_id
+    val all = AnnIndexStore.serveIvfPq(loaded, probe, "vec_id", "embedding",
+      k = 300, nProbe = 4).select("n_id", "est_dist2").collect()
+    val mine = all.find(_.getLong(0) == 1000L)
+    assert(mine.isDefined, "appended vector not in the served candidate set")
+    assert(mine.get.getDouble(1) == all.map(_.getDouble(1)).min)
+  }
+}
