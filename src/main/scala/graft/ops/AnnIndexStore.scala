@@ -59,8 +59,14 @@ object AnnIndexStore {
     quantizer.write.mode("overwrite").parquet(s"$dir/quantizer")
     codebook.write.mode("overwrite").parquet(s"$dir/codebook")
     index.write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/index")
+    // frame schemas ride in the manifest: an EMPTY index (zero vectors at
+    // save time) writes no parquet files, and a schema-less read-back
+    // would die on inference — the loaders read with these DDLs instead
     writeManifest(quantizer.sparkSession, dir,
-      s"""{"kind":"ivfpq","m":$m,"dim":$dim,"codesK":$codesK,"nCells":$nCells}""")
+      s"""{"kind":"ivfpq","m":$m,"dim":$dim,"codesK":$codesK,"nCells":$nCells,""" +
+        s""""quantizerSchema":${j(quantizer.schema.toDDL)},""" +
+        s""""codebookSchema":${j(codebook.schema.toDDL)},""" +
+        s""""indexSchema":${j(index.schema.toDDL)}}""")
   }
 
   /** Persist a flat IVF index (vectors resident): quantizer +
@@ -71,7 +77,9 @@ object AnnIndexStore {
     quantizer.write.mode("overwrite").parquet(s"$dir/quantizer")
     index.write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/index")
     writeManifest(quantizer.sparkSession, dir,
-      s"""{"kind":"ivf","nCells":$nCells}""")
+      s"""{"kind":"ivf","nCells":$nCells,""" +
+        s""""quantizerSchema":${j(quantizer.schema.toDDL)},""" +
+        s""""indexSchema":${j(index.schema.toDDL)}}""")
   }
 
   def loadIvfPq(spark: SparkSession, dir: String): IvfPqBundle = {
@@ -79,9 +87,9 @@ object AnnIndexStore {
     require(mf("kind") == "ivfpq",
       s"$dir holds a '${mf("kind")}' index, not ivfpq — use the matching loader")
     IvfPqBundle(
-      spark.read.parquet(s"$dir/quantizer"),
-      spark.read.parquet(s"$dir/codebook"),
-      spark.read.parquet(s"$dir/index"),
+      readFrame(spark, s"$dir/quantizer", mf.get("quantizerSchema")),
+      readFrame(spark, s"$dir/codebook", mf.get("codebookSchema")),
+      readFrame(spark, s"$dir/index", mf.get("indexSchema")),
       m = mf("m").toInt, dim = mf("dim").toInt,
       codesK = mf("codesK").toInt, nCells = mf("nCells").toInt)
   }
@@ -91,8 +99,8 @@ object AnnIndexStore {
     require(mf("kind") == "ivf",
       s"$dir holds a '${mf("kind")}' index, not ivf — use the matching loader")
     IvfBundle(
-      spark.read.parquet(s"$dir/quantizer"),
-      spark.read.parquet(s"$dir/index"),
+      readFrame(spark, s"$dir/quantizer", mf.get("quantizerSchema")),
+      readFrame(spark, s"$dir/index", mf.get("indexSchema")),
       nCells = mf("nCells").toInt)
   }
 
@@ -142,6 +150,19 @@ object AnnIndexStore {
       .write.mode("append").partitionBy("cent_id").parquet(s"$dir/index")
   }
 
+  private def j(v: String): String =
+    "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  /** Read one persisted frame; the manifest-recorded DDL makes empty
+    * frames (no parquet files under the dir) load as typed empty frames
+    * instead of dying on schema inference.
+    */
+  private def readFrame(spark: SparkSession, path: String, ddl: Option[String]): DataFrame =
+    ddl match {
+      case Some(d) => spark.read.schema(d).parquet(path)
+      case None    => spark.read.parquet(path) // pre-schema manifests
+    }
+
   private def writeManifest(spark: SparkSession, dir: String, json: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, "MANIFEST.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -155,7 +176,12 @@ object AnnIndexStore {
     require(fs.exists(p), s"$dir is not a saved ANN index (no MANIFEST.json)")
     val in = fs.open(p)
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    """"([A-Za-z]+)"\s*:\s*"?([A-Za-z0-9]+)"?""".r.findAllMatchIn(text)
-      .map(m => m.group(1) -> m.group(2)).toMap
+    // flat JSON object of string/number values (schemas contain commas
+    // and angle brackets, so values parse as full quoted strings)
+    val str = """"(\w+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    val num = """"(\w+)"\s*:\s*(\d+)""".r
+    (str.findAllMatchIn(text).map(m =>
+        m.group(1) -> m.group(2).replace("\\\"", "\"").replace("\\\\", "\\")) ++
+      num.findAllMatchIn(text).map(m => m.group(1) -> m.group(2))).toMap
   }
 }
