@@ -14,12 +14,18 @@ import org.apache.spark.sql.functions._
   * `load` validates the manifest and `serve` takes its parameters FROM
   * the manifest, never from the caller.
   *
-  * Scale design: the coded frame is written `partitionBy(cent_id)`. The
-  * serve-path join (`index ⋈ queryCells on cent_id`, Similarity.ivfPqTopK)
-  * then prunes unprobed cells via dynamic partition pruning — with
-  * nProbe ≪ nCells a query batch reads a few percent of the index files
-  * instead of all of them. nCells rides sqrt(corpus) (planParamsFor), so
-  * the directory count stays civilized at any corpus size.
+  * Scale design: the coded frame is written `partitionBy(cent_id)` and
+  * the serve path prunes it STATICALLY: a probe batch's cell set is tiny
+  * by contract (≤ |queries|·nProbe, capped by nCells), so `serveIvfPq`
+  * collects it (one small job over queries × broadcast centroids) and
+  * pushes a `cent_id IN (...)` partition filter — with nProbe ≪ nCells a
+  * query batch reads a few percent of the index files instead of all of
+  * them, deterministically. (Relying on dynamic partition pruning was
+  * measured to degenerate to `dynamicpruningexpression(true)` here: the
+  * probe side's exchange is not broadcast-reusable in this join shape,
+  * so Spark elides the DPP subquery.) nCells rides sqrt(corpus)
+  * (planParamsFor), so the directory count stays civilized at any
+  * corpus size.
   *
   * Incremental append (`appendIvfPq`) is the daily-crawl path: new
   * vectors are assigned to the EXISTING centroids and encoded against the
@@ -115,9 +121,12 @@ object AnnIndexStore {
       vecCol: String,
       k: Int,
       nProbe: Int
-  ): DataFrame =
-    Similarity.ivfPqTopK(bundle.index, queries, idCol, vecCol, k,
+  ): DataFrame = {
+    val pruned = pruneToProbedCells(bundle.index, bundle.quantizer,
+      queries, idCol, vecCol, nProbe)
+    Similarity.ivfPqTopK(pruned, queries, idCol, vecCol, k,
       bundle.quantizer, bundle.codebook, bundle.m, bundle.dim, nProbe)
+  }
 
   /** Serve top-k from a loaded flat-IVF bundle. */
   def serveIvf(
@@ -127,9 +136,31 @@ object AnnIndexStore {
       vecCol: String,
       k: Int,
       nProbe: Int
-  ): DataFrame =
-    Similarity.ivfTopKIndexed(bundle.index, queries, idCol, vecCol, k,
+  ): DataFrame = {
+    val pruned = pruneToProbedCells(bundle.index, bundle.quantizer,
+      queries, idCol, vecCol, nProbe)
+    Similarity.ivfTopKIndexed(pruned, queries, idCol, vecCol, k,
       bundle.quantizer, nProbe)
+  }
+
+  /** Static cell pruning for the serve paths: collect the (tiny) probed
+    * cell set and push it as a partition filter on the stored index. The
+    * downstream cell join makes this a pure scan-reduction — results are
+    * unchanged (the filter keeps a superset of every joined cell).
+    */
+  private def pruneToProbedCells(
+      index: DataFrame,
+      quantizer: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nProbe: Int
+  ): DataFrame = {
+    val cells = Similarity.probeCells(queries, idCol, vecCol,
+        quantizer.select(col("cent_id"), col("cent_vec")), nProbe)
+      .collect().map(_.get(0)).toSeq
+    index.filter(col("cent_id").isInCollection(cells))
+  }
 
   /** Incrementally add vectors to a persisted IVF-PQ index: assign to the
     * EXISTING centroids, encode against the EXISTING codebook, append the

@@ -295,6 +295,19 @@ object Similarity {
   /** Nearest-`probes` centroid cells per vector (broadcast centroid join +
     * WindowGroupLimit rank). Returns (_aid, _avec, _anorm, cent_id).
     */
+  /** The distinct cell ids a query batch will probe (each query's
+    * `probes` nearest centroids) — the serving layer's static
+    * partition-pruning key set ([[AnnIndexStore.serveIvfPq]] collects it;
+    * bounded by |queries|·probes, and by nCells).
+    */
+  def probeCells(queries: DataFrame, idCol: String, vecCol: String,
+      quantizer: DataFrame, nProbe: Int): DataFrame = {
+    val cents = quantizer.select(col("cent_id"), col("cent_vec"),
+      V.norm(col("cent_vec")).as("cent_norm"))
+    assignCells(queries, idCol, vecCol, cents, probes = nProbe)
+      .select(col("cent_id")).distinct()
+  }
+
   private def assignCells(df: DataFrame, id: String, vec: String,
       cents: DataFrame, probes: Int): DataFrame = {
     val scored = df

@@ -64,6 +64,38 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(served == direct)
   }
 
+  test("serve plan prunes the cell-partitioned index scan statically") {
+    // the scale claim, pinned: a 2-of-16-probe query batch must NOT scan
+    // every cell directory. DPP degenerates to true in this join shape
+    // (non-reusable probe-side exchange), so serve collects the tiny
+    // probed-cell set and pushes cent_id IN (...) — assert the partition
+    // filter carries the IN, and that results equal the unpruned path.
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_dpp").toString
+    val corpus = vecs(500)
+    val quant = Similarity.centroids(corpus, "vec_id", "embedding", 16)
+      .select(col("cent_id"), col("cent_vec"))
+    val cb = Similarity.pqCodebook(corpus, "vec_id", "embedding",
+      m = 2, codesK = 4, iters = 2, dim = dim)
+    val index = Similarity.ivfPqIndex(corpus, "vec_id", "embedding", quant, cb,
+      m = 2, dim = dim)
+    AnnIndexStore.saveIvfPq(s"$dir/pq", quant, cb, index, m = 2, dim = dim, codesK = 4)
+    val loaded = AnnIndexStore.loadIvfPq(spark, s"$dir/pq")
+    val served = AnnIndexStore.serveIvfPq(loaded, vecs(3), "vec_id", "embedding",
+      k = 3, nProbe = 2)
+    val rows = served.orderBy("q_id", "rank").collect().toSeq
+    val plan = served.queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("pq/index")).getOrElse("")
+    val pf = scan.substring(scan.indexOf("PartitionFilters:"))
+    assert(pf.contains("cent_id") && pf.contains(" IN ") || pf.contains("isin"),
+      s"index scan is not statically cell-pruned:\n$pf")
+    // pruning is a pure scan-reduction: equal to the unpruned fused query
+    val unpruned = Similarity.ivfPqTopK(loaded.index, vecs(3), "vec_id", "embedding",
+      k = 3, loaded.quantizer, loaded.codebook, m = 2, dim = dim, nProbe = 2)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(rows == unpruned)
+  }
+
   test("manifest gates the loader kind and detects non-index dirs") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx_kind").toString
     val corpus = vecs(50)
