@@ -175,6 +175,21 @@ object Stress {
       spark.range(1).toDF("done")
     }
 
+    lazy val annServeIndexDir: String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_annidx").toString
+      val corpus = embN
+      val nCells = math.max(16, math.sqrt(corpus.count().toDouble).toInt)
+      val quant = ops.Similarity.centroids(corpus, "vec_id", "embedding", nCells)
+        .select(col("cent_id"), col("cent_vec"))
+      val cb = ops.Similarity.pqCodebook(corpus, "vec_id", "embedding",
+        m = 4, codesK = 8, iters = 2, dim = 64)
+      val index = ops.Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
+        quant, cb, m = 4, dim = 64)
+      ops.AnnIndexStore.saveIvfPq(s"$dir/pq", quant, cb, index, m = 4, dim = 64, codesK = 8)
+      s"$dir/pq"
+    }
+    def annServeQueries() = embN.filter(pmod(col("vec_id"), lit(4999)) === 0).limit(8)
+
     val opList: Seq[(String, () => DataFrame)] = Seq(
       "pack" -> (() => ops.Packing.packSequences(docsN, "doc_id", "text", capacity = 2048L)),
       "subword_count" -> (() => docsN.select(col("doc_id"),
@@ -332,11 +347,30 @@ object Stress {
       // heap-vs-offheap state cost at identical registry semantics
       "stream_neardedup_capped_rocksdb" -> (() => streamNearDedupDrain(4, "rocksdb")),
       "stream_neardedup_uncapped_rocksdb" ->
-        (() => streamNearDedupDrain(Int.MaxValue, "rocksdb"))
+        (() => streamNearDedupDrain(Int.MaxValue, "rocksdb")),
+      // ANN serving rows (round 11): a persisted IVF-PQ index over the
+      // replica corpus, probed with a SMALL query batch (8 queries,
+      // nProbe 8 of ~sqrt(n) cells) — the serving shape. The contrast is
+      // the static cell pruning: _pruned pushes cent_id IN (probe cells)
+      // into the partitioned scan, _unpruned runs the same query over the
+      // full index frame. The index build/save is SHARED and untimed
+      // (forced before the loop) — these rows measure the scan.
+      "ann_serve_pruned" -> (() => {
+        val b = ops.AnnIndexStore.loadIvfPq(spark, annServeIndexDir)
+        ops.AnnIndexStore.serveIvfPq(b, annServeQueries(), "vec_id", "embedding",
+          k = 10, nProbe = 8)
+      }),
+      "ann_serve_unpruned" -> (() => {
+        val b = ops.AnnIndexStore.loadIvfPq(spark, annServeIndexDir)
+        ops.Similarity.ivfPqTopK(b.index, annServeQueries(), "vec_id", "embedding",
+          k = 10, b.quantizer, b.codebook, b.m, b.dim, nProbe = 8)
+      })
     )
 
 
     val selected = if (args.nonEmpty) opList.filter(o => args.contains(o._1)) else opList
+    // index build+save is setup, not measurement — force it before timing
+    if (selected.exists(_._1.startsWith("ann_serve"))) { annServeIndexDir; () }
 
     // per-task ceiling per op: local wall time hides a serialized hot key
     // (31 other cores soak it up); the longest single task is what an

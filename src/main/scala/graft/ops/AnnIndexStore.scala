@@ -64,7 +64,12 @@ object AnnIndexStore {
     val nCells = quantizer.count().toInt
     quantizer.write.mode("overwrite").parquet(s"$dir/quantizer")
     codebook.write.mode("overwrite").parquet(s"$dir/codebook")
-    index.write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/index")
+    // hash-repartition on the partition column first: without it every
+    // write task emits a sliver into every cell directory (nCells x tasks
+    // small files — measured dominating serve latency at 632 cells), with
+    // it each cell lands as one file
+    index.repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/index")
     // frame schemas ride in the manifest: an EMPTY index (zero vectors at
     // save time) writes no parquet files, and a schema-less read-back
     // would die on inference — the loaders read with these DDLs instead
@@ -81,7 +86,8 @@ object AnnIndexStore {
   def saveIvf(dir: String, quantizer: DataFrame, index: DataFrame): Unit = {
     val nCells = quantizer.count().toInt
     quantizer.write.mode("overwrite").parquet(s"$dir/quantizer")
-    index.write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/index")
+    index.repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/index")
     writeManifest(quantizer.sparkSession, dir,
       s"""{"kind":"ivf","nCells":$nCells,""" +
         s""""quantizerSchema":${j(quantizer.schema.toDDL)},""" +
@@ -178,6 +184,7 @@ object AnnIndexStore {
     val b = loadIvfPq(spark, dir)
     Similarity.ivfPqIndex(vectors, idCol, vecCol,
         b.quantizer.select(col("cent_id"), col("cent_vec")), b.codebook, b.m, b.dim)
+      .repartition(col("cent_id")) // one appended file per touched cell
       .write.mode("append").partitionBy("cent_id").parquet(s"$dir/index")
   }
 
