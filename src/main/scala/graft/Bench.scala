@@ -114,18 +114,19 @@ object Bench {
     // lost 27 timings; BENCH_r09 lost 114). BENCH_latest.json always holds
     // the full line of the most recent epoch — the durable artifact no
     // stdout window can truncate. BENCH.json is the committed anchor and
-    // only a full-suite run at the anchor scale factor may write it:
-    // FILTERED runs (isolation probes) and foreign-SF epochs (the sf1.0
-    // fixture) write BENCH_partial.json instead — a round-9 sf1.0 epoch
-    // silently clobbered the committed sf0.1 anchor, and an anchor that
-    // can be overwritten by any probe is not an anchor. Anchor detection
-    // gates on the fixture's scale-factor name (sf0.1), not a hardcoded
-    // machine path; SPARK_GRAFT_ANCHOR=1/0 overrides either way.
-    val isAnchorRun = args.isEmpty && (sys.env.get("SPARK_GRAFT_ANCHOR") match {
-      case Some(v) => v == "1" || v.equalsIgnoreCase("true")
-      case None    => new java.io.File(sfDir).getName == "sf0.1"
-    })
-    val outDefault = if (isAnchorRun) "BENCH.json" else "BENCH_partial.json"
+    // writing it is OPT-IN (SPARK_GRAFT_ANCHOR=1 on a full-suite run):
+    // round 9's sf1.0 epoch and round 11's driver measurement run both
+    // clobbered the committed anchor in the working tree, and an anchor
+    // any measurement run can overwrite is not an anchor — re-anchoring
+    // is a deliberate act now. FILTERED runs (isolation probes) and
+    // non-anchor full runs still record to BENCH_partial.json /
+    // BENCH_latest.json respectively.
+    val isAnchorRun = args.isEmpty && sys.env.get("SPARK_GRAFT_ANCHOR")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    val outDefault =
+      if (isAnchorRun) "BENCH.json"
+      else if (args.nonEmpty) "BENCH_partial.json"
+      else "BENCH_latest.json"
     val outs = Seq(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", outDefault),
       "BENCH_latest.json").distinct
     outs.foreach { out =>

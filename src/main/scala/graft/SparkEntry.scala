@@ -1118,6 +1118,108 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The ANN suite through YAML (R9 × L55 — the registry.rs apply/run
+    * workflow for similarity): pipeline 1 BUILDS the q_ann_ivfpq index
+    * declaratively (`format: ann_index` sink, explicit nCells/m/codesK
+    * pinning the oracle's parameters), pipeline 2 SERVES the probe batch
+    * through the `ann_serve` step — kind and parameters come from the
+    * on-disk manifest the build wrote, not from the serve manifest.
+    * Result-identical to q_ann_ivfpq_served by spec, so it shares the
+    * pqIvf oracle verbatim; what this row gates is the DECLARATIVE
+    * round-trip (option plumbing, kind dispatch, manifest pinning).
+    */
+  private def qDslAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val e = emb(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dslann").toString
+    TempReaper.register(tmp)
+    val buildYaml =
+      s"""kind: Source
+         |metadata: {name: corpus}
+         |spec: {format: table, path: corpus_in}
+         |---
+         |kind: Sink
+         |metadata: {name: idx}
+         |spec:
+         |  format: ann_index
+         |  path: $tmp/pq
+         |  options: {kind: ivfpq, dim: "64", nCells: "16", m: "4", codesK: "8", iters: "2"}
+         |---
+         |kind: Pipeline
+         |metadata: {name: build}
+         |spec: {source: corpus, steps: [], sink: idx}
+         |""".stripMargin
+    graft.dsl.Compiler.write(graft.dsl.Compiler.compile(s,
+      graft.dsl.YamlLoader.load(buildYaml), tables = Map("corpus_in" -> e))("build"))
+    val serveYaml =
+      s"""kind: Source
+         |metadata: {name: probes}
+         |spec: {format: table, path: probes_in}
+         |---
+         |kind: Transform
+         |metadata: {name: serve}
+         |spec:
+         |  type: ann_serve
+         |  path: $tmp/pq
+         |  k: 5
+         |  nProbe: 4
+         |---
+         |kind: Sink
+         |metadata: {name: out}
+         |spec: {format: noop, path: ""}
+         |---
+         |kind: Pipeline
+         |metadata: {name: query}
+         |spec: {source: probes, steps: [serve], sink: out}
+         |""".stripMargin
+    val probes = e.filter(col("vec_id") < 10)
+    val topk = graft.dsl.Compiler.compile(s,
+      graft.dsl.YamlLoader.load(serveYaml), tables = Map("probes_in" -> probes))("query").frame
+    val dv = transform(col("embedding"), _.cast("double"))
+    topk
+      .join(e.select(col("vec_id").as("n_id"), dv.as("__cv")), "n_id")
+      .join(broadcast(probes.select(col("vec_id").as("q_id"), dv.as("__qv"))), "q_id")
+      .select(col("q_id"), col("n_id"), col("rank"), col("est_dist2"),
+        round(VF.dot(col("__cv"), col("__cv"))
+          - lit(2.0) * VF.dot(col("__cv"), col("__qv"))
+          + VF.dot(col("__qv"), col("__qv")), 6).as("true_dist2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** The semantic-dedup STEP twin (self mode): q_dedup_semantic's exact
+    * parameters through YAML `semantic_dedup` — surviving rows only, so
+    * the oracle is the same CTE chain projected to kept ids.
+    */
+  private def qDslSemdedup(s: SparkSession, dir: String): DataFrame =
+    dslStep(s, Map("step_in" -> emb(s, dir)),
+      "  type: semantic_dedup\n  idField: vec_id\n  nCells: 16\n  minCosine: 0.15")
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+
+  /** Incremental semantic dedup AGAINST a persisted index (L30 × L55):
+    * the benchmark set (vec_id < 8) becomes a saved flat-IVF corpus
+    * index (4 cells); every embedding is then probed into its 2 nearest
+    * cells and dropped when a RESIDENT vector there (not itself) has
+    * cosine ≥ 0.5 — the daily-crawl shape where yesterday's corpus never
+    * rescans. The oracle replays the bench centroids, both cell
+    * assignments, and the threshold join.
+    */
+  private def qDedupSemanticServed(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.ops.Similarity
+    val e = emb(s, dir)
+    val bench = e.filter(col("vec_id") < 8)
+    val quant = S.centroids(bench, "vec_id", "embedding", 4)
+      .select(col("cent_id"), col("cent_vec"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_semidx").toString
+    TempReaper.register(tmp)
+    graft.ops.AnnIndexStore.saveIvf(s"$tmp/flat", quant,
+      S.ivfIndex(bench, "vec_id", "embedding", quant))
+    val b = graft.ops.AnnIndexStore.loadIvf(s, s"$tmp/flat")
+    S.semanticDedupeAgainstIndex(b.index, b.quantizer, e, "vec_id", "embedding",
+      minCosine = 0.5, nProbe = 2)
+      .orderBy(col("vec_id"))
+  }
+
   /** Contrastive pair mining (L65): brute-force top-1 positives for 50
     * anchors + 4 deterministic cross-label negatives each via the
     * bucket-summary sampler ([[graft.ops.Similarity.contrastivePairs]]).
@@ -1182,6 +1284,30 @@ object SparkEntry {
       emb(s, dir), emb(s, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
       k = 5, dim = 64, tables = 1, probeBits = 1, targetBucketSize = 32L)
       .orderBy(col("q_id"), col("rank"))
+
+  /** The persisted-LSH serve path (AnnIndexStore.saveLsh/loadLsh/serveLsh):
+    * the SAME auto-parameterized multiprobe search as [[qAnnMultiprobe]]
+    * but with the bucketed corpus routed through save → load → serve —
+    * planes/dim/tables come from the on-disk manifest, the bucket frame is
+    * read back group-partitioned and statically pruned to the probed
+    * buckets. Result-identical to the fused path by spec, so it shares
+    * q_ann_multiprobe's oracle verbatim; what this row gates is the
+    * round-trip (a dropped norm column, manifest parameter drift, group
+    * pruning that loses a probed bucket all flip the hash).
+    */
+  private def qAnnLshServed(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.ops.Similarity
+    val e = emb(s, dir)
+    val params = S.planParamsFor(math.max(1L, e.count()), targetBucketSize = 32L)
+    val index = S.lshIndex(e, "vec_id", "embedding", params.planes, dim = 64, tables = 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lshidx_q").toString
+    TempReaper.register(tmp)
+    graft.ops.AnnIndexStore.saveLsh(s"$tmp/lsh", index, params.planes, dim = 64, tables = 1)
+    val bundle = graft.ops.AnnIndexStore.loadLsh(s, s"$tmp/lsh")
+    graft.ops.AnnIndexStore.serveLsh(bundle, e.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5, probeBits = 1)
+      .orderBy(col("q_id"), col("rank"))
+  }
 
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame =
     graft.ops.Similarity.ivfTopK(
@@ -2674,23 +2800,6 @@ object SparkEntry {
     mainOut.unionByName(dlqOut).orderBy(col("branch"), col("event_id"))
   }
 
-  /** Temp trees reclaimed at JVM exit. ONE hook for the whole session —
-    * qStreamAgg can run many times in a long-lived session, and a hook per
-    * invocation would accumulate in the JVM's hook registry.
-    */
-  private object TempReaper {
-    private val paths = new java.util.concurrent.ConcurrentLinkedQueue[String]
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      paths.forEach { tmp =>
-        try
-          java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        catch { case _: Throwable => () }
-      }))
-    def register(path: String): Unit = paths.add(path)
-  }
-
   /** End-to-end STREAMING pipeline with a full oracle (F7/W4/R9-streaming):
     * events.parquet read as a file stream (epoch-nanos `ts` arrives as
     * BIGINT, a map step derives the event-time column), watermarked hourly
@@ -3712,6 +3821,7 @@ object SparkEntry {
     "q_ann_topk" -> (qAnnTopk _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_multiprobe" -> (qAnnMultiprobe _),
+    "q_ann_lsh_served" -> (qAnnLshServed _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_lang_id" -> (qLangId _),
     "q_pii_scrub" -> (qPiiScrub _),
@@ -3800,6 +3910,9 @@ object SparkEntry {
     "q_contrastive" -> (qContrastive _),
     "q_tfidf" -> (qTfidf _),
     "q_dedup_semantic" -> (qDedupSemantic _),
+    "q_dedup_semantic_served" -> (qDedupSemanticServed _),
+    "q_dsl_ann" -> (qDslAnn _),
+    "q_dsl_semdedup" -> (qDslSemdedup _),
     "q_kmeans" -> (qKmeans _),
     "q_kmeans_converged" -> (qKmeansConverged _),
     "q_trim_outliers" -> (qTrimOutliers _),
@@ -3979,6 +4092,88 @@ object SparkEntry {
        |WHERE t.rank <= 5
        |ORDER BY t.qid, t.rank""".stripMargin
   }
+
+  /** q_dedup_semantic's CTE chain (16 md5-chosen centroids, nearest-cell
+    * assignment, same-cell smaller-id cosine ≥ 0.15 drops) — shared with
+    * the q_dsl_semdedup step twin, which projects the same verdicts to
+    * surviving rows.
+    */
+  private def semDedupCtes: String =
+    """WITH cents AS (
+      |  SELECT vec_id AS cent_id, embedding AS cent_vec FROM (
+      |    SELECT vec_id, embedding,
+      |      row_number() OVER (ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id) AS r
+      |    FROM embeddings
+      |  ) WHERE r <= 16
+      |), cells AS (
+      |  SELECT _aid, cent_id FROM (
+      |    SELECT _aid, cent_id, row_number() OVER (PARTITION BY _aid ORDER BY csim DESC, cent_id) AS cr
+      |    FROM (
+      |      SELECT e.vec_id AS _aid, c.cent_id,
+      |        round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])) /
+      |          (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+      |           sqrt(list_dot_product(CAST(c.cent_vec AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])))), 6) AS csim
+      |      FROM embeddings e CROSS JOIN cents c
+      |    )
+      |  ) WHERE cr = 1
+      |), dropped AS (
+      |  SELECT DISTINCT x._aid AS id
+      |  FROM cells x JOIN cells y ON x.cent_id = y.cent_id AND y._aid < x._aid
+      |  JOIN embeddings xe ON xe.vec_id = x._aid
+      |  JOIN embeddings ye ON ye.vec_id = y._aid
+      |  WHERE round(list_dot_product(CAST(xe.embedding AS DOUBLE[]), CAST(ye.embedding AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(xe.embedding AS DOUBLE[]), CAST(xe.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(ye.embedding AS DOUBLE[]), CAST(ye.embedding AS DOUBLE[])))), 6) >= 0.15
+      |)""".stripMargin
+
+  /** q_ann_multiprobe oracle (shared verbatim by q_ann_lsh_served — the
+    * persisted serve path is result-identical by spec): auto-derived
+    * planes from count(*), md5 hyperplanes, radius-1 probe fan on the
+    * query side, DISTINCT-deduped candidate ranking.
+    */
+  private def multiprobeOracle: String =
+    """WITH params AS (
+      |  -- integer-exact ceil(log2(ceil(n/32))): bits(m-1); same closed
+      |  -- form as planParamsFor (FP log2 can ceil an ulp high at exact
+      |  -- powers of two)
+      |  SELECT greatest(1, least(24, CASE WHEN m <= 1 THEN 1
+      |    ELSE CAST(length(bin(m - 1)) AS INT) END)) AS planes
+      |  FROM (SELECT (count(*) + 31) // 32 AS m FROM embeddings)
+      |), w AS (
+      |  SELECT p.p, d.d,
+      |    CAST(CAST(concat('0x', substr(md5(concat(p.p, '_', d.d)), 1, 8)) AS BIGINT) - 2147483648 AS DOUBLE) AS wt
+      |  FROM generate_series(0, 23) p(p) CROSS JOIN generate_series(0, 63) d(d)
+      |  WHERE p.p < (SELECT planes FROM params)
+      |), proj AS (
+      |  SELECT e.vec_id, w.p, sum(CAST(e.embedding[w.d+1] AS DOUBLE) * w.wt) AS pr
+      |  FROM embeddings e CROSS JOIN w
+      |  GROUP BY 1, 2
+      |), buckets AS (
+      |  SELECT vec_id,
+      |    CAST(sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM proj GROUP BY vec_id
+      |), probes AS (
+      |  SELECT b.vec_id,
+      |    CASE WHEN p.p = (SELECT planes FROM params) THEN b.bucket
+      |         ELSE xor(b.bucket, CAST(1 AS BIGINT) << p.p) END AS bucket
+      |  FROM buckets b CROSS JOIN generate_series(0, 24) p(p)
+      |  WHERE b.vec_id < 10 AND p.p <= (SELECT planes FROM params)
+      |), scored AS (
+      |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+      |      (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+      |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
+      |  FROM embeddings c
+      |  JOIN buckets bc ON c.vec_id = bc.vec_id
+      |  JOIN probes bq ON bc.bucket = bq.bucket
+      |  JOIN embeddings q ON q.vec_id = bq.vec_id
+      |  WHERE c.vec_id <> q.vec_id
+      |)
+      |SELECT q_id, rank, n_id, cosine FROM (
+      |  SELECT q_id, n_id, cosine,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+      |  FROM scored
+      |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   /** q_ann_ivfpq oracle: the PQ chains + the q_ann_ivf cell CTEs
     * (16 md5-chosen centroids, cosine assignment, 4 probes) + ADC
@@ -4491,6 +4686,7 @@ object SparkEntry {
     "q_embed_pq" -> pqOracle,
     "q_ann_ivfpq" -> pqIvfOracle,
     "q_ann_ivfpq_served" -> pqIvfOracle, // identical by spec: the row gates the save/load/serve round-trip
+    "q_dsl_ann" -> pqIvfOracle, // identical by spec: the row gates the YAML ann_index/ann_serve round-trip
 
     "q_pagerank" -> pagerankOracle,
     "q_pagerank_converged" -> pagerankConvergedOracle(8, 50000L),
@@ -5093,49 +5289,9 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
         |  FROM scored
         |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
-    "q_ann_multiprobe" ->
-      """WITH params AS (
-        |  -- integer-exact ceil(log2(ceil(n/32))): bits(m-1); same closed
-        |  -- form as planParamsFor (FP log2 can ceil an ulp high at exact
-        |  -- powers of two)
-        |  SELECT greatest(1, least(24, CASE WHEN m <= 1 THEN 1
-        |    ELSE CAST(length(bin(m - 1)) AS INT) END)) AS planes
-        |  FROM (SELECT (count(*) + 31) // 32 AS m FROM embeddings)
-        |), w AS (
-        |  SELECT p.p, d.d,
-        |    CAST(CAST(concat('0x', substr(md5(concat(p.p, '_', d.d)), 1, 8)) AS BIGINT) - 2147483648 AS DOUBLE) AS wt
-        |  FROM generate_series(0, 23) p(p) CROSS JOIN generate_series(0, 63) d(d)
-        |  WHERE p.p < (SELECT planes FROM params)
-        |), proj AS (
-        |  SELECT e.vec_id, w.p, sum(CAST(e.embedding[w.d+1] AS DOUBLE) * w.wt) AS pr
-        |  FROM embeddings e CROSS JOIN w
-        |  GROUP BY 1, 2
-        |), buckets AS (
-        |  SELECT vec_id,
-        |    CAST(sum(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM proj GROUP BY vec_id
-        |), probes AS (
-        |  SELECT b.vec_id,
-        |    CASE WHEN p.p = (SELECT planes FROM params) THEN b.bucket
-        |         ELSE xor(b.bucket, CAST(1 AS BIGINT) << p.p) END AS bucket
-        |  FROM buckets b CROSS JOIN generate_series(0, 24) p(p)
-        |  WHERE b.vec_id < 10 AND p.p <= (SELECT planes FROM params)
-        |), scored AS (
-        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id,
-        |    round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
-        |      (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
-        |       sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
-        |  FROM embeddings c
-        |  JOIN buckets bc ON c.vec_id = bc.vec_id
-        |  JOIN probes bq ON bc.bucket = bq.bucket
-        |  JOIN embeddings q ON q.vec_id = bq.vec_id
-        |  WHERE c.vec_id <> q.vec_id
-        |)
-        |SELECT q_id, rank, n_id, cosine FROM (
-        |  SELECT q_id, n_id, cosine,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
-        |  FROM scored
-        |) WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q_ann_multiprobe" -> multiprobeOracle,
+    // identical by spec: the row gates the LSH save/load/serve round-trip
+    "q_ann_lsh_served" -> multiprobeOracle,
     "q_ann_ivf" ->
       """WITH cents AS (
         |  SELECT vec_id AS cent_id, embedding AS cent_vec FROM (
@@ -6810,14 +6966,38 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
         |  FROM scored
         |) WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
-    "q_dedup_semantic" ->
-      """WITH cents AS (
+    "q_dedup_semantic" -> (semDedupCtes +
+      """
+        |SELECT c._aid AS vec_id, c.cent_id AS cell_id, (d.id IS NULL) AS kept
+        |FROM cells c LEFT JOIN dropped d ON d.id = c._aid
+        |ORDER BY vec_id""".stripMargin),
+    // the STEP twin keeps only surviving rows — same CTE chain, kept ids
+    "q_dsl_semdedup" -> (semDedupCtes +
+      """
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |LEFT JOIN dropped d ON d.id = e.vec_id
+        |WHERE d.id IS NULL ORDER BY vec_id""".stripMargin),
+    "q_dedup_semantic_served" ->
+      """WITH bench AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8
+        |), cents AS (
         |  SELECT vec_id AS cent_id, embedding AS cent_vec FROM (
         |    SELECT vec_id, embedding,
         |      row_number() OVER (ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id) AS r
-        |    FROM embeddings
-        |  ) WHERE r <= 16
-        |), cells AS (
+        |    FROM bench
+        |  ) WHERE r <= 4
+        |), bench_cells AS (
+        |  SELECT _aid, cent_id FROM (
+        |    SELECT _aid, cent_id, row_number() OVER (PARTITION BY _aid ORDER BY csim DESC, cent_id) AS cr
+        |    FROM (
+        |      SELECT b.vec_id AS _aid, c.cent_id,
+        |        round(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])) /
+        |          (sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))) *
+        |           sqrt(list_dot_product(CAST(c.cent_vec AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])))), 6) AS csim
+        |      FROM bench b CROSS JOIN cents c
+        |    )
+        |  ) WHERE cr = 1
+        |), probe_cells AS (
         |  SELECT _aid, cent_id FROM (
         |    SELECT _aid, cent_id, row_number() OVER (PARTITION BY _aid ORDER BY csim DESC, cent_id) AS cr
         |    FROM (
@@ -6827,18 +7007,19 @@ object SparkEntry {
         |           sqrt(list_dot_product(CAST(c.cent_vec AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])))), 6) AS csim
         |      FROM embeddings e CROSS JOIN cents c
         |    )
-        |  ) WHERE cr = 1
+        |  ) WHERE cr <= 2
         |), dropped AS (
-        |  SELECT DISTINCT x._aid AS id
-        |  FROM cells x JOIN cells y ON x.cent_id = y.cent_id AND y._aid < x._aid
-        |  JOIN embeddings xe ON xe.vec_id = x._aid
-        |  JOIN embeddings ye ON ye.vec_id = y._aid
-        |  WHERE round(list_dot_product(CAST(xe.embedding AS DOUBLE[]), CAST(ye.embedding AS DOUBLE[])) /
-        |      (sqrt(list_dot_product(CAST(xe.embedding AS DOUBLE[]), CAST(xe.embedding AS DOUBLE[]))) *
-        |       sqrt(list_dot_product(CAST(ye.embedding AS DOUBLE[]), CAST(ye.embedding AS DOUBLE[])))), 6) >= 0.15
+        |  SELECT DISTINCT p._aid AS id
+        |  FROM probe_cells p JOIN bench_cells bc ON p.cent_id = bc.cent_id
+        |  JOIN embeddings pe ON pe.vec_id = p._aid
+        |  JOIN embeddings be ON be.vec_id = bc._aid
+        |  WHERE bc._aid <> p._aid
+        |    AND round(list_dot_product(CAST(pe.embedding AS DOUBLE[]), CAST(be.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(pe.embedding AS DOUBLE[]), CAST(pe.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(be.embedding AS DOUBLE[]), CAST(be.embedding AS DOUBLE[])))), 6) >= 0.5
         |)
-        |SELECT c._aid AS vec_id, c.cent_id AS cell_id, (d.id IS NULL) AS kept
-        |FROM cells c LEFT JOIN dropped d ON d.id = c._aid
+        |SELECT e.vec_id, (d.id IS NULL) AS kept
+        |FROM embeddings e LEFT JOIN dropped d ON d.id = e.vec_id
         |ORDER BY vec_id""".stripMargin,
     "q_kmeans" ->
       """WITH seeds AS (

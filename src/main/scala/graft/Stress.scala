@@ -177,6 +177,7 @@ object Stress {
 
     lazy val annServeIndexDir: String = {
       val dir = java.nio.file.Files.createTempDirectory("graft_stress_annidx").toString
+      TempReaper.register(dir)
       val corpus = embN
       val nCells = math.max(16, math.sqrt(corpus.count().toDouble).toInt)
       val quant = ops.Similarity.centroids(corpus, "vec_id", "embedding", nCells)
@@ -189,6 +190,33 @@ object Stress {
       s"$dir/pq"
     }
     def annServeQueries() = embN.filter(pmod(col("vec_id"), lit(4999)) === 0).limit(8)
+
+    // round 12: the append-fragmentation loop — the same index as
+    // annServeIndexDir, then 20 daily-ingest appendIvfPq batches (2k
+    // id-shifted vectors each; every batch touches ~every cell, so the
+    // directory re-enters the sliver regime the save path avoids). The
+    // serve rows bracket AnnIndexStore.compact; ann_compact times the
+    // maintenance pass itself. Setup (build + appends) is untimed.
+    lazy val annFragIndexDir: String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_annfrag").toString
+      TempReaper.register(dir)
+      val corpus = embN
+      val nCells = math.max(16, math.sqrt(corpus.count().toDouble).toInt)
+      val quant = ops.Similarity.centroids(corpus, "vec_id", "embedding", nCells)
+        .select(col("cent_id"), col("cent_vec"))
+      val cb = ops.Similarity.pqCodebook(corpus, "vec_id", "embedding",
+        m = 4, codesK = 8, iters = 2, dim = 64)
+      val index = ops.Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
+        quant, cb, m = 4, dim = 64)
+      ops.AnnIndexStore.saveIvfPq(s"$dir/pq", quant, cb, index, m = 4, dim = 64, codesK = 8)
+      val batch = corpus.limit(2000)
+      (1 to 20).foreach(i =>
+        ops.AnnIndexStore.appendIvfPq(spark, s"$dir/pq",
+          batch.select((col("vec_id") + lit(i.toLong * 1000000000L)).as("vec_id"),
+            col("embedding")),
+          "vec_id", "embedding"))
+      s"$dir/pq"
+    }
 
     val opList: Seq[(String, () => DataFrame)] = Seq(
       "pack" -> (() => ops.Packing.packSequences(docsN, "doc_id", "text", capacity = 2048L)),
@@ -364,13 +392,36 @@ object Stress {
         val b = ops.AnnIndexStore.loadIvfPq(spark, annServeIndexDir)
         ops.Similarity.ivfPqTopK(b.index, annServeQueries(), "vec_id", "embedding",
           k = 10, b.quantizer, b.codebook, b.m, b.dim, nProbe = 8)
+      }),
+      // round-12 compaction bracket (ORDER MATTERS — run the trio
+      // together): serve on the 20×-appended sliver layout, the compact
+      // pass itself, serve again on the compacted layout
+      "ann_serve_fragmented" -> (() => {
+        val b = ops.AnnIndexStore.loadIvfPq(spark, annFragIndexDir)
+        ops.AnnIndexStore.serveIvfPq(b, annServeQueries(), "vec_id", "embedding",
+          k = 10, nProbe = 8)
+      }),
+      "ann_compact" -> (() => {
+        val n = ops.AnnIndexStore.compact(spark, annFragIndexDir)
+        spark.range(n.toLong).toDF("files")
+      }),
+      "ann_serve_compacted" -> (() => {
+        val b = ops.AnnIndexStore.loadIvfPq(spark, annFragIndexDir)
+        ops.AnnIndexStore.serveIvfPq(b, annServeQueries(), "vec_id", "embedding",
+          k = 10, nProbe = 8)
       })
     )
 
 
     val selected = if (args.nonEmpty) opList.filter(o => args.contains(o._1)) else opList
     // index build+save is setup, not measurement — force it before timing
-    if (selected.exists(_._1.startsWith("ann_serve"))) { annServeIndexDir; () }
+    if (selected.exists(o => o._1 == "ann_serve_pruned" || o._1 == "ann_serve_unpruned")) {
+      annServeIndexDir; ()
+    }
+    if (selected.exists(o => o._1.startsWith("ann_serve_frag") ||
+        o._1.startsWith("ann_serve_compact") || o._1 == "ann_compact")) {
+      annFragIndexDir; ()
+    }
 
     // per-task ceiling per op: local wall time hides a serialized hot key
     // (31 other cores soak it up); the longest single task is what an

@@ -1,0 +1,19 @@
+package graft
+
+/** Temp trees reclaimed at JVM exit. ONE hook for the whole session —
+  * a query can run many times in a long-lived session, and a hook per
+  * invocation would accumulate in the JVM's hook registry. Shared by
+  * [[SparkEntry]]'s temp-backed queries and [[Stress]]'s index fixtures.
+  */
+private[graft] object TempReaper {
+  private val paths = new java.util.concurrent.ConcurrentLinkedQueue[String]
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    paths.forEach { tmp =>
+      try
+        java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      catch { case _: Throwable => () }
+    }))
+  def register(path: String): Unit = paths.add(path)
+}

@@ -399,6 +399,51 @@ object Compiler {
             graft.sources.Warc.write(frame, idCol, uriCol, bodyCol, p.sink.path)
           else
             graft.sources.WarcGz.write(frame, idCol, uriCol, bodyCol, p.sink.path)
+        // ANN index build+save (the registry.rs apply/run workflow for the
+        // similarity suite): the pipeline's frame is the CORPUS, the sink
+        // path the index directory. kind picks the layout (ivfpq default —
+        // the billion-vector serving shape; ivf keeps vectors resident for
+        // semantic_dedup's indexPath mode; lsh persists the multiprobe
+        // buckets). nCells/planes default to the corpus-count-derived
+        // planParamsFor values — the SURVEY §5 scale rule, declaratively.
+        case "ann_index" =>
+          require(p.sink.partitionBy.isEmpty,
+            s"sink '${p.sink.name}': ann_index lays out its own partitioning")
+          val o = p.sink.options
+          val S = graft.ops.Similarity
+          val aiId = o.getOrElse("idField", "vec_id")
+          val aiVec = o.getOrElse("vecField", "embedding")
+          val aiDim = o.getOrElse("dim",
+            sys.error(s"sink '${p.sink.name}': ann_index needs dim")).toInt
+          lazy val params = S.planParamsFor(math.max(1L, frame.count()))
+          o.getOrElse("kind", "ivfpq") match {
+            case "ivfpq" =>
+              val m = o.getOrElse("m", "4").toInt
+              val codesK = o.getOrElse("codesK", "8").toInt
+              val nCells = o.get("nCells").map(_.toInt).getOrElse(params.nCells)
+              val quant = S.centroids(frame, aiId, aiVec, nCells)
+                .select(col("cent_id"), col("cent_vec"))
+              val cb = S.pqCodebook(frame, aiId, aiVec, m, codesK,
+                iters = o.getOrElse("iters", "2").toInt, dim = aiDim)
+              graft.ops.AnnIndexStore.saveIvfPq(p.sink.path, quant, cb,
+                S.ivfPqIndex(frame, aiId, aiVec, quant, cb, m, aiDim),
+                m = m, dim = aiDim, codesK = codesK)
+            case "ivf" =>
+              val nCells = o.get("nCells").map(_.toInt).getOrElse(params.nCells)
+              val quant = S.centroids(frame, aiId, aiVec, nCells)
+                .select(col("cent_id"), col("cent_vec"))
+              graft.ops.AnnIndexStore.saveIvf(p.sink.path, quant,
+                S.ivfIndex(frame, aiId, aiVec, quant))
+            case "lsh" =>
+              val planes = o.get("planes").map(_.toInt).getOrElse(params.planes)
+              val tables = o.getOrElse("tables", "1").toInt
+              graft.ops.AnnIndexStore.saveLsh(p.sink.path,
+                S.lshIndex(frame, aiId, aiVec, planes, aiDim, tables),
+                planes, aiDim, tables)
+            case other =>
+              sys.error(s"sink '${p.sink.name}': ann_index kind must be " +
+                s"ivfpq|ivf|lsh, got '$other'")
+          }
         // Network push sink (GrpcSinkConfig, types.rs:744-780): the path is
         // the ENDPOINT; per-message retry + DLQ-on-exhaustion via PushSink.
         case "push" =>
@@ -1185,6 +1230,69 @@ object Compiler {
           keys = c.get("keys").map(_.asInstanceOf[Seq[Any]].map(_.toString)).getOrElse(Nil),
           bucketWidth = c("bucketWidth").toString.toLong,
           rightPrefix = c.getOrElse("rightPrefix", "r_").toString)
+      case "ann_serve" =>
+        // Top-k ANN retrieval from a PERSISTED index (AnnIndexStore) as a
+        // pipeline step: the incoming frame is the QUERY batch; the index
+        // kind and its parameters come from the on-disk manifest, never
+        // the manifest the user typed — a drifted m/dim/planes cannot
+        // silently decode garbage (the registry.rs apply/run workflow:
+        // build once via the `ann_index` sink, serve declaratively).
+        // Batch-only: the serve path's static pruning collects the probed
+        // cell/bucket set, which needs a materializable query batch.
+        require(!df.isStreaming,
+          "ann_serve is batch-only: static index pruning collects the " +
+            "probed cell set per query batch — drive streams through " +
+            "foreachBatch")
+        val annPath = c("path").toString
+        val annId = c.getOrElse("idField", "vec_id").toString
+        val annVec = c.getOrElse("vecField", "embedding").toString
+        val annK = c.getOrElse("k", 10).toString.toInt
+        val spark = df.sparkSession
+        graft.ops.AnnIndexStore.kindOf(spark, annPath) match {
+          case "ivfpq" =>
+            graft.ops.AnnIndexStore.serveIvfPq(
+              graft.ops.AnnIndexStore.loadIvfPq(spark, annPath),
+              df, annId, annVec, annK,
+              nProbe = c.getOrElse("nProbe", 8).toString.toInt)
+          case "ivf" =>
+            graft.ops.AnnIndexStore.serveIvf(
+              graft.ops.AnnIndexStore.loadIvf(spark, annPath),
+              df, annId, annVec, annK,
+              nProbe = c.getOrElse("nProbe", 8).toString.toInt)
+          case "lsh" =>
+            graft.ops.AnnIndexStore.serveLsh(
+              graft.ops.AnnIndexStore.loadLsh(spark, annPath),
+              df, annId, annVec, annK,
+              probeBits = c.getOrElse("probeBits", 1).toString.toInt)
+          case other => sys.error(s"ann_serve: unknown index kind '$other' at $annPath")
+        }
+      case "semantic_dedup" =>
+        // SemDeDup as a pipeline step. Without `indexPath`: self-dedup —
+        // nearest-cell assignment over the frame's own deterministic
+        // centroids, keep the lowest-id survivor per dense neighborhood
+        // (Similarity.semanticDedupe), surviving rows with the ORIGINAL
+        // schema. With `indexPath`: incremental dedup of the incoming
+        // frame AGAINST a persisted flat-IVF corpus index — the
+        // daily-crawl shape where yesterday's corpus never rescans.
+        // Batch-only: cell assignment is a corpus-level aggregate.
+        require(!df.isStreaming,
+          "semantic_dedup is batch-only: cell assignment aggregates over " +
+            "the corpus — run it as a curation pipeline")
+        val sdId = c.getOrElse("idField", "vec_id").toString
+        val sdVec = c.getOrElse("vecField", "embedding").toString
+        val sdMinCos = c.getOrElse("minCosine", 0.9).toString.toDouble
+        val verdicts = c.get("indexPath") match {
+          case Some(path) =>
+            val b = graft.ops.AnnIndexStore.loadIvf(df.sparkSession, path.toString)
+            graft.ops.Similarity.semanticDedupeAgainstIndex(
+              b.index, b.quantizer, df, sdId, sdVec, sdMinCos,
+              nProbe = c.getOrElse("nProbe", 2).toString.toInt)
+          case None =>
+            val nCells = c.get("nCells").map(_.toString.toInt).getOrElse(
+              graft.ops.Similarity.planParamsFor(math.max(1L, df.count())).nCells)
+            graft.ops.Similarity.semanticDedupe(df, sdId, sdVec, nCells, sdMinCos)
+        }
+        df.join(verdicts.filter(col("kept")).select(col(sdId)), Seq(sdId), "left_semi")
       case "lookup" =>
         Lookup(
           tables.getOrElse(c("table").toString, sys.error(s"lookup table not provided: ${c("table")}")),

@@ -56,6 +56,51 @@ final class MetricsListener extends QueryExecutionListener {
   def clear(): Unit = metrics.clear()
 }
 
+/** Per-micro-batch progress of a STREAMING query — the streaming half of
+  * the reference's metrics surface (conveyor-etl-metrics/src/lib.rs:
+  * records received, delivery latency), which the batch
+  * [[MetricsListener]] cannot see: a streaming query completes its
+  * batches inside one long-lived execution, so the counters ride Spark's
+  * StreamingQueryProgress instead of QueryExecutionListener callbacks.
+  */
+final case class StreamMetric(
+    queryName: String,        // queryName if set, else the query id
+    batchId: Long,
+    numInputRows: Long,       // records received this batch
+    batchDurationMs: Long,    // triggerExecution wall-clock
+    watermark: String,        // current event-time watermark ("" if none)
+    stateRows: Long,          // total rows across stateful operators
+    stateBytes: Long          // memory used by state stores
+)
+
+final class StreamingMetricsListener
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+  private val metrics = new ConcurrentLinkedQueue[StreamMetric]()
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    metrics.add(StreamMetric(
+      queryName = Option(p.name).getOrElse(p.id.toString),
+      batchId = p.batchId,
+      numInputRows = p.numInputRows,
+      batchDurationMs = Option(p.durationMs.get("triggerExecution"))
+        .map(_.longValue).getOrElse(-1L),
+      watermark = Option(p.eventTime.get("watermark")).getOrElse(""),
+      stateRows = p.stateOperators.map(_.numRowsTotal).sum,
+      stateBytes = p.stateOperators.map(_.memoryUsedBytes).sum))
+  }
+
+  /** All progress metrics recorded so far (oldest first) — the same
+    * drain-and-export contract as [[MetricsListener.snapshot]].
+    */
+  def snapshot: Seq[StreamMetric] = metrics.iterator().asScala.toSeq
+
+  def clear(): Unit = metrics.clear()
+}
+
 object Metrics {
   /** Attach a fresh listener to the session and return it. */
   def attach(spark: SparkSession): MetricsListener = {
@@ -66,6 +111,52 @@ object Metrics {
 
   def detach(spark: SparkSession, l: MetricsListener): Unit =
     spark.listenerManager.unregister(l)
+
+  /** Attach a fresh STREAMING listener (micro-batch progress for every
+    * query on the session) and return it.
+    */
+  def attachStreaming(spark: SparkSession): StreamingMetricsListener = {
+    val l = new StreamingMetricsListener
+    spark.streams.addListener(l)
+    l
+  }
+
+  def detachStreaming(spark: SparkSession, l: StreamingMetricsListener): Unit =
+    spark.streams.removeListener(l)
+
+  /** Prometheus text exposition of the streaming counters — the
+    * records-received / latency / state-size gauges of
+    * conveyor-etl-metrics/src/lib.rs for resident queries.
+    */
+  def renderPrometheusStreaming(l: StreamingMetricsListener): String = {
+    def esc(s: String) =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+    val byName = l.snapshot.groupBy(_.queryName).toSeq.sortBy(_._1)
+    val sb = new StringBuilder
+    sb.append("# TYPE graft_stream_records_received_total counter\n")
+    for ((name, ms) <- byName)
+      sb.append(s"""graft_stream_records_received_total{query="${esc(name)}"} """ +
+        ms.map(_.numInputRows).sum).append('\n')
+    sb.append("# TYPE graft_stream_batches_total counter\n")
+    for ((name, ms) <- byName)
+      sb.append(s"""graft_stream_batches_total{query="${esc(name)}"} ${ms.size}""")
+        .append('\n')
+    sb.append("# TYPE graft_stream_batch_duration_ms summary\n")
+    for ((name, ms) <- byName) {
+      val durs = ms.map(_.batchDurationMs).filter(_ >= 0)
+      if (durs.nonEmpty) {
+        sb.append(s"""graft_stream_batch_duration_ms_sum{query="${esc(name)}"} ${durs.sum}""")
+          .append('\n')
+        sb.append(s"""graft_stream_batch_duration_ms_count{query="${esc(name)}"} ${durs.size}""")
+          .append('\n')
+      }
+    }
+    sb.append("# TYPE graft_stream_state_rows gauge\n")
+    for ((name, ms) <- byName)
+      sb.append(s"""graft_stream_state_rows{query="${esc(name)}"} ${ms.last.stateRows}""")
+        .append('\n')
+    sb.result()
+  }
 
   /** Prometheus text exposition of the collected metrics — the
     * data-plane counters of conveyor-etl-metrics/src/lib.rs:7-32

@@ -49,6 +49,14 @@ object AnnIndexStore {
 
   final case class IvfBundle(quantizer: DataFrame, index: DataFrame, nCells: Int)
 
+  final case class LshBundle(
+      index: DataFrame,
+      planes: Int,
+      dim: Int,
+      tables: Int,
+      nGroups: Int
+  )
+
   /** Persist an IVF-PQ index: quantizer + codebook + cell-partitioned
     * codes + MANIFEST.json. Overwrites `dir`.
     */
@@ -93,6 +101,113 @@ object AnnIndexStore {
         s""""quantizerSchema":${j(quantizer.schema.toDDL)},""" +
         s""""indexSchema":${j(index.schema.toDDL)}}""")
   }
+
+  /** How many hive partition directories an LSH index uses: one per
+    * `pmod(bucket, nGroups)` group. The raw bucket space is
+    * tables·2^planes — far too many directories to partition on at real
+    * plane counts (planes=24 is 16M) — so buckets hash into at most this
+    * many groups; the serve path prunes on the group column statically
+    * and on the in-file `bucket` column via row-group min/max (each group
+    * directory is written sorted by bucket).
+    */
+  val LshMaxGroups: Int = 1024
+
+  /** Persist an LSH index ([[Similarity.lshIndex]] output): bucketed
+    * corpus rows partitioned by bucket GROUP + MANIFEST.json pinning
+    * planes/dim/tables. There is no hyperplane seed to pin — the planes
+    * are content-addressed (md5 of the (plane, dim) index pair,
+    * [[graft.functions.VectorFunctions.planeWeight]]), so identical
+    * parameters always regenerate identical hyperplanes; what the
+    * manifest prevents is serving with DIFFERENT parameters, which would
+    * hash queries into a bucket space the stored rows never used (zero
+    * recall, silently). Overwrites `dir`.
+    */
+  def saveLsh(
+      dir: String,
+      index: DataFrame,
+      planes: Int,
+      dim: Int,
+      tables: Int
+  ): Unit = {
+    val totalBuckets = math.min(tables.toLong << planes, Int.MaxValue.toLong)
+    val nGroups = math.min(totalBuckets, LshMaxGroups.toLong).toInt
+    val grouped = index.withColumn("bucket_grp", pmod(col("bucket"), lit(nGroups.toLong)))
+    // one file per group directory (the saveIvfPq sliver treatment), rows
+    // sorted by bucket inside it so parquet row-group min/max stats prune
+    // the bucket IN-list the serve path pushes
+    grouped.repartition(col("bucket_grp"))
+      .sortWithinPartitions(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket_grp").parquet(s"$dir/index")
+    writeManifest(index.sparkSession, dir,
+      s"""{"kind":"lsh","planes":$planes,"dim":$dim,"tables":$tables,""" +
+        s""""nGroups":$nGroups,"indexSchema":${j(grouped.schema.toDDL)}}""")
+  }
+
+  def loadLsh(spark: SparkSession, dir: String): LshBundle = {
+    val mf = readManifest(spark, dir)
+    require(mf("kind") == "lsh",
+      s"$dir holds a '${mf("kind")}' index, not lsh — use the matching loader")
+    LshBundle(
+      readFrame(spark, s"$dir/index", mf.get("indexSchema")),
+      planes = mf("planes").toInt, dim = mf("dim").toInt,
+      tables = mf("tables").toInt, nGroups = mf("nGroups").toInt)
+  }
+
+  /** Serve top-k from a loaded LSH bundle — planes/dim/tables come from
+    * the manifest, never the caller. Static pruning mirrors
+    * [[serveIvfPq]]: the query batch's probed bucket set is tiny by
+    * contract (≤ |queries|·(1+planes)·tables), so it is collected (one
+    * small job — only the query side hashes) and pushed twice: the
+    * bucket GROUPS as a partition filter (directory pruning) and the
+    * bucket ids as an IN-list the sorted files' row-group stats prune.
+    * Results are unchanged — the filters keep a superset of every bucket
+    * the downstream equi-join matches.
+    */
+  def serveLsh(
+      bundle: LshBundle,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      probeBits: Int = 1
+  ): DataFrame = {
+    val buckets = Similarity.probeBuckets(queries, idCol, vecCol,
+        bundle.planes, bundle.dim, bundle.tables, probeBits)
+      .collect().map(_.getLong(0)).toSeq
+    val groups = buckets.map(b => math.floorMod(b, bundle.nGroups.toLong)).distinct
+    val pruned = bundle.index
+      .filter(col("bucket_grp").isInCollection(groups) &&
+        col("bucket").isInCollection(buckets))
+    Similarity.lshTopKIndexed(pruned, queries, idCol, vecCol, k,
+      bundle.planes, bundle.dim, bundle.tables, probeBits)
+  }
+
+  /** Incrementally add vectors to a persisted LSH index: bucket them with
+    * the PINNED parameters and append — the same daily-ingest shape as
+    * [[appendIvfPq]], with the same caveats (caller owns id uniqueness;
+    * appends fragment group directories — run [[compact]] on a cadence).
+    */
+  def appendLsh(
+      spark: SparkSession,
+      dir: String,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): Unit = {
+    val b = loadLsh(spark, dir)
+    Similarity.lshIndex(vectors, idCol, vecCol, b.planes, b.dim, b.tables)
+      .withColumn("bucket_grp", pmod(col("bucket"), lit(b.nGroups.toLong)))
+      .repartition(col("bucket_grp")) // one appended file per touched group
+      .sortWithinPartitions(col("bucket"))
+      .write.mode("append").partitionBy("bucket_grp").parquet(s"$dir/index")
+  }
+
+  /** The stored index kind ("ivf" | "ivfpq" | "lsh") from the manifest —
+    * the dispatch key for kind-agnostic callers (the DSL's `ann_serve`
+    * step); fails with the actionable no-MANIFEST error on non-index dirs.
+    */
+  def kindOf(spark: SparkSession, dir: String): String =
+    readManifest(spark, dir)("kind")
 
   def loadIvfPq(spark: SparkSession, dir: String): IvfPqBundle = {
     val mf = readManifest(spark, dir)
@@ -188,6 +303,25 @@ object AnnIndexStore {
       .write.mode("append").partitionBy("cent_id").parquet(s"$dir/index")
   }
 
+  /** Re-compact a persisted index's coded frame back to ~one file per
+    * cell — the maintenance pass that closes [[appendIvfPq]]'s
+    * fragmentation loop: every append adds ≥1 new file per touched cell,
+    * and after enough daily batches the index is back in the sliver-file
+    * regime the save path's repartition exists to avoid (measured
+    * ×2.5-3 serve latency, BASELINE.md "ANN serving" rows). Delegates to
+    * [[Layout.compact]]'s hive-partition-preserving rewrite — partition
+    * directory names round-trip verbatim and the swap is rename-aside, so
+    * a crash mid-compact never strands the only copy. The MANIFEST (and
+    * quantizer/codebook, written once at save) are untouched: compaction
+    * changes the file layout, never the index's content or parameters.
+    * Works for every stored kind (ivf, ivfpq, lsh — anything whose rows
+    * live under `dir/index`). Returns the target file count.
+    */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20): Int = {
+    readManifest(spark, dir) // refuse non-index directories before rewriting
+    Layout.compact(spark, s"$dir/index", targetBytes)
+  }
+
   private def j(v: String): String =
     "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
@@ -214,12 +348,19 @@ object AnnIndexStore {
     require(fs.exists(p), s"$dir is not a saved ANN index (no MANIFEST.json)")
     val in = fs.open(p)
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    // flat JSON object of string/number values (schemas contain commas
-    // and angle brackets, so values parse as full quoted strings)
-    val str = """"(\w+)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    val num = """"(\w+)"\s*:\s*(\d+)""".r
-    (str.findAllMatchIn(text).map(m =>
-        m.group(1) -> m.group(2).replace("\\\"", "\"").replace("\\\\", "\\")) ++
-      num.findAllMatchIn(text).map(m => m.group(1) -> m.group(2))).toMap
+    // a REAL JSON parse (Jackson rides Spark's classpath), not regex
+    // scraping: a schema DDL whose default expression happened to contain
+    // a '"key":"value"'-shaped substring would have been scraped into the
+    // map silently — the classic mis-parse a structural parser can't make
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    require(node != null && node.isObject, s"$p is not a JSON object manifest")
+    val b = Map.newBuilder[String, String]
+    node.properties().forEach { e =>
+      val v = e.getValue
+      require(v.isTextual || v.isNumber,
+        s"$p: manifest value '${e.getKey}' must be a string or number, got $v")
+      b += e.getKey -> v.asText()
+    }
+    b.result()
   }
 }

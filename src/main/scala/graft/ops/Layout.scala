@@ -18,16 +18,29 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  private val TempCols =
-    Seq("__graft_za", "__graft_zb", "__graft_mina", "__graft_maxa",
-      "__graft_minb", "__graft_maxb", "__graft_an", "__graft_bn")
+  /** z-value (Morton code) of two columns — the common case, delegating
+    * to the N-column form below (bit layout is identical: colA takes the
+    * odd positions, colB the even).
+    */
+  def withZValue(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      bits: Int,
+      outCol: String = "zval"
+  ): DataFrame = withZValueN(df, Seq(colA, colB), bits, outCol)
 
-  /** z-value (Morton code) of two columns: each is cast to long, rank-
+  /** z-value (Morton code) of N ≥ 2 columns: each is cast to long, rank-
     * normalized to [0, 2^bits) by integer min/max scaling (one tiny agg
     * broadcast back — the corpus does not shuffle for stats), then bit-
-    * interleaved (colA takes the odd bit positions, colB the even). A
-    * constant column normalizes to 0; a NULL in either column yields a
-    * NULL z-value (range partitioning groups them together).
+    * interleaved round-robin: bit i of column j lands at position
+    * i·n + (n−1−j), so for two columns the first column takes the odd
+    * positions and the second the even — byte-identical to the original
+    * two-column kernel, which keeps q_zorder's oracle valid. A constant
+    * column normalizes to 0; a NULL in ANY column yields a NULL z-value
+    * (range partitioning groups them together). n·bits must fit the
+    * 63-bit non-negative long budget — 3 columns at the default 12 bits
+    * (date, domain, lang — the real curation shape) uses 36.
     *
     * The scaling runs in DECIMAL(38,0): `(x - min) * 2^bits` overflows a
     * long once the column range exceeds 2^(63-bits) — hash-derived ids
@@ -38,23 +51,30 @@ object Layout {
     * formula wherever that formula doesn't overflow (which is why the
     * small-domain oracle can replay it in BIGINT).
     */
-  def withZValue(
+  def withZValueN(
       df: DataFrame,
-      colA: String,
-      colB: String,
+      cols: Seq[String],
       bits: Int,
       outCol: String = "zval"
   ): DataFrame = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    (TempCols :+ outCol).foreach(c =>
+    val n = cols.size
+    require(n >= 2, "z-order needs at least two columns")
+    require(n.toLong * bits <= 63,
+      s"$n columns x $bits bits exceeds the 63-bit z-value budget — lower bits")
+    val zCols = cols.indices.map(j => s"__graft_z$j")
+    val nCols = cols.indices.map(j => s"__graft_n$j")
+    val mnCols = cols.indices.map(j => s"__graft_mn$j")
+    val mxCols = cols.indices.map(j => s"__graft_mx$j")
+    val temps = zCols ++ nCols ++ mnCols ++ mxCols
+    (temps :+ outCol).foreach(c =>
       require(!df.columns.contains(c), s"withZValue: input already has a '$c' column"))
     val cells = 1L << bits
-    val prepared = df
-      .withColumn("__graft_za", col(colA).cast("long"))
-      .withColumn("__graft_zb", col(colB).cast("long"))
-    val mm = prepared.agg(
-      min(col("__graft_za")).as("__graft_mina"), max(col("__graft_za")).as("__graft_maxa"),
-      min(col("__graft_zb")).as("__graft_minb"), max(col("__graft_zb")).as("__graft_maxb"))
+    val prepared = cols.indices.foldLeft(df)((d, j) =>
+      d.withColumn(zCols(j), col(cols(j)).cast("long")))
+    val aggs = cols.indices.flatMap(j => Seq(
+      min(col(zCols(j))).as(mnCols(j)), max(col(zCols(j))).as(mxCols(j))))
+    val mm = prepared.agg(aggs.head, aggs.tail: _*)
     // Fast path: plain long arithmetic whenever the range provably fits —
     // try_subtract NULLs exactly when the true range exceeds Long.Max
     // (ANSI subtraction would throw), and capping it at Long.Max/cells
@@ -70,27 +90,18 @@ object Layout {
           s"""(CAST($x AS DECIMAL(38,0)) - CAST($mn AS DECIMAL(38,0))) * ${cells}L
              | div (CAST($mx AS DECIMAL(38,0)) - CAST($mn AS DECIMAL(38,0)) + 1)""".stripMargin))
     }
-    val scaled = prepared
-      .crossJoin(broadcast(mm))
-      .withColumn("__graft_an", scale("__graft_za", "__graft_mina", "__graft_maxa"))
-      .withColumn("__graft_bn", scale("__graft_zb", "__graft_minb", "__graft_maxb"))
-    val z = (0 until bits)
-      .map { i =>
-        shiftleft(shiftright(col("__graft_an"), i).bitwiseAND(lit(1L)), 2 * i + 1)
-          .bitwiseOR(shiftleft(shiftright(col("__graft_bn"), i).bitwiseAND(lit(1L)), 2 * i))
-      }
+    val scaled = cols.indices.foldLeft(prepared.crossJoin(broadcast(mm)))((d, j) =>
+      d.withColumn(nCols(j), scale(zCols(j), mnCols(j), mxCols(j))))
+    val z = (for (i <- 0 until bits; j <- cols.indices) yield
+        shiftleft(shiftright(col(nCols(j)), i).bitwiseAND(lit(1L)), i * n + (n - 1 - j)))
       .reduce(_.bitwiseOR(_))
     scaled
       .withColumn(outCol, z)
-      .drop(TempCols: _*)
+      .drop(temps: _*)
   }
 
-  /** Re-lay a frame out along the z-order curve of (colA, colB):
-    * range-partition on the z-value into `numPartitions` output files-to-be
-    * and sort within each, so every written file's footer covers a compact
-    * z-range — i.e. a small rectangle of the (colA, colB) domain. Write
-    * the result with any parquet sink; scans filtering on either column
-    * then skip most files on min/max stats alone.
+  /** Re-lay a frame out along the z-order curve of (colA, colB) — the
+    * two-column common case of [[zOrderN]].
     */
   def zOrder(
       df: DataFrame,
@@ -98,26 +109,43 @@ object Layout {
       colB: String,
       bits: Int,
       numPartitions: Int
+  ): DataFrame = zOrderN(df, Seq(colA, colB), bits, numPartitions)
+
+  /** Re-lay a frame out along the z-order curve of N ≥ 2 columns:
+    * range-partition on the z-value into `numPartitions` output files-to-be
+    * and sort within each, so every written file's footer covers a compact
+    * z-range — i.e. a small hyper-rectangle of the key domain. Write
+    * the result with any parquet sink; scans filtering on ANY of the
+    * columns then skip most files on min/max stats alone.
+    */
+  def zOrderN(
+      df: DataFrame,
+      cols: Seq[String],
+      bits: Int,
+      numPartitions: Int
   ): DataFrame = {
     require(numPartitions >= 1, "numPartitions must be >= 1")
     val zc = "__graft_zval"
-    withZValue(df, colA, colB, bits, outCol = zc)
+    withZValueN(df, cols, bits, outCol = zc)
       .repartitionByRange(numPartitions, col(zc))
       .sortWithinPartitions(col(zc))
       .drop(zc)
   }
 
   /** The shared sink-side wrapper (Writers.write and the DSL batch write
-    * path): validates the two-column contract and sizes the layout to the
-    * session's shuffle parallelism.
+    * path): validates the column-count/bit-budget contract and sizes the
+    * layout to the session's shuffle parallelism.
     */
   def applyZOrder(df: DataFrame, zOrderBy: Seq[String], bits: Int,
       what: String): DataFrame =
     if (zOrderBy.isEmpty) df
     else {
-      require(zOrderBy.size == 2, s"$what: zOrderBy takes exactly two columns")
+      require(zOrderBy.size >= 2, s"$what: zOrderBy takes at least two columns")
+      require(zOrderBy.size.toLong * bits <= 63,
+        s"$what: ${zOrderBy.size} zOrderBy columns x $bits bits exceeds the " +
+          "63-bit z-value budget — lower zOrderBits")
       val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-      zOrder(df, zOrderBy.head, zOrderBy(1), bits, parts)
+      zOrderN(df, zOrderBy, bits, parts)
     }
 
   /** Hive-style partition columns of a parquet directory, in directory
@@ -172,7 +200,9 @@ object Layout {
       bits: Int = 12
   ): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
-    require(zOrderBy.isEmpty || zOrderBy.size == 2, "zOrderBy takes exactly two columns")
+    require(zOrderBy.isEmpty || zOrderBy.size >= 2, "zOrderBy takes at least two columns")
+    require(zOrderBy.size.toLong * bits <= 63,
+      s"${zOrderBy.size} zOrderBy columns x $bits bits exceeds the 63-bit z-value budget")
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(path + "__compact_old")
@@ -211,7 +241,7 @@ object Layout {
     val (out, nFiles) =
       if (partCols.isEmpty) {
         val n = fileCount(leafDirBytes(fs, hp, 0).head._2)
-        val o = if (zOrderBy.nonEmpty) zOrder(df, zOrderBy.head, zOrderBy(1), bits, n)
+        val o = if (zOrderBy.nonEmpty) zOrderN(df, zOrderBy, bits, n)
                 else df.repartition(n)
         (o, n)
       } else {
@@ -258,8 +288,8 @@ object Layout {
             // salt = z-bucket (not a hash) so every file still covers a
             // compact z-range within its directory
             val zc = "__graft_zval"
-            val maxZ = 1L << math.min(62, 2 * bits)
-            withZValue(joined, zOrderBy.head, zOrderBy(1), bits, outCol = zc)
+            val maxZ = 1L << math.min(62, zOrderBy.size * bits)
+            withZValueN(joined, zOrderBy, bits, outCol = zc)
               .withColumn(fid, col("__graft_off") + coalesce(
                 expr(s"CAST(CAST($zc AS DECIMAL(38,0)) * __graft_nf DIV ${maxZ}L AS INT)"),
                 lit(0)))

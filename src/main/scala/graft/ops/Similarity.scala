@@ -205,47 +205,115 @@ object Similarity {
       dim: Int,
       tables: Int = 1,
       probeBits: Int = 0
-  ): DataFrame = {
+  ): DataFrame =
+    // fused build+query: exactly lshIndex → lshTopKIndexed — factored (the
+    // ivfIndex/ivfTopKIndexed treatment) so deployments can persist the
+    // bucketed corpus (AnnIndexStore.saveLsh) and pay the bucketing once
+    lshTopKIndexed(lshIndex(corpus, idCol, vecCol, planes, dim, tables),
+      queries, idCol, vecCol, k, planes, dim, tables, probeBits)
+
+  private def requireLshParams(planes: Int, tables: Int, probeBits: Int): Unit = {
     require(tables >= 1 && planes + math.ceil(math.log(tables) / math.log(2)) <= 62,
       "table tag + bucket bits must fit in a long")
     require(probeBits == 0 || probeBits == 1,
       "multiprobe supports Hamming radius 0 or 1 (radius 2 is planes^2 probes)")
-    // Table t's bucket ids are tagged into a disjoint key space
-    // (t*2^planes + bits), so one explode + one equi-join serves all
-    // tables; tables == 1, probeBits == 0 keeps the original
-    // single-bucket plan (and its oracle) exactly.
-    def withAllBuckets(df: DataFrame): DataFrame =
-      if (tables == 1) withBuckets(df, vecCol, planes, dim)
-      else df.withColumn("bucket", explode(
-        // ONE codegen pass computes every table's bucket (array<long>);
-        // the tag shift moves table t's id into its disjoint key range —
-        // the transform runs over `tables` elements, not the vector
-        transform(V.hyperplaneBuckets(col(vecCol), planes, dim, tables),
-          (b, t) => b + shiftleft(t.cast("long"), planes))))
-    // Multiprobe (QUERY side only): besides its own bucket, a query probes
-    // every bucket one sign-bit flip away — the buckets its true neighbors
-    // most likely landed in when a near-zero projection flipped. Candidate
-    // cost ×(1+planes) per table, but the corpus side (the 100 TB side)
-    // still materializes ONE bucket per table — same join, same shuffle
-    // shape, only the tiny probe side fans out.
-    def withProbes(df: DataFrame): DataFrame = {
-      val base = withAllBuckets(df)
-      if (probeBits == 0) base
-      else base
-        .withColumnRenamed("bucket", "_b0")
-        // flips stay inside the low `planes` bits, so the table tag (the
-        // high bits) is preserved and probes never cross tables
-        .withColumn("bucket", explode(array(
-          col("_b0") +: (0 until planes).map(i => col("_b0").bitwiseXOR(lit(1L << i))): _*)))
-        .drop("_b0")
-    }
-    val c = withAllBuckets(corpus)
+  }
+
+  /** Table t's bucket ids are tagged into a disjoint key space
+    * (t*2^planes + bits), so one explode + one equi-join serves all
+    * tables; tables == 1 keeps the original single-bucket plan (and its
+    * oracle) exactly.
+    */
+  private def withAllBuckets(df: DataFrame, vecCol: String, planes: Int,
+      dim: Int, tables: Int): DataFrame =
+    if (tables == 1) withBuckets(df, vecCol, planes, dim)
+    else df.withColumn("bucket", explode(
+      // ONE codegen pass computes every table's bucket (array<long>);
+      // the tag shift moves table t's id into its disjoint key range —
+      // the transform runs over `tables` elements, not the vector
+      transform(V.hyperplaneBuckets(col(vecCol), planes, dim, tables),
+        (b, t) => b + shiftleft(t.cast("long"), planes))))
+
+  /** Multiprobe (QUERY side only): besides its own bucket, a query probes
+    * every bucket one sign-bit flip away — the buckets its true neighbors
+    * most likely landed in when a near-zero projection flipped. Candidate
+    * cost ×(1+planes) per table, but the corpus side (the 100 TB side)
+    * still materializes ONE bucket per table — same join, same shuffle
+    * shape, only the tiny probe side fans out.
+    */
+  private def withProbes(df: DataFrame, vecCol: String, planes: Int,
+      dim: Int, tables: Int, probeBits: Int): DataFrame = {
+    val base = withAllBuckets(df, vecCol, planes, dim, tables)
+    if (probeBits == 0) base
+    else base
+      .withColumnRenamed("bucket", "_b0")
+      // flips stay inside the low `planes` bits, so the table tag (the
+      // high bits) is preserved and probes never cross tables
+      .withColumn("bucket", explode(array(
+        col("_b0") +: (0 until planes).map(i => col("_b0").bitwiseXOR(lit(1L << i))): _*)))
+      .drop("_b0")
+  }
+
+  /** The distinct (tagged) bucket ids a query batch will probe — own
+    * bucket per table, plus every Hamming-radius-`probeBits` flip — the
+    * LSH serving layer's static pruning key set ([[AnnIndexStore.serveLsh]]
+    * collects it; bounded by |queries|·(1+planes)·tables, and by the total
+    * bucket count).
+    */
+  def probeBuckets(queries: DataFrame, idCol: String, vecCol: String,
+      planes: Int, dim: Int, tables: Int, probeBits: Int): DataFrame = {
+    requireLshParams(planes, tables, probeBits)
+    withProbes(queries, vecCol, planes, dim, tables, probeBits)
+      .select(col("bucket")).distinct()
+  }
+
+  /** One-off LSH index build — the corpus side of [[lshTopK]] as a
+    * persistable frame: every corpus vector's (tagged) bucket per table,
+    * with the norm precomputed. Returns (bucket, n_id, n_vec, n_norm) —
+    * `tables` rows per vector. Build once per corpus version, persist
+    * ([[AnnIndexStore.saveLsh]]), and serve every query batch from it via
+    * [[lshTopKIndexed]]: the corpus-side bucketing (the 100 TB scan) is
+    * paid once instead of per job.
+    */
+  def lshIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int,
+      dim: Int,
+      tables: Int = 1
+  ): DataFrame = {
+    requireLshParams(planes, tables, probeBits = 0)
+    withAllBuckets(corpus, vecCol, planes, dim, tables)
       .select(col("bucket"), col(idCol).as("n_id"), col(vecCol).as("n_vec"),
         V.norm(col(vecCol)).as("n_norm"))
-    val q = withProbes(queries)
+  }
+
+  /** Query a prebuilt [[lshIndex]]: only the (tiny) query side hashes and
+    * multiprobe-fans; candidates come from the index's matching buckets —
+    * a bucket-key equi-join against stored data, no corpus re-bucketing.
+    * Plan-equal results to [[lshTopK]] with the same parameters
+    * (spec-verified). `planes`/`dim`/`tables` MUST be the values the index
+    * was built with — persisted indexes pin them in the manifest
+    * ([[AnnIndexStore.loadLsh]]) so they cannot drift.
+    */
+  def lshTopKIndexed(
+      index: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int,
+      dim: Int,
+      tables: Int = 1,
+      probeBits: Int = 0
+  ): DataFrame = {
+    requireLshParams(planes, tables, probeBits)
+    val q = withProbes(queries, vecCol, planes, dim, tables, probeBits)
       .select(col("bucket"), col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         V.norm(col(vecCol)).as("q_norm"))
-    val scoredAll = c
+    val scoredAll = index
+      .select(col("bucket"), col("n_id"), col("n_vec"), col("n_norm"))
       .join(q, Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
       .select(
@@ -494,6 +562,43 @@ object Similarity {
         col("_aid").as(idCol),
         col("cent_id").as("cell_id"),
         col("_did").isNull.as("kept"))
+  }
+
+  /** Semantic dedup of NEW vectors against a RESIDENT corpus — the
+    * incremental form of [[semanticDedupe]], served from a persisted
+    * flat-IVF index ([[AnnIndexStore.loadIvf]]): each incoming vector is
+    * assigned to its `nProbe` nearest cells of the INDEX's quantizer and
+    * dropped when any resident vector in those cells has cosine ≥
+    * `minCosine` with it (a resident row with the same id is not a
+    * duplicate of itself — re-processing a landed batch must not erase
+    * it). The daily-crawl shape: the resident corpus never rescans — only
+    * its probed cells' rows join the (small) incoming batch.
+    *
+    * Returns (id, kept) for every incoming vector.
+    */
+  def semanticDedupeAgainstIndex(
+      index: DataFrame,
+      quantizer: DataFrame,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      nProbe: Int
+  ): DataFrame = {
+    val cents = quantizer.select(col("cent_id"), col("cent_vec"),
+      V.norm(col("cent_vec")).as("cent_norm"))
+    val cells = assignCells(vectors, idCol, vecCol, cents, probes = nProbe)
+    val dropped = cells
+      .join(index.select(col("cent_id"), col("n_id"), col("n_vec"), col("n_norm")),
+        Seq("cent_id"))
+      .filter(col("n_id") =!= col("_aid") &&
+        cosineFromNorms(col("_avec"), col("n_vec"),
+          col("_anorm"), col("n_norm")) >= minCosine)
+      .select(col("_aid").as("_did"))
+      .distinct()
+    vectors.select(col(idCol))
+      .join(dropped, col(idCol) === col("_did"), "left")
+      .select(col(idCol), col("_did").isNull.as("kept"))
   }
 
   /** Row-local L2 normalization: x / ||x||, rounded to 6 d.p. (the same

@@ -37,10 +37,14 @@ import graft.operators.{ErrorCode, RetryPolicy}
   *     runs through a sidecar forwarder in production; point the sink at
   *     its HTTP ingress or a loopback double.
   *
-  * Delivery is AT-LEAST-ONCE per message (a timed-out send may have
-  * landed); per-partition message order is preserved (one ordered
-  * connection/HTTP client per partition), cross-partition order is not —
-  * same contract as the reference's concurrent senders.
+  * Delivery contract BY TRANSPORT: http(s) is AT-LEAST-ONCE per message
+  * (every send gets a response code; a timed-out send may have landed and
+  * is retried). loopback is BEST-EFFORT: a write that lands in the kernel
+  * buffer before the receiver dies is acknowledged locally and is neither
+  * retried nor dead-lettered — acceptable for the in-container double,
+  * not a production transport. Per-partition message order is preserved
+  * (one ordered connection/HTTP client per partition), cross-partition
+  * order is not — same contract as the reference's concurrent senders.
   */
 final case class PushSinkConfig(
     endpoint: String,
@@ -103,11 +107,12 @@ object PushSink {
       // failure so the caller's retry reconnects fresh. A failure mid-
       // message can leave a partial line on the wire; the reconnect
       // resend makes delivery at-least-once, the documented contract.
-      // Known trade-off vs connect-per-message: a receiver that dies
-      // mid-partition is detected one-RTT-late — a few sends "succeed"
-      // into the kernel buffer before the RST surfaces, and those
-      // messages are neither retried nor dead-lettered. Acceptable for
-      // the in-container DOUBLE (the http production path gets a
+      // Known trade-off vs connect-per-message (and the reason the class
+      // doc marks loopback BEST-EFFORT, not at-least-once): a receiver
+      // that dies mid-partition is detected one-RTT-late — a few sends
+      // "succeed" into the kernel buffer before the RST surfaces, and
+      // those messages are neither retried nor dead-lettered. Acceptable
+      // for the in-container DOUBLE (the http production path gets a
       // response code per message); not a production transport.
       private val (host, port) = hostPort(ep.stripPrefix("loopback://"))
       private var sock: java.net.Socket = null
@@ -280,13 +285,19 @@ object PushSink {
   }
 
   /** In-container receiving double for the `loopback://` transport: a
-    * line-collecting TCP server on a BOUNDED reader pool (64 threads —
-    * senders hold one persistent connection per partition, so the
-    * concurrent-connection count is the sender's partition count, not its
-    * row count; round 10's thread-per-connection receiver scaled with
-    * messages and was half of the bench hang). `stop()` returns every
-    * received line; arrival order is preserved per connection — one
-    * reader thread owns a connection end-to-end.
+    * line-collecting TCP server on a CACHED reader pool — one reader
+    * thread per LIVE connection, and senders hold one persistent
+    * connection per partition, so the thread count is the sender's
+    * concurrent-partition count, not its row count (round 10's
+    * thread-per-connection-attempt receiver scaled with messages and was
+    * half of the bench hang; a fixed 64-thread pool fixed that but
+    * silently stalled senders past 64 partitions — their connections sat
+    * queued unread until the TCP buffer filled). `stop()` drains: it
+    * waits for every accepted connection's reader to reach EOF (senders
+    * close when their partition finishes) before returning the received
+    * lines, bounded at 30 s so a leaked never-closed sender cannot hang
+    * the caller. Arrival order is preserved per connection — one reader
+    * thread owns a connection end-to-end.
     */
   final class LoopbackReceiver(port0: Int = 0) {
     private val server = new java.net.ServerSocket(port0, 64,
@@ -299,7 +310,7 @@ object PushSink {
     def endpoint: String = s"loopback://127.0.0.1:$port"
     /** Connections accepted so far — the spec's persistent-connection probe. */
     def connections: Int = accepted.get()
-    private val readers = java.util.concurrent.Executors.newFixedThreadPool(64,
+    private val readers = java.util.concurrent.Executors.newCachedThreadPool(
       (r: Runnable) => { val t = new Thread(r, "loopback-reader"); t.setDaemon(true); t })
     private val acceptor = new Thread(() => {
       while (running) {
@@ -330,11 +341,13 @@ object PushSink {
     def stop(): Seq[String] = {
       running = false
       server.close()
-      // in-flight readers drain to EOF (senders close their connection when
-      // the partition finishes) — wait briefly so stop() is deterministic
-      // for callers that read `received` right after a completed batch
+      // drain: every accepted connection's reader runs to EOF (senders
+      // close their connection when the partition finishes), so lines
+      // still in the TCP buffer at stop() are collected, not dropped. The
+      // 30 s bound only fires for a leaked never-closed sender — a
+      // completed batch's readers finish in milliseconds.
       readers.shutdown()
-      readers.awaitTermination(2, java.util.concurrent.TimeUnit.SECONDS)
+      readers.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
       received
     }
   }

@@ -586,8 +586,17 @@ object StreamSources {
       if (tables.isEmpty) parsed
       else {
         import org.apache.spark.sql.functions.{col, concat_ws}
+        // every qualified form an envelope can carry must match: postgres
+        // rides `schema` (schema.table), MySQL has NO schema field — the
+        // database rides `db` (db.table) — and a fully-qualified
+        // db.schema.table names either. concat_ws skips NULL parts, so the
+        // MySQL envelope's db.table form compares against "db.table", not
+        // "db..table" — a db.table filter that matched nothing silently
+        // dropped every MySQL change row before this.
         parsed.where(col("table").isin(tables: _*) ||
-          concat_ws(".", col("schema"), col("table")).isin(tables: _*))
+          concat_ws(".", col("schema"), col("table")).isin(tables: _*) ||
+          concat_ws(".", col("db"), col("table")).isin(tables: _*) ||
+          concat_ws(".", col("db"), col("schema"), col("table")).isin(tables: _*))
       }
     } else throw new UnsupportedOperationException(
       s"$kind ($conn): land the change log through Debezium->Kafka and read the " +

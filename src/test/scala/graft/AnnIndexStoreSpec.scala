@@ -152,4 +152,99 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(mine.isDefined, "appended vector not in the served candidate set")
     assert(mine.get.getDouble(1) == all.map(_.getDouble(1)).min)
   }
+
+  private def dataFileCount(root: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1
+      else 0
+    walk(new java.io.File(root))
+  }
+
+  test("compact rewrites appended slivers to one file per cell, serve unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_cmp").toString
+    val corpus = vecs(200)
+    val quant = Similarity.centroids(corpus, "vec_id", "embedding", 4)
+      .select(col("cent_id"), col("cent_vec"))
+    val cb = Similarity.pqCodebook(corpus, "vec_id", "embedding",
+      m = 2, codesK = 4, iters = 2, dim = dim)
+    val index = Similarity.ivfPqIndex(corpus, "vec_id", "embedding", quant, cb,
+      m = 2, dim = dim)
+    AnnIndexStore.saveIvfPq(s"$dir/pq", quant, cb, index, m = 2, dim = dim, codesK = 4)
+    // 5 append batches -> >= 5 extra files landing across the 4 cell dirs
+    (0 until 5).foreach(i =>
+      AnnIndexStore.appendIvfPq(spark, s"$dir/pq",
+        vecs(20, idFrom = 1000L + i * 20), "vec_id", "embedding"))
+    val fragmented = dataFileCount(s"$dir/pq/index")
+    assert(fragmented > 4, s"appends should fragment past 4 cell files, got $fragmented")
+    val queries = vecs(5)
+    val before = AnnIndexStore.serveIvfPq(AnnIndexStore.loadIvfPq(spark, s"$dir/pq"),
+      queries, "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy("q_id", "rank").collect().toSeq
+
+    AnnIndexStore.compact(spark, s"$dir/pq")
+
+    val compacted = dataFileCount(s"$dir/pq/index")
+    assert(compacted == 4, s"expected one file per cell after compact, got $compacted")
+    // content-preserving: same manifest parameters, byte-equal serve
+    val loaded = AnnIndexStore.loadIvfPq(spark, s"$dir/pq")
+    assert(loaded.m == 2 && loaded.nCells == 4 && loaded.index.count() == 300)
+    val after = AnnIndexStore.serveIvfPq(loaded, queries, "vec_id", "embedding",
+      k = 3, nProbe = 2).orderBy("q_id", "rank").collect().toSeq
+    assert(after == before)
+    // a non-index directory refuses before any rewrite happens
+    val e = intercept[IllegalArgumentException](AnnIndexStore.compact(spark, dir))
+    assert(e.getMessage.contains("MANIFEST"))
+  }
+
+  test("LSH save -> load -> serve equals the fused multiprobe query") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_lsh").toString
+    val corpus = vecs(300)
+    val (planes, tables) = (4, 2)
+    val index = Similarity.lshIndex(corpus, "vec_id", "embedding", planes, dim, tables)
+    AnnIndexStore.saveLsh(s"$dir/lsh", index, planes, dim, tables)
+    val loaded = AnnIndexStore.loadLsh(spark, s"$dir/lsh")
+    assert(loaded.planes == planes && loaded.dim == dim && loaded.tables == tables &&
+      loaded.nGroups == (tables << planes))
+    val queries = vecs(5)
+    val served = AnnIndexStore.serveLsh(loaded, queries, "vec_id", "embedding",
+      k = 3, probeBits = 1)
+    val servedRows = served.orderBy("q_id", "rank").collect().toSeq
+    val fusedRows = Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      k = 3, planes, dim, tables, probeBits = 1).orderBy("q_id", "rank").collect().toSeq
+    assert(servedRows == fusedRows && servedRows.nonEmpty)
+    // static pruning reaches the group-partitioned scan
+    val plan = served.queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("lsh/index")).getOrElse("")
+    val pf = scan.substring(scan.indexOf("PartitionFilters:"))
+    assert(pf.contains("bucket_grp") &&
+        (pf.contains(" IN ") || pf.contains("INSET") || pf.contains("isin")),
+      s"LSH index scan is not statically group-pruned:\n$pf")
+    // wrong-kind loader refuses via the manifest
+    val e = intercept[IllegalArgumentException](AnnIndexStore.loadIvf(spark, s"$dir/lsh"))
+    assert(e.getMessage.contains("lsh"))
+  }
+
+  test("LSH append buckets with pinned parameters; compact restores layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_lshapp").toString
+    val corpus = vecs(200)
+    val index = Similarity.lshIndex(corpus, "vec_id", "embedding", 3, dim, tables = 1)
+    AnnIndexStore.saveLsh(s"$dir/lsh", index, 3, dim, tables = 1)
+    val baseFiles = dataFileCount(s"$dir/lsh/index")
+    AnnIndexStore.appendLsh(spark, s"$dir/lsh", vecs(50, idFrom = 2000L),
+      "vec_id", "embedding")
+    val loaded = AnnIndexStore.loadLsh(spark, s"$dir/lsh")
+    assert(loaded.index.count() == 250)
+    // appended rows equal a fresh bucketing under the pinned params
+    val stored = loaded.index.filter(col("n_id") >= 2000L)
+      .select("bucket", "n_id").orderBy("n_id").collect().toSeq
+    val fresh = Similarity.lshIndex(vecs(50, 2000L), "vec_id", "embedding", 3, dim, 1)
+      .select("bucket", "n_id").orderBy("n_id").collect().toSeq
+    assert(stored == fresh)
+    assert(dataFileCount(s"$dir/lsh/index") > baseFiles)
+    AnnIndexStore.compact(spark, s"$dir/lsh")
+    assert(dataFileCount(s"$dir/lsh/index") == baseFiles)
+    assert(AnnIndexStore.loadLsh(spark, s"$dir/lsh").index.count() == 250)
+  }
 }

@@ -1993,4 +1993,106 @@ class DslSpec extends SparkSpec {
     val tagged = curationPipeline("  type: c4_clean\n  action: tag", Map("docs" -> docs))
     assert(tagged.count() == 2 && tagged.columns.contains("doc_kept"))
   }
+
+  private def annVecs(n: Int): org.apache.spark.sql.DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        ((pmod(xxhash64(col("id"), i), lit(2000L)).cast("float") - 1000f) / 1000f)
+          .cast("float")).as("embedding"))
+
+  private def annBuildYaml(dir: String, opts: String) =
+    s"""kind: Source
+       |metadata: {name: corpus}
+       |spec: {format: table, path: corpus}
+       |---
+       |kind: Sink
+       |metadata: {name: idx}
+       |spec:
+       |  format: ann_index
+       |  path: $dir
+       |  options: {$opts}
+       |---
+       |kind: Pipeline
+       |metadata: {name: build}
+       |spec: {source: corpus, steps: [], sink: idx}
+       |""".stripMargin
+
+  test("ann_index sink + ann_serve step: declarative build/serve per kind") {
+    val corpus = annVecs(150)
+    val queries = annVecs(4)
+    val base = java.nio.file.Files.createTempDirectory("graft_dsl_ann").toString
+    // ivf build via YAML; parameters land in the on-disk manifest
+    Compiler.write(Compiler.compile(spark,
+      YamlLoader.load(annBuildYaml(s"$base/ivf",
+        """kind: ivf, dim: "8", nCells: "4"""")),
+      tables = Map("corpus" -> corpus))("build"))
+    assert(graft.ops.AnnIndexStore.kindOf(spark, s"$base/ivf") == "ivf")
+    // serve step dispatches on the stored kind and equals the library path
+    val served = curationPipeline(
+      s"  type: ann_serve\n  path: $base/ivf\n  k: 3\n  nProbe: 2",
+      Map("docs" -> queries)).orderBy("q_id", "rank").collect().toSeq
+    val lib = graft.ops.AnnIndexStore.serveIvf(
+      graft.ops.AnnIndexStore.loadIvf(spark, s"$base/ivf"),
+      queries, "vec_id", "embedding", k = 3, nProbe = 2)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(served == lib && served.nonEmpty)
+    // lsh build (explicit planes/tables) + serve equals the fused query
+    Compiler.write(Compiler.compile(spark,
+      YamlLoader.load(annBuildYaml(s"$base/lsh",
+        """kind: lsh, dim: "8", planes: "4", tables: "2"""")),
+      tables = Map("corpus" -> corpus))("build"))
+    val lshServed = curationPipeline(
+      s"  type: ann_serve\n  path: $base/lsh\n  k: 3\n  probeBits: 1",
+      Map("docs" -> queries)).orderBy("q_id", "rank").collect().toSeq
+    val lshFused = graft.ops.Similarity.lshTopK(corpus, queries,
+      "vec_id", "embedding", k = 3, planes = 4, dim = 8, tables = 2, probeBits = 1)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(lshServed == lshFused && lshServed.nonEmpty)
+    // a streaming frame refuses at compile, and a typo'd kind at build
+    val e = intercept[RuntimeException](Compiler.compile(spark,
+      YamlLoader.load(annBuildYaml(s"$base/bad", """kind: hnsw, dim: "8"""")),
+      tables = Map("corpus" -> corpus))("build") match {
+      case p => Compiler.write(p)
+    })
+    assert(e.getMessage.contains("ivfpq|ivf|lsh"))
+  }
+
+  test("semantic_dedup step: self mode survivors; indexPath mode against a saved corpus") {
+    val corpus = annVecs(120)
+    // self mode: survivors equal the library's kept verdicts
+    val out = curationPipeline(
+      "  type: semantic_dedup\n  idField: vec_id\n  nCells: 8\n  minCosine: 0.3",
+      Map("docs" -> corpus))
+    assert(out.columns.toSeq == corpus.columns.toSeq) // original schema
+    val keptIds = out.select("vec_id").as[Long].collect().toSet
+    val libKept = graft.ops.Similarity.semanticDedupe(corpus, "vec_id", "embedding",
+      nCells = 8, minCosine = 0.3)
+      .filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    assert(keptIds == libKept && keptIds.nonEmpty && keptIds.size < 120)
+
+    // indexPath mode: dedup a new batch against the persisted resident corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsl_sd").toString
+    val quant = graft.ops.Similarity.centroids(corpus, "vec_id", "embedding", 4)
+      .select(col("cent_id"), col("cent_vec"))
+    graft.ops.AnnIndexStore.saveIvf(s"$dir/flat", quant,
+      graft.ops.Similarity.ivfIndex(corpus, "vec_id", "embedding", quant))
+    val incoming = annVecs(160).filter(col("vec_id") >= 100) // 20 overlap-adjacent ids
+    val out2 = curationPipeline(
+      s"  type: semantic_dedup\n  idField: vec_id\n  minCosine: 0.3\n" +
+        s"  nProbe: 2\n  indexPath: $dir/flat",
+      Map("docs" -> incoming))
+    val b = graft.ops.AnnIndexStore.loadIvf(spark, s"$dir/flat")
+    val libKept2 = graft.ops.Similarity.semanticDedupeAgainstIndex(
+      b.index, b.quantizer, incoming, "vec_id", "embedding",
+      minCosine = 0.3, nProbe = 2)
+      .filter(col("kept")).select("vec_id").as[Long].collect().toSet
+    assert(out2.select("vec_id").as[Long].collect().toSet == libKept2)
+    // a resident row never drops for matching itself: serve the resident
+    // corpus back through the index — ids present in the index survive
+    // unless a DIFFERENT resident row is a near-dup
+    val self = graft.ops.Similarity.semanticDedupeAgainstIndex(
+      b.index, b.quantizer, corpus.filter(col("vec_id") < 3),
+      "vec_id", "embedding", minCosine = 0.999999, nProbe = 4)
+    assert(self.filter(!col("kept")).count() == 0)
+  }
 }

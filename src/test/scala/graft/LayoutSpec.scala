@@ -99,7 +99,7 @@ class LayoutSpec extends SparkSpec {
       Layout.withZValue(Seq((1, 2, 3)).toDF("a", "b", "zval"), "a", "b", bits = 4)
     }
     intercept[IllegalArgumentException] {
-      Layout.withZValue(Seq((1, 2, 3)).toDF("a", "b", "__graft_an"), "a", "b", bits = 4)
+      Layout.withZValue(Seq((1, 2, 3)).toDF("a", "b", "__graft_n0"), "a", "b", bits = 4)
     }
     // zOrder's internal name never collides with a user 'zval' column
     val out = Layout.zOrder(Seq((1, 2, 9L)).toDF("a", "b", "zval"), "a", "b", 4, 1)
@@ -188,5 +188,35 @@ class LayoutSpec extends SparkSpec {
     val n2 = graft.ops.Layout.compact(spark, s"$dir/t", targetBytes = 1L << 30,
       zOrderBy = Seq("id", "id"), bits = 4)
     assert(n2 == 1 && spark.read.parquet(s"$dir/t").count() == 2000)
+  }
+
+  test("N-column z-value: round-robin interleave, bit budget, 2-col parity") {
+    // values == their own [0, 2^bits) rank domain, so normalization is the
+    // identity and every interleaved bit position is hand-checkable:
+    // bit i of column j lands at i*n + (n-1-j)
+    val df = Seq((0L, 0L, 0L), (3L, 3L, 3L), (1L, 2L, 3L)).toDF("a", "b", "c")
+    val z = graft.ops.Layout.withZValueN(df, Seq("a", "b", "c"), bits = 2)
+      .select("a", "zval").as[(Long, Long)].collect().toMap
+    assert(z(0L) == 0L)   // all-zero bits
+    assert(z(3L) == 63L)  // all six bit positions set
+    // a=01 -> pos 2; b=10 -> pos 4; c=11 -> pos 0 and 3
+    assert(z(1L) == (4L | 16L | 1L | 8L))
+    // 2-col parity: the N-column kernel reproduces the original layout
+    val two = Seq((1L, 2L), (0L, 0L), (3L, 3L)).toDF("a", "b")
+    val viaPair = graft.ops.Layout.withZValue(two, "a", "b", bits = 2)
+      .select("a", "b", "zval").collect().toSet
+    val viaSeq = graft.ops.Layout.withZValueN(two, Seq("a", "b"), bits = 2)
+      .select("a", "b", "zval").collect().toSet
+    assert(viaPair == viaSeq)
+    // budget refusal: 4 cols x 16 bits does not fit a non-negative long
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Layout.withZValueN(
+        Seq((1L, 1L, 1L, 1L)).toDF("a", "b", "c", "d"),
+        Seq("a", "b", "c", "d"), bits = 16)
+    }
+    assert(e.getMessage.contains("63-bit"))
+    // the sink wrapper accepts 3 columns now (date, domain, lang shape)
+    val laid = graft.ops.Layout.applyZOrder(df, Seq("a", "b", "c"), bits = 4, "test")
+    assert(laid.columns.toSeq == Seq("a", "b", "c") && laid.count() == 3)
   }
 }

@@ -28,4 +28,46 @@ class MetricsSpec extends SparkSpec {
         """graft_queries_total\{sink_id=".+",success="true"\} \d+""")), prom)
     } finally Metrics.detach(spark, l)
   }
+
+  test("streaming listener records per-batch progress for a drained query") {
+    val l = Metrics.attachStreaming(spark)
+    try {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = MemoryStream[Long]
+      ms.addData(1L to 100L: _*)
+      val q = ms.toDF().withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_seconds(
+            org.apache.spark.sql.functions.col("value")))
+        .withWatermark("ts", "10 seconds")
+        .groupBy(org.apache.spark.sql.functions.window(
+          org.apache.spark.sql.functions.col("ts"), "30 seconds"))
+        .count()
+        .writeStream.format("memory").queryName("m_stream_metrics")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // listener callbacks run async on the streaming listener bus
+      var tries = 0
+      while (!l.snapshot.exists(_.numInputRows == 100L) && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+      val mine = l.snapshot.filter(_.queryName == "m_stream_metrics")
+      assert(mine.nonEmpty, s"stream metrics seen: ${l.snapshot}")
+      val fed = mine.filter(_.numInputRows == 100L)
+      assert(fed.nonEmpty, s"no batch saw the 100 input rows: $mine")
+      assert(fed.head.batchDurationMs >= 0)
+      // the windowed agg holds state — the gauge must see its rows
+      assert(mine.map(_.stateRows).max > 0, s"no state rows observed: $mine")
+      assert(mine.exists(_.watermark.nonEmpty), s"no watermark observed: $mine")
+
+      val prom = Metrics.renderPrometheusStreaming(l)
+      assert(prom.contains("# TYPE graft_stream_records_received_total counter"), prom)
+      assert(prom.linesIterator.exists(ln =>
+        ln.startsWith("""graft_stream_records_received_total{query="m_stream_metrics"}""")), prom)
+      assert(prom.contains("graft_stream_batch_duration_ms_count"), prom)
+      assert(prom.linesIterator.exists(_.matches(
+        """graft_stream_state_rows\{query=".+"\} \d+""")), prom)
+    } finally Metrics.detachStreaming(spark, l)
+  }
 }
