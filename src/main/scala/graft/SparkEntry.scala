@@ -1220,6 +1220,73 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** STREAMING ANN serve (L55 × W5 — the online-retrieval shape): the
+    * q_ann_ivfpq index is built and PERSISTED once, then the probe batch
+    * arrives as a STREAM in 3 deterministic waves (wave = vec_id mod 3,
+    * one file per micro-batch) and each micro-batch is served through
+    * [[graft.ops.AnnIndexStore.servingBatchFn]] — bundle loaded once,
+    * parameters from the on-disk manifest, per-batch static cell pruning.
+    * Each query's top-k is independent of its arrival batch, so the
+    * result is the pqIvf oracle plus `batch_id = vec_id mod 3` — which
+    * hash-gates BOTH the served distances and the wave scheduling itself
+    * (a probe served in the wrong micro-batch flips batch_id).
+    */
+  private def qStreamAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val S = graft.ops.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qsann").toString
+    TempReaper.register(tmp)
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufConf)
+    s.conf.set(shufConf, "8")
+    try {
+      val e = emb(s, dir)
+      val quant = S.centroids(e, "vec_id", "embedding", 16)
+        .select(col("cent_id"), col("cent_vec"))
+      val cb = S.pqCodebook(e, "vec_id", "embedding", m = 4, codesK = 8, iters = 2, dim = 64)
+      val index = S.ivfPqIndex(e, "vec_id", "embedding", quant, cb, m = 4, dim = 64)
+      graft.ops.AnnIndexStore.saveIvfPq(s"$tmp/pq", quant, cb, index,
+        m = 4, dim = 64, codesK = 8)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"),
+          pmod(col("vec_id"), lit(3)).as("wave"))
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      writeWaveFiles(probes, "wave", 3, s"$tmp/stage", inDir)
+      val serve = graft.ops.AnnIndexStore.servingBatchFn(s, s"$tmp/pq",
+        "vec_id", "embedding", k = 5, nProbe = 4)
+      val stream = s.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          serve(batch)
+            .withColumn("batch_id", lit(bid))
+            .coalesce(1) // k·|batch| rows; one small file per micro-batch
+            .write.mode("append").parquet(s"$tmp/out")
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val topk = s.read.parquet(s"$tmp/out")
+      val dv = transform(col("embedding"), _.cast("double"))
+      val e2 = emb(s, dir)
+      topk
+        .join(e2.select(col("vec_id").as("n_id"), dv.as("__cv")), "n_id")
+        .join(broadcast(e2.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), dv.as("__qv"))), "q_id")
+        .select(col("q_id"), col("n_id"), col("rank"), col("est_dist2"),
+          round(VF.dot(col("__cv"), col("__cv"))
+            - lit(2.0) * VF.dot(col("__cv"), col("__qv"))
+            + VF.dot(col("__qv"), col("__qv")), 6).as("true_dist2"),
+          col("batch_id"))
+        .orderBy(col("q_id"), col("rank"))
+    } finally s.conf.set(shufConf, prevShuf)
+  }
+
   /** Contrastive pair mining (L65): brute-force top-1 positives for 50
     * anchors + 4 deterministic cross-label negatives each via the
     * bucket-summary sampler ([[graft.ops.Similarity.contrastivePairs]]).
@@ -1642,6 +1709,42 @@ object SparkEntry {
     graft.ops.Sampling.coverageSample(
       t(s, dir, "events"), "event_id", "event_type", budget = 120)
       .orderBy(col("id"))
+
+  /** Token-budget corpus selection (L78 — the "best N tokens" cut): the
+    * documents table is scored with the L9 quality kernel and counted
+    * with the L10 whitespace tokenizer, then the maximal (q_score DESC,
+    * doc_id) prefix whose cumulative token count fits a 20k budget is
+    * kept — prefix cutoff, the reproducible greedy. The cumulative sum
+    * is the distributed prefix sum (range partition on the (−score, id)
+    * struct + per-partition totals), never a single-task global window.
+    * The oracle replays the score CTE, the token counts, and the
+    * running-sum cutoff in SQL, so the selection boundary itself is
+    * hash-gated.
+    */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(col("doc_id"),
+      TF.qualityScore(col("text")).as("q_score"),
+      TF.tokenCount(col("text")).cast("long").as("n_ws"))
+    graft.ops.Sampling.tokenBudgetSelect(scored, "doc_id", "q_score", "n_ws",
+      budget = 20000L)
+      .select(col("doc_id"), col("q_score"), col("n_ws"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The token-budget DSL twin: q_token_budget's exact computation
+    * driven through YAML `type: token_budget` (scoreField/tokensField/
+    * budget passthrough); shares the oracle verbatim — the row gates the
+    * step's option plumbing.
+    */
+  private def qDslTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(col("doc_id"),
+      TF.qualityScore(col("text")).as("q_score"),
+      TF.tokenCount(col("text")).cast("long").as("n_ws"))
+    dslStep(s, Map("step_in" -> scored),
+      "  type: token_budget\n  scoreField: q_score\n  tokensField: n_ws\n  budget: 20000")
+      .select(col("doc_id"), col("q_score"), col("n_ws"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Temperature mixture (L69): τ=1/2 rebalancing over event types with
     * a 2000-row budget — quotas proportional to floor(sqrt(n_d)),
@@ -3402,6 +3505,52 @@ object SparkEntry {
     s.table(sinkName).orderBy(col("n_nationkey"))
   }
 
+  /** Jar-gated connector doubles e2e (types.rs:192-201, 216-224, 252-261,
+    * 374-381): the nation table lands as JSON payload lines in four watch
+    * directories; each streams back through its REAL typed config —
+    * Kinesis / Pulsar / Redis / Mongodb, full option mapping built and
+    * validated — with only the transport swapped by the conf-gated
+    * `spark.graft.connector.double.<name>` landing. All four drain
+    * through the one-`value`-column contract, tag their connector, and
+    * union; the oracle replays a 4-way replicated nation scan. This is
+    * the e2e gate that the four connectors Spark reaches via external
+    * jars keep working end-to-end minus only the wire protocol.
+    */
+  private def qSourceConnectors(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_src_conn").toString
+    TempReaper.register(tmp)
+    t(s, dir, "nation")
+      .select(to_json(struct(col("n_nationkey"), col("n_name"))).as("value"))
+      .coalesce(1).write.mode("overwrite").text(s"$tmp/land")
+    val cfgs: Seq[(String, graft.sources.StreamSourceConfig)] = Seq(
+      "kinesis" -> graft.sources.Kinesis("events", region = Some("us-east-1"),
+        shardIteratorType = Some("TRIM_HORIZON")),
+      "pulsar" -> graft.sources.Pulsar("pulsar://h:6650", "events",
+        subscription = Some("graft")),
+      "redis" -> graft.sources.Redis("redis://h:6379", stream = Some("events"),
+        consumerGroup = Some("graft")),
+      "mongodb" -> graft.sources.Mongodb("mongodb://h", "tpch", Some("nation")))
+    val frames = cfgs.map { case (name, cfg) =>
+      s.conf.set(s"spark.graft.connector.double.$name", s"file://$tmp/land")
+      try {
+        val landed = graft.sources.StreamSources.read(s, cfg)
+        val parsed = landed
+          .select(from_json(col("value"), org.apache.spark.sql.types.StructType
+            .fromDDL("n_nationkey INT, n_name STRING")).as("r"))
+          .select(lit(name).as("connector"),
+            col("r.n_nationkey").as("n_nationkey"), col("r.n_name").as("n_name"))
+        val sinkName = s"q_source_conn_${name}_out"
+        s.catalog.dropTempView(sinkName) // re-runs in one session (bench x3)
+        parsed.writeStream.format("memory").queryName(sinkName)
+          .outputMode("append").option("checkpointLocation", s"$tmp/chk_$name")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination()
+        s.table(sinkName)
+      } finally s.conf.unset(s"spark.graft.connector.double.$name")
+    }
+    frames.reduce(_.unionByName(_)).orderBy(col("connector"), col("n_nationkey"))
+  }
+
   /** CDC landing double e2e (types.rs:347-371): Debezium-envelope JSON
     * lines (op/ts_ms/source/after built from the nation table) stream
     * through the postgres-CDC `file://` double; the envelope types
@@ -3835,6 +3984,7 @@ object SparkEntry {
     "q_embed_pq" -> (qEmbedPq _),
     "q_ann_ivfpq" -> (qAnnIvfpq _),
     "q_ann_ivfpq_served" -> (qAnnIvfpqServed _),
+    "q_stream_ann" -> (qStreamAnn _),
     "q_quality" -> (qQuality _),
     "q_token_count" -> (qTokenCount _),
     "q_subword_vocab" -> (qSubwordVocab _),
@@ -3868,6 +4018,7 @@ object SparkEntry {
     "q_source_csv" -> (qSourceCsv _),
     "q_source_broker" -> (qSourceBroker _),
     "q_source_cdc" -> (qSourceCdc _),
+    "q_source_connectors" -> (qSourceConnectors _),
     "q_source_json" -> (qSourceJson _),
     "q_source_avro" -> (qSourceAvro _),
     "q_source_warc" -> (qSourceWarc _),
@@ -3923,6 +4074,8 @@ object SparkEntry {
     "q_mixture_temperature" -> (qMixtureTemperature _),
     "q_trim_mad" -> (qTrimMad _),
     "q_sample_coverage" -> (qSampleCoverage _),
+    "q_token_budget" -> (qTokenBudget _),
+    "q_dsl_token_budget" -> (qDslTokenBudget _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_spans" -> (qDedupSpans _),
     "q_embed_normalize" -> (qEmbedNormalize _),
@@ -4179,6 +4332,35 @@ object SparkEntry {
     * (16 md5-chosen centroids, cosine assignment, 4 probes) + ADC
     * estimates restricted to the probed cells' candidates.
     */
+  /** Token-budget oracle (shared by q_token_budget and its DSL twin):
+    * the q_quality score CTE verbatim + its tc token count, running-
+    * summed in (q_score DESC, doc_id) order, prefix cutoff at 20k.
+    */
+  private def tokenBudgetOracle: String =
+    """WITH c AS (
+      |  SELECT doc_id, length(text) AS lc,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tc,
+      |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS mh,
+      |    len(regexp_extract_all(text, '[\.,;:!?]')) AS np
+      |  FROM documents
+      |), scored AS (
+      |  SELECT doc_id, round(
+      |    least(lc / 500.0, 1.0) * 0.4 +
+      |    least((CASE WHEN tc = 0 THEN 0.0 ELSE CAST(mh AS DOUBLE) / CAST(tc AS DOUBLE) END) * 5.0, 1.0) * 0.4 +
+      |    (1.0 - least((CASE WHEN lc = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / CAST(lc AS DOUBLE) END) * 10.0, 1.0)) * 0.2,
+      |    6) AS q_score,
+      |    CAST(tc AS BIGINT) AS n_ws
+      |  FROM c
+      |)
+      |SELECT doc_id, q_score, n_ws, cum_tokens FROM (
+      |  SELECT doc_id, q_score, n_ws,
+      |    CAST(sum(n_ws) OVER (ORDER BY q_score DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM scored)
+      |WHERE cum_tokens <= 20000
+      |ORDER BY doc_id""".stripMargin
+
   private def pqIvfOracle: String = {
     val subs = (0 until 4).map(pqSubCte).mkString(",\n")
     def cellAssign(src: String, keep: String): String =
@@ -4686,6 +4868,11 @@ object SparkEntry {
     "q_embed_pq" -> pqOracle,
     "q_ann_ivfpq" -> pqIvfOracle,
     "q_ann_ivfpq_served" -> pqIvfOracle, // identical by spec: the row gates the save/load/serve round-trip
+    "q_stream_ann" -> // served rows are batch-independent; batch_id = the wave schedule
+      s"""SELECT q_id, n_id, rank, est_dist2, true_dist2, q_id % 3 AS batch_id
+         |FROM (
+         |$pqIvfOracle
+         |) ORDER BY q_id, rank""".stripMargin,
     "q_dsl_ann" -> pqIvfOracle, // identical by spec: the row gates the YAML ann_index/ann_serve round-trip
 
     "q_pagerank" -> pagerankOracle,
@@ -5947,6 +6134,10 @@ object SparkEntry {
     "q_source_cdc" ->
       """SELECT 'c' AS op, 'nation' AS "table", n_nationkey, n_name
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_source_connectors" ->
+      """SELECT c AS connector, n_nationkey, n_name
+        |FROM nation, (VALUES ('kinesis'), ('pulsar'), ('redis'), ('mongodb')) v(c)
+        |ORDER BY connector, n_nationkey""".stripMargin,
     "q_source_json" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q_stream_agg" ->
@@ -6550,6 +6741,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT id, grp, tier FROM boundary
         |ORDER BY id""".stripMargin,
+    // token budget: the q_quality score CTE verbatim + its tc token count,
+    // running-summed in (q_score DESC, doc_id) order, prefix cutoff at 20k
+    "q_token_budget" -> tokenBudgetOracle,
+    "q_dsl_token_budget" -> tokenBudgetOracle, // twin: the same cut through YAML `type: token_budget`
     // PSI drift: exact micro-int binning; ln via the fixed artanh series
     // (identical IEEE op sequence in both engines — no libm log).
     "q_drift_psi" ->

@@ -979,6 +979,18 @@ object Compiler {
           .temperatureMixture(df, mIdField, groupField, budget)
           .select(col("id").as(mIdField))
         df.join(picked, Seq(mIdField), "left_semi")
+      case "token_budget" =>
+        // Token-budget corpus selection (Sampling.tokenBudgetSelect):
+        // keep the maximal best-scored prefix whose cumulative token
+        // count fits the budget. Batch-only — the cutoff is a
+        // corpus-level distributed prefix sum.
+        require(!df.isStreaming,
+          "token_budget is batch-only: the cutoff is a corpus-level prefix sum")
+        graft.ops.Sampling.tokenBudgetSelect(df,
+          idCol = c.getOrElse("idField", "doc_id").toString,
+          scoreCol = c("scoreField").toString,
+          tokensCol = c("tokensField").toString,
+          budget = c("budget").toString.toLong)
       case "upsample" =>
         // Deterministic weighted upsampling (graft.ops.Sampling) as a
         // pipeline step: per-stratum weights from the manifest, resolved

@@ -264,6 +264,40 @@ object AnnIndexStore {
       bundle.quantizer, nProbe)
   }
 
+  /** Kind-agnostic micro-batch serving closure for Structured Streaming —
+    * the online-retrieval shape: queries ARRIVE as a stream, the index is
+    * a persisted snapshot. Loads the bundle ONCE (parameters pinned by
+    * the manifest, exactly like the batch loaders) and returns the
+    * function to apply inside `foreachBatch`; each micro-batch of query
+    * vectors is served with the batch path's static pruning, whose
+    * per-batch collect stays tiny by the same ≤ |batch|·nProbe contract.
+    * The loaded frames are lazy plans over the index directory, so the
+    * stream holds no vector data on the driver; appends landed after the
+    * load are picked up by the NEXT serving stream (snapshot-per-stream,
+    * the usual online-serving convention — never a half-visible batch).
+    */
+  def servingBatchFn(
+      spark: SparkSession,
+      dir: String,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 4,
+      probeBits: Int = 1
+  ): DataFrame => DataFrame = kindOf(spark, dir) match {
+    case "ivfpq" =>
+      val b = loadIvfPq(spark, dir)
+      batch => serveIvfPq(b, batch, idCol, vecCol, k, nProbe)
+    case "ivf" =>
+      val b = loadIvf(spark, dir)
+      batch => serveIvf(b, batch, idCol, vecCol, k, nProbe)
+    case "lsh" =>
+      val b = loadLsh(spark, dir)
+      batch => serveLsh(b, batch, idCol, vecCol, k, probeBits)
+    case other =>
+      sys.error(s"$dir: unknown index kind '$other' (expected ivf|ivfpq|lsh)")
+  }
+
   /** Static cell pruning for the serve paths: collect the (tiny) probed
     * cell set and push it as a partition filter on the stored index. The
     * downstream cell join makes this a pure scan-reduction — results are

@@ -419,6 +419,39 @@ object Sampling {
       .select(col("id"), col("grp"), col("n_d"), col("quota"), col("rank"))
   }
 
+  /** Token-budget corpus selection — the "best N billion tokens" curation
+    * cut: order the corpus by (score DESC, id) and keep the maximal
+    * prefix whose cumulative token count fits `budget` (prefix cutoff,
+    * the reproducible greedy — a doc is kept iff every strictly
+    * better-scored doc plus itself still fits; no first-fit backfilling,
+    * which would make membership depend on the gap structure and be
+    * neither SQL-replayable nor stable under re-scoring).
+    *
+    * Scale shape: the cumulative sum is [[Packing.withGlobalOffset]]'s
+    * distributed prefix sum over a range partition of the (−score, id)
+    * struct — NOT a global row_number window (single-task sort). Driver
+    * state is O(#partitions); the result is a pure function of
+    * (score, tokens, id), independent of incoming partitioning.
+    *
+    * @return kept rows with `cum_tokens` = inclusive budget position
+    */
+  def tokenBudgetSelect(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val ordered = df.withColumn("__ord",
+      struct(negate(col(scoreCol).cast("double")).as("negscore"),
+        col(idCol).as("tid")))
+    Packing.withGlobalOffset(ordered, "__ord", tokensCol, "__off")
+      .withColumn("cum_tokens", col("__off") + col(tokensCol).cast("long"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__ord", "__off")
+  }
+
   /** Coverage-balanced budget sampling: under a global row budget, every
     * group (domain, source, language) contributes its r-th pick before
     * any group contributes its (r+1)-th — so a budget of B covers

@@ -24,10 +24,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - Postgres / MySQL CDC → land the WAL/binlog through Debezium→Kafka,
   *    or use the batch JDBC reader ([[Readers.jdbc]]) for snapshots
   *
-  * In this zero-egress container only [[FileStream]] and [[Rate]] can run —
-  * they are the test doubles; everything else either constructs a real
-  * reader (failing actionably when the jar is absent) or names its landing
-  * pattern in the error.
+  * In this zero-egress container only [[FileStream]] and [[Rate]] can run
+  * natively; the broker/push/CDC types carry `file://` / `loopback://`
+  * landing doubles, and the jar-gated connectors (kinesis/pulsar/redis/
+  * mongodb) accept a conf-gated double
+  * (`spark.graft.connector.double.<name> = file://dir`) that swaps only
+  * the transport — the typed option mapping still runs and validates.
   */
 sealed trait StreamSourceConfig
 
@@ -359,43 +361,33 @@ object StreamSources {
         spark.readStream.format("kafka").options(opts).load()
       }
 
-    case Kinesis(stream, region, iterType, opts) =>
-      attempt("aws-kinesis", "the spark-sql-kinesis connector") {
-        val base = spark.readStream.format("aws-kinesis")
-          .option("streamName", stream)
-        val withRegion = region.fold(base)(r => base.option("region", r))
-        val withPos = iterType.fold(withRegion)(t =>
-          withRegion.option("startingposition", t)) // TRIM_HORIZON | LATEST
-        withPos.options(opts).load()
-      }
+    case k: Kinesis =>
+      val opts = kinesisOptions(k)
+      connectorDouble(spark, "kinesis", opts).getOrElse(
+        attempt("aws-kinesis", "the spark-sql-kinesis connector") {
+          spark.readStream.format("aws-kinesis").options(opts).load()
+        })
 
-    case Pulsar(url, topic, sub, subType, opts) =>
-      attempt("pulsar", "the StreamNative pulsar-spark connector") {
-        val base = spark.readStream.format("pulsar")
-          .option("service.url", url)
-          .option("topic", topic)
-        val withSub = sub.fold(base)(s => base.option("predefinedSubscription", s))
-        val withType = subType.fold(withSub)(t => withSub.option("subscriptionType", t))
-        withType.options(opts).load()
-      }
+    case p: Pulsar =>
+      val opts = pulsarOptions(p)
+      connectorDouble(spark, "pulsar", opts).getOrElse(
+        attempt("pulsar", "the StreamNative pulsar-spark connector") {
+          spark.readStream.format("pulsar").options(opts).load()
+        })
 
-    case Redis(url, stream, channel, group, opts) =>
-      attempt("redis", "the spark-redis connector") {
-        val key = stream.orElse(channel).getOrElse(
-          throw new IllegalArgumentException("redis source needs stream or channel"))
-        val base = spark.readStream.format("redis")
-          .option("stream.keys", key)
-        val withGroup = group.fold(base)(g => base.option("stream.group.name", g))
-        withGroup.option("url", url).options(opts).load()
-      }
+    case r: Redis =>
+      val opts = redisOptions(r)
+      connectorDouble(spark, "redis", opts).getOrElse(
+        attempt("redis", "the spark-redis connector") {
+          spark.readStream.format("redis").options(opts).load()
+        })
 
-    case Mongodb(conn, db, coll, opts) =>
-      attempt("mongodb", "the mongo-spark connector") {
-        val base = spark.readStream.format("mongodb")
-          .option("connection.uri", conn)
-          .option("database", db)
-        coll.fold(base)(c => base.option("collection", c)).options(opts).load()
-      }
+    case m: Mongodb =>
+      val opts = mongodbOptions(m)
+      connectorDouble(spark, "mongodb", opts).getOrElse(
+        attempt("mongodb", "the mongo-spark connector") {
+          spark.readStream.format("mongodb").options(opts).load()
+        })
 
     case FileStream(format, path, ddl, pattern, opts) =>
       val base = spark.readStream.format(format).schema(ddl)
@@ -483,6 +475,66 @@ object StreamSources {
       k.saslMechanism.map("kafka.sasl.mechanism" -> _) ++
       k.maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString) ++
       jaas ++ ssl ++ k.options
+  }
+
+  /** Kinesis reader options (types.rs:192-201) — pure, unit-testable
+    * without the spark-sql-kinesis jar.
+    */
+  def kinesisOptions(k: Kinesis): Map[String, String] =
+    Map("streamName" -> k.streamName) ++
+      k.region.map("region" -> _) ++
+      k.shardIteratorType.map("startingposition" -> _) ++ // TRIM_HORIZON | LATEST
+      k.options
+
+  /** Pulsar reader options (types.rs:216-224) — pure. */
+  def pulsarOptions(p: Pulsar): Map[String, String] =
+    Map("service.url" -> p.serviceUrl, "topic" -> p.topic) ++
+      p.subscription.map("predefinedSubscription" -> _) ++
+      p.subscriptionType.map("subscriptionType" -> _) ++
+      p.options
+
+  /** Redis-streams reader options (types.rs:252-261) — pure. Requires
+    * `stream` or `channel` (the key the spark-redis source tails).
+    */
+  def redisOptions(r: Redis): Map[String, String] = {
+    val key = r.stream.orElse(r.channel).getOrElse(
+      throw new IllegalArgumentException("redis source needs stream or channel"))
+    Map("stream.keys" -> key, "url" -> r.url) ++
+      r.consumerGroup.map("stream.group.name" -> _) ++
+      r.options
+  }
+
+  /** MongoDB change-stream reader options (types.rs:374-381) — pure. */
+  def mongodbOptions(m: Mongodb): Map[String, String] =
+    Map("connection.uri" -> m.connectionString, "database" -> m.database) ++
+      m.collection.map("collection" -> _) ++
+      m.options
+
+  /** Conf-gated landing double for the jar-gated connectors (kinesis /
+    * pulsar / redis / mongodb). Setting
+    * `spark.graft.connector.double.<name> = file://dir` reroutes that
+    * connector's stream to a watch-directory of payload lines — the same
+    * one-`value`-string-column landing contract as the broker doubles —
+    * AFTER the connector's full option map has been built and validated,
+    * so the entire config → typed options → streaming frame path is
+    * drivable end-to-end in a container with no broker and no connector
+    * jar. Production sessions never set the conf, so `read` constructs
+    * the real reader. Any non-file target fails loudly rather than
+    * silently streaming from the wrong place.
+    */
+  private def connectorDouble(
+      spark: SparkSession, name: String,
+      resolvedOptions: Map[String, String]): Option[DataFrame] = {
+    val key = s"spark.graft.connector.double.$name"
+    val target = spark.conf.get(key, "")
+    if (target.isEmpty) None
+    else if (target.startsWith("file://")) {
+      require(resolvedOptions.nonEmpty,
+        s"connector double '$name': resolved option map is empty — the typed " +
+          "mapping must run before the double substitutes the transport")
+      Some(spark.readStream.format("text").load(target.stripPrefix("file://")))
+    } else sys.error(
+      s"$key must point at a file://dir landing, got '$target'")
   }
 
   private def objectStoreStream(

@@ -247,4 +247,54 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(dataFileCount(s"$dir/lsh/index") == baseFiles)
     assert(AnnIndexStore.loadLsh(spark, s"$dir/lsh").index.count() == 250)
   }
+
+  test("streaming serve: micro-batched queries equal the batch serve") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_stream").toString
+    val corpus = vecs(200)
+    val quant = Similarity.centroids(corpus, "vec_id", "embedding", 4)
+      .select(col("cent_id"), col("cent_vec"))
+    val cb = Similarity.pqCodebook(corpus, "vec_id", "embedding",
+      m = 2, codesK = 4, iters = 2, dim = dim)
+    val index = Similarity.ivfPqIndex(corpus, "vec_id", "embedding", quant, cb,
+      m = 2, dim = dim)
+    AnnIndexStore.saveIvfPq(s"$dir/pq", quant, cb, index, m = 2, dim = dim, codesK = 4)
+
+    // bundle loads ONCE; each micro-batch is served independently
+    val serve = AnnIndexStore.servingBatchFn(spark, s"$dir/pq",
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    val queries = vecs(6)
+    val batches = queries.select(col("vec_id"),
+        col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect().grouped(3).toSeq
+    val in = MemoryStream[(Long, Array[Float])]
+    val stream = in.toDF.select(col("_1").as("vec_id"),
+      col("_2").as("embedding"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        out ++= serve(batch).select("q_id", "n_id", "rank")
+          .as[(Long, Long, Int)].collect()
+        ()
+      }
+      .option("checkpointLocation", s"$dir/chk")
+      .start()
+    try {
+      batches.foreach { b => in.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    val batchServe = AnnIndexStore.serveIvfPq(
+      AnnIndexStore.loadIvfPq(spark, s"$dir/pq"), queries,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect()
+    assert(out.sortBy(r => (r._1, r._3)).toSeq ==
+      batchServe.sortBy(r => (r._1, r._3)).toSeq)
+    // kind dispatch is manifest-driven: an LSH dir builds an LSH server
+    val lsh = Similarity.lshIndex(corpus, "vec_id", "embedding", 3, dim, tables = 1)
+    AnnIndexStore.saveLsh(s"$dir/lsh", lsh, 3, dim, tables = 1)
+    val lshServe = AnnIndexStore.servingBatchFn(spark, s"$dir/lsh",
+      "vec_id", "embedding", k = 3)
+    assert(lshServe(queries).columns.contains("q_id"))
+  }
 }

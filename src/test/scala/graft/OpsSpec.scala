@@ -838,6 +838,31 @@ class OpsSpec extends SparkSpec {
     assert(sel(7).toSeq.sorted == sel(7).toSeq.sorted)
   }
 
+  test("tokenBudgetSelect: prefix cutoff in score order, partition-invariant") {
+    // scores pick order c(9) > a(7) > d(7, id tiebreak) > b(2)
+    val df = Seq(
+      ("a", 7.0, 40L), ("b", 2.0, 10L), ("c", 9.0, 50L), ("d", 7.0, 30L)
+    ).toDF("id", "score", "toks")
+    def sel(budget: Long) = graft.ops.Sampling
+      .tokenBudgetSelect(df, "id", "score", "toks", budget)
+      .collect().map(r => (r.getString(0), r.getLong(3))).sortBy(_._1)
+    // 120 fits everything; cum follows (c,a,d,b) order
+    assert(sel(130).toSeq ==
+      Seq(("a", 90L), ("b", 130L), ("c", 50L), ("d", 120L)))
+    // 100 cuts after d's 120 — prefix cutoff, no backfilling of b (10
+    // tokens would fit the 100-budget gap but b is after the cut)
+    assert(sel(100).map(_._1).toSeq == Seq("a", "c"))
+    // exact boundary admits the boundary doc
+    assert(sel(120).map(_._1).toSeq == Seq("a", "c", "d"))
+    // budget 0 and smaller-than-best both select nothing
+    assert(sel(0).isEmpty && sel(49).isEmpty)
+    // partition-invariant: the 1-partition and 7-partition plans agree
+    val rep = graft.ops.Sampling
+      .tokenBudgetSelect(df.repartition(7), "id", "score", "toks", 120L)
+      .collect().map(r => (r.getString(0), r.getLong(3))).sortBy(_._1)
+    assert(rep.toSeq == sel(120).toSeq)
+  }
+
   test("psiDrift: zero on identical snapshots, positive on shift, clamped edges") {
     val ref = (0 until 200).map(i => (i % 50).toDouble).toDF("value")
     val same = Profiling.psiDrift(ref, ref, "value", nBins = 10)

@@ -103,6 +103,65 @@ class SourcesSpec extends SparkSpec {
     intercept[RuntimeException](StreamSources.read(spark, Http("loopback://[::1]")))
   }
 
+  test("jar-gated connector option maps are the typed field mappings") {
+    assert(StreamSources.kinesisOptions(Kinesis("ev", region = Some("us-east-1"),
+      shardIteratorType = Some("LATEST"), options = Map("x" -> "1"))) ==
+      Map("streamName" -> "ev", "region" -> "us-east-1",
+        "startingposition" -> "LATEST", "x" -> "1"))
+    assert(StreamSources.pulsarOptions(Pulsar("pulsar://h:6650", "t",
+      subscription = Some("s"), subscriptionType = Some("Shared"))) ==
+      Map("service.url" -> "pulsar://h:6650", "topic" -> "t",
+        "predefinedSubscription" -> "s", "subscriptionType" -> "Shared"))
+    assert(StreamSources.redisOptions(Redis("redis://h:6379",
+      stream = Some("st"), consumerGroup = Some("g"))) ==
+      Map("stream.keys" -> "st", "url" -> "redis://h:6379",
+        "stream.group.name" -> "g"))
+    // channel falls back when stream is absent; neither fails loudly
+    assert(StreamSources.redisOptions(Redis("redis://h", channel = Some("ch")))
+      .apply("stream.keys") == "ch")
+    intercept[IllegalArgumentException](
+      StreamSources.redisOptions(Redis("redis://h")))
+    assert(StreamSources.mongodbOptions(Mongodb("mongodb://h", "db", Some("c"))) ==
+      Map("connection.uri" -> "mongodb://h", "database" -> "db",
+        "collection" -> "c"))
+  }
+
+  test("conf-gated connector doubles drive kinesis/pulsar/redis/mongodb e2e") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conn_double").toString
+    Seq("""{"id":1,"v":"a"}""", """{"id":2,"v":"b"}""").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(s"$dir/land")
+    val cfgs: Seq[(String, StreamSourceConfig)] = Seq(
+      "kinesis" -> Kinesis("ev", region = Some("us-east-1")),
+      "pulsar" -> Pulsar("pulsar://h:6650", "t"),
+      "redis" -> Redis("redis://h:6379", stream = Some("st")),
+      "mongodb" -> Mongodb("mongodb://h", "db", Some("c")))
+    cfgs.foreach { case (name, cfg) =>
+      spark.conf.set(s"spark.graft.connector.double.$name", s"file://$dir/land")
+      try {
+        val parsed = StreamSources.read(spark, cfg)
+          .select(from_json(col("value"),
+            org.apache.spark.sql.types.StructType.fromDDL("id LONG, v STRING")).as("r"))
+          .select(col("r.id").as("id"), col("r.v").as("v"))
+        val q = parsed.writeStream.format("memory")
+          .queryName(s"conn_double_$name").outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          assert(spark.table(s"conn_double_$name").orderBy("id")
+            .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")), name)
+        } finally q.stop()
+      } finally spark.conf.unset(s"spark.graft.connector.double.$name")
+    }
+    // a non-file double target is refused, not silently streamed
+    spark.conf.set("spark.graft.connector.double.redis", "kafka://nope")
+    try intercept[RuntimeException](
+      StreamSources.read(spark, Redis("redis://h", stream = Some("st"))))
+    finally spark.conf.unset("spark.graft.connector.double.redis")
+    // with no conf set, the jar gate still fails actionably
+    val e = intercept[UnsupportedOperationException](
+      StreamSources.read(spark, Kinesis("ev")))
+    assert(e.getMessage.contains("kinesis"))
+  }
+
   test("broker landing doubles: rabbitmq/sqs/nats stream from file:// and loopback://") {
     // file landing: the sidecar-consumer stand-in appends payload lines to
     // a watch directory; the typed config reads them as a one-column frame
