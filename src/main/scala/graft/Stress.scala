@@ -226,6 +226,14 @@ object Stress {
         docsN, "doc_id", "text", capacity = 48L, subwordTable)),
       "subword_train" -> (() => graft.functions.Subword.vocabTop(docsN, "text")),
       "shuffle" -> (() => ops.Sampling.deterministicShuffle(docsN, "doc_id", salt = "42")),
+      // budget rides mult so the kept fraction stays constant — a fixed
+      // budget would shrink the output as the corpus grows and hide any
+      // superlinearity in the prefix-sum machinery itself
+      "token_budget" -> (() => ops.Sampling.tokenBudgetSelect(
+        docsN.select(col("doc_id"),
+          graft.functions.TextFunctions.qualityScore(col("text")).as("q_score"),
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_ws")),
+        "doc_id", "q_score", "n_ws", budget = 20000L * mult)),
       "mixture" -> (() => ops.Sampling.byTemperature(eventsN, "event_id", "event_type",
         targetRows = 40000L)),
       "profile_stats" -> (() => ops.Profiling.columnStats(eventsN,

@@ -443,6 +443,8 @@ object Sampling {
       budget: Long
   ): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(!df.columns.contains("__ord") && !df.columns.contains("cum_tokens"),
+      "tokenBudgetSelect: input already has an '__ord' or 'cum_tokens' column")
     val ordered = df.withColumn("__ord",
       struct(negate(col(scoreCol).cast("double")).as("negscore"),
         col(idCol).as("tid")))
