@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Sequence packing for pretraining: concatenate documents in a
@@ -14,9 +13,10 @@ import org.apache.spark.sql.functions._
   *      (`localCheckpoint` — the sampled range boundaries must be
   *      identical for both passes);
   *   2. per-partition totals (one tiny row per partition) come back to
-  *      the driver, exclusive partition offsets go back out as a
-  *      broadcast join; a per-partition running window adds the
-  *      in-partition prefix.
+  *      the driver, exclusive partition offsets go back out as a tiny
+  *      broadcast map; one mapPartitions sweep over the sorted
+  *      partitions adds the in-partition running prefix (no second
+  *      shuffle — the window formulation re-exchanged the full corpus).
   *
   * Driver state is O(#partitions) — a few KB at any corpus size — and
   * the result is a pure function of (orderCol, weightCol): independent
@@ -37,35 +37,60 @@ object Packing {
       outCol: String = "offset"
   ): DataFrame = {
     val spark = df.sparkSession
+    require(!df.columns.contains("__w") && !df.columns.contains("__pid"),
+      "withGlobalOffset: input already has a '__w' or '__pid' column")
     val nPart = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    // Materialize the range partitioning: RangePartitioner samples with a
-    // seed derived from the RDD id, so re-evaluating the plan in pass 2
-    // could draw DIFFERENT partition boundaries than pass 1 saw.
+    // Materialize the range partitioning — SORTED within partitions, so
+    // the prefix pass is a single in-place sweep: RangePartitioner samples
+    // with a seed derived from the RDD id, so re-evaluating the plan in
+    // pass 2 could draw DIFFERENT partition boundaries than pass 1 saw.
+    // (__w pre-casts the weight once; a NULL weight contributes 0, the
+    // same rule `sum` + coalesce applied in the window formulation.)
     val ranged = df
+      .withColumn("__w", coalesce(col(weightCol).cast("long"), lit(0L)))
       .repartitionByRange(nPart, col(orderCol))
+      .sortWithinPartitions(col(orderCol))
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
 
     val totals = ranged
       .groupBy(col("__pid"))
-      // coalesce: a partition whose weights are ALL NULL sums to NULL
-      // (sum skips nulls) — treat it as contributing 0 to the stream
-      .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)).as("__psum"))
+      .agg(coalesce(sum(col("__w")), lit(0L)).as("__psum"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .toMap
     val pids = totals.keys.toSeq.sorted
     // (pid, sum of every earlier partition's total) — the exclusive offset
-    val exclusive = pids.zip(pids.scanLeft(0L)((acc, pid) => acc + totals(pid)).init)
-    val offsetsDf = spark.createDataFrame(exclusive).toDF("__pid", "__poff")
+    val exclusive = pids.zip(pids.scanLeft(0L)((acc, pid) => acc + totals(pid)).init).toMap
 
-    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
-      .join(broadcast(offsetsDf), "__pid")
-      .withColumn(outCol,
-        coalesce(sum(col(weightCol).cast("long")).over(w), lit(0L)) + col("__poff"))
-      .drop("__pid", "__poff")
+    // The in-partition prefix is a RUNNING SUM over rows already sorted by
+    // orderCol — per-partition imperative logic, done as one mapPartitions
+    // sweep. The previous formulation (broadcast-join the offsets + a
+    // window partitioned by __pid) forced Spark to re-shuffle the whole
+    // corpus by __pid and re-sort it (the checkpoint erases partitioning
+    // metadata, so the window's ENSURE_REQUIREMENTS exchange cannot be
+    // elided) — a second full-data shuffle that at corpus scale costs as
+    // much as the range partition itself. The sweep reads __pid from the
+    // ROW (not TaskContext), so even a later coalesce of checkpoint
+    // partitions keys the right offset per contiguous run.
+    val bcOff = spark.sparkContext.broadcast(exclusive)
+    val pidIdx = ranged.schema.fieldIndex("__pid")
+    val wIdx = ranged.schema.fieldIndex("__w")
+    val outSchema = ranged.schema
+      .add(org.apache.spark.sql.types.StructField(
+        outCol, org.apache.spark.sql.types.LongType, nullable = false))
+    val swept = ranged.mapPartitions { it =>
+      var curPid = Int.MinValue
+      var acc = 0L
+      it.map { r =>
+        val pid = r.getInt(pidIdx)
+        if (pid != curPid) { curPid = pid; acc = bcOff.value.getOrElse(pid, 0L) }
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
+        acc += r.getLong(wIdx)
+        out
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    swept.drop("__pid", "__w")
   }
 
   /** Concat-and-chunk packing plan over documents: token counts, global
