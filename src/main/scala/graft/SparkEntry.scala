@@ -1731,6 +1731,45 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Tombstone deletion on a persisted ANN index (the index lifecycle's
+    * delete leg): the q_ann_ivfpq build is saved, every vec_id divisible
+    * by 7 is deleted via [[graft.ops.AnnIndexStore.deleteIds]], and the
+    * standard probes are served — deleted vectors must vanish from the
+    * candidates while the quantizer/codebook stay trained on the full
+    * corpus (tombstones touch no resident file). The oracle is the
+    * pqIvf chain with the tombstone complement on the candidate side
+    * only. AnnIndexStoreSpec additionally pins compact-time folding
+    * (serve identical after the rewrite, tombstone set cleared).
+    */
+  private def qAnnDeleted(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val S = graft.ops.Similarity
+    val e = emb(s, dir)
+    val quant = S.centroids(e, "vec_id", "embedding", 16)
+      .select(col("cent_id"), col("cent_vec"))
+    val cb = S.pqCodebook(e, "vec_id", "embedding", m = 4, codesK = 8, iters = 2, dim = 64)
+    val index = S.ivfPqIndex(e, "vec_id", "embedding", quant, cb, m = 4, dim = 64)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_anndel").toString
+    TempReaper.register(tmp)
+    graft.ops.AnnIndexStore.saveIvfPq(s"$tmp/pq", quant, cb, index,
+      m = 4, dim = 64, codesK = 8)
+    graft.ops.AnnIndexStore.deleteIds(s, s"$tmp/pq",
+      e.filter(pmod(col("vec_id"), lit(7)) === 0), "vec_id")
+    val bundle = graft.ops.AnnIndexStore.loadIvfPq(s, s"$tmp/pq")
+    val probes = e.filter(col("vec_id") < 10)
+    val topk = graft.ops.AnnIndexStore.serveIvfPq(bundle, probes, "vec_id", "embedding",
+      k = 5, nProbe = 4)
+    val dv = transform(col("embedding"), _.cast("double"))
+    topk
+      .join(e.select(col("vec_id").as("n_id"), dv.as("__cv")), "n_id")
+      .join(broadcast(probes.select(col("vec_id").as("q_id"), dv.as("__qv"))), "q_id")
+      .select(col("q_id"), col("n_id"), col("rank"), col("est_dist2"),
+        round(VF.dot(col("__cv"), col("__cv"))
+          - lit(2.0) * VF.dot(col("__cv"), col("__qv"))
+          + VF.dot(col("__qv"), col("__qv")), 6).as("true_dist2"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** The token-budget DSL twin: q_token_budget's exact computation
     * driven through YAML `type: token_budget` (scoreField/tokensField/
     * budget passthrough); shares the oracle verbatim — the row gates the
@@ -3985,6 +4024,7 @@ object SparkEntry {
     "q_ann_ivfpq" -> (qAnnIvfpq _),
     "q_ann_ivfpq_served" -> (qAnnIvfpqServed _),
     "q_stream_ann" -> (qStreamAnn _),
+    "q_ann_deleted" -> (qAnnDeleted _),
     "q_quality" -> (qQuality _),
     "q_token_count" -> (qTokenCount _),
     "q_subword_vocab" -> (qSubwordVocab _),
@@ -4361,8 +4401,16 @@ object SparkEntry {
       |WHERE cum_tokens <= 20000
       |ORDER BY doc_id""".stripMargin
 
-  private def pqIvfOracle: String = {
+  private def pqIvfOracle: String = pqIvfOracleFiltered("")
+
+  /** The IVF-PQ oracle with an optional extra candidate-side predicate —
+    * "" is the plain oracle; q_ann_deleted passes the tombstone
+    * complement (candidates exclude deleted ids; centroids/codebook stay
+    * trained on the full corpus, exactly like the implementation).
+    */
+  private def pqIvfOracleFiltered(candExtra: String): String = {
     val subs = (0 until 4).map(pqSubCte).mkString(",\n")
+    val extra = if (candExtra.isEmpty) "" else s" AND $candExtra"
     def cellAssign(src: String, keep: String): String =
       s"""SELECT _aid, cent_id FROM (
          |  SELECT _aid, cent_id, row_number() OVER (PARTITION BY _aid ORDER BY csim DESC, cent_id) AS cr
@@ -4393,7 +4441,7 @@ object SparkEntry {
        |cand AS (
        |  SELECT DISTINCT qc._aid AS qid, cc._aid AS vid
        |  FROM qcells qc JOIN ccells cc ON cc.cent_id = qc.cent_id
-       |  WHERE cc._aid <> qc._aid
+       |  WHERE cc._aid <> qc._aid$extra
        |),
        |est AS (
        |  SELECT c.qid, c.vid, sum(CAST(l.d2 AS DECIMAL(28,6))) AS est_dec
@@ -4868,6 +4916,8 @@ object SparkEntry {
     "q_embed_pq" -> pqOracle,
     "q_ann_ivfpq" -> pqIvfOracle,
     "q_ann_ivfpq_served" -> pqIvfOracle, // identical by spec: the row gates the save/load/serve round-trip
+    "q_ann_deleted" -> // tombstone complement on the candidate side only
+      pqIvfOracleFiltered("cc._aid % 7 <> 0"),
     "q_stream_ann" -> // served rows are batch-independent; batch_id = the wave schedule
       s"""SELECT q_id, n_id, rank, est_dist2, true_dist2, q_id % 3 AS batch_id
          |FROM (

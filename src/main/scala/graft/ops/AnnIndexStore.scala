@@ -148,9 +148,53 @@ object AnnIndexStore {
     require(mf("kind") == "lsh",
       s"$dir holds a '${mf("kind")}' index, not lsh — use the matching loader")
     LshBundle(
-      readFrame(spark, s"$dir/index", mf.get("indexSchema")),
+      minusTombstones(spark, dir,
+        readFrame(spark, s"$dir/index", mf.get("indexSchema"))),
       planes = mf("planes").toInt, dim = mf("dim").toInt,
       tables = mf("tables").toInt, nGroups = mf("nGroups").toInt)
+  }
+
+  /** Tombstone deletion — the missing leg of the index lifecycle
+    * (save → append → DELETE → compact): mark ids dead without touching
+    * the resident cell files. Each call appends one small parquet under
+    * `dir/tombstones`; every loader anti-joins the set, so ALL serve
+    * paths (batch, DSL `ann_serve`, streaming [[servingBatchFn]]) observe
+    * the deletes immediately. [[compact]] FOLDS the tombstones — rewrites
+    * the rows out and clears the set — on the same maintenance cadence
+    * that merges append slivers.
+    *
+    * Contract: tombstones hide EVERY resident row with that id, including
+    * rows appended after the delete — re-adding a deleted id requires a
+    * [[compact]] between the delete and the append (the same
+    * generation-free rule simple tombstone stores use; generations are
+    * not worth their complexity at a daily maintenance cadence).
+    */
+  def deleteIds(
+      spark: SparkSession,
+      dir: String,
+      ids: DataFrame,
+      idCol: String
+  ): Unit = {
+    readManifest(spark, dir) // refuse non-index directories
+    ids.select(col(idCol).cast("long").as("n_id")).distinct()
+      .coalesce(1) // a delete batch is tiny relative to the index
+      .write.mode("append").parquet(s"$dir/tombstones")
+  }
+
+  private def tombstonePath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "tombstones")
+
+  /** The live view of a stored index frame: resident rows minus the
+    * tombstoned ids (no-op when no delete was ever issued).
+    */
+  private def minusTombstones(
+      spark: SparkSession, dir: String, index: DataFrame): DataFrame = {
+    val p = tombstonePath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) index
+    else index.join(
+      spark.read.schema("n_id BIGINT").parquet(p.toString).distinct(),
+      Seq("n_id"), "left_anti")
   }
 
   /** Serve top-k from a loaded LSH bundle — planes/dim/tables come from
@@ -216,7 +260,8 @@ object AnnIndexStore {
     IvfPqBundle(
       readFrame(spark, s"$dir/quantizer", mf.get("quantizerSchema")),
       readFrame(spark, s"$dir/codebook", mf.get("codebookSchema")),
-      readFrame(spark, s"$dir/index", mf.get("indexSchema")),
+      minusTombstones(spark, dir,
+        readFrame(spark, s"$dir/index", mf.get("indexSchema"))),
       m = mf("m").toInt, dim = mf("dim").toInt,
       codesK = mf("codesK").toInt, nCells = mf("nCells").toInt)
   }
@@ -227,7 +272,8 @@ object AnnIndexStore {
       s"$dir holds a '${mf("kind")}' index, not ivf — use the matching loader")
     IvfBundle(
       readFrame(spark, s"$dir/quantizer", mf.get("quantizerSchema")),
-      readFrame(spark, s"$dir/index", mf.get("indexSchema")),
+      minusTombstones(spark, dir,
+        readFrame(spark, s"$dir/index", mf.get("indexSchema"))),
       nCells = mf("nCells").toInt)
   }
 
@@ -337,6 +383,26 @@ object AnnIndexStore {
       .write.mode("append").partitionBy("cent_id").parquet(s"$dir/index")
   }
 
+  /** Incrementally add vectors to a persisted flat-IVF index: assign to
+    * the EXISTING centroids and append the cell-partitioned rows — the
+    * [[appendIvfPq]] shape for the vector-resident kind (same caveats:
+    * caller owns id uniqueness; appends fragment cell directories — run
+    * [[compact]] on a cadence).
+    */
+  def appendIvf(
+      spark: SparkSession,
+      dir: String,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): Unit = {
+    val b = loadIvf(spark, dir)
+    Similarity.ivfIndex(vectors, idCol, vecCol,
+        b.quantizer.select(col("cent_id"), col("cent_vec")))
+      .repartition(col("cent_id")) // one appended file per touched cell
+      .write.mode("append").partitionBy("cent_id").parquet(s"$dir/index")
+  }
+
   /** Re-compact a persisted index's coded frame back to ~one file per
     * cell — the maintenance pass that closes [[appendIvfPq]]'s
     * fragmentation loop: every append adds ≥1 new file per touched cell,
@@ -352,8 +418,34 @@ object AnnIndexStore {
     * live under `dir/index`). Returns the target file count.
     */
   def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20): Int = {
-    readManifest(spark, dir) // refuse non-index directories before rewriting
-    Layout.compact(spark, s"$dir/index", targetBytes)
+    val mf = readManifest(spark, dir) // refuse non-index directories before rewriting
+    val tp = tombstonePath(dir)
+    val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(tp))
+      return Layout.compact(spark, s"$dir/index", targetBytes)
+    // FOLD the tombstones: rewrite the live rows with the save path's own
+    // layout (one file per cell / per bucket group, sorted for lsh), swap
+    // rename-aside like Layout.compact, and clear the tombstone set only
+    // after the swap — a crash at any point leaves either the old index +
+    // tombstones (deletes still observed at load) or the folded index.
+    val live = minusTombstones(spark, dir,
+      readFrame(spark, s"$dir/index", mf.get("indexSchema"))).localCheckpoint()
+    val ip = new org.apache.hadoop.fs.Path(dir, "index")
+    val newP = new org.apache.hadoop.fs.Path(dir, "index__fold_new")
+    val oldP = new org.apache.hadoop.fs.Path(dir, "index__fold_old")
+    val writer = mf("kind") match {
+      case "lsh" => live.repartition(col("bucket_grp"))
+        .sortWithinPartitions(col("bucket"))
+        .write.partitionBy("bucket_grp")
+      case _ => live.repartition(col("cent_id"))
+        .write.partitionBy("cent_id")
+    }
+    writer.mode("overwrite").parquet(newP.toString)
+    require(fs.rename(ip, oldP), s"tombstone fold: rename $ip -> $oldP failed")
+    require(fs.rename(newP, ip), s"tombstone fold: rename $newP -> $ip failed")
+    fs.delete(oldP, true)
+    fs.delete(tp, true)
+    fs.listStatus(ip).count(_.isDirectory)
   }
 
   private def j(v: String): String =

@@ -248,6 +248,41 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(AnnIndexStore.loadLsh(spark, s"$dir/lsh").index.count() == 250)
   }
 
+  test("tombstone deletes: hidden at load, folded by compact, set cleared") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_del").toString
+    val corpus = vecs(200)
+    val quant = Similarity.centroids(corpus, "vec_id", "embedding", 4)
+      .select(col("cent_id"), col("cent_vec"))
+    AnnIndexStore.saveIvf(s"$dir/flat", quant,
+      Similarity.ivfIndex(corpus, "vec_id", "embedding", quant))
+    val dead = (0L until 200L).filter(_ % 3 == 0)
+    AnnIndexStore.deleteIds(spark, s"$dir/flat",
+      dead.toDF("vec_id"), "vec_id")
+    // loaders hide the tombstoned rows for every serve path
+    val live = AnnIndexStore.loadIvf(spark, s"$dir/flat")
+    assert(live.index.count() == 200 - dead.size)
+    assert(live.index.filter(col("n_id") % 3 === 0).count() == 0)
+    val queries = vecs(5, idFrom = 5000L)
+    val servedDel = AnnIndexStore.serveIvf(live, queries, "vec_id", "embedding",
+      k = 3, nProbe = 2).orderBy("q_id", "rank").collect().toSeq
+    assert(servedDel.nonEmpty &&
+      !servedDel.exists(r => r.getAs[Long]("n_id") % 3 == 0))
+    // compact folds: same serve result, tombstone set gone, rows rewritten
+    AnnIndexStore.compact(spark, s"$dir/flat")
+    assert(!new java.io.File(s"$dir/flat/tombstones").exists())
+    val folded = AnnIndexStore.loadIvf(spark, s"$dir/flat")
+    assert(folded.index.count() == 200 - dead.size)
+    val servedFold = AnnIndexStore.serveIvf(folded, queries, "vec_id", "embedding",
+      k = 3, nProbe = 2).orderBy("q_id", "rank").collect().toSeq
+    assert(servedFold == servedDel)
+    // after the fold a deleted id can be re-added (the documented order)
+    AnnIndexStore.appendIvf(spark, s"$dir/flat", vecs(1, idFrom = 3L),
+      "vec_id", "embedding")
+    assert(AnnIndexStore.loadIvf(spark, s"$dir/flat")
+      .index.filter(col("n_id") === 3L).count() == 1)
+  }
+
   test("streaming serve: micro-batched queries equal the batch serve") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
