@@ -246,6 +246,25 @@ class AnnIndexStoreSpec extends SparkSpec {
     AnnIndexStore.compact(spark, s"$dir/lsh")
     assert(dataFileCount(s"$dir/lsh/index") == baseFiles)
     assert(AnnIndexStore.loadLsh(spark, s"$dir/lsh").index.count() == 250)
+    // tombstone fold takes the LSH branch: group layout + in-file bucket
+    // sort survive the rewrite, deleted rows are gone for good
+    import spark.implicits._
+    AnnIndexStore.deleteIds(spark, s"$dir/lsh",
+      (2000L until 2050L).toDF("vec_id"), "vec_id")
+    assert(AnnIndexStore.loadLsh(spark, s"$dir/lsh").index.count() == 200)
+    AnnIndexStore.compact(spark, s"$dir/lsh")
+    assert(!new java.io.File(s"$dir/lsh/tombstones").exists())
+    val reloaded = AnnIndexStore.loadLsh(spark, s"$dir/lsh")
+    assert(reloaded.index.count() == 200)
+    // layout preserved: bucket_grp hive dirs, rows sorted by bucket
+    val grpDirs = new java.io.File(s"$dir/lsh/index").listFiles()
+      .filter(_.getName.startsWith("bucket_grp="))
+    assert(grpDirs.nonEmpty)
+    val survivors = reloaded.index.filter(col("n_id") < 2000L)
+      .select("bucket", "n_id").orderBy("n_id").collect().toSeq
+    val rebuilt = Similarity.lshIndex(vecs(200), "vec_id", "embedding", 3, dim, 1)
+      .select("bucket", "n_id").orderBy("n_id").collect().toSeq
+    assert(survivors == rebuilt)
   }
 
   test("tombstone deletes: hidden at load, folded by compact, set cleared") {
