@@ -182,13 +182,35 @@ object Cli {
     case Seq("compact", path, targetMb, colA, colB, bits) =>
       doCompact(sparkOpt, path, targetMb, Seq(colA, colB), bits.toInt)
 
+    // ANN index lifecycle maintenance (AnnIndexStore): tombstone deletes,
+    // sliver/tombstone-folding compaction, manifest inspection
+    case Seq("ann", "info", dir) =>
+      val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
+      graft.ops.AnnIndexStore.describe(spark, dir).toSeq.sortBy(_._1)
+        .foreach { case (k, v) => println(s"$k: $v") }
+      0
+
+    case Seq("ann", "delete", dir, idsParquet, idCol) =>
+      val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
+      graft.ops.AnnIndexStore.deleteIds(spark, dir,
+        spark.read.parquet(idsParquet), idCol)
+      println(s"tombstoned ids from $idsParquet in $dir (compact to fold)")
+      0
+
+    case Seq("ann", "compact", dir) =>
+      val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
+      val n = graft.ops.AnnIndexStore.compact(spark, dir)
+      println(s"compacted $dir -> $n")
+      0
+
     case _ =>
       println("usage: graft.Cli (validate|graph|run|get) <manifest.yaml> | " +
         "describe <manifest.yaml> <[ns/]name> | " +
         "registry (apply <dir> <manifest.yaml> | delete <dir> <kind> <[ns/]name> | " +
         "list <dir> [ns] | validate <dir> | run <dir> <[ns/]pipeline>) | " +
         "backup (create|list|restore) ... | " +
-        "compact <path> <targetMB> [colA colB [bits]]")
+        "compact <path> <targetMB> [colA colB [bits]] | " +
+        "ann (info <dir> | delete <dir> <ids.parquet> <idCol> | compact <dir>)")
       2
   }
 

@@ -253,6 +253,12 @@ object AnnIndexStore {
   def kindOf(spark: SparkSession, dir: String): String =
     readManifest(spark, dir)("kind")
 
+  /** The pinned manifest as a map (kind, dims, cell counts, schemas) —
+    * the CLI `ann info` surface; same actionable error on non-index dirs.
+    */
+  def describe(spark: SparkSession, dir: String): Map[String, String] =
+    readManifest(spark, dir)
+
   def loadIvfPq(spark: SparkSession, dir: String): IvfPqBundle = {
     val mf = readManifest(spark, dir)
     require(mf("kind") == "ivfpq",

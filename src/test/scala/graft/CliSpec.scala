@@ -253,4 +253,25 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(Seq("compact", s"$dir/t", "0"), Some(spark)) == 2)
     assert(Cli.run(Seq("compact", s"$dir/t", "512", "a", "b", "forty"), Some(spark)) == 2)
   }
+
+  test("ann commands: info prints the manifest, delete+compact fold tombstones") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_ann").toString
+    val corpus = spark.range(0, 100).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        ((pmod(xxhash64(col("id"), i), lit(2000L)).cast("float") - 1000f) / 1000f)
+          .cast("float")).as("embedding"))
+    val quant = graft.ops.Similarity.centroids(corpus, "vec_id", "embedding", 4)
+      .select(col("cent_id"), col("cent_vec"))
+    graft.ops.AnnIndexStore.saveIvf(s"$dir/flat", quant,
+      graft.ops.Similarity.ivfIndex(corpus, "vec_id", "embedding", quant))
+    assert(Cli.run(Seq("ann", "info", s"$dir/flat"), Some(spark)) == 0)
+    Seq(0L, 1L, 2L).toDF("vec_id").write.parquet(s"$dir/dead")
+    assert(Cli.run(
+      Seq("ann", "delete", s"$dir/flat", s"$dir/dead", "vec_id"), Some(spark)) == 0)
+    assert(graft.ops.AnnIndexStore.loadIvf(spark, s"$dir/flat").index.count() == 97)
+    assert(Cli.run(Seq("ann", "compact", s"$dir/flat"), Some(spark)) == 0)
+    assert(!new java.io.File(s"$dir/flat/tombstones").exists())
+    assert(graft.ops.AnnIndexStore.loadIvf(spark, s"$dir/flat").index.count() == 97)
+  }
 }
