@@ -434,11 +434,16 @@ object AnnIndexStore {
     // rename-aside like Layout.compact, and clear the tombstone set only
     // after the swap — a crash at any point leaves either the old index +
     // tombstones (deletes still observed at load) or the folded index.
-    val live = minusTombstones(spark, dir,
-      readFrame(spark, s"$dir/index", mf.get("indexSchema"))).localCheckpoint()
     val ip = new org.apache.hadoop.fs.Path(dir, "index")
     val newP = new org.apache.hadoop.fs.Path(dir, "index__fold_new")
     val oldP = new org.apache.hadoop.fs.Path(dir, "index__fold_old")
+    // recover from a crash between the two swap renames of a prior fold:
+    // the data is intact under __fold_old (and the tombstones still
+    // present, so no delete was lost) — put it back and fold again
+    if (!fs.exists(ip) && fs.exists(oldP))
+      require(fs.rename(oldP, ip), s"tombstone-fold recovery failed: $oldP -> $ip")
+    val live = minusTombstones(spark, dir,
+      readFrame(spark, s"$dir/index", mf.get("indexSchema"))).localCheckpoint()
     val writer = mf("kind") match {
       case "lsh" => live.repartition(col("bucket_grp"))
         .sortWithinPartitions(col("bucket"))

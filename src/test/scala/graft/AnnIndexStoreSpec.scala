@@ -300,6 +300,19 @@ class AnnIndexStoreSpec extends SparkSpec {
       "vec_id", "embedding")
     assert(AnnIndexStore.loadIvf(spark, s"$dir/flat")
       .index.filter(col("n_id") === 3L).count() == 1)
+    // crash recovery: a fold interrupted between the two swap renames
+    // leaves the index under __fold_old; the next compact puts it back
+    // and completes (no rows lost, tombstones still honored)
+    AnnIndexStore.deleteIds(spark, s"$dir/flat",
+      Seq(4L).toDF("vec_id"), "vec_id") // 4 is live (only multiples of 3 died)
+    val ip = new java.io.File(s"$dir/flat/index")
+    assert(ip.renameTo(new java.io.File(s"$dir/flat/index__fold_old")))
+    AnnIndexStore.compact(spark, s"$dir/flat")
+    val recovered = AnnIndexStore.loadIvf(spark, s"$dir/flat")
+    assert(recovered.index.count() == 200 - dead.size) // +readd(3) -delete(4)
+    assert(recovered.index.filter(col("n_id") === 4L).count() == 0)
+    assert(recovered.index.filter(col("n_id") === 3L).count() == 1)
+    assert(!new java.io.File(s"$dir/flat/tombstones").exists())
   }
 
   test("streaming serve: micro-batched queries equal the batch serve") {
