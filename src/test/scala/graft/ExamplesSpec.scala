@@ -137,4 +137,26 @@ class ExamplesSpec extends SparkSpec {
       "lang_id and split_assign must contribute their columns")
     assert(out.filter(!col("split").isin("train", "val", "test")).count() == 0)
   }
+
+  test("ann-build.yaml + ann-retrieve.yaml: index persists, queries serve off it") {
+    val dir = Files.createTempDirectory("graft_ex_ann").toString
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(8)(d => (((i * 31 + d * 7) % 17).toFloat - 8f) / 8f))
+    }.toDF("vec_id", "embedding")
+    vecs.write.mode("overwrite").parquet(s"$dir/data/embeddings")
+    vecs.filter(col("vec_id") < 3).write.mode("overwrite").parquet(s"$dir/data/queries")
+    val build = materialize("ann-build.yaml", dir)
+    val retrieve = materialize("ann-retrieve.yaml", dir)
+    assert(Cli.run(Seq("validate", build)) == 0)
+    assert(Cli.run(Seq("run", build), sparkOpt = Some(spark)) == 0)
+    assert(new java.io.File(s"$dir/data/out/ann-index/MANIFEST.json").exists())
+    assert(Cli.run(Seq("ann", "info", s"$dir/data/out/ann-index"), Some(spark)) == 0)
+    assert(Cli.run(Seq("validate", retrieve)) == 0)
+    assert(Cli.run(Seq("run", retrieve), sparkOpt = Some(spark)) == 0)
+    val hits = spark.read.parquet(s"$dir/data/out/hits")
+    // 3 queries x k=3 neighbors, none the query itself
+    assert(hits.select("q_id").distinct().count() == 3)
+    assert(hits.filter(col("q_id") === col("n_id")).count() == 0)
+    assert(hits.groupBy("q_id").count().filter(col("count") > 3).count() == 0)
+  }
 }
