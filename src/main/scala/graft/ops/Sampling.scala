@@ -445,8 +445,11 @@ object Sampling {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     require(!df.columns.contains("__ord") && !df.columns.contains("cum_tokens"),
       "tokenBudgetSelect: input already has an '__ord' or 'cum_tokens' column")
+    // a NULL score must rank WORST, not ride Spark's nulls-first default
+    // into the best slot: coalesce to -inf so negation sorts it last
     val ordered = df.withColumn("__ord",
-      struct(negate(col(scoreCol).cast("double")).as("negscore"),
+      struct(negate(coalesce(col(scoreCol).cast("double"),
+        lit(Double.NegativeInfinity))).as("negscore"),
         col(idCol).as("tid")))
     Packing.withGlobalOffset(ordered, "__ord", tokensCol, "__off")
       .withColumn("cum_tokens", col("__off") + col(tokensCol).cast("long"))

@@ -861,6 +861,16 @@ class OpsSpec extends SparkSpec {
       .tokenBudgetSelect(df.repartition(7), "id", "score", "toks", 120L)
       .collect().map(r => (r.getString(0), r.getLong(3))).sortBy(_._1)
     assert(rep.toSeq == sel(120).toSeq)
+    // a NULL score ranks worst, never best (nulls-first would admit it)
+    val withNull = Seq(("a", Some(7.0), 40L), ("z", None, 10L), ("c", Some(9.0), 50L))
+      .toDF("id", "score", "toks")
+    val kept = graft.ops.Sampling
+      .tokenBudgetSelect(withNull, "id", "score", "toks", 100L)
+      .collect().map(_.getString(0)).sorted
+    assert(kept.toSeq == Seq("a", "c", "z")) // z fits only AFTER a and c
+    assert(graft.ops.Sampling
+      .tokenBudgetSelect(withNull, "id", "score", "toks", 90L)
+      .collect().map(_.getString(0)).sorted.toSeq == Seq("a", "c"))
   }
 
   test("psiDrift: zero on identical snapshots, positive on shift, clamped edges") {
