@@ -1770,6 +1770,23 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Per-group token budgets (the multilingual recipe: "8k tokens of en,
+    * 2k per other language"): within each lang, the best-scored prefix
+    * whose cumulative whitespace-token count fits that lang's budget.
+    * One window per group — no global machinery. The oracle replays the
+    * same partitioned running sum and the CASE budget.
+    */
+  private def qTokenBudgetGroup(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+      TF.qualityScore(col("text")).as("q_score"),
+      TF.tokenCount(col("text")).cast("long").as("n_ws"))
+    graft.ops.Sampling.tokenBudgetByGroup(scored, "doc_id", "lang",
+      "q_score", "n_ws", budgets = Map("en" -> 8000L), defaultBudget = 2000L)
+      .select(col("doc_id"), col("lang"), col("q_score"), col("n_ws"),
+        col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The token-budget DSL twin: q_token_budget's exact computation
     * driven through YAML `type: token_budget` (scoreField/tokensField/
     * budget passthrough); shares the oracle verbatim — the row gates the
@@ -4115,6 +4132,7 @@ object SparkEntry {
     "q_trim_mad" -> (qTrimMad _),
     "q_sample_coverage" -> (qSampleCoverage _),
     "q_token_budget" -> (qTokenBudget _),
+    "q_token_budget_group" -> (qTokenBudgetGroup _),
     "q_dsl_token_budget" -> (qDslTokenBudget _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_spans" -> (qDedupSpans _),
@@ -6795,6 +6813,32 @@ object SparkEntry {
     // running-summed in (q_score DESC, doc_id) order, prefix cutoff at 20k
     "q_token_budget" -> tokenBudgetOracle,
     "q_dsl_token_budget" -> tokenBudgetOracle, // twin: the same cut through YAML `type: token_budget`
+    // per-lang budgets: same score CTE + lang, partitioned running sum,
+    // CASE budget (en 8k, others 2k)
+    "q_token_budget_group" ->
+      """WITH c AS (
+        |  SELECT doc_id, lang, length(text) AS lc,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tc,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS mh,
+        |    len(regexp_extract_all(text, '[\.,;:!?]')) AS np
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, lang, round(
+        |    least(lc / 500.0, 1.0) * 0.4 +
+        |    least((CASE WHEN tc = 0 THEN 0.0 ELSE CAST(mh AS DOUBLE) / CAST(tc AS DOUBLE) END) * 5.0, 1.0) * 0.4 +
+        |    (1.0 - least((CASE WHEN lc = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / CAST(lc AS DOUBLE) END) * 10.0, 1.0)) * 0.2,
+        |    6) AS q_score,
+        |    CAST(tc AS BIGINT) AS n_ws
+        |  FROM c
+        |)
+        |SELECT doc_id, lang, q_score, n_ws, cum_tokens FROM (
+        |  SELECT doc_id, lang, q_score, n_ws,
+        |    CAST(sum(n_ws) OVER (PARTITION BY lang ORDER BY q_score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM scored)
+        |WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 8000 ELSE 2000 END
+        |ORDER BY doc_id""".stripMargin,
     // PSI drift: exact micro-int binning; ln via the fixed artanh series
     // (identical IEEE op sequence in both engines — no libm log).
     "q_drift_psi" ->

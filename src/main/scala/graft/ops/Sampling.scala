@@ -457,6 +457,43 @@ object Sampling {
       .drop("__ord", "__off")
   }
 
+  /** Per-group token budgets — the multilingual form of
+    * [[tokenBudgetSelect]] ("N tokens per language"): within each group,
+    * keep the maximal (score DESC, id) prefix whose cumulative token
+    * count fits that group's budget. One window partitioned by the group
+    * key — groups run in parallel and no group's data crosses another's
+    * partition, so this needs none of the global prefix-sum machinery
+    * (a single group is assumed to fit a partition's sort spill budget,
+    * the usual per-key window contract).
+    *
+    * @param budgets per-group token budgets; groups absent from the map
+    *                take `defaultBudget` (0 drops them entirely)
+    */
+  def tokenBudgetByGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L
+  ): DataFrame = {
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      "budgets must be >= 0")
+    require(!df.columns.contains("cum_tokens"),
+      "tokenBudgetByGroup: input already has a 'cum_tokens' column")
+    val budgetCol = budgets.toSeq.sortBy(_._1).foldLeft(lit(defaultBudget)) {
+      case (acc, (g, b)) => when(col(groupCol) === g, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(negate(coalesce(col(scoreCol).cast("double"),
+        lit(Double.NegativeInfinity))), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_tokens", sum(col(tokensCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budgetCol)
+  }
+
   /** Coverage-balanced budget sampling: under a global row budget, every
     * group (domain, source, language) contributes its r-th pick before
     * any group contributes its (r+1)-th — so a budget of B covers

@@ -873,6 +873,23 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.getString(0)).sorted.toSeq == Seq("a", "c"))
   }
 
+  test("tokenBudgetByGroup: per-group prefix cutoffs, default budget, zero drops") {
+    val df = Seq(
+      ("a", "en", 9.0, 50L), ("b", "en", 7.0, 40L), ("c", "en", 2.0, 30L),
+      ("d", "de", 8.0, 60L), ("e", "de", 6.0, 50L),
+      ("f", "fr", 5.0, 10L)
+    ).toDF("id", "grp", "score", "toks")
+    def sel(budgets: Map[String, Long], dflt: Long) = graft.ops.Sampling
+      .tokenBudgetByGroup(df, "id", "grp", "score", "toks", budgets, dflt)
+      .collect().map(_.getString(0)).sorted.toSeq
+    // en keeps its 90-token prefix (a,b); de keeps only d; fr fits fully
+    assert(sel(Map("en" -> 90L, "de" -> 60L), 10L) == Seq("a", "b", "d", "f"))
+    // default 0 drops unlisted groups entirely
+    assert(sel(Map("en" -> 1000L), 0L) == Seq("a", "b", "c"))
+    // per-group cut is independent: shrinking en leaves de/fr untouched
+    assert(sel(Map("en" -> 50L, "de" -> 200L), 100L) == Seq("a", "d", "e", "f"))
+  }
+
   test("psiDrift: zero on identical snapshots, positive on shift, clamped edges") {
     val ref = (0 until 200).map(i => (i % 50).toDouble).toDF("value")
     val same = Profiling.psiDrift(ref, ref, "value", nBins = 10)
