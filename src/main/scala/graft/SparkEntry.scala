@@ -1787,6 +1787,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The per-group token-budget DSL twin: q_token_budget_group's exact
+    * computation through YAML `type: token_budget_group` (nested budgets
+    * map + defaultBudget passthrough); shares the oracle verbatim.
+    */
+  private def qDslTokenBudgetGroup(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(col("doc_id"), col("lang"),
+      TF.qualityScore(col("text")).as("q_score"),
+      TF.tokenCount(col("text")).cast("long").as("n_ws"))
+    dslStep(s, Map("step_in" -> scored),
+      "  type: token_budget_group\n  groupField: lang\n  scoreField: q_score\n" +
+        "  tokensField: n_ws\n  budgets: {en: 8000}\n  defaultBudget: 2000")
+      .select(col("doc_id"), col("lang"), col("q_score"), col("n_ws"),
+        col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The token-budget DSL twin: q_token_budget's exact computation
     * driven through YAML `type: token_budget` (scoreField/tokensField/
     * budget passthrough); shares the oracle verbatim — the row gates the
@@ -4134,6 +4150,7 @@ object SparkEntry {
     "q_token_budget" -> (qTokenBudget _),
     "q_token_budget_group" -> (qTokenBudgetGroup _),
     "q_dsl_token_budget" -> (qDslTokenBudget _),
+    "q_dsl_token_budget_group" -> (qDslTokenBudgetGroup _),
     "q_dedup_incremental" -> (qDedupIncremental _),
     "q_dedup_spans" -> (qDedupSpans _),
     "q_embed_normalize" -> (qEmbedNormalize _),
@@ -4417,6 +4434,35 @@ object SparkEntry {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
       |  FROM scored)
       |WHERE cum_tokens <= 20000
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-group token-budget oracle (shared by q_token_budget_group and
+    * its DSL twin): the q_quality score CTE + lang, a lang-partitioned
+    * running sum, and the CASE budget (en 8000, others 2000).
+    */
+  private def tokenBudgetGroupOracle: String =
+    """WITH c AS (
+      |  SELECT doc_id, lang, length(text) AS lc,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tc,
+      |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS mh,
+      |    len(regexp_extract_all(text, '[\.,;:!?]')) AS np
+      |  FROM documents
+      |), scored AS (
+      |  SELECT doc_id, lang, round(
+      |    least(lc / 500.0, 1.0) * 0.4 +
+      |    least((CASE WHEN tc = 0 THEN 0.0 ELSE CAST(mh AS DOUBLE) / CAST(tc AS DOUBLE) END) * 5.0, 1.0) * 0.4 +
+      |    (1.0 - least((CASE WHEN lc = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / CAST(lc AS DOUBLE) END) * 10.0, 1.0)) * 0.2,
+      |    6) AS q_score,
+      |    CAST(tc AS BIGINT) AS n_ws
+      |  FROM c
+      |)
+      |SELECT doc_id, lang, q_score, n_ws, cum_tokens FROM (
+      |  SELECT doc_id, lang, q_score, n_ws,
+      |    CAST(sum(n_ws) OVER (PARTITION BY lang ORDER BY q_score DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM scored)
+      |WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 8000 ELSE 2000 END
       |ORDER BY doc_id""".stripMargin
 
   private def pqIvfOracle: String = pqIvfOracleFiltered("")
@@ -6815,30 +6861,8 @@ object SparkEntry {
     "q_dsl_token_budget" -> tokenBudgetOracle, // twin: the same cut through YAML `type: token_budget`
     // per-lang budgets: same score CTE + lang, partitioned running sum,
     // CASE budget (en 8k, others 2k)
-    "q_token_budget_group" ->
-      """WITH c AS (
-        |  SELECT doc_id, lang, length(text) AS lc,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tc,
-        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|a)\b')) AS mh,
-        |    len(regexp_extract_all(text, '[\.,;:!?]')) AS np
-        |  FROM documents
-        |), scored AS (
-        |  SELECT doc_id, lang, round(
-        |    least(lc / 500.0, 1.0) * 0.4 +
-        |    least((CASE WHEN tc = 0 THEN 0.0 ELSE CAST(mh AS DOUBLE) / CAST(tc AS DOUBLE) END) * 5.0, 1.0) * 0.4 +
-        |    (1.0 - least((CASE WHEN lc = 0 THEN 0.0 ELSE CAST(np AS DOUBLE) / CAST(lc AS DOUBLE) END) * 10.0, 1.0)) * 0.2,
-        |    6) AS q_score,
-        |    CAST(tc AS BIGINT) AS n_ws
-        |  FROM c
-        |)
-        |SELECT doc_id, lang, q_score, n_ws, cum_tokens FROM (
-        |  SELECT doc_id, lang, q_score, n_ws,
-        |    CAST(sum(n_ws) OVER (PARTITION BY lang ORDER BY q_score DESC, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
-        |  FROM scored)
-        |WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 8000 ELSE 2000 END
-        |ORDER BY doc_id""".stripMargin,
+    "q_token_budget_group" -> tokenBudgetGroupOracle,
+    "q_dsl_token_budget_group" -> tokenBudgetGroupOracle, // twin via YAML `type: token_budget_group`
     // PSI drift: exact micro-int binning; ln via the fixed artanh series
     // (identical IEEE op sequence in both engines — no libm log).
     "q_drift_psi" ->

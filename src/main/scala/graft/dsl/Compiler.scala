@@ -991,6 +991,23 @@ object Compiler {
           scoreCol = c("scoreField").toString,
           tokensCol = c("tokensField").toString,
           budget = c("budget").toString.toLong)
+      case "token_budget_group" =>
+        // Per-group token budgets (Sampling.tokenBudgetByGroup): the
+        // multilingual "N tokens per language" recipe. `budgets` is a
+        // nested group→tokens map (the upsample `weights` convention);
+        // unlisted groups take defaultBudget (0 drops them).
+        require(!df.isStreaming,
+          "token_budget_group is batch-only: cutoffs are corpus-level sums")
+        val tbgBudgets = c.get("budgets")
+          .map(_.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString.toLong })
+          .getOrElse(Map.empty)
+        graft.ops.Sampling.tokenBudgetByGroup(df,
+          idCol = c.getOrElse("idField", "doc_id").toString,
+          groupCol = c("groupField").toString,
+          scoreCol = c("scoreField").toString,
+          tokensCol = c("tokensField").toString,
+          budgets = tbgBudgets,
+          defaultBudget = c.getOrElse("defaultBudget", 0L).toString.toLong)
       case "upsample" =>
         // Deterministic weighted upsampling (graft.ops.Sampling) as a
         // pipeline step: per-stratum weights from the manifest, resolved
