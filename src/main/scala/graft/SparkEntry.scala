@@ -1665,6 +1665,50 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental near-dedup AGAINST A PERSISTED MINHASH INDEX (L34's
+    * scale story): the corpus (doc_id % 5 != 0) is signed ONCE and saved
+    * as a band-group-partitioned index + signature store; the daily
+    * batch (doc_id % 5 == 0) probes it — batch-side signing only, static
+    * band pruning, full-signature agreement rescore. Semantics = the
+    * near_corpus channel of q_dedup_incremental, which the oracle
+    * replays over the shared lshSigCte machinery. What this row gates
+    * beyond q_dedup_incremental is the persisted round-trip: parameters
+    * pinned by the manifest, band layout, signature-store join.
+    */
+  private def qDedupIncrementalServed(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
+    TempReaper.register(tmp)
+    graft.ops.AnnIndexStore.saveMinhash(s"$tmp/mh",
+      d.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+      n = 3, k = 16, bands = 4)
+    val b = graft.ops.AnnIndexStore.loadMinhash(s, s"$tmp/mh")
+    graft.ops.AnnIndexStore.dedupeAgainstMinhash(b,
+      d.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+      minSim = 0.5)
+      .select(col("doc_id"), col("dup").cast("int").as("dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The index-backed near-dedup DSL twin: the `dedupe_near` step with
+    * `indexPath` keeps exactly the batch docs q_dedup_incremental_served
+    * marks dup=0 — oracle is that query's complement projection.
+    */
+  private def qDslDedupeIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dslmh").toString
+    TempReaper.register(tmp)
+    graft.ops.AnnIndexStore.saveMinhash(s"$tmp/mh",
+      d.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+      n = 3, k = 16, bands = 4)
+    dslStep(s,
+      Map("step_in" -> d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), col("text"))),
+      s"  type: dedupe_near\n  indexPath: $tmp/mh\n  minSimilarity: 0.5")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PSI drift monitor (L61): 'view' events play the reference snapshot,
     * 'purchase' events the current one — genuinely different value
     * distributions, so the index is non-trivial. Micro-scaled integer
@@ -4152,6 +4196,8 @@ object SparkEntry {
     "q_dsl_token_budget" -> (qDslTokenBudget _),
     "q_dsl_token_budget_group" -> (qDslTokenBudgetGroup _),
     "q_dedup_incremental" -> (qDedupIncremental _),
+    "q_dedup_incremental_served" -> (qDedupIncrementalServed _),
+    "q_dsl_dedupe_incremental" -> (qDslDedupeIncremental _),
     "q_dedup_spans" -> (qDedupSpans _),
     "q_embed_normalize" -> (qEmbedNormalize _),
     "q_embed_standardize" -> (qEmbedStandardize _),
@@ -7430,6 +7476,47 @@ object SparkEntry {
         |  min(CASE WHEN cum >= (9500 * n + 9999) // 10000 THEN v END) AS p9500
         |FROM cum JOIN nn USING (col_name)
         |GROUP BY col_name ORDER BY col_name""".stripMargin,
+    // the step keeps exactly the served query's dup=0 complement
+    "q_dsl_dedupe_incremental" ->
+      s"""$lshSigCte, xcand AS (
+        |  SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+        |  FROM banded a JOIN banded b ON a.band = b.band
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |), nc AS (
+        |  SELECT DISTINCT bid AS doc_id FROM (
+        |    SELECT c.bid, c.cid,
+        |      round(sum(CASE WHEN sa.sig[g.i+1] = sb.sig[g.i+1] THEN 1 ELSE 0 END) / 16.0, 6) AS sim
+        |    FROM xcand c
+        |    JOIN sigs sa ON c.bid = sa.doc_id
+        |    JOIN sigs sb ON c.cid = sb.doc_id
+        |    CROSS JOIN generate_series(0, 15) g(i)
+        |    GROUP BY 1, 2
+        |  ) WHERE sim >= 0.5
+        |)
+        |SELECT d.doc_id FROM documents d LEFT JOIN nc ON d.doc_id = nc.doc_id
+        |WHERE d.doc_id % 5 = 0 AND nc.doc_id IS NULL
+        |ORDER BY d.doc_id""".stripMargin,
+    // the near_corpus channel alone, served off the persisted index
+    "q_dedup_incremental_served" ->
+      s"""$lshSigCte, xcand AS (
+        |  SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+        |  FROM banded a JOIN banded b ON a.band = b.band
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |), nc AS (
+        |  SELECT DISTINCT bid AS doc_id FROM (
+        |    SELECT c.bid, c.cid,
+        |      round(sum(CASE WHEN sa.sig[g.i+1] = sb.sig[g.i+1] THEN 1 ELSE 0 END) / 16.0, 6) AS sim
+        |    FROM xcand c
+        |    JOIN sigs sa ON c.bid = sa.doc_id
+        |    JOIN sigs sb ON c.cid = sb.doc_id
+        |    CROSS JOIN generate_series(0, 15) g(i)
+        |    GROUP BY 1, 2
+        |  ) WHERE sim >= 0.5
+        |)
+        |SELECT d.doc_id, CASE WHEN nc.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup
+        |FROM documents d LEFT JOIN nc ON d.doc_id = nc.doc_id
+        |WHERE d.doc_id % 5 = 0
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dedup_incremental" ->
       s"""$lshSigCte, bfp AS (
         |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp

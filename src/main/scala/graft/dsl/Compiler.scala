@@ -946,25 +946,38 @@ object Compiler {
             "foreachBatch sink")
         val nIdField = c.getOrElse("idField", "doc_id").toString
         val nTextField = c.getOrElse("field", "text").toString
-        val pairs = graft.ops.Dedup.minhashLshPairs(df, nIdField, nTextField,
-          n = c.getOrElse("shingleSize", 3).toString.toInt,
-          k = c.getOrElse("signatureSize", 16).toString.toInt,
-          bands = c.getOrElse("bands", 4).toString.toInt,
-          minSim = c.getOrElse("minSimilarity", 0.5).toString.toDouble,
-          maxBucket = c.getOrElse("maxBucket", Int.MaxValue).toString.toInt)
-        c.getOrElse("keep", "first").toString match {
-          case "first" => graft.ops.Dedup.dedupeByPairs(df, nIdField, pairs)
-          case "best" =>
-            // quality-aware survivors (keepBestByScore): keep the argmax
-            // of scoreField per near-dup cluster instead of the lowest id
-            val scoreField = c.getOrElse("scoreField",
-              sys.error("dedupe_near keep: best needs scoreField")).toString
-            val survivors = graft.ops.Dedup
-              .keepBestByScore(df, nIdField, col(scoreField), pairs)
-              .filter(col("kept"))
-              .select(col(nIdField))
-            df.join(survivors, Seq(nIdField), "left_semi")
-          case other => sys.error(s"dedupe_near: keep must be first|best, got '$other'")
+        // `indexPath`: dedup AGAINST a persisted minhash corpus index
+        // (AnnIndexStore.saveMinhash) instead of within the frame — the
+        // daily-crawl shape; parameters come from the index MANIFEST
+        if (c.contains("indexPath")) {
+          val bundle = graft.ops.AnnIndexStore.loadMinhash(
+            df.sparkSession, c("indexPath").toString)
+          val keep = graft.ops.AnnIndexStore.dedupeAgainstMinhash(
+            bundle, df, nIdField, nTextField,
+            minSim = c.getOrElse("minSimilarity", 0.5).toString.toDouble)
+            .filter(col("dup") === 0).select(col(nIdField))
+          df.join(keep, Seq(nIdField), "left_semi")
+        } else {
+          val pairs = graft.ops.Dedup.minhashLshPairs(df, nIdField, nTextField,
+            n = c.getOrElse("shingleSize", 3).toString.toInt,
+            k = c.getOrElse("signatureSize", 16).toString.toInt,
+            bands = c.getOrElse("bands", 4).toString.toInt,
+            minSim = c.getOrElse("minSimilarity", 0.5).toString.toDouble,
+            maxBucket = c.getOrElse("maxBucket", Int.MaxValue).toString.toInt)
+          c.getOrElse("keep", "first").toString match {
+            case "first" => graft.ops.Dedup.dedupeByPairs(df, nIdField, pairs)
+            case "best" =>
+              // quality-aware survivors (keepBestByScore): keep the argmax
+              // of scoreField per near-dup cluster instead of the lowest id
+              val scoreField = c.getOrElse("scoreField",
+                sys.error("dedupe_near keep: best needs scoreField")).toString
+              val survivors = graft.ops.Dedup
+                .keepBestByScore(df, nIdField, col(scoreField), pairs)
+                .filter(col("kept"))
+                .select(col(nIdField))
+              df.join(survivors, Seq(nIdField), "left_semi")
+            case other => sys.error(s"dedupe_near: keep must be first|best, got '$other'")
+          }
         }
       case "temperature_mixture" =>
         // Domain-temperature rebalancing (tau = 1/2 exact-integer quotas)

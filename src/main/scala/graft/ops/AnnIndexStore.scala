@@ -154,6 +154,147 @@ object AnnIndexStore {
       tables = mf("tables").toInt, nGroups = mf("nGroups").toInt)
   }
 
+  final case class MinhashBundle(
+      bands: DataFrame, // (n_id, band, band_grp) — the probe-pruned frame
+      sigs: DataFrame,  // (n_id, sig array<long>) — the rescoring frame
+      n: Int,
+      k: Int,
+      nBands: Int,
+      nGroups: Int
+  )
+
+  /** Persist a MinHash band index over a TEXT corpus — the [[saveLsh]]
+    * treatment for near-duplicate dedup (L34's scale story): today
+    * `Dedup.incrementalDedupe` recomputes the corpus's signatures on
+    * every daily batch (O(corpus) per day); this store computes them
+    * ONCE, lays the band keys out group-partitioned + in-file sorted
+    * (the serve path prunes directories statically and row groups via
+    * the pushed band IN-list), and keeps the signatures alongside for
+    * the agreement rescore. The MANIFEST pins (n, k, bands) — shingle
+    * hashes are content-addressed, so identical parameters always
+    * regenerate identical signatures, and serving a batch signed with
+    * DIFFERENT parameters would band into a key space the stored rows
+    * never used (zero recall, silently) — refused instead.
+    */
+  def saveMinhash(
+      dir: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      bands: Int
+  ): Unit = {
+    require(bands >= 1 && k % bands == 0, s"bands=$bands must divide k=$k")
+    val frames = minhashFrames(docs, idCol, textCol, n, k, bands, LshMaxGroups)
+    frames._1.repartition(col("band_grp"))
+      .sortWithinPartitions(col("band"))
+      .write.mode("overwrite").partitionBy("band_grp").parquet(s"$dir/index")
+    frames._2.write.mode("overwrite").parquet(s"$dir/sigs")
+    writeManifest(docs.sparkSession, dir,
+      s"""{"kind":"minhash","n":$n,"k":$k,"bands":$bands,"nGroups":$LshMaxGroups,""" +
+        s""""indexSchema":${j(frames._1.schema.toDDL)},""" +
+        s""""sigsSchema":${j(frames._2.schema.toDDL)}}""")
+  }
+
+  /** (banded, sigs) for a doc frame under the given parameters — the one
+    * signature computation shared by save, append, and the probe side.
+    */
+  private def minhashFrames(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, bands: Int, nGroups: Int): (DataFrame, DataFrame) = {
+    val sigs = Dedup.minhashSignatures(docs, idCol, textCol, n, k)
+      .select(col("doc").cast("long").as("n_id"), col("sig"))
+    // sub-shingle-length docs carry the all-sentinel signature and must
+    // not band-match each other (the lshCandidates exclusion)
+    // band keys are "bandIndex:md5(slice)" STRINGS — the group column
+    // hashes them into at most nGroups hive directories (layout-internal
+    // only; serve recomputes the same expression on the probe side)
+    val banded = sigs
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .select(col("n_id"),
+        explode(graft.functions.HashFunctions
+          .lshBandKeys(col("sig"), bands, k / bands)).as("band"))
+      .withColumn("band_grp", pmod(xxhash64(col("band")), lit(nGroups.toLong)))
+    (banded, sigs)
+  }
+
+  def loadMinhash(spark: SparkSession, dir: String): MinhashBundle = {
+    val mf = readManifest(spark, dir)
+    require(mf("kind") == "minhash",
+      s"$dir holds a '${mf("kind")}' index, not minhash — use the matching loader")
+    MinhashBundle(
+      minusTombstones(spark, dir,
+        readFrame(spark, s"$dir/index", mf.get("indexSchema"))),
+      minusTombstones(spark, dir,
+        readFrame(spark, s"$dir/sigs", mf.get("sigsSchema"))),
+      n = mf("n").toInt, k = mf("k").toInt,
+      nBands = mf("bands").toInt, nGroups = mf("nGroups").toInt)
+  }
+
+  /** Near-dup verdicts for a batch AGAINST the persisted corpus index:
+    * the batch is signed with the PINNED parameters, its band set —
+    * tiny by contract (≤ |batch|·bands) — is collected and pushed as a
+    * directory + row-group filter, candidates rescore on full-signature
+    * agreement. Returns one row per batch doc: (idCol, dup 1|0). The
+    * corpus is never re-signed — per-day cost is O(batch), which is the
+    * point of persisting.
+    */
+  def dedupeAgainstMinhash(
+      bundle: MinhashBundle,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      minSim: Double
+  ): DataFrame = {
+    val (bBanded, bSigs) = minhashFrames(batch, idCol, textCol,
+      bundle.n, bundle.k, bundle.nBands, bundle.nGroups)
+    val probePairs = bBanded.select(col("band"), col("band_grp")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val probe = probePairs.map(_._1)
+    val groups = probePairs.map(_._2).distinct
+    val pruned = bundle.bands
+      .filter(col("band_grp").isInCollection(groups) &&
+        col("band").isInCollection(probe))
+    val cand = bBanded.select(col("n_id").as("_bid"), col("band"))
+      .join(pruned.select(col("n_id").as("_cid"), col("band")), "band")
+      .select(col("_bid"), col("_cid")).distinct()
+    val dup = cand
+      .join(bSigs.select(col("n_id").as("_bid"), col("sig").as("_bs")), "_bid")
+      .join(bundle.sigs.select(col("n_id").as("_cid"), col("sig").as("_cs")), "_cid")
+      .withColumn("_sim", round(
+        aggregate(
+          zip_with(col("_bs"), col("_cs"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v
+        ).cast("double") / bundle.k, 6))
+      .filter(col("_sim") >= minSim)
+      .select(col("_bid")).distinct().withColumn("_dup", lit(1))
+    batch.select(col(idCol))
+      .join(dup, batch(idCol) === dup("_bid"), "left")
+      .select(col(idCol), coalesce(col("_dup"), lit(0)).as("dup"))
+  }
+
+  /** Incrementally add docs to a persisted minhash index with the PINNED
+    * parameters — the daily-ingest shape ([[appendIvfPq]] caveats:
+    * caller owns id uniqueness; appends fragment group directories —
+    * run [[compact]] on a cadence).
+    */
+  def appendMinhash(
+      spark: SparkSession,
+      dir: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String
+  ): Unit = {
+    val b = loadMinhash(spark, dir)
+    val (banded, sigs) = minhashFrames(docs, idCol, textCol,
+      b.n, b.k, b.nBands, b.nGroups)
+    banded.repartition(col("band_grp")) // one appended file per touched group
+      .sortWithinPartitions(col("band"))
+      .write.mode("append").partitionBy("band_grp").parquet(s"$dir/index")
+    sigs.write.mode("append").parquet(s"$dir/sigs")
+  }
+
   /** Tombstone deletion — the missing leg of the index lifecycle
     * (save → append → DELETE → compact): mark ids dead without touching
     * the resident cell files. Each call appends one small parquet under
@@ -346,6 +487,9 @@ object AnnIndexStore {
     case "lsh" =>
       val b = loadLsh(spark, dir)
       batch => serveLsh(b, batch, idCol, vecCol, k, probeBits)
+    case "minhash" =>
+      sys.error(s"$dir holds a minhash TEXT index — serve it through " +
+        "dedupeAgainstMinhash, not the vector servingBatchFn")
     case other =>
       sys.error(s"$dir: unknown index kind '$other' (expected ivf|ivfpq|lsh)")
   }
@@ -448,6 +592,9 @@ object AnnIndexStore {
       case "lsh" => live.repartition(col("bucket_grp"))
         .sortWithinPartitions(col("bucket"))
         .write.partitionBy("bucket_grp")
+      case "minhash" => live.repartition(col("band_grp"))
+        .sortWithinPartitions(col("band"))
+        .write.partitionBy("band_grp")
       case _ => live.repartition(col("cent_id"))
         .write.partitionBy("cent_id")
     }
@@ -455,6 +602,23 @@ object AnnIndexStore {
     require(fs.rename(ip, oldP), s"tombstone fold: rename $ip -> $oldP failed")
     require(fs.rename(newP, ip), s"tombstone fold: rename $newP -> $ip failed")
     fs.delete(oldP, true)
+    // the minhash kind carries a SECOND n_id-keyed frame (the signature
+    // store) — fold it with the same rename-aside swap before the
+    // tombstones drop (a crash in between re-folds idempotently: the
+    // already-folded frame simply loses no further rows)
+    if (mf("kind") == "minhash") {
+      val sp = new org.apache.hadoop.fs.Path(dir, "sigs")
+      val sNew = new org.apache.hadoop.fs.Path(dir, "sigs__fold_new")
+      val sOld = new org.apache.hadoop.fs.Path(dir, "sigs__fold_old")
+      if (!fs.exists(sp) && fs.exists(sOld))
+        require(fs.rename(sOld, sp), s"sigs fold recovery failed: $sOld -> $sp")
+      minusTombstones(spark, dir,
+        readFrame(spark, s"$dir/sigs", mf.get("sigsSchema"))).localCheckpoint()
+        .write.mode("overwrite").parquet(sNew.toString)
+      require(fs.rename(sp, sOld), s"sigs fold: rename $sp -> $sOld failed")
+      require(fs.rename(sNew, sp), s"sigs fold: rename $sNew -> $sp failed")
+      fs.delete(sOld, true)
+    }
     fs.delete(tp, true)
     fs.listStatus(ip).count(_.isDirectory)
   }

@@ -315,6 +315,50 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/flat/tombstones").exists())
   }
 
+  test("minhash index: save once, probe batches, append, delete, fold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_mh").toString
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog every single day"),
+      (11L, "completely unrelated text about distributed query processing engines"),
+      (12L, "a third corpus document with its own distinctive vocabulary here")
+    ).toDF("doc_id", "text")
+    AnnIndexStore.saveMinhash(s"$dir/mh", corpus, "doc_id", "text",
+      n = 3, k = 16, bands = 4)
+    val b = AnnIndexStore.loadMinhash(spark, s"$dir/mh")
+    assert(b.n == 3 && b.k == 16 && b.nBands == 4)
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog every single night"), // near-dup of 10
+      (2L, "nothing in the corpus resembles this sentence at all whatsoever")
+    ).toDF("doc_id", "text")
+    def verdicts(bu: AnnIndexStore.MinhashBundle) =
+      AnnIndexStore.dedupeAgainstMinhash(bu, batch, "doc_id", "text", minSim = 0.5)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(verdicts(b) == Map(1L -> 1, 2L -> 0))
+    // matches the full incrementalDedupe near_corpus channel on the
+    // same inputs (the persisted path changes the cost, not the verdict)
+    val full = graft.ops.Dedup.incrementalDedupe(batch, corpus, "doc_id", "text",
+      n = 3, k = 16, bands = 4, minSim = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1) == "near_corpus")).toMap
+    assert(full(1L) && !full(2L))
+    // append a doc matching batch doc 2, with the pinned parameters
+    AnnIndexStore.appendMinhash(spark, s"$dir/mh", Seq(
+      (13L, "nothing in the corpus resembles this sentence at all anywhere")
+    ).toDF("doc_id", "text"), "doc_id", "text")
+    assert(verdicts(AnnIndexStore.loadMinhash(spark, s"$dir/mh")) ==
+      Map(1L -> 1, 2L -> 1))
+    // tombstone the original near-dup source: batch doc 1 is novel again
+    AnnIndexStore.deleteIds(spark, s"$dir/mh", Seq(10L).toDF("doc_id"), "doc_id")
+    assert(verdicts(AnnIndexStore.loadMinhash(spark, s"$dir/mh")) ==
+      Map(1L -> 0, 2L -> 1))
+    // fold: verdicts identical, tombstones gone, BOTH frames rewritten
+    AnnIndexStore.compact(spark, s"$dir/mh")
+    assert(!new java.io.File(s"$dir/mh/tombstones").exists())
+    val folded = AnnIndexStore.loadMinhash(spark, s"$dir/mh")
+    assert(verdicts(folded) == Map(1L -> 0, 2L -> 1))
+    assert(folded.sigs.filter(col("n_id") === 10L).count() == 0)
+  }
+
   test("streaming serve: micro-batched queries equal the batch serve") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
