@@ -191,6 +191,22 @@ object Stress {
     }
     def annServeQueries() = embN.filter(pmod(col("vec_id"), lit(4999)) === 0).limit(8)
 
+    // round 12b: the persisted-minhash claim, measured — daily near-dedup
+    // of a small batch against the full doc corpus, (a) re-signing the
+    // corpus every run (incrementalDedupe) vs (b) probing the saved band
+    // index (dedupeAgainstMinhash). Index build is setup, untimed.
+    lazy val mhIndexDir: String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_mh").toString
+      TempReaper.register(dir)
+      ops.AnnIndexStore.saveMinhash(s"$dir/mh", mhCorpus, "doc_id", "text",
+        n = 3, k = 16, bands = 4)
+      s"$dir/mh"
+    }
+    // plain defs, not checkpoints: the measurement loop unpersists all
+    // RDDs between ops, which would truncate a checkpointed fixture
+    def mhCorpus = docsN.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    def mhBatch = docsN.filter(pmod(col("doc_id"), lit(50)) === 0)
+
     // round 12: the append-fragmentation loop — the same index as
     // annServeIndexDir, then 20 daily-ingest appendIvfPq batches (2k
     // id-shifted vectors each; every batch touches ~every cell, so the
@@ -417,7 +433,14 @@ object Stress {
         val b = ops.AnnIndexStore.loadIvfPq(spark, annFragIndexDir)
         ops.AnnIndexStore.serveIvfPq(b, annServeQueries(), "vec_id", "embedding",
           k = 10, nProbe = 8)
-      })
+      }),
+      "mh_dedupe_rescan" -> (() =>
+        ops.Dedup.incrementalDedupe(mhBatch, mhCorpus, "doc_id", "text",
+          n = 3, k = 16, bands = 4, minSim = 0.5)),
+      "mh_dedupe_indexed" -> (() =>
+        ops.AnnIndexStore.dedupeAgainstMinhash(
+          ops.AnnIndexStore.loadMinhash(spark, mhIndexDir),
+          mhBatch, "doc_id", "text", minSim = 0.5))
     )
 
 
@@ -429,6 +452,9 @@ object Stress {
     if (selected.exists(o => o._1.startsWith("ann_serve_frag") ||
         o._1.startsWith("ann_serve_compact") || o._1 == "ann_compact")) {
       annFragIndexDir; ()
+    }
+    if (selected.exists(o => o._1.startsWith("mh_dedupe"))) {
+      mhIndexDir; ()
     }
 
     // per-task ceiling per op: local wall time hides a serialized hot key
