@@ -186,38 +186,54 @@ object AnnIndexStore {
       bands: Int
   ): Unit = {
     require(bands >= 1 && k % bands == 0, s"bands=$bands must divide k=$k")
-    val frames = minhashFrames(docs, idCol, textCol, n, k, bands, LshMaxGroups)
-    frames._1.repartition(col("band_grp"))
+    // group count rides the corpus: one hive directory per ~64k band
+    // rows (capped at LshMaxGroups) — a fixed 1024 made small indexes
+    // pay ~1024 directory creations per save (measured 20 s+ at 4k docs)
+    // for pruning surface they cannot use, while a 1B-doc corpus still
+    // caps at 1024 directories of ~4M rows each. Signatures are signed
+    // ONCE (checkpointed) and shared by the sizing count, the band
+    // frame, and the signature store.
+    val sigs = sigsFor(docs, idCol, textCol, n, k).localCheckpoint()
+    val nRows = sigs.filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .count() * bands
+    val nGroups = math.min(LshMaxGroups.toLong,
+      math.max(16L, nRows / 65536L + 1L)).toInt
+    val banded = bandedFrom(sigs, k, bands, nGroups)
+    banded
+      .repartition(col("band_grp"))
       .sortWithinPartitions(col("band"))
       .write.mode("overwrite").partitionBy("band_grp").parquet(s"$dir/index")
-    frames._2.write.mode("overwrite").parquet(s"$dir/sigs")
+    sigs.write.mode("overwrite").parquet(s"$dir/sigs")
     writeManifest(docs.sparkSession, dir,
-      s"""{"kind":"minhash","n":$n,"k":$k,"bands":$bands,"nGroups":$LshMaxGroups,""" +
-        s""""indexSchema":${j(frames._1.schema.toDDL)},""" +
-        s""""sigsSchema":${j(frames._2.schema.toDDL)}}""")
+      s"""{"kind":"minhash","n":$n,"k":$k,"bands":$bands,"nGroups":$nGroups,""" +
+        s""""indexSchema":${j(banded.schema.toDDL)},""" +
+        s""""sigsSchema":${j(sigs.schema.toDDL)}}""")
   }
 
-  /** (banded, sigs) for a doc frame under the given parameters — the one
-    * signature computation shared by save, append, and the probe side.
+  /** (n_id, sig) signatures for a doc frame — the one signature
+    * computation shared by save, append, and the probe side.
     */
-  private def minhashFrames(
+  private def sigsFor(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int, bands: Int, nGroups: Int): (DataFrame, DataFrame) = {
-    val sigs = Dedup.minhashSignatures(docs, idCol, textCol, n, k)
+      n: Int, k: Int): DataFrame =
+    Dedup.minhashSignatures(docs, idCol, textCol, n, k)
       .select(col("doc").cast("long").as("n_id"), col("sig"))
-    // sub-shingle-length docs carry the all-sentinel signature and must
-    // not band-match each other (the lshCandidates exclusion)
-    // band keys are "bandIndex:md5(slice)" STRINGS — the group column
-    // hashes them into at most nGroups hive directories (layout-internal
-    // only; serve recomputes the same expression on the probe side)
-    val banded = sigs
+
+  /** Exploded band keys for a signature frame. Keys are
+    * "bandIndex:md5(slice)" STRINGS; the group column hashes them into
+    * at most nGroups hive directories (layout-internal only — serve
+    * recomputes the same expression on the probe side). Sub-shingle
+    * docs carry the all-sentinel signature and are excluded (the
+    * lshCandidates rule).
+    */
+  private def bandedFrom(
+      sigs: DataFrame, k: Int, bands: Int, nGroups: Int): DataFrame =
+    sigs
       .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
       .select(col("n_id"),
         explode(graft.functions.HashFunctions
           .lshBandKeys(col("sig"), bands, k / bands)).as("band"))
       .withColumn("band_grp", pmod(xxhash64(col("band")), lit(nGroups.toLong)))
-    (banded, sigs)
-  }
 
   def loadMinhash(spark: SparkSession, dir: String): MinhashBundle = {
     val mf = readManifest(spark, dir)
@@ -247,8 +263,8 @@ object AnnIndexStore {
       textCol: String,
       minSim: Double
   ): DataFrame = {
-    val (bBanded, bSigs) = minhashFrames(batch, idCol, textCol,
-      bundle.n, bundle.k, bundle.nBands, bundle.nGroups)
+    val bSigs = sigsFor(batch, idCol, textCol, bundle.n, bundle.k)
+    val bBanded = bandedFrom(bSigs, bundle.k, bundle.nBands, bundle.nGroups)
     val probePairs = bBanded.select(col("band"), col("band_grp")).distinct()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val probe = probePairs.map(_._1)
@@ -287,8 +303,8 @@ object AnnIndexStore {
       textCol: String
   ): Unit = {
     val b = loadMinhash(spark, dir)
-    val (banded, sigs) = minhashFrames(docs, idCol, textCol,
-      b.n, b.k, b.nBands, b.nGroups)
+    val sigs = sigsFor(docs, idCol, textCol, b.n, b.k).localCheckpoint()
+    val banded = bandedFrom(sigs, b.k, b.nBands, b.nGroups)
     banded.repartition(col("band_grp")) // one appended file per touched group
       .sortWithinPartitions(col("band"))
       .write.mode("append").partitionBy("band_grp").parquet(s"$dir/index")
