@@ -948,8 +948,20 @@ object Compiler {
         val nTextField = c.getOrElse("field", "text").toString
         // `indexPath`: dedup AGAINST a persisted minhash corpus index
         // (AnnIndexStore.saveMinhash) instead of within the frame — the
-        // daily-crawl shape; parameters come from the index MANIFEST
+        // daily-crawl shape. Parameters come from the index MANIFEST, so a
+        // conflicting user-supplied parameter is REFUSED, not swallowed
+        // (the silently-ignored-option failure class); and only
+        // batch-vs-corpus near-dups are removed — two identical novel docs
+        // in the same batch both survive. Compose with a `dedupe`
+        // (fingerprint) step upstream for within-batch duplicates.
         if (c.contains("indexPath")) {
+          val pinned = Seq("shingleSize", "signatureSize", "bands", "keep",
+            "maxBucket", "scoreField").filter(c.contains)
+          if (pinned.nonEmpty)
+            sys.error(s"dedupe_near: indexPath pins ${pinned.mkString("/")} " +
+              "in the index MANIFEST (and keep/scoreField do not apply to " +
+              "the against-index probe) — remove the conflicting option(s) " +
+              "or drop indexPath for within-frame near-dedup")
           val bundle = graft.ops.AnnIndexStore.loadMinhash(
             df.sparkSession, c("indexPath").toString)
           val keep = graft.ops.AnnIndexStore.dedupeAgainstMinhash(

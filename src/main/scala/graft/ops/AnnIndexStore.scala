@@ -49,6 +49,22 @@ object AnnIndexStore {
 
   final case class IvfBundle(quantizer: DataFrame, index: DataFrame, nCells: Int)
 
+  /** Ceiling on the probed key set the serve paths COLLECT for static
+    * IN-list pruning. The collect is tiny by contract (≤ |batch|·nProbe
+    * cells / |batch|·bands band keys / |batch|·(1+planes)·tables
+    * buckets) — but the contract is about SERVING batches, and nothing
+    * stops a caller from probing with a corpus-sized frame (a backfill
+    * replay, a full-corpus self-dedup). Above this many keys the driver
+    * IN-list would be the scale-killer, so the serve paths switch to a
+    * broadcast LEFT SEMI join of the probe-key frame against the index —
+    * results identical (both keep a superset of every key the downstream
+    * equi-join matches; the semi-join IS the exact set), only the pruning
+    * mechanism changes (executor-side join instead of a static partition
+    * filter). The collect itself is LIMIT-bounded to threshold+1 rows, so
+    * driver memory stays flat no matter the probe size.
+    */
+  val DefaultMaxProbeInList: Int = 65536
+
   final case class LshBundle(
       index: DataFrame,
       planes: Int,
@@ -217,7 +233,20 @@ object AnnIndexStore {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame =
     Dedup.minhashSignatures(docs, idCol, textCol, n, k)
-      .select(col("doc").cast("long").as("n_id"), col("sig"))
+      .select(requireLongId(col("doc"), "minhash index").as("n_id"), col("sig"))
+
+  /** Cast an id column to the store's BIGINT key, REFUSING rows whose id
+    * is null or does not cast (a string doc id would cast to null,
+    * null-key every band/tombstone row, and silently match nothing — the
+    * exact silent-failure class the manifest checks exist to prevent).
+    * raise_error rides the row pipeline: no extra validation job, the
+    * first bad row fails the query loudly.
+    */
+  private def requireLongId(id: org.apache.spark.sql.Column, what: String) =
+    when(id.cast("long").isNull,
+      raise_error(concat(lit(s"$what: id must be castable to BIGINT, got '"),
+        coalesce(id.cast("string"), lit("NULL")), lit("'"))).cast("long"))
+      .otherwise(id.cast("long"))
 
   /** Exploded band keys for a signature frame. Keys are
     * "bandIndex:md5(slice)" STRINGS; the group column hashes them into
@@ -254,24 +283,34 @@ object AnnIndexStore {
     * directory + row-group filter, candidates rescore on full-signature
     * agreement. Returns one row per batch doc: (idCol, dup 1|0). The
     * corpus is never re-signed — per-day cost is O(batch), which is the
-    * point of persisting.
+    * point of persisting. Above `maxProbeInList` distinct band keys
+    * (a corpus-sized batch) the IN-list gives way to a broadcast
+    * semi-join on (band_grp, band) — verdicts identical, driver flat
+    * (see [[DefaultMaxProbeInList]]).
     */
   def dedupeAgainstMinhash(
       bundle: MinhashBundle,
       batch: DataFrame,
       idCol: String,
       textCol: String,
-      minSim: Double
+      minSim: Double,
+      maxProbeInList: Int = DefaultMaxProbeInList
   ): DataFrame = {
+    require(maxProbeInList >= 0, "maxProbeInList must be >= 0")
     val bSigs = sigsFor(batch, idCol, textCol, bundle.n, bundle.k)
     val bBanded = bandedFrom(bSigs, bundle.k, bundle.nBands, bundle.nGroups)
-    val probePairs = bBanded.select(col("band"), col("band_grp")).distinct()
+    val probeFrame = bBanded.select(col("band"), col("band_grp")).distinct()
+    val probePairs = probeFrame.limit(maxProbeInList + 1)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val probe = probePairs.map(_._1)
-    val groups = probePairs.map(_._2).distinct
-    val pruned = bundle.bands
-      .filter(col("band_grp").isInCollection(groups) &&
-        col("band").isInCollection(probe))
+    val pruned =
+      if (probePairs.size <= maxProbeInList) {
+        val probe = probePairs.map(_._1)
+        val groups = probePairs.map(_._2).distinct
+        bundle.bands
+          .filter(col("band_grp").isInCollection(groups) &&
+            col("band").isInCollection(probe))
+      } else
+        bundle.bands.join(broadcast(probeFrame), Seq("band_grp", "band"), "left_semi")
     val cand = bBanded.select(col("n_id").as("_bid"), col("band"))
       .join(pruned.select(col("n_id").as("_cid"), col("band")), "band")
       .select(col("_bid"), col("_cid")).distinct()
@@ -333,7 +372,10 @@ object AnnIndexStore {
       idCol: String
   ): Unit = {
     readManifest(spark, dir) // refuse non-index directories
-    ids.select(col(idCol).cast("long").as("n_id")).distinct()
+    // non-castable ids refuse LOUDLY: a null-keyed tombstone row would
+    // never match the loaders' anti-join and the delete would silently
+    // no-op — the silent-failure class the manifest checks refuse elsewhere
+    ids.select(requireLongId(col(idCol), "tombstone delete").as("n_id")).distinct()
       .coalesce(1) // a delete batch is tiny relative to the index
       .write.mode("append").parquet(s"$dir/tombstones")
   }
@@ -362,7 +404,10 @@ object AnnIndexStore {
     * bucket GROUPS as a partition filter (directory pruning) and the
     * bucket ids as an IN-list the sorted files' row-group stats prune.
     * Results are unchanged — the filters keep a superset of every bucket
-    * the downstream equi-join matches.
+    * the downstream equi-join matches. Above `maxProbeInList` buckets
+    * (a corpus-sized query batch) the IN-list gives way to a broadcast
+    * semi-join on (bucket_grp, bucket) — same results, flat driver
+    * (see [[DefaultMaxProbeInList]]).
     */
   def serveLsh(
       bundle: LshBundle,
@@ -370,15 +415,25 @@ object AnnIndexStore {
       idCol: String,
       vecCol: String,
       k: Int,
-      probeBits: Int = 1
+      probeBits: Int = 1,
+      maxProbeInList: Int = DefaultMaxProbeInList
   ): DataFrame = {
-    val buckets = Similarity.probeBuckets(queries, idCol, vecCol,
-        bundle.planes, bundle.dim, bundle.tables, probeBits)
+    require(maxProbeInList >= 0, "maxProbeInList must be >= 0")
+    val probeFrame = Similarity.probeBuckets(queries, idCol, vecCol,
+      bundle.planes, bundle.dim, bundle.tables, probeBits)
+    val buckets = probeFrame.limit(maxProbeInList + 1)
       .collect().map(_.getLong(0)).toSeq
-    val groups = buckets.map(b => math.floorMod(b, bundle.nGroups.toLong)).distinct
-    val pruned = bundle.index
-      .filter(col("bucket_grp").isInCollection(groups) &&
-        col("bucket").isInCollection(buckets))
+    val pruned =
+      if (buckets.size <= maxProbeInList) {
+        val groups = buckets.map(b => math.floorMod(b, bundle.nGroups.toLong)).distinct
+        bundle.index
+          .filter(col("bucket_grp").isInCollection(groups) &&
+            col("bucket").isInCollection(buckets))
+      } else
+        bundle.index.join(
+          broadcast(probeFrame.withColumn("bucket_grp",
+            pmod(col("bucket"), lit(bundle.nGroups.toLong)))),
+          Seq("bucket_grp", "bucket"), "left_semi")
     Similarity.lshTopKIndexed(pruned, queries, idCol, vecCol, k,
       bundle.planes, bundle.dim, bundle.tables, probeBits)
   }
@@ -450,10 +505,11 @@ object AnnIndexStore {
       idCol: String,
       vecCol: String,
       k: Int,
-      nProbe: Int
+      nProbe: Int,
+      maxProbeInList: Int = DefaultMaxProbeInList
   ): DataFrame = {
     val pruned = pruneToProbedCells(bundle.index, bundle.quantizer,
-      queries, idCol, vecCol, nProbe)
+      queries, idCol, vecCol, nProbe, maxProbeInList)
     Similarity.ivfPqTopK(pruned, queries, idCol, vecCol, k,
       bundle.quantizer, bundle.codebook, bundle.m, bundle.dim, nProbe)
   }
@@ -465,10 +521,11 @@ object AnnIndexStore {
       idCol: String,
       vecCol: String,
       k: Int,
-      nProbe: Int
+      nProbe: Int,
+      maxProbeInList: Int = DefaultMaxProbeInList
   ): DataFrame = {
     val pruned = pruneToProbedCells(bundle.index, bundle.quantizer,
-      queries, idCol, vecCol, nProbe)
+      queries, idCol, vecCol, nProbe, maxProbeInList)
     Similarity.ivfTopKIndexed(pruned, queries, idCol, vecCol, k,
       bundle.quantizer, nProbe)
   }
@@ -492,28 +549,58 @@ object AnnIndexStore {
       vecCol: String,
       k: Int,
       nProbe: Int = 4,
-      probeBits: Int = 1
+      probeBits: Int = 1,
+      maxProbeInList: Int = DefaultMaxProbeInList
   ): DataFrame => DataFrame = kindOf(spark, dir) match {
     case "ivfpq" =>
       val b = loadIvfPq(spark, dir)
-      batch => serveIvfPq(b, batch, idCol, vecCol, k, nProbe)
+      batch => serveIvfPq(b, batch, idCol, vecCol, k, nProbe, maxProbeInList)
     case "ivf" =>
       val b = loadIvf(spark, dir)
-      batch => serveIvf(b, batch, idCol, vecCol, k, nProbe)
+      batch => serveIvf(b, batch, idCol, vecCol, k, nProbe, maxProbeInList)
     case "lsh" =>
       val b = loadLsh(spark, dir)
-      batch => serveLsh(b, batch, idCol, vecCol, k, probeBits)
+      batch => serveLsh(b, batch, idCol, vecCol, k, probeBits, maxProbeInList)
     case "minhash" =>
       sys.error(s"$dir holds a minhash TEXT index — serve it through " +
-        "dedupeAgainstMinhash, not the vector servingBatchFn")
+        "dedupingBatchFn / dedupeAgainstMinhash, not the vector servingBatchFn")
     case other =>
       sys.error(s"$dir: unknown index kind '$other' (expected ivf|ivfpq|lsh)")
+  }
+
+  /** Kind-checked micro-batch near-dedup closure for Structured
+    * Streaming — the ONLINE complement of [[dedupeAgainstMinhash]]: docs
+    * ARRIVE as a stream, the corpus index is a persisted snapshot. Loads
+    * the bundle ONCE (parameters pinned by the manifest) and returns the
+    * function to apply inside `foreachBatch`; each micro-batch is signed
+    * with the pinned parameters and probed with the batch path's static
+    * band pruning. Same snapshot-per-stream convention as
+    * [[servingBatchFn]]: appends landed after the load are seen by the
+    * NEXT stream, never half-visible mid-run.
+    */
+  def dedupingBatchFn(
+      spark: SparkSession,
+      dir: String,
+      idCol: String,
+      textCol: String,
+      minSim: Double,
+      maxProbeInList: Int = DefaultMaxProbeInList
+  ): DataFrame => DataFrame = {
+    val kind = kindOf(spark, dir)
+    require(kind == "minhash",
+      s"$dir holds a '$kind' index — streaming near-dedup needs a minhash " +
+        "TEXT index (saveMinhash); vector kinds serve through servingBatchFn")
+    val b = loadMinhash(spark, dir)
+    batch => dedupeAgainstMinhash(b, batch, idCol, textCol, minSim, maxProbeInList)
   }
 
   /** Static cell pruning for the serve paths: collect the (tiny) probed
     * cell set and push it as a partition filter on the stored index. The
     * downstream cell join makes this a pure scan-reduction — results are
-    * unchanged (the filter keeps a superset of every joined cell).
+    * unchanged (the filter keeps a superset of every joined cell). Above
+    * `maxProbeInList` cells the IN-list gives way to a broadcast
+    * semi-join on cent_id — same results, flat driver
+    * (see [[DefaultMaxProbeInList]]).
     */
   private def pruneToProbedCells(
       index: DataFrame,
@@ -521,12 +608,17 @@ object AnnIndexStore {
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      nProbe: Int
+      nProbe: Int,
+      maxProbeInList: Int
   ): DataFrame = {
-    val cells = Similarity.probeCells(queries, idCol, vecCol,
-        quantizer.select(col("cent_id"), col("cent_vec")), nProbe)
-      .collect().map(_.get(0)).toSeq
-    index.filter(col("cent_id").isInCollection(cells))
+    require(maxProbeInList >= 0, "maxProbeInList must be >= 0")
+    val probeFrame = Similarity.probeCells(queries, idCol, vecCol,
+      quantizer.select(col("cent_id"), col("cent_vec")), nProbe)
+    val cells = probeFrame.limit(maxProbeInList + 1).collect().map(_.get(0)).toSeq
+    if (cells.size <= maxProbeInList)
+      index.filter(col("cent_id").isInCollection(cells))
+    else
+      index.join(broadcast(probeFrame), Seq("cent_id"), "left_semi")
   }
 
   /** Incrementally add vectors to a persisted IVF-PQ index: assign to the
@@ -581,14 +673,20 @@ object AnnIndexStore {
     * quantizer/codebook, written once at save) are untouched: compaction
     * changes the file layout, never the index's content or parameters.
     * Works for every stored kind (ivf, ivfpq, lsh — anything whose rows
-    * live under `dir/index`). Returns the target file count.
+    * live under `dir/index`). Returns the resulting data-file count under
+    * `dir/index` — the same metric from both the sliver-merge and the
+    * tombstone-fold path, so `ann compact`'s printed number always means
+    * one thing.
     */
   def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20): Int = {
     val mf = readManifest(spark, dir) // refuse non-index directories before rewriting
     val tp = tombstonePath(dir)
     val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(tp))
-      return Layout.compact(spark, s"$dir/index", targetBytes)
+    val ip0 = new org.apache.hadoop.fs.Path(dir, "index")
+    if (!fs.exists(tp)) {
+      Layout.compact(spark, s"$dir/index", targetBytes)
+      return parquetFileCount(fs, ip0)
+    }
     // FOLD the tombstones: rewrite the live rows with the save path's own
     // layout (one file per cell / per bucket group, sorted for lsh), swap
     // rename-aside like Layout.compact, and clear the tombstone set only
@@ -602,6 +700,13 @@ object AnnIndexStore {
     // present, so no delete was lost) — put it back and fold again
     if (!fs.exists(ip) && fs.exists(oldP))
       require(fs.rename(oldP, ip), s"tombstone-fold recovery failed: $oldP -> $ip")
+    // recover from a crash AFTER both swap renames but before the cleanup
+    // delete: ip holds the folded copy, __fold_old a superseded pre-fold
+    // copy whose tombstones were never cleared — so deleting it loses
+    // nothing, and leaving it would wedge this fold's own rename-aside
+    // (rename refuses an existing destination on local FS and HDFS alike)
+    else if (fs.exists(ip) && fs.exists(oldP))
+      fs.delete(oldP, true)
     val live = minusTombstones(spark, dir,
       readFrame(spark, s"$dir/index", mf.get("indexSchema"))).localCheckpoint()
     val writer = mf("kind") match {
@@ -628,6 +733,8 @@ object AnnIndexStore {
       val sOld = new org.apache.hadoop.fs.Path(dir, "sigs__fold_old")
       if (!fs.exists(sp) && fs.exists(sOld))
         require(fs.rename(sOld, sp), s"sigs fold recovery failed: $sOld -> $sp")
+      else if (fs.exists(sp) && fs.exists(sOld)) // same stale-copy rule as index
+        fs.delete(sOld, true)
       minusTombstones(spark, dir,
         readFrame(spark, s"$dir/sigs", mf.get("sigsSchema"))).localCheckpoint()
         .write.mode("overwrite").parquet(sNew.toString)
@@ -636,7 +743,21 @@ object AnnIndexStore {
       fs.delete(sOld, true)
     }
     fs.delete(tp, true)
-    fs.listStatus(ip).count(_.isDirectory)
+    parquetFileCount(fs, ip)
+  }
+
+  /** Parquet data files under a directory, recursively — the one metric
+    * [[compact]] returns from both of its paths and `ann info` reports
+    * as the fragmentation signal.
+    */
+  private[ops] def parquetFileCount(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Int = {
+    if (!fs.exists(p)) return 0
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
   }
 
   private def j(v: String): String =

@@ -359,6 +359,158 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(folded.sigs.filter(col("n_id") === 10L).count() == 0)
   }
 
+  test("probe pruning above maxProbeInList: semi-join fallback, equal results") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_fb").toString
+    val corpus = vecs(300)
+    // ivf/ivfpq side: threshold 0 forces the fallback on any probe set
+    val quant = Similarity.centroids(corpus, "vec_id", "embedding", 8)
+      .select(col("cent_id"), col("cent_vec"))
+    AnnIndexStore.saveIvf(s"$dir/flat", quant,
+      Similarity.ivfIndex(corpus, "vec_id", "embedding", quant))
+    val flat = AnnIndexStore.loadIvf(spark, s"$dir/flat")
+    val queries = vecs(5, idFrom = 5000L)
+    val inList = AnnIndexStore.serveIvf(flat, queries, "vec_id", "embedding",
+      k = 3, nProbe = 2).orderBy("q_id", "rank").collect().toSeq
+    val viaJoin = AnnIndexStore.serveIvf(flat, queries, "vec_id", "embedding",
+      k = 3, nProbe = 2, maxProbeInList = 0)
+    assert(viaJoin.orderBy("q_id", "rank").collect().toSeq == inList)
+    // the fallback really is a semi-join plan, not a collected IN-list
+    assert(viaJoin.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    // lsh side
+    val lsh = Similarity.lshIndex(corpus, "vec_id", "embedding", 4, dim, tables = 2)
+    AnnIndexStore.saveLsh(s"$dir/lsh", lsh, 4, dim, tables = 2)
+    val lshB = AnnIndexStore.loadLsh(spark, s"$dir/lsh")
+    val lshIn = AnnIndexStore.serveLsh(lshB, queries, "vec_id", "embedding",
+      k = 3, probeBits = 1).orderBy("q_id", "rank").collect().toSeq
+    val lshJoin = AnnIndexStore.serveLsh(lshB, queries, "vec_id", "embedding",
+      k = 3, probeBits = 1, maxProbeInList = 0)
+    assert(lshJoin.orderBy("q_id", "rank").collect().toSeq == lshIn)
+    assert(lshJoin.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    // minhash side
+    val docs = (0L until 40L).map(i =>
+      (i, s"document number $i with shared words plus token${i % 7} and token${i % 11}"))
+      .toDF("doc_id", "text")
+    AnnIndexStore.saveMinhash(s"$dir/mh", docs, "doc_id", "text", n = 3, k = 16, bands = 4)
+    val mh = AnnIndexStore.loadMinhash(spark, s"$dir/mh")
+    val batch = (100L until 110L).map(i =>
+      (i, s"document number ${i - 100} with shared words plus token${(i - 100) % 7} and token${(i - 100) % 11}"))
+      .toDF("doc_id", "text")
+    val mhIn = AnnIndexStore.dedupeAgainstMinhash(mh, batch, "doc_id", "text", 0.5)
+      .orderBy("doc_id").collect().toSeq
+    val mhJoin = AnnIndexStore.dedupeAgainstMinhash(mh, batch, "doc_id", "text", 0.5,
+      maxProbeInList = 0)
+    assert(mhJoin.orderBy("doc_id").collect().toSeq == mhIn)
+    assert(mhJoin.queryExecution.executedPlan.toString.contains("LeftSemi"))
+  }
+
+  test("non-castable ids refuse loudly instead of null-keying silently") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_badid").toString
+    val corpus = vecs(50)
+    val quant = Similarity.centroids(corpus, "vec_id", "embedding", 2)
+      .select(col("cent_id"), col("cent_vec"))
+    AnnIndexStore.saveIvf(s"$dir/flat", quant,
+      Similarity.ivfIndex(corpus, "vec_id", "embedding", quant))
+    // tombstones with string ids: the old behavior cast to null and the
+    // delete silently no-opped — now the write itself fails
+    // two loud shapes, one per ANSI setting: ANSI-on fails the cast itself
+    // (CAST_INVALID_INPUT), ANSI-off hits the raise_error guard — either
+    // way the delete REFUSES instead of writing null-keyed tombstones
+    def loudCastError(e: Throwable): Boolean = {
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .flatMap(t => Option(t.getMessage)).mkString("\n")
+      msgs.contains("castable to BIGINT") || msgs.contains("CAST_INVALID_INPUT")
+    }
+    val e = intercept[Exception](AnnIndexStore.deleteIds(spark, s"$dir/flat",
+      Seq("doc-aa", "doc-bb").toDF("vec_id"), "vec_id"))
+    assert(loudCastError(e), e.getMessage)
+    // and no tombstone file landed half-written rows that hide everything
+    val live = AnnIndexStore.loadIvf(spark, s"$dir/flat")
+    assert(live.index.count() == 50)
+    // minhash save with string doc ids refuses the same way
+    val docs = Seq(("id-1", "some text here about things"),
+      ("id-2", "other text entirely different")).toDF("doc_id", "text")
+    val e2 = intercept[Exception](AnnIndexStore.saveMinhash(s"$dir/mh", docs,
+      "doc_id", "text", n = 3, k = 16, bands = 4))
+    assert(loudCastError(e2), e2.getMessage)
+  }
+
+  test("compact recovers from a crash after both fold renames (stale __fold_old)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_stale").toString
+    val corpus = vecs(100)
+    val quant = Similarity.centroids(corpus, "vec_id", "embedding", 4)
+      .select(col("cent_id"), col("cent_vec"))
+    AnnIndexStore.saveIvf(s"$dir/flat", quant,
+      Similarity.ivfIndex(corpus, "vec_id", "embedding", quant))
+    AnnIndexStore.deleteIds(spark, s"$dir/flat", Seq(7L).toDF("vec_id"), "vec_id")
+    // fabricate the crash window: both index (folded) and index__fold_old
+    // (superseded pre-fold copy) exist — pre-fix, the fold's own rename
+    // refused the existing destination and compaction was wedged for good
+    val stale = new java.io.File(s"$dir/flat/index__fold_old")
+    assert(stale.mkdir())
+    java.nio.file.Files.write(stale.toPath.resolve("marker"), "stale".getBytes)
+    val n = AnnIndexStore.compact(spark, s"$dir/flat")
+    assert(n > 0)
+    assert(!stale.exists())
+    assert(!new java.io.File(s"$dir/flat/tombstones").exists())
+    val folded = AnnIndexStore.loadIvf(spark, s"$dir/flat")
+    assert(folded.index.count() == 99 &&
+      folded.index.filter(col("n_id") === 7L).count() == 0)
+    // return metric is the resulting data-file count — same meaning as the
+    // no-tombstone path
+    assert(n == dataFileCount(s"$dir/flat/index"))
+    val n2 = AnnIndexStore.compact(spark, s"$dir/flat") // sliver path now
+    assert(n2 == dataFileCount(s"$dir/flat/index"))
+  }
+
+  test("streaming near-dedup: micro-batched docs equal the batch probe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_sdd").toString
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog every single day"),
+      (11L, "completely unrelated text about distributed query processing engines")
+    ).toDF("doc_id", "text")
+    AnnIndexStore.saveMinhash(s"$dir/mh", corpus, "doc_id", "text",
+      n = 3, k = 16, bands = 4)
+    // vector kinds refuse: streaming near-dedup is minhash-only
+    val quant = Similarity.centroids(vecs(50), "vec_id", "embedding", 2)
+      .select(col("cent_id"), col("cent_vec"))
+    AnnIndexStore.saveIvf(s"$dir/flat", quant,
+      Similarity.ivfIndex(vecs(50), "vec_id", "embedding", quant))
+    val ek = intercept[Exception](AnnIndexStore.dedupingBatchFn(
+      spark, s"$dir/flat", "doc_id", "text", 0.5))
+    assert(ek.getMessage.contains("minhash"))
+    val dedupe = AnnIndexStore.dedupingBatchFn(spark, s"$dir/mh",
+      "doc_id", "text", minSim = 0.5)
+    val waves = Seq(
+      Seq((1L, "the quick brown fox jumps over the lazy dog every single night")),
+      Seq((2L, "nothing in the corpus resembles this sentence at all whatsoever"),
+        (3L, "completely unrelated text about distributed query processing engines")))
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF.select(col("_1").as("doc_id"), col("_2").as("text"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        out ++= dedupe(batch).as[(Long, Int)].collect()
+        ()
+      }
+      .option("checkpointLocation", s"$dir/chk")
+      .start()
+    try waves.foreach { w => in.addData(w); q.processAllAvailable() }
+    finally q.stop()
+    assert(out.sortBy(_._1).toSeq == Seq((1L, 1), (2L, 0), (3L, 1)))
+    // equal to the one-shot batch probe over the union of the waves
+    val all = AnnIndexStore.dedupeAgainstMinhash(
+      AnnIndexStore.loadMinhash(spark, s"$dir/mh"),
+      waves.flatten.toDF("doc_id", "text"), "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(out.sortBy(_._1).toSeq == all)
+  }
+
   test("streaming serve: micro-batched queries equal the batch serve") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

@@ -2057,6 +2057,26 @@ class DslSpec extends SparkSpec {
     assert(e.getMessage.contains("ivfpq|ivf|lsh"))
   }
 
+  test("dedupe_near indexPath refuses manifest-pinned options instead of swallowing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsl_dnrefuse").toString
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    graft.ops.AnnIndexStore.saveMinhash(s"$dir/mh", corpus, "doc_id", "text",
+      n = 3, k = 16, bands = 4)
+    val e = intercept[RuntimeException](curationPipeline(
+      s"  type: dedupe_near\n  idField: doc_id\n  indexPath: $dir/mh\n" +
+        "  bands: 8\n  keep: best",
+      Map("docs" -> corpus)))
+    assert(e.getMessage.contains("bands") && e.getMessage.contains("keep") &&
+      e.getMessage.contains("MANIFEST"))
+    // without the conflict the indexPath probe still compiles and runs
+    val ok = curationPipeline(
+      s"  type: dedupe_near\n  idField: doc_id\n  indexPath: $dir/mh\n" +
+        "  minSimilarity: 0.5",
+      Map("docs" -> corpus))
+    assert(ok.count() >= 0)
+  }
+
   test("semantic_dedup step: self mode survivors; indexPath mode against a saved corpus") {
     val corpus = annVecs(120)
     // self mode: survivors equal the library's kept verdicts
