@@ -188,6 +188,10 @@ object Cli {
       val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
       graft.ops.AnnIndexStore.describe(spark, dir).toSeq.sortBy(_._1)
         .foreach { case (k, v) => println(s"$k: $v") }
+      // then the operational stats — tombstone debt, fragmentation, drift:
+      // the compact/rebuild triggers an operator actually reads
+      graft.ops.AnnIndexStore.stats(spark, dir)
+        .foreach { case (k, v) => println(s"$k: $v") }
       0
 
     case Seq("ann", "delete", dir, idsParquet, idCol) =>
@@ -200,7 +204,15 @@ object Cli {
     case Seq("ann", "compact", dir) =>
       val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
       val n = graft.ops.AnnIndexStore.compact(spark, dir)
-      println(s"compacted $dir -> $n")
+      println(s"compacted $dir -> $n data file(s)")
+      0
+
+    case Seq("ann", "rebuild", dir) =>
+      val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
+      val mf = graft.ops.AnnIndexStore.rebuild(spark, dir)
+      val sized = Seq("nCells", "planes", "nGroups").flatMap(k =>
+        mf.get(k).map(v => s"$k=$v"))
+      println(s"rebuilt $dir (${mf("kind")}: ${sized.mkString(", ")})")
       0
 
     case _ =>
@@ -210,7 +222,7 @@ object Cli {
         "list <dir> [ns] | validate <dir> | run <dir> <[ns/]pipeline>) | " +
         "backup (create|list|restore) ... | " +
         "compact <path> <targetMB> [colA colB [bits]] | " +
-        "ann (info <dir> | delete <dir> <ids.parquet> <idCol> | compact <dir>)")
+        "ann (info <dir> | delete <dir> <ids.parquet> <idCol> | compact <dir> | rebuild <dir>)")
       2
   }
 

@@ -102,6 +102,7 @@ object AnnIndexStore {
         s""""quantizerSchema":${j(quantizer.schema.toDDL)},""" +
         s""""codebookSchema":${j(codebook.schema.toDDL)},""" +
         s""""indexSchema":${j(index.schema.toDDL)}}""")
+    writeDriftRef(quantizer.sparkSession, dir)
   }
 
   /** Persist a flat IVF index (vectors resident): quantizer +
@@ -116,6 +117,7 @@ object AnnIndexStore {
       s"""{"kind":"ivf","nCells":$nCells,""" +
         s""""quantizerSchema":${j(quantizer.schema.toDDL)},""" +
         s""""indexSchema":${j(index.schema.toDDL)}}""")
+    writeDriftRef(quantizer.sparkSession, dir)
   }
 
   /** How many hive partition directories an LSH index uses: one per
@@ -157,6 +159,7 @@ object AnnIndexStore {
     writeManifest(index.sparkSession, dir,
       s"""{"kind":"lsh","planes":$planes,"dim":$dim,"tables":$tables,""" +
         s""""nGroups":$nGroups,"indexSchema":${j(grouped.schema.toDDL)}}""")
+    writeDriftRef(index.sparkSession, dir)
   }
 
   def loadLsh(spark: SparkSession, dir: String): LshBundle = {
@@ -224,6 +227,7 @@ object AnnIndexStore {
       s"""{"kind":"minhash","n":$n,"k":$k,"bands":$bands,"nGroups":$nGroups,""" +
         s""""indexSchema":${j(banded.schema.toDDL)},""" +
         s""""sigsSchema":${j(sigs.schema.toDDL)}}""")
+    writeDriftRef(docs.sparkSession, dir)
   }
 
   /** (n_id, sig) signatures for a doc frame — the one signature
@@ -470,6 +474,151 @@ object AnnIndexStore {
     */
   def describe(spark: SparkSession, dir: String): Map[String, String] =
     readManifest(spark, dir)
+
+  /** Operational stats for `ann info` — the numbers an operator actually
+    * reads to decide WHEN to run [[compact]] or [[rebuild]]: total vs
+    * live rows (tombstone debt), tombstoned id count, data files and
+    * files-per-partition (append fragmentation — the save layout is ~1
+    * file per cell/group; a max of 30 means 30 appends landed since the
+    * last compact), and the PSI drift of the resident distribution
+    * against the save-time reference histogram (the rebuild advisor —
+    * see [[driftPsi]]). Ordered for printing.
+    */
+  def stats(spark: SparkSession, dir: String): Seq[(String, String)] = {
+    val mf = readManifest(spark, dir)
+    val ip = new org.apache.hadoop.fs.Path(dir, "index")
+    val fs = ip.getFileSystem(spark.sessionState.newHadoopConf())
+    val raw = readFrame(spark, s"$dir/index", mf.get("indexSchema"))
+    val rows = raw.count()
+    val live = minusTombstones(spark, dir, raw).count()
+    val tp = tombstonePath(dir)
+    val tombs =
+      if (fs.exists(tp))
+        spark.read.schema("n_id BIGINT").parquet(tp.toString).distinct().count()
+      else 0L
+    val dirs =
+      if (fs.exists(ip)) fs.listStatus(ip).filter(_.isDirectory) else Array.empty
+    val perDir = dirs.map(d => parquetFileCount(fs, d.getPath))
+    val files = parquetFileCount(fs, ip)
+    val psi = driftPsi(spark, dir)
+    Seq(
+      "rows" -> rows.toString,
+      "liveRows" -> live.toString,
+      "tombstonedIds" -> tombs.toString,
+      "dataFiles" -> files.toString,
+      "partitionDirs" -> dirs.length.toString,
+      "filesPerPartMax" -> (if (perDir.isEmpty) "0" else perDir.max.toString),
+      "filesPerPartMean" -> (if (perDir.isEmpty) "0"
+        else f"${perDir.sum.toDouble / perDir.length}%.2f"),
+      "driftPsi" -> psi.fold("n/a")(p => f"$p%.6f"),
+      // the standard PSI reading: <0.1 stable, 0.1-0.25 moderate shift,
+      // >0.25 the save-time structure no longer fits the data -> rebuild
+      "driftAdvice" -> psi.fold("n/a (no save-time reference)") {
+        case p if p < 0.10 => "stable"
+        case p if p < 0.25 => "moderate shift - watch"
+        case _             => "major shift - rebuild recommended"
+      })
+  }
+
+  private val DriftBins = 10
+
+  /** The scalar whose distribution anchors the drift monitor, per kind:
+    * vector-resident kinds use the stored norm (cheap, already a column,
+    * shifts with any embedding-space move), ivfpq uses the
+    * first-subspace code id (code-usage drift IS codebook drift), and
+    * minhash uses the leading signature component (the min shingle hash —
+    * shifts with vocabulary/length drift). Advisory only — never part of
+    * a query result, so plain IEEE math is fine here.
+    */
+  private def driftSource(
+      spark: SparkSession, dir: String, mf: Map[String, String],
+      liveView: Boolean): DataFrame = {
+    def live(df: DataFrame) = if (liveView) minusTombstones(spark, dir, df) else df
+    mf("kind") match {
+      case "minhash" =>
+        live(readFrame(spark, s"$dir/sigs", mf.get("sigsSchema")))
+          .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+          .select(element_at(col("sig"), 1).cast("double").as("_x"))
+      case "ivfpq" =>
+        live(readFrame(spark, s"$dir/index", mf.get("indexSchema")))
+          .select(element_at(col("codes"), 1).cast("double").as("_x"))
+      case _ =>
+        live(readFrame(spark, s"$dir/index", mf.get("indexSchema")))
+          .select(col("n_norm").cast("double").as("_x"))
+    }
+  }
+
+  private def driftRefPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "DRIFT.json")
+
+  /** Persist the save-time reference histogram of the drift scalar —
+    * written by every save and re-referenced by [[rebuild]] (appends
+    * deliberately do NOT touch it: the whole point is measuring how far
+    * the appended corpus drifted from what the structure was sized for).
+    * One extra single-column aggregation per save.
+    */
+  private[ops] def writeDriftRef(spark: SparkSession, dir: String): Unit = {
+    val mf = readManifest(spark, dir)
+    val src = driftSource(spark, dir, mf, liveView = false)
+      .filter(col("_x").isNotNull)
+      .select(floor(col("_x") * 1000000d + 0.5d).cast("long").as("_v"))
+    val bounds = src.agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"),
+      count(lit(1)).as("total")).collect()(0)
+    val p = driftRefPath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (bounds.getLong(2) == 0L) { fs.delete(p, false); return }
+    val lo = bounds.getLong(0)
+    val span = bounds.getLong(1) - lo + 1L
+    val counts = histogramCounts(src, lo, span)
+    val out = fs.create(p, true)
+    try out.write((s"""{"lo":$lo,"span":$span,"total":${bounds.getLong(2)},""" +
+      s""""counts":[${counts.mkString(",")}]}""" + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Equal-width bin counts over the micro-scaled drift scalar, clamped
+    * into [0, DriftBins) so out-of-reference-range current values land in
+    * the edge bins (the drift they represent still scores).
+    */
+  private def histogramCounts(src: DataFrame, lo: Long, span: Long): Array[Long] = {
+    val binned = src
+      .select(greatest(lit(0), least(lit(DriftBins - 1),
+        (((col("_v") - lit(lo)) * DriftBins) / lit(span)).cast("int"))).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Array.tabulate(DriftBins)(i => binned.getOrElse(i, 0L))
+  }
+
+  /** PSI of the CURRENT live distribution vs the save-time reference
+    * (Laplace-smoothed, the [[Profiling.psiDrift]] convention). None when
+    * the index predates the reference file or either side is empty.
+    */
+  def driftPsi(spark: SparkSession, dir: String): Option[Double] = {
+    val p = driftRefPath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val (lo, span, refTotal) =
+      (node.get("lo").asLong(), node.get("span").asLong(), node.get("total").asLong())
+    val refCounts = (0 until DriftBins).map(i => node.get("counts").get(i).asLong())
+    if (refTotal == 0L) return None
+    val mf = readManifest(spark, dir)
+    val cur = driftSource(spark, dir, mf, liveView = true)
+      .filter(col("_x").isNotNull)
+      .select(floor(col("_x") * 1000000d + 0.5d).cast("long").as("_v"))
+    val curCounts = histogramCounts(cur, lo, span)
+    val curTotal = curCounts.sum
+    if (curTotal == 0L) return None
+    val psi = (0 until DriftBins).map { i =>
+      val pr = (refCounts(i) + 1L).toDouble / (refTotal + DriftBins).toDouble
+      val qc = (curCounts(i) + 1L).toDouble / (curTotal + DriftBins).toDouble
+      (pr - qc) * math.log(pr / qc)
+    }.sum
+    Some(math.rint(psi * 1e6) / 1e6)
+  }
+
 
   def loadIvfPq(spark: SparkSession, dir: String): IvfPqBundle = {
     val mf = readManifest(spark, dir)
@@ -744,6 +893,178 @@ object AnnIndexStore {
     }
     fs.delete(tp, true)
     parquetFileCount(fs, ip)
+  }
+
+  /** Retrain a persisted index's structure parameters from its RESIDENT
+    * rows at CURRENT scale — the maintenance op that closes the append
+    * drift loop ([[appendIvfPq]]'s documented caveat, and SURVEY §5's
+    * planes-must-grow rule): appends assign into the save-time structure,
+    * so after the corpus grows ~10× the cells/buckets hold ~10× the rows
+    * they were sized for and per-query cost degrades linearly. Rebuild
+    * re-derives the sizing via [[Similarity.planParamsFor]] on the live
+    * row count and rewrites the structure — no source-of-truth re-read:
+    *
+    *  - `ivf`: retrain the coarse quantizer (nCells = ceil(sqrt(n)))
+    *    on the resident vectors, reassign every row.
+    *  - `ivfpq`: the index holds CODES, not floats — vectors are
+    *    reconstructed from the codebook (the standard PQ decode; cell
+    *    assignment tolerates the quantization error by construction),
+    *    the quantizer retrained on the reconstructions and every row
+    *    reassigned. The codebook itself is kept: retraining k-means on
+    *    points that sit exactly AT its centroids returns the same
+    *    centroids, so re-deriving it from codes is a no-op by design.
+    *  - `lsh`: planes re-derived from the live count (tables stays
+    *    pinned — it is the operator's recall/cost budget, not a scale
+    *    parameter), every resident vector re-bucketed, nGroups resized.
+    *  - `minhash`: signatures are content-addressed and resident —
+    *    re-band them into a corpus-sized nGroups layout (n/k/bands stay
+    *    pinned: changing them would re-key against future probes).
+    *
+    * Tombstones fold as a side effect (the rebuilt frames are the LIVE
+    * view). Crash safety is stronger than a rename-aside pair here
+    * because ivf/ivfpq swap TWO coupled frames (index + quantizer — a
+    * half-swap would serve new cells against old centroids, silently):
+    * all new frames and the new MANIFEST stage under `dir/__rebuild`,
+    * a COMMIT marker lands only when staging is complete, and the swap
+    * rolls FORWARD from the marker — a crash leaves either the old index
+    * intact (no marker: staging discarded) or a committed staging the
+    * next rebuild/load-side maintenance completes verbatim.
+    *
+    * Returns the updated manifest.
+    */
+  def rebuild(spark: SparkSession, dir: String): Map[String, String] = {
+    val stage = new org.apache.hadoop.fs.Path(dir, "__rebuild")
+    val fs = stage.getFileSystem(spark.sessionState.newHadoopConf())
+    rollForwardRebuild(spark, dir, fs) // finish a committed predecessor first
+    val mf = readManifest(spark, dir)
+    if (fs.exists(stage)) fs.delete(stage, true) // uncommitted leftovers
+    val S = Similarity
+    mf("kind") match {
+      case "ivf" =>
+        val b = loadIvf(spark, dir)
+        val resident = b.index.select(col("n_id"), col("n_vec")).localCheckpoint()
+        val nCells = S.planParamsFor(math.max(1L, resident.count())).nCells
+        val quant = S.centroids(resident, "n_id", "n_vec", nCells)
+          .select(col("cent_id"), col("cent_vec")).localCheckpoint()
+        val index = S.ivfIndex(resident, "n_id", "n_vec", quant)
+        quant.write.parquet(s"$stage/quantizer")
+        index.repartition(col("cent_id"))
+          .write.partitionBy("cent_id").parquet(s"$stage/index")
+        stageManifest(fs, stage,
+          s"""{"kind":"ivf","nCells":${quant.count().toInt},""" +
+            s""""quantizerSchema":${j(quant.schema.toDDL)},""" +
+            s""""indexSchema":${j(index.schema.toDDL)}}""")
+      case "ivfpq" =>
+        val b = loadIvfPq(spark, dir)
+        val codes = b.index.localCheckpoint()
+        // PQ decode: vec ≈ concat over subspaces of codebook[sub][code]
+        val recon = codes
+          .select(col("n_id"), posexplode(col("codes")).as(Seq("sub", "cluster")))
+          .join(broadcast(b.codebook), Seq("sub", "cluster"))
+          .groupBy(col("n_id"))
+          .agg(flatten(transform(
+            array_sort(collect_list(struct(col("sub"), col("cent")))),
+            x => x.getField("cent"))).as("n_vec"))
+          .localCheckpoint()
+        val nCells = S.planParamsFor(math.max(1L, recon.count())).nCells
+        val quant = S.centroids(recon, "n_id", "n_vec", nCells)
+          .select(col("cent_id"), col("cent_vec")).localCheckpoint()
+        val index = S.ivfIndex(recon, "n_id", "n_vec", quant)
+          .select(col("n_id"), col("cent_id"))
+          .join(codes.select(col("n_id"), col("codes")), "n_id")
+          .select(col("n_id"), col("cent_id"), col("codes"))
+        quant.write.parquet(s"$stage/quantizer")
+        index.repartition(col("cent_id"))
+          .write.partitionBy("cent_id").parquet(s"$stage/index")
+        stageManifest(fs, stage,
+          s"""{"kind":"ivfpq","m":${b.m},"dim":${b.dim},"codesK":${b.codesK},""" +
+            s""""nCells":${quant.count().toInt},""" +
+            s""""quantizerSchema":${j(quant.schema.toDDL)},""" +
+            s""""codebookSchema":${mf.get("codebookSchema").map(j).getOrElse(j(b.codebook.schema.toDDL))},""" +
+            s""""indexSchema":${j(index.schema.toDDL)}}""")
+      case "lsh" =>
+        val b = loadLsh(spark, dir)
+        val vectors = b.index.groupBy(col("n_id"))
+          .agg(first(col("n_vec")).as("n_vec")).localCheckpoint()
+        val planes = S.planParamsFor(math.max(1L, vectors.count())).planes
+        val totalBuckets =
+          math.min(b.tables.toLong << planes, Int.MaxValue.toLong)
+        val nGroups = math.min(totalBuckets, LshMaxGroups.toLong).toInt
+        val grouped = S.lshIndex(vectors, "n_id", "n_vec", planes, b.dim, b.tables)
+          .withColumn("bucket_grp", pmod(col("bucket"), lit(nGroups.toLong)))
+        grouped.repartition(col("bucket_grp"))
+          .sortWithinPartitions(col("bucket"))
+          .write.partitionBy("bucket_grp").parquet(s"$stage/index")
+        stageManifest(fs, stage,
+          s"""{"kind":"lsh","planes":$planes,"dim":${b.dim},"tables":${b.tables},""" +
+            s""""nGroups":$nGroups,"indexSchema":${j(grouped.schema.toDDL)}}""")
+      case "minhash" =>
+        val b = loadMinhash(spark, dir)
+        val sigs = b.sigs.localCheckpoint()
+        val nRows = sigs.filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+          .count() * b.nBands
+        val nGroups = math.min(LshMaxGroups.toLong,
+          math.max(16L, nRows / 65536L + 1L)).toInt
+        val banded = bandedFrom(sigs, b.k, b.nBands, nGroups)
+        banded.repartition(col("band_grp"))
+          .sortWithinPartitions(col("band"))
+          .write.partitionBy("band_grp").parquet(s"$stage/index")
+        sigs.write.parquet(s"$stage/sigs")
+        stageManifest(fs, stage,
+          s"""{"kind":"minhash","n":${b.n},"k":${b.k},"bands":${b.nBands},""" +
+            s""""nGroups":$nGroups,"indexSchema":${j(banded.schema.toDDL)},""" +
+            s""""sigsSchema":${j(sigs.schema.toDDL)}}""")
+      case other =>
+        sys.error(s"$dir: unknown index kind '$other' (expected ivf|ivfpq|lsh|minhash)")
+    }
+    // the commit point: everything below the marker is roll-forward-able
+    fs.create(new org.apache.hadoop.fs.Path(stage, "COMMIT"), true).close()
+    rollForwardRebuild(spark, dir, fs)
+    // the rebuilt structure IS the new reference distribution (a crash
+    // here leaves the pre-rebuild reference: the advisor over-warns once,
+    // never under-warns)
+    writeDriftRef(spark, dir)
+    readManifest(spark, dir)
+  }
+
+  private def stageManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      stage: org.apache.hadoop.fs.Path,
+      json: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(stage, "MANIFEST.json"), true)
+    try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Complete (or discard) a [[rebuild]] staging: with the COMMIT marker
+    * the staged frames are known-complete, so superseded main frames are
+    * deleted and the staged copies moved in — idempotent, resumable from
+    * any crash point; without the marker the staging is an aborted
+    * attempt and is discarded (the live index was never touched).
+    */
+  private def rollForwardRebuild(
+      spark: SparkSession,
+      dir: String,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(dir, "__rebuild")
+    if (!fs.exists(stage)) return
+    if (!fs.exists(new org.apache.hadoop.fs.Path(stage, "COMMIT"))) {
+      fs.delete(stage, true)
+      return
+    }
+    Seq("quantizer", "index", "sigs").foreach { name =>
+      val staged = new org.apache.hadoop.fs.Path(stage, name)
+      if (fs.exists(staged)) {
+        val main = new org.apache.hadoop.fs.Path(dir, name)
+        if (fs.exists(main)) fs.delete(main, true)
+        require(fs.rename(staged, main), s"rebuild roll-forward: $staged -> $main failed")
+      }
+    }
+    val smf = new org.apache.hadoop.fs.Path(stage, "MANIFEST.json")
+    val in = fs.open(smf)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    writeManifest(spark, dir, text.stripLineEnd)
+    fs.delete(tombstonePath(dir), true) // folded into the rebuilt frames
+    fs.delete(stage, true)
   }
 
   /** Parquet data files under a directory, recursively — the one metric

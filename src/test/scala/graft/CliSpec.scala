@@ -274,4 +274,50 @@ class CliSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/flat/tombstones").exists())
     assert(graft.ops.AnnIndexStore.loadIvf(spark, s"$dir/flat").index.count() == 97)
   }
+
+  test("ann info reports fragmentation, tombstone debt, and drift on a maintained index") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_annstats").toString
+    def vecs(n: Int, idFrom: Long, scale: Float) = spark.range(idFrom, idFrom + n)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(7)), i =>
+          ((pmod(xxhash64(col("id"), i), lit(2000L)).cast("float") - 1000f) / 1000f * scale)
+            .cast("float")).as("embedding"))
+    val corpus = vecs(100, 0L, 1f)
+    val quant = graft.ops.Similarity.centroids(corpus, "vec_id", "embedding", 4)
+      .select(col("cent_id"), col("cent_vec"))
+    graft.ops.AnnIndexStore.saveIvf(s"$dir/flat", quant,
+      graft.ops.Similarity.ivfIndex(corpus, "vec_id", "embedding", quant))
+    // fragment (2 appends, one far out-of-distribution) + tombstone 10 ids
+    graft.ops.AnnIndexStore.appendIvf(spark, s"$dir/flat", vecs(50, 1000L, 1f),
+      "vec_id", "embedding")
+    graft.ops.AnnIndexStore.appendIvf(spark, s"$dir/flat", vecs(200, 2000L, 25f),
+      "vec_id", "embedding")
+    Seq.range(0L, 10L).toDF("vec_id").write.parquet(s"$dir/dead")
+    assert(Cli.run(
+      Seq("ann", "delete", s"$dir/flat", s"$dir/dead", "vec_id"), Some(spark)) == 0)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      assert(Cli.run(Seq("ann", "info", s"$dir/flat"), Some(spark)) == 0)
+    }
+    val printed = out.toString("UTF-8")
+    val kv = printed.linesIterator.flatMap(_.split(": ", 2) match {
+      case Array(k, v) => Some(k -> v); case _ => None
+    }).toMap
+    assert(kv("rows").toLong == 350L)
+    assert(kv("liveRows").toLong == 340L)
+    assert(kv("tombstonedIds").toLong == 10L)
+    // each append adds >= 1 file to every touched cell dir
+    assert(kv("filesPerPartMax").toInt >= 2)
+    assert(kv("dataFiles").toInt > kv("partitionDirs").toInt)
+    // 200 of 340 live rows sit 25x outside the save-time norm range:
+    // a major shift the PSI advisor must flag
+    assert(kv("driftPsi") != "n/a" && kv("driftPsi").toDouble > 0.25, printed)
+    assert(kv("driftAdvice").contains("rebuild"))
+    // rebuild restores the reference: drift back to ~0, sizing re-derived
+    assert(Cli.run(Seq("ann", "rebuild", s"$dir/flat"), Some(spark)) == 0)
+    val st = graft.ops.AnnIndexStore.stats(spark, s"$dir/flat").toMap
+    assert(st("tombstonedIds") == "0" && st("rows") == "340")
+    assert(st("driftPsi").toDouble < 0.10 && st("driftAdvice") == "stable", st.toString)
+  }
 }
