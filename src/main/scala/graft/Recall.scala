@@ -57,6 +57,67 @@ object Recall {
                 .cast("float") - 1000f) / 1000f).cast("float"))
           ).as("embedding"))
         .localCheckpoint() // freeze: truth and every setting must see the SAME corpus
+    // `rebuild` mode: the drift experiment behind AnnIndexStore.rebuild —
+    // save an IVF index sized for the ORIGINAL corpus, append 10x
+    // out-of-distribution vectors (shifted cloud), and compare serving the
+    // appended cloud's queries before vs after rebuild against brute
+    // truth over the union. Prints one JSON line; rows go to RECALL.md.
+    if (args.contains("rebuild")) {
+      val k = 10
+      val dim = 64
+      def shifted(n: Int, idFrom: Long, shift: Float) =
+        spark.range(idFrom, idFrom + n).select(
+          col("id").as("vec_id"),
+          org.apache.spark.sql.functions.transform(sequence(lit(0), lit(dim - 1)),
+            i => (((pmod(xxhash64(col("id"), i), lit(2000L)).cast("float") - 1000f)
+              / 1000f) + shift).cast("float")).as("embedding"))
+      val base = emb0.select(col("vec_id"), col("embedding")).localCheckpoint()
+      val nBase = base.count()
+      // appended cloud: same generator, every element +2.0 — a genuinely
+      // different region the save-time quantizer has no cells near
+      val appended = shifted((nBase * 10).toInt, idFrom = 50000000L, shift = 2.0f)
+        .localCheckpoint()
+      val union = base.unionByName(appended).localCheckpoint()
+      val queries = shifted(100, idFrom = 90000000L, shift = 2.0f).localCheckpoint()
+      val truth = ops.Similarity.bruteForceTopK(union, queries, "vec_id", "embedding",
+        k, maxPairs = Long.MaxValue).select("q_id", "n_id").cache()
+      val truthN = truth.count()
+      val dir = java.nio.file.Files.createTempDirectory("graft_recall_rb").toString
+      TempReaper.register(dir)
+      val quant0 = ops.Similarity.centroids(base, "vec_id", "embedding",
+        ops.Similarity.planParamsFor(nBase).nCells)
+        .select(col("cent_id"), col("cent_vec"))
+      ops.AnnIndexStore.saveIvf(s"$dir/flat", quant0,
+        ops.Similarity.ivfIndex(base, "vec_id", "embedding", quant0))
+      ops.AnnIndexStore.appendIvf(spark, s"$dir/flat", appended, "vec_id", "embedding")
+      def serveRow(tag: String, nProbe: Int): String = {
+        val b = ops.AnnIndexStore.loadIvf(spark, s"$dir/flat")
+        val t0 = System.nanoTime()
+        val hits = ops.AnnIndexStore.serveIvf(b, queries, "vec_id", "embedding",
+          k, nProbe = nProbe)
+          .select("q_id", "n_id").join(truth, Seq("q_id", "n_id"), "left_semi").count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        s""""$tag":{"nCells":${b.nCells},"nProbe":$nProbe,"recall":${math.round(hits.toDouble / truthN * 10000) / 10000.0},"sec":${math.round(secs * 100) / 100.0}}"""
+      }
+      val cells0 = ops.AnnIndexStore.loadIvf(spark, s"$dir/flat").nCells
+      val pre = serveRow("appended_stale_quantizer", 8)
+      ops.AnnIndexStore.rebuild(spark, s"$dir/flat")
+      val cells1 = ops.AnnIndexStore.loadIvf(spark, s"$dir/flat").nCells
+      val post = serveRow("rebuilt_same_nprobe", 8)
+      // probe-fraction-matched row: same share of cells as the stale run,
+      // over BALANCED cells — the apples-to-apples recall/cost point
+      val matched = serveRow("rebuilt_matched_fraction",
+        math.max(8, math.ceil(8.0 * cells1 / cells0).toInt))
+      // equal-candidate-count row: the stale quantizer funnels ~the whole
+      // appended cloud through its 8 probed cells, so the honest
+      // comparison point scans the same ~half of the union from balanced
+      // cells
+      val equalCost = serveRow("rebuilt_half_cells", math.max(8, cells1 / 2))
+      println(s"""{"metric":"rebuild_recall@$k","base":$nBase,"appended":${nBase * 10},"settings":{$pre,$post,$matched,$equalCost},"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
+
     val queries = emb.filter(col("vec_id") < 100)
     val k = 10
     val corpusN = emb.count()

@@ -440,7 +440,19 @@ object Stress {
       "mh_dedupe_indexed" -> (() =>
         ops.AnnIndexStore.dedupeAgainstMinhash(
           ops.AnnIndexStore.loadMinhash(spark, mhIndexDir),
-          mhBatch, "doc_id", "text", minSim = 0.5))
+          mhBatch, "doc_id", "text", minSim = 0.5)),
+      // round 13: the probe-collect guard, measured — a CORPUS-SIZED probe
+      // batch (20% of the 20x corpus; ~6x DefaultMaxProbeInList distinct
+      // band keys) flips the pruning to the broadcast semi-join fallback.
+      // The row's claim is the DRIVER: driver_heap_mb stays in the same
+      // band as the small-batch row because the collect is LIMIT-bounded
+      // at threshold+1 rows regardless of probe size (pre-guard, every
+      // distinct band key landed on the driver as an IN-list)
+      "mh_dedupe_bigprobe_fallback" -> (() =>
+        ops.AnnIndexStore.dedupeAgainstMinhash(
+          ops.AnnIndexStore.loadMinhash(spark, mhIndexDir),
+          docsN.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
+          minSim = 0.5))
     )
 
 
@@ -505,11 +517,17 @@ object Stress {
           .map { case (sid, ms) => s"stage$sid=${ms / 1000.0}s" }.mkString(" ")
         System.err.println(s"[stress-diag] $name top task_max by stage: $top")
       }
-      (name, secs, taskMaxMs.get() / 1000.0)
+      // post-GC retained driver heap: the collect-guard rows' claim is
+      // that probe size never shows up here (plans/IN-lists live on the
+      // driver; row data must not)
+      val heapMb = (Runtime.getRuntime.totalMemory() -
+        Runtime.getRuntime.freeMemory()) / (1L << 20)
+      (name, secs, taskMaxMs.get() / 1000.0, heapMb)
     }
-    val body = results.map { case (n, s, _) => s""""$n":${math.round(s * 100) / 100.0}""" }.mkString(",")
-    val taskBody = results.map { case (n, _, tm) => s""""$n":${math.round(tm * 100) / 100.0}""" }.mkString(",")
-    println(s"""{"metric":"stress","mult":$mult,"docs":${docsN.count()},"events":${eventsN.count()},"ops":{$body},"task_max":{$taskBody},"sf":"$sfDir"}""")
+    val body = results.map { case (n, s, _, _) => s""""$n":${math.round(s * 100) / 100.0}""" }.mkString(",")
+    val taskBody = results.map { case (n, _, tm, _) => s""""$n":${math.round(tm * 100) / 100.0}""" }.mkString(",")
+    val heapBody = results.map { case (n, _, _, h) => s""""$n":$h""" }.mkString(",")
+    println(s"""{"metric":"stress","mult":$mult,"docs":${docsN.count()},"events":${eventsN.count()},"ops":{$body},"task_max":{$taskBody},"driver_heap_mb":{$heapBody},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
