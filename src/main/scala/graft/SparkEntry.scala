@@ -1148,6 +1148,26 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Two-stage ANN serving (L55's refine leg — round 13): the persisted
+    * IVF-PQ store shortlists a 20-candidate pool per query by ADC
+    * estimate, then [[graft.ops.Similarity.refineTopK]] fetches the
+    * pool's TRUE vectors from the source-of-truth embeddings table
+    * (keyed equi-join, never a scan) and re-ranks on exact L2 — the
+    * standard billion-scale recipe (compressed index answers "where to
+    * look", the vector table answers "in what order"). The oracle
+    * replays the ADC chain to rank ≤ 20 and the exact re-rank.
+    */
+  private def qAnnRefined(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val tmp = cachedIndexDir("pq16", dir)(t => buildPq16Index(s, dir, t))
+    val bundle = graft.ops.AnnIndexStore.loadIvfPq(s, s"$tmp/pq")
+    val probes = e.filter(col("vec_id") < 10)
+    val pool = graft.ops.AnnIndexStore.serveIvfPq(bundle, probes,
+      "vec_id", "embedding", k = 20, nProbe = 4)
+    graft.ops.Similarity.refineTopK(pool, e, probes, "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** The ANN suite through YAML (R9 × L55 — the registry.rs apply/run
     * workflow for similarity): pipeline 1 BUILDS the q_ann_ivfpq index
     * declaratively (`format: ann_index` sink, explicit nCells/m/codesK
@@ -1731,6 +1751,55 @@ object SparkEntry {
   private def qDslDedupeIncremental(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val tmp = minhashCorpusIndex(s, dir)
+    dslStep(s,
+      Map("step_in" -> d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), col("text"))),
+      s"  type: dedupe_near\n  indexPath: $tmp/mh\n  minSimilarity: 0.5")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The declarative index LIFECYCLE (R9 × L34 — round 13): pipeline 1
+    * BUILDS the minhash corpus index over HALF the corpus via the
+    * `ann_index` sink (`kind: minhash`), pipeline 2 APPENDS the other
+    * half (`mode: append` — parameters from the MANIFEST, and the sink's
+    * own maintenance cadence `compactEveryNAppends: 1` compacts the
+    * slivers right after), and the `dedupe_near` + `indexPath` step
+    * probes the daily batch. Verdict-identical to
+    * q_dedup_incremental_served (build+append = the same corpus;
+    * signatures content-addressed; compaction changes layout, never
+    * content), so the oracle is shared — the row gates the YAML-owned
+    * build → append → maintain → probe loop.
+    */
+  private def qDslAnnLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // fresh dir per call: the append sequence is not idempotent
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsllc").toString
+    TempReaper.register(tmp)
+    def sinkRun(opts: String, frame: DataFrame): Unit = {
+      val yaml =
+        s"""kind: Source
+           |metadata: {name: in}
+           |spec: {format: table, path: in_tbl}
+           |---
+           |kind: Sink
+           |metadata: {name: idx}
+           |spec:
+           |  format: ann_index
+           |  path: $tmp/mh
+           |  options: {$opts}
+           |---
+           |kind: Pipeline
+           |metadata: {name: p}
+           |spec: {source: in, steps: [], sink: idx}
+           |""".stripMargin
+      graft.dsl.Compiler.write(graft.dsl.Compiler.compile(s,
+        graft.dsl.YamlLoader.load(yaml), tables = Map("in_tbl" -> frame))("p"))
+    }
+    sinkRun("kind: minhash, idField: doc_id, field: text",
+      d.filter(pmod(col("doc_id"), lit(5)).isin(1, 2)))
+    sinkRun("mode: append, idField: doc_id, field: text, compactEveryNAppends: \"1\"",
+      d.filter(pmod(col("doc_id"), lit(5)).isin(3, 4)))
     dslStep(s,
       Map("step_in" -> d.filter(pmod(col("doc_id"), lit(5)) === 0)
         .select(col("doc_id"), col("text"))),
@@ -4205,6 +4274,7 @@ object SparkEntry {
     "q_embed_pq" -> (qEmbedPq _),
     "q_ann_ivfpq" -> (qAnnIvfpq _),
     "q_ann_ivfpq_served" -> (qAnnIvfpqServed _),
+    "q_ann_refined" -> (qAnnRefined _),
     "q_stream_ann" -> (qStreamAnn _),
     "q_ann_deleted" -> (qAnnDeleted _),
     "q_quality" -> (qQuality _),
@@ -4305,6 +4375,7 @@ object SparkEntry {
     "q_dsl_dedupe_incremental" -> (qDslDedupeIncremental _),
     "q_stream_dedupe_served" -> (qStreamDedupeServed _),
     "q_ann_rebuilt" -> (qAnnRebuilt _),
+    "q_dsl_ann_lifecycle" -> (qDslAnnLifecycle _),
     "q_dedup_spans" -> (qDedupSpans _),
     "q_embed_normalize" -> (qEmbedNormalize _),
     "q_embed_standardize" -> (qEmbedStandardize _),
@@ -4677,6 +4748,26 @@ object SparkEntry {
        |FROM tk t JOIN ev v ON v.vid = t.vid JOIN probes q ON q.qid = t.qid
        |WHERE t.rank <= 5
        |ORDER BY t.qid, t.rank""".stripMargin
+  }
+
+  /** The two-stage refine oracle: the [[pqIvfOracleFiltered]] chain to an
+    * ADC rank ≤ `refineK` shortlist, then exact L2 re-rank to `k` — the
+    * q_ann_refined replay.
+    */
+  private def pqIvfRefinedOracle(refineK: Int, k: Int): String = {
+    val base = pqIvfOracleFiltered("")
+    val cut = base.lastIndexOf("SELECT t.qid AS q_id")
+    base.substring(0, cut) +
+      s"""SELECT q_id, n_id, rank, true_dist2 FROM (
+         |  SELECT t.qid AS q_id, t.vid AS n_id,
+         |    row_number() OVER (PARTITION BY t.qid ORDER BY
+         |      round(list_dot_product(v.vec, v.vec) - 2.0*list_dot_product(v.vec, q.vec) + list_dot_product(q.vec, q.vec), 6), t.vid) AS rank,
+         |    round(list_dot_product(v.vec, v.vec) - 2.0*list_dot_product(v.vec, q.vec) + list_dot_product(q.vec, q.vec), 6) AS true_dist2
+         |  FROM tk t JOIN ev v ON v.vid = t.vid JOIN probes q ON q.qid = t.qid
+         |  WHERE t.rank <= $refineK
+         |)
+         |WHERE rank <= $k
+         |ORDER BY q_id, rank""".stripMargin
   }
 
   /** Unrolls the exact integer PageRank recurrence ([[graft.ops.Graph]])
@@ -5133,6 +5224,7 @@ object SparkEntry {
     "q_embed_pq" -> pqOracle,
     "q_ann_ivfpq" -> pqIvfOracle,
     "q_ann_ivfpq_served" -> pqIvfOracle, // identical by spec: the row gates the save/load/serve round-trip
+    "q_ann_refined" -> pqIvfRefinedOracle(refineK = 20, k = 5),
     "q_ann_deleted" -> // tombstone complement on the candidate side only
       pqIvfOracleFiltered("cc._aid % 7 <> 0"),
     "q_stream_ann" -> // served rows are batch-independent; batch_id = the wave schedule
@@ -7647,6 +7739,30 @@ object SparkEntry {
         |  d.doc_id % 3 AS batch_id
         |FROM documents d LEFT JOIN nc ON d.doc_id = nc.doc_id
         |WHERE d.doc_id % 5 = 0
+        |ORDER BY d.doc_id""".stripMargin,
+    // the YAML lifecycle (build half + append half + cadence compact +
+    // indexPath probe) keeps exactly the novel batch docs — the
+    // q_dsl_dedupe_incremental complement projection, shared because
+    // build+append assembles the same corpus and compaction never
+    // changes content
+    "q_dsl_ann_lifecycle" ->
+      s"""$lshSigCte, xcand AS (
+        |  SELECT DISTINCT a.doc_id AS bid, b.doc_id AS cid
+        |  FROM banded a JOIN banded b ON a.band = b.band
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |), nc AS (
+        |  SELECT DISTINCT bid AS doc_id FROM (
+        |    SELECT c.bid, c.cid,
+        |      round(sum(CASE WHEN sa.sig[g.i+1] = sb.sig[g.i+1] THEN 1 ELSE 0 END) / 16.0, 6) AS sim
+        |    FROM xcand c
+        |    JOIN sigs sa ON c.bid = sa.doc_id
+        |    JOIN sigs sb ON c.cid = sb.doc_id
+        |    CROSS JOIN generate_series(0, 15) g(i)
+        |    GROUP BY 1, 2
+        |  ) WHERE sim >= 0.5
+        |)
+        |SELECT d.doc_id FROM documents d LEFT JOIN nc ON d.doc_id = nc.doc_id
+        |WHERE d.doc_id % 5 = 0 AND nc.doc_id IS NULL
         |ORDER BY d.doc_id""".stripMargin,
     // save(half) + append(half) + rebuild == fresh save of the union:
     // signatures are content-addressed and band keys layout-independent,

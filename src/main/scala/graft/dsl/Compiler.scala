@@ -413,36 +413,84 @@ object Compiler {
           val S = graft.ops.Similarity
           val aiId = o.getOrElse("idField", "vec_id")
           val aiVec = o.getOrElse("vecField", "embedding")
-          val aiDim = o.getOrElse("dim",
-            sys.error(s"sink '${p.sink.name}': ann_index needs dim")).toInt
-          lazy val params = S.planParamsFor(math.max(1L, frame.count()))
-          o.getOrElse("kind", "ivfpq") match {
-            case "ivfpq" =>
-              val m = o.getOrElse("m", "4").toInt
-              val codesK = o.getOrElse("codesK", "8").toInt
-              val nCells = o.get("nCells").map(_.toInt).getOrElse(params.nCells)
-              val quant = S.centroids(frame, aiId, aiVec, nCells)
-                .select(col("cent_id"), col("cent_vec"))
-              val cb = S.pqCodebook(frame, aiId, aiVec, m, codesK,
-                iters = o.getOrElse("iters", "2").toInt, dim = aiDim)
-              graft.ops.AnnIndexStore.saveIvfPq(p.sink.path, quant, cb,
-                S.ivfPqIndex(frame, aiId, aiVec, quant, cb, m, aiDim),
-                m = m, dim = aiDim, codesK = codesK)
-            case "ivf" =>
-              val nCells = o.get("nCells").map(_.toInt).getOrElse(params.nCells)
-              val quant = S.centroids(frame, aiId, aiVec, nCells)
-                .select(col("cent_id"), col("cent_vec"))
-              graft.ops.AnnIndexStore.saveIvf(p.sink.path, quant,
-                S.ivfIndex(frame, aiId, aiVec, quant))
-            case "lsh" =>
-              val planes = o.get("planes").map(_.toInt).getOrElse(params.planes)
-              val tables = o.getOrElse("tables", "1").toInt
-              graft.ops.AnnIndexStore.saveLsh(p.sink.path,
-                S.lshIndex(frame, aiId, aiVec, planes, aiDim, tables),
-                planes, aiDim, tables)
+          o.getOrElse("mode", "overwrite") match {
+            // daily-ingest leg, declaratively: the frame APPENDS into an
+            // existing index with the MANIFEST-pinned parameters (kind is
+            // dispatched off the manifest too), then the sink runs its own
+            // maintenance cadence — compactEveryNAppends merges the append
+            // slivers / folds tombstones on schedule, rebuildOnPsi
+            // retrains the structure when the live distribution drifts
+            // past the threshold (the `ann info` advisor, automated). The
+            // YAML pipeline that owns the index owns its lifecycle, like
+            // the reference's backup retention (types.rs:868-1018).
+            case "append" =>
+              val pinned = Seq("kind", "dim", "nCells", "m", "codesK", "iters",
+                "planes", "tables", "shingleSize", "signatureSize", "bands")
+                .filter(o.contains)
+              if (pinned.nonEmpty)
+                sys.error(s"sink '${p.sink.name}': mode append takes " +
+                  s"${pinned.mkString("/")} from the index MANIFEST — " +
+                  "remove the conflicting option(s)")
+              val spark = frame.sparkSession
+              graft.ops.AnnIndexStore.kindOf(spark, p.sink.path) match {
+                case "ivfpq" => graft.ops.AnnIndexStore.appendIvfPq(
+                  spark, p.sink.path, frame, aiId, aiVec)
+                case "ivf" => graft.ops.AnnIndexStore.appendIvf(
+                  spark, p.sink.path, frame, aiId, aiVec)
+                case "lsh" => graft.ops.AnnIndexStore.appendLsh(
+                  spark, p.sink.path, frame, aiId, aiVec)
+                case "minhash" => graft.ops.AnnIndexStore.appendMinhash(
+                  spark, p.sink.path, frame,
+                  o.getOrElse("idField", "doc_id"), o.getOrElse("field", "text"))
+                case other => sys.error(s"unknown index kind '$other'")
+              }
+              graft.ops.AnnIndexStore.noteAppendAndMaintain(spark, p.sink.path,
+                compactEveryNAppends = o.get("compactEveryNAppends").map(_.toInt),
+                rebuildOnPsi = o.get("rebuildOnPsi").map(_.toDouble))
+              ()
+            case "overwrite" =>
+              def aiDim = o.getOrElse("dim",
+                sys.error(s"sink '${p.sink.name}': ann_index needs dim")).toInt
+              lazy val params = S.planParamsFor(math.max(1L, frame.count()))
+              o.getOrElse("kind", "ivfpq") match {
+                case "ivfpq" =>
+                  val m = o.getOrElse("m", "4").toInt
+                  val codesK = o.getOrElse("codesK", "8").toInt
+                  val nCells = o.get("nCells").map(_.toInt).getOrElse(params.nCells)
+                  val quant = S.centroids(frame, aiId, aiVec, nCells)
+                    .select(col("cent_id"), col("cent_vec"))
+                  val cb = S.pqCodebook(frame, aiId, aiVec, m, codesK,
+                    iters = o.getOrElse("iters", "2").toInt, dim = aiDim)
+                  graft.ops.AnnIndexStore.saveIvfPq(p.sink.path, quant, cb,
+                    S.ivfPqIndex(frame, aiId, aiVec, quant, cb, m, aiDim),
+                    m = m, dim = aiDim, codesK = codesK)
+                case "ivf" =>
+                  val nCells = o.get("nCells").map(_.toInt).getOrElse(params.nCells)
+                  val quant = S.centroids(frame, aiId, aiVec, nCells)
+                    .select(col("cent_id"), col("cent_vec"))
+                  graft.ops.AnnIndexStore.saveIvf(p.sink.path, quant,
+                    S.ivfIndex(frame, aiId, aiVec, quant))
+                case "lsh" =>
+                  val planes = o.get("planes").map(_.toInt).getOrElse(params.planes)
+                  val tables = o.getOrElse("tables", "1").toInt
+                  graft.ops.AnnIndexStore.saveLsh(p.sink.path,
+                    S.lshIndex(frame, aiId, aiVec, planes, aiDim, tables),
+                    planes, aiDim, tables)
+                // TEXT corpus index for the dedupe_near/indexPath probe —
+                // the build leg of L34's daily-crawl shape, declaratively
+                case "minhash" =>
+                  graft.ops.AnnIndexStore.saveMinhash(p.sink.path, frame,
+                    o.getOrElse("idField", "doc_id"), o.getOrElse("field", "text"),
+                    n = o.getOrElse("shingleSize", "3").toInt,
+                    k = o.getOrElse("signatureSize", "16").toInt,
+                    bands = o.getOrElse("bands", "4").toInt)
+                case other =>
+                  sys.error(s"sink '${p.sink.name}': ann_index kind must be " +
+                    s"ivfpq|ivf|lsh|minhash, got '$other'")
+              }
             case other =>
-              sys.error(s"sink '${p.sink.name}': ann_index kind must be " +
-                s"ivfpq|ivf|lsh, got '$other'")
+              sys.error(s"sink '${p.sink.name}': ann_index mode must be " +
+                s"overwrite|append, got '$other'")
           }
         // Network push sink (GrpcSinkConfig, types.rs:744-780): the path is
         // the ENDPOINT; per-message retry + DLQ-on-exhaustion via PushSink.

@@ -1067,6 +1067,64 @@ object AnnIndexStore {
     fs.delete(stage, true)
   }
 
+  /** Declarative maintenance cadence for YAML-owned indexes (the
+    * reference's backup-retention posture, types.rs:868-1018 — the
+    * pipeline that owns a resource also owns its lifecycle): called by
+    * the `ann_index` sink after every `mode: append` write. Tracks
+    * appends-since-compact in `dir/MAINTENANCE.json`; when the count
+    * reaches `compactEveryNAppends` the sliver/tombstone [[compact]]
+    * runs and the counter resets, and when the live distribution's
+    * [[driftPsi]] reaches `rebuildOnPsi` the structure [[rebuild]]s
+    * (which re-references the drift histogram, so the trigger
+    * self-clears). Returns a human-readable summary of what ran.
+    */
+  def noteAppendAndMaintain(
+      spark: SparkSession,
+      dir: String,
+      compactEveryNAppends: Option[Int],
+      rebuildOnPsi: Option[Double]
+  ): String = {
+    compactEveryNAppends.foreach(n =>
+      require(n >= 1, s"compactEveryNAppends must be >= 1, got $n"))
+    rebuildOnPsi.foreach(t =>
+      require(t > 0.0, s"rebuildOnPsi must be positive, got $t"))
+    val p = new org.apache.hadoop.fs.Path(dir, "MAINTENANCE.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val prior =
+      if (!fs.exists(p)) 0
+      else {
+        val in = fs.open(p)
+        val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+          .get("appendsSinceCompact").asInt()
+      }
+    val count = prior + 1
+    val ran = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rebuilt = rebuildOnPsi.exists { thr =>
+      val psi = driftPsi(spark, dir)
+      val hit = psi.exists(_ >= thr)
+      if (hit) {
+        rebuild(spark, dir)
+        ran += f"rebuild (psi ${psi.get}%.4f >= $thr)"
+      }
+      hit
+    }
+    // rebuild rewrote the whole layout — compaction debt is gone with it
+    val compacted = !rebuilt && compactEveryNAppends.exists { n =>
+      val hit = count >= n
+      if (hit) {
+        compact(spark, dir)
+        ran += s"compact (after $count appends)"
+      }
+      hit
+    }
+    val next = if (rebuilt || compacted) 0 else count
+    val out = fs.create(p, true)
+    try out.write(s"""{"appendsSinceCompact":$next}\n""".getBytes("UTF-8"))
+    finally out.close()
+    if (ran.isEmpty) s"append $count noted" else ran.mkString("; ")
+  }
+
   /** Parquet data files under a directory, recursively — the one metric
     * [[compact]] returns from both of its paths and `ann info` reports
     * as the fragmentation signal.

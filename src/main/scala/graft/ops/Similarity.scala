@@ -887,6 +887,42 @@ object Similarity {
         col("__est").cast("double").as("est_dist2"))
   }
 
+  /** Exact-rerank REFINE stage over an ADC candidate list — the second
+    * half of the standard two-stage billion-scale serving recipe
+    * (IVF-PQ shortlists by compressed estimate, refine re-scores the
+    * shortlist with true distances from the source-of-truth vector
+    * table): `adcTopK` is an [[ivfPqTopK]]/[[pqAdcTopK]] result whose k
+    * was the REFINE POOL size (e.g. 4× the final k); each (q_id, n_id)
+    * candidate fetches its full vector by key and the pool re-ranks on
+    * exact L2. Fixes ADC's quantization-error misorderings at the cost
+    * of |queries|·refineK vector fetches — a keyed equi-join against the
+    * vector table (never a scan: the join keys are the shortlist), with
+    * the query side broadcast. Distances are 6-dp-rounded like every
+    * other kernel, so the stage replays in the oracle.
+    */
+  def refineTopK(
+      adcTopK: DataFrame,
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val dv = (c: org.apache.spark.sql.Column) => transform(c, _.cast("double"))
+    val scored = adcTopK.select(col("q_id"), col("n_id"))
+      .join(vectors.select(col(idCol).cast("long").as("n_id"),
+        dv(col(vecCol)).as("__nv")), "n_id")
+      .join(broadcast(queries.select(col(idCol).cast("long").as("q_id"),
+        dv(col(vecCol)).as("__qv"))), "q_id")
+      .select(col("q_id"), col("n_id"),
+        round(V.dot(col("__nv"), col("__nv"))
+          - lit(2.0) * V.dot(col("__nv"), col("__qv"))
+          + V.dot(col("__qv"), col("__qv")), 6).as("true_dist2"))
+    val w = Window.partitionBy("q_id").orderBy(col("true_dist2"), col("n_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"), col("true_dist2"))
+  }
+
   /** Symmetric int8 quantization per vector: q_i = round_half_up(x_i * 127
     * / max|x|), the storage layout ANN indexes ship at scale (4× smaller
     * exchanges and index blocks than float32; dot products stay int

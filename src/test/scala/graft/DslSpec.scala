@@ -2057,6 +2057,82 @@ class DslSpec extends SparkSpec {
     assert(e.getMessage.contains("ivfpq|ivf|lsh"))
   }
 
+  test("ann_index sink: minhash kind, append mode, declarative maintenance cadence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsl_annlc").toString
+    def run(path: String, opts: String, frame: org.apache.spark.sql.DataFrame): Unit = {
+      val yaml =
+        s"""kind: Source
+           |metadata: {name: in}
+           |spec: {format: table, path: in_tbl}
+           |---
+           |kind: Sink
+           |metadata: {name: idx}
+           |spec:
+           |  format: ann_index
+           |  path: $path
+           |  options: {$opts}
+           |---
+           |kind: Pipeline
+           |metadata: {name: p}
+           |spec: {source: in, steps: [], sink: idx}
+           |""".stripMargin
+      Compiler.write(Compiler.compile(spark, YamlLoader.load(yaml),
+        tables = Map("in_tbl" -> frame))("p"))
+    }
+    def doc(i: Long) = (i, s"document number $i speaks of subject${i % 7} " +
+      s"and subject${i % 11} in its own particular words variant${i % 5}")
+    val partA = (0L until 20L).map(doc).toDF("doc_id", "text")
+    val partB = (20L until 40L).map(doc).toDF("doc_id", "text")
+    val partC = (40L until 60L).map(doc).toDF("doc_id", "text")
+
+    // declarative minhash build over part A only
+    run(s"$dir/mh", "kind: minhash, idField: doc_id, field: text", partA)
+    assert(graft.ops.AnnIndexStore.kindOf(spark, s"$dir/mh") == "minhash")
+    // a batch doc identical to a part-B doc is NOVEL before the append...
+    val probe = Seq((1000L, doc(25L)._2)).toDF("doc_id", "text")
+    def dup(): Int = graft.ops.AnnIndexStore.dedupeAgainstMinhash(
+      graft.ops.AnnIndexStore.loadMinhash(spark, s"$dir/mh"),
+      probe, "doc_id", "text", 0.5).collect()(0).getInt(1)
+    assert(dup() == 0)
+    // ...append part B declaratively (cadence: compact every 2 appends)
+    run(s"$dir/mh", "mode: append, idField: doc_id, field: text, compactEveryNAppends: \"2\"", partB)
+    assert(dup() == 1)
+    assert(new java.io.File(s"$dir/mh/MAINTENANCE.json").exists())
+    def maxFilesPerGroup: Int = new java.io.File(s"$dir/mh/index").listFiles()
+      .filter(_.getName.startsWith("band_grp=")).map(d =>
+        d.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(maxFilesPerGroup >= 2, "first append should leave sliver files")
+    // second append reaches the cadence -> compact merges the slivers
+    run(s"$dir/mh", "mode: append, idField: doc_id, field: text, compactEveryNAppends: \"2\"", partC)
+    assert(maxFilesPerGroup == 1, "cadence compact should merge to one file per group")
+    assert(graft.ops.AnnIndexStore.loadMinhash(spark, s"$dir/mh")
+      .sigs.count() == 60)
+    // append mode refuses manifest-pinned structure options
+    val e = intercept[RuntimeException](run(s"$dir/mh",
+      "mode: append, idField: doc_id, field: text, bands: \"8\"", partB))
+    assert(e.getMessage.contains("MANIFEST") && e.getMessage.contains("bands"))
+
+    // rebuildOnPsi: an out-of-distribution vector append trips the drift
+    // advisor and the sink rebuilds (nCells re-derived from the union)
+    def vecs(n: Int, idFrom: Long, scale: Float) = spark.range(idFrom, idFrom + n)
+      .select(col("id").as("vec_id"),
+        org.apache.spark.sql.functions.transform(sequence(lit(0), lit(7)), i =>
+          ((pmod(xxhash64(col("id"), i), lit(2000L)).cast("float") - 1000f) / 1000f * scale)
+            .cast("float")).as("embedding"))
+    run(s"$dir/flat", "kind: ivf, idField: vec_id, vecField: embedding, dim: \"8\"",
+      vecs(100, 0L, 1f))
+    val cells0 = graft.ops.AnnIndexStore.loadIvf(spark, s"$dir/flat").nCells
+    run(s"$dir/flat", "mode: append, idField: vec_id, vecField: embedding, rebuildOnPsi: \"0.25\"",
+      vecs(400, 1000L, 25f))
+    val after = graft.ops.AnnIndexStore.loadIvf(spark, s"$dir/flat")
+    assert(after.nCells == graft.ops.Similarity.planParamsFor(500).nCells &&
+      after.nCells != cells0,
+      s"rebuildOnPsi should have retrained: $cells0 -> ${after.nCells}")
+    assert(graft.ops.AnnIndexStore.stats(spark, s"$dir/flat")
+      .toMap.apply("driftAdvice") == "stable")
+  }
+
   test("dedupe_near indexPath refuses manifest-pinned options instead of swallowing") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dsl_dnrefuse").toString

@@ -131,4 +131,35 @@ class PqSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(again == rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet)
   }
+
+  test("refineTopK: exact re-rank of the ADC pool equals brute L2 over the pool") {
+    val S = Similarity
+    val quant = S.centroids(fixture, "vec_id", "embedding", 8)
+      .select(col("cent_id"), col("cent_vec"))
+    val cb = S.pqCodebook(fixture, "vec_id", "embedding", m = 2, codesK = 4, iters = 2, dim = 8)
+    val index = S.ivfPqIndex(fixture, "vec_id", "embedding", quant, cb, m = 2, dim = 8)
+    val probes = fixture.filter(col("vec_id") < 4)
+    val pool = S.ivfPqTopK(index, probes, "vec_id", "embedding", k = 12,
+      quant, cb, m = 2, dim = 8, nProbe = 2)
+    val refined = S.refineTopK(pool, fixture, probes, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(refined.length == 12) // 4 probes x 3
+    // ground truth within each probe's pool: exact L2 ascending, id ties
+    val vecs = fixture.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      math.rint(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum * 1e6) / 1e6
+    val poolPairs = pool.collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (q <- Seq(0L, 1L, 2L, 3L)) {
+      val want = poolPairs.filter(_._1 == q).map(_._2)
+        .map(n => (n, d2(vecs(q), vecs(n)))).sortBy(p => (p._2, p._1)).take(3)
+      val got = refined.filter(_._1 == q).sortBy(_._3).map(r => (r._2, r._4)).toSeq
+      assert(got == want.toSeq, s"probe $q: got $got want ${want.toSeq}")
+    }
+    // refine never worsens retrieval: true-distance order within the pool
+    // is exact, so rank 1 is the pool's true nearest neighbor
+    assert(refined.filter(_._3 == 1).forall { case (q, n, _, d) =>
+      d == poolPairs.filter(_._1 == q).map(p => d2(vecs(q), vecs(p._2))).min && n != q
+    })
+  }
 }
