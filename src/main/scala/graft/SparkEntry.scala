@@ -1168,6 +1168,23 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The refine recipe through YAML: `ann_serve` with `refineTable` —
+    * the step shortlists refineK=20 by ADC off the persisted index and
+    * re-ranks on exact L2 against the named vector table. Shares
+    * q_ann_refined's oracle verbatim; the row gates the declarative
+    * plumbing (refineTable resolution, poolK/k split).
+    */
+  private def qDslRefined(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val tmp = cachedIndexDir("pq16", dir)(t => buildPq16Index(s, dir, t))
+    dslStep(s,
+      Map("step_in" -> e.filter(col("vec_id") < 10),
+        "corpus_vecs" -> e),
+      s"  type: ann_serve\n  path: $tmp/pq\n  k: 5\n  nProbe: 4\n" +
+        "  refineTable: corpus_vecs\n  refineK: 20")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** The ANN suite through YAML (R9 × L55 — the registry.rs apply/run
     * workflow for similarity): pipeline 1 BUILDS the q_ann_ivfpq index
     * declaratively (`format: ann_index` sink, explicit nCells/m/codesK
@@ -4275,6 +4292,7 @@ object SparkEntry {
     "q_ann_ivfpq" -> (qAnnIvfpq _),
     "q_ann_ivfpq_served" -> (qAnnIvfpqServed _),
     "q_ann_refined" -> (qAnnRefined _),
+    "q_dsl_refined" -> (qDslRefined _),
     "q_stream_ann" -> (qStreamAnn _),
     "q_ann_deleted" -> (qAnnDeleted _),
     "q_quality" -> (qQuality _),
@@ -5225,6 +5243,7 @@ object SparkEntry {
     "q_ann_ivfpq" -> pqIvfOracle,
     "q_ann_ivfpq_served" -> pqIvfOracle, // identical by spec: the row gates the save/load/serve round-trip
     "q_ann_refined" -> pqIvfRefinedOracle(refineK = 20, k = 5),
+    "q_dsl_refined" -> pqIvfRefinedOracle(refineK = 20, k = 5), // identical by spec: gates the YAML refine plumbing
     "q_ann_deleted" -> // tombstone complement on the candidate side only
       pqIvfOracleFiltered("cc._aid % 7 <> 0"),
     "q_stream_ann" -> // served rows are batch-independent; batch_id = the wave schedule

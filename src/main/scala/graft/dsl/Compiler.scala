@@ -81,7 +81,8 @@ object Compiler {
     // or the second would silently stop resolving from the registry.
     val referencedTables: Set[String] = enabled.flatMap { p =>
       p.steps.map(transformOf(reg, p.namespace, _)).flatMap { t =>
-        Seq("table", "rightStream", "benchTable").flatMap(t.config.get).map(_.toString)
+        Seq("table", "rightStream", "benchTable", "refineTable")
+          .flatMap(t.config.get).map(_.toString)
       }
     }.toSet
     val registrySources: Map[String, DataFrame] = reg.sources.values
@@ -1349,24 +1350,39 @@ object Compiler {
         val annId = c.getOrElse("idField", "vec_id").toString
         val annVec = c.getOrElse("vecField", "embedding").toString
         val annK = c.getOrElse("k", 10).toString.toInt
+        // two-stage refine (the q_ann_refined recipe, declaratively):
+        // `refineTable` names the source-of-truth vector table (injected
+        // or registry-resolved, the benchTable convention); the index
+        // shortlists a refineK pool by compressed estimate and the pool
+        // re-ranks on exact L2 fetched by keyed join
+        val refineTable = c.get("refineTable").map(_.toString)
+        if (refineTable.isEmpty)
+          require(!c.contains("refineK"), "ann_serve: refineK needs refineTable")
+        val poolK = refineTable.fold(annK)(_ =>
+          c.getOrElse("refineK", annK * 4).toString.toInt)
         val spark = df.sparkSession
-        graft.ops.AnnIndexStore.kindOf(spark, annPath) match {
+        val served = graft.ops.AnnIndexStore.kindOf(spark, annPath) match {
           case "ivfpq" =>
             graft.ops.AnnIndexStore.serveIvfPq(
               graft.ops.AnnIndexStore.loadIvfPq(spark, annPath),
-              df, annId, annVec, annK,
+              df, annId, annVec, poolK,
               nProbe = c.getOrElse("nProbe", 8).toString.toInt)
           case "ivf" =>
             graft.ops.AnnIndexStore.serveIvf(
               graft.ops.AnnIndexStore.loadIvf(spark, annPath),
-              df, annId, annVec, annK,
+              df, annId, annVec, poolK,
               nProbe = c.getOrElse("nProbe", 8).toString.toInt)
           case "lsh" =>
             graft.ops.AnnIndexStore.serveLsh(
               graft.ops.AnnIndexStore.loadLsh(spark, annPath),
-              df, annId, annVec, annK,
+              df, annId, annVec, poolK,
               probeBits = c.getOrElse("probeBits", 1).toString.toInt)
           case other => sys.error(s"ann_serve: unknown index kind '$other' at $annPath")
+        }
+        refineTable.fold(served) { tn =>
+          val vecsTbl = tables.getOrElse(tn,
+            sys.error(s"ann_serve refine table not provided: $tn"))
+          graft.ops.Similarity.refineTopK(served, vecsTbl, df, annId, annVec, annK)
         }
       case "semantic_dedup" =>
         // SemDeDup as a pipeline step. Without `indexPath`: self-dedup —
