@@ -24,6 +24,7 @@ class ExamplesSpec extends SparkSpec {
     val out = raw.replace("path: file://data/", s"path: file://$dir/data/")
       .replace("path: data/", s"path: $dir/data/")
       .replace("checkpoint: data/", s"checkpoint: $dir/data/")
+      .replace("indexPath: data/", s"indexPath: $dir/data/")
     val f = Paths.get(dir, name)
     Files.writeString(f, out)
     f.toString
@@ -136,6 +137,40 @@ class ExamplesSpec extends SparkSpec {
     assert(out.columns.contains("pred_lang") && out.columns.contains("split"),
       "lang_id and split_assign must contribute their columns")
     assert(out.filter(!col("split").isin("train", "val", "test")).count() == 0)
+  }
+
+  test("corpus index lifecycle: build -> append (cadence compact) -> daily probe") {
+    val dir = Files.createTempDirectory("graft_ex_lc").toString
+    def doc(i: Long) = (i, s"document number $i speaks of subject${i % 7} " +
+      s"and matter${i % 11} in particular words variant${i % 5}")
+    (0L until 20L).map(doc).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/data/corpus")
+    (20L until 40L).map(doc).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/data/accepted")
+    // today's crawl: an exact copy of a CORPUS doc, an exact copy of an
+    // APPENDED doc, and one genuinely novel doc
+    Seq((100L, doc(5L)._2), (101L, doc(25L)._2),
+      (102L, "entirely novel sentence whose vocabulary nothing else shares at all"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/data/crawl")
+    val build = materialize("corpus-index-build.yaml", dir)
+    val append = materialize("corpus-index-append.yaml", dir)
+    val daily = materialize("corpus-dedup-daily.yaml", dir)
+    Seq(build, append).foreach(m => assert(Cli.run(Seq("validate", m)) == 0))
+    assert(Cli.run(Seq("run", build), sparkOpt = Some(spark)) == 0)
+    assert(graft.ops.AnnIndexStore.kindOf(spark, s"$dir/data/out/dedup-index") == "minhash")
+    assert(Cli.run(Seq("run", append), sparkOpt = Some(spark)) == 0)
+    // the in-sink cadence ran: counter file exists, slivers merged back
+    // to one file per band-group directory
+    assert(new java.io.File(s"$dir/data/out/dedup-index/MAINTENANCE.json").exists())
+    val maxFiles = new java.io.File(s"$dir/data/out/dedup-index/index").listFiles()
+      .filter(_.getName.startsWith("band_grp=")).map(d =>
+        d.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(maxFiles == 1, s"cadence compact should have merged slivers, got $maxFiles")
+    assert(Cli.run(Seq("run", daily), sparkOpt = Some(spark)) == 0)
+    val novel = spark.read.parquet(s"$dir/data/out/novel")
+      .select("doc_id").as[Long].collect().toSet
+    assert(novel == Set(102L),
+      s"corpus AND appended near-dups must drop, the novel doc survives: $novel")
   }
 
   test("ann-build.yaml + ann-retrieve.yaml: index persists, queries serve off it") {
