@@ -906,12 +906,26 @@ object Similarity {
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int
+      k: Int,
+      maxFetchInList: Int = AnnIndexStore.DefaultMaxProbeInList
   ): DataFrame = {
+    require(maxFetchInList >= 0, "maxFetchInList must be >= 0")
     val dv = (c: org.apache.spark.sql.Column) => transform(c, _.cast("double"))
+    // push the shortlist's id set down to the vector scan: the pool is
+    // tiny by contract (≤ |queries|·refineK), so its distinct ids collect
+    // (LIMIT-bounded, the AnnIndexStore guard pattern) into a static
+    // filter the parquet reader prunes row groups with — the fetch reads
+    // the shortlist's neighborhoods, not the corpus. Above the threshold
+    // the plain equi-join does the filtering (results identical)
+    val poolIds = adcTopK.select(col("n_id")).distinct()
+      .limit(maxFetchInList + 1).collect().map(_.getLong(0)).toSeq
+    val fetched0 = vectors.select(col(idCol).cast("long").as("n_id"),
+      dv(col(vecCol)).as("__nv"))
+    val fetched =
+      if (poolIds.size <= maxFetchInList) fetched0.filter(col("n_id").isInCollection(poolIds))
+      else fetched0
     val scored = adcTopK.select(col("q_id"), col("n_id"))
-      .join(vectors.select(col(idCol).cast("long").as("n_id"),
-        dv(col(vecCol)).as("__nv")), "n_id")
+      .join(fetched, "n_id")
       .join(broadcast(queries.select(col(idCol).cast("long").as("q_id"),
         dv(col(vecCol)).as("__qv"))), "q_id")
       .select(col("q_id"), col("n_id"),

@@ -161,5 +161,24 @@ class PqSpec extends SparkSpec {
     assert(refined.filter(_._3 == 1).forall { case (q, n, _, d) =>
       d == poolPairs.filter(_._1 == q).map(p => d2(vecs(q), vecs(p._2))).min && n != q
     })
+    // the vector fetch pushes the shortlist's id set to the scan (the
+    // 100 TB posture: read the shortlist's row groups, not the corpus)
+    val dir = java.nio.file.Files.createTempDirectory("graft_refine_scan").toString
+    fixture.write.parquet(s"$dir/vecs")
+    val onDisk = spark.read.parquet(s"$dir/vecs")
+    val planServed = S.refineTopK(pool, onDisk, probes, "vec_id", "embedding", k = 3)
+    val scan = planServed.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("FileScan") && l.contains("vecs"))
+      .getOrElse("")
+    assert(scan.contains("PushedFilters: [In(vec_id"),
+      s"shortlist ids must reach the vector scan:\n$scan")
+    // and the above-threshold fallback (plain equi-join) is byte-equal
+    val viaJoin = S.refineTopK(pool, onDisk, probes, "vec_id", "embedding", k = 3,
+      maxFetchInList = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(viaJoin.sortBy(r => (r._1, r._3)).toSeq ==
+      planServed.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+        .sortBy(r => (r._1, r._3)).toSeq)
   }
 }
