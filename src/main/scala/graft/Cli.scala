@@ -207,6 +207,14 @@ object Cli {
       println(s"compacted $dir -> $n data file(s)")
       0
 
+    case Seq("ann", "recall", dir, queriesParquet, idCol, vecCol, kStr) =>
+      val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
+      val (recall, secs, pairs) = graft.ops.AnnIndexStore.recallCheck(
+        spark, dir, spark.read.parquet(queriesParquet), idCol, vecCol, kStr.toInt)
+      println(f"recall@$kStr%s: $recall%.4f over $pairs%d truth pairs " +
+        f"(serve $secs%.2f s)")
+      0
+
     case Seq("ann", "rebuild", dir) =>
       val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
       val mf = graft.ops.AnnIndexStore.rebuild(spark, dir)
@@ -222,7 +230,8 @@ object Cli {
         "list <dir> [ns] | validate <dir> | run <dir> <[ns/]pipeline>) | " +
         "backup (create|list|restore) ... | " +
         "compact <path> <targetMB> [colA colB [bits]] | " +
-        "ann (info <dir> | delete <dir> <ids.parquet> <idCol> | compact <dir> | rebuild <dir>)")
+        "ann (info <dir> | delete <dir> <ids.parquet> <idCol> | compact <dir> | " +
+        "rebuild <dir> | recall <dir> <queries.parquet> <idCol> <vecCol> <k>)")
       2
   }
 

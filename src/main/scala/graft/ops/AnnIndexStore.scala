@@ -1067,6 +1067,57 @@ object AnnIndexStore {
     fs.delete(stage, true)
   }
 
+  /** Recall self-test of a persisted index — the number that CONFIRMS a
+    * rebuild decision (the PSI advisor says the distribution moved;
+    * this says what that did to retrieval): recall@k of the index's
+    * serve path against brute-force truth over its own RESIDENT
+    * vectors, for a caller-supplied query sample. Vector-resident kinds
+    * only (ivf, lsh) — an ivfpq index holds codes, and "recall against
+    * its own reconstructions" would flatter the quantization error the
+    * refine stage exists to fix; measure ivfpq against the
+    * source-of-truth vector table with [[graft.Recall]] instead.
+    * Truth is an exact |resident|×|queries| scan by design — size the
+    * query sample, not the corpus (the [[Similarity.bruteForceTopK]]
+    * guardrail is raised here because the scan IS the point).
+    * Returns (recall@k, serve seconds, truth pairs).
+    */
+  def recallCheck(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 8,
+      probeBits: Int = 1
+  ): (Double, Double, Long) = {
+    val kind = kindOf(spark, dir)
+    val (resident, serve: (DataFrame => DataFrame)) = kind match {
+      case "ivf" =>
+        val b = loadIvf(spark, dir)
+        (b.index.select(col("n_id").as(idCol), col("n_vec").as(vecCol)),
+          (q: DataFrame) => serveIvf(b, q, idCol, vecCol, k, nProbe))
+      case "lsh" =>
+        val b = loadLsh(spark, dir)
+        (b.index.groupBy(col("n_id")).agg(first(col("n_vec")).as("n_vec"))
+          .select(col("n_id").as(idCol), col("n_vec").as(vecCol)),
+          (q: DataFrame) => serveLsh(b, q, idCol, vecCol, k, probeBits))
+      case other =>
+        sys.error(s"$dir holds a '$other' index — recall self-test needs " +
+          "resident vectors (ivf|lsh); measure ivfpq/minhash against the " +
+          "source table (graft.Recall / dedupe oracles)")
+    }
+    val truth = Similarity.bruteForceTopK(resident.localCheckpoint(), queries,
+      idCol, vecCol, k, maxPairs = Long.MaxValue).select(col("q_id"), col("n_id"))
+      .localCheckpoint()
+    val truthN = truth.count()
+    val t0 = System.nanoTime()
+    val hits = serve(queries).select(col("q_id"), col("n_id"))
+      .join(truth, Seq("q_id", "n_id"), "left_semi").count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    (if (truthN == 0) 0.0 else hits.toDouble / truthN, secs, truthN)
+  }
+
   /** Declarative maintenance cadence for YAML-owned indexes (the
     * reference's backup-retention posture, types.rs:868-1018 — the
     * pipeline that owns a resource also owns its lifecycle): called by

@@ -319,5 +319,23 @@ class CliSpec extends SparkSpec {
     val st = graft.ops.AnnIndexStore.stats(spark, s"$dir/flat").toMap
     assert(st("tombstonedIds") == "0" && st("rows") == "340")
     assert(st("driftPsi").toDouble < 0.10 && st("driftAdvice") == "stable", st.toString)
+    // recall self-test confirms the rebuilt index serves its residents:
+    // 5 sample queries, recall over brute truth on the resident vectors
+    vecs(5, 9000L, 1f).write.parquet(s"$dir/queries")
+    val out2 = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out2)) {
+      assert(Cli.run(Seq("ann", "recall", s"$dir/flat", s"$dir/queries",
+        "vec_id", "embedding", "5"), Some(spark)) == 0)
+    }
+    val line = out2.toString("UTF-8")
+    assert(line.contains("recall@5") && line.contains("25 truth pairs"), line)
+    val r = "recall@5: ([0-9.]+)".r.findFirstMatchIn(line).get.group(1).toDouble
+    assert(r > 0.0 && r <= 1.0, line)
+    // vector-less kinds refuse: no resident vectors to anchor truth on
+    val mhCorpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    graft.ops.AnnIndexStore.saveMinhash(s"$dir/mh", mhCorpus, "doc_id", "text", 3, 16, 4)
+    val e3 = intercept[RuntimeException](graft.ops.AnnIndexStore.recallCheck(
+      spark, s"$dir/mh", vecs(5, 9000L, 1f), "vec_id", "embedding", 5))
+    assert(e3.getMessage.contains("resident vectors"))
   }
 }
