@@ -34,6 +34,17 @@ import org.apache.spark.sql.functions._
   * distribution drifts from the training sample; rebuild cadence is the
   * operator's call (the manifest records nothing time-like by design —
   * byte-identical inputs give byte-identical indexes).
+  *
+  * Concurrency contract: SINGLE WRITER, snapshot readers. Serves load
+  * lazy plans over immutable files and are safe against concurrent
+  * appends (they see the files listed at load — never a torn row).
+  * Mutations (append / delete / compact / rebuild / the maintenance
+  * counter) assume one writer at a time — the usual maintenance-cadence
+  * posture; two simultaneous compacts would race the rename-aside swap.
+  * Crash-safety (any single writer may die at any point) is what the
+  * rename-aside and staged-commit protocols guarantee, and is a
+  * different property from multi-writer coordination, which belongs to
+  * the scheduler that owns the cadence.
   */
 object AnnIndexStore {
 
