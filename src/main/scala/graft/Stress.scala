@@ -452,7 +452,16 @@ object Stress {
         ops.AnnIndexStore.dedupeAgainstMinhash(
           ops.AnnIndexStore.loadMinhash(spark, mhIndexDir),
           docsN.filter(pmod(col("doc_id"), lit(5)) === 0), "doc_id", "text",
-          minSim = 0.5))
+          minSim = 0.5)),
+      // round 13: the maintenance-window cost of a structure rebuild on
+      // the appended IVF-PQ index (PQ-decode residents -> retrain
+      // quantizer at current scale -> reassign -> staged-commit swap) —
+      // the price an operator pays when `ann info`'s drift advisor says
+      // rebuild; compare against the ann_compact row (sliver merge only)
+      "ann_rebuild" -> (() => {
+        val mf = ops.AnnIndexStore.rebuild(spark, annFragIndexDir)
+        spark.range(mf("nCells").toLong).toDF("cells")
+      })
     )
 
 
@@ -462,7 +471,8 @@ object Stress {
       annServeIndexDir; ()
     }
     if (selected.exists(o => o._1.startsWith("ann_serve_frag") ||
-        o._1.startsWith("ann_serve_compact") || o._1 == "ann_compact")) {
+        o._1.startsWith("ann_serve_compact") || o._1 == "ann_compact" ||
+        o._1 == "ann_rebuild")) {
       annFragIndexDir; ()
     }
     if (selected.exists(o => o._1.startsWith("mh_dedupe"))) {

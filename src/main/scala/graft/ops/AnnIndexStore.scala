@@ -76,6 +76,32 @@ object AnnIndexStore {
     */
   val DefaultMaxProbeInList: Int = 65536
 
+  /** Second rung of the pruning ladder: up to this many probe keys the
+    * semi-join side is explicitly broadcast (the relation builds on the
+    * driver — ~hundreds of MB at this cap, measured 174 MB retained at
+    * 400k band keys — and the index streams with NO shuffle). Above it
+    * the hint drops and the semi-join shuffles both sides: the only
+    * driver-safe plan left at that scale, and the honest one — a probe
+    * set that big IS a distributed join problem. Ladder:
+    * IN-list (≤ maxProbeInList, zero-cost pushdown) → broadcast
+    * semi-join (≤ this, no index shuffle) → shuffled semi-join
+    * (unbounded, driver flat). Results identical on every rung.
+    */
+  val BroadcastFallbackMaxKeys: Long = 1L << 20
+
+  /** Rungs 2-3: prune `index` to the probe keys via semi-join, broadcast
+    * below `maxBroadcastKeys` (one cheap count decides).
+    */
+  private[graft] def semiJoinPrune(
+      index: DataFrame,
+      probeFrame: DataFrame,
+      keys: Seq[String],
+      maxBroadcastKeys: Long = BroadcastFallbackMaxKeys): DataFrame =
+    if (probeFrame.count() <= maxBroadcastKeys)
+      index.join(broadcast(probeFrame), keys, "left_semi")
+    else
+      index.join(probeFrame, keys, "left_semi")
+
   final case class LshBundle(
       index: DataFrame,
       planes: Int,
@@ -325,7 +351,7 @@ object AnnIndexStore {
           .filter(col("band_grp").isInCollection(groups) &&
             col("band").isInCollection(probe))
       } else
-        bundle.bands.join(broadcast(probeFrame), Seq("band_grp", "band"), "left_semi")
+        semiJoinPrune(bundle.bands, probeFrame, Seq("band_grp", "band"))
     val cand = bBanded.select(col("n_id").as("_bid"), col("band"))
       .join(pruned.select(col("n_id").as("_cid"), col("band")), "band")
       .select(col("_bid"), col("_cid")).distinct()
@@ -445,10 +471,10 @@ object AnnIndexStore {
           .filter(col("bucket_grp").isInCollection(groups) &&
             col("bucket").isInCollection(buckets))
       } else
-        bundle.index.join(
-          broadcast(probeFrame.withColumn("bucket_grp",
-            pmod(col("bucket"), lit(bundle.nGroups.toLong)))),
-          Seq("bucket_grp", "bucket"), "left_semi")
+        semiJoinPrune(bundle.index,
+          probeFrame.withColumn("bucket_grp",
+            pmod(col("bucket"), lit(bundle.nGroups.toLong))),
+          Seq("bucket_grp", "bucket"))
     Similarity.lshTopKIndexed(pruned, queries, idCol, vecCol, k,
       bundle.planes, bundle.dim, bundle.tables, probeBits)
   }
@@ -778,7 +804,7 @@ object AnnIndexStore {
     if (cells.size <= maxProbeInList)
       index.filter(col("cent_id").isInCollection(cells))
     else
-      index.join(broadcast(probeFrame), Seq("cent_id"), "left_semi")
+      semiJoinPrune(index, probeFrame, Seq("cent_id"))
   }
 
   /** Incrementally add vectors to a persisted IVF-PQ index: assign to the

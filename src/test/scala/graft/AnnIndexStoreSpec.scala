@@ -402,6 +402,20 @@ class AnnIndexStoreSpec extends SparkSpec {
       maxProbeInList = 0)
     assert(mhJoin.orderBy("doc_id").collect().toSeq == mhIn)
     assert(mhJoin.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    // the THIRD rung: above BroadcastFallbackMaxKeys the FORCED broadcast
+    // hint drops (the planner/AQE still may broadcast a genuinely small
+    // side — that freedom is the point; what must go is the unconditional
+    // driver-side relation build) — byte-equal results
+    val probeFrame = mh.bands.select(col("band"), col("band_grp")).distinct()
+    val shuffled = AnnIndexStore.semiJoinPrune(mh.bands, probeFrame,
+      Seq("band_grp", "band"), maxBroadcastKeys = 0L)
+    val hinted = AnnIndexStore.semiJoinPrune(mh.bands, probeFrame,
+      Seq("band_grp", "band"))
+    assert(shuffled.orderBy("n_id", "band").collect().toSeq ==
+      hinted.orderBy("n_id", "band").collect().toSeq)
+    assert(!shuffled.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "third rung must not force a broadcast")
+    assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"))
   }
 
   test("non-castable ids refuse loudly instead of null-keying silently") {
