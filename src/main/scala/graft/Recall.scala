@@ -272,7 +272,19 @@ object Recall {
               quant, cb, m, 64, nProbe = 8)),
           s"ivfpq_m${m}k${codesK}_probe16" -> (() =>
             ops.Similarity.ivfPqTopK(ipq, queries, "vec_id", "embedding", k,
-              quant, cb, m, 64, nProbe = 16)))
+              quant, cb, m, 64, nProbe = 16)),
+          // the two-stage recipe: ADC shortlists 4k, exact re-rank to k —
+          // how much of the quantization loss the refine stage buys back
+          s"ivfpq_m${m}k${codesK}_probe8_refined4x" -> (() =>
+            ops.Similarity.refineTopK(
+              ops.Similarity.ivfPqTopK(ipq, queries, "vec_id", "embedding",
+                k * 4, quant, cb, m, 64, nProbe = 8),
+              emb, queries, "vec_id", "embedding", k)),
+          s"ivfpq_m${m}k${codesK}_probe16_refined4x" -> (() =>
+            ops.Similarity.refineTopK(
+              ops.Similarity.ivfPqTopK(ipq, queries, "vec_id", "embedding",
+                k * 4, quant, cb, m, 64, nProbe = 16),
+              emb, queries, "vec_id", "embedding", k)))
       }
     }
     // optional grid via env: RECALL_GRID="planes:tables:probeBits,..." adds
