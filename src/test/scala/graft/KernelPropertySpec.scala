@@ -325,4 +325,58 @@ class KernelPropertySpec extends SparkSpec {
       assert(!r.getString(2).contains("user@example.com"))
     }
   }
+
+  test("persisted-minhash probe equals the rescan near_corpus channel on random docs") {
+    // the property behind L34's scale story: probing the saved band index
+    // (any pruning rung) must produce EXACTLY the verdicts the full
+    // re-signing path produces, on arbitrary corpora — not just the
+    // hand-picked near-dup fixtures. Generator mixes shared-vocabulary
+    // docs (near-dup candidates), mutations, and junk (empty/short docs
+    // exercise the sub-shingle sentinel path).
+    val wordGen: Gen[String] = Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+      "iota", "kappa", "lambda", "mu")
+    val docGen: Gen[String] = Gen.frequency(
+      6 -> Gen.listOfN(8, wordGen).map(_.mkString(" ")),
+      2 -> Gen.listOfN(3, wordGen).map(_.mkString(" ")), // short
+      1 -> Gen.const(""),
+      1 -> Gen.const("xx")) // sub-shingle
+    for (seed <- 50L to 55L) {
+      val corpusDocs = sample(Gen.listOfN(25, docGen), seed)
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val batchDocs = sample(Gen.listOfN(12, docGen), seed + 1000)
+        .zipWithIndex.map { case (t, i) => (1000L + i, t) }
+      val corpus = corpusDocs.toDF("doc_id", "text")
+      val batch = batchDocs.toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_prop_mh$seed").toString
+      graft.ops.AnnIndexStore.saveMinhash(s"$dir/mh", corpus, "doc_id", "text",
+        n = 2, k = 8, bands = 4)
+      val b = graft.ops.AnnIndexStore.loadMinhash(spark, s"$dir/mh")
+      def verdicts(maxIn: Int) = graft.ops.AnnIndexStore
+        .dedupeAgainstMinhash(b, batch, "doc_id", "text", minSim = 0.5,
+          maxProbeInList = maxIn)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val inList = verdicts(65536)
+      assert(verdicts(0) == inList, s"seed=$seed: semi-join rung diverged")
+      val rescan = graft.ops.Dedup.incrementalDedupe(batch, corpus,
+        "doc_id", "text", n = 2, k = 8, bands = 4, minSim = 0.5)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // what the index PROMISES (and only that): the near channel.
+      // near_corpus docs must probe dup=1 (identical banding machinery);
+      // novel docs (no reason at all) must probe dup=0 (same threshold,
+      // same rescore). exact_corpus/exact_batch make NO index claim —
+      // the fingerprint channel owns exact dups, and a sub-shingle exact
+      // copy (empty/one-word doc) is invisible to band keys by design
+      // (this property caught exactly that case on its first run).
+      for ((id, dup) <- inList) {
+        rescan.get(id) match {
+          case Some("near_corpus") =>
+            assert(dup == 1, s"seed=$seed id=$id near corpus dup must probe dup=1")
+          case None | Some(null) =>
+            assert(dup == 0, s"seed=$seed id=$id novel doc probed dup=1")
+          case _ => () // exact_* : the near channel makes no claim
+        }
+      }
+    }
+  }
 }
