@@ -560,12 +560,15 @@ object AnnIndexStore {
   private val DriftBins = 10
 
   /** The scalar whose distribution anchors the drift monitor, per kind:
-    * vector-resident kinds use the stored norm (cheap, already a column,
-    * shifts with any embedding-space move), ivfpq uses the
-    * first-subspace code id (code-usage drift IS codebook drift), and
-    * minhash uses the leading signature component (the min shingle hash —
-    * shifts with vocabulary/length drift). Advisory only — never part of
-    * a query result, so plain IEEE math is fine here.
+    * vector-resident kinds use a FIXED SIGNED PROJECTION of the stored
+    * vector (Σᵢ ±vᵢ with content-addressed signs — one cheap row-local
+    * pass; moves under scale AND direction drift, where the norm alone
+    * is blind to rotations, exactly the drift that breaks cosine cell
+    * assignments), ivfpq uses the first-subspace code id (code-usage
+    * drift IS codebook drift), and minhash uses the leading signature
+    * component (the min shingle hash — shifts with vocabulary/length
+    * drift). Advisory only — never part of a query result, so plain
+    * IEEE math is fine here.
     */
   private def driftSource(
       spark: SparkSession, dir: String, mf: Map[String, String],
@@ -580,8 +583,16 @@ object AnnIndexStore {
         live(readFrame(spark, s"$dir/index", mf.get("indexSchema")))
           .select(element_at(col("codes"), 1).cast("double").as("_x"))
       case _ =>
+        // ±1 per position from a pinned hash — the same deterministic
+        // projection at save and check time, no stored plane needed
         live(readFrame(spark, s"$dir/index", mf.get("indexSchema")))
-          .select(col("n_norm").cast("double").as("_x"))
+          .select(aggregate(
+            zip_with(col("n_vec"),
+              transform(col("n_vec"),
+                (_, i) => when(pmod(xxhash64(lit("graft-drift"), i), lit(2L)) === 0,
+                  lit(1.0d)).otherwise(lit(-1.0d))),
+              (v, sgn) => v.cast("double") * sgn),
+            lit(0.0d), (acc, v) => acc + v).as("_x"))
     }
   }
 

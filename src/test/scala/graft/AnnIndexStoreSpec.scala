@@ -479,6 +479,29 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(n2 == dataFileCount(s"$dir/flat/index"))
   }
 
+  test("drift advisor sees DIRECTION drift at constant norm (rotation blindness fixed)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_rot").toString
+    val base = vecs(100)
+    val quant = Similarity.centroids(base, "vec_id", "embedding", 4)
+      .select(col("cent_id"), col("cent_vec"))
+    AnnIndexStore.saveIvf(s"$dir/flat", quant,
+      Similarity.ivfIndex(base, "vec_id", "embedding", quant))
+    assert(AnnIndexStore.driftPsi(spark, s"$dir/flat").exists(_ < 0.01))
+    // append |x| copies — the positive-orthant collapse (a signed
+    // embedding model replaced by a ReLU-style one): every vector's NORM
+    // is exactly its signed original's (squares are sign-blind), so a
+    // norm-based scalar scores 0.000 here, but the direction
+    // distribution is completely different and the cosine cell structure
+    // no longer fits — the signed projection sees it
+    val collapsed = vecs(400, idFrom = 5000L)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => abs(x).cast("float")).as("embedding"))
+    AnnIndexStore.appendIvf(spark, s"$dir/flat", collapsed, "vec_id", "embedding")
+    val psi = AnnIndexStore.driftPsi(spark, s"$dir/flat")
+    assert(psi.exists(_ >= 0.10),
+      s"direction drift at constant norm must move the advisor, got $psi")
+  }
+
   test("rebuild: ivf retrains the quantizer at current scale, equals a fresh save") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx_rb").toString
     // save-time corpus 40 rows -> nCells ceil(sqrt(40)) = 7; append 10x
