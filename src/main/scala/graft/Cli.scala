@@ -215,6 +215,18 @@ object Cli {
         f"(serve $secs%.2f s)")
       0
 
+    // ivfpq self-test in place: the extra arg names the source-of-truth
+    // vector table (the index holds codes); the measured path is the
+    // deployed two-stage serve (ADC shortlist 4k -> exact re-rank)
+    case Seq("ann", "recall", dir, queriesParquet, idCol, vecCol, kStr, sourceParquet) =>
+      val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
+      val (recall, secs, pairs) = graft.ops.AnnIndexStore.recallCheck(
+        spark, dir, spark.read.parquet(queriesParquet), idCol, vecCol, kStr.toInt,
+        source = Some(spark.read.parquet(sourceParquet)))
+      println(f"recall@$kStr%s (refined): $recall%.4f over $pairs%d truth pairs " +
+        f"(serve $secs%.2f s)")
+      0
+
     case Seq("ann", "rebuild", dir) =>
       val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
       val mf = graft.ops.AnnIndexStore.rebuild(spark, dir)
@@ -231,7 +243,8 @@ object Cli {
         "backup (create|list|restore) ... | " +
         "compact <path> <targetMB> [colA colB [bits]] | " +
         "ann (info <dir> | delete <dir> <ids.parquet> <idCol> | compact <dir> | " +
-        "rebuild <dir> | recall <dir> <queries.parquet> <idCol> <vecCol> <k>)")
+        "rebuild <dir> | recall <dir> <queries.parquet> <idCol> <vecCol> <k> " +
+        "[source.parquet — required for ivfpq])")
       2
   }
 

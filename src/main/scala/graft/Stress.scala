@@ -234,6 +234,23 @@ object Stress {
       s"$dir/pq"
     }
 
+    // rebuild MUTATES its directory (tombstones fold, slivers merge, the
+    // structure retrains) — give the ann_rebuild row a PRIVATE copy of the
+    // fragmented fixture so (a) it always measures a rebuild of the
+    // fragmented+appended layout regardless of op order or epoch, and
+    // (b) the frag/compact rows after it keep their fixture. Copy is
+    // setup, untimed (forced below with the other fixtures).
+    lazy val annRebuildDir: String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_annrb").toString
+      TempReaper.register(dir)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val src = new org.apache.hadoop.fs.Path(annFragIndexDir)
+      val dst = new org.apache.hadoop.fs.Path(s"$dir/pq")
+      org.apache.hadoop.fs.FileUtil.copy(
+        src.getFileSystem(conf), src, dst.getFileSystem(conf), dst, false, conf)
+      dst.toString
+    }
+
     val opList: Seq[(String, () => DataFrame)] = Seq(
       "pack" -> (() => ops.Packing.packSequences(docsN, "doc_id", "text", capacity = 2048L)),
       "subword_count" -> (() => docsN.select(col("doc_id"),
@@ -459,7 +476,7 @@ object Stress {
       // the price an operator pays when `ann info`'s drift advisor says
       // rebuild; compare against the ann_compact row (sliver merge only)
       "ann_rebuild" -> (() => {
-        val mf = ops.AnnIndexStore.rebuild(spark, annFragIndexDir)
+        val mf = ops.AnnIndexStore.rebuild(spark, annRebuildDir)
         spark.range(mf("nCells").toLong).toDF("cells")
       })
     )
@@ -474,6 +491,9 @@ object Stress {
         o._1.startsWith("ann_serve_compact") || o._1 == "ann_compact" ||
         o._1 == "ann_rebuild")) {
       annFragIndexDir; ()
+    }
+    if (selected.exists(_._1 == "ann_rebuild")) {
+      annRebuildDir; ()
     }
     if (selected.exists(o => o._1.startsWith("mh_dedupe"))) {
       mhIndexDir; ()

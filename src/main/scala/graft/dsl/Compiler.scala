@@ -1360,6 +1360,10 @@ object Compiler {
           require(!c.contains("refineK"), "ann_serve: refineK needs refineTable")
         val poolK = refineTable.fold(annK)(_ =>
           c.getOrElse("refineK", annK * 4).toString.toInt)
+        // a pool smaller than k would silently return < k rows per query
+        // after the re-rank — refuse at compile, like the other conflicts
+        require(poolK >= annK,
+          s"ann_serve: refineK ($poolK) must be >= k ($annK)")
         val spark = df.sparkSession
         val served = graft.ops.AnnIndexStore.kindOf(spark, annPath) match {
           case "ivfpq" =>

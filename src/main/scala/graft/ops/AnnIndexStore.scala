@@ -39,12 +39,16 @@ import org.apache.spark.sql.functions._
   * lazy plans over immutable files and are safe against concurrent
   * appends (they see the files listed at load — never a torn row).
   * Mutations (append / delete / compact / rebuild / the maintenance
-  * counter) assume one writer at a time — the usual maintenance-cadence
-  * posture; two simultaneous compacts would race the rename-aside swap.
-  * Crash-safety (any single writer may die at any point) is what the
-  * rename-aside and staged-commit protocols guarantee, and is a
-  * different property from multi-writer coordination, which belongs to
-  * the scheduler that owns the cadence.
+  * counter) take one writer at a time, and since round 14 that is
+  * ENFORCED, not just documented: every mutator runs under an advisory
+  * lease file ([[withMutationLease]] — atomic create, loud refusal while
+  * held, stale-lease reclaim), the Spark-native stand-in for the
+  * reference's structural one-owner-per-stage guarantee (the Raft
+  * router assigns each stage a single owner; router/engine.rs). Two
+  * simultaneous compacts would race the rename-aside swap — now the
+  * second refuses instead. Crash-safety (any single writer may die at
+  * any point) remains what the rename-aside and staged-commit protocols
+  * guarantee; a dead writer costs at most one stale-lease window.
   */
 object AnnIndexStore {
 
@@ -59,6 +63,72 @@ object AnnIndexStore {
   )
 
   final case class IvfBundle(quantizer: DataFrame, index: DataFrame, nCells: Int)
+
+  /** How long a mutation lease may sit unreleased before another writer
+    * reclaims it as a crash leftover. Mutations are maintenance-cadence
+    * ops (minutes at most against a 100 TB corpus index — the staged
+    * frames dominate, not the swap); a half-hour-old lease means its
+    * holder died between acquire and release, not that it is still
+    * running. Reclaim deletes the file and retries the atomic create, so
+    * two reclaimers still race to a single winner.
+    */
+  val LeaseStaleMs: Long = 30L * 60L * 1000L
+
+  private def leasePath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "LEASE.json")
+
+  /** Advisory single-writer lease around index mutations. The
+    * concurrency contract (one mutator at a time) used to be
+    * documentation-only — the reference gets it structurally (the router
+    * assigns one owner per stage; router/engine.rs) and a Spark-native
+    * library has no resident owner, so two concurrent appenders, or an
+    * append racing a cadence compact, could interleave rename-aside
+    * swaps and corrupt silently. This turns that operator error into a
+    * loud refusal: acquire is an atomic create of `dir/LEASE.json`
+    * (overwrite=false — the one primitive every Hadoop FS gives us), a
+    * held lease refuses with the holder's identity, a stale one
+    * ([[LeaseStaleMs]]) is reclaimed as a crash leftover, and release
+    * deletes the file even when the mutation throws. Advisory by design:
+    * readers never check it (serves are snapshot-safe over immutable
+    * files), and a mutator crash costs at most one stale window.
+    */
+  private def withMutationLease[T](spark: SparkSession, dir: String)(body: => T): T = {
+    val p = leasePath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val owner = s"${ProcessHandle.current().pid()}@" +
+      s"${java.net.InetAddress.getLocalHost.getHostName}" +
+      s"/t${Thread.currentThread().getId}"
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(p, false)
+        try out.write((s"""{"owner":${j(owner)},""" +
+          s""""acquiredAtMs":${System.currentTimeMillis()}}""" + "\n")
+          .getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryAcquire()) {
+      // held: read the holder; a torn/unreadable lease is a crash
+      // leftover by definition (acquire writes it in one small create)
+      val held = scala.util.Try {
+        val in = fs.open(p)
+        val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        (node.get("owner").asText(), node.get("acquiredAtMs").asLong())
+      }
+      val stale = held.fold(_ => true,
+        { case (_, at) => System.currentTimeMillis() - at >= LeaseStaleMs })
+      if (!stale)
+        sys.error(s"$dir: index mutation refused — lease held by " +
+          s"${held.get._1} since ${held.get._2} (one mutator at a time; " +
+          s"delete ${p} only if that writer is known dead)")
+      fs.delete(p, false) // reclaim the crash leftover, race to re-acquire
+      if (!tryAcquire())
+        sys.error(s"$dir: index mutation refused — lost the lease race " +
+          s"reclaiming a stale lease (another writer is active)")
+    }
+    try body finally fs.delete(p, false)
+  }
 
   /** Ceiling on the probed key set the serve paths COLLECT for static
     * IN-list pruning. The collect is tiny by contract (≤ |batch|·nProbe
@@ -90,17 +160,25 @@ object AnnIndexStore {
   val BroadcastFallbackMaxKeys: Long = 1L << 20
 
   /** Rungs 2-3: prune `index` to the probe keys via semi-join, broadcast
-    * below `maxBroadcastKeys` (one cheap count decides).
+    * below `maxBroadcastKeys` (one cheap count decides). The deciding
+    * count is LIMIT-bounded — rung 2 vs 3 only needs "more than the cap
+    * or not", and an unbounded count() would evaluate the full probe
+    * derivation once for the decision and again for the join. Callers
+    * pass a materialized (localCheckpoint'd) probeFrame for the same
+    * reason: this rung only engages at corpus-sized probes, where
+    * re-deriving the probe keys means re-signing the whole batch.
     */
   private[graft] def semiJoinPrune(
       index: DataFrame,
       probeFrame: DataFrame,
       keys: Seq[String],
-      maxBroadcastKeys: Long = BroadcastFallbackMaxKeys): DataFrame =
-    if (probeFrame.count() <= maxBroadcastKeys)
+      maxBroadcastKeys: Long = BroadcastFallbackMaxKeys): DataFrame = {
+    val cap = math.min(maxBroadcastKeys, Int.MaxValue.toLong - 1L).toInt
+    if (probeFrame.limit(cap + 1).count() <= maxBroadcastKeys)
       index.join(broadcast(probeFrame), keys, "left_semi")
     else
       index.join(probeFrame, keys, "left_semi")
+  }
 
   final case class LshBundle(
       index: DataFrame,
@@ -338,7 +416,13 @@ object AnnIndexStore {
       maxProbeInList: Int = DefaultMaxProbeInList
   ): DataFrame = {
     require(maxProbeInList >= 0, "maxProbeInList must be >= 0")
+    // signatures feed >=3 actions (the probe collect, the candidate join,
+    // the agreement rescore) — sign the batch ONCE; un-checkpointed they
+    // would re-shingle the whole batch per action. LAZY checkpoint (the
+    // lshCandidates convention): blocks cache as the first action touches
+    // them, instead of paying a dedicated materialization job up front
     val bSigs = sigsFor(batch, idCol, textCol, bundle.n, bundle.k)
+      .localCheckpoint(false)
     val bBanded = bandedFrom(bSigs, bundle.k, bundle.nBands, bundle.nGroups)
     val probeFrame = bBanded.select(col("band"), col("band_grp")).distinct()
     val probePairs = probeFrame.limit(maxProbeInList + 1)
@@ -351,7 +435,15 @@ object AnnIndexStore {
           .filter(col("band_grp").isInCollection(groups) &&
             col("band").isInCollection(probe))
       } else
-        semiJoinPrune(bundle.bands, probeFrame, Seq("band_grp", "band"))
+        // corpus-sized probe: materialize the key set (lazily) so the
+        // ladder's broadcast-decision count and the semi-join itself both
+        // read it instead of re-running the band distinct. Checkpointed
+        // HERE, not at definition: a checkpoint mark above the rung-
+        // deciding LIMIT collect defeats take()'s incremental execution
+        // (each take job triggers full materialization — measured +50%
+        // on the bigprobe wall)
+        semiJoinPrune(bundle.bands, probeFrame.localCheckpoint(false),
+          Seq("band_grp", "band"))
     val cand = bBanded.select(col("n_id").as("_bid"), col("band"))
       .join(pruned.select(col("n_id").as("_cid"), col("band")), "band")
       .select(col("_bid"), col("_cid")).distinct()
@@ -381,7 +473,7 @@ object AnnIndexStore {
       docs: DataFrame,
       idCol: String,
       textCol: String
-  ): Unit = {
+  ): Unit = withMutationLease(spark, dir) {
     val b = loadMinhash(spark, dir)
     val sigs = sigsFor(docs, idCol, textCol, b.n, b.k).localCheckpoint()
     val banded = bandedFrom(sigs, b.k, b.nBands, b.nGroups)
@@ -411,7 +503,7 @@ object AnnIndexStore {
       dir: String,
       ids: DataFrame,
       idCol: String
-  ): Unit = {
+  ): Unit = withMutationLease(spark, dir) {
     readManifest(spark, dir) // refuse non-index directories
     // non-castable ids refuse LOUDLY: a null-keyed tombstone row would
     // never match the loaders' anti-join and the delete would silently
@@ -471,9 +563,11 @@ object AnnIndexStore {
           .filter(col("bucket_grp").isInCollection(groups) &&
             col("bucket").isInCollection(buckets))
       } else
+        // same materialize-once rule as dedupeAgainstMinhash's fallback:
+        // the decision count and the semi-join share one probe evaluation
         semiJoinPrune(bundle.index,
           probeFrame.withColumn("bucket_grp",
-            pmod(col("bucket"), lit(bundle.nGroups.toLong))),
+            pmod(col("bucket"), lit(bundle.nGroups.toLong))).localCheckpoint(false),
           Seq("bucket_grp", "bucket"))
     Similarity.lshTopKIndexed(pruned, queries, idCol, vecCol, k,
       bundle.planes, bundle.dim, bundle.tables, probeBits)
@@ -490,7 +584,7 @@ object AnnIndexStore {
       vectors: DataFrame,
       idCol: String,
       vecCol: String
-  ): Unit = {
+  ): Unit = withMutationLease(spark, dir) {
     val b = loadLsh(spark, dir)
     Similarity.lshIndex(vectors, idCol, vecCol, b.planes, b.dim, b.tables)
       .withColumn("bucket_grp", pmod(col("bucket"), lit(b.nGroups.toLong)))
@@ -537,7 +631,8 @@ object AnnIndexStore {
       if (fs.exists(ip)) fs.listStatus(ip).filter(_.isDirectory) else Array.empty
     val perDir = dirs.map(d => parquetFileCount(fs, d.getPath))
     val files = parquetFileCount(fs, ip)
-    val psi = driftPsi(spark, dir)
+    val psis = driftPsiAll(spark, dir)
+    val psi = psis.maxOption
     Seq(
       "rows" -> rows.toString,
       "liveRows" -> live.toString,
@@ -548,6 +643,10 @@ object AnnIndexStore {
       "filesPerPartMean" -> (if (perDir.isEmpty) "0"
         else f"${perDir.sum.toDouble / perDir.length}%.2f"),
       "driftPsi" -> psi.fold("n/a")(p => f"$p%.6f"),
+      // which marginal moved — a rotation-style model swap shows as one
+      // or two projections spiking while the others hold
+      "driftPsiByProjection" -> (if (psis.isEmpty) "n/a"
+        else psis.map(p => f"$p%.4f").mkString(" ")),
       // the standard PSI reading: <0.1 stable, 0.1-0.25 moderate shift,
       // >0.25 the save-time structure no longer fits the data -> rebuild
       "driftAdvice" -> psi.fold("n/a (no save-time reference)") {
@@ -559,113 +658,202 @@ object AnnIndexStore {
 
   private val DriftBins = 10
 
-  /** The scalar whose distribution anchors the drift monitor, per kind:
-    * vector-resident kinds use a FIXED SIGNED PROJECTION of the stored
+  /** How many drift marginals the advisor tracks. One projection is
+    * information-theoretically blind to any drift that preserves ITS
+    * marginal — an embedding-model swap that rotates the cloud can
+    * degrade every IVF cell while a single scalar reads "stable". Four
+    * independently-salted marginals scored max-PSI close that class for
+    * one extra exploded aggregation per save/check; a drift invariant
+    * to all four simultaneously is no longer a realistic model swap.
+    */
+  private val DriftProjections = 4
+
+  /** The scalars whose distributions anchor the drift monitor, per kind —
+    * an array of [[DriftProjections]] marginals per row:
+    * vector-resident kinds use FIXED SIGNED PROJECTIONS of the stored
     * vector (Σᵢ ±vᵢ with content-addressed signs — one cheap row-local
     * pass; moves under scale AND direction drift, where the norm alone
     * is blind to rotations, exactly the drift that breaks cosine cell
-    * assignments), ivfpq uses the first-subspace code id (code-usage
-    * drift IS codebook drift), and minhash uses the leading signature
-    * component (the min shingle hash — shifts with vocabulary/length
-    * drift). Advisory only — never part of a query result, so plain
-    * IEEE math is fine here.
+    * assignments; projection 0 keeps the round-13 salt so v1 reference
+    * files stay readable), ivfpq uses the first J subspace code ids
+    * (per-subspace code-usage drift IS codebook drift), and minhash the
+    * first J signature components (independent min shingle hashes —
+    * shift with vocabulary/length drift). Advisory only — never part of
+    * a query result, so plain IEEE math is fine here.
     */
-  private def driftSource(
+  private def driftSources(
       spark: SparkSession, dir: String, mf: Map[String, String],
       liveView: Boolean): DataFrame = {
     def live(df: DataFrame) = if (liveView) minusTombstones(spark, dir, df) else df
     mf("kind") match {
       case "minhash" =>
+        val jn = math.min(DriftProjections, mf("k").toInt)
         live(readFrame(spark, s"$dir/sigs", mf.get("sigsSchema")))
           .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
-          .select(element_at(col("sig"), 1).cast("double").as("_x"))
+          .select(transform(slice(col("sig"), 1, jn),
+            x => x.cast("double")).as("_xs"))
       case "ivfpq" =>
+        val jn = math.min(DriftProjections, mf("m").toInt)
         live(readFrame(spark, s"$dir/index", mf.get("indexSchema")))
-          .select(element_at(col("codes"), 1).cast("double").as("_x"))
+          .select(transform(slice(col("codes"), 1, jn),
+            x => x.cast("double")).as("_xs"))
       case _ =>
-        // ±1 per position from a pinned hash — the same deterministic
-        // projection at save and check time, no stored plane needed
-        live(readFrame(spark, s"$dir/index", mf.get("indexSchema")))
-          .select(aggregate(
+        // ±1 per position from pinned hashes — the same deterministic
+        // projections at save and check time, no stored planes needed
+        val projs = (0 until DriftProjections).map { p =>
+          val salt = if (p == 0) "graft-drift" else s"graft-drift-$p"
+          aggregate(
             zip_with(col("n_vec"),
               transform(col("n_vec"),
-                (_, i) => when(pmod(xxhash64(lit("graft-drift"), i), lit(2L)) === 0,
+                (_, i) => when(pmod(xxhash64(lit(salt), i), lit(2L)) === 0,
                   lit(1.0d)).otherwise(lit(-1.0d))),
               (v, sgn) => v.cast("double") * sgn),
-            lit(0.0d), (acc, v) => acc + v).as("_x"))
+            lit(0.0d), (acc, v) => acc + v)
+        }
+        live(readFrame(spark, s"$dir/index", mf.get("indexSchema")))
+          .select(array(projs: _*).as("_xs"))
     }
   }
+
+  /** The (proj, micro-scaled scalar) exploded view both the reference
+    * write and the check share — materialized once, since it feeds a
+    * bounds aggregation AND a histogram aggregation.
+    */
+  private def driftExploded(
+      spark: SparkSession, dir: String, mf: Map[String, String],
+      liveView: Boolean): DataFrame =
+    driftSources(spark, dir, mf, liveView)
+      .select(posexplode(col("_xs")).as(Seq("proj", "_x")))
+      .filter(col("_x").isNotNull)
+      .select(col("proj"),
+        floor(col("_x") * 1000000d + 0.5d).cast("long").as("_v"))
+      .localCheckpoint()
 
   private def driftRefPath(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "DRIFT.json")
 
-  /** Persist the save-time reference histogram of the drift scalar —
+  /** Persist the save-time reference histograms of the drift marginals —
     * written by every save and re-referenced by [[rebuild]] (appends
     * deliberately do NOT touch it: the whole point is measuring how far
     * the appended corpus drifted from what the structure was sized for).
-    * One extra single-column aggregation per save.
+    * Two extra small aggregations per save regardless of projection
+    * count (the exploded frame is materialized once). File format is
+    * versioned: `{"version":2,"projections":[{lo,span,total,counts},…]}`;
+    * [[driftPsi]] still reads round-13 single-scalar files (their one
+    * histogram IS projection 0 — the salt was kept).
     */
   private[ops] def writeDriftRef(spark: SparkSession, dir: String): Unit = {
     val mf = readManifest(spark, dir)
-    val src = driftSource(spark, dir, mf, liveView = false)
-      .filter(col("_x").isNotNull)
-      .select(floor(col("_x") * 1000000d + 0.5d).cast("long").as("_v"))
-    val bounds = src.agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"),
-      count(lit(1)).as("total")).collect()(0)
+    val exploded = driftExploded(spark, dir, mf, liveView = false)
+    val bounds = exploded.groupBy(col("proj"))
+      .agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"),
+        count(lit(1)).as("total"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
     val p = driftRefPath(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (bounds.getLong(2) == 0L) { fs.delete(p, false); return }
-    val lo = bounds.getLong(0)
-    val span = bounds.getLong(1) - lo + 1L
-    val counts = histogramCounts(src, lo, span)
-    val out = fs.create(p, true)
-    try out.write((s"""{"lo":$lo,"span":$span,"total":${bounds.getLong(2)},""" +
-      s""""counts":[${counts.mkString(",")}]}""" + "\n").getBytes("UTF-8"))
-    finally out.close()
+    if (bounds.isEmpty || bounds.values.forall(_._3 == 0L)) {
+      fs.delete(p, false); return
+    }
+    val spans = bounds.map { case (pr, (lo, hi, _)) => pr -> (lo, hi - lo + 1L) }
+    val hists = histogramsByProj(exploded, spans)
+    val projJson = bounds.keys.toSeq.sorted.map { pr =>
+      val (lo, span) = spans(pr)
+      s"""{"lo":$lo,"span":$span,"total":${bounds(pr)._3},""" +
+        s""""counts":[${hists(pr).mkString(",")}]}"""
+    }
+    atomicWrite(fs, p,
+      s"""{"version":2,"projections":[${projJson.mkString(",")}]}""" + "\n")
   }
 
-  /** Equal-width bin counts over the micro-scaled drift scalar, clamped
-    * into [0, DriftBins) so out-of-reference-range current values land in
-    * the edge bins (the drift they represent still scores).
+  /** Equal-width bin counts per projection over the micro-scaled drift
+    * scalars, clamped into [0, DriftBins) so out-of-reference-range
+    * current values land in the edge bins (the drift they represent
+    * still scores). One aggregation for all projections — each binned
+    * against ITS OWN (lo, span).
     */
-  private def histogramCounts(src: DataFrame, lo: Long, span: Long): Array[Long] = {
-    val binned = src
-      .select(greatest(lit(0), least(lit(DriftBins - 1),
-        (((col("_v") - lit(lo)) * DriftBins) / lit(span)).cast("int"))).as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    Array.tabulate(DriftBins)(i => binned.getOrElse(i, 0L))
+  private def histogramsByProj(
+      exploded: DataFrame,
+      spans: Map[Int, (Long, Long)]): Map[Int, Array[Long]] = {
+    val loE = spans.foldLeft(lit(0L)) { case (e, (pr, (lo, _))) =>
+      when(col("proj") === pr, lit(lo)).otherwise(e) }
+    val spanE = spans.foldLeft(lit(1L)) { case (e, (pr, (_, span))) =>
+      when(col("proj") === pr, lit(span)).otherwise(e) }
+    val binned = exploded
+      .filter(col("proj").isInCollection(spans.keys.toSeq))
+      .select(col("proj"), greatest(lit(0), least(lit(DriftBins - 1),
+        (((col("_v") - loE) * DriftBins) / spanE).cast("int"))).as("bin"))
+      .groupBy(col("proj"), col("bin")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    spans.map { case (pr, _) =>
+      pr -> Array.tabulate(DriftBins)(b => binned.getOrElse((pr, b), 0L))
+    }
   }
 
-  /** PSI of the CURRENT live distribution vs the save-time reference
-    * (Laplace-smoothed, the [[Profiling.psiDrift]] convention). None when
-    * the index predates the reference file or either side is empty.
+  /** Per-projection PSI of the CURRENT live distribution vs the
+    * save-time reference (Laplace-smoothed, the [[Profiling.psiDrift]]
+    * convention), ordered by projection. Empty when the index predates
+    * the reference file, the file is torn, or either side is empty. A
+    * round-13 v1 file yields exactly one entry — projection 0, whose
+    * salt round 14 kept.
     */
-  def driftPsi(spark: SparkSession, dir: String): Option[Double] = {
+  def driftPsiAll(spark: SparkSession, dir: String): Seq[Double] = {
     val p = driftRefPath(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
-    val (lo, span, refTotal) =
-      (node.get("lo").asLong(), node.get("span").asLong(), node.get("total").asLong())
-    val refCounts = (0 until DriftBins).map(i => node.get("counts").get(i).asLong())
-    if (refTotal == 0L) return None
+    if (!fs.exists(p)) return Nil
+    // a torn/unparseable/checksum-failing reference (crash mid-write
+    // predating the rename protocol, manual edit) degrades to "no
+    // reference" — the advisor stops advising instead of wedging every
+    // `ann info` and rebuildOnPsi sink until someone deletes the file
+    val parsed = scala.util.Try {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      if (node.has("projections")) {
+        val it = node.get("projections").elements()
+        val b = Seq.newBuilder[(Long, Long, Long, Seq[Long])]
+        while (it.hasNext) {
+          val pn = it.next()
+          b += ((pn.get("lo").asLong(), pn.get("span").asLong(),
+            pn.get("total").asLong(),
+            (0 until DriftBins).map(i => pn.get("counts").get(i).asLong())))
+        }
+        b.result()
+      } else
+        Seq((node.get("lo").asLong(), node.get("span").asLong(),
+          node.get("total").asLong(),
+          (0 until DriftBins).map(i => node.get("counts").get(i).asLong())))
+    }
+    if (parsed.isFailure) return Nil
+    val refs = parsed.get.filter(_._3 > 0L)
+    if (refs.isEmpty) return Nil
     val mf = readManifest(spark, dir)
-    val cur = driftSource(spark, dir, mf, liveView = true)
-      .filter(col("_x").isNotNull)
-      .select(floor(col("_x") * 1000000d + 0.5d).cast("long").as("_v"))
-    val curCounts = histogramCounts(cur, lo, span)
-    val curTotal = curCounts.sum
-    if (curTotal == 0L) return None
-    val psi = (0 until DriftBins).map { i =>
-      val pr = (refCounts(i) + 1L).toDouble / (refTotal + DriftBins).toDouble
-      val qc = (curCounts(i) + 1L).toDouble / (curTotal + DriftBins).toDouble
-      (pr - qc) * math.log(pr / qc)
-    }.sum
-    Some(math.rint(psi * 1e6) / 1e6)
+    val spans = refs.indices.map(i => i -> (refs(i)._1, refs(i)._2)).toMap
+    val curHists = histogramsByProj(
+      driftExploded(spark, dir, mf, liveView = true), spans)
+    refs.indices.flatMap { i =>
+      val (_, _, refTotal, refCounts) = refs(i)
+      val curCounts = curHists(i)
+      val curTotal = curCounts.sum
+      if (curTotal == 0L) None
+      else Some {
+        val psi = (0 until DriftBins).map { b =>
+          val pr = (refCounts(b) + 1L).toDouble / (refTotal + DriftBins).toDouble
+          val qc = (curCounts(b) + 1L).toDouble / (curTotal + DriftBins).toDouble
+          (pr - qc) * math.log(pr / qc)
+        }.sum
+        math.rint(psi * 1e6) / 1e6
+      }
+    }
   }
+
+  /** The advisor scalar: MAX over the per-projection PSIs — a structure
+    * is stale when ANY tracked marginal moved, and taking the max is
+    * what closes the single-projection rotation blindness. None when no
+    * usable reference exists ([[driftPsiAll]] conditions).
+    */
+  def driftPsi(spark: SparkSession, dir: String): Option[Double] =
+    driftPsiAll(spark, dir).maxOption
 
 
   def loadIvfPq(spark: SparkSession, dir: String): IvfPqBundle = {
@@ -791,6 +979,62 @@ object AnnIndexStore {
     batch => dedupeAgainstMinhash(b, batch, idCol, textCol, minSim, maxProbeInList)
   }
 
+  /** CLOSED-LOOP streaming ingest — the full online crawl loop
+    * ([[dedupingBatchFn]]'s missing half): each micro-batch is probed
+    * against the index, its verdicts are MATERIALIZED against that
+    * snapshot, and then the batch's survivors (dup = 0) are APPENDED
+    * back with the pinned parameters — so wave N+1's near-dups of wave
+    * N's novel docs are flagged in-stream, with no batch YAML cadence
+    * between streams. Maintenance rides the same loop: with
+    * `compactEveryNAppends`/`rebuildOnPsi` set, every batch's append
+    * runs [[noteAppendAndMaintain]] (content-neutral by design —
+    * compaction/rebuild change layout and structure, never verdicts).
+    *
+    * Contracts: verdicts are against the snapshot BEFORE the batch's own
+    * append — two mutual near-dups arriving in ONE batch both read dup=0
+    * (in-batch dedup is [[graft.streaming.StatefulNearDedup]]'s job,
+    * upstream if needed); the loop holds the mutation lease per batch,
+    * so it refuses loudly if something else mutates the index mid-stream
+    * (single-writer, now enforced); exactly-once is the sink's usual
+    * foreachBatch story — a replayed batch re-probes (same verdicts) but
+    * RE-APPENDS its survivors, which is harmless to verdicts (duplicate
+    * band rows change nothing — matching is existential) and is folded
+    * out by the next compact.
+    */
+  def closedLoopDedupingBatchFn(
+      spark: SparkSession,
+      dir: String,
+      idCol: String,
+      textCol: String,
+      minSim: Double,
+      compactEveryNAppends: Option[Int] = None,
+      rebuildOnPsi: Option[Double] = None,
+      maxProbeInList: Int = DefaultMaxProbeInList
+  ): DataFrame => DataFrame = {
+    val kind = kindOf(spark, dir)
+    require(kind == "minhash",
+      s"$dir holds a '$kind' index — streaming near-dedup needs a minhash " +
+        "TEXT index (saveMinhash); vector kinds serve through servingBatchFn")
+    batch => {
+      // snapshot-per-BATCH (not per stream): the bundle must see every
+      // prior wave's append, that is the point of the closed loop
+      val b = loadMinhash(spark, dir)
+      // eager checkpoint: verdicts must bind to the PRE-APPEND snapshot —
+      // lazy, they would evaluate after the append below and see the
+      // batch's own rows (every doc its own dup)
+      val verdicts =
+        dedupeAgainstMinhash(b, batch, idCol, textCol, minSim, maxProbeInList)
+          .localCheckpoint()
+      val survivors = batch.join(
+        verdicts.filter(col("dup") === 0).select(col(idCol)),
+        Seq(idCol), "left_semi")
+      appendMinhash(spark, dir, survivors, idCol, textCol)
+      if (compactEveryNAppends.nonEmpty || rebuildOnPsi.nonEmpty)
+        noteAppendAndMaintain(spark, dir, compactEveryNAppends, rebuildOnPsi)
+      verdicts
+    }
+  }
+
   /** Static cell pruning for the serve paths: collect the (tiny) probed
     * cell set and push it as a partition filter on the stored index. The
     * downstream cell join makes this a pure scan-reduction — results are
@@ -815,7 +1059,7 @@ object AnnIndexStore {
     if (cells.size <= maxProbeInList)
       index.filter(col("cent_id").isInCollection(cells))
     else
-      semiJoinPrune(index, probeFrame, Seq("cent_id"))
+      semiJoinPrune(index, probeFrame.localCheckpoint(false), Seq("cent_id"))
   }
 
   /** Incrementally add vectors to a persisted IVF-PQ index: assign to the
@@ -830,7 +1074,7 @@ object AnnIndexStore {
       vectors: DataFrame,
       idCol: String,
       vecCol: String
-  ): Unit = {
+  ): Unit = withMutationLease(spark, dir) {
     val b = loadIvfPq(spark, dir)
     Similarity.ivfPqIndex(vectors, idCol, vecCol,
         b.quantizer.select(col("cent_id"), col("cent_vec")), b.codebook, b.m, b.dim)
@@ -850,7 +1094,7 @@ object AnnIndexStore {
       vectors: DataFrame,
       idCol: String,
       vecCol: String
-  ): Unit = {
+  ): Unit = withMutationLease(spark, dir) {
     val b = loadIvf(spark, dir)
     Similarity.ivfIndex(vectors, idCol, vecCol,
         b.quantizer.select(col("cent_id"), col("cent_vec")))
@@ -875,7 +1119,15 @@ object AnnIndexStore {
     * tombstone-fold path, so `ann compact`'s printed number always means
     * one thing.
     */
-  def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20): Int = {
+  def compact(spark: SparkSession, dir: String, targetBytes: Long = 128L << 20): Int =
+    withMutationLease(spark, dir) { compactUnlocked(spark, dir, targetBytes) }
+
+  /** [[compact]] body without the lease — for callers already holding it
+    * ([[noteAppendAndMaintain]] runs append-cadence maintenance under one
+    * lease; re-acquiring would self-refuse).
+    */
+  private def compactUnlocked(
+      spark: SparkSession, dir: String, targetBytes: Long = 128L << 20): Int = {
     val mf = readManifest(spark, dir) // refuse non-index directories before rewriting
     val tp = tombstonePath(dir)
     val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
@@ -980,7 +1232,11 @@ object AnnIndexStore {
     *
     * Returns the updated manifest.
     */
-  def rebuild(spark: SparkSession, dir: String): Map[String, String] = {
+  def rebuild(spark: SparkSession, dir: String): Map[String, String] =
+    withMutationLease(spark, dir) { rebuildUnlocked(spark, dir) }
+
+  /** [[rebuild]] body without the lease — the [[compactUnlocked]] rule. */
+  private def rebuildUnlocked(spark: SparkSession, dir: String): Map[String, String] = {
     val stage = new org.apache.hadoop.fs.Path(dir, "__rebuild")
     val fs = stage.getFileSystem(spark.sessionState.newHadoopConf())
     rollForwardRebuild(spark, dir, fs) // finish a committed predecessor first
@@ -1099,6 +1355,26 @@ object AnnIndexStore {
       fs.delete(stage, true)
       return
     }
+    rollForwardCommitted(spark, dir, fs)
+  }
+
+  /** The load-side half of the staged-commit protocol: EVERY manifest
+    * read completes a committed-but-unswapped rebuild before serving
+    * ([[readManifest]] calls this), so a writer crash between the COMMIT
+    * marker and the end of the swap can never leave a half-swapped live
+    * dir (new quantizer + old index would serve silently wrong results).
+    * Idempotent from any crash point — already-moved frames are skipped,
+    * the staged MANIFEST survives until the final stage delete. Only an
+    * UNCOMMITTED staging is left alone here: it may be an in-flight
+    * [[rebuild]] in this very process (its loaders read the manifest
+    * while staging); discarding aborted attempts is rebuild's own job.
+    */
+  private def rollForwardCommitted(
+      spark: SparkSession,
+      dir: String,
+      fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(dir, "__rebuild")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(stage, "COMMIT"))) return
     Seq("quantizer", "index", "sigs").foreach { name =>
       val staged = new org.apache.hadoop.fs.Path(stage, name)
       if (fs.exists(staged)) {
@@ -1118,12 +1394,19 @@ object AnnIndexStore {
   /** Recall self-test of a persisted index — the number that CONFIRMS a
     * rebuild decision (the PSI advisor says the distribution moved;
     * this says what that did to retrieval): recall@k of the index's
-    * serve path against brute-force truth over its own RESIDENT
-    * vectors, for a caller-supplied query sample. Vector-resident kinds
-    * only (ivf, lsh) — an ivfpq index holds codes, and "recall against
-    * its own reconstructions" would flatter the quantization error the
-    * refine stage exists to fix; measure ivfpq against the
-    * source-of-truth vector table with [[graft.Recall]] instead.
+    * serve path against brute-force truth over its RESIDENT vectors,
+    * for a caller-supplied query sample. Vector-resident kinds (ivf,
+    * lsh) need nothing else; an ivfpq index holds CODES, so its
+    * self-test takes the source-of-truth vector table via `source` —
+    * truth is exact L2 over the source rows restricted to the index's
+    * resident ids (ADC approximates squared L2; cosine truth would
+    * conflate metric mismatch with quantization loss), and the measured
+    * path is the DEPLOYED two-stage recipe: ADC shortlist of
+    * k·refineMult, exact re-rank on keyed fetches
+    * ([[Similarity.refineTopK]]) — the number comparable to
+    * [[graft.Recall]]'s refined rows. "Recall against its own
+    * reconstructions" would flatter the quantization error, so it is
+    * refused without a source.
     * Truth is an exact |resident|×|queries| scan by design — size the
     * query sample, not the corpus (the [[Similarity.bruteForceTopK]]
     * guardrail is raised here because the scan IS the point).
@@ -1137,33 +1420,74 @@ object AnnIndexStore {
       vecCol: String,
       k: Int,
       nProbe: Int = 8,
-      probeBits: Int = 1
+      probeBits: Int = 1,
+      source: Option[DataFrame] = None,
+      refineMult: Int = 4
   ): (Double, Double, Long) = {
     val kind = kindOf(spark, dir)
-    val (resident, serve: (DataFrame => DataFrame)) = kind match {
-      case "ivf" =>
-        val b = loadIvf(spark, dir)
-        (b.index.select(col("n_id").as(idCol), col("n_vec").as(vecCol)),
-          (q: DataFrame) => serveIvf(b, q, idCol, vecCol, k, nProbe))
-      case "lsh" =>
-        val b = loadLsh(spark, dir)
-        (b.index.groupBy(col("n_id")).agg(first(col("n_vec")).as("n_vec"))
-          .select(col("n_id").as(idCol), col("n_vec").as(vecCol)),
-          (q: DataFrame) => serveLsh(b, q, idCol, vecCol, k, probeBits))
+    kind match {
+      case "ivfpq" =>
+        val b = loadIvfPq(spark, dir)
+        val src = source.getOrElse(sys.error(
+          s"$dir holds an ivfpq index (codes, not vectors) — pass the " +
+            "source vector table to measure against: CLI `ann recall " +
+            "<dir> <queries.parquet> <idCol> <vecCol> <k> <source.parquet>`"))
+        require(refineMult >= 1, s"refineMult must be >= 1, got $refineMult")
+        val resident = src.select(col(idCol), col(vecCol))
+          .join(b.index.select(col("n_id").cast("long").as(idCol)),
+            Seq(idCol), "left_semi")
+          .localCheckpoint()
+        // exact squared-L2 truth over the resident source vectors
+        val V = graft.functions.VectorFunctions
+        val dv = (c: org.apache.spark.sql.Column) => transform(c, _.cast("double"))
+        val scored = resident
+          .select(col(idCol).cast("long").as("n_id"), dv(col(vecCol)).as("__nv"))
+          .join(broadcast(queries.select(col(idCol).cast("long").as("q_id"),
+            dv(col(vecCol)).as("__qv"))))
+          .select(col("q_id"), col("n_id"),
+            (V.dot(col("__nv"), col("__nv"))
+              - lit(2.0) * V.dot(col("__nv"), col("__qv"))
+              + V.dot(col("__qv"), col("__qv"))).as("__d2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("__d2").asc, col("n_id"))
+        val truth = scored.withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= k).select(col("q_id"), col("n_id"))
+          .localCheckpoint()
+        val truthN = truth.count()
+        val t0 = System.nanoTime()
+        val hits = Similarity.refineTopK(
+          serveIvfPq(b, queries, idCol, vecCol, k * refineMult, nProbe),
+          resident, queries, idCol, vecCol, k)
+          .select(col("q_id"), col("n_id"))
+          .join(truth, Seq("q_id", "n_id"), "left_semi").count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        (if (truthN == 0) 0.0 else hits.toDouble / truthN, secs, truthN)
+      case "ivf" | "lsh" =>
+        val (resident, serve: (DataFrame => DataFrame)) = kind match {
+          case "ivf" =>
+            val b = loadIvf(spark, dir)
+            (b.index.select(col("n_id").as(idCol), col("n_vec").as(vecCol)),
+              (q: DataFrame) => serveIvf(b, q, idCol, vecCol, k, nProbe))
+          case _ =>
+            val b = loadLsh(spark, dir)
+            (b.index.groupBy(col("n_id")).agg(first(col("n_vec")).as("n_vec"))
+              .select(col("n_id").as(idCol), col("n_vec").as(vecCol)),
+              (q: DataFrame) => serveLsh(b, q, idCol, vecCol, k, probeBits))
+        }
+        val truth = Similarity.bruteForceTopK(resident.localCheckpoint(), queries,
+          idCol, vecCol, k, maxPairs = Long.MaxValue).select(col("q_id"), col("n_id"))
+          .localCheckpoint()
+        val truthN = truth.count()
+        val t0 = System.nanoTime()
+        val hits = serve(queries).select(col("q_id"), col("n_id"))
+          .join(truth, Seq("q_id", "n_id"), "left_semi").count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        (if (truthN == 0) 0.0 else hits.toDouble / truthN, secs, truthN)
       case other =>
-        sys.error(s"$dir holds a '$other' index — recall self-test needs " +
-          "resident vectors (ivf|lsh); measure ivfpq/minhash against the " +
-          "source table (graft.Recall / dedupe oracles)")
+        sys.error(s"$dir holds a '$other' index — recall is a vector-" +
+          "retrieval metric (ivf|lsh|ivfpq); measure minhash dedup " +
+          "against the dedupe oracles")
     }
-    val truth = Similarity.bruteForceTopK(resident.localCheckpoint(), queries,
-      idCol, vecCol, k, maxPairs = Long.MaxValue).select(col("q_id"), col("n_id"))
-      .localCheckpoint()
-    val truthN = truth.count()
-    val t0 = System.nanoTime()
-    val hits = serve(queries).select(col("q_id"), col("n_id"))
-      .join(truth, Seq("q_id", "n_id"), "left_semi").count()
-    val secs = (System.nanoTime() - t0) / 1e9
-    (if (truthN == 0) 0.0 else hits.toDouble / truthN, secs, truthN)
   }
 
   /** Declarative maintenance cadence for YAML-owned indexes (the
@@ -1182,7 +1506,7 @@ object AnnIndexStore {
       dir: String,
       compactEveryNAppends: Option[Int],
       rebuildOnPsi: Option[Double]
-  ): String = {
+  ): String = withMutationLease(spark, dir) {
     compactEveryNAppends.foreach(n =>
       require(n >= 1, s"compactEveryNAppends must be >= 1, got $n"))
     rebuildOnPsi.foreach(t =>
@@ -1194,8 +1518,11 @@ object AnnIndexStore {
       else {
         val in = fs.open(p)
         val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
-          .get("appendsSinceCompact").asInt()
+        // torn counter file (pre-rename-protocol crash) restarts the
+        // cadence instead of wedging the sink — advisory state only
+        scala.util.Try(
+          new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+            .get("appendsSinceCompact").asInt()).getOrElse(0)
       }
     val count = prior + 1
     val ran = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1203,7 +1530,7 @@ object AnnIndexStore {
       val psi = driftPsi(spark, dir)
       val hit = psi.exists(_ >= thr)
       if (hit) {
-        rebuild(spark, dir)
+        rebuildUnlocked(spark, dir)
         ran += f"rebuild (psi ${psi.get}%.4f >= $thr)"
       }
       hit
@@ -1212,15 +1539,13 @@ object AnnIndexStore {
     val compacted = !rebuilt && compactEveryNAppends.exists { n =>
       val hit = count >= n
       if (hit) {
-        compact(spark, dir)
+        compactUnlocked(spark, dir)
         ran += s"compact (after $count appends)"
       }
       hit
     }
     val next = if (rebuilt || compacted) 0 else count
-    val out = fs.create(p, true)
-    try out.write(s"""{"appendsSinceCompact":$next}\n""".getBytes("UTF-8"))
-    finally out.close()
+    atomicWrite(fs, p, s"""{"appendsSinceCompact":$next}\n""")
     if (ran.isEmpty) s"append $count noted" else ran.mkString("; ")
   }
 
@@ -1254,13 +1579,38 @@ object AnnIndexStore {
   private def writeManifest(spark: SparkSession, dir: String, json: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir, "MANIFEST.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
+    atomicWrite(fs, p, json + "\n")
+  }
+
+  /** Crash-safe small-metadata write: land the bytes under a temp name,
+    * then delete-and-rename into place. A truncate-in-place `fs.create`
+    * tears the file if the writer dies mid-write (a torn MANIFEST wedges
+    * every load; a torn DRIFT.json used to throw out of [[driftPsi]]);
+    * with the rename protocol a crash leaves either the old file, or no
+    * file at all (the delete/rename window) — and every reader of these
+    * files treats ABSENT as a defined state (manifest: loud refusal,
+    * recoverable for the roll-forward rewrite because the staged copy
+    * survives until the final stage delete; DRIFT: no reference;
+    * MAINTENANCE: counter restarts).
+    */
+  private def atomicWrite(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      text: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"metadata write: rename $tmp -> $p failed")
   }
 
   private def readManifest(spark: SparkSession, dir: String): Map[String, String] = {
     val p = new org.apache.hadoop.fs.Path(dir, "MANIFEST.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // finish a crashed rebuild's committed swap BEFORE serving anything:
+    // a COMMIT marker with staged frames still present means the live dir
+    // may be half-swapped (the one state that serves silently wrong)
+    rollForwardCommitted(spark, dir, fs)
     require(fs.exists(p), s"$dir is not a saved ANN index (no MANIFEST.json)")
     val in = fs.open(p)
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()

@@ -502,6 +502,88 @@ class AnnIndexStoreSpec extends SparkSpec {
       s"direction drift at constant norm must move the advisor, got $psi")
   }
 
+  test("multi-projection drift: a rotation blind to projection 0 still flags; v1 files read") {
+    // the class round 13 conceded: a coordinate swap IS a rotation, and
+    // one chosen where projection 0's signs AGREE on the swapped pair
+    // leaves that marginal exactly invariant — the single-scalar advisor
+    // reads "stable" while every IVF cell degrades. A projection whose
+    // signs DIFFER on the pair sees the mean shift. Coordinates carry
+    // distinct mean offsets (10·c) so the swap is not marginal-invariant
+    // for sign-differing projections (iid symmetric coords would be).
+    val signs: Seq[Seq[Int]] = {
+      val r = spark.range(1).select(
+        (0 until 4).map { p =>
+          val salt = if (p == 0) "graft-drift" else s"graft-drift-$p"
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => when(pmod(xxhash64(lit(salt), i), lit(2L)) === 0, lit(1))
+              .otherwise(lit(-1))).as(s"s$p")
+        }: _*).collect()(0)
+      (0 until 4).map(p => r.getSeq[Int](p))
+    }
+    val pair = (for {
+      i <- 0 until dim; jx <- (i + 1) until dim
+      if signs(0)(i) == signs(0)(jx) &&
+        (1 until 4).exists(p => signs(p)(i) != signs(p)(jx))
+    } yield (i, jx)).headOption
+    assert(pair.isDefined, s"no blind-swap pair in $signs — widen dim")
+    val (ci, cj) = pair.get
+
+    def offsetVecs(n: Int, idFrom: Long) =
+      spark.range(idFrom, idFrom + n).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), c =>
+          (((pmod(xxhash64(col("id"), c), lit(2000L)).cast("double") - 1000d) / 1000d)
+            + c.cast("double") * 10d).cast("float")).as("embedding"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_mproj").toString
+    val base = offsetVecs(100, 0L)
+    val quant = Similarity.centroids(base, "vec_id", "embedding", 4)
+      .select(col("cent_id"), col("cent_vec"))
+    AnnIndexStore.saveIvf(s"$dir/flat", quant,
+      Similarity.ivfIndex(base, "vec_id", "embedding", quant))
+    // clone with the reference REWRITTEN to the round-13 v1 single-scalar
+    // format (projection 0's histogram verbatim) — the compat fixture
+    copyTree(s"$dir/flat", s"$dir/v1")
+    val v2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/flat/DRIFT.json")), "UTF-8"))
+    assert(v2.get("version").asInt() == 2 && v2.get("projections").size() == 4)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/v1/DRIFT.json"),
+      (v2.get("projections").get(0).toString + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/v1/.DRIFT.json.crc"))
+
+    // append the rotated cloud (fresh sample, coords ci<->cj swapped)
+    def swapped(n: Int, idFrom: Long) = offsetVecs(n, idFrom)
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), c =>
+          element_at(col("embedding"),
+            when(c === ci, lit(cj + 1)).when(c === cj, lit(ci + 1))
+              .otherwise(c + 1))).as("embedding"))
+    AnnIndexStore.appendIvf(spark, s"$dir/flat", swapped(400, 5000L),
+      "vec_id", "embedding")
+    AnnIndexStore.appendIvf(spark, s"$dir/v1", swapped(400, 5000L),
+      "vec_id", "embedding")
+
+    val psis = AnnIndexStore.driftPsiAll(spark, s"$dir/flat")
+    assert(psis.size == 4)
+    // projection 0 is blind BY CONSTRUCTION (its signs agree on the
+    // swapped pair, so the marginal is per-row invariant); it reads in
+    // the advisor's "stable" band — the residue is 100-vs-500-sample
+    // histogram noise, not signal
+    assert(psis.head < 0.10,
+      s"projection 0 must be blind to this rotation by construction, got $psis")
+    assert(psis.max >= 0.25,
+      s"some projection must flag the rotation at rebuild level, got $psis")
+    assert(AnnIndexStore.driftPsi(spark, s"$dir/flat").exists(_ >= 0.25))
+    // the v1 file still reads — one projection, and it shows exactly the
+    // round-13 blindness this test exists to close
+    val v1Psis = AnnIndexStore.driftPsiAll(spark, s"$dir/v1")
+    assert(v1Psis.size == 1 && v1Psis.head < 0.10,
+      s"v1 compat read must reproduce the single-scalar verdict, got $v1Psis")
+  }
+
   test("rebuild: ivf retrains the quantizer at current scale, equals a fresh save") {
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx_rb").toString
     // save-time corpus 40 rows -> nCells ceil(sqrt(40)) = 7; append 10x
@@ -726,5 +808,159 @@ class AnnIndexStoreSpec extends SparkSpec {
     val lshServe = AnnIndexStore.servingBatchFn(spark, s"$dir/lsh",
       "vec_id", "embedding", k = 3)
     assert(lshServe(queries).columns.contains("q_id"))
+  }
+
+  private def copyTree(from: String, to: String): Unit = {
+    val src = java.nio.file.Paths.get(from)
+    val dst = java.nio.file.Paths.get(to)
+    val st = java.nio.file.Files.walk(src)
+    try st.forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally st.close()
+  }
+
+  test("committed rebuild staging rolls forward from the LOAD path (crash windows)") {
+    // the half-swap hazard: a writer that dies between the COMMIT marker
+    // and the end of the swap leaves e.g. a new quantizer next to the old
+    // index — loads must complete the swap, never serve the mix
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_crash").toString
+    val corpus = vecs(120)
+    val quant = Similarity.centroids(corpus, "vec_id", "embedding", 4)
+      .select(col("cent_id"), col("cent_vec"))
+    AnnIndexStore.saveIvf(s"$dir/a",
+      quant, Similarity.ivfIndex(corpus, "vec_id", "embedding", quant))
+    AnnIndexStore.appendIvf(spark, s"$dir/a", vecs(300, idFrom = 5000L),
+      "vec_id", "embedding")
+    // produce the post-rebuild truth on a clone, keeping dir/a pre-rebuild
+    copyTree(s"$dir/a", s"$dir/b")
+    AnnIndexStore.rebuild(spark, s"$dir/b")
+    val queries = vecs(6, idFrom = 9000L)
+    def serveOf(p: String) = AnnIndexStore.serveIvf(
+      AnnIndexStore.loadIvf(spark, p), queries, "vec_id", "embedding",
+      k = 5, nProbe = 4).orderBy("q_id", "rank").collect().toSeq
+    val truth = serveOf(s"$dir/b")
+
+    // crash window 1: COMMIT landed, swap never started — fabricate the
+    // committed staging on dir/a out of the clone's rebuilt frames
+    def stageFrom(target: String): Unit = {
+      val stage = s"$target/__rebuild"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+      Seq("quantizer", "index").foreach(n => copyTree(s"$dir/b/$n", s"$stage/$n"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/b/MANIFEST.json"),
+        java.nio.file.Paths.get(s"$stage/MANIFEST.json"))
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$stage/COMMIT"))
+    }
+    stageFrom(s"$dir/a")
+    assert(serveOf(s"$dir/a") == truth) // load rolled it forward...
+    assert(!new java.io.File(s"$dir/a/__rebuild").exists()) // ...and cleaned up
+    assert(AnnIndexStore.describe(spark, s"$dir/a")("nCells") ==
+      AnnIndexStore.describe(spark, s"$dir/b")("nCells"))
+
+    // crash window 2: died MID-swap (quantizer moved in, index still
+    // staged) — the exact half-swap state; any manifest read completes it
+    copyTree(s"$dir/a", s"$dir/c") // dir/a is post-roll-forward = rebuilt
+    stageFrom(s"$dir/c")
+    val cQuant = java.nio.file.Paths.get(s"$dir/c/quantizer")
+    val st = java.nio.file.Files.walk(cQuant)
+    try st.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.delete(p))
+    finally st.close()
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/c/__rebuild/quantizer"), cQuant)
+    assert(AnnIndexStore.kindOf(spark, s"$dir/c") == "ivf") // completes swap
+    assert(!new java.io.File(s"$dir/c/__rebuild").exists())
+    assert(serveOf(s"$dir/c") == truth)
+
+    // an UNCOMMITTED staging is untouched by loads (it may be an in-flight
+    // rebuild's) and discarded only by the next rebuild
+    val stale = new java.io.File(s"$dir/c/__rebuild")
+    assert(stale.mkdir())
+    java.nio.file.Files.write(stale.toPath.resolve("junk"), "x".getBytes)
+    AnnIndexStore.loadIvf(spark, s"$dir/c")
+    assert(stale.exists(), "loads must not discard an uncommitted staging")
+    AnnIndexStore.rebuild(spark, s"$dir/c")
+    assert(!stale.exists())
+  }
+
+  test("mutation lease: concurrent mutators refuse, stale leases reclaim, release survives throws") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_lease").toString
+    val docs = (0L until 20L).map(i => (i, s"doc $i alpha beta gamma word${i % 4}"))
+      .toDF("doc_id", "text")
+    AnnIndexStore.saveMinhash(s"$dir/mh", docs, "doc_id", "text", n = 3, k = 16, bands = 4)
+    val leaseFile = new java.io.File(s"$dir/mh/LEASE.json")
+    val more = Seq((100L, "entirely new content here")).toDF("doc_id", "text")
+
+    // a held (fresh) lease refuses the second mutator loudly, naming the holder
+    java.nio.file.Files.write(leaseFile.toPath,
+      (s"""{"owner":"someone-else","acquiredAtMs":${System.currentTimeMillis()}}""" + "\n")
+        .getBytes("UTF-8"))
+    val e = intercept[RuntimeException](
+      AnnIndexStore.appendMinhash(spark, s"$dir/mh", more, "doc_id", "text"))
+    assert(e.getMessage.contains("lease held by someone-else"))
+    val e2 = intercept[RuntimeException](AnnIndexStore.compact(spark, s"$dir/mh"))
+    assert(e2.getMessage.contains("mutation refused"))
+
+    // a STALE lease (crashed writer) is reclaimed and the mutation proceeds
+    java.nio.file.Files.write(leaseFile.toPath,
+      (s"""{"owner":"dead-writer","acquiredAtMs":""" +
+        s"""${System.currentTimeMillis() - AnnIndexStore.LeaseStaleMs - 1000L}}""" + "\n")
+        .getBytes("UTF-8"))
+    AnnIndexStore.appendMinhash(spark, s"$dir/mh", more, "doc_id", "text")
+    assert(!leaseFile.exists(), "lease must release after the mutation")
+
+    // a torn lease file is a crash leftover too — reclaimed, not wedged
+    java.nio.file.Files.write(leaseFile.toPath, """{"owner":"half""".getBytes("UTF-8"))
+    AnnIndexStore.compact(spark, s"$dir/mh")
+    assert(!leaseFile.exists())
+
+    // release happens even when the mutation throws (bad id cast)
+    val bad = Seq(("not-a-long", "text")).toDF("doc_id", "text")
+    intercept[Exception](
+      AnnIndexStore.appendMinhash(spark, s"$dir/mh", bad, "doc_id", "text"))
+    assert(!leaseFile.exists(), "lease must release on failure")
+
+    // the cadence path (append-note -> compact/rebuild) runs under ONE
+    // lease — no self-refusal when maintenance triggers
+    val note = AnnIndexStore.noteAppendAndMaintain(spark, s"$dir/mh",
+      compactEveryNAppends = Some(1), rebuildOnPsi = None)
+    assert(note.contains("compact"))
+    assert(!leaseFile.exists())
+    // readers never check the lease: serve works while one is held
+    java.nio.file.Files.write(leaseFile.toPath,
+      (s"""{"owner":"w","acquiredAtMs":${System.currentTimeMillis()}}""").getBytes("UTF-8"))
+    val verdicts = AnnIndexStore.dedupeAgainstMinhash(
+      AnnIndexStore.loadMinhash(spark, s"$dir/mh"),
+      Seq((500L, "doc 3 alpha beta gamma word3")).toDF("doc_id", "text"),
+      "doc_id", "text", 0.5)
+    assert(verdicts.count() == 1)
+  }
+
+  test("torn DRIFT.json degrades to no-reference instead of wedging the advisor") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_torn").toString
+    val corpus = vecs(80)
+    val quant = Similarity.centroids(corpus, "vec_id", "embedding", 2)
+      .select(col("cent_id"), col("cent_vec"))
+    AnnIndexStore.saveIvf(s"$dir/flat", quant,
+      Similarity.ivfIndex(corpus, "vec_id", "embedding", quant))
+    assert(AnnIndexStore.driftPsi(spark, s"$dir/flat").isDefined)
+    // tear the reference mid-write (truncated JSON)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/flat/DRIFT.json"),
+      """{"lo":-123,"span":456,"tot""".getBytes("UTF-8"))
+    assert(AnnIndexStore.driftPsi(spark, s"$dir/flat").isEmpty)
+    // ann info's stats row reads n/a rather than throwing
+    val stats = AnnIndexStore.stats(spark, s"$dir/flat").toMap
+    assert(stats("driftPsi") == "n/a")
+    // and a rebuildOnPsi-configured maintenance pass proceeds (no rebuild:
+    // no reference means no trigger — the advisor over-asks for a save,
+    // never crashes the sink)
+    val note = AnnIndexStore.noteAppendAndMaintain(spark, s"$dir/flat",
+      compactEveryNAppends = None, rebuildOnPsi = Some(0.01))
+    assert(note.contains("noted"))
   }
 }

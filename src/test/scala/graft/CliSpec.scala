@@ -331,11 +331,56 @@ class CliSpec extends SparkSpec {
     assert(line.contains("recall@5") && line.contains("25 truth pairs"), line)
     val r = "recall@5: ([0-9.]+)".r.findFirstMatchIn(line).get.group(1).toDouble
     assert(r > 0.0 && r <= 1.0, line)
-    // vector-less kinds refuse: no resident vectors to anchor truth on
+    // vector-less kinds refuse: recall is a vector-retrieval metric
     val mhCorpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     graft.ops.AnnIndexStore.saveMinhash(s"$dir/mh", mhCorpus, "doc_id", "text", 3, 16, 4)
     val e3 = intercept[RuntimeException](graft.ops.AnnIndexStore.recallCheck(
       spark, s"$dir/mh", vecs(5, 9000L, 1f), "vec_id", "embedding", 5))
-    assert(e3.getMessage.contains("resident vectors"))
+    assert(e3.getMessage.contains("vector-retrieval"))
+  }
+
+  test("ann recall self-tests a deployed ivfpq index against its source table") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_pqrecall").toString
+    def vecs(n: Int, idFrom: Long) = spark.range(idFrom, idFrom + n)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(7)), i =>
+          ((pmod(xxhash64(col("id"), i), lit(2000L)).cast("float") - 1000f) / 1000f)
+            .cast("float")).as("embedding"))
+    val corpus = vecs(300, 0L)
+    corpus.write.parquet(s"$dir/source")
+    val quant = graft.ops.Similarity.centroids(corpus, "vec_id", "embedding", 4)
+      .select(col("cent_id"), col("cent_vec"))
+    val cb = graft.ops.Similarity.pqCodebook(corpus, "vec_id", "embedding",
+      m = 2, codesK = 8, iters = 2, dim = 8)
+    graft.ops.AnnIndexStore.saveIvfPq(s"$dir/pq", quant, cb,
+      graft.ops.Similarity.ivfPqIndex(corpus, "vec_id", "embedding", quant, cb,
+        m = 2, dim = 8), m = 2, dim = 8, codesK = 8)
+    vecs(5, 9000L).write.parquet(s"$dir/queries")
+    // without a source table: loud, actionable refusal (codes aren't truth)
+    val e = intercept[RuntimeException](graft.ops.AnnIndexStore.recallCheck(
+      spark, s"$dir/pq", vecs(5, 9000L), "vec_id", "embedding", 5))
+    assert(e.getMessage.contains("source vector table"))
+    // with it: the deployed two-stage path scores against exact L2 truth
+    // over the RESIDENT source rows (extra source rows are ignored)
+    vecs(400, 0L).write.mode("overwrite").parquet(s"$dir/source")
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) {
+      assert(Cli.run(Seq("ann", "recall", s"$dir/pq", s"$dir/queries",
+        "vec_id", "embedding", "5", s"$dir/source"), Some(spark)) == 0)
+    }
+    val line = out.toString("UTF-8")
+    assert(line.contains("recall@5") && line.contains("25 truth pairs"), line)
+    val r = "recall@5 \\(refined\\): ([0-9.]+)".r.findFirstMatchIn(line).get.group(1).toDouble
+    assert(r > 0.0 && r <= 1.0, line)
+    // the refine stage must not LOWER recall vs the same serve re-ranked
+    // from a k-sized pool (refineMult=1): a 4x pool is a superset
+    val (rRaw, _, _) = graft.ops.AnnIndexStore.recallCheck(spark, s"$dir/pq",
+      vecs(5, 9000L), "vec_id", "embedding", 5, source = Some(corpus),
+      refineMult = 1)
+    val (rRefined, _, _) = graft.ops.AnnIndexStore.recallCheck(spark, s"$dir/pq",
+      vecs(5, 9000L), "vec_id", "embedding", 5, source = Some(corpus))
+    assert(rRefined >= rRaw,
+      s"refine must not lose recall: refined=$rRefined raw=$rRaw")
   }
 }

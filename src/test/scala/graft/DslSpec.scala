@@ -2055,6 +2055,13 @@ class DslSpec extends SparkSpec {
       case p => Compiler.write(p)
     })
     assert(e.getMessage.contains("ivfpq|ivf|lsh"))
+    // refineK < k would silently return fewer than k rows post-re-rank —
+    // refused at compile like the other config conflicts
+    val rk = intercept[IllegalArgumentException](curationPipeline(
+      s"  type: ann_serve\n  path: $base/ivf\n  k: 5\n  nProbe: 2\n" +
+        "  refineTable: corpus_vecs\n  refineK: 3",
+      Map("docs" -> queries, "corpus_vecs" -> corpus)))
+    assert(rk.getMessage.contains("refineK"))
   }
 
   test("ann_index sink: minhash kind, append mode, declarative maintenance cadence") {
