@@ -1445,6 +1445,31 @@ object SparkEntry {
       k = 5, nCells = 16, nProbe = 4)
       .orderBy(col("q_id"), col("rank"))
 
+  /** Two-stage refine over the PERSISTED LSH index — the q_ann_refined
+    * recipe composed with the kind most sensitive to candidate noise
+    * (round-13 residual: only the IVF-PQ pairing was oracle-gated):
+    * [[qAnnLshServed]]'s manifest-pinned multiprobe serve shortlists a
+    * 20-candidate cosine pool per query, then
+    * [[graft.ops.Similarity.refineTopK]] fetches the pool's exact
+    * vectors by keyed join and re-ranks on true L2. The oracle replays
+    * the multiprobe CTE chain to rank ≤ 20 and the exact re-rank.
+    */
+  private def qAnnLshRefined(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.ops.Similarity
+    val e = emb(s, dir)
+    val tmp = cachedIndexDir("lshauto", dir) { t =>
+      val params = S.planParamsFor(math.max(1L, e.count()), targetBucketSize = 32L)
+      val index = S.lshIndex(e, "vec_id", "embedding", params.planes, dim = 64, tables = 1)
+      graft.ops.AnnIndexStore.saveLsh(s"$t/lsh", index, params.planes, dim = 64, tables = 1)
+    }
+    val bundle = graft.ops.AnnIndexStore.loadLsh(s, s"$tmp/lsh")
+    val probes = e.filter(col("vec_id") < 10)
+    val pool = graft.ops.AnnIndexStore.serveLsh(bundle, probes,
+      "vec_id", "embedding", k = 20, probeBits = 1)
+    S.refineTopK(pool, e, probes, "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   private def qPiiScrub(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(
@@ -1851,6 +1876,58 @@ object SparkEntry {
       writeWaveFiles(batch, "wave", 3, s"$tmp/stage", inDir)
       val dedupe = graft.ops.AnnIndexStore.dedupingBatchFn(s, s"$idxDir/mh",
         "doc_id", "text", minSim = 0.5)
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, bid: Long) =>
+          dedupe(b)
+            .withColumn("batch_id", lit(bid))
+            .coalesce(1) // |batch| verdict rows; one small file per micro-batch
+            .write.mode("append").parquet(s"$tmp/out")
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), col("dup").cast("int").as("dup"), col("batch_id"))
+        .orderBy(col("doc_id"))
+    } finally s.conf.set(shufConf, prevShuf)
+  }
+
+  /** CLOSED-LOOP streaming ingest (L34's online crawl loop — round 14):
+    * the corpus index is probed AND GROWN in-stream
+    * ([[graft.ops.AnnIndexStore.closedLoopDedupingBatchFn]]): each
+    * wave's verdicts bind to the snapshot before its own append, each
+    * wave's survivors append back with pinned parameters, and the
+    * cadence compaction runs mid-stream (content-neutral by spec). So
+    * unlike q_stream_dedupe_served, wave N's verdict depends on the
+    * SURVIVORS of waves < N — the oracle unrolls that recursion
+    * (3 waves = 3 chained CTEs over the shared lshSigCte machinery).
+    * Fresh index dir per call: the mutation sequence is not idempotent.
+    */
+  private def qStreamDedupeClosed(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qsdc").toString
+    TempReaper.register(tmp)
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufConf)
+    s.conf.set(shufConf, "8")
+    try {
+      val d = docs(s, dir)
+      graft.ops.AnnIndexStore.saveMinhash(s"$tmp/mh",
+        d.filter(pmod(col("doc_id"), lit(5)) =!= 0), "doc_id", "text",
+        n = 3, k = 16, bands = 4)
+      val batch = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(3)).as("wave"))
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      writeWaveFiles(batch, "wave", 3, s"$tmp/stage", inDir)
+      val dedupe = graft.ops.AnnIndexStore.closedLoopDedupingBatchFn(
+        s, s"$tmp/mh", "doc_id", "text", minSim = 0.5,
+        compactEveryNAppends = Some(2))
       val stream = s.readStream
         .schema("doc_id BIGINT, text STRING")
         .option("maxFilesPerTrigger", "1")
@@ -4292,6 +4369,7 @@ object SparkEntry {
     "q_ann_ivfpq" -> (qAnnIvfpq _),
     "q_ann_ivfpq_served" -> (qAnnIvfpqServed _),
     "q_ann_refined" -> (qAnnRefined _),
+    "q_ann_lsh_refined" -> (qAnnLshRefined _),
     "q_dsl_refined" -> (qDslRefined _),
     "q_stream_ann" -> (qStreamAnn _),
     "q_ann_deleted" -> (qAnnDeleted _),
@@ -4392,6 +4470,7 @@ object SparkEntry {
     "q_dedup_incremental_served" -> (qDedupIncrementalServed _),
     "q_dsl_dedupe_incremental" -> (qDslDedupeIncremental _),
     "q_stream_dedupe_served" -> (qStreamDedupeServed _),
+    "q_stream_dedupe_closed" -> (qStreamDedupeClosed _),
     "q_ann_rebuilt" -> (qAnnRebuilt _),
     "q_dsl_ann_lifecycle" -> (qDslAnnLifecycle _),
     "q_dedup_spans" -> (qDedupSpans _),
@@ -4772,6 +4851,32 @@ object SparkEntry {
     * ADC rank ≤ `refineK` shortlist, then exact L2 re-rank to `k` — the
     * q_ann_refined replay.
     */
+  /** The LSH two-stage refine oracle: [[multiprobeOracle]]'s CTE chain to
+    * a cosine rank ≤ `refineK` shortlist, then exact L2 re-rank to `k` —
+    * the q_ann_lsh_refined replay (same re-rank shape as
+    * [[pqIvfRefinedOracle]], over the multiprobe candidate chain).
+    */
+  private def lshRefinedOracle(refineK: Int, k: Int): String = {
+    val base = multiprobeOracle
+    val cut = base.lastIndexOf("SELECT q_id, rank, n_id, cosine FROM (")
+    require(cut >= 0, "multiprobeOracle tail changed — update lshRefinedOracle")
+    base.substring(0, cut) +
+      s"""SELECT q_id, n_id, rank, true_dist2 FROM (
+         |  SELECT p.q_id, p.n_id,
+         |    row_number() OVER (PARTITION BY p.q_id ORDER BY
+         |      round(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) - 2.0*list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) + list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6), p.n_id) AS rank,
+         |    round(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) - 2.0*list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) + list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS true_dist2
+         |  FROM (SELECT q_id, n_id FROM (
+         |          SELECT q_id, n_id,
+         |            row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS r
+         |          FROM scored) WHERE r <= $refineK) p
+         |  JOIN embeddings c ON c.vec_id = p.n_id
+         |  JOIN embeddings q ON q.vec_id = p.q_id
+         |)
+         |WHERE rank <= $k
+         |ORDER BY q_id, rank""".stripMargin
+  }
+
   private def pqIvfRefinedOracle(refineK: Int, k: Int): String = {
     val base = pqIvfOracleFiltered("")
     val cut = base.lastIndexOf("SELECT t.qid AS q_id")
@@ -5243,6 +5348,7 @@ object SparkEntry {
     "q_ann_ivfpq" -> pqIvfOracle,
     "q_ann_ivfpq_served" -> pqIvfOracle, // identical by spec: the row gates the save/load/serve round-trip
     "q_ann_refined" -> pqIvfRefinedOracle(refineK = 20, k = 5),
+    "q_ann_lsh_refined" -> lshRefinedOracle(refineK = 20, k = 5),
     "q_dsl_refined" -> pqIvfRefinedOracle(refineK = 20, k = 5), // identical by spec: gates the YAML refine plumbing
     "q_ann_deleted" -> // tombstone complement on the candidate side only
       pqIvfOracleFiltered("cc._aid % 7 <> 0"),
@@ -7757,6 +7863,52 @@ object SparkEntry {
         |SELECT d.doc_id, CASE WHEN nc.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup,
         |  d.doc_id % 3 AS batch_id
         |FROM documents d LEFT JOIN nc ON d.doc_id = nc.doc_id
+        |WHERE d.doc_id % 5 = 0
+        |ORDER BY d.doc_id""".stripMargin,
+    // the closed loop's CUMULATIVE decision history, unrolled: wave w's
+    // verdict is against corpus ∪ survivors of waves < w (the appends
+    // land between micro-batches), so the replay chains one CTE per
+    // wave — w0 matches corpus only; s0 = wave-0 survivors; w1 matches
+    // corpus ∪ s0; and so on. Mid-stream cadence compaction is content-
+    // neutral by spec, so it never appears in the replay.
+    "q_stream_dedupe_closed" ->
+      s"""$lshSigCte, pairs AS (
+        |  SELECT DISTINCT a.doc_id AS bid, b.doc_id AS rid
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id <> b.doc_id
+        |  WHERE a.doc_id % 5 = 0
+        |), sims AS (
+        |  SELECT p.bid, p.rid
+        |  FROM pairs p
+        |  JOIN sigs sa ON sa.doc_id = p.bid
+        |  JOIN sigs sb ON sb.doc_id = p.rid
+        |  CROSS JOIN generate_series(0, 15) g(i)
+        |  GROUP BY p.bid, p.rid
+        |  HAVING sum(CASE WHEN sa.sig[g.i+1] = sb.sig[g.i+1] THEN 1 ELSE 0 END) / 16.0 >= 0.5
+        |), w0 AS (
+        |  SELECT DISTINCT bid FROM sims WHERE bid % 3 = 0 AND rid % 5 <> 0
+        |), s0 AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id % 3 = 0
+        |    AND doc_id NOT IN (SELECT bid FROM w0)
+        |), w1 AS (
+        |  SELECT DISTINCT bid FROM sims
+        |  WHERE bid % 3 = 1 AND (rid % 5 <> 0 OR rid IN (SELECT doc_id FROM s0))
+        |), s1 AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id % 3 = 1
+        |    AND doc_id NOT IN (SELECT bid FROM w1)
+        |), w2 AS (
+        |  SELECT DISTINCT bid FROM sims
+        |  WHERE bid % 3 = 2 AND (rid % 5 <> 0
+        |    OR rid IN (SELECT doc_id FROM s0) OR rid IN (SELECT doc_id FROM s1))
+        |), dups AS (
+        |  SELECT bid FROM w0 UNION ALL SELECT bid FROM w1 UNION ALL SELECT bid FROM w2
+        |)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN dp.bid IS NOT NULL THEN 1 ELSE 0 END AS INT) AS dup,
+        |  d.doc_id % 3 AS batch_id
+        |FROM documents d
+        |LEFT JOIN (SELECT DISTINCT bid FROM dups) dp ON dp.bid = d.doc_id
         |WHERE d.doc_id % 5 = 0
         |ORDER BY d.doc_id""".stripMargin,
     // the YAML lifecycle (build half + append half + cadence compact +

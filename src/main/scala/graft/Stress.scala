@@ -207,6 +207,20 @@ object Stress {
     def mhCorpus = docsN.filter(pmod(col("doc_id"), lit(50)) =!= 0)
     def mhBatch = docsN.filter(pmod(col("doc_id"), lit(50)) === 0)
 
+    // round 14: the closed loop MUTATES its index (probe -> append ->
+    // cadence maintenance per wave) — private copy, untimed setup,
+    // same rule as annRebuildDir
+    lazy val mhLoopDir: String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_mhloop").toString
+      TempReaper.register(dir)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val src = new org.apache.hadoop.fs.Path(mhIndexDir)
+      val dst = new org.apache.hadoop.fs.Path(s"$dir/mh")
+      org.apache.hadoop.fs.FileUtil.copy(
+        src.getFileSystem(conf), src, dst.getFileSystem(conf), dst, false, conf)
+      dst.toString
+    }
+
     // round 12: the append-fragmentation loop — the same index as
     // annServeIndexDir, then 20 daily-ingest appendIvfPq batches (2k
     // id-shifted vectors each; every batch touches ~every cell, so the
@@ -478,6 +492,33 @@ object Stress {
       "ann_rebuild" -> (() => {
         val mf = ops.AnnIndexStore.rebuild(spark, annRebuildDir)
         spark.range(mf("nCells").toLong).toDF("cells")
+      }),
+      // round 14: the ONLINE crawl loop e2e (closedLoopDedupingBatchFn) —
+      // 8 waves of the daily batch, each probed against corpus + every
+      // earlier wave's survivors, survivors appended back. The flatness
+      // claim is per-wave: wave cost rides the batch size, not the
+      // growing index (the [stress-diag] line is the record; the corpus
+      // is 50x a wave). No cadence maintenance here — compaction is
+      // index-sized by design (the ann_compact row measures it) and
+      // would mask the per-wave flatness this row exists to show; the
+      // cadence-in-stream composition is gated by q_stream_dedupe_closed
+      "mh_dedupe_closedloop" -> (() => {
+        val waves = 8
+        val fn = ops.AnnIndexStore.closedLoopDedupingBatchFn(spark, mhLoopDir,
+          "doc_id", "text", minSim = 0.5)
+        val marks = (0 until waves).map { w =>
+          val t0 = System.nanoTime()
+          // hash-split: doc_id % 50 == 0 ids hit only even residues mod 8
+          val v = fn(mhBatch.filter(pmod(xxhash64(col("doc_id")), lit(waves)) === w))
+          val agg = v.agg(count(lit(1)).cast("long").as("n"),
+            coalesce(sum(col("dup").cast("long")), lit(0L)).cast("long").as("d"))
+            .head()
+          ((System.nanoTime() - t0) / 1e9, agg.getLong(0), agg.getLong(1))
+        }
+        System.err.println("[stress-diag] mh_dedupe_closedloop per-wave: " +
+          marks.zipWithIndex.map { case ((s, n, d), w) =>
+            f"w$w=$s%.2fs($n docs, $d dup)" }.mkString(" "))
+        spark.range(1).toDF("done")
       })
     )
 
@@ -494,6 +535,9 @@ object Stress {
     }
     if (selected.exists(_._1 == "ann_rebuild")) {
       annRebuildDir; ()
+    }
+    if (selected.exists(_._1 == "mh_dedupe_closedloop")) {
+      mhLoopDir; ()
     }
     if (selected.exists(o => o._1.startsWith("mh_dedupe"))) {
       mhIndexDir; ()

@@ -760,6 +760,65 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == all)
   }
 
+  test("closed-loop streaming ingest: survivors join the index between waves") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_loop").toString
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog every single day")
+    ).toDF("doc_id", "text")
+    AnnIndexStore.saveMinhash(s"$dir/mh", corpus, "doc_id", "text",
+      n = 3, k = 16, bands = 4)
+    val novel = "completely fresh content about distributed analytics engines at scale"
+    val waves = Seq(
+      // wave 0: one novel doc — survives, appends
+      Seq((1L, novel)),
+      // wave 1: a near-dup of wave 0's SURVIVOR (the verdict only a
+      // closed loop can produce), a corpus near-dup, and a fresh doc
+      Seq((2L, novel + " again"),
+        (3L, "the quick brown fox jumps over the lazy dog every single night"),
+        (4L, "some entirely different musings on bucketed hive layouts")),
+      // wave 2: a near-dup of wave 1's survivor
+      Seq((5L, "some entirely different musings on bucketed hive layouts indeed")))
+    val dedupe = AnnIndexStore.closedLoopDedupingBatchFn(spark, s"$dir/mh",
+      "doc_id", "text", minSim = 0.5, compactEveryNAppends = Some(2))
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF.select(col("_1").as("doc_id"), col("_2").as("text"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        out ++= dedupe(batch).as[(Long, Int)].collect()
+        ()
+      }
+      .option("checkpointLocation", s"$dir/chk")
+      .start()
+    try waves.foreach { w => in.addData(w); q.processAllAvailable() }
+    finally q.stop()
+    // docs 2 and 5 are dups ONLY because earlier waves' survivors joined
+    // the index in-stream; the static snapshot path reads them dup=0
+    assert(out.sortBy(_._1).toSeq ==
+      Seq((1L, 0), (2L, 1), (3L, 1), (4L, 0), (5L, 1)), out.sortBy(_._1))
+    val static = AnnIndexStore.dedupeAgainstMinhash(
+      AnnIndexStore.loadMinhash(spark, s"$dir/mh"),
+      Seq((2L, novel + " again")).toDF("doc_id", "text"),
+      "doc_id", "text", 0.5).collect()(0).getInt(1)
+    assert(static == 1, "post-stream, the survivor IS resident")
+    // the index grew by exactly the survivors (1 and 4), and the
+    // mid-stream cadence compact left content intact
+    val resident = AnnIndexStore.loadMinhash(spark, s"$dir/mh")
+      .sigs.select("n_id").collect().map(_.getLong(0)).toSet
+    assert(resident == Set(10L, 1L, 4L), resident)
+    // vector kinds refuse, as in the static streaming path
+    val quant = Similarity.centroids(vecs(50), "vec_id", "embedding", 2)
+      .select(col("cent_id"), col("cent_vec"))
+    AnnIndexStore.saveIvf(s"$dir/flat", quant,
+      Similarity.ivfIndex(vecs(50), "vec_id", "embedding", quant))
+    val ek = intercept[Exception](AnnIndexStore.closedLoopDedupingBatchFn(
+      spark, s"$dir/flat", "doc_id", "text", 0.5))
+    assert(ek.getMessage.contains("minhash"))
+  }
+
   test("streaming serve: micro-batched queries equal the batch serve") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
