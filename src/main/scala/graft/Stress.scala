@@ -29,6 +29,8 @@ object Stress {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("STRESS_ADVISORY", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.wholeStage",
+        sys.env.getOrElse("STRESS_WSCG", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -265,7 +267,87 @@ object Stress {
       dst.toString
     }
 
+    // round 14: the FULL llm-corpus.yaml curation chain at stress scale —
+    // the end-to-end artifact a 100 TB user actually ships. Step specs
+    // mirror examples/manifests/llm-corpus.yaml verbatim (table-injected
+    // sources instead of parquet paths). Two rows: `curation_fused` runs
+    // the chain as ONE compiled pipeline; `curation_segmented`
+    // materializes every stage behind a checkpoint barrier and records
+    // the per-stage wall decomposition in stress-diag. The pair is the
+    // cross-step-recompute detector that drove the Compiler's self-join
+    // barriers and rewrite fences (fused went 37.9s -> 16.9s at mult=20
+    // when they landed); what remains of the fused-vs-segmented gap is
+    // the fixture's pathological near-dup density (every doc has ~100
+    // mutual near-dups, so dedupe_near's bucket pairs dominate — the
+    // production knob for that shape is the step's maxBucket cap).
+    val curationSteps: Seq[(String, String)] = Seq(
+      "strip" -> "  type: strip_markup\n  field: text\n  kernel: regex",
+      "scrub_pii" -> "  type: scrub\n  kind: pii\n  field: text",
+      "fingerprint" -> ("  type: map\n  fields:\n" +
+        "    - {target: doc_id, source: doc_id}\n" +
+        "    - {target: source, source: source}\n" +
+        "    - {target: text, source: text}\n" +
+        "    - {target: fp, expr: \"md5(nfc_normalize(text))\"}"),
+      "dedupe_exact" -> "  type: dedupe\n  keys: [fp]\n  orderBy: [doc_id]",
+      "dedupe_near" -> ("  type: dedupe_near\n  idField: doc_id\n" +
+        "  field: text\n  minSimilarity: 0.8\n  keep: first"),
+      "code_rules" -> ("  type: code_rules\n  field: text\n  maxLineLen: 1000\n" +
+        "  maxMeanLineLen: 100\n  minAlnumPct: 25\n  action: filter"),
+      "lang_tag" -> "  type: lang_id\n  field: text",
+      "quality" -> ("  type: quality_filter\n  field: text\n  stubDim: 256\n" +
+        "  biasMicro: 50000\n  threshold: 0.0\n  action: filter"),
+      "decontaminate" -> ("  type: decontaminate\n  mode: exact\n" +
+        "  benchTable: bench\n  shingleSize: 3\n  minOverlap: 0.5"),
+      "split" -> ("  type: split_assign\n  mode: hash\n  idField: doc_id\n" +
+        "  splits: [{name: train, bp: 9000}, {name: val, bp: 500}, {name: test, bp: 500}]"),
+      "epoch_mix" -> ("  type: upsample\n  stratumField: source\n  idField: doc_id\n" +
+        "  weights: {src0: 2.5, src1: 0.4}"))
+    def benchDocs = docsN.filter(pmod(col("doc_id"), lit(20)) === 0).select(col("text"))
+    def curationYaml(steps: Seq[(String, String)]): String = {
+      val transforms = steps.map { case (n, spec) =>
+        s"kind: Transform\nmetadata: {name: $n}\nspec:\n$spec\n---" }.mkString("\n")
+      s"""kind: Source
+         |metadata: {name: docs}
+         |spec: {format: table, path: step_in}
+         |---
+         |$transforms
+         |kind: Sink
+         |metadata: {name: out}
+         |spec: {format: noop, path: ""}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec:
+         |  source: docs
+         |  steps: [${steps.map(_._1).mkString(", ")}]
+         |  sink: out
+         |""".stripMargin
+    }
+    def curationFrame(in: DataFrame, steps: Seq[(String, String)]): DataFrame =
+      graft.dsl.Compiler.compile(spark, graft.dsl.YamlLoader.load(curationYaml(steps)),
+        tables = Map("step_in" -> in, "bench" -> benchDocs))("p").frame
+
+    // the capstone input models a real corpus scan: the sf0.1 fixture is
+    // ONE parquet split, and the in-plan x20 explode rides it — without a
+    // repartition the whole strip+scrub regex pass serializes into a
+    // single 10s task (measured), which no 100 TB deployment would see
+    // (a real scan has thousands of splits). One explicit shuffle to
+    // cpus-many partitions, identical for both rows.
+    def curationInput = docsN.repartition(cpus.toInt)
     val opList: Seq[(String, () => DataFrame)] = Seq(
+      "curation_fused" -> (() => curationFrame(curationInput, curationSteps)),
+      "curation_segmented" -> (() => {
+        val marks = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+        var cur = curationInput
+        curationSteps.foreach { case (name, spec) =>
+          val t0 = System.nanoTime()
+          cur = curationFrame(cur, Seq(name -> spec)).localCheckpoint()
+          marks += ((name, (System.nanoTime() - t0) / 1e9, cur.count()))
+        }
+        System.err.println("[stress-diag] curation_segmented per-stage: " +
+          marks.map { case (n, s, r) => f"$n=$s%.2fs($r rows)" }.mkString(" "))
+        spark.range(marks.size.toLong).toDF("stages")
+      }),
       "pack" -> (() => ops.Packing.packSequences(docsN, "doc_id", "text", capacity = 2048L)),
       "subword_count" -> (() => docsN.select(col("doc_id"),
         graft.functions.Subword.count(col("text"), subwordTable).as("n"))),
@@ -587,7 +669,8 @@ object Stress {
             "task_max may be under-reported and may leak into the next op")
       if (stageDiag) {
         import scala.jdk.CollectionConverters._
-        val top = stageMaxMs.asScala.toSeq.sortBy(-_._2).take(4)
+        val topN = sys.env.getOrElse("STRESS_STAGE_DIAG", "4").toIntOption.getOrElse(4)
+        val top = stageMaxMs.asScala.toSeq.sortBy(-_._2).take(math.max(4, topN))
           .map { case (sid, ms) => s"stage$sid=${ms / 1000.0}s" }.mkString(" ")
         System.err.println(s"[stress-diag] $name top task_max by stage: $top")
       }

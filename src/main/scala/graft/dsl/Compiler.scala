@@ -103,11 +103,16 @@ object Compiler {
 
       // optimizer.rs:find_shared_prefix — longest common leading step run.
       val prefix = sharedPrefix(pipes.map(_.steps))
-      val (prefixDf, prefixDlq) = prefix.foldLeft((sourceDf, Seq.empty[DataFrame])) {
-        case ((df, dlqs), step) =>
-          val (out, dlq) = applyTransformRouted(df, transformOf(reg, ns, step), lookupTables)
-          (out, dlqs ++ dlq)
-      }
+      val totalSteps = pipes.map(_.steps.length).max
+      val (prefixDf, prefixDlq) = prefix.zipWithIndex
+        .foldLeft((sourceDf, Seq.empty[DataFrame])) {
+          case ((df, dlqs), (step, idx)) =>
+            val t = transformOf(reg, ns, step)
+            val (out, dlq) =
+              applyTransformRouted(barrierForSelfJoin(df, t, idx), t, lookupTables)
+            (rewriteFence(out, t, stepsRemaining = idx + 1 < totalSteps),
+              dlqs ++ dlq)
+        }
       // streaming frames can't cache; each consumer re-reads the source,
       // which the file-stream source dedupes via its seen-files log
       val sharedDf =
@@ -115,10 +120,14 @@ object Compiler {
         else prefixDf
 
       pipes.map { p =>
-        val (frame, tailDlq) = p.steps.drop(prefix.length)
-          .foldLeft((sharedDf, Seq.empty[DataFrame])) { case ((df, dlqs), step) =>
-            val (out, dlq) = applyTransformRouted(df, transformOf(reg, ns, step), lookupTables)
-            (out, dlqs ++ dlq)
+        val tail = p.steps.drop(prefix.length)
+        val (frame, tailDlq) = tail.zipWithIndex
+          .foldLeft((sharedDf, Seq.empty[DataFrame])) { case ((df, dlqs), (step, i)) =>
+            val t = transformOf(reg, ns, step)
+            val (out, dlq) = applyTransformRouted(
+              barrierForSelfJoin(df, t, prefix.length + i), t, lookupTables)
+            (rewriteFence(out, t, stepsRemaining = i + 1 < tail.length),
+              dlqs ++ dlq)
           }
         val sink = reg.getSink(ns, p.sink)
           .getOrElse(sys.error(s"unknown sink: ${p.sink} (namespace '$ns')"))
@@ -274,6 +283,48 @@ object Compiler {
   private def transformOf(reg: Registry, ns: String, name: String): TransformManifest =
     reg.getTransform(ns, name)
       .getOrElse(sys.error(s"unknown transform: $name (namespace '$ns')"))
+
+  /** Step types whose compiled plan references the incoming frame more
+    * than once (signature/score derivation PLUS a survivor join back to
+    * the input). Mid-chain, every extra reference would re-run the
+    * ENTIRE upstream chain — measured ×2 on the llm-corpus capstone,
+    * where the fused chain ran SLOWER than its checkpoint-segmented
+    * stages. [[barrierForSelfJoin]] lazily checkpoints the input once
+    * before such a step (blocks cache spill-safely as the first pass
+    * touches them) so every reference reads one materialization.
+    * First-position steps are exempt: their input is the raw source
+    * scan, and re-reading parquet is cheaper than caching a
+    * corpus-sized text frame.
+    */
+  private val SelfJoiningSteps = Set(
+    "dedupe_near", "temperature_mixture", "decontaminate", "semantic_dedup",
+    "token_budget")
+
+  private def barrierForSelfJoin(
+      df: DataFrame, t: TransformManifest, position: Int): DataFrame =
+    if (position > 0 && !df.isStreaming && SelfJoiningSteps(t.transformType))
+      df.localCheckpoint(false)
+    else df
+
+  /** Step types that REWRITE a text column through expensive kernels
+    * (regex cascades). Fused into one stage with a downstream step that
+    * references the rewritten column many times (lang_id scores ~20
+    * language profiles, quality/code rules compute many per-rule
+    * features), the rewrite re-evaluates PER REFERENCE — measured ×2 on
+    * the llm-corpus capstone, where the fused chain ran slower than its
+    * checkpoint-segmented stages with the rewrite stages dominating.
+    * [[rewriteFence]] lazily materializes the rewritten frame once,
+    * mid-chain only: the fence spills partition-local (no driver state,
+    * no executor-memory pinning), which at corpus scale is one linear
+    * write/read instead of k regex re-evaluations of every byte.
+    */
+  private val RewriteFenceSteps = Set("strip_markup", "scrub", "clean_c4")
+
+  private def rewriteFence(
+      df: DataFrame, t: TransformManifest, stepsRemaining: Boolean): DataFrame =
+    if (stepsRemaining && !df.isStreaming && RewriteFenceSteps(t.transformType))
+      df.localCheckpoint(false)
+    else df
 
   /** Graph stage ids qualify the namespace as "ns/name" (default ns bare). */
   private def transformOfStage(reg: Registry, stageId: String): TransformManifest =
