@@ -336,6 +336,13 @@ object Stress {
     def curationInput = docsN.repartition(cpus.toInt)
     val opList: Seq[(String, () => DataFrame)] = Seq(
       "curation_fused" -> (() => curationFrame(curationInput, curationSteps)),
+      // the production knob for near-dup-dense corpora: cap band buckets
+      // (chain-linked survivors above the cap, the L26 rule) — this row
+      // prices what the uncapped fused chain pays for exhaustive pair
+      // generation at the fixture's x`mult` near-dup multiplicity
+      "curation_fused_capped" -> (() => curationFrame(curationInput,
+        curationSteps.map { case (n, spec) =>
+          if (n == "dedupe_near") n -> (spec + "\n  maxBucket: 8") else n -> spec })),
       "curation_segmented" -> (() => {
         val marks = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
         var cur = curationInput

@@ -633,6 +633,20 @@ object AnnIndexStore {
     val files = parquetFileCount(fs, ip)
     val psis = driftPsiAll(spark, dir)
     val psi = psis.maxOption
+    // the lease, surfaced: an operator whose mutation just refused reads
+    // WHO holds it and for how long here, instead of hunting for the file
+    val lease = {
+      val lp = leasePath(dir)
+      if (!fs.exists(lp)) "free"
+      else scala.util.Try {
+        val in = fs.open(lp)
+        val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        val ageS = (System.currentTimeMillis() - n.get("acquiredAtMs").asLong()) / 1000L
+        val staleNote = if (ageS * 1000L >= LeaseStaleMs) " (STALE - reclaimable)" else ""
+        s"held by ${n.get("owner").asText()} for ${ageS}s$staleNote"
+      }.getOrElse("held (torn lease file - reclaimable)")
+    }
     Seq(
       "rows" -> rows.toString,
       "liveRows" -> live.toString,
@@ -653,7 +667,8 @@ object AnnIndexStore {
         case p if p < 0.10 => "stable"
         case p if p < 0.25 => "moderate shift - watch"
         case _             => "major shift - rebuild recommended"
-      })
+      },
+      "mutationLease" -> lease)
   }
 
   private val DriftBins = 10

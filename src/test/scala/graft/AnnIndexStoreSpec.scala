@@ -997,6 +997,14 @@ class AnnIndexStoreSpec extends SparkSpec {
       Seq((500L, "doc 3 alpha beta gamma word3")).toDF("doc_id", "text"),
       "doc_id", "text", 0.5)
     assert(verdicts.count() == 1)
+    // ...and `ann info` surfaces the holder instead of making the
+    // operator hunt for the file
+    val held = AnnIndexStore.stats(spark, s"$dir/mh").toMap
+    assert(held("mutationLease").startsWith("held by w for"), held("mutationLease"))
+    java.nio.file.Files.delete(leaseFile.toPath)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/mh/.LEASE.json.crc"))
+    assert(AnnIndexStore.stats(spark, s"$dir/mh").toMap.apply("mutationLease") == "free")
   }
 
   test("torn DRIFT.json degrades to no-reference instead of wedging the advisor") {
