@@ -1050,6 +1050,53 @@ object AnnIndexStore {
     }
   }
 
+  /** The [[closedLoopDedupingBatchFn]] shape for the VECTOR kind —
+    * online SemDeDup over a growing flat-IVF index: each micro-batch of
+    * embeddings is semantically deduped against the index snapshot
+    * ([[Similarity.semanticDedupeAgainstIndex]] — nProbe nearest cells
+    * of the PINNED quantizer, cosine ≥ minCosine drops), verdicts are
+    * materialized against that snapshot, and the batch's survivors
+    * (kept = true) append back via [[appendIvf]] — so wave N+1's
+    * embedding near-dups of wave N's novel vectors are dropped
+    * in-stream. The quantizer stays pinned (appends assign to existing
+    * cells — the documented drift trade; the PSI advisor and
+    * `rebuildOnPsi` cadence own the rebuild trigger, and a cadence
+    * rebuild here retrains it from the grown residents). Same contracts
+    * as the text loop: in-batch mutual near-dups both survive, one
+    * mutation lease per batch, replayed batches re-append harmlessly
+    * (duplicate resident rows change no verdict — matching is
+    * existential — and fold out on compact/rebuild).
+    */
+  def closedLoopSemanticBatchFn(
+      spark: SparkSession,
+      dir: String,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      nProbe: Int = 2,
+      compactEveryNAppends: Option[Int] = None,
+      rebuildOnPsi: Option[Double] = None
+  ): DataFrame => DataFrame = {
+    val kind = kindOf(spark, dir)
+    require(kind == "ivf",
+      s"$dir holds a '$kind' index — online semantic dedup needs a flat-IVF " +
+        "index (saveIvf: residents must carry vectors for the cosine drop " +
+        "rule; ivfpq codes cannot anchor exact cosines)")
+    batch => {
+      val b = loadIvf(spark, dir)
+      // eager checkpoint: verdicts bind to the PRE-APPEND snapshot
+      val verdicts = Similarity.semanticDedupeAgainstIndex(
+        b.index, b.quantizer, batch, idCol, vecCol, minCosine, nProbe)
+        .localCheckpoint()
+      val survivors = batch.join(
+        verdicts.filter(col("kept")).select(col(idCol)), Seq(idCol), "left_semi")
+      appendIvf(spark, dir, survivors, idCol, vecCol)
+      if (compactEveryNAppends.nonEmpty || rebuildOnPsi.nonEmpty)
+        noteAppendAndMaintain(spark, dir, compactEveryNAppends, rebuildOnPsi)
+      verdicts
+    }
+  }
+
   /** Static cell pruning for the serve paths: collect the (tiny) probed
     * cell set and push it as a partition filter on the stored index. The
     * downstream cell join makes this a pure scan-reduction — results are

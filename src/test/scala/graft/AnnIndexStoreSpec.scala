@@ -819,6 +819,60 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(ek.getMessage.contains("minhash"))
   }
 
+  test("closed-loop semantic ingest: embedding survivors join the index between waves") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_semloop").toString
+    def v(seed: Float, jitter: Float = 0f): Array[Float] =
+      Array.tabulate(dim)(i => seed * (i + 1) + (if (i == 0) jitter else 0f))
+    val corpus = Seq((10L, v(1.0f))).toDF("vec_id", "embedding")
+    val quant = Similarity.centroids(corpus, "vec_id", "embedding", 1)
+      .select(col("cent_id"), col("cent_vec"))
+    AnnIndexStore.saveIvf(s"$dir/flat", quant,
+      Similarity.ivfIndex(corpus, "vec_id", "embedding", quant))
+    // wave 0: a novel direction (negated ramp — cosine -1 to the corpus);
+    // wave 1: a jittered copy of wave 0's survivor (cosine ~1 to it, ~-1
+    // to the corpus) — dropped ONLY because the loop appended the survivor
+    val waves = Seq(
+      Seq((1L, v(-1.0f))),
+      Seq((2L, v(-1.0f, jitter = 0.01f)), (3L, v(1.0f, jitter = 0.02f))))
+    val dedupe = AnnIndexStore.closedLoopSemanticBatchFn(spark, s"$dir/flat",
+      "vec_id", "embedding", minCosine = 0.9, nProbe = 1)
+    val in = MemoryStream[(Long, Array[Float])]
+    val stream = in.toDF.select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        out ++= dedupe(batch).as[(Long, Boolean)].collect()
+        ()
+      }
+      .option("checkpointLocation", s"$dir/chk")
+      .start()
+    try waves.foreach { w => in.addData(w); q.processAllAvailable() }
+    finally q.stop()
+    // 1 survives (novel direction); 2 drops via the LOOP (its only
+    // near-neighbor is wave 0's survivor); 3 drops against the corpus
+    assert(out.sortBy(_._1).toSeq == Seq((1L, true), (2L, false), (3L, false)),
+      out.sortBy(_._1))
+    // the index grew by exactly the survivor
+    assert(AnnIndexStore.loadIvf(spark, s"$dir/flat").index
+      .select("n_id").collect().map(_.getLong(0)).toSet == Set(10L, 1L))
+    // non-ivf kinds refuse (codes cannot anchor exact cosines)
+    val cb = Similarity.pqCodebook(vecs(60), "vec_id", "embedding",
+      m = 2, codesK = 4, iters = 2, dim = dim)
+    AnnIndexStore.saveIvfPq(s"$dir/pq",
+      Similarity.centroids(vecs(60), "vec_id", "embedding", 2)
+        .select(col("cent_id"), col("cent_vec")), cb,
+      Similarity.ivfPqIndex(vecs(60), "vec_id", "embedding",
+        Similarity.centroids(vecs(60), "vec_id", "embedding", 2)
+          .select(col("cent_id"), col("cent_vec")), cb, m = 2, dim = dim),
+      m = 2, dim = dim, codesK = 4)
+    val ek = intercept[Exception](AnnIndexStore.closedLoopSemanticBatchFn(
+      spark, s"$dir/pq", "vec_id", "embedding", 0.9))
+    assert(ek.getMessage.contains("flat-IVF"))
+  }
+
   test("streaming serve: micro-batched queries equal the batch serve") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
