@@ -209,6 +209,21 @@ object Stress {
     def mhCorpus = docsN.filter(pmod(col("doc_id"), lit(50)) =!= 0)
     def mhBatch = docsN.filter(pmod(col("doc_id"), lit(50)) === 0)
 
+    // round 14: the VECTOR closed loop's fixture — a flat-IVF index over
+    // 90% of the replicated embeddings (the other 10% stream in waves).
+    // Private per-run dir (the loop mutates); build untimed.
+    lazy val semLoopDir: String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_semloop").toString
+      TempReaper.register(dir)
+      val corpus = embN.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val nCells = math.max(16, math.sqrt(corpus.count().toDouble).toInt)
+      val quant = ops.Similarity.centroids(corpus, "vec_id", "embedding", nCells)
+        .select(col("cent_id"), col("cent_vec"))
+      ops.AnnIndexStore.saveIvf(s"$dir/flat", quant,
+        ops.Similarity.ivfIndex(corpus, "vec_id", "embedding", quant))
+      s"$dir/flat"
+    }
+
     // round 14: the closed loop MUTATES its index (probe -> append ->
     // cadence maintenance per wave) — private copy, untimed setup,
     // same rule as annRebuildDir
@@ -608,6 +623,28 @@ object Stress {
           marks.zipWithIndex.map { case ((s, n, d), w) =>
             f"w$w=$s%.2fs($n docs, $d dup)" }.mkString(" "))
         spark.range(1).toDF("done")
+      }),
+      // round 14: the VECTOR closed loop (closedLoopSemanticBatchFn) —
+      // same flatness claim as mh_dedupe_closedloop for the embedding
+      // kind: 8 waves of the held-out 10%, each semantically deduped
+      // against corpus + earlier survivors, survivors appended
+      "sem_dedupe_closedloop" -> (() => {
+        val waves = 8
+        val fn = ops.AnnIndexStore.closedLoopSemanticBatchFn(spark, semLoopDir,
+          "vec_id", "embedding", minCosine = 0.9, nProbe = 2)
+        val marks = (0 until waves).map { w =>
+          val t0 = System.nanoTime()
+          val v = fn(embN.filter(pmod(col("vec_id"), lit(10)) === 0 &&
+            pmod(xxhash64(col("vec_id")), lit(waves)) === w))
+          val agg = v.agg(count(lit(1)).cast("long").as("n"),
+            coalesce(sum(when(col("kept"), 0L).otherwise(1L)), lit(0L))
+              .cast("long").as("d")).head()
+          ((System.nanoTime() - t0) / 1e9, agg.getLong(0), agg.getLong(1))
+        }
+        System.err.println("[stress-diag] sem_dedupe_closedloop per-wave: " +
+          marks.zipWithIndex.map { case ((s, n, d), w) =>
+            f"w$w=$s%.2fs($n vecs, $d dropped)" }.mkString(" "))
+        spark.range(1).toDF("done")
       })
     )
 
@@ -627,6 +664,9 @@ object Stress {
     }
     if (selected.exists(_._1 == "mh_dedupe_closedloop")) {
       mhLoopDir; ()
+    }
+    if (selected.exists(_._1 == "sem_dedupe_closedloop")) {
+      semLoopDir; ()
     }
     if (selected.exists(o => o._1.startsWith("mh_dedupe"))) {
       mhIndexDir; ()
