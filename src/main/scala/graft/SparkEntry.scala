@@ -2023,6 +2023,69 @@ object SparkEntry {
     } finally s.conf.set(shufConf, prevShuf)
   }
 
+  /** The closed crawl loop THROUGH YAML (R9 × the round-14 loop): a
+    * streaming parquet source of the 3 wave files drives an `ann_index`
+    * sink with `mode: dedupe_loop` — per micro-batch the sink probes the
+    * index snapshot, writes verdicts to `verdictPath`, appends survivors,
+    * and runs the compaction cadence. Result-identical to
+    * [[qStreamDedupeClosed]] by spec (same waves, same pinned index
+    * parameters, same cadence), so it shares that oracle verbatim; what
+    * this row gates is the DECLARATIVE plumbing (streaming-sink dispatch,
+    * option threading, checkpointed drain).
+    */
+  private def qDslDedupeClosed(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qddc").toString
+    TempReaper.register(tmp)
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufConf)
+    s.conf.set(shufConf, "8")
+    try {
+      val d = docs(s, dir)
+      val baseIdx = minhashCorpusIndex(s, dir)
+      val conf = s.sparkContext.hadoopConfiguration
+      val srcP = new org.apache.hadoop.fs.Path(s"$baseIdx/mh")
+      val dstP = new org.apache.hadoop.fs.Path(s"$tmp/mh")
+      org.apache.hadoop.fs.FileUtil.copy(
+        srcP.getFileSystem(conf), srcP, dstP.getFileSystem(conf), dstP, false, conf)
+      val batch = d.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(3)).as("wave"))
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      writeWaveFiles(batch, "wave", 3, s"$tmp/stage", inDir)
+      val yaml =
+        s"""kind: Source
+           |metadata: {name: waves}
+           |spec:
+           |  format: parquet
+           |  path: $tmp/in
+           |  streaming: true
+           |  schema: "doc_id BIGINT, text STRING"
+           |  rateCap: {maxFilesPerTrigger: 1}
+           |---
+           |kind: Sink
+           |metadata: {name: loop}
+           |spec:
+           |  format: ann_index
+           |  path: $tmp/mh
+           |  checkpoint: $tmp/chk
+           |  options:
+           |    mode: dedupe_loop
+           |    verdictPath: $tmp/out
+           |    minSimilarity: "0.5"
+           |    compactEveryNAppends: "2"
+           |---
+           |kind: Pipeline
+           |metadata: {name: p}
+           |spec: {source: waves, steps: [], sink: loop}
+           |""".stripMargin
+      graft.dsl.Compiler.write(
+        graft.dsl.Compiler.compile(s, graft.dsl.YamlLoader.load(yaml))("p"))
+      s.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), col("dup").cast("int").as("dup"), col("batch_id"))
+        .orderBy(col("doc_id"))
+    } finally s.conf.set(shufConf, prevShuf)
+  }
+
   /** Rebuild round-trip (the [[graft.ops.AnnIndexStore.rebuild]] e2e
     * gate): HALF the corpus (doc_id % 5 in 1,2) is saved as the minhash
     * index — sized for half the rows — the other half (% 5 in 3,4) is
@@ -4545,6 +4608,7 @@ object SparkEntry {
     "q_dsl_dedupe_incremental" -> (qDslDedupeIncremental _),
     "q_stream_dedupe_served" -> (qStreamDedupeServed _),
     "q_stream_dedupe_closed" -> (qStreamDedupeClosed _),
+    "q_dsl_dedupe_closed" -> (qDslDedupeClosed _),
     "q_ann_rebuilt" -> (qAnnRebuilt _),
     "q_dsl_ann_lifecycle" -> (qDslAnnLifecycle _),
     "q_dedup_spans" -> (qDedupSpans _),
@@ -4754,6 +4818,51 @@ object SparkEntry {
     * planes from count(*), md5 hyperplanes, radius-1 probe fan on the
     * query side, DISTINCT-deduped candidate ranking.
     */
+  /** The closed loop's cumulative replay (shared by the library-seam and
+    * YAML rows — wave w matches corpus + survivors of waves < w, chained
+    * CTEs per wave; cadence compaction is content-neutral by spec).
+    */
+  private def closedLoopOracle: String =
+      s"""$lshSigCte, pairs AS (
+        |  SELECT DISTINCT a.doc_id AS bid, b.doc_id AS rid
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id <> b.doc_id
+        |  WHERE a.doc_id % 5 = 0
+        |), sims AS (
+        |  SELECT p.bid, p.rid
+        |  FROM pairs p
+        |  JOIN sigs sa ON sa.doc_id = p.bid
+        |  JOIN sigs sb ON sb.doc_id = p.rid
+        |  CROSS JOIN generate_series(0, 15) g(i)
+        |  GROUP BY p.bid, p.rid
+        |  HAVING sum(CASE WHEN sa.sig[g.i+1] = sb.sig[g.i+1] THEN 1 ELSE 0 END) / 16.0 >= 0.5
+        |), w0 AS (
+        |  SELECT DISTINCT bid FROM sims WHERE bid % 3 = 0 AND rid % 5 <> 0
+        |), s0 AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id % 3 = 0
+        |    AND doc_id NOT IN (SELECT bid FROM w0)
+        |), w1 AS (
+        |  SELECT DISTINCT bid FROM sims
+        |  WHERE bid % 3 = 1 AND (rid % 5 <> 0 OR rid IN (SELECT doc_id FROM s0))
+        |), s1 AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id % 3 = 1
+        |    AND doc_id NOT IN (SELECT bid FROM w1)
+        |), w2 AS (
+        |  SELECT DISTINCT bid FROM sims
+        |  WHERE bid % 3 = 2 AND (rid % 5 <> 0
+        |    OR rid IN (SELECT doc_id FROM s0) OR rid IN (SELECT doc_id FROM s1))
+        |), dups AS (
+        |  SELECT bid FROM w0 UNION ALL SELECT bid FROM w1 UNION ALL SELECT bid FROM w2
+        |)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN dp.bid IS NOT NULL THEN 1 ELSE 0 END AS INT) AS dup,
+        |  d.doc_id % 3 AS batch_id
+        |FROM documents d
+        |LEFT JOIN (SELECT DISTINCT bid FROM dups) dp ON dp.bid = d.doc_id
+        |WHERE d.doc_id % 5 = 0
+        |ORDER BY d.doc_id""".stripMargin
+
   private def multiprobeOracle: String =
     """WITH params AS (
       |  -- integer-exact ceil(log2(ceil(n/32))): bits(m-1); same closed
@@ -8015,46 +8124,8 @@ object SparkEntry {
     // wave — w0 matches corpus only; s0 = wave-0 survivors; w1 matches
     // corpus ∪ s0; and so on. Mid-stream cadence compaction is content-
     // neutral by spec, so it never appears in the replay.
-    "q_stream_dedupe_closed" ->
-      s"""$lshSigCte, pairs AS (
-        |  SELECT DISTINCT a.doc_id AS bid, b.doc_id AS rid
-        |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id <> b.doc_id
-        |  WHERE a.doc_id % 5 = 0
-        |), sims AS (
-        |  SELECT p.bid, p.rid
-        |  FROM pairs p
-        |  JOIN sigs sa ON sa.doc_id = p.bid
-        |  JOIN sigs sb ON sb.doc_id = p.rid
-        |  CROSS JOIN generate_series(0, 15) g(i)
-        |  GROUP BY p.bid, p.rid
-        |  HAVING sum(CASE WHEN sa.sig[g.i+1] = sb.sig[g.i+1] THEN 1 ELSE 0 END) / 16.0 >= 0.5
-        |), w0 AS (
-        |  SELECT DISTINCT bid FROM sims WHERE bid % 3 = 0 AND rid % 5 <> 0
-        |), s0 AS (
-        |  SELECT doc_id FROM documents
-        |  WHERE doc_id % 5 = 0 AND doc_id % 3 = 0
-        |    AND doc_id NOT IN (SELECT bid FROM w0)
-        |), w1 AS (
-        |  SELECT DISTINCT bid FROM sims
-        |  WHERE bid % 3 = 1 AND (rid % 5 <> 0 OR rid IN (SELECT doc_id FROM s0))
-        |), s1 AS (
-        |  SELECT doc_id FROM documents
-        |  WHERE doc_id % 5 = 0 AND doc_id % 3 = 1
-        |    AND doc_id NOT IN (SELECT bid FROM w1)
-        |), w2 AS (
-        |  SELECT DISTINCT bid FROM sims
-        |  WHERE bid % 3 = 2 AND (rid % 5 <> 0
-        |    OR rid IN (SELECT doc_id FROM s0) OR rid IN (SELECT doc_id FROM s1))
-        |), dups AS (
-        |  SELECT bid FROM w0 UNION ALL SELECT bid FROM w1 UNION ALL SELECT bid FROM w2
-        |)
-        |SELECT d.doc_id,
-        |  CAST(CASE WHEN dp.bid IS NOT NULL THEN 1 ELSE 0 END AS INT) AS dup,
-        |  d.doc_id % 3 AS batch_id
-        |FROM documents d
-        |LEFT JOIN (SELECT DISTINCT bid FROM dups) dp ON dp.bid = d.doc_id
-        |WHERE d.doc_id % 5 = 0
-        |ORDER BY d.doc_id""".stripMargin,
+    "q_dsl_dedupe_closed" -> closedLoopOracle, // identical by spec: gates the YAML dedupe_loop sink plumbing
+    "q_stream_dedupe_closed" -> closedLoopOracle,
     // the YAML lifecycle (build half + append half + cadence compact +
     // indexPath probe) keeps exactly the novel batch docs — the
     // q_dsl_dedupe_incremental complement projection, shared because

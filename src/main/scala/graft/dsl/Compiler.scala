@@ -540,6 +540,10 @@ object Compiler {
                   sys.error(s"sink '${p.sink.name}': ann_index kind must be " +
                     s"ivfpq|ivf|lsh|minhash, got '$other'")
               }
+            case "dedupe_loop" =>
+              sys.error(s"sink '${p.sink.name}': mode dedupe_loop is " +
+                "streaming-only (the closed crawl loop probes and appends " +
+                "per micro-batch) — declare the source streaming: true")
             case other =>
               sys.error(s"sink '${p.sink.name}': ann_index mode must be " +
                 s"overwrite|append, got '$other'")
@@ -625,6 +629,57 @@ object Compiler {
     if (graft.streaming.StateFormat.hasCustomState(p.frame))
       ckpt.foreach(c =>
         graft.streaming.StateFormat.ensure(p.frame.sparkSession, c))
+    // the CLOSED CRAWL LOOP, declaratively (round 14): a STREAMING
+    // ann_index sink with `mode: dedupe_loop` drives each micro-batch
+    // through the kind-dispatched closed-loop closure — probe the index
+    // snapshot, write the batch's verdicts to `verdictPath`, append the
+    // survivors back, run the compact/rebuild cadence — so the online
+    // crawl-ingest pipeline (probe → keep → index grows) is one YAML
+    // manifest, no library seam required. Kind comes from the on-disk
+    // MANIFEST (minhash → text near-dedup; ivf → semantic dedup); the
+    // build/append legs stay batch (`mode: overwrite|append`).
+    if (p.sink.format == "ann_index") {
+      val o = p.sink.options
+      require(o.getOrElse("mode", "") == "dedupe_loop",
+        s"sink '${p.sink.name}': a streaming ann_index sink supports only " +
+          "mode: dedupe_loop (build/append are batch pipelines)")
+      // verdicts need a home, and the checkpoint must be EXPLICIT — the
+      // default path-derived checkpoint would land inside the index dir
+      val verdictPath = o.getOrElse("verdictPath",
+        sys.error(s"sink '${p.sink.name}': dedupe_loop needs verdictPath"))
+      require(p.sink.checkpoint.nonEmpty,
+        s"sink '${p.sink.name}': dedupe_loop needs an explicit checkpoint: " +
+          "(the index directory is not a checkpoint location)")
+      val spark = p.frame.sparkSession
+      val cadN = o.get("compactEveryNAppends").map(_.toInt)
+      val cadPsi = o.get("rebuildOnPsi").map(_.toDouble)
+      val loop: DataFrame => DataFrame =
+        graft.ops.AnnIndexStore.kindOf(spark, p.sink.path) match {
+          case "minhash" => graft.ops.AnnIndexStore.closedLoopDedupingBatchFn(
+            spark, p.sink.path,
+            o.getOrElse("idField", "doc_id"), o.getOrElse("field", "text"),
+            minSim = o.getOrElse("minSimilarity", "0.5").toDouble,
+            compactEveryNAppends = cadN, rebuildOnPsi = cadPsi)
+          case "ivf" => graft.ops.AnnIndexStore.closedLoopSemanticBatchFn(
+            spark, p.sink.path,
+            o.getOrElse("idField", "vec_id"), o.getOrElse("vecField", "embedding"),
+            minCosine = o.getOrElse("minCosine", "0.5").toDouble,
+            nProbe = o.getOrElse("nProbe", "2").toInt,
+            compactEveryNAppends = cadN, rebuildOnPsi = cadPsi)
+          case other => sys.error(s"sink '${p.sink.name}': dedupe_loop needs " +
+            s"a minhash or ivf index, got kind '$other'")
+        }
+      val writer = (b: org.apache.spark.sql.DataFrame, bid: Long) => {
+        loop(b)
+          .withColumn("batch_id", lit(bid))
+          .coalesce(1) // |batch| verdict rows; one small file per micro-batch
+          .write.mode("append").parquet(verdictPath)
+        ()
+      }
+      return p.frame.writeStream.outputMode(p.outputMode).trigger(trigger)
+        .option("checkpointLocation", p.sink.checkpoint)
+        .foreachBatch(writer).start()
+    }
     // push delivers through foreachBatch, not a DataSource format
     if (p.sink.format == "push") {
       require(p.sink.partitionBy.isEmpty,

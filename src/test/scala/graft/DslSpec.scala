@@ -2064,6 +2064,67 @@ class DslSpec extends SparkSpec {
     assert(rk.getMessage.contains("refineK"))
   }
 
+  test("ann_index sink: dedupe_loop mode is streaming-only and validates its options") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsl_loop").toString
+    val corpus = Seq((10L, "the quick brown fox jumps over the lazy dog daily"))
+      .toDF("doc_id", "text")
+    graft.ops.AnnIndexStore.saveMinhash(s"$dir/mh", corpus, "doc_id", "text", 3, 16, 4)
+    def yaml(streaming: Boolean, opts: String, sinkExtra: String = ""): String =
+      s"""kind: Source
+         |metadata: {name: in}
+         |spec:
+         |  format: ${if (streaming) "parquet" else "table"}
+         |  path: ${if (streaming) s"$dir/in" else "in_tbl"}
+         |${if (streaming) "  streaming: true\n  schema: \"doc_id BIGINT, text STRING\"" else ""}
+         |---
+         |kind: Sink
+         |metadata: {name: loop}
+         |spec:
+         |  format: ann_index
+         |  path: $dir/mh
+         |$sinkExtra
+         |  options:
+         |$opts
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: in, steps: [], sink: loop}
+         |""".stripMargin
+    // batch pipeline with dedupe_loop refuses with the streaming hint
+    val eb = intercept[RuntimeException](Compiler.write(Compiler.compile(spark,
+      YamlLoader.load(yaml(streaming = false, "    mode: dedupe_loop")),
+      tables = Map("in_tbl" -> corpus))("p")))
+    assert(eb.getMessage.contains("streaming-only"), eb.getMessage)
+    // streaming without verdictPath / without checkpoint refuses
+    Seq((10L, "x")).toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val ev = intercept[RuntimeException](Compiler.write(Compiler.compile(spark,
+      YamlLoader.load(yaml(streaming = true, "    mode: dedupe_loop")))("p")))
+    assert(ev.getMessage.contains("verdictPath"), ev.getMessage)
+    val ec = intercept[IllegalArgumentException](Compiler.write(Compiler.compile(spark,
+      YamlLoader.load(yaml(streaming = true,
+        s"    mode: dedupe_loop\n    verdictPath: $dir/out")))("p")))
+    assert(ec.getMessage.contains("checkpoint"), ec.getMessage)
+    // a vector-codes kind refuses (loop needs minhash|ivf)
+    def vecs8(n: Int) = spark.range(n).select(col("id").as("vec_id"),
+      org.apache.spark.sql.functions.transform(sequence(lit(0), lit(7)), i =>
+        ((pmod(xxhash64(col("id"), i), lit(2000L)).cast("float") - 1000f) / 1000f)
+          .cast("float")).as("embedding"))
+    val q8 = graft.ops.Similarity.centroids(vecs8(60), "vec_id", "embedding", 2)
+      .select(col("cent_id"), col("cent_vec"))
+    val cb8 = graft.ops.Similarity.pqCodebook(vecs8(60), "vec_id", "embedding",
+      m = 2, codesK = 4, iters = 2, dim = 8)
+    graft.ops.AnnIndexStore.saveIvfPq(s"$dir/pq", q8, cb8,
+      graft.ops.Similarity.ivfPqIndex(vecs8(60), "vec_id", "embedding", q8, cb8,
+        m = 2, dim = 8), m = 2, dim = 8, codesK = 4)
+    val ek = intercept[RuntimeException](Compiler.write(Compiler.compile(spark,
+      YamlLoader.load(yaml(streaming = true,
+        s"    mode: dedupe_loop\n    verdictPath: $dir/out",
+        sinkExtra = s"  checkpoint: $dir/chk")
+        .replace(s"path: $dir/mh", s"path: $dir/pq")))("p")))
+    assert(ek.getMessage.contains("minhash or ivf"), ek.getMessage)
+  }
+
   test("ann_index sink: minhash kind, append mode, declarative maintenance cadence") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dsl_annlc").toString

@@ -25,6 +25,7 @@ class ExamplesSpec extends SparkSpec {
       .replace("path: data/", s"path: $dir/data/")
       .replace("checkpoint: data/", s"checkpoint: $dir/data/")
       .replace("indexPath: data/", s"indexPath: $dir/data/")
+      .replace("verdictPath: data/", s"verdictPath: $dir/data/")
     val f = Paths.get(dir, name)
     Files.writeString(f, out)
     f.toString
@@ -171,6 +172,61 @@ class ExamplesSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(novel == Set(102L),
       s"corpus AND appended near-dups must drop, the novel doc survives: $novel")
+  }
+
+  test("streaming-dedup-closed.yaml: the crawl loop drains, dedupes, and grows the index") {
+    val dir = Files.createTempDirectory("graft_ex_loop").toString
+    def doc(i: Long) = (i, s"document number $i about subject${i % 4} " +
+      s"with shared phrasing alpha beta gamma delta token${i % 3}")
+    // corpus index (phase-1 build manifest, reused)
+    (0L until 20L).map(doc).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/data/corpus")
+    assert(Cli.run(Seq("run", materialize("corpus-index-build.yaml", dir)),
+      sparkOpt = Some(spark)) == 0)
+    // the loop manifest reads data/crawl-in and writes into the phase-1
+    // index location — point it there
+    val loop = {
+      val m = materialize("streaming-dedup-closed.yaml", dir)
+      val txt = Files.readString(Paths.get(m))
+        .replace(s"$dir/data/corpus-index", s"$dir/data/out/dedup-index")
+      Files.writeString(Paths.get(m), txt)
+      m
+    }
+    // two waves (mtime-ordered files, one per micro-batch): wave 0 = a
+    // corpus near-dup + a novel doc; wave 1 = a near-dup of wave 0's
+    // NOVEL doc — the verdict only the closed loop can produce
+    val inDir = Paths.get(s"$dir/data/crawl-in")
+    Files.createDirectories(inDir)
+    val novel = "entirely fresh vocabulary nothing in the corpus resembles at all"
+    def waveFile(w: Int, rows: Seq[(Long, String)]): Unit = {
+      val stage = s"$dir/stage$w"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val dest = inDir.resolve(s"wave$w.parquet")
+      Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + w * 60000L)
+    }
+    waveFile(0, Seq((100L, doc(5L)._2 + " indeed"), (101L, novel)))
+    waveFile(1, Seq((102L, novel + " again")))
+    assert(Cli.run(Seq("validate", loop)) == 0)
+    assert(Cli.run(Seq("run", loop), sparkOpt = Some(spark)) == 0)
+    val verdicts = spark.read.parquet(s"$dir/data/out/verdicts")
+      .select("doc_id", "dup").as[(Long, Int)].collect().toMap
+    assert(verdicts == Map(100L -> 1, 101L -> 0, 102L -> 1),
+      s"corpus dup, novel survivor, and the survivor's near-dup: $verdicts")
+    // the survivor joined the index
+    val resident = graft.ops.AnnIndexStore
+      .loadMinhash(spark, s"$dir/data/out/dedup-index")
+      .sigs.select("n_id").as[Long].collect().toSet
+    assert(resident.contains(101L) && !resident.contains(102L))
+    // run-to-drain resumes: a THIRD wave landing after the first drain is
+    // deduped against the survivor on the next run (checkpointed source)
+    waveFile(2, Seq((103L, novel + " once more")))
+    assert(Cli.run(Seq("run", loop), sparkOpt = Some(spark)) == 0)
+    val v2 = spark.read.parquet(s"$dir/data/out/verdicts")
+      .select("doc_id", "dup").as[(Long, Int)].collect().toMap
+    assert(v2(103L) == 1, s"resumed drain must see the grown index: $v2")
   }
 
   test("ann-build.yaml + ann-retrieve.yaml: index persists, queries serve off it") {
