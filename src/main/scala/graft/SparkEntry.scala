@@ -2086,6 +2086,75 @@ object SparkEntry {
     } finally s.conf.set(shufConf, prevShuf)
   }
 
+  /** [[qDslDedupeClosed]] for the VECTOR kind: the same streaming
+    * `ann_index` sink (`mode: dedupe_loop`) over an ivf index dispatches
+    * to the semantic closed loop — result-identical to
+    * [[qStreamSemanticClosed]] by spec, oracle shared verbatim; the row
+    * gates the ivf leg of the declarative dispatch (vecField/minCosine/
+    * nProbe threading).
+    */
+  private def qDslSemanticClosed(s: SparkSession, dir: String): DataFrame = {
+    val S = graft.ops.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qdsc").toString
+    TempReaper.register(tmp)
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufConf)
+    s.conf.set(shufConf, "8")
+    try {
+      val e = emb(s, dir)
+      val baseIdx = cachedIndexDir("semflat", dir) { t =>
+        val bench = e.filter(col("vec_id") < 8)
+        val quant = S.centroids(bench, "vec_id", "embedding", 4)
+          .select(col("cent_id"), col("cent_vec"))
+        graft.ops.AnnIndexStore.saveIvf(s"$t/flat", quant,
+          S.ivfIndex(bench, "vec_id", "embedding", quant))
+      }
+      val conf = s.sparkContext.hadoopConfiguration
+      val srcP = new org.apache.hadoop.fs.Path(s"$baseIdx/flat")
+      val dstP = new org.apache.hadoop.fs.Path(s"$tmp/flat")
+      org.apache.hadoop.fs.FileUtil.copy(
+        srcP.getFileSystem(conf), srcP, dstP.getFileSystem(conf), dstP, false, conf)
+      val batch = e.filter(col("vec_id") >= 8)
+        .select(col("vec_id"), col("embedding"),
+          pmod(col("vec_id"), lit(3)).as("wave"))
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      writeWaveFiles(batch, "wave", 3, s"$tmp/stage", inDir)
+      val yaml =
+        s"""kind: Source
+           |metadata: {name: waves}
+           |spec:
+           |  format: parquet
+           |  path: $tmp/in
+           |  streaming: true
+           |  schema: "vec_id BIGINT, embedding ARRAY<FLOAT>"
+           |  rateCap: {maxFilesPerTrigger: 1}
+           |---
+           |kind: Sink
+           |metadata: {name: loop}
+           |spec:
+           |  format: ann_index
+           |  path: $tmp/flat
+           |  checkpoint: $tmp/chk
+           |  options:
+           |    mode: dedupe_loop
+           |    verdictPath: $tmp/out
+           |    minCosine: "0.5"
+           |    nProbe: "2"
+           |    compactEveryNAppends: "2"
+           |---
+           |kind: Pipeline
+           |metadata: {name: p}
+           |spec: {source: waves, steps: [], sink: loop}
+           |""".stripMargin
+      graft.dsl.Compiler.write(
+        graft.dsl.Compiler.compile(s, graft.dsl.YamlLoader.load(yaml))("p"))
+      s.read.parquet(s"$tmp/out")
+        .select(col("vec_id"), col("kept"), col("batch_id"))
+        .orderBy(col("vec_id"))
+    } finally s.conf.set(shufConf, prevShuf)
+  }
+
   /** Rebuild round-trip (the [[graft.ops.AnnIndexStore.rebuild]] e2e
     * gate): HALF the corpus (doc_id % 5 in 1,2) is saved as the minhash
     * index — sized for half the rows — the other half (% 5 in 3,4) is
@@ -4587,6 +4656,7 @@ object SparkEntry {
     "q_dedup_semantic" -> (qDedupSemantic _),
     "q_dedup_semantic_served" -> (qDedupSemanticServed _),
     "q_stream_semantic_closed" -> (qStreamSemanticClosed _),
+    "q_dsl_semantic_closed" -> (qDslSemanticClosed _),
     "q_dsl_ann" -> (qDslAnn _),
     "q_dsl_semdedup" -> (qDslSemdedup _),
     "q_kmeans" -> (qKmeans _),
@@ -4862,6 +4932,76 @@ object SparkEntry {
         |LEFT JOIN (SELECT DISTINCT bid FROM dups) dp ON dp.bid = d.doc_id
         |WHERE d.doc_id % 5 = 0
         |ORDER BY d.doc_id""".stripMargin
+
+  /** The semantic closed loop's cumulative replay (shared by the
+    * library-seam and YAML rows).
+    */
+  private def semanticClosedOracle: String =
+      """WITH bench AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8
+        |), cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_vec FROM (
+        |    SELECT vec_id, embedding,
+        |      row_number() OVER (ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id) AS r
+        |    FROM bench
+        |  ) WHERE r <= 4
+        |), probe_cells AS (
+        |  SELECT _aid, cent_id FROM (
+        |    SELECT _aid, cent_id, row_number() OVER (PARTITION BY _aid ORDER BY csim DESC, cent_id) AS cr
+        |    FROM (
+        |      SELECT e.vec_id AS _aid, c.cent_id,
+        |        round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])) /
+        |          (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |           sqrt(list_dot_product(CAST(c.cent_vec AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])))), 6) AS csim
+        |      FROM embeddings e CROSS JOIN cents c
+        |      WHERE e.vec_id >= 8
+        |    )
+        |  ) WHERE cr <= 2
+        |), res_cell AS (
+        |  SELECT _aid, cent_id FROM (
+        |    SELECT _aid, cent_id, row_number() OVER (PARTITION BY _aid ORDER BY csim DESC, cent_id) AS cr
+        |    FROM (
+        |      SELECT e.vec_id AS _aid, c.cent_id,
+        |        round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])) /
+        |          (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |           sqrt(list_dot_product(CAST(c.cent_vec AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])))), 6) AS csim
+        |      FROM embeddings e CROSS JOIN cents c
+        |    )
+        |  ) WHERE cr = 1
+        |), cand AS (
+        |  SELECT DISTINCT p._aid AS pid, rc._aid AS rid
+        |  FROM probe_cells p JOIN res_cell rc ON p.cent_id = rc.cent_id
+        |  JOIN embeddings pe ON pe.vec_id = p._aid
+        |  JOIN embeddings re2 ON re2.vec_id = rc._aid
+        |  WHERE rc._aid <> p._aid
+        |    AND round(list_dot_product(CAST(pe.embedding AS DOUBLE[]), CAST(re2.embedding AS DOUBLE[])) /
+        |      (sqrt(list_dot_product(CAST(pe.embedding AS DOUBLE[]), CAST(pe.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(CAST(re2.embedding AS DOUBLE[]), CAST(re2.embedding AS DOUBLE[])))), 6) >= 0.5
+        |), w0 AS (
+        |  SELECT DISTINCT pid FROM cand WHERE pid % 3 = 0 AND rid < 8
+        |), s0 AS (
+        |  SELECT vec_id FROM embeddings
+        |  WHERE vec_id >= 8 AND vec_id % 3 = 0
+        |    AND vec_id NOT IN (SELECT pid FROM w0)
+        |), w1 AS (
+        |  SELECT DISTINCT pid FROM cand
+        |  WHERE pid % 3 = 1 AND (rid < 8 OR rid IN (SELECT vec_id FROM s0))
+        |), s1 AS (
+        |  SELECT vec_id FROM embeddings
+        |  WHERE vec_id >= 8 AND vec_id % 3 = 1
+        |    AND vec_id NOT IN (SELECT pid FROM w1)
+        |), w2 AS (
+        |  SELECT DISTINCT pid FROM cand
+        |  WHERE pid % 3 = 2 AND (rid < 8
+        |    OR rid IN (SELECT vec_id FROM s0) OR rid IN (SELECT vec_id FROM s1))
+        |), drops AS (
+        |  SELECT pid FROM w0 UNION ALL SELECT pid FROM w1 UNION ALL SELECT pid FROM w2
+        |)
+        |SELECT e.vec_id, (d.pid IS NULL) AS kept, e.vec_id % 3 AS batch_id
+        |FROM embeddings e
+        |LEFT JOIN (SELECT DISTINCT pid FROM drops) d ON d.pid = e.vec_id
+        |WHERE e.vec_id >= 8
+        |ORDER BY e.vec_id""".stripMargin
 
   private def multiprobeOracle: String =
     """WITH params AS (
@@ -7891,72 +8031,8 @@ object SparkEntry {
     // cell/cosine machinery, with candidates = (probe top-2 cells) ×
     // (resident top-1 cell) and the wave recursion unrolled — wave w
     // drops against bench + embedding survivors of waves < w
-    "q_stream_semantic_closed" ->
-      """WITH bench AS (
-        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8
-        |), cents AS (
-        |  SELECT vec_id AS cent_id, embedding AS cent_vec FROM (
-        |    SELECT vec_id, embedding,
-        |      row_number() OVER (ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT), vec_id) AS r
-        |    FROM bench
-        |  ) WHERE r <= 4
-        |), probe_cells AS (
-        |  SELECT _aid, cent_id FROM (
-        |    SELECT _aid, cent_id, row_number() OVER (PARTITION BY _aid ORDER BY csim DESC, cent_id) AS cr
-        |    FROM (
-        |      SELECT e.vec_id AS _aid, c.cent_id,
-        |        round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])) /
-        |          (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
-        |           sqrt(list_dot_product(CAST(c.cent_vec AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])))), 6) AS csim
-        |      FROM embeddings e CROSS JOIN cents c
-        |      WHERE e.vec_id >= 8
-        |    )
-        |  ) WHERE cr <= 2
-        |), res_cell AS (
-        |  SELECT _aid, cent_id FROM (
-        |    SELECT _aid, cent_id, row_number() OVER (PARTITION BY _aid ORDER BY csim DESC, cent_id) AS cr
-        |    FROM (
-        |      SELECT e.vec_id AS _aid, c.cent_id,
-        |        round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])) /
-        |          (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
-        |           sqrt(list_dot_product(CAST(c.cent_vec AS DOUBLE[]), CAST(c.cent_vec AS DOUBLE[])))), 6) AS csim
-        |      FROM embeddings e CROSS JOIN cents c
-        |    )
-        |  ) WHERE cr = 1
-        |), cand AS (
-        |  SELECT DISTINCT p._aid AS pid, rc._aid AS rid
-        |  FROM probe_cells p JOIN res_cell rc ON p.cent_id = rc.cent_id
-        |  JOIN embeddings pe ON pe.vec_id = p._aid
-        |  JOIN embeddings re2 ON re2.vec_id = rc._aid
-        |  WHERE rc._aid <> p._aid
-        |    AND round(list_dot_product(CAST(pe.embedding AS DOUBLE[]), CAST(re2.embedding AS DOUBLE[])) /
-        |      (sqrt(list_dot_product(CAST(pe.embedding AS DOUBLE[]), CAST(pe.embedding AS DOUBLE[]))) *
-        |       sqrt(list_dot_product(CAST(re2.embedding AS DOUBLE[]), CAST(re2.embedding AS DOUBLE[])))), 6) >= 0.5
-        |), w0 AS (
-        |  SELECT DISTINCT pid FROM cand WHERE pid % 3 = 0 AND rid < 8
-        |), s0 AS (
-        |  SELECT vec_id FROM embeddings
-        |  WHERE vec_id >= 8 AND vec_id % 3 = 0
-        |    AND vec_id NOT IN (SELECT pid FROM w0)
-        |), w1 AS (
-        |  SELECT DISTINCT pid FROM cand
-        |  WHERE pid % 3 = 1 AND (rid < 8 OR rid IN (SELECT vec_id FROM s0))
-        |), s1 AS (
-        |  SELECT vec_id FROM embeddings
-        |  WHERE vec_id >= 8 AND vec_id % 3 = 1
-        |    AND vec_id NOT IN (SELECT pid FROM w1)
-        |), w2 AS (
-        |  SELECT DISTINCT pid FROM cand
-        |  WHERE pid % 3 = 2 AND (rid < 8
-        |    OR rid IN (SELECT vec_id FROM s0) OR rid IN (SELECT vec_id FROM s1))
-        |), drops AS (
-        |  SELECT pid FROM w0 UNION ALL SELECT pid FROM w1 UNION ALL SELECT pid FROM w2
-        |)
-        |SELECT e.vec_id, (d.pid IS NULL) AS kept, e.vec_id % 3 AS batch_id
-        |FROM embeddings e
-        |LEFT JOIN (SELECT DISTINCT pid FROM drops) d ON d.pid = e.vec_id
-        |WHERE e.vec_id >= 8
-        |ORDER BY e.vec_id""".stripMargin,
+    "q_stream_semantic_closed" -> semanticClosedOracle,
+    "q_dsl_semantic_closed" -> semanticClosedOracle, // identical by spec: gates the ivf dedupe_loop YAML leg
     "q_kmeans" ->
       """WITH seeds AS (
         |  SELECT CAST(vec_id AS BIGINT) AS cluster, CAST(embedding AS DOUBLE[]) AS cent
