@@ -819,6 +819,57 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(ek.getMessage.contains("minhash"))
   }
 
+  test("closed loop + rebuildOnPsi: length drift triggers an in-stream rebuild that self-clears") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_loopdrift").toString
+    // corpus: SHORT docs (few shingles -> large leading min-hash); the
+    // stream lands LONG docs (many shingles -> small mins) — the length
+    // drift class the minhash drift scalar exists to catch
+    def shortDoc(i: Long) = (i, s"tiny note $i alpha beta")
+    def longDoc(i: Long) = (i, (0 until 60).map(w => s"u${i}x$w")
+      .mkString("long document ", " ", s" tail$i")) // doc-scoped vocab: no shared shingles
+    val corpus = (0L until 30L).map(shortDoc).toDF("doc_id", "text")
+    Seq("drift", "control").foreach { leg =>
+      AnnIndexStore.saveMinhash(s"$dir/$leg", corpus, "doc_id", "text",
+        n = 3, k = 16, bands = 4)
+      assert(AnnIndexStore.driftPsi(spark, s"$dir/$leg").exists(_ < 0.05))
+    }
+    val waves = Seq((100L until 130L).map(longDoc), (200L until 230L).map(longDoc))
+    def drain(leg: String, rebuildOnPsi: Option[Double]): Seq[(Long, Int)] = {
+      val fn = AnnIndexStore.closedLoopDedupingBatchFn(spark, s"$dir/$leg",
+        "doc_id", "text", minSim = 0.5, rebuildOnPsi = rebuildOnPsi)
+      waves.flatMap(w => fn(w.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)))).sortBy(_._1)
+    }
+    // control: no cadence — the appended length drift is REAL and visible
+    val controlVerdicts = drain("control", rebuildOnPsi = None)
+    val controlPsi = AnnIndexStore.driftPsi(spark, s"$dir/control")
+    assert(controlPsi.exists(_ >= 0.15),
+      s"the fixture must actually drift, got $controlPsi")
+    // drift leg: the cadence fires mid-stream and re-references — the
+    // advisor self-clears while the control stays red, and the verdicts
+    // are IDENTICAL (rebuild changes structure, never content)
+    val driftVerdicts = drain("drift", rebuildOnPsi = Some(0.15))
+    assert(driftVerdicts == controlVerdicts,
+      s"rebuild must not change verdicts: $driftVerdicts vs $controlVerdicts")
+    val clearedPsi = AnnIndexStore.driftPsi(spark, s"$dir/drift")
+    assert(clearedPsi.exists(_ < 0.15),
+      s"in-stream rebuild must re-reference the histogram, got $clearedPsi")
+    // content survived the rebuild: all unique docs resident, and a probe
+    // against a landed doc reads dup=1 on BOTH legs (rebuild changes
+    // structure, never verdicts)
+    Seq("drift", "control").foreach { leg =>
+      val resident = AnnIndexStore.loadMinhash(spark, s"$dir/$leg")
+        .sigs.select("n_id").collect().map(_.getLong(0)).toSet
+      assert(resident.size == 30 + 60, s"$leg: $resident")
+      val verdict = AnnIndexStore.dedupeAgainstMinhash(
+        AnnIndexStore.loadMinhash(spark, s"$dir/$leg"),
+        Seq((999L, longDoc(105L)._2)).toDF("doc_id", "text"),
+        "doc_id", "text", 0.5).collect()(0).getInt(1)
+      assert(verdict == 1, s"$leg: a landed doc's copy must read dup=1")
+    }
+  }
+
   test("closed-loop semantic ingest: embedding survivors join the index between waves") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
