@@ -51,6 +51,14 @@ object Cli {
           Compiler.write(Compiler.CompiledPipeline(s"${p.name}-dlq", dlq, sink, Nil))
           println(s"pipeline ${p.name}: wrote DLQ sink '${sink.name}'")
         }
+        // a `metrics: true` pipeline prints its stage counters after the
+        // drain (the reference scrapes these; the CLI's surface is stdout)
+        p.observer.foreach { obs =>
+          obs.rows(spark).foreach { case (pl, stage, metric, v) =>
+            println(f"metric $pl%-20s $stage%-24s $metric%-18s $v")
+          }
+          obs.close(spark)
+        }
       }
       0
 
@@ -102,7 +110,13 @@ object Cli {
         case errs  => errs.foreach(e => println(s"ERROR: $e")); 1
       }
 
-    case Seq("registry", "run", dir, ref) =>
+    case Seq("registry", "run", dir, ref, rest @ _*)
+        if rest.isEmpty || rest == Seq("--metrics") =>
+      // --metrics meters the run regardless of the manifest's own
+      // `metrics:` flag — the operator's one-off inspection switch
+      // (conveyor-etl-metrics parity: the reference scrapes these
+      // counters from the router; here they print after the drain)
+      val withMetrics = rest.nonEmpty
       val (ns, n) = splitRef(ref)
       val reg = RegistryStore.loadAll(dir)
       reg.getPipeline(ns, n) match {
@@ -112,7 +126,8 @@ object Cli {
           // compile() filters disabled manifests, which would otherwise
           // turn this into a silent no-op "success"
           println(s"ERROR: pipeline '$ns/$n' is disabled (enabled: false)"); 1
-        case Some(p) =>
+        case Some(p0) =>
+          val p = if (withMetrics) p0.copy(metrics = true) else p0
           reg.validatePipeline(p) match {
             case Seq() =>
               val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
@@ -131,6 +146,12 @@ object Cli {
                 for (dlq <- cp.dlq; sink <- cp.dlqSink) {
                   Compiler.write(Compiler.CompiledPipeline(s"${cp.name}-dlq", dlq, sink, Nil))
                   println(s"pipeline $ns/$n: wrote DLQ sink '${sink.name}'")
+                }
+                cp.observer.foreach { obs =>
+                  obs.rows(spark).foreach { case (pl, stage, metric, v) =>
+                    println(f"metric $pl%-20s $stage%-24s $metric%-18s $v")
+                  }
+                  obs.close(spark)
                 }
               }
               println(s"pipeline $ns/$n: wrote sink '${p.sink}'")
@@ -239,7 +260,7 @@ object Cli {
       println("usage: graft.Cli (validate|graph|run|get) <manifest.yaml> | " +
         "describe <manifest.yaml> <[ns/]name> | " +
         "registry (apply <dir> <manifest.yaml> | delete <dir> <kind> <[ns/]name> | " +
-        "list <dir> [ns] | validate <dir> | run <dir> <[ns/]pipeline>) | " +
+        "list <dir> [ns] | validate <dir> | run <dir> <[ns/]pipeline> [--metrics]) | " +
         "backup (create|list|restore) ... | " +
         "compact <path> <targetMB> [colA colB [bits]] | " +
         "ann (info <dir> | delete <dir> <ids.parquet> <idCol> | compact <dir> | " +

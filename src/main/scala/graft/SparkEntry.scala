@@ -2080,7 +2080,10 @@ object SparkEntry {
            |""".stripMargin
       graft.dsl.Compiler.write(
         graft.dsl.Compiler.compile(s, graft.dsl.YamlLoader.load(yaml))("p"))
-      s.read.parquet(s"$tmp/out")
+      // round 15: the dedupe_loop sink writes exactly-once — one
+      // overwrite-able subdirectory per batch — so the verdict tree is
+      // read recursively
+      s.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
         .select(col("doc_id"), col("dup").cast("int").as("dup"), col("batch_id"))
         .orderBy(col("doc_id"))
     } finally s.conf.set(shufConf, prevShuf)
@@ -2149,7 +2152,8 @@ object SparkEntry {
            |""".stripMargin
       graft.dsl.Compiler.write(
         graft.dsl.Compiler.compile(s, graft.dsl.YamlLoader.load(yaml))("p"))
-      s.read.parquet(s"$tmp/out")
+      // exactly-once verdict tree: one subdirectory per batch
+      s.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
         .select(col("vec_id"), col("kept"), col("batch_id"))
         .orderBy(col("vec_id"))
     } finally s.conf.set(shufConf, prevShuf)
@@ -3402,6 +3406,80 @@ object SparkEntry {
       .orderBy(col("graph_id"))
   }
 
+  /** Per-stage pipeline metrics (conveyor-etl-metrics/src/lib.rs:7-55:
+    * records received / routed per stage / delivered per sink / DLQ — the
+    * reference's Prometheus counter surface, re-expressed as observed
+    * metrics): a `metrics: true` pipeline compiles with a
+    * `Dataset.observe` point per stage ([[graft.observe.PipelineObserver]]
+    * — counters aggregate map-side INSIDE the sink action, exactly-once
+    * per action, no second pass), and the counter export is itself a
+    * DataFrame (pipeline, stage, metric, value). The oracle recomputes
+    * every counter relationally from the same fixture — stage counts ARE
+    * SQL — which is the point of exporting them as data: a counter you
+    * can assert with a query is a counter you can trust.
+    */
+  private def qMetrics(s: SparkSession, dir: String): DataFrame = {
+    val yaml =
+      """kind: Source
+        |metadata: {name: ev}
+        |spec: {format: table, path: events}
+        |---
+        |kind: Transform
+        |metadata: {name: check}
+        |spec:
+        |  type: validate
+        |  onInvalid: route
+        |  rules:
+        |    - {code: NEG_VALUE, condition: {gte: {field: value, value: 0}}}
+        |    - {code: VALUE_RANGE, condition: {lte: {field: value, value: 95}}}
+        |---
+        |kind: Transform
+        |metadata: {name: only-purchases}
+        |spec:
+        |  type: filter
+        |  condition: {equals: {field: event_type, value: purchase}}
+        |---
+        |kind: Transform
+        |metadata: {name: shape}
+        |spec:
+        |  type: map
+        |  fields:
+        |    - {target: event_id, source: event_id}
+        |    - {target: spend, expr: "value * 2"}
+        |---
+        |kind: Sink
+        |metadata: {name: out}
+        |spec: {format: noop, path: ""}
+        |---
+        |kind: Sink
+        |metadata: {name: dead}
+        |spec: {format: noop, path: ""}
+        |---
+        |kind: Pipeline
+        |metadata: {name: metered}
+        |spec:
+        |  source: ev
+        |  steps: [check, only-purchases, shape]
+        |  sink: out
+        |  metrics: true
+        |  dlq: {sink: dead}
+        |""".stripMargin
+    val cp = graft.dsl.Compiler.compile(s, graft.dsl.YamlLoader.load(yaml),
+      tables = Map("events" -> t(s, dir, "events")))("metered")
+    val obs = cp.observer.get
+    try {
+      graft.dsl.Compiler.write(cp)
+      // the DLQ branch drains too (its own action — derived from the
+      // shadow chain, so it moves no counters; records_dlq is the routed
+      // stage's in-out delta)
+      for (d <- cp.dlq; ds <- cp.dlqSink)
+        graft.dsl.Compiler.write(
+          graft.dsl.Compiler.CompiledPipeline("metered-dlq", d, ds, Nil))
+      // rows() captures the counters driver-side — safe to close after
+      obs.frame(s).orderBy(col("stage"), col("metric"))
+    } finally obs.close(s)
+  }
+
   private def qDslPipeline(s: SparkSession, dir: String): DataFrame = {
     val yaml =
       """kind: Source
@@ -4620,6 +4698,7 @@ object SparkEntry {
     "q_source_jdbc" -> (qSourceJdbc _),
     "q_compact" -> (qCompact _),
     "q_dsl_pipeline" -> (qDslPipeline _),
+    "q_metrics" -> (qMetrics _),
     "q_dsl_registry" -> (qDslRegistry _),
     "q_registry_backup" -> (qRegistryBackup _),
     "q_dag_validate" -> (qDagValidate _),
@@ -7029,6 +7108,31 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'staging', event_id, value * 10 FROM events
         |ORDER BY ns, event_id""".stripMargin,
+    // Pipeline metrics parity: every runtime counter the metered pipeline
+    // exports is recomputed relationally from the fixture — received =
+    // |events|, the validate stage's out = rule survivors, the filter's
+    // out = purchase survivors, delivered = rows into the sink, dlq =
+    // the routed stage's in-out delta.
+    "q_metrics" ->
+      """WITH c AS (
+        |  SELECT
+        |    (SELECT count(*) FROM events) AS n_ev,
+        |    (SELECT count(*) FROM events WHERE value >= 0 AND value <= 95) AS n_valid,
+        |    (SELECT count(*) FROM events
+        |     WHERE value >= 0 AND value <= 95 AND event_type = 'purchase') AS n_purch
+        |)
+        |SELECT 'metered' AS pipeline, stage, metric, value FROM (
+        |  SELECT 'ev' AS stage, 'records_received' AS metric, n_ev AS value FROM c
+        |  UNION ALL SELECT 'check', 'records_in', n_ev FROM c
+        |  UNION ALL SELECT 'check', 'records_out', n_valid FROM c
+        |  UNION ALL SELECT 'only-purchases', 'records_in', n_valid FROM c
+        |  UNION ALL SELECT 'only-purchases', 'records_out', n_purch FROM c
+        |  UNION ALL SELECT 'shape', 'records_in', n_purch FROM c
+        |  UNION ALL SELECT 'shape', 'records_out', n_purch FROM c
+        |  UNION ALL SELECT 'out', 'records_delivered', n_purch FROM c
+        |  UNION ALL SELECT '__dlq', 'records_dlq', n_ev - n_valid FROM c
+        |)
+        |ORDER BY stage, metric""".stripMargin,
     // Backup/restore: the oracle knows ONLY the third config generation
     // (threshold 30) and its checkpoint coordinates (offsets 57, epoch 9) —
     // restoring any earlier backup, corrupting a restored subtree, or

@@ -358,6 +358,19 @@ object Stress {
       "curation_fused_capped" -> (() => curationFrame(curationInput,
         curationSteps.map { case (n, spec) =>
           if (n == "dedupe_near") n -> (spec + "\n  maxBucket: 8") else n -> spec })),
+      // the PRODUCTION posture (llm-corpus-prod.yaml): maxBucket cap +
+      // a real stage boundary at the dedupe_near input (per-step
+      // `materialize: true` — scratch-parquet staging, so AQE plans the
+      // near-dup pass and everything after against exact sizes). The
+      // row prices the declarative form of the segmented recipe; at the
+      // fixture's pathological near-dup density it should land near the
+      // segmented-sum wall, not the fused one
+      "curation_prod" -> (() => curationFrame(curationInput,
+        curationSteps.map { case (n, spec) =>
+          if (n == "dedupe_near") n -> (spec + "\n  maxBucket: 8")
+          else if (n == "dedupe_exact") n -> (spec + "\n  materialize: true")
+          else n -> spec
+        })),
       "curation_segmented" -> (() => {
         val marks = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
         var cur = curationInput

@@ -46,7 +46,14 @@ object Compiler {
       /** Manifest `spec.stateStore`: streaming state-store backend pinned
         * at query start (None = session default).
         */
-      stateStore: Option[String] = None
+      stateStore: Option[String] = None,
+      /** `metrics: true` — the per-stage counter observer wired through
+        * this pipeline's plan ([[graft.observe.PipelineObserver]]). Read
+        * `observer.get.frame(spark)` after running the pipeline; call
+        * `observer.get.close(spark)` when done with it (listeners leak
+        * otherwise).
+        */
+      observer: Option[graft.observe.PipelineObserver] = None
   )
 
   /** Compile every enabled pipeline. `tables` resolves format=table sources
@@ -102,37 +109,83 @@ object Compiler {
       val sourceDf = readSource(spark, src, tables)
 
       // optimizer.rs:find_shared_prefix — longest common leading step run.
-      val prefix = sharedPrefix(pipes.map(_.steps))
-      val totalSteps = pipes.map(_.steps.length).max
+      // METERED pipelines opt out of prefix sharing: their observation
+      // points are per-pipeline plan nodes, so their chains compile
+      // individually (exact per-stage counters beat plan reuse for the
+      // pipelines an operator chose to meter)
+      val plainSteps = pipes.filterNot(_.metrics).map(_.steps)
+      val prefix = sharedPrefix(plainSteps)
+      val totalSteps = plainSteps.map(_.length).maxOption.getOrElse(0)
       val (prefixDf, prefixDlq) = prefix.zipWithIndex
         .foldLeft((sourceDf, Seq.empty[DataFrame])) {
           case ((df, dlqs), (step, idx)) =>
             val t = transformOf(reg, ns, step)
             val (out, dlq) =
               applyTransformRouted(barrierForSelfJoin(df, t, idx), t, lookupTables)
-            (rewriteFence(out, t, stepsRemaining = idx + 1 < totalSteps),
+            (materializeStage(
+              rewriteFence(out, t, stepsRemaining = idx + 1 < totalSteps), t),
               dlqs ++ dlq)
         }
       // streaming frames can't cache; each consumer re-reads the source,
       // which the file-stream source dedupes via its seen-files log
       val sharedDf =
-        if (pipes.size > 1 && prefix.nonEmpty && !prefixDf.isStreaming) prefixDf.cache()
+        if (plainSteps.size > 1 && prefix.nonEmpty && !prefixDf.isStreaming) prefixDf.cache()
         else prefixDf
 
       pipes.map { p =>
-        val tail = p.steps.drop(prefix.length)
-        val (frame, tailDlq) = tail.zipWithIndex
-          .foldLeft((sharedDf, Seq.empty[DataFrame])) { case ((df, dlqs), (step, i)) =>
-            val t = transformOf(reg, ns, step)
-            val (out, dlq) = applyTransformRouted(
-              barrierForSelfJoin(df, t, prefix.length + i), t, lookupTables)
-            (rewriteFence(out, t, stepsRemaining = i + 1 < tail.length),
-              dlqs ++ dlq)
-          }
+        // `metrics: true` — re-fold the FULL chain with an observation
+        // point per stage (conveyor-etl-metrics parity). No lazy-
+        // checkpoint barriers here: observed metrics surface only
+        // through real Dataset actions, which a checkpoint's RDD
+        // materialization is not — the documented cost of metering.
+        val observer =
+          if (!p.metrics) None
+          else Some(new graft.observe.PipelineObserver(
+            if (ns == Registry.DefaultNamespace) p.name else s"$ns/${p.name}")
+            .register(spark))
+        val (frame, tailDlq) = observer match {
+          case Some(obs) =>
+            // DLQ branches derive from a SHADOW (unmetered) fold of the
+            // same steps: the DLQ sink writes as its own action, and a
+            // branch sharing the metered plan would re-fire every
+            // upstream observation point on that action (records_received
+            // double-counts). The routed count itself needs no
+            // observation — it is the routed stage's in-out delta.
+            var shadow = sourceDf
+            val seed = (obs.attach(sourceDf, sourceName, "source"),
+              Seq.empty[DataFrame])
+            p.steps.zipWithIndex.foldLeft(seed) {
+              case ((df, dlqs), (step, i)) =>
+                val t = transformOf(reg, ns, step)
+                val (shadowOut, shadowDlq) =
+                  applyTransformRouted(shadow, t, lookupTables)
+                shadow = shadowOut
+                // materialize composes with metering: the staging write
+                // is a real action, so the points below it fire exactly
+                // once (at compile) — unlike the checkpoint fences, which
+                // is why those are skipped here
+                val (out, routed) = applyTransformRouted(df, t, lookupTables)
+                (materializeStage(
+                  obs.attach(out, step, if (routed.isDefined) "routed" else "stage"), t),
+                  dlqs ++ shadowDlq)
+            }
+          case None =>
+            val tail = p.steps.drop(prefix.length)
+            tail.zipWithIndex
+              .foldLeft((sharedDf, Seq.empty[DataFrame])) { case ((df, dlqs), (step, i)) =>
+                val t = transformOf(reg, ns, step)
+                val (out, dlq) = applyTransformRouted(
+                  barrierForSelfJoin(df, t, prefix.length + i), t, lookupTables)
+                (materializeStage(
+                  rewriteFence(out, t, stepsRemaining = i + 1 < tail.length), t),
+                  dlqs ++ dlq)
+              }
+        }
         val sink = reg.getSink(ns, p.sink)
           .getOrElse(sys.error(s"unknown sink: ${p.sink} (namespace '$ns')"))
-        val allDlq = prefixDlq ++ tailDlq
+        val allDlq = (if (observer.isDefined) Seq.empty else prefixDlq) ++ tailDlq
         val dlqFrame = allDlq.reduceOption(_.unionByName(_))
+        val metered = observer.fold(frame)(_.attach(frame, p.sink, "sink"))
         val dlqSink = p.dlq.flatMap(d => reg.getSink(ns, d.sink))
         // AggregateEmit (types.rs:634-641) / SessionEmit (types.rs:690-697):
         // the LAST emitting step's mode decides the sink's output mode +
@@ -172,9 +225,10 @@ object Compiler {
         // and two namespaces' same-named pipelines never collide
         val qualified =
           if (ns == Registry.DefaultNamespace) p.name else s"$ns/${p.name}"
-        qualified -> CompiledPipeline(qualified, frame, sink, prefix, dlqFrame, dlqSink,
+        qualified -> CompiledPipeline(qualified, metered, sink,
+          if (observer.isDefined) Seq.empty else prefix, dlqFrame, dlqSink,
           outputMode = outMode, emitInterval = interval, triggerMode = p.trigger,
-          stateStore = p.stateStore)
+          stateStore = p.stateStore, observer = observer)
       }
     }
   }
@@ -325,6 +379,30 @@ object Compiler {
     if (stepsRemaining && !df.isStreaming && RewriteFenceSteps(t.transformType))
       df.localCheckpoint(false)
     else df
+
+  /** Per-step `materialize: true` — a REAL stage boundary: the step's
+    * output is staged to scratch parquet AT COMPILE TIME and the rest
+    * of the chain plans against the staged files. Unlike the lazy
+    * checkpoint fences above (block-level, invisible to the planner),
+    * staging hands AQE exact file sizes for every downstream join
+    * decision — the round-14 fused/segmented study's measured win when
+    * one step dominates the chain (dedupe_near at pathological near-dup
+    * density; see examples/manifests/llm-corpus-prod.yaml). Costs one
+    * linear parquet write+read, and compile() EXECUTES the chain up to
+    * the staged step — the declarative form of running the stage as its
+    * own pipeline. Batch only: a streaming step refuses loudly (its
+    * micro-batches already bound stage scope).
+    */
+  private def materializeStage(df: DataFrame, t: TransformManifest): DataFrame =
+    if (!t.config.get("materialize").exists(_.toString.toBoolean)) df
+    else if (df.isStreaming)
+      sys.error(s"step '${t.name}': materialize: true is batch-only " +
+        "(a streaming stage's micro-batches already bound its scope)")
+    else {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stage-").toString
+      df.write.mode("overwrite").parquet(dir)
+      df.sparkSession.read.parquet(dir)
+    }
 
   /** Graph stage ids qualify the namespace as "ns/name" (default ns bare). */
   private def transformOfStage(reg: Registry, stageId: String): TransformManifest =
@@ -653,27 +731,55 @@ object Compiler {
       val spark = p.frame.sparkSession
       val cadN = o.get("compactEveryNAppends").map(_.toInt)
       val cadPsi = o.get("rebuildOnPsi").map(_.toDouble)
-      val loop: DataFrame => DataFrame =
+      // marker namespace rides the CHECKPOINT (the identity of the
+      // batch-id sequence): a resumed run of the same stream reuses its
+      // markers, two streams with distinct checkpoints never collide
+      val loopId = f"${scala.util.hashing.MurmurHash3.stringHash(p.sink.checkpoint)}%08x"
+      // idempotent per-batch verdict persistence, BEFORE the append (a
+      // crash between the two replays into an identical recompute): each
+      // batch overwrites its own subdirectory, so a replayed write can
+      // never duplicate rows — read the whole tree back with
+      // recursiveFileLookup
+      val persist = Some((v: DataFrame, bid: Long) => {
+        v.withColumn("batch_id", lit(bid))
+          .coalesce(1) // |batch| verdict rows; one small file per micro-batch
+          .write.mode("overwrite").parquet(s"$verdictPath/batch-$bid")
+        ()
+      })
+      val loop: (DataFrame, Long) => Option[graft.ops.AnnIndexStore.LoopBatch] =
         graft.ops.AnnIndexStore.kindOf(spark, p.sink.path) match {
-          case "minhash" => graft.ops.AnnIndexStore.closedLoopDedupingBatchFn(
+          case "minhash" => graft.ops.AnnIndexStore.closedLoopDedupingCommitFn(
             spark, p.sink.path,
             o.getOrElse("idField", "doc_id"), o.getOrElse("field", "text"),
             minSim = o.getOrElse("minSimilarity", "0.5").toDouble,
-            compactEveryNAppends = cadN, rebuildOnPsi = cadPsi)
-          case "ivf" => graft.ops.AnnIndexStore.closedLoopSemanticBatchFn(
+            compactEveryNAppends = cadN, rebuildOnPsi = cadPsi,
+            loopId = loopId, persistVerdicts = persist)
+          case "ivf" => graft.ops.AnnIndexStore.closedLoopSemanticCommitFn(
             spark, p.sink.path,
             o.getOrElse("idField", "vec_id"), o.getOrElse("vecField", "embedding"),
             minCosine = o.getOrElse("minCosine", "0.5").toDouble,
             nProbe = o.getOrElse("nProbe", "2").toInt,
-            compactEveryNAppends = cadN, rebuildOnPsi = cadPsi)
+            compactEveryNAppends = cadN, rebuildOnPsi = cadPsi,
+            loopId = loopId, persistVerdicts = persist)
           case other => sys.error(s"sink '${p.sink.name}': dedupe_loop needs " +
             s"a minhash or ivf index, got kind '$other'")
         }
       val writer = (b: org.apache.spark.sql.DataFrame, bid: Long) => {
-        loop(b)
-          .withColumn("batch_id", lit(bid))
-          .coalesce(1) // |batch| verdict rows; one small file per micro-batch
-          .write.mode("append").parquet(verdictPath)
+        val t0 = System.nanoTime()
+        // None = a REPLAYED batch whose commit marker exists — full no-op
+        // (exactly-once on the index AND the verdict tree)
+        loop(b, bid).foreach { res =>
+          val nIn = res.verdicts.count()
+          val wallMs = (System.nanoTime() - t0) / 1000000L
+          // operational side table: one row per committed batch, invisible
+          // to plain verdict reads (`__`-prefixed), queryable via
+          // AnnIndexStore.loopMetrics
+          import spark.implicits._
+          Seq((bid, nIn, res.kept, res.maintenance, wallMs))
+            .toDF("batch_id", "records_in", "records_kept", "maintenance", "wall_ms")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$verdictPath/__loop_metrics/batch-$bid")
+        }
         ()
       }
       return p.frame.writeStream.outputMode(p.outputMode).trigger(trigger)

@@ -92,6 +92,13 @@ final case class PipelineManifest(
       * (dedupe registries, near-dedup band buckets on unbounded ingest).
       */
     stateStore: Option[String] = None,
+    /** `metrics: true` meters the pipeline per stage (records received /
+      * in / out / DLQ / delivered via `Dataset.observe` points — see
+      * [[graft.observe.PipelineObserver]]). Opt-in: observation points
+      * pin the plan per stage (no cross-stage pushdown, no lazy-
+      * checkpoint barriers), the defined cost of exact counters.
+      */
+    metrics: Boolean = false,
     namespace: String = Registry.DefaultNamespace
 ) { def key: (String, String) = (namespace, name) }
 

@@ -178,6 +178,7 @@ object YamlLoader {
           dlq,
           trigger,
           stateStore = stateStore,
+          metrics = spec.get("metrics").exists(_.toString.toBoolean),
           namespace = ns
         ))
       case other => sys.error(s"unknown manifest kind: $other")

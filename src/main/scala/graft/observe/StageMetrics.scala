@@ -1,0 +1,189 @@
+package graft.observe
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PER-STAGE record counters for one compiled pipeline — the stage half
+  * of the reference's metrics surface (conveyor-etl-metrics/src/lib.rs:
+  * 7-55: records_received per source, records_routed per stage,
+  * records_delivered per sink, DLQ counts; the session-level latency and
+  * streaming gauges are [[Metrics]]).
+  *
+  * Spark-native shape: each observation point is a `Dataset.observe`
+  * (a Catalyst CollectMetrics node) — the counter aggregates MAP-SIDE
+  * inside the very action that runs the pipeline (no second pass over
+  * the data, no driver loop), is exactly-once per successful action
+  * (task retries do not double-count, unlike raw accumulators), and
+  * reaches this observer through the listener bridge: a
+  * QueryExecutionListener for batch actions, the per-progress
+  * observedMetrics of a StreamingQueryListener for streams (where
+  * [[perBatch]] additionally keeps the per-micro-batch deltas).
+  *
+  * Counters are CUMULATIVE across actions/micro-batches — the
+  * reference's monotonic Prometheus counters, scrape [[frame]] anytime.
+  *
+  * Cost, opt-in by design (`metrics: true`): every observation point is
+  * a plan node filters do not cross (counts pin where they are declared
+  * — semantics, not accident), so a metered pipeline gives up
+  * cross-stage pushdown and the compiler's lazy-checkpoint stage
+  * barriers (observed metrics only surface through real Dataset
+  * actions, which a checkpoint's RDD materialization is not). Meter the
+  * pipelines you operate, not the capstone-scale bulk chain.
+  */
+object PipelineObserver {
+  private final case class Point(idx: Int, stage: String, role: String, name: String)
+}
+
+final class PipelineObserver(val pipeline: String) {
+  import PipelineObserver.Point
+
+  private val prefix = s"graft.metrics.$pipeline."
+  private val points = ArrayBuffer.empty[Point]
+  private val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
+  // streaming history: (batchId, point name, records) per progress event
+  private val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+
+  /** Wrap `df` with an observation point. Roles: "source"
+    * (records_received), "stage" (records_in/records_out), "routed" (a
+    * stage that split rows off to the DLQ — its in−out delta IS the
+    * routed count), "sink" (records_delivered). Call in chain order —
+    * records_in of a stage is derived from the preceding point. The DLQ
+    * branch itself is never observed: it shares the upstream scan, so
+    * an observation there would re-fire every upstream point when the
+    * DLQ sink writes as its own action (double-counting); the split is
+    * exact by construction (clean + routed = in), so the delta needs no
+    * second pass.
+    */
+  def attach(df: DataFrame, stage: String, role: String): DataFrame = synchronized {
+    val p = Point(points.size, stage, role, s"$prefix${points.size}.$stage")
+    points += p
+    df.observe(p.name, count(lit(1)).cast("long").as("records"))
+  }
+
+  private def record(name: String, row: Row, batchId: Option[Long]): Unit =
+    if (name.startsWith(prefix)) {
+      val n = row.getAs[Long]("records")
+      counts.updateWith(name) { prev => Some(prev.getOrElse(0L) + n) }
+      batchId.foreach(bid => batches.add((bid, name, n)))
+    }
+
+  private val queryListener = new org.apache.spark.sql.util.QueryExecutionListener {
+    override def onSuccess(
+        funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (name, row) => record(name, row, None) }
+    override def onFailure(
+        funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
+  }
+
+  private val streamListener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit =
+      event.progress.observedMetrics.asScala.foreach { case (name, row) =>
+        record(name, row, Some(event.progress.batchId))
+      }
+  }
+
+  /** Register both listener halves on the session. Call once, pair with
+    * [[close]] — listeners outliving their pipeline are a leak.
+    */
+  def register(spark: SparkSession): this.type = {
+    spark.listenerManager.register(queryListener)
+    spark.streams.addListener(streamListener)
+    this
+  }
+
+  def close(spark: SparkSession): Unit = {
+    spark.listenerManager.unregister(queryListener)
+    spark.streams.removeListener(streamListener)
+  }
+
+  /** Drain the async listener bus so a snapshot taken right after an
+    * action (or a drained stream) sees that action's callbacks.
+    */
+  def awaitQuiesce(spark: SparkSession): Unit =
+    org.apache.spark.graftbridge.ListenerBridge
+      .waitUntilListenerBusEmpty(spark.sparkContext)
+
+  private def value(p: Point): Long = counts.getOrElse(p.name, 0L)
+
+  /** The counters, rendered driver-side as rows of
+    * (pipeline, stage, metric, value) — the reference's counter export
+    * reshaped as a DataFrame so the numbers themselves are relational
+    * (a stage count is a SQL count — assert it, join it, store it).
+    * Quiesces the listener bus first.
+    */
+  def rows(spark: SparkSession): Seq[(String, String, String, Long)] = {
+    awaitQuiesce(spark)
+    val chain = synchronized(points.toSeq)
+    def in(p: Point): Long = {
+      val pos = chain.indexWhere(_.idx == p.idx)
+      if (pos > 0) value(chain(pos - 1)) else value(p)
+    }
+    val stageRows = chain.flatMap { p =>
+      p.role match {
+        case "source" => Seq((pipeline, p.stage, "records_received", value(p)))
+        case "sink"   => Seq((pipeline, p.stage, "records_delivered", value(p)))
+        case _ =>
+          Seq(
+            (pipeline, p.stage, "records_in", in(p)),
+            (pipeline, p.stage, "records_out", value(p)))
+      }
+    }
+    // the DLQ counter: sum of routed-stage in-out deltas (exact — a
+    // routed validate partitions its input into clean + routed)
+    val routed = chain.filter(_.role == "routed")
+    if (routed.isEmpty) stageRows
+    else stageRows :+ ((pipeline, "__dlq", "records_dlq",
+      routed.map(p => in(p) - value(p)).sum))
+  }
+
+  /** [[rows]] as a DataFrame (pipeline, stage, metric, value). */
+  def frame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    rows(spark).toDF("pipeline", "stage", "metric", "value")
+  }
+
+  /** Streaming per-micro-batch deltas: (batchId, stage, records) in
+    * arrival order — the per-batch counter movement the cumulative
+    * [[frame]] sums over.
+    */
+  def perBatch(spark: SparkSession): Seq[(Long, String, Long)] = {
+    awaitQuiesce(spark)
+    val byName = synchronized(points.map(p => p.name -> p.stage).toMap)
+    batches.iterator().asScala.toSeq.collect {
+      case (bid, name, n) if byName.contains(name) => (bid, byName(name), n)
+    }
+  }
+
+  /** Prometheus text exposition of the per-stage counters —
+    * prometheus.rs::render for the stage surface; [[Metrics]] renders
+    * the session-level latency/stream gauges.
+    */
+  def renderPrometheus(spark: SparkSession): String = {
+    def esc(s: String) =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+    val sb = new StringBuilder
+    val metricNames = Seq("records_received", "records_in", "records_out",
+      "records_dlq", "records_delivered")
+    val rs = rows(spark)
+    for (m <- metricNames) {
+      val of = rs.filter(_._3 == m)
+      if (of.nonEmpty) {
+        sb.append(s"# TYPE graft_${m}_total counter\n")
+        for ((pl, stage, _, v) <- of)
+          sb.append(s"""graft_${m}_total{pipeline="${esc(pl)}",stage="${esc(stage)}"} $v""")
+            .append('\n')
+      }
+    }
+    sb.result()
+  }
+}

@@ -64,18 +64,69 @@ object AnnIndexStore {
 
   final case class IvfBundle(quantizer: DataFrame, index: DataFrame, nCells: Int)
 
-  /** How long a mutation lease may sit unreleased before another writer
-    * reclaims it as a crash leftover. Mutations are maintenance-cadence
-    * ops (minutes at most against a 100 TB corpus index — the staged
-    * frames dominate, not the swap); a half-hour-old lease means its
-    * holder died between acquire and release, not that it is still
-    * running. Reclaim deletes the file and retries the atomic create, so
-    * two reclaimers still race to a single winner.
+  /** How long a mutation lease may sit WITHOUT A HEARTBEAT before
+    * another writer reclaims it as a crash leftover. A live holder
+    * refreshes the heartbeat sidecar every [[LeaseStaleMs]]/3 from a
+    * daemon timer, so a mutation may legitimately run LONGER than this
+    * window (a full centroid retrain at 100 TB) without being reclaimed —
+    * staleness means "no sign of life", not "running long". Reclaim is an
+    * atomic RENAME of the lease file to a reclaimer-unique name (rename
+    * is the single-winner primitive every Hadoop FS gives us: exactly one
+    * of N reclaimers succeeds, the rest lose loudly), after which the
+    * winner retries the atomic create.
     */
   val LeaseStaleMs: Long = 30L * 60L * 1000L
 
   private def leasePath(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "LEASE.json")
+
+  /** Heartbeat sidecar for a held lease. Kept SEPARATE from the lock
+    * file: the lock must never be rewritten while held (a rewrite window
+    * is a second-acquirer window), so liveness rides a sibling the
+    * holder's timer refreshes with [[atomicWrite]] — a torn or absent
+    * heartbeat never tears the lock itself.
+    */
+  private def leaseHbPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "LEASE.hb.json")
+
+  /** The lease-acquisition primitive, pluggable per store. The default
+    * uses `fs.create(overwrite = false)` — atomic on HDFS and local
+    * POSIX filesystems, best-effort on raw object stores whose create
+    * is a blind PUT. Stores that support conditional puts (S3
+    * `If-None-Match: *`, s3a conditional create) can supply a backend
+    * that routes through that primitive instead, upgrading the
+    * guarantee from advisory to atomic without touching the refusal
+    * semantics above it.
+    */
+  trait LeaseBackend {
+    /** Atomically create `p` with `content` iff it does not exist.
+      * Returns false when the lease is already held.
+      */
+    def tryCreate(
+        fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path,
+        content: String): Boolean
+  }
+
+  /** Default backend: plain atomic create (HDFS/POSIX grade). */
+  object CreateExclusiveLeaseBackend extends LeaseBackend {
+    def tryCreate(
+        fs: org.apache.hadoop.fs.FileSystem,
+        p: org.apache.hadoop.fs.Path,
+        content: String): Boolean =
+      try {
+        val out = fs.create(p, false)
+        try out.write(content.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+  }
+
+  /** The active backend — swap for a conditional-put implementation on
+    * stores that support it (process-wide: the lease guards cross-process
+    * mutations, so per-call injection would let two callers disagree on
+    * the primitive).
+    */
+  @volatile private[graft] var leaseBackend: LeaseBackend = CreateExclusiveLeaseBackend
 
   /** Advisory single-writer lease around index mutations. The
     * concurrency contract (one mutator at a time) used to be
@@ -85,49 +136,102 @@ object AnnIndexStore {
     * append racing a cadence compact, could interleave rename-aside
     * swaps and corrupt silently. This turns that operator error into a
     * loud refusal: acquire is an atomic create of `dir/LEASE.json`
-    * (overwrite=false — the one primitive every Hadoop FS gives us), a
-    * held lease refuses with the holder's identity, a stale one
-    * ([[LeaseStaleMs]]) is reclaimed as a crash leftover, and release
-    * deletes the file even when the mutation throws. Advisory by design:
-    * readers never check it (serves are snapshot-safe over immutable
-    * files), and a mutator crash costs at most one stale window.
+    * (via [[leaseBackend]] — exclusive create by default, conditional
+    * put where the store supports it), a held lease refuses with the
+    * holder's identity, and release deletes the file even when the
+    * mutation throws — but only after re-reading it and matching the
+    * OWNER field, so a release can never cascade onto a lease some
+    * other writer legitimately holds. While the body runs, a daemon
+    * timer refreshes a heartbeat sidecar every [[LeaseStaleMs]]/3;
+    * staleness (reclaim eligibility) requires BOTH the acquire stamp
+    * and the latest same-owner heartbeat to be older than
+    * [[LeaseStaleMs]], so a long-running mutation is never reclaimed
+    * mid-flight — only a dead holder is. Reclaim renames the stale
+    * lease to a reclaimer-unique name (atomic single winner) before
+    * retrying the create. Advisory by design: readers never check it
+    * (serves are snapshot-safe over immutable files), and a mutator
+    * crash costs at most one stale window.
     */
   private def withMutationLease[T](spark: SparkSession, dir: String)(body: => T): T = {
     val p = leasePath(dir)
+    val hb = leaseHbPath(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val owner = s"${ProcessHandle.current().pid()}@" +
       s"${java.net.InetAddress.getLocalHost.getHostName}" +
-      s"/t${Thread.currentThread().getId}"
-    def tryAcquire(): Boolean =
-      try {
-        val out = fs.create(p, false)
-        try out.write((s"""{"owner":${j(owner)},""" +
-          s""""acquiredAtMs":${System.currentTimeMillis()}}""" + "\n")
-          .getBytes("UTF-8"))
-        finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      s"/t${Thread.currentThread().getId}/${java.util.UUID.randomUUID()}"
+    def leaseJson() = s"""{"owner":${j(owner)},""" +
+      s""""acquiredAtMs":${System.currentTimeMillis()}}""" + "\n"
+    def tryAcquire(): Boolean = leaseBackend.tryCreate(fs, p, leaseJson())
+    def readLease(): scala.util.Try[(String, Long)] = scala.util.Try {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      (node.get("owner").asText(), node.get("acquiredAtMs").asLong())
+    }
     if (!tryAcquire()) {
       // held: read the holder; a torn/unreadable lease is a crash
       // leftover by definition (acquire writes it in one small create)
-      val held = scala.util.Try {
-        val in = fs.open(p)
-        val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
-        (node.get("owner").asText(), node.get("acquiredAtMs").asLong())
-      }
-      val stale = held.fold(_ => true,
-        { case (_, at) => System.currentTimeMillis() - at >= LeaseStaleMs })
+      val held = readLease()
+      val now = System.currentTimeMillis()
+      val stale = held.fold(_ => true, { case (who, at) =>
+        // a live holder's timer refreshes the heartbeat sidecar; count it
+        // only when ITS owner matches the lease (a leftover heartbeat from
+        // a previous holder must not keep a dead lease alive)
+        val beat = scala.util.Try {
+          val in = fs.open(hb)
+          val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+          if (node.get("owner").asText() == who) node.get("atMs").asLong() else 0L
+        }.getOrElse(0L)
+        now - math.max(at, beat) >= LeaseStaleMs
+      })
       if (!stale)
         sys.error(s"$dir: index mutation refused — lease held by " +
           s"${held.get._1} since ${held.get._2} (one mutator at a time; " +
           s"delete ${p} only if that writer is known dead)")
-      fs.delete(p, false) // reclaim the crash leftover, race to re-acquire
+      // reclaim by RENAME — the atomic single-winner primitive: of N
+      // reclaimers that all judged this lease stale, exactly one rename
+      // succeeds; the losers refuse instead of deleting the winner's
+      // fresh lease (the delete-then-create interleave this replaces)
+      val park = new org.apache.hadoop.fs.Path(dir,
+        s"LEASE.json.reclaimed-${java.util.UUID.randomUUID()}")
+      // a vanished source (the winner already parked it) surfaces as
+      // either false or FileNotFound depending on the FS — both mean
+      // "lost the race"
+      val won =
+        try fs.rename(p, park)
+        catch { case _: java.io.FileNotFoundException => false }
+      if (!won)
+        sys.error(s"$dir: index mutation refused — lost the lease race " +
+          s"reclaiming a stale lease (another writer is active)")
+      fs.delete(park, false)
+      fs.delete(hb, false) // the dead holder's last heartbeat
       if (!tryAcquire())
         sys.error(s"$dir: index mutation refused — lost the lease race " +
           s"reclaiming a stale lease (another writer is active)")
     }
-    try body finally fs.delete(p, false)
+    // liveness heartbeat: a mutation outliving LeaseStaleMs (full
+    // quantizer retrain at corpus scale) must not be reclaimed mid-flight
+    val beat = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val t = new Thread(r, s"graft-lease-heartbeat-$dir")
+      t.setDaemon(true)
+      t
+    })
+    beat.scheduleAtFixedRate(() => scala.util.Try(atomicWrite(fs, hb,
+        s"""{"owner":${j(owner)},"atMs":${System.currentTimeMillis()}}""" + "\n")),
+      LeaseStaleMs / 3, LeaseStaleMs / 3, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try body finally {
+      beat.shutdownNow()
+      // owner-checked release: delete only OUR lease. If the file now
+      // holds a different owner, this writer was (wrongly or by clock
+      // skew) reclaimed mid-flight — deleting would cascade the
+      // violation to a third writer, so leave it and let the new
+      // holder's own release clean up.
+      if (readLease().toOption.forall(_._1 == owner)) {
+        fs.delete(p, false)
+        fs.delete(hb, false)
+      }
+    }
   }
 
   /** Ceiling on the probed key set the serve paths COLLECT for static
@@ -174,7 +278,11 @@ object AnnIndexStore {
       keys: Seq[String],
       maxBroadcastKeys: Long = BroadcastFallbackMaxKeys): DataFrame = {
     val cap = math.min(maxBroadcastKeys, Int.MaxValue.toLong - 1L).toInt
-    if (probeFrame.limit(cap + 1).count() <= maxBroadcastKeys)
+    // compare against the BOUNDED cap, not the caller's raw threshold: a
+    // threshold >= Int.MaxValue would otherwise saturate (cap+1 rows can
+    // never exceed it) and route arbitrarily large probe sets to the
+    // broadcast branch — the driver-OOM path this ladder exists to avoid
+    if (probeFrame.limit(cap + 1).count() <= cap.toLong)
       index.join(broadcast(probeFrame), keys, "left_semi")
     else
       index.join(probeFrame, keys, "left_semi")
@@ -474,6 +582,20 @@ object AnnIndexStore {
       idCol: String,
       textCol: String
   ): Unit = withMutationLease(spark, dir) {
+    appendMinhashUnlocked(spark, dir, docs, idCol, textCol)
+  }
+
+  /** [[appendMinhash]] body without the lease — for callers already
+    * holding it (the closed-loop batch functions run append + marker +
+    * cadence maintenance under ONE lease per micro-batch).
+    */
+  private def appendMinhashUnlocked(
+      spark: SparkSession,
+      dir: String,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String
+  ): Unit = {
     val b = loadMinhash(spark, dir)
     val sigs = sigsFor(docs, idCol, textCol, b.n, b.k).localCheckpoint()
     val banded = bandedFrom(sigs, b.k, b.nBands, b.nGroups)
@@ -1008,13 +1130,18 @@ object AnnIndexStore {
     * Contracts: verdicts are against the snapshot BEFORE the batch's own
     * append — two mutual near-dups arriving in ONE batch both read dup=0
     * (in-batch dedup is [[graft.streaming.StatefulNearDedup]]'s job,
-    * upstream if needed); the loop holds the mutation lease per batch,
-    * so it refuses loudly if something else mutates the index mid-stream
-    * (single-writer, now enforced); exactly-once is the sink's usual
-    * foreachBatch story — a replayed batch re-probes (same verdicts) but
-    * RE-APPENDS its survivors, which is harmless to verdicts (duplicate
-    * band rows change nothing — matching is existential) and is folded
-    * out by the next compact.
+    * upstream if needed); each MUTATION acquires the lease, so the loop
+    * refuses loudly if something else mutates the index mid-stream
+    * (single-writer, enforced — note: the lease is per mutation here,
+    * so another mutator may legally interleave between this closure's
+    * append and its cadence maintenance; the batch-id variant
+    * [[closedLoopDedupingCommitFn]] runs both under ONE lease).
+    * Delivery here is foreachBatch's at-least-once: a replayed batch
+    * re-probes (same verdicts) but RE-APPENDS its survivors, which is
+    * harmless to verdicts (duplicate band rows change nothing —
+    * matching is existential) and is folded out by the next compact.
+    * The batch-id variant upgrades this to exactly-once via commit
+    * markers — prefer it wherever the stream gives you a batch id.
     */
   def closedLoopDedupingBatchFn(
       spark: SparkSession,
@@ -1050,6 +1177,102 @@ object AnnIndexStore {
     }
   }
 
+  /** One committed closed-loop micro-batch: the pre-append-snapshot
+    * verdicts, how many survivors appended, and what maintenance ran
+    * ("" when no cadence was configured or nothing triggered).
+    */
+  final case class LoopBatch(verdicts: DataFrame, kept: Long, maintenance: String)
+
+  /** Commit marker for one processed micro-batch of a closed-loop
+    * stream. Lives under the index dir (the appends it guards land
+    * there), namespaced by `loopId` so two independent streams (each
+    * with its own checkpoint and so its own batch-id sequence) never
+    * collide. `__`-prefixed: invisible to parquet listings.
+    */
+  private def loopMarkerPath(dir: String, loopId: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(dir, s"__loop/$loopId/batch-$batchId.COMMIT")
+
+  /** How many commit markers a loop keeps. A replay can only rewind to
+    * the stream's last committed checkpoint — one or two batches back,
+    * never hundreds — so markers far behind the head are dead weight a
+    * long-running stream (years × minutes-cadence = millions of files)
+    * must not accumulate: each marker create prunes the one this many
+    * batches behind it, keeping the directory O(retention) with no
+    * listing pass.
+    */
+  val LoopMarkerRetention: Long = 128L
+
+  private def writeLoopMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+      loopId: String,
+      batchId: Long): Unit = {
+    val marker = loopMarkerPath(dir, loopId, batchId)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    if (batchId >= LoopMarkerRetention)
+      fs.delete(loopMarkerPath(dir, loopId, batchId - LoopMarkerRetention), false)
+  }
+
+  /** EXACTLY-ONCE [[closedLoopDedupingBatchFn]] — the sink-contract
+    * upgrade (the reference's sink.proto delivery modes are exactly-once
+    * on the index, not at-least-once): each processed batch writes a
+    * batch-id COMMIT marker under the index dir, and a REPLAYED batch
+    * (checkpoint rewind after a crash) that finds its marker is a full
+    * no-op — no verdict rewrite, no re-append — returning None. The
+    * batch's whole mutation (append + marker + cadence maintenance)
+    * runs under ONE mutation lease, so no other mutator can interleave
+    * inside a batch. `persistVerdicts` (given (verdicts, batchId))
+    * runs BEFORE the append so a crash between the two replays into an
+    * IDENTICAL recompute (the snapshot is unchanged) — make it an
+    * idempotent per-batch overwrite, as the YAML `dedupe_loop` sink
+    * does. Residual window, documented honestly: a crash AFTER the
+    * append but BEFORE the marker (one file create) replays into a
+    * re-append with post-append verdicts — the at-least-once window
+    * shrinks from the whole batch to that single create.
+    */
+  def closedLoopDedupingCommitFn(
+      spark: SparkSession,
+      dir: String,
+      idCol: String,
+      textCol: String,
+      minSim: Double,
+      compactEveryNAppends: Option[Int] = None,
+      rebuildOnPsi: Option[Double] = None,
+      maxProbeInList: Int = DefaultMaxProbeInList,
+      loopId: String = "loop",
+      persistVerdicts: Option[(DataFrame, Long) => Unit] = None
+  ): (DataFrame, Long) => Option[LoopBatch] = {
+    val kind = kindOf(spark, dir)
+    require(kind == "minhash",
+      s"$dir holds a '$kind' index — streaming near-dedup needs a minhash " +
+        "TEXT index (saveMinhash); vector kinds serve through servingBatchFn")
+    (batch, batchId) => {
+      val marker = loopMarkerPath(dir, loopId, batchId)
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(marker)) None
+      else {
+        val b = loadMinhash(spark, dir)
+        val verdicts =
+          dedupeAgainstMinhash(b, batch, idCol, textCol, minSim, maxProbeInList)
+            .localCheckpoint()
+        persistVerdicts.foreach(f => f(verdicts, batchId))
+        val survivors = batch.join(
+          verdicts.filter(col("dup") === 0).select(col(idCol)),
+          Seq(idCol), "left_semi")
+        val kept = verdicts.filter(col("dup") === 0).count()
+        val maint = withMutationLease(spark, dir) {
+          appendMinhashUnlocked(spark, dir, survivors, idCol, textCol)
+          writeLoopMarker(fs, dir, loopId, batchId)
+          if (compactEveryNAppends.nonEmpty || rebuildOnPsi.nonEmpty)
+            noteAppendAndMaintainUnlocked(spark, dir, compactEveryNAppends, rebuildOnPsi)
+          else ""
+        }
+        Some(LoopBatch(verdicts, kept, maint))
+      }
+    }
+  }
+
   /** The [[closedLoopDedupingBatchFn]] shape for the VECTOR kind —
     * online SemDeDup over a growing flat-IVF index: each micro-batch of
     * embeddings is semantically deduped against the index snapshot
@@ -1062,10 +1285,11 @@ object AnnIndexStore {
     * cells — the documented drift trade; the PSI advisor and
     * `rebuildOnPsi` cadence own the rebuild trigger, and a cadence
     * rebuild here retrains it from the grown residents). Same contracts
-    * as the text loop: in-batch mutual near-dups both survive, one
-    * mutation lease per batch, replayed batches re-append harmlessly
-    * (duplicate resident rows change no verdict — matching is
-    * existential — and fold out on compact/rebuild).
+    * as the text loop: in-batch mutual near-dups both survive, a lease
+    * per mutation, replayed batches re-append harmlessly (duplicate
+    * resident rows change no verdict — matching is existential — and
+    * fold out on compact/rebuild); [[closedLoopSemanticCommitFn]] is
+    * the exactly-once batch-id upgrade.
     */
   def closedLoopSemanticBatchFn(
       spark: SparkSession,
@@ -1095,6 +1319,81 @@ object AnnIndexStore {
         noteAppendAndMaintain(spark, dir, compactEveryNAppends, rebuildOnPsi)
       verdicts
     }
+  }
+
+  /** EXACTLY-ONCE [[closedLoopSemanticBatchFn]] — the
+    * [[closedLoopDedupingCommitFn]] contract for the vector kind: commit
+    * marker per batch id (replay = full no-op, None), one mutation lease
+    * around append + marker + maintenance, `persistVerdicts` before the
+    * append, same single-create residual window.
+    */
+  def closedLoopSemanticCommitFn(
+      spark: SparkSession,
+      dir: String,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double,
+      nProbe: Int = 2,
+      compactEveryNAppends: Option[Int] = None,
+      rebuildOnPsi: Option[Double] = None,
+      loopId: String = "loop",
+      persistVerdicts: Option[(DataFrame, Long) => Unit] = None
+  ): (DataFrame, Long) => Option[LoopBatch] = {
+    val kind = kindOf(spark, dir)
+    require(kind == "ivf",
+      s"$dir holds a '$kind' index — online semantic dedup needs a flat-IVF " +
+        "index (saveIvf: residents must carry vectors for the cosine drop " +
+        "rule; ivfpq codes cannot anchor exact cosines)")
+    (batch, batchId) => {
+      val marker = loopMarkerPath(dir, loopId, batchId)
+      val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(marker)) None
+      else {
+        val b = loadIvf(spark, dir)
+        val verdicts = Similarity.semanticDedupeAgainstIndex(
+          b.index, b.quantizer, batch, idCol, vecCol, minCosine, nProbe)
+          .localCheckpoint()
+        persistVerdicts.foreach(f => f(verdicts, batchId))
+        val survivors = batch.join(
+          verdicts.filter(col("kept")).select(col(idCol)), Seq(idCol), "left_semi")
+        val kept = verdicts.filter(col("kept")).count()
+        val maint = withMutationLease(spark, dir) {
+          appendIvfUnlocked(spark, dir, survivors, idCol, vecCol)
+          writeLoopMarker(fs, dir, loopId, batchId)
+          if (compactEveryNAppends.nonEmpty || rebuildOnPsi.nonEmpty)
+            noteAppendAndMaintainUnlocked(spark, dir, compactEveryNAppends, rebuildOnPsi)
+          else ""
+        }
+        Some(LoopBatch(verdicts, kept, maint))
+      }
+    }
+  }
+
+  /** Schema of the closed-loop operational side table the YAML
+    * `dedupe_loop` sink writes under `verdictPath/__loop_metrics` — one
+    * row per COMMITTED micro-batch (replayed no-op batches are not
+    * recorded): batch id, rows probed, survivors appended, the
+    * maintenance summary ("" = nothing ran), and the batch wall time.
+    */
+  val LoopMetricsSchema: String =
+    "batch_id BIGINT, records_in BIGINT, records_kept BIGINT, " +
+      "maintenance STRING, wall_ms BIGINT"
+
+  /** Read the closed-loop side table for a `dedupe_loop` sink's
+    * `verdictPath` — the queryable operational history of the loop
+    * (per-wave wall, verdict counts, maintenance runs). Typed empty
+    * frame when the loop has not committed a batch yet.
+    */
+  def loopMetrics(spark: SparkSession, verdictPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(verdictPath, "__loop_metrics")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(LoopMetricsSchema))
+    else
+      spark.read.schema(LoopMetricsSchema)
+        .option("recursiveFileLookup", "true").parquet(p.toString)
   }
 
   /** Static cell pruning for the serve paths: collect the (tiny) probed
@@ -1157,6 +1456,19 @@ object AnnIndexStore {
       idCol: String,
       vecCol: String
   ): Unit = withMutationLease(spark, dir) {
+    appendIvfUnlocked(spark, dir, vectors, idCol, vecCol)
+  }
+
+  /** [[appendIvf]] body without the lease — for callers already holding
+    * it (the closed-loop batch functions).
+    */
+  private def appendIvfUnlocked(
+      spark: SparkSession,
+      dir: String,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): Unit = {
     val b = loadIvf(spark, dir)
     Similarity.ivfIndex(vectors, idCol, vecCol,
         b.quantizer.select(col("cent_id"), col("cent_vec")))
@@ -1437,17 +1749,46 @@ object AnnIndexStore {
       fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val stage = new org.apache.hadoop.fs.Path(dir, "__rebuild")
     if (!fs.exists(new org.apache.hadoop.fs.Path(stage, "COMMIT"))) return
+    // TOLERANT swap: this runs from EVERY manifest read, so N concurrent
+    // readers may roll the same committed staging forward at once. The
+    // old delete(main)+rename(staged,main) pair could interleave (A
+    // renames staged in, B deletes A's fresh main, B's rename then fails
+    // with staged gone — frame lost). Instead the superseded main is
+    // PARKED by rename (never deleted while it is the only copy), and a
+    // failed staged->main rename means another roller won — verified by
+    // main's existence, not require-failed.
     Seq("quantizer", "index", "sigs").foreach { name =>
       val staged = new org.apache.hadoop.fs.Path(stage, name)
+      val main = new org.apache.hadoop.fs.Path(dir, name)
+      val aside = new org.apache.hadoop.fs.Path(dir, s"$name.pre-rebuild")
       if (fs.exists(staged)) {
-        val main = new org.apache.hadoop.fs.Path(dir, name)
-        if (fs.exists(main)) fs.delete(main, true)
-        require(fs.rename(staged, main), s"rebuild roll-forward: $staged -> $main failed")
+        if (fs.exists(main)) {
+          fs.delete(aside, true) // a crashed prior roller's park
+          // park the superseded frame; a failed rename means another
+          // roller already took main — fall through to the swap attempt
+          fs.rename(main, aside)
+        }
+        if (!fs.rename(staged, main))
+          require(fs.exists(main),
+            s"rebuild roll-forward: $staged -> $main failed with no live $name")
       }
+      // drop the parked pre-rebuild copy once the staged frame is live
+      if (fs.exists(main)) fs.delete(aside, true)
     }
     val smf = new org.apache.hadoop.fs.Path(stage, "MANIFEST.json")
-    val in = fs.open(smf)
-    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val text =
+      try {
+        val in = fs.open(smf)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          // a concurrent roller finished the whole swap (the staged
+          // manifest survives until the final stage delete) — its
+          // manifest rewrite covers this one
+          require(fs.exists(new org.apache.hadoop.fs.Path(dir, "MANIFEST.json")),
+            s"$dir: rebuild staging vanished mid-roll-forward with no live MANIFEST")
+          return
+      }
     writeManifest(spark, dir, text.stripLineEnd)
     fs.delete(tombstonePath(dir), true) // folded into the rebuilt frames
     fs.delete(stage, true)
@@ -1569,6 +1910,19 @@ object AnnIndexStore {
       compactEveryNAppends: Option[Int],
       rebuildOnPsi: Option[Double]
   ): String = withMutationLease(spark, dir) {
+    noteAppendAndMaintainUnlocked(spark, dir, compactEveryNAppends, rebuildOnPsi)
+  }
+
+  /** [[noteAppendAndMaintain]] body without the lease — for callers
+    * already holding it (the closed-loop batch functions run append +
+    * marker + maintenance under one lease per micro-batch).
+    */
+  private def noteAppendAndMaintainUnlocked(
+      spark: SparkSession,
+      dir: String,
+      compactEveryNAppends: Option[Int],
+      rebuildOnPsi: Option[Double]
+  ): String = {
     compactEveryNAppends.foreach(n =>
       require(n >= 1, s"compactEveryNAppends must be >= 1, got $n"))
     rebuildOnPsi.foreach(t =>
@@ -1659,11 +2013,22 @@ object AnnIndexStore {
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path,
       text: String): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+    // writer-unique temp name: concurrent writers of the SAME content
+    // (N readers each finishing a committed roll-forward write the same
+    // manifest) must not share one temp file — with a fixed name, writer
+    // B's rename can find the temp already consumed by A and fail on a
+    // file that is in fact correctly in place
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      p.getName + ".tmp-" + java.util.UUID.randomUUID())
     val out = fs.create(tmp, true)
     try out.write(text.getBytes("UTF-8")) finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"metadata write: rename $tmp -> $p failed")
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      // rename onto an existing target fails on HDFS — tolerate it iff
+      // the target exists (a concurrent same-content writer won)
+      require(fs.exists(p), s"metadata write: rename $tmp -> $p failed")
+    }
   }
 
   private def readManifest(spark: SparkSession, dir: String): Map[String, String] = {

@@ -1,0 +1,18 @@
+package org.apache.spark.graftbridge
+
+import org.apache.spark.SparkContext
+
+/** Bridge into the `private[spark]` listener bus, so metrics readers can
+  * QUIESCE it: QueryExecutionListener / StreamingQueryListener callbacks
+  * are delivered asynchronously on the LiveListenerBus, and a counter
+  * snapshot taken right after an action would race the delivery. Lives
+  * under org.apache.spark to satisfy the access scope — no Spark
+  * internals are modified.
+  */
+object ListenerBridge {
+  /** Block until every queued listener event has been dispatched (the
+    * completed action's metrics callbacks included).
+    */
+  def waitUntilListenerBusEmpty(sc: SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+}

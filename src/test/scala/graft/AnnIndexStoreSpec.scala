@@ -1135,4 +1135,142 @@ class AnnIndexStoreSpec extends SparkSpec {
       compactEveryNAppends = None, rebuildOnPsi = Some(0.01))
     assert(note.contains("noted"))
   }
+
+  test("exactly-once closed loop: a replayed micro-batch is a full no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_eo").toString
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog every single day")
+    ).toDF("doc_id", "text")
+    AnnIndexStore.saveMinhash(s"$dir/mh", corpus, "doc_id", "text",
+      n = 3, k = 16, bands = 4)
+    val novel = "completely fresh content about distributed analytics engines at scale"
+    val verdictWrites = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val fn = AnnIndexStore.closedLoopDedupingCommitFn(spark, s"$dir/mh",
+      "doc_id", "text", minSim = 0.5, compactEveryNAppends = Some(2),
+      persistVerdicts = Some((v, bid) => {
+        verdictWrites += bid
+        v.withColumn("batch_id", lit(bid)).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/out/batch-$bid")
+      }))
+    val wave0 = Seq((1L, novel)).toDF("doc_id", "text")
+    val r0 = fn(wave0, 0L)
+    assert(r0.isDefined && r0.get.kept == 1, r0)
+    def state() = {
+      val b = AnnIndexStore.loadMinhash(spark, s"$dir/mh")
+      (b.sigs.count(), b.bands.count(),
+        spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/out")
+          .collect().map(_.toSeq).toSet)
+    }
+    val committed = state()
+    // REPLAY batch 0 (a checkpoint rewind): the commit marker is present,
+    // so the batch is a FULL no-op — no verdict rewrite (the recompute
+    // would bind to the post-append snapshot and be wrong), no re-append
+    // (no duplicate band/sig rows), None returned
+    assert(fn(wave0, 0L).isEmpty, "a replayed committed batch must no-op")
+    assert(state() == committed, "replay must leave index and verdicts unchanged")
+    assert(verdictWrites.toSeq == Seq(0L), "replay must not re-persist verdicts")
+    // the NEXT batch proceeds normally and sees batch 0's survivor
+    val r1 = fn(Seq((2L, novel + " again")).toDF("doc_id", "text"), 1L)
+    assert(r1.isDefined && r1.get.kept == 0)
+    assert(r1.get.verdicts.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((2L, 1)))
+
+    // the VECTOR kind carries the same contract
+    def v(seed: Float, jitter: Float = 0f): Array[Float] =
+      Array.tabulate(dim)(i => seed * (i + 1) + (if (i == 0) jitter else 0f))
+    val vecCorpus = Seq((10L, v(1.0f))).toDF("vec_id", "embedding")
+    val quant = Similarity.centroids(vecCorpus, "vec_id", "embedding", 1)
+      .select(col("cent_id"), col("cent_vec"))
+    AnnIndexStore.saveIvf(s"$dir/flat", quant,
+      Similarity.ivfIndex(vecCorpus, "vec_id", "embedding", quant))
+    val sem = AnnIndexStore.closedLoopSemanticCommitFn(spark, s"$dir/flat",
+      "vec_id", "embedding", minCosine = 0.9, nProbe = 1)
+    val w0 = Seq((1L, v(-1.0f))).toDF("vec_id", "embedding")
+    assert(sem(w0, 0L).exists(_.kept == 1))
+    val residents = AnnIndexStore.loadIvf(spark, s"$dir/flat")
+      .index.count()
+    assert(sem(w0, 0L).isEmpty)
+    assert(AnnIndexStore.loadIvf(spark, s"$dir/flat").index.count() == residents)
+  }
+
+  test("lease backend seam: conditional-put backends plug in and refuse loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_lb").toString
+    val docs = Seq((10L, "some corpus document with words")).toDF("doc_id", "text")
+    AnnIndexStore.saveMinhash(s"$dir/mh", docs, "doc_id", "text", 3, 16, 4)
+    val more = Seq((11L, "entirely new content here")).toDF("doc_id", "text")
+    // a recording double standing in for a conditional-put store (S3
+    // If-None-Match): the acquire routes through the backend — the seam
+    // a real object-store implementation plugs into
+    val recorded = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    object Recording extends AnnIndexStore.LeaseBackend {
+      def tryCreate(
+          fs: org.apache.hadoop.fs.FileSystem,
+          p: org.apache.hadoop.fs.Path,
+          content: String): Boolean = {
+        recorded += ((p.getName, content))
+        AnnIndexStore.CreateExclusiveLeaseBackend.tryCreate(fs, p, content)
+      }
+    }
+    val prev = AnnIndexStore.leaseBackend
+    try {
+      AnnIndexStore.leaseBackend = Recording
+      AnnIndexStore.appendMinhash(spark, s"$dir/mh", more, "doc_id", "text")
+      assert(recorded.nonEmpty && recorded.forall(_._1 == "LEASE.json"))
+      assert(recorded.forall(_._2.contains("\"owner\"")))
+      // a backend reporting "already exists" (conditional put failed)
+      // refuses the mutation loudly, exactly like the file primitive
+      object Held extends AnnIndexStore.LeaseBackend {
+        def tryCreate(
+            fs: org.apache.hadoop.fs.FileSystem,
+            p: org.apache.hadoop.fs.Path,
+            content: String): Boolean = false
+      }
+      AnnIndexStore.leaseBackend = Held
+      val e = intercept[RuntimeException](
+        AnnIndexStore.appendMinhash(spark, s"$dir/mh", more, "doc_id", "text"))
+      assert(e.getMessage.contains("mutation refused"), e.getMessage)
+    } finally AnnIndexStore.leaseBackend = prev
+  }
+
+  test("roll-forward: tolerant swap recovers parked and half-swapped crash states") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_rf").toString
+    val docs = (0L until 20L).map(i => (i, s"doc $i alpha beta gamma word${i % 4}"))
+      .toDF("doc_id", "text")
+    AnnIndexStore.saveMinhash(s"$dir/mh", docs, "doc_id", "text", 3, 16, 4)
+    val probe = Seq((500L, "doc 3 alpha beta gamma word3")).toDF("doc_id", "text")
+    def verdict() = AnnIndexStore.dedupeAgainstMinhash(
+      AnnIndexStore.loadMinhash(spark, s"$dir/mh"), probe, "doc_id", "text", 0.5)
+      .collect()(0).getInt(1)
+    assert(verdict() == 1)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def cp(from: String, to: String): Unit = {
+      val s = new org.apache.hadoop.fs.Path(from)
+      val d = new org.apache.hadoop.fs.Path(to)
+      org.apache.hadoop.fs.FileUtil.copy(
+        s.getFileSystem(conf), s, d.getFileSystem(conf), d, false, conf)
+    }
+    // fabricate a COMMITTED staging (content-identical copies — the
+    // rebuild contract: structure may change, content never) plus two
+    // crash leftovers at once:
+    //  - a parked aside from a prior roller that died post-swap
+    //  - a MID-PARK crash on sigs: main renamed aside, staged not yet in
+    cp(s"$dir/mh/index", s"$dir/mh/__rebuild/index")
+    cp(s"$dir/mh/sigs", s"$dir/mh/__rebuild/sigs")
+    cp(s"$dir/mh/MANIFEST.json", s"$dir/mh/__rebuild/MANIFEST.json")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/mh/__rebuild/COMMIT"))
+    cp(s"$dir/mh/index", s"$dir/mh/index.pre-rebuild")
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/mh").getFileSystem(conf)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/mh/sigs"),
+      new org.apache.hadoop.fs.Path(s"$dir/mh/sigs.pre-rebuild")))
+    // ANY load completes the swap: frames live, asides cleaned, staging gone
+    assert(verdict() == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/mh/__rebuild")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/mh/index.pre-rebuild")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/mh/sigs.pre-rebuild")))
+  }
 }

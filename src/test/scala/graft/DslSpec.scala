@@ -2125,6 +2125,91 @@ class DslSpec extends SparkSpec {
     assert(ek.getMessage.contains("minhash or ivf"), ek.getMessage)
   }
 
+  test("dedupe_loop sink: exactly-once replay, and the loop metrics side table") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsl_loopeo").toString
+    val corpus = Seq((10L, "the quick brown fox jumps over the lazy dog daily"))
+      .toDF("doc_id", "text")
+    graft.ops.AnnIndexStore.saveMinhash(s"$dir/mh", corpus, "doc_id", "text", 3, 16, 4)
+    val novel = "completely fresh content about distributed analytics engines at scale"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    def waveFile(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/stage/$name")
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/stage/$name"))
+      val part =
+        try st.filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+        finally st.close()
+      val dest = java.nio.file.Paths.get(s"$dir/in/$name.parquet")
+      java.nio.file.Files.move(part, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    // wave 0: a novel doc (survives); wave 1: near-dup of wave 0's
+    // survivor (dup via the loop) + a fresh doc (survives)
+    waveFile("w0", 1700000000000L, Seq((1L, novel)))
+    waveFile("w1", 1700000060000L, Seq(
+      (2L, novel + " again"),
+      (3L, "some entirely different musings on bucketed hive layouts")))
+    val yaml =
+      s"""kind: Source
+         |metadata: {name: waves}
+         |spec:
+         |  format: parquet
+         |  path: $dir/in
+         |  streaming: true
+         |  schema: "doc_id BIGINT, text STRING"
+         |  rateCap: {maxFilesPerTrigger: 1}
+         |---
+         |kind: Sink
+         |metadata: {name: loop}
+         |spec:
+         |  format: ann_index
+         |  path: $dir/mh
+         |  checkpoint: $dir/chk
+         |  options:
+         |    mode: dedupe_loop
+         |    verdictPath: $dir/out
+         |    minSimilarity: "0.5"
+         |    compactEveryNAppends: "2"
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: waves, steps: [], sink: loop}
+         |""".stripMargin
+    def drain(): Unit =
+      Compiler.write(Compiler.compile(spark, YamlLoader.load(yaml))("p"))
+    drain()
+    def state() = {
+      val b = graft.ops.AnnIndexStore.loadMinhash(spark, s"$dir/mh")
+      (b.sigs.count(), b.bands.count(),
+        spark.read.option("recursiveFileLookup", "true").parquet(s"$dir/out")
+          .select("doc_id", "dup", "batch_id").collect().map(_.toSeq).toSet)
+    }
+    val committed = state()
+    assert(committed._3.map(r => (r(0), r(1))) ==
+      Set((1L, 0), (2L, 1), (3L, 0)), committed._3)
+    // the operational side table: one TYPED row per committed batch
+    val lm = graft.ops.AnnIndexStore.loopMetrics(spark, s"$dir/out")
+    assert(lm.schema == org.apache.spark.sql.types.StructType.fromDDL(
+      graft.ops.AnnIndexStore.LoopMetricsSchema), lm.schema)
+    val lmRows = lm.select("batch_id", "records_in", "records_kept", "maintenance")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(lmRows.map(r => (r._1, r._2, r._3)) == Seq((0L, 1L, 1L), (1L, 2L, 1L)),
+      lmRows)
+    // batch 1 is the second append — the compact cadence fired there
+    assert(lmRows(1)._4.contains("compact"), lmRows)
+    assert(lm.select("wall_ms").collect().forall(_.getLong(0) >= 0L))
+    // FABRICATED CHECKPOINT REWIND: wipe the checkpoint and re-drain the
+    // same stream — batch ids restart at 0, every batch finds its commit
+    // marker, and the whole replay is a no-op (sink-contract exactly-once:
+    // index row counts, verdicts, and the metrics table all unchanged)
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(s"$dir/chk"))
+    drain()
+    assert(state() == committed, "replayed batches must not re-append or rewrite")
+    assert(graft.ops.AnnIndexStore.loopMetrics(spark, s"$dir/out").count() == 2L,
+      "replayed no-op batches must not add metrics rows")
+  }
+
   test("ann_index sink: minhash kind, append mode, declarative maintenance cadence") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dsl_annlc").toString

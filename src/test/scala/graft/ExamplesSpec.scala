@@ -140,6 +140,24 @@ class ExamplesSpec extends SparkSpec {
     assert(out.filter(!col("split").isin("train", "val", "test")).count() == 0)
   }
 
+  test("llm-corpus-prod.yaml: production knobs — maxBucket, materialize boundary, metrics") {
+    val dir = Files.createTempDirectory("graft_ex_llmprod").toString
+    writeFixtures(dir)
+    val m = materialize("llm-corpus-prod.yaml", dir)
+    assert(Cli.run(Seq("validate", m)) == 0)
+    assert(Cli.run(Seq("run", m), sparkOpt = Some(spark)) == 0)
+    val out = spark.read.parquet(s"$dir/data/out/corpus")
+    // identical curation semantics to the flagship manifest: the knobs
+    // change plan/layout, never verdicts (maxBucket=64 never engages on
+    // this tiny fixture; the stage boundary is a parquet round-trip)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(2L), "fingerprint dedupe must drop the markup variant")
+    assert(!ids.contains(4L), "decontaminate must drop the benchmark-overlapping doc")
+    assert(out.filter(col("text").contains("<")).count() == 0, "markup must be stripped")
+    assert(out.columns.contains("pred_lang") && out.columns.contains("split"))
+    assert(out.filter(!col("split").isin("train", "val", "test")).count() == 0)
+  }
+
   test("corpus index lifecycle: build -> append (cadence compact) -> daily probe") {
     val dir = Files.createTempDirectory("graft_ex_lc").toString
     def doc(i: Long) = (i, s"document number $i speaks of subject${i % 7} " +
@@ -211,7 +229,9 @@ class ExamplesSpec extends SparkSpec {
     waveFile(1, Seq((102L, novel + " again")))
     assert(Cli.run(Seq("validate", loop)) == 0)
     assert(Cli.run(Seq("run", loop), sparkOpt = Some(spark)) == 0)
-    val verdicts = spark.read.parquet(s"$dir/data/out/verdicts")
+    // exactly-once verdict tree (round 15): one subdirectory per batch
+    val verdicts = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/data/out/verdicts")
       .select("doc_id", "dup").as[(Long, Int)].collect().toMap
     assert(verdicts == Map(100L -> 1, 101L -> 0, 102L -> 1),
       s"corpus dup, novel survivor, and the survivor's near-dup: $verdicts")
@@ -224,7 +244,8 @@ class ExamplesSpec extends SparkSpec {
     // deduped against the survivor on the next run (checkpointed source)
     waveFile(2, Seq((103L, novel + " once more")))
     assert(Cli.run(Seq("run", loop), sparkOpt = Some(spark)) == 0)
-    val v2 = spark.read.parquet(s"$dir/data/out/verdicts")
+    val v2 = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$dir/data/out/verdicts")
       .select("doc_id", "dup").as[(Long, Int)].collect().toMap
     assert(v2(103L) == 1, s"resumed drain must see the grown index: $v2")
   }

@@ -70,4 +70,150 @@ class MetricsSpec extends SparkSpec {
         """graft_stream_state_rows\{query=".+"\} \d+""")), prom)
     } finally Metrics.detachStreaming(spark, l)
   }
+
+  test("per-stage counters: a metered batch pipeline counts exactly, DLQ derived") {
+    import org.apache.spark.sql.functions.col
+    val events = Seq(
+      (1L, "purchase", 10.0), (2L, "view", 20.0), (3L, "purchase", 30.0),
+      (4L, "view", -5.0),     // NEG_VALUE -> dlq
+      (5L, "purchase", 96.0), // VALUE_RANGE -> dlq
+      (6L, "view", 50.0)
+    ).toDF("event_id", "event_type", "value")
+    val yaml =
+      """kind: Source
+        |metadata: {name: ev}
+        |spec: {format: table, path: events}
+        |---
+        |kind: Transform
+        |metadata: {name: check}
+        |spec:
+        |  type: validate
+        |  onInvalid: route
+        |  rules:
+        |    - {code: NEG_VALUE, condition: {gte: {field: value, value: 0}}}
+        |    - {code: VALUE_RANGE, condition: {lte: {field: value, value: 95}}}
+        |---
+        |kind: Transform
+        |metadata: {name: keep}
+        |spec:
+        |  type: filter
+        |  condition: {equals: {field: event_type, value: purchase}}
+        |---
+        |kind: Sink
+        |metadata: {name: out}
+        |spec: {format: noop, path: ""}
+        |---
+        |kind: Sink
+        |metadata: {name: dead}
+        |spec: {format: noop, path: ""}
+        |---
+        |kind: Pipeline
+        |metadata: {name: metered}
+        |spec:
+        |  source: ev
+        |  steps: [check, keep]
+        |  sink: out
+        |  metrics: true
+        |  dlq: {sink: dead}
+        |""".stripMargin
+    val cp = graft.dsl.Compiler.compile(spark, graft.dsl.YamlLoader.load(yaml),
+      tables = Map("events" -> events))("metered")
+    val obs = cp.observer.get
+    try {
+      graft.dsl.Compiler.write(cp)
+      // the DLQ drains as its OWN action — derived from the shadow
+      // chain, so draining it must not move the main-chain counters
+      graft.dsl.Compiler.write(graft.dsl.Compiler.CompiledPipeline(
+        "metered-dlq", cp.dlq.get, cp.dlqSink.get, Nil))
+      val got = obs.rows(spark).toSet
+      assert(got == Set(
+        ("metered", "ev", "records_received", 6L),
+        ("metered", "check", "records_in", 6L),
+        ("metered", "check", "records_out", 4L),
+        ("metered", "keep", "records_in", 4L),
+        ("metered", "keep", "records_out", 2L),
+        ("metered", "out", "records_delivered", 2L),
+        ("metered", "__dlq", "records_dlq", 2L)), got)
+      // the frame export is the same counters as data
+      val fr = obs.frame(spark)
+      assert(fr.columns.toSeq == Seq("pipeline", "stage", "metric", "value"))
+      assert(fr.filter(col("metric") === "records_delivered")
+        .collect()(0).getLong(3) == 2L)
+      // prometheus exposition of the stage counters
+      val prom = obs.renderPrometheus(spark)
+      assert(prom.contains("# TYPE graft_records_received_total counter"), prom)
+      assert(prom.contains(
+        """graft_records_received_total{pipeline="metered",stage="ev"} 6"""), prom)
+      assert(prom.contains(
+        """graft_records_dlq_total{pipeline="metered",stage="__dlq"} 2"""), prom)
+    } finally obs.close(spark)
+  }
+
+  test("per-stage counters: a metered streaming pipeline reports per-batch deltas") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_metrics_stream").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/in"))
+    // two mtime-ordered files -> two micro-batches at maxFilesPerTrigger 1
+    def waveFile(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("id", "kind").coalesce(1).write.parquet(s"$dir/stage/$name")
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/stage/$name"))
+      val part =
+        try st.filter(p => p.getFileName.toString.startsWith("part-")).findFirst().get()
+        finally st.close()
+      val dest = java.nio.file.Paths.get(s"$dir/in/$name.parquet")
+      java.nio.file.Files.move(part, dest)
+      dest.toFile.setLastModified(mtime)
+    }
+    waveFile("w0", 1700000000000L,
+      Seq((1L, "keep"), (2L, "drop"), (3L, "keep")))
+    waveFile("w1", 1700000060000L,
+      Seq((4L, "keep"), (5L, "drop"), (6L, "drop"), (7L, "drop")))
+    val yaml =
+      s"""kind: Source
+         |metadata: {name: waves}
+         |spec:
+         |  format: parquet
+         |  path: $dir/in
+         |  streaming: true
+         |  schema: "id BIGINT, kind STRING"
+         |  rateCap: {maxFilesPerTrigger: 1}
+         |---
+         |kind: Transform
+         |metadata: {name: keep}
+         |spec:
+         |  type: filter
+         |  condition: {equals: {field: kind, value: keep}}
+         |---
+         |kind: Sink
+         |metadata: {name: out}
+         |spec:
+         |  format: parquet
+         |  path: $dir/out
+         |  checkpoint: $dir/chk
+         |---
+         |kind: Pipeline
+         |metadata: {name: sm}
+         |spec: {source: waves, steps: [keep], sink: out, metrics: true}
+         |""".stripMargin
+    val cp = graft.dsl.Compiler.compile(spark, graft.dsl.YamlLoader.load(yaml))("sm")
+    val obs = cp.observer.get
+    try {
+      graft.dsl.Compiler.write(cp) // run-to-drain (AvailableNow)
+      // cumulative counters sum the micro-batches
+      val got = obs.rows(spark).toSet
+      assert(got == Set(
+        ("sm", "waves", "records_received", 7L),
+        ("sm", "keep", "records_in", 7L),
+        ("sm", "keep", "records_out", 3L),
+        ("sm", "out", "records_delivered", 3L)), got)
+      // ...and the per-batch deltas survive for batch-level assertions:
+      // batch 0 = (3 in, 2 kept), batch 1 = (4 in, 1 kept)
+      val perBatch = obs.perBatch(spark)
+        .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+      assert(perBatch.keySet == Set(0L, 1L), perBatch)
+      assert(perBatch(0L)("waves") == 3L && perBatch(0L)("keep") == 2L, perBatch)
+      assert(perBatch(1L)("waves") == 4L && perBatch(1L)("keep") == 1L, perBatch)
+      assert(perBatch(0L)("out") == 2L && perBatch(1L)("out") == 1L, perBatch)
+    } finally obs.close(spark)
+  }
 }
