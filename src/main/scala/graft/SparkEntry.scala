@@ -4578,6 +4578,58 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** [[qDslCuration]] with a `materialize: true` stage boundary on the
+    * decontaminate step (round 15 — the production staging knob,
+    * llm-corpus-prod.yaml): the step's output round-trips through
+    * scratch parquet and the rest of the chain plans against the staged
+    * files. Result-identical by spec — staging changes plan and layout,
+    * never rows or types (a schema that did not survive the parquet
+    * round-trip bit-for-bit would flip the shared hash) — so the oracle
+    * is q_dsl_curation's verbatim.
+    */
+  private def qDslCurationStaged(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = d.filter(pmod(col("doc_id"), lit(20)) === 0).select(col("text"))
+    val yaml =
+      s"""kind: Source
+         |metadata: {name: docs}
+         |spec: {format: table, path: step_in}
+         |---
+         |kind: Transform
+         |metadata: {name: decon}
+         |spec:
+         |  type: decontaminate
+         |  mode: exact
+         |  benchTable: bench
+         |  shingleSize: 3
+         |  minOverlap: 0.5
+         |  materialize: true
+         |---
+         |kind: Transform
+         |metadata: {name: shard}
+         |spec: {type: chunk, chunkTokens: 40, overlapTokens: 10}
+         |---
+         |kind: Transform
+         |metadata: {name: assign}
+         |spec:
+         |  type: split_assign
+         |  mode: hash
+         |  idField: doc_id
+         |  splits: [{name: train, bp: 8000}, {name: val, bp: 1000}, {name: test, bp: 1000}]
+         |---
+         |kind: Sink
+         |metadata: {name: out}
+         |spec: {format: noop, path: ""}
+         |---
+         |kind: Pipeline
+         |metadata: {name: p}
+         |spec: {source: docs, steps: [decon, shard, assign], sink: out}
+         |""".stripMargin
+    graft.dsl.Compiler.compile(s, graft.dsl.YamlLoader.load(yaml),
+      tables = Map("step_in" -> d, "bench" -> bench))("p").frame
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   // ==========================================================================
   // Registry
   // ==========================================================================
@@ -4779,6 +4831,7 @@ object SparkEntry {
     "q_dsl_split_leakproof" -> (qDslSplitLeakproof _),
     "q_dsl_split_temporal" -> (qDslSplitTemporal _),
     "q_dsl_curation" -> (qDslCuration _),
+    "q_dsl_curation_staged" -> (qDslCurationStaged _),
     "q_dsl_dedupe_near" -> (qDslDedupeNear _),
     "q_dsl_mixture" -> (qDslMixture _),
     "q_dedup_edit_capped" -> (qDedupEditCapped _),
@@ -5555,6 +5608,46 @@ object SparkEntry {
     "q_dsl_split_leakproof" -> "q_split_leakproof",
     "q_dsl_split_temporal" -> "q_split_temporal")
 
+  /** q_dsl_curation's oracle — shared verbatim by the staged twin
+    * (materialize changes plan/layout, never rows).
+    */
+  private val curationOracle: String =
+      """WITH nrm AS (
+        |  SELECT doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM nrm)
+        |), bsh AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+        |), agg AS (
+        |  SELECT s.doc_id, count(*) AS n_sh,
+        |         sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        |  FROM sh s LEFT JOIN bsh b USING (shingle) GROUP BY s.doc_id
+        |), dropids AS (
+        |  SELECT doc_id FROM agg WHERE round(CAST(n_hit AS DOUBLE) / n_sh, 6) >= 0.5
+        |), cnt AS (
+        |  SELECT n.doc_id, n.toks,
+        |    CASE WHEN len(n.toks) = 1 AND n.toks[1] = '' THEN 0 ELSE len(n.toks) END AS n
+        |  FROM nrm n LEFT JOIN dropids dr USING (doc_id) WHERE dr.doc_id IS NULL
+        |), ch AS (
+        |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |    array_to_string(toks[i*30+1:i*30+40], ' ') AS chunk_text,
+        |    CAST(least(n - i*30, 40) AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, toks, n,
+        |          unnest(range(0, greatest((n - 10 - 1) // 30, 0) + 1)) AS i
+        |        FROM cnt)
+        |)
+        |SELECT doc_id, chunk_idx, chunk_text, n_tokens,
+        |  CASE WHEN b < 8000 THEN 'train'
+        |       WHEN b < 9000 THEN 'val'
+        |       WHEN b < 10000 THEN 'test' END AS split
+        |FROM (SELECT ch.*,
+        |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
+        |      FROM ch)
+        |ORDER BY doc_id, chunk_idx""".stripMargin
+
   def oracleSql: Map[String, String] =
     baseOracleSql ++ dslTwinOf.map { case (twin, lib) => twin -> baseOracleSql(lib) }
 
@@ -5710,42 +5803,10 @@ object SparkEntry {
     // every 20th doc, drop at rounded overlap >= 0.5) feeding the 40/10
     // token chunker, then the doc_id hash split. Same fragments as the
     // q_decontaminate / q_chunk / q_split_leakproof oracles, nested.
-    "q_dsl_curation" ->
-      """WITH nrm AS (
-        |  SELECT doc_id,
-        |    string_split(trim(regexp_replace(regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
-        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM nrm)
-        |), bsh AS (
-        |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
-        |), agg AS (
-        |  SELECT s.doc_id, count(*) AS n_sh,
-        |         sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
-        |  FROM sh s LEFT JOIN bsh b USING (shingle) GROUP BY s.doc_id
-        |), dropids AS (
-        |  SELECT doc_id FROM agg WHERE round(CAST(n_hit AS DOUBLE) / n_sh, 6) >= 0.5
-        |), cnt AS (
-        |  SELECT n.doc_id, n.toks,
-        |    CASE WHEN len(n.toks) = 1 AND n.toks[1] = '' THEN 0 ELSE len(n.toks) END AS n
-        |  FROM nrm n LEFT JOIN dropids dr USING (doc_id) WHERE dr.doc_id IS NULL
-        |), ch AS (
-        |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
-        |    array_to_string(toks[i*30+1:i*30+40], ' ') AS chunk_text,
-        |    CAST(least(n - i*30, 40) AS BIGINT) AS n_tokens
-        |  FROM (SELECT doc_id, toks, n,
-        |          unnest(range(0, greatest((n - 10 - 1) // 30, 0) + 1)) AS i
-        |        FROM cnt)
-        |)
-        |SELECT doc_id, chunk_idx, chunk_text, n_tokens,
-        |  CASE WHEN b < 8000 THEN 'train'
-        |       WHEN b < 9000 THEN 'val'
-        |       WHEN b < 10000 THEN 'test' END AS split
-        |FROM (SELECT ch.*,
-        |        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b
-        |      FROM ch)
-        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_dsl_curation" -> curationOracle,
+    // identical by spec: materialize staging changes plan/layout, never rows
+    "q_dsl_curation_staged" -> curationOracle,
+
     "q_embed_pq" -> pqOracle,
     "q_ann_ivfpq" -> pqIvfOracle,
     "q_ann_ivfpq_served" -> pqIvfOracle, // identical by spec: the row gates the save/load/serve round-trip

@@ -128,6 +128,18 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(Seq("registry", "run", store, "team-b/p"), Some(spark)) == 0)
     assert(spark.read.parquet(s"$dir/outA").select("event_id").as[Long].collect().toSeq == Seq(1L))
     assert(spark.read.parquet(s"$dir/outB").select("event_id").as[Long].collect().toSeq == Seq(2L))
+    // --metrics meters the run regardless of the manifest (the operator's
+    // one-off inspection switch) and prints the per-stage counters
+    val metricsOut = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(metricsOut)) {
+      assert(Cli.run(
+        Seq("registry", "run", store, "team-a/p", "--metrics"), Some(spark)) == 0)
+    }
+    val lines = metricsOut.toString("UTF-8").linesIterator.toSeq
+    assert(lines.exists(l => l.startsWith("metric") &&
+      l.contains("records_received") && l.trim.endsWith(" 2")), lines)
+    assert(lines.exists(l => l.startsWith("metric") &&
+      l.contains("records_delivered") && l.trim.endsWith(" 1")), lines)
     // deleting team-b's transform breaks ONLY team-b's pipeline resolution
     assert(Cli.run(Seq("registry", "delete", store, "Transform", "team-b/keep")) == 0)
     assert(Cli.run(Seq("registry", "delete", store, "Transform", "team-b/keep")) == 1)
