@@ -3480,6 +3480,64 @@ object SparkEntry {
     } finally obs.close(s)
   }
 
+  /** The STREAMING leg of R13 under the oracle: a metered streaming
+    * pipeline (3 mtime-ordered wave files, one micro-batch each) whose
+    * per-stage counters accumulate across micro-batches via
+    * StreamingQueryProgress.observedMetrics — and the cumulative totals
+    * must equal the same relational counts the batch path reports (the
+    * counters are content functions of the fixture, however the rows
+    * arrive). Gates the progress-event bridge, the per-batch summation,
+    * and the drain/quiesce ordering.
+    */
+  private def qStreamMetrics(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qsmetrics").toString
+    TempReaper.register(tmp)
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufConf)
+    s.conf.set(shufConf, "8")
+    try {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          pmod(col("event_id"), lit(3)).as("wave"))
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      writeWaveFiles(ev, "wave", 3, s"$tmp/stage", inDir)
+      val yaml =
+        s"""kind: Source
+           |metadata: {name: ev}
+           |spec:
+           |  format: parquet
+           |  path: $tmp/in
+           |  streaming: true
+           |  schema: "event_id BIGINT, event_type STRING, value DOUBLE"
+           |  rateCap: {maxFilesPerTrigger: 1}
+           |---
+           |kind: Transform
+           |metadata: {name: keep}
+           |spec:
+           |  type: filter
+           |  condition: {equals: {field: event_type, value: purchase}}
+           |---
+           |kind: Sink
+           |metadata: {name: out}
+           |spec:
+           |  format: parquet
+           |  path: $tmp/out
+           |  checkpoint: $tmp/chk
+           |---
+           |kind: Pipeline
+           |metadata: {name: sm}
+           |spec: {source: ev, steps: [keep], sink: out, metrics: true}
+           |""".stripMargin
+      val cp = graft.dsl.Compiler.compile(s, graft.dsl.YamlLoader.load(yaml))("sm")
+      val obs = cp.observer.get
+      try {
+        graft.dsl.Compiler.write(cp)
+        obs.frame(s).orderBy(col("stage"), col("metric"))
+      } finally obs.close(s)
+    } finally s.conf.set(shufConf, prevShuf)
+  }
+
   private def qDslPipeline(s: SparkSession, dir: String): DataFrame = {
     val yaml =
       """kind: Source
@@ -4751,6 +4809,7 @@ object SparkEntry {
     "q_compact" -> (qCompact _),
     "q_dsl_pipeline" -> (qDslPipeline _),
     "q_metrics" -> (qMetrics _),
+    "q_stream_metrics" -> (qStreamMetrics _),
     "q_dsl_registry" -> (qDslRegistry _),
     "q_registry_backup" -> (qRegistryBackup _),
     "q_dag_validate" -> (qDagValidate _),
@@ -7192,6 +7251,22 @@ object SparkEntry {
         |  UNION ALL SELECT 'shape', 'records_out', n_purch FROM c
         |  UNION ALL SELECT 'out', 'records_delivered', n_purch FROM c
         |  UNION ALL SELECT '__dlq', 'records_dlq', n_ev - n_valid FROM c
+        |)
+        |ORDER BY stage, metric""".stripMargin,
+    // Streaming leg: the cumulative per-stage totals over the 3
+    // micro-batches equal the same relational counts — however the rows
+    // arrived, the counters are content functions of the fixture.
+    "q_stream_metrics" ->
+      """WITH c AS (
+        |  SELECT
+        |    (SELECT count(*) FROM events) AS n_ev,
+        |    (SELECT count(*) FROM events WHERE event_type = 'purchase') AS n_purch
+        |)
+        |SELECT 'sm' AS pipeline, stage, metric, value FROM (
+        |  SELECT 'ev' AS stage, 'records_received' AS metric, n_ev AS value FROM c
+        |  UNION ALL SELECT 'keep', 'records_in', n_ev FROM c
+        |  UNION ALL SELECT 'keep', 'records_out', n_purch FROM c
+        |  UNION ALL SELECT 'out', 'records_delivered', n_purch FROM c
         |)
         |ORDER BY stage, metric""".stripMargin,
     // Backup/restore: the oracle knows ONLY the third config generation

@@ -53,7 +53,12 @@ object Compiler {
         * `observer.get.close(spark)` when done with it (listeners leak
         * otherwise).
         */
-      observer: Option[graft.observe.PipelineObserver] = None
+      observer: Option[graft.observe.PipelineObserver] = None,
+      /** Manifest `spec.metricsPath`: [[write]] persists the counter
+        * frame here (parquet, overwrite) after the run — the scrape
+        * artifact for scheduled pipelines.
+        */
+      metricsPath: Option[String] = None
   )
 
   /** Compile every enabled pipeline. `tables` resolves format=table sources
@@ -228,7 +233,8 @@ object Compiler {
         qualified -> CompiledPipeline(qualified, metered, sink,
           if (observer.isDefined) Seq.empty else prefix, dlqFrame, dlqSink,
           outputMode = outMode, emitInterval = interval, triggerMode = p.trigger,
-          stateStore = p.stateStore, observer = observer)
+          stateStore = p.stateStore, observer = observer,
+          metricsPath = p.metricsPath)
       }
     }
   }
@@ -491,7 +497,16 @@ object Compiler {
     * semantics; a resident deployment would use `start()` without the
     * trigger).
     */
-  def write(p: CompiledPipeline): Unit =
+  def write(p: CompiledPipeline): Unit = {
+    writeSink(p)
+    // persist the counter frame after the run (manifest `metricsPath`):
+    // the scrape artifact a scheduled pipeline leaves behind
+    for (obs <- p.observer; mp <- p.metricsPath)
+      obs.frame(p.frame.sparkSession)
+        .coalesce(1).write.mode("overwrite").parquet(mp)
+  }
+
+  private def writeSink(p: CompiledPipeline): Unit =
     if (p.frame.isStreaming) {
       // A periodic-emit or trigger:resident pipeline never drains — it
       // must be driven via writeStreaming + lifecycle management, not the

@@ -99,6 +99,11 @@ final case class PipelineManifest(
       * checkpoint barriers), the defined cost of exact counters.
       */
     metrics: Boolean = false,
+    /** Where to persist the pipeline's counter frame after a run
+      * (parquet, overwritten per run) — the scrape artifact for a
+      * scheduled pipeline. Implies `metrics: true`.
+      */
+    metricsPath: Option[String] = None,
     namespace: String = Registry.DefaultNamespace
 ) { def key: (String, String) = (namespace, name) }
 

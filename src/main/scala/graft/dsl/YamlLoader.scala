@@ -178,7 +178,9 @@ object YamlLoader {
           dlq,
           trigger,
           stateStore = stateStore,
-          metrics = spec.get("metrics").exists(_.toString.toBoolean),
+          metrics = spec.get("metrics").exists(_.toString.toBoolean) ||
+            spec.contains("metricsPath"),
+          metricsPath = spec.get("metricsPath").map(_.toString),
           namespace = ns
         ))
       case other => sys.error(s"unknown manifest kind: $other")

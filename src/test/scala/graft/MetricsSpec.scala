@@ -73,6 +73,7 @@ class MetricsSpec extends SparkSpec {
 
   test("per-stage counters: a metered batch pipeline counts exactly, DLQ derived") {
     import org.apache.spark.sql.functions.col
+    val mdir = java.nio.file.Files.createTempDirectory("graft_metrics_path").toString
     val events = Seq(
       (1L, "purchase", 10.0), (2L, "view", 20.0), (3L, "purchase", 30.0),
       (4L, "view", -5.0),     // NEG_VALUE -> dlq
@@ -113,9 +114,9 @@ class MetricsSpec extends SparkSpec {
         |  source: ev
         |  steps: [check, keep]
         |  sink: out
-        |  metrics: true
         |  dlq: {sink: dead}
-        |""".stripMargin
+        |""".stripMargin +
+      s"  metricsPath: $mdir/counters\n" // implies metrics: true
     val cp = graft.dsl.Compiler.compile(spark, graft.dsl.YamlLoader.load(yaml),
       tables = Map("events" -> events))("metered")
     val obs = cp.observer.get
@@ -139,6 +140,13 @@ class MetricsSpec extends SparkSpec {
       assert(fr.columns.toSeq == Seq("pipeline", "stage", "metric", "value"))
       assert(fr.filter(col("metric") === "records_delivered")
         .collect()(0).getLong(3) == 2L)
+      // `metricsPath` persisted the counter frame (the scrape artifact;
+      // written by write() after the sink ran, so records_dlq — derived
+      // from the main chain — is already final)
+      val persisted = spark.read.parquet(s"$mdir/counters")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+      assert(persisted == got, persisted)
       // prometheus exposition of the stage counters
       val prom = obs.renderPrometheus(spark)
       assert(prom.contains("# TYPE graft_records_received_total counter"), prom)
