@@ -1194,6 +1194,40 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(AnnIndexStore.loadIvf(spark, s"$dir/flat").index.count() == residents)
   }
 
+  test("lease heartbeat: a live holder's old lease is NOT stale; a dead holder's is") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_hb").toString
+    val docs = Seq((10L, "some corpus document with words")).toDF("doc_id", "text")
+    AnnIndexStore.saveMinhash(s"$dir/mh", docs, "doc_id", "text", 3, 16, 4)
+    val more = Seq((11L, "entirely new content here")).toDF("doc_id", "text")
+    val oldAt = System.currentTimeMillis() - AnnIndexStore.LeaseStaleMs - 1000L
+    def plantLease(): Unit = java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/mh/LEASE.json"),
+      (s"""{"owner":"long-runner","acquiredAtMs":$oldAt}""" + "\n").getBytes("UTF-8"))
+    def plantHb(owner: String, atMs: Long): Unit = java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/mh/LEASE.hb.json"),
+      (s"""{"owner":"$owner","atMs":$atMs}""" + "\n").getBytes("UTF-8"))
+    // an outlived acquire stamp + a FRESH same-owner heartbeat = a live
+    // long-running mutation (full quantizer retrain at corpus scale) —
+    // must refuse, never reclaim mid-flight
+    plantLease()
+    plantHb("long-runner", System.currentTimeMillis())
+    val e = intercept[RuntimeException](
+      AnnIndexStore.appendMinhash(spark, s"$dir/mh", more, "doc_id", "text"))
+    assert(e.getMessage.contains("lease held by long-runner"), e.getMessage)
+    // a fresh heartbeat from a DIFFERENT owner must not keep a dead
+    // lease alive (a leftover sidecar from a previous holder) — reclaim
+    plantLease()
+    plantHb("someone-else-entirely", System.currentTimeMillis())
+    AnnIndexStore.appendMinhash(spark, s"$dir/mh", more, "doc_id", "text")
+    assert(!new java.io.File(s"$dir/mh/LEASE.json").exists())
+    // ...and an old heartbeat from the same owner means the holder died
+    plantLease()
+    plantHb("long-runner", oldAt)
+    AnnIndexStore.compact(spark, s"$dir/mh")
+    assert(!new java.io.File(s"$dir/mh/LEASE.json").exists())
+  }
+
   test("lease backend seam: conditional-put backends plug in and refuse loudly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx_lb").toString
