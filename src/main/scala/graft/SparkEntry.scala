@@ -1746,6 +1746,111 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** BM25 against the PERSISTED posting index (round 15 — the lexical
+    * sibling of q_ann_*_served): the corpus is tokenized ONCE into a
+    * term-group-partitioned posting + df store
+    * ([[graft.ops.RetrievalStore.saveBm25]]) and the query batch probes
+    * it with static term pruning — O(query-terms) scan instead of the
+    * fused path's O(corpus) re-tokenization per batch. Shares q_bm25's
+    * oracle verbatim: the scoring tail IS the fused one
+    * ([[graft.ops.Retrieval.scoreAndTopK]]) and the stored stats are
+    * exact, so served == fused bit-for-bit.
+    */
+  private def qBm25Served(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val idx = cachedIndexDir("bm25", dir) { t =>
+      graft.ops.RetrievalStore.saveBm25(s"$t/bm", d, "doc_id", "text")
+    }
+    graft.ops.RetrievalStore.serveBm25(
+      graft.ops.RetrievalStore.loadBm25(s, s"$idx/bm"),
+      d.filter(pmod(col("doc_id"), lit(25)) === 0), "doc_id", "text",
+      k = 5, maxDf = Long.MaxValue, maxDfFraction = 0.8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The INCREMENTAL leg: build the store on half the corpus
+    * (doc_id % 2 = 0), append the other half, serve — and the result
+    * must equal the fused recompute over the FULL corpus (q_bm25's
+    * oracle verbatim): df partials sum per term and the manifest
+    * scalars update exactly, which is the whole point of the design
+    * (BM25 is a global function; a store whose appends drifted N/avgdl
+    * /df would serve silently wrong scores). Fresh dir per call — the
+    * mutation sequence is not idempotent.
+    */
+  private def qBm25Appended(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qbm25app").toString
+    TempReaper.register(tmp)
+    graft.ops.RetrievalStore.saveBm25(s"$tmp/bm",
+      d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+    graft.ops.RetrievalStore.appendBm25(s, s"$tmp/bm",
+      d.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text")
+    graft.ops.RetrievalStore.serveBm25(
+      graft.ops.RetrievalStore.loadBm25(s, s"$tmp/bm"),
+      d.filter(pmod(col("doc_id"), lit(25)) === 0), "doc_id", "text",
+      k = 5, maxDf = Long.MaxValue, maxDfFraction = 0.8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The DECLARATIVE leg of the persisted BM25 story (R9 × L28): build
+    * the posting index through the `ann_index` sink (`kind: bm25`),
+    * serve the query batch through the `ann_serve` step dispatching on
+    * the on-disk manifest — result-identical to [[qBm25]] by spec, so
+    * the oracle is shared verbatim; this row gates the YAML plumbing
+    * (kind dispatch, option threading, the step's query-frame seam).
+    */
+  private def qDslBm25(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tmp = cachedIndexDir("dslbm25", dir) { t =>
+      val buildYaml =
+        s"""kind: Source
+           |metadata: {name: corpus}
+           |spec: {format: table, path: corpus_in}
+           |---
+           |kind: Sink
+           |metadata: {name: idx}
+           |spec:
+           |  format: ann_index
+           |  path: $t/bm
+           |  options: {kind: bm25, idField: doc_id, field: text}
+           |---
+           |kind: Pipeline
+           |metadata: {name: build}
+           |spec: {source: corpus, steps: [], sink: idx}
+           |""".stripMargin
+      graft.dsl.Compiler.write(graft.dsl.Compiler.compile(s,
+        graft.dsl.YamlLoader.load(buildYaml), tables = Map("corpus_in" -> d))("build"))
+    }
+    val serveYaml =
+      s"""kind: Source
+         |metadata: {name: probes}
+         |spec: {format: table, path: probes_in}
+         |---
+         |kind: Transform
+         |metadata: {name: serve}
+         |spec:
+         |  type: ann_serve
+         |  path: $tmp/bm
+         |  idField: doc_id
+         |  field: text
+         |  k: 5
+         |  maxDfFraction: 0.8
+         |---
+         |kind: Sink
+         |metadata: {name: out}
+         |spec: {format: noop, path: ""}
+         |---
+         |kind: Pipeline
+         |metadata: {name: query}
+         |spec: {source: probes, steps: [serve], sink: out}
+         |""".stripMargin
+    graft.dsl.Compiler.compile(s,
+        graft.dsl.YamlLoader.load(serveYaml),
+        tables = Map("probes_in" ->
+          d.filter(pmod(col("doc_id"), lit(25)) === 0)))("query").frame
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Hybrid lexical+vector retrieval (L60): BM25 top-10 and brute-force
     * cosine top-10 for the same ten query ids, fused by integer
     * reciprocal-rank fusion ([[graft.ops.Retrieval.rrfFuse]]). The
@@ -4840,6 +4945,9 @@ object SparkEntry {
     "q_profile_stats" -> (qProfileStats _),
     "q_chunk" -> (qChunk _),
     "q_bm25" -> (qBm25 _),
+    "q_bm25_served" -> (qBm25Served _),
+    "q_bm25_appended" -> (qBm25Appended _),
+    "q_dsl_bm25" -> (qDslBm25 _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_contrastive" -> (qContrastive _),
     "q_tfidf" -> (qTfidf _),
@@ -5666,6 +5774,51 @@ object SparkEntry {
     "q_dsl_c4" -> "q_clean_c4",
     "q_dsl_split_leakproof" -> "q_split_leakproof",
     "q_dsl_split_temporal" -> "q_split_temporal")
+
+  /** q_bm25's oracle — shared verbatim by the persisted-index twins
+    * (save->serve and save->append->serve equal the fused recompute).
+    */
+  private val bm25Oracle: String =
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), dls AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0 ELSE len(toks) END AS BIGINT) AS dl
+        |  FROM nrm
+        |), post AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM nrm)
+        |  WHERE term <> '' GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dls
+        |), tdf AS (
+        |  SELECT term, df FROM (SELECT term, count(*) AS df FROM post GROUP BY 1) t
+        |  CROSS JOIN stats s WHERE CAST(t.df AS DOUBLE) <= 0.8 * CAST(s.n AS DOUBLE)
+        |), contrib AS (
+        |  SELECT p.doc_id, p.term,
+        |    CAST(floor(
+        |      ln((CAST(s.n - t.df AS DOUBLE) + 0.5) / (CAST(t.df AS DOUBLE) + 0.5) + 1.0) *
+        |      ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |       (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
+        |      * 1e12 + 0.5) AS BIGINT) AS c
+        |  FROM post p JOIN tdf t USING (term) JOIN dls d ON d.doc_id = p.doc_id CROSS JOIN stats s
+        |), qt AS (
+        |  SELECT DISTINCT doc_id AS qid, term
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM nrm WHERE doc_id % 25 = 0)
+        |  WHERE term <> ''
+        |), sc AS (
+        |  SELECT q.qid, c.doc_id AS did, sum(c.c) AS score
+        |  FROM qt q JOIN contrib c USING (term)
+        |  WHERE c.doc_id <> q.qid GROUP BY 1, 2
+        |)
+        |SELECT qid AS query_id, did AS doc_id, rank,
+        |  CAST((score + 500000) // 1000000 AS DOUBLE) / 1e6 AS score
+        |FROM (
+        |  SELECT qid, did, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
+        |  FROM sc
+        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** q_dsl_curation's oracle — shared verbatim by the staged twin
     * (materialize changes plan/layout, never rows).
@@ -8076,47 +8229,12 @@ object SparkEntry {
         |        unnest(range(0, greatest((n - 10 - 1) // 30, 0) + 1)) AS i
         |      FROM cnt)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
-    "q_bm25" ->
-      """WITH nrm AS (
-        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
-        |  FROM documents
-        |), dls AS (
-        |  SELECT doc_id,
-        |    CAST(CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0 ELSE len(toks) END AS BIGINT) AS dl
-        |  FROM nrm
-        |), post AS (
-        |  SELECT doc_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(toks) AS term FROM nrm)
-        |  WHERE term <> '' GROUP BY 1, 2
-        |), stats AS (
-        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dls
-        |), tdf AS (
-        |  SELECT term, df FROM (SELECT term, count(*) AS df FROM post GROUP BY 1) t
-        |  CROSS JOIN stats s WHERE CAST(t.df AS DOUBLE) <= 0.8 * CAST(s.n AS DOUBLE)
-        |), contrib AS (
-        |  SELECT p.doc_id, p.term,
-        |    CAST(floor(
-        |      ln((CAST(s.n - t.df AS DOUBLE) + 0.5) / (CAST(t.df AS DOUBLE) + 0.5) + 1.0) *
-        |      ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
-        |       (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
-        |      * 1e12 + 0.5) AS BIGINT) AS c
-        |  FROM post p JOIN tdf t USING (term) JOIN dls d ON d.doc_id = p.doc_id CROSS JOIN stats s
-        |), qt AS (
-        |  SELECT DISTINCT doc_id AS qid, term
-        |  FROM (SELECT doc_id, unnest(toks) AS term FROM nrm WHERE doc_id % 25 = 0)
-        |  WHERE term <> ''
-        |), sc AS (
-        |  SELECT q.qid, c.doc_id AS did, sum(c.c) AS score
-        |  FROM qt q JOIN contrib c USING (term)
-        |  WHERE c.doc_id <> q.qid GROUP BY 1, 2
-        |)
-        |SELECT qid AS query_id, did AS doc_id, rank,
-        |  CAST((score + 500000) // 1000000 AS DOUBLE) / 1e6 AS score
-        |FROM (
-        |  SELECT qid, did, score,
-        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
-        |  FROM sc
-        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_bm25" -> bm25Oracle,
+    // identical by spec: save->serve (and save->append->serve) must equal
+    // the fused recompute — shared scoring tail, exact stored stats
+    "q_bm25_served" -> bm25Oracle,
+    "q_bm25_appended" -> bm25Oracle,
+    "q_dsl_bm25" -> bm25Oracle, // identical by spec: gates the YAML kind dispatch + option threading
     // Hybrid RRF: the q_bm25 posting chain (query ids < 10, k=10) + the
     // q_ann_topk cosine chain (k=10), fused in integer nano-units.
     "q_hybrid_retrieval" ->

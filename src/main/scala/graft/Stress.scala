@@ -209,6 +209,17 @@ object Stress {
     def mhCorpus = docsN.filter(pmod(col("doc_id"), lit(50)) =!= 0)
     def mhBatch = docsN.filter(pmod(col("doc_id"), lit(50)) === 0)
 
+    // round 15: the persisted-BM25 claim, measured — the same daily-probe
+    // shape for the LEXICAL index: (a) the fused path re-tokenizes the
+    // whole corpus per query batch (bm25_broadcast row, above) vs (b)
+    // probing the saved term-partitioned posting store. Build untimed.
+    lazy val bm25IndexDir: String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stress_bm25").toString
+      TempReaper.register(dir)
+      ops.RetrievalStore.saveBm25(s"$dir/bm", docsN, "doc_id", "text")
+      s"$dir/bm"
+    }
+
     // round 14: the VECTOR closed loop's fixture — a flat-IVF index over
     // 90% of the replicated embeddings (the other 10% stream in waves).
     // Private per-run dir (the loop mutates); build untimed.
@@ -419,6 +430,22 @@ object Stress {
         docsN, "doc_id", "text",
         docsN.filter(col("doc_id") % 25 === 0), "doc_id", "text",
         k = 10, nShards = 2, maxDfFraction = 0.5)),
+      // the persisted-store claim in its HONEST shape — the daily probe
+      // (small query batch, full corpus), the mh_dedupe_rescan/indexed
+      // pair for the lexical leg: (a) fused re-tokenizes the whole
+      // corpus for ~100 queries, (b) the store scans only those
+      // queries' term postings. (At corpus-sized query sets the
+      // per-(query,doc) candidate stage dominates BOTH paths — measured
+      // 276 vs 226 s at the 20k-query mult=100 shape — and the knob
+      // there is sharding, not the store.)
+      "bm25_daily_rescan" -> (() => ops.Retrieval.bm25TopK(
+        docsN, "doc_id", "text",
+        docsN.filter(col("doc_id") % 4999 === 0), "doc_id", "text",
+        k = 10, maxDfFraction = 0.5)),
+      "bm25_daily_served" -> (() => ops.RetrievalStore.serveBm25(
+        ops.RetrievalStore.loadBm25(spark, bm25IndexDir),
+        docsN.filter(col("doc_id") % 4999 === 0), "doc_id", "text",
+        k = 10, maxDfFraction = 0.5)),
       "tfidf" -> (() => ops.Retrieval.tfidfKeywords(docsN, "doc_id", "text",
         k = 5, maxDfFraction = 0.8)),
       "trim" -> (() => ops.Sampling.trimByPercentile(
@@ -683,6 +710,9 @@ object Stress {
     }
     if (selected.exists(o => o._1.startsWith("mh_dedupe"))) {
       mhIndexDir; ()
+    }
+    if (selected.exists(_._1 == "bm25_daily_served")) {
+      bm25IndexDir; ()
     }
 
     // per-task ceiling per op: local wall time hides a serialized hot key

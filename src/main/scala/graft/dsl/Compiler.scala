@@ -587,6 +587,9 @@ object Compiler {
                 case "minhash" => graft.ops.AnnIndexStore.appendMinhash(
                   spark, p.sink.path, frame,
                   o.getOrElse("idField", "doc_id"), o.getOrElse("field", "text"))
+                case "bm25" => graft.ops.RetrievalStore.appendBm25(
+                  spark, p.sink.path, frame,
+                  o.getOrElse("idField", "doc_id"), o.getOrElse("field", "text"))
                 case other => sys.error(s"unknown index kind '$other'")
               }
               graft.ops.AnnIndexStore.noteAppendAndMaintain(spark, p.sink.path,
@@ -629,9 +632,15 @@ object Compiler {
                     n = o.getOrElse("shingleSize", "3").toInt,
                     k = o.getOrElse("signatureSize", "16").toInt,
                     bands = o.getOrElse("bands", "4").toInt)
+                // LEXICAL retrieval index (round 15): the frame is the
+                // corpus; BM25 postings + df partials + exact corpus
+                // scalars persist for the ann_serve probe leg
+                case "bm25" =>
+                  graft.ops.RetrievalStore.saveBm25(p.sink.path, frame,
+                    o.getOrElse("idField", "doc_id"), o.getOrElse("field", "text"))
                 case other =>
                   sys.error(s"sink '${p.sink.name}': ann_index kind must be " +
-                    s"ivfpq|ivf|lsh|minhash, got '$other'")
+                    s"ivfpq|ivf|lsh|minhash|bm25, got '$other'")
               }
             case "dedupe_loop" =>
               sys.error(s"sink '${p.sink.name}': mode dedupe_loop is " +
@@ -1608,6 +1617,23 @@ object Compiler {
               graft.ops.AnnIndexStore.loadLsh(spark, annPath),
               df, annId, annVec, poolK,
               probeBits = c.getOrElse("probeBits", 1).toString.toInt)
+          // LEXICAL kind: the incoming frame is the query TEXT batch —
+          // BM25 top-k off the persisted posting index (round 15);
+          // refine is a vector notion, refused below by the kind check
+          case "bm25" =>
+            require(refineTable.isEmpty,
+              "ann_serve: refineTable/refineK apply to vector kinds; a " +
+                "bm25 index scores exact BM25 already")
+            graft.ops.RetrievalStore.serveBm25(
+              graft.ops.RetrievalStore.loadBm25(spark, annPath),
+              df,
+              c.getOrElse("idField", "doc_id").toString,
+              c.getOrElse("field", "text").toString,
+              k = annK,
+              k1 = c.getOrElse("k1", 1.2).toString.toDouble,
+              b = c.getOrElse("b", 0.75).toString.toDouble,
+              maxDf = c.getOrElse("maxDf", Long.MaxValue).toString.toLong,
+              maxDfFraction = c.getOrElse("maxDfFraction", 1.0).toString.toDouble)
           case other => sys.error(s"ann_serve: unknown index kind '$other' at $annPath")
         }
         refineTable.fold(served) { tn =>

@@ -152,7 +152,7 @@ object AnnIndexStore {
     * (serves are snapshot-safe over immutable files), and a mutator
     * crash costs at most one stale window.
     */
-  private def withMutationLease[T](spark: SparkSession, dir: String)(body: => T): T = {
+  private[ops] def withMutationLease[T](spark: SparkSession, dir: String)(body: => T): T = {
     val p = leasePath(dir)
     val hb = leaseHbPath(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -741,6 +741,25 @@ object AnnIndexStore {
     val mf = readManifest(spark, dir)
     val ip = new org.apache.hadoop.fs.Path(dir, "index")
     val fs = ip.getFileSystem(spark.sessionState.newHadoopConf())
+    // the lexical store keeps different frames (postings + df partials,
+    // no tombstones/drift) — its own stat set, same lease surface
+    if (mf("kind") == "bm25") {
+      val b = RetrievalStore.loadBm25(spark, dir)
+      val pp = new org.apache.hadoop.fs.Path(dir, "postings")
+      val pdirs =
+        if (fs.exists(pp)) fs.listStatus(pp).filter(_.isDirectory) else Array.empty
+      val perDir = pdirs.map(d => parquetFileCount(fs, d.getPath))
+      return Seq(
+        "postingRows" -> b.postings.count().toString,
+        "dfPartialRows" -> b.df.count().toString,
+        "nDocs" -> b.nDocs.toString,
+        "avgdl" -> (if (b.nDocs == 0) "n/a"
+          else f"${b.totTokens.toDouble / b.nDocs}%.2f"),
+        "dataFiles" -> parquetFileCount(fs, pp).toString,
+        "partitionDirs" -> pdirs.length.toString,
+        "filesPerPartMax" -> (if (perDir.isEmpty) "0" else perDir.max.toString),
+        "mutationLease" -> leaseStatus(fs, dir))
+    }
     val raw = readFrame(spark, s"$dir/index", mf.get("indexSchema"))
     val rows = raw.count()
     val live = minusTombstones(spark, dir, raw).count()
@@ -757,18 +776,7 @@ object AnnIndexStore {
     val psi = psis.maxOption
     // the lease, surfaced: an operator whose mutation just refused reads
     // WHO holds it and for how long here, instead of hunting for the file
-    val lease = {
-      val lp = leasePath(dir)
-      if (!fs.exists(lp)) "free"
-      else scala.util.Try {
-        val in = fs.open(lp)
-        val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
-        val ageS = (System.currentTimeMillis() - n.get("acquiredAtMs").asLong()) / 1000L
-        val staleNote = if (ageS * 1000L >= LeaseStaleMs) " (STALE - reclaimable)" else ""
-        s"held by ${n.get("owner").asText()} for ${ageS}s$staleNote"
-      }.getOrElse("held (torn lease file - reclaimable)")
-    }
+    val lease = leaseStatus(fs, dir)
     Seq(
       "rows" -> rows.toString,
       "liveRows" -> live.toString,
@@ -791,6 +799,33 @@ object AnnIndexStore {
         case _             => "major shift - rebuild recommended"
       },
       "mutationLease" -> lease)
+  }
+
+  private def leaseStatus(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): String = {
+    val lp = leasePath(dir)
+    if (!fs.exists(lp)) "free"
+    else scala.util.Try {
+      val in = fs.open(lp)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      val who = n.get("owner").asText()
+      val at = n.get("acquiredAtMs").asLong()
+      val ageS = (System.currentTimeMillis() - at) / 1000L
+      // stale only with NO fresh same-owner heartbeat — match the
+      // reclaim rule, or the display would call a live long mutation
+      // reclaimable
+      val beat = scala.util.Try {
+        val hin = fs.open(leaseHbPath(dir))
+        val htext = try new String(hin.readAllBytes(), "UTF-8") finally hin.close()
+        val h = new com.fasterxml.jackson.databind.ObjectMapper().readTree(htext)
+        if (h.get("owner").asText() == who) h.get("atMs").asLong() else 0L
+      }.getOrElse(0L)
+      val staleNote =
+        if (System.currentTimeMillis() - math.max(at, beat) >= LeaseStaleMs)
+          " (STALE - reclaimable)" else ""
+      s"held by $who for ${ageS}s$staleNote"
+    }.getOrElse("held (torn lease file - reclaimable)")
   }
 
   private val DriftBins = 10
@@ -1503,6 +1538,10 @@ object AnnIndexStore {
   private def compactUnlocked(
       spark: SparkSession, dir: String, targetBytes: Long = 128L << 20): Int = {
     val mf = readManifest(spark, dir) // refuse non-index directories before rewriting
+    // the lexical store keeps its frames under different names — same
+    // cadence, its own rewrite
+    if (mf("kind") == "bm25")
+      return RetrievalStore.compactBm25Unlocked(spark, dir, targetBytes)
     val tp = tombstonePath(dir)
     val fs = tp.getFileSystem(spark.sessionState.newHadoopConf())
     val ip0 = new org.apache.hadoop.fs.Path(dir, "index")

@@ -119,22 +119,40 @@ object Retrieval {
         col("__df").cast("double") <= lit(maxDfFraction) * col("__n").cast("double"))
       .select(col("__term"), col("__df"))
 
-    // Per-(doc, term) BM25 contribution; spelled so an oracle writing the
-    // same literals folds to bit-identical doubles, then decimal-rounded.
+    scoreAndTopK(postings, termDf, queryTerms, stats, k, k1, b)
+  }
+
+  /** The BM25 scoring tail shared VERBATIM by the fused path above and
+    * the persisted-index serve ([[RetrievalStore.serveBm25]]) — one
+    * expression tree, so the two paths cannot drift and the served twin
+    * shares the fused oracle byte-for-byte.
+    *
+    * Per-(doc, term) BM25 contribution is spelled so an oracle writing
+    * the same literals folds to bit-identical doubles, then
+    * decimal-rounded. Contributions are quantized to 1e12-scaled LONGS,
+    * not DECIMAL(28,12): same 12-decimal half-up quantization
+    * (contributions are positive, so floor(x*1e12 + 0.5) IS the decimal
+    * cast's rounding), but the per-(query,doc) sum becomes a primitive
+    * long — order-independent like decimal, and codegen'd hash
+    * aggregation instead of the Int128 path a precision-28 decimal sum
+    * takes (precision > 18 leaves long-backed Decimal). Headroom: one
+    * contribution < 20 → < 2e13 scaled; a query needs ~460k matching
+    * terms to approach 2^63.
+    */
+  private[ops] def scoreAndTopK(
+      postings: DataFrame,   // (__did, __term, __tf, __dl)
+      termDf: DataFrame,     // (__term, __df) — already df-cap-filtered
+      queryTerms: DataFrame, // (__qid, __term)
+      stats: DataFrame,      // one row (__n, __avgdl)
+      k: Int,
+      k1: Double,
+      b: Double): DataFrame = {
     val idf = log(
       ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
         (col("__df").cast("double") + lit(0.5)) + lit(1.0))
     val sat = (col("__tf").cast("double") * (lit(k1) + lit(1.0))) /
       (col("__tf").cast("double") +
         lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * (col("__dl").cast("double") / col("__avgdl"))))
-    // Contributions are quantized to 1e12-scaled LONGS, not DECIMAL(28,12):
-    // same 12-decimal half-up quantization (contributions are positive, so
-    // floor(x*1e12 + 0.5) IS the decimal cast's rounding), but the
-    // per-(query,doc) sum becomes a primitive long — order-independent like
-    // decimal, and codegen'd hash aggregation instead of the Int128 path a
-    // precision-28 decimal sum takes (precision > 18 leaves long-backed
-    // Decimal). Headroom: one contribution < 20 → < 2e13 scaled; a query
-    // needs ~460k matching terms to approach 2^63.
     val contrib = postings
       .join(broadcast(termDf), "__term")
       .crossJoin(broadcast(stats))

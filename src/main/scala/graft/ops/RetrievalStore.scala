@@ -1,0 +1,263 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Persistence for the LEXICAL retrieval index — the [[AnnIndexStore]]
+  * treatment for BM25 (conveyor's backup-retention posture applied to
+  * the posting list; the reference has no retrieval engine, so the
+  * semantics anchor is [[Retrieval.bm25TopK]] itself, which every serve
+  * must equal bit-for-bit): today the fused path re-tokenizes the WHOLE
+  * corpus per query batch — O(corpus) per batch is the daily-probe
+  * scale-killer persisting exists to remove. This store tokenizes once:
+  *
+  *  - `dir/postings` — ((__term, __did, __tf, __dl)) hive-partitioned by
+  *    `term_grp = pmod(xxhash64(term), nGroups)` and in-file SORTED by
+  *    term, so a query batch's (tiny) term set pushes down as a
+  *    directory filter + a row-group-prunable IN-list — the
+  *    saveMinhash layout, for terms.
+  *  - `dir/df` — (__term, __df) PARTIAL counts, same layout: an append
+  *    adds partials for its touched terms and serve SUMS per term after
+  *    pruning, so incremental ingest never rewrites resident df rows.
+  *  - `MANIFEST.json` — kind, nGroups, and the exact corpus scalars
+  *    (nDocs, totTokens): BM25's idf and length normalization are
+  *    GLOBAL functions, so appends update the two scalars exactly
+  *    (count + token-sum of the batch — cheap aggregates) and every
+  *    serve scores against the true corpus-wide N and avgdl. This is
+  *    what makes save+append+serve EQUAL the fused recompute on the
+  *    grown corpus — the q_bm25_appended gate.
+  *
+  * Serving reuses the three-rung pruning ladder ([[AnnIndexStore]]):
+  * term IN-list (static pushdown) → broadcast semi-join → shuffled
+  * semi-join, results identical on every rung. The scoring tail IS
+  * [[Retrieval.scoreAndTopK]] — shared code, so the served result
+  * cannot drift from the fused oracle.
+  *
+  * Mutations (append, compact) run under the same single-writer lease
+  * as the ANN kinds ([[AnnIndexStore.withMutationLease]]); serves are
+  * snapshot readers over immutable files.
+  */
+object RetrievalStore {
+
+  final case class Bm25Bundle(
+      postings: DataFrame, // (__term, __did, __tf, __dl, term_grp)
+      df: DataFrame,       // (__term, __df, term_grp) — PARTIAL rows, sum per term
+      nDocs: Long,
+      totTokens: Long,
+      nGroups: Int
+  )
+
+  /** One hive directory per ~64k posting rows, capped — the saveMinhash
+    * group-count rule (a fixed large count makes small indexes pay
+    * directory-creation overhead for pruning surface they cannot use).
+    */
+  private def groupsFor(nPostings: Long): Int =
+    math.min(AnnIndexStore.LshMaxGroups.toLong,
+      math.max(16L, nPostings / 65536L + 1L)).toInt
+
+  private def termGrp(nGroups: Int) =
+    pmod(xxhash64(col("__term")), lit(nGroups.toLong))
+
+  /** Tokenize a corpus into posting rows — the SAME kernel chain as the
+    * fused path (WordOccurrences inline; (doc,term) is doc-local, no
+    * shuffle), so stored content is bit-identical to what bm25TopK
+    * derives on the fly.
+    */
+  private def postingsFor(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("__did"),
+        T.wordOccurrences(col(textCol)).as("__occ"))
+      .select(col("__did"), inline(col("__occ")))
+
+  /** Corpus scalars of a doc frame: (count, token sum) — exact, one
+    * shuffle-free scan (empty text counts its one empty token, matching
+    * the posting-side tokenization).
+    */
+  private def scalarsOf(docs: DataFrame, textCol: String): (Long, Long) = {
+    val r = docs.agg(count(lit(1)), coalesce(sum(size(T.tokens(col(textCol)))), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Build and persist the BM25 index. Overwrites `dir`. */
+  def saveBm25(dir: String, docs: DataFrame, idCol: String, textCol: String): Unit = {
+    val spark = docs.sparkSession
+    val posts = postingsFor(docs, idCol, textCol).localCheckpoint(false)
+    val nPost = posts.count()
+    val nGroups = groupsFor(nPost)
+    val grouped = posts.withColumn("term_grp", termGrp(nGroups))
+    // one file per group directory, rows sorted by term inside it so
+    // parquet row-group min/max stats prune the pushed term IN-list
+    grouped.repartition(col("term_grp"))
+      .sortWithinPartitions(col("__term"))
+      .write.mode("overwrite").partitionBy("term_grp").parquet(s"$dir/postings")
+    grouped.groupBy(col("__term"), col("term_grp"))
+      .agg(count(lit(1)).as("__df"))
+      .repartition(col("term_grp"))
+      .sortWithinPartitions(col("__term"))
+      .write.mode("overwrite").partitionBy("term_grp").parquet(s"$dir/df")
+    val (n, tok) = scalarsOf(docs, textCol)
+    writeManifest(spark, dir, n, tok, nGroups)
+  }
+
+  /** Incrementally add docs: append their postings + df PARTIALS with
+    * the pinned group layout and update the corpus scalars exactly —
+    * after which a serve EQUALS the fused recompute over the grown
+    * corpus (df sums per term, N/avgdl exact). Single-writer lease;
+    * caller owns id uniqueness (the [[AnnIndexStore]] append contract).
+    */
+  def appendBm25(
+      spark: SparkSession, dir: String,
+      docs: DataFrame, idCol: String, textCol: String): Unit =
+    AnnIndexStore.withMutationLease(spark, dir) {
+      val mf = readManifest(spark, dir)
+      val nGroups = mf.nGroups
+      val posts = postingsFor(docs, idCol, textCol).localCheckpoint(false)
+      val grouped = posts.withColumn("term_grp", termGrp(nGroups))
+      grouped.repartition(col("term_grp")) // one appended file per touched group
+        .sortWithinPartitions(col("__term"))
+        .write.mode("append").partitionBy("term_grp").parquet(s"$dir/postings")
+      grouped.groupBy(col("__term"), col("term_grp"))
+        .agg(count(lit(1)).as("__df"))
+        .repartition(col("term_grp"))
+        .sortWithinPartitions(col("__term"))
+        .write.mode("append").partitionBy("term_grp").parquet(s"$dir/df")
+      val (n, tok) = scalarsOf(docs, textCol)
+      writeManifest(spark, dir, mf.nDocs + n, mf.totTokens + tok, nGroups)
+    }
+
+  /** Merge append slivers back to ~one file per group directory — the
+    * [[AnnIndexStore.compact]] maintenance pass for the lexical store
+    * (df partials stay partial: compaction changes layout, never
+    * content). Returns the resulting postings data-file count.
+    */
+  def compactBm25(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L << 20): Int =
+    AnnIndexStore.withMutationLease(spark, dir) {
+      compactBm25Unlocked(spark, dir, targetBytes)
+    }
+
+  /** [[compactBm25]] body without the lease — for callers already
+    * holding it ([[AnnIndexStore.compact]] dispatches here off the
+    * manifest kind, so the CLI `ann compact` and the `ann_index` sink's
+    * compactEveryNAppends cadence cover the lexical store too).
+    */
+  private[ops] def compactBm25Unlocked(
+      spark: SparkSession, dir: String, targetBytes: Long): Int = {
+    readManifest(spark, dir) // refuse non-index directories
+    Layout.compact(spark, s"$dir/postings", targetBytes)
+    Layout.compact(spark, s"$dir/df", targetBytes)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    AnnIndexStore.parquetFileCount(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  def loadBm25(spark: SparkSession, dir: String): Bm25Bundle = {
+    val mf = readManifest(spark, dir)
+    Bm25Bundle(
+      spark.read.schema("__term STRING, __did BIGINT, __tf INT, __dl INT, term_grp BIGINT")
+        .parquet(s"$dir/postings"),
+      spark.read.schema("__term STRING, __df BIGINT, term_grp BIGINT")
+        .parquet(s"$dir/df"),
+      mf.nDocs, mf.totTokens, mf.nGroups)
+  }
+
+  /** BM25 top-k against the persisted index — result-identical to
+    * [[Retrieval.bm25TopK]] over the resident corpus (shared scoring
+    * tail, exact stored stats), at O(query-terms) scan cost instead of
+    * O(corpus) per batch. The query term set is tiny by contract
+    * (≤ |queries|·terms-per-query distinct terms); above
+    * `maxProbeInList` it takes the semi-join rungs
+    * ([[AnnIndexStore.semiJoinPrune]]) — identical results, flat driver.
+    */
+  def serveBm25(
+      bundle: Bm25Bundle,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxDf: Long = 1000000L,
+      maxDfFraction: Double = 1.0,
+      maxProbeInList: Int = AnnIndexStore.DefaultMaxProbeInList
+  ): DataFrame = {
+    require(maxProbeInList >= 0, "maxProbeInList must be >= 0")
+    val queryTerms = queries
+      .select(col(queryIdCol).cast("long").as("__qid"),
+        explode(T.tokens(col(queryTextCol))).as("__term"))
+      .distinct()
+    val probeFrame = queryTerms.select(col("__term")).distinct()
+      .withColumn("term_grp", termGrp(bundle.nGroups))
+    val probePairs = probeFrame.limit(maxProbeInList + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    def prune(frame: DataFrame): DataFrame =
+      if (probePairs.size <= maxProbeInList) {
+        val terms = probePairs.map(_._1)
+        val groups = probePairs.map(_._2).distinct
+        frame.filter(col("term_grp").isInCollection(groups) &&
+          col("__term").isInCollection(terms))
+      } else
+        // corpus-sized query set: materialize the term set once for the
+        // ladder's decision count and the semi-joins (the
+        // dedupeAgainstMinhash fallback convention)
+        AnnIndexStore.semiJoinPrune(frame,
+          probeFrame.localCheckpoint(false), Seq("term_grp", "__term"))
+    val posts = prune(bundle.postings)
+      .select(col("__did"), col("__term"), col("__tf"), col("__dl"))
+    // df partials sum per term, then the same caps as the fused path —
+    // against the TRUE corpus N from the manifest
+    val termDf = prune(bundle.df)
+      .groupBy(col("__term")).agg(sum(col("__df")).as("__df"))
+      .filter(col("__df") <= maxDf &&
+        col("__df").cast("double") <=
+          lit(maxDfFraction) * lit(bundle.nDocs).cast("double"))
+    // the exact scalars the fused path computes from the corpus scan —
+    // same longs, same double division, bit-identical scores
+    val stats = queries.sparkSession.range(1).select(
+      lit(bundle.nDocs).as("__n"),
+      (lit(bundle.totTokens).cast("double") /
+        lit(bundle.nDocs).cast("double")).as("__avgdl"))
+    Retrieval.scoreAndTopK(posts, termDf, queryTerms, stats, k, k1, b)
+  }
+
+  // ---- manifest (small JSON, temp+rename — the atomicWrite contract) ----
+
+  private final case class Bm25Manifest(nDocs: Long, totTokens: Long, nGroups: Int)
+
+  private def manifestPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "MANIFEST.json")
+
+  private def writeManifest(
+      spark: SparkSession, dir: String,
+      nDocs: Long, totTokens: Long, nGroups: Int): Unit = {
+    val p = manifestPath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      "MANIFEST.json.tmp-" + java.util.UUID.randomUUID())
+    val out = fs.create(tmp, true)
+    try out.write((s"""{"kind":"bm25","nDocs":$nDocs,""" +
+      s""""totTokens":$totTokens,"nGroups":$nGroups}""" + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      require(fs.exists(p), s"metadata write: rename $tmp -> $p failed")
+    }
+  }
+
+  private def readManifest(spark: SparkSession, dir: String): Bm25Manifest = {
+    val p = manifestPath(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"$dir is not a saved BM25 index (no MANIFEST.json)")
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    require(node != null && node.isObject && node.get("kind") != null &&
+      node.get("kind").asText() == "bm25",
+      s"$p does not pin a bm25 index (use the matching store for its kind)")
+    Bm25Manifest(node.get("nDocs").asLong(), node.get("totTokens").asLong(),
+      node.get("nGroups").asInt())
+  }
+}

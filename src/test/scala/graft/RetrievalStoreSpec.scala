@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Retrieval, RetrievalStore}
+
+/** Persisted BM25 store: save/load/serve equality with the fused
+  * compute, incremental append equivalence (global stats stay exact),
+  * pruning-ladder equality, lease enforcement, compaction neutrality.
+  */
+class RetrievalStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = (0L until 40L).map { i =>
+    (i, s"document $i about topic${i % 5} mentions subject${i % 7} " +
+      s"and shared vocabulary alpha beta plus unique token word$i")
+  }.toDF("doc_id", "text")
+
+  private def queries = corpus.filter(col("doc_id") % 10 === 0)
+
+  private def fused = Retrieval.bm25TopK(corpus, "doc_id", "text",
+    queries, "doc_id", "text", k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9)
+    .orderBy("query_id", "rank").collect().toSeq
+
+  test("save -> load -> serve equals the fused BM25 on every pruning rung") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rstore").toString
+    RetrievalStore.saveBm25(s"$dir/bm", corpus, "doc_id", "text")
+    val b = RetrievalStore.loadBm25(spark, s"$dir/bm")
+    val served = RetrievalStore.serveBm25(b, queries, "doc_id", "text",
+      k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(served == fused && served.nonEmpty)
+    // rung 2/3: force the semi-join fallback — results identical
+    val fallback = RetrievalStore.serveBm25(b, queries, "doc_id", "text",
+      k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9, maxProbeInList = 0)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(fallback == served)
+    // df caps apply against the TRUE corpus N: a tight fraction cap
+    // drops the shared-vocabulary stopwords on both paths identically
+    val cappedServed = RetrievalStore.serveBm25(b, queries, "doc_id", "text",
+      k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val cappedFused = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      queries, "doc_id", "text", k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(cappedServed == cappedFused)
+    // a non-bm25 manifest refuses the loader
+    graft.ops.AnnIndexStore.saveMinhash(s"$dir/mh",
+      corpus.limit(5), "doc_id", "text", 3, 16, 4)
+    val e = intercept[IllegalArgumentException](
+      RetrievalStore.loadBm25(spark, s"$dir/mh"))
+    assert(e.getMessage.contains("bm25"))
+  }
+
+  test("append: served result equals the fused recompute over the grown corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rstore_app").toString
+    RetrievalStore.saveBm25(s"$dir/bm",
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    RetrievalStore.appendBm25(spark, s"$dir/bm",
+      corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    val b = RetrievalStore.loadBm25(spark, s"$dir/bm")
+    // the global scalars updated exactly — BM25 is a global function,
+    // so this equality is the whole design
+    val served = RetrievalStore.serveBm25(b, queries, "doc_id", "text",
+      k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(served == fused && served.nonEmpty)
+    // compaction merges append slivers and changes nothing
+    val files = RetrievalStore.compactBm25(spark, s"$dir/bm")
+    assert(files >= 1)
+    val after = RetrievalStore.serveBm25(
+      RetrievalStore.loadBm25(spark, s"$dir/bm"), queries, "doc_id", "text",
+      k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(after == served)
+    // mutations share the single-writer lease with the ANN kinds
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/bm/LEASE.json"),
+      (s"""{"owner":"someone-else","acquiredAtMs":${System.currentTimeMillis()}}""")
+        .getBytes("UTF-8"))
+    val e = intercept[RuntimeException](RetrievalStore.appendBm25(
+      spark, s"$dir/bm", corpus.limit(1), "doc_id", "text"))
+    assert(e.getMessage.contains("lease held by someone-else"))
+  }
+}
