@@ -80,5 +80,15 @@ class RetrievalStoreSpec extends SparkSpec {
     val e = intercept[RuntimeException](RetrievalStore.appendBm25(
       spark, s"$dir/bm", corpus.limit(1), "doc_id", "text"))
     assert(e.getMessage.contains("lease held by someone-else"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$dir/bm/LEASE.json"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/bm/.LEASE.json.crc"))
+    // the operational CLI surface dispatches off the manifest kind:
+    // `ann info` reads store stats, `ann compact` routes to the
+    // lexical rewrite
+    val stats = graft.ops.AnnIndexStore.stats(spark, s"$dir/bm").toMap
+    assert(stats("nDocs") == "40", stats)
+    assert(stats("postingRows").toLong > 0 && stats("mutationLease") == "free", stats)
+    assert(graft.ops.AnnIndexStore.compact(spark, s"$dir/bm") >= 1)
   }
 }
