@@ -213,12 +213,17 @@ object RetrievalStore {
       .filter(col("__df") <= maxDf &&
         col("__df").cast("double") <=
           lit(maxDfFraction) * lit(bundle.nDocs).cast("double"))
-    // the exact scalars the fused path computes from the corpus scan —
-    // same longs, same double division, bit-identical scores
+    // the exact scalars the fused path computes from the corpus scan:
+    // the SAME long values and the SAME IEEE double division (driver-side
+    // here — a literal 0/0 would constant-fold into an ANSI
+    // DIVIDE_BY_ZERO at planning, where the fused path's runtime row
+    // quietly carries NaN; on an empty index no candidate row exists to
+    // read __avgdl anyway, so 0.0 is equivalent)
+    val avgdl =
+      if (bundle.nDocs == 0) 0.0
+      else bundle.totTokens.toDouble / bundle.nDocs.toDouble
     val stats = queries.sparkSession.range(1).select(
-      lit(bundle.nDocs).as("__n"),
-      (lit(bundle.totTokens).cast("double") /
-        lit(bundle.nDocs).cast("double")).as("__avgdl"))
+      lit(bundle.nDocs).as("__n"), lit(avgdl).as("__avgdl"))
     Retrieval.scoreAndTopK(posts, termDf, queryTerms, stats, k, k1, b)
   }
 
