@@ -158,6 +158,31 @@ class ExamplesSpec extends SparkSpec {
     assert(out.filter(!col("split").isin("train", "val", "test")).count() == 0)
   }
 
+  test("corpus-bm25-build/probe.yaml: lexical index lifecycle through YAML") {
+    val dir = Files.createTempDirectory("graft_ex_bm25").toString
+    def doc(i: Long) = (i, s"document number $i speaks of subject${i % 7} " +
+      s"and matter${i % 11} in particular words variant${i % 5}")
+    (0L until 30L).map(doc).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/data/corpus")
+    (0L until 30L by 10L).map(doc).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/data/probes")
+    val build = materialize("corpus-bm25-build.yaml", dir)
+    val probe = materialize("corpus-bm25-probe.yaml", dir)
+    Seq(build, probe).foreach(m => assert(Cli.run(Seq("validate", m)) == 0))
+    assert(Cli.run(Seq("run", build), sparkOpt = Some(spark)) == 0)
+    assert(graft.ops.AnnIndexStore.kindOf(spark, s"$dir/data/out/bm25-index") == "bm25")
+    assert(Cli.run(Seq("run", probe), sparkOpt = Some(spark)) == 0)
+    val hits = spark.read.parquet(s"$dir/data/out/bm25-hits")
+    // served through YAML == fused library compute, the store contract
+    val fused = graft.ops.Retrieval.bm25TopK(
+      spark.read.parquet(s"$dir/data/corpus"), "doc_id", "text",
+      spark.read.parquet(s"$dir/data/probes"), "doc_id", "text",
+      k = 5, maxDf = Long.MaxValue, maxDfFraction = 0.8)
+    assert(hits.orderBy("query_id", "rank").collect().toSeq ==
+      fused.orderBy("query_id", "rank").collect().toSeq)
+    assert(hits.count() > 0)
+  }
+
   test("corpus index lifecycle: build -> append (cadence compact) -> daily probe") {
     val dir = Files.createTempDirectory("graft_ex_lc").toString
     def doc(i: Long) = (i, s"document number $i speaks of subject${i % 7} " +
