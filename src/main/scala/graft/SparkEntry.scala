@@ -1792,6 +1792,52 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** STREAMING probe against the persisted BM25 index — the
+    * decontamination-service shape (query text lands as a stream, the
+    * corpus posting store is a snapshot): three mtime-ordered wave
+    * files, one micro-batch each, scored through
+    * [[graft.ops.RetrievalStore.servingBatchFn]] inside foreachBatch.
+    * BM25 is per-query independent, so the UNION of per-batch top-ks
+    * EQUALS the batch serve over all queries — q_bm25's oracle
+    * verbatim; the row gates the streaming seam (snapshot-per-stream
+    * load, per-batch probe pruning, checkpointed drain).
+    */
+  private def qStreamBm25(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qsbm25").toString
+    TempReaper.register(tmp)
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufConf)
+    s.conf.set(shufConf, "8")
+    try {
+      val d = docs(s, dir)
+      val idx = cachedIndexDir("bm25", dir) { t =>
+        graft.ops.RetrievalStore.saveBm25(s"$t/bm", d, "doc_id", "text")
+      }
+      val queries = d.filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(3)).as("wave"))
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      writeWaveFiles(queries, "wave", 3, s"$tmp/stage", inDir)
+      val probe = graft.ops.RetrievalStore.servingBatchFn(
+        s, s"$idx/bm", "doc_id", "text",
+        k = 5, maxDf = Long.MaxValue, maxDfFraction = 0.8)
+      val stream = s.readStream
+        .schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/in")
+      val q = stream.writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          probe(b).coalesce(1).write.mode("append").parquet(s"$tmp/out")
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$tmp/out").orderBy(col("query_id"), col("rank"))
+    } finally s.conf.set(shufConf, prevShuf)
+  }
+
   /** The DECLARATIVE leg of the persisted BM25 story (R9 × L28): build
     * the posting index through the `ann_index` sink (`kind: bm25`),
     * serve the query batch through the `ann_serve` step dispatching on
@@ -4948,6 +4994,7 @@ object SparkEntry {
     "q_bm25_served" -> (qBm25Served _),
     "q_bm25_appended" -> (qBm25Appended _),
     "q_dsl_bm25" -> (qDslBm25 _),
+    "q_stream_bm25" -> (qStreamBm25 _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_contrastive" -> (qContrastive _),
     "q_tfidf" -> (qTfidf _),
@@ -8235,6 +8282,7 @@ object SparkEntry {
     "q_bm25_served" -> bm25Oracle,
     "q_bm25_appended" -> bm25Oracle,
     "q_dsl_bm25" -> bm25Oracle, // identical by spec: gates the YAML kind dispatch + option threading
+    "q_stream_bm25" -> bm25Oracle, // identical by spec: per-query independence makes the per-batch union equal the batch serve
     // Hybrid RRF: the q_bm25 posting chain (query ids < 10, k=10) + the
     // q_ann_topk cosine chain (k=10), fused in integer nano-units.
     "q_hybrid_retrieval" ->

@@ -227,6 +227,34 @@ object RetrievalStore {
     Retrieval.scoreAndTopK(posts, termDf, queryTerms, stats, k, k1, b)
   }
 
+  /** Kind-checked micro-batch BM25 closure for Structured Streaming —
+    * the [[AnnIndexStore.dedupingBatchFn]] shape for the lexical store:
+    * query TEXT arrives as a stream (decontamination probes, eval
+    * candidates landing from a crawl), the posting index is a persisted
+    * snapshot loaded ONCE, and each micro-batch scores its own top-k
+    * inside `foreachBatch`. Per-query independence makes the union of
+    * per-batch results EQUAL the batch serve over the union of queries
+    * — the q_stream_bm25 gate. Same snapshot-per-stream convention as
+    * the ANN closures: appends landed after the load are seen by the
+    * NEXT stream.
+    */
+  def servingBatchFn(
+      spark: SparkSession,
+      dir: String,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxDf: Long = 1000000L,
+      maxDfFraction: Double = 1.0,
+      maxProbeInList: Int = AnnIndexStore.DefaultMaxProbeInList
+  ): DataFrame => DataFrame = {
+    val bundle = loadBm25(spark, dir)
+    batch => serveBm25(bundle, batch, queryIdCol, queryTextCol,
+      k, k1, b, maxDf, maxDfFraction, maxProbeInList)
+  }
+
   // ---- manifest (small JSON, temp+rename — the atomicWrite contract) ----
 
   private final case class Bm25Manifest(nDocs: Long, totTokens: Long, nGroups: Int)

@@ -51,6 +51,59 @@ class RetrievalStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("bm25"))
   }
 
+  test("serve plan: query terms reach the posting scan as partition + pushed filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rstore_plan").toString
+    RetrievalStore.saveBm25(s"$dir/bm", corpus, "doc_id", "text")
+    val served = RetrievalStore.serveBm25(
+      RetrievalStore.loadBm25(spark, s"$dir/bm"), queries, "doc_id", "text",
+      k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9)
+    val plan = served.queryExecution.executedPlan.toString
+    // the IN-list rung: term_grp is a hive partition column (static
+    // directory pruning — PartitionFilters) and __term is a data column
+    // whose IN-list must reach the parquet reader (PushedFilters hit
+    // row-group min/max on the term-sorted files). If either stops
+    // showing in the scan, the serve degrades to a full posting read at
+    // 100 TB — exactly what this assertion exists to catch.
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^]]*term_grp[^]]*\\].*"),
+      s"term_grp must prune partitions statically:\n$plan")
+    assert(plan.replaceAll("\\s+", " ").matches(".*PushedFilters: \\[[^]]*In\\(__term[^]]*\\].*"),
+      s"the __term IN-list must reach the parquet scan:\n$plan")
+  }
+
+  test("streaming probe: per-batch union equals the batch serve") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_rstore_stream").toString
+    RetrievalStore.saveBm25(s"$dir/bm", corpus, "doc_id", "text")
+    val probe = RetrievalStore.servingBatchFn(spark, s"$dir/bm",
+      "doc_id", "text", k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9)
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF.select(col("_1").as("doc_id"), col("_2").as("text"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= probe(b).collect().map(_.toSeq)
+        ()
+      }
+      .option("checkpointLocation", s"$dir/chk")
+      .start()
+    val qs = queries.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    try qs.grouped(2).foreach { w => in.addData(w); q.processAllAvailable() }
+    finally q.stop()
+    val batch = RetrievalStore.serveBm25(
+      RetrievalStore.loadBm25(spark, s"$dir/bm"), queries, "doc_id", "text",
+      k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9).collect().map(_.toSeq)
+    assert(out.sortBy(_.mkString("|")).toSeq == batch.sortBy(_.mkString("|")).toSeq
+      && out.nonEmpty)
+    // non-bm25 kinds refuse the closure's loader
+    graft.ops.AnnIndexStore.saveMinhash(s"$dir/mh",
+      corpus.limit(5), "doc_id", "text", 3, 16, 4)
+    val e = intercept[IllegalArgumentException](
+      RetrievalStore.servingBatchFn(spark, s"$dir/mh", "doc_id", "text", 3))
+    assert(e.getMessage.contains("bm25"))
+  }
+
   test("append: served result equals the fused recompute over the grown corpus") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rstore_app").toString
     RetrievalStore.saveBm25(s"$dir/bm",
