@@ -1918,6 +1918,33 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** [[qHybridRetrieval]] with the LEXICAL channel served from the
+    * persisted posting store (round 15) — the production hybrid shape:
+    * the text channel probes [[graft.ops.RetrievalStore]] instead of
+    * re-tokenizing the corpus, the vector channel stays the exact
+    * brute-force anchor, and the fusion is the same integer RRF. Served
+    * lexical == fused lexical bit-for-bit (q_bm25_served's guarantee),
+    * so the oracle is q_hybrid_retrieval's verbatim — the row gates the
+    * store COMPOSING into the downstream fusion unchanged.
+    */
+  private def qHybridServed(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val idx = cachedIndexDir("bm25", dir) { t =>
+      graft.ops.RetrievalStore.saveBm25(s"$t/bm", d, "doc_id", "text")
+    }
+    val text = graft.ops.RetrievalStore.serveBm25(
+      graft.ops.RetrievalStore.loadBm25(s, s"$idx/bm"),
+      d.filter(col("doc_id") < 10), "doc_id", "text",
+      k = 10, maxDf = Long.MaxValue, maxDfFraction = 0.8)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val vec = graft.ops.Similarity.bruteForceTopK(
+      emb(s, dir), emb(s, dir).filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 10, maxPairs = TruthAnchorMaxPairs)
+      .select(col("q_id").as("query_id"), col("n_id").as("doc_id"), col("rank"))
+    graft.ops.Retrieval.rrfFuse(text, vec, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Top-5 TF-IDF keywords per document (relative df cap, WindowGroupLimit). */
   private def qTfidf(s: SparkSession, dir: String): DataFrame =
     graft.ops.Retrieval.tfidfKeywords(docs(s, dir), "doc_id", "text",
@@ -4996,6 +5023,7 @@ object SparkEntry {
     "q_dsl_bm25" -> (qDslBm25 _),
     "q_stream_bm25" -> (qStreamBm25 _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
+    "q_hybrid_served" -> (qHybridServed _),
     "q_contrastive" -> (qContrastive _),
     "q_tfidf" -> (qTfidf _),
     "q_dedup_semantic" -> (qDedupSemantic _),
@@ -5821,6 +5849,79 @@ object SparkEntry {
     "q_dsl_c4" -> "q_clean_c4",
     "q_dsl_split_leakproof" -> "q_split_leakproof",
     "q_dsl_split_temporal" -> "q_split_temporal")
+
+  /** q_hybrid_retrieval's oracle — shared verbatim by the served twin.
+    */
+  private val hybridOracle: String =
+      """WITH nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), dls AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0 ELSE len(toks) END AS BIGINT) AS dl
+        |  FROM nrm
+        |), post AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM nrm)
+        |  WHERE term <> '' GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dls
+        |), tdf AS (
+        |  SELECT term, df FROM (SELECT term, count(*) AS df FROM post GROUP BY 1) t
+        |  CROSS JOIN stats s WHERE CAST(t.df AS DOUBLE) <= 0.8 * CAST(s.n AS DOUBLE)
+        |), contrib AS (
+        |  SELECT p.doc_id, p.term,
+        |    CAST(floor(
+        |      ln((CAST(s.n - t.df AS DOUBLE) + 0.5) / (CAST(t.df AS DOUBLE) + 0.5) + 1.0) *
+        |      ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |       (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
+        |      * 1e12 + 0.5) AS BIGINT) AS c
+        |  FROM post p JOIN tdf t USING (term) JOIN dls d ON d.doc_id = p.doc_id CROSS JOIN stats s
+        |), qt AS (
+        |  SELECT DISTINCT doc_id AS qid, term
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM nrm WHERE doc_id < 10)
+        |  WHERE term <> ''
+        |), sc AS (
+        |  SELECT q.qid, c.doc_id AS did, sum(c.c) AS score
+        |  FROM qt q JOIN contrib c USING (term)
+        |  WHERE c.doc_id <> q.qid GROUP BY 1, 2
+        |), tr AS (
+        |  SELECT qid, did, rank FROM (
+        |    SELECT qid, did,
+        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
+        |    FROM sc
+        |  ) WHERE rank <= 10
+        |), vr AS (
+        |  SELECT q_id, n_id, rank FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
+        |    FROM (
+        |      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |        round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |          (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |           sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
+        |      FROM embeddings c
+        |      CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
+        |      WHERE c.vec_id <> q.vec_id
+        |    )
+        |  ) WHERE rank <= 10
+        |), fused AS (
+        |  SELECT coalesce(t.qid, v.q_id) AS query_id,
+        |    coalesce(t.did, v.n_id) AS doc_id,
+        |    coalesce(t.rank, 0) AS rank_text,
+        |    coalesce(v.rank, 0) AS rank_vec,
+        |    coalesce(1000000000 // (60 + t.rank), 0)
+        |      + coalesce(1000000000 // (60 + v.rank), 0) AS rrf_nano
+        |  FROM tr t
+        |  FULL OUTER JOIN vr v ON t.qid = v.q_id AND t.did = v.n_id
+        |)
+        |SELECT query_id, doc_id, rank_text, rank_vec,
+        |  CAST(rrf_nano AS BIGINT) AS rrf_nano, rank
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_nano DESC, doc_id) AS rank
+        |  FROM fused
+        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** q_bm25's oracle — shared verbatim by the persisted-index twins
     * (save->serve and save->append->serve equal the fused recompute).
@@ -8285,76 +8386,9 @@ object SparkEntry {
     "q_stream_bm25" -> bm25Oracle, // identical by spec: per-query independence makes the per-batch union equal the batch serve
     // Hybrid RRF: the q_bm25 posting chain (query ids < 10, k=10) + the
     // q_ann_topk cosine chain (k=10), fused in integer nano-units.
-    "q_hybrid_retrieval" ->
-      """WITH nrm AS (
-        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
-        |  FROM documents
-        |), dls AS (
-        |  SELECT doc_id,
-        |    CAST(CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0 ELSE len(toks) END AS BIGINT) AS dl
-        |  FROM nrm
-        |), post AS (
-        |  SELECT doc_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(toks) AS term FROM nrm)
-        |  WHERE term <> '' GROUP BY 1, 2
-        |), stats AS (
-        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dls
-        |), tdf AS (
-        |  SELECT term, df FROM (SELECT term, count(*) AS df FROM post GROUP BY 1) t
-        |  CROSS JOIN stats s WHERE CAST(t.df AS DOUBLE) <= 0.8 * CAST(s.n AS DOUBLE)
-        |), contrib AS (
-        |  SELECT p.doc_id, p.term,
-        |    CAST(floor(
-        |      ln((CAST(s.n - t.df AS DOUBLE) + 0.5) / (CAST(t.df AS DOUBLE) + 0.5) + 1.0) *
-        |      ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
-        |       (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
-        |      * 1e12 + 0.5) AS BIGINT) AS c
-        |  FROM post p JOIN tdf t USING (term) JOIN dls d ON d.doc_id = p.doc_id CROSS JOIN stats s
-        |), qt AS (
-        |  SELECT DISTINCT doc_id AS qid, term
-        |  FROM (SELECT doc_id, unnest(toks) AS term FROM nrm WHERE doc_id < 10)
-        |  WHERE term <> ''
-        |), sc AS (
-        |  SELECT q.qid, c.doc_id AS did, sum(c.c) AS score
-        |  FROM qt q JOIN contrib c USING (term)
-        |  WHERE c.doc_id <> q.qid GROUP BY 1, 2
-        |), tr AS (
-        |  SELECT qid, did, rank FROM (
-        |    SELECT qid, did,
-        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
-        |    FROM sc
-        |  ) WHERE rank <= 10
-        |), vr AS (
-        |  SELECT q_id, n_id, rank FROM (
-        |    SELECT q_id, n_id,
-        |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rank
-        |    FROM (
-        |      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-        |        round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
-        |          (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
-        |           sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cosine
-        |      FROM embeddings c
-        |      CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10) q
-        |      WHERE c.vec_id <> q.vec_id
-        |    )
-        |  ) WHERE rank <= 10
-        |), fused AS (
-        |  SELECT coalesce(t.qid, v.q_id) AS query_id,
-        |    coalesce(t.did, v.n_id) AS doc_id,
-        |    coalesce(t.rank, 0) AS rank_text,
-        |    coalesce(v.rank, 0) AS rank_vec,
-        |    coalesce(1000000000 // (60 + t.rank), 0)
-        |      + coalesce(1000000000 // (60 + v.rank), 0) AS rrf_nano
-        |  FROM tr t
-        |  FULL OUTER JOIN vr v ON t.qid = v.q_id AND t.did = v.n_id
-        |)
-        |SELECT query_id, doc_id, rank_text, rank_vec,
-        |  CAST(rrf_nano AS BIGINT) AS rrf_nano, rank
-        |FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id
-        |    ORDER BY rrf_nano DESC, doc_id) AS rank
-        |  FROM fused
-        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_hybrid_retrieval" -> hybridOracle,
+    // identical by spec: the served lexical channel equals the fused one
+    "q_hybrid_served" -> hybridOracle,
     "q_tfidf" ->
       """WITH nrm AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
