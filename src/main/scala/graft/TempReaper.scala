@@ -7,13 +7,22 @@ package graft
   */
 private[graft] object TempReaper {
   private val paths = new java.util.concurrent.ConcurrentLinkedQueue[String]
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+  private val actions = new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]
+  Runtime.getRuntime.addShutdownHook(new Thread(() => {
     paths.forEach { tmp =>
       try
         java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
           .sorted(java.util.Comparator.reverseOrder())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
       catch { case _: Throwable => () }
-    }))
+    }
+    actions.forEach(a => try a() catch { case _: Throwable => () })
+  }))
   def register(path: String): Unit = paths.add(path)
+
+  /** Cleanup that needs more than a local-FS walk (Hadoop FS scratch on
+    * a cluster filesystem) — runs in the same exit hook, failures
+    * swallowed like the path walks.
+    */
+  def registerAction(action: () => Unit): Unit = actions.add(action)
 }

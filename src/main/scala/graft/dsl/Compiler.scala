@@ -48,7 +48,10 @@ object Compiler {
         */
       stateStore: Option[String] = None,
       /** `metrics: true` — the per-stage counter observer wired through
-        * this pipeline's plan ([[graft.observe.PipelineObserver]]). Read
+        * this pipeline's plan ([[graft.observe.PipelineObserver]]). Its
+        * session listeners register at first [[write]]/[[writeStreaming]]
+        * (or at compile when a staged `materialize:` step executes
+        * there), never for a compiled-but-never-run pipeline. Read
         * `observer.get.frame(spark)` after running the pipeline; call
         * `observer.get.close(spark)` when done with it (listeners leak
         * otherwise).
@@ -146,8 +149,7 @@ object Compiler {
         val observer =
           if (!p.metrics) None
           else Some(new graft.observe.PipelineObserver(
-            if (ns == Registry.DefaultNamespace) p.name else s"$ns/${p.name}")
-            .register(spark))
+            if (ns == Registry.DefaultNamespace) p.name else s"$ns/${p.name}"))
         val (frame, tailDlq) = observer match {
           case Some(obs) =>
             // DLQ branches derive from a SHADOW (unmetered) fold of the
@@ -168,8 +170,13 @@ object Compiler {
                 // materialize composes with metering: the staging write
                 // is a real action, so the points below it fire exactly
                 // once (at compile) — unlike the checkpoint fences, which
-                // is why those are skipped here
+                // is why those are skipped here. Registration is normally
+                // deferred to write(), but a staged step EXECUTES at
+                // compile, so the observer must be live for that action
+                // (register is idempotent)
                 val (out, routed) = applyTransformRouted(df, t, lookupTables)
+                if (t.config.get("materialize").exists(_.toString.toBoolean))
+                  obs.register(spark)
                 (materializeStage(
                   obs.attach(out, step, if (routed.isDefined) "routed" else "stage"), t),
                   dlqs ++ shadowDlq)
@@ -405,9 +412,23 @@ object Compiler {
       sys.error(s"step '${t.name}': materialize: true is batch-only " +
         "(a streaming stage's micro-batches already bound its scope)")
     else {
-      val dir = java.nio.file.Files.createTempDirectory("graft-stage-").toString
+      val spark = df.sparkSession
+      // scratch root: `spark.graft.scratch.dir` conf > the session's
+      // checkpoint dir > a driver-local temp dir. The staging write runs
+      // on EXECUTORS, so on a multi-node deployment the root must be a
+      // cluster filesystem — set the conf (or a checkpoint dir) there;
+      // the driver-local default is correct only in local mode. The
+      // scratch tree is registered for deletion at JVM exit (it holds a
+      // full copy of the staged step's output).
+      val root = spark.conf.getOption("spark.graft.scratch.dir")
+        .orElse(spark.sparkContext.getCheckpointDir)
+        .getOrElse(java.nio.file.Files.createTempDirectory("graft-stage-").toString)
+      val dir = s"${root.stripSuffix("/")}/graft-stage-${java.util.UUID.randomUUID()}"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      graft.TempReaper.registerAction(() => { fs.delete(p, true); () })
       df.write.mode("overwrite").parquet(dir)
-      df.sparkSession.read.parquet(dir)
+      spark.read.parquet(dir)
     }
 
   /** Graph stage ids qualify the namespace as "ns/name" (default ns bare). */
@@ -498,6 +519,10 @@ object Compiler {
     * trigger).
     */
   def write(p: CompiledPipeline): Unit = {
+    // listener registration is deferred to EXECUTION (idempotent):
+    // compiling a metered pipeline that never runs must not leak a
+    // session listener
+    p.observer.foreach(_.register(p.frame.sparkSession))
     writeSink(p)
     // persist the counter frame after the run (manifest `metricsPath`):
     // the scrape artifact a scheduled pipeline leaves behind
@@ -703,6 +728,7 @@ object Compiler {
 
   def writeStreaming(p: CompiledPipeline): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
+    p.observer.foreach(_.register(p.frame.sparkSession)) // the write() rule
     // a global space-filling-curve sort needs the whole dataset; micro-batches
     // can only ever be locally ordered — z-order is a batch/compaction concern
     require(p.sink.zOrderBy.isEmpty,

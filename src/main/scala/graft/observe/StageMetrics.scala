@@ -92,19 +92,28 @@ final class PipelineObserver(val pipeline: String) {
       }
   }
 
-  /** Register both listener halves on the session. Call once, pair with
-    * [[close]] — listeners outliving their pipeline are a leak.
+  private val registered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Register both listener halves on the session — idempotent, so the
+    * execution paths ([[graft.dsl.Compiler.write]]/writeStreaming) can
+    * call it per run: the compiler only ATTACHES points at compile time
+    * and defers registration to first execution, so compiling a metered
+    * pipeline that is never run leaks no listener. Pair with [[close]]
+    * — a registered listener outliving its pipeline is a leak.
     */
   def register(spark: SparkSession): this.type = {
-    spark.listenerManager.register(queryListener)
-    spark.streams.addListener(streamListener)
+    if (registered.compareAndSet(false, true)) {
+      spark.listenerManager.register(queryListener)
+      spark.streams.addListener(streamListener)
+    }
     this
   }
 
-  def close(spark: SparkSession): Unit = {
-    spark.listenerManager.unregister(queryListener)
-    spark.streams.removeListener(streamListener)
-  }
+  def close(spark: SparkSession): Unit =
+    if (registered.compareAndSet(true, false)) {
+      spark.listenerManager.unregister(queryListener)
+      spark.streams.removeListener(streamListener)
+    }
 
   /** Drain the async listener bus so a snapshot taken right after an
     * action (or a drained stream) sees that action's callbacks.

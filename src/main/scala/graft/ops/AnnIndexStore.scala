@@ -552,8 +552,17 @@ object AnnIndexStore {
         // on the bigprobe wall)
         semiJoinPrune(bundle.bands, probeFrame.localCheckpoint(false),
           Seq("band_grp", "band"))
+    // _bid =!= _cid: the append contract guarantees id uniqueness, so a
+    // resident row with the batch doc's OWN id is the doc itself — seen
+    // exactly when a crash landed the append but not its commit marker
+    // and the batch replays. Without the filter the replay's survivors
+    // self-match at sim 1.0 and the re-persisted verdicts flip to
+    // all-dup (silent verdict-tree corruption); with it, replayed
+    // verdicts are identical to the originals. (The vector path's
+    // semanticDedupeAgainstIndex carries the same n_id =!= _aid rule.)
     val cand = bBanded.select(col("n_id").as("_bid"), col("band"))
       .join(pruned.select(col("n_id").as("_cid"), col("band")), "band")
+      .filter(col("_bid") =!= col("_cid"))
       .select(col("_bid"), col("_cid")).distinct()
     val dup = cand
       .join(bSigs.select(col("n_id").as("_bid"), col("sig").as("_bs")), "_bid")
@@ -1796,21 +1805,38 @@ object AnnIndexStore {
     // PARKED by rename (never deleted while it is the only copy), and a
     // failed staged->main rename means another roller won — verified by
     // main's existence, not require-failed.
+    // rename that treats a vanished source as "lost the race" — local FS
+    // THROWS FileNotFoundException where HDFS returns false
+    def quietRename(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Boolean =
+      try fs.rename(src, dst)
+      catch { case _: java.io.FileNotFoundException => false }
     Seq("quantizer", "index", "sigs").foreach { name =>
       val staged = new org.apache.hadoop.fs.Path(stage, name)
       val main = new org.apache.hadoop.fs.Path(dir, name)
       val aside = new org.apache.hadoop.fs.Path(dir, s"$name.pre-rebuild")
       if (fs.exists(staged)) {
+        var parked = false
         if (fs.exists(main)) {
           fs.delete(aside, true) // a crashed prior roller's park
           // park the superseded frame; a failed rename means another
           // roller already took main — fall through to the swap attempt
-          fs.rename(main, aside)
+          parked = quietRename(main, aside)
         }
-        if (!fs.rename(staged, main))
+        if (!quietRename(staged, main)) {
+          // staged gone: another roller consumed it. If WE parked a frame
+          // it may have been that winner's freshly-swapped main (the
+          // park/consume interleave) — RESTORE it before judging, or the
+          // index is left with no live copy of this frame.
+          if (parked && !fs.exists(main)) quietRename(aside, main)
           require(fs.exists(main),
             s"rebuild roll-forward: $staged -> $main failed with no live $name")
-      }
+        }
+      } else if (!fs.exists(main) && fs.exists(aside))
+        // a prior roller crashed between parking main and restoring it
+        // (staged already consumed elsewhere): the park holds the only
+        // copy — put it back
+        quietRename(aside, main)
       // drop the parked pre-rebuild copy once the staged frame is live
       if (fs.exists(main)) fs.delete(aside, true)
     }

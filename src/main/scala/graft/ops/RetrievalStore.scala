@@ -192,6 +192,10 @@ object RetrievalStore {
       .withColumn("term_grp", termGrp(bundle.nGroups))
     val probePairs = probeFrame.limit(maxProbeInList + 1)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // corpus-sized query set: ONE lazily-checkpointed term frame shared
+    // by both prune sites (postings and df) — per-call checkpoints would
+    // materialize and cache the probe term set twice per serve
+    lazy val probeKeyed = probeFrame.localCheckpoint(false)
     def prune(frame: DataFrame): DataFrame =
       if (probePairs.size <= maxProbeInList) {
         val terms = probePairs.map(_._1)
@@ -199,11 +203,9 @@ object RetrievalStore {
         frame.filter(col("term_grp").isInCollection(groups) &&
           col("__term").isInCollection(terms))
       } else
-        // corpus-sized query set: materialize the term set once for the
-        // ladder's decision count and the semi-joins (the
-        // dedupeAgainstMinhash fallback convention)
-        AnnIndexStore.semiJoinPrune(frame,
-          probeFrame.localCheckpoint(false), Seq("term_grp", "__term"))
+        // the term set materializes once for the ladder's decision count
+        // and both semi-joins (the dedupeAgainstMinhash convention)
+        AnnIndexStore.semiJoinPrune(frame, probeKeyed, Seq("term_grp", "__term"))
     val posts = prune(bundle.postings)
       .select(col("__did"), col("__term"), col("__tf"), col("__dl"))
     // df partials sum per term, then the same caps as the fused path —
