@@ -1838,6 +1838,118 @@ object SparkEntry {
     } finally s.conf.set(shufConf, prevShuf)
   }
 
+  /** DELETE leg of the lexical lifecycle (round 16 — the q_ann_deleted
+    * treatment for BM25, which is MORE than a tombstone write because
+    * BM25 is a global function): save the full corpus, tombstone the
+    * doc_id % 10 == 3 docs ([[graft.ops.RetrievalStore.deleteIdsBm25]]
+    * subtracts their df contributions as NEGATIVE partials and updates
+    * the manifest scalars exactly, all through the staged-commit
+    * protocol), serve — and the result must equal the fused recompute
+    * over the COMPLEMENT corpus: idf, avgdl, and candidate sets all
+    * complement-exact, the tombstone anti-join hiding the resident
+    * posting rows. The query set (doc_id % 25 == 0 → ids ending
+    * 00/25/50/75) is disjoint from the deleted ids by construction.
+    * Fresh dir per call — the mutation sequence is not idempotent.
+    */
+  private def qBm25Deleted(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qbm25del").toString
+    TempReaper.register(tmp)
+    graft.ops.RetrievalStore.saveBm25(s"$tmp/bm", d, "doc_id", "text")
+    graft.ops.RetrievalStore.deleteIdsBm25(s, s"$tmp/bm",
+      d.filter(pmod(col("doc_id"), lit(10)) === 3).select(col("doc_id")), "doc_id")
+    graft.ops.RetrievalStore.serveBm25(
+      graft.ops.RetrievalStore.loadBm25(s, s"$tmp/bm"),
+      d.filter(pmod(col("doc_id"), lit(25)) === 0), "doc_id", "text",
+      k = 5, maxDf = Long.MaxValue, maxDfFraction = 0.8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** [[qBm25Deleted]] + [[graft.ops.RetrievalStore.compactBm25]] before
+    * the serve — the FOLD leg: tombstoned posting rows rewrite out
+    * (rename-aside swap), df partials merge to one exact row per term
+    * (zero-df fully-deleted terms drop), the tombstone set clears — all
+    * content-neutral, so the oracle is the complement recompute shared
+    * verbatim with q_bm25_deleted. What this row gates beyond the spec:
+    * the folded store round-trips through the oracle, not just through
+    * an in-suite equality.
+    */
+  private def qBm25Compacted(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qbm25cpt").toString
+    TempReaper.register(tmp)
+    graft.ops.RetrievalStore.saveBm25(s"$tmp/bm", d, "doc_id", "text")
+    graft.ops.RetrievalStore.deleteIdsBm25(s, s"$tmp/bm",
+      d.filter(pmod(col("doc_id"), lit(10)) === 3).select(col("doc_id")), "doc_id")
+    graft.ops.RetrievalStore.compactBm25(s, s"$tmp/bm")
+    graft.ops.RetrievalStore.serveBm25(
+      graft.ops.RetrievalStore.loadBm25(s, s"$tmp/bm"),
+      d.filter(pmod(col("doc_id"), lit(25)) === 0), "doc_id", "text",
+      k = 5, maxDf = Long.MaxValue, maxDfFraction = 0.8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** STREAMING LEXICAL INGEST (round 16 — the dedupe_loop treatment for
+    * the posting store, declaratively): build the store on HALF the
+    * corpus, stream the other half in three mtime-ordered wave files
+    * through a YAML pipeline whose `ann_index` sink runs
+    * `mode: append` — each micro-batch appends its docs under the
+    * batch-id commit-marker contract
+    * ([[graft.ops.RetrievalStore.appendBm25Committed]]: exactly-once on
+    * the index; the replay no-op is spec-gated in RetrievalStoreSpec) —
+    * then serve. Append exactness (df partials + exact scalars) makes
+    * the final store EQUAL the fused recompute over the union, so
+    * q_bm25's oracle is shared verbatim; the row gates the streaming
+    * seam end-to-end: compiler wiring, per-batch staged commits, marker
+    * installation, drain.
+    */
+  private def qStreamBm25Appended(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qsbm25app").toString
+    TempReaper.register(tmp)
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufConf)
+    s.conf.set(shufConf, "8")
+    try {
+      val d = docs(s, dir)
+      graft.ops.RetrievalStore.saveBm25(s"$tmp/bm",
+        d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+      val arrivals = d.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("text"), pmod(col("doc_id"), lit(3)).as("wave"))
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      writeWaveFiles(arrivals, "wave", 3, s"$tmp/stage", inDir)
+      val yaml =
+        s"""kind: Source
+           |metadata: {name: crawl}
+           |spec:
+           |  format: parquet
+           |  path: $tmp/in
+           |  streaming: true
+           |  schema: "doc_id BIGINT, text STRING"
+           |  rateCap: {maxFilesPerTrigger: 1}
+           |---
+           |kind: Sink
+           |metadata: {name: store}
+           |spec:
+           |  format: ann_index
+           |  path: $tmp/bm
+           |  checkpoint: $tmp/chk
+           |  options: {mode: append, idField: doc_id, field: text}
+           |---
+           |kind: Pipeline
+           |metadata: {name: ingest}
+           |spec: {source: crawl, steps: [], sink: store}
+           |""".stripMargin
+      graft.dsl.Compiler.write(graft.dsl.Compiler.compile(s,
+        graft.dsl.YamlLoader.load(yaml))("ingest"))
+      graft.ops.RetrievalStore.serveBm25(
+        graft.ops.RetrievalStore.loadBm25(s, s"$tmp/bm"),
+        d.filter(pmod(col("doc_id"), lit(25)) === 0), "doc_id", "text",
+        k = 5, maxDf = Long.MaxValue, maxDfFraction = 0.8)
+        .orderBy(col("query_id"), col("rank"))
+    } finally s.conf.set(shufConf, prevShuf)
+  }
+
   /** The DECLARATIVE leg of the persisted BM25 story (R9 × L28): build
     * the posting index through the `ann_index` sink (`kind: bm25`),
     * serve the query batch through the `ann_serve` step dispatching on
@@ -5020,6 +5132,9 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_bm25_served" -> (qBm25Served _),
     "q_bm25_appended" -> (qBm25Appended _),
+    "q_bm25_deleted" -> (qBm25Deleted _),
+    "q_bm25_compacted" -> (qBm25Compacted _),
+    "q_stream_bm25_appended" -> (qStreamBm25Appended _),
     "q_dsl_bm25" -> (qDslBm25 _),
     "q_stream_bm25" -> (qStreamBm25 _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
@@ -5923,13 +6038,16 @@ object SparkEntry {
         |  FROM fused
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** q_bm25's oracle — shared verbatim by the persisted-index twins
-    * (save->serve and save->append->serve equal the fused recompute).
+  /** q_bm25's oracle over a corpus slice — `pred` restricts the scored
+    * corpus (TRUE = the full table; the deleted twins score the
+    * complement of the tombstoned ids). The query set (doc_id % 25 = 0)
+    * must survive the slice — deleted rows pick predicates disjoint
+    * from it.
     */
-  private val bm25Oracle: String =
-      """WITH nrm AS (
+  private def bm25OracleOver(pred: String): String =
+      s"""WITH nrm AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
-        |  FROM documents
+        |  FROM documents WHERE $pred
         |), dls AS (
         |  SELECT doc_id,
         |    CAST(CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0 ELSE len(toks) END AS BIGINT) AS dl
@@ -5967,6 +6085,19 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
         |  FROM sc
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** q_bm25's oracle — shared verbatim by the persisted-index twins
+    * (save->serve, save->append->serve, and streamed-append serves all
+    * equal the fused recompute over the full corpus).
+    */
+  private val bm25Oracle: String = bm25OracleOver("TRUE")
+
+  /** The DELETED twins' oracle: the fused recompute over the COMPLEMENT
+    * of the tombstoned ids (doc_id % 10 = 3 — disjoint from the % 25 = 0
+    * query set by construction: ids divisible by 25 end in 00/25/50/75,
+    * never ≡3 mod 10).
+    */
+  private val bm25DeletedOracle: String = bm25OracleOver("doc_id % 10 <> 3")
 
   /** q_dsl_curation's oracle — shared verbatim by the staged twin
     * (materialize changes plan/layout, never rows).
@@ -8384,6 +8515,14 @@ object SparkEntry {
     "q_bm25_appended" -> bm25Oracle,
     "q_dsl_bm25" -> bm25Oracle, // identical by spec: gates the YAML kind dispatch + option threading
     "q_stream_bm25" -> bm25Oracle, // identical by spec: per-query independence makes the per-batch union equal the batch serve
+    // streamed appends equal the fused recompute over the union — df
+    // partials sum per term, manifest scalars exact per batch
+    "q_stream_bm25_appended" -> bm25Oracle,
+    // deletes score the complement: negative df partials + exact scalar
+    // subtraction + tombstone anti-join (compacted twin: the folded
+    // store is content-identical)
+    "q_bm25_deleted" -> bm25DeletedOracle,
+    "q_bm25_compacted" -> bm25DeletedOracle,
     // Hybrid RRF: the q_bm25 posting chain (query ids < 10, k=10) + the
     // q_ann_topk cosine chain (k=10), fused in integer nano-units.
     "q_hybrid_retrieval" -> hybridOracle,

@@ -766,11 +766,47 @@ object Compiler {
     // manifest, no library seam required. Kind comes from the on-disk
     // MANIFEST (minhash → text near-dedup; ivf → semantic dedup); the
     // build/append legs stay batch (`mode: overwrite|append`).
+    // STREAMING LEXICAL INGEST (round 16): `mode: append` on a streaming
+    // ann_index sink appends each micro-batch's DOCS to a bm25 posting
+    // store under the batch-id commit-marker contract — exactly-once on
+    // the index (a replayed batch that finds its marker is a full no-op),
+    // with optional sliver compaction riding the same per-batch lease.
+    // The ANN kinds keep their probe-then-append loop (dedupe_loop);
+    // lexical ingest has no verdict to persist, so plain append is the
+    // whole contract.
+    if (p.sink.format == "ann_index" &&
+        p.sink.options.getOrElse("mode", "") == "append") {
+      val spark = p.frame.sparkSession
+      val o = p.sink.options
+      val kind = graft.ops.AnnIndexStore.kindOf(spark, p.sink.path)
+      require(kind == "bm25",
+        s"sink '${p.sink.name}': streaming mode: append ingests into a bm25 " +
+          s"posting store; a '$kind' index streams through mode: dedupe_loop")
+      require(p.sink.checkpoint.nonEmpty,
+        s"sink '${p.sink.name}': streaming append needs an explicit " +
+          "checkpoint: (the index directory is not a checkpoint location)")
+      // marker namespace rides the CHECKPOINT (the identity of the
+      // batch-id sequence) — the dedupe_loop rule
+      val appendLoopId =
+        f"${scala.util.hashing.MurmurHash3.stringHash(p.sink.checkpoint)}%08x"
+      val ingest = graft.ops.RetrievalStore.appendingBatchFn(
+        spark, p.sink.path,
+        o.getOrElse("idField", "doc_id"), o.getOrElse("field", "text"),
+        loopId = appendLoopId,
+        compactEveryNAppends = o.get("compactEveryNAppends").map(_.toInt))
+      val writer = (b: org.apache.spark.sql.DataFrame, bid: Long) => {
+        ingest(b, bid); ()
+      }
+      return p.frame.writeStream.outputMode(p.outputMode).trigger(trigger)
+        .option("checkpointLocation", p.sink.checkpoint)
+        .foreachBatch(writer).start()
+    }
     if (p.sink.format == "ann_index") {
       val o = p.sink.options
       require(o.getOrElse("mode", "") == "dedupe_loop",
-        s"sink '${p.sink.name}': a streaming ann_index sink supports only " +
-          "mode: dedupe_loop (build/append are batch pipelines)")
+        s"sink '${p.sink.name}': a streaming ann_index sink supports " +
+          "mode: dedupe_loop (closed crawl loop) or mode: append (bm25 " +
+          "lexical ingest) — build/overwrite is a batch pipeline")
       // verdicts need a home, and the checkpoint must be EXPLICIT — the
       // default path-derived checkpoint would land inside the index dir
       val verdictPath = o.getOrElse("verdictPath",

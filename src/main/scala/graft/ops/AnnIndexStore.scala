@@ -469,7 +469,7 @@ object AnnIndexStore {
     * raise_error rides the row pipeline: no extra validation job, the
     * first bad row fails the query loudly.
     */
-  private def requireLongId(id: org.apache.spark.sql.Column, what: String) =
+  private[ops] def requireLongId(id: org.apache.spark.sql.Column, what: String) =
     when(id.cast("long").isNull,
       raise_error(concat(lit(s"$what: id must be castable to BIGINT, got '"),
         coalesce(id.cast("string"), lit("NULL")), lit("'"))).cast("long"))
@@ -635,13 +635,18 @@ object AnnIndexStore {
       ids: DataFrame,
       idCol: String
   ): Unit = withMutationLease(spark, dir) {
-    readManifest(spark, dir) // refuse non-index directories
-    // non-castable ids refuse LOUDLY: a null-keyed tombstone row would
-    // never match the loaders' anti-join and the delete would silently
-    // no-op — the silent-failure class the manifest checks refuse elsewhere
-    ids.select(requireLongId(col(idCol), "tombstone delete").as("n_id")).distinct()
-      .coalesce(1) // a delete batch is tiny relative to the index
-      .write.mode("append").parquet(s"$dir/tombstones")
+    val mf = readManifest(spark, dir) // refuse non-index directories
+    // the lexical store's delete is more than a tombstone write — BM25's
+    // global stats (df partials, nDocs, totTokens) subtract exactly too
+    if (mf("kind") == "bm25")
+      RetrievalStore.deleteIdsBm25Unlocked(spark, dir, ids, idCol)
+    else
+      // non-castable ids refuse LOUDLY: a null-keyed tombstone row would
+      // never match the loaders' anti-join and the delete would silently
+      // no-op — the silent-failure class the manifest checks refuse elsewhere
+      ids.select(requireLongId(col(idCol), "tombstone delete").as("n_id")).distinct()
+        .coalesce(1) // a delete batch is tiny relative to the index
+        .write.mode("append").parquet(s"$dir/tombstones")
   }
 
   private def tombstonePath(dir: String) =
@@ -761,6 +766,7 @@ object AnnIndexStore {
       return Seq(
         "postingRows" -> b.postings.count().toString,
         "dfPartialRows" -> b.df.count().toString,
+        "tombstonedIds" -> b.tombstones.fold(0L)(_.count()).toString,
         "nDocs" -> b.nDocs.toString,
         "avgdl" -> (if (b.nDocs == 0) "n/a"
           else f"${b.totTokens.toDouble / b.nDocs}%.2f"),
@@ -1233,7 +1239,7 @@ object AnnIndexStore {
     * with its own checkpoint and so its own batch-id sequence) never
     * collide. `__`-prefixed: invisible to parquet listings.
     */
-  private def loopMarkerPath(dir: String, loopId: String, batchId: Long) =
+  private[ops] def loopMarkerPath(dir: String, loopId: String, batchId: Long) =
     new org.apache.hadoop.fs.Path(dir, s"__loop/$loopId/batch-$batchId.COMMIT")
 
   /** How many commit markers a loop keeps. A replay can only rewind to
@@ -1246,7 +1252,7 @@ object AnnIndexStore {
     */
   val LoopMarkerRetention: Long = 128L
 
-  private def writeLoopMarker(
+  private[ops] def writeLoopMarker(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: String,
       loopId: String,
@@ -1982,7 +1988,7 @@ object AnnIndexStore {
     * already holding it (the closed-loop batch functions run append +
     * marker + maintenance under one lease per micro-batch).
     */
-  private def noteAppendAndMaintainUnlocked(
+  private[ops] def noteAppendAndMaintainUnlocked(
       spark: SparkSession,
       dir: String,
       compactEveryNAppends: Option[Int],

@@ -19,15 +19,19 @@ import graft.functions.{TextFunctions => T}
   *    directory filter + a row-group-prunable IN-list — the
   *    saveMinhash layout, for terms.
   *  - `dir/df` — (__term, __df) PARTIAL counts, same layout: an append
-  *    adds partials for its touched terms and serve SUMS per term after
-  *    pruning, so incremental ingest never rewrites resident df rows.
+  *    adds partials for its touched terms (and a delete NEGATIVE
+  *    partials for the deleted docs' terms) and serve SUMS per term
+  *    after pruning, so incremental ingest never rewrites resident df
+  *    rows.
+  *  - `dir/tombstones` — deleted doc ids ([[deleteIdsBm25]]); serve
+  *    anti-joins them, [[compactBm25]] folds them out.
   *  - `MANIFEST.json` — kind, nGroups, and the exact corpus scalars
   *    (nDocs, totTokens): BM25's idf and length normalization are
-  *    GLOBAL functions, so appends update the two scalars exactly
-  *    (count + token-sum of the batch — cheap aggregates) and every
-  *    serve scores against the true corpus-wide N and avgdl. This is
-  *    what makes save+append+serve EQUAL the fused recompute on the
-  *    grown corpus — the q_bm25_appended gate.
+  *    GLOBAL functions, so appends AND deletes update the two scalars
+  *    exactly and every serve scores against the true corpus-wide N and
+  *    avgdl. This is what makes save+append+serve EQUAL the fused
+  *    recompute on the grown corpus (the q_bm25_appended gate) and
+  *    save+delete+serve EQUAL it on the complement (q_bm25_deleted).
   *
   * Serving reuses the three-rung pruning ladder ([[AnnIndexStore]]):
   * term IN-list (static pushdown) → broadcast semi-join → shuffled
@@ -35,15 +39,44 @@ import graft.functions.{TextFunctions => T}
   * [[Retrieval.scoreAndTopK]] — shared code, so the served result
   * cannot drift from the fused oracle.
   *
-  * Mutations (append, compact) run under the same single-writer lease
-  * as the ANN kinds ([[AnnIndexStore.withMutationLease]]); serves are
-  * snapshot readers over immutable files.
+  * MUTATIONS are STAGED-COMMIT (the [[AnnIndexStore.rebuild]] protocol,
+  * adapted to additive frames): an append/delete writes its postings /
+  * df partials / tombstones / updated MANIFEST under
+  * `dir/__stage/<token>/`, lands a COMMIT marker, and only then adopts
+  * the staged files into the live tree — a crash at any point leaves
+  * either the untouched index (no marker: the staging is discarded by
+  * the next mutation) or a committed staging that EVERY subsequent
+  * manifest read completes verbatim. There is no torn state a crash can
+  * pin: the old postings-append → df-append → manifest-rewrite triple
+  * could die between steps and serve appended postings against stale
+  * N/avgdl forever. Adoption is file-level rename — idempotent and
+  * multi-completer tolerant (a rename losing to an existing destination
+  * is a prior partial pass of the SAME staging; part-file names are
+  * job-unique so cross-job collisions cannot occur). A reader that
+  * loads DURING another process's adoption window may see a mid-append
+  * snapshot (same transient-visibility class as the ANN stores' file
+  * appends); the protocol's guarantee is no PERMANENT tear and
+  * exactly-once application.
+  *
+  * Streaming ingest ([[appendingBatchFn]]) upgrades appends to
+  * EXACTLY-ONCE: the micro-batch's id rides the staging as a loop
+  * marker (installed under `dir/__loop/<loopId>/` as the adoption's
+  * last step, the [[AnnIndexStore.closedLoopDedupingCommitFn]]
+  * contract), and a replayed batch that finds its marker is a full
+  * no-op — markers are checked only AFTER pending stagings roll
+  * forward, so the mid-adoption crash window replays into completion,
+  * never a double append.
+  *
+  * Mutations (append, delete, compact) run under the same single-writer
+  * lease as the ANN kinds ([[AnnIndexStore.withMutationLease]]); serves
+  * are snapshot readers over immutable files.
   */
 object RetrievalStore {
 
   final case class Bm25Bundle(
       postings: DataFrame, // (__term, __did, __tf, __dl, term_grp)
       df: DataFrame,       // (__term, __df, term_grp) — PARTIAL rows, sum per term
+      tombstones: Option[DataFrame], // (n_id) — deleted doc ids, None if never deleted
       nDocs: Long,
       totTokens: Long,
       nGroups: Int
@@ -59,6 +92,9 @@ object RetrievalStore {
 
   private def termGrp(nGroups: Int) =
     pmod(xxhash64(col("__term")), lit(nGroups.toLong))
+
+  private val PostingsSchema = "__term STRING, __did BIGINT, __tf INT, __dl INT, term_grp BIGINT"
+  private val DfSchema = "__term STRING, __df BIGINT, term_grp BIGINT"
 
   /** Tokenize a corpus into posting rows — the SAME kernel chain as the
     * fused path (WordOccurrences inline; (doc,term) is doc-local, no
@@ -80,57 +116,322 @@ object RetrievalStore {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Build and persist the BM25 index. Overwrites `dir`. */
+  private def hconf(spark: SparkSession) = spark.sessionState.newHadoopConf()
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf(spark))
+
+  /** Write a grouped frame with the save layout: one file per group
+    * directory, rows sorted by term inside it so parquet row-group
+    * min/max stats prune the pushed term IN-list.
+    */
+  private def writeGrouped(frame: DataFrame, path: String): Unit =
+    frame.repartition(col("term_grp"))
+      .sortWithinPartitions(col("__term"))
+      .write.mode("overwrite").partitionBy("term_grp").parquet(path)
+
+  /** Build and persist the BM25 index. Overwrites `dir` — including any
+    * predecessor's tombstones, pending staged mutations, and loop
+    * markers (a fresh save is a new index generation).
+    */
   def saveBm25(dir: String, docs: DataFrame, idCol: String, textCol: String): Unit = {
     val spark = docs.sparkSession
+    val fs = fsOf(spark, dir)
+    Seq("tombstones", "__stage", "__loop", "MAINTENANCE.json").foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, n), true))
     val posts = postingsFor(docs, idCol, textCol).localCheckpoint(false)
     val nPost = posts.count()
     val nGroups = groupsFor(nPost)
     val grouped = posts.withColumn("term_grp", termGrp(nGroups))
-    // one file per group directory, rows sorted by term inside it so
-    // parquet row-group min/max stats prune the pushed term IN-list
-    grouped.repartition(col("term_grp"))
-      .sortWithinPartitions(col("__term"))
-      .write.mode("overwrite").partitionBy("term_grp").parquet(s"$dir/postings")
-    grouped.groupBy(col("__term"), col("term_grp"))
-      .agg(count(lit(1)).as("__df"))
-      .repartition(col("term_grp"))
-      .sortWithinPartitions(col("__term"))
-      .write.mode("overwrite").partitionBy("term_grp").parquet(s"$dir/df")
+    writeGrouped(grouped, s"$dir/postings")
+    writeGrouped(grouped.groupBy(col("__term"), col("term_grp"))
+      .agg(count(lit(1)).as("__df")), s"$dir/df")
     val (n, tok) = scalarsOf(docs, textCol)
-    writeManifest(spark, dir, n, tok, nGroups)
+    writeManifest(spark, dir, manifestJson(n, tok, nGroups))
   }
 
-  /** Incrementally add docs: append their postings + df PARTIALS with
-    * the pinned group layout and update the corpus scalars exactly —
-    * after which a serve EQUALS the fused recompute over the grown
-    * corpus (df sums per term, N/avgdl exact). Single-writer lease;
-    * caller owns id uniqueness (the [[AnnIndexStore]] append contract).
+  // ---- staged-commit mutation protocol --------------------------------
+
+  private def stageRoot(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "__stage")
+
+  private def quietRename(
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    try fs.rename(src, dst)
+    catch { case _: java.io.FileNotFoundException => false }
+
+  /** Adopt every data file under `src` into `dst`, preserving the hive
+    * partition layout — idempotent and multi-completer tolerant: a
+    * rename losing to an existing destination means a prior partial
+    * pass of the SAME staging already moved this file (names are
+    * job-unique), so the source is dropped.
+    */
+  private def adoptFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(src)) return
+    fs.mkdirs(dst)
+    fs.listStatus(src).foreach { st =>
+      val name = st.getPath.getName
+      val to = new org.apache.hadoop.fs.Path(dst, name)
+      if (st.isDirectory) adoptFiles(fs, st.getPath, to)
+      else if (!name.startsWith("_") && !name.startsWith(".")) {
+        if (!quietRename(fs, st.getPath, to)) {
+          require(fs.exists(to),
+            s"bm25 staging adoption: rename ${st.getPath} -> $to failed")
+          if (fs.exists(st.getPath)) fs.delete(st.getPath, false)
+        }
+      }
+    }
+  }
+
+  private def loopMarkerFileName(loopId: String, batchId: Long) =
+    s"LOOPMARKER-$loopId-batch-$batchId"
+
+  /** Apply one COMMITTED staging: adopt data files (postings, then df,
+    * then tombstones), rewrite the manifest from the staged copy
+    * (scalars must never lead the rows they describe), install any loop
+    * marker, and drop the staging. Idempotent from any crash point;
+    * concurrent completers tolerated (renames are single-winner, the
+    * manifest rewrite writes identical text).
+    */
+  private def applyStaged(
+      spark: SparkSession,
+      dir: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      stage: org.apache.hadoop.fs.Path): Unit = {
+    Seq("postings", "df", "tombstones").foreach { name =>
+      adoptFiles(fs, new org.apache.hadoop.fs.Path(stage, name),
+        new org.apache.hadoop.fs.Path(dir, name))
+    }
+    val smf = new org.apache.hadoop.fs.Path(stage, "MANIFEST.json")
+    val text =
+      try {
+        val in = fs.open(smf)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      } catch {
+        case _: java.io.FileNotFoundException =>
+          // a concurrent completer finished the whole adoption (the
+          // staged manifest survives until the final stage delete)
+          require(fs.exists(manifestPath(dir)),
+            s"$dir: bm25 staging vanished mid-adoption with no live MANIFEST")
+          return
+      }
+    writeManifest(spark, dir, text.stripLineEnd)
+    fs.listStatus(stage)
+      .filter(_.getPath.getName.startsWith("LOOPMARKER-"))
+      .foreach { m =>
+        val body = m.getPath.getName.stripPrefix("LOOPMARKER-")
+        val cut = body.lastIndexOf("-batch-")
+        require(cut > 0, s"malformed loop marker ${m.getPath}")
+        AnnIndexStore.writeLoopMarker(fs, dir,
+          body.take(cut), body.drop(cut + "-batch-".length).toLong)
+      }
+    fs.delete(stage, true)
+  }
+
+  /** Complete committed stagings; discard aborted ones only when called
+    * by a MUTATOR under the lease (`discardUncommitted`) — a reader must
+    * leave an uncommitted staging alone, it may be another process's
+    * in-flight mutation.
+    */
+  private def rollForwardStaged(
+      spark: SparkSession, dir: String, discardUncommitted: Boolean): Unit = {
+    val root = stageRoot(dir)
+    val fs = root.getFileSystem(hconf(spark))
+    if (!fs.exists(root)) return
+    fs.listStatus(root).filter(_.isDirectory).foreach { st =>
+      if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "COMMIT")))
+        applyStaged(spark, dir, fs, st.getPath)
+      else if (discardUncommitted) fs.delete(st.getPath, true)
+    }
+  }
+
+  // ---- append ----------------------------------------------------------
+
+  /** Incrementally add docs: stage their postings + df PARTIALS with the
+    * pinned group layout and the exactly-updated corpus scalars, COMMIT,
+    * adopt — after which a serve EQUALS the fused recompute over the
+    * grown corpus (df sums per term, N/avgdl exact). Single-writer
+    * lease; caller owns id uniqueness (the [[AnnIndexStore]] append
+    * contract). Crash-safe: a crash before the COMMIT marker discards
+    * the staging untouched; after it, any later manifest read completes
+    * the adoption.
     */
   def appendBm25(
       spark: SparkSession, dir: String,
       docs: DataFrame, idCol: String, textCol: String): Unit =
     AnnIndexStore.withMutationLease(spark, dir) {
-      val mf = readManifest(spark, dir)
-      val nGroups = mf.nGroups
-      val posts = postingsFor(docs, idCol, textCol).localCheckpoint(false)
-      val grouped = posts.withColumn("term_grp", termGrp(nGroups))
-      grouped.repartition(col("term_grp")) // one appended file per touched group
-        .sortWithinPartitions(col("__term"))
-        .write.mode("append").partitionBy("term_grp").parquet(s"$dir/postings")
-      grouped.groupBy(col("__term"), col("term_grp"))
-        .agg(count(lit(1)).as("__df"))
-        .repartition(col("term_grp"))
-        .sortWithinPartitions(col("__term"))
-        .write.mode("append").partitionBy("term_grp").parquet(s"$dir/df")
-      val (n, tok) = scalarsOf(docs, textCol)
-      writeManifest(spark, dir, mf.nDocs + n, mf.totTokens + tok, nGroups)
+      appendBm25Unlocked(spark, dir, docs, idCol, textCol, marker = None)
+      ()
     }
 
-  /** Merge append slivers back to ~one file per group directory — the
-    * [[AnnIndexStore.compact]] maintenance pass for the lexical store
-    * (df partials stay partial: compaction changes layout, never
-    * content). Returns the resulting postings data-file count.
+  /** EXACTLY-ONCE [[appendBm25]] for streaming ingest: the micro-batch
+    * id rides the staging as a loop marker, and a replayed batch that
+    * finds its installed marker is a full no-op (returns false).
+    * Markers are checked after pending stagings roll forward, so a
+    * crash mid-adoption replays into completion, never a double append.
+    */
+  def appendBm25Committed(
+      spark: SparkSession, dir: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      loopId: String, batchId: Long,
+      compactEveryNAppends: Option[Int] = None): Boolean =
+    AnnIndexStore.withMutationLease(spark, dir) {
+      val appended = appendBm25Unlocked(spark, dir, docs, idCol, textCol,
+        marker = Some((loopId, batchId)))
+      if (appended && compactEveryNAppends.nonEmpty)
+        AnnIndexStore.noteAppendAndMaintainUnlocked(
+          spark, dir, compactEveryNAppends, rebuildOnPsi = None)
+      appended
+    }
+
+  /** Shared staged-append body (lease held by the caller). Returns false
+    * when `marker` names an already-committed batch.
+    */
+  private def appendBm25Unlocked(
+      spark: SparkSession, dir: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      marker: Option[(String, Long)]): Boolean = {
+    val fs = fsOf(spark, dir)
+    rollForwardStaged(spark, dir, discardUncommitted = true)
+    if (marker.exists { case (l, b) =>
+        fs.exists(AnnIndexStore.loopMarkerPath(dir, l, b)) })
+      return false
+    val mf = readManifestRaw(spark, dir)
+    val nGroups = mf.nGroups
+    val stage = new org.apache.hadoop.fs.Path(stageRoot(dir),
+      java.util.UUID.randomUUID().toString)
+    val posts = postingsFor(docs, idCol, textCol).localCheckpoint(false)
+    val grouped = posts.withColumn("term_grp", termGrp(nGroups))
+    writeGrouped(grouped, s"$stage/postings")
+    writeGrouped(grouped.groupBy(col("__term"), col("term_grp"))
+      .agg(count(lit(1)).as("__df")), s"$stage/df")
+    val (n, tok) = scalarsOf(docs, textCol)
+    stageManifest(fs, stage,
+      manifestJson(mf.nDocs + n, mf.totTokens + tok, nGroups))
+    marker.foreach { case (l, b) =>
+      fs.create(new org.apache.hadoop.fs.Path(stage,
+        loopMarkerFileName(l, b)), true).close()
+    }
+    fs.create(new org.apache.hadoop.fs.Path(stage, "COMMIT"), true).close()
+    applyStaged(spark, dir, fs, stage)
+    true
+  }
+
+  /** Kind-checked exactly-once streaming INGEST closure — the lexical
+    * leg of the closed-loop family ([[AnnIndexStore
+    * .closedLoopDedupingCommitFn]]'s delivery contract without the
+    * probe): each micro-batch of DOCS appends to the posting store under
+    * a batch-id commit marker; a replayed batch is a full no-op. With
+    * `compactEveryNAppends`, sliver compaction rides the same lease.
+    * Returns whether the batch was appended (false = replay).
+    */
+  def appendingBatchFn(
+      spark: SparkSession,
+      dir: String,
+      idCol: String,
+      textCol: String,
+      loopId: String = "loop",
+      compactEveryNAppends: Option[Int] = None
+  ): (DataFrame, Long) => Boolean = {
+    val kind = AnnIndexStore.kindOf(spark, dir)
+    require(kind == "bm25",
+      s"$dir holds a '$kind' index — streaming lexical ingest needs a bm25 " +
+        "posting store (saveBm25); the ANN kinds ingest through dedupe_loop")
+    (batch, batchId) => appendBm25Committed(spark, dir, batch, idCol, textCol,
+      loopId, batchId, compactEveryNAppends)
+  }
+
+  // ---- delete ----------------------------------------------------------
+
+  /** Tombstone deletion for the lexical store — BM25's global stats make
+    * this more than the ANN kinds' id set: the deleted docs' df
+    * contributions are subtracted as NEGATIVE df partials and the
+    * manifest scalars (nDocs, totTokens) updated exactly, so a
+    * post-delete serve EQUALS the fused recompute over the complement
+    * corpus (idf, avgdl, and candidate sets all complement-exact — the
+    * q_bm25_deleted gate). The posting rows themselves stay resident
+    * behind the tombstone anti-join until [[compactBm25]] folds them
+    * out. All four pieces (negative partials, tombstones, manifest)
+    * land through the staged-commit protocol — no crash can subtract
+    * the stats without the tombstones or vice versa.
+    *
+    * Contract (the [[AnnIndexStore.deleteIds]] rule): tombstones hide
+    * EVERY resident row with that id; re-adding a deleted id requires a
+    * [[compactBm25]] between the delete and the append. Already-deleted
+    * ids are excluded before the contribution math, so repeating a
+    * delete never double-subtracts. Cost: one postings scan per delete
+    * batch (doc ids cannot prune a term-partitioned layout) — deletes
+    * are maintenance-cadence operations, not a serving path.
+    */
+  def deleteIdsBm25(
+      spark: SparkSession,
+      dir: String,
+      ids: DataFrame,
+      idCol: String): Unit =
+    AnnIndexStore.withMutationLease(spark, dir) {
+      deleteIdsBm25Unlocked(spark, dir, ids, idCol)
+    }
+
+  /** [[deleteIdsBm25]] body without the lease — for callers already
+    * holding it ([[AnnIndexStore.deleteIds]] dispatches here off the
+    * manifest kind).
+    */
+  private[ops] def deleteIdsBm25Unlocked(
+      spark: SparkSession,
+      dir: String,
+      ids: DataFrame,
+      idCol: String): Unit = {
+    val fs = fsOf(spark, dir)
+    rollForwardStaged(spark, dir, discardUncommitted = true)
+    val mf = readManifestRaw(spark, dir)
+    val tp = new org.apache.hadoop.fs.Path(dir, "tombstones")
+    val prior =
+      if (fs.exists(tp))
+        Some(spark.read.schema("n_id BIGINT").parquet(tp.toString).distinct())
+      else None
+    // non-castable ids refuse LOUDLY (the AnnIndexStore.deleteIds rule);
+    // already-tombstoned ids drop out so their stats never re-subtract
+    val newIds0 = ids
+      .select(AnnIndexStore.requireLongId(col(idCol), "tombstone delete").as("n_id"))
+      .distinct()
+    val newIds = prior.fold(newIds0)(t => newIds0.join(t, Seq("n_id"), "left_anti"))
+      .localCheckpoint(false) // feeds the semi-join and the tombstone write
+    // the deleted docs' resident contribution — one postings scan
+    val touched = spark.read.schema(PostingsSchema).parquet(s"$dir/postings")
+      .join(newIds, col("__did") === col("n_id"), "left_semi")
+      .localCheckpoint(false) // feeds the df negation and the scalar agg
+    val stage = new org.apache.hadoop.fs.Path(stageRoot(dir),
+      java.util.UUID.randomUUID().toString)
+    writeGrouped(touched.groupBy(col("__term"), col("term_grp"))
+      .agg((-count(lit(1))).as("__df")), s"$stage/df")
+    newIds.coalesce(1) // a delete batch is tiny relative to the index
+      .write.mode("overwrite").parquet(s"$stage/tombstones")
+    // per-doc token counts ride every posting row as __dl — exact, and
+    // identical to what save/append counted for these docs
+    val r = touched.groupBy(col("__did")).agg(first(col("__dl")).as("__dl"))
+      .agg(count(lit(1)), coalesce(sum(col("__dl")), lit(0L))).head()
+    stageManifest(fs, stage,
+      manifestJson(mf.nDocs - r.getLong(0), mf.totTokens - r.getLong(1),
+        mf.nGroups))
+    fs.create(new org.apache.hadoop.fs.Path(stage, "COMMIT"), true).close()
+    applyStaged(spark, dir, fs, stage)
+  }
+
+  // ---- compact ---------------------------------------------------------
+
+  /** Maintenance rewrite — the [[AnnIndexStore.compact]] pass for the
+    * lexical store, now content-folding like the ANN kinds: df PARTIALS
+    * fold to one exact row per term (a year of daily appends leaves
+    * O(appends) rows per hot term that every serve re-sums; zero-df
+    * terms — fully deleted — drop), tombstoned posting rows fold out
+    * and the tombstone set clears, and append slivers merge back to
+    * ~one file per group directory. Returns the resulting postings
+    * data-file count.
     */
   def compactBm25(spark: SparkSession, dir: String,
       targetBytes: Long = 128L << 20): Int =
@@ -145,28 +446,77 @@ object RetrievalStore {
     */
   private[ops] def compactBm25Unlocked(
       spark: SparkSession, dir: String, targetBytes: Long): Int = {
-    readManifest(spark, dir) // refuse non-index directories
-    Layout.compact(spark, s"$dir/postings", targetBytes)
-    Layout.compact(spark, s"$dir/df", targetBytes)
+    val fs = fsOf(spark, dir)
+    rollForwardStaged(spark, dir, discardUncommitted = true)
+    readManifestRaw(spark, dir) // refuse non-index directories
+    // df partials fold unconditionally — content-equal (serve sums
+    // partials; the fold IS the sum) but every future serve reads one
+    // row per term instead of one per append
+    foldGrouped(spark, fs, dir, "df", DfSchema)(df =>
+      df.groupBy(col("__term"), col("term_grp"))
+        .agg(sum(col("__df")).as("__df"))
+        .filter(col("__df") =!= 0L))
+    val tp = new org.apache.hadoop.fs.Path(dir, "tombstones")
+    if (fs.exists(tp)) {
+      val tombs = spark.read.schema("n_id BIGINT").parquet(tp.toString).distinct()
+      foldGrouped(spark, fs, dir, "postings", PostingsSchema)(posts =>
+        posts.join(tombs, col("__did") === col("n_id"), "left_anti"))
+      fs.delete(tp, true)
+    } else
+      // no deletes pending: sliver merge is enough (cheaper than a
+      // global re-sort — Layout.compact rewrites per partition dir)
+      Layout.compact(spark, s"$dir/postings", targetBytes)
     val p = new org.apache.hadoop.fs.Path(s"$dir/postings")
-    AnnIndexStore.parquetFileCount(
-      p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    AnnIndexStore.parquetFileCount(fs, p)
   }
 
+  /** Rewrite one grouped frame through `f` with the save layout and a
+    * rename-aside swap (the [[AnnIndexStore]] tombstone-fold crash
+    * protocol): a crash leaves either the old frame (plus tombstones,
+    * so no delete is lost) or the folded one.
+    */
+  private def foldGrouped(
+      spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String,
+      name: String,
+      schema: String)(f: DataFrame => DataFrame): Unit = {
+    val main = new org.apache.hadoop.fs.Path(dir, name)
+    val newP = new org.apache.hadoop.fs.Path(dir, s"${name}__fold_new")
+    val oldP = new org.apache.hadoop.fs.Path(dir, s"${name}__fold_old")
+    // crash recovery between a prior fold's two swap renames / cleanup
+    if (!fs.exists(main) && fs.exists(oldP))
+      require(fs.rename(oldP, main), s"bm25 fold recovery failed: $oldP -> $main")
+    else if (fs.exists(main) && fs.exists(oldP))
+      fs.delete(oldP, true)
+    writeGrouped(f(spark.read.schema(schema).parquet(main.toString)),
+      newP.toString)
+    require(fs.rename(main, oldP), s"bm25 fold: rename $main -> $oldP failed")
+    require(fs.rename(newP, main), s"bm25 fold: rename $newP -> $main failed")
+    fs.delete(oldP, true)
+  }
+
+  // ---- load / serve ----------------------------------------------------
+
   def loadBm25(spark: SparkSession, dir: String): Bm25Bundle = {
-    val mf = readManifest(spark, dir)
+    val mf = readManifest(spark, dir) // completes committed stagings first
+    val tp = new org.apache.hadoop.fs.Path(dir, "tombstones")
+    val tombs =
+      if (fsOf(spark, dir).exists(tp))
+        Some(spark.read.schema("n_id BIGINT").parquet(tp.toString).distinct())
+      else None
     Bm25Bundle(
-      spark.read.schema("__term STRING, __did BIGINT, __tf INT, __dl INT, term_grp BIGINT")
-        .parquet(s"$dir/postings"),
-      spark.read.schema("__term STRING, __df BIGINT, term_grp BIGINT")
-        .parquet(s"$dir/df"),
+      spark.read.schema(PostingsSchema).parquet(s"$dir/postings"),
+      spark.read.schema(DfSchema).parquet(s"$dir/df"),
+      tombs,
       mf.nDocs, mf.totTokens, mf.nGroups)
   }
 
   /** BM25 top-k against the persisted index — result-identical to
-    * [[Retrieval.bm25TopK]] over the resident corpus (shared scoring
-    * tail, exact stored stats), at O(query-terms) scan cost instead of
-    * O(corpus) per batch. The query term set is tiny by contract
+    * [[Retrieval.bm25TopK]] over the LIVE resident corpus (shared
+    * scoring tail, exact stored stats, tombstones anti-joined after the
+    * term pruning), at O(query-terms) scan cost instead of O(corpus)
+    * per batch. The query term set is tiny by contract
     * (≤ |queries|·terms-per-query distinct terms); above
     * `maxProbeInList` it takes the semi-join rungs
     * ([[AnnIndexStore.semiJoinPrune]]) — identical results, flat driver.
@@ -206,8 +556,13 @@ object RetrievalStore {
         // the term set materializes once for the ladder's decision count
         // and both semi-joins (the dedupeAgainstMinhash convention)
         AnnIndexStore.semiJoinPrune(frame, probeKeyed, Seq("term_grp", "__term"))
-    val posts = prune(bundle.postings)
+    val posts0 = prune(bundle.postings)
       .select(col("__did"), col("__term"), col("__tf"), col("__dl"))
+    // tombstoned docs leave the candidate set AFTER the term pruning —
+    // the anti-join touches only the (tiny) pruned postings; df and the
+    // scalars were already complement-corrected at delete time
+    val posts = bundle.tombstones.fold(posts0)(t =>
+      posts0.join(t, col("__did") === col("n_id"), "left_anti"))
     // df partials sum per term, then the same caps as the fused path —
     // against the TRUE corpus N from the manifest
     val termDf = prune(bundle.df)
@@ -261,20 +616,28 @@ object RetrievalStore {
 
   private final case class Bm25Manifest(nDocs: Long, totTokens: Long, nGroups: Int)
 
+  private def manifestJson(nDocs: Long, totTokens: Long, nGroups: Int): String =
+    s"""{"kind":"bm25","nDocs":$nDocs,"totTokens":$totTokens,"nGroups":$nGroups}"""
+
   private def manifestPath(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "MANIFEST.json")
 
+  private def stageManifest(
+      fs: org.apache.hadoop.fs.FileSystem,
+      stage: org.apache.hadoop.fs.Path,
+      json: String): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(stage, "MANIFEST.json"), true)
+    try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
   private def writeManifest(
-      spark: SparkSession, dir: String,
-      nDocs: Long, totTokens: Long, nGroups: Int): Unit = {
+      spark: SparkSession, dir: String, json: String): Unit = {
     val p = manifestPath(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = p.getFileSystem(hconf(spark))
     val tmp = new org.apache.hadoop.fs.Path(dir,
       "MANIFEST.json.tmp-" + java.util.UUID.randomUUID())
     val out = fs.create(tmp, true)
-    try out.write((s"""{"kind":"bm25","nDocs":$nDocs,""" +
-      s""""totTokens":$totTokens,"nGroups":$nGroups}""" + "\n").getBytes("UTF-8"))
-    finally out.close()
+    try out.write((json + "\n").getBytes("UTF-8")) finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
@@ -282,9 +645,18 @@ object RetrievalStore {
     }
   }
 
+  /** Manifest read that first completes any committed-but-unadopted
+    * staging — the [[AnnIndexStore]] load-side rule: a writer crash
+    * between COMMIT and the end of adoption can never pin a torn index.
+    */
   private def readManifest(spark: SparkSession, dir: String): Bm25Manifest = {
+    rollForwardStaged(spark, dir, discardUncommitted = false)
+    readManifestRaw(spark, dir)
+  }
+
+  private def readManifestRaw(spark: SparkSession, dir: String): Bm25Manifest = {
     val p = manifestPath(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = p.getFileSystem(hconf(spark))
     require(fs.exists(p), s"$dir is not a saved BM25 index (no MANIFEST.json)")
     val in = fs.open(p)
     val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()

@@ -1306,5 +1306,20 @@ class AnnIndexStoreSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/mh/__rebuild")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/mh/index.pre-rebuild")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/mh/sigs.pre-rebuild")))
+    // the concurrent-roller interleave: roller A consumed the staged
+    // frame, roller B then parked A's freshly-swapped main and crashed —
+    // the park holds the ONLY copy. Fabricate: committed staging whose
+    // frames are already consumed, main sigs parked aside.
+    cp(s"$dir/mh/MANIFEST.json", s"$dir/mh/__rebuild/MANIFEST.json")
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/mh/__rebuild/COMMIT"))
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$dir/mh/sigs"),
+      new org.apache.hadoop.fs.Path(s"$dir/mh/sigs.pre-rebuild")))
+    // ANY load restores the lone park instead of leaving the index frameless
+    assert(verdict() == 1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/mh/sigs")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/mh/sigs.pre-rebuild")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/mh/__rebuild")))
   }
 }

@@ -144,4 +144,183 @@ class RetrievalStoreSpec extends SparkSpec {
     assert(stats("postingRows").toLong > 0 && stats("mutationLease") == "free", stats)
     assert(graft.ops.AnnIndexStore.compact(spark, s"$dir/bm") >= 1)
   }
+
+  private def statsOf(dir: String) = graft.ops.AnnIndexStore.stats(spark, dir).toMap
+
+  test("delete: tombstoned serve equals the fused recompute over the complement") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rstore_del").toString
+    RetrievalStore.saveBm25(s"$dir/bm", corpus, "doc_id", "text")
+    val dead = corpus.filter(col("doc_id") % 10 === 3).select("doc_id")
+    RetrievalStore.deleteIdsBm25(spark, s"$dir/bm", dead, "doc_id")
+    val complement = corpus.filter(col("doc_id") % 10 =!= 3)
+    def fusedComplement = Retrieval.bm25TopK(complement, "doc_id", "text",
+      queries, "doc_id", "text", k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9)
+      .orderBy("query_id", "rank").collect().toSeq
+    def served() = RetrievalStore.serveBm25(
+      RetrievalStore.loadBm25(spark, s"$dir/bm"), queries, "doc_id", "text",
+      k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9)
+      .orderBy("query_id", "rank").collect().toSeq
+    // the whole point: df partials, N, and avgdl all complement-exact
+    assert(served() == fusedComplement && served().nonEmpty)
+    assert(served() != fused, "deletion must change scores (idf/avgdl moved)")
+    val s1 = statsOf(s"$dir/bm")
+    assert(s1("nDocs") == "36" && s1("tombstonedIds") == "4", s1)
+    // repeating the delete never double-subtracts the global stats
+    RetrievalStore.deleteIdsBm25(spark, s"$dir/bm", dead, "doc_id")
+    // non-resident ids subtract nothing
+    graft.ops.AnnIndexStore.deleteIds(spark, s"$dir/bm", // kind-dispatched
+      Seq(999L).toDF("doc_id"), "doc_id")
+    val s2 = statsOf(s"$dir/bm")
+    assert(s2("nDocs") == "36" && served() == fusedComplement, s2)
+    // compact FOLDS: tombstoned postings rewritten out, df partials
+    // merged to one exact row per term, zero-df (fully deleted) terms
+    // dropped — content-neutral for every serve
+    assert(RetrievalStore.compactBm25(spark, s"$dir/bm") >= 1)
+    val s3 = statsOf(s"$dir/bm")
+    assert(s3("tombstonedIds") == "0" && s3("nDocs") == "36", s3)
+    val b = RetrievalStore.loadBm25(spark, s"$dir/bm")
+    assert(b.tombstones.isEmpty)
+    val maxPartials = b.df.groupBy("__term").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxPartials == 1L, "compact must fold df partials to one row per term")
+    assert(b.postings.filter(col("__did") % 10 === 3).count() == 0,
+      "compact must fold tombstoned posting rows out")
+    assert(served() == fusedComplement)
+    // the generation rule: after a fold, a deleted id can re-enter
+    RetrievalStore.appendBm25(spark, s"$dir/bm",
+      corpus.filter(col("doc_id") === 3), "doc_id", "text")
+    val fusedReadd = Retrieval.bm25TopK(
+      corpus.filter(col("doc_id") % 10 =!= 3 || col("doc_id") === 3),
+      "doc_id", "text",
+      queries, "doc_id", "text", k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(served() == fusedReadd)
+  }
+
+  private def mfOf(dir: String): (Long, Long, Int) = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(s"$dir/MANIFEST.json"))
+    (node.get("nDocs").asLong, node.get("totTokens").asLong,
+      node.get("nGroups").asInt)
+  }
+
+  test("staged appends: crash states heal and replayed batches are no-ops") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def cp(from: String, to: String): Unit = {
+      val s = new org.apache.hadoop.fs.Path(from)
+      val d = new org.apache.hadoop.fs.Path(to)
+      org.apache.hadoop.fs.FileUtil.copy(
+        s.getFileSystem(conf), s, d.getFileSystem(conf), d, false, conf)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_rstore_crash").toString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    RetrievalStore.saveBm25(s"$dir/bm",
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    RetrievalStore.saveBm25(s"$dir/other",
+      corpus.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    val (nA, tokA, gA) = mfOf(s"$dir/bm")
+    val (nB, tokB, gB) = mfOf(s"$dir/other")
+    assert(gA == gB, "fixture halves must share the group layout")
+    // CRASH WINDOW 1: append staged and COMMITTED, writer died before
+    // adoption — fabricate it from the other half's store (the staged
+    // content IS a grouped postings+df tree with a combined manifest)
+    val stage1 = s"$dir/bm/__stage/tok1"
+    cp(s"$dir/other/postings", s"$stage1/postings")
+    cp(s"$dir/other/df", s"$stage1/df")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$stage1/MANIFEST.json"),
+      (s"""{"kind":"bm25","nDocs":${nA + nB},"totTokens":${tokA + tokB},""" +
+        s""""nGroups":$gA}""").getBytes("UTF-8"))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$stage1/COMMIT"))
+    // ANY load completes the adoption: serve equals the fused recompute
+    // over the UNION, staging gone
+    val served = RetrievalStore.serveBm25(
+      RetrievalStore.loadBm25(spark, s"$dir/bm"), queries, "doc_id", "text",
+      k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(served == fused && served.nonEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stage1)))
+    // CRASH WINDOW 2: an UNCOMMITTED staging (writer died mid-stage) is
+    // invisible to readers and discarded by the next mutation
+    val stage2 = s"$dir/bm/__stage/tok2"
+    cp(s"$dir/other/df", s"$stage2/df")
+    assert(statsOf(s"$dir/bm")("nDocs") == "40") // reader: untouched
+    assert(fs.exists(new org.apache.hadoop.fs.Path(stage2)))
+    RetrievalStore.appendBm25(spark, s"$dir/bm",
+      corpus.limit(0), "doc_id", "text") // any mutation discards it
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stage2)))
+    assert(statsOf(s"$dir/bm")("nDocs") == "40")
+    // EXACTLY-ONCE: a replayed batch id is a full no-op
+    val extra = (100L until 105L).map(i => (i, s"novel doc $i payload"))
+      .toDF("doc_id", "text")
+    assert(RetrievalStore.appendBm25Committed(spark, s"$dir/bm",
+      extra, "doc_id", "text", "myloop", 7L))
+    assert(!RetrievalStore.appendBm25Committed(spark, s"$dir/bm",
+      extra, "doc_id", "text", "myloop", 7L))
+    assert(statsOf(s"$dir/bm")("nDocs") == "45")
+    // CRASH WINDOW 3: committed staging CARRYING its batch marker, crash
+    // before adoption — the replay must complete the staging (installing
+    // the marker) and then no-op, never append its own recompute
+    val stage3 = s"$dir/bm/__stage/tok3"
+    val more = (200L until 203L).map(i => (i, s"late doc $i payload"))
+      .toDF("doc_id", "text")
+    RetrievalStore.saveBm25(s"$dir/scratch", more, "doc_id", "text")
+    val (nC, tokC, gC) = mfOf(s"$dir/scratch")
+    assert(gC == gA)
+    val (nNow, tokNow, _) = mfOf(s"$dir/bm")
+    cp(s"$dir/scratch/postings", s"$stage3/postings")
+    cp(s"$dir/scratch/df", s"$stage3/df")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$stage3/MANIFEST.json"),
+      (s"""{"kind":"bm25","nDocs":${nNow + nC},"totTokens":${tokNow + tokC},""" +
+        s""""nGroups":$gA}""").getBytes("UTF-8"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$stage3/LOOPMARKER-myloop-batch-9"))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$stage3/COMMIT"))
+    assert(!RetrievalStore.appendBm25Committed(spark, s"$dir/bm",
+      more, "doc_id", "text", "myloop", 9L)) // completes, then no-ops
+    assert(statsOf(s"$dir/bm")("nDocs") == "48")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stage3)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/bm/__loop/myloop/batch-9.COMMIT")))
+  }
+
+  test("streaming ingest: appendingBatchFn drains waves, replays rewind to no-ops") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_rstore_ing").toString
+    RetrievalStore.saveBm25(s"$dir/bm",
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val ingest = RetrievalStore.appendingBatchFn(spark, s"$dir/bm",
+      "doc_id", "text", loopId = "ing")
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF.select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, bid: Long) =>
+        ingest(b, bid); ()
+      }
+      .option("checkpointLocation", s"$dir/chk")
+      .start()
+    val waves = corpus.filter(col("doc_id") % 2 === 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    try waves.grouped(7).foreach { w => in.addData(w); q.processAllAvailable() }
+    finally q.stop()
+    // after the drain the store equals the fused recompute over the union
+    val served = RetrievalStore.serveBm25(
+      RetrievalStore.loadBm25(spark, s"$dir/bm"), queries, "doc_id", "text",
+      k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(served == fused && served.nonEmpty)
+    // a checkpoint-rewind replay of every batch id is a pile of no-ops
+    (0L until 3L).foreach { bid =>
+      assert(!ingest(corpus.limit(3), bid))
+    }
+    assert(statsOf(s"$dir/bm")("nDocs") == "40")
+    // non-bm25 kinds refuse the ingest closure
+    graft.ops.AnnIndexStore.saveMinhash(s"$dir/mh",
+      corpus.limit(5), "doc_id", "text", 3, 16, 4)
+    val e = intercept[IllegalArgumentException](
+      RetrievalStore.appendingBatchFn(spark, s"$dir/mh", "doc_id", "text"))
+    assert(e.getMessage.contains("bm25"))
+  }
 }
