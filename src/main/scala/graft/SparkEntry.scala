@@ -3766,7 +3766,10 @@ object SparkEntry {
         graft.dsl.Compiler.write(
           graft.dsl.Compiler.CompiledPipeline("metered-dlq", d, ds, Nil))
       // rows() captures the counters driver-side — safe to close after
-      obs.frame(s).orderBy(col("stage"), col("metric"))
+      // the __pipeline wall rows (latency_ms, runs) are wall-clock —
+      // shape-gated in MetricsSpec, excluded from the oracle compare
+      obs.frame(s).filter(col("stage") =!= "__pipeline")
+        .orderBy(col("stage"), col("metric"))
     } finally obs.close(s)
   }
 
@@ -3823,7 +3826,9 @@ object SparkEntry {
       val obs = cp.observer.get
       try {
         graft.dsl.Compiler.write(cp)
-        obs.frame(s).orderBy(col("stage"), col("metric"))
+        // wall-clock __pipeline rows excluded — the q_metrics rule
+        obs.frame(s).filter(col("stage") =!= "__pipeline")
+          .orderBy(col("stage"), col("metric"))
       } finally obs.close(s)
     } finally s.conf.set(shufConf, prevShuf)
   }

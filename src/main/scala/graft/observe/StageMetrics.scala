@@ -45,6 +45,15 @@ final class PipelineObserver(val pipeline: String) {
   private val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
   // streaming history: (batchId, point name, records) per progress event
   private val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+  // pipeline wall — the record_routing_latency half of the reference's
+  // counter surface (conveyor-etl-metrics/src/lib.rs:27-33), at the
+  // granularity Spark can attribute honestly: per ACTION for batch runs
+  // (QueryExecutionListener durationNs), per MICRO-BATCH for streams
+  // (progress.batchDuration). Cumulative ms + run count, monotonic like
+  // the record counters; an action is "ours" when its plan carries one
+  // of this observer's points.
+  private val latencyMs = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val runsSeen = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Wrap `df` with an observation point. Roles: "source"
     * (records_received), "stage" (records_in/records_out), "routed" (a
@@ -74,8 +83,13 @@ final class PipelineObserver(val pipeline: String) {
     override def onSuccess(
         funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution,
-        durationNs: Long): Unit =
+        durationNs: Long): Unit = {
+      if (qe.observedMetrics.keys.exists(_.startsWith(prefix))) {
+        latencyMs.addAndGet(durationNs / 1000000L)
+        runsSeen.incrementAndGet()
+      }
       qe.observedMetrics.foreach { case (name, row) => record(name, row, None) }
+    }
     override def onFailure(
         funcName: String,
         qe: org.apache.spark.sql.execution.QueryExecution,
@@ -86,10 +100,16 @@ final class PipelineObserver(val pipeline: String) {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     override def onQueryStarted(event: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
-    override def onQueryProgress(event: QueryProgressEvent): Unit =
-      event.progress.observedMetrics.asScala.foreach { case (name, row) =>
+    override def onQueryProgress(event: QueryProgressEvent): Unit = {
+      val mine = event.progress.observedMetrics.asScala
+      if (mine.keys.exists(_.startsWith(prefix))) {
+        latencyMs.addAndGet(event.progress.batchDuration)
+        runsSeen.incrementAndGet()
+      }
+      mine.foreach { case (name, row) =>
         record(name, row, Some(event.progress.batchId))
       }
+    }
   }
 
   private val registered = new java.util.concurrent.atomic.AtomicBoolean(false)
@@ -133,6 +153,13 @@ final class PipelineObserver(val pipeline: String) {
   def rows(spark: SparkSession): Seq[(String, String, String, Long)] = {
     awaitQuiesce(spark)
     val chain = synchronized(points.toSeq)
+    // records_in derivation assumes a LINEAR chain: stage N's input is
+    // stage N-1's output. Every metered shape the compiler produces
+    // satisfies it — `split` tags rows in place (the DSL's fan-out
+    // spelling, spec-gated in MetricsSpec), DLQ branches derive from an
+    // unmetered shadow fold, and graph DAGs (compileGraph) have no
+    // metering surface. If metering ever reaches a true DAG, attach
+    // explicit per-branch in-points instead of widening this derivation.
     def in(p: Point): Long = {
       val pos = chain.indexWhere(_.idx == p.idx)
       if (pos > 0) value(chain(pos - 1)) else value(p)
@@ -150,9 +177,15 @@ final class PipelineObserver(val pipeline: String) {
     // the DLQ counter: sum of routed-stage in-out deltas (exact — a
     // routed validate partitions its input into clean + routed)
     val routed = chain.filter(_.role == "routed")
-    if (routed.isEmpty) stageRows
-    else stageRows :+ ((pipeline, "__dlq", "records_dlq",
-      routed.map(p => in(p) - value(p)).sum))
+    val withDlq =
+      if (routed.isEmpty) stageRows
+      else stageRows :+ ((pipeline, "__dlq", "records_dlq",
+        routed.map(p => in(p) - value(p)).sum))
+    // pipeline wall: cumulative action / micro-batch latency + run count
+    // (wall-clock, so shape-asserted in specs, never oracle-compared)
+    withDlq ++ Seq(
+      (pipeline, "__pipeline", "latency_ms", latencyMs.get),
+      (pipeline, "__pipeline", "runs", runsSeen.get))
   }
 
   /** [[rows]] as a DataFrame (pipeline, stage, metric, value). */
@@ -182,7 +215,7 @@ final class PipelineObserver(val pipeline: String) {
       s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
     val sb = new StringBuilder
     val metricNames = Seq("records_received", "records_in", "records_out",
-      "records_dlq", "records_delivered")
+      "records_dlq", "records_delivered", "latency_ms", "runs")
     val rs = rows(spark)
     for (m <- metricNames) {
       val of = rs.filter(_._3 == m)

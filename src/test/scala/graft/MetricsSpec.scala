@@ -126,7 +126,8 @@ class MetricsSpec extends SparkSpec {
       // chain, so draining it must not move the main-chain counters
       graft.dsl.Compiler.write(graft.dsl.Compiler.CompiledPipeline(
         "metered-dlq", cp.dlq.get, cp.dlqSink.get, Nil))
-      val got = obs.rows(spark).toSet
+      val all = obs.rows(spark)
+      val got = all.filterNot(_._2 == "__pipeline").toSet
       assert(got == Set(
         ("metered", "ev", "records_received", 6L),
         ("metered", "check", "records_in", 6L),
@@ -146,7 +147,7 @@ class MetricsSpec extends SparkSpec {
       val persisted = spark.read.parquet(s"$mdir/counters")
         .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
           r.getLong(3))).toSet
-      assert(persisted == got, persisted)
+      assert(persisted.filterNot(_._2 == "__pipeline") == got, persisted)
       // prometheus exposition of the stage counters
       val prom = obs.renderPrometheus(spark)
       assert(prom.contains("# TYPE graft_records_received_total counter"), prom)
@@ -154,6 +155,74 @@ class MetricsSpec extends SparkSpec {
         """graft_records_received_total{pipeline="metered",stage="ev"} 6"""), prom)
       assert(prom.contains(
         """graft_records_dlq_total{pipeline="metered",stage="__dlq"} 2"""), prom)
+      assert(prom.contains("# TYPE graft_latency_ms_total counter"), prom)
+      // the latency half of R13: per-action wall + run count, cumulative
+      // and monotonic (wall-clock, so shape-asserted — never an oracle)
+      def wall() = {
+        val rs = obs.rows(spark).filter(_._2 == "__pipeline")
+        (rs.find(_._3 == "latency_ms").get._4, rs.find(_._3 == "runs").get._4)
+      }
+      val (lat1, runs1) = wall()
+      assert(runs1 >= 1L && lat1 >= 0L, (lat1, runs1))
+      graft.dsl.Compiler.write(cp) // a second run moves the wall forward
+      val (lat2, runs2) = wall()
+      assert(runs2 > runs1 && lat2 >= lat1, ((lat1, runs1), (lat2, runs2)))
+    } finally obs.close(spark)
+  }
+
+  test("per-stage counters: a fan-out (split-route) manifest counts exactly") {
+    // the records_in derivation assumes the LINEAR compiled chain — which
+    // the DSL's fan-out spelling preserves: `split` TAGS rows in place
+    // (first match wins) and per-route selection happens downstream, so a
+    // metered split pipeline must report exact linear counters, not
+    // silence or garbage. (True DAG fan-out lives in compileGraph, which
+    // has no metering surface — nothing to guard there yet.)
+    import org.apache.spark.sql.functions.col
+    val events = Seq(
+      (1L, "purchase", 10.0), (2L, "view", 1.0), (3L, "purchase", 20.0),
+      (4L, "refund", 5.0), (5L, "view", 2.0), (6L, "purchase", 30.0))
+      .toDF("event_id", "event_type", "value")
+    val yaml =
+      """kind: Source
+        |metadata: {name: ev}
+        |spec: {format: table, path: events}
+        |---
+        |kind: Transform
+        |metadata: {name: route}
+        |spec:
+        |  type: split
+        |  routes:
+        |    - {condition: {equals: {field: event_type, value: purchase}}, output: buys}
+        |    - {condition: {equals: {field: event_type, value: view}}, output: views}
+        |  default: rest
+        |---
+        |kind: Transform
+        |metadata: {name: buys-only}
+        |spec:
+        |  type: filter
+        |  condition: {equals: {field: _route, value: buys}}
+        |---
+        |kind: Sink
+        |metadata: {name: out}
+        |spec: {format: noop, path: ""}
+        |---
+        |kind: Pipeline
+        |metadata: {name: fanout}
+        |spec: {source: ev, steps: [route, buys-only], sink: out, metrics: true}
+        |""".stripMargin
+    val cp = graft.dsl.Compiler.compile(spark, graft.dsl.YamlLoader.load(yaml),
+      tables = Map("events" -> events))("fanout")
+    val obs = cp.observer.get
+    try {
+      graft.dsl.Compiler.write(cp)
+      val got = obs.rows(spark).filterNot(_._2 == "__pipeline").toSet
+      assert(got == Set(
+        ("fanout", "ev", "records_received", 6L),
+        ("fanout", "route", "records_in", 6L),
+        ("fanout", "route", "records_out", 6L), // split tags, never drops
+        ("fanout", "buys-only", "records_in", 6L),
+        ("fanout", "buys-only", "records_out", 3L),
+        ("fanout", "out", "records_delivered", 3L)), got)
     } finally obs.close(spark)
   }
 
@@ -208,7 +277,8 @@ class MetricsSpec extends SparkSpec {
     try {
       graft.dsl.Compiler.write(cp) // run-to-drain (AvailableNow)
       // cumulative counters sum the micro-batches
-      val got = obs.rows(spark).toSet
+      val allRows = obs.rows(spark)
+      val got = allRows.filterNot(_._2 == "__pipeline").toSet
       assert(got == Set(
         ("sm", "waves", "records_received", 7L),
         ("sm", "keep", "records_in", 7L),
@@ -222,6 +292,10 @@ class MetricsSpec extends SparkSpec {
       assert(perBatch(0L)("waves") == 3L && perBatch(0L)("keep") == 2L, perBatch)
       assert(perBatch(1L)("waves") == 4L && perBatch(1L)("keep") == 1L, perBatch)
       assert(perBatch(0L)("out") == 2L && perBatch(1L)("out") == 1L, perBatch)
+      // streaming latency: one batchDuration per micro-batch, cumulative
+      val runs = allRows.find(r => r._2 == "__pipeline" && r._3 == "runs").get._4
+      val lat = allRows.find(r => r._2 == "__pipeline" && r._3 == "latency_ms").get._4
+      assert(runs >= 2L && lat > 0L, (runs, lat))
     } finally obs.close(spark)
   }
 }
