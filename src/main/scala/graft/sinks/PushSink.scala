@@ -33,18 +33,28 @@ import graft.operators.{ErrorCode, RetryPolicy}
   *     outrun the TIME_WAIT ephemeral-port recycle and every further
   *     connect eats the full timeout×backoff budget. A send failure
   *     closes the socket; the retry reconnects.
-  *   - anything else (incl. `grpc://`) — actionable error: gRPC delivery
-  *     runs through a sidecar forwarder in production; point the sink at
-  *     its HTTP ingress or a loopback double.
+  *   - `grpc://host:port` — the reference's one TYPED sink
+  *     (GrpcSinkConfig, types.rs:744-780): one persistent channel per
+  *     partition carrying gRPC's DATA-FRAME wire shape —
+  *     [flag:1 = uncompressed][len:4 BE][payload] per message — with a
+  *     one-byte grpc-status reply per frame (0 = OK, nonzero fails the
+  *     send with the code). In-container the channel terminates at
+  *     [[GrpcReceiver]], the matching double, so the framing,
+  *     per-message ack, status mapping, retry and DLQ paths are all
+  *     exercised for real — only the HTTP/2 shell is doubled (a real
+  *     gRPC endpoint needs the grpc-java jars; in production the
+  *     channel terminates at the sidecar forwarder's ingress).
+  *   - anything else — actionable error.
   *
-  * Delivery contract BY TRANSPORT: http(s) is AT-LEAST-ONCE per message
-  * (every send gets a response code; a timed-out send may have landed and
-  * is retried). loopback is BEST-EFFORT: a write that lands in the kernel
-  * buffer before the receiver dies is acknowledged locally and is neither
-  * retried nor dead-lettered — acceptable for the in-container double,
-  * not a production transport. Per-partition message order is preserved
-  * (one ordered connection/HTTP client per partition), cross-partition
-  * order is not — same contract as the reference's concurrent senders.
+  * Delivery contract BY TRANSPORT: http(s) and grpc are AT-LEAST-ONCE
+  * per message (every send gets a response; a timed-out send may have
+  * landed and is retried). loopback is BEST-EFFORT: a write that lands
+  * in the kernel buffer before the receiver dies is acknowledged locally
+  * and is neither retried nor dead-lettered — acceptable for the
+  * in-container double, not a production transport. Per-partition
+  * message order is preserved (one ordered connection/HTTP client per
+  * partition), cross-partition order is not — same contract as the
+  * reference's concurrent senders.
   */
 final case class PushSinkConfig(
     endpoint: String,
@@ -139,12 +149,54 @@ object PushSink {
         sock = null
       }
     }
+    else if (ep.startsWith("grpc://")) new Transport {
+      // one persistent channel per partition (the loopback connection
+      // rule), speaking gRPC's length-prefixed data-frame shape with a
+      // per-message status ack — see the class doc. A nonzero status is
+      // a CLEAN failure at a frame boundary (the channel stays open for
+      // the retry); an IO error or mid-ack EOF drops the channel so the
+      // retry reconnects fresh.
+      private val (host, port) = hostPort(ep.stripPrefix("grpc://"))
+      private var sock: java.net.Socket = null
+      private def connected(): java.net.Socket = {
+        if (sock == null) {
+          val s = new java.net.Socket()
+          s.connect(new java.net.InetSocketAddress(host, port), cfg.timeoutMs.toInt)
+          s.setTcpNoDelay(true)
+          s.setSoTimeout(cfg.timeoutMs.toInt) // a lost ack times out, not hangs
+          sock = s
+        }
+        sock
+      }
+      def send(message: Array[Byte]): Unit = {
+        val status =
+          try {
+            val s = connected()
+            val out = new java.io.DataOutputStream(s.getOutputStream)
+            out.writeByte(0) // uncompressed
+            out.writeInt(message.length)
+            out.write(message)
+            out.flush()
+            s.getInputStream.read()
+          } catch {
+            case e: java.io.IOException => close(); throw e
+          }
+        if (status < 0) {
+          close()
+          sys.error(s"push to $ep failed: channel closed before ack")
+        } else if (status != 0)
+          sys.error(s"push to $ep failed: grpc-status $status")
+      }
+      override def close(): Unit = {
+        if (sock != null) { try sock.close() catch { case _: java.io.IOException => () } }
+        sock = null
+      }
+    }
     else
       throw new UnsupportedOperationException(
         s"push sink endpoint '$ep': supported schemes are http(s):// (POST " +
-          "delivery) and loopback://host:port (in-container double); gRPC " +
-          "delivery runs through a sidecar forwarder — point the sink at its " +
-          "HTTP ingress")
+          "delivery), grpc://host:port (framed channel; in-container double " +
+          "via GrpcReceiver), and loopback://host:port (line-framed double)")
   }
 
   private def hostPort(body: String): (String, Int) = {
@@ -299,6 +351,84 @@ object PushSink {
     * the caller. Arrival order is preserved per connection — one reader
     * thread owns a connection end-to-end.
     */
+  /** In-container receiving double for the `grpc://` transport — the
+    * [[LoopbackReceiver]] pattern over gRPC's data-frame shape: each
+    * frame is [flag:1][len:4 BE][payload], answered with a one-byte
+    * grpc-status (0 = OK). `statusFor` is the failure-injection seam:
+    * return a nonzero grpc-status code per payload to drive the sender's
+    * retry (transient) and DLQ (permanent) paths; only status-0 payloads
+    * are recorded. One reader thread per live channel (cached pool), one
+    * persistent channel per sender partition; `stop()` drains to
+    * channel EOF, bounded at 30 s.
+    */
+  final class GrpcReceiver(
+      port0: Int = 0,
+      statusFor: String => Int = _ => 0) {
+    private val server = new java.net.ServerSocket(port0, 64,
+      java.net.InetAddress.getLoopbackAddress)
+    private val messages = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    @volatile private var running = true
+    private val accepted = new java.util.concurrent.atomic.AtomicInteger(0)
+    def port: Int = server.getLocalPort
+    def endpoint: String = s"grpc://127.0.0.1:$port"
+    /** Channels accepted so far — the persistent-channel probe. */
+    def connections: Int = accepted.get()
+    private val readers = java.util.concurrent.Executors.newCachedThreadPool(
+      (r: Runnable) => { val t = new Thread(r, "grpc-double-reader"); t.setDaemon(true); t })
+    private val acceptor = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          accepted.incrementAndGet()
+          readers.execute(() => {
+            try {
+              val in = new java.io.DataInputStream(
+                new java.io.BufferedInputStream(sock.getInputStream))
+              val out = sock.getOutputStream
+              var open = true
+              while (open) {
+                val flag = in.read() // -1 = channel EOF (sender closed)
+                if (flag < 0) open = false
+                else {
+                  val len = in.readInt()
+                  require(len >= 0 && len <= (64 << 20), s"bad frame length $len")
+                  val buf = new Array[Byte](len)
+                  in.readFully(buf)
+                  val payload = new String(buf, StandardCharsets.UTF_8)
+                  val status = statusFor(payload)
+                  out.write(status)
+                  out.flush()
+                  if (status == 0) messages.add(payload)
+                }
+              }
+            } catch { case _: java.io.IOException => () }
+            finally sock.close()
+          })
+        } catch {
+          case _: java.io.IOException => ()                          // closed on stop
+          case _: java.util.concurrent.RejectedExecutionException => () // pool stopped
+        }
+      }
+    })
+    acceptor.setDaemon(true)
+    acceptor.start()
+    /** Accepted payload MESSAGES in per-channel arrival order (a message
+      * may batch several ndjson lines — split on newline for rows).
+      */
+    def received: Seq[String] = {
+      val snap = new java.util.ArrayList[String](messages)
+      scala.jdk.CollectionConverters.ListHasAsScala(snap).asScala.toSeq
+    }
+    def stop(): Seq[String] = {
+      running = false
+      server.close()
+      readers.shutdown()
+      readers.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+      received
+    }
+  }
+
   final class LoopbackReceiver(port0: Int = 0) {
     private val server = new java.net.ServerSocket(port0, 64,
       java.net.InetAddress.getLoopbackAddress)

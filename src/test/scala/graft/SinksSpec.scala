@@ -221,6 +221,62 @@ class SinksSpec extends SparkSpec {
     } finally rx.stop()
   }
 
+  test("push sink: grpc framed delivery through the double, one channel per partition") {
+    val rx = new PushSink.GrpcReceiver()
+    try {
+      val df = (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+      // tiny cap forces one frame per row; order preserved per channel
+      PushSink.runBatch(df,
+        PushSinkConfig(rx.endpoint, maxMessageBytes = 22), dlqPath = None, stage = "t")
+      val got = rx.received.flatMap(_.split("\n"))
+      assert(got == (1 to 20).map(i => s"""{"id":$i,"v":"v$i"}"""))
+      assert(rx.connections == 1,
+        s"expected 1 persistent channel, got ${rx.connections}")
+    } finally rx.stop()
+  }
+
+  test("push sink: grpc transient status retries on the same channel, then delivers") {
+    // first attempt of every frame answers UNAVAILABLE(14) — a clean
+    // failure at a frame boundary, so the retry resends WITHOUT
+    // reconnecting; the second attempt lands
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val rx = new PushSink.GrpcReceiver(
+      statusFor = p => if (seen.add(p)) 14 else 0)
+    try {
+      val df = (1 to 6).map(i => (i.toLong, s"v$i")).toDF("id", "v").coalesce(1)
+      PushSink.runBatch(df,
+        PushSinkConfig(rx.endpoint, maxMessageBytes = 22,
+          retry = RetryPolicy(2, 1, 2, 2.0)), dlqPath = None, stage = "t")
+      assert(rx.received.flatMap(_.split("\n")) ==
+        (1 to 6).map(i => s"""{"id":$i,"v":"v$i"}"""))
+      assert(rx.connections == 1,
+        s"a clean grpc-status failure must not drop the channel: ${rx.connections}")
+    } finally rx.stop()
+  }
+
+  test("push sink: grpc permanent status dead-letters with the code in context") {
+    val rx = new PushSink.GrpcReceiver(statusFor = _ => 13) // INTERNAL, always
+    try {
+      val dlq = java.nio.file.Files.createTempDirectory("graft_grpc_dlq").toString + "/dlq"
+      val df = Seq((1L, "a")).toDF("id", "v").coalesce(1)
+      PushSink.runBatch(df,
+        PushSinkConfig(rx.endpoint, retry = RetryPolicy(2, 1, 2, 2.0)),
+        dlqPath = Some(dlq), stage = "s1")
+      val r = spark.read.parquet(dlq).collect()
+      assert(r.length == 1)
+      assert(r(0).getAs[String]("dlq_code") == graft.operators.ErrorCode.MaxRetriesExceeded)
+      assert(r(0).getAs[String]("dlq_message").contains("grpc-status 13"), r(0))
+      assert(r(0).getAs[String]("dlq_stage_type") == "push_sink")
+      assert(r(0).getAs[Int]("dlq_retry_count") == 2)
+      assert(rx.received.isEmpty, "a rejected frame must never be recorded")
+      // a dead endpoint (connection refused) exhausts retries too
+      val deadPort = { val s = new java.net.ServerSocket(0); val p = s.getLocalPort; s.close(); p }
+      intercept[RuntimeException](PushSink.runBatch(df,
+        PushSinkConfig(s"grpc://127.0.0.1:$deadPort", retry = RetryPolicy.noRetry),
+        dlqPath = None, stage = "s1"))
+    } finally rx.stop()
+  }
+
   test("push sink: https mTLS — client cert + private CA end to end") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tls").toString
     def ossl(args: String*): Unit = {
@@ -306,8 +362,8 @@ class SinksSpec extends SparkSpec {
       assert(rx.received == Seq("""{"id":7,"v":"z"}"""))
     } finally rx.stop()
     val e = intercept[UnsupportedOperationException](
-      PushSink.transportFor(PushSinkConfig("grpc://h:1")))
-    assert(e.getMessage.contains("sidecar"))
+      PushSink.transportFor(PushSinkConfig("amqp://h:1")))
+    assert(e.getMessage.contains("grpc://"))
     val bad = intercept[IllegalArgumentException](
       PushSink.configFrom("http://h/x", Map("maxRetrys" -> "3")))
     assert(bad.getMessage.contains("maxRetrys"))
