@@ -166,21 +166,42 @@ class ExamplesSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/data/corpus")
     (0L until 30L by 10L).map(doc).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/data/probes")
+    // streamed crawl increments for the ingest manifest (one file = one
+    // micro-batch at maxFilesPerTrigger 1)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/data/crawl-in"))
+    (30L until 36L).map(doc).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/data/crawl-in")
     val build = materialize("corpus-bm25-build.yaml", dir)
+    val ingest = materialize("corpus-bm25-ingest.yaml", dir)
     val probe = materialize("corpus-bm25-probe.yaml", dir)
-    Seq(build, probe).foreach(m => assert(Cli.run(Seq("validate", m)) == 0))
+    Seq(build, ingest, probe).foreach(m => assert(Cli.run(Seq("validate", m)) == 0))
     assert(Cli.run(Seq("run", build), sparkOpt = Some(spark)) == 0)
     assert(graft.ops.AnnIndexStore.kindOf(spark, s"$dir/data/out/bm25-index") == "bm25")
+    // streaming ingest drains (run-to-drain), appending the crawl docs
+    // under the exactly-once marker contract
+    assert(Cli.run(Seq("run", ingest), sparkOpt = Some(spark)) == 0)
     assert(Cli.run(Seq("run", probe), sparkOpt = Some(spark)) == 0)
     val hits = spark.read.parquet(s"$dir/data/out/bm25-hits")
-    // served through YAML == fused library compute, the store contract
+    // served through YAML == fused library compute over EVERYTHING
+    // ingested so far, the store contract
     val fused = graft.ops.Retrieval.bm25TopK(
-      spark.read.parquet(s"$dir/data/corpus"), "doc_id", "text",
+      spark.read.parquet(s"$dir/data/corpus")
+        .unionByName(spark.read.parquet(s"$dir/data/crawl-in")),
+      "doc_id", "text",
       spark.read.parquet(s"$dir/data/probes"), "doc_id", "text",
       k = 5, maxDf = Long.MaxValue, maxDfFraction = 0.8)
     assert(hits.orderBy("query_id", "rank").collect().toSeq ==
       fused.orderBy("query_id", "rank").collect().toSeq)
     assert(hits.count() > 0)
+    // a re-run of the drained stream replays nothing (markers + empty
+    // checkpoint delta): the store is unchanged
+    val before = graft.ops.AnnIndexStore.stats(spark, s"$dir/data/out/bm25-index")
+      .toMap.apply("nDocs")
+    assert(Cli.run(Seq("run", ingest), sparkOpt = Some(spark)) == 0)
+    val after = graft.ops.AnnIndexStore.stats(spark, s"$dir/data/out/bm25-index")
+      .toMap.apply("nDocs")
+    assert(before == after && before == "36", (before, after))
   }
 
   test("corpus index lifecycle: build -> append (cadence compact) -> daily probe") {
