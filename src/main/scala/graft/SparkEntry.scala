@@ -1889,6 +1889,38 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** REBUILD leg of the lexical lifecycle (round 16 — the q_ann_rebuilt
+    * treatment for BM25): build on half the corpus, append the other
+    * half, tombstone the doc_id % 10 == 3 docs, then
+    * [[graft.ops.RetrievalStore.rebuildBm25]] — nGroups re-derived from
+    * the live posting count, postings rewritten in the new layout, df
+    * re-derived exactly from live postings (every append partial and
+    * delete negation folds by construction), tombstones folded, all
+    * through the REPLACE staged-commit swap (frames and manifest move
+    * together — a new layout against an old nGroups would prune the
+    * wrong directories). Content-neutral by design, so the oracle is
+    * the complement recompute shared verbatim with q_bm25_deleted; what
+    * this row gates is that append → delete → rebuild → load → serve
+    * round-trips through the rewritten files.
+    */
+  private def qBm25Rebuilt(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qbm25rb").toString
+    TempReaper.register(tmp)
+    graft.ops.RetrievalStore.saveBm25(s"$tmp/bm",
+      d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+    graft.ops.RetrievalStore.appendBm25(s, s"$tmp/bm",
+      d.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text")
+    graft.ops.RetrievalStore.deleteIdsBm25(s, s"$tmp/bm",
+      d.filter(pmod(col("doc_id"), lit(10)) === 3).select(col("doc_id")), "doc_id")
+    graft.ops.RetrievalStore.rebuildBm25(s, s"$tmp/bm")
+    graft.ops.RetrievalStore.serveBm25(
+      graft.ops.RetrievalStore.loadBm25(s, s"$tmp/bm"),
+      d.filter(pmod(col("doc_id"), lit(25)) === 0), "doc_id", "text",
+      k = 5, maxDf = Long.MaxValue, maxDfFraction = 0.8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** STREAMING LEXICAL INGEST (round 16 — the dedupe_loop treatment for
     * the posting store, declaratively): build the store on HALF the
     * corpus, stream the other half in three mtime-ordered wave files
@@ -5139,6 +5171,7 @@ object SparkEntry {
     "q_bm25_appended" -> (qBm25Appended _),
     "q_bm25_deleted" -> (qBm25Deleted _),
     "q_bm25_compacted" -> (qBm25Compacted _),
+    "q_bm25_rebuilt" -> (qBm25Rebuilt _),
     "q_stream_bm25_appended" -> (qStreamBm25Appended _),
     "q_dsl_bm25" -> (qDslBm25 _),
     "q_stream_bm25" -> (qStreamBm25 _),
@@ -8528,6 +8561,10 @@ object SparkEntry {
     // store is content-identical)
     "q_bm25_deleted" -> bm25DeletedOracle,
     "q_bm25_compacted" -> bm25DeletedOracle,
+    // rebuild is content-neutral: the re-laid-out store serves the same
+    // complement recompute (append partials + delete negations fold into
+    // the re-derived df; tombstones fold into the rewritten postings)
+    "q_bm25_rebuilt" -> bm25DeletedOracle,
     // Hybrid RRF: the q_bm25 posting chain (query ids < 10, k=10) + the
     // q_ann_topk cosine chain (k=10), fused in integer nano-units.
     "q_hybrid_retrieval" -> hybridOracle,

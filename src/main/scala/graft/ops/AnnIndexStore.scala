@@ -1669,6 +1669,12 @@ object AnnIndexStore {
     val fs = stage.getFileSystem(spark.sessionState.newHadoopConf())
     rollForwardRebuild(spark, dir, fs) // finish a committed predecessor first
     val mf = readManifest(spark, dir)
+    // the lexical store re-derives its own layout (its staged-commit
+    // protocol lives with its frames) — same cadence, its own rewrite
+    if (mf("kind") == "bm25") {
+      RetrievalStore.rebuildBm25Unlocked(spark, dir)
+      return readManifest(spark, dir)
+    }
     if (fs.exists(stage)) fs.delete(stage, true) // uncommitted leftovers
     val S = Similarity
     mf("kind") match {

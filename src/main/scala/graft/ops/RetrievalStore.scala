@@ -191,21 +191,44 @@ object RetrievalStore {
   private def loopMarkerFileName(loopId: String, batchId: Long) =
     s"LOOPMARKER-$loopId-batch-$batchId"
 
+  private def hasDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      if (st.isDirectory) hasDataFiles(fs, st.getPath)
+      else !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
+    }
+
   /** Apply one COMMITTED staging: adopt data files (postings, then df,
     * then tombstones), rewrite the manifest from the staged copy
     * (scalars must never lead the rows they describe), install any loop
     * marker, and drop the staging. Idempotent from any crash point;
     * concurrent completers tolerated (renames are single-winner, the
     * manifest rewrite writes identical text).
+    *
+    * A staging carrying a REPLACE marker ([[rebuildBm25Unlocked]]) swaps
+    * frames instead of appending to them: the superseded frame is PARKED
+    * by rename before adoption (never deleted while it is the only copy
+    * — the [[AnnIndexStore]] roll-forward rule) and dropped only after
+    * the staged manifest lands; tombstones clear with it (the rebuilt
+    * frames are the live view). Parking only happens while the staging
+    * still holds files to adopt, so a re-entrant pass can never park the
+    * half-adopted replacement.
     */
   private def applyStaged(
       spark: SparkSession,
       dir: String,
       fs: org.apache.hadoop.fs.FileSystem,
       stage: org.apache.hadoop.fs.Path): Unit = {
+    val replace = fs.exists(new org.apache.hadoop.fs.Path(stage, "REPLACE"))
     Seq("postings", "df", "tombstones").foreach { name =>
-      adoptFiles(fs, new org.apache.hadoop.fs.Path(stage, name),
-        new org.apache.hadoop.fs.Path(dir, name))
+      val src = new org.apache.hadoop.fs.Path(stage, name)
+      val dst = new org.apache.hadoop.fs.Path(dir, name)
+      if (replace && fs.exists(dst) && hasDataFiles(fs, src)) {
+        val aside = new org.apache.hadoop.fs.Path(dir, s"$name.pre-stage")
+        if (!fs.exists(aside)) quietRename(fs, dst, aside)
+      }
+      adoptFiles(fs, src, dst)
     }
     val smf = new org.apache.hadoop.fs.Path(stage, "MANIFEST.json")
     val text =
@@ -221,6 +244,14 @@ object RetrievalStore {
           return
       }
     writeManifest(spark, dir, text.stripLineEnd)
+    if (replace) {
+      Seq("postings", "df", "tombstones").foreach(n =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"$n.pre-stage"), true))
+      // the rebuilt frames are the LIVE view — pre-rebuild tombstones are
+      // folded in (deletes are mutations, so none can postdate a
+      // committed rebuild without first completing it)
+      fs.delete(new org.apache.hadoop.fs.Path(dir, "tombstones"), true)
+    }
     fs.listStatus(stage)
       .filter(_.getPath.getName.startsWith("LOOPMARKER-"))
       .foreach { m =>
@@ -468,6 +499,66 @@ object RetrievalStore {
       Layout.compact(spark, s"$dir/postings", targetBytes)
     val p = new org.apache.hadoop.fs.Path(s"$dir/postings")
     AnnIndexStore.parquetFileCount(fs, p)
+  }
+
+  // ---- rebuild ---------------------------------------------------------
+
+  /** Re-derive the group layout at CURRENT scale — the
+    * [[AnnIndexStore.rebuild]] leg for the lexical store (SURVEY §5's
+    * structure-must-grow rule): appends assign into the save-time
+    * nGroups, so after the corpus grows ~100× each group directory
+    * holds ~100× the postings it was sized for and the serve's
+    * directory pruning degrades linearly. Rebuild recomputes nGroups
+    * from the LIVE posting count, rewrites postings in the new layout,
+    * and re-derives df EXACTLY from the live postings (df IS the
+    * per-term posting count, so the rebuild folds every append partial
+    * and delete negation by construction). Tombstones fold as a side
+    * effect; the manifest scalars carry over unchanged (appends and
+    * deletes maintain them exactly). Content-neutral: a post-rebuild
+    * serve equals the pre-rebuild one bit-for-bit.
+    *
+    * Crash safety: nGroups pins the term_grp FORMULA, so frames and
+    * manifest must move together — a new layout against an old manifest
+    * would prune the wrong directories and silently miss postings. Both
+    * frames and the manifest stage behind a COMMIT with a REPLACE
+    * marker; [[applyStaged]] parks the superseded frames by rename and
+    * drops them only after the staged manifest lands, and every reader
+    * completes a committed swap before reading either side.
+    */
+  def rebuildBm25(spark: SparkSession, dir: String): Unit =
+    AnnIndexStore.withMutationLease(spark, dir) {
+      rebuildBm25Unlocked(spark, dir)
+    }
+
+  /** [[rebuildBm25]] body without the lease — [[AnnIndexStore.rebuild]]
+    * dispatches here off the manifest kind (CLI `ann rebuild`).
+    */
+  private[ops] def rebuildBm25Unlocked(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    rollForwardStaged(spark, dir, discardUncommitted = true)
+    val mf = readManifestRaw(spark, dir)
+    val tp = new org.apache.hadoop.fs.Path(dir, "tombstones")
+    val resident = spark.read.schema(PostingsSchema).parquet(s"$dir/postings")
+      .drop("term_grp")
+    val live0 =
+      if (!fs.exists(tp)) resident
+      else resident.join(
+        spark.read.schema("n_id BIGINT").parquet(tp.toString).distinct(),
+        col("__did") === col("n_id"), "left_anti")
+    // one materialization feeds the count, the posting rewrite, and the
+    // df re-derivation (lazy — blocks cache as the count touches them)
+    val live = live0.localCheckpoint(false)
+    val nGroups = groupsFor(live.count())
+    val grouped = live.withColumn("term_grp", termGrp(nGroups))
+    val stage = new org.apache.hadoop.fs.Path(stageRoot(dir),
+      java.util.UUID.randomUUID().toString)
+    writeGrouped(grouped, s"$stage/postings")
+    writeGrouped(grouped.groupBy(col("__term"), col("term_grp"))
+      .agg(count(lit(1)).as("__df")), s"$stage/df")
+    stageManifest(fs, stage, manifestJson(mf.nDocs, mf.totTokens, nGroups))
+    fs.create(new org.apache.hadoop.fs.Path(stage, "REPLACE"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(stage, "COMMIT"), true).close()
+    applyStaged(spark, dir, fs, stage)
   }
 
   /** Rewrite one grouped frame through `f` with the save layout and a
