@@ -220,6 +220,31 @@ object Stress {
       s"$dir/bm"
     }
 
+    // round 16: the lexical LIFECYCLE rows — delete, fold-compact, and
+    // rebuild MUTATE their directory, so each row gets a PRIVATE copy of
+    // the posting store (the annRebuildDir rule; copy is setup, untimed).
+    // `tombstoned = true` additionally pre-deletes 1% of the corpus so
+    // the compact/rebuild/serve rows measure their op over a store that
+    // actually carries delete debt.
+    def bm25PrivateCopy(tag: String, tombstoned: Boolean): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_stress_bm25$tag").toString
+      TempReaper.register(dir)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val src = new org.apache.hadoop.fs.Path(bm25IndexDir)
+      val dst = new org.apache.hadoop.fs.Path(s"$dir/bm")
+      org.apache.hadoop.fs.FileUtil.copy(
+        src.getFileSystem(conf), src, dst.getFileSystem(conf), dst, false, conf)
+      if (tombstoned)
+        ops.RetrievalStore.deleteIdsBm25(spark, dst.toString,
+          docsN.filter(pmod(col("doc_id"), lit(100)) === 3).select(col("doc_id")),
+          "doc_id")
+      dst.toString
+    }
+    lazy val bm25DeleteDir: String = bm25PrivateCopy("del", tombstoned = false)
+    lazy val bm25CompactDir: String = bm25PrivateCopy("cpt", tombstoned = true)
+    lazy val bm25RebuildDir: String = bm25PrivateCopy("rb", tombstoned = true)
+    lazy val bm25TombDir: String = bm25PrivateCopy("tomb", tombstoned = true)
+
     // round 14: the VECTOR closed loop's fixture — a flat-IVF index over
     // 90% of the replicated embeddings (the other 10% stream in waves).
     // Private per-run dir (the loop mutates); build untimed.
@@ -446,6 +471,33 @@ object Stress {
         ops.RetrievalStore.loadBm25(spark, bm25IndexDir),
         docsN.filter(col("doc_id") % 4999 === 0), "doc_id", "text",
         k = 10, maxDfFraction = 0.5)),
+      // round 16: the lexical lifecycle priced at stress scale. delete =
+      // one postings scan (contribution math) + a staged commit of
+      // negative df partials/tombstones/manifest — 1% of the corpus
+      "bm25_delete" -> (() => {
+        ops.RetrievalStore.deleteIdsBm25(spark, bm25DeleteDir,
+          docsN.filter(pmod(col("doc_id"), lit(100)) === 3).select(col("doc_id")),
+          "doc_id")
+        spark.range(1).toDF("done")
+      }),
+      // serve over the tombstoned (uncompacted) store: prices the
+      // serve-path anti-join vs the clean bm25_daily_served row
+      "bm25_served_tombstoned" -> (() => ops.RetrievalStore.serveBm25(
+        ops.RetrievalStore.loadBm25(spark, bm25TombDir),
+        docsN.filter(col("doc_id") % 4999 === 0), "doc_id", "text",
+        k = 10, maxDfFraction = 0.5)),
+      // fold compact over a delete-carrying store: df partials merge to
+      // one row per term, tombstoned postings rewrite out (rename-aside)
+      "bm25_compact_folded" -> (() => {
+        val n = ops.RetrievalStore.compactBm25(spark, bm25CompactDir)
+        spark.range(n.toLong).toDF("files")
+      }),
+      // layout rebuild: nGroups re-derived from the live posting count,
+      // both frames rewritten through the REPLACE staged swap
+      "bm25_rebuild" -> (() => {
+        ops.AnnIndexStore.rebuild(spark, bm25RebuildDir)
+        spark.range(1).toDF("done")
+      }),
       "tfidf" -> (() => ops.Retrieval.tfidfKeywords(docsN, "doc_id", "text",
         k = 5, maxDfFraction = 0.8)),
       "trim" -> (() => ops.Sampling.trimByPercentile(
@@ -714,6 +766,10 @@ object Stress {
     if (selected.exists(_._1 == "bm25_daily_served")) {
       bm25IndexDir; ()
     }
+    if (selected.exists(_._1 == "bm25_delete")) { bm25DeleteDir; () }
+    if (selected.exists(_._1 == "bm25_served_tombstoned")) { bm25TombDir; () }
+    if (selected.exists(_._1 == "bm25_compact_folded")) { bm25CompactDir; () }
+    if (selected.exists(_._1 == "bm25_rebuild")) { bm25RebuildDir; () }
 
     // per-task ceiling per op: local wall time hides a serialized hot key
     // (31 other cores soak it up); the longest single task is what an
