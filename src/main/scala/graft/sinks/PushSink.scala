@@ -24,7 +24,7 @@ import graft.operators.{ErrorCode, RetryPolicy}
   *     keep-alive connections); any status >= 400 is a delivery failure.
   *     The real production path. `tls` (the reference's TlsConfig,
   *     types.rs:330-336) supplies a client cert/key pair (mTLS) and/or a
-  *     CA bundle for server verification on the https scheme.
+  *     CA bundle for server verification on the https and grpc schemes.
   *   - `loopback://host:port` — ONE persistent newline-framed TCP
   *     connection per partition, the in-container e2e double mirroring
   *     StreamSources' push-listener loopback landing ([[LoopbackReceiver]]
@@ -43,7 +43,9 @@ import graft.operators.{ErrorCode, RetryPolicy}
   *     per-message ack, status mapping, retry and DLQ paths are all
   *     exercised for real — only the HTTP/2 shell is doubled (a real
   *     gRPC endpoint needs the grpc-java jars; in production the
-  *     channel terminates at the sidecar forwarder's ingress).
+  *     channel terminates at the sidecar forwarder's ingress). `tls`
+  *     applies here too (GrpcSinkConfig carries TlsConfig): the channel
+  *     becomes an mTLS SSLSocket with endpoint identification on.
   *   - anything else — actionable error.
   *
   * Delivery contract BY TRANSPORT: http(s) and grpc are AT-LEAST-ONCE
@@ -65,8 +67,9 @@ final case class PushSinkConfig(
 ) {
   require(maxMessageBytes >= 1, s"maxMessageBytes must be >= 1, got $maxMessageBytes")
   require(timeoutMs >= 1, s"timeoutMs must be >= 1, got $timeoutMs")
-  require(tls.isEmpty || endpoint.startsWith("https://"),
-    s"tls config is only meaningful on https:// endpoints, got $endpoint")
+  require(tls.isEmpty || endpoint.startsWith("https://") ||
+    endpoint.startsWith("grpc://"),
+    s"tls config is only meaningful on https:// or grpc:// endpoints, got $endpoint")
 }
 
 /** The reference's TlsConfig (types.rs:330-336): client cert+key pair
@@ -160,7 +163,23 @@ object PushSink {
       private var sock: java.net.Socket = null
       private def connected(): java.net.Socket = {
         if (sock == null) {
-          val s = new java.net.Socket()
+          // GrpcSinkConfig carries TlsConfig (types.rs:713): with `tls`
+          // the channel is an SSLSocket over the same PEM-built context
+          // as the https leg — client identity (mTLS) + CA pinning, with
+          // endpoint identification ON (a raw SSLSocket skips hostname
+          // verification by default; the https leg gets it from
+          // HttpClient, this leg asks for it explicitly)
+          val s = cfg.tls match {
+            case Some(t) =>
+              val tlsSock = Tls.sslContext(t.certFile, t.keyFile, t.caFile)
+                .getSocketFactory.createSocket()
+                .asInstanceOf[javax.net.ssl.SSLSocket]
+              val params = tlsSock.getSSLParameters
+              params.setEndpointIdentificationAlgorithm("HTTPS")
+              tlsSock.setSSLParameters(params)
+              tlsSock
+            case None => new java.net.Socket()
+          }
           s.connect(new java.net.InetSocketAddress(host, port), cfg.timeoutMs.toInt)
           s.setTcpNoDelay(true)
           s.setSoTimeout(cfg.timeoutMs.toInt) // a lost ack times out, not hangs
@@ -363,9 +382,20 @@ object PushSink {
     */
   final class GrpcReceiver(
       port0: Int = 0,
-      statusFor: String => Int = _ => 0) {
-    private val server = new java.net.ServerSocket(port0, 64,
-      java.net.InetAddress.getLoopbackAddress)
+      statusFor: String => Int = _ => 0,
+      tls: Option[javax.net.ssl.SSLContext] = None) {
+    // with a TLS context the double terminates mTLS itself: client auth
+    // REQUIRED (the context's trust store pins the accepted client cert)
+    private val server = tls match {
+      case Some(ctx) =>
+        val s = ctx.getServerSocketFactory
+          .createServerSocket(port0, 64, java.net.InetAddress.getLoopbackAddress)
+          .asInstanceOf[javax.net.ssl.SSLServerSocket]
+        s.setNeedClientAuth(true)
+        s
+      case None => new java.net.ServerSocket(port0, 64,
+        java.net.InetAddress.getLoopbackAddress)
+    }
     private val messages = java.util.Collections.synchronizedList(
       new java.util.ArrayList[String]())
     @volatile private var running = true

@@ -254,6 +254,46 @@ class SinksSpec extends SparkSpec {
     } finally rx.stop()
   }
 
+  test("push sink: grpc mTLS — client cert + private CA over the framed channel") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_grpc_tls").toString
+    def ossl(args: String*): Unit = {
+      val p = new ProcessBuilder(("openssl" +: args): _*).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor() == 0, s"openssl ${args.head} failed:\n$out")
+    }
+    // server identity with SAN (the transport turns endpoint
+    // identification ON, so the cert must name 127.0.0.1)
+    ossl("req", "-x509", "-newkey", "rsa:2048", "-nodes", "-days", "2",
+      "-keyout", s"$dir/server-key.pem", "-out", s"$dir/server-cert.pem",
+      "-subj", "/CN=127.0.0.1", "-addext", "subjectAltName=IP:127.0.0.1")
+    ossl("req", "-x509", "-newkey", "rsa:2048", "-nodes", "-days", "2",
+      "-keyout", s"$dir/client-key.pem", "-out", s"$dir/client-cert.pem",
+      "-subj", "/CN=graft-client")
+    val serverCtx = graft.sinks.Tls.sslContext(
+      Some(s"$dir/server-cert.pem"), Some(s"$dir/server-key.pem"),
+      Some(s"$dir/client-cert.pem"))
+    val rx = new PushSink.GrpcReceiver(tls = Some(serverCtx))
+    try {
+      val tls = PushTlsConfig(
+        certFile = Some(s"$dir/client-cert.pem"),
+        keyFile = Some(s"$dir/client-key.pem"),
+        caFile = Some(s"$dir/server-cert.pem"))
+      val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      PushSink.runBatch(df, PushSinkConfig(rx.endpoint, tls = Some(tls)),
+        dlqPath = None, stage = "t")
+      assert(rx.received.flatMap(_.split("\n")).sorted ==
+        Seq("""{"id":1,"v":"a"}""", """{"id":2,"v":"b"}"""))
+      // a client WITHOUT trust for the server cert must refuse the channel
+      val badTls = PushTlsConfig(
+        certFile = Some(s"$dir/client-cert.pem"),
+        keyFile = Some(s"$dir/client-key.pem"),
+        caFile = Some(s"$dir/client-cert.pem")) // wrong CA
+      intercept[RuntimeException](PushSink.runBatch(df,
+        PushSinkConfig(rx.endpoint, tls = Some(badTls),
+          retry = RetryPolicy.noRetry), dlqPath = None, stage = "t"))
+    } finally rx.stop()
+  }
+
   test("push sink: grpc permanent status dead-letters with the code in context") {
     val rx = new PushSink.GrpcReceiver(statusFor = _ => 13) // INTERNAL, always
     try {
