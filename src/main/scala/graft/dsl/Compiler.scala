@@ -420,10 +420,12 @@ object Compiler {
       // the driver-local default is correct only in local mode. The
       // scratch tree is registered for deletion at JVM exit (it holds a
       // full copy of the staged step's output).
-      val root = spark.conf.getOption("spark.graft.scratch.dir")
+      val dir = spark.conf.getOption("spark.graft.scratch.dir")
         .orElse(spark.sparkContext.getCheckpointDir)
+        .map(root => s"${root.stripSuffix("/")}/graft-stage-${java.util.UUID.randomUUID()}")
+        // the local fallback is already a unique dir — use it directly
+        // (nesting under it would leave an empty root after cleanup)
         .getOrElse(java.nio.file.Files.createTempDirectory("graft-stage-").toString)
-      val dir = s"${root.stripSuffix("/")}/graft-stage-${java.util.UUID.randomUUID()}"
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       graft.TempReaper.registerAction(() => { fs.delete(p, true); () })

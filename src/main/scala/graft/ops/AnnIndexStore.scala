@@ -1817,12 +1817,9 @@ object AnnIndexStore {
     // PARKED by rename (never deleted while it is the only copy), and a
     // failed staged->main rename means another roller won — verified by
     // main's existence, not require-failed.
-    // rename that treats a vanished source as "lost the race" — local FS
-    // THROWS FileNotFoundException where HDFS returns false
     def quietRename(src: org.apache.hadoop.fs.Path,
         dst: org.apache.hadoop.fs.Path): Boolean =
-      try fs.rename(src, dst)
-      catch { case _: java.io.FileNotFoundException => false }
+      AnnIndexStore.quietRename(fs, src, dst)
     Seq("quantizer", "index", "sigs").foreach { name =>
       val staged = new org.apache.hadoop.fs.Path(stage, name)
       val main = new org.apache.hadoop.fs.Path(dir, name)
@@ -2041,6 +2038,18 @@ object AnnIndexStore {
     atomicWrite(fs, p, s"""{"appendsSinceCompact":$next}\n""")
     if (ran.isEmpty) s"append $count noted" else ran.mkString("; ")
   }
+
+  /** Rename that treats a vanished source as "lost the race" — local FS
+    * THROWS FileNotFoundException where HDFS returns false; callers use
+    * it as the atomic single-winner primitive (roll-forward swaps,
+    * staged-commit adoption).
+    */
+  private[ops] def quietRename(
+      fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean =
+    try fs.rename(src, dst)
+    catch { case _: java.io.FileNotFoundException => false }
 
   /** Parquet data files under a directory, recursively — the one metric
     * [[compact]] returns from both of its paths and `ann info` reports

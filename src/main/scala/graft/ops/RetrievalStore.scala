@@ -108,11 +108,22 @@ object RetrievalStore {
 
   /** Corpus scalars of a doc frame: (count, token sum) — exact, one
     * shuffle-free scan (empty text counts its one empty token, matching
-    * the posting-side tokenization).
+    * the posting-side tokenization). NULL text refuses LOUDLY in the
+    * same scan: the posting kernel drops null rows, so a null-text doc
+    * would enter nDocs with no posting rows behind it — undeletable
+    * (deleteIdsBm25 derives its scalar subtraction from resident
+    * postings) and silently desynced from the posting set. Coalesce to
+    * '' upstream if empty semantics are intended.
     */
   private def scalarsOf(docs: DataFrame, textCol: String): (Long, Long) = {
-    val r = docs.agg(count(lit(1)), coalesce(sum(size(T.tokens(col(textCol)))), lit(0L)))
+    val r = docs.agg(count(lit(1)),
+        coalesce(sum(size(T.tokens(col(textCol)))), lit(0L)),
+        count(when(col(textCol).isNull, 1)))
       .head()
+    require(r.getLong(2) == 0L,
+      s"bm25 store: ${r.getLong(2)} document(s) with NULL $textCol — the " +
+        "posting kernel drops null rows, which would desync nDocs from the " +
+        "posting set; coalesce to '' upstream if empty text is intended")
     (r.getLong(0), r.getLong(1))
   }
 
@@ -137,7 +148,8 @@ object RetrievalStore {
   def saveBm25(dir: String, docs: DataFrame, idCol: String, textCol: String): Unit = {
     val spark = docs.sparkSession
     val fs = fsOf(spark, dir)
-    Seq("tombstones", "__stage", "__loop", "MAINTENANCE.json").foreach(n =>
+    Seq("tombstones", "__stage", "__loop", "MAINTENANCE.json",
+      "postings.pre-stage", "df.pre-stage", "tombstones.pre-stage").foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, n), true))
     val posts = postingsFor(docs, idCol, textCol).localCheckpoint(false)
     val nPost = posts.count()
@@ -159,8 +171,18 @@ object RetrievalStore {
       fs: org.apache.hadoop.fs.FileSystem,
       src: org.apache.hadoop.fs.Path,
       dst: org.apache.hadoop.fs.Path): Boolean =
-    try fs.rename(src, dst)
-    catch { case _: java.io.FileNotFoundException => false }
+    AnnIndexStore.quietRename(fs, src, dst)
+
+  /** listStatus that treats a vanished directory as drained — a
+    * lease-free reader can race the mutator's final staging delete
+    * (the class-doc contract: readers see at worst a mid-append
+    * snapshot, never an error).
+    */
+  private def statusOrEmpty(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
+    try { if (fs.exists(p)) fs.listStatus(p) else Array.empty }
+    catch { case _: java.io.FileNotFoundException => Array.empty }
 
   /** Adopt every data file under `src` into `dst`, preserving the hive
     * partition layout — idempotent and multi-completer tolerant: a
@@ -172,9 +194,10 @@ object RetrievalStore {
       fs: org.apache.hadoop.fs.FileSystem,
       src: org.apache.hadoop.fs.Path,
       dst: org.apache.hadoop.fs.Path): Unit = {
-    if (!fs.exists(src)) return
+    val entries = statusOrEmpty(fs, src) // src may vanish under a racing completer
+    if (entries.isEmpty) return
     fs.mkdirs(dst)
-    fs.listStatus(src).foreach { st =>
+    entries.foreach { st =>
       val name = st.getPath.getName
       val to = new org.apache.hadoop.fs.Path(dst, name)
       if (st.isDirectory) adoptFiles(fs, st.getPath, to)
@@ -194,7 +217,7 @@ object RetrievalStore {
   private def hasDataFiles(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Boolean =
-    fs.exists(p) && fs.listStatus(p).exists { st =>
+    statusOrEmpty(fs, p).exists { st =>
       if (st.isDirectory) hasDataFiles(fs, st.getPath)
       else !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
     }
@@ -252,7 +275,7 @@ object RetrievalStore {
       // committed rebuild without first completing it)
       fs.delete(new org.apache.hadoop.fs.Path(dir, "tombstones"), true)
     }
-    fs.listStatus(stage)
+    statusOrEmpty(fs, stage)
       .filter(_.getPath.getName.startsWith("LOOPMARKER-"))
       .foreach { m =>
         val body = m.getPath.getName.stripPrefix("LOOPMARKER-")
@@ -273,8 +296,7 @@ object RetrievalStore {
       spark: SparkSession, dir: String, discardUncommitted: Boolean): Unit = {
     val root = stageRoot(dir)
     val fs = root.getFileSystem(hconf(spark))
-    if (!fs.exists(root)) return
-    fs.listStatus(root).filter(_.isDirectory).foreach { st =>
+    statusOrEmpty(fs, root).filter(_.isDirectory).foreach { st =>
       if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "COMMIT")))
         applyStaged(spark, dir, fs, st.getPath)
       else if (discardUncommitted) fs.delete(st.getPath, true)
@@ -548,7 +570,19 @@ object RetrievalStore {
     // one materialization feeds the count, the posting rewrite, and the
     // df re-derivation (lazy — blocks cache as the count touches them)
     val live = live0.localCheckpoint(false)
-    val nGroups = groupsFor(live.count())
+    val nLive = live.count()
+    if (nLive == 0L) {
+      // a fully-tombstoned store: the REPLACE adoption cannot represent
+      // "replace with nothing" (an empty staged frame adopts no files,
+      // so the old frames would survive while the tombstones cleared —
+      // silent resurrection). The fold compact IS the empty rewrite:
+      // both frames rewrite to their empty live view via rename-aside
+      // swaps and the tombstone set clears; the layout keeps the
+      // save-time nGroups, which is moot on an empty store.
+      compactBm25Unlocked(spark, dir, 128L << 20)
+      return
+    }
+    val nGroups = groupsFor(nLive)
     val grouped = live.withColumn("term_grp", termGrp(nGroups))
     val stage = new org.apache.hadoop.fs.Path(stageRoot(dir),
       java.util.UUID.randomUUID().toString)

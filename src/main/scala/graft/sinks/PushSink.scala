@@ -188,13 +188,19 @@ object PushSink {
         sock
       }
       def send(message: Array[Byte]): Unit = {
+        // header + payload assembled into ONE write: the socket runs
+        // TCP_NODELAY, so per-field writes would each go out as their
+        // own packet (~6 syscalls/packets per message on the hot path)
+        val frame = java.nio.ByteBuffer.allocate(5 + message.length)
+          .put(0.toByte) // uncompressed
+          .putInt(message.length)
+          .put(message)
+          .array()
         val status =
           try {
             val s = connected()
-            val out = new java.io.DataOutputStream(s.getOutputStream)
-            out.writeByte(0) // uncompressed
-            out.writeInt(message.length)
-            out.write(message)
+            val out = s.getOutputStream
+            out.write(frame)
             out.flush()
             s.getInputStream.read()
           } catch {
@@ -427,9 +433,11 @@ object PushSink {
                   in.readFully(buf)
                   val payload = new String(buf, StandardCharsets.UTF_8)
                   val status = statusFor(payload)
+                  // record BEFORE acking: a sender-observed ack must
+                  // guarantee the message is visible in received()
+                  if (status == 0) messages.add(payload)
                   out.write(status)
                   out.flush()
-                  if (status == 0) messages.add(payload)
                 }
               }
             } catch { case _: java.io.IOException => () }

@@ -330,6 +330,34 @@ class RetrievalStoreSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(stage)))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bm/postings.pre-stage")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bm/df.pre-stage")))
+    // FULL deletion then rebuild: the REPLACE adoption cannot represent
+    // "replace with nothing", so the empty live view rebuilds through
+    // the fold path — deleted docs must NOT resurrect
+    RetrievalStore.deleteIdsBm25(spark, s"$dir/bm",
+      corpus.select("doc_id"), "doc_id")
+    graft.ops.AnnIndexStore.rebuild(spark, s"$dir/bm")
+    val empty = RetrievalStore.loadBm25(spark, s"$dir/bm")
+    assert(empty.postings.count() == 0 && empty.nDocs == 0 &&
+      empty.tombstones.isEmpty, "empty rebuild must fold, never resurrect")
+    assert(served().isEmpty)
+  }
+
+  test("null text refuses loudly at save/append (nDocs would desync from postings)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rstore_null").toString
+    val withNull = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      RetrievalStore.saveBm25(s"$dir/bm", withNull, "doc_id", "text"))
+    assert(e.getMessage.contains("NULL"))
+    RetrievalStore.saveBm25(s"$dir/bm", corpus.limit(4), "doc_id", "text")
+    val e2 = intercept[IllegalArgumentException](
+      RetrievalStore.appendBm25(spark, s"$dir/bm", withNull, "doc_id", "text"))
+    assert(e2.getMessage.contains("NULL"))
+    // empty text stays legal: it is one empty-token posting row
+    RetrievalStore.appendBm25(spark, s"$dir/bm",
+      Seq((99L, "")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(graft.ops.AnnIndexStore.stats(spark, s"$dir/bm").toMap
+      .apply("nDocs") == "5")
   }
 
   test("streaming ingest: appendingBatchFn drains waves, replays rewind to no-ops") {
