@@ -763,8 +763,14 @@ object AnnIndexStore {
       val pdirs =
         if (fs.exists(pp)) fs.listStatus(pp).filter(_.isDirectory) else Array.empty
       val perDir = pdirs.map(d => parquetFileCount(fs, d.getPath))
+      val postingRows = b.postings.count()
+      // the layout advisor — the lexical analog of driftAdvice: appends
+      // assign into the save-time nGroups, so once the live posting
+      // count advises ≥4× the pinned group count each directory holds
+      // ≥4× the rows the pruning surface was sized for → rebuild
+      val advised = RetrievalStore.groupsFor(postingRows)
       return Seq(
-        "postingRows" -> b.postings.count().toString,
+        "postingRows" -> postingRows.toString,
         "dfPartialRows" -> b.df.count().toString,
         "tombstonedIds" -> b.tombstones.fold(0L)(_.count()).toString,
         "nDocs" -> b.nDocs.toString,
@@ -773,6 +779,10 @@ object AnnIndexStore {
         "dataFiles" -> parquetFileCount(fs, pp).toString,
         "partitionDirs" -> pdirs.length.toString,
         "filesPerPartMax" -> (if (perDir.isEmpty) "0" else perDir.max.toString),
+        "nGroups" -> b.nGroups.toString,
+        "advisedGroups" -> advised.toString,
+        "layoutAdvice" -> (if (advised >= 4 * b.nGroups)
+          "stale layout - rebuild recommended" else "ok"),
         "mutationLease" -> leaseStatus(fs, dir))
     }
     val raw = readFrame(spark, s"$dir/index", mf.get("indexSchema"))

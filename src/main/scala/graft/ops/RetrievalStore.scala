@@ -85,8 +85,10 @@ object RetrievalStore {
   /** One hive directory per ~64k posting rows, capped — the saveMinhash
     * group-count rule (a fixed large count makes small indexes pay
     * directory-creation overhead for pruning surface they cannot use).
+    * `private[ops]`: [[AnnIndexStore.stats]] re-derives it from the live
+    * posting count as the layout-rebuild advisor.
     */
-  private def groupsFor(nPostings: Long): Int =
+  private[ops] def groupsFor(nPostings: Long): Int =
     math.min(AnnIndexStore.LshMaxGroups.toLong,
       math.max(16L, nPostings / 65536L + 1L)).toInt
 
