@@ -342,6 +342,58 @@ class RetrievalStoreSpec extends SparkSpec {
     assert(served().isEmpty)
   }
 
+  test("lifecycle property: any mutation sequence serves the fused recompute over the survivors") {
+    // seeded random walk over the full mutation surface — the invariant
+    // the whole store design reduces to: after ANY sequence of
+    // append / delete / compact / rebuild, serve == Retrieval.bm25TopK
+    // over exactly the surviving documents (global stats exact, no
+    // resurrection, no loss). Fresh ids are monotonic so the
+    // no-re-add-before-compact contract holds by construction; deletes
+    // may repeat ids and may name non-residents (both contractual
+    // no-ops).
+    val dir = java.nio.file.Files.createTempDirectory("graft_rstore_prop").toString
+    def docOf(i: Long) = (i, s"document $i about topic${i % 5} mentions " +
+      s"subject${i % 7} and shared vocabulary alpha beta plus unique token word$i")
+    var resident = (0L until 20L).toSet
+    var nextId = 1000L
+    RetrievalStore.saveBm25(s"$dir/bm",
+      resident.toSeq.map(docOf).toDF("doc_id", "text"), "doc_id", "text")
+    val rnd = new scala.util.Random(42)
+    def check(step: String): Unit = {
+      val survivors = resident.toSeq.sorted.map(docOf).toDF("doc_id", "text")
+      val served = RetrievalStore.serveBm25(
+        RetrievalStore.loadBm25(spark, s"$dir/bm"), queries, "doc_id", "text",
+        k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9)
+        .orderBy("query_id", "rank").collect().toSeq
+      val truth = Retrieval.bm25TopK(survivors, "doc_id", "text",
+        queries, "doc_id", "text", k = 3, maxDf = Long.MaxValue,
+        maxDfFraction = 0.9)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(served == truth, s"after $step (|resident|=${resident.size})")
+    }
+    (1 to 8).foreach { step =>
+      val op = rnd.nextInt(4)
+      op match {
+        case 0 => // append a fresh batch
+          val fresh = (nextId until nextId + 5L)
+          nextId += 5L
+          resident ++= fresh
+          RetrievalStore.appendBm25(spark, s"$dir/bm",
+            fresh.map(docOf).toDF("doc_id", "text"), "doc_id", "text")
+        case 1 => // delete a random slice (may repeat, may miss)
+          val dead = rnd.shuffle(resident.toSeq).take(1 + rnd.nextInt(4)) :+ 999999L
+          resident --= dead
+          RetrievalStore.deleteIdsBm25(spark, s"$dir/bm",
+            dead.toDF("doc_id"), "doc_id")
+        case 2 =>
+          RetrievalStore.compactBm25(spark, s"$dir/bm")
+        case _ =>
+          RetrievalStore.rebuildBm25(spark, s"$dir/bm")
+      }
+      check(s"step $step (op $op)")
+    }
+  }
+
   test("null text refuses loudly at save/append (nDocs would desync from postings)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rstore_null").toString
     val withNull = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
