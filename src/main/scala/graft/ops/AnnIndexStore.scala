@@ -765,12 +765,18 @@ object AnnIndexStore {
       val perDir = pdirs.map(d => parquetFileCount(fs, d.getPath))
       val postingRows = b.postings.count()
       // the layout advisor — the lexical analog of driftAdvice: appends
-      // assign into the save-time nGroups, so once the live posting
+      // assign into the save-time nGroups, so once the LIVE posting
       // count advises ≥4× the pinned group count each directory holds
-      // ≥4× the rows the pruning surface was sized for → rebuild
-      val advised = RetrievalStore.groupsFor(postingRows)
+      // ≥4× the rows the pruning surface was sized for → rebuild. Live,
+      // not total: rebuild sizes nGroups from the tombstone-folded rows,
+      // so advice from the raw count could fire purely on dead rows and
+      // print a group count the rebuild would not produce
+      val livePostingRows = b.tombstones.fold(postingRows)(t =>
+        b.postings.join(t, col("__did") === col("n_id"), "left_anti").count())
+      val advised = RetrievalStore.groupsFor(livePostingRows)
       return Seq(
         "postingRows" -> postingRows.toString,
+        "livePostingRows" -> livePostingRows.toString,
         "dfPartialRows" -> b.df.count().toString,
         "tombstonedIds" -> b.tombstones.fold(0L)(_.count()).toString,
         "nDocs" -> b.nDocs.toString,

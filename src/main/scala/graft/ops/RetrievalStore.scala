@@ -150,6 +150,11 @@ object RetrievalStore {
   def saveBm25(dir: String, docs: DataFrame, idCol: String, textCol: String): Unit = {
     val spark = docs.sparkSession
     val fs = fsOf(spark, dir)
+    // scalars (and the null-text refusal inside them) run BEFORE any
+    // destructive write: a refusal after the frames were overwritten
+    // would leave new-layout frames under the predecessor's manifest —
+    // the torn state the staged protocol exists to prevent
+    val (n, tok) = scalarsOf(docs, textCol)
     Seq("tombstones", "__stage", "__loop", "MAINTENANCE.json",
       "postings.pre-stage", "df.pre-stage", "tombstones.pre-stage").foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, n), true))
@@ -160,7 +165,6 @@ object RetrievalStore {
     writeGrouped(grouped, s"$dir/postings")
     writeGrouped(grouped.groupBy(col("__term"), col("term_grp"))
       .agg(count(lit(1)).as("__df")), s"$dir/df")
-    val (n, tok) = scalarsOf(docs, textCol)
     writeManifest(spark, dir, manifestJson(n, tok, nGroups))
   }
 
@@ -183,7 +187,9 @@ object RetrievalStore {
   private def statusOrEmpty(
       fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
-    try { if (fs.exists(p)) fs.listStatus(p) else Array.empty }
+    // no exists() pre-check: it would be a second metadata RPC on the
+    // staging protocol's hot path AND a TOCTOU the catch must cover anyway
+    try fs.listStatus(p)
     catch { case _: java.io.FileNotFoundException => Array.empty }
 
   /** Adopt every data file under `src` into `dst`, preserving the hive
@@ -358,6 +364,9 @@ object RetrievalStore {
       return false
     val mf = readManifestRaw(spark, dir)
     val nGroups = mf.nGroups
+    // the null-text refusal fires before any staging write (a refused
+    // append must cost nothing but this scan)
+    val (n, tok) = scalarsOf(docs, textCol)
     val stage = new org.apache.hadoop.fs.Path(stageRoot(dir),
       java.util.UUID.randomUUID().toString)
     val posts = postingsFor(docs, idCol, textCol).localCheckpoint(false)
@@ -365,7 +374,6 @@ object RetrievalStore {
     writeGrouped(grouped, s"$stage/postings")
     writeGrouped(grouped.groupBy(col("__term"), col("term_grp"))
       .agg(count(lit(1)).as("__df")), s"$stage/df")
-    val (n, tok) = scalarsOf(docs, textCol)
     stageManifest(fs, stage,
       manifestJson(mf.nDocs + n, mf.totTokens + tok, nGroups))
     marker.foreach { case (l, b) =>

@@ -160,19 +160,22 @@ object PushSink {
       // the retry); an IO error or mid-ack EOF drops the channel so the
       // retry reconnects fresh.
       private val (host, port) = hostPort(ep.stripPrefix("grpc://"))
+      // GrpcSinkConfig carries TlsConfig (types.rs:713): with `tls` the
+      // channel is an SSLSocket over the same PEM-built context as the
+      // https leg — client identity (mTLS) + CA pinning. Built ONCE per
+      // transport (the https-leg convention): reconnects in a retry loop
+      // must not re-read and re-parse the PEM files per attempt.
+      private val sslCtx = cfg.tls.map(t =>
+        Tls.sslContext(t.certFile, t.keyFile, t.caFile))
       private var sock: java.net.Socket = null
       private def connected(): java.net.Socket = {
         if (sock == null) {
-          // GrpcSinkConfig carries TlsConfig (types.rs:713): with `tls`
-          // the channel is an SSLSocket over the same PEM-built context
-          // as the https leg — client identity (mTLS) + CA pinning, with
           // endpoint identification ON (a raw SSLSocket skips hostname
           // verification by default; the https leg gets it from
           // HttpClient, this leg asks for it explicitly)
-          val s = cfg.tls match {
-            case Some(t) =>
-              val tlsSock = Tls.sslContext(t.certFile, t.keyFile, t.caFile)
-                .getSocketFactory.createSocket()
+          val s = sslCtx match {
+            case Some(ctx) =>
+              val tlsSock = ctx.getSocketFactory.createSocket()
                 .asInstanceOf[javax.net.ssl.SSLSocket]
               val params = tlsSock.getSSLParameters
               params.setEndpointIdentificationAlgorithm("HTTPS")
