@@ -165,7 +165,7 @@ object RetrievalStore {
     writeGrouped(grouped, s"$dir/postings")
     writeGrouped(grouped.groupBy(col("__term"), col("term_grp"))
       .agg(count(lit(1)).as("__df")), s"$dir/df")
-    writeManifest(spark, dir, manifestJson(n, tok, nGroups))
+    writeManifest(spark, dir, manifestJson(n, tok, nGroups, gen = 0L))
   }
 
   // ---- staged-commit mutation protocol --------------------------------
@@ -255,11 +255,23 @@ object RetrievalStore {
     Seq("postings", "df", "tombstones").foreach { name =>
       val src = new org.apache.hadoop.fs.Path(stage, name)
       val dst = new org.apache.hadoop.fs.Path(dir, name)
-      if (replace && fs.exists(dst) && hasDataFiles(fs, src)) {
-        val aside = new org.apache.hadoop.fs.Path(dir, s"$name.pre-stage")
-        if (!fs.exists(aside)) quietRename(fs, dst, aside)
-      }
+      val aside = new org.apache.hadoop.fs.Path(dir, s"$name.pre-stage")
+      if (replace && fs.exists(dst) && hasDataFiles(fs, src) &&
+          !fs.exists(aside) &&
+          // re-verify at the rename itself: a racing completer can drain
+          // the staging between the checks above and here, making dst
+          // the freshly adopted REPLACEMENT frame — parking it then
+          // would strand the only live copy
+          hasDataFiles(fs, src))
+        quietRename(fs, dst, aside)
       adoptFiles(fs, src, dst)
+      // park-restore healing (the rollForwardCommitted rule): if a
+      // racing completer consumed the staging inside our check window,
+      // the frame parked above was the freshly adopted live one and
+      // adoptFiles had nothing to move back — restore it before the
+      // pre-stage cleanup deletes the only copy
+      if (replace && !fs.exists(dst) && fs.exists(aside))
+        quietRename(fs, aside, dst)
     }
     val smf = new org.apache.hadoop.fs.Path(stage, "MANIFEST.json")
     val text =
@@ -274,7 +286,19 @@ object RetrievalStore {
             s"$dir: bm25 staging vanished mid-adoption with no live MANIFEST")
           return
       }
-    writeManifest(spark, dir, text.stripLineEnd)
+    // NEVER roll the live manifest BACK: a lease-free completer that read
+    // this staged text, stalled while another completer finished the
+    // staging AND a later leased mutation landed a newer manifest, would
+    // otherwise overwrite live nDocs/totTokens with stale absolutes —
+    // desyncing scalars from the adopted postings. Every staged manifest
+    // carries a monotone generation; the write is skipped when the live
+    // one already reached it. (Legacy manifests without `gen` carry no
+    // ordering info — those keep the unconditional write.)
+    val stale = (genOf(text), genOf(readManifestText(fs, dir))) match {
+      case (Some(staged), Some(live)) => staged <= live
+      case _ => false
+    }
+    if (!stale) writeManifest(spark, dir, text.stripLineEnd)
     if (replace) {
       Seq("postings", "df", "tombstones").foreach(n =>
         fs.delete(new org.apache.hadoop.fs.Path(dir, s"$n.pre-stage"), true))
@@ -304,12 +328,31 @@ object RetrievalStore {
       spark: SparkSession, dir: String, discardUncommitted: Boolean): Unit = {
     val root = stageRoot(dir)
     val fs = root.getFileSystem(hconf(spark))
+    healFoldCrash(fs, dir)
     statusOrEmpty(fs, root).filter(_.isDirectory).foreach { st =>
       if (fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "COMMIT")))
         applyStaged(spark, dir, fs, st.getPath)
       else if (discardUncommitted) fs.delete(st.getPath, true)
     }
   }
+
+  /** Heal a [[foldGrouped]] crash between its two swap renames from ANY
+    * manifest read — without this, a reader hitting the main-missing
+    * window fails path-not-found until the NEXT compact runs its own
+    * recovery. Restoring the parked old frame is consistent either way:
+    * the tombstones the fold was consuming are still live (they delete
+    * only after the fold returns), so old-frame + tombstones serves the
+    * same view. Only the main-missing case is healed here — deleting a
+    * stale `__fold_new` is the next fold's job (a lease-free reader
+    * touching it would race a LIVE fold's pre-rename write).
+    */
+  private def healFoldCrash(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit =
+    Seq("postings", "df").foreach { name =>
+      val main = new org.apache.hadoop.fs.Path(dir, name)
+      val oldP = new org.apache.hadoop.fs.Path(dir, s"${name}__fold_old")
+      if (!fs.exists(main) && fs.exists(oldP)) quietRename(fs, oldP, main)
+    }
 
   // ---- append ----------------------------------------------------------
 
@@ -375,7 +418,7 @@ object RetrievalStore {
     writeGrouped(grouped.groupBy(col("__term"), col("term_grp"))
       .agg(count(lit(1)).as("__df")), s"$stage/df")
     stageManifest(fs, stage,
-      manifestJson(mf.nDocs + n, mf.totTokens + tok, nGroups))
+      manifestJson(mf.nDocs + n, mf.totTokens + tok, nGroups, mf.gen + 1))
     marker.foreach { case (l, b) =>
       fs.create(new org.apache.hadoop.fs.Path(stage,
         loopMarkerFileName(l, b)), true).close()
@@ -480,7 +523,7 @@ object RetrievalStore {
       .agg(count(lit(1)), coalesce(sum(col("__dl")), lit(0L))).head()
     stageManifest(fs, stage,
       manifestJson(mf.nDocs - r.getLong(0), mf.totTokens - r.getLong(1),
-        mf.nGroups))
+        mf.nGroups, mf.gen + 1))
     fs.create(new org.apache.hadoop.fs.Path(stage, "COMMIT"), true).close()
     applyStaged(spark, dir, fs, stage)
   }
@@ -599,7 +642,8 @@ object RetrievalStore {
     writeGrouped(grouped, s"$stage/postings")
     writeGrouped(grouped.groupBy(col("__term"), col("term_grp"))
       .agg(count(lit(1)).as("__df")), s"$stage/df")
-    stageManifest(fs, stage, manifestJson(mf.nDocs, mf.totTokens, nGroups))
+    stageManifest(fs, stage,
+      manifestJson(mf.nDocs, mf.totTokens, nGroups, mf.gen + 1))
     fs.create(new org.apache.hadoop.fs.Path(stage, "REPLACE"), true).close()
     fs.create(new org.apache.hadoop.fs.Path(stage, "COMMIT"), true).close()
     applyStaged(spark, dir, fs, stage)
@@ -627,7 +671,17 @@ object RetrievalStore {
     writeGrouped(f(spark.read.schema(schema).parquet(main.toString)),
       newP.toString)
     require(fs.rename(main, oldP), s"bm25 fold: rename $main -> $oldP failed")
-    require(fs.rename(newP, main), s"bm25 fold: rename $newP -> $main failed")
+    // a lease-free reader's healFoldCrash can restore oldP -> main inside
+    // this two-rename window (it sees exactly the state a crash leaves);
+    // re-park the restored frame and retry rather than failing the fold
+    var adopted = quietRename(fs, newP, main)
+    var retries = 0
+    while (!adopted && retries < 3) {
+      if (fs.exists(main)) quietRename(fs, main, oldP)
+      adopted = quietRename(fs, newP, main)
+      retries += 1
+    }
+    require(adopted, s"bm25 fold: rename $newP -> $main failed")
     fs.delete(oldP, true)
   }
 
@@ -749,10 +803,33 @@ object RetrievalStore {
 
   // ---- manifest (small JSON, temp+rename — the atomicWrite contract) ----
 
-  private final case class Bm25Manifest(nDocs: Long, totTokens: Long, nGroups: Int)
+  private final case class Bm25Manifest(
+      nDocs: Long, totTokens: Long, nGroups: Int, gen: Long)
 
-  private def manifestJson(nDocs: Long, totTokens: Long, nGroups: Int): String =
-    s"""{"kind":"bm25","nDocs":$nDocs,"totTokens":$totTokens,"nGroups":$nGroups}"""
+  /** `gen` is a per-store monotone mutation counter — the guard that
+    * keeps a stale staging completer from rolling the live manifest
+    * back over a newer mutation's scalars ([[applyStaged]]). A fresh
+    * save starts at 0; every staged mutation writes save-read gen + 1.
+    */
+  private def manifestJson(
+      nDocs: Long, totTokens: Long, nGroups: Int, gen: Long): String =
+    s"""{"kind":"bm25","nDocs":$nDocs,"totTokens":$totTokens,"nGroups":$nGroups,"gen":$gen}"""
+
+  /** Generation of a manifest JSON text; None for pre-generation
+    * manifests (a staged mutation on one writes gen = read-gen-0 + 1).
+    */
+  private def genOf(text: String): Option[Long] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    if (node != null && node.isObject && node.get("gen") != null)
+      Some(node.get("gen").asLong())
+    else None
+  }
+
+  private def readManifestText(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): String = {
+    val in = fs.open(manifestPath(dir))
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
 
   private def manifestPath(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "MANIFEST.json")
@@ -800,6 +877,7 @@ object RetrievalStore {
       node.get("kind").asText() == "bm25",
       s"$p does not pin a bm25 index (use the matching store for its kind)")
     Bm25Manifest(node.get("nDocs").asLong(), node.get("totTokens").asLong(),
-      node.get("nGroups").asInt())
+      node.get("nGroups").asInt(),
+      if (node.get("gen") != null) node.get("gen").asLong() else 0L)
   }
 }

@@ -450,4 +450,66 @@ class RetrievalStoreSpec extends SparkSpec {
       RetrievalStore.appendingBatchFn(spark, s"$dir/mh", "doc_id", "text"))
     assert(e.getMessage.contains("bm25"))
   }
+
+  test("race healing: stale manifest, parked frame, and crashed fold all heal on load") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rstore_heal").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    RetrievalStore.saveBm25(s"$dir/bm", corpus, "doc_id", "text")
+    val extra = (300L until 305L).map(i => (i, s"heal doc $i payload"))
+      .toDF("doc_id", "text")
+    RetrievalStore.appendBm25(spark, s"$dir/bm", extra, "doc_id", "text")
+    def mf() = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(s"$dir/bm/MANIFEST.json"))
+    assert(mf().get("gen").asLong == 1L,
+      "save starts gen 0, each staged mutation advances it")
+    val (nLive, tokLive) = (mf().get("nDocs").asLong, mf().get("totTokens").asLong)
+    def served() = RetrievalStore.serveBm25(
+      RetrievalStore.loadBm25(spark, s"$dir/bm"), queries, "doc_id", "text",
+      k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9)
+      .orderBy("query_id", "rank").collect().toSeq
+    val before = served()
+    assert(before.nonEmpty)
+    // STALE COMPLETER: a committed staging whose generation the live
+    // manifest already reached (the completer raced a finished staging
+    // plus a newer mutation) must NOT roll the scalars back
+    val stale = s"$dir/bm/__stage/staletok"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stale))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$stale/MANIFEST.json"),
+      (s"""{"kind":"bm25","nDocs":999,"totTokens":9,""" +
+        s""""nGroups":${mf().get("nGroups").asInt},"gen":1}""").getBytes("UTF-8"))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$stale/COMMIT"))
+    assert(served() == before)
+    assert(mf().get("nDocs").asLong == nLive &&
+      mf().get("totTokens").asLong == tokLive,
+      "a stale staging generation must never overwrite newer scalars")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stale)))
+    // PARK-RESTORE: the post-race REPLACE state — a racing completer
+    // drained the staging while this one had already parked the freshly
+    // adopted frame to postings.pre-stage — must restore the park (it
+    // holds the ONLY live copy), never delete it in the cleanup
+    val main = new org.apache.hadoop.fs.Path(s"$dir/bm/postings")
+    val aside = new org.apache.hadoop.fs.Path(s"$dir/bm/postings.pre-stage")
+    assert(fs.rename(main, aside))
+    val drained = s"$dir/bm/__stage/drainedtok"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$drained/postings"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$drained/MANIFEST.json"),
+      (s"""{"kind":"bm25","nDocs":$nLive,"totTokens":$tokLive,""" +
+        s""""nGroups":${mf().get("nGroups").asInt},"gen":2}""").getBytes("UTF-8"))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$drained/REPLACE"))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$drained/COMMIT"))
+    assert(served() == before)
+    assert(fs.exists(main) && !fs.exists(aside),
+      "the parked frame must be restored, not cleaned up")
+    assert(mf().get("gen").asLong == 2L)
+    // FOLD CRASH: a foldGrouped crash between its two swap renames (main
+    // gone, __fold_old holding the only copy) heals on ANY load — not
+    // just at the next compact
+    val foldOld = new org.apache.hadoop.fs.Path(s"$dir/bm/postings__fold_old")
+    assert(fs.rename(main, foldOld))
+    assert(served() == before)
+    assert(fs.exists(main) && !fs.exists(foldOld),
+      "load must restore the parked fold frame")
+  }
 }
