@@ -1982,6 +1982,137 @@ object SparkEntry {
     } finally s.conf.set(shufConf, prevShuf)
   }
 
+  /** DECLARATIVE STREAMING RETRACTION, lexical kind (round 17 — the
+    * takedown/GDPR feed as one YAML manifest): build the posting store
+    * on the FULL corpus, stream the doc_id % 10 == 3 takedown ids in
+    * three mtime-ordered wave files through a pipeline whose
+    * `ann_index` sink runs `mode: delete` — each micro-batch rides
+    * [[graft.ops.RetrievalStore.deleteIdsBm25Committed]]: negative df
+    * partials, exact scalar subtraction, tombstones, and the batch-id
+    * commit marker land through ONE staged commit, so a checkpoint
+    * rewind can never double-subtract (the replay no-op is spec-gated
+    * in RetrievalStoreSpec) — then serve. The oracle is the complement
+    * recompute shared verbatim with q_bm25_deleted; this row gates the
+    * streaming seam (compiler wiring, per-batch staged deletes, marker
+    * installation, drain). Cached store: re-deleting the same ids on
+    * later epochs is neutral by the prior-tombstone anti-join, so the
+    * bench median times delete+serve, not the build.
+    */
+  private def qStreamBm25Deleted(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qsbm25del").toString
+    TempReaper.register(tmp)
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufConf)
+    s.conf.set(shufConf, "8")
+    try {
+      val d = docs(s, dir)
+      val idx = cachedIndexDir("bm25sdel", dir) { t =>
+        graft.ops.RetrievalStore.saveBm25(s"$t/bm", d, "doc_id", "text")
+      }
+      val takedowns = d.filter(pmod(col("doc_id"), lit(10)) === 3)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(3)).as("wave"))
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      writeWaveFiles(takedowns, "wave", 3, s"$tmp/stage", inDir)
+      val yaml =
+        s"""kind: Source
+           |metadata: {name: takedowns}
+           |spec:
+           |  format: parquet
+           |  path: $tmp/in
+           |  streaming: true
+           |  schema: "doc_id BIGINT"
+           |  rateCap: {maxFilesPerTrigger: 1}
+           |---
+           |kind: Sink
+           |metadata: {name: store}
+           |spec:
+           |  format: ann_index
+           |  path: $idx/bm
+           |  checkpoint: $tmp/chk
+           |  options: {mode: delete, idField: doc_id}
+           |---
+           |kind: Pipeline
+           |metadata: {name: retract}
+           |spec: {source: takedowns, steps: [], sink: store}
+           |""".stripMargin
+      graft.dsl.Compiler.write(graft.dsl.Compiler.compile(s,
+        graft.dsl.YamlLoader.load(yaml))("retract"))
+      graft.ops.RetrievalStore.serveBm25(
+        graft.ops.RetrievalStore.loadBm25(s, s"$idx/bm"),
+        d.filter(pmod(col("doc_id"), lit(25)) === 0), "doc_id", "text",
+        k = 5, maxDf = Long.MaxValue, maxDfFraction = 0.8)
+        .orderBy(col("query_id"), col("rank"))
+    } finally s.conf.set(shufConf, prevShuf)
+  }
+
+  /** DECLARATIVE STREAMING RETRACTION, vector kind (the q_ann_deleted
+    * chain with the delete arriving as a stream): the q_ann_ivfpq build
+    * is saved once, the vec_id % 7 == 0 takedown ids stream in three
+    * wave files through the same `mode: delete` sink — per micro-batch
+    * [[graft.ops.AnnIndexStore.deleteIdsCommitted]] tombstones them
+    * under a batch-id commit marker — and the standard probes are
+    * served: deleted vectors must vanish from the candidates while the
+    * quantizer/codebook stay trained on the full corpus. Oracle shared
+    * verbatim with q_ann_deleted (tombstone complement on the candidate
+    * side only). Re-deletes on later epochs are idempotent — tombstones
+    * are distinct-ed at load.
+    */
+  private def qStreamAnnDeleted(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qsanndel").toString
+    TempReaper.register(tmp)
+    val shufConf = "spark.sql.shuffle.partitions"
+    val prevShuf = s.conf.get(shufConf)
+    s.conf.set(shufConf, "8")
+    try {
+      val e = emb(s, dir)
+      val idx = cachedIndexDir("pq16sdel", dir)(t => buildPq16Index(s, dir, t))
+      val takedowns = e.filter(pmod(col("vec_id"), lit(7)) === 0)
+        .select(col("vec_id"), pmod(col("vec_id"), lit(3)).as("wave"))
+      val inDir = java.nio.file.Paths.get(tmp, "in")
+      java.nio.file.Files.createDirectories(inDir)
+      writeWaveFiles(takedowns, "wave", 3, s"$tmp/stage", inDir)
+      val yaml =
+        s"""kind: Source
+           |metadata: {name: takedowns}
+           |spec:
+           |  format: parquet
+           |  path: $tmp/in
+           |  streaming: true
+           |  schema: "vec_id BIGINT"
+           |  rateCap: {maxFilesPerTrigger: 1}
+           |---
+           |kind: Sink
+           |metadata: {name: store}
+           |spec:
+           |  format: ann_index
+           |  path: $idx/pq
+           |  checkpoint: $tmp/chk
+           |  options: {mode: delete, idField: vec_id}
+           |---
+           |kind: Pipeline
+           |metadata: {name: retract}
+           |spec: {source: takedowns, steps: [], sink: store}
+           |""".stripMargin
+      graft.dsl.Compiler.write(graft.dsl.Compiler.compile(s,
+        graft.dsl.YamlLoader.load(yaml))("retract"))
+      val bundle = graft.ops.AnnIndexStore.loadIvfPq(s, s"$idx/pq")
+      val probes = e.filter(col("vec_id") < 10)
+      val topk = graft.ops.AnnIndexStore.serveIvfPq(bundle, probes,
+        "vec_id", "embedding", k = 5, nProbe = 4)
+      val dv = transform(col("embedding"), _.cast("double"))
+      topk
+        .join(e.select(col("vec_id").as("n_id"), dv.as("__cv")), "n_id")
+        .join(broadcast(probes.select(col("vec_id").as("q_id"), dv.as("__qv"))), "q_id")
+        .select(col("q_id"), col("n_id"), col("rank"), col("est_dist2"),
+          round(VF.dot(col("__cv"), col("__cv"))
+            - lit(2.0) * VF.dot(col("__cv"), col("__qv"))
+            + VF.dot(col("__qv"), col("__qv")), 6).as("true_dist2"))
+        .orderBy(col("q_id"), col("rank"))
+    } finally s.conf.set(shufConf, prevShuf)
+  }
+
   /** The DECLARATIVE leg of the persisted BM25 story (R9 × L28): build
     * the posting index through the `ann_index` sink (`kind: bm25`),
     * serve the query batch through the `ann_serve` step dispatching on
@@ -5173,6 +5304,8 @@ object SparkEntry {
     "q_bm25_compacted" -> (qBm25Compacted _),
     "q_bm25_rebuilt" -> (qBm25Rebuilt _),
     "q_stream_bm25_appended" -> (qStreamBm25Appended _),
+    "q_stream_bm25_deleted" -> (qStreamBm25Deleted _),
+    "q_stream_ann_deleted" -> (qStreamAnnDeleted _),
     "q_dsl_bm25" -> (qDslBm25 _),
     "q_stream_bm25" -> (qStreamBm25 _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
@@ -6343,6 +6476,10 @@ object SparkEntry {
     "q_ann_lsh_refined" -> lshRefinedOracle(refineK = 20, k = 5),
     "q_dsl_refined" -> pqIvfRefinedOracle(refineK = 20, k = 5), // identical by spec: gates the YAML refine plumbing
     "q_ann_deleted" -> // tombstone complement on the candidate side only
+      pqIvfOracleFiltered("cc._aid % 7 <> 0"),
+    // identical by spec: the streamed takedown feed tombstones the same
+    // id set per micro-batch (batch-id markers make replays no-ops)
+    "q_stream_ann_deleted" ->
       pqIvfOracleFiltered("cc._aid % 7 <> 0"),
     "q_stream_ann" -> // served rows are batch-independent; batch_id = the wave schedule
       s"""SELECT q_id, n_id, rank, est_dist2, true_dist2, q_id % 3 AS batch_id
@@ -8560,6 +8697,10 @@ object SparkEntry {
     // subtraction + tombstone anti-join (compacted twin: the folded
     // store is content-identical)
     "q_bm25_deleted" -> bm25DeletedOracle,
+    // identical by spec: the streamed takedown feed subtracts the same
+    // contributions through per-batch staged commits (markers make
+    // checkpoint-rewind replays no-ops, never double-subtractions)
+    "q_stream_bm25_deleted" -> bm25DeletedOracle,
     "q_bm25_compacted" -> bm25DeletedOracle,
     // rebuild is content-neutral: the re-laid-out store serves the same
     // complement recompute (append partials + delete negations fold into

@@ -669,13 +669,21 @@ object Compiler {
                   sys.error(s"sink '${p.sink.name}': ann_index kind must be " +
                     s"ivfpq|ivf|lsh|minhash|bm25, got '$other'")
               }
+            // declarative retraction, batch leg: the frame is a set of
+            // IDS to tombstone out of the index — kind-dispatched off the
+            // manifest (bm25 subtracts its global stats exactly; the ANN
+            // kinds write the tombstone set). The streaming leg rides the
+            // batch-id commit-marker contract (writeStreaming).
+            case "delete" =>
+              graft.ops.AnnIndexStore.deleteIds(frame.sparkSession,
+                p.sink.path, frame, o.getOrElse("idField", "doc_id"))
             case "dedupe_loop" =>
               sys.error(s"sink '${p.sink.name}': mode dedupe_loop is " +
                 "streaming-only (the closed crawl loop probes and appends " +
                 "per micro-batch) — declare the source streaming: true")
             case other =>
               sys.error(s"sink '${p.sink.name}': ann_index mode must be " +
-                s"overwrite|append, got '$other'")
+                s"overwrite|append|delete, got '$other'")
           }
         // Network push sink (GrpcSinkConfig, types.rs:744-780): the path is
         // the ENDPOINT; per-message retry + DLQ-on-exhaustion via PushSink.
@@ -776,6 +784,35 @@ object Compiler {
     // The ANN kinds keep their probe-then-append loop (dedupe_loop);
     // lexical ingest has no verdict to persist, so plain append is the
     // whole contract.
+    // DECLARATIVE RETRACTION (round 17): `mode: delete` on a streaming
+    // ann_index sink consumes a takedown-id stream — each micro-batch
+    // tombstones its ids out of the index under the batch-id
+    // commit-marker + mutation-lease contract, kind-dispatched off the
+    // manifest (bm25 subtracts df partials and corpus scalars exactly
+    // THROUGH the staged commit, so a replayed delete can never
+    // double-subtract; the ANN kinds write the tombstone set). The one
+    // lifecycle verb that previously needed a hand-rolled foreachBatch.
+    if (p.sink.format == "ann_index" &&
+        p.sink.options.getOrElse("mode", "") == "delete") {
+      val spark = p.frame.sparkSession
+      val o = p.sink.options
+      require(p.sink.checkpoint.nonEmpty,
+        s"sink '${p.sink.name}': streaming delete needs an explicit " +
+          "checkpoint: (the index directory is not a checkpoint location)")
+      // marker namespace rides the CHECKPOINT (the identity of the
+      // batch-id sequence) — the dedupe_loop rule
+      val delLoopId =
+        f"${scala.util.hashing.MurmurHash3.stringHash(p.sink.checkpoint)}%08x"
+      val retract = graft.ops.AnnIndexStore.deletingBatchFn(
+        spark, p.sink.path, o.getOrElse("idField", "doc_id"),
+        loopId = delLoopId)
+      val writer = (b: org.apache.spark.sql.DataFrame, bid: Long) => {
+        retract(b, bid); ()
+      }
+      return p.frame.writeStream.outputMode(p.outputMode).trigger(trigger)
+        .option("checkpointLocation", p.sink.checkpoint)
+        .foreachBatch(writer).start()
+    }
     if (p.sink.format == "ann_index" &&
         p.sink.options.getOrElse("mode", "") == "append") {
       val spark = p.frame.sparkSession
@@ -807,8 +844,9 @@ object Compiler {
       val o = p.sink.options
       require(o.getOrElse("mode", "") == "dedupe_loop",
         s"sink '${p.sink.name}': a streaming ann_index sink supports " +
-          "mode: dedupe_loop (closed crawl loop) or mode: append (bm25 " +
-          "lexical ingest) — build/overwrite is a batch pipeline")
+          "mode: dedupe_loop (closed crawl loop), mode: append (bm25 " +
+          "lexical ingest), or mode: delete (takedown retraction) — " +
+          "build/overwrite is a batch pipeline")
       // verdicts need a home, and the checkpoint must be EXPLICIT — the
       // default path-derived checkpoint would land inside the index dir
       val verdictPath = o.getOrElse("verdictPath",

@@ -649,6 +649,64 @@ object AnnIndexStore {
         .write.mode("append").parquet(s"$dir/tombstones")
   }
 
+  /** EXACTLY-ONCE [[deleteIds]] — the retraction leg of the closed-loop
+    * delivery contract (sink.proto's exactly-once parity, applied to the
+    * one mutation the loops previously lacked): each processed takedown
+    * batch writes a batch-id COMMIT marker, and a REPLAYED batch
+    * (checkpoint rewind) that finds its marker is a full no-op. Kind
+    * dispatch off the manifest: bm25 rides the marker THROUGH the
+    * staged commit ([[RetrievalStore.deleteIdsBm25Committed]] — the
+    * stat subtraction and the marker land atomically); the ANN kinds
+    * write the tombstone set then the marker — the residual
+    * crash-between window replays into a content-idempotent tombstone
+    * re-append (tombstones are distinct-ed at load), the same honest
+    * at-least-once sliver as [[closedLoopDedupingCommitFn]]'s
+    * append-to-marker window. Returns false on a replay no-op.
+    */
+  def deleteIdsCommitted(
+      spark: SparkSession,
+      dir: String,
+      ids: DataFrame,
+      idCol: String,
+      loopId: String,
+      batchId: Long): Boolean = withMutationLease(spark, dir) {
+    val mf = readManifest(spark, dir)
+    if (mf("kind") == "bm25")
+      RetrievalStore.deleteIdsBm25Unlocked(spark, dir, ids, idCol,
+        marker = Some((loopId, batchId)))
+    else {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loopMarkerPath(dir, loopId, batchId))) false
+      else {
+        ids.select(requireLongId(col(idCol), "tombstone delete").as("n_id"))
+          .distinct()
+          .coalesce(1)
+          .write.mode("append").parquet(s"$dir/tombstones")
+        writeLoopMarker(fs, dir, loopId, batchId)
+        true
+      }
+    }
+  }
+
+  /** Kind-agnostic exactly-once streaming RETRACTION closure — the
+    * delete twin of [[RetrievalStore.appendingBatchFn]]: each
+    * micro-batch of IDS tombstones out of the index under a batch-id
+    * commit marker (bm25 additionally subtracts its global stats
+    * exactly); a replayed batch is a full no-op. Works on every stored
+    * kind — the manifest read at wiring time is the refuse-early check.
+    */
+  def deletingBatchFn(
+      spark: SparkSession,
+      dir: String,
+      idCol: String,
+      loopId: String = "loop"
+  ): (DataFrame, Long) => Boolean = {
+    readManifest(spark, dir) // refuse non-index directories at wiring time
+    (batch, batchId) =>
+      deleteIdsCommitted(spark, dir, batch, idCol, loopId, batchId)
+  }
+
   private def tombstonePath(dir: String) =
     new org.apache.hadoop.fs.Path(dir, "tombstones")
 

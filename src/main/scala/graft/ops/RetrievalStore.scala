@@ -481,19 +481,47 @@ object RetrievalStore {
       idCol: String): Unit =
     AnnIndexStore.withMutationLease(spark, dir) {
       deleteIdsBm25Unlocked(spark, dir, ids, idCol)
+      ()
+    }
+
+  /** EXACTLY-ONCE [[deleteIdsBm25]] for streaming retraction (takedown /
+    * GDPR feeds): the micro-batch id rides the delete's staging as a
+    * loop marker — the [[appendBm25Committed]] contract applied to the
+    * one mutation where a replay would be STAT-CORRUPTING without it.
+    * The prior-tombstone anti-join already makes a re-delete of the same
+    * ids neutral; the marker additionally makes the replay a FULL no-op
+    * (no postings scan, no empty staging) and proves delivery parity
+    * with the ingest loop. Returns false when the batch id was already
+    * committed.
+    */
+  def deleteIdsBm25Committed(
+      spark: SparkSession,
+      dir: String,
+      ids: DataFrame,
+      idCol: String,
+      loopId: String,
+      batchId: Long): Boolean =
+    AnnIndexStore.withMutationLease(spark, dir) {
+      deleteIdsBm25Unlocked(spark, dir, ids, idCol,
+        marker = Some((loopId, batchId)))
     }
 
   /** [[deleteIdsBm25]] body without the lease — for callers already
     * holding it ([[AnnIndexStore.deleteIds]] dispatches here off the
-    * manifest kind).
+    * manifest kind). Returns false iff `marker` names an
+    * already-committed batch (the delete was a replay no-op).
     */
   private[ops] def deleteIdsBm25Unlocked(
       spark: SparkSession,
       dir: String,
       ids: DataFrame,
-      idCol: String): Unit = {
+      idCol: String,
+      marker: Option[(String, Long)] = None): Boolean = {
     val fs = fsOf(spark, dir)
     rollForwardStaged(spark, dir, discardUncommitted = true)
+    if (marker.exists { case (l, b) =>
+        fs.exists(AnnIndexStore.loopMarkerPath(dir, l, b)) })
+      return false
     val mf = readManifestRaw(spark, dir)
     val tp = new org.apache.hadoop.fs.Path(dir, "tombstones")
     val prior =
@@ -524,8 +552,13 @@ object RetrievalStore {
     stageManifest(fs, stage,
       manifestJson(mf.nDocs - r.getLong(0), mf.totTokens - r.getLong(1),
         mf.nGroups, mf.gen + 1))
+    marker.foreach { case (l, b) =>
+      fs.create(new org.apache.hadoop.fs.Path(stage,
+        loopMarkerFileName(l, b)), true).close()
+    }
     fs.create(new org.apache.hadoop.fs.Path(stage, "COMMIT"), true).close()
     applyStaged(spark, dir, fs, stage)
+    true
   }
 
   // ---- compact ---------------------------------------------------------

@@ -451,6 +451,54 @@ class RetrievalStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("bm25"))
   }
 
+  test("streaming retraction: waves delete exactly-once, replays rewind to no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rstore_sdel").toString
+    RetrievalStore.saveBm25(s"$dir/bm", corpus, "doc_id", "text")
+    def mfs() = {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new java.io.File(s"$dir/bm/MANIFEST.json"))
+      (node.get("nDocs").asLong, node.get("totTokens").asLong)
+    }
+    val retract = graft.ops.AnnIndexStore.deletingBatchFn(
+      spark, s"$dir/bm", "doc_id", loopId = "take")
+    val w0 = corpus.filter(col("doc_id") % 10 === 3 && col("doc_id") < 20)
+      .select("doc_id")
+    val w1 = corpus.filter(col("doc_id") % 10 === 3 && col("doc_id") >= 20)
+      .select("doc_id")
+    assert(retract(w0, 0L) && retract(w1, 1L))
+    val after = mfs()
+    val complement = corpus.filter(col("doc_id") % 10 =!= 3)
+    val fusedC = Retrieval.bm25TopK(complement, "doc_id", "text",
+      queries, "doc_id", "text", k = 3, maxDf = Long.MaxValue,
+      maxDfFraction = 0.9).orderBy("query_id", "rank").collect().toSeq
+    def served() = RetrievalStore.serveBm25(
+      RetrievalStore.loadBm25(spark, s"$dir/bm"), queries, "doc_id", "text",
+      k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(served() == fusedC && fusedC.nonEmpty)
+    // CHECKPOINT REWIND: replaying every committed batch id is a pile of
+    // full no-ops — the stat-corrupting double-subtract cannot happen
+    assert(!retract(w0, 0L) && !retract(w1, 1L))
+    assert(mfs() == after && served() == fusedC)
+    // a NEW batch id carrying already-deleted ids applies (it is a new
+    // delivery, not a replay) but the prior-tombstone anti-join makes the
+    // contribution math neutral — still exactly the complement
+    assert(retract(w0, 2L))
+    assert(mfs() == after && served() == fusedC)
+    // ANN kinds ride the same closure: tombstone write + marker, replay
+    // no-op (kind-dispatched off the manifest)
+    graft.ops.AnnIndexStore.saveMinhash(s"$dir/mh",
+      corpus, "doc_id", "text", 3, 16, 4)
+    val mhRetract = graft.ops.AnnIndexStore.deletingBatchFn(
+      spark, s"$dir/mh", "doc_id", loopId = "take")
+    assert(mhRetract(w0, 0L))
+    assert(!mhRetract(w0, 0L), "a replayed ANN delete batch must no-op")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/mh/__loop/take/batch-0.COMMIT")))
+  }
+
   test("race healing: stale manifest, parked frame, and crashed fold all heal on load") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rstore_heal").toString
     val conf = spark.sparkContext.hadoopConfiguration
