@@ -692,7 +692,8 @@ object Compiler {
             s"sink '${p.sink.name}': push does not support partitionBy")
           graft.sinks.PushSink.runBatch(frame,
             graft.sinks.PushSink.configFrom(p.sink.path, p.sink.options),
-            p.sink.options.get("dlqPath"), stage = p.sink.name)
+            p.sink.options.get("dlqPath"), stage = p.sink.name,
+            meter = p.observer)
         case other     => sys.error(s"unknown sink format: $other")
       }
     }
@@ -918,7 +919,8 @@ object Compiler {
         s"sink '${p.sink.name}': push does not support partitionBy")
       val writer = graft.sinks.PushSink.foreachBatchWriter(
         graft.sinks.PushSink.configFrom(p.sink.path, p.sink.options),
-        p.sink.options.get("dlqPath"), stage = p.sink.name)
+        p.sink.options.get("dlqPath"), stage = p.sink.name,
+        meter = p.observer)
       return withStateStore(p.frame.sparkSession, p.stateStore) {
         ckpt.foldLeft(
           p.frame.writeStream.outputMode(p.outputMode).trigger(trigger)

@@ -54,6 +54,46 @@ final class PipelineObserver(val pipeline: String) {
   // of this observer's points.
   private val latencyMs = new java.util.concurrent.atomic.AtomicLong(0L)
   private val runsSeen = new java.util.concurrent.atomic.AtomicLong(0L)
+  // OPERATIONAL counters/gauges the PLAN cannot observe (the remaining
+  // third of the reference's counter surface, conveyor-etl-metrics/src/
+  // lib.rs:34-40 buffer_utilization, :55-61 backpressure_events, :63-69
+  // retry_events): backpressure signals fire in the driver's drain loop,
+  // transport retries inside executor partitions — both report here
+  // through [[addEvents]]/[[setGauge]], never through Dataset.observe.
+  private val events = scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+  private val gauges = scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+
+  /** Add `n` to a cumulative operational counter (metric rows like
+    * `backpressure_events`, `retry_events`) for `stage` — monotonic,
+    * like the record counters.
+    */
+  def addEvents(stage: String, metric: String, n: Long): Unit =
+    if (n > 0L)
+      events.updateWith((stage, metric))(prev => Some(prev.getOrElse(0L) + n))
+
+  /** Set a gauge (last-reported value wins — the reference's gauge.set).
+    * The frame's value column is Long, so fractional gauges record in
+    * BASIS POINTS (×10000): deterministic for scripted utilizations,
+    * exact in specs; [[renderPrometheus]] renders the double back.
+    */
+  def setGauge(stage: String, metric: String, value: Long): Unit =
+    gauges.update((stage, metric), value)
+
+  /** The governedDrain signal hook for this pipeline ([[graft.streaming
+    * .Backpressure.governedDrain]]'s `onSignal`): every non-Proceed
+    * signal observation (each Pause poll, each SlowDown) counts one
+    * `backpressure_events`; every observation (including Proceed)
+    * updates the `buffer_utilization` gauge (basis points) — lib.rs's
+    * record_backpressure_event + buffer_utilization.set, at the seam
+    * the drain loop actually measures.
+    */
+  def backpressureMeter(
+      stage: String): (graft.streaming.Backpressure.Signal, Double) => Unit =
+    (signal, utilization) => {
+      setGauge(stage, "buffer_utilization", math.round(utilization * 10000.0))
+      if (signal != graft.streaming.Backpressure.Proceed)
+        addEvents(stage, "backpressure_events", 1L)
+    }
 
   /** Wrap `df` with an observation point. Roles: "source"
     * (records_received), "stage" (records_in/records_out), "routed" (a
@@ -181,9 +221,14 @@ final class PipelineObserver(val pipeline: String) {
       if (routed.isEmpty) stageRows
       else stageRows :+ ((pipeline, "__dlq", "records_dlq",
         routed.map(p => in(p) - value(p)).sum))
+    // operational counters + gauges (only stages that reported appear —
+    // an unmetered pipeline's frame is unchanged); deterministic order
+    val opRows = (events.toSeq ++ gauges.toSeq)
+      .sortBy { case ((stage, metric), _) => (metric, stage) }
+      .map { case ((stage, metric), v) => (pipeline, stage, metric, v) }
     // pipeline wall: cumulative action / micro-batch latency + run count
     // (wall-clock, so shape-asserted in specs, never oracle-compared)
-    withDlq ++ Seq(
+    withDlq ++ opRows ++ Seq(
       (pipeline, "__pipeline", "latency_ms", latencyMs.get),
       (pipeline, "__pipeline", "runs", runsSeen.get))
   }
@@ -215,7 +260,8 @@ final class PipelineObserver(val pipeline: String) {
       s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
     val sb = new StringBuilder
     val metricNames = Seq("records_received", "records_in", "records_out",
-      "records_dlq", "records_delivered", "latency_ms", "runs")
+      "records_dlq", "records_delivered", "backpressure_events",
+      "retry_events", "latency_ms", "runs")
     val rs = rows(spark)
     for (m <- metricNames) {
       val of = rs.filter(_._3 == m)
@@ -225,6 +271,15 @@ final class PipelineObserver(val pipeline: String) {
           sb.append(s"""graft_${m}_total{pipeline="${esc(pl)}",stage="${esc(stage)}"} $v""")
             .append('\n')
       }
+    }
+    // gauges: the frame stores basis points (Long column); the exposition
+    // renders the double back — prometheus.rs buffer_utilization.set
+    val util = rs.filter(_._3 == "buffer_utilization")
+    if (util.nonEmpty) {
+      sb.append("# TYPE graft_buffer_utilization gauge\n")
+      for ((pl, stage, _, v) <- util)
+        sb.append(s"""graft_buffer_utilization{pipeline="${esc(pl)}",stage="${esc(stage)}"} ${v / 10000.0}""")
+          .append('\n')
     }
     sb.result()
   }

@@ -243,7 +243,12 @@ object PushSink {
     * the returned frame: callers must materialize it exactly once (the
     * [[foreachBatchWriter]] does).
     */
-  def deliver(df: DataFrame, cfg: PushSinkConfig, stage: String): DataFrame = {
+  def deliver(
+      df: DataFrame,
+      cfg: PushSinkConfig,
+      stage: String,
+      retryCounter: Option[org.apache.spark.util.LongAccumulator] = None
+  ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val failures = df.toJSON.mapPartitions { rows =>
@@ -261,8 +266,15 @@ object PushSink {
           catch {
             case scala.util.control.NonFatal(e) =>
               lastErr = String.valueOf(e.getMessage)
-              if (cfg.retry.shouldRetry(attempt))
+              if (cfg.retry.shouldRetry(attempt)) {
+                // one retry_events tick per backoff-retry actually taken
+                // (lib.rs:63-69) — a final exhausted attempt is a DLQ
+                // event, not a retry. Accumulator semantics are honest:
+                // a replayed TASK re-counts its retries, the same
+                // at-least-once slant operational counters always have.
+                retryCounter.foreach(_.add(1L))
                 Thread.sleep(cfg.retry.backoffDurationMs(attempt))
+              }
               attempt += 1
           }
         }
@@ -309,9 +321,16 @@ object PushSink {
       batch: DataFrame,
       cfg: PushSinkConfig,
       dlqPath: Option[String],
-      stage: String
+      stage: String,
+      meter: Option[graft.observe.PipelineObserver] = None
   ): Unit = {
-    val failures = deliver(batch, cfg, stage)
+    // transport retries happen inside executor partitions, where the
+    // observer cannot be reached — an accumulator carries the count back
+    // to the driver, which folds it into the metrics frame after the
+    // one materialization (retry_events, lib.rs:63-69)
+    val acc = meter.map(_ =>
+      batch.sparkSession.sparkContext.longAccumulator(s"graft.push.retries.$stage"))
+    val failures = deliver(batch, cfg, stage, acc)
     dlqPath match {
       case Some(p) => failures.write.mode("append").parquet(p)
       case None =>
@@ -320,15 +339,17 @@ object PushSink {
           s"push sink $stage: $n message(s) exhausted their retry budget " +
             "and no DLQ is configured — failing the batch for redelivery")
     }
+    for (m <- meter; a <- acc) m.addEvents(stage, "retry_events", a.value)
   }
 
   /** `foreachBatch` form of [[runBatch]] for streaming pipelines. */
   def foreachBatchWriter(
       cfg: PushSinkConfig,
       dlqPath: Option[String],
-      stage: String = "push"
+      stage: String = "push",
+      meter: Option[graft.observe.PipelineObserver] = None
   ): (DataFrame, Long) => Unit =
-    (batch, _) => runBatch(batch, cfg, dlqPath, stage)
+    (batch, _) => runBatch(batch, cfg, dlqPath, stage, meter)
 
   /** Build the typed config from a sink manifest's endpoint + string
     * options (the YAML surface). Unknown keys fail loudly — a typo'd

@@ -189,6 +189,14 @@ object Backpressure {
     * whole governed drain then runs deterministically with zero real
     * sleeping, the same test-double discipline as rateCap's scripted
     * landing directory.
+    *
+    * `onSignal` observes every (signal, measured utilization) pair —
+    * including each Pause re-poll — BEFORE the signal is acted on: the
+    * metrics hook ([[graft.observe.PipelineObserver.backpressureMeter]]
+    * counts non-Proceed observations as `backpressure_events` and tracks
+    * the `buffer_utilization` gauge, the reference's lib.rs:34-40,55-61
+    * counter pair). Deterministic given a scripted queue, so specs
+    * assert exact counts.
     */
   def governedDrain(
       controller: Controller,
@@ -198,13 +206,16 @@ object Backpressure {
       waves: Int,
       pollMs: Long = 100L,
       onDelay: Long => Unit = Thread.sleep,
-      maxPolls: Int = 1000
+      maxPolls: Int = 1000,
+      onSignal: (Signal, Double) => Unit = (_, _) => ()
   ): Seq[WaveRecord] = {
     require(waves >= 1, s"waves must be >= 1, got $waves")
     (0 until waves).map { w =>
       val seen = scala.collection.mutable.ArrayBuffer.empty[Signal]
       var polls = 0
-      var signal = controller.computeSignal(sourceId, utilization())
+      var util = utilization()
+      var signal = controller.computeSignal(sourceId, util)
+      onSignal(signal, util)
       seen += signal
       while (signal == Pause) {
         polls += 1
@@ -213,7 +224,9 @@ object Backpressure {
             s"high watermark (${controller.highWatermark}) after $maxPolls " +
             s"polls — queue is not draining; aborting instead of hanging")
         onDelay(pollMs)
-        signal = controller.computeSignal(sourceId, utilization())
+        util = utilization()
+        signal = controller.computeSignal(sourceId, util)
+        onSignal(signal, util)
         seen += signal
       }
       signal match {

@@ -298,4 +298,37 @@ class MetricsSpec extends SparkSpec {
       assert(runs >= 2L && lat > 0L, (runs, lat))
     } finally obs.close(spark)
   }
+
+  test("operational counters: governedDrain signals count exactly, gauge tracks") {
+    import graft.streaming.Backpressure
+    val obs = new graft.observe.PipelineObserver("gov")
+    val c = new Backpressure.Controller(0.9, 0.7)
+    // the scripted queue from BackpressureSpec: wave 0 proceeds (0.2),
+    // wave 1 opens saturated (0.95) and recedes per poll (0.92, 0.3),
+    // wave 2 opens inside the slow-down band (0.8)
+    var depth = 0.2
+    val script = Iterator(0.92, 0.3)
+    Backpressure.governedDrain(
+      c, "src",
+      utilization = () => depth,
+      runWave = { w =>
+        if (w == 0) depth = 0.95
+        if (w == 1) depth = 0.8
+      },
+      waves = 3,
+      pollMs = 100L,
+      onDelay = { _ => if (script.hasNext) depth = script.next() },
+      onSignal = obs.backpressureMeter("src"))
+    val rows = obs.rows(spark)
+    // signals observed: Proceed(0.2), Pause(0.95), Pause(0.92),
+    // Proceed(0.3), SlowDown(0.8) -> exactly 3 non-Proceed events; the
+    // gauge holds the LAST reported utilization in basis points
+    assert(rows.contains(("gov", "src", "backpressure_events", 3L)), rows)
+    assert(rows.contains(("gov", "src", "buffer_utilization", 8000L)), rows)
+    val prom = obs.renderPrometheus(spark)
+    assert(prom.contains("# TYPE graft_backpressure_events_total counter"))
+    assert(prom.contains("""graft_backpressure_events_total{pipeline="gov",stage="src"} 3"""))
+    assert(prom.contains("# TYPE graft_buffer_utilization gauge"))
+    assert(prom.contains("""graft_buffer_utilization{pipeline="gov",stage="src"} 0.8"""))
+  }
 }

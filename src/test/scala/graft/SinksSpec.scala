@@ -168,6 +168,36 @@ class SinksSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("push sink: transport retries count into the metrics frame as retry_events") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(java.net.InetAddress.getLoopbackAddress, 0), 0)
+    server.createContext("/ingest", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val n = hits.incrementAndGet()
+      if (n <= 2) ex.sendResponseHeaders(503, -1) // two transient refusals
+      else ex.sendResponseHeaders(200, -1)
+      ex.close()
+    })
+    server.start()
+    try {
+      val obs = new graft.observe.PipelineObserver("pushed")
+      val ep = s"http://127.0.0.1:${server.getAddress.getPort}/ingest"
+      val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      PushSink.runBatch(df,
+        PushSinkConfig(ep, retry = RetryPolicy(3, 1, 4, 2.0)),
+        dlqPath = None, stage = "t", meter = Some(obs))
+      // exactly the two backoff-retries taken (the final successful
+      // attempt is a delivery, the first failure precedes any retry)
+      val rows = obs.rows(spark)
+      assert(rows.contains(("pushed", "t", "retry_events", 2L)), rows)
+      assert(obs.renderPrometheus(spark)
+        .contains("""graft_retry_events_total{pipeline="pushed",stage="t"} 2"""))
+      // unmetered runs leave the frame untouched (no accumulator built)
+      val obs2 = new graft.observe.PipelineObserver("quiet")
+      assert(!obs2.rows(spark).exists(_._3 == "retry_events"))
+    } finally server.stop(0)
+  }
+
   test("push sink: permanent failure dead-letters with full error context") {
     // bind-then-close: connections to the port are refused deterministically
     val ss = new java.net.ServerSocket(0); val deadPort = ss.getLocalPort; ss.close()
