@@ -1982,6 +1982,42 @@ object SparkEntry {
     } finally s.conf.set(shufConf, prevShuf)
   }
 
+  /** INDEX-STORE BACKUP/RESTORE (round 17 — F8 completed for the store
+    * family): build the posting store on half the corpus, append the
+    * other half, back the directory up through
+    * [[graft.dsl.BackupRunner]]'s `indexes` component (quiesced copy
+    * under the mutation lease, committed stagings rolled forward,
+    * transient scratch skipped), WIPE the live store, restore, serve —
+    * the restored store must reproduce the pre-wipe result, which is
+    * the fused recompute over the union, so q_bm25's oracle is shared
+    * verbatim. BackupSpec additionally gates the checkpoint+store
+    * resume (exactly-once after restore).
+    */
+  private def qBm25Restored(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qbm25bak").toString
+    TempReaper.register(tmp)
+    graft.ops.RetrievalStore.saveBm25(s"$tmp/bm",
+      d.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text")
+    graft.ops.RetrievalStore.appendBm25(s, s"$tmp/bm",
+      d.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text")
+    val manifest = graft.dsl.BackupManifest(
+      "idx", "bm25", Seq(graft.dsl.BackupComponent.Indexes),
+      graft.dsl.FileDestination(s"$tmp/bak"), indexes = Seq(s"$tmp/bm"))
+    graft.dsl.BackupRunner.backup(s, manifest, checkpointDir = s"$tmp/chk")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$tmp/bm"))
+    graft.dsl.BackupRunner.restore(s,
+      graft.dsl.RestoreManifest("rb",
+        graft.dsl.RestoreSource(latest = true),
+        include = Seq(graft.dsl.BackupComponent.Indexes)),
+      "idx", graft.dsl.FileDestination(s"$tmp/bak"), s"$tmp/chk")
+    graft.ops.RetrievalStore.serveBm25(
+      graft.ops.RetrievalStore.loadBm25(s, s"$tmp/bm"),
+      d.filter(pmod(col("doc_id"), lit(25)) === 0), "doc_id", "text",
+      k = 5, maxDf = Long.MaxValue, maxDfFraction = 0.8)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** DECLARATIVE STREAMING RETRACTION, lexical kind (round 17 — the
     * takedown/GDPR feed as one YAML manifest): build the posting store
     * on the FULL corpus, stream the doc_id % 10 == 3 takedown ids in
@@ -5306,6 +5342,7 @@ object SparkEntry {
     "q_stream_bm25_appended" -> (qStreamBm25Appended _),
     "q_stream_bm25_deleted" -> (qStreamBm25Deleted _),
     "q_stream_ann_deleted" -> (qStreamAnnDeleted _),
+    "q_bm25_restored" -> (qBm25Restored _),
     "q_dsl_bm25" -> (qDslBm25 _),
     "q_stream_bm25" -> (qStreamBm25 _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
@@ -8693,6 +8730,9 @@ object SparkEntry {
     // streamed appends equal the fused recompute over the union — df
     // partials sum per term, manifest scalars exact per batch
     "q_stream_bm25_appended" -> bm25Oracle,
+    // identical by spec: the quiesced backup copy is byte-faithful, so
+    // the restored store serves the pre-wipe (union) result
+    "q_bm25_restored" -> bm25Oracle,
     // deletes score the complement: negative df partials + exact scalar
     // subtraction + tombstone anti-join (compacted twin: the folded
     // store is content-identical)

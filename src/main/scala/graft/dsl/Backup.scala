@@ -35,13 +35,26 @@ object BackupComponent {
   case object Configuration extends BackupComponent
   case object State extends BackupComponent
 
-  val all: Seq[BackupComponent] = Seq(Checkpoints, Offsets, Configuration, State)
+  /** Beyond the reference's four (types.rs:888-894): a pipeline whose
+    * durable state IS a persisted ann_index/bm25 store (the closed
+    * crawl loop, streaming lexical ingest) previously backed up the
+    * checkpoint but not the index — a restore then resumed the append
+    * stream against a missing store. `indexes` lists the store dirs;
+    * each is copied QUIESCED (mutation lease + committed-staging roll
+    * forward) with its `__loop` markers, so a restored stream's
+    * replayed batches stay exactly-once no-ops.
+    */
+  case object Indexes extends BackupComponent
+
+  val all: Seq[BackupComponent] =
+    Seq(Checkpoints, Offsets, Configuration, State, Indexes)
 
   def parse(s: String): BackupComponent = s.toLowerCase match {
     case "checkpoints"   => Checkpoints
     case "offsets"       => Offsets
     case "configuration" => Configuration
     case "state"         => State
+    case "indexes"       => Indexes
     case other           => sys.error(s"unknown backup component: $other")
   }
 
@@ -50,6 +63,7 @@ object BackupComponent {
     case Offsets       => "offsets"
     case Configuration => "configuration"
     case State         => "state"
+    case Indexes       => "indexes"
   }
 
   /** Checkpoint subtrees a component covers (relative to the ckpt root). */
@@ -58,6 +72,7 @@ object BackupComponent {
     case Offsets       => Seq("offsets", "commits", "sources")
     case State         => Seq("state")
     case Configuration => Seq.empty // not checkpoint-resident; see pipeline.yaml
+    case Indexes       => Seq.empty // not checkpoint-resident; see BackupManifest.indexes
   }
 }
 
@@ -122,7 +137,12 @@ final case class BackupManifest(
     include: Seq[BackupComponent],
     destination: BackupDestination,
     schedule: Option[BackupSchedule] = None,
-    options: BackupOptions = BackupOptions()
+    options: BackupOptions = BackupOptions(),
+    /** ann_index/bm25 store directories for [[BackupComponent.Indexes]];
+      * original paths are recorded in the backup manifest so restore
+      * puts each store back where the pipeline's sink points.
+      */
+    indexes: Seq[String] = Seq.empty
 )
 
 /** types.rs:998-1007 — exactly one of backup / snapshot / latest. */
@@ -157,6 +177,11 @@ object BackupValidation {
               "Retention must specify either count or days"))
         } yield ()
       }
+      _ <- cond(!m.include.contains(BackupComponent.Indexes) || m.indexes.nonEmpty,
+        "Backup component 'indexes' needs at least one index directory under spec.indexes")
+      _ <- cond(m.indexes.isEmpty || m.include.contains(BackupComponent.Indexes),
+        "spec.indexes lists index directories but 'indexes' is not in include — " +
+          "add the component or remove the list")
       _ <- m.options.encryption.fold(ok)(e =>
         // a kmsKeyId on a disabled block is a contradiction the user must
         // resolve — silently writing plaintext next to a KMS key would be
@@ -241,7 +266,25 @@ object BackupRunner {
     if (m.include.contains(BackupComponent.Configuration)) configYaml.foreach { y =>
       writeText(fs, new Path(dest, "pipeline.yaml"), y)
     }
-    writeText(fs, new Path(dest, "MANIFEST.json"), manifestJson(m, id, copied))
+    // index stores copy QUIESCED: the mutation lease blocks any writer
+    // for the duration, a manifest read first completes committed
+    // stagings, and transient names (staging trees, lease files, fold
+    // intermediates) are skipped — the copy is a committed snapshot
+    // whose __loop markers keep a restored append stream exactly-once
+    val indexTrees =
+      if (!m.include.contains(BackupComponent.Indexes)) Seq.empty
+      else m.indexes.zipWithIndex.map { case (idxDir, i) =>
+        val rel = s"indexes/index-$i"
+        graft.ops.AnnIndexStore.quiesced(spark, idxDir) {
+          val srcRoot = new Path(idxDir)
+          copyTreeCompress(srcRoot.getFileSystem(conf), srcRoot,
+            fs, new Path(dest, rel), m.options.compression,
+            skip = graft.ops.AnnIndexStore.isTransientIndexFile)
+        }
+        rel
+      }
+    writeText(fs, new Path(dest, "MANIFEST.json"),
+      manifestJson(m, id, copied ++ indexTrees))
     m.schedule.flatMap(_.retention).foreach(applyRetention(fs, root, _))
     id
   }
@@ -296,6 +339,21 @@ object BackupRunner {
         if (fs.exists(from))
           FileUtil.copy(fs, from, dstFs, new Path(ckptRoot, "pipeline.yaml"), false, conf)
       }
+      // index stores restore to their RECORDED original paths (the
+      // pipeline's sink points there), wiping any partial survivor so a
+      // half-wiped store can't mix with restored frames
+      if (c == BackupComponent.Indexes) {
+        readManifestIndexDirs(fs, new Path(src, "MANIFEST.json"))
+          .zipWithIndex.foreach { case (orig, i) =>
+            val from = new Path(src, s"indexes/index-$i")
+            if (fs.exists(from)) {
+              val to = new Path(orig)
+              val tfs = to.getFileSystem(conf)
+              if (tfs.exists(to)) tfs.delete(to, true)
+              copyTreeDecompress(fs, from, tfs, to, codec)
+            }
+          }
+      }
     }
     id
   }
@@ -336,12 +394,15 @@ object BackupRunner {
   private def copyTreeCompress(
       srcFs: FileSystem, src: Path,
       dstFs: FileSystem, dst: Path,
-      comp: BackupCompression): Unit = {
+      comp: BackupCompression,
+      skip: String => Boolean = _ => false): Unit = {
     val st = srcFs.getFileStatus(src)
     if (st.isDirectory) {
       dstFs.mkdirs(dst)
       srcFs.listStatus(src).foreach(c =>
-        copyTreeCompress(srcFs, c.getPath, dstFs, new Path(dst, c.getPath.getName), comp))
+        if (!skip(c.getPath.getName))
+          copyTreeCompress(srcFs, c.getPath, dstFs,
+            new Path(dst, c.getPath.getName), comp, skip))
     } else {
       val in = srcFs.open(src)
       val rawOut = dstFs.create(new Path(dst.getParent, dst.getName + comp.suffix), true)
@@ -444,13 +505,28 @@ object BackupRunner {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val comps = m.include.map(c => q(BackupComponent.name(c))).mkString("[", ",", "]")
     val trees = copied.map(q).mkString("[", ",", "]")
+    val idxDirs = m.indexes.map(q).mkString("[", ",", "]")
     val enc = m.options.encryption.fold("null")(e =>
       s"""{"enabled":${e.enabled},"kmsKeyId":${e.kmsKeyId.fold("null")(q)}}""")
     s"""{"id":${q(id)},"backup":${q(m.name)},"pipeline":${q(m.pipeline)},""" +
-      s""""components":$comps,"subtrees":$trees,""" +
+      s""""components":$comps,"subtrees":$trees,"indexDirs":$idxDirs,""" +
       s""""compression":${q(BackupCompression.name(m.options.compression))},""" +
       s""""encryption":$enc}"""
   }
+
+  /** The original index-store paths a backup recorded; empty for
+    * pre-index backups (their manifests carry no indexDirs field).
+    */
+  private def readManifestIndexDirs(fs: FileSystem, p: Path): Seq[String] =
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      val arr = if (node != null && node.isObject) node.get("indexDirs") else null
+      if (arr == null || !arr.isArray) Seq.empty
+      else (0 until arr.size()).map(arr.get(_).asText())
+    }
 }
 
 /** YAML parsing for kind: Backup / Restore documents — the same camelCase
@@ -491,7 +567,8 @@ object BackupYaml {
               enabled = e.get("enabled").exists(_.toString.toBoolean),
               kmsKeyId = e.get("kmsKeyId").map(_.toString))
           })
-      }
+      },
+      indexes = seqOf(spec, "indexes").map(_.toString)
     )
   }
 

@@ -689,6 +689,37 @@ object AnnIndexStore {
     }
   }
 
+  /** Quiesce an index store for a consistent copy — the backup hook
+    * (dsl.BackupRunner's `indexes` component): take the single-writer
+    * mutation lease so no mutation can interleave with the copy, roll
+    * forward any committed-but-unadopted staging (a manifest read for
+    * the ANN kinds; the bm25 `__stage` protocol explicitly), then run
+    * `body`. The copied tree is therefore a COMMITTED snapshot — no
+    * half-adopted staging, no mid-swap frame — and the `__loop` markers
+    * inside it preserve the exactly-once resume contract for any append
+    * stream restored alongside it.
+    */
+  def quiesced[T](spark: SparkSession, dir: String)(body: => T): T =
+    withMutationLease(spark, dir) {
+      val mf = readManifest(spark, dir) // rolls forward a committed __rebuild
+      if (mf("kind") == "bm25") RetrievalStore.completeStagings(spark, dir)
+      body
+    }
+
+  /** Names under an index directory a backup must NOT copy: mutation
+    * scratch (staging/rebuild trees, fold/park intermediates, torn
+    * manifest temps) and the lease files — all either re-derivable or
+    * owned by a live process on the SOURCE side. `__loop` markers and
+    * MAINTENANCE.json are NOT transient: the exactly-once resume and
+    * the compaction cadence ride them.
+    */
+  def isTransientIndexFile(name: String): Boolean =
+    name == "__stage" || name == "__rebuild" ||
+      name.startsWith("LEASE.") ||
+      name.endsWith(".pre-stage") || name.endsWith(".pre-rebuild") ||
+      name.endsWith("__fold_old") || name.endsWith("__fold_new") ||
+      name.startsWith("MANIFEST.json.tmp-")
+
   /** Kind-agnostic exactly-once streaming RETRACTION closure — the
     * delete twin of [[RetrievalStore.appendingBatchFn]]: each
     * micro-batch of IDS tombstones out of the index under a batch-id

@@ -336,6 +336,13 @@ object RetrievalStore {
     }
   }
 
+  /** Reader-side roll-forward for callers outside this object —
+    * [[AnnIndexStore.quiesced]] completes a bm25 store's committed
+    * stagings before a backup copies the tree.
+    */
+  private[ops] def completeStagings(spark: SparkSession, dir: String): Unit =
+    rollForwardStaged(spark, dir, discardUncommitted = false)
+
   /** Heal a [[foldGrouped]] crash between its two swap renames from ANY
     * manifest read — without this, a reader hitting the main-missing
     * window fails path-not-found until the NEXT compact runs its own

@@ -142,6 +142,78 @@ class BackupSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("index-store backup: quiesced copy -> wipe -> restore -> stream resumes exactly-once") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.RetrievalStore
+    val dir = tmp("graft_bakidx")
+    val corpus = (0L until 30L).map(i =>
+      (i, s"document $i about topic${i % 4} shared alpha beta word$i"))
+      .toDF("doc_id", "text")
+    RetrievalStore.saveBm25(s"$dir/bm",
+      corpus.filter(col("doc_id") < 10), "doc_id", "text")
+    def land(lo: Long, hi: Long): Unit =
+      corpus.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("append").json(s"$dir/in")
+    def runIngest(): Unit = {
+      val src = Streams.fileSource(spark, "json", s"$dir/in", "doc_id LONG, text STRING")
+      val fn = RetrievalStore.appendingBatchFn(
+        spark, s"$dir/bm", "doc_id", "text", loopId = "bak")
+      val q = src.writeStream.option("checkpointLocation", s"$dir/chk")
+        .foreachBatch((b: org.apache.spark.sql.DataFrame, bid: Long) => {
+          fn(b, bid); ()
+        }).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    land(10L, 20L)
+    runIngest()
+    // plant transient leftovers a real store can carry: a reclaimed-lease
+    // park and an orphaned staging — the backup must not copy either
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/bm/__stage/orphan"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/bm/LEASE.json.reclaimed-x"), "{}".getBytes)
+    val queries = corpus.filter(col("doc_id") % 5 === 0)
+    def served() = RetrievalStore.serveBm25(
+      RetrievalStore.loadBm25(spark, s"$dir/bm"), queries, "doc_id", "text",
+      k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9)
+      .orderBy("query_id", "rank").collect().toSeq
+    val before = served()
+    assert(before.nonEmpty)
+    val manifest = BackupManifest(
+      "nightly", "ing",
+      Seq(BackupComponent.Checkpoints, BackupComponent.Offsets,
+        BackupComponent.State, BackupComponent.Indexes),
+      FileDestination(s"$dir/bak"), indexes = Seq(s"$dir/bm"))
+    val id = BackupRunner.backup(spark, manifest, s"$dir/chk")
+    val tree = s"$dir/bak/nightly/$id/indexes/index-0"
+    assert(new java.io.File(s"$tree/postings").exists())
+    assert(new java.io.File(s"$tree/MANIFEST.json").exists())
+    assert(new java.io.File(s"$tree/__loop").exists(),
+      "loop markers ride the backup — the exactly-once resume contract")
+    assert(!new java.io.File(s"$tree/__stage").exists() &&
+      !new java.io.File(s"$tree/LEASE.json.reclaimed-x").exists(),
+      "transient mutation scratch and lease files must not be copied")
+    // lose BOTH the store and the checkpoint; restore both from the backup
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/bm"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/chk"))
+    BackupRunner.restore(
+      spark, RestoreManifest("rb", RestoreSource(latest = true)),
+      "nightly", FileDestination(s"$dir/bak"), s"$dir/chk")
+    assert(served() == before, "the restored store must serve the pre-wipe result")
+    // resume: already-landed files are checkpoint-committed (no replay
+    // effect — markers and source log restored from the SAME quiesced
+    // moment), only the new wave appends; the store ends exactly at the
+    // 30-doc union, never a double-append
+    land(20L, 30L)
+    runIngest()
+    val b = RetrievalStore.loadBm25(spark, s"$dir/bm")
+    assert(b.nDocs == 30L, s"exactly-once resume must land 30 docs, got ${b.nDocs}")
+    val fusedAll = graft.ops.Retrieval.bm25TopK(corpus, "doc_id", "text",
+      queries, "doc_id", "text", k = 3, maxDf = Long.MaxValue,
+      maxDfFraction = 0.9).orderBy("query_id", "rank").collect().toSeq
+    assert(served() == fusedAll)
+  }
+
   test("compressed backup round-trips the checkpoint byte-identically, all codecs") {
     for (comp <- Seq(BackupCompression.Gzip, BackupCompression.Zstd, BackupCompression.Lz4)) {
       val dir = tmp(s"graft_bak_${BackupCompression.name(comp)}")
