@@ -248,6 +248,30 @@ object Cli {
         f"(serve $secs%.2f s)")
       0
 
+    // lexical-store self-test in place (the `ann recall` analog for the
+    // EXACT-retrieval kind): sampled synthetic queries, served top-k vs
+    // the fused recompute over the corpus reconstructed from resident
+    // postings, manifest scalars vs the resident recomputation — exit 1
+    // on any mismatch (a desynced store must fail CI/cron loudly)
+    case Seq("ann", "verify", dir, rest @ _*) if rest.size <= 3 =>
+      val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
+      val kind = graft.ops.AnnIndexStore.kindOf(spark, dir)
+      if (kind != "bm25") {
+        println(s"ERROR: $dir holds a '$kind' index — serve-equality " +
+          "verification is exact-retrieval only (bm25); vector kinds " +
+          "self-test with `ann recall`")
+        1
+      } else {
+        val sample = rest.lift(0).map(_.toInt).getOrElse(50)
+        val qTerms = rest.lift(1).map(_.toInt).getOrElse(3)
+        val k = rest.lift(2).map(_.toInt).getOrElse(10)
+        val report = graft.ops.RetrievalStore.verifyBm25(
+          spark, dir, sample, qTerms, k)
+        report.toSeq.sortBy(_._1).foreach { case (key, v) => println(s"$key: $v") }
+        if (report("ok") == "true") { println(s"OK: $dir serves the fused recompute"); 0 }
+        else { println(s"ERROR: $dir serve/fused mismatch — store is desynced"); 1 }
+      }
+
     case Seq("ann", "rebuild", dir) =>
       val spark = sparkOpt.getOrElse(GraftSession.builder(appName = "graft-cli"))
       val mf = graft.ops.AnnIndexStore.rebuild(spark, dir)
@@ -264,7 +288,8 @@ object Cli {
         "backup (create|list|restore) ... | " +
         "compact <path> <targetMB> [colA colB [bits]] | " +
         "ann (info <dir> | delete <dir> <ids.parquet> <idCol> | compact <dir> | " +
-        "rebuild <dir> | recall <dir> <queries.parquet> <idCol> <vecCol> <k> " +
+        "rebuild <dir> | verify <dir> [sampleDocs [queryTerms [k]]] — bm25 only | " +
+        "recall <dir> <queries.parquet> <idCol> <vecCol> <k> " +
         "[source.parquet — required for ivfpq])")
       2
   }

@@ -813,6 +813,91 @@ object RetrievalStore {
     Retrieval.scoreAndTopK(posts, termDf, queryTerms, stats, k, k1, b)
   }
 
+  /** In-place serve-equality self-test for a DEPLOYED lexical store —
+    * the operator-facing analog of `ann recall` for the exact-retrieval
+    * kind (CLI `ann verify`): after a year of appends/deletes/compacts,
+    * does the store still serve EXACTLY what the fused recompute would?
+    *
+    * The store's resident rows ARE the corpus in tokenized form — BM25
+    * is order-free, a document is exactly its (term, tf, dl) rows — so
+    * the check needs no external source of truth: `sampleDocs` resident
+    * docs are sampled deterministically (hash order), each contributes
+    * a synthetic query of its `queryTerms` highest-tf terms, and the
+    * served top-k is compared row-for-row against [[Retrieval
+    * .bm25TopK]] over the corpus RECONSTRUCTED from the live posting
+    * rows (each term repeated tf times). A mismatch means stored df
+    * partials, manifest scalars, or the tombstone view have desynced
+    * from the postings — the silent corruption class this check exists
+    * to surface. The manifest scalars are additionally compared against
+    * the resident recomputation outright.
+    *
+    * Cost: one postings scan for the reconstruction + the fused
+    * recompute over it — a maintenance-cadence self-test, not a serving
+    * path (recallCheck's contract).
+    */
+  def verifyBm25(
+      spark: SparkSession,
+      dir: String,
+      sampleDocs: Int = 50,
+      queryTerms: Int = 3,
+      k: Int = 10): Map[String, String] = {
+    require(sampleDocs >= 1 && queryTerms >= 1 && k >= 1,
+      s"verifyBm25 needs sampleDocs/queryTerms/k >= 1, got " +
+        s"($sampleDocs, $queryTerms, $k)")
+    import org.apache.spark.sql.expressions.Window
+    val bundle = loadBm25(spark, dir)
+    val live = bundle.tombstones
+      .fold(bundle.postings)(t =>
+        bundle.postings.join(t, col("__did") === col("n_id"), "left_anti"))
+      .localCheckpoint(false) // feeds reconstruction, sampling, scalars
+    // the reconstructed corpus: term repeated tf times, space-joined —
+    // retokenizes to exactly the stored (term, tf, dl) rows because
+    // stored terms ARE normalized tokens
+    val docsBack = live.groupBy(col("__did"))
+      .agg(concat_ws(" ",
+        flatten(collect_list(array_repeat(col("__term"), col("__tf")))))
+        .as("text"))
+      .localCheckpoint(false)
+    // manifest scalars vs the resident recomputation (dl rides every row)
+    val sc = live.groupBy(col("__did")).agg(first(col("__dl")).as("__dl"))
+      .agg(count(lit(1)), coalesce(sum(col("__dl")), lit(0L))).head()
+    val (nLive, tokLive) = (sc.getLong(0), sc.getLong(1))
+    val ids = live.select(col("__did")).distinct()
+      .orderBy(xxhash64(col("__did"))).limit(sampleDocs)
+      .collect().map(_.getLong(0)).toSeq
+    val w = Window.partitionBy(col("__did"))
+      .orderBy(col("__tf").desc, col("__term"))
+    val qLocal = live.filter(col("__did").isInCollection(ids))
+      .select(col("__did"), col("__term"), col("__tf"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= queryTerms)
+      .groupBy(col("__did"))
+      .agg(concat_ws(" ", collect_list(col("__term"))).as("qtext"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    import spark.implicits._
+    val queries = qLocal.toDF("query_id", "qtext")
+    val served = serveBm25(bundle, queries, "query_id", "qtext", k,
+        maxDf = Long.MaxValue, maxDfFraction = 1.0)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val fused = Retrieval.bm25TopK(docsBack, "__did", "text",
+        queries, "query_id", "qtext", k,
+        maxDf = Long.MaxValue, maxDfFraction = 1.0)
+      .orderBy(col("query_id"), col("rank")).collect().toSeq
+    val rowsMatch = served == fused
+    val scalarsMatch = nLive == bundle.nDocs && tokLive == bundle.totTokens
+    Map(
+      "kind" -> "bm25",
+      "sampledQueries" -> qLocal.size.toString,
+      "servedRows" -> served.size.toString,
+      "rowsMatch" -> rowsMatch.toString,
+      "scalarsMatch" -> scalarsMatch.toString,
+      "nDocsManifest" -> bundle.nDocs.toString,
+      "nDocsLive" -> nLive.toString,
+      "totTokensManifest" -> bundle.totTokens.toString,
+      "totTokensLive" -> tokLive.toString,
+      "ok" -> (rowsMatch && scalarsMatch).toString)
+  }
+
   /** Kind-checked micro-batch BM25 closure for Structured Streaming —
     * the [[AnnIndexStore.dedupingBatchFn]] shape for the lexical store:
     * query TEXT arrives as a stream (decontamination probes, eval

@@ -395,4 +395,41 @@ class CliSpec extends SparkSpec {
     assert(rRefined >= rRaw,
       s"refine must not lose recall: refined=$rRefined raw=$rRaw")
   }
+
+  test("ann verify: a mutated bm25 store passes; a desynced manifest fails loudly") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_verify").toString
+    val corpus = (0L until 40L).map(i =>
+      (i, s"document $i about topic${i % 5} shared alpha beta word$i"))
+      .toDF("doc_id", "text")
+    graft.ops.RetrievalStore.saveBm25(s"$dir/bm",
+      corpus.filter(col("doc_id") < 20), "doc_id", "text")
+    graft.ops.RetrievalStore.appendBm25(spark, s"$dir/bm",
+      corpus.filter(col("doc_id") >= 20), "doc_id", "text")
+    graft.ops.RetrievalStore.deleteIdsBm25(spark, s"$dir/bm",
+      corpus.filter(col("doc_id") % 10 === 3).select("doc_id"), "doc_id")
+    graft.ops.RetrievalStore.compactBm25(spark, s"$dir/bm")
+    // the full mutation history must still serve the fused recompute
+    assert(Cli.run(Seq("ann", "verify", s"$dir/bm"), Some(spark)) == 0)
+    assert(Cli.run(Seq("ann", "verify", s"$dir/bm", "10", "2", "5"), Some(spark)) == 0)
+    // vector kinds route to `ann recall` instead
+    graft.ops.AnnIndexStore.saveMinhash(s"$dir/mh",
+      corpus.limit(5), "doc_id", "text", 3, 16, 4)
+    assert(Cli.run(Seq("ann", "verify", s"$dir/mh"), Some(spark)) == 1)
+    // DESYNC the manifest scalars (the corruption class verify exists to
+    // surface): nDocs off by 5 must fail the check, not serve quietly
+    val mfPath = java.nio.file.Paths.get(s"$dir/bm/MANIFEST.json")
+    val text = new String(java.nio.file.Files.readAllBytes(mfPath), "UTF-8")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    val broken = text.replace(
+      s""""nDocs":${node.get("nDocs").asLong}""",
+      s""""nDocs":${node.get("nDocs").asLong + 5}""")
+    assert(broken != text)
+    java.nio.file.Files.write(mfPath, broken.getBytes("UTF-8"))
+    // the raw rewrite bypassed Hadoop's ChecksumFileSystem — drop the
+    // stale .crc sidecar so the corruption reads as DATA, not an IO error
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/bm/.MANIFEST.json.crc"))
+    assert(Cli.run(Seq("ann", "verify", s"$dir/bm"), Some(spark)) == 1)
+  }
 }
