@@ -2256,6 +2256,66 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The TWO-STORE hybrid capstone (round 17 — the production serving
+    * shape end-to-end): BOTH channels come from persisted stores — the
+    * lexical top-10 from the BM25 posting store, the vector top-10 from
+    * the IVF-PQ store's ADC serve (16 cells, 4 probes — the q_ann_ivfpq
+    * chain) — fused by the same integer RRF. Unlike [[qHybridServed]]
+    * (brute vector anchor), the vector ranks here are the APPROXIMATE
+    * production ranks, so the oracle unrolls BOTH store chains: the full
+    * PQ/IVF CTE ladder ranked to 10 and the q_bm25 posting chain ranked
+    * to 10, under one RRF tail — every stage of the deployed two-store
+    * serve is hash-gated.
+    */
+  private def qHybridStores(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bmIdx = cachedIndexDir("bm25", dir) { t =>
+      graft.ops.RetrievalStore.saveBm25(s"$t/bm", d, "doc_id", "text")
+    }
+    val pqIdx = cachedIndexDir("pq16", dir)(t => buildPq16Index(s, dir, t))
+    val text = graft.ops.RetrievalStore.serveBm25(
+      graft.ops.RetrievalStore.loadBm25(s, s"$bmIdx/bm"),
+      d.filter(col("doc_id") < 10), "doc_id", "text",
+      k = 10, maxDf = Long.MaxValue, maxDfFraction = 0.8)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val vec = graft.ops.AnnIndexStore.serveIvfPq(
+      graft.ops.AnnIndexStore.loadIvfPq(s, s"$pqIdx/pq"),
+      emb(s, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 10, nProbe = 4)
+      .select(col("q_id").as("query_id"), col("n_id").as("doc_id"), col("rank"))
+    graft.ops.Retrieval.rrfFuse(text, vec, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** [[qHybridStores]] with the FUSION itself driven through YAML — the
+    * `rrf_fuse` step (incoming frame = the lexical channel, `otherTable`
+    * = the vector channel, the benchTable convention): shares the
+    * two-store oracle verbatim, gating the step's option threading and
+    * table resolution. The full declarative composition (ann_serve × 2 +
+    * rename + rrf_fuse across pipelines) is
+    * examples/manifests/retrieval-serving.yaml, spec-run per build.
+    */
+  private def qDslHybridStores(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bmIdx = cachedIndexDir("bm25", dir) { t =>
+      graft.ops.RetrievalStore.saveBm25(s"$t/bm", d, "doc_id", "text")
+    }
+    val pqIdx = cachedIndexDir("pq16", dir)(t => buildPq16Index(s, dir, t))
+    val text = graft.ops.RetrievalStore.serveBm25(
+      graft.ops.RetrievalStore.loadBm25(s, s"$bmIdx/bm"),
+      d.filter(col("doc_id") < 10), "doc_id", "text",
+      k = 10, maxDf = Long.MaxValue, maxDfFraction = 0.8)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val vec = graft.ops.AnnIndexStore.serveIvfPq(
+      graft.ops.AnnIndexStore.loadIvfPq(s, s"$pqIdx/pq"),
+      emb(s, dir).filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 10, nProbe = 4)
+      .select(col("q_id").as("query_id"), col("n_id").as("doc_id"), col("rank"))
+    dslStep(s, Map("step_in" -> text, "vec_ranks" -> vec),
+      "  type: rrf_fuse\n  otherTable: vec_ranks\n  k: 5")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Top-5 TF-IDF keywords per document (relative df cap, WindowGroupLimit). */
   private def qTfidf(s: SparkSession, dir: String): DataFrame =
     graft.ops.Retrieval.tfidfKeywords(docs(s, dir), "doc_id", "text",
@@ -5347,6 +5407,8 @@ object SparkEntry {
     "q_stream_bm25" -> (qStreamBm25 _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_hybrid_served" -> (qHybridServed _),
+    "q_hybrid_stores" -> (qHybridStores _),
+    "q_dsl_hybrid_stores" -> (qDslHybridStores _),
     "q_contrastive" -> (qContrastive _),
     "q_tfidf" -> (qTfidf _),
     "q_dedup_semantic" -> (qDedupSemantic _),
@@ -6245,6 +6307,76 @@ object SparkEntry {
         |    ORDER BY rrf_nano DESC, doc_id) AS rank
         |  FROM fused
         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Two-store hybrid oracle (q_hybrid_stores): the full IVF-PQ ADC
+    * chain (pqIvfOracle's CTE ladder) ranked to 10 as the vector channel
+    * + the q_bm25 posting chain ranked to 10 as the lexical channel +
+    * the integer nano-unit RRF tail — both stores' serve paths and the
+    * combiner under ONE gate.
+    */
+  private val hybridStoresOracle: String = {
+    val base = pqIvfOracleFiltered("")
+    val cut = base.lastIndexOf("SELECT t.qid AS q_id")
+    require(cut >= 0, "pqIvf oracle tail changed — update hybridStoresOracle")
+    base.substring(0, cut) +
+      """, vr AS (
+        |  SELECT qid AS q_id, vid AS n_id, rank FROM tk WHERE rank <= 10
+        |), nrm AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks
+        |  FROM documents
+        |), dls AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN len(toks) = 1 AND toks[1] = '' THEN 0 ELSE len(toks) END AS BIGINT) AS dl
+        |  FROM nrm
+        |), post AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM nrm)
+        |  WHERE term <> '' GROUP BY 1, 2
+        |), bstats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dls
+        |), tdf AS (
+        |  SELECT term, df FROM (SELECT term, count(*) AS df FROM post GROUP BY 1) t
+        |  CROSS JOIN bstats s WHERE CAST(t.df AS DOUBLE) <= 0.8 * CAST(s.n AS DOUBLE)
+        |), contrib AS (
+        |  SELECT p.doc_id, p.term,
+        |    CAST(floor(
+        |      ln((CAST(s.n - t.df AS DOUBLE) + 0.5) / (CAST(t.df AS DOUBLE) + 0.5) + 1.0) *
+        |      ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |       (CAST(p.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(d.dl AS DOUBLE) / s.avgdl))))
+        |      * 1e12 + 0.5) AS BIGINT) AS c
+        |  FROM post p JOIN tdf t USING (term) JOIN dls d ON d.doc_id = p.doc_id CROSS JOIN bstats s
+        |), qt AS (
+        |  SELECT DISTINCT doc_id AS qid, term
+        |  FROM (SELECT doc_id, unnest(toks) AS term FROM nrm WHERE doc_id < 10)
+        |  WHERE term <> ''
+        |), sc AS (
+        |  SELECT q.qid, c.doc_id AS did, sum(c.c) AS score
+        |  FROM qt q JOIN contrib c USING (term)
+        |  WHERE c.doc_id <> q.qid GROUP BY 1, 2
+        |), tr AS (
+        |  SELECT qid, did, rank FROM (
+        |    SELECT qid, did,
+        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, did) AS rank
+        |    FROM sc
+        |  ) WHERE rank <= 10
+        |), fused AS (
+        |  SELECT coalesce(t.qid, v.q_id) AS query_id,
+        |    coalesce(t.did, v.n_id) AS doc_id,
+        |    coalesce(t.rank, 0) AS rank_text,
+        |    coalesce(v.rank, 0) AS rank_vec,
+        |    coalesce(1000000000 // (60 + t.rank), 0)
+        |      + coalesce(1000000000 // (60 + v.rank), 0) AS rrf_nano
+        |  FROM tr t
+        |  FULL OUTER JOIN vr v ON t.qid = v.q_id AND t.did = v.n_id
+        |)
+        |SELECT query_id, doc_id, rank_text, rank_vec,
+        |  CAST(rrf_nano AS BIGINT) AS rrf_nano, rank
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_nano DESC, doc_id) AS rank
+        |  FROM fused
+        |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** q_bm25's oracle over a corpus slice — `pred` restricts the scored
     * corpus (TRUE = the full table; the deleted twins score the
@@ -8751,6 +8883,11 @@ object SparkEntry {
     "q_hybrid_retrieval" -> hybridOracle,
     // identical by spec: the served lexical channel equals the fused one
     "q_hybrid_served" -> hybridOracle,
+    // the two-store capstone: BOTH channels store-served (bm25 postings
+    // + ivfpq ADC), both chains unrolled under the RRF tail
+    "q_hybrid_stores" -> hybridStoresOracle,
+    // identical by spec: the rrf_fuse DSL step drives the same fusion
+    "q_dsl_hybrid_stores" -> hybridStoresOracle,
     "q_tfidf" ->
       """WITH nrm AS (
         |  SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ') AS toks

@@ -96,7 +96,7 @@ object Compiler {
     // or the second would silently stop resolving from the registry.
     val referencedTables: Set[String] = enabled.flatMap { p =>
       p.steps.map(transformOf(reg, p.namespace, _)).flatMap { t =>
-        Seq("table", "rightStream", "benchTable", "refineTable")
+        Seq("table", "rightStream", "benchTable", "refineTable", "otherTable")
           .flatMap(t.config.get).map(_.toString)
       }
     }.toSet
@@ -1745,6 +1745,22 @@ object Compiler {
             sys.error(s"ann_serve refine table not provided: $tn"))
           graft.ops.Similarity.refineTopK(served, vecsTbl, df, annId, annVec, annK)
         }
+      case "rrf_fuse" =>
+        // Hybrid-retrieval combiner as a pipeline step (L60,
+        // declaratively): the incoming frame is the TEXT channel's
+        // ranked rows, `otherTable` names the VECTOR channel's (injected
+        // or registry-resolved — the benchTable convention); both must
+        // carry (query_id, doc_id, rank) with 1-based ranks — rename
+        // upstream columns with a `rename` step. Integer nano-unit RRF
+        // ([[graft.ops.Retrieval.rrfFuse]]), top-k per query.
+        require(!df.isStreaming,
+          "rrf_fuse is batch-only: the fusion is a full-outer join of two " +
+            "complete ranked lists — fuse inside foreachBatch for streams")
+        val other = tables.getOrElse(c("otherTable").toString,
+          sys.error(s"rrf_fuse other channel not provided: ${c("otherTable")}"))
+        graft.ops.Retrieval.rrfFuse(df, other,
+          k = c.getOrElse("k", 10).toString.toInt,
+          kRrf = c.getOrElse("kRrf", 60).toString.toInt)
       case "semantic_dedup" =>
         // SemDeDup as a pipeline step. Without `indexPath`: self-dedup —
         // nearest-cell assignment over the frame's own deterministic

@@ -317,4 +317,53 @@ class ExamplesSpec extends SparkSpec {
     assert(hits.filter(col("q_id") === col("n_id")).count() == 0)
     assert(hits.groupBy("q_id").count().filter(col("count") > 3).count() == 0)
   }
+
+  test("retrieval-channels + retrieval-serving: the two-store hybrid capstone") {
+    val dir = Files.createTempDirectory("graft_ex_hybrid").toString
+    // one id space for both modalities — the production contract: a doc
+    // has a body (lexical store) and an embedding (vector store)
+    val docs = (0L until 40L).map(i =>
+      (i, s"document $i about topic${i % 5} subject${i % 7} " +
+        s"shared alpha beta word$i")).toDF("doc_id", "text")
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(d => (((i * 31 + d * 7) % 17).toFloat - 8f) / 8f))
+    }.toDF("vec_id", "embedding")
+    docs.write.mode("overwrite").parquet(s"$dir/data/hybrid/corpus")
+    vecs.write.mode("overwrite").parquet(s"$dir/data/hybrid/embeddings")
+    docs.filter(col("doc_id") < 3).write.mode("overwrite")
+      .parquet(s"$dir/data/hybrid/text-probes")
+    vecs.filter(col("vec_id") < 3).write.mode("overwrite")
+      .parquet(s"$dir/data/hybrid/vec-probes")
+    val build = materialize("retrieval-build.yaml", dir)
+    val channels = materialize("retrieval-channels.yaml", dir)
+    val serving = materialize("retrieval-serving.yaml", dir)
+    assert(Cli.run(Seq("validate", build)) == 0)
+    assert(Cli.run(Seq("run", build), sparkOpt = Some(spark)) == 0)
+    assert(new java.io.File(s"$dir/data/out/hybrid-lex/MANIFEST.json").exists())
+    assert(new java.io.File(s"$dir/data/out/hybrid-vec/MANIFEST.json").exists())
+    assert(Cli.run(Seq("validate", channels)) == 0)
+    assert(Cli.run(Seq("run", channels), sparkOpt = Some(spark)) == 0)
+    assert(Cli.run(Seq("validate", serving)) == 0)
+    assert(Cli.run(Seq("run", serving), sparkOpt = Some(spark)) == 0)
+    val fusedOut = spark.read.parquet(s"$dir/data/out/hybrid-hits")
+      .orderBy("query_id", "rank").collect().toSeq
+    // the declarative composition equals the library call channel by
+    // channel: served bm25 + served ivfpq through the same integer RRF
+    val text = graft.ops.RetrievalStore.serveBm25(
+      graft.ops.RetrievalStore.loadBm25(spark, s"$dir/data/out/hybrid-lex"),
+      docs.filter(col("doc_id") < 3), "doc_id", "text",
+      k = 10, maxDf = Long.MaxValue, maxDfFraction = 0.8)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val vec = graft.ops.AnnIndexStore.serveIvfPq(
+      graft.ops.AnnIndexStore.loadIvfPq(spark, s"$dir/data/out/hybrid-vec"),
+      vecs.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 10, nProbe = 2)
+      .select(col("q_id").as("query_id"), col("n_id").as("doc_id"), col("rank"))
+    val expected = graft.ops.Retrieval.rrfFuse(text, vec, k = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(fusedOut == expected && expected.nonEmpty)
+    // both channels must actually contribute somewhere in the fusion
+    assert(fusedOut.exists(_.getAs[Long]("rank_text") > 0L))
+    assert(fusedOut.exists(_.getAs[Long]("rank_vec") > 0L))
+  }
 }
