@@ -310,8 +310,28 @@ object Compiler {
       graph: PipelineGraph,
       reg: Registry,
       sources: Map[String, DataFrame],
-      tables: Map[String, DataFrame] = Map.empty
+      tables: Map[String, DataFrame] = Map.empty,
+      observer: Option[graft.observe.PipelineObserver] = None
   ): Map[String, DataFrame] = {
+    // metering a true DAG is REFUSED, loudly and by design, not silently
+    // dropped: stage counters ride Dataset.observe, which is exactly-once
+    // PER ACTION — a DAG's sinks write as separate actions, so a shared
+    // upstream stage's observation re-fires once per sink write and the
+    // cumulative counter double-counts it (the same re-fire class the
+    // linear compiler's DLQ branch dodges with a shadow chain), while a
+    // cached shared subtree can instead swallow its observation entirely
+    // on cache-hit actions. Correct per-branch DAG counters need a
+    // single-action execution model this compiler does not have. Meter
+    // the linear `steps:` spelling (split/route covers fan-out,
+    // MetricsSpec's split-route case), or count DAG stages relationally
+    // from their written sinks.
+    require(observer.isEmpty,
+      "compileGraph: per-stage metrics are linear-pipeline-only — " +
+        "Dataset.observe counts once per ACTION, and a DAG's multiple " +
+        "sink writes re-fire shared upstream observation points (double " +
+        "count) or skip them under the fan-out cache (undercount); use " +
+        "the linear steps spelling with metrics: true, or derive stage " +
+        "counts relationally from the written sinks")
     val errs = graph.validate
     require(errs.isEmpty, s"invalid pipeline graph: $errs")
 

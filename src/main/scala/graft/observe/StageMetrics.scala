@@ -197,9 +197,12 @@ final class PipelineObserver(val pipeline: String) {
     // stage N-1's output. Every metered shape the compiler produces
     // satisfies it — `split` tags rows in place (the DSL's fan-out
     // spelling, spec-gated in MetricsSpec), DLQ branches derive from an
-    // unmetered shadow fold, and graph DAGs (compileGraph) have no
-    // metering surface. If metering ever reaches a true DAG, attach
-    // explicit per-branch in-points instead of widening this derivation.
+    // unmetered shadow fold, and graph DAGs REFUSE metering loudly at
+    // compileGraph (observe is once-per-action; a DAG's multi-sink
+    // writes re-fire shared points — the require names the limitation,
+    // MetricsSpec gates it). If single-action DAG execution ever lands,
+    // attach explicit per-branch in-points instead of widening this
+    // derivation.
     def in(p: Point): Long = {
       val pos = chain.indexWhere(_.idx == p.idx)
       if (pos > 0) value(chain(pos - 1)) else value(p)

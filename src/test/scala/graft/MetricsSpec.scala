@@ -299,6 +299,29 @@ class MetricsSpec extends SparkSpec {
     } finally obs.close(spark)
   }
 
+  test("compileGraph refuses metering loudly (observe is once-per-action)") {
+    import graft.dsl.{Compiler, Edge, PipelineGraph, Registry, Stage,
+      StageType, TransformManifest}
+    val reg = Registry().apply(TransformManifest("shape", "map", Map(
+      "fields" -> Seq(Map("target" -> "event_id", "source" -> "event_id")))))
+    val g = PipelineGraph(
+      "lin",
+      Map(
+        "src" -> Stage("src", StageType.Source),
+        "shape" -> Stage("shape", StageType.Transform),
+        "sink" -> Stage("sink", StageType.Sink)),
+      Seq(Edge("src", "shape"), Edge("shape", "sink")))
+    val events = Seq((1L, "purchase")).toDF("event_id", "event_type")
+    // unmetered compiles fine
+    assert(Compiler.compileGraph(g, reg, Map("src" -> events))("sink").count() == 1L)
+    // metered refuses with the limitation NAMED — never silence/garbage
+    val obs = new graft.observe.PipelineObserver("dag")
+    val e = intercept[IllegalArgumentException](
+      Compiler.compileGraph(g, reg, Map("src" -> events), observer = Some(obs)))
+    assert(e.getMessage.contains("once per ACTION") &&
+      e.getMessage.contains("metrics: true"), e.getMessage)
+  }
+
   test("operational counters: governedDrain signals count exactly, gauge tracks") {
     import graft.streaming.Backpressure
     val obs = new graft.observe.PipelineObserver("gov")
