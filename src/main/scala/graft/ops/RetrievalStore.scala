@@ -749,6 +749,22 @@ object RetrievalStore {
     * (≤ |queries|·terms-per-query distinct terms); above
     * `maxProbeInList` it takes the semi-join rungs
     * ([[AnnIndexStore.semiJoinPrune]]) — identical results, flat driver.
+    *
+    * Corpus-sized query BATCHES auto-shard the scoring tail (round 17):
+    * the per-(query,doc) candidate aggregation is the spill cliff that
+    * dominates BOTH retrieval paths at width (the fused path's sf1.0
+    * sweep: 576 s full-width vs 79 s at 250 queries/shard,
+    * BASELINE.md), so above `targetQueriesPerShard` queries the serve
+    * splits the query-term frame by id hash and unions per-shard
+    * [[Retrieval.scoreAndTopK]] tails — equal to the unsharded result
+    * because BM25 scores and top-k are per-query independent
+    * (spec-asserted union equality, the [[Retrieval.bm25TopKSharded]]
+    * argument verbatim). Unlike the fused sharded path, which re-runs
+    * the corpus tokenize scan per shard, the store serve prunes the
+    * postings ONCE and checkpoints them — shards pay only their slice
+    * of the candidate stage. Small batches (the streaming-probe and
+    * daily-decontamination shapes) derive 1 shard and keep the plan
+    * byte-identical.
     */
   def serveBm25(
       bundle: Bm25Bundle,
@@ -760,9 +776,11 @@ object RetrievalStore {
       b: Double = 0.75,
       maxDf: Long = 1000000L,
       maxDfFraction: Double = 1.0,
-      maxProbeInList: Int = AnnIndexStore.DefaultMaxProbeInList
+      maxProbeInList: Int = AnnIndexStore.DefaultMaxProbeInList,
+      targetQueriesPerShard: Long = 250L
   ): DataFrame = {
     require(maxProbeInList >= 0, "maxProbeInList must be >= 0")
+    require(targetQueriesPerShard >= 1, "targetQueriesPerShard must be >= 1")
     val queryTerms = queries
       .select(col(queryIdCol).cast("long").as("__qid"),
         explode(T.tokens(col(queryTextCol))).as("__term"))
@@ -810,7 +828,29 @@ object RetrievalStore {
       else bundle.totTokens.toDouble / bundle.nDocs.toDouble
     val stats = queries.sparkSession.range(1).select(
       lit(bundle.nDocs).as("__n"), lit(avgdl).as("__avgdl"))
-    Retrieval.scoreAndTopK(posts, termDf, queryTerms, stats, k, k1, b)
+    val nq = queries.count()
+    val nShards =
+      math.max(1L, (nq + targetQueriesPerShard - 1) / targetQueriesPerShard).toInt
+    if (nShards == 1)
+      Retrieval.scoreAndTopK(posts, termDf, queryTerms, stats, k, k1, b)
+    else {
+      // past the candidate stage's spill cliff: materialize the pruned
+      // inputs once (lazy — the first shard's action touches them), then
+      // shard only the scoring tail. The posting prune does NOT re-run
+      // per shard — that is the structural edge over the fused sharded
+      // path, whose every shard re-tokenizes the corpus.
+      val postsCk = posts.localCheckpoint(false)
+      val termDfCk = termDf.localCheckpoint(false)
+      val qtCk = queryTerms.localCheckpoint(false)
+      (0 until nShards)
+        .map { i =>
+          val shard = qtCk.filter(
+            pmod(graft.functions.HashFunctions.hash32(col("__qid").cast("string")),
+              lit(nShards)) === i)
+          Retrieval.scoreAndTopK(postsCk, termDfCk, shard, stats, k, k1, b)
+        }
+        .reduce(_.unionByName(_))
+    }
   }
 
   /** In-place serve-equality self-test for a DEPLOYED lexical store —

@@ -51,6 +51,29 @@ class RetrievalStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("bm25"))
   }
 
+  test("corpus-sized query batch: sharded scoring tail equals the unsharded serve") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rstore_shard").toString
+    RetrievalStore.saveBm25(s"$dir/bm", corpus, "doc_id", "text")
+    val b = RetrievalStore.loadBm25(spark, s"$dir/bm")
+    // the WHOLE corpus plays the query set; 7 queries/shard forces 6
+    // shards — per-query independence makes the union equal the
+    // one-shard plan (the bm25TopKSharded argument, here for the serve)
+    val wide = RetrievalStore.serveBm25(b, corpus, "doc_id", "text",
+      k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9,
+      targetQueriesPerShard = 7L)
+      .orderBy("query_id", "rank").collect().toSeq
+    val oneShard = RetrievalStore.serveBm25(b, corpus, "doc_id", "text",
+      k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(wide == oneShard && wide.nonEmpty)
+    // sharding composes with the semi-join pruning rung unchanged
+    val wideFallback = RetrievalStore.serveBm25(b, corpus, "doc_id", "text",
+      k = 3, maxDf = Long.MaxValue, maxDfFraction = 0.9,
+      maxProbeInList = 0, targetQueriesPerShard = 7L)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(wideFallback == oneShard)
+  }
+
   test("serve plan: query terms reach the posting scan as partition + pushed filters") {
     val dir = java.nio.file.Files.createTempDirectory("graft_rstore_plan").toString
     RetrievalStore.saveBm25(s"$dir/bm", corpus, "doc_id", "text")
