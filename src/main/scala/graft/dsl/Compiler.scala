@@ -1757,7 +1757,12 @@ object Compiler {
               k1 = c.getOrElse("k1", 1.2).toString.toDouble,
               b = c.getOrElse("b", 0.75).toString.toDouble,
               maxDf = c.getOrElse("maxDf", Long.MaxValue).toString.toLong,
-              maxDfFraction = c.getOrElse("maxDfFraction", 1.0).toString.toDouble)
+              maxDfFraction = c.getOrElse("maxDfFraction", 1.0).toString.toDouble,
+              // the serve-shard knob (round 17) declaratively — a
+              // decontamination pipeline whose probe batch is
+              // corpus-sized tunes the scoring-tail width here
+              targetQueriesPerShard =
+                c.getOrElse("targetQueriesPerShard", 250L).toString.toLong)
           case other => sys.error(s"ann_serve: unknown index kind '$other' at $annPath")
         }
         refineTable.fold(served) { tn =>

@@ -2062,6 +2062,23 @@ class DslSpec extends SparkSpec {
         "  refineTable: corpus_vecs\n  refineK: 3",
       Map("docs" -> queries, "corpus_vecs" -> corpus)))
     assert(rk.getMessage.contains("refineK"))
+    // bm25 kind: the serve-shard knob (round 17) flows through the
+    // step — a 2-queries/shard declarative serve equals the library's
+    // default single-shard plan (union equality by per-query
+    // independence, proven at the store level; this pins the YAML
+    // passthrough)
+    val texts = (0L until 12L).map(i =>
+      (i, s"doc $i topic${i % 3} shared alpha beta word$i")).toDF("doc_id", "text")
+    graft.ops.RetrievalStore.saveBm25(s"$base/bm", texts, "doc_id", "text")
+    val bmServed = curationPipeline(
+      s"  type: ann_serve\n  path: $base/bm\n  k: 2\n  idField: doc_id\n" +
+        "  field: text\n  maxDfFraction: \"0.9\"\n  targetQueriesPerShard: \"2\"",
+      Map("docs" -> texts)).orderBy("query_id", "rank").collect().toSeq
+    val bmLib = graft.ops.RetrievalStore.serveBm25(
+      graft.ops.RetrievalStore.loadBm25(spark, s"$base/bm"),
+      texts, "doc_id", "text", k = 2, maxDfFraction = 0.9)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(bmServed == bmLib && bmServed.nonEmpty)
   }
 
   test("ann_index sink: dedupe_loop mode is streaming-only and validates its options") {
