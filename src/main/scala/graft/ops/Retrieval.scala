@@ -86,6 +86,27 @@ object Retrieval {
     // corpus (a shuffle-free tokenize-count scan), and df values are
     // per-term identical on the subset — the relational result, and
     // therefore the oracle, is unchanged.
+    val (postings, termDf, queryTerms, stats) = fusedInputs(
+      docs, docIdCol, docTextCol, queries, queryIdCol, queryTextCol,
+      maxDf, maxDfFraction)
+    scoreAndTopK(postings, termDf, queryTerms, stats, k, k1, b)
+  }
+
+  /** The fused path's four scoring inputs — shared by [[bm25TopK]] and
+    * the sharded tail in [[bm25TopKSharded]] so the two cannot drift:
+    * query-vocabulary-pruned postings, df-capped term df, distinct
+    * query terms, and the exact corpus scalars.
+    */
+  private def fusedInputs(
+      docs: DataFrame,
+      docIdCol: String,
+      docTextCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      maxDf: Long,
+      maxDfFraction: Double
+  ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val queryTerms = queries
       .select(col(queryIdCol).cast("long").as("__qid"),
         explode(T.tokens(col(queryTextCol))).as("__term"))
@@ -119,7 +140,7 @@ object Retrieval {
         col("__df").cast("double") <= lit(maxDfFraction) * col("__n").cast("double"))
       .select(col("__term"), col("__df"))
 
-    scoreAndTopK(postings, termDf, queryTerms, stats, k, k1, b)
+    (postings, termDf, queryTerms, stats)
   }
 
   /** The BM25 scoring tail shared VERBATIM by the fused path above and
@@ -181,17 +202,24 @@ object Retrieval {
   /** [[bm25TopK]] for a query set too big to broadcast: shard the
     * queries by id hash and union the per-shard results. Correctness is
     * trivial — BM25 scores and top-k are per-query independent, so the
-    * union EQUALS the unsharded result (spec-asserted). The cost model
-    * is NOT simply nShards × the broadcast path: each shard re-runs the
-    * corpus posting scan, but it also shrinks the per-task working set
-    * of the candidate stage (per-posting query fan-out and the
-    * per-(query,doc) aggregation hash table), and when the full-width
-    * run is past its spill cliff, sharding is a net WIN — measured
-    * ×0.5 wall and ×0.44 task_max at 2 shards on the hot-vocabulary
-    * 20× stress workload (Stress `bm25_sharded2` vs `bm25_broadcast`,
-    * order-swap verified). So shard when the query side crosses
-    * broadcast limits, AND consider sharding earlier as a working-set
-    * knob whenever the candidate aggregation spills.
+    * union EQUALS the unsharded result (spec-asserted). Sharding
+    * shrinks the per-task working set of the candidate stage
+    * (per-posting query fan-out and the per-(query,doc) aggregation
+    * hash table), and when the full-width run is past its spill cliff
+    * it is a net WIN — measured ×0.5 wall and ×0.44 task_max at 2
+    * shards on the hot-vocabulary 20× stress workload (Stress
+    * `bm25_sharded2` vs `bm25_broadcast`, order-swap verified). So
+    * shard when the query side crosses broadcast limits, AND consider
+    * sharding earlier as a working-set knob whenever the candidate
+    * aggregation spills. Round 17 (the [[RetrievalStore.serveBm25]]
+    * lesson back-ported): the corpus is tokenized and vocabulary-pruned
+    * ONCE against the FULL query vocabulary and the pruned
+    * postings/df/terms checkpoint — shards re-run only the scoring
+    * tail over executor-local blocks, not the corpus scan. The
+    * semi-join subset is per-term identical whether pruned by the full
+    * vocab or a shard's, and each tail's queryTerms join drops
+    * out-of-shard rows exactly as the old per-shard prune did, so the
+    * values (and the spec's union equality) are unchanged.
     */
   /** [[bm25TopKSharded]] with the shard count derived from the query
     * set's size — the lshTopKAuto pattern: one cheap count on the SMALL
@@ -251,15 +279,28 @@ object Retrieval {
       maxDfFraction: Double = 1.0
   ): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    (0 until nShards)
-      .map { i =>
-        val shard = queries.filter(
-          pmod(graft.functions.HashFunctions.hash32(col(queryIdCol).cast("string")),
-            lit(nShards)) === i)
-        bm25TopK(docs, docIdCol, docTextCol, shard, queryIdCol, queryTextCol,
-          k, k1, b, maxDf, maxDfFraction)
-      }
-      .reduce(_.unionByName(_))
+    if (nShards == 1)
+      bm25TopK(docs, docIdCol, docTextCol, queries, queryIdCol, queryTextCol,
+        k, k1, b, maxDf, maxDfFraction)
+    else {
+      val (postings, termDf, queryTerms, stats) = fusedInputs(
+        docs, docIdCol, docTextCol, queries, queryIdCol, queryTextCol,
+        maxDf, maxDfFraction)
+      // postings checkpoint inside fusedInputs; the other two small
+      // frames checkpoint here so every shard broadcasts cached blocks
+      // instead of re-running the tokenize/df aggregations
+      val termDfCk = termDf.localCheckpoint(false)
+      val qtCk = queryTerms.localCheckpoint(false)
+      val statsCk = stats.localCheckpoint(false)
+      (0 until nShards)
+        .map { i =>
+          val shard = qtCk.filter(
+            pmod(graft.functions.HashFunctions.hash32(col("__qid").cast("string")),
+              lit(nShards)) === i)
+          scoreAndTopK(postings, termDfCk, shard, statsCk, k, k1, b)
+        }
+        .reduce(_.unionByName(_))
+    }
   }
 
 
