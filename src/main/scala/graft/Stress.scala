@@ -443,10 +443,12 @@ object Stress {
         docsN.filter(pmod(col("doc_id"), lit(997)) === 0), "doc_id", "text",
         k = 10, maxDf = 100L * mult)),
       // The query-set-too-big-to-broadcast fallback, measured against the
-      // broadcast path on the SAME workload (queries = every 25th doc):
-      // the sharded wall should read ~nShards × broadcast, since each
-      // shard re-runs the corpus posting scan — the documented trade,
-      // now a number instead of prose.
+      // broadcast path on the SAME workload (queries = every 25th doc).
+      // Round 17: shards no longer re-run the corpus posting scan (the
+      // pruned inputs checkpoint once; only the scoring tail is
+      // per-shard), so when the full-width candidate stage is past its
+      // spill cliff the sharded wall should read BELOW broadcast, not
+      // ~nShards × it.
       "bm25_broadcast" -> (() => ops.Retrieval.bm25TopK(
         docsN, "doc_id", "text",
         docsN.filter(col("doc_id") % 25 === 0), "doc_id", "text",
@@ -470,6 +472,14 @@ object Stress {
       "bm25_daily_served" -> (() => ops.RetrievalStore.serveBm25(
         ops.RetrievalStore.loadBm25(spark, bm25IndexDir),
         docsN.filter(col("doc_id") % 4999 === 0), "doc_id", "text",
+        k = 10, maxDfFraction = 0.5)),
+      // round 17: the CLIFF shape through the store — a corpus-sized
+      // probe batch (every 25th doc) auto-shards the serve's scoring
+      // tail; price it against bm25_broadcast/bm25_sharded2 (the fused
+      // pair on the same probe set) to read the store + shard win
+      "bm25_wide_served" -> (() => ops.RetrievalStore.serveBm25(
+        ops.RetrievalStore.loadBm25(spark, bm25IndexDir),
+        docsN.filter(col("doc_id") % 25 === 0), "doc_id", "text",
         k = 10, maxDfFraction = 0.5)),
       // round 16: the lexical lifecycle priced at stress scale. delete =
       // one postings scan (contribution math) + a staged commit of

@@ -39,6 +39,18 @@ import graft.functions.{TextFunctions => T}
   */
 object Retrieval {
 
+  /** Upper bound on AUTO-derived query-shard counts ([[bm25TopKAuto]],
+    * [[RetrievalStore.serveBm25]]): every shard is a union branch with
+    * its own broadcasts, so plan width — driver planning time, codegen,
+    * broadcast bookkeeping — must stay bounded regardless of batch
+    * size. 128 × the 250-query default covers a 32 k-query batch at
+    * full spill protection; larger batches degrade gracefully (wider
+    * shards) rather than exploding the plan. Explicit
+    * [[bm25TopKSharded]] calls are not clamped — the caller owns the
+    * trade there.
+    */
+  val MaxAutoShards: Int = 128
+
   /** BM25 scores of the top `k` corpus documents per query.
     *
     * @param docs    corpus frame
@@ -250,7 +262,11 @@ object Retrieval {
   ): DataFrame = {
     require(targetQueriesPerShard >= 1, "targetQueriesPerShard must be >= 1")
     val nq = queries.count()
-    val n = math.max(1L, (nq + targetQueriesPerShard - 1) / targetQueriesPerShard).toInt
+    // clamped like the serve path (see [[MaxAutoShards]]): shards are
+    // union branches, and plan width must stay bounded no matter how
+    // large the query batch is
+    val n = math.min(MaxAutoShards.toLong,
+      math.max(1L, (nq + targetQueriesPerShard - 1) / targetQueriesPerShard)).toInt
     // n == 1 short-circuits to the plain broadcast path: the 1-shard
     // sharded plan is equal-valued but not equal-shaped (it still carries
     // the tautological pmod(hash32(id), 1) === 0 filter and the per-row

@@ -829,8 +829,14 @@ object RetrievalStore {
     val stats = queries.sparkSession.range(1).select(
       lit(bundle.nDocs).as("__n"), lit(avgdl).as("__avgdl"))
     val nq = queries.count()
-    val nShards =
-      math.max(1L, (nq + targetQueriesPerShard - 1) / targetQueriesPerShard).toInt
+    // the shard count is CLAMPED (the Retrieval.MaxAutoShards bound):
+    // each shard is a union branch carrying its own broadcasts, so an
+    // unbounded derivation would hand a 1M-query batch a 4 000-branch
+    // plan and stall the driver at planning. Past the clamp the
+    // per-shard width grows instead of the plan — graceful degradation;
+    // batches that large should loop driver-side (or stream).
+    val nShards = math.min(Retrieval.MaxAutoShards.toLong,
+      math.max(1L, (nq + targetQueriesPerShard - 1) / targetQueriesPerShard)).toInt
     if (nShards == 1)
       Retrieval.scoreAndTopK(posts, termDf, queryTerms, stats, k, k1, b)
     else {
