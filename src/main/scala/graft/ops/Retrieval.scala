@@ -261,7 +261,10 @@ object Retrieval {
       maxDfFraction: Double = 1.0
   ): DataFrame = {
     require(targetQueriesPerShard >= 1, "targetQueriesPerShard must be >= 1")
-    val nq = queries.count()
+    // one execution of the query frame's upstream — the auto count and
+    // the chosen path's own reads share the checkpointed batch
+    val q = queries.localCheckpoint(false)
+    val nq = q.count()
     // clamped like the serve path (see [[MaxAutoShards]]): shards are
     // union branches, and plan width must stay bounded no matter how
     // large the query batch is
@@ -270,13 +273,13 @@ object Retrieval {
     // n == 1 short-circuits to the plain broadcast path: the 1-shard
     // sharded plan is equal-valued but not equal-shaped (it still carries
     // the tautological pmod(hash32(id), 1) === 0 filter and the per-row
-    // hash projection), and "byte-identical" should mean the plan, not
-    // just the rows.
+    // hash projection), and the short-circuit should keep the plain
+    // plan's shape, not just its rows.
     if (n == 1)
-      bm25TopK(docs, docIdCol, docTextCol, queries, queryIdCol, queryTextCol,
+      bm25TopK(docs, docIdCol, docTextCol, q, queryIdCol, queryTextCol,
         k, k1, b, maxDf, maxDfFraction)
     else
-      bm25TopKSharded(docs, docIdCol, docTextCol, queries, queryIdCol, queryTextCol,
+      bm25TopKSharded(docs, docIdCol, docTextCol, q, queryIdCol, queryTextCol,
         k, n, k1, b, maxDf, maxDfFraction)
   }
 

@@ -781,7 +781,14 @@ object RetrievalStore {
   ): DataFrame = {
     require(maxProbeInList >= 0, "maxProbeInList must be >= 0")
     require(targetQueriesPerShard >= 1, "targetQueriesPerShard must be >= 1")
-    val queryTerms = queries
+    // ONE execution of the query frame's upstream: the serve reads it
+    // three times (the probe-pair collect, the shard-count count, the
+    // scoring tail), and in a composed pipeline — ann_serve after
+    // lang_id/filter steps — re-running that upstream per read is the
+    // silent cost. Lazy checkpoint: the first action materializes the
+    // batch once (MEMORY_AND_DISK), the rest read blocks.
+    val q = queries.localCheckpoint(false)
+    val queryTerms = q
       .select(col(queryIdCol).cast("long").as("__qid"),
         explode(T.tokens(col(queryTextCol))).as("__term"))
       .distinct()
@@ -826,9 +833,9 @@ object RetrievalStore {
     val avgdl =
       if (bundle.nDocs == 0) 0.0
       else bundle.totTokens.toDouble / bundle.nDocs.toDouble
-    val stats = queries.sparkSession.range(1).select(
+    val stats = q.sparkSession.range(1).select(
       lit(bundle.nDocs).as("__n"), lit(avgdl).as("__avgdl"))
-    val nq = queries.count()
+    val nq = q.count()
     // the shard count is CLAMPED (the Retrieval.MaxAutoShards bound):
     // each shard is a union branch carrying its own broadcasts, so an
     // unbounded derivation would hand a 1M-query batch a 4 000-branch
