@@ -777,7 +777,10 @@ object AnnIndexStore {
       maxProbeInList: Int = DefaultMaxProbeInList
   ): DataFrame = {
     require(maxProbeInList >= 0, "maxProbeInList must be >= 0")
-    val probeFrame = Similarity.probeBuckets(queries, idCol, vecCol,
+    // one upstream execution for the probe batch (the serveBm25 rule):
+    // the bucket collect and the scoring tail both read it
+    val q = queries.localCheckpoint(false)
+    val probeFrame = Similarity.probeBuckets(q, idCol, vecCol,
       bundle.planes, bundle.dim, bundle.tables, probeBits)
     val buckets = probeFrame.limit(maxProbeInList + 1)
       .collect().map(_.getLong(0)).toSeq
@@ -794,7 +797,7 @@ object AnnIndexStore {
           probeFrame.withColumn("bucket_grp",
             pmod(col("bucket"), lit(bundle.nGroups.toLong))).localCheckpoint(false),
           Seq("bucket_grp", "bucket"))
-    Similarity.lshTopKIndexed(pruned, queries, idCol, vecCol, k,
+    Similarity.lshTopKIndexed(pruned, q, idCol, vecCol, k,
       bundle.planes, bundle.dim, bundle.tables, probeBits)
   }
 
@@ -1185,9 +1188,12 @@ object AnnIndexStore {
       nProbe: Int,
       maxProbeInList: Int = DefaultMaxProbeInList
   ): DataFrame = {
+    // one upstream execution for the probe batch (the serveBm25 rule):
+    // the cell-assignment collect and the ADC tail both read it
+    val q = queries.localCheckpoint(false)
     val pruned = pruneToProbedCells(bundle.index, bundle.quantizer,
-      queries, idCol, vecCol, nProbe, maxProbeInList)
-    Similarity.ivfPqTopK(pruned, queries, idCol, vecCol, k,
+      q, idCol, vecCol, nProbe, maxProbeInList)
+    Similarity.ivfPqTopK(pruned, q, idCol, vecCol, k,
       bundle.quantizer, bundle.codebook, bundle.m, bundle.dim, nProbe)
   }
 
@@ -1201,9 +1207,11 @@ object AnnIndexStore {
       nProbe: Int,
       maxProbeInList: Int = DefaultMaxProbeInList
   ): DataFrame = {
+    // one upstream execution for the probe batch (the serveBm25 rule)
+    val q = queries.localCheckpoint(false)
     val pruned = pruneToProbedCells(bundle.index, bundle.quantizer,
-      queries, idCol, vecCol, nProbe, maxProbeInList)
-    Similarity.ivfTopKIndexed(pruned, queries, idCol, vecCol, k,
+      q, idCol, vecCol, nProbe, maxProbeInList)
+    Similarity.ivfTopKIndexed(pruned, q, idCol, vecCol, k,
       bundle.quantizer, nProbe)
   }
 
