@@ -524,12 +524,15 @@ object AnnIndexStore {
       maxProbeInList: Int = DefaultMaxProbeInList
   ): DataFrame = {
     require(maxProbeInList >= 0, "maxProbeInList must be >= 0")
+    // one upstream execution for the batch (the serveBm25 rule): the
+    // signature chain and the final id join both read it
+    val b = batch.localCheckpoint(false)
     // signatures feed >=3 actions (the probe collect, the candidate join,
     // the agreement rescore) — sign the batch ONCE; un-checkpointed they
     // would re-shingle the whole batch per action. LAZY checkpoint (the
     // lshCandidates convention): blocks cache as the first action touches
     // them, instead of paying a dedicated materialization job up front
-    val bSigs = sigsFor(batch, idCol, textCol, bundle.n, bundle.k)
+    val bSigs = sigsFor(b, idCol, textCol, bundle.n, bundle.k)
       .localCheckpoint(false)
     val bBanded = bandedFrom(bSigs, bundle.k, bundle.nBands, bundle.nGroups)
     val probeFrame = bBanded.select(col("band"), col("band_grp")).distinct()
@@ -574,8 +577,8 @@ object AnnIndexStore {
         ).cast("double") / bundle.k, 6))
       .filter(col("_sim") >= minSim)
       .select(col("_bid")).distinct().withColumn("_dup", lit(1))
-    batch.select(col(idCol))
-      .join(dup, batch(idCol) === dup("_bid"), "left")
+    b.select(col(idCol))
+      .join(dup, b(idCol) === dup("_bid"), "left")
       .select(col(idCol), coalesce(col("_dup"), lit(0)).as("dup"))
   }
 

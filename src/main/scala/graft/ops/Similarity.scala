@@ -587,7 +587,10 @@ object Similarity {
   ): DataFrame = {
     val cents = quantizer.select(col("cent_id"), col("cent_vec"),
       V.norm(col("cent_vec")).as("cent_norm"))
-    val cells = assignCells(vectors, idCol, vecCol, cents, probes = nProbe)
+    // one upstream execution for the batch (the serveBm25 rule): the
+    // cell-probe chain and the final id join both read it
+    val v = vectors.localCheckpoint(false)
+    val cells = assignCells(v, idCol, vecCol, cents, probes = nProbe)
     val dropped = cells
       .join(index.select(col("cent_id"), col("n_id"), col("n_vec"), col("n_norm")),
         Seq("cent_id"))
@@ -596,7 +599,7 @@ object Similarity {
           col("_anorm"), col("n_norm")) >= minCosine)
       .select(col("_aid").as("_did"))
       .distinct()
-    vectors.select(col(idCol))
+    v.select(col(idCol))
       .join(dropped, col(idCol) === col("_did"), "left")
       .select(col(idCol), col("_did").isNull.as("kept"))
   }
