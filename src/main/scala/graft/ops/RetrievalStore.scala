@@ -98,35 +98,63 @@ object RetrievalStore {
   private val PostingsSchema = "__term STRING, __did BIGINT, __tf INT, __dl INT, term_grp BIGINT"
   private val DfSchema = "__term STRING, __df BIGINT, term_grp BIGINT"
 
-  /** Tokenize a corpus into posting rows — the SAME kernel chain as the
-    * fused path (WordOccurrences inline; (doc,term) is doc-local, no
-    * shuffle), so stored content is bit-identical to what bm25TopK
-    * derives on the fly.
+  /** One-corpus-scan build intermediate: per-doc occurrence arrays,
+    * lazily checkpointed so the scalar aggregation, the posting write and
+    * the df write all read ONE tokenize pass (save/append previously paid
+    * a second full corpus scan just for the scalars — at 100 TB that is
+    * half the build's read bytes). Null text keeps a null `__occ` row so
+    * the scalar pass can refuse it loudly. `inline` the `__occ` arrays
+    * for the posting rows — the SAME kernel chain as the fused path
+    * ([[Retrieval.bm25TopK]]; (doc,term) is doc-local, no shuffle), so
+    * stored content is bit-identical to what bm25TopK derives on the fly.
     */
-  private def postingsFor(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def perDocFor(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("__did"),
-        T.wordOccurrences(col(textCol)).as("__occ"))
-      .select(col("__did"), inline(col("__occ")))
+      T.wordOccurrences(col(textCol)).as("__occ"))
 
-  /** Corpus scalars of a doc frame: (count, token sum) — exact, one
-    * shuffle-free scan (empty text counts its one empty token, matching
-    * the posting-side tokenization). NULL text refuses LOUDLY in the
-    * same scan: the posting kernel drops null rows, so a null-text doc
+  /** Corpus scalars + posting count of a [[perDocFor]] frame in ONE
+    * action (which also materializes the lazy checkpoint): (nDocs,
+    * totTokens, nPostings). `__dl` rides every occurrence entry and IS
+    * `size(tokens(text))` (the kernel's empty-text one-empty-token rule
+    * included), so summing the first entry's `__dl` equals the old
+    * tokenize-count scan exactly. NULL text (null `__occ`) refuses
+    * LOUDLY: the posting kernel drops null rows, so a null-text doc
     * would enter nDocs with no posting rows behind it — undeletable
     * (deleteIdsBm25 derives its scalar subtraction from resident
-    * postings) and silently desynced from the posting set. Coalesce to
-    * '' upstream if empty semantics are intended.
+    * postings) and silently desynced from the posting set.
     */
-  private def scalarsOf(docs: DataFrame, textCol: String): (Long, Long) = {
-    val r = docs.agg(count(lit(1)),
-        coalesce(sum(size(T.tokens(col(textCol)))), lit(0L)),
-        count(when(col(textCol).isNull, 1)))
+  private def scalarsOfPerDoc(perDoc: DataFrame): (Long, Long, Long) = {
+    val r = perDoc.agg(
+        count(lit(1)),
+        coalesce(sum(get(col("__occ"), lit(0)).getField("__dl").cast("long")), lit(0L)),
+        count(when(col("__occ").isNull, 1)),
+        coalesce(sum(when(col("__occ").isNotNull, size(col("__occ")).cast("long"))), lit(0L)))
       .head()
     require(r.getLong(2) == 0L,
-      s"bm25 store: ${r.getLong(2)} document(s) with NULL $textCol — the " +
+      s"bm25 store: ${r.getLong(2)} document(s) with NULL text — the " +
         "posting kernel drops null rows, which would desync nDocs from the " +
         "posting set; coalesce to '' upstream if empty text is intended")
-    (r.getLong(0), r.getLong(1))
+    (r.getLong(0), r.getLong(1), r.getLong(3))
+  }
+
+  /** Run independent Spark actions concurrently (guide: overlap
+    * independent jobs so one action's task tail back-fills with the next
+    * action's tasks). Fresh threads per call so the caller's job group
+    * (the bench watchdog's cancellation handle) propagates via Spark's
+    * inheritable thread-locals; first failure rethrows after all threads
+    * finish. Callers must pre-materialize any shared lazy checkpoint —
+    * concurrent first-touch would compute it once per action.
+    */
+  private def inParallel(fns: (() => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = fns.map { f =>
+      val t = new Thread(() => try f() catch { case e: Throwable => errs.add(e) })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
   }
 
   private def hconf(spark: SparkSession) = spark.sessionState.newHadoopConf()
@@ -150,21 +178,28 @@ object RetrievalStore {
   def saveBm25(dir: String, docs: DataFrame, idCol: String, textCol: String): Unit = {
     val spark = docs.sparkSession
     val fs = fsOf(spark, dir)
-    // scalars (and the null-text refusal inside them) run BEFORE any
+    // ONE corpus scan: the scalar action below materializes the per-doc
+    // occurrence checkpoint that both frame writes then read — the old
+    // shape paid a second full tokenize scan for the scalars. Scalars
+    // (and the null-text refusal inside them) still run BEFORE any
     // destructive write: a refusal after the frames were overwritten
     // would leave new-layout frames under the predecessor's manifest —
-    // the torn state the staged protocol exists to prevent
-    val (n, tok) = scalarsOf(docs, textCol)
+    // the torn state the staged protocol exists to prevent.
+    val perDoc = perDocFor(docs, idCol, textCol).localCheckpoint(false)
+    val (n, tok, nPost) = scalarsOfPerDoc(perDoc)
     Seq("tombstones", "__stage", "__loop", "MAINTENANCE.json",
       "postings.pre-stage", "df.pre-stage", "tombstones.pre-stage").foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(dir, n), true))
-    val posts = postingsFor(docs, idCol, textCol).localCheckpoint(false)
-    val nPost = posts.count()
     val nGroups = groupsFor(nPost)
-    val grouped = posts.withColumn("term_grp", termGrp(nGroups))
-    writeGrouped(grouped, s"$dir/postings")
-    writeGrouped(grouped.groupBy(col("__term"), col("term_grp"))
-      .agg(count(lit(1)).as("__df")), s"$dir/df")
+    val grouped = perDoc.select(col("__did"), inline(col("__occ")))
+      .withColumn("term_grp", termGrp(nGroups))
+    // the two frame writes are independent jobs over the materialized
+    // checkpoint — overlap them (the df write's tiny tail back-fills
+    // the posting write's executors)
+    inParallel(
+      () => writeGrouped(grouped, s"$dir/postings"),
+      () => writeGrouped(grouped.groupBy(col("__term"), col("term_grp"))
+        .agg(count(lit(1)).as("__df")), s"$dir/df"))
     writeManifest(spark, dir, manifestJson(n, tok, nGroups, gen = 0L))
   }
 
@@ -414,16 +449,20 @@ object RetrievalStore {
       return false
     val mf = readManifestRaw(spark, dir)
     val nGroups = mf.nGroups
-    // the null-text refusal fires before any staging write (a refused
-    // append must cost nothing but this scan)
-    val (n, tok) = scalarsOf(docs, textCol)
+    // ONE batch scan (the saveBm25 shape): the scalar action materializes
+    // the per-doc checkpoint; the null-text refusal inside it fires
+    // before any staging write (a refused append must cost nothing but
+    // this scan)
+    val perDoc = perDocFor(docs, idCol, textCol).localCheckpoint(false)
+    val (n, tok, _) = scalarsOfPerDoc(perDoc)
     val stage = new org.apache.hadoop.fs.Path(stageRoot(dir),
       java.util.UUID.randomUUID().toString)
-    val posts = postingsFor(docs, idCol, textCol).localCheckpoint(false)
-    val grouped = posts.withColumn("term_grp", termGrp(nGroups))
-    writeGrouped(grouped, s"$stage/postings")
-    writeGrouped(grouped.groupBy(col("__term"), col("term_grp"))
-      .agg(count(lit(1)).as("__df")), s"$stage/df")
+    val grouped = perDoc.select(col("__did"), inline(col("__occ")))
+      .withColumn("term_grp", termGrp(nGroups))
+    inParallel(
+      () => writeGrouped(grouped, s"$stage/postings"),
+      () => writeGrouped(grouped.groupBy(col("__term"), col("term_grp"))
+        .agg(count(lit(1)).as("__df")), s"$stage/df"))
     stageManifest(fs, stage,
       manifestJson(mf.nDocs + n, mf.totTokens + tok, nGroups, mf.gen + 1))
     marker.foreach { case (l, b) =>
@@ -548,14 +587,18 @@ object RetrievalStore {
       .localCheckpoint(false) // feeds the df negation and the scalar agg
     val stage = new org.apache.hadoop.fs.Path(stageRoot(dir),
       java.util.UUID.randomUUID().toString)
-    writeGrouped(touched.groupBy(col("__term"), col("term_grp"))
-      .agg((-count(lit(1))).as("__df")), s"$stage/df")
-    newIds.coalesce(1) // a delete batch is tiny relative to the index
-      .write.mode("overwrite").parquet(s"$stage/tombstones")
     // per-doc token counts ride every posting row as __dl — exact, and
-    // identical to what save/append counted for these docs
+    // identical to what save/append counted for these docs. This action
+    // runs FIRST because it materializes both lazy checkpoints (newIds,
+    // touched) in one job; the two staging writes below then read cached
+    // blocks and are independent — overlap them.
     val r = touched.groupBy(col("__did")).agg(first(col("__dl")).as("__dl"))
       .agg(count(lit(1)), coalesce(sum(col("__dl")), lit(0L))).head()
+    inParallel(
+      () => writeGrouped(touched.groupBy(col("__term"), col("term_grp"))
+        .agg((-count(lit(1))).as("__df")), s"$stage/df"),
+      () => newIds.coalesce(1) // a delete batch is tiny relative to the index
+        .write.mode("overwrite").parquet(s"$stage/tombstones"))
     stageManifest(fs, stage,
       manifestJson(mf.nDocs - r.getLong(0), mf.totTokens - r.getLong(1),
         mf.nGroups, mf.gen + 1))
@@ -595,23 +638,30 @@ object RetrievalStore {
     val fs = fsOf(spark, dir)
     rollForwardStaged(spark, dir, discardUncommitted = true)
     readManifestRaw(spark, dir) // refuse non-index directories
-    // df partials fold unconditionally — content-equal (serve sums
-    // partials; the fold IS the sum) but every future serve reads one
-    // row per term instead of one per append
-    foldGrouped(spark, fs, dir, "df", DfSchema)(df =>
-      df.groupBy(col("__term"), col("term_grp"))
-        .agg(sum(col("__df")).as("__df"))
-        .filter(col("__df") =!= 0L))
+    // the df fold and the postings fold/sliver-merge rewrite DISJOINT
+    // directories — independent jobs, overlapped (each fold's rename
+    // swap stays sequential within its own frame, so crash recovery per
+    // frame is unchanged)
     val tp = new org.apache.hadoop.fs.Path(dir, "tombstones")
-    if (fs.exists(tp)) {
-      val tombs = spark.read.schema("n_id BIGINT").parquet(tp.toString).distinct()
-      foldGrouped(spark, fs, dir, "postings", PostingsSchema)(posts =>
-        posts.join(tombs, col("__did") === col("n_id"), "left_anti"))
-      fs.delete(tp, true)
-    } else
-      // no deletes pending: sliver merge is enough (cheaper than a
-      // global re-sort — Layout.compact rewrites per partition dir)
-      Layout.compact(spark, s"$dir/postings", targetBytes)
+    val hadTombstones = fs.exists(tp)
+    inParallel(
+      // df partials fold unconditionally — content-equal (serve sums
+      // partials; the fold IS the sum) but every future serve reads one
+      // row per term instead of one per append
+      () => foldGrouped(spark, fs, dir, "df", DfSchema)(df =>
+        df.groupBy(col("__term"), col("term_grp"))
+          .agg(sum(col("__df")).as("__df"))
+          .filter(col("__df") =!= 0L)),
+      () =>
+        if (hadTombstones) {
+          val tombs = spark.read.schema("n_id BIGINT").parquet(tp.toString).distinct()
+          foldGrouped(spark, fs, dir, "postings", PostingsSchema)(posts =>
+            posts.join(tombs, col("__did") === col("n_id"), "left_anti"))
+          fs.delete(tp, true)
+        } else
+          // no deletes pending: sliver merge is enough (cheaper than a
+          // global re-sort — Layout.compact rewrites per partition dir)
+          Layout.compact(spark, s"$dir/postings", targetBytes))
     val p = new org.apache.hadoop.fs.Path(s"$dir/postings")
     AnnIndexStore.parquetFileCount(fs, p)
   }
@@ -679,9 +729,12 @@ object RetrievalStore {
     val grouped = live.withColumn("term_grp", termGrp(nGroups))
     val stage = new org.apache.hadoop.fs.Path(stageRoot(dir),
       java.util.UUID.randomUUID().toString)
-    writeGrouped(grouped, s"$stage/postings")
-    writeGrouped(grouped.groupBy(col("__term"), col("term_grp"))
-      .agg(count(lit(1)).as("__df")), s"$stage/df")
+    // live is materialized (the count above); the two staged writes are
+    // independent jobs over its cached blocks — overlap them
+    inParallel(
+      () => writeGrouped(grouped, s"$stage/postings"),
+      () => writeGrouped(grouped.groupBy(col("__term"), col("term_grp"))
+        .agg(count(lit(1)).as("__df")), s"$stage/df"))
     stageManifest(fs, stage,
       manifestJson(mf.nDocs, mf.totTokens, nGroups, mf.gen + 1))
     fs.create(new org.apache.hadoop.fs.Path(stage, "REPLACE"), true).close()
