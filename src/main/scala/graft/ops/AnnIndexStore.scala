@@ -308,15 +308,20 @@ object AnnIndexStore {
       dim: Int,
       codesK: Int
   ): Unit = {
-    val nCells = quantizer.count().toInt
-    quantizer.write.mode("overwrite").parquet(s"$dir/quantizer")
-    codebook.write.mode("overwrite").parquet(s"$dir/codebook")
-    // hash-repartition on the partition column first: without it every
-    // write task emits a sliver into every cell directory (nCells x tasks
-    // small files — measured dominating serve latency at 632 cells), with
-    // it each cell lands as one file
-    index.repartition(col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/index")
+    // the count materializes the (tiny) quantizer checkpoint; the three
+    // frame writes are then independent jobs — overlapped, so the two
+    // small writes back-fill the index write's task tail
+    val quantCk = quantizer.localCheckpoint(false)
+    val nCells = quantCk.count().toInt
+    RetrievalStore.inParallel(
+      () => quantCk.write.mode("overwrite").parquet(s"$dir/quantizer"),
+      () => codebook.write.mode("overwrite").parquet(s"$dir/codebook"),
+      // hash-repartition on the partition column first: without it every
+      // write task emits a sliver into every cell directory (nCells x tasks
+      // small files — measured dominating serve latency at 632 cells), with
+      // it each cell lands as one file
+      () => index.repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/index"))
     // frame schemas ride in the manifest: an EMPTY index (zero vectors at
     // save time) writes no parquet files, and a schema-less read-back
     // would die on inference — the loaders read with these DDLs instead
@@ -332,10 +337,14 @@ object AnnIndexStore {
     * cell-partitioned vector rows + MANIFEST.json.
     */
   def saveIvf(dir: String, quantizer: DataFrame, index: DataFrame): Unit = {
-    val nCells = quantizer.count().toInt
-    quantizer.write.mode("overwrite").parquet(s"$dir/quantizer")
-    index.repartition(col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/index")
+    // count materializes the checkpoint; the two writes overlap (the
+    // saveIvfPq treatment)
+    val quantCk = quantizer.localCheckpoint(false)
+    val nCells = quantCk.count().toInt
+    RetrievalStore.inParallel(
+      () => quantCk.write.mode("overwrite").parquet(s"$dir/quantizer"),
+      () => index.repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id").parquet(s"$dir/index"))
     writeManifest(quantizer.sparkSession, dir,
       s"""{"kind":"ivf","nCells":$nCells,""" +
         s""""quantizerSchema":${j(quantizer.schema.toDDL)},""" +
@@ -435,17 +444,21 @@ object AnnIndexStore {
     // caps at 1024 directories of ~4M rows each. Signatures are signed
     // ONCE (checkpointed) and shared by the sizing count, the band
     // frame, and the signature store.
-    val sigs = sigsFor(docs, idCol, textCol, n, k).localCheckpoint()
+    val sigs = sigsFor(docs, idCol, textCol, n, k).localCheckpoint(false)
+    // lazy checkpoint: the sizing count below materializes it (one job
+    // where the eager form paid a materialize job plus the count)
     val nRows = sigs.filter(element_at(col("sig"), 1) =!= Long.MaxValue)
       .count() * bands
     val nGroups = math.min(LshMaxGroups.toLong,
       math.max(16L, nRows / 65536L + 1L)).toInt
     val banded = bandedFrom(sigs, k, bands, nGroups)
-    banded
-      .repartition(col("band_grp"))
-      .sortWithinPartitions(col("band"))
-      .write.mode("overwrite").partitionBy("band_grp").parquet(s"$dir/index")
-    sigs.write.mode("overwrite").parquet(s"$dir/sigs")
+    // two independent writes over the materialized signatures — overlapped
+    RetrievalStore.inParallel(
+      () => banded
+        .repartition(col("band_grp"))
+        .sortWithinPartitions(col("band"))
+        .write.mode("overwrite").partitionBy("band_grp").parquet(s"$dir/index"),
+      () => sigs.write.mode("overwrite").parquet(s"$dir/sigs"))
     writeManifest(docs.sparkSession, dir,
       s"""{"kind":"minhash","n":$n,"k":$k,"bands":$bands,"nGroups":$nGroups,""" +
         s""""indexSchema":${j(banded.schema.toDDL)},""" +
@@ -609,12 +622,15 @@ object AnnIndexStore {
       textCol: String
   ): Unit = {
     val b = loadMinhash(spark, dir)
+    // eager checkpoint: the two appends below run CONCURRENTLY and must
+    // read materialized blocks, not race to sign the batch twice
     val sigs = sigsFor(docs, idCol, textCol, b.n, b.k).localCheckpoint()
     val banded = bandedFrom(sigs, b.k, b.nBands, b.nGroups)
-    banded.repartition(col("band_grp")) // one appended file per touched group
-      .sortWithinPartitions(col("band"))
-      .write.mode("append").partitionBy("band_grp").parquet(s"$dir/index")
-    sigs.write.mode("append").parquet(s"$dir/sigs")
+    RetrievalStore.inParallel(
+      () => banded.repartition(col("band_grp")) // one appended file per touched group
+        .sortWithinPartitions(col("band"))
+        .write.mode("append").partitionBy("band_grp").parquet(s"$dir/index"),
+      () => sigs.write.mode("append").parquet(s"$dir/sigs"))
   }
 
   /** Tombstone deletion — the missing leg of the index lifecycle
@@ -1700,41 +1716,54 @@ object AnnIndexStore {
     // (rename refuses an existing destination on local FS and HDFS alike)
     else if (fs.exists(ip) && fs.exists(oldP))
       fs.delete(oldP, true)
+    // no checkpoint: the fold reads $dir/index and writes a DIFFERENT
+    // path, so the live view streams scan→write in one job (the eager
+    // checkpoint paid a full extra materialization per compact)
     val live = minusTombstones(spark, dir,
-      readFrame(spark, s"$dir/index", mf.get("indexSchema"))).localCheckpoint()
-    val writer = mf("kind") match {
-      case "lsh" => live.repartition(col("bucket_grp"))
-        .sortWithinPartitions(col("bucket"))
-        .write.partitionBy("bucket_grp")
-      case "minhash" => live.repartition(col("band_grp"))
-        .sortWithinPartitions(col("band"))
-        .write.partitionBy("band_grp")
-      case _ => live.repartition(col("cent_id"))
-        .write.partitionBy("cent_id")
+      readFrame(spark, s"$dir/index", mf.get("indexSchema")))
+    val indexFold = () => {
+      val writer = mf("kind") match {
+        case "lsh" => live.repartition(col("bucket_grp"))
+          .sortWithinPartitions(col("bucket"))
+          .write.partitionBy("bucket_grp")
+        case "minhash" => live.repartition(col("band_grp"))
+          .sortWithinPartitions(col("band"))
+          .write.partitionBy("band_grp")
+        case _ => live.repartition(col("cent_id"))
+          .write.partitionBy("cent_id")
+      }
+      writer.mode("overwrite").parquet(newP.toString)
+      require(fs.rename(ip, oldP), s"tombstone fold: rename $ip -> $oldP failed")
+      require(fs.rename(newP, ip), s"tombstone fold: rename $newP -> $ip failed")
+      fs.delete(oldP, true)
+      ()
     }
-    writer.mode("overwrite").parquet(newP.toString)
-    require(fs.rename(ip, oldP), s"tombstone fold: rename $ip -> $oldP failed")
-    require(fs.rename(newP, ip), s"tombstone fold: rename $newP -> $ip failed")
-    fs.delete(oldP, true)
     // the minhash kind carries a SECOND n_id-keyed frame (the signature
     // store) — fold it with the same rename-aside swap before the
     // tombstones drop (a crash in between re-folds idempotently: the
-    // already-folded frame simply loses no further rows)
+    // already-folded frame simply loses no further rows). The two frames
+    // live under DISJOINT paths, so their folds overlap as independent
+    // jobs; the tombstone set drops only after BOTH swaps, preserving
+    // the per-frame crash windows.
     if (mf("kind") == "minhash") {
-      val sp = new org.apache.hadoop.fs.Path(dir, "sigs")
-      val sNew = new org.apache.hadoop.fs.Path(dir, "sigs__fold_new")
-      val sOld = new org.apache.hadoop.fs.Path(dir, "sigs__fold_old")
-      if (!fs.exists(sp) && fs.exists(sOld))
-        require(fs.rename(sOld, sp), s"sigs fold recovery failed: $sOld -> $sp")
-      else if (fs.exists(sp) && fs.exists(sOld)) // same stale-copy rule as index
+      val sigsFold = () => {
+        val sp = new org.apache.hadoop.fs.Path(dir, "sigs")
+        val sNew = new org.apache.hadoop.fs.Path(dir, "sigs__fold_new")
+        val sOld = new org.apache.hadoop.fs.Path(dir, "sigs__fold_old")
+        if (!fs.exists(sp) && fs.exists(sOld))
+          require(fs.rename(sOld, sp), s"sigs fold recovery failed: $sOld -> $sp")
+        else if (fs.exists(sp) && fs.exists(sOld)) // same stale-copy rule as index
+          fs.delete(sOld, true)
+        minusTombstones(spark, dir,
+          readFrame(spark, s"$dir/sigs", mf.get("sigsSchema")))
+          .write.mode("overwrite").parquet(sNew.toString)
+        require(fs.rename(sp, sOld), s"sigs fold: rename $sp -> $sOld failed")
+        require(fs.rename(sNew, sp), s"sigs fold: rename $sNew -> $sp failed")
         fs.delete(sOld, true)
-      minusTombstones(spark, dir,
-        readFrame(spark, s"$dir/sigs", mf.get("sigsSchema"))).localCheckpoint()
-        .write.mode("overwrite").parquet(sNew.toString)
-      require(fs.rename(sp, sOld), s"sigs fold: rename $sp -> $sOld failed")
-      require(fs.rename(sNew, sp), s"sigs fold: rename $sNew -> $sp failed")
-      fs.delete(sOld, true)
-    }
+        ()
+      }
+      RetrievalStore.inParallel(indexFold, sigsFold)
+    } else indexFold()
     fs.delete(tp, true)
     parquetFileCount(fs, ip)
   }
@@ -1796,21 +1825,29 @@ object AnnIndexStore {
     mf("kind") match {
       case "ivf" =>
         val b = loadIvf(spark, dir)
-        val resident = b.index.select(col("n_id"), col("n_vec")).localCheckpoint()
+        // lazy checkpoints throughout: each sizing count materializes its
+        // frame in the same job (the eager form paid a separate
+        // materialize job per checkpoint); counts run BEFORE the
+        // overlapped writes so neither write races to compute a shared
+        // frame
+        val resident = b.index.select(col("n_id"), col("n_vec")).localCheckpoint(false)
         val nCells = S.planParamsFor(math.max(1L, resident.count())).nCells
         val quant = S.centroids(resident, "n_id", "n_vec", nCells)
-          .select(col("cent_id"), col("cent_vec")).localCheckpoint()
+          .select(col("cent_id"), col("cent_vec")).localCheckpoint(false)
+        val nCellsOut = quant.count().toInt
         val index = S.ivfIndex(resident, "n_id", "n_vec", quant)
-        quant.write.parquet(s"$stage/quantizer")
-        index.repartition(col("cent_id"))
-          .write.partitionBy("cent_id").parquet(s"$stage/index")
+        RetrievalStore.inParallel(
+          () => quant.write.parquet(s"$stage/quantizer"),
+          () => index.repartition(col("cent_id"))
+            .write.partitionBy("cent_id").parquet(s"$stage/index"))
         stageManifest(fs, stage,
-          s"""{"kind":"ivf","nCells":${quant.count().toInt},""" +
+          s"""{"kind":"ivf","nCells":$nCellsOut,""" +
             s""""quantizerSchema":${j(quant.schema.toDDL)},""" +
             s""""indexSchema":${j(index.schema.toDDL)}}""")
       case "ivfpq" =>
         val b = loadIvfPq(spark, dir)
-        val codes = b.index.localCheckpoint()
+        // lazy checkpoints + pre-write counts: the ivf-branch treatment
+        val codes = b.index.localCheckpoint(false)
         // PQ decode: vec ≈ concat over subspaces of codebook[sub][code]
         val recon = codes
           .select(col("n_id"), posexplode(col("codes")).as(Seq("sub", "cluster")))
@@ -1819,27 +1856,29 @@ object AnnIndexStore {
           .agg(flatten(transform(
             array_sort(collect_list(struct(col("sub"), col("cent")))),
             x => x.getField("cent"))).as("n_vec"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val nCells = S.planParamsFor(math.max(1L, recon.count())).nCells
         val quant = S.centroids(recon, "n_id", "n_vec", nCells)
-          .select(col("cent_id"), col("cent_vec")).localCheckpoint()
+          .select(col("cent_id"), col("cent_vec")).localCheckpoint(false)
+        val nCellsOut = quant.count().toInt
         val index = S.ivfIndex(recon, "n_id", "n_vec", quant)
           .select(col("n_id"), col("cent_id"))
           .join(codes.select(col("n_id"), col("codes")), "n_id")
           .select(col("n_id"), col("cent_id"), col("codes"))
-        quant.write.parquet(s"$stage/quantizer")
-        index.repartition(col("cent_id"))
-          .write.partitionBy("cent_id").parquet(s"$stage/index")
+        RetrievalStore.inParallel(
+          () => quant.write.parquet(s"$stage/quantizer"),
+          () => index.repartition(col("cent_id"))
+            .write.partitionBy("cent_id").parquet(s"$stage/index"))
         stageManifest(fs, stage,
           s"""{"kind":"ivfpq","m":${b.m},"dim":${b.dim},"codesK":${b.codesK},""" +
-            s""""nCells":${quant.count().toInt},""" +
+            s""""nCells":$nCellsOut,""" +
             s""""quantizerSchema":${j(quant.schema.toDDL)},""" +
             s""""codebookSchema":${mf.get("codebookSchema").map(j).getOrElse(j(b.codebook.schema.toDDL))},""" +
             s""""indexSchema":${j(index.schema.toDDL)}}""")
       case "lsh" =>
         val b = loadLsh(spark, dir)
         val vectors = b.index.groupBy(col("n_id"))
-          .agg(first(col("n_vec")).as("n_vec")).localCheckpoint()
+          .agg(first(col("n_vec")).as("n_vec")).localCheckpoint(false)
         val planes = S.planParamsFor(math.max(1L, vectors.count())).planes
         val totalBuckets =
           math.min(b.tables.toLong << planes, Int.MaxValue.toLong)
@@ -1854,16 +1893,17 @@ object AnnIndexStore {
             s""""nGroups":$nGroups,"indexSchema":${j(grouped.schema.toDDL)}}""")
       case "minhash" =>
         val b = loadMinhash(spark, dir)
-        val sigs = b.sigs.localCheckpoint()
+        val sigs = b.sigs.localCheckpoint(false)
         val nRows = sigs.filter(element_at(col("sig"), 1) =!= Long.MaxValue)
           .count() * b.nBands
         val nGroups = math.min(LshMaxGroups.toLong,
           math.max(16L, nRows / 65536L + 1L)).toInt
         val banded = bandedFrom(sigs, b.k, b.nBands, nGroups)
-        banded.repartition(col("band_grp"))
-          .sortWithinPartitions(col("band"))
-          .write.partitionBy("band_grp").parquet(s"$stage/index")
-        sigs.write.parquet(s"$stage/sigs")
+        RetrievalStore.inParallel(
+          () => banded.repartition(col("band_grp"))
+            .sortWithinPartitions(col("band"))
+            .write.partitionBy("band_grp").parquet(s"$stage/index"),
+          () => sigs.write.parquet(s"$stage/sigs"))
         stageManifest(fs, stage,
           s"""{"kind":"minhash","n":${b.n},"k":${b.k},"bands":${b.nBands},""" +
             s""""nGroups":$nGroups,"indexSchema":${j(banded.schema.toDDL)},""" +

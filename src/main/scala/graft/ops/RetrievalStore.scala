@@ -145,7 +145,7 @@ object RetrievalStore {
     * finish. Callers must pre-materialize any shared lazy checkpoint —
     * concurrent first-touch would compute it once per action.
     */
-  private def inParallel(fns: (() => Unit)*): Unit = {
+  private[ops] def inParallel(fns: (() => Unit)*): Unit = {
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val ts = fns.map { f =>
       val t = new Thread(() => try f() catch { case e: Throwable => errs.add(e) })
