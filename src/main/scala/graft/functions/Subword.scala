@@ -66,7 +66,18 @@ object Subword {
       vocabSize: Int = DefaultVocabSize,
       maxPieceLen: Int = DefaultMaxPieceLen
   ): DataFrame =
-    wordFrequencies(docs, textCol)
+    vocabTopFromWf(wordFrequencies(docs, textCol), vocabSize, maxPieceLen)
+
+  /** [[vocabTop]] over an already-computed word-frequency table — the
+    * shared-scan form ([[buildTable]] derives the vocabulary AND the
+    * character floor from ONE corpus scan through it).
+    */
+  private def vocabTopFromWf(
+      wf: DataFrame,
+      vocabSize: Int,
+      maxPieceLen: Int
+  ): DataFrame =
+    wf
       .select(col("word"), col("wf"),
         explode(sequence(lit(2), lit(maxPieceLen))).as("l"))
       // guard BEFORE generating starts: sequence(1, n) with n < 1 DESCENDS
@@ -110,16 +121,27 @@ object Subword {
   def bpeMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     require(nMerges >= 1 && nMerges <= 256,
       s"nMerges must be in [1, 256], got $nMerges")
-    var words = wordFrequencies(docs, textCol)
+    // ONE Spark job per round: the winning pair comes back as a collected
+    // row (it is driver state anyway — every consumer of the merge table
+    // collects it) and re-enters the replace as a LITERAL. The previous
+    // shape checkpointed the 1-row winner AND the words table per round —
+    // three jobs per round for the same result. The words table itself is
+    // vocabulary-sized and only accretes replace projections over the one
+    // corpus-aggregation checkpoint, so re-deriving round k's view from
+    // that base costs k string replaces over ~|vocab| rows — cheaper than
+    // a per-round materialization at any corpus size.
+    val words = wordFrequencies(docs, textCol)
       .select(col("wf"),
         concat_ws("", transform(sequence(lit(1), length(col("word"))),
           i => concat(lit("("), col("word").substr(i, lit(1)), lit(")"))))
           .as("seq"))
-      .localCheckpoint()
-    var merges: DataFrame = null
-    for (step <- 1 to nMerges) {
+      .localCheckpoint(false)
+    var cur = words
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (step <- 1 to nMerges if !exhausted) {
       val arr = split(trim(col("seq"), "()"), "\\)\\(")
-      val pairs = words
+      val best = cur
         .select(col("wf"),
           explode(zip_with(
             slice(arr, lit(1), size(arr) - 1),
@@ -127,21 +149,26 @@ object Subword {
             (x, y) => struct(x.as("l"), y.as("r")))).as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("wf")).as("pair_freq"))
-      val best = pairs
         .orderBy(col("pair_freq").desc, col("l"), col("r"))
         .limit(1)
-        .select(lit(step).as("step"), col("l"), col("r"), col("pair_freq"))
-        .localCheckpoint()
-      merges = if (merges == null) best else merges.union(best)
-      words = words
-        .crossJoin(broadcast(best.select(col("l").as("__l"), col("r").as("__r"))))
-        .select(col("wf"),
-          replace(col("seq"),
-            concat(lit("("), col("__l"), lit(")("), col("__r"), lit(")")),
-            concat(lit("("), col("__l"), col("__r"), lit(")"))).as("seq"))
-        .localCheckpoint()
+        .collect()
+      best.headOption match {
+        case None =>
+          // no adjacent pair left (every word fully merged): the previous
+          // formulation emitted empty rows for the remaining steps —
+          // i.e. nothing — so stop accruing merges here too
+          exhausted = true
+        case Some(row) =>
+          val (l, r, freq) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += ((step, l, r, freq))
+          cur = cur.select(col("wf"),
+            replace(col("seq"), lit("(" + l + ")(" + r + ")"),
+              lit("(" + l + r + ")")).as("seq"))
+      }
     }
-    merges.orderBy(col("step"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    merges.toSeq.toDF("step", "l", "r", "pair_freq").orderBy(col("step"))
   }
 
   /** Token count under a learned BPE merge list ([[bpeMerges]]): merges
@@ -182,7 +209,10 @@ object Subword {
     * SOME piece sequence).
     */
   def observedChars(docs: DataFrame, textCol: String): DataFrame =
-    wordFrequencies(docs, textCol)
+    observedCharsFromWf(wordFrequencies(docs, textCol))
+
+  private def observedCharsFromWf(wf: DataFrame): DataFrame =
+    wf
       .select(explode(sequence(lit(1), length(col("word")))).as("s"), col("word"))
       .select(col("word").substr(col("s"), lit(1)).as("piece"))
       .distinct()
@@ -197,9 +227,14 @@ object Subword {
       vocabSize: Int = DefaultVocabSize,
       maxPieceLen: Int = DefaultMaxPieceLen
   ): SubwordTable = {
-    val top = vocabTop(docs, textCol, vocabSize, maxPieceLen)
+    // ONE corpus scan: the word-frequency table (vocabulary-sized) is
+    // lazily checkpointed and shared by the vocabulary derivation and
+    // the character floor — the previous shape re-tokenized the corpus
+    // for each
+    val wf = wordFrequencies(docs, textCol).localCheckpoint(false)
+    val top = vocabTopFromWf(wf, vocabSize, maxPieceLen)
       .select("piece").collect().map(_.getString(0))
-    val chars = observedChars(docs, textCol)
+    val chars = observedCharsFromWf(wf)
       .collect().map(_.getString(0))
     SubwordTable((top ++ chars).distinct.sorted.toSeq)
   }

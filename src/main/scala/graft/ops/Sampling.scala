@@ -281,13 +281,18 @@ object Sampling {
       isTarget: Column,
       buckets: Int = 1024
   ): DataFrame = {
+    // feature hashing runs in the shingle-hash kernel (hash32 of each
+    // shingle WITHOUT materializing the shingle strings — bit-identical
+    // to hash32(wordShingles(...)) by the kernel's contract); both the
+    // count pass and the scoring pass save the per-occurrence string
+    // allocation + expression-tree md5 chain
     val feats = corpus
       .select(col(idCol).as("doc_id"), isTarget.as("_tgt"),
         explode(concat(
-          graft.functions.TextFunctions.wordShingles(col(textCol), 1),
-          graft.functions.TextFunctions.wordShingles(col(textCol), 2))).as("f"))
+          graft.functions.TextFunctions.wordShingleHashes(col(textCol), 1),
+          graft.functions.TextFunctions.wordShingleHashes(col(textCol), 2))).as("_h"))
       .select(col("doc_id"), col("_tgt"),
-        pmod(graft.functions.HashFunctions.hash32(col("f")), lit(buckets)).as("b"))
+        pmod(col("_h"), lit(buckets)).as("b"))
     val counts = feats
       .groupBy(col("b"))
       .agg(count(lit(1)).as("rc"),
