@@ -1435,14 +1435,18 @@ object AnnIndexStore {
       if (fs.exists(marker)) None
       else {
         val b = loadMinhash(spark, dir)
+        // lazy checkpoint + the kept count as its materializing action:
+        // verdicts still bind to the PRE-APPEND snapshot (the count runs
+        // before the append), without the eager form's dedicated
+        // materialization job per micro-batch
         val verdicts =
           dedupeAgainstMinhash(b, batch, idCol, textCol, minSim, maxProbeInList)
-            .localCheckpoint()
+            .localCheckpoint(false)
+        val kept = verdicts.filter(col("dup") === 0).count()
         persistVerdicts.foreach(f => f(verdicts, batchId))
         val survivors = batch.join(
           verdicts.filter(col("dup") === 0).select(col(idCol)),
           Seq(idCol), "left_semi")
-        val kept = verdicts.filter(col("dup") === 0).count()
         val maint = withMutationLease(spark, dir) {
           appendMinhashUnlocked(spark, dir, survivors, idCol, textCol)
           writeLoopMarker(fs, dir, loopId, batchId)
@@ -1532,13 +1536,15 @@ object AnnIndexStore {
       if (fs.exists(marker)) None
       else {
         val b = loadIvf(spark, dir)
+        // lazy checkpoint + kept count as the materializing action (the
+        // closedLoopDedupingCommitFn treatment): still pre-append-snapshot
         val verdicts = Similarity.semanticDedupeAgainstIndex(
           b.index, b.quantizer, batch, idCol, vecCol, minCosine, nProbe)
-          .localCheckpoint()
+          .localCheckpoint(false)
+        val kept = verdicts.filter(col("kept")).count()
         persistVerdicts.foreach(f => f(verdicts, batchId))
         val survivors = batch.join(
           verdicts.filter(col("kept")).select(col(idCol)), Seq(idCol), "left_semi")
-        val kept = verdicts.filter(col("kept")).count()
         val maint = withMutationLease(spark, dir) {
           appendIvfUnlocked(spark, dir, survivors, idCol, vecCol)
           writeLoopMarker(fs, dir, loopId, batchId)

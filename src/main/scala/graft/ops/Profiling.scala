@@ -251,11 +251,15 @@ object Profiling {
     require(bps.nonEmpty && bps.forall(b => b >= 1 && b <= 10000),
       "basis points must be in [1, 10000]")
     val stacked = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    // lazy checkpoint: the histogram feeds both the cumulative window and
+    // the per-column totals — un-checkpointed, the totals branch re-scans
+    // and re-aggregates the whole input (the trimByPercentile rule)
     val hist = df
       .select(expr(s"stack(${cols.size}, $stacked) AS (col_name, _v)"))
       .filter(col("_v").isNotNull)
       .groupBy(col("col_name"), col("_v"))
       .agg(count(lit(1)).as("_c"))
+      .localCheckpoint(false)
     val w = Window.partitionBy(col("col_name")).orderBy(col("_v"))
     val cum = hist.withColumn("_cum", sum(col("_c")).over(w))
     val n = hist.groupBy(col("col_name")).agg(sum(col("_c")).as("_n"))

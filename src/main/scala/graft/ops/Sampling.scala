@@ -228,10 +228,15 @@ object Sampling {
   ): DataFrame = {
     require(0 <= lowBp && lowBp <= highBp && highBp <= 10000,
       "basis points must satisfy 0 <= lowBp <= highBp <= 10000")
+    // lazy checkpoint: the histogram feeds BOTH the cumulative pass and
+    // the total count — un-checkpointed, the `n` branch re-scanned and
+    // re-aggregated the whole input (withGlobalOffset's own eager
+    // checkpoint materializes it here)
     val hist = df
       .filter(col(valueCol).isNotNull)
       .groupBy(col(valueCol).as("_v"))
       .agg(count(lit(1)).as("_c"))
+      .localCheckpoint(false)
     val cum = Packing.withGlobalOffset(hist, "_v", "_c", outCol = "_excl")
       .withColumn("_cum", col("_excl") + col("_c"))
     val n = hist.agg(sum(col("_c")).as("_n"))
@@ -368,7 +373,10 @@ object Sampling {
     val v = floor(col(valueCol).cast("double") * scale + 0.5d).cast("long")
     val vals = df.filter(col(valueCol).isNotNull).select(v.as("__v"))
     def medianOf(d: DataFrame, c: String, out: String): DataFrame = {
+      // lazy checkpoint: the trimByPercentile rule — the `n` branch
+      // otherwise re-scans and re-aggregates the input
       val hist = d.groupBy(col(c).as("_v")).agg(count(lit(1)).as("_c"))
+        .localCheckpoint(false)
       val cum = Packing.withGlobalOffset(hist, "_v", "_c", outCol = "_excl")
         .withColumn("_cum", col("_excl") + col("_c"))
       val n = hist.agg(sum(col("_c")).as("_n"))
