@@ -102,8 +102,13 @@ object Clustering {
   ): DataFrame = {
     require(k >= 1 && iters >= 0, "k >= 1, iters >= 0")
     var cents = seedCentroids(vectors, idCol, vecCol, k)
-    for (_ <- 1 to iters)
-      cents = update(assign(vectors, idCol, vecCol, cents)).localCheckpoint()
+    // intermediate rounds lazy, final round eager — one materialization
+    // job for the whole Lloyd chain, and the returned centroids (often
+    // consumed by several concurrent broadcasts) read stored blocks
+    // (the pqCodebook treatment)
+    for (it <- 1 to iters)
+      cents = update(assign(vectors, idCol, vecCol, cents))
+        .localCheckpoint(eager = it == iters)
     cents
   }
 
@@ -130,11 +135,14 @@ object Clustering {
     require(k >= 1 && maxIters >= 1 && epsilonMicro >= 0L,
       "k >= 1, maxIters >= 1, epsilonMicro >= 0")
     val micro = (c: Column) => floor(c * 1000000d + 0.5d).cast("long")
-    var cents = seedCentroids(vectors, idCol, vecCol, k).localCheckpoint()
+    // lazy marks: each round's shift aggregate is the materializing
+    // action (one job per round instead of two); the final assign then
+    // reads stored blocks
+    var cents = seedCentroids(vectors, idCol, vecCol, k).localCheckpoint(false)
     var round = 0
     var shift = Long.MaxValue
     while (round < maxIters && shift > epsilonMicro) {
-      val next = update(assign(vectors, idCol, vecCol, cents)).localCheckpoint()
+      val next = update(assign(vectors, idCol, vecCol, cents)).localCheckpoint(false)
       val a = next.select(col("cluster"), posexplode(col("cent")).as(Seq("_p", "_a")))
       val b = cents.select(col("cluster"), posexplode(col("cent")).as(Seq("_p", "_b")))
       shift = a.join(b, Seq("cluster", "_p"))

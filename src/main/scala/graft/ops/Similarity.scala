@@ -741,11 +741,17 @@ object Similarity {
       .orderBy(col("_h"), col("cluster"))
       .limit(codesK)
       .select(col("cluster"))
+    // intermediate rounds carry LAZY checkpoint marks — the final round's
+    // eager checkpoint materializes the whole chain in ONE job (the
+    // per-round eager form paid a job per round for the same work). The
+    // final round stays EAGER: the returned codebook feeds multiple
+    // broadcast consumers (encode + LUT), which execute concurrently and
+    // would otherwise race to compute the chain twice.
     var cents = subs
       .join(broadcast(seedIds), subs("_vid") === seedIds("cluster"))
       .select(col("sub"), col("cluster"), col("_v").as("cent"))
-      .localCheckpoint()
-    for (_ <- 1 to iters) {
+      .localCheckpoint(false)
+    for (it <- 1 to iters) {
       val scored = subs.join(broadcast(cents), "sub")
         .select(col("_vid"), col("sub"), col("_v"), col("cluster"),
           round(V.dot(col("_v"), col("_v"))
@@ -762,7 +768,7 @@ object Similarity {
         .groupBy(col("sub"), col("cluster"))
         .agg(transform(array_sort(collect_list(struct(col("_p"), col("_m")))),
           s => s.getField("_m")).as("cent"))
-        .localCheckpoint()
+        .localCheckpoint(eager = it == iters)
     }
     cents
   }
